@@ -1,0 +1,151 @@
+package graft.format
+
+import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
+import com.fasterxml.jackson.module.scala.{ClassTagExtensions, DefaultScalaModule}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import java.nio.charset.StandardCharsets
+
+/**
+ * The table-format layer: a versioned manifest over plain Parquet.
+ *
+ * Mirrors the reference's published `Snapshot`
+ * (`src/moonlink/src/storage/mooncake_table.rs:159-181`: disk files +
+ * deletion vectors + snapshot_version(=commit LSN) + flush_lsn) and the
+ * scan-time `MooncakeTableMetadata`
+ * (`moonlink_table_metadata/src/table_metadata.rs:9-28`), collapsed into
+ * one durable JSON document per version — the reference's mooncake
+ * snapshot (M8) and iceberg persistence snapshot (M9) become a single
+ * atomic `vNNNNN.json` commit ("mooncake-lite", SURVEY §7.1-2).
+ *
+ * Scale note: the manifest holds one entry per data file (128 MiB
+ * target each → ~800k entries at 100 TB, a few hundred MB of JSON at
+ * the pathological end). File-level min/max stats enable driver-side
+ * file pruning before Spark ever lists the scan. Deletion vectors and
+ * the PK index live in sidecar Parquet, never inline.
+ */
+final case class DataFileEntry(
+    path: String,              // relative to table root
+    rows: Long,
+    bytes: Long,
+    maxLsn: Long,
+    deletes: Long = 0L,        // rows masked by DVs (compaction trigger)
+    // column name -> (min, max) as JSON-friendly strings, for pruning
+    stats: Map[String, Seq[String]] = Map.empty)
+
+final case class IndexFileEntry(path: String, dataFiles: Seq[String])
+
+final case class Manifest(
+    version: Long,
+    commitLsn: Long,
+    flushLsn: Long,
+    schemaJson: String,
+    keyCols: Seq[String],      // empty = append-only
+    dataFiles: Seq[DataFileEntry],
+    dvFiles: Seq[String],      // parquet of (file: String, pos: Long)
+    indexFiles: Seq[IndexFileEntry]) {
+
+  def schema: StructType =
+    DataType.fromJson(schemaJson).asInstanceOf[StructType]
+  def totalRows: Long = dataFiles.map(_.rows).sum
+  def liveRows: Long = dataFiles.map(e => e.rows - e.deletes).sum
+}
+
+object Manifest {
+  private val mapper = {
+    val m = new ObjectMapper() with ClassTagExtensions
+    m.registerModule(DefaultScalaModule)
+    m.configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
+    m
+  }
+
+  def empty(schema: StructType, keyCols: Seq[String]): Manifest =
+    Manifest(0L, -1L, -1L, schema.json, keyCols, Seq.empty, Seq.empty, Seq.empty)
+
+  def toJson(m: Manifest): String =
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(m)
+  def fromJson(s: String): Manifest = mapper.readValue(s, classOf[Manifest])
+}
+
+/**
+ * Minimal filesystem shim over Hadoop `FileSystem` so the table layout
+ * works identically on file://, hdfs:// and s3a:// (reference keeps the
+ * same seam via opendal accessors, `storage/filesystem/accessor/`).
+ */
+object Fio {
+  def fs(path: String, conf: Configuration = new Configuration()): FileSystem =
+    new Path(path).getFileSystem(conf)
+
+  def mkdirs(dir: String): Unit = fs(dir).mkdirs(new Path(dir))
+
+  def exists(p: String): Boolean = fs(p).exists(new Path(p))
+
+  def writeAtomic(path: String, content: String): Unit = {
+    val f = fs(path)
+    val tmp = new Path(path + ".tmp")
+    val out = f.create(tmp, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (!f.rename(tmp, new Path(path))) {
+      // rename-over-existing fails on some FS; only tolerate if target
+      // landed with identical content (idempotent re-commit)
+      f.delete(tmp, false)
+      if (!f.exists(new Path(path)))
+        throw new java.io.IOException(s"atomic commit failed: $path")
+    }
+  }
+
+  def readString(path: String): String = {
+    val f = fs(path)
+    val in = f.open(new Path(path))
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  def delete(path: String): Unit = fs(path).delete(new Path(path), true)
+
+  def list(dir: String): Seq[String] = {
+    val f = fs(dir)
+    val p = new Path(dir)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq.map(_.getPath.getName)
+  }
+
+  def move(src: String, dst: String): Unit = {
+    val f = fs(dst)
+    if (!f.rename(new Path(src), new Path(dst)))
+      throw new java.io.IOException(s"move failed: $src -> $dst")
+  }
+
+  def sizeOf(path: String): Long = fs(path).getFileStatus(new Path(path)).getLen
+}
+
+/**
+ * Manifest log: `<root>/manifest/v%09d.json`, atomic rename commit,
+ * latest = highest version present (no pointer file to corrupt; mirrors
+ * the reference's catalog-commit atomicity,
+ * `iceberg/iceberg_table_syncer.rs:723`).
+ */
+object ManifestLog {
+  private def dir(root: String) = s"$root/manifest"
+  private def file(root: String, v: Long) = f"${dir(root)}/v$v%09d.json"
+
+  def commit(root: String, m: Manifest): Unit = {
+    Fio.mkdirs(dir(root))
+    Fio.writeAtomic(file(root, m.version), Manifest.toJson(m))
+  }
+
+  def latestVersion(root: String): Option[Long] =
+    Fio.list(dir(root))
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .flatMap(n => scala.util.Try(n.stripPrefix("v").stripSuffix(".json").toLong).toOption)
+      .maxOption
+
+  def load(root: String, version: Long): Manifest =
+    Manifest.fromJson(Fio.readString(file(root, version)))
+
+  def loadLatest(root: String): Option[Manifest] =
+    latestVersion(root).map(load(root, _))
+}

@@ -1,0 +1,150 @@
+package graft.model
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+import java.time.{Instant, LocalDate, LocalTime, OffsetDateTime, ZoneOffset}
+import java.time.format.DateTimeFormatter
+import scala.jdk.CollectionConverters._
+
+/**
+ * JSON -> typed Row converter for the REST ingest surface (S3),
+ * mirroring the reference's conversion rules
+ * (`rest_ingest/json_converter.rs:34-226`, `decimal_utils.rs`,
+ * `datetime_utils.rs:1-192`):
+ *
+ *  - decimals accept JSON numbers or strings, are rescaled to the
+ *    declared (p, s) with HALF_UP rounding, and overflow is an error;
+ *  - date32 accepts `YYYY-MM-DD`;
+ *  - timestamps accept RFC3339 with any offset and canonicalize to UTC
+ *    microseconds;
+ *  - time accepts `HH:MM:SS[.ffffff]` as micro-of-day (mapped to Long);
+ *  - ints reject lossy narrowing; int64 accepts int32 inputs etc.
+ */
+object JsonIngest {
+  private val mapper = new ObjectMapper()
+
+  def parse(schema: StructType, json: String): Row =
+    node2row(schema, mapper.readTree(json))
+
+  def parseMany(schema: StructType, jsonl: Iterator[String]): Iterator[Row] =
+    jsonl.filter(_.trim.nonEmpty).map(parse(schema, _))
+
+  private def node2row(schema: StructType, n: JsonNode): Row =
+    Row.fromSeq(schema.fields.toSeq.map { f =>
+      val v = n.get(f.name)
+      if (v == null || v.isNull) {
+        if (!f.nullable)
+          throw new IllegalArgumentException(s"null for non-nullable ${f.name}")
+        null
+      } else convert(f.dataType, v, f.name)
+    })
+
+  private def convert(dt: DataType, n: JsonNode, path: String): Any = dt match {
+    case IntegerType =>
+      if (n.canConvertToInt) n.asInt
+      else throw new IllegalArgumentException(s"$path: not an int32: $n")
+    case ShortType =>
+      val i = n.asInt
+      if (n.canConvertToInt && i >= Short.MinValue && i <= Short.MaxValue) i.toShort
+      else throw new IllegalArgumentException(s"$path: not an int16: $n")
+    case LongType =>
+      if (n.canConvertToLong) n.asLong
+      else throw new IllegalArgumentException(s"$path: not an int64: $n")
+    case FloatType => n.asDouble.toFloat
+    case DoubleType => n.asDouble
+    case BooleanType =>
+      if (n.isBoolean) n.asBoolean
+      else throw new IllegalArgumentException(s"$path: not a bool: $n")
+    case StringType => n.asText
+    case BinaryType =>
+      java.util.Base64.getDecoder.decode(n.asText)
+    case d: DecimalType =>
+      // string-or-number decimals, rescale with overflow check
+      // (reference json_converter.rs:47-226 + decimal_utils.rs)
+      val raw = new JBigDecimal(n.asText)
+      val scaled = raw.setScale(d.scale, RoundingMode.HALF_UP)
+      if (scaled.precision - scaled.scale > d.precision - d.scale)
+        throw new IllegalArgumentException(s"$path: decimal overflow for $d: $n")
+      scaled
+    case DateType =>
+      java.sql.Date.valueOf(LocalDate.parse(n.asText))
+    case TimestampType =>
+      // RFC3339 with offset -> UTC microsecond canonicalization
+      val odt = OffsetDateTime.parse(n.asText, DateTimeFormatter.ISO_OFFSET_DATE_TIME)
+      val inst = odt.withOffsetSameInstant(ZoneOffset.UTC).toInstant
+      java.sql.Timestamp.from(truncToMicros(inst))
+    case ArrayType(et, _) =>
+      if (!n.isArray) throw new IllegalArgumentException(s"$path: not an array: $n")
+      n.elements().asScala.zipWithIndex
+        .map { case (e, i) => if (e.isNull) null else convert(et, e, s"$path[$i]") }
+        .toSeq
+    case st: StructType =>
+      if (!n.isObject) throw new IllegalArgumentException(s"$path: not an object: $n")
+      node2row(st, n)
+    case other =>
+      throw new IllegalArgumentException(s"$path: unsupported ingest type $other")
+  }
+
+  private def truncToMicros(i: Instant): Instant =
+    i.plusNanos(0).minusNanos(i.getNano % 1000L)
+
+  /** `HH:MM:SS[.ffffff]` -> micro-of-day, the reference's Time64 mapping
+   *  (`datetime_utils.rs`; Spark has no TimeType so callers store Long). */
+  def timeMicros(s: String): Long = {
+    val t = LocalTime.parse(s)
+    t.toNanoOfDay / 1000L
+  }
+}
+
+/**
+ * Schema DSL mirroring the REST table-creation type names
+ * (`rest_ingest/schema_util.rs:64-182`): each field carries a stable
+ * field id in its metadata (the reference's `PARQUET:field_id`), so
+ * columns keep identity across drops (M14).
+ */
+object SchemaDsl {
+  val FieldIdKey = "graft.field_id"
+
+  def field(name: String, typeName: String, nullable: Boolean = true): StructField =
+    StructField(name, parseType(typeName), nullable)
+
+  /** REST type-name grammar (schema_util.rs:74-177). Nested list-of-list
+   *  and struct-in-list are rejected, as in the reference (:162-166). */
+  def parseType(t: String): DataType = parseType(t, topLevel = true)
+
+  private def parseType(t: String, topLevel: Boolean): DataType = {
+    val s = t.trim.toLowerCase
+    val decimalRe = "decimal\\((\\d+),\\s*(\\d+)\\)".r
+    val listRe = "(?:list|array)<(.+)>".r
+    s match {
+      case "int16" => ShortType
+      case "int32" => IntegerType
+      case "int64" => LongType
+      case "string" | "text" => StringType
+      case "boolean" | "bool" => BooleanType
+      case "float32" => FloatType
+      case "float64" => DoubleType
+      case "date32" => DateType
+      case "timestamp" => TimestampType
+      case "binary" | "bytea" => BinaryType
+      case decimalRe(p, sc) => DecimalType(p.toInt, sc.toInt)
+      case listRe(inner) =>
+        if (!topLevel)
+          throw new IllegalArgumentException(s"nested list rejected: $t")
+        val et = parseType(inner, topLevel = false)
+        if (et.isInstanceOf[StructType])
+          throw new IllegalArgumentException(s"struct in list rejected: $t")
+        ArrayType(et)
+      case other => throw new IllegalArgumentException(s"unknown type: $other")
+    }
+  }
+
+  def struct(fields: (String, String)*): StructType =
+    StructType(fields.zipWithIndex.map { case ((n, t), i) =>
+      field(n, t).copy(metadata = new MetadataBuilder()
+        .putLong(FieldIdKey, i + 1L).build())
+    })
+}

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines:
+ * tokenization, quality scoring, language ID, fingerprinting.
+ *
+ * Everything here is built from codegen'd `org.apache.spark.sql
+ * .functions` (no UDFs on the hot path) and — deliberately — from
+ * constructs whose semantics are identical in ANSI SQL engines, so the
+ * DuckDB oracle can mirror each formula exactly (integer arithmetic,
+ * length/replace counting, md5).
+ */
+object TextOps {
+  /** token split pattern: runs of non-alphanumerics (same semantics in
+   *  Java regex and RE2). */
+  val TokenPattern = "[^a-zA-Z0-9]+"
+
+  /** non-empty alphanumeric tokens */
+  def tokens(c: Column): Column =
+    filter(split(c, TokenPattern), t => t =!= lit(""))
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  def distinctTokens(c: Column): Column = array_distinct(tokens(c))
+
+  /** whitespace-delimited word count */
+  def wordCount(c: Column): Column =
+    size(filter(split(c, "\\s+"), t => t =!= lit("")))
+
+  /** occurrences of literal `s` via the length/replace trick — exactly
+   *  mirrorable in SQL: (len(c) - len(replace(c, s, ''))) / len(s). */
+  def occurrences(c: Column, s: String): Column =
+    (length(c) - length(replace(c, lit(s), lit("")))) / lit(s.length)
+
+  /** punctuation count (needs the 'g' flag in DuckDB's regexp_replace) */
+  def punctCount(c: Column): Column =
+    length(regexp_replace(c, "[^.!?,;:]", ""))
+
+  private def padded(c: Column): Column = concat(lit(" "), c, lit(" "))
+
+  /** stopword-hit count over a word list (words matched with spaces
+   *  around them on a padded copy of the text). */
+  def stopwordHits(c: Column, words: Seq[String]): Column =
+    words.map(w => occurrences(padded(c), s" $w ")).reduce(_ + _)
+
+  val EnStop = Seq("the", "a", "of", "to", "and", "in", "is")
+  val DeStop = Seq("der", "die", "das", "und", "ist", "nicht")
+  val FrStop = Seq("le", "la", "les", "et", "est", "une")
+  val EsStop = Seq("el", "los", "las", "y", "es", "una")
+
+  /**
+   * N-gram-heuristic language ID: argmax of per-language stopword hit
+   * counts, deterministic tiebreak in declaration order
+   * (en > de > fr > es > unknown). Pure integer arithmetic — the SQL
+   * oracle reproduces it bit-for-bit.
+   */
+  def langId(c: Column): Column = {
+    val en = stopwordHits(c, EnStop)
+    val de = stopwordHits(c, DeStop)
+    val fr = stopwordHits(c, FrStop)
+    val es = stopwordHits(c, EsStop)
+    val mx = greatest(en, de, fr, es)
+    when(mx === 0, lit("unknown"))
+      .when(en === mx, lit("en"))
+      .when(de === mx, lit("de"))
+      .when(fr === mx, lit("fr"))
+      .otherwise(lit("es"))
+  }
+
+  /**
+   * Quality score in [0, 1000]: rewards length and stopword density,
+   * penalizes punctuation runs and very short docs. Integer arithmetic
+   * only (DIV), so Spark and the oracle agree exactly.
+   */
+  def qualityScore(c: Column): Column = {
+    val toks = tokenCount(c).cast("long")
+    val stop = stopwordHits(c, EnStop).cast("long")
+    val punct = punctCount(c).cast("long")
+    val len = length(c).cast("long")
+    val raw = lit(2L) * toks + lit(10L) * stop - lit(5L) * punct +
+      len / lit(10L) // integer div on longs in Spark
+    greatest(lit(0L), least(lit(1000L), raw))
+  }
+
+  /** normalized text: collapse non-alphanumerics to single spaces,
+   *  lowercase, trim. */
+  def normalize(c: Column): Column =
+    trim(lower(regexp_replace(c, TokenPattern, " ")))
+
+  /** document fingerprint = md5 of the normalized text (md5 is
+   *  byte-identical across engines). */
+  def fingerprint(c: Column): Column = md5(normalize(c))
+
+  /**
+   * Rolling polynomial (Karp-Rabin) 64-bit fingerprint over normalized
+   * bytes: fp = sum(byte_i * 31^i) in wrapping Long arithmetic.
+   * Implemented with aggregate() over the byte array — stays inside
+   * whole-stage codegen, no UDF.
+   */
+  def rollingHash(c: Column): Column =
+    aggregate(
+      // string -> byte array -> Seq of longs
+      transform(split(normalize(c), ""), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, b) => acc * lit(31L) + b)
+
+  /** 64-bit SimHash over token xxhash64 values: per-bit majority vote.
+   *  (Weighted variant of Charikar's simhash; deterministic.) */
+  def simhash64(c: Column): Column = {
+    val hashes = transform(tokens(c), t => xxhash64(t))
+    val simhashUdf = udf((hs: Seq[Long]) => {
+      if (hs == null || hs.isEmpty) 0L
+      else {
+        val votes = new Array[Int](64)
+        hs.foreach { h =>
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+            b += 1
+          }
+        }
+        var out = 0L
+        var b = 0
+        while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+        out
+      }
+    })
+    simhashUdf(hashes)
+  }
+
+  /** Hamming distance between two 64-bit simhashes (bit_count is
+   *  codegen'd). */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

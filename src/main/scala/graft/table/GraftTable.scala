@@ -1,0 +1,753 @@
+package graft.table
+
+import graft.format._
+import graft.model._
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.roaringbitmap.longlong.Roaring64Bitmap
+
+import java.util.UUID
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+/** Tuning knobs. Defaults mirror the reference's release envelope
+ *  (`mooncake_table_config.rs:21-163`, `compaction_config.rs:48-55`). */
+final case class TableConfig(
+    /** rows buffered in memory before a flush triggers at the next
+     *  commit boundary (reference mem-slice = 4096*32 = 131072). */
+    memSliceSize: Int = 131072,
+    /** target rows per parquet data file (stands in for the reference's
+     *  128 MiB size-tuned files; at ~128 B/row this is ~128 MiB). */
+    rowsPerFile: Int = 1 << 20,
+    /** compaction: run when >= this many under-sized files exist. */
+    compactFileCountThreshold: Int = 16,
+    compactMaxFilesPerOp: Int = 32,
+    /** compaction: a file under this many rows is "small". */
+    compactSmallFileRows: Long = 1 << 19,
+    /** compaction: rewrite a file once this fraction of it is deleted. */
+    compactDeleteRatio: Double = 0.5,
+    /** write an event log (WAL) per apply() and replay it on open. */
+    walEnabled: Boolean = true)
+
+/**
+ * A Graft table: PK-identified, LSN-versioned, append/upsert/delete
+ * table over plain Parquet + a versioned JSON manifest + deletion
+ * vectors + a persisted key index — the Spark-native re-expression of
+ * the reference's `MooncakeTable`
+ * (`src/moonlink/src/storage/mooncake_table.rs:85,159`).
+ *
+ * Threading contract: one writer (like the reference's one event-loop
+ * task per table, `table_handler.rs:124`); readers consume immutable
+ * published manifest versions.
+ *
+ * Scale design: all heavy work (flush writes, index builds, delete
+ * resolution joins, compaction rewrites, reads) runs as Spark jobs over
+ * the cluster; the driver holds only the bounded mem-slice
+ * (<= memSliceSize rows), roaring-compressed DV bitmaps (pruned by
+ * compaction) and the manifest. Delete resolution never scans data
+ * files — it joins the (small, broadcast) delete-key set against the
+ * persisted key index, mirroring the reference's hash-index point
+ * lookup (`persisted_bucket_hash_map.rs:276`).
+ */
+final class GraftTable private (
+    val spark: SparkSession,
+    val root: String,
+    initManifest: Manifest,
+    val identity: Identity,
+    val config: TableConfig) {
+
+  import GraftTable._
+
+  // ---- persistent state (from / to the manifest) -----------------------
+  private var schemaVar: StructType = initManifest.schema
+  def schema: StructType = schemaVar
+  private val keyCols: Seq[String] = initManifest.keyCols
+  private val fileEntries = mutable.LinkedHashMap[String, DataFileEntry](
+    initManifest.dataFiles.map(e => e.path -> e): _*)
+  private val dvFiles = mutable.ArrayBuffer[String](initManifest.dvFiles: _*)
+  private val indexFiles =
+    mutable.ArrayBuffer[IndexFileEntry](initManifest.indexFiles: _*)
+  private var versionVar: Long = initManifest.version
+  private var commitLsnVar: Long = initManifest.commitLsn
+  private var flushLsnVar: Long = initManifest.flushLsn
+
+  def version: Long = versionVar
+  def commitLsn: Long = commitLsnVar
+  def flushLsn: Long = flushLsnVar
+
+  // ---- in-memory state (the mem slice) ---------------------------------
+  private final class TailRow(val row: Row, val lsn: Long) {
+    var deletedLsn: Long = -1L
+    def live: Boolean = deletedLsn < 0
+  }
+  private val tail = mutable.ArrayBuffer[TailRow]()
+  private val tailIndex = mutable.HashMap[KeyVal, TailRow]() // live rows only
+  /** deletes targeting already-flushed rows; resolved set-based at
+   *  publish (reference keeps a deletion log, `snapshot.rs:1000`). */
+  private val pendingDeletes = mutable.ArrayBuffer[(Seq[Any], Long)]()
+  /** DV delta not yet persisted to a dv parquet sidecar. */
+  private val newDvPairs = mutable.ArrayBuffer[(String, Long)]()
+  /** data-file basename -> deleted row positions (all committed DVs). */
+  private val dvMap = mutable.HashMap[String, Roaring64Bitmap]()
+  private var dvBroadcast: Option[Broadcast[Map[String, Array[Long]]]] = scala.None
+
+  // ---- streaming transactions (reference transaction_stream.rs:17) -----
+  private final class XactState {
+    val buffer = mutable.ArrayBuffer[TailRow]()
+    val index = mutable.HashMap[KeyVal, TailRow]()
+    val pendingDeletes = mutable.ArrayBuffer[Seq[Any]]()
+    val stagedFiles = mutable.ArrayBuffer[DataFileEntry]()
+    val stagedIndexFiles = mutable.ArrayBuffer[IndexFileEntry]()
+  }
+  private val xacts = mutable.HashMap[Long, XactState]()
+
+  private var nextFileId: Long =
+    (fileEntries.keys ++ dvFiles ++ indexFiles.map(_.path))
+      .flatMap(n => "\\d{9}".r.findFirstIn(n)).map(_.toLong)
+      .maxOption.getOrElse(-1L) + 1
+  private def newId(): Long = { val i = nextFileId; nextFileId += 1; i }
+
+  // key columns resolved positionally against the table schema (ingest
+  // rows are positional and carry no schema of their own)
+  private var keyIdx: Seq[Int] = keyCols.map(schemaVar.fieldIndex)
+  private def keyOf(row: Row): KeyVal = identity match {
+    case Identity.FullRow => KeyVal(row.toSeq)
+    case _ => KeyVal(keyIdx.map(row.get))
+  }
+
+  private def keyFields: Seq[StructField] = identity match {
+    case Identity.FullRow => schemaVar.fields.toSeq
+    case _ => keyCols.map(c => schemaVar.fields(schemaVar.fieldIndex(c)))
+  }
+
+  // =====================================================================
+  // Ingestion (M1-M6): the reference's §3.1 event pipeline as one
+  // deterministic batch function, driven by foreachBatch or direct calls.
+  // =====================================================================
+
+  /** Apply a batch of CDC events in order; publish a new manifest
+   *  version. Returns the commit LSN after the batch. */
+  def apply(events: Seq[CdcEvent]): Long = synchronized {
+    if (config.walEnabled && events.nonEmpty) Wal.append(root, schemaVar, events)
+    applyInternal(events)
+  }
+
+  private[table] def applyInternal(events: Seq[CdcEvent]): Long = {
+    events.foreach {
+      case Append(row, lsn, scala.None) =>
+        val tr = new TailRow(row, lsn)
+        tail += tr
+        if (identity != Identity.None) tailIndex(keyOf(row)) = tr
+
+      case Append(row, lsn, Some(xid)) =>
+        val x = xacts.getOrElseUpdate(xid, new XactState)
+        val tr = new TailRow(row, lsn)
+        x.buffer += tr
+        if (identity != Identity.None) x.index(keyOf(row)) = tr
+        if (x.buffer.count(_.live) >= config.memSliceSize) stageXactFlush(xid, x)
+
+      case Delete(key, lsn, scala.None, _) =>
+        require(identity != Identity.None,
+          "deletes rejected on append-only table") // mooncake_table.rs:1242
+        tailIndex.remove(KeyVal(key)) match {
+          case Some(tr) => tr.deletedLsn = lsn
+          case scala.None => pendingDeletes += ((key, lsn))
+        }
+
+      case Delete(key, _, Some(xid), _) =>
+        val x = xacts.getOrElseUpdate(xid, new XactState)
+        x.index.remove(KeyVal(key)) match {
+          case Some(tr) => tr.deletedLsn = 0L // dead within the txn
+          case scala.None => x.pendingDeletes += key
+        }
+
+      case Commit(lsn, scala.None) =>
+        commitLsnVar = math.max(commitLsnVar, lsn)
+        maybeFlush()
+
+      case Commit(lsn, Some(xid)) => commitXact(xid, lsn)
+
+      case StreamAbort(xid) => abortXact(xid)
+    }
+    publish()
+    commitLsnVar
+  }
+
+  private def maybeFlush(): Unit =
+    if (tail.count(t => t.live && t.lsn <= commitLsnVar) >= config.memSliceSize)
+      flush()
+
+  /** Convenience ingest API (REST surface, reference `rest_api.rs:416`):
+   *  insert rows with consecutive LSNs and auto-commit. */
+  def insertAll(rows: Seq[Row], startLsn: Long): Long =
+    apply(rows.zipWithIndex.map { case (r, i) => Append(r, startLsn + i) } :+
+      Commit(startLsn + rows.size))
+
+  def upsertAll(rows: Seq[Row], startLsn: Long): Long =
+    apply(rows.zipWithIndex.flatMap { case (r, i) =>
+      CdcEvent.upsert(r, keyOf(r).values, startLsn + i)
+    } :+ Commit(startLsn + rows.size))
+
+  // ---- streaming transactions -----------------------------------------
+
+  /** Pre-commit flush of a large streaming txn into *staged* files,
+   *  invisible to the manifest until StreamCommit (reference
+   *  `transaction_stream.rs:171,334` — abort must drop flushed files). */
+  private def stageXactFlush(xid: Long, x: XactState): Unit = {
+    val rows = x.buffer.filter(_.live).map(_.row).toSeq
+    x.buffer.clear(); x.index.clear()
+    if (rows.isEmpty) return
+    val stagedDir = s"$root/staged/xact-$xid"
+    Fio.mkdirs(stagedDir)
+    val entries = writeRowChunks(rows, stagedDir, maxLsn = -1L)
+    x.stagedFiles ++= entries
+    if (identity != Identity.None)
+      x.stagedIndexFiles += buildIndex(stagedDir, entries.map(_.path), stagedDir)
+  }
+
+  private def commitXact(xid: Long, lsn: Long): Unit = {
+    xacts.remove(xid).foreach { x =>
+      // staged files become real data files at the commit LSN
+      if (x.stagedFiles.nonEmpty) {
+        x.stagedFiles.foreach { e =>
+          Fio.move(s"$root/staged/xact-$xid/${e.path}", s"$root/data/${e.path}")
+          fileEntries(e.path) = e.copy(maxLsn = lsn)
+        }
+        x.stagedIndexFiles.foreach { ie =>
+          Fio.mkdirs(s"$root/index")
+          Fio.move(s"$root/staged/xact-$xid/${ie.path}", s"$root/index/${ie.path}")
+          indexFiles += ie
+        }
+        flushLsnVar = math.max(flushLsnVar, lsn)
+        Fio.delete(s"$root/staged/xact-$xid")
+      }
+      // deletes that found no target inside the txn hit the main table;
+      // resolve BEFORE appending the txn's own rows so an upsert inside
+      // the txn cannot delete its replacement row
+      x.pendingDeletes.foreach { key =>
+        tailIndex.remove(KeyVal(key)) match {
+          case Some(tr) => tr.deletedLsn = lsn
+          case scala.None => pendingDeletes += ((key, lsn))
+        }
+      }
+      // buffered rows join the main tail carrying the commit LSN (all
+      // rows of a txn carry its final LSN, moonlink_sink.rs:152-181)
+      x.buffer.foreach { tr =>
+        if (tr.live) {
+          val ntr = new TailRow(tr.row, lsn)
+          tail += ntr
+          if (identity != Identity.None) tailIndex(keyOf(tr.row)) = ntr
+        }
+      }
+      commitLsnVar = math.max(commitLsnVar, lsn)
+      maybeFlush()
+    }
+  }
+
+  private def abortXact(xid: Long): Unit =
+    xacts.remove(xid).foreach { _ => Fio.delete(s"$root/staged/xact-$xid") }
+
+  // =====================================================================
+  // Flush (M7): mem slice -> size-tuned parquet + key index
+  // =====================================================================
+
+  /** Flush committed-visible tail rows to parquet data files
+   *  (reference `mooncake_table.rs:1317`, `disk_slice.rs`). */
+  def flush(): Unit = synchronized {
+    // committed rows whose delete (if any) is not yet committed
+    val flushable = tail.filter(t =>
+      t.lsn <= commitLsnVar && (t.live || t.deletedLsn > commitLsnVar))
+    if (flushable.nonEmpty) {
+      val maxLsn = flushable.map(_.lsn).max
+      Fio.mkdirs(s"$root/data")
+      val entries =
+        writeRowChunks(flushable.map(_.row).toSeq, s"$root/data", maxLsn)
+      entries.foreach(e => fileEntries(e.path) = e)
+      if (identity != Identity.None) {
+        Fio.mkdirs(s"$root/index")
+        indexFiles += buildIndex(s"$root/data", entries.map(_.path), s"$root/index")
+      }
+      // a committed row with a pending (uncommitted) delete was just
+      // written to disk — its delete must later resolve via the index
+      flushable.filter(!_.live).foreach(t =>
+        pendingDeletes += ((keyOf(t.row).values, t.deletedLsn)))
+      flushLsnVar = math.max(flushLsnVar, maxLsn)
+    }
+    // keep only uncommitted appends (live or tombstoned within-batch)
+    val keep = tail.filter(t => t.lsn > commitLsnVar)
+    tail.clear(); tail ++= keep
+    tailIndex.filterInPlace((_, tr) => tr.lsn > commitLsnVar)
+  }
+
+  /** Write rows as one or more single-task parquet files with stable row
+   *  order — positions are the file row order, the invariant DVs depend
+   *  on (the reference owns its writer for the same reason,
+   *  `disk_slice.rs`). Bounded by the mem-slice size. */
+  private def writeRowChunks(rows: Seq[Row], destDir: String,
+      maxLsn: Long): Seq[DataFileEntry] = {
+    rows.grouped(config.rowsPerFile).map { chunk =>
+      val name = f"data-${newId()}%09d.parquet"
+      val tmp = s"$root/tmp/${UUID.randomUUID()}"
+      spark.createDataFrame(chunk.asJava, schemaVar)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      movePartFile(tmp, s"$destDir/$name")
+      DataFileEntry(name, chunk.size.toLong, Fio.sizeOf(s"$destDir/$name"),
+        maxLsn, 0L, columnStats(chunk))
+    }.toSeq
+  }
+
+  private def movePartFile(tmpDir: String, dest: String): Unit = {
+    val part = Fio.list(tmpDir)
+      .find(n => n.startsWith("part-") && n.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"no part file in $tmpDir"))
+    Fio.move(s"$tmpDir/$part", dest)
+    Fio.delete(tmpDir)
+  }
+
+  /** File-level min/max stats for manifest pruning (reference collects
+   *  parquet stats into iceberg manifests, `parquet_stats_utils.rs`). */
+  private def columnStats(rows: Seq[Row]): Map[String, Seq[String]] =
+    schemaVar.fields.zipWithIndex.collect {
+      case (f, i) if statsComparable(f.dataType) =>
+        val vs = rows.iterator.map(_.get(i)).filter(_ != null).toSeq
+        if (vs.isEmpty) f.name -> Seq.empty[String]
+        else {
+          implicit val ord: Ordering[Any] = anyOrdering(f.dataType)
+          f.name -> Seq(vs.min.toString, vs.max.toString)
+        }
+    }.toMap
+
+  /** Build a persisted key index (key cols, _file, _pos) for the given
+   *  data files by reading them back with metadata row indexes — the
+   *  Spark-native `GlobalIndex` (`persisted_bucket_hash_map.rs:43`). */
+  private def buildIndex(dataDir: String, files: Seq[String],
+      indexDir: String): IndexFileEntry = {
+    val name = f"idx-${newId()}%09d.parquet"
+    val paths = files.map(f => s"$dataDir/$f")
+    val df = spark.read.schema(schemaVar).parquet(paths: _*)
+      .select(keyFields.map(f => col(f.name)) :+
+        substring_index(col("_metadata.file_path"), "/", -1).as("_file") :+
+        col("_metadata.row_index").as("_pos"): _*)
+    val tmp = s"$root/tmp/${UUID.randomUUID()}"
+    // single-file index per flush; merged by mergeIndexes()/compact()
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    movePartFile(tmp, s"$indexDir/$name")
+    IndexFileEntry(name, files)
+  }
+
+  // =====================================================================
+  // Delete resolution: delete-key set |><| key index -> DV positions.
+  // =====================================================================
+
+  private def resolveCommittedDeletes(): Unit = {
+    val due = pendingDeletes.filter(_._2 <= commitLsnVar)
+    if (due.isEmpty) return
+    pendingDeletes.filterInPlace(_._2 > commitLsnVar)
+    if (indexFiles.isEmpty) return // nothing flushed: deletes miss
+    val keySchema = StructType(keyFields)
+    val delRows = due.map(d => Row.fromSeq(d._1)).distinct
+    val delDF = spark.createDataFrame(delRows.asJava, keySchema)
+    val idx = spark.read.parquet(indexFiles.map(e => s"$root/index/${e.path}").toSeq: _*)
+    val hits = idx.join(broadcast(delDF), keyFields.map(_.name).toSeq)
+      .select(col("_file"), col("_pos")).collect()
+    hits.foreach { r =>
+      val (f, p) = (r.getString(0), r.getLong(1))
+      if (fileEntries.contains(f)) {
+        val bm = dvMap.getOrElseUpdate(f, new Roaring64Bitmap)
+        if (!bm.contains(p)) {
+          bm.addLong(p)
+          newDvPairs += ((f, p))
+          fileEntries(f) = fileEntries(f).copy(deletes = fileEntries(f).deletes + 1)
+        }
+      }
+    }
+  }
+
+  // =====================================================================
+  // Publish (M8/M9): resolve deletes, persist DV delta, commit manifest.
+  // The reference's in-memory mooncake snapshot and durable iceberg
+  // snapshot collapse into one atomic manifest commit (SURVEY §7.1-2).
+  // =====================================================================
+
+  def publish(): Long = synchronized {
+    resolveCommittedDeletes()
+    if (newDvPairs.nonEmpty) {
+      Fio.mkdirs(s"$root/dv")
+      val name = f"dv-${newId()}%09d.parquet"
+      writeDvFile(newDvPairs.toSeq, name)
+      dvFiles += name
+      newDvPairs.clear()
+      dvBroadcast = scala.None // invalidate
+    }
+    versionVar += 1
+    ManifestLog.commit(root, currentManifest)
+    // truncate at the *flush* LSN: committed-but-unflushed tail rows are
+    // durable only in the WAL (reference truncates at the persisted-
+    // snapshot LSN for the same reason, wal.rs:750)
+    if (config.walEnabled) Wal.truncate(root, flushLsnVar)
+    versionVar
+  }
+
+  private def writeDvFile(pairs: Seq[(String, Long)], name: String): Unit = {
+    val df = spark.createDataFrame(
+      pairs.map { case (f, p) => Row(f, p) }.asJava, dvSchema)
+    val tmp = s"$root/tmp/${UUID.randomUUID()}"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    movePartFile(tmp, s"$root/dv/$name")
+  }
+
+  def currentManifest: Manifest = Manifest(versionVar, commitLsnVar,
+    flushLsnVar, schemaVar.json, keyCols, fileEntries.values.toSeq,
+    dvFiles.toSeq, indexFiles.toSeq)
+
+  private[table] def loadDvState(): Unit = {
+    val files = dvFiles.map(f => s"$root/dv/$f").toSeq
+    if (files.nonEmpty)
+      spark.read.parquet(files: _*).select("file", "pos").collect().foreach { r =>
+        dvMap.getOrElseUpdate(r.getString(0), new Roaring64Bitmap).addLong(r.getLong(1))
+      }
+  }
+
+  // =====================================================================
+  // Read path (S10/S11): committed files minus DVs, union in-mem tail.
+  // =====================================================================
+
+  /** Union read at LSN >= `atLeastLsn` (reference `snapshot_read.rs:152`;
+   *  gating `read_state_manager.rs:90-130`). Returns the current
+   *  committed state; throws if the table has not yet committed the
+   *  requested LSN. */
+  def read(atLeastLsn: Option[Long] = scala.None): DataFrame = synchronized {
+    atLeastLsn.foreach { l =>
+      if (commitLsnVar < l)
+        throw new IllegalStateException(
+          s"read at LSN $l not yet committed (commitLsn=$commitLsnVar)")
+    }
+    val committed = committedDF
+    val tailRows = tail.filter(t =>
+        t.lsn <= commitLsnVar &&
+        (t.deletedLsn < 0 || t.deletedLsn > commitLsnVar))
+      .map(_.row).toSeq
+    if (tailRows.isEmpty) committed
+    else committed.unionByName(spark.createDataFrame(tailRows.asJava, schemaVar))
+  }
+
+  /** Blocking read: wait up to `timeoutMs` for commitLsn >= lsn (a
+   *  concurrent thread drives apply()). Reference `try_read` blocking
+   *  path, `read_state_manager.rs:107-130`. */
+  def readAwait(lsn: Long, timeoutMs: Long = 10000): DataFrame = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (commitLsn < lsn && System.currentTimeMillis() < deadline)
+      Thread.sleep(5)
+    read(Some(lsn))
+  }
+
+  /** Committed on-disk part of the table, DVs applied. */
+  private def committedDF: DataFrame = {
+    if (fileEntries.isEmpty)
+      return spark.createDataFrame(new java.util.ArrayList[Row](), schemaVar)
+    val paths = fileEntries.keys.map(f => s"$root/data/$f").toSeq
+    val base = spark.read.schema(schemaVar).parquet(paths: _*)
+    applyDvFilter(base).select(schemaVar.fieldNames.map(col).toSeq: _*)
+  }
+
+  /** Filter out DV'd rows via a broadcast (file -> sorted positions)
+   *  map — no shuffle; the Spark-4 `_metadata.row_index` replaces the
+   *  reference's parquet RowSelection (`table_provider.rs:140-167`). */
+  private def applyDvFilter(base: DataFrame): DataFrame = {
+    if (dvMap.valuesIterator.map(_.getLongCardinality).sum == 0) return base
+    val bc = dvBroadcast.getOrElse {
+      val m = dvMap.iterator.filter(_._2.getLongCardinality > 0)
+        .map { case (f, bm) => f -> bm.toArray }.toMap
+      val b = spark.sparkContext.broadcast(m)
+      dvBroadcast = Some(b)
+      b
+    }
+    val notDeleted = udf((file: String, pos: Long) =>
+      !bc.value.get(file).exists(a => java.util.Arrays.binarySearch(a, pos) >= 0))
+    base.where(notDeleted(
+      substring_index(col("_metadata.file_path"), "/", -1),
+      col("_metadata.row_index")))
+  }
+
+  /** File pruning by manifest min/max stats: driver-side pre-filter of
+   *  the scan list before Spark ever plans it (SURVEY §4; the reference
+   *  ships stats to engines via iceberg manifests). */
+  def prunedRead(colName: String, lo: Option[Any], hi: Option[Any]): DataFrame =
+    synchronized {
+      val dt = schemaVar.fields(schemaVar.fieldIndex(colName)).dataType
+      implicit val ord: Ordering[Any] = anyOrdering(dt)
+      val keep = fileEntries.values.filter { e =>
+        e.stats.get(colName) match {
+          case Some(Seq(mn, mx)) =>
+            lo.forall(l => ord.gteq(parseStat(dt, mx), l)) &&
+              hi.forall(h => ord.lteq(parseStat(dt, mn), h))
+          case _ => true // no stats -> cannot prune
+        }
+      }.map(e => s"$root/data/${e.path}").toSeq
+      if (keep.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[Row](), schemaVar)
+      else applyDvFilter(spark.read.schema(schemaVar).parquet(keep: _*))
+        .select(schemaVar.fieldNames.map(col).toSeq: _*)
+    }
+
+  // =====================================================================
+  // Maintenance (M10/M11/M13/M14/M15)
+  // =====================================================================
+
+  /** Data compaction: rewrite heavily-deleted or small files into
+   *  final-size files, dropping DV'd rows and rebuilding their index
+   *  entries (reference `compaction/compactor.rs:40,388`; thresholds
+   *  `compaction_config.rs:48-55`). Fully distributed — no driver
+   *  collect of data rows. */
+  def compact(force: Boolean = false): Boolean = synchronized {
+    val all = fileEntries.values.toSeq
+    def heavilyDeleted(e: DataFileEntry) =
+      e.deletes > 0 && e.deletes.toDouble >= e.rows * config.compactDeleteRatio
+    def small(e: DataFileEntry) = e.rows < config.compactSmallFileRows
+    val shouldRun = force || all.exists(heavilyDeleted) ||
+      all.count(small) >= config.compactFileCountThreshold
+    if (!shouldRun) return false
+    val victims = all.filter(e => heavilyDeleted(e) || small(e) || force)
+      .take(config.compactMaxFilesPerOp)
+    if (victims.isEmpty) return false
+
+    val victimNames = victims.map(_.path).toSet
+    val paths = victims.map(e => s"$root/data/${e.path}")
+    val maxLsn = victims.map(_.maxLsn).max
+    val totalLive = math.max(1L, victims.map(e => e.rows - e.deletes).sum)
+    val nOut = math.ceil(totalLive.toDouble / config.rowsPerFile).toInt
+
+    val live = applyDvFilter(spark.read.schema(schemaVar).parquet(paths: _*))
+      .select(schemaVar.fieldNames.map(col).toSeq: _*)
+    val tmp = s"$root/tmp/${UUID.randomUUID()}"
+    live.repartition(nOut).write.mode("overwrite").parquet(tmp)
+
+    // adopt the written part files, then derive per-file row counts by
+    // reading footers back (one lightweight metadata job)
+    val parts = Fio.list(tmp).filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+    val newNames = parts.map { p =>
+      val name = f"data-${newId()}%09d.parquet"
+      Fio.move(s"$tmp/$p", s"$root/data/$name")
+      name
+    }
+    Fio.delete(tmp)
+    val counts: Map[String, Long] =
+      if (newNames.isEmpty) Map.empty
+      else spark.read.schema(schemaVar)
+        .parquet(newNames.map(n => s"$root/data/$n"): _*)
+        .groupBy(substring_index(col("_metadata.file_path"), "/", -1).as("_f"))
+        .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val entries = newNames.map(n => DataFileEntry(n,
+      counts.getOrElse(n, 0L), Fio.sizeOf(s"$root/data/$n"), maxLsn))
+
+    victimNames.foreach { n => fileEntries.remove(n); dvMap.remove(n) }
+    entries.filter(_.rows > 0).foreach(e => fileEntries(e.path) = e)
+    newNames.filter(n => counts.getOrElse(n, 0L) == 0L)
+      .foreach(n => Fio.delete(s"$root/data/$n"))
+    rewriteDvFiles()
+    rebuildIndexExcluding(victimNames, entries.filter(_.rows > 0).map(_.path))
+    dvBroadcast = scala.None
+    publish()
+    // victims are NOT deleted here: live readers may still hold plans
+    // over the old version (the reference pins files via scan handles,
+    // table_provider.rs:244-256). vacuum() reclaims them.
+    true
+  }
+
+  /** Physically delete data/DV files no longer referenced by the
+   *  current manifest (snapshot-isolation GC; ≈ Delta VACUUM / Iceberg
+   *  expire_snapshots). Call when no reader holds an older version. */
+  def vacuum(): Int = synchronized {
+    val liveData = fileEntries.keySet
+    val liveDv = dvFiles.toSet
+    val liveIdx = indexFiles.map(_.path).toSet
+    var n = 0
+    Fio.list(s"$root/data").filterNot(liveData).foreach { f =>
+      Fio.delete(s"$root/data/$f"); n += 1
+    }
+    Fio.list(s"$root/dv").filterNot(liveDv).foreach { f =>
+      Fio.delete(s"$root/dv/$f"); n += 1
+    }
+    Fio.list(s"$root/index").filterNot(liveIdx).foreach { f =>
+      Fio.delete(s"$root/index/$f"); n += 1
+    }
+    n
+  }
+
+  /** Index merge (M11): consolidate index files without touching data
+   *  (reference `mooncake_table.rs:1369`, `index_merge_config.rs`). */
+  def mergeIndexes(): Boolean = synchronized {
+    if (identity == Identity.None || indexFiles.size < 2) return false
+    rebuildIndexExcluding(Set.empty, Seq.empty)
+    publish()
+    true
+  }
+
+  /** Rebuild the index over (survivors - victims) + additions as one
+   *  consolidated file; drops stale entries for compacted-away files. */
+  private def rebuildIndexExcluding(victims: Set[String],
+      additions: Seq[String]): Unit = {
+    if (identity == Identity.None) return
+    val covered = (fileEntries.keys.toSeq.filterNot(victims) ++ additions).distinct
+    indexFiles.clear()
+    if (covered.nonEmpty) {
+      Fio.mkdirs(s"$root/index")
+      indexFiles += buildIndex(s"$root/data", covered, s"$root/index")
+    }
+    // old index files reclaimed by vacuum()
+  }
+
+  private def rewriteDvFiles(): Unit = {
+    dvFiles.clear()
+    val pairs = dvMap.iterator
+      .flatMap { case (f, bm) => bm.toArray.map(p => (f, p)) }.toSeq
+    if (pairs.nonEmpty) {
+      Fio.mkdirs(s"$root/dv")
+      val name = f"dv-${newId()}%09d.parquet"
+      writeDvFile(pairs, name)
+      dvFiles += name
+    }
+    // old dv files reclaimed by vacuum()
+  }
+
+  /** Force flush + compaction + index merge (M15 ForceFullMaintenance,
+   *  reference `table_handler.rs:239-320`). */
+  def optimize(): Unit = synchronized {
+    flush(); compact(force = true); mergeIndexes(); publish()
+  }
+
+  /** Drop columns (M14, `mooncake_table.rs:616` — the only schema
+   *  evolution the reference supports). Data files keep the column on
+   *  disk; reads project it away. */
+  def alterDropColumns(cols: Seq[String]): Unit = synchronized {
+    require(cols.forall(c => !keyCols.contains(c)), "cannot drop key columns")
+    val keepIdx = schemaVar.fields.zipWithIndex
+      .collect { case (f, i) if !cols.contains(f.name) => i }.toSeq
+    schemaVar = StructType(keepIdx.map(schemaVar.fields))
+    keyIdx = keyCols.map(schemaVar.fieldIndex)
+    // project buffered rows (mem slice + staged xact buffers) in place
+    def reproject(trs: mutable.ArrayBuffer[TailRow]): Unit =
+      trs.mapInPlace { tr =>
+        val ntr = new TailRow(Row.fromSeq(keepIdx.map(tr.row.get)), tr.lsn)
+        ntr.deletedLsn = tr.deletedLsn
+        ntr
+      }
+    reproject(tail)
+    tailIndex.clear()
+    tail.foreach(tr => if (tr.live) tailIndex(keyOf(tr.row)) = tr)
+    xacts.values.foreach { x =>
+      reproject(x.buffer)
+      x.index.clear()
+      x.buffer.foreach(tr => if (tr.live) x.index(keyOf(tr.row)) = tr)
+    }
+    publish()
+  }
+
+  /** Bulk parquet load (S7): adopt existing parquet files as table data
+   *  without rewriting; index built unless append-only (reference
+   *  `batch_ingestion.rs:71,166`). */
+  def loadFiles(files: Seq[String], lsn: Long): Unit = synchronized {
+    Fio.mkdirs(s"$root/data")
+    val entries = files.map { src =>
+      val name = f"data-${newId()}%09d.parquet"
+      val rows = spark.read.parquet(src).count()
+      Fio.move(src, s"$root/data/$name")
+      DataFileEntry(name, rows, Fio.sizeOf(s"$root/data/$name"), lsn)
+    }
+    entries.foreach(e => fileEntries(e.path) = e)
+    if (identity != Identity.None) {
+      Fio.mkdirs(s"$root/index")
+      indexFiles += buildIndex(s"$root/data", entries.map(_.path), s"$root/index")
+    }
+    commitLsnVar = math.max(commitLsnVar, lsn)
+    flushLsnVar = math.max(flushLsnVar, lsn)
+    publish()
+  }
+
+  /** Drop table (M13, reference `table_handler.rs:158-185`). */
+  def drop(): Unit = synchronized { Fio.delete(root) }
+
+  private def dvSchema = StructType(Seq(
+    StructField("file", StringType), StructField("pos", LongType)))
+}
+
+object GraftTable {
+  /** Value-semantics wrapper for key column values — the mem-index key
+   *  (reference `MemIndex`, `mem_index.rs:38`). */
+  final case class KeyVal(values: Seq[Any])
+
+  def create(spark: SparkSession, root: String, schema: StructType,
+      identity: Identity, config: TableConfig = TableConfig()): GraftTable = {
+    require(!Fio.exists(s"$root/manifest"), s"table already exists at $root")
+    Fio.mkdirs(s"$root/data"); Fio.mkdirs(s"$root/manifest")
+    val keyCols = Identity.keyColumns(identity, schema.fieldNames.toSeq)
+    keyCols.foreach(c =>
+      require(schema.fieldNames.contains(c), s"no such key column: $c"))
+    val m = Manifest.empty(schema, keyCols)
+    ManifestLog.commit(root, m)
+    new GraftTable(spark, root, m, identity, config)
+  }
+
+  /** Open from durable state: manifest is the source of truth; WAL
+   *  events past the manifest's commit LSN are replayed (M12; reference
+   *  recovery `moonlink_backend/src/recovery_utils.rs`). */
+  def open(spark: SparkSession, root: String, identity: Identity,
+      config: TableConfig = TableConfig()): GraftTable = {
+    val m = ManifestLog.loadLatest(root)
+      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
+    val t = new GraftTable(spark, root, m, identity, config)
+    t.loadDvState()
+    // staged (pre-commit) xact files are rebuilt from the WAL; stale
+    // staging from a crash is garbage
+    Fio.delete(s"$root/staged")
+    if (config.walEnabled) {
+      val kf = identity match {
+        case Identity.FullRow => m.schema.fields.toSeq
+        case _ => m.keyCols.map(c => m.schema.fields(m.schema.fieldIndex(c)))
+      }
+      // replay from the flush LSN: anything beyond it exists only in the
+      // WAL; replays below it are idempotent (DV dedup, tail rebuild)
+      val events = Wal.replay(root, m.schema, m.flushLsn).map {
+        case d: Delete => d.copy(key = Wal.coerceKey(d.key, kf))
+        case e => e
+      }
+      if (events.nonEmpty) t.applyInternal(events)
+    }
+    t
+  }
+
+  private[table] def anyOrdering(dt: DataType): Ordering[Any] = dt match {
+    case _: IntegerType => Ordering.Int.on[Any](_.asInstanceOf[Int])
+    case _: LongType => Ordering.Long.on[Any](_.asInstanceOf[Long])
+    case _: ShortType => Ordering.Short.on[Any](_.asInstanceOf[Short])
+    case _: DoubleType => Ordering.Double.TotalOrdering.on[Any](_.asInstanceOf[Double])
+    case _: FloatType => Ordering.Float.TotalOrdering.on[Any](_.asInstanceOf[Float])
+    case _: StringType => Ordering.String.on[Any](_.toString)
+    case _: DateType => Ordering.Long.on[Any](_.asInstanceOf[java.sql.Date].getTime)
+    case _: TimestampType => Ordering.Long.on[Any](_.asInstanceOf[java.sql.Timestamp].getTime)
+    case _: BooleanType => Ordering.Boolean.on[Any](_.asInstanceOf[Boolean])
+    case other => throw new IllegalArgumentException(s"no ordering for $other")
+  }
+
+  private[table] def statsComparable(dt: DataType): Boolean = dt match {
+    case _: IntegerType | _: LongType | _: ShortType | _: DoubleType |
+         _: FloatType | _: StringType | _: DateType | _: TimestampType |
+         _: BooleanType => true
+    case _ => false
+  }
+
+  private[table] def parseStat(dt: DataType, s: String): Any = dt match {
+    case _: IntegerType => s.toInt
+    case _: LongType => s.toLong
+    case _: ShortType => s.toShort
+    case _: DoubleType => s.toDouble
+    case _: FloatType => s.toFloat
+    case _: StringType => s
+    case _: DateType => java.sql.Date.valueOf(s)
+    case _: TimestampType => java.sql.Timestamp.valueOf(s)
+    case _: BooleanType => s.toBoolean
+    case other => throw new IllegalArgumentException(s"no parse for $other")
+  }
+}

@@ -1,0 +1,94 @@
+package graft.tools
+
+import graft.model._
+import graft.table._
+import org.apache.spark.sql.{Row, SparkSession}
+
+/**
+ * End-to-end demo of the ingestion engine through its public API:
+ * create table -> JSON ingest -> upsert/delete -> streaming txn ->
+ * crash recovery -> compaction -> SQL over the live view.
+ *
+ * Run: sbt "runMain graft.tools.Demo"
+ */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val wh = java.nio.file.Files.createTempDirectory("graft-demo").toString
+    val catalog = GraftCatalog(spark, wh)
+
+    // the reference README's own example table (README.md:136-153)
+    val schema = SchemaDsl.struct(
+      "id" -> "int32", "name" -> "string", "email" -> "string",
+      "age" -> "int32", "created_at" -> "date32")
+    val users = catalog.createTable("users", schema, Identity.Keys(Seq("id")),
+      TableConfig(memSliceSize = 4)) // tiny slice to force real flushes
+
+    // 1. REST-shaped JSON ingest (S3)
+    val jsonRows = Seq(
+      """{"id":1,"name":"alice","email":"a@x.com","age":30,"created_at":"2024-01-01"}""",
+      """{"id":2,"name":"bob","email":"b@x.com","age":25,"created_at":"2024-02-01"}""",
+      """{"id":3,"name":"carol","email":"c@x.com","age":41,"created_at":"2024-03-01"}""",
+      """{"id":4,"name":"dave","email":"d@x.com","age":35,"created_at":"2024-04-01"}""",
+      """{"id":5,"name":"erin","email":"e@x.com","age":28,"created_at":"2024-05-01"}""")
+    users.insertAll(jsonRows.map(JsonIngest.parse(schema, _)), startLsn = 1)
+    println(s"[1] inserted 5 rows; commitLsn=${users.commitLsn} flushLsn=${users.flushLsn}")
+    println(s"    data files: ${users.currentManifest.dataFiles.map(e => s"${e.path}(${e.rows}r)").mkString(", ")}")
+
+    // 2. upsert (update flushed row) + delete
+    users.upsertAll(Seq(JsonIngest.parse(schema,
+      """{"id":2,"name":"bob2","email":"b2@x.com","age":26,"created_at":"2024-02-01"}""")), 10)
+    users.apply(Seq(Delete(Seq(3), 20), Commit(21)))
+    println(s"[2] upserted id=2, deleted id=3; DV'd rows=${users.currentManifest.dataFiles.map(_.deletes).sum}")
+
+    // 3. streaming transaction: one committed, one aborted after staged flush
+    users.apply(Seq(
+      Append(JsonIngest.parse(schema, """{"id":100,"name":"xact-keep","email":"k@x.com","age":50,"created_at":"2024-06-01"}"""), 30, Some(7L)),
+      Append(JsonIngest.parse(schema, """{"id":200,"name":"xact-drop1","email":"d@x.com","age":51,"created_at":"2024-06-01"}"""), 31, Some(8L)),
+      Append(JsonIngest.parse(schema, """{"id":201,"name":"xact-drop2","email":"d@x.com","age":52,"created_at":"2024-06-01"}"""), 32, Some(8L)),
+      Append(JsonIngest.parse(schema, """{"id":202,"name":"xact-drop3","email":"d@x.com","age":53,"created_at":"2024-06-01"}"""), 33, Some(8L)),
+      Append(JsonIngest.parse(schema, """{"id":203,"name":"xact-drop4","email":"d@x.com","age":54,"created_at":"2024-06-01"}"""), 34, Some(8L)),
+      Commit(40, Some(7L)),
+      StreamAbort(8L)))
+    println(s"[3] streaming txn: xact 7 committed, xact 8 aborted (had staged flush)")
+
+    // 4. crash recovery: reopen from disk (manifest + WAL replay)
+    val reopened = GraftTable.open(spark, s"$wh/users", Identity.Keys(Seq("id")),
+      TableConfig(memSliceSize = 4))
+    println(s"[4] reopened: commitLsn=${reopened.commitLsn} rows=${reopened.read().count()}")
+
+    // 5. LSN-gated read + SQL over the live view
+    val df = reopened.read(Some(40))
+    df.createOrReplaceTempView("users")
+    println("[5] SELECT id, name, age FROM users ORDER BY id")
+    spark.sql("SELECT id, name, age FROM users ORDER BY id").show()
+
+    // 6. compaction (force full maintenance); the pre-compaction view
+    // keeps working (snapshot isolation), then vacuum reclaims files
+    val filesBefore = reopened.currentManifest.dataFiles.size
+    reopened.optimize()
+    val m = reopened.currentManifest
+    println(s"[6] optimize: $filesBefore files -> ${m.dataFiles.size}; deletes now=${m.dataFiles.map(_.deletes).sum}")
+    println("    pre-compaction snapshot still readable:")
+    spark.sql("SELECT count(*) AS n, sum(age) AS sum_age FROM users WHERE age > 25").show()
+    reopened.read().createOrReplaceTempView("users")
+    println("    post-compaction view:")
+    spark.sql("SELECT count(*) AS n, sum(age) AS sum_age FROM users WHERE age > 25").show()
+    println(s"    vacuum reclaimed ${reopened.vacuum()} unreferenced files")
+
+    // 7. read gating beyond commit LSN must fail
+    try { reopened.read(Some(10000)); println("[7] ERROR: gate did not trip") }
+    catch { case e: IllegalStateException => println(s"[7] read gate OK: ${e.getMessage}") }
+
+    graft.format.Fio.delete(wh)
+    spark.stop()
+  }
+}

@@ -1,0 +1,248 @@
+package graft
+
+import graft.model._
+import graft.table._
+import org.apache.spark.sql.{Row, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Scenario tests mirroring the reference's table-handler integration
+ *  suite (`src/moonlink/src/table_handler/tests.rs:33-2107`). */
+class GraftTableSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-test").toString
+
+  // the README's own example table (reference README.md:136-153)
+  private val userSchema = SchemaDsl.struct(
+    "id" -> "int32", "name" -> "string", "email" -> "string",
+    "age" -> "int32")
+
+  private def user(id: Int, name: String, age: Int): Row =
+    Row(id, name, s"$name@x.com", age)
+
+  private def mkTable(cfg: TableConfig = TableConfig()): GraftTable =
+    GraftTable.create(spark, tmpDir() + "/users", userSchema,
+      Identity.Keys(Seq("id")), cfg)
+
+  private def stateOf(t: GraftTable): Map[Int, (String, Int)] =
+    t.read().collect().map(r => r.getInt(0) -> (r.getString(1), r.getInt(3))).toMap
+
+  test("insert then read") {
+    val t = mkTable()
+    t.insertAll(Seq(user(1, "a", 20), user(2, "b", 30)), startLsn = 1)
+    assert(stateOf(t) == Map(1 -> ("a", 20), 2 -> ("b", 30)))
+    t.drop()
+  }
+
+  test("upsert replaces an in-memory row") {
+    val t = mkTable()
+    t.insertAll(Seq(user(1, "a", 20)), 1)
+    t.upsertAll(Seq(user(1, "a2", 21)), 10)
+    assert(stateOf(t) == Map(1 -> ("a2", 21)))
+    t.drop()
+  }
+
+  test("delete a flushed row via the key index (the core hard case)") {
+    // cf. test_stream_delete_from_main_disk_row, tests.rs:477
+    val t = mkTable(TableConfig(memSliceSize = 2, walEnabled = false))
+    t.insertAll(Seq(user(1, "a", 20), user(2, "b", 30), user(3, "c", 40)), 1)
+    assert(t.currentManifest.dataFiles.nonEmpty, "expected a flush")
+    t.apply(Seq(Delete(Seq(2), 10), Commit(11)))
+    assert(stateOf(t) == Map(1 -> ("a", 20), 3 -> ("c", 40)))
+    assert(t.currentManifest.dataFiles.map(_.deletes).sum == 1)
+    t.drop()
+  }
+
+  test("upsert a flushed row = DV old + append new") {
+    val t = mkTable(TableConfig(memSliceSize = 2, walEnabled = false))
+    t.insertAll(Seq(user(1, "a", 20), user(2, "b", 30)), 1)
+    t.upsertAll(Seq(user(1, "a9", 99)), 10)
+    assert(stateOf(t) == Map(1 -> ("a9", 99), 2 -> ("b", 30)))
+    t.drop()
+  }
+
+  test("uncommitted rows are invisible; commit publishes them") {
+    val t = mkTable()
+    t.apply(Seq(Append(user(1, "a", 20), 1)))
+    assert(t.read().count() == 0)
+    t.apply(Seq(Commit(2)))
+    assert(t.read().count() == 1)
+    t.drop()
+  }
+
+  test("LSN read gating") {
+    val t = mkTable()
+    t.insertAll(Seq(user(1, "a", 20)), 1)
+    assertThrows[IllegalStateException](t.read(Some(1000)))
+    assert(t.read(Some(1)).count() == 1)
+    t.drop()
+  }
+
+  test("streaming transaction: commit applies, abort discards") {
+    val t = mkTable()
+    // interleaved: main insert + xact insert, then abort one xact
+    t.apply(Seq(
+      Append(user(1, "main", 10), 1),
+      Append(user(100, "x1", 50), 2, Some(7L)),
+      Append(user(101, "x2", 60), 3, Some(8L)),
+      Commit(4),
+      Commit(5, Some(7L)),
+      StreamAbort(8L)))
+    assert(stateOf(t) == Map(1 -> ("main", 10), 100 -> ("x1", 50)))
+    t.drop()
+  }
+
+  test("streaming transaction abort discards already-flushed staged files") {
+    // cf. test_streaming_abort, tests.rs:212
+    val t = mkTable(TableConfig(memSliceSize = 2, walEnabled = false))
+    t.apply(Seq(
+      Append(user(1, "x", 1), 1, Some(5L)),
+      Append(user(2, "x", 2), 2, Some(5L)),  // staged flush triggers here
+      Append(user(3, "x", 3), 3, Some(5L)),
+      StreamAbort(5L)))
+    assert(t.read().count() == 0)
+    assert(t.currentManifest.dataFiles.isEmpty)
+    t.drop()
+  }
+
+  test("streaming transaction commit with staged files + delete inside txn") {
+    val t = mkTable(TableConfig(memSliceSize = 2, walEnabled = false))
+    t.insertAll(Seq(user(50, "old", 5)), 1)
+    t.apply(Seq(
+      Append(user(10, "s1", 1), 10, Some(9L)),
+      Append(user(11, "s2", 2), 11, Some(9L)),  // staged flush
+      Delete(Seq(50), 12, Some(9L)),            // deletes a main-table row
+      Append(user(12, "s3", 3), 13, Some(9L)),
+      Commit(20, Some(9L))))
+    assert(stateOf(t).keySet == Set(10, 11, 12))
+    t.drop()
+  }
+
+  test("upsert within streaming txn does not delete its replacement") {
+    val t = mkTable(TableConfig(walEnabled = false))
+    t.insertAll(Seq(user(1, "old", 1)), 1)
+    // delete(1)+append(1) inside a txn: pending delete must resolve
+    // against the pre-txn row, not the newly appended one
+    t.apply(
+      CdcEvent.upsert(user(1, "new", 2), Seq(1), 10, Some(3L)) :+ Commit(11, Some(3L)))
+    assert(stateOf(t) == Map(1 -> ("new", 2)))
+    t.drop()
+  }
+
+  test("compaction rewrites heavily-deleted files and preserves results") {
+    val cfg = TableConfig(memSliceSize = 4, walEnabled = false,
+      compactDeleteRatio = 0.4, compactSmallFileRows = 0)
+    val t = mkTable(cfg)
+    t.insertAll((1 to 12).map(i => user(i, s"u$i", i)), 1)
+    t.apply((1 to 6).map(i => Delete(Seq(i), 100L + i): CdcEvent) :+ Commit(110))
+    val before = stateOf(t)
+    assert(before.keySet == (7 to 12).toSet)
+    val ran = t.compact()
+    assert(ran, "compaction should trigger at 50% deletes")
+    assert(stateOf(t) == before)
+    assert(t.currentManifest.dataFiles.forall(_.deletes == 0))
+    // deletes resolved after compaction still work (index rebuilt)
+    t.apply(Seq(Delete(Seq(7), 200), Commit(201)))
+    assert(stateOf(t).keySet == (8 to 12).toSet)
+    t.drop()
+  }
+
+  test("WAL recovery: committed-but-unflushed rows survive reopen") {
+    val root = tmpDir() + "/t"
+    val cfg = TableConfig(walEnabled = true)
+    val t = GraftTable.create(spark, root, userSchema, Identity.Keys(Seq("id")), cfg)
+    t.insertAll(Seq(user(1, "a", 20), user(2, "b", 30)), 1)
+    assert(t.currentManifest.dataFiles.isEmpty, "nothing flushed yet")
+    // simulate crash: reopen from disk
+    val t2 = GraftTable.open(spark, root, Identity.Keys(Seq("id")), cfg)
+    assert(stateOf(t2) == Map(1 -> ("a", 20), 2 -> ("b", 30)))
+    // continue ingesting after recovery
+    t2.upsertAll(Seq(user(1, "a2", 21)), 50)
+    assert(stateOf(t2) == Map(1 -> ("a2", 21), 2 -> ("b", 30)))
+    t2.drop()
+  }
+
+  test("WAL recovery: flushed data not duplicated, in-flight deletes replay") {
+    val root = tmpDir() + "/t"
+    val cfg = TableConfig(memSliceSize = 2, walEnabled = true)
+    val t = GraftTable.create(spark, root, userSchema, Identity.Keys(Seq("id")), cfg)
+    t.insertAll(Seq(user(1, "a", 20), user(2, "b", 30), user(3, "c", 40)), 1)
+    t.apply(Seq(Delete(Seq(2), 10), Commit(11)))
+    val expect = stateOf(t)
+    val t2 = GraftTable.open(spark, root, Identity.Keys(Seq("id")), cfg)
+    assert(stateOf(t2) == expect)
+    t2.drop()
+  }
+
+  test("append-only table rejects deletes") {
+    val t = GraftTable.create(spark, tmpDir() + "/ao", userSchema,
+      Identity.None, TableConfig(walEnabled = false))
+    t.insertAll(Seq(user(1, "a", 20)), 1)
+    assertThrows[IllegalArgumentException](
+      t.apply(Seq(Delete(Seq(1), 5), Commit(6))))
+    t.drop()
+  }
+
+  test("alter drop column projects it away") {
+    val t = mkTable(TableConfig(walEnabled = false))
+    t.insertAll(Seq(user(1, "a", 20)), 1)
+    t.alterDropColumns(Seq("email"))
+    assert(t.read().columns.toSeq == Seq("id", "name", "age"))
+    // new ingests use the narrowed schema
+    t.insertAll(Seq(Row(2, "b", 30)), 10)
+    assert(t.read().count() == 2)
+    t.drop()
+  }
+
+  test("bulk parquet load registers files without rewrite") {
+    val dir = tmpDir()
+    val src = s"$dir/bulk.parquet"
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      Seq(user(1, "a", 20), user(2, "b", 30)).asJava, userSchema)
+      .coalesce(1).write.parquet(s"$dir/stage")
+    val part = new java.io.File(s"$dir/stage").listFiles()
+      .map(_.getName).find(_.endsWith(".parquet")).get
+    graft.format.Fio.move(s"$dir/stage/$part", src)
+    val t = GraftTable.create(spark, s"$dir/t", userSchema,
+      Identity.Keys(Seq("id")), TableConfig(walEnabled = false))
+    t.loadFiles(Seq(src), lsn = 5)
+    assert(stateOf(t) == Map(1 -> ("a", 20), 2 -> ("b", 30)))
+    // loaded rows are deletable (index was built)
+    t.apply(Seq(Delete(Seq(1), 10), Commit(11)))
+    assert(stateOf(t).keySet == Set(2))
+    t.drop()
+  }
+
+  test("manifest stats prune files") {
+    val t = mkTable(TableConfig(memSliceSize = 2, walEnabled = false))
+    t.insertAll(Seq(user(1, "a", 10), user(2, "b", 11)), 1)   // file 1
+    t.insertAll(Seq(user(3, "c", 90), user(4, "d", 91)), 10)  // file 2
+    val pruned = t.prunedRead("age", Some(80), None)
+    assert(pruned.count() == 2)
+    assert(pruned.inputFiles.length == 1, "one file pruned away")
+    t.drop()
+  }
+
+  test("LSN-consistent snapshot: flushLsn <= commitLsn invariants") {
+    // cf. test_flush_lsn_ordering, tests.rs:1197
+    val t = mkTable(TableConfig(memSliceSize = 2, walEnabled = false))
+    t.insertAll((1 to 5).map(i => user(i, s"u$i", i)), 1)
+    assert(t.flushLsn <= t.commitLsn)
+    assert(t.read(Some(t.commitLsn)).count() == 5)
+    t.drop()
+  }
+}
