@@ -1,13 +1,696 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.model._
+import graft.operators._
+import graft.table._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Driver contract: one `queries` entry per implemented operator from
+ * SURVEY.md §2, each with an equivalent DuckDB oracle in `oracleSql`.
+ *
+ * Conventions for engine-exact oracle parity:
+ *  - money/quantity sums in integer cents: CAST(ROUND(x*100) AS BIGINT);
+ *  - ratios in integer milli/micro units (floor or round, documented);
+ *  - DuckDB sums of BIGINT are HUGEINT -> always CAST back to BIGINT;
+ *  - timestamps compared as epoch microseconds (testdata has no
+ *    sub-microsecond components);
+ *  - every result deterministically ordered by a unique key.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: full CDC upsert pipeline on sf0.001 (driver smoke test). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    cdcUpsert(spark, "/root/testdata/sf0.001")
+
+  // =====================================================================
+  // helpers
+  // =====================================================================
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark 4 rejects on
+   *  schema inference; read with an explicit schema mapping ts to raw
+   *  nanosecond longs (session-config-independent). DuckDB truncates
+   *  the same column to microseconds, so comparisons use `ts DIV 1000`
+   *  vs `epoch_us(ts)` — integer arithmetic only (the values exceed
+   *  double's 53-bit mantissa). */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.read.schema(sch).parquet(s"$dir/events.parquet")
+  }
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100).cast("long")
+
+  private val eventTableSchema = SchemaDsl.struct(
+    "user_id" -> "int64", "event_id" -> "int64",
+    "event_type" -> "string", "value" -> "float64")
+
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-$tag").toString + "/t"
+
+  /** events.parquet rows ordered by event_id, as (userId, eventId, type, value) */
+  private def orderedEvents(spark: SparkSession, dir: String): Array[Row] =
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      .orderBy("event_id").collect()
+
+  private def ingestCfg = TableConfig(memSliceSize = 4096, walEnabled = false)
+
+  /** Apply the events stream as CDC upserts (LSN = event_id) through a
+   *  real GraftTable: mem-slice flushes, key-index delete resolution,
+   *  DVs, manifest commits — then the union read. `deleteType` rows
+   *  become CDC deletes of that user instead. */
+  private def runCdc(spark: SparkSession, dir: String,
+      deleteType: Option[String], compactAfter: Boolean = false,
+      cfg: TableConfig = ingestCfg): GraftTable = {
+    val table = GraftTable.create(spark, freshDir("cdc"), eventTableSchema,
+      Identity.Keys(Seq("user_id")), cfg)
+    val evs = orderedEvents(spark, dir).iterator.flatMap { r =>
+      val lsn = r.getLong(1)
+      if (deleteType.contains(r.getString(2)))
+        Seq(Delete(Seq(r.getLong(0)), lsn, ifExists = true))
+      else
+        CdcEvent.upsert(
+          Row(r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)),
+          Seq(r.getLong(0)), lsn)
+    }.toSeq
+    // commit per txn-sized group, like the reference's per-transaction
+    // commit boundaries (each apply = one micro-batch)
+    evs.grouped(4000).foreach { g =>
+      table.apply(g :+ Commit(g.map(_.lsn).max))
+    }
+    if (compactAfter) { table.optimize(); table.vacuum() }
+    table
+  }
+
+  private def cdcUpsert(spark: SparkSession, dir: String): DataFrame =
+    runCdc(spark, dir, deleteType = None).read(None)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"), cents(col("value")).as("value_cents"))
+      .orderBy("user_id")
+
+  /** latest state per user via window — the SQL shape of upsert */
+  private val cdcUpsertOracle =
+    """SELECT user_id,
+       |       event_id AS last_event_id,
+       |       event_type AS last_event_type,
+       |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
+       |FROM events
+       |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+       |ORDER BY user_id""".stripMargin
+
+  private def cdcDeleteFinal(spark: SparkSession, dir: String,
+      compact: Boolean): DataFrame =
+    runCdc(spark, dir, deleteType = Some("purchase"), compactAfter = compact)
+      .read(None)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        cents(col("value")).as("value_cents"))
+      .orderBy("user_id")
+
+  private val cdcDeleteOracle =
+    """WITH last AS (
+       |  SELECT user_id, event_id, event_type, value
+       |  FROM events
+       |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)
+       |SELECT user_id, event_id AS last_event_id,
+       |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
+       |FROM last WHERE event_type <> 'purchase'
+       |ORDER BY user_id""".stripMargin
+
+  // =====================================================================
+  // the registry
+  // =====================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- relational layer over our scan (Catalyst; SURVEY §2.3) -------
+
+    "q1_pricing_summary" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .where(to_date(col("l_shipdate")) <= lit("1998-09-01"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          cents(sum(col("l_quantity"))).as("sum_qty_cents"),
+          cents(sum(col("l_extendedprice"))).as("sum_base_cents"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q3_top_unshipped" -> ((s, d) => {
+      val c = t(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
+      val o = t(s, d, "orders").where(to_date(col("o_orderdate")) < lit("1998-01-01"))
+      val l = t(s, d, "lineitem").where(to_date(col("l_shipdate")) > lit("1998-01-01"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"))
+        .agg(cents(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    "q5_nation_revenue" -> ((s, d) => {
+      val r = t(s, d, "region")
+      val n = t(s, d, "nation")
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      val l = t(s, d, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(cents(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue_cents"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }),
+
+    "q6_revenue_delta" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .where(to_date(col("l_shipdate")) >= lit("1996-01-01") &&
+          to_date(col("l_shipdate")) < lit("1997-01-01") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(cents(sum(col("l_extendedprice") * col("l_discount")))
+          .as("revenue_cents"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    "q_semi_join" -> ((s, d) => {
+      // customers WITH at least one order (left semi), per segment
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment")
+    }),
+
+    "q_anti_join" -> ((s, d) => {
+      // customers WITHOUT orders (left anti)
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    }),
+
+    "q_window_top_order" -> ((s, d) => {
+      // each customer's highest-value order (rank over window)
+      val o = t(s, d, "orders")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      o.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"),
+          cents(col("o_totalprice")).as("price_cents"))
+        .orderBy("o_custkey")
+    }),
+
+    "q_window_running" -> ((s, d) => {
+      // running order-count + value per customer over time
+      val o = t(s, d, "orders")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      o.select(col("o_custkey"), col("o_orderkey"),
+          count(lit(1)).over(w).as("running_n"),
+          cents(sum(col("o_totalprice")).over(w)).as("running_cents"))
+        .where(col("o_custkey") % 10 === 0)
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "q_rollup" -> ((s, d) => {
+      val n = t(s, d, "nation")
+      val c = t(s, d, "customer")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .rollup(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), cents(sum(col("c_acctbal"))).as("bal_cents"))
+        .select(coalesce(col("n_name"), lit("ALL")).as("n_name"),
+          coalesce(col("c_mktsegment"), lit("ALL")).as("c_mktsegment"),
+          col("n"), col("bal_cents"))
+        .orderBy("n_name", "c_mktsegment")
+    }),
+
+    "q_setops" -> ((s, d) => {
+      // customers ordering in 1995 but NOT in 1996 (EXCEPT), plus the
+      // intersection count as a second branch via union of two marked sets
+      val o = t(s, d, "orders")
+      val y95 = o.where(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+      val y96 = o.where(year(col("o_orderdate")) === 1996).select(col("o_custkey"))
+      val exc = y95.except(y96).withColumn("which", lit("only95"))
+      val inter = y95.intersect(y96).withColumn("which", lit("both"))
+      exc.unionByName(inter)
+        .groupBy(col("which")).agg(count(lit(1)).as("n_customers"))
+        .orderBy("which")
+    }),
+
+    "q_distinct_agg" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+
+    "q_scalar_funcs" -> ((s, d) => {
+      // scalar-function surface: dates, strings, conditionals, math
+      t(s, d, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("o_year"),
+          month(col("o_orderdate")).cast("long").as("o_month"),
+          upper(substring(col("o_orderpriority"), 1, 1)).as("prio_initial"),
+          concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("status_prio"),
+          when(col("o_totalprice") > 200000, lit("big"))
+            .when(col("o_totalprice") > 100000, lit("mid"))
+            .otherwise(lit("small")).as("bucket"),
+          (col("o_orderkey") % 7).cast("long").as("key_mod"),
+          length(col("o_orderpriority")).cast("long").as("prio_len"))
+        .orderBy("o_orderkey").limit(500)
+    }),
+
+    "q_topk" -> ((s, d) => {
+      t(s, d, "orders")
+        .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"))
+        .orderBy(col("price_cents").desc, col("o_orderkey").asc)
+        .limit(20)
+    }),
+
+    // ---- events / streaming-style analytics ---------------------------
+
+    "ev_hourly_agg" -> ((s, d) => {
+      // tumbling 1h event-time window per type (streaming-equivalent agg)
+      events(s, d)
+        .groupBy(expr("ts DIV 3600000000000 * 3600000000").as("hour_us"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), cents(sum(col("value"))).as("value_cents"))
+        .orderBy("hour_us", "event_type")
+    }),
+
+    "ev_sessionize" -> ((s, d) => {
+      // gap-based sessionization (30 min): session count + events/user
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      events(s, d)
+        .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("us"))
+        .withColumn("prev_us", lag(col("us"), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_s")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"))
+        .agg(max(col("session_id")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    "ev_user_stats" -> ((s, d) => {
+      events(s, d)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("event_type")).as("n_types"),
+          expr("min(ts) DIV 1000").as("first_us"),
+          expr("max(ts) DIV 1000").as("last_us"),
+          cents(sum(col("value"))).as("value_cents"))
+        .orderBy("user_id")
+    }),
+
+    // ---- the ingestion engine itself (S1-S11, M1-M10) -----------------
+
+    "cdc_upsert_state" -> ((s, d) => cdcUpsert(s, d)),
+
+    "cdc_delete_state" -> ((s, d) => cdcDeleteFinal(s, d, compact = false)),
+
+    "cdc_compact_state" -> ((s, d) => cdcDeleteFinal(s, d, compact = true)),
+
+    "cdc_append_scan" -> ((s, d) => {
+      // append-only table: bulk events through the table then aggregate
+      val table = GraftTable.create(s, freshDir("ao"), eventTableSchema,
+        Identity.None, TableConfig(memSliceSize = 8192, walEnabled = false))
+      val rows = orderedEvents(s, d).map(r =>
+        Row(r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      table.insertAll(rows.toSeq, startLsn = 1)
+      table.read(None)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), cents(sum(col("value"))).as("value_cents"))
+        .orderBy("event_type")
+    }),
+
+    "cdc_union_read" -> ((s, d) => {
+      // huge mem slice: half the stream flushed manually, half served
+      // from the in-memory tail -> exercises the union read (S11)
+      val cfg = TableConfig(memSliceSize = Int.MaxValue, walEnabled = false)
+      val table = GraftTable.create(s, freshDir("ur"), eventTableSchema,
+        Identity.Keys(Seq("user_id")), cfg)
+      val evs = orderedEvents(s, d)
+      val (h1, h2) = evs.splitAt(evs.length / 2)
+      def toUpserts(rs: Array[Row]): Seq[CdcEvent] = rs.toSeq.flatMap { r =>
+        CdcEvent.upsert(Row(r.getLong(0), r.getLong(1), r.getString(2),
+          r.getDouble(3)), Seq(r.getLong(0)), r.getLong(1))
+      }
+      table.apply(toUpserts(h1) :+ Commit(h1.last.getLong(1)))
+      table.flush() // first half on disk
+      table.apply(toUpserts(h2) :+ Commit(h2.last.getLong(1)))
+      // second half stays in the tail (no flush): union read must see it
+      table.read(Some(h2.last.getLong(1)))
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"),
+          cents(col("value")).as("value_cents"))
+        .orderBy("user_id")
+    }),
+
+    // ---- text analysis (training-data ops) -----------------------------
+
+    "text_stats" -> ((s, d) => {
+      t(s, d, "documents").select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextOps.wordCount(col("text")).cast("long").as("n_words"),
+          TextOps.punctCount(col("text")).cast("long").as("n_punct"),
+          TextOps.qualityScore(col("text")).as("quality"),
+          TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    "text_langid" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), TextOps.langId(col("text")).as("lang_guess"))
+        .groupBy(col("lang_guess")).agg(count(lit(1)).as("n"))
+        .orderBy("lang_guess")
+    }),
+
+    "dedup_exact" -> ((s, d) => {
+      Dedup.exact(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("fp")
+    }),
+
+    "dedup_jaccard_pairs" -> ((s, d) => {
+      Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text",
+          blockCol = "source", n = 1, minMilli = 300)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "dedup_minhash_lsh" -> ((s, d) => {
+      // LSH path (no SQL oracle: xxhash64 signatures); deterministic
+      Dedup.minhashPairs(t(s, d, "documents"), "doc_id", "text",
+          shingleN = 2, numHashes = 64, bands = 16, minMilli = 200)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "dedup_simhash" -> ((s, d) => {
+      Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text",
+          maxHamming = 12, blockBits = 4)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- similarity search over embeddings -----------------------------
+
+    "ann_brute_topk" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(e, "vec_id", "embedding",
+          e.where(col("vec_id") < 8), "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    "ann_lsh_topk" -> ((s, d) => {
+      // approximate path (no SQL oracle; recall asserted in ScalaTest)
+      val e = t(s, d, "embeddings")
+      Similarity.lshTopK(e, "vec_id", "embedding",
+          e.where(col("vec_id") < 8), "vec_id", "embedding", k = 5, nbits = 8)
+        .orderBy("query_id", "rank")
+    }),
+
+    "embed_neardup" -> ((s, d) => {
+      Dedup.embeddingPairs(t(s, d, "embeddings"), "vec_id", "embedding",
+          blockCol = col("label"), minCosineMilli = 900)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- multimodal plumbing -------------------------------------------
+
+    "mm_features" -> ((s, d) => {
+      // binary media column fabricated from document bytes; batched
+      // partition-iterator feature extraction (stub codec)
+      val docs = t(s, d, "documents")
+        .select(col("doc_id").as("media_id"),
+          encode(col("text"), "UTF-8").as("media"))
+      Multimodal.featurize(docs, "media_id", "media", dim = 8)
+        .select(col("media_id"), col("n_bytes"), col("checksum"),
+          element_at(col("feature"), 1).cast("long").as("f0"))
+        .orderBy("media_id")
+    })
+  )
+
+  // =====================================================================
+  // DuckDB oracles (same parquet tables; ANSI SQL)
+  // =====================================================================
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(ROUND(SUM(l_quantity)*100) AS BIGINT) AS sum_qty_cents,
+        |       CAST(ROUND(SUM(l_extendedprice)*100) AS BIGINT) AS sum_base_cents,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-01'
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q3_top_unshipped" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+        |       CAST(ROUND(SUM(l_extendedprice*(1-l_discount))*100) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+        |  AND CAST(l_shipdate AS DATE) > DATE '1998-01-01'
+        |GROUP BY 1,2 ORDER BY revenue_cents DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q5_nation_revenue" ->
+      """SELECT n_name,
+        |       CAST(ROUND(SUM(l_extendedprice*(1-l_discount))*100) AS BIGINT) AS revenue_cents,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q6_revenue_delta" ->
+      """SELECT CAST(ROUND(SUM(l_extendedprice*l_discount)*100) AS BIGINT) AS revenue_cents,
+        |       count(*) AS n_rows
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_window_top_order" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_cents
+        |FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_totalprice DESC, o_orderkey ASC) = 1
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |       count(*) OVER w AS running_n,
+        |       CAST(ROUND(SUM(o_totalprice) OVER w * 100) AS BIGINT) AS running_cents
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |QUALIFY o_custkey % 10 = 0
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT COALESCE(n_name, 'ALL') AS n_name,
+        |       COALESCE(c_mktsegment, 'ALL') AS c_mktsegment,
+        |       count(*) AS n,
+        |       CAST(ROUND(SUM(c_acctbal)*100) AS BIGINT) AS bal_cents
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP(n_name, c_mktsegment)
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_setops" ->
+      """WITH y95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate)=1995),
+        |     y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate)=1996),
+        |     marked AS (
+        |       SELECT 'only95' AS which, o_custkey FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96)
+        |       UNION ALL
+        |       SELECT 'both' AS which, o_custkey FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96))
+        |SELECT which, count(*) AS n_customers FROM marked GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_distinct_agg" ->
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_orderkey) AS n_orders,
+        |       count(DISTINCT l_suppkey) AS n_supps,
+        |       count(*) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       CAST(month(o_orderdate) AS BIGINT) AS o_month,
+        |       upper(substr(o_orderpriority, 1, 1)) AS prio_initial,
+        |       o_orderstatus || '-' || o_orderpriority AS status_prio,
+        |       CASE WHEN o_totalprice > 200000 THEN 'big'
+        |            WHEN o_totalprice > 100000 THEN 'mid'
+        |            ELSE 'small' END AS bucket,
+        |       CAST(o_orderkey % 7 AS BIGINT) AS key_mod,
+        |       CAST(length(o_orderpriority) AS BIGINT) AS prio_len
+        |FROM orders ORDER BY o_orderkey LIMIT 500""".stripMargin,
+
+    "q_topk" ->
+      """SELECT o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_cents
+        |FROM orders ORDER BY price_cents DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+
+    "ev_hourly_agg" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+        |       count(*) AS n,
+        |       CAST(ROUND(SUM(value)*100) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "ev_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_us
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id,
+        |         SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM e)
+        |SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+        |       count(*) AS n_events
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ev_user_stats" ->
+      """SELECT user_id, count(*) AS n,
+        |       count(DISTINCT event_type) AS n_types,
+        |       epoch_us(MIN(ts)) AS first_us,
+        |       epoch_us(MAX(ts)) AS last_us,
+        |       CAST(ROUND(SUM(value)*100) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "cdc_upsert_state" -> cdcUpsertOracle,
+    "cdc_delete_state" -> cdcDeleteOracle,
+    "cdc_compact_state" -> cdcDeleteOracle,
+    "cdc_union_read" -> cdcUpsertOracle,
+
+    "cdc_append_scan" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(ROUND(SUM(value)*100) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "text_stats" ->
+      """SELECT doc_id,
+        |       CAST(len(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+        |       CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_words,
+        |       CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS n_punct,
+        |       GREATEST(0, LEAST(1000,
+        |         2 * len(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'), x -> x <> ''))
+        |         + 10 * ((length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) // 5
+        |              + (length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ''))) // 3
+        |              + (length(' '||text||' ') - length(replace(' '||text||' ', ' of ', ''))) // 4
+        |              + (length(' '||text||' ') - length(replace(' '||text||' ', ' to ', ''))) // 4
+        |              + (length(' '||text||' ') - length(replace(' '||text||' ', ' and ', ''))) // 5
+        |              + (length(' '||text||' ') - length(replace(' '||text||' ', ' in ', ''))) // 4
+        |              + (length(' '||text||' ') - length(replace(' '||text||' ', ' is ', ''))) // 4)
+        |         - 5 * length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+        |         + length(text) // 10)) AS quality,
+        |       md5(trim(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_langid" -> langIdOracle,
+
+    "dedup_exact" ->
+      """SELECT md5(trim(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')))) AS fp,
+        |       MIN(doc_id) AS keep_id, count(*) AS dup_count
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dedup_jaccard_pairs" ->
+      """WITH toks AS (
+        |  SELECT source, doc_id,
+        |         list_distinct(list_filter(
+        |           regexp_split_to_array(trim(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g'))), '[^a-zA-Z0-9]+'),
+        |           x -> x <> '')) AS sh
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(FLOOR(1000.0 * len(list_intersect(a.sh, b.sh)) /
+        |            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) AS BIGINT) AS jaccard_milli
+        |FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) > 0
+        |  AND CAST(FLOOR(1000.0 * len(list_intersect(a.sh, b.sh)) /
+        |            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) AS BIGINT) >= 300
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "ann_brute_topk" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         CAST(ROUND(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) * 1000000) AS BIGINT) AS cosine_micro
+        |  FROM embeddings c, q WHERE c.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id,
+        |       CAST(row_number() OVER (PARTITION BY query_id
+        |            ORDER BY cosine_micro DESC, neighbor_id ASC) AS BIGINT) AS rank,
+        |       cosine_micro
+        |FROM scored
+        |QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "embed_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       CAST(ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 1000) AS BIGINT) AS cosine_milli
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE CAST(ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 1000) AS BIGINT) >= 900
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "mm_features" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       CAST(list_sum(list_transform(string_split_regex(text, ''), c -> ascii(c))) AS BIGINT) AS checksum,
+        |       CAST(octet_length(encode(text)) % 251 AS BIGINT) AS f0
+        |FROM documents ORDER BY media_id""".stripMargin
+  )
+
+  /** lang-ID oracle: the same padded stopword-count argmax formula. */
+  private def langIdOracle: String = {
+    def occ(w: String) =
+      s"(length(' '||text||' ') - length(replace(' '||text||' ', ' $w ', ''))) // ${w.length + 2}"
+    def hits(ws: Seq[String]) = ws.map(occ).mkString("(", " + ", ")")
+    val en = hits(TextOps.EnStop); val de = hits(TextOps.DeStop)
+    val fr = hits(TextOps.FrStop); val es = hits(TextOps.EsStop)
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |    CASE WHEN GREATEST($en, $de, $fr, $es) = 0 THEN 'unknown'
+       |         WHEN $en = GREATEST($en, $de, $fr, $es) THEN 'en'
+       |         WHEN $de = GREATEST($en, $de, $fr, $es) THEN 'de'
+       |         WHEN $fr = GREATEST($en, $de, $fr, $es) THEN 'fr'
+       |         ELSE 'es' END AS lang_guess
+       |  FROM documents)
+       |SELECT lang_guess, count(*) AS n FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 }

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over embedding columns (`Array[Float]`), pure
+ * DataFrame plans:
+ *
+ *  - brute-force cosine top-k (the correctness baseline): broadcast the
+ *    query set, one scan of the corpus, per-query top-k;
+ *  - LSH-bucketed ANN (the scale path): deterministic random-hyperplane
+ *    signs bucket the corpus; queries probe their own bucket plus
+ *    Hamming-1 neighbors, so the scan touches a small fraction of the
+ *    corpus. Buckets are reusable as blocking keys for near-dup.
+ *
+ * All arithmetic is double-precision, left-to-right `aggregate` folds —
+ * chosen so an ANSI SQL oracle (list_cosine_similarity on DOUBLE[])
+ * reproduces results bit-for-bit.
+ */
+object Similarity {
+
+  /** elementwise dot product (codegen'd fold; no UDF) */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** cast a float array to double and L2-normalize (cosine becomes a
+   *  plain dot product afterwards) */
+  def unitVec(a: Column): Column = {
+    val d = transform(a, x => x.cast("double"))
+    val n = sqrt(aggregate(transform(d, x => x * x), lit(0.0), (acc, x) => acc + x))
+    transform(d, x => x / n)
+  }
+
+  /**
+   * Brute-force cosine top-k: for each query vector, the k nearest
+   * corpus vectors. Queries are broadcast (small side); the corpus is
+   * scanned once; ranking shuffles only (query_id, candidate) pairs
+   * that survive no pre-filter — exact baseline.
+   * Output: (query_id, neighbor_id, rank, cosine_micro).
+   */
+  def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"))
+    val scored = c.join(broadcast(q))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        // integer micro-units so ordering & output are engine-exact
+        round(cosine(transform(col("cv"), x => x.cast("double")),
+          transform(col("qv"), x => x.cast("double"))) * 1e6)
+          .cast("long").as("cosine_micro"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_micro").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("cosine_micro"))
+  }
+
+  /** Deterministic pseudo-random hyperplane coefficient for (plane,
+   *  dim): xxhash64-derived value in [-1, 1). No RNG state — the same
+   *  plane is regenerated identically on every executor. */
+  private def planeCoef(plane: Int, d: Column): Column =
+    (xxhash64(lit(plane), d).cast("double") / lit(Long.MaxValue.toDouble))
+
+  /** `nbits`-bit LSH bucket id of a vector: sign bits of dot products
+   *  with deterministic hyperplanes. */
+  def lshBucket(vec: Column, nbits: Int): Column = {
+    val d = transform(vec, x => x.cast("double"))
+    (0 until nbits).map { p =>
+      val proj = aggregate(
+        zip_with(d, sequence(lit(0), size(d) - 1),
+          (x, i) => x * planeCoef(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce[Column](_ + _)
+  }
+
+  /**
+   * LSH-bucketed approximate top-k: corpus is bucketed once (reusable,
+   * persist it); each query probes its bucket plus all Hamming-1
+   * neighbor buckets (`1 + nbits` probes). With nbits=8 this scans
+   * ~3.5% of a uniform corpus instead of 100% — the 100 TB path.
+   * Same output schema as bruteForceTopK.
+   */
+  def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, nbits: Int = 8): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      lshBucket(col(vecCol), nbits).as("bucket"))
+    val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"),
+      lshBucket(col(qVecCol), nbits).as("qb"))
+      // probe set: own bucket + flip each bit once
+      .withColumn("bucket", explode(array(
+        (col("qb") +: (0 until nbits).map(b =>
+          col("qb").bitwiseXOR(lit(1L << b)))): _*)))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(transform(col("cv"), x => x.cast("double")),
+          transform(col("qv"), x => x.cast("double"))) * 1e6)
+          .cast("long").as("cosine_micro"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("cosine_micro")).as("cosine_micro")) // dedupe multi-probe hits
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_micro").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("cosine_micro"))
+  }
+}

@@ -79,9 +79,9 @@ object TextOps {
     val toks = tokenCount(c).cast("long")
     val stop = stopwordHits(c, EnStop).cast("long")
     val punct = punctCount(c).cast("long")
-    val len = length(c).cast("long")
-    val raw = lit(2L) * toks + lit(10L) * stop - lit(5L) * punct +
-      len / lit(10L) // integer div on longs in Spark
+    // floor(len/10) == len//10 for non-negative lengths; exact in double
+    val lenTerm = floor(length(c).cast("long") / lit(10L)).cast("long")
+    val raw = lit(2L) * toks + lit(10L) * stop - lit(5L) * punct + lenTerm
     greatest(lit(0L), least(lit(1000L), raw))
   }
 

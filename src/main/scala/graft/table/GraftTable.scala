@@ -175,9 +175,12 @@ final class GraftTable private (
     commitLsnVar
   }
 
+  // trigger on TOTAL buffered rows (incl. tombstones), not live rows:
+  // an upsert-heavy stream tombstones most of the tail and a live-only
+  // count would let the buffer grow without bound (reference counts
+  // mem-slice rows the same way, mooncake_table.rs:858)
   private def maybeFlush(): Unit =
-    if (tail.count(t => t.live && t.lsn <= commitLsnVar) >= config.memSliceSize)
-      flush()
+    if (tail.length >= config.memSliceSize) flush()
 
   /** Convenience ingest API (REST surface, reference `rest_api.rs:416`):
    *  insert rows with consecutive LSNs and auto-commit. */
