@@ -85,7 +85,7 @@ object SparkEntry {
     }.toSeq
     // commit per txn-sized group, like the reference's per-transaction
     // commit boundaries (each apply = one micro-batch)
-    evs.grouped(4000).foreach { g =>
+    evs.grouped(20000).foreach { g =>
       table.apply(g :+ Commit(g.map(_.lsn).max))
     }
     if (compactAfter) { table.optimize(); table.vacuum() }
@@ -314,6 +314,35 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "ev_asof_join" -> ((s, d) => {
+      // as-of join: each purchase picks the user's most recent click at
+      // or before it (microsecond granularity, matching the oracle's
+      // timestamp precision)
+      val e = events(s, d).withColumn("us", expr("ts DIV 1000"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("us"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("us"), col("event_id").as("c_eid"))
+      AsOf.joinBackward(purchases, clicks, Seq("user_id"),
+          leftTs = "us", rightTs = "us",
+          payloadCols = Map("c_eid" -> "click_event_id"))
+        .select(col("event_id"), col("user_id"), col("click_event_id"))
+        .orderBy("event_id")
+    }),
+
+    "ev_props_json" -> ((s, d) => {
+      // semi-structured payload parsing: JSON props column -> typed field
+      events(s, d)
+        .select(from_json(col("props"),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("k",
+                org.apache.spark.sql.types.LongType)))).getField("k").as("k"),
+          col("value"))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), cents(sum(col("value"))).as("value_cents"))
+        .orderBy("k_mod")
+    }),
+
     "ev_user_stats" -> ((s, d) => {
       events(s, d)
         .groupBy(col("user_id"))
@@ -431,7 +460,7 @@ object SparkEntry {
 
     "embed_neardup" -> ((s, d) => {
       Dedup.embeddingPairs(t(s, d, "embeddings"), "vec_id", "embedding",
-          blockCol = col("label"), minCosineMilli = 900)
+          blockCol = col("label"), minCosineMilli = 300)
         .orderBy("id_a", "id_b")
     }),
 
@@ -594,6 +623,19 @@ object SparkEntry {
         |       CAST(ROUND(SUM(value)*100) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "ev_asof_join" ->
+      """SELECT p.event_id, p.user_id, c.event_id AS click_event_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "ev_props_json" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+        |       count(*) AS n,
+        |       CAST(ROUND(SUM(value)*100) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "cdc_upsert_state" -> cdcUpsertOracle,
     "cdc_delete_state" -> cdcDeleteOracle,
     "cdc_compact_state" -> cdcDeleteOracle,
@@ -665,7 +707,7 @@ object SparkEntry {
         |       CAST(ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 1000) AS BIGINT) AS cosine_milli
         |FROM embeddings a JOIN embeddings b
         |  ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE CAST(ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 1000) AS BIGINT) >= 900
+        |WHERE CAST(ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 1000) AS BIGINT) >= 300
         |ORDER BY id_a, id_b""".stripMargin,
 
     "mm_features" ->

@@ -70,12 +70,79 @@ object Dedup {
       .where(col("jaccard_milli") >= minMilli)
   }
 
-  /** MinHash signature: `numHashes` min-values over salted xxhash64 of
-   *  the shingle set (codegen'd; no UDF). */
-  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { h =>
-      array_min(transform(shingleCol, s => xxhash64(s, lit(h))))
-    }: _*)
+  /** splitmix64 finalizer: strong 64-bit mixing, branch-free. */
+  @inline private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** 64-bit hash of a string (polynomial accumulate + splitmix64
+   *  finalize) — deterministic across executors. */
+  @inline private def hashString(s: String): Long = {
+    var h = 0xCBF29CE484222325L
+    var i = 0
+    while (i < s.length) { h = h * 0x100000001B3L + s.charAt(i); i += 1 }
+    mix64(h)
+  }
+
+  /**
+   * Distinct hashed word n-gram shingles in ONE JVM pass per document.
+   * Spark's higher-order array functions evaluate their lambdas
+   * interpreted (no whole-stage codegen inside `transform`), which at
+   * numHashes * shingles * docs scale costs minutes; this tight loop
+   * replaces ~10^8 interpreted expression evals with primitive array
+   * work. Tokens still come from the codegen'd split/filter pipeline.
+   */
+  def hashedShingles(tokensCol: Column, n: Int): Column = {
+    val f = udf((toks: Seq[String]) => {
+      if (toks == null || toks.length < n) Array.empty[Long]
+      else {
+        val set = new java.util.HashSet[Long]()
+        var i = 0
+        val last = toks.length - n
+        val arr = toks.toArray
+        while (i <= last) {
+          var h = 0xCBF29CE484222325L
+          var j = 0
+          while (j < n) {
+            val t = arr(i + j)
+            var k = 0
+            while (k < t.length) { h = h * 0x100000001B3L + t.charAt(k); k += 1 }
+            h = h * 0x100000001B3L + ' '
+            j += 1
+          }
+          set.add(mix64(h))
+          i += 1
+        }
+        val out = new Array[Long](set.size)
+        val it = set.iterator()
+        var p = 0
+        while (it.hasNext) { out(p) = it.next(); p += 1 }
+        out
+      }
+    })
+    f(tokensCol)
+  }
+
+  /** MinHash signature over hashed shingles: one JVM pass computes all
+   *  `numHashes` minima (seeded splitmix64 rehash per function). */
+  def minhashSignature(hashedShingleCol: Column, numHashes: Int): Column = {
+    val f = udf((hs: Seq[Long]) => {
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      hs.foreach { x =>
+        var h = 0
+        while (h < numHashes) {
+          val v = mix64(x ^ (h * 0x9E3779B97F4A7C15L))
+          if (v < sig(h)) sig(h) = v
+          h += 1
+        }
+      }
+      sig
+    })
+    f(hashedShingleCol)
+  }
 
   /**
    * MinHash+LSH near-duplicate pairs: signatures are cut into `bands`
@@ -90,24 +157,31 @@ object Dedup {
       minMilli: Int = 500): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
+    // hashed shingle sets, computed once and reused for both the
+    // signature and the verification join
     val t = df.select(col(idCol).as("id"),
-      shingles(col(textCol), shingleN).as("sh"))
-      .where(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-    val banded = t.select(col("id"), col("sh"),
+        hashedShingles(TextOps.tokens(TextOps.normalize(col(textCol))),
+          shingleN).as("hs"))
+      .where(size(col("hs")) > 0)
+    val sigs = t.withColumn("sig", minhashSignature(col("hs"), numHashes))
+    // band buckets: only ids travel through the LSH join, never arrays
+    val banded = sigs.select(col("id"),
       posexplode(array((0 until bands).map(b =>
         hash(slice(col("sig"), b * rows + 1, rows), lit(b))): _*))
         .as(Seq("band", "bucket")))
-    val a = banded.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct() // a pair may collide in several bands
+    // verification: fetch the two hashed shingle sets by id and compute
+    // exact Jaccard on the candidate pairs only
+    candidates
+      .join(t.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
+      .join(t.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        jaccardMilli(col("sh_a"), col("sh_b")).as("jaccard_milli"))
+        jaccardMilli(col("hs_a"), col("hs_b")).as("jaccard_milli"))
       .where(col("jaccard_milli") >= minMilli)
   }
 

@@ -69,38 +69,48 @@ object Similarity {
   private def planeCoef(plane: Int, d: Column): Column =
     (xxhash64(lit(plane), d).cast("double") / lit(Long.MaxValue.toDouble))
 
-  /** `nbits`-bit LSH bucket id of a vector: sign bits of dot products
-   *  with deterministic hyperplanes. */
-  def lshBucket(vec: Column, nbits: Int): Column = {
+  /** `nbits`-bit LSH bucket id of a vector for hash table `table`:
+   *  sign bits of dot products with deterministic hyperplanes. */
+  def lshBucket(vec: Column, nbits: Int, table: Int = 0): Column = {
     val d = transform(vec, x => x.cast("double"))
     (0 until nbits).map { p =>
       val proj = aggregate(
         zip_with(d, sequence(lit(0), size(d) - 1),
-          (x, i) => x * planeCoef(p, i)),
+          (x, i) => x * planeCoef(table * nbits + p, i)),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce[Column](_ + _)
   }
 
   /**
-   * LSH-bucketed approximate top-k: corpus is bucketed once (reusable,
-   * persist it); each query probes its bucket plus all Hamming-1
-   * neighbor buckets (`1 + nbits` probes). With nbits=8 this scans
-   * ~3.5% of a uniform corpus instead of 100% — the 100 TB path.
-   * Same output schema as bruteForceTopK.
+   * Multi-table LSH approximate top-k (the standard recall lever:
+   * `tables` independent hyperplane bucketings; a candidate only needs
+   * to collide in ONE of them). Corpus is bucketed once per table
+   * (reusable — persist it); each query probes its own bucket plus all
+   * Hamming-1 neighbors per table. With nbits=8, tables=4 this touches
+   * a few percent of a uniform corpus instead of 100% — the 100 TB
+   * path. Same output schema as bruteForceTopK.
    */
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
-      k: Int, nbits: Int = 8): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      lshBucket(col(vecCol), nbits).as("bucket"))
-    val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"),
-      lshBucket(col(qVecCol), nbits).as("qb"))
-      // probe set: own bucket + flip each bit once
+      k: Int, nbits: Int = 8, tables: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id") +: col(vecCol).as("cv") +:
+        (0 until tables).map(t =>
+          lshBucket(col(vecCol), nbits, t).as(s"b$t")): _*)
+      .select(col("neighbor_id"), col("cv"),
+        posexplode(array((0 until tables).map(t => col(s"b$t")): _*))
+          .as(Seq("tbl", "bucket")))
+    val q = queries.select(col(qIdCol).as("query_id") +: col(qVecCol).as("qv") +:
+        (0 until tables).map(t =>
+          lshBucket(col(qVecCol), nbits, t).as(s"b$t")): _*)
+      .select(col("query_id"), col("qv"),
+        posexplode(array((0 until tables).map(t => col(s"b$t")): _*))
+          .as(Seq("tbl", "qb")))
+      // probe set per table: own bucket + flip each bit once
       .withColumn("bucket", explode(array(
         (col("qb") +: (0 until nbits).map(b =>
           col("qb").bitwiseXOR(lit(1L << b)))): _*)))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+    val scored = c.join(broadcast(q), Seq("tbl", "bucket"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(transform(col("cv"), x => x.cast("double")),

@@ -207,7 +207,11 @@ final class GraftTable private (
     val entries = writeRowChunks(rows, stagedDir, maxLsn = -1L)
     x.stagedFiles ++= entries
     if (identity != Identity.None)
-      x.stagedIndexFiles += buildIndex(stagedDir, entries.map(_.path), stagedDir)
+      // staged rows get _lsn = -1: they become visible at the commit
+      // LSN, and any delete that may target them (the xact's own
+      // deferred deletes, or later events) carries a real LSN > -1
+      x.stagedIndexFiles += writeIndexFromRows(rows,
+        rows.map(_ => -1L), entries, stagedDir)
   }
 
   private def commitXact(xid: Long, lsn: Long): Unit = {
@@ -265,12 +269,17 @@ final class GraftTable private (
     if (flushable.nonEmpty) {
       val maxLsn = flushable.map(_.lsn).max
       Fio.mkdirs(s"$root/data")
-      val entries =
-        writeRowChunks(flushable.map(_.row).toSeq, s"$root/data", maxLsn)
+      val rows = flushable.map(_.row).toSeq
+      val entries = writeRowChunks(rows, s"$root/data", maxLsn)
       entries.foreach(e => fileEntries(e.path) = e)
       if (identity != Identity.None) {
         Fio.mkdirs(s"$root/index")
-        indexFiles += buildIndex(s"$root/data", entries.map(_.path), s"$root/index")
+        // positions are the write order the driver just produced — the
+        // index is built directly, no read-back scan; per-row LSNs make
+        // delete resolution LSN-exact (a delete only targets rows that
+        // existed strictly before it)
+        indexFiles += writeIndexFromRows(rows, flushable.map(_.lsn).toSeq,
+          entries, s"$root/index")
       }
       // a committed row with a pending (uncommitted) delete was just
       // written to disk — its delete must later resolve via the index
@@ -322,17 +331,46 @@ final class GraftTable private (
         }
     }.toMap
 
+  /** Fast-path index writer for rows the driver already holds in write
+   *  order: the key index (key cols, _file, _pos, _lsn) is derived from
+   *  the chunking that writeRowChunks just performed — no read-back
+   *  job. `_lsn` is each row's append LSN. */
+  private def writeIndexFromRows(rows: Seq[Row], lsns: Seq[Long],
+      entries: Seq[DataFileEntry], indexDir: String): IndexFileEntry = {
+    val name = f"idx-${newId()}%09d.parquet"
+    val kf = keyFields
+    val kIdx = kf.map(f => schemaVar.fieldIndex(f.name))
+    val idxRows = rows.zip(lsns).grouped(config.rowsPerFile).zip(entries.iterator)
+      .flatMap { case (chunk, e) =>
+        chunk.iterator.zipWithIndex.map { case ((r, lsn), pos) =>
+          Row.fromSeq(kIdx.map(r.get) :+ e.path :+ pos.toLong :+ lsn)
+        }
+      }.toSeq
+    val tmp = s"$root/tmp/${UUID.randomUUID()}"
+    spark.createDataFrame(idxRows.asJava, indexSchema)
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    movePartFile(tmp, s"$indexDir/$name")
+    IndexFileEntry(name, entries.map(_.path))
+  }
+
+  private def indexSchema: StructType = StructType(keyFields :+
+    StructField("_file", StringType) :+ StructField("_pos", LongType) :+
+    StructField("_lsn", LongType))
+
   /** Build a persisted key index (key cols, _file, _pos) for the given
    *  data files by reading them back with metadata row indexes — the
-   *  Spark-native `GlobalIndex` (`persisted_bucket_hash_map.rs:43`). */
+   *  Spark-native `GlobalIndex` (`persisted_bucket_hash_map.rs:43`).
+   *  Used where the driver does not hold the rows (compaction, bulk
+   *  load, index merge). */
   private def buildIndex(dataDir: String, files: Seq[String],
-      indexDir: String): IndexFileEntry = {
+      indexDir: String, lsnValue: Long): IndexFileEntry = {
     val name = f"idx-${newId()}%09d.parquet"
     val paths = files.map(f => s"$dataDir/$f")
     val df = spark.read.schema(schemaVar).parquet(paths: _*)
       .select(keyFields.map(f => col(f.name)) :+
         substring_index(col("_metadata.file_path"), "/", -1).as("_file") :+
-        col("_metadata.row_index").as("_pos"): _*)
+        col("_metadata.row_index").as("_pos") :+
+        lit(lsnValue).as("_lsn"): _*)
     val tmp = s"$root/tmp/${UUID.randomUUID()}"
     // single-file index per flush; merged by mergeIndexes()/compact()
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -349,11 +387,14 @@ final class GraftTable private (
     if (due.isEmpty) return
     pendingDeletes.filterInPlace(_._2 > commitLsnVar)
     if (indexFiles.isEmpty) return // nothing flushed: deletes miss
-    val keySchema = StructType(keyFields)
-    val delRows = due.map(d => Row.fromSeq(d._1)).distinct
-    val delDF = spark.createDataFrame(delRows.asJava, keySchema)
+    val delSchema = StructType(keyFields :+ StructField("_dlsn", LongType))
+    val delRows = due.map(d => Row.fromSeq(d._1 :+ d._2)).distinct
+    val delDF = spark.createDataFrame(delRows.asJava, delSchema)
     val idx = spark.read.parquet(indexFiles.map(e => s"$root/index/${e.path}").toSeq: _*)
+    // LSN-exact: a delete only targets rows appended strictly before it
+    // (an upsert's delete+append share an LSN and must not self-delete)
     val hits = idx.join(broadcast(delDF), keyFields.map(_.name).toSeq)
+      .where(col("_lsn") < col("_dlsn"))
       .select(col("_file"), col("_pos")).collect()
     hits.foreach { r =>
       val (f, p) = (r.getString(0), r.getLong(1))
@@ -505,6 +546,11 @@ final class GraftTable private (
    *  `compaction_config.rs:48-55`). Fully distributed — no driver
    *  collect of data rows. */
   def compact(force: Boolean = false): Boolean = synchronized {
+    // resolve committed deletes first: afterwards every remaining
+    // pending delete has lsn > commitLsn >= any rewritten row's LSN, so
+    // stamping compacted index entries with the victims' maxLsn keeps
+    // resolution exact
+    resolveCommittedDeletes()
     val all = fileEntries.values.toSeq
     def heavilyDeleted(e: DataFileEntry) =
       e.deletes > 0 && e.deletes.toDouble >= e.rows * config.compactDeleteRatio
@@ -550,7 +596,7 @@ final class GraftTable private (
     newNames.filter(n => counts.getOrElse(n, 0L) == 0L)
       .foreach(n => Fio.delete(s"$root/data/$n"))
     rewriteDvFiles()
-    rebuildIndexExcluding(victimNames, entries.filter(_.rows > 0).map(_.path))
+    rebuildIndexExcluding(victimNames, entries.filter(_.rows > 0).map(_.path), maxLsn)
     dvBroadcast = scala.None
     publish()
     // victims are NOT deleted here: live readers may still hold plans
@@ -583,21 +629,41 @@ final class GraftTable private (
    *  (reference `mooncake_table.rs:1369`, `index_merge_config.rs`). */
   def mergeIndexes(): Boolean = synchronized {
     if (identity == Identity.None || indexFiles.size < 2) return false
-    rebuildIndexExcluding(Set.empty, Seq.empty)
+    rebuildIndexExcluding(Set.empty, Seq.empty, -1L)
     publish()
     true
   }
 
-  /** Rebuild the index over (survivors - victims) + additions as one
-   *  consolidated file; drops stale entries for compacted-away files. */
+  /** Rebuild the index as one consolidated file: existing entries
+   *  (exact per-row LSNs preserved — merged from the index parquets,
+   *  never re-derived from data) minus victim files, plus read-back
+   *  entries for newly written files at `additionsLsn`. */
   private def rebuildIndexExcluding(victims: Set[String],
-      additions: Seq[String]): Unit = {
+      additions: Seq[String], additionsLsn: Long): Unit = {
     if (identity == Identity.None) return
-    val covered = (fileEntries.keys.toSeq.filterNot(victims) ++ additions).distinct
+    val parts = mutable.ArrayBuffer[DataFrame]()
+    if (indexFiles.nonEmpty) {
+      val old = spark.read
+        .parquet(indexFiles.map(e => s"$root/index/${e.path}").toSeq: _*)
+      parts += (if (victims.isEmpty) old
+                else old.where(!col("_file").isin(victims.toSeq: _*)))
+    }
+    if (additions.nonEmpty)
+      parts += spark.read.schema(schemaVar)
+        .parquet(additions.map(f => s"$root/data/$f"): _*)
+        .select(keyFields.map(f => col(f.name)) :+
+          substring_index(col("_metadata.file_path"), "/", -1).as("_file") :+
+          col("_metadata.row_index").as("_pos") :+
+          lit(additionsLsn).as("_lsn"): _*)
     indexFiles.clear()
-    if (covered.nonEmpty) {
+    if (parts.nonEmpty) {
       Fio.mkdirs(s"$root/index")
-      indexFiles += buildIndex(s"$root/data", covered, s"$root/index")
+      val name = f"idx-${newId()}%09d.parquet"
+      val tmp = s"$root/tmp/${UUID.randomUUID()}"
+      parts.reduce(_ unionByName _).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      movePartFile(tmp, s"$root/index/$name")
+      indexFiles += IndexFileEntry(name, fileEntries.keys.toSeq)
     }
     // old index files reclaimed by vacuum()
   }
@@ -662,7 +728,10 @@ final class GraftTable private (
     entries.foreach(e => fileEntries(e.path) = e)
     if (identity != Identity.None) {
       Fio.mkdirs(s"$root/index")
-      indexFiles += buildIndex(s"$root/data", entries.map(_.path), s"$root/index")
+      // loaded rows exist as of the load LSN: earlier deletes must not
+      // target them, later ones match via _lsn < _dlsn
+      indexFiles += buildIndex(s"$root/data", entries.map(_.path),
+        s"$root/index", lsnValue = lsn)
     }
     commitLsnVar = math.max(commitLsnVar, lsn)
     flushLsnVar = math.max(flushLsnVar, lsn)

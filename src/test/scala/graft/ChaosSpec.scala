@@ -1,0 +1,151 @@
+package graft
+
+import graft.model._
+import graft.table._
+import org.apache.spark.sql.{Row, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.collection.mutable
+import scala.util.Random
+
+/**
+ * Chaos testing (the reference's randomized event-sequence harness,
+ * `table_handler/chaos_test.rs:1-7`, re-expressed as a property test):
+ * seeded random CDC streams — appends, deletes, upserts, commits,
+ * streaming transactions with aborts, random flush/compact/reopen —
+ * must always equal a naive in-memory model at every commit point.
+ *
+ * Invariants (as the reference declares them): begin/end pairing is
+ * implicit in apply(); deletes target committed rows or tail rows; LSN
+ * always increases; reads reflect exactly the committed prefix.
+ */
+class ChaosSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-chaos")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val schema = SchemaDsl.struct("k" -> "int64", "v" -> "int64")
+
+  /** the oracle: plain map keyed like the table */
+  private final class Model {
+    val live = mutable.HashMap[Long, Long]()   // committed state
+    val tailOps = mutable.ArrayBuffer[(String, Long, Long)]() // uncommitted
+    def apply(op: (String, Long, Long)): Unit = tailOps += op
+    def commit(): Unit = {
+      tailOps.foreach {
+        case ("a", k, v) => live(k) = v
+        case ("d", k, _) => live.remove(k)
+      }
+      tailOps.clear()
+    }
+  }
+
+  private def runChaos(seed: Long, steps: Int, cfg: TableConfig): Unit = {
+    val rnd = new Random(seed)
+    val dir = java.nio.file.Files.createTempDirectory(s"chaos-$seed").toString
+    var table = GraftTable.create(spark, s"$dir/t", schema,
+      Identity.Keys(Seq("k")), cfg)
+    val model = new Model
+    var lsn = 0L
+    def nextLsn(): Long = { lsn += 1; lsn }
+
+    val batch = mutable.ArrayBuffer[CdcEvent]()
+    var checkpoints = 0
+    (0 until steps).foreach { _ =>
+      rnd.nextInt(10) match {
+        case 0 | 1 | 2 | 3 => // upsert random key
+          val k = rnd.nextInt(40).toLong
+          val v = rnd.nextLong(1000000)
+          val l = nextLsn()
+          batch ++= CdcEvent.upsert(Row(k, v), Seq(k), l)
+          model.apply(("d", k, 0L)); model.apply(("a", k, v))
+        case 4 | 5 => // append fresh key
+          val k = 1000L + rnd.nextInt(100000)
+          val v = rnd.nextLong(1000000)
+          batch += Append(Row(k, v), nextLsn())
+          model.apply(("a", k, v))
+        case 6 => // delete (maybe-existing) key
+          val k = rnd.nextInt(40).toLong
+          batch += Delete(Seq(k), nextLsn(), ifExists = true)
+          model.apply(("d", k, 0L))
+        case 7 => // commit + verify
+          val l = nextLsn()
+          batch += Commit(l)
+          table.apply(batch.toSeq); batch.clear()
+          model.commit()
+          val got = table.read(Some(l)).collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap
+          assert(got == model.live.toMap,
+            s"seed=$seed lsn=$l: table=${got.size} rows vs model=${model.live.size}")
+          checkpoints += 1
+        case 8 => // streaming transaction (commit or abort)
+          val xid = rnd.nextLong(1 << 30)
+          val n = 1 + rnd.nextInt(5)
+          val xevs = mutable.ArrayBuffer[CdcEvent]()
+          val xops = mutable.ArrayBuffer[(String, Long, Long)]()
+          (0 until n).foreach { _ =>
+            val k = rnd.nextInt(40).toLong
+            val v = rnd.nextLong(1000000)
+            xevs ++= CdcEvent.upsert(Row(k, v), Seq(k), nextLsn(), Some(xid))
+            xops += (("d", k, 0L)); xops += (("a", k, v))
+          }
+          if (rnd.nextBoolean()) {
+            xevs += Commit(nextLsn(), Some(xid))
+            xops.foreach(model.apply)
+            // xact commit also publishes whatever main-tail ops were
+            // pending at that LSN boundary
+            model.commit()
+            // flush main batch alongside so LSN ordering is preserved
+            table.apply(batch.toSeq ++ xevs.toSeq); batch.clear()
+          } else {
+            xevs += StreamAbort(xid)
+            table.apply(batch.toSeq ++ xevs.toSeq); batch.clear()
+            // aborted: model unchanged except main batch stays pending
+          }
+        case 9 => // maintenance / recovery chaos
+          rnd.nextInt(3) match {
+            case 0 => table.flush()
+            case 1 => if (rnd.nextBoolean()) { table.compact(force = true); table.vacuum() }
+            case 2 =>
+              if (cfg.walEnabled && batch.isEmpty) {
+                // simulated crash: reopen from disk
+                table = GraftTable.open(spark, s"$dir/t",
+                  Identity.Keys(Seq("k")), cfg)
+              }
+          }
+      }
+    }
+    // final commit + check
+    batch += Commit(nextLsn())
+    table.apply(batch.toSeq)
+    model.commit()
+    val got = table.read(None).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == model.live.toMap, s"seed=$seed final state diverged")
+    assert(checkpoints > 0)
+    table.drop()
+  }
+
+  test("chaos: random CDC streams match the in-memory model (tiny mem slice)") {
+    runChaos(seed = 42, steps = 120,
+      TableConfig(memSliceSize = 8, walEnabled = false,
+        compactSmallFileRows = 16, compactDeleteRatio = 0.3))
+  }
+
+  test("chaos: with WAL recovery reopens") {
+    runChaos(seed = 7, steps = 100,
+      TableConfig(memSliceSize = 8, walEnabled = true,
+        compactSmallFileRows = 16, compactDeleteRatio = 0.3))
+  }
+
+  test("chaos: default-ish config, more steps") {
+    runChaos(seed = 1234, steps = 200,
+      TableConfig(memSliceSize = 64, walEnabled = false))
+  }
+}

@@ -1,0 +1,203 @@
+package graft
+
+import graft.model._
+import graft.operators._
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-ops-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+  private def embeddings = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("minhash LSH finds the near-duplicate pairs exact jaccard finds") {
+    // ground truth: exact 2-gram jaccard >= 0.5 across ALL pairs
+    val exact = Dedup.jaccardPairs(
+        docs.withColumn("one", lit(1)), "doc_id", "text",
+        blockCol = "one", n = 2, minMilli = 500)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashPairs(docs, "doc_id", "text",
+        shingleN = 2, numHashes = 64, bands = 16, minMilli = 500)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // verification step makes precision exact; recall should be high
+    assert(lsh.subsetOf(exact), s"LSH produced false positives: ${lsh -- exact}")
+    if (exact.nonEmpty) {
+      val recall = lsh.size.toDouble / exact.size
+      assert(recall >= 0.8, s"LSH recall $recall too low (found ${lsh.size}/${exact.size})")
+    }
+  }
+
+  test("LSH ANN reaches high recall@5 on clustered vectors") {
+    // LSH's guarantee is distance-dependent: build a corpus of 40
+    // clusters (cosine ~0.95 within, ~random across) — the regime
+    // near-dup/ANN search actually targets. Deterministic seed.
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val dim = 32
+    val base = Array.fill(40)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 400).map { i =>
+      val c = base(i % 40)
+      val noisy = c.map(x => x + 0.15f * rnd.nextGaussian().toFloat)
+      (i.toLong, noisy.toSeq)
+    }.toDF("vec_id", "embedding")
+    val q = vecs.where(col("vec_id") < 16)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 5))
+    val approx = pairs(Similarity.lshTopK(vecs, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 5, nbits = 8, tables = 4))
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"ANN recall@5 = $recall (expected >= 0.8 on clusters)")
+  }
+
+  test("simhash: identical docs collide, near-identical docs are close") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (3L, "the quick brown fox jumps over the lazy cat near the river bank"),
+      (4L, "completely different words about spark catalyst optimizer plans")
+    ).toDF("id", "text")
+    val sims = df.select($"id", TextOps.simhash64($"text").as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sims(1L) == sims(2L), "identical text must produce identical simhash")
+    val close = java.lang.Long.bitCount(sims(1L) ^ sims(3L))
+    val far = java.lang.Long.bitCount(sims(1L) ^ sims(4L))
+    assert(close < far, s"one-word edit ($close bits) should beat unrelated ($far bits)")
+  }
+
+  test("exact dedup keeps one representative per duplicated text") {
+    import spark.implicits._
+    val df = Seq((10L, "Hello, World!"), (20L, "hello world"), (30L, "unrelated"))
+      .toDF("doc_id", "text")
+    // normalization collapses case/punctuation -> first two are dups
+    val out = Dedup.exact(df, "doc_id", "text").collect()
+    assert(out.length == 2)
+    val dup = out.find(_.getLong(2) == 2L).get
+    assert(dup.getLong(1) == 10L, "keeps min doc_id")
+  }
+
+  test("rolling hash fingerprint is stable and normalization-invariant") {
+    import spark.implicits._
+    val df = Seq((1L, "Spark SQL!"), (2L, "spark   sql"), (3L, "other text"))
+      .toDF("id", "text")
+    val fps = df.select($"id", TextOps.rollingHash($"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("multimodal featurize computes checksum/features per binary payload") {
+    import spark.implicits._
+    val payload = "abc".getBytes("UTF-8") // 97+98+99 = 294
+    val df = Seq((7L, payload)).toDF("media_id", "media")
+    val out = Multimodal.featurize(df, "media_id", "media", dim = 4).collect().head
+    assert(out.media_id == 7L)
+    assert(out.n_bytes == 3L)
+    assert(out.checksum == 294L)
+    assert(out.feature(0) == 3.0) // len mod 251
+    // acc: pos0 'a'(97)+... dim=4: pos0=97, pos1=98, pos2=99, pos3=0
+    assert(out.feature(1) == 98.0 && out.feature(2) == 99.0 && out.feature(3) == 0.0)
+  }
+
+  test("multimodal frame sampler explodes stride-selected windows") {
+    import spark.implicits._
+    val bytes = (0 until 100).map(_.toByte).toArray
+    val df = Seq((1L, bytes)).toDF("id", "media")
+    val frames = Multimodal.sampleFrames(df, "id", "media", frameBytes = 10, stride = 2)
+    assert(frames.count() == 5) // 10 windows, every 2nd
+  }
+
+  test("JsonIngest: decimal rescale + overflow, RFC3339 UTC canonicalization") {
+    val schema = SchemaDsl.struct(
+      "id" -> "int32", "price" -> "decimal(10,2)", "at" -> "timestamp")
+    val row = JsonIngest.parse(schema,
+      """{"id":1,"price":"12.345","at":"2024-03-01T10:30:00.123456+02:00"}""")
+    assert(row.getDecimal(1) == new java.math.BigDecimal("12.35")) // HALF_UP
+    val ts = row.getTimestamp(2)
+    assert(ts.toInstant == java.time.Instant.parse("2024-03-01T08:30:00.123456Z"))
+    // number-typed decimal also accepted
+    assert(JsonIngest.parse(schema, """{"id":1,"price":9.1,"at":null}""")
+      .getDecimal(1) == new java.math.BigDecimal("9.10"))
+    assertThrows[IllegalArgumentException](
+      JsonIngest.parse(schema, """{"id":1,"price":"123456789.99","at":null}"""))
+    assertThrows[IllegalArgumentException](
+      JsonIngest.parse(schema, """{"id":"x","price":null,"at":null}"""))
+  }
+
+  test("SchemaDsl: REST type grammar incl. rejections") {
+    assert(SchemaDsl.parseType("decimal(10,2)") ==
+      org.apache.spark.sql.types.DecimalType(10, 2))
+    assert(SchemaDsl.parseType("list<int64>") ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType))
+    assertThrows[IllegalArgumentException](SchemaDsl.parseType("list<list<int32>>"))
+    assertThrows[IllegalArgumentException](SchemaDsl.parseType("frobnicate"))
+    // field ids assigned in declaration order
+    val s = SchemaDsl.struct("a" -> "int32", "b" -> "string")
+    assert(s.fields.map(_.metadata.getLong(SchemaDsl.FieldIdKey)).toSeq == Seq(1L, 2L))
+  }
+
+  test("OTEL schema: nested attribute explode") {
+    import scala.jdk.CollectionConverters._
+    val s = graft.sources.OtelSchema.schema
+    val attr = Row("host", Row("web-1", null, null, null))
+    val row = Row(null, Seq(attr), "scope", "1.0", null,
+      "cpu_usage", null, "%", "gauge",
+      null, 1704067200000000000L, Seq(Row("core", Row(null, null, 0L, null))),
+      0, 0.42, null, null, null,
+      null, null, null, null, null, null)
+    val df = spark.createDataFrame(Seq(row).asJava, s)
+    val exploded = graft.sources.OtelSchema.explodeAttrs(df)
+    val got = exploded.select("metric_name", "attr_key", "attr_value").collect()
+    assert(got.map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet ==
+      Set(("cpu_usage", "core", "0")))
+  }
+
+  test("CdcPipeline: streaming foreachBatch ingests event frames") {
+    import spark.implicits._
+    val schema = SchemaDsl.struct("id" -> "int64", "v" -> "string")
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val table = graft.table.GraftTable.create(spark, s"$dir/t", schema,
+      Identity.Keys(Seq("id")), graft.table.TableConfig(walEnabled = false))
+    // batch-mode reuse of the same apply path
+    val frame = Seq(
+      ("i", 1L, Option.empty[Long], Option(1L), Option("a")),
+      ("i", 2L, Option.empty[Long], Option(2L), Option("b")),
+      ("u", 3L, Option.empty[Long], Option(1L), Option("a2")),
+      ("d", 4L, Option.empty[Long], Option(2L), Option.empty[String]))
+      .toDF("_op", "_lsn", "_xact", "id", "v")
+    graft.streaming.CdcPipeline.applyBatch(table, frame)
+    val got = table.read(Some(4)).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a2")))
+    table.drop()
+  }
+
+  test("text ops agree with hand-computed values") {
+    import spark.implicits._
+    val df = Seq((1L, "The cat, the dog; and a bird!")).toDF("id", "text")
+    val r = df.select(
+      TextOps.tokenCount($"text").as("tc"),
+      TextOps.wordCount($"text").as("wc"),
+      TextOps.punctCount($"text").as("pc"),
+      TextOps.langId($"text").as("lang")).collect().head
+    assert(r.getAs[Int]("tc") == 7)
+    assert(r.getAs[Int]("wc") == 7)
+    assert(r.getAs[Int]("pc") == 3)  // , ; !  (. ! ? , ; :)
+    assert(r.getAs[String]("lang") == "en")
+  }
+}
