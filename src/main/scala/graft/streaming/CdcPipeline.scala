@@ -56,9 +56,38 @@ object CdcPipeline {
     if (!sawCommit && maxLsn >= 0) events :+ Commit(maxLsn) else events
   }
 
-  /** Apply one micro-batch (usable directly for batch-mode ingest too). */
-  def applyBatch(table: GraftTable, batch: DataFrame): Long =
-    table.apply(toEvents(table, batch))
+  /** Apply one micro-batch (usable directly for batch-mode ingest too).
+   *
+   *  Scale path: a batch of plain insert/upsert/delete events (no
+   *  streaming transactions, commits only at the batch end) never
+   *  touches the driver — `GraftTable.applyBatchDF` folds, flushes and
+   *  indexes it with Spark jobs. Batches carrying streaming-transaction
+   *  events or mid-batch commits take the exact driver event path
+   *  (those events are control-heavy and small; the reference routes
+   *  them through the same single event loop, `table_handler.rs:124`). */
+  def applyBatch(table: GraftTable, batch: DataFrame): Long = {
+    import org.apache.spark.sql.functions._
+    val b =
+      if (batch.columns.contains("_xact")) batch
+      else batch.withColumn("_xact", lit(null).cast("long"))
+    val s = b.agg(
+      max(col("_lsn")),
+      sum(when(col("_xact").isNotNull, 1L).otherwise(0L)),
+      sum(when(col("_op").isin("d", "delete", "u", "upsert"), 1L).otherwise(0L)),
+      sum(when(!col("_op").isin("i", "insert", "u", "upsert", "d", "delete",
+        "c", "commit"), 1L).otherwise(0L)),
+      max(when(col("_op").isin("c", "commit"), col("_lsn")))).head()
+    if (s.isNullAt(0)) return table.commitLsn // empty batch
+    val maxLsn = s.getLong(0)
+    val hasXact = s.getLong(1) > 0
+    val hasDeletes = s.getLong(2) > 0
+    val hasOtherOps = s.getLong(3) > 0
+    val midBatchCommit = !s.isNullAt(4) && s.getLong(4) != maxLsn
+    if (!hasXact && !hasOtherOps && !midBatchCommit)
+      table.applyBatchDF(b, maxLsn, hasDeletes)
+    else
+      table.apply(toEvents(table, b))
+  }
 
   /** Start the streaming ingestion query. */
   def start(table: GraftTable, events: DataFrame, checkpoint: String,

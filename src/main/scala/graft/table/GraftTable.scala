@@ -29,7 +29,12 @@ final case class TableConfig(
     /** compaction: rewrite a file once this fraction of it is deleted. */
     compactDeleteRatio: Double = 0.5,
     /** write an event log (WAL) per apply() and replay it on open. */
-    walEnabled: Boolean = true)
+    walEnabled: Boolean = true,
+    /** read path: apply DVs via a broadcast of roaring-serialized
+     *  bitmaps up to this many deleted positions; above it, fall back
+     *  to a shuffle anti-join against the DV parquet (the broadcast
+     *  would otherwise grow with total delete volume). */
+    dvBroadcastMaxDeletes: Long = 10L * 1000 * 1000)
 
 /**
  * A Graft table: PK-identified, LSN-versioned, append/upsert/delete
@@ -83,7 +88,11 @@ final class GraftTable private (
     def live: Boolean = deletedLsn < 0
   }
   private val tail = mutable.ArrayBuffer[TailRow]()
-  private val tailIndex = mutable.HashMap[KeyVal, TailRow]() // live rows only
+  /** key -> stack of live tail rows, head = latest append. A delete
+   *  kills exactly the latest live row of its key (the reference's
+   *  index point-lookup finds one RecordLocation, `hash_index.rs:35`);
+   *  older same-key appends stay reachable for later deletes. */
+  private val tailIndex = mutable.HashMap[KeyVal, List[TailRow]]()
   /** deletes targeting already-flushed rows; resolved set-based at
    *  publish (reference keeps a deletion log, `snapshot.rs:1000`). */
   private val pendingDeletes = mutable.ArrayBuffer[(Seq[Any], Long)]()
@@ -91,17 +100,41 @@ final class GraftTable private (
   private val newDvPairs = mutable.ArrayBuffer[(String, Long)]()
   /** data-file basename -> deleted row positions (all committed DVs). */
   private val dvMap = mutable.HashMap[String, Roaring64Bitmap]()
-  private var dvBroadcast: Option[Broadcast[Map[String, Array[Long]]]] = scala.None
+  /** serialized-roaring broadcast (deserialized once per executor JVM by
+   *  `DvCache`, never expanded to raw position arrays). */
+  private var dvBroadcast: Option[Broadcast[Map[String, Array[Byte]]]] = scala.None
 
   // ---- streaming transactions (reference transaction_stream.rs:17) -----
   private final class XactState {
     val buffer = mutable.ArrayBuffer[TailRow]()
-    val index = mutable.HashMap[KeyVal, TailRow]()
+    val index = mutable.HashMap[KeyVal, List[TailRow]]()
     val pendingDeletes = mutable.ArrayBuffer[Seq[Any]]()
     val stagedFiles = mutable.ArrayBuffer[DataFileEntry]()
     val stagedIndexFiles = mutable.ArrayBuffer[IndexFileEntry]()
   }
   private val xacts = mutable.HashMap[Long, XactState]()
+
+  // ---- per-key stack helpers (shared by main tail and xact buffers) ----
+  private def stackPush(ix: mutable.HashMap[KeyVal, List[TailRow]],
+      k: KeyVal, tr: TailRow): Unit =
+    ix.updateWith(k)(l => Some(tr :: l.getOrElse(Nil)))
+
+  /** Pop the latest live row for `k`, if any. */
+  private def stackPop(ix: mutable.HashMap[KeyVal, List[TailRow]],
+      k: KeyVal): Option[TailRow] =
+    ix.get(k) match {
+      case Some(tr :: rest) =>
+        if (rest.isEmpty) ix.remove(k) else ix(k) = rest
+        Some(tr)
+      case _ => scala.None
+    }
+
+  /** Drop rows no longer in the tail (flushed or dead). */
+  private def stackRetain(ix: mutable.HashMap[KeyVal, List[TailRow]])(
+      keep: TailRow => Boolean): Unit = {
+    ix.mapValuesInPlace((_, l) => l.filter(keep))
+    ix.filterInPlace((_, l) => l.nonEmpty)
+  }
 
   private var nextFileId: Long =
     (fileEntries.keys ++ dvFiles ++ indexFiles.map(_.path))
@@ -139,26 +172,26 @@ final class GraftTable private (
       case Append(row, lsn, scala.None) =>
         val tr = new TailRow(row, lsn)
         tail += tr
-        if (identity != Identity.None) tailIndex(keyOf(row)) = tr
+        if (identity != Identity.None) stackPush(tailIndex, keyOf(row), tr)
 
       case Append(row, lsn, Some(xid)) =>
         val x = xacts.getOrElseUpdate(xid, new XactState)
         val tr = new TailRow(row, lsn)
         x.buffer += tr
-        if (identity != Identity.None) x.index(keyOf(row)) = tr
+        if (identity != Identity.None) stackPush(x.index, keyOf(row), tr)
         if (x.buffer.count(_.live) >= config.memSliceSize) stageXactFlush(xid, x)
 
       case Delete(key, lsn, scala.None, _) =>
         require(identity != Identity.None,
           "deletes rejected on append-only table") // mooncake_table.rs:1242
-        tailIndex.remove(KeyVal(key)) match {
+        stackPop(tailIndex, KeyVal(key)) match {
           case Some(tr) => tr.deletedLsn = lsn
           case scala.None => pendingDeletes += ((key, lsn))
         }
 
       case Delete(key, _, Some(xid), _) =>
         val x = xacts.getOrElseUpdate(xid, new XactState)
-        x.index.remove(KeyVal(key)) match {
+        stackPop(x.index, KeyVal(key)) match {
           case Some(tr) => tr.deletedLsn = 0L // dead within the txn
           case scala.None => x.pendingDeletes += key
         }
@@ -192,6 +225,156 @@ final class GraftTable private (
     apply(rows.zipWithIndex.flatMap { case (r, i) =>
       CdcEvent.upsert(r, keyOf(r).values, startLsn + i)
     } :+ Commit(startLsn + rows.size))
+
+  // =====================================================================
+  // Executor-side batch ingest: the whole micro-batch stays distributed.
+  // =====================================================================
+
+  /**
+   * Apply a micro-batch of CDC event rows WITHOUT collecting them to the
+   * driver — the scale path for high-volume ingest (the reference's
+   * row→Arrow batching + background flush, `column_array_builder.rs`,
+   * `mooncake_table.rs:1317`, re-expressed as Spark jobs).
+   *
+   * Input frame columns: `_op` (i|insert / u|upsert / d|delete), `_lsn`
+   * (long, unique per event), then the table's data columns (delete rows
+   * carry the key columns; other columns ignored). Commit/abort/xact
+   * events are NOT accepted here — `CdcPipeline.applyBatch` routes
+   * batches containing them to the driver event path.
+   *
+   * Semantics match `apply()` exactly: events fold per key in LSN order
+   * (delete kills the latest in-batch append of its key, else falls
+   * through to the committed table, resolved LSN-exactly via the key
+   * index); the batch commits atomically at `maxLsn`. Because every
+   * surviving row is flushed before the manifest commit, flushLsn ==
+   * commitLsn and the WAL is unnecessary on this path.
+   *
+   * Execution shape per batch, independent of row count:
+   *   1 shuffle (repartition by key + per-partition key/LSN sort),
+   *   1 write job (data parquet, `_lsn` stamped per row),
+   *   1 read-back job (key index from `_metadata.row_index`),
+   *   1 small collect (fall-through delete keys only — bounded by the
+   *     batch's delete count, never by its row count).
+   */
+  def applyBatchDF(events: DataFrame, maxLsn: Long,
+      hasDeletes: Boolean): Long = synchronized {
+    flush() // drain any driver-path tail so file order stays LSN-ordered
+    val dataCols = schemaVar.fieldNames.toSeq
+    if (!hasDeletes) {
+      val survivors = events
+        .where(col("_op").isin("i", "insert", "u", "upsert"))
+        .select(dataCols.map(col) :+ col("_lsn").cast("long").as("_lsn"): _*)
+      writeBatchFiles(survivors, maxLsn, shuffled = false)
+    } else {
+      require(identity != Identity.None,
+        "deletes rejected on append-only table") // mooncake_table.rs:1242
+      val keyColNames = keyFields.map(_.name)
+      // deletes sort before appends at the same LSN: an upsert's delete
+      // half must not kill its own append (same rule the driver path
+      // enforces via event order + the `_lsn < _dlsn` index predicate)
+      val prepared = events
+        .where(col("_op").isin("i", "insert", "u", "upsert", "d", "delete"))
+        .select(col("_op").cast("string").as("_op") +:
+          col("_lsn").cast("long").as("_lsn") +: dataCols.map(col): _*)
+        .repartition(keyColNames.map(col): _*)
+        .sortWithinPartitions(keyColNames.map(col) ++ Seq(col("_lsn"),
+          when(col("_op").isin("d", "delete"), 0).otherwise(1)): _*)
+      val foldedSchema = StructType(
+        StructField("_tag", StringType, nullable = false) +:
+        StructField("_lsn", LongType, nullable = false) +:
+        schemaVar.fields.toSeq)
+      val keyPos = keyColNames.map(schemaVar.fieldIndex).toArray
+      val folded = prepared.mapPartitions(
+        GraftTable.foldBatchPartition(keyPos, schemaVar.fields.length) _)(
+        org.apache.spark.sql.Encoders.row(foldedSchema))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val survivors = folded.where(col("_tag") === "a")
+          .select(dataCols.map(col) :+ col("_lsn"): _*)
+        writeBatchFiles(survivors, maxLsn, shuffled = true)
+        // fall-through deletes target pre-batch rows: small (≤ #deletes),
+        // resolved via the broadcast index join in resolveCommittedDeletes
+        folded.where(col("_tag") === "d")
+          .select(keyColNames.map(col) :+ col("_lsn"): _*).collect()
+          .foreach { r =>
+            pendingDeletes += ((keyPos.indices.map(r.get), r.getLong(keyPos.length)))
+          }
+      } finally folded.unpersist()
+    }
+    commitLsnVar = math.max(commitLsnVar, maxLsn)
+    flushLsnVar = math.max(flushLsnVar, maxLsn)
+    publish()
+    commitLsnVar
+  }
+
+  /** Write a distributed survivors frame (data columns + `_lsn`) as
+   *  data files, adopt the part files, and build the key index by
+   *  reading back `_metadata.row_index` + the stamped `_lsn` column —
+   *  one write job + one bounded read-back job, executed by the cluster
+   *  (vs the driver-side `writeRowChunks` used for mem-slice flushes). */
+  private def writeBatchFiles(survivors: DataFrame, maxLsn: Long,
+      shuffled: Boolean): Unit = {
+    val tmp = s"$root/tmp/${UUID.randomUUID()}"
+    survivors.write.mode("overwrite").parquet(tmp)
+    val parts = Fio.list(tmp)
+      .filter(n => n.startsWith("part-") && n.endsWith(".parquet")).sorted
+    if (parts.isEmpty) { Fio.delete(tmp); return }
+    Fio.mkdirs(s"$root/data")
+    val names = parts.map { p =>
+      val name = f"data-${newId()}%09d.parquet"
+      Fio.move(s"$tmp/$p", s"$root/data/$name")
+      name
+    }
+    Fio.delete(tmp)
+    val withLsn = StructType(schemaVar.fields :+ StructField("_lsn", LongType))
+    val counts: Map[String, Long] =
+      if (identity != Identity.None) {
+        // index read-back: key cols + per-row LSN + positional address
+        Fio.mkdirs(s"$root/index")
+        val idx = spark.read.schema(withLsn)
+          .parquet(names.map(n => s"$root/data/$n"): _*)
+          .select(keyFields.map(f => col(f.name)) :+
+            substring_index(col("_metadata.file_path"), "/", -1).as("_file") :+
+            col("_metadata.row_index").as("_pos") :+ col("_lsn"): _*)
+        val itmp = s"$root/tmp/${UUID.randomUUID()}"
+        idx.write.mode("overwrite").parquet(itmp)
+        val iparts = Fio.list(itmp)
+          .filter(n => n.startsWith("part-") && n.endsWith(".parquet")).sorted
+        val inames = iparts.map { p =>
+          val iname = f"idx-${newId()}%09d.parquet"
+          Fio.move(s"$itmp/$p", s"$root/index/$iname")
+          iname
+        }
+        Fio.delete(itmp)
+        inames.foreach(n => indexFiles += IndexFileEntry(n, names))
+        // per-file row counts from the (narrow) index parquet
+        spark.read.parquet(inames.map(n => s"$root/index/$n"): _*)
+          .groupBy(col("_file")).count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      } else
+        spark.read.schema(withLsn)
+          .parquet(names.map(n => s"$root/data/$n"): _*)
+          .groupBy(substring_index(col("_metadata.file_path"), "/", -1).as("_f"))
+          .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    names.foreach { n =>
+      val rows = counts.getOrElse(n, 0L)
+      if (rows == 0L) Fio.delete(s"$root/data/$n")
+      else fileEntries(n) =
+        DataFileEntry(n, rows, Fio.sizeOf(s"$root/data/$n"), maxLsn)
+    }
+  }
+
+  /** Block until all mutations at-or-below `lsn` are durably flushed to
+   *  parquet (flushLsn >= lsn) — the sync REST-ingest LSN ack (reference
+   *  `rest_api.rs:1043-1129`); `readAwait` covers commit visibility,
+   *  this covers durability. A concurrent thread drives apply()/flush().
+   *  Returns false on timeout. */
+  def awaitPersisted(lsn: Long, timeoutMs: Long = 10000): Boolean = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (flushLsnVar < lsn && System.currentTimeMillis() < deadline)
+      Thread.sleep(2)
+    flushLsnVar >= lsn
+  }
 
   // ---- streaming transactions -----------------------------------------
 
@@ -448,10 +631,12 @@ final class GraftTable private (
 
   private[table] def loadDvState(): Unit = {
     val files = dvFiles.map(f => s"$root/dv/$f").toSeq
+    // stream into roaring state: driver never holds the raw pair array
     if (files.nonEmpty)
-      spark.read.parquet(files: _*).select("file", "pos").collect().foreach { r =>
-        dvMap.getOrElseUpdate(r.getString(0), new Roaring64Bitmap).addLong(r.getLong(1))
-      }
+      spark.read.parquet(files: _*).select("file", "pos")
+        .toLocalIterator().asScala.foreach { r =>
+          dvMap.getOrElseUpdate(r.getString(0), new Roaring64Bitmap).addLong(r.getLong(1))
+        }
   }
 
   // =====================================================================
@@ -496,23 +681,50 @@ final class GraftTable private (
     applyDvFilter(base).select(schemaVar.fieldNames.map(col).toSeq: _*)
   }
 
-  /** Filter out DV'd rows via a broadcast (file -> sorted positions)
-   *  map — no shuffle; the Spark-4 `_metadata.row_index` replaces the
-   *  reference's parquet RowSelection (`table_provider.rs:140-167`). */
+  /** Filter out DV'd rows — no shuffle on the common path; the Spark-4
+   *  `_metadata.row_index` replaces the reference's parquet RowSelection
+   *  (`table_provider.rs:140-167`).
+   *
+   *  Scale: bitmaps cross the wire roaring-SERIALIZED (the reference
+   *  ships puffin roaring blobs the same way, `deletion_vector.rs:29`)
+   *  and are deserialized once per executor JVM; they are never expanded
+   *  to raw position arrays. Past `dvBroadcastMaxDeletes` positions the
+   *  broadcast itself is the wrong shape, so the filter degrades to a
+   *  `left_anti` join against the DV parquet sidecars. */
   private def applyDvFilter(base: DataFrame): DataFrame = {
-    if (dvMap.valuesIterator.map(_.getLongCardinality).sum == 0) return base
-    val bc = dvBroadcast.getOrElse {
-      val m = dvMap.iterator.filter(_._2.getLongCardinality > 0)
-        .map { case (f, bm) => f -> bm.toArray }.toMap
-      val b = spark.sparkContext.broadcast(m)
-      dvBroadcast = Some(b)
-      b
+    val totalDeletes = dvMap.valuesIterator.map(_.getLongCardinality).sum
+    if (totalDeletes == 0) return base
+    if (totalDeletes <= config.dvBroadcastMaxDeletes) {
+      val bc = dvBroadcast.getOrElse {
+        val m = dvMap.iterator.filter(_._2.getLongCardinality > 0)
+          .map { case (f, bm) => f -> DvCache.serialize(bm) }.toMap
+        val b = spark.sparkContext.broadcast(m)
+        dvBroadcast = Some(b)
+        b
+      }
+      base.where(DvCache.notDeletedUdf(bc)(
+        substring_index(col("_metadata.file_path"), "/", -1),
+        col("_metadata.row_index")))
+    } else {
+      // dvMap == persisted DV files ∪ unpersisted newDvPairs; both sides
+      // of the anti-join are needed for reads taken mid-publish (compact)
+      val persisted =
+        if (dvFiles.isEmpty) scala.None
+        else Some(spark.read.parquet(dvFiles.map(f => s"$root/dv/$f").toSeq: _*))
+      val unpersisted =
+        if (newDvPairs.isEmpty) scala.None
+        else Some(spark.createDataFrame(
+          newDvPairs.map { case (f, p) => Row(f, p) }.asJava, dvSchema))
+      val dv = (persisted ++ unpersisted).reduce(_ unionByName _)
+        .select(col("file").as("_dv_file"), col("pos").as("_dv_pos"))
+      base
+        .withColumn("_scan_file",
+          substring_index(col("_metadata.file_path"), "/", -1))
+        .withColumn("_scan_pos", col("_metadata.row_index"))
+        .join(dv, col("_scan_file") === col("_dv_file") &&
+          col("_scan_pos") === col("_dv_pos"), "left_anti")
+        .drop("_scan_file", "_scan_pos")
     }
-    val notDeleted = udf((file: String, pos: Long) =>
-      !bc.value.get(file).exists(a => java.util.Arrays.binarySearch(a, pos) >= 0))
-    base.where(notDeleted(
-      substring_index(col("_metadata.file_path"), "/", -1),
-      col("_metadata.row_index")))
   }
 
   /** File pruning by manifest min/max stats: driver-side pre-filter of
@@ -595,7 +807,7 @@ final class GraftTable private (
     entries.filter(_.rows > 0).foreach(e => fileEntries(e.path) = e)
     newNames.filter(n => counts.getOrElse(n, 0L) == 0L)
       .foreach(n => Fio.delete(s"$root/data/$n"))
-    rewriteDvFiles()
+    rewriteDvFiles(victimNames)
     rebuildIndexExcluding(victimNames, entries.filter(_.rows > 0).map(_.path), maxLsn)
     dvBroadcast = scala.None
     publish()
@@ -668,16 +880,42 @@ final class GraftTable private (
     // old index files reclaimed by vacuum()
   }
 
-  private def rewriteDvFiles(): Unit = {
+  /** Consolidate DV sidecars after compaction: victims' DVs drop, the
+   *  rest persist. Small DV volume rewrites from the driver's roaring
+   *  state; large volume rewrites distributed (read old sidecars, filter
+   *  to surviving files, dedupe) — the driver never expands bitmaps to
+   *  raw position lists past the broadcast threshold. */
+  private def rewriteDvFiles(victims: Set[String]): Unit = {
+    val oldFiles = dvFiles.toSeq
     dvFiles.clear()
-    val pairs = dvMap.iterator
-      .flatMap { case (f, bm) => bm.toArray.map(p => (f, p)) }.toSeq
-    if (pairs.nonEmpty) {
-      Fio.mkdirs(s"$root/dv")
-      val name = f"dv-${newId()}%09d.parquet"
+    val total = dvMap.valuesIterator.map(_.getLongCardinality).sum
+    if (total == 0) { newDvPairs.clear(); return }
+    Fio.mkdirs(s"$root/dv")
+    val name = f"dv-${newId()}%09d.parquet"
+    if (total <= config.dvBroadcastMaxDeletes) {
+      val pairs = dvMap.iterator
+        .flatMap { case (f, bm) => bm.toArray.map(p => (f, p)) }.toSeq
       writeDvFile(pairs, name)
-      dvFiles += name
+    } else {
+      // filter by the (≤ compactMaxFilesPerOp) victims, not the full
+      // live list — the predicate stays O(victims) at any table size
+      val dead = victims.toSeq
+      val persisted =
+        if (oldFiles.isEmpty) scala.None
+        else Some(spark.read.parquet(oldFiles.map(f => s"$root/dv/$f"): _*))
+      val unpersisted =
+        if (newDvPairs.isEmpty) scala.None
+        else Some(spark.createDataFrame(
+          newDvPairs.map { case (f, p) => Row(f, p) }.asJava, dvSchema))
+      val all = (persisted ++ unpersisted).reduce(_ unionByName _)
+        .where(if (dead.isEmpty) lit(true) else !col("file").isin(dead: _*))
+        .distinct()
+      val tmp = s"$root/tmp/${UUID.randomUUID()}"
+      all.coalesce(1).write.mode("overwrite").parquet(tmp)
+      movePartFile(tmp, s"$root/dv/$name")
     }
+    dvFiles += name
+    newDvPairs.clear()
     // old dv files reclaimed by vacuum()
   }
 
@@ -745,10 +983,114 @@ final class GraftTable private (
     StructField("file", StringType), StructField("pos", LongType)))
 }
 
+/**
+ * Executor-side cache of deserialized deletion-vector bitmaps: the
+ * broadcast carries roaring-SERIALIZED bytes (compact on the wire, like
+ * the reference's puffin roaring blobs, `iceberg/deletion_vector.rs:29`);
+ * each executor JVM deserializes once per broadcast, and row-level
+ * membership tests hit the shared bitmaps.
+ */
+object DvCache {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Map[String, Roaring64Bitmap]]()
+
+  def serialize(bm: Roaring64Bitmap): Array[Byte] = {
+    bm.runOptimize()
+    val bos = new java.io.ByteArrayOutputStream()
+    bm.serialize(new java.io.DataOutputStream(bos))
+    bos.toByteArray
+  }
+
+  def deserialize(bytes: Array[Byte]): Roaring64Bitmap = {
+    val bm = new Roaring64Bitmap
+    bm.deserialize(new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes)))
+    bm
+  }
+
+  def bitmaps(bc: Broadcast[Map[String, Array[Byte]]]): Map[String, Roaring64Bitmap] = {
+    if (cache.size > 8) cache.clear() // old broadcast generations
+    cache.computeIfAbsent(bc.id,
+      _ => bc.value.map { case (f, b) => f -> deserialize(b) })
+  }
+
+  /** (file, pos) => row NOT deleted. The closure captures only the
+   *  broadcast handle — never the table. */
+  def notDeletedUdf(bc: Broadcast[Map[String, Array[Byte]]]): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((file: String, pos: Long) =>
+      !bitmaps(bc).get(file).exists(_.contains(pos)))
+}
+
 object GraftTable {
   /** Value-semantics wrapper for key column values — the mem-index key
    *  (reference `MemIndex`, `mem_index.rs:38`). */
   final case class KeyVal(values: Seq[Any])
+
+  /**
+   * Per-partition fold of a key-clustered, (key, lsn, delete-first)-
+   * sorted event iterator — the distributed equivalent of the driver
+   * tail + mem-index walk in `applyInternal` (reference mem-slice
+   * semantics, `mem_slice.rs:49-117`: the index points at the LATEST
+   * append of a key; a delete kills that row or, with nothing live
+   * in-batch, falls through to the committed table).
+   *
+   * Input row layout: (_op, _lsn, data...). Output: ("a", lsn, data...)
+   * for surviving appends; ("d", lsn, keydata...) for fall-through
+   * deletes. O(1) state per key — shadowed appends (an insert over an
+   * un-deleted insert of the same key) emit immediately because only
+   * the latest append is ever reachable by a delete.
+   */
+  private[table] def foldBatchPartition(keyPos: Array[Int], nData: Int)(
+      it: Iterator[Row]): Iterator[Row] = new Iterator[Row] {
+    private var pending: List[Row] = Nil
+    private var curKey: Seq[Any] = null
+    private var haveKey = false
+    private var current: Row = null // latest live in-batch append (folded)
+
+    private def keyOfRow(r: Row): Seq[Any] =
+      keyPos.toSeq.map(i => r.get(2 + i))
+    private def survivor(lsn: Long, r: Row): Row =
+      Row.fromSeq("a" +: lsn +: (0 until nData).map(i => r.get(2 + i)))
+    private def fallThrough(lsn: Long, r: Row): Row = {
+      val data = Array.fill[Any](nData)(null)
+      keyPos.foreach(i => data(i) = r.get(2 + i))
+      Row.fromSeq("d" +: lsn +: data.toSeq)
+    }
+    private def closeGroup(): Unit =
+      if (current != null) { pending ::= current; current = null }
+
+    @annotation.tailrec
+    private def advance(): Unit =
+      if (pending.isEmpty && it.hasNext) {
+        val r = it.next()
+        val k = keyOfRow(r)
+        if (!haveKey || k != curKey) { closeGroup(); curKey = k; haveKey = true }
+        val lsn = r.getLong(1)
+        r.getString(0) match {
+          case "i" | "insert" =>
+            if (current != null) pending ::= current // shadowed: emit now
+            current = survivor(lsn, r)
+          case "u" | "upsert" =>
+            if (current != null) current = null
+            else pending ::= fallThrough(lsn, r)
+            current = survivor(lsn, r)
+          case _ => // d | delete
+            if (current != null) current = null
+            else pending ::= fallThrough(lsn, r)
+        }
+        advance()
+      }
+
+    override def hasNext: Boolean = {
+      advance()
+      if (pending.isEmpty && !it.hasNext) closeGroup()
+      pending.nonEmpty
+    }
+    override def next(): Row = {
+      if (!hasNext) throw new NoSuchElementException
+      val h = pending.head; pending = pending.tail; h
+    }
+  }
 
   def create(spark: SparkSession, root: String, schema: StructType,
       identity: Identity, config: TableConfig = TableConfig()): GraftTable = {
