@@ -417,7 +417,7 @@ final class GraftTable private (
       // resolve BEFORE appending the txn's own rows so an upsert inside
       // the txn cannot delete its replacement row
       x.pendingDeletes.foreach { key =>
-        tailIndex.remove(KeyVal(key)) match {
+        stackPop(tailIndex, KeyVal(key)) match {
           case Some(tr) => tr.deletedLsn = lsn
           case scala.None => pendingDeletes += ((key, lsn))
         }
@@ -428,7 +428,7 @@ final class GraftTable private (
         if (tr.live) {
           val ntr = new TailRow(tr.row, lsn)
           tail += ntr
-          if (identity != Identity.None) tailIndex(keyOf(tr.row)) = ntr
+          if (identity != Identity.None) stackPush(tailIndex, keyOf(tr.row), ntr)
         }
       }
       commitLsnVar = math.max(commitLsnVar, lsn)
@@ -473,7 +473,7 @@ final class GraftTable private (
     // keep only uncommitted appends (live or tombstoned within-batch)
     val keep = tail.filter(t => t.lsn > commitLsnVar)
     tail.clear(); tail ++= keep
-    tailIndex.filterInPlace((_, tr) => tr.lsn > commitLsnVar)
+    stackRetain(tailIndex)(tr => tr.lsn > commitLsnVar)
   }
 
   /** Write rows as one or more single-task parquet files with stable row
@@ -570,21 +570,35 @@ final class GraftTable private (
     if (due.isEmpty) return
     pendingDeletes.filterInPlace(_._2 > commitLsnVar)
     if (indexFiles.isEmpty) return // nothing flushed: deletes miss
-    val delSchema = StructType(keyFields :+ StructField("_dlsn", LongType))
-    val delRows = due.map(d => Row.fromSeq(d._1 :+ d._2)).distinct
-    val delDF = spark.createDataFrame(delRows.asJava, delSchema)
+    // one delete kills exactly ONE row — the newest live row of its key
+    // appended strictly before it (the flushed analogue of stackPop; an
+    // upsert's delete+append share an LSN and must not self-delete).
+    // The cluster narrows the index to rows whose key has a pending
+    // delete; the driver replays the pops in LSN order — candidate count
+    // is bounded by (#delete keys x key dup factor), never table size.
+    val keySchema = StructType(keyFields)
+    val keyDF = spark.createDataFrame(
+      due.map(d => Row.fromSeq(d._1)).distinct.asJava, keySchema)
     val idx = spark.read.parquet(indexFiles.map(e => s"$root/index/${e.path}").toSeq: _*)
-    // LSN-exact: a delete only targets rows appended strictly before it
-    // (an upsert's delete+append share an LSN and must not self-delete)
-    val hits = idx.join(broadcast(delDF), keyFields.map(_.name).toSeq)
-      .where(col("_lsn") < col("_dlsn"))
-      .select(col("_file"), col("_pos")).collect()
-    hits.foreach { r =>
-      val (f, p) = (r.getString(0), r.getLong(1))
-      if (fileEntries.contains(f)) {
-        val bm = dvMap.getOrElseUpdate(f, new Roaring64Bitmap)
-        if (!bm.contains(p)) {
-          bm.addLong(p)
+    val nk = keyFields.length
+    val cands = idx.join(broadcast(keyDF), keyFields.map(_.name).toSeq)
+      .select(keyFields.map(f => col(f.name)) :+
+        col("_lsn") :+ col("_file") :+ col("_pos"): _*)
+      .collect()
+    val byKey = cands.toSeq
+      .map(r => KeyVal((0 until nk).map(r.get)) ->
+        ((r.getLong(nk), r.getString(nk + 1), r.getLong(nk + 2))))
+      .groupMap(_._1)(_._2)
+    due.groupMap(d => KeyVal(d._1))(_._2).foreach { case (k, dlsns) =>
+      var live = byKey.getOrElse(k, Nil)
+        .filter { case (_, f, p) =>
+          fileEntries.contains(f) && !dvMap.get(f).exists(_.contains(p)) }
+        .sorted.reverse.toList // newest (lsn, file, pos) first
+      dlsns.sorted.foreach { dlsn =>
+        live.find(_._1 < dlsn).foreach { hit =>
+          live = live.filterNot(_ == hit)
+          val (_, f, p) = hit
+          dvMap.getOrElseUpdate(f, new Roaring64Bitmap).addLong(p)
           newDvPairs += ((f, p))
           fileEntries(f) = fileEntries(f).copy(deletes = fileEntries(f).deletes + 1)
         }
@@ -943,11 +957,11 @@ final class GraftTable private (
       }
     reproject(tail)
     tailIndex.clear()
-    tail.foreach(tr => if (tr.live) tailIndex(keyOf(tr.row)) = tr)
+    tail.foreach(tr => if (tr.live) stackPush(tailIndex, keyOf(tr.row), tr))
     xacts.values.foreach { x =>
       reproject(x.buffer)
       x.index.clear()
-      x.buffer.foreach(tr => if (tr.live) x.index(keyOf(tr.row)) = tr)
+      x.buffer.foreach(tr => if (tr.live) stackPush(x.index, keyOf(tr.row), tr))
     }
     publish()
   }
