@@ -253,18 +253,27 @@ final class GraftTable private (
    *   1 shuffle (repartition by key + per-partition key/LSN sort),
    *   1 write job (data parquet, `_lsn` stamped per row),
    *   1 read-back job (key index from `_metadata.row_index`),
+   *   1 stats job (per-file counts + min/max for manifest pruning),
    *   1 small collect (fall-through delete keys only — bounded by the
    *     batch's delete count, never by its row count).
+   *
+   * `estRows` (event count, if the caller knows it) sizes the output:
+   * O(estRows / rowsPerFile) data files per batch, like the driver
+   * path's size-tuned flush — not one tiny file per shuffle partition.
    */
   def applyBatchDF(events: DataFrame, maxLsn: Long,
-      hasDeletes: Boolean): Long = synchronized {
+      hasDeletes: Boolean, estRows: Long = -1L): Long = synchronized {
     flush() // drain any driver-path tail so file order stays LSN-ordered
     val dataCols = schemaVar.fieldNames.toSeq
+    val est = if (estRows >= 0L) estRows else events.count()
+    val nOut = math.max(1L,
+      (est + config.rowsPerFile - 1) / config.rowsPerFile).toInt
     if (!hasDeletes) {
       val survivors = events
         .where(col("_op").isin("i", "insert", "u", "upsert"))
         .select(dataCols.map(col) :+ col("_lsn").cast("long").as("_lsn"): _*)
-      writeBatchFiles(survivors, maxLsn, shuffled = false)
+        .coalesce(nOut) // merge-only, keeps the path shuffle-free
+      writeBatchFiles(survivors, maxLsn)
     } else {
       require(identity != Identity.None,
         "deletes rejected on append-only table") // mooncake_table.rs:1242
@@ -276,7 +285,7 @@ final class GraftTable private (
         .where(col("_op").isin("i", "insert", "u", "upsert", "d", "delete"))
         .select(col("_op").cast("string").as("_op") +:
           col("_lsn").cast("long").as("_lsn") +: dataCols.map(col): _*)
-        .repartition(keyColNames.map(col): _*)
+        .repartition(nOut, keyColNames.map(col): _*)
         .sortWithinPartitions(keyColNames.map(col) ++ Seq(col("_lsn"),
           when(col("_op").isin("d", "delete"), 0).otherwise(1)): _*)
       val foldedSchema = StructType(
@@ -291,7 +300,7 @@ final class GraftTable private (
       try {
         val survivors = folded.where(col("_tag") === "a")
           .select(dataCols.map(col) :+ col("_lsn"): _*)
-        writeBatchFiles(survivors, maxLsn, shuffled = true)
+        writeBatchFiles(survivors, maxLsn)
         // fall-through deletes target pre-batch rows: small (≤ #deletes),
         // resolved via the broadcast index join in resolveCommittedDeletes
         folded.where(col("_tag") === "d")
