@@ -321,8 +321,7 @@ final class GraftTable private (
    *  reading back `_metadata.row_index` + the stamped `_lsn` column —
    *  one write job + one bounded read-back job, executed by the cluster
    *  (vs the driver-side `writeRowChunks` used for mem-slice flushes). */
-  private def writeBatchFiles(survivors: DataFrame, maxLsn: Long,
-      shuffled: Boolean): Unit = {
+  private def writeBatchFiles(survivors: DataFrame, maxLsn: Long): Unit = {
     val tmp = s"$root/tmp/${UUID.randomUUID()}"
     survivors.write.mode("overwrite").parquet(tmp)
     val parts = Fio.list(tmp)
