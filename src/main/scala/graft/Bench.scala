@@ -1,6 +1,10 @@
 package graft
 
+import graft.model._
+import graft.streaming.CdcPipeline
+import graft.table._
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /**
  * Benchmark main (driver contract): runs every SparkEntry query on
@@ -10,8 +14,48 @@ import org.apache.spark.sql.SparkSession
  * Each query is fully materialized via count(); the CDC queries time
  * the whole ingestion engine (event apply, flushes, key-index delete
  * resolution, DV writes, manifest commits, union read).
+ *
+ * The extra `ingest_1m_events_sec` entry times ONE distributed
+ * applyBatch of 1M upsert events (10 LSN-shifted copies of the events
+ * stream) — the marginal ingest throughput once the per-batch fixed
+ * overhead (~1s of job scheduling at local[32]) is amortized; compare
+ * against BASELINE.md's >=100k events/s/core reference target.
  */
 object Bench {
+
+  /** Seconds for one 1M-event distributed upsert batch. */
+  private def ingest1m(spark: SparkSession, sfDir: String): Double = {
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val base = spark.read.schema(sch).parquet(s"$sfDir/events.parquet")
+    val n = base.count()
+    // cap the union fan-in: tiny SF dirs would otherwise build a
+    // 1000-branch plan (at sf0.1 this is exactly 10 copies = 1M events)
+    val copies = math.min(20, math.max(1, (1000000 / math.max(1L, n)).toInt))
+    val big = (0 until copies).map { i =>
+      base.select(lit("u").as("_op"), (col("event_id") + i * n).as("_lsn"),
+        (col("user_id") + i * 1000000L).as("user_id"),
+        (col("event_id") + i * n).as("event_id"),
+        col("event_type"), col("value"))
+    }.reduce(_ unionByName _).persist()
+    big.count() // materialize outside the timed window
+    val table = GraftTable.create(spark,
+      java.nio.file.Files.createTempDirectory("graft-ingest1m").toString + "/t",
+      SchemaDsl.struct("user_id" -> "int64", "event_id" -> "int64",
+        "event_type" -> "string", "value" -> "float64"),
+      Identity.Keys(Seq("user_id")),
+      TableConfig(memSliceSize = 4096, walEnabled = false))
+    val t0 = System.nanoTime()
+    CdcPipeline.applyBatch(table, big)
+    val sec = (System.nanoTime() - t0) / 1e9
+    big.unpersist()
+    table.drop()
+    sec
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -42,7 +86,14 @@ object Bench {
       System.err.println(f"[bench] $name%-22s $sec%8.2fs  ($n rows)")
       name -> sec
     }
-    val qs = results
+    val ingestSec =
+      try ingest1m(spark, sfDir)
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] ingest_1m failed: ${e.getMessage}"); -1.0
+      }
+    System.err.println(f"[bench] ingest_1m_events $ingestSec%8.2fs")
+    val qs = (results :+ ("ingest_1m_events_sec" -> ingestSec))
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

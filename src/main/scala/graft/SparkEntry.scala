@@ -2,6 +2,7 @@ package graft
 
 import graft.model._
 import graft.operators._
+import graft.streaming.CdcPipeline
 import graft.table._
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -65,29 +66,43 @@ object SparkEntry {
 
   private def ingestCfg = TableConfig(memSliceSize = 4096, walEnabled = false)
 
-  /** Apply the events stream as CDC upserts (LSN = event_id) through a
-   *  real GraftTable: mem-slice flushes, key-index delete resolution,
-   *  DVs, manifest commits — then the union read. `deleteType` rows
-   *  become CDC deletes of that user instead. */
+  /** The events stream as a CDC event frame (`_op`, `_lsn` = event_id,
+   *  then the table's data columns) — built declaratively, never
+   *  collected. `deleteType` rows become CDC deletes of that user. */
+  private def cdcEventFrame(spark: SparkSession, dir: String,
+      deleteType: Option[String]): DataFrame = {
+    val opCol = deleteType match {
+      case Some(tpe) =>
+        when(col("event_type") === tpe, lit("d")).otherwise(lit("u"))
+      case None => lit("u")
+    }
+    events(spark, dir).select(opCol.as("_op"), col("event_id").as("_lsn"),
+      col("user_id"), col("event_id"), col("event_type"), col("value"))
+  }
+
+  /** Apply the events stream as CDC upserts/deletes (LSN = event_id)
+   *  through the distributed batch path: contiguous LSN-range
+   *  micro-batches (the shape foreachBatch produces) fold, flush and
+   *  index on the cluster via `CdcPipeline.applyBatch` — the driver
+   *  never holds an event. Cross-batch deletes/upserts resolve against
+   *  the key index into DVs, so the batch count > 1 exercises the full
+   *  committed-row delete machinery. */
   private def runCdc(spark: SparkSession, dir: String,
       deleteType: Option[String], compactAfter: Boolean = false,
-      cfg: TableConfig = ingestCfg): GraftTable = {
+      nBatches: Int = 2): GraftTable = {
     val table = GraftTable.create(spark, freshDir("cdc"), eventTableSchema,
-      Identity.Keys(Seq("user_id")), cfg)
-    val evs = orderedEvents(spark, dir).iterator.flatMap { r =>
-      val lsn = r.getLong(1)
-      if (deleteType.contains(r.getString(2)))
-        Seq(Delete(Seq(r.getLong(0)), lsn, ifExists = true))
-      else
-        CdcEvent.upsert(
-          Row(r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)),
-          Seq(r.getLong(0)), lsn)
-    }.toSeq
-    // commit per txn-sized group, like the reference's per-transaction
-    // commit boundaries (each apply = one micro-batch)
-    evs.grouped(20000).foreach { g =>
-      table.apply(g :+ Commit(g.map(_.lsn).max))
-    }
+      Identity.Keys(Seq("user_id")), ingestCfg)
+    val ev = cdcEventFrame(spark, dir, deleteType)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val mm = ev.agg(min(col("_lsn")), max(col("_lsn"))).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val span = (hi - lo) / nBatches + 1
+      (0 until nBatches).foreach { i =>
+        CdcPipeline.applyBatch(table, ev.where(
+          col("_lsn") >= lo + i * span && col("_lsn") < lo + (i + 1) * span))
+      }
+    } finally ev.unpersist()
     if (compactAfter) { table.optimize(); table.vacuum() }
     table
   }
@@ -363,12 +378,12 @@ object SparkEntry {
     "cdc_compact_state" -> ((s, d) => cdcDeleteFinal(s, d, compact = true)),
 
     "cdc_append_scan" -> ((s, d) => {
-      // append-only table: bulk events through the table then aggregate
+      // append-only table: one distributed insert batch (shuffle-free
+      // coalesce path of applyBatchDF), then aggregate over the scan
       val table = GraftTable.create(s, freshDir("ao"), eventTableSchema,
-        Identity.None, TableConfig(memSliceSize = 8192, walEnabled = false))
-      val rows = orderedEvents(s, d).map(r =>
-        Row(r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
-      table.insertAll(rows.toSeq, startLsn = 1)
+        Identity.None, TableConfig(walEnabled = false))
+      CdcPipeline.applyBatch(table,
+        cdcEventFrame(s, d, None).withColumn("_op", lit("i")))
       table.read(None)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), cents(sum(col("value"))).as("value_cents"))

@@ -76,7 +76,8 @@ object CdcPipeline {
       sum(when(col("_op").isin("d", "delete", "u", "upsert"), 1L).otherwise(0L)),
       sum(when(!col("_op").isin("i", "insert", "u", "upsert", "d", "delete",
         "c", "commit"), 1L).otherwise(0L)),
-      max(when(col("_op").isin("c", "commit"), col("_lsn")))).head()
+      max(when(col("_op").isin("c", "commit"), col("_lsn"))),
+      count(lit(1))).head()
     if (s.isNullAt(0)) return table.commitLsn // empty batch
     val maxLsn = s.getLong(0)
     val hasXact = s.getLong(1) > 0
@@ -84,7 +85,9 @@ object CdcPipeline {
     val hasOtherOps = s.getLong(3) > 0
     val midBatchCommit = !s.isNullAt(4) && s.getLong(4) != maxLsn
     if (!hasXact && !hasOtherOps && !midBatchCommit)
-      table.applyBatchDF(b, maxLsn, hasDeletes)
+      // the event count rides the same aggregate — applyBatchDF sizes
+      // its output files from it without a second pass over the batch
+      table.applyBatchDF(b, maxLsn, hasDeletes, estRows = s.getLong(5))
     else
       table.apply(toEvents(table, b))
   }

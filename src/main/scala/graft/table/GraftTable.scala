@@ -136,6 +136,15 @@ final class GraftTable private (
     ix.filterInPlace((_, l) => l.nonEmpty)
   }
 
+  // env-gated phase timing for ingest profiling (GRAFT_PROF=1)
+  private val profEnabled = sys.env.get("GRAFT_PROF").contains("1")
+  private def prof[A](tag: String)(f: => A): A =
+    if (!profEnabled) f else {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[graft-prof] $tag%-24s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
+
   private var nextFileId: Long =
     (fileEntries.keys ++ dvFiles ++ indexFiles.map(_.path))
       .flatMap(n => "\\d{9}".r.findFirstIn(n)).map(_.toLong)
@@ -250,12 +259,15 @@ final class GraftTable private (
    * commitLsn and the WAL is unnecessary on this path.
    *
    * Execution shape per batch, independent of row count:
-   *   1 shuffle (repartition by key + per-partition key/LSN sort),
-   *   1 write job (data parquet, `_lsn` stamped per row),
-   *   1 read-back job (key index from `_metadata.row_index`),
-   *   1 stats job (per-file counts + min/max for manifest pruning),
-   *   1 small collect (fall-through delete keys only — bounded by the
-   *     batch's delete count, never by its row count).
+   *   1 shuffle (repartition by key + per-partition key/LSN sort) into
+   *   1 write job — the ONLY pass over the batch's data. The key index,
+   *   per-file stats and fall-through delete keys all derive from the
+   *   persisted fold output (partition i <-> part-file i), so freshly
+   *   written parquet is never read back (the reference likewise builds
+   *   its file index while writing, `disk_slice.rs`): 2 cheap cached
+   *   passes (index write, per-partition stats collect) plus 1 small
+   *   collect (fall-through delete keys — bounded by the batch's delete
+   *   count, never by its row count).
    *
    * `estRows` (event count, if the caller knows it) sizes the output:
    * O(estRows / rowsPerFile) data files per batch, like the driver
@@ -273,7 +285,9 @@ final class GraftTable private (
         .where(col("_op").isin("i", "insert", "u", "upsert"))
         .select(dataCols.map(col) :+ col("_lsn").cast("long").as("_lsn"): _*)
         .coalesce(nOut) // merge-only, keeps the path shuffle-free
-      writeBatchFiles(survivors, maxLsn)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try prof("writeBatchFiles(ins)")(writeBatchFiles(survivors, maxLsn))
+      finally survivors.unpersist()
     } else {
       require(identity != Identity.None,
         "deletes rejected on append-only table") // mooncake_table.rs:1242
@@ -300,11 +314,11 @@ final class GraftTable private (
       try {
         val survivors = folded.where(col("_tag") === "a")
           .select(dataCols.map(col) :+ col("_lsn"): _*)
-        writeBatchFiles(survivors, maxLsn)
+        prof("writeBatchFiles(del)")(writeBatchFiles(survivors, maxLsn))
         // fall-through deletes target pre-batch rows: small (≤ #deletes),
         // resolved via the broadcast index join in resolveCommittedDeletes
-        folded.where(col("_tag") === "d")
-          .select(keyColNames.map(col) :+ col("_lsn"): _*).collect()
+        prof("deletes collect")(folded.where(col("_tag") === "d")
+          .select(keyColNames.map(col) :+ col("_lsn"): _*).collect())
           .foreach { r =>
             pendingDeletes += ((keyPos.indices.map(r.get), r.getLong(keyPos.length)))
           }
@@ -317,59 +331,105 @@ final class GraftTable private (
   }
 
   /** Write a distributed survivors frame (data columns + `_lsn`) as
-   *  data files, adopt the part files, and build the key index by
-   *  reading back `_metadata.row_index` + the stamped `_lsn` column —
-   *  one write job + one bounded read-back job, executed by the cluster
-   *  (vs the driver-side `writeRowChunks` used for mem-slice flushes). */
+   *  data files and register the key index + per-file stats WITHOUT
+   *  re-reading what was just written: part-file numbers correspond 1:1
+   *  to the frame's partition ids, so the index (key, file, pos, lsn)
+   *  and the stats derive from cheap passes over the caller-persisted
+   *  frame — the cluster-side analogue of `writeRowChunks` +
+   *  `writeIndexFromRows` (the reference builds its file index while
+   *  writing for the same reason, `disk_slice.rs`). */
   private def writeBatchFiles(survivors: DataFrame, maxLsn: Long): Unit = {
     val tmp = s"$root/tmp/${UUID.randomUUID()}"
-    survivors.write.mode("overwrite").parquet(tmp)
+    prof("  data write")(survivors.write.mode("overwrite").parquet(tmp))
     val parts = Fio.list(tmp)
-      .filter(n => n.startsWith("part-") && n.endsWith(".parquet")).sorted
+      .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
     if (parts.isEmpty) { Fio.delete(tmp); return }
     Fio.mkdirs(s"$root/data")
-    val names = parts.map { p =>
+    // part-00042-<uuid>.parquet was written by task/partition 42 with
+    // rows in partition iteration order — the positional invariant DVs
+    // depend on; a partition with no rows writes no file
+    val pidToName: Map[Int, String] = parts.sorted.map { p =>
       val name = f"data-${newId()}%09d.parquet"
       Fio.move(s"$tmp/$p", s"$root/data/$name")
-      name
-    }
+      p.stripPrefix("part-").takeWhile(_.isDigit).toInt -> name
+    }.toMap
     Fio.delete(tmp)
-    val withLsn = StructType(schemaVar.fields :+ StructField("_lsn", LongType))
-    val counts: Map[String, Long] =
-      if (identity != Identity.None) {
-        // index read-back: key cols + per-row LSN + positional address
-        Fio.mkdirs(s"$root/index")
-        val idx = spark.read.schema(withLsn)
-          .parquet(names.map(n => s"$root/data/$n"): _*)
-          .select(keyFields.map(f => col(f.name)) :+
-            substring_index(col("_metadata.file_path"), "/", -1).as("_file") :+
-            col("_metadata.row_index").as("_pos") :+ col("_lsn"): _*)
-        val itmp = s"$root/tmp/${UUID.randomUUID()}"
-        idx.write.mode("overwrite").parquet(itmp)
-        val iparts = Fio.list(itmp)
-          .filter(n => n.startsWith("part-") && n.endsWith(".parquet")).sorted
-        val inames = iparts.map { p =>
-          val iname = f"idx-${newId()}%09d.parquet"
-          Fio.move(s"$itmp/$p", s"$root/index/$iname")
-          iname
+    // cached pass #1: per-partition row counts + min/max per comparable
+    // column (manifest pruning, reference `parquet_stats_utils.rs`)
+    val statFields = schemaVar.fields.zipWithIndex
+      .filter { case (f, _) => statsComparable(f.dataType) }.toSeq
+    val partStats = prof("  stats pass")(collectPartitionStats(survivors, statFields))
+    // cached pass #2: the key index — positions are partition row
+    // order, exactly what the write just persisted
+    if (identity != Identity.None) {
+      Fio.mkdirs(s"$root/index")
+      val kIdx = keyFields.map(f => schemaVar.fieldIndex(f.name))
+      val lsnPos = schemaVar.fields.length
+      val fileOfPid = pidToName // local: closure must not capture `this`
+      val idxRdd = survivors.rdd.mapPartitionsWithIndex { (pid, it) =>
+        val fname = fileOfPid.getOrElse(pid, null)
+        var pos = -1L
+        it.map { r =>
+          pos += 1
+          Row.fromSeq(kIdx.map(r.get) :+ fname :+ pos :+ r.getLong(lsnPos))
         }
-        Fio.delete(itmp)
-        inames.foreach(n => indexFiles += IndexFileEntry(n, names))
-        // per-file row counts from the (narrow) index parquet
-        spark.read.parquet(inames.map(n => s"$root/index/$n"): _*)
-          .groupBy(col("_file")).count().collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toMap
-      } else
-        spark.read.schema(withLsn)
-          .parquet(names.map(n => s"$root/data/$n"): _*)
-          .groupBy(substring_index(col("_metadata.file_path"), "/", -1).as("_f"))
-          .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    names.foreach { n =>
-      val rows = counts.getOrElse(n, 0L)
-      if (rows == 0L) Fio.delete(s"$root/data/$n")
-      else fileEntries(n) =
-        DataFileEntry(n, rows, Fio.sizeOf(s"$root/data/$n"), maxLsn)
+      }
+      val itmp = s"$root/tmp/${UUID.randomUUID()}"
+      prof("  index write")(spark.createDataFrame(idxRdd, indexSchema)
+        .write.mode("overwrite").parquet(itmp))
+      val iparts = Fio.list(itmp)
+        .filter(n => n.startsWith("part-") && n.endsWith(".parquet")).sorted
+      val inames = iparts.map { p =>
+        val iname = f"idx-${newId()}%09d.parquet"
+        Fio.move(s"$itmp/$p", s"$root/index/$iname")
+        iname
+      }
+      Fio.delete(itmp)
+      val allNames = pidToName.values.toSeq
+      inames.foreach(n => indexFiles += IndexFileEntry(n, allNames))
     }
+    pidToName.foreach { case (pid, n) =>
+      partStats.get(pid).filter(_._1 > 0L) match {
+        case Some((rows, stats)) =>
+          fileEntries(n) = DataFileEntry(n, rows,
+            Fio.sizeOf(s"$root/data/$n"), maxLsn, 0L, stats)
+        case scala.None => Fio.delete(s"$root/data/$n")
+      }
+    }
+  }
+
+  /** One narrow pass over the (persisted) survivors frame: per-partition
+   *  row count + min/max per stats column. The driver receives one tiny
+   *  tuple per partition, never rows. */
+  private def collectPartitionStats(survivors: DataFrame,
+      statFields: Seq[(StructField, Int)])
+      : Map[Int, (Long, Map[String, Seq[String]])] = {
+    val ords = statFields.map { case (f, _) => anyOrdering(f.dataType) }
+    val idxs = statFields.map(_._2).toArray
+    survivors.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var n = 0L
+      val mins = Array.fill[Any](idxs.length)(null)
+      val maxs = Array.fill[Any](idxs.length)(null)
+      it.foreach { r =>
+        n += 1
+        var j = 0
+        while (j < idxs.length) {
+          val v = r.get(idxs(j))
+          if (v != null) {
+            if (mins(j) == null || ords(j).lt(v, mins(j))) mins(j) = v
+            if (maxs(j) == null || ords(j).gt(v, maxs(j))) maxs(j) = v
+          }
+          j += 1
+        }
+      }
+      Iterator.single((pid, n, mins.toSeq, maxs.toSeq))
+    }.collect().map { case (pid, n, mins, maxs) =>
+      val stats = statFields.zipWithIndex.map { case ((f, _), j) =>
+        f.name -> (if (mins(j) == null) Seq.empty[String]
+                   else Seq(mins(j).toString, maxs(j).toString))
+      }.toMap
+      pid -> (n, stats)
+    }.toMap
   }
 
   /** Block until all mutations at-or-below `lsn` are durably flushed to
@@ -602,7 +662,9 @@ final class GraftTable private (
         .filter { case (_, f, p) =>
           fileEntries.contains(f) && !dvMap.get(f).exists(_.contains(p)) }
         .sorted.reverse.toList // newest (lsn, file, pos) first
-      dlsns.sorted.foreach { dlsn =>
+      // distinct: at-least-once delivery (WAL replay) may repeat a
+      // delete at the same (key, lsn) — a replay must not pop twice
+      dlsns.distinct.sorted.foreach { dlsn =>
         live.find(_._1 < dlsn).foreach { hit =>
           live = live.filterNot(_ == hit)
           val (_, f, p) = hit
@@ -621,7 +683,7 @@ final class GraftTable private (
   // =====================================================================
 
   def publish(): Long = synchronized {
-    resolveCommittedDeletes()
+    prof("resolveDeletes")(resolveCommittedDeletes())
     if (newDvPairs.nonEmpty) {
       Fio.mkdirs(s"$root/dv")
       val name = f"dv-${newId()}%09d.parquet"

@@ -173,6 +173,23 @@ class BatchIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.drop()
   }
 
+  test("batch-written files carry min/max stats that prune the scan") {
+    val t = mkTable(TableConfig(walEnabled = false, rowsPerFile = 500))
+    // 4 partitions of contiguous ids -> 4 files with disjoint id ranges
+    val base = spark.range(1, 2001, 1, 4).select(
+      lit("i").as("_op"), col("id").as("_lsn"), lit(null).cast("long").as("_xact"),
+      col("id"), col("id").as("v"), lit("x").as("tag"))
+    CdcPipeline.applyBatch(t, base)
+    val m = t.currentManifest
+    assert(m.dataFiles.size == 4)
+    assert(m.dataFiles.forall(_.stats.get("id").exists(_.size == 2)))
+    val pruned = t.prunedRead("id", lo = Some(1L), hi = Some(10L))
+    // the manifest stats prune the file list before Spark ever plans it
+    assert(pruned.inputFiles.length == 1)
+    assert(pruned.where(col("id") <= 10).count() == 10)
+    t.drop()
+  }
+
   test("anti-join DV fallback above the broadcast threshold") {
     val t = GraftTable.create(spark, tmpDir() + "/aj", schema,
       Identity.Keys(Seq("id")),
