@@ -2,6 +2,7 @@ package graft
 
 import graft.model._
 import graft.operators._
+import graft.sources.{OtelIngest, OtelSchema}
 import graft.streaming.CdcPipeline
 import graft.table._
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -390,6 +391,32 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    "cdc_initial_copy" -> ((s, d) => {
+      // S2: snapshot of an "existing source table" at the boundary LSN
+      // (latest row per user), adopted via initial copy; the CDC stream
+      // overlaps the copy, so ALL events are buffered and the replay
+      // must drop those at-or-below the boundary. Final state must be
+      // identical to running the whole stream as upserts.
+      val table = GraftTable.create(s, freshDir("ic"), eventTableSchema,
+        Identity.Keys(Seq("user_id")), ingestCfg)
+      val ev = cdcEventFrame(s, d, None)
+      val mm = ev.agg(min(col("_lsn")), max(col("_lsn"))).head()
+      val boundary = (mm.getLong(0) + mm.getLong(1)) / 2
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("event_id").desc)
+      val snapshot = events(s, d).where(col("event_id") <= boundary)
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      val ic = new graft.streaming.InitialCopy(table, boundary)
+      ic.onEvents(ev) // the full stream arrives mid-copy: all buffered
+      ic.finish(snapshot)
+      table.read(None)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"),
+          cents(col("value")).as("value_cents"))
+        .orderBy("user_id")
+    }),
+
     "cdc_union_read" -> ((s, d) => {
       // huge mem slice: half the stream flushed manually, half served
       // from the in-memory tail -> exercises the union read (S11)
@@ -410,6 +437,48 @@ object SparkEntry {
         .select(col("user_id"), col("event_id").as("last_event_id"),
           col("event_type").as("last_event_type"),
           cents(col("value")).as("value_cents"))
+        .orderBy("user_id")
+    }),
+
+    "otel_metrics_agg" -> ((s, d) => {
+      // S6 end-to-end: synthesize OTLP/HTTP JSON metric exports from
+      // the events table (one request per user, one gauge data point
+      // per event, proto3-JSON int64-as-string encoding), convert via
+      // the distributed OTLP->row path, ingest into an OTEL metrics
+      // table, then aggregate per user_id attribute.
+      val pay = events(s, d)
+        .groupBy(col("user_id"))
+        .agg(collect_list(struct(col("ts"), col("value"))).as("pts"))
+        .select(to_json(struct(array(struct(
+          lit("https://opentelemetry.io/schemas/1.21.0").as("schemaUrl"),
+          struct(array(struct(lit("service.name").as("key"),
+            struct(lit("graft-events").as("stringValue")).as("value")))
+            .as("attributes")).as("resource"),
+          array(struct(
+            struct(lit("graft.meter").as("name"),
+              lit("1.0").as("version")).as("scope"),
+            array(struct(
+              lit("events.value").as("name"),
+              lit("event value stream").as("description"),
+              lit("1").as("unit"),
+              struct(transform(col("pts"), p => struct(
+                p("ts").cast("string").as("timeUnixNano"),
+                p("value").as("asDouble"),
+                array(struct(lit("user_id").as("key"),
+                  struct(col("user_id").cast("string").as("intValue"))
+                    .as("value"))).as("attributes")))
+                .as("dataPoints")).as("gauge"))).as("metrics")))
+            .as("scopeMetrics"))).as("resourceMetrics"))).as("payload"))
+      val table = GraftTable.create(s, freshDir("otel"), OtelSchema.schema,
+        Identity.None, TableConfig(walEnabled = false))
+      OtelIngest.ingest(table, OtelIngest.metricsToRows(pay, "payload"),
+        startLsn = 1)
+      OtelSchema.explodeAttrs(table.read(None))
+        .where(col("attr_key") === "user_id" && col("metric_type") === "gauge")
+        .groupBy(col("attr_value").cast("long").as("user_id"))
+        .agg(count(lit(1)).as("n"),
+          cents(sum(col("value_double"))).as("value_cents"),
+          expr("min(time_unix_nano) DIV 1000").as("first_us"))
         .orderBy("user_id")
     }),
 
@@ -654,11 +723,18 @@ object SparkEntry {
     "cdc_upsert_state" -> cdcUpsertOracle,
     "cdc_delete_state" -> cdcDeleteOracle,
     "cdc_compact_state" -> cdcDeleteOracle,
+    "cdc_initial_copy" -> cdcUpsertOracle,
     "cdc_union_read" -> cdcUpsertOracle,
 
     "cdc_append_scan" ->
       """SELECT event_type, count(*) AS n,
         |       CAST(ROUND(SUM(value)*100) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "otel_metrics_agg" ->
+      """SELECT user_id, count(*) AS n,
+        |       CAST(ROUND(SUM(value)*100) AS BIGINT) AS value_cents,
+        |       epoch_us(MIN(ts)) AS first_us
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "text_stats" ->

@@ -1,0 +1,202 @@
+package graft.sources
+
+import graft.streaming.CdcPipeline
+import graft.table.GraftTable
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * OTLP metrics → rows (S6, the conversion half): turns OTLP/HTTP JSON
+ * `ExportMetricsServiceRequest` payloads into one wide row per metric
+ * data point in `OtelSchema.schema` — the Spark-native re-expression
+ * of the reference's protobuf walker
+ * (`moonlink_service/src/otel/otel_to_moonlink_pb.rs`
+ * `export_metrics_to_moonlink_rows`: resource → scope → metric →
+ * gauge/sum/histogram data points; schema `otel_schema.rs:124-278`).
+ *
+ * Wire format: the OTLP JSON mapping is the protobuf JSON mapping, so
+ * int64 fields (`timeUnixNano`, `asInt`, `count`, `bucketCounts`)
+ * arrive as strings and are cast here. The whole conversion is
+ * declarative (from_json + explode + transform) — it runs distributed
+ * over a frame of payloads with no driver-side parsing, unlike the
+ * reference's per-request service loop.
+ */
+object OtelIngest {
+
+  private val jAttrValue = StructType(Seq(
+    StructField("stringValue", StringType),
+    StructField("boolValue", BooleanType),
+    StructField("intValue", StringType), // proto3 JSON: int64 as string
+    StructField("doubleValue", DoubleType)))
+
+  private val jAttrs = ArrayType(StructType(Seq(
+    StructField("key", StringType),
+    StructField("value", jAttrValue))))
+
+  private val jNumberDp = StructType(Seq(
+    StructField("startTimeUnixNano", StringType),
+    StructField("timeUnixNano", StringType),
+    StructField("asDouble", DoubleType),
+    StructField("asInt", StringType),
+    StructField("attributes", jAttrs),
+    StructField("flags", IntegerType)))
+
+  private val jHistDp = StructType(Seq(
+    StructField("startTimeUnixNano", StringType),
+    StructField("timeUnixNano", StringType),
+    StructField("count", StringType),
+    StructField("sum", DoubleType),
+    StructField("bucketCounts", ArrayType(StringType)),
+    StructField("explicitBounds", ArrayType(DoubleType)),
+    StructField("min", DoubleType),
+    StructField("max", DoubleType),
+    StructField("attributes", jAttrs),
+    StructField("flags", IntegerType)))
+
+  private val jMetric = StructType(Seq(
+    StructField("name", StringType),
+    StructField("description", StringType),
+    StructField("unit", StringType),
+    StructField("gauge", StructType(Seq(
+      StructField("dataPoints", ArrayType(jNumberDp))))),
+    StructField("sum", StructType(Seq(
+      StructField("dataPoints", ArrayType(jNumberDp)),
+      StructField("aggregationTemporality", IntegerType),
+      StructField("isMonotonic", BooleanType)))),
+    StructField("histogram", StructType(Seq(
+      StructField("dataPoints", ArrayType(jHistDp)),
+      StructField("aggregationTemporality", IntegerType))))))
+
+  private val jScopeMetrics = StructType(Seq(
+    StructField("scope", StructType(Seq(
+      StructField("name", StringType),
+      StructField("version", StringType),
+      StructField("attributes", jAttrs)))),
+    StructField("metrics", ArrayType(jMetric))))
+
+  private val jResourceMetrics = StructType(Seq(
+    StructField("schemaUrl", StringType),
+    StructField("resource", StructType(Seq(
+      StructField("attributes", jAttrs)))),
+    StructField("scopeMetrics", ArrayType(jScopeMetrics))))
+
+  /** OTLP/HTTP JSON ExportMetricsServiceRequest (metrics subset). */
+  val requestSchema: StructType = StructType(Seq(
+    StructField("resourceMetrics", ArrayType(jResourceMetrics))))
+
+  /** `attrList` with nullability relaxed: a cast target may not add
+   *  NOT NULL constraints. */
+  private val attrListNullable: ArrayType = ArrayType(StructType(Seq(
+    StructField("key", StringType),
+    StructField("value", OtelSchema.attrValue))))
+
+  /** JSON attribute list -> the table's attrList encoding. Aliases
+   *  inside a transform() lambda don't survive analysis, so the final
+   *  cast renames the struct fields positionally. */
+  private def convAttrs(c: Column): Column =
+    transform(c, a => struct(
+      a("key"),
+      struct(
+        a("value")("stringValue"),
+        a("value")("boolValue"),
+        a("value")("intValue").cast(LongType),
+        a("value")("doubleValue")))).cast(attrListNullable)
+
+  /**
+   * One row per data point, in `OtelSchema.schema` column order.
+   * `payloadCol` holds OTLP JSON request bodies (one request per input
+   * row; a frame of many requests converts in one distributed pass).
+   */
+  def metricsToRows(payloads: DataFrame, payloadCol: String): DataFrame = {
+    val metrics = payloads
+      .select(explode(from_json(col(payloadCol), requestSchema)
+        .getField("resourceMetrics")).as("rm"))
+      .select(
+        col("rm.schemaUrl").as("resource_schema_url"),
+        convAttrs(col("rm.resource.attributes")).as("resource_attributes"),
+        explode(col("rm.scopeMetrics")).as("sm"))
+      .select(
+        col("resource_schema_url"), col("resource_attributes"),
+        col("sm.scope.name").as("scope_name"),
+        col("sm.scope.version").as("scope_version"),
+        convAttrs(col("sm.scope.attributes")).as("scope_attributes"),
+        explode(col("sm.metrics")).as("m"))
+
+    // first select (still has `m`): alias the metric descriptor
+    def common = Seq(
+      col("resource_schema_url"), col("resource_attributes"),
+      col("scope_name"), col("scope_version"), col("scope_attributes"),
+      col("m.name").as("metric_name"),
+      col("m.description").as("metric_description"),
+      col("m.unit").as("metric_unit"))
+    // second select (after the data-point explode): plain names only
+    def commonOut = Seq(
+      col("resource_schema_url"), col("resource_attributes"),
+      col("scope_name"), col("scope_version"), col("scope_attributes"),
+      col("metric_name"), col("metric_description"), col("metric_unit"))
+
+    def dpCommon = Seq(
+      col("dp.startTimeUnixNano").cast(LongType).as("start_time_unix_nano"),
+      col("dp.timeUnixNano").cast(LongType).as("time_unix_nano"),
+      convAttrs(col("dp.attributes")).as("attributes"),
+      col("dp.flags").as("flags"))
+
+    val nullHist = Seq(
+      lit(null).cast(LongType).as("count"),
+      lit(null).cast(DoubleType).as("sum"),
+      lit(null).cast(ArrayType(LongType)).as("bucket_counts"),
+      lit(null).cast(ArrayType(DoubleType)).as("explicit_bounds"),
+      lit(null).cast(DoubleType).as("min"),
+      lit(null).cast(DoubleType).as("max"))
+
+    // gauge: no temporality/monotonicity (reference passes -1/false,
+    // `otel_to_moonlink_pb.rs` gauge arm)
+    val gauge = metrics.where(col("m.gauge").isNotNull)
+      .select(common :+ explode(col("m.gauge.dataPoints")).as("dp"): _*)
+      .select(commonOut ++ Seq(lit("gauge").as("metric_type")) ++ dpCommon ++ Seq(
+        col("dp.asDouble").as("value_double"),
+        col("dp.asInt").cast(LongType).as("value_int"),
+        lit(false).as("is_monotonic"),
+        lit(-1).as("aggregation_temporality")) ++ nullHist: _*)
+
+    val sum = metrics.where(col("m.sum").isNotNull)
+      .select(common ++ Seq(
+        col("m.sum.aggregationTemporality").as("_temp"),
+        col("m.sum.isMonotonic").as("_mono"),
+        explode(col("m.sum.dataPoints")).as("dp")): _*)
+      .select(commonOut ++ Seq(lit("sum").as("metric_type")) ++ dpCommon ++ Seq(
+        col("dp.asDouble").as("value_double"),
+        col("dp.asInt").cast(LongType).as("value_int"),
+        col("_mono").as("is_monotonic"),
+        col("_temp").as("aggregation_temporality")) ++ nullHist: _*)
+
+    val hist = metrics.where(col("m.histogram").isNotNull)
+      .select(common ++ Seq(
+        col("m.histogram.aggregationTemporality").as("_temp"),
+        explode(col("m.histogram.dataPoints")).as("dp")): _*)
+      .select(commonOut ++ Seq(lit("histogram").as("metric_type")) ++ dpCommon ++ Seq(
+        lit(null).cast(DoubleType).as("value_double"),
+        lit(null).cast(LongType).as("value_int"),
+        lit(null).cast(BooleanType).as("is_monotonic"),
+        col("_temp").as("aggregation_temporality"),
+        col("dp.count").cast(LongType).as("count"),
+        col("dp.sum").as("sum"),
+        transform(col("dp.bucketCounts"), _.cast(LongType)).as("bucket_counts"),
+        col("dp.explicitBounds").as("explicit_bounds"),
+        col("dp.min").as("min"),
+        col("dp.max").as("max")): _*)
+
+    val ordered = OtelSchema.schema.fieldNames.toSeq
+    gauge.select(ordered.map(col): _*)
+      .unionByName(sum.select(ordered.map(col): _*))
+      .unionByName(hist.select(ordered.map(col): _*))
+  }
+
+  /** Append converted data points to an OTEL metrics table (the sink
+   *  half of S6; append-only, like the reference's metrics table). */
+  def ingest(table: GraftTable, dataPoints: DataFrame, startLsn: Long): Long =
+    CdcPipeline.applyBatch(table, dataPoints
+      .withColumn("_op", lit("i"))
+      .withColumn("_lsn", monotonically_increasing_id() + startLsn))
+}

@@ -1060,6 +1060,22 @@ final class GraftTable private (
     publish()
   }
 
+  /** Initial table copy (S2): adopt a snapshot of an existing source
+   *  table as this table's base state at `boundaryLsn` — the Spark
+   *  shape of the reference's CTID-sharded parallel COPY (the snapshot
+   *  frame's partitions ARE the shards; `initial_copy.rs:57-219`,
+   *  `postgres_source.rs:339`). CDC catch-up then applies events with
+   *  lsn > boundaryLsn on top; snapshot rows carry the boundary LSN so
+   *  later deletes resolve against them LSN-exactly. */
+  def initialCopy(snapshot: DataFrame, boundaryLsn: Long): Long = synchronized {
+    require(fileEntries.isEmpty && tail.isEmpty && xacts.isEmpty,
+      "initial copy requires an empty table")
+    val ev = snapshot.select(
+      lit("i").as("_op") +: lit(boundaryLsn).as("_lsn") +:
+      schemaVar.fieldNames.toSeq.map(col): _*)
+    applyBatchDF(ev, boundaryLsn, hasDeletes = false)
+  }
+
   /** Drop table (M13, reference `table_handler.rs:158-185`). */
   def drop(): Unit = synchronized { Fio.delete(root) }
 

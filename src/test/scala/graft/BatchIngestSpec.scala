@@ -190,6 +190,27 @@ class BatchIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.drop()
   }
 
+  test("initial copy: snapshot + buffered catch-up, boundary drop") {
+    val t = mkTable()
+    val ic = new graft.streaming.InitialCopy(t, boundaryLsn = 10)
+    // stream overlaps the copy: events 8,9 are already IN the snapshot
+    // (duplicates, must be dropped); 11-13 are genuine catch-up
+    ic.onEvents(frame(Seq(
+      fr("u", 8, 1, 999, "stale"), // <= boundary: dropped
+      fr("u", 9, 2, 999, "stale"), // <= boundary: dropped
+      fr("u", 11, 1, 11, "new"),   // upsert of a snapshot row -> DV
+      fr("d", 12, 2),              // delete of a snapshot row -> DV
+      fr("i", 13, 4, 40, "ins")))) // brand-new key
+    val snap = spark.createDataFrame(Seq(
+      Row(1L, 10L, "a"), Row(2L, 20L, "b"), Row(3L, 30L, "c")).asJava, schema)
+    ic.finish(snap)
+    assert(state(t) == Set((1L, 11L, "new"), (3L, 30L, "c"), (4L, 40L, "ins")))
+    assert(t.commitLsn == 13)
+    // a second finish or late buffering must be rejected
+    intercept[IllegalArgumentException](ic.onEvents(frame(Seq(fr("i", 14, 9)))))
+    t.drop()
+  }
+
   test("anti-join DV fallback above the broadcast threshold") {
     val t = GraftTable.create(spark, tmpDir() + "/aj", schema,
       Identity.Keys(Seq("id")),
