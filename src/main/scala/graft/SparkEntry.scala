@@ -2,7 +2,7 @@ package graft
 
 import graft.model._
 import graft.operators._
-import graft.sources.{OtelIngest, OtelSchema}
+import graft.sources.{AvroIngest, OtelIngest, OtelSchema}
 import graft.streaming.CdcPipeline
 import graft.table._
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -440,6 +440,35 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "kafka_avro_ingest" -> ((s, d) => {
+      // S5 end-to-end: events re-encoded as Avro-JSON datums against a
+      // declared Avro schema with a nullable union ('view' events carry
+      // a null event_type branch), decoded distributed, appended, then
+      // aggregated. The union-null branch must survive the round trip.
+      val avroSchema =
+        """{"type":"record","name":"Event","fields":[
+          |  {"name":"user_id","type":"long"},
+          |  {"name":"event_id","type":"long"},
+          |  {"name":"event_type","type":["null","string"]},
+          |  {"name":"value","type":"double"}]}""".stripMargin
+      val payloads = events(s, d).select(to_json(struct(
+        col("user_id"), col("event_id"),
+        when(col("event_type") === "view",
+            lit(null).cast(org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("string",
+                org.apache.spark.sql.types.StringType)))))
+          .otherwise(struct(col("event_type").as("string"))).as("event_type"),
+        col("value"))).as("datum"))
+      val table = GraftTable.create(s, freshDir("avro"),
+        AvroIngest.schemaToStruct(avroSchema),
+        Identity.None, TableConfig(walEnabled = false))
+      AvroIngest.ingest(table, payloads, "datum", avroSchema, startLsn = 1)
+      table.read(None)
+        .groupBy(coalesce(col("event_type"), lit("(null)")).as("etype"))
+        .agg(count(lit(1)).as("n"), cents(sum(col("value"))).as("value_cents"))
+        .orderBy("etype")
+    }),
+
     "otel_metrics_agg" -> ((s, d) => {
       // S6 end-to-end: synthesize OTLP/HTTP JSON metric exports from
       // the events table (one request per user, one gauge data point
@@ -728,6 +757,12 @@ object SparkEntry {
 
     "cdc_append_scan" ->
       """SELECT event_type, count(*) AS n,
+        |       CAST(ROUND(SUM(value)*100) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "kafka_avro_ingest" ->
+      """SELECT CASE WHEN event_type = 'view' THEN '(null)' ELSE event_type END AS etype,
+        |       count(*) AS n,
         |       CAST(ROUND(SUM(value)*100) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
