@@ -440,6 +440,95 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "cdc_stream_xact" -> ((s, d) => {
+      // M6: the stream routed through 8 interleaved streaming
+      // transactions (xact = user_id % 8); xact 3 aborts AFTER staged
+      // pre-commit flushes (memSliceSize 256 forces them), the rest
+      // commit at the end — aborted rows must vanish, including rows
+      // already staged to parquet (transaction_stream.rs:334).
+      val cfg = TableConfig(memSliceSize = 256, walEnabled = false)
+      val table = GraftTable.create(s, freshDir("sx"), eventTableSchema,
+        Identity.Keys(Seq("user_id")), cfg)
+      val evs = orderedEvents(s, d).filter(_.getLong(0) % 3 == 0)
+      val apps: Seq[CdcEvent] = evs.toSeq.map { r =>
+        Append(Row(r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)),
+          r.getLong(1), Some(r.getLong(0) % 8))
+      }
+      val maxLsn = evs.map(_.getLong(1)).max
+      val ctl: Seq[CdcEvent] = (0L until 8L).map { x =>
+        if (x == 3) StreamAbort(x) else Commit(maxLsn + x + 1, Some(x))
+      }
+      table.apply(apps ++ ctl)
+      table.read(None)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), cents(sum(col("value"))).as("value_cents"))
+        .orderBy("event_type")
+    }),
+
+    "cdc_wal_replay" -> ((s, d) => {
+      // M12: ingest through the WAL with flushing disabled, then crash
+      // and reopen — every committed-but-unflushed row must replay
+      // from the WAL (reference test_wal_recovery.rs).
+      val root = freshDir("wal")
+      val cfg = TableConfig(memSliceSize = Int.MaxValue, walEnabled = true)
+      val t0 = GraftTable.create(s, root, eventTableSchema,
+        Identity.Keys(Seq("user_id")), cfg)
+      val evs = orderedEvents(s, d).filter(_.getLong(0) % 7 == 0)
+      val ups = evs.toSeq.flatMap { r =>
+        CdcEvent.upsert(Row(r.getLong(0), r.getLong(1), r.getString(2),
+          r.getDouble(3)), Seq(r.getLong(0)), r.getLong(1))
+      }
+      t0.apply(ups :+ Commit(evs.map(_.getLong(1)).max))
+      // t0 is abandoned unflushed; open() replays the WAL into a fresh
+      // instance over the same root
+      val t = GraftTable.open(s, root, Identity.Keys(Seq("user_id")), cfg)
+      t.read(None)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          cents(col("value")).as("value_cents"))
+        .orderBy("user_id")
+    }),
+
+    "cdc_alter_drop" -> ((s, d) => {
+      // M14: distributed upsert ingest, then drop a column; reads must
+      // project the survivors only (mooncake_table.rs:616).
+      val table = runCdc(s, d, deleteType = None)
+      table.alterDropColumns(Seq("event_type"))
+      table.read(None)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          cents(col("value")).as("value_cents"))
+        .orderBy("user_id")
+    }),
+
+    "cdc_bulk_load" -> ((s, d) => {
+      // S7 + M2: bulk-adopt a latest-per-user snapshot parquet without
+      // rewriting (index built at the load LSN), then CDC-delete the
+      // purchase-final users via the distributed path — deletes must
+      // resolve through the loaded files' index into DVs.
+      val table = GraftTable.create(s, freshDir("bl"), eventTableSchema,
+        Identity.Keys(Seq("user_id")), ingestCfg)
+      val boundary = events(s, d).agg(max(col("event_id"))).head().getLong(0)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+      val snap = events(s, d)
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      val srcDir = freshDir("blsrc")
+      snap.write.parquet(srcDir)
+      val files = new java.io.File(srcDir).list()
+        .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+        .map(n => s"$srcDir/$n").toSeq
+      table.loadFiles(files, boundary)
+      CdcPipeline.applyBatch(table, snap
+        .where(col("event_type") === "purchase")
+        .select(lit("d").as("_op"), lit(boundary + 1).as("_lsn"),
+          col("user_id"), lit(null).cast("long").as("event_id"),
+          lit(null).cast("string").as("event_type"),
+          lit(null).cast("double").as("value")))
+      table.read(None)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          cents(col("value")).as("value_cents"))
+        .orderBy("user_id")
+    }),
+
     "kafka_avro_ingest" -> ((s, d) => {
       // S5 end-to-end: events re-encoded as Avro-JSON datums against a
       // declared Avro schema with a nullable union ('view' events carry
@@ -759,6 +848,38 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n,
         |       CAST(ROUND(SUM(value)*100) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "cdc_stream_xact" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(ROUND(SUM(value)*100) AS BIGINT) AS value_cents
+        |FROM events
+        |WHERE user_id % 3 = 0 AND user_id % 8 <> 3
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "cdc_wal_replay" ->
+      """SELECT user_id, event_id AS last_event_id,
+        |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
+        |FROM events
+        |WHERE user_id % 7 = 0
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "cdc_alter_drop" ->
+      """SELECT user_id, event_id AS last_event_id,
+        |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "cdc_bulk_load" ->
+      """WITH last AS (
+        |  SELECT user_id, event_id, event_type, value
+        |  FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)
+        |SELECT user_id, event_id AS last_event_id,
+        |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
+        |FROM last WHERE event_type <> 'purchase'
+        |ORDER BY user_id""".stripMargin,
 
     "kafka_avro_ingest" ->
       """SELECT CASE WHEN event_type = 'view' THEN '(null)' ELSE event_type END AS etype,

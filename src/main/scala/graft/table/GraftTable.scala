@@ -1038,21 +1038,28 @@ final class GraftTable private (
 
   /** Bulk parquet load (S7): adopt existing parquet files as table data
    *  without rewriting; index built unless append-only (reference
-   *  `batch_ingestion.rs:71,166`). */
+   *  `batch_ingestion.rs:71,166`). One metadata job covers every
+   *  per-file row count — not a driver loop of one job per file. */
   def loadFiles(files: Seq[String], lsn: Long): Unit = synchronized {
     Fio.mkdirs(s"$root/data")
-    val entries = files.map { src =>
+    val renamed = files.map { src =>
       val name = f"data-${newId()}%09d.parquet"
-      val rows = spark.read.parquet(src).count()
       Fio.move(src, s"$root/data/$name")
-      DataFileEntry(name, rows, Fio.sizeOf(s"$root/data/$name"), lsn)
+      name
     }
-    entries.foreach(e => fileEntries(e.path) = e)
-    if (identity != Identity.None) {
+    val counts = spark.read.schema(schemaVar)
+      .parquet(renamed.map(n => s"$root/data/$n"): _*)
+      .groupBy(substring_index(col("_metadata.file_path"), "/", -1).as("_f"))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (kept, empty) = renamed.partition(n => counts.getOrElse(n, 0L) > 0L)
+    empty.foreach(n => Fio.delete(s"$root/data/$n"))
+    kept.foreach(n => fileEntries(n) =
+      DataFileEntry(n, counts(n), Fio.sizeOf(s"$root/data/$n"), lsn))
+    if (identity != Identity.None && kept.nonEmpty) {
       Fio.mkdirs(s"$root/index")
       // loaded rows exist as of the load LSN: earlier deletes must not
       // target them, later ones match via _lsn < _dlsn
-      indexFiles += buildIndex(s"$root/data", entries.map(_.path),
+      indexFiles += buildIndex(s"$root/data", kept,
         s"$root/index", lsnValue = lsn)
     }
     commitLsnVar = math.max(commitLsnVar, lsn)
