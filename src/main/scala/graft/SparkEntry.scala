@@ -639,7 +639,7 @@ object SparkEntry {
 
     "dedup_simhash" -> ((s, d) => {
       Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text",
-          maxHamming = 12, blockBits = 4)
+          maxHamming = 12)
         .orderBy("id_a", "id_b")
     }),
 

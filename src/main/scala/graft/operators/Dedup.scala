@@ -187,22 +187,43 @@ object Dedup {
 
   /**
    * SimHash near-dup: docs whose 64-bit simhash fingerprints are within
-   * `maxHamming` bits. Blocked on the top `blockBits` bits of the
-   * fingerprint (near-identical docs share the prefix with high
-   * probability; a production variant unions several bit-rotations).
+   * `maxHamming` bits.
+   *
+   * Candidate generation has FULL recall by pigeonhole blocking: the
+   * fingerprint splits into `maxHamming + 1` disjoint bit chunks, so
+   * any pair differing in <= maxHamming bits agrees EXACTLY on at
+   * least one chunk and collides in that chunk's block — no near pair
+   * can be missed, unlike prefix-only blocking (pairs differing in a
+   * top bit never met). Each chunk join touches only ids+chunk values;
+   * exact Hamming verification runs on candidates only.
    */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, blockBits: Int = 16): DataFrame = {
-    val t = df.select(col(idCol).as("id"),
-      TextOps.simhash64(col(textCol)).as("sim"))
-      .withColumn("blk", shiftrightunsigned(col("sim"), 64 - blockBits))
-    val a = t.select(col("blk"), col("id").as("id_a"), col("sim").as("sim_a"))
-    val b = t.select(col("blk"), col("id").as("id_b"), col("sim").as("sim_b"))
-    a.join(b, Seq("blk"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        TextOps.hamming64(col("sim_a"), col("sim_b")).as("hamming"))
+      maxHamming: Int = 3, numBlocks: Int = 0): DataFrame =
+    simhashPairsFrom(
+      df.select(col(idCol).as("id"), TextOps.simhash64(col(textCol)).as("sim")),
+      maxHamming, numBlocks)
+
+  /** Pair generation over a prepared (id, sim) frame — split out so the
+   *  recall guarantee is testable on crafted fingerprints. */
+  private[graft] def simhashPairsFrom(t: DataFrame, maxHamming: Int,
+      numBlocks: Int = 0): DataFrame = {
+    val r = if (numBlocks > 0) numBlocks else maxHamming + 1
+    require(r > maxHamming, "need > maxHamming blocks for full recall")
+    val w = (64 + r - 1) / r // chunk width; last chunk may be narrower
+    val banded = t.select(col("id"), col("sim"),
+      posexplode(array((0 until r).map { i =>
+        val lo = i * w
+        val width = math.min(w, 64 - lo)
+        // bits [lo, lo+width) of the fingerprint
+        shiftrightunsigned(shiftleft(col("sim"), 64 - lo - width), 64 - width)
+      }: _*)).as(Seq("blk_i", "blk_v")))
+    banded.as("a").join(banded.as("b"),
+        col("a.blk_i") === col("b.blk_i") && col("a.blk_v") === col("b.blk_v") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        TextOps.hamming64(col("a.sim"), col("b.sim")).as("hamming"))
       .where(col("hamming") <= maxHamming)
+      .distinct() // a pair may collide in several chunks
   }
 
   /** Embedding cosine near-dup pairs >= `minCosineMilli` (brute force

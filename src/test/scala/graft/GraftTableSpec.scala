@@ -187,6 +187,44 @@ class GraftTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     t2.drop()
   }
 
+  test("awaitPersisted: ack after crash means nothing replays") {
+    // sync-ingest durability ack (reference rest_api.rs:1043-1129):
+    // once awaitPersisted(lsn) returns true the data is in parquet —
+    // a crash afterwards must recover the state with NO WAL replay.
+    val root = tmpDir() + "/users"
+    val t = GraftTable.create(spark, root, userSchema,
+      Identity.Keys(Seq("id")), TableConfig())
+    val worker = new Thread(() => {
+      t.apply(Seq(Append(user(1, "a", 20), 1), Commit(2)))
+      t.flush(); t.publish()
+    })
+    worker.start()
+    assert(t.awaitPersisted(1, timeoutMs = 20000))
+    worker.join()
+    assert(t.flushLsn >= 1)
+    // crash: reopen from disk; WAL below flushLsn was truncated, the
+    // row comes straight from parquet
+    val t2 = GraftTable.open(spark, root, Identity.Keys(Seq("id")))
+    assert(stateOf(t2) == Map(1 -> ("a", 20)))
+    assert(t2.flushLsn >= 1 && t2.read().count() == 1)
+    t2.drop()
+  }
+
+  test("awaitPersisted: crash before ack replays from the WAL") {
+    val root = tmpDir() + "/users"
+    val t = GraftTable.create(spark, root, userSchema,
+      Identity.Keys(Seq("id")), TableConfig())
+    t.apply(Seq(Append(user(1, "a", 20), 1), Commit(2)))
+    // committed, never flushed: the durability ack must NOT fire
+    assert(!t.awaitPersisted(1, timeoutMs = 100))
+    assert(t.flushLsn < 1 && t.commitLsn >= 1)
+    // crash: the row exists only in the WAL; reopen must replay it
+    val t2 = GraftTable.open(spark, root, Identity.Keys(Seq("id")))
+    assert(stateOf(t2) == Map(1 -> ("a", 20)))
+    assert(t2.commitLsn >= 1)
+    t2.drop()
+  }
+
   test("append-only table rejects deletes") {
     val t = GraftTable.create(spark, tmpDir() + "/ao", userSchema,
       Identity.None, TableConfig(walEnabled = false))

@@ -81,6 +81,35 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(close < far, s"one-word edit ($close bits) should beat unrelated ($far bits)")
   }
 
+  test("simhash pigeonhole blocking has full recall vs brute force") {
+    // adversarial fingerprints: pairs differing ONLY in top bits (the
+    // pairs prefix-blocking missed) + random noise, verified against
+    // exact all-pairs hamming
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = rnd.nextLong()
+    val crafted = Seq(
+      0L -> base,
+      1L -> (base ^ (1L << 63)),               // top bit flip
+      2L -> (base ^ (0xFL << 60)),             // 4 top bits flip
+      3L -> (base ^ ((1L << 63) | (1L << 31) | 1L)), // spread flips
+      4L -> ~base)                             // far away
+    val randoms = (5L until 120L).map(i => i -> rnd.nextLong())
+    val all = crafted ++ randoms
+    val k = 6
+    val df = all.toDF("id", "sim")
+    val got = Dedup.simhashPairsFrom(df, maxHamming = k)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expect = (for {
+      (ia, sa) <- all; (ib, sb) <- all if ia < ib
+      if java.lang.Long.bitCount(sa ^ sb) <= k
+    } yield (ia, ib)).toSet
+    assert(expect.contains((0L, 1L)) && expect.contains((0L, 2L)),
+      "test must exercise top-bit pairs")
+    assert(got == expect,
+      s"missed ${expect.diff(got).size}, extra ${got.diff(expect).size}")
+  }
+
   test("exact dedup keeps one representative per duplicated text") {
     import spark.implicits._
     val df = Seq((10L, "Hello, World!"), (20L, "hello world"), (30L, "unrelated"))
