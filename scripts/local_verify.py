@@ -28,7 +28,8 @@ def frame_sig(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     names = tuple(cols[i] for i in order)
     data = sorted((tuple(canon(r[i]) for i in order) for r in rows),
-                  key=lambda t: tuple((x is None, str(x)) for x in t))
+                  key=lambda t: tuple((x is None, type(x).__name__, str(x))
+                                      for x in t))
     return names, data
 
 

@@ -443,13 +443,15 @@ object SparkEntry {
     "cdc_stream_xact" -> ((s, d) => {
       // M6: the stream routed through 8 interleaved streaming
       // transactions (xact = user_id % 8); xact 3 aborts AFTER staged
-      // pre-commit flushes (memSliceSize 256 forces them), the rest
-      // commit at the end — aborted rows must vanish, including rows
-      // already staged to parquet (transaction_stream.rs:334).
-      val cfg = TableConfig(memSliceSize = 256, walEnabled = false)
+      // pre-commit flushes (the mem-slice is sized so every xact stages
+      // roughly once regardless of SF), the rest commit at the end —
+      // aborted rows must vanish, including rows already staged to
+      // parquet (transaction_stream.rs:334).
+      val evs = orderedEvents(s, d).filter(_.getLong(0) % 3 == 0)
+      val cfg = TableConfig(memSliceSize = math.max(256, evs.length / 8),
+        walEnabled = false)
       val table = GraftTable.create(s, freshDir("sx"), eventTableSchema,
         Identity.Keys(Seq("user_id")), cfg)
-      val evs = orderedEvents(s, d).filter(_.getLong(0) % 3 == 0)
       val apps: Seq[CdcEvent] = evs.toSeq.map { r =>
         Append(Row(r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)),
           r.getLong(1), Some(r.getLong(0) % 8))
@@ -587,10 +589,14 @@ object SparkEntry {
                     .as("value"))).as("attributes")))
                 .as("dataPoints")).as("gauge"))).as("metrics")))
             .as("scopeMetrics"))).as("resourceMetrics"))).as("payload"))
+        // the converter's three branches (gauge/sum/histogram) each
+        // scan the payload frame; persist so synthesis runs once
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val table = GraftTable.create(s, freshDir("otel"), OtelSchema.schema,
         Identity.None, TableConfig(walEnabled = false))
-      OtelIngest.ingest(table, OtelIngest.metricsToRows(pay, "payload"),
+      try OtelIngest.ingest(table, OtelIngest.metricsToRows(pay, "payload"),
         startLsn = 1)
+      finally pay.unpersist()
       OtelSchema.explodeAttrs(table.read(None))
         .where(col("attr_key") === "user_id" && col("metric_type") === "gauge")
         .groupBy(col("attr_value").cast("long").as("user_id"))
@@ -638,8 +644,10 @@ object SparkEntry {
     }),
 
     "dedup_simhash" -> ((s, d) => {
+      // hamming <= 6 of 64: the typical near-dup band; pigeonhole
+      // blocking = 7 chunks of 9+ bits, so blocks stay selective
       Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text",
-          maxHamming = 12)
+          maxHamming = 6)
         .orderBy("id_a", "id_b")
     }),
 

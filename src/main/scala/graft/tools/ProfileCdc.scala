@@ -60,12 +60,13 @@ object ProfileCdc {
         .orderBy("user_id").collect()
     }
 
-    // marginal-throughput probe: one 1M-event batch (10 shifted copies
-    // of the sf0.1 stream; unique users+LSNs per copy)
-    val big = time("build 1M frame") {
+    // marginal-throughput probe: one large batch (`copies` shifted
+    // copies of the stream; unique users+LSNs per copy)
+    val copies = args.lift(1).map(_.toInt).getOrElse(10)
+    val big = time(s"build ${copies}x frame") {
       val base = spark.read.schema(sch).parquet(s"$dir/events.parquet")
       val n = base.count()
-      val b = (0 until 10).map { i =>
+      val b = (0 until copies).map { i =>
         base.select(lit("u").as("_op"),
           (col("event_id") + i * n).as("_lsn"),
           (col("user_id") + i * 100000).as("user_id"),
@@ -78,7 +79,7 @@ object ProfileCdc {
       java.nio.file.Files.createTempDirectory("prof2").toString + "/t",
       tableSchema, Identity.Keys(Seq("user_id")),
       TableConfig(memSliceSize = 4096, walEnabled = false))
-    time("applyBatch 1M")(CdcPipeline.applyBatch(t2, big))
+    time(s"applyBatch ${copies}00k")(CdcPipeline.applyBatch(t2, big))
     big.unpersist()
     spark.stop()
   }
