@@ -2,7 +2,7 @@ package graft
 
 import graft.model._
 import graft.operators._
-import graft.sources.{AvroIngest, OtelIngest, OtelSchema}
+import graft.sources.{AvroIngest, OtelIngest, OtelSchema, ProtoIngest}
 import graft.streaming.CdcPipeline
 import graft.table._
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -531,6 +531,27 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "proto_row_ingest" -> ((s, d) => {
+      // S4 end-to-end: events encoded as MoonlinkRow protobuf wire
+      // messages, decoded distributed, appended, aggregated — the
+      // /ingestpb path round-tripped through the real wire format.
+      val sch = eventTableSchema
+      val src = events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      val payloads = s.createDataFrame(
+        src.rdd.map(r => Row(ProtoIngest.encodeRow(r, sch))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("pb",
+            org.apache.spark.sql.types.BinaryType))))
+      val table = GraftTable.create(s, freshDir("pb"), sch,
+        Identity.None, TableConfig(walEnabled = false))
+      ProtoIngest.ingest(table, payloads, "pb", startLsn = 1)
+      table.read(None)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), cents(sum(col("value"))).as("value_cents"))
+        .orderBy("event_type")
+    }),
+
     "kafka_avro_ingest" -> ((s, d) => {
       // S5 end-to-end: events re-encoded as Avro-JSON datums against a
       // declared Avro schema with a nullable union ('view' events carry
@@ -888,6 +909,11 @@ object SparkEntry {
         |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
         |FROM last WHERE event_type <> 'purchase'
         |ORDER BY user_id""".stripMargin,
+
+    "proto_row_ingest" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(ROUND(SUM(value)*100) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "kafka_avro_ingest" ->
       """SELECT CASE WHEN event_type = 'view' THEN '(null)' ELSE event_type END AS etype,
