@@ -610,14 +610,9 @@ object SparkEntry {
                     .as("value"))).as("attributes")))
                 .as("dataPoints")).as("gauge"))).as("metrics")))
             .as("scopeMetrics"))).as("resourceMetrics"))).as("payload"))
-        // the converter's three branches (gauge/sum/histogram) each
-        // scan the payload frame; persist so synthesis runs once
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val table = GraftTable.create(s, freshDir("otel"), OtelSchema.schema,
         Identity.None, TableConfig(walEnabled = false))
-      try OtelIngest.ingest(table, OtelIngest.metricsToRows(pay, "payload"),
-        startLsn = 1)
-      finally pay.unpersist()
+      OtelIngest.ingestPayloads(table, pay, "payload", startLsn = 1)
       OtelSchema.explodeAttrs(table.read(None))
         .where(col("attr_key") === "user_id" && col("metric_type") === "gauge")
         .groupBy(col("attr_value").cast("long").as("user_id"))

@@ -186,11 +186,16 @@ object AvroIngest {
     spark.createDataFrame(rdd, schema)
   }
 
-  /** Kafka-style append ingest of decoded rows (S5 sink half). */
+  /** Kafka-style append ingest of decoded rows (S5 sink half). The
+   *  decoded frame persists across applyBatch's internal passes so the
+   *  datum parse runs once. */
   def ingest(table: GraftTable, payloads: DataFrame, payloadCol: String,
-      avroSchemaJson: String, startLsn: Long): Long =
-    CdcPipeline.applyBatch(table,
-      toRows(table.spark, payloads, payloadCol, avroSchemaJson)
-        .withColumn("_op", lit("i"))
-        .withColumn("_lsn", monotonically_increasing_id() + startLsn))
+      avroSchemaJson: String, startLsn: Long): Long = {
+    val ev = toRows(table.spark, payloads, payloadCol, avroSchemaJson)
+      .withColumn("_op", lit("i"))
+      .withColumn("_lsn", monotonically_increasing_id() + startLsn)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try CdcPipeline.applyBatch(table, ev)
+    finally ev.unpersist()
+  }
 }

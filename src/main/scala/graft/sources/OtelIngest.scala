@@ -108,8 +108,14 @@ object OtelIngest {
    * `payloadCol` holds OTLP JSON request bodies (one request per input
    * row; a frame of many requests converts in one distributed pass).
    */
-  def metricsToRows(payloads: DataFrame, payloadCol: String): DataFrame = {
-    val metrics = payloads
+  def metricsToRows(payloads: DataFrame, payloadCol: String): DataFrame =
+    pointsFromMetrics(metricsFrame(payloads, payloadCol))
+
+  /** Parse + explode down to one row per metric (the expensive JSON
+   *  work). Callers that fan out into the three data-point branches
+   *  can persist this frame so the parse happens once. */
+  def metricsFrame(payloads: DataFrame, payloadCol: String): DataFrame =
+    payloads
       .select(explode(from_json(col(payloadCol), requestSchema)
         .getField("resourceMetrics")).as("rm"))
       .select(
@@ -122,6 +128,8 @@ object OtelIngest {
         col("sm.scope.version").as("scope_version"),
         convAttrs(col("sm.scope.attributes")).as("scope_attributes"),
         explode(col("sm.metrics")).as("m"))
+
+  private def pointsFromMetrics(metrics: DataFrame): DataFrame = {
 
     // first select (still has `m`): alias the metric descriptor
     def common = Seq(
@@ -194,9 +202,26 @@ object OtelIngest {
   }
 
   /** Append converted data points to an OTEL metrics table (the sink
-   *  half of S6; append-only, like the reference's metrics table). */
-  def ingest(table: GraftTable, dataPoints: DataFrame, startLsn: Long): Long =
-    CdcPipeline.applyBatch(table, dataPoints
+   *  half of S6; append-only, like the reference's metrics table).
+   *  The decoded frame persists across applyBatch's internal passes
+   *  (routing agg, write, stats) so the JSON conversion runs once. */
+  def ingest(table: GraftTable, dataPoints: DataFrame, startLsn: Long): Long = {
+    val ev = dataPoints
       .withColumn("_op", lit("i"))
-      .withColumn("_lsn", monotonically_increasing_id() + startLsn))
+      .withColumn("_lsn", monotonically_increasing_id() + startLsn)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try CdcPipeline.applyBatch(table, ev)
+    finally ev.unpersist()
+  }
+
+  /** Full OTLP sink path with parse-once lifecycle: payloads -> metric
+   *  frame (persisted across the gauge/sum/histogram branches) ->
+   *  data-point rows -> append. */
+  def ingestPayloads(table: GraftTable, payloads: DataFrame,
+      payloadCol: String, startLsn: Long): Long = {
+    val m = metricsFrame(payloads, payloadCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try ingest(table, pointsFromMetrics(m), startLsn)
+    finally m.unpersist()
+  }
 }

@@ -176,13 +176,18 @@ object ProtoIngest {
     spark.createDataFrame(rdd, schema)
   }
 
-  /** REST-pb-style append ingest (`/ingestpb/{table}`). */
+  /** REST-pb-style append ingest (`/ingestpb/{table}`). The decoded
+   *  frame persists across applyBatch's internal passes so the wire
+   *  decode runs once. */
   def ingest(table: GraftTable, payloads: DataFrame, payloadCol: String,
-      startLsn: Long): Long =
-    CdcPipeline.applyBatch(table,
-      toRows(table.spark, payloads, payloadCol, table.schema)
-        .withColumn("_op", lit("i"))
-        .withColumn("_lsn", monotonically_increasing_id() + startLsn))
+      startLsn: Long): Long = {
+    val ev = toRows(table.spark, payloads, payloadCol, table.schema)
+      .withColumn("_op", lit("i"))
+      .withColumn("_lsn", monotonically_increasing_id() + startLsn)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try CdcPipeline.applyBatch(table, ev)
+    finally ev.unpersist()
+  }
 
   // ---- encoder (for producers and round-trip tests) --------------------
   private def writeVarint(out: ByteArrayOutputStream, v0: Long): Unit = {
