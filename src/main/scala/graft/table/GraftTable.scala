@@ -30,6 +30,11 @@ final case class TableConfig(
     compactDeleteRatio: Double = 0.5,
     /** write an event log (WAL) per apply() and replay it on open. */
     walEnabled: Boolean = true,
+    /** auto index merge (M11): consolidate once this many index files
+     *  accumulate (reference `index_merge_config.rs:9-31` merges at
+     *  >= 16 under final size). Delete resolution joins against every
+     *  index file, so unbounded growth would slow each publish. */
+    indexMergeFileCountThreshold: Int = 16,
     /** read path: apply DVs via a broadcast of roaring-serialized
      *  bitmaps up to this many deleted positions; above it, fall back
      *  to a shuffle anti-join against the DV parquet (the broadcast
@@ -324,6 +329,7 @@ final class GraftTable private (
           }
       } finally folded.unpersist()
     }
+    maybeMergeIndexes()
     commitLsnVar = math.max(commitLsnVar, maxLsn)
     flushLsnVar = math.max(flushLsnVar, maxLsn)
     publish()
@@ -478,6 +484,7 @@ final class GraftTable private (
           Fio.move(s"$root/staged/xact-$xid/${ie.path}", s"$root/index/${ie.path}")
           indexFiles += ie
         }
+        maybeMergeIndexes()
         flushLsnVar = math.max(flushLsnVar, lsn)
         Fio.delete(s"$root/staged/xact-$xid")
       }
@@ -531,6 +538,7 @@ final class GraftTable private (
         // existed strictly before it)
         indexFiles += writeIndexFromRows(rows, flushable.map(_.lsn).toSeq,
           entries, s"$root/index")
+        maybeMergeIndexes()
       }
       // a committed row with a pending (uncommitted) delete was just
       // written to disk — its delete must later resolve via the index
@@ -681,6 +689,14 @@ final class GraftTable private (
   // The reference's in-memory mooncake snapshot and durable iceberg
   // snapshot collapse into one atomic manifest commit (SURVEY §7.1-2).
   // =====================================================================
+
+  /** Auto index merge (M11 maintenance trigger): ingest paths call
+   *  this after adding index files; the consolidation itself is
+   *  `rebuildIndexExcluding`, the same job `mergeIndexes` runs. */
+  private def maybeMergeIndexes(): Unit =
+    if (identity != Identity.None &&
+        indexFiles.size >= config.indexMergeFileCountThreshold)
+      rebuildIndexExcluding(Set.empty, Seq.empty, -1L)
 
   def publish(): Long = synchronized {
     prof("resolveDeletes")(resolveCommittedDeletes())

@@ -211,6 +211,24 @@ class BatchIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.drop()
   }
 
+  test("index files stay bounded under many batches (auto M11 merge)") {
+    val t = GraftTable.create(spark, tmpDir() + "/im", schema,
+      Identity.Keys(Seq("id")),
+      TableConfig(walEnabled = false, indexMergeFileCountThreshold = 4))
+    (1 to 10).foreach { b =>
+      val rows = (1 to 50).map(i =>
+        fr("u", (b * 100 + i).toLong, i.toLong, (b * 100 + i).toLong, s"t$b"))
+      CdcPipeline.applyBatch(t, frame(rows))
+    }
+    assert(t.currentManifest.indexFiles.size <= 4,
+      s"index files grew to ${t.currentManifest.indexFiles.size}")
+    // merged index must still resolve deletes LSN-exactly
+    CdcPipeline.applyBatch(t, frame(Seq(fr("d", 5000, 1))))
+    assert(t.read().where(col("id") === 1).count() == 0)
+    assert(t.read().count() == 49)
+    t.drop()
+  }
+
   test("anti-join DV fallback above the broadcast threshold") {
     val t = GraftTable.create(spark, tmpDir() + "/aj", schema,
       Identity.Keys(Seq("id")),
