@@ -707,6 +707,11 @@ final class GraftTable private (
       dvFiles += name
       newDvPairs.clear()
       dvBroadcast = scala.None // invalidate
+      // DV sidecars accumulate one per delete-carrying publish; the
+      // anti-join fallback and reopen read them all, so consolidate at
+      // the same threshold as index files (M11's sibling concern)
+      if (dvFiles.size >= config.indexMergeFileCountThreshold)
+        rewriteDvFiles(Set.empty)
     }
     versionVar += 1
     ManifestLog.commit(root, currentManifest)

@@ -229,6 +229,25 @@ class BatchIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.drop()
   }
 
+  test("DV sidecars stay bounded under many delete batches") {
+    val t = GraftTable.create(spark, tmpDir() + "/dvm", schema,
+      Identity.Keys(Seq("id")),
+      TableConfig(walEnabled = false, indexMergeFileCountThreshold = 4))
+    val base = (1 to 200).map(i => fr("i", i.toLong, i.toLong, i.toLong, "x"))
+    CdcPipeline.applyBatch(t, frame(base))
+    (1 to 8).foreach { b => // one DV file per delete-carrying publish
+      CdcPipeline.applyBatch(t, frame(Seq(fr("d", (1000 + b).toLong, b.toLong))))
+    }
+    assert(t.currentManifest.dvFiles.size <= 4,
+      s"dv files grew to ${t.currentManifest.dvFiles.size}")
+    assert(t.read().count() == 192)
+    // consolidated DVs survive a reopen
+    val t2 = GraftTable.open(spark, t.root, Identity.Keys(Seq("id")),
+      TableConfig(walEnabled = false))
+    assert(t2.read().count() == 192)
+    t.drop()
+  }
+
   test("anti-join DV fallback above the broadcast threshold") {
     val t = GraftTable.create(spark, tmpDir() + "/aj", schema,
       Identity.Keys(Seq("id")),
