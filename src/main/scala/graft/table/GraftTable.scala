@@ -975,12 +975,24 @@ final class GraftTable private (
     indexFiles.clear()
     if (parts.nonEmpty) {
       Fio.mkdirs(s"$root/index")
-      val name = f"idx-${newId()}%09d.parquet"
+      // size-tuned output: the index holds ~one row per live table row,
+      // so a single-file merge would funnel the whole table through one
+      // task at scale (reference merges into final-SIZED index files,
+      // `persisted_bucket_hash_map.rs:525`)
+      val nOut = math.max(1, math.ceil(fileEntries.values.map(_.rows)
+        .sum.toDouble / config.rowsPerFile).toInt)
       val tmp = s"$root/tmp/${UUID.randomUUID()}"
-      parts.reduce(_ unionByName _).coalesce(1)
+      parts.reduce(_ unionByName _).coalesce(nOut)
         .write.mode("overwrite").parquet(tmp)
-      movePartFile(tmp, s"$root/index/$name")
-      indexFiles += IndexFileEntry(name, fileEntries.keys.toSeq)
+      val outParts = Fio.list(tmp)
+        .filter(n => n.startsWith("part-") && n.endsWith(".parquet")).sorted
+      val allData = fileEntries.keys.toSeq
+      outParts.foreach { p =>
+        val name = f"idx-${newId()}%09d.parquet"
+        Fio.move(s"$tmp/$p", s"$root/index/$name")
+        indexFiles += IndexFileEntry(name, allData)
+      }
+      Fio.delete(tmp)
     }
     // old index files reclaimed by vacuum()
   }
