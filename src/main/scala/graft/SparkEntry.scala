@@ -391,6 +391,38 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    "cdc_streaming_e2e" -> ((s, d) => {
+      // S1 as a REAL Structured Streaming query: readStream over the
+      // events parquet -> CDC event frame -> CdcPipeline.start
+      // (foreachBatch -> applyBatch) with Trigger.AvailableNow ->
+      // LSN-gated union read. Exercises the wiring the other cdc_*
+      // entries drive directly.
+      import org.apache.spark.sql.types._
+      val table = GraftTable.create(s, freshDir("se"), eventTableSchema,
+        Identity.Keys(Seq("user_id")), ingestCfg)
+      val sch = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      // the file-stream source wants a directory to watch
+      val srcDir = java.nio.file.Files.createTempDirectory("graft-se-src")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"),
+        srcDir.resolve("events.parquet"))
+      val stream = s.readStream.schema(sch).parquet(srcDir.toString)
+        .select(lit("u").as("_op"), col("event_id").as("_lsn"),
+          col("user_id"), col("event_id"), col("event_type"), col("value"))
+      val q = graft.streaming.CdcPipeline.start(table, stream,
+        checkpoint = freshDir("se-ckpt"),
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination()
+      table.read(None)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"),
+          cents(col("value")).as("value_cents"))
+        .orderBy("user_id")
+    }),
+
     "cdc_initial_copy" -> ((s, d) => {
       // S2: snapshot of an "existing source table" at the boundary LSN
       // (latest row per user), adopted via initial copy; the CDC stream
@@ -865,6 +897,7 @@ object SparkEntry {
     "cdc_upsert_state" -> cdcUpsertOracle,
     "cdc_delete_state" -> cdcDeleteOracle,
     "cdc_compact_state" -> cdcDeleteOracle,
+    "cdc_streaming_e2e" -> cdcUpsertOracle,
     "cdc_initial_copy" -> cdcUpsertOracle,
     "cdc_union_read" -> cdcUpsertOracle,
 
