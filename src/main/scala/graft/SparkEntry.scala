@@ -391,6 +391,23 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    "cdc_sql_view" -> ((s, d) => {
+      // S12: catalog + temp-view registration — plain spark.sql runs
+      // over the live ingested state (the reference serves DuckDB/
+      // DataFusion through its RPC catalog; in-process, the catalog
+      // registers the union read as a view).
+      val cat = GraftCatalog(s, freshDir("cat"))
+      cat.createTable("events_state", eventTableSchema,
+        Identity.Keys(Seq("user_id")), ingestCfg)
+      CdcPipeline.applyBatch(cat.table("events_state"),
+        cdcEventFrame(s, d, None))
+      cat.registerView("events_state")
+      s.sql("""SELECT event_type AS last_event_type,
+              |       count(*) AS n_users,
+              |       CAST(ROUND(SUM(value)*100) AS BIGINT) AS value_cents
+              |FROM events_state GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
+
     "cdc_streaming_e2e" -> ((s, d) => {
       // S1 as a REAL Structured Streaming query: readStream over the
       // events parquet -> CDC event frame -> CdcPipeline.start
@@ -897,6 +914,15 @@ object SparkEntry {
     "cdc_upsert_state" -> cdcUpsertOracle,
     "cdc_delete_state" -> cdcDeleteOracle,
     "cdc_compact_state" -> cdcDeleteOracle,
+    "cdc_sql_view" ->
+      """WITH last AS (
+        |  SELECT user_id, event_type, value
+        |  FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)
+        |SELECT event_type AS last_event_type, count(*) AS n_users,
+        |       CAST(ROUND(SUM(value)*100) AS BIGINT) AS value_cents
+        |FROM last GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "cdc_streaming_e2e" -> cdcUpsertOracle,
     "cdc_initial_copy" -> cdcUpsertOracle,
     "cdc_union_read" -> cdcUpsertOracle,
