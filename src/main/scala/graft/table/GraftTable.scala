@@ -124,14 +124,23 @@ final class GraftTable private (
       k: KeyVal, tr: TailRow): Unit =
     ix.updateWith(k)(l => Some(tr :: l.getOrElse(Nil)))
 
-  /** Pop the latest live row for `k`, if any. */
-  private def stackPop(ix: mutable.HashMap[KeyVal, List[TailRow]],
-      k: KeyVal): Option[TailRow] =
+  /** The engine-wide delete rule: a delete targets the NEWEST row of
+   *  its key appended strictly before it, dead or alive. If that row
+   *  is already dead the delete is a duplicate/stale delivery
+   *  (at-least-once CDC, WAL replay) and must NO-OP — a PK stream
+   *  never deletes the same key twice without a re-insert, so popping
+   *  an older row instead would over-delete on redelivery. Dead rows
+   *  therefore stay on the stack as blockers until flush drops them.
+   *  Returns true if handled in-memory (killed or no-op'd), false if
+   *  the key has no tail row at all and the delete must fall through
+   *  to the committed table. */
+  private def stackMark(ix: mutable.HashMap[KeyVal, List[TailRow]],
+      k: KeyVal, dlsn: Long): Boolean =
     ix.get(k) match {
-      case Some(tr :: rest) =>
-        if (rest.isEmpty) ix.remove(k) else ix(k) = rest
-        Some(tr)
-      case _ => scala.None
+      case Some(head :: _) =>
+        if (head.live) head.deletedLsn = dlsn
+        true // dead head: duplicate delivery -> no-op
+      case _ => false
     }
 
   /** Drop rows no longer in the tail (flushed or dead). */
@@ -198,17 +207,13 @@ final class GraftTable private (
       case Delete(key, lsn, scala.None, _) =>
         require(identity != Identity.None,
           "deletes rejected on append-only table") // mooncake_table.rs:1242
-        stackPop(tailIndex, KeyVal(key)) match {
-          case Some(tr) => tr.deletedLsn = lsn
-          case scala.None => pendingDeletes += ((key, lsn))
-        }
+        if (!stackMark(tailIndex, KeyVal(key), lsn))
+          pendingDeletes += ((key, lsn))
 
       case Delete(key, _, Some(xid), _) =>
         val x = xacts.getOrElseUpdate(xid, new XactState)
-        stackPop(x.index, KeyVal(key)) match {
-          case Some(tr) => tr.deletedLsn = 0L // dead within the txn
-          case scala.None => x.pendingDeletes += key
-        }
+        if (!stackMark(x.index, KeyVal(key), 0L)) // dead within the txn
+          x.pendingDeletes += key
 
       case Commit(lsn, scala.None) =>
         commitLsnVar = math.max(commitLsnVar, lsn)
@@ -492,10 +497,8 @@ final class GraftTable private (
       // resolve BEFORE appending the txn's own rows so an upsert inside
       // the txn cannot delete its replacement row
       x.pendingDeletes.foreach { key =>
-        stackPop(tailIndex, KeyVal(key)) match {
-          case Some(tr) => tr.deletedLsn = lsn
-          case scala.None => pendingDeletes += ((key, lsn))
-        }
+        if (!stackMark(tailIndex, KeyVal(key), lsn))
+          pendingDeletes += ((key, lsn))
       }
       // buffered rows join the main tail carrying the commit LSN (all
       // rows of a txn carry its final LSN, moonlink_sink.rs:152-181)
@@ -666,19 +669,22 @@ final class GraftTable private (
         ((r.getLong(nk), r.getString(nk + 1), r.getLong(nk + 2))))
       .groupMap(_._1)(_._2)
     due.groupMap(d => KeyVal(d._1))(_._2).foreach { case (k, dlsns) =>
-      var live = byKey.getOrElse(k, Nil)
-        .filter { case (_, f, p) =>
-          fileEntries.contains(f) && !dvMap.get(f).exists(_.contains(p)) }
-        .sorted.reverse.toList // newest (lsn, file, pos) first
-      // distinct: at-least-once delivery (WAL replay) may repeat a
-      // delete at the same (key, lsn) — a replay must not pop twice
+      // newest (lsn, file, pos) first, DEAD ROWS INCLUDED: the delete
+      // rule targets the newest row appended before the delete
+      // regardless of liveness — if it is already DV'd the delete is a
+      // duplicate/stale delivery (at-least-once CDC, WAL replay whose
+      // DV effects were already durable) and must no-op, never pop an
+      // older row (see stackMark)
+      val rows = byKey.getOrElse(k, Nil)
+        .filter { case (_, f, _) => fileEntries.contains(f) }
+        .sorted.reverse.toList
       dlsns.distinct.sorted.foreach { dlsn =>
-        live.find(_._1 < dlsn).foreach { hit =>
-          live = live.filterNot(_ == hit)
-          val (_, f, p) = hit
-          dvMap.getOrElseUpdate(f, new Roaring64Bitmap).addLong(p)
-          newDvPairs += ((f, p))
-          fileEntries(f) = fileEntries(f).copy(deletes = fileEntries(f).deletes + 1)
+        rows.find(_._1 < dlsn).foreach { case (_, f, p) =>
+          if (!dvMap.get(f).exists(_.contains(p))) {
+            dvMap.getOrElseUpdate(f, new Roaring64Bitmap).addLong(p)
+            newDvPairs += ((f, p))
+            fileEntries(f) = fileEntries(f).copy(deletes = fileEntries(f).deletes + 1)
+          }
         }
       }
     }
@@ -1060,11 +1066,12 @@ final class GraftTable private (
       }
     reproject(tail)
     tailIndex.clear()
-    tail.foreach(tr => if (tr.live) stackPush(tailIndex, keyOf(tr.row), tr))
+    // dead rows stay on the stacks as duplicate-delivery blockers
+    tail.foreach(tr => stackPush(tailIndex, keyOf(tr.row), tr))
     xacts.values.foreach { x =>
       reproject(x.buffer)
       x.index.clear()
-      x.buffer.foreach(tr => if (tr.live) stackPush(x.index, keyOf(tr.row), tr))
+      x.buffer.foreach(tr => stackPush(x.index, keyOf(tr.row), tr))
     }
     publish()
   }
@@ -1186,6 +1193,10 @@ object GraftTable {
     private var curKey: Seq[Any] = null
     private var haveKey = false
     private var current: Row = null // latest live in-batch append (folded)
+    // the key's latest in-batch append died: later deletes of the key
+    // are duplicate deliveries and no-op instead of falling through
+    // (same blocker rule as stackMark / resolveCommittedDeletes)
+    private var curDead = false
 
     private def keyOfRow(r: Row): Seq[Any] =
       keyPos.toSeq.map(i => r.get(2 + i))
@@ -1204,19 +1215,21 @@ object GraftTable {
       if (pending.isEmpty && it.hasNext) {
         val r = it.next()
         val k = keyOfRow(r)
-        if (!haveKey || k != curKey) { closeGroup(); curKey = k; haveKey = true }
+        if (!haveKey || k != curKey) {
+          closeGroup(); curKey = k; haveKey = true; curDead = false
+        }
         val lsn = r.getLong(1)
         r.getString(0) match {
           case "i" | "insert" =>
             if (current != null) pending ::= current // shadowed: emit now
-            current = survivor(lsn, r)
+            current = survivor(lsn, r); curDead = false
           case "u" | "upsert" =>
-            if (current != null) current = null
-            else pending ::= fallThrough(lsn, r)
-            current = survivor(lsn, r)
+            if (current != null) current = null // delete-half kills it
+            else if (!curDead) pending ::= fallThrough(lsn, r)
+            current = survivor(lsn, r); curDead = false
           case _ => // d | delete
-            if (current != null) current = null
-            else pending ::= fallThrough(lsn, r)
+            if (current != null) { current = null; curDead = true }
+            else if (!curDead) pending ::= fallThrough(lsn, r)
         }
         advance()
       }

@@ -115,13 +115,87 @@ class BatchIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("randomized event stream: DF path == driver path (chaos analogue)") {
+    // PK-honest like real CDC (the reference chaos invariant: deletes
+    // target live rows, inserts never duplicate a live PK) — dishonest
+    // streams are out of contract: the duplicate-delivery blocker rule
+    // can only see tombstones its own representation retains
     val rnd = new Random(42)
-    val ops = Seq("i", "u", "u", "u", "d") // upsert-heavy like CDC
+    val live = scala.collection.mutable.HashSet[Long]()
     val events = (1 to 600).map { lsn =>
-      (ops(rnd.nextInt(ops.size)), lsn.toLong,
-        rnd.nextInt(40).toLong, (1000 + lsn).toLong)
+      val k = rnd.nextInt(40).toLong
+      val op = rnd.nextInt(5) match {
+        case 0 => if (live(k)) "u" else { live += k; "i" }
+        case 4 if live(k) => live -= k; "d"
+        case _ => live += k; "u" // upsert-heavy like CDC
+      }
+      (op, lsn.toLong, k, (1000 + lsn).toLong)
     }
+    assert(events.count(_._1 == "d") > 30, "stream must exercise deletes")
     crossCheck(events, batches = 4)
+  }
+
+  test("chaos with mid-stream compaction + reopen: DF == driver path") {
+    // the round-trip stress: random PK-honest i/u/d stream (the
+    // reference chaos invariant: inserts never duplicate a live PK,
+    // deletes target live rows — compaction collapses per-row LSNs, so
+    // dup-PK targeting would be inherently order-free) in batches,
+    // with a forced compaction+vacuum after batch 2 and a crash+reopen
+    // after batch 4 on BOTH paths — final states must still agree
+    val rnd = new Random(1337)
+    val live = scala.collection.mutable.HashSet[Long]()
+    val events = (1 to 1200).map { lsn =>
+      val k = rnd.nextInt(60).toLong
+      val op = rnd.nextInt(4) match {
+        case 0 => if (live(k)) "u" else { live += k; "i" }
+        case 3 if live(k) => live -= k; "d"
+        case _ => live += k; "u"
+      }
+      (op, lsn.toLong, k, (5000 + lsn).toLong)
+    }
+    def run(useDf: Boolean): (Set[(Long, Long, String)], Long) = {
+      val root = tmpDir() + "/t"
+      var t = GraftTable.create(spark, root, schema,
+        Identity.Keys(Seq("id")), TableConfig(walEnabled = true))
+      events.grouped(200).zipWithIndex.foreach { case (g, bi) =>
+        if (useDf) {
+          val rows = g.map {
+            case ("i", lsn, id, v) => fr("i", lsn, id, v, s"t$v")
+            case ("u", lsn, id, v) => fr("u", lsn, id, v, s"t$v")
+            case (_, lsn, id, _) => fr("d", lsn, id)
+          }
+          CdcPipeline.applyBatch(t, frame(rows))
+        } else {
+          val evs: Seq[CdcEvent] = g.flatMap {
+            case ("i", lsn, id, v) => Seq(Append(Row(id, v, s"t$v"), lsn))
+            case ("u", lsn, id, v) => CdcEvent.upsert(Row(id, v, s"t$v"), Seq(id), lsn)
+            case (_, lsn, id, _) => Seq(Delete(Seq(id), lsn, ifExists = true))
+          }
+          t.apply(evs :+ Commit(g.map(_._2).max))
+        }
+        if (bi == 1) { t.optimize(); t.vacuum() }
+        if (bi == 3) // crash + recover mid-stream
+          t = GraftTable.open(spark, root, Identity.Keys(Seq("id")))
+      }
+      (state(t), t.commitLsn)
+    }
+    val (sd, ld) = run(useDf = false)
+    val (sb, lb) = run(useDf = true)
+    assert(sb == sd, s"diverged: only-driver=${sd.diff(sb)} only-df=${sb.diff(sd)}")
+    assert(lb == ld)
+  }
+
+  test("FullRow identity: batch-path deletes match whole rows") {
+    val t = GraftTable.create(spark, tmpDir() + "/frow", schema,
+      Identity.FullRow, TableConfig(walEnabled = false))
+    CdcPipeline.applyBatch(t, frame(Seq(
+      fr("i", 1, 1, 10, "a"), fr("i", 2, 1, 10, "a"), // true duplicate
+      fr("i", 3, 2, 20, "b"))))
+    // FullRow delete: the key is every column; kills ONE of the dups
+    CdcPipeline.applyBatch(t, frame(Seq(fr("d", 10, 1, 10, "a"))))
+    val rows = t.read().collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(rows.sorted == Seq((1L, 10L, "a"), (2L, 20L, "b")))
+    t.drop()
   }
 
   test("insert-only fast path (append-only table, no shuffle)") {
