@@ -733,6 +733,16 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "ann_ivf_topk" -> ((s, d) => {
+      // IVF-Flat scale path (no SQL oracle; recall asserted in
+      // ScalaTest like the LSH variant)
+      val e = t(s, d, "embeddings")
+      Similarity.ivfTopK(e, "vec_id", "embedding",
+          e.where(col("vec_id") < 8), "vec_id", "embedding", k = 5,
+          nCells = 32, nProbe = 6)
+        .orderBy("query_id", "rank")
+    }),
+
     "embed_neardup" -> ((s, d) => {
       Dedup.embeddingPairs(t(s, d, "embeddings"), "vec_id", "embedding",
           blockCol = col("label"), minCosineMilli = 300)

@@ -125,4 +125,85 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         col("rank").cast("long").as("rank"), col("cosine_micro"))
   }
+
+  /** Top-`n` cell ids (by dot product with the broadcast centroids —
+   *  spherical k-means assignment on unit vectors). The closure holds
+   *  only the broadcast handle; each executor scores against the
+   *  shared centroid array. */
+  private def nearestCellsUdf(
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+      n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((u: Seq[Double]) => {
+      val cents = bc.value
+      val scores = Array.tabulate(cents.length) { ci =>
+        val ct = cents(ci)
+        var s = 0.0; var i = 0
+        while (i < ct.length && i < u.length) { s += ct(i) * u(i); i += 1 }
+        s
+      }
+      scores.zipWithIndex.sortBy { case (s, i) => (-s, i) }.take(n).map(_._2).toSeq
+    })
+
+  /**
+   * IVF-Flat ANN: spherical k-means cells + nprobe search — the second
+   * scale path beside LSH. Training is fully distributed: centroids
+   * seed deterministically (the `nCells` corpus vectors with smallest
+   * xxhash64(id)) and refine with `iters` Lloyd rounds, each one
+   * assignment pass (broadcast-centroid argmax) + one per-dimension
+   * mean (posexplode + groupBy); only the nCells x dim centroid matrix
+   * ever reaches the driver. Search probes the `nProbe` nearest cells
+   * per query, so the corpus scan touches ~nProbe/nCells of the data;
+   * candidates are ranked by EXACT cosine. Same output schema as
+   * bruteForceTopK.
+   */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String, k: Int,
+      nCells: Int = 64, nProbe: Int = 8, iters: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      unitVec(col(vecCol)).as("u"),
+      transform(col(vecCol), x => x.cast("double")).as("cv"))
+    var cents: Array[Array[Double]] = c
+      .withColumn("h", xxhash64(col("neighbor_id"))).orderBy("h")
+      .limit(nCells).select("u").collect()
+      .map(_.getAs[scala.collection.Seq[Double]](0).toArray)
+    (0 until iters).foreach { _ =>
+      val bc = spark.sparkContext.broadcast(cents)
+      val stats = c.select(
+          element_at(nearestCellsUdf(bc, 1)(col("u")), 1).as("cell"),
+          posexplode(col("u")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone())
+      stats.groupBy(_.getInt(0)).foreach { case (cell, rows) =>
+        val dim = next(cell).length
+        val mean = new Array[Double](dim)
+        rows.foreach(r => mean(r.getInt(1)) = r.getDouble(2) / r.getLong(3))
+        val n = math.sqrt(mean.map(x => x * x).sum)
+        if (n > 0) next(cell) = mean.map(_ / n) // empty cells keep seeds
+      }
+      cents = next
+    }
+    val bc = spark.sparkContext.broadcast(cents)
+    val cCells = c.select(col("neighbor_id"), col("cv"),
+      element_at(nearestCellsUdf(bc, 1)(col("u")), 1).as("cell"))
+    val q = queries.select(col(qIdCol).as("query_id"),
+        unitVec(col(qVecCol)).as("qu"),
+        transform(col(qVecCol), x => x.cast("double")).as("qv"))
+      .select(col("query_id"), col("qv"),
+        explode(nearestCellsUdf(bc, nProbe)(col("qu"))).as("cell"))
+    val scored = cCells.join(broadcast(q), Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("cv"), col("qv")) * 1e6).cast("long").as("cosine_micro"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("cosine_micro")).as("cosine_micro")) // multi-probe dedupe
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_micro").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("cosine_micro"))
+  }
 }

@@ -65,6 +65,30 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.8, s"ANN recall@5 = $recall (expected >= 0.8 on clusters)")
   }
 
+  test("IVF ANN reaches high recall@5 on clustered vectors") {
+    // same clustered regime as the LSH test: 40 tight clusters; IVF
+    // cells should align with clusters, so probing a few cells finds
+    // the true neighbors
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val dim = 32
+    val base = Array.fill(40)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 400).map { i =>
+      val c = base(i % 40)
+      (i.toLong, c.map(x => x + 0.15f * rnd.nextGaussian().toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val q = vecs.where(col("vec_id") < 16)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 5))
+    val approx = pairs(Similarity.ivfTopK(vecs, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 5, nCells = 32, nProbe = 6))
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF recall@5 = $recall (expected >= 0.8 on clusters)")
+  }
+
   test("simhash: identical docs collide, near-identical docs are close") {
     import spark.implicits._
     val df = Seq(
