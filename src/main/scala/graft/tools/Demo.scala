@@ -88,6 +88,51 @@ object Demo {
     try { reopened.read(Some(10000)); println("[7] ERROR: gate did not trip") }
     catch { case e: IllegalStateException => println(s"[7] read gate OK: ${e.getMessage}") }
 
+    // 8. Avro-ingested table (S5): declared schema + JSON-encoded datums
+    val avroSchema =
+      """{"type":"record","name":"Click","fields":[
+        |  {"name":"cid","type":"long"},
+        |  {"name":"page","type":["null","string"]}]}""".stripMargin
+    val clicks = catalog.createTable("clicks",
+      graft.sources.AvroIngest.schemaToStruct(avroSchema), Identity.None)
+    import scala.jdk.CollectionConverters._
+    val payloads = spark.createDataFrame(Seq(
+      Row("""{"cid":1,"page":{"string":"/home"}}"""),
+      Row("""{"cid":2,"page":null}""")).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("p",
+          org.apache.spark.sql.types.StringType))))
+    graft.sources.AvroIngest.ingest(clicks, payloads, "p", avroSchema, 1)
+    println(s"[8] avro ingest: ${clicks.read().count()} rows (1 null union branch)")
+
+    // 9. protobuf row ingest (S4): MoonlinkRow wire messages round-trip
+    val pbRows = spark.createDataFrame(Seq(
+      Row(graft.sources.ProtoIngest.encodeRow(Row(3L, "/cart"), clicks.schema)),
+      Row(graft.sources.ProtoIngest.encodeRow(Row(4L, null), clicks.schema))).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("pb",
+          org.apache.spark.sql.types.BinaryType))))
+    graft.sources.ProtoIngest.ingest(clicks, pbRows, "pb", startLsn = 10)
+    println(s"[9] protobuf ingest: table now ${clicks.read().count()} rows")
+
+    // 10. initial copy (S2): new table adopts a snapshot, catch-up
+    // replays only events above the boundary
+    val copied = catalog.createTable("users_copy", schema, Identity.Keys(Seq("id")))
+    val ic = new graft.streaming.InitialCopy(copied, boundaryLsn = 40)
+    ic.onEvents(spark.createDataFrame(Seq(
+      Row("u", 35L, null, 1, "stale", "s@x.com", 99, null), // <= boundary: dropped
+      Row("d", 50L, null, 2, null, null, null, null)).asJava,
+      org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("_op",
+          org.apache.spark.sql.types.StringType) +:
+        org.apache.spark.sql.types.StructField("_lsn",
+          org.apache.spark.sql.types.LongType) +:
+        org.apache.spark.sql.types.StructField("_xact",
+          org.apache.spark.sql.types.LongType) +: schema.fields.toSeq)))
+    ic.finish(reopened.read())
+    println(s"[10] initial copy: ${copied.read().count()} rows after boundary " +
+      s"drop + catch-up delete (source had ${reopened.read().count()})")
+
     graft.format.Fio.delete(wh)
     spark.stop()
   }
