@@ -751,6 +751,21 @@ object SparkEntry {
 
     // ---- multimodal plumbing -------------------------------------------
 
+    "mm_frames" -> ((s, d) => {
+      // frame sampling over binary media: fixed-size chunks, every
+      // 3rd kept (video frame-sample plumbing); per-media frame count
+      // and sampled byte volume checked exactly
+      val docs = t(s, d, "documents")
+        .select(col("doc_id").as("media_id"),
+          encode(col("text"), "UTF-8").as("media"))
+      Multimodal.sampleFrames(docs, "media_id", "media",
+          frameBytes = 4, stride = 3)
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(length(col("frame"))).as("sampled_bytes"))
+        .orderBy("media_id")
+    }),
+
     "mm_features" -> ((s, d) => {
       // binary media column fabricated from document bytes; batched
       // partition-iterator feature extraction (stub codec)
@@ -1054,6 +1069,18 @@ object SparkEntry {
         |  ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE CAST(ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 1000) AS BIGINT) >= 300
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "mm_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS len,
+        |         (octet_length(encode(text)) + 3) // 4 AS nchunks
+        |  FROM documents)
+        |SELECT doc_id AS media_id,
+        |       (nchunks + 2) // 3 AS n_frames,
+        |       (nchunks + 2) // 3 * 4
+        |         - CASE WHEN (nchunks - 1) % 3 = 0
+        |                THEN nchunks * 4 - len ELSE 0 END AS sampled_bytes
+        |FROM m WHERE len > 0 ORDER BY media_id""".stripMargin,
 
     "mm_features" ->
       """SELECT doc_id AS media_id,
