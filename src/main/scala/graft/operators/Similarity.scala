@@ -130,7 +130,7 @@ object Similarity {
    *  spherical k-means assignment on unit vectors). The closure holds
    *  only the broadcast handle; each executor scores against the
    *  shared centroid array. */
-  private def nearestCellsUdf(
+  private[graft] def nearestCellsUdf(
       bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
       n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((u: Seq[Double]) => {
@@ -160,39 +160,50 @@ object Similarity {
       queries: DataFrame, qIdCol: String, qVecCol: String, k: Int,
       nCells: Int = 64, nProbe: Int = 8, iters: Int = 2): DataFrame = {
     val spark = corpus.sparkSession
+    // cell assignment is argmax over dot(v, centroid) with UNIT
+    // centroids — scale-invariant in v, so corpus/query vectors are
+    // never normalized (normalizing them per reference would inline a
+    // nested HOF into every consumer and blow up plan evaluation)
     val c = corpus.select(col(idCol).as("neighbor_id"),
-      unitVec(col(vecCol)).as("u"),
       transform(col(vecCol), x => x.cast("double")).as("cv"))
+    def normalized(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n > 0) v.map(_ / n) else v
+    }
     var cents: Array[Array[Double]] = c
       .withColumn("h", xxhash64(col("neighbor_id"))).orderBy("h")
-      .limit(nCells).select("u").collect()
-      .map(_.getAs[scala.collection.Seq[Double]](0).toArray)
+      .limit(nCells).select("cv").collect()
+      .map(r => normalized(r.getAs[scala.collection.Seq[Double]](0).toArray))
+    val dim = cents.headOption.map(_.length).getOrElse(0)
     (0 until iters).foreach { _ =>
       val bc = spark.sparkContext.broadcast(cents)
+      // per-dimension sums as plain aggregates — NOT posexplode: a
+      // UDF column evaluated inside a Generate stage re-runs per
+      // exploded output row and is catastrophically slow (measured
+      // 60x on this exact shape)
+      val aggs = count(lit(1)).as("n") +: (0 until dim).map(i =>
+        sum(element_at(col("cv"), i + 1)))
       val stats = c.select(
-          element_at(nearestCellsUdf(bc, 1)(col("u")), 1).as("cell"),
-          posexplode(col("u")).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
-        .collect()
+          element_at(nearestCellsUdf(bc, 1)(col("cv")), 1).as("cell"),
+          col("cv"))
+        .groupBy(col("cell")).agg(aggs.head, aggs.tail: _*).collect()
       val next = cents.map(_.clone())
-      stats.groupBy(_.getInt(0)).foreach { case (cell, rows) =>
-        val dim = next(cell).length
-        val mean = new Array[Double](dim)
-        rows.foreach(r => mean(r.getInt(1)) = r.getDouble(2) / r.getLong(3))
-        val n = math.sqrt(mean.map(x => x * x).sum)
-        if (n > 0) next(cell) = mean.map(_ / n) // empty cells keep seeds
+      stats.foreach { r =>
+        val cell = r.getInt(0)
+        val n = r.getLong(1)
+        val mean = Array.tabulate(dim)(i => r.getDouble(2 + i) / n)
+        val nm = math.sqrt(mean.map(x => x * x).sum)
+        if (nm > 0) next(cell) = mean.map(_ / nm) // empty cells keep seeds
       }
       cents = next
     }
     val bc = spark.sparkContext.broadcast(cents)
     val cCells = c.select(col("neighbor_id"), col("cv"),
-      element_at(nearestCellsUdf(bc, 1)(col("u")), 1).as("cell"))
+      element_at(nearestCellsUdf(bc, 1)(col("cv")), 1).as("cell"))
     val q = queries.select(col(qIdCol).as("query_id"),
-        unitVec(col(qVecCol)).as("qu"),
         transform(col(qVecCol), x => x.cast("double")).as("qv"))
       .select(col("query_id"), col("qv"),
-        explode(nearestCellsUdf(bc, nProbe)(col("qu"))).as("cell"))
+        explode(nearestCellsUdf(bc, nProbe)(col("qv"))).as("cell"))
     val scored = cCells.join(broadcast(q), Seq("cell"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
