@@ -322,6 +322,40 @@ class BatchIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.drop()
   }
 
+  test("reader holding a pre-compaction plan survives compact (not vacuum)") {
+    // snapshot isolation (SURVEY hard-part #5): compact swaps the
+    // manifest but leaves victim files for vacuum, so a DataFrame
+    // planned before the rewrite still collects
+    val t = mkTable(TableConfig(walEnabled = false, rowsPerFile = 100))
+    CdcPipeline.applyBatch(t, frame((1 to 400).map(i =>
+      fr("u", i.toLong, (i % 50).toLong, i.toLong, "x"))))
+    val oldView = t.read()
+    assert(t.compact(force = true))
+    assert(oldView.count() == 50) // old plan, old files: still valid
+    assert(t.read().count() == 50)
+    t.vacuum() // now the old files are gone; the NEW view still works
+    assert(t.read().count() == 50)
+    t.drop()
+  }
+
+  test("distributed ingest continues after a column drop (M14 + batch path)") {
+    val t = mkTable()
+    CdcPipeline.applyBatch(t, frame(Seq(
+      fr("u", 1, 1, 10, "a"), fr("u", 2, 2, 20, "b"))))
+    t.alterDropColumns(Seq("tag"))
+    // post-alter batches carry the NEW 2-column schema
+    val newFrame = spark.createDataFrame(Seq(
+      Row("u", 10L, null, 1L, 99L),
+      Row("u", 11L, null, 3L, 30L)).asJava,
+      StructType(StructField("_op", StringType) +:
+        StructField("_lsn", LongType) +:
+        StructField("_xact", LongType) +: t.schema.fields.toSeq))
+    CdcPipeline.applyBatch(t, newFrame)
+    val got = t.read().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 99L), (2L, 20L), (3L, 30L)))
+    t.drop()
+  }
+
   test("anti-join DV fallback above the broadcast threshold") {
     val t = GraftTable.create(spark, tmpDir() + "/aj", schema,
       Identity.Keys(Seq("id")),
