@@ -119,19 +119,21 @@ class BatchIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     // target live rows, inserts never duplicate a live PK) — dishonest
     // streams are out of contract: the duplicate-delivery blocker rule
     // can only see tombstones its own representation retains
-    val rnd = new Random(42)
-    val live = scala.collection.mutable.HashSet[Long]()
-    val events = (1 to 600).map { lsn =>
-      val k = rnd.nextInt(40).toLong
-      val op = rnd.nextInt(5) match {
-        case 0 => if (live(k)) "u" else { live += k; "i" }
-        case 4 if live(k) => live -= k; "d"
-        case _ => live += k; "u" // upsert-heavy like CDC
+    Seq(42, 20260812).foreach { seed =>
+      val rnd = new Random(seed)
+      val live = scala.collection.mutable.HashSet[Long]()
+      val events = (1 to 600).map { lsn =>
+        val k = rnd.nextInt(40).toLong
+        val op = rnd.nextInt(5) match {
+          case 0 => if (live(k)) "u" else { live += k; "i" }
+          case 4 if live(k) => live -= k; "d"
+          case _ => live += k; "u" // upsert-heavy like CDC
+        }
+        (op, lsn.toLong, k, (1000 + lsn).toLong)
       }
-      (op, lsn.toLong, k, (1000 + lsn).toLong)
+      assert(events.count(_._1 == "d") > 30, s"seed $seed must exercise deletes")
+      crossCheck(events, batches = 4)
     }
-    assert(events.count(_._1 == "d") > 30, "stream must exercise deletes")
-    crossCheck(events, batches = 4)
   }
 
   test("chaos with mid-stream compaction + reopen: DF == driver path") {
