@@ -44,7 +44,7 @@ final case class Manifest(
     schemaJson: String,
     keyCols: Seq[String],      // empty = append-only
     dataFiles: Seq[DataFileEntry],
-    dvFiles: Seq[String],      // parquet of (file: String, pos: Long)
+    dvFiles: Seq[String],      // GDV1 roaring sidecars (see DvSidecar)
     indexFiles: Seq[IndexFileEntry]) {
 
   def schema: StructType =
@@ -101,6 +101,26 @@ object Fio {
     val f = fs(path)
     val in = f.open(new Path(path))
     try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  def writeBytesAtomic(path: String, bytes: Array[Byte]): Unit = {
+    val f = fs(path)
+    val tmp = new Path(path + ".tmp")
+    val out = f.create(tmp, true)
+    try out.write(bytes)
+    finally out.close()
+    if (!f.rename(tmp, new Path(path))) {
+      f.delete(tmp, false)
+      if (!f.exists(new Path(path)))
+        throw new java.io.IOException(s"atomic commit failed: $path")
+    }
+  }
+
+  def readBytes(path: String): Array[Byte] = {
+    val f = fs(path)
+    val in = f.open(new Path(path))
+    try in.readAllBytes()
     finally in.close()
   }
 

@@ -324,14 +324,17 @@ final class GraftTable private (
       try {
         val survivors = folded.where(col("_tag") === "a")
           .select(dataCols.map(col) :+ col("_lsn"): _*)
-        prof("writeBatchFiles(del)")(writeBatchFiles(survivors, maxLsn))
-        // fall-through deletes target pre-batch rows: small (≤ #deletes),
-        // resolved via the broadcast index join in resolveCommittedDeletes
-        prof("deletes collect")(folded.where(col("_tag") === "d")
-          .select(keyColNames.map(col) :+ col("_lsn"): _*).collect())
-          .foreach { r =>
-            pendingDeletes += ((keyPos.indices.map(r.get), r.getLong(keyPos.length)))
-          }
+        val statFields = schemaVar.fields.zipWithIndex
+          .filter { case (f, _) => statsComparable(f.dataType) }.toSeq
+        // ONE pass over the cached fold output collects BOTH the
+        // per-partition survivor stats and the fall-through delete keys
+        // (formerly two jobs). Delete volume stays bounded by the
+        // batch's delete count, never its row count.
+        val (partStats, dels) = prof("stats+deletes")(
+          collectFoldOutputs(folded, statFields, keyPos))
+        prof("writeBatchFiles(del)")(
+          writeBatchFiles(survivors, maxLsn, Some(partStats)))
+        dels.foreach { case (k, lsn) => pendingDeletes += ((k, lsn)) }
       } finally folded.unpersist()
     }
     maybeMergeIndexes()
@@ -349,7 +352,9 @@ final class GraftTable private (
    *  frame — the cluster-side analogue of `writeRowChunks` +
    *  `writeIndexFromRows` (the reference builds its file index while
    *  writing for the same reason, `disk_slice.rs`). */
-  private def writeBatchFiles(survivors: DataFrame, maxLsn: Long): Unit = {
+  private def writeBatchFiles(survivors: DataFrame, maxLsn: Long,
+      precomputedStats: Option[Map[Int, (Long, Map[String, Seq[String]])]]
+        = scala.None): Unit = {
     val tmp = s"$root/tmp/${UUID.randomUUID()}"
     prof("  data write")(survivors.write.mode("overwrite").parquet(tmp))
     val parts = Fio.list(tmp)
@@ -366,10 +371,13 @@ final class GraftTable private (
     }.toMap
     Fio.delete(tmp)
     // cached pass #1: per-partition row counts + min/max per comparable
-    // column (manifest pruning, reference `parquet_stats_utils.rs`)
-    val statFields = schemaVar.fields.zipWithIndex
-      .filter { case (f, _) => statsComparable(f.dataType) }.toSeq
-    val partStats = prof("  stats pass")(collectPartitionStats(survivors, statFields))
+    // column (manifest pruning, reference `parquet_stats_utils.rs`) —
+    // or the caller's fused fold-output pass, when it already ran one
+    val partStats = precomputedStats.getOrElse {
+      val statFields = schemaVar.fields.zipWithIndex
+        .filter { case (f, _) => statsComparable(f.dataType) }.toSeq
+      prof("  stats pass")(collectPartitionStats(survivors, statFields))
+    }
     // cached pass #2: the key index — positions are partition row
     // order, exactly what the write just persisted
     if (identity != Identity.None) {
@@ -441,6 +449,50 @@ final class GraftTable private (
       }.toMap
       pid -> (n, stats)
     }.toMap
+  }
+
+  /** One pass over the cached fold output (row layout: _tag, _lsn,
+   *  data...): per-partition survivor counts + min/max stats AND the
+   *  fall-through delete keys, fused so a delete-carrying batch pays a
+   *  single collect job. Partition ids equal those of the survivors
+   *  projection (narrow transforms preserve them), which is what
+   *  `writeBatchFiles` keys its part-file stats on. */
+  private def collectFoldOutputs(folded: DataFrame,
+      statFields: Seq[(StructField, Int)], keyPos: Array[Int])
+      : (Map[Int, (Long, Map[String, Seq[String]])], Seq[(Seq[Any], Long)]) = {
+    val ords = statFields.map { case (f, _) => anyOrdering(f.dataType) }
+    val idxs = statFields.map(_._2).toArray
+    val raw = folded.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var n = 0L
+      val mins = Array.fill[Any](idxs.length)(null)
+      val maxs = Array.fill[Any](idxs.length)(null)
+      val dels = mutable.ArrayBuffer[(Seq[Any], Long)]()
+      it.foreach { r =>
+        if (r.getString(0) == "a") {
+          n += 1
+          var j = 0
+          while (j < idxs.length) {
+            val v = r.get(2 + idxs(j))
+            if (v != null) {
+              if (mins(j) == null || ords(j).lt(v, mins(j))) mins(j) = v
+              if (maxs(j) == null || ords(j).gt(v, maxs(j))) maxs(j) = v
+            }
+            j += 1
+          }
+        } else {
+          dels += ((keyPos.toSeq.map(i => r.get(2 + i)), r.getLong(1)))
+        }
+      }
+      Iterator.single((pid, n, mins.toSeq, maxs.toSeq, dels.toSeq))
+    }.collect()
+    val stats = raw.map { case (pid, n, mins, maxs, _) =>
+      val m = statFields.zipWithIndex.map { case ((f, _), j) =>
+        f.name -> (if (mins(j) == null) Seq.empty[String]
+                   else Seq(mins(j).toString, maxs(j).toString))
+      }.toMap
+      pid -> (n, m)
+    }.toMap
+    (stats, raw.toSeq.flatMap(_._5))
   }
 
   /** Block until all mutations at-or-below `lsn` are durably flushed to
@@ -708,7 +760,7 @@ final class GraftTable private (
     prof("resolveDeletes")(resolveCommittedDeletes())
     if (newDvPairs.nonEmpty) {
       Fio.mkdirs(s"$root/dv")
-      val name = f"dv-${newId()}%09d.parquet"
+      val name = f"dv-${newId()}%09d.bin"
       writeDvFile(newDvPairs.toSeq, name)
       dvFiles += name
       newDvPairs.clear()
@@ -728,27 +780,29 @@ final class GraftTable private (
     versionVar
   }
 
+  /** Persist a DV delta as a GDV1 roaring sidecar — driver IO, no Spark
+   *  job (the reference ships puffin roaring blobs the same way; a
+   *  parquet write here cost a full job per delete-carrying publish). */
   private def writeDvFile(pairs: Seq[(String, Long)], name: String): Unit = {
-    val df = spark.createDataFrame(
-      pairs.map { case (f, p) => Row(f, p) }.asJava, dvSchema)
-    val tmp = s"$root/tmp/${UUID.randomUUID()}"
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    movePartFile(tmp, s"$root/dv/$name")
+    val byFile = mutable.LinkedHashMap[String, Roaring64Bitmap]()
+    pairs.foreach { case (f, p) =>
+      byFile.getOrElseUpdate(f, new Roaring64Bitmap).addLong(p)
+    }
+    DvSidecar.write(s"$root/dv/$name", byFile.toSeq)
   }
 
   def currentManifest: Manifest = Manifest(versionVar, commitLsnVar,
     flushLsnVar, schemaVar.json, keyCols, fileEntries.values.toSeq,
     dvFiles.toSeq, indexFiles.toSeq)
 
-  private[table] def loadDvState(): Unit = {
-    val files = dvFiles.map(f => s"$root/dv/$f").toSeq
-    // stream into roaring state: driver never holds the raw pair array
-    if (files.nonEmpty)
-      spark.read.parquet(files: _*).select("file", "pos")
-        .toLocalIterator().asScala.foreach { r =>
-          dvMap.getOrElseUpdate(r.getString(0), new Roaring64Bitmap).addLong(r.getLong(1))
-        }
-  }
+  private[table] def loadDvState(): Unit =
+    // direct sidecar reads, bitmap OR into roaring state — positions are
+    // never expanded to pair lists, and reopen costs no Spark job
+    dvFiles.foreach { f =>
+      DvSidecar.read(s"$root/dv/$f").foreach { case (file, bm) =>
+        dvMap.getOrElseUpdate(file, new Roaring64Bitmap).or(bm)
+      }
+    }
 
   // =====================================================================
   // Read path (S10/S11): committed files minus DVs, union in-mem tail.
@@ -818,10 +872,25 @@ final class GraftTable private (
         col("_metadata.row_index")))
     } else {
       // dvMap == persisted DV files ∪ unpersisted newDvPairs; both sides
-      // of the anti-join are needed for reads taken mid-publish (compact)
+      // of the anti-join are needed for reads taken mid-publish (compact).
+      // Sidecar blobs are read and EXPANDED to (file,pos) rows on the
+      // executors (binaryFile scan + flatMap) — the driver never holds a
+      // raw position list past the broadcast threshold.
+      import spark.implicits._
       val persisted =
         if (dvFiles.isEmpty) scala.None
-        else Some(spark.read.parquet(dvFiles.map(f => s"$root/dv/$f").toSeq: _*))
+        else Some(spark.read.format("binaryFile")
+          .load(dvFiles.map(f => s"$root/dv/$f").toSeq: _*)
+          .select(col("content")).as[Array[Byte]]
+          .flatMap(bytes => DvSidecar.fromBytes(bytes).iterator.flatMap {
+            case (f, bm) =>
+              val it = bm.getLongIterator
+              new Iterator[(String, Long)] {
+                def hasNext: Boolean = it.hasNext
+                def next(): (String, Long) = (f, it.next())
+              }
+          })
+          .toDF("file", "pos"))
       val unpersisted =
         if (newDvPairs.isEmpty) scala.None
         else Some(spark.createDataFrame(
@@ -1004,41 +1073,23 @@ final class GraftTable private (
   }
 
   /** Consolidate DV sidecars after compaction: victims' DVs drop, the
-   *  rest persist. Small DV volume rewrites from the driver's roaring
-   *  state; large volume rewrites distributed (read old sidecars, filter
-   *  to surviving files, dedupe) — the driver never expands bitmaps to
-   *  raw position lists past the broadcast threshold. */
+   *  rest persist as ONE sidecar serialized straight from the driver's
+   *  roaring state (`dvMap` — authoritative, persisted ∪ unpersisted;
+   *  compact() removes victims from it before calling here). Bitmaps are
+   *  re-serialized without ever expanding to position lists, so this is
+   *  O(compressed DV bytes) driver IO — the same memory the roaring
+   *  state already occupies — and costs no Spark job. */
   private def rewriteDvFiles(victims: Set[String]): Unit = {
-    val oldFiles = dvFiles.toSeq
     dvFiles.clear()
-    val total = dvMap.valuesIterator.map(_.getLongCardinality).sum
-    if (total == 0) { newDvPairs.clear(); return }
-    Fio.mkdirs(s"$root/dv")
-    val name = f"dv-${newId()}%09d.parquet"
-    if (total <= config.dvBroadcastMaxDeletes) {
-      val pairs = dvMap.iterator
-        .flatMap { case (f, bm) => bm.toArray.map(p => (f, p)) }.toSeq
-      writeDvFile(pairs, name)
-    } else {
-      // filter by the (≤ compactMaxFilesPerOp) victims, not the full
-      // live list — the predicate stays O(victims) at any table size
-      val dead = victims.toSeq
-      val persisted =
-        if (oldFiles.isEmpty) scala.None
-        else Some(spark.read.parquet(oldFiles.map(f => s"$root/dv/$f"): _*))
-      val unpersisted =
-        if (newDvPairs.isEmpty) scala.None
-        else Some(spark.createDataFrame(
-          newDvPairs.map { case (f, p) => Row(f, p) }.asJava, dvSchema))
-      val all = (persisted ++ unpersisted).reduce(_ unionByName _)
-        .where(if (dead.isEmpty) lit(true) else !col("file").isin(dead: _*))
-        .distinct()
-      val tmp = s"$root/tmp/${UUID.randomUUID()}"
-      all.coalesce(1).write.mode("overwrite").parquet(tmp)
-      movePartFile(tmp, s"$root/dv/$name")
-    }
-    dvFiles += name
     newDvPairs.clear()
+    val live = dvMap.iterator.filter { case (f, bm) =>
+      !victims.contains(f) && bm.getLongCardinality > 0
+    }.toSeq
+    if (live.isEmpty) return
+    Fio.mkdirs(s"$root/dv")
+    val name = f"dv-${newId()}%09d.bin"
+    DvSidecar.write(s"$root/dv/$name", live)
+    dvFiles += name
     // old dv files reclaimed by vacuum()
   }
 
