@@ -374,6 +374,21 @@ object SparkEntry {
 
     "cdc_upsert_state" -> ((s, d) => cdcUpsert(s, d)),
 
+    "cdc_cached_read" -> ((s, d) => {
+      // M16: same upsert table, scan routed through the object-storage
+      // cache (read pins local copies; DV filtering keys on preserved
+      // basenames) — results must equal the direct read's
+      val table = runCdc(s, d, deleteType = None)
+      val cache = new graft.storage.ObjectCache(
+        graft.storage.CacheConfig(1L << 30, freshDir("cache")))
+      table.attachCache(cache)
+      table.read(None)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"),
+          cents(col("value")).as("value_cents"))
+        .orderBy("user_id")
+    }),
+
     "cdc_delete_state" -> ((s, d) => cdcDeleteFinal(s, d, compact = false)),
 
     "cdc_compact_state" -> ((s, d) => cdcDeleteFinal(s, d, compact = true)),
@@ -937,6 +952,7 @@ object SparkEntry {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "cdc_upsert_state" -> cdcUpsertOracle,
+    "cdc_cached_read" -> cdcUpsertOracle,
     "cdc_delete_state" -> cdcDeleteOracle,
     "cdc_compact_state" -> cdcDeleteOracle,
     "cdc_sql_view" ->

@@ -140,6 +140,15 @@ object Fio {
   }
 
   def sizeOf(path: String): Long = fs(path).getFileStatus(new Path(path)).getLen
+
+  def copy(src: String, dst: String): Unit = {
+    val conf = new Configuration()
+    fs(dst).mkdirs(new Path(dst).getParent)
+    if (!org.apache.hadoop.fs.FileUtil.copy(
+        fs(src), new Path(src), fs(dst), new Path(dst),
+        false /*deleteSource*/, true /*overwrite*/, conf))
+      throw new java.io.IOException(s"copy failed: $src -> $dst")
+  }
 }
 
 /**

@@ -837,11 +837,45 @@ final class GraftTable private (
     read(Some(lsn))
   }
 
+  // ----- M16 seam: optional object-storage cache on the scan path -----
+  // The pin cycle mirrors scan_table_begin/end (S12): each read pins the
+  // snapshot's files and the PREVIOUS read's pins release after the new
+  // ones are taken, so files shared across versions never churn.
+  private var cacheOpt: Option[graft.storage.ObjectCache] = scala.None
+  private var readPins: Seq[graft.storage.CacheHandle] = Nil
+
+  /** Route data-file scans through `cache` (reference NVMe cache, M16):
+   *  hits read the local copy, budget-denied files fall back to the
+   *  remote path untouched. */
+  def attachCache(cache: graft.storage.ObjectCache): Unit = synchronized {
+    cacheOpt = Some(cache)
+  }
+
+  /** Detach and release this table's read pins. */
+  def detachCache(): Unit = synchronized {
+    readPins.foreach(_.unpin()); readPins = Nil
+    cacheOpt = scala.None
+  }
+
   /** Committed on-disk part of the table, DVs applied. */
   private def committedDF: DataFrame = {
     if (fileEntries.isEmpty)
       return spark.createDataFrame(new java.util.ArrayList[Row](), schemaVar)
-    val paths = fileEntries.keys.map(f => s"$root/data/$f").toSeq
+    val rawPaths = fileEntries.keys.map(f => s"$root/data/$f").toSeq
+    val paths = cacheOpt match {
+      case Some(c) =>
+        val pinsAndPaths = rawPaths.map { p =>
+          c.get(p, p) match {
+            case Some(h) => (Some(h), h.localPath)
+            case scala.None => (scala.None, p) // budget denied: remote read
+          }
+        }
+        val old = readPins
+        readPins = pinsAndPaths.flatMap(_._1)
+        old.foreach(_.unpin())
+        pinsAndPaths.map(_._2)
+      case scala.None => rawPaths
+    }
     val base = spark.read.schema(schemaVar).parquet(paths: _*)
     applyDvFilter(base).select(schemaVar.fieldNames.map(col).toSeq: _*)
   }
@@ -1175,7 +1209,7 @@ final class GraftTable private (
   }
 
   /** Drop table (M13, reference `table_handler.rs:158-185`). */
-  def drop(): Unit = synchronized { Fio.delete(root) }
+  def drop(): Unit = synchronized { detachCache(); Fio.delete(root) }
 
   private def dvSchema = StructType(Seq(
     StructField("file", StringType), StructField("pos", LongType)))
