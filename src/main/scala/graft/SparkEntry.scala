@@ -374,6 +374,18 @@ object SparkEntry {
 
     "cdc_upsert_state" -> ((s, d) => cdcUpsert(s, d)),
 
+    "cdc_dsv2_read" -> ((s, d) => {
+      // DSv2 connector: the same upsert table read back through
+      // spark.read.format("graft") — manifest snapshot, reader-side DV
+      // skip, column pruning; must equal the library read
+      val table = runCdc(s, d, deleteType = None)
+      s.read.format("graft").load(table.root)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"),
+          cents(col("value")).as("value_cents"))
+        .orderBy("user_id")
+    }),
+
     "cdc_cached_read" -> ((s, d) => {
       // M16: same upsert table, scan routed through the object-storage
       // cache (read pins local copies; DV filtering keys on preserved
@@ -953,6 +965,7 @@ object SparkEntry {
 
     "cdc_upsert_state" -> cdcUpsertOracle,
     "cdc_cached_read" -> cdcUpsertOracle,
+    "cdc_dsv2_read" -> cdcUpsertOracle,
     "cdc_delete_state" -> cdcDeleteOracle,
     "cdc_compact_state" -> cdcDeleteOracle,
     "cdc_sql_view" ->

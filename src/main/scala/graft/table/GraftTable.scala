@@ -1370,7 +1370,7 @@ object GraftTable {
     t
   }
 
-  private[table] def anyOrdering(dt: DataType): Ordering[Any] = dt match {
+  private[graft] def anyOrdering(dt: DataType): Ordering[Any] = dt match {
     case _: IntegerType => Ordering.Int.on[Any](_.asInstanceOf[Int])
     case _: LongType => Ordering.Long.on[Any](_.asInstanceOf[Long])
     case _: ShortType => Ordering.Short.on[Any](_.asInstanceOf[Short])
@@ -1383,14 +1383,14 @@ object GraftTable {
     case other => throw new IllegalArgumentException(s"no ordering for $other")
   }
 
-  private[table] def statsComparable(dt: DataType): Boolean = dt match {
+  private[graft] def statsComparable(dt: DataType): Boolean = dt match {
     case _: IntegerType | _: LongType | _: ShortType | _: DoubleType |
          _: FloatType | _: StringType | _: DateType | _: TimestampType |
          _: BooleanType => true
     case _ => false
   }
 
-  private[table] def parseStat(dt: DataType, s: String): Any = dt match {
+  private[graft] def parseStat(dt: DataType, s: String): Any = dt match {
     case _: IntegerType => s.toInt
     case _: LongType => s.toLong
     case _: ShortType => s.toShort
