@@ -12,10 +12,11 @@ import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.parquet.schema.{MessageType, Type => PType}
-import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -44,7 +45,13 @@ import scala.jdk.CollectionConverters._
  *    the `RowSelection` analogue (`table_provider.rs:140-167`): each
  *    partition carries only its own file's roaring blob,
  *  - one InputPartition per data file (files are written ~rowsPerFile
- *    ≈ 128 MiB, the natural split granularity at cluster scale).
+ *    ≈ 128 MiB, the natural split granularity at cluster scale),
+ *  - AGGREGATE PUSHDOWN: unfiltered global COUNT(*)/MIN/MAX are
+ *    answered straight from the manifest (row counts minus DV
+ *    cardinality; per-file min/max stats) — zero parquet bytes read,
+ *    the metadata-only fast path that matters most at 100 TB,
+ *  - LIMIT PUSHDOWN: plans only enough files to cover the limit and
+ *    caps each reader (Spark keeps the final global Limit).
  *
  * Scope: flat relational schemas (the types `statsComparable` covers,
  * plus binary); nested/decimal columns stay on the library read path
@@ -85,10 +92,13 @@ private[graft] class GraftSparkTable(root: String)
 
 private[graft] class GraftScanBuilder(root: String, manifest: Manifest)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
   private val tableSchema = manifest.schema
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
+  private var aggPushed: Option[Aggregation] = scala.None
+  private var limit: Long = -1L
 
   /** Accept the filters usable for min/max file pruning; ALL filters
    *  are returned as residual — pruning is inexact by design (the
@@ -103,7 +113,29 @@ private[graft] class GraftScanBuilder(root: String, manifest: Manifest)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GraftScan(root, manifest, required, pushed)
+  /** Unfiltered global COUNT(*)/MIN/MAX answered from the manifest.
+   *  Filters make stat-pruning inexact, so any pushed filter disables
+   *  this (Spark also never offers aggregates past a residual Filter);
+   *  MIN/MAX additionally require a delete-free snapshot — a DV could
+   *  mask exactly the extreme row. The one emitted row is the FINAL
+   *  answer (complete pushdown), and is equally valid as a partial
+   *  buffer if Spark keeps its own agg. */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    pushed.isEmpty && GraftAggScan.supported(manifest, agg)
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    val ok = pushed.isEmpty && GraftAggScan.supported(manifest, agg)
+    if (ok) aggPushed = Some(agg)
+    ok
+  }
+
+  /** Partial limit push (default isPartiallyPushed): plan only enough
+   *  files to cover `l` live rows; Spark applies the exact global cut. */
+  override def pushLimit(l: Int): Boolean = { limit = l.toLong; true }
+
+  override def build(): Scan = aggPushed match {
+    case Some(a) => new GraftAggScan(manifest, a)
+    case scala.None => new GraftScan(root, manifest, required, pushed, limit)
+  }
 }
 
 private[sources] object GraftScan {
@@ -176,18 +208,32 @@ private[sources] object GraftScan {
 }
 
 private[sources] class GraftScan(root: String, manifest: Manifest,
-    required: StructType, pushed: Array[Filter])
+    required: StructType, pushed: Array[Filter], limit: Long = -1L)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftScan(files=${manifest.dataFiles.size}, " +
-      s"pushed=[${pushed.mkString(", ")}], cols=${required.fieldNames.mkString(",")})"
+      s"pushed=[${pushed.mkString(", ")}], cols=${required.fieldNames.mkString(",")}" +
+      (if (limit >= 0L) s", limit=$limit" else "") + ")"
 
-  private lazy val survivors: Seq[DataFileEntry] =
+  private lazy val statSurvivors: Seq[DataFileEntry] =
     manifest.dataFiles.filter(e =>
       pushed.forall(f => GraftScan.mayMatch(manifest.schema, e, f)))
+
+  // With a pushed limit (only offered with no residual filters), stop
+  // planning files once their live rows cover it.
+  private lazy val survivors: Seq[DataFileEntry] =
+    if (limit < 0L) statSurvivors
+    else {
+      var acc = 0L
+      statSurvivors.takeWhile { e =>
+        val take = acc < limit
+        acc += e.rows - e.deletes
+        take
+      }
+    }
 
   // per-data-file DV blobs from the GDV1 sidecars; each partition
   // ships only its own file's bitmap
@@ -207,7 +253,7 @@ private[sources] class GraftScan(root: String, manifest: Manifest,
   override def planInputPartitions(): Array[InputPartition] =
     survivors.map { e =>
       GraftInputPartition(s"$root/data/${e.path}", e.rows,
-        dvBlobs.getOrElse(e.path, null)): InputPartition
+        dvBlobs.getOrElse(e.path, null), limit): InputPartition
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -221,8 +267,107 @@ private[sources] class GraftScan(root: String, manifest: Manifest,
   }
 }
 
+/**
+ * Metadata-only aggregate scan: the whole result is computed on the
+ * driver from the manifest — COUNT(*) as Σ(rows − dvDeletes) per file,
+ * MIN/MAX by folding the per-file stats — and shipped to one trivial
+ * partition. At 100 TB this answers `SELECT count(*) FROM t` (the
+ * canonical freshness probe, reference `table_provider.rs`'s
+ * statistics path) without touching a single parquet byte.
+ */
+private[sources] class GraftAggScan(manifest: Manifest, agg: Aggregation)
+    extends Scan with Batch {
+  private val funcs: Seq[AggregateFunc] = agg.aggregateExpressions.toSeq
+
+  override def readSchema(): StructType = GraftAggScan.schemaFor(manifest.schema, funcs)
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftAggScan(${funcs.mkString(", ")}) [manifest-only, 0 files read]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftAggPartition(GraftAggScan.values(manifest, funcs)))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftAggReaderFactory
+}
+
+private[sources] object GraftAggScan {
+  private def named(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames.head)
+      case _ => scala.None
+    }
+
+  private def colOf(f: AggregateFunc): Option[String] = f match {
+    case m: Min => named(m.column)
+    case m: Max => named(m.column)
+    case _ => scala.None
+  }
+
+  /** Global (no GROUP BY) COUNT(*)/MIN(col)/MAX(col) only; MIN/MAX
+   *  need a delete-free snapshot plus stats on every file for the
+   *  column (a DV could mask exactly the extreme row; a stat-less
+   *  file hides its range). */
+  def supported(manifest: Manifest, agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case f @ (_: Min | _: Max) =>
+          manifest.dataFiles.forall(_.deletes == 0L) && colOf(f).exists { c =>
+            manifest.schema.fields.find(_.name == c)
+              .exists(fd => GraftTable.statsComparable(fd.dataType)) &&
+              manifest.dataFiles.forall(e => e.stats.get(c).exists(_.length == 2))
+          }
+        case _ => false
+      }
+
+  def schemaFor(schema: StructType, funcs: Seq[AggregateFunc]): StructType =
+    StructType(funcs.zipWithIndex.map {
+      case (_: CountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
+      case (f, i) =>
+        val dt = colOf(f).flatMap(c => schema.fields.find(_.name == c)).map(_.dataType)
+          .getOrElse(throw new IllegalStateException(s"unsupported pushed agg $f"))
+        StructField(s"agg_$i", dt, nullable = true)
+    })
+
+  /** Final values in Spark internal representation (UTF8String, micros,
+   *  days) — computed entirely from the manifest. */
+  def values(manifest: Manifest, funcs: Seq[AggregateFunc]): Array[Any] = {
+    def extreme(f: AggregateFunc, isMin: Boolean): Any = {
+      val c = colOf(f).get
+      val fd = manifest.schema.fields.find(_.name == c).get
+      implicit val ord: Ordering[Any] = GraftTable.anyOrdering(fd.dataType)
+      val perFile = manifest.dataFiles
+        .map(e => GraftTable.parseStat(fd.dataType, e.stats(c)(if (isMin) 0 else 1)))
+      if (perFile.isEmpty) null
+      else CatalystTypeConverters.createToCatalystConverter(fd.dataType)(
+        if (isMin) perFile.min else perFile.max)
+    }
+    funcs.map {
+      case _: CountStar => java.lang.Long.valueOf(manifest.liveRows)
+      case f: Min => extreme(f, isMin = true)
+      case f: Max => extreme(f, isMin = false)
+      case other => throw new IllegalStateException(s"unsupported pushed agg $other")
+    }.toArray
+  }
+}
+
+private[sources] final case class GraftAggPartition(values: Array[Any])
+    extends InputPartition
+
+private[sources] class GraftAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val vals = partition.asInstanceOf[GraftAggPartition].values
+      private var done = false
+      override def next(): Boolean = if (done) false else { done = true; true }
+      override def get(): InternalRow = new GenericInternalRow(vals)
+      override def close(): Unit = ()
+    }
+}
+
 private[sources] final case class GraftInputPartition(
-    path: String, rows: Long, dvBlob: Array[Byte]) extends InputPartition
+    path: String, rows: Long, dvBlob: Array[Byte],
+    cap: Long = -1L) extends InputPartition
 
 private[sources] class GraftReaderFactory(requiredJson: String)
     extends PartitionReaderFactory {
@@ -243,6 +388,7 @@ private[sources] class GraftPartitionReader(part: GraftInputPartition,
   private val dv: Roaring64Bitmap =
     if (part.dvBlob == null) null else DvCache.deserialize(part.dvBlob)
   private var pos = -1L
+  private var emitted = 0L // pushed-limit cap (part.cap < 0 = unlimited)
   private var current: InternalRow = _
 
   // COUNT(*)-style scans request zero columns: no parquet decode at
@@ -250,7 +396,10 @@ private[sources] class GraftPartitionReader(part: GraftInputPartition,
   private val emptyProjection = required.fields.isEmpty
   private var emptyLeft: Long =
     if (!emptyProjection) 0L
-    else part.rows - (if (dv == null) 0L else dv.getLongCardinality)
+    else {
+      val live = part.rows - (if (dv == null) 0L else dv.getLongCardinality)
+      if (part.cap >= 0L) math.min(live, part.cap) else live
+    }
 
   private val conf = new Configuration()
 
@@ -289,6 +438,7 @@ private[sources] class GraftPartitionReader(part: GraftInputPartition,
       current = new GenericInternalRow(0)
       return true
     }
+    if (part.cap >= 0L && emitted >= part.cap) return false
     var g: Group = reader.read()
     pos += 1
     while (g != null && dv != null && dv.contains(pos)) {
@@ -303,6 +453,7 @@ private[sources] class GraftPartitionReader(part: GraftInputPartition,
       i += 1
     }
     current = new GenericInternalRow(vals)
+    emitted += 1
     true
   }
 

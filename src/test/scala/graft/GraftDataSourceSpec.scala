@@ -100,6 +100,62 @@ class GraftDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.drop()
   }
 
+  test("count(*) answered from the manifest, zero files read") {
+    val t = buildTable()
+    val df = spark.read.format("graft").load(t.root)
+    val q = df.agg(count(lit(1)))
+    assert(q.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+      "unfiltered count(*) must hit the metadata-only scan")
+    assert(q.head().getLong(0) == 39L, "count must respect DV deletes")
+    // a filter makes stat pruning inexact — must fall back to real scan
+    val filtered = df.where(col("id") > 100L).agg(count(lit(1)))
+    assert(!filtered.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+    assert(filtered.head().getLong(0) == 20L)
+    t.drop()
+  }
+
+  test("min/max pushed on delete-free snapshot, fall back under DVs") {
+    val dir = tmpDir() + "/t"
+    val t = GraftTable.create(spark, dir, schema,
+      Identity.Keys(Seq("id")), TableConfig(memSliceSize = 4, walEnabled = false))
+    def row(i: Long) = Row(i, s"n$i", i * 1.5, i % 2 == 0,
+      java.sql.Timestamp.valueOf(f"2025-01-01 00:00:${i % 60}%02d"))
+    t.apply((1L to 20L).flatMap(i =>
+      CdcEvent.upsert(row(i), Seq(i), i)) :+ Commit(21L))
+    val df = spark.read.format("graft").load(t.root)
+    val q = df.agg(min("id"), max("score"), count(lit(1)))
+    assert(q.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+    val r = q.head()
+    assert(r.getLong(0) == 1L && r.getDouble(1) == 30.0 && r.getLong(2) == 20L)
+    // now delete a row: min/max can no longer trust file stats
+    t.apply(Seq(Delete(Seq(1L), 30L), Commit(31L)))
+    val df2 = spark.read.format("graft").load(t.root)
+    val q2 = df2.agg(min("id"), max("id"))
+    assert(!q2.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+    val r2 = q2.head()
+    assert(r2.getLong(0) == 2L && r2.getLong(1) == 20L)
+    // count alone still metadata-only under DVs
+    val q3 = df2.agg(count(lit(1)))
+    assert(q3.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+    assert(q3.head().getLong(0) == 19L)
+    t.drop()
+  }
+
+  test("limit pushdown plans only enough files and caps readers") {
+    val t = buildTable()
+    val manifest = t.currentManifest
+    val sb = new GraftScanBuilder(t.root, manifest)
+    sb.pushLimit(3)
+    val parts = sb.build().toBatch.planInputPartitions()
+    assert(parts.length == 1, s"3 rows fit in the first file, got ${parts.length}")
+    val all = new GraftScanBuilder(t.root, manifest).build()
+      .toBatch.planInputPartitions().length
+    assert(all > 1)
+    // end-to-end: exact limit semantics preserved (Spark's global cut)
+    assert(spark.read.format("graft").load(t.root).limit(3).count() == 3L)
+    t.drop()
+  }
+
   test("timestamps and booleans round-trip through the reader") {
     val t = buildTable()
     val r = spark.read.format("graft").load(t.root)
