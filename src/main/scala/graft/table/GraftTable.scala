@@ -1376,9 +1376,22 @@ object GraftTable {
     case _: ShortType => Ordering.Short.on[Any](_.asInstanceOf[Short])
     case _: DoubleType => Ordering.Double.TotalOrdering.on[Any](_.asInstanceOf[Double])
     case _: FloatType => Ordering.Float.TotalOrdering.on[Any](_.asInstanceOf[Float])
-    case _: StringType => Ordering.String.on[Any](_.toString)
+    // Strings must order as UTF-8 bytes (what Spark's Min/Max over
+    // UTF8String computes), not UTF-16 code units: the two disagree for
+    // supplementary-plane code points vs high-BMP chars.
+    case _: StringType => new Ordering[Any] {
+      def compare(a: Any, b: Any): Int =
+        org.apache.spark.unsafe.types.UTF8String.fromString(a.toString)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b.toString))
+    }
     case _: DateType => Ordering.Long.on[Any](_.asInstanceOf[java.sql.Date].getTime)
-    case _: TimestampType => Ordering.Long.on[Any](_.asInstanceOf[java.sql.Timestamp].getTime)
+    // Timestamp.compareTo includes the nanos field; getTime is millis
+    // only and would collapse sub-millisecond distinctions that the
+    // stat strings (Timestamp.toString, nanosecond precision) preserve.
+    case _: TimestampType => new Ordering[Any] {
+      def compare(a: Any, b: Any): Int =
+        a.asInstanceOf[java.sql.Timestamp].compareTo(b.asInstanceOf[java.sql.Timestamp])
+    }
     case _: BooleanType => Ordering.Boolean.on[Any](_.asInstanceOf[Boolean])
     case other => throw new IllegalArgumentException(s"no ordering for $other")
   }

@@ -141,6 +141,38 @@ class GraftDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.drop()
   }
 
+  test("pushed min/max uses UTF-8 binary string order and micro timestamps") {
+    // U+FFFD sorts ABOVE a surrogate pair in UTF-16 code units but BELOW
+    // U+1F600 in UTF-8 bytes; Spark's Min/Max compare UTF8String binary.
+    // Timestamps one microsecond apart collapse under millis ordering.
+    val dir = tmpDir() + "/t"
+    val sch = SchemaDsl.struct("id" -> "int64", "name" -> "string",
+      "ts" -> "timestamp")
+    val t = GraftTable.create(spark, dir, sch,
+      Identity.Keys(Seq("id")), TableConfig(memSliceSize = 2, walEnabled = false))
+    val rows = Seq(
+      Row(1L, "�", java.sql.Timestamp.valueOf("2025-01-01 00:00:00.000002")),
+      Row(2L, "😀", java.sql.Timestamp.valueOf("2025-01-01 00:00:00.000001")),
+      Row(3L, "a", java.sql.Timestamp.valueOf("2025-01-01 00:00:00.000003")))
+    t.apply(rows.zipWithIndex.flatMap { case (r, i) =>
+      CdcEvent.upsert(r, Seq(r.getLong(0)), i + 1L) } :+ Commit(10L))
+    val df = spark.read.format("graft").load(t.root)
+    val q = df.agg(min("name"), max("name"), min("ts"), max("ts"))
+    assert(q.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+      "delete-free snapshot must answer min/max from the manifest")
+    val got = q.head()
+    // the ground truth: Spark computing the same aggregates with the
+    // pushdown disabled (plain parquet over the data files)
+    val want = t.read(None).agg(min("name"), max("name"), min("ts"), max("ts")).head()
+    assert(got == want, s"pushed=$got spark=$want")
+    assert(got.getString(1) == "😀", "max string must be UTF-8 order")
+    assert(got.getTimestamp(2) ==
+      java.sql.Timestamp.valueOf("2025-01-01 00:00:00.000001"))
+    assert(got.getTimestamp(3) ==
+      java.sql.Timestamp.valueOf("2025-01-01 00:00:00.000003"))
+    t.drop()
+  }
+
   test("limit pushdown plans only enough files and caps readers") {
     val t = buildTable()
     val manifest = t.currentManifest
