@@ -175,25 +175,48 @@ object Similarity {
       .limit(nCells).select("cv").collect()
       .map(r => normalized(r.getAs[scala.collection.Seq[Double]](0).toArray))
     val dim = cents.headOption.map(_.length).getOrElse(0)
+    // Each Lloyd round is ONE narrow pass: per-partition JVM
+    // accumulators (cell sums + counts) combined by treeAggregate —
+    // the MLlib-KMeans shape. No shuffle, no wide codegen'd aggregate
+    // (a dim+1-column groupBy spent seconds in codegen alone), and the
+    // driver receives exactly one nCells x (dim+1) matrix per round
+    // regardless of corpus size.
     (0 until iters).foreach { _ =>
       val bc = spark.sparkContext.broadcast(cents)
-      // per-dimension sums as plain aggregates — NOT posexplode: a
-      // UDF column evaluated inside a Generate stage re-runs per
-      // exploded output row and is catastrophically slow (measured
-      // 60x on this exact shape)
-      val aggs = count(lit(1)).as("n") +: (0 until dim).map(i =>
-        sum(element_at(col("cv"), i + 1)))
-      val stats = c.select(
-          element_at(nearestCellsUdf(bc, 1)(col("cv")), 1).as("cell"),
-          col("cv"))
-        .groupBy(col("cell")).agg(aggs.head, aggs.tail: _*).collect()
+      val nc = cents.length
+      val (sums, counts) = c.select(col("cv")).rdd.treeAggregate(
+        (Array.ofDim[Double](nc * dim), Array.ofDim[Long](nc)))(
+        seqOp = { case (acc @ (s, n), row) =>
+          val v = row.getAs[scala.collection.Seq[Double]](0)
+          val ct = bc.value
+          var best = 0; var bestS = Double.NegativeInfinity
+          var ci = 0
+          while (ci < ct.length) {
+            val cv = ct(ci); var d = 0.0; var i = 0
+            while (i < cv.length && i < v.length) { d += cv(i) * v(i); i += 1 }
+            if (d > bestS) { bestS = d; best = ci }
+            ci += 1
+          }
+          val off = best * dim
+          var i = 0
+          while (i < dim && i < v.length) { s(off + i) += v(i); i += 1 }
+          n(best) += 1
+          acc
+        },
+        combOp = { case ((s1, n1), (s2, n2)) =>
+          var i = 0; while (i < s1.length) { s1(i) += s2(i); i += 1 }
+          var j = 0; while (j < n1.length) { n1(j) += n2(j); j += 1 }
+          (s1, n1)
+        })
       val next = cents.map(_.clone())
-      stats.foreach { r =>
-        val cell = r.getInt(0)
-        val n = r.getLong(1)
-        val mean = Array.tabulate(dim)(i => r.getDouble(2 + i) / n)
-        val nm = math.sqrt(mean.map(x => x * x).sum)
-        if (nm > 0) next(cell) = mean.map(_ / nm) // empty cells keep seeds
+      var ci = 0
+      while (ci < nc) {
+        if (counts(ci) > 0) {
+          val mean = Array.tabulate(dim)(i => sums(ci * dim + i) / counts(ci))
+          val nm = math.sqrt(mean.map(x => x * x).sum)
+          if (nm > 0) next(ci) = mean.map(_ / nm) // empty cells keep seeds
+        }
+        ci += 1
       }
       cents = next
     }
