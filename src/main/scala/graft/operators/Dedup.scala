@@ -61,11 +61,15 @@ object Dedup {
       blockCol: String, n: Int, minMilli: Int): DataFrame = {
     // shingle sizes are projected alongside the sets (codegen
     // subexpression elimination computes the set once per row) so the
-    // per-pair prefilter below touches only two longs, never the arrays
+    // per-pair prefilter below touches only two longs, never the arrays.
+    // The shingle frame is persisted: both self-join sides derive from
+    // it, and without a cache each side re-tokenizes the corpus. One
+    // spill-safe copy of the shingle sets is the standard LSH trade.
     val t = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
         shingles(col(textCol), n).as("sh"))
       .select(col("blk"), col("id"), col("sh"),
         size(col("sh")).cast("long").as("sz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = t.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"),
       col("sz").as("sz_a"))
     val b = t.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"),
@@ -184,12 +188,15 @@ object Dedup {
       minMilli: Int = 500): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
-    // hashed shingle sets, computed once and reused for both the
-    // signature and the verification join
+    // hashed shingle sets, persisted once: the band self-join sides and
+    // BOTH verification joins re-read this frame — uncached, the corpus
+    // would re-tokenize ~4x. One spill-safe copy of int64 shingle sets
+    // (smaller than the text) is the standard LSH trade at any scale.
     val t = df.select(col(idCol).as("id"),
         hashedShingles(TextOps.tokens(TextOps.normalize(col(textCol))),
           shingleN).as("hs"))
       .where(size(col("hs")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = t.withColumn("sig", minhashSignature(col("hs"), numHashes))
     // band buckets: only ids travel through the LSH join, never arrays
     val banded = sigs.select(col("id"),
@@ -259,15 +266,22 @@ object Dedup {
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
       blockCol: Column, minCosineMilli: Int): DataFrame = {
     // cosine(a,b) = dot/(|a||b|) computed directly (not on pre-normalized
-    // vectors) so an oracle using the same formula agrees bit-for-bit
+    // vectors) so an oracle using the same formula agrees bit-for-bit.
+    // Norms are per-ROW quantities, so they are projected here once —
+    // inlining Similarity.cosine into the pair select would re-fold
+    // each vector's norm once per PAIR it appears in (~block-size x).
     val t = df.select(blockCol.as("blk"), col(idCol).as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
-    val a = t.select(col("blk"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = t.select(col("blk"), col("id").as("id_b"), col("v").as("v_b"))
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+    val a = t.select(col("blk"), col("id").as("id_a"), col("v").as("v_a"),
+      col("nrm").as("n_a"))
+    val b = t.select(col("blk"), col("id").as("id_b"), col("v").as("v_b"),
+      col("nrm").as("n_b"))
     a.join(b, Seq("blk"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(Similarity.cosine(col("v_a"), col("v_b")) * 1000).cast("long")
+        round(Similarity.dot(col("v_a"), col("v_b"))
+            / (col("n_a") * col("n_b")) * 1000).cast("long")
           .as("cosine_milli"))
       .where(col("cosine_milli") >= minCosineMilli)
   }
