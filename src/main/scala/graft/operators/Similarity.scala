@@ -46,14 +46,19 @@ object Similarity {
    */
   def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"))
+    // cast + norm are per-ROW quantities, projected once per side —
+    // folding them inside the pair select would redo both per PAIR
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        transform(col(vecCol), x => x.cast("double")).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val q = queries.select(col(qIdCol).as("query_id"),
+        transform(col(qVecCol), x => x.cast("double")).as("qv"))
+      .withColumn("qn", norm(col("qv")))
     val scored = c.join(broadcast(q))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         // integer micro-units so ordering & output are engine-exact
-        round(cosine(transform(col("cv"), x => x.cast("double")),
-          transform(col("qv"), x => x.cast("double"))) * 1e6)
+        round(dot(col("cv"), col("qv")) / (col("cn") * col("qn")) * 1e6)
           .cast("long").as("cosine_micro"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine_micro").desc, col("neighbor_id").asc)
@@ -94,16 +99,23 @@ object Similarity {
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int, nbits: Int = 8, tables: Int = 4): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id") +: col(vecCol).as("cv") +:
+    // cast + norm hoisted to one projection per ROW (they ride the
+    // posexplode as two extra columns); inside the pair select they
+    // would re-fold per candidate pair
+    val c = corpus.select(col(idCol).as("neighbor_id") +:
+        transform(col(vecCol), x => x.cast("double")).as("cv") +:
         (0 until tables).map(t =>
           lshBucket(col(vecCol), nbits, t).as(s"b$t")): _*)
-      .select(col("neighbor_id"), col("cv"),
+      .withColumn("cn", norm(col("cv")))
+      .select(col("neighbor_id"), col("cv"), col("cn"),
         posexplode(array((0 until tables).map(t => col(s"b$t")): _*))
           .as(Seq("tbl", "bucket")))
-    val q = queries.select(col(qIdCol).as("query_id") +: col(qVecCol).as("qv") +:
+    val q = queries.select(col(qIdCol).as("query_id") +:
+        transform(col(qVecCol), x => x.cast("double")).as("qv") +:
         (0 until tables).map(t =>
           lshBucket(col(qVecCol), nbits, t).as(s"b$t")): _*)
-      .select(col("query_id"), col("qv"),
+      .withColumn("qn", norm(col("qv")))
+      .select(col("query_id"), col("qv"), col("qn"),
         posexplode(array((0 until tables).map(t => col(s"b$t")): _*))
           .as(Seq("tbl", "qb")))
       // probe set per table: own bucket + flip each bit once
@@ -113,8 +125,7 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("tbl", "bucket"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(transform(col("cv"), x => x.cast("double")),
-          transform(col("qv"), x => x.cast("double"))) * 1e6)
+        round(dot(col("cv"), col("qv")) / (col("cn") * col("qn")) * 1e6)
           .cast("long").as("cosine_micro"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(max(col("cosine_micro")).as("cosine_micro")) // dedupe multi-probe hits
@@ -221,16 +232,21 @@ object Similarity {
       cents = next
     }
     val bc = spark.sparkContext.broadcast(cents)
-    val cCells = c.select(col("neighbor_id"), col("cv"),
-      element_at(nearestCellsUdf(bc, 1)(col("cv")), 1).as("cell"))
+    // norms hoisted per ROW (see bruteForceTopK): candidates pay one
+    // dot product each, not three HOF folds
+    val cCells = c.withColumn("cn", norm(col("cv")))
+      .select(col("neighbor_id"), col("cv"), col("cn"),
+        element_at(nearestCellsUdf(bc, 1)(col("cv")), 1).as("cell"))
     val q = queries.select(col(qIdCol).as("query_id"),
         transform(col(qVecCol), x => x.cast("double")).as("qv"))
-      .select(col("query_id"), col("qv"),
+      .withColumn("qn", norm(col("qv")))
+      .select(col("query_id"), col("qv"), col("qn"),
         explode(nearestCellsUdf(bc, nProbe)(col("qv"))).as("cell"))
     val scored = cCells.join(broadcast(q), Seq("cell"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("cv"), col("qv")) * 1e6).cast("long").as("cosine_micro"))
+        round(dot(col("cv"), col("qv")) / (col("cn") * col("qn")) * 1e6)
+          .cast("long").as("cosine_micro"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(max(col("cosine_micro")).as("cosine_micro")) // multi-probe dedupe
     val w = Window.partitionBy(col("query_id"))
