@@ -1136,6 +1136,43 @@ final class GraftTable private (
   /** Drop columns (M14, `mooncake_table.rs:616` — the only schema
    *  evolution the reference supports). Data files keep the column on
    *  disk; reads project it away. */
+  /** Schema evolution: append a nullable column (reference roadmap item,
+   *  `README.md:227` — drop is the only evolution the reference ships;
+   *  add composes naturally here because reads project the manifest
+   *  schema over the files, so pre-alter parquet yields null for the
+   *  new column without rewriting anything). Type names use the REST
+   *  grammar (`SchemaDsl.parseType`). The new field gets a fresh field
+   *  id so a later drop+re-add of the same name cannot resurrect old
+   *  data (PARQUET:field_id semantics). */
+  def alterAddColumn(name: String, typeName: String): Unit = synchronized {
+    require(!schemaVar.fieldNames.contains(name), s"column $name exists")
+    val nextId = schemaVar.fields.map(f =>
+      if (f.metadata.contains(SchemaDsl.FieldIdKey))
+        f.metadata.getLong(SchemaDsl.FieldIdKey) else 0L
+    ).foldLeft(0L)(math.max) + 1L
+    val fld = SchemaDsl.field(name, typeName).copy(
+      metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong(SchemaDsl.FieldIdKey, nextId).build())
+    schemaVar = StructType(schemaVar.fields :+ fld)
+    keyIdx = keyCols.map(schemaVar.fieldIndex)
+    // widen buffered rows (mem slice + staged xact buffers) in place
+    def widen(trs: mutable.ArrayBuffer[TailRow]): Unit =
+      trs.mapInPlace { tr =>
+        val ntr = new TailRow(Row.fromSeq(tr.row.toSeq :+ null), tr.lsn)
+        ntr.deletedLsn = tr.deletedLsn
+        ntr
+      }
+    widen(tail)
+    tailIndex.clear()
+    tail.foreach(tr => stackPush(tailIndex, keyOf(tr.row), tr))
+    xacts.values.foreach { x =>
+      widen(x.buffer)
+      x.index.clear()
+      x.buffer.foreach(tr => stackPush(x.index, keyOf(tr.row), tr))
+    }
+    publish()
+  }
+
   def alterDropColumns(cols: Seq[String]): Unit = synchronized {
     require(cols.forall(c => !keyCols.contains(c)), "cannot drop key columns")
     val keepIdx = schemaVar.fields.zipWithIndex
