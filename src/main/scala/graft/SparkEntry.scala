@@ -90,9 +90,9 @@ object SparkEntry {
    *  committed-row delete machinery. */
   private def runCdc(spark: SparkSession, dir: String,
       deleteType: Option[String], compactAfter: Boolean = false,
-      nBatches: Int = 2): GraftTable = {
+      nBatches: Int = 2, cfg: TableConfig = null): GraftTable = {
     val table = GraftTable.create(spark, freshDir("cdc"), eventTableSchema,
-      Identity.Keys(Seq("user_id")), ingestCfg)
+      Identity.Keys(Seq("user_id")), Option(cfg).getOrElse(ingestCfg))
     val ev = cdcEventFrame(spark, dir, deleteType)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -577,6 +577,84 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "cdc_index_merge" -> ((s, d) => {
+      // M11 driver proof (reference `mooncake_table.rs:1369`,
+      // `persisted_bucket_hash_map.rs:525`): micro-batches push the
+      // index-file count past indexMergeFileCountThreshold (lowered to
+      // 4 so the proof costs 6 batches, not 20) and the auto-
+      // consolidation fires mid-ingest; deletes arriving AFTER the
+      // merge must resolve through the MERGED index (exact per-row
+      // LSNs survive consolidation).
+      val table = runCdc(s, d, deleteType = None, nBatches = 5,
+        cfg = ingestCfg.copy(indexMergeFileCountThreshold = 4))
+      require(table.currentManifest.indexFiles.size < 5,
+        s"index merge never fired: ${table.currentManifest.indexFiles.size} files")
+      val boundary = events(s, d).agg(max(col("event_id"))).head().getLong(0)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+      val last = events(s, d)
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      CdcPipeline.applyBatch(table, last
+        .where(col("event_type") === "purchase")
+        .select(lit("d").as("_op"),
+          (lit(boundary) + col("user_id")).as("_lsn"),
+          col("user_id"), lit(null).cast("long").as("event_id"),
+          lit(null).cast("string").as("event_type"),
+          lit(null).cast("double").as("value")))
+      table.read(None)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          cents(col("value")).as("value_cents"))
+        .orderBy("user_id")
+    }),
+
+    "cdc_drop_recreate" -> ((s, d) => {
+      // M13 driver proof (reference `table_handler.rs:158-185`):
+      // populate a table, DROP it (data, index, DVs, manifests all
+      // gone), recreate at the SAME root, re-ingest — no state from
+      // the first life may leak into the second.
+      val root = freshDir("dr")
+      val t0 = GraftTable.create(s, root, eventTableSchema,
+        Identity.Keys(Seq("user_id")), ingestCfg)
+      CdcPipeline.applyBatch(t0,
+        cdcEventFrame(s, d, None).where(col("user_id") % 2 === 0))
+      t0.drop()
+      require(!graft.format.Fio.exists(s"$root/manifest"),
+        "drop must remove the table root")
+      val t = GraftTable.create(s, root, eventTableSchema,
+        Identity.Keys(Seq("user_id")), ingestCfg)
+      CdcPipeline.applyBatch(t, cdcEventFrame(s, d, None))
+      t.read(None)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"),
+          cents(col("value")).as("value_cents"))
+        .orderBy("user_id")
+    }),
+
+    "cdc_alter_add" -> ((s, d) => {
+      // M14 add-column (reference roadmap, README.md:227) — the
+      // RESURRECTION hazard end-to-end: drop event_type, re-add the
+      // same name (old files still physically hold the dropped values;
+      // the fresh physical mapping must read them as null), then
+      // upsert a subset with real values for the re-added column.
+      val table = runCdc(s, d, deleteType = None)
+      table.alterDropColumns(Seq("event_type"))
+      table.alterAddColumn("event_type", "string")
+      val boundary = events(s, d).agg(max(col("event_id"))).head().getLong(0)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+      val ups = events(s, d)
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .where(col("user_id") % 10 === 0)
+        .select(lit("u").as("_op"),
+          (lit(boundary) + col("user_id")).as("_lsn"),
+          col("user_id"), col("event_id"), col("value"),
+          lit("readded").as("event_type"))
+      CdcPipeline.applyBatch(table, ups)
+      table.read(None)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("readded_type"),
+          cents(col("value")).as("value_cents"))
+        .orderBy("user_id")
+    }),
+
     "cdc_bulk_load" -> ((s, d) => {
       // S7 + M2: bulk-adopt a latest-per-user snapshot parquet without
       // rewriting (index built at the load LSN), then CDC-delete the
@@ -1003,6 +1081,26 @@ object SparkEntry {
 
     "cdc_alter_drop" ->
       """SELECT user_id, event_id AS last_event_id,
+        |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "cdc_index_merge" ->
+      """WITH last AS (
+        |  SELECT user_id, event_id, event_type, value
+        |  FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)
+        |SELECT user_id, event_id AS last_event_id,
+        |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
+        |FROM last WHERE event_type <> 'purchase'
+        |ORDER BY user_id""".stripMargin,
+
+    "cdc_drop_recreate" -> cdcUpsertOracle,
+
+    "cdc_alter_add" ->
+      """SELECT user_id, event_id AS last_event_id,
+        |       CASE WHEN user_id % 10 = 0 THEN 'readded' END AS readded_type,
         |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
         |FROM events
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1

@@ -45,7 +45,14 @@ final case class Manifest(
     keyCols: Seq[String],      // empty = append-only
     dataFiles: Seq[DataFileEntry],
     dvFiles: Seq[String],      // GDV1 roaring sidecars (see DvSidecar)
-    indexFiles: Seq[IndexFileEntry]) {
+    indexFiles: Seq[IndexFileEntry],
+    // highest field id ever assigned — monotonic, never reused even
+    // after a drop (iceberg last-column-id semantics)
+    lastFieldId: Long = 0L,
+    // physical column names dropped from the schema that may still
+    // exist in live data files; re-adding one forces a fresh physical
+    // name (see SchemaDsl.PhysicalKey)
+    droppedCols: Seq[String] = Seq.empty) {
 
   def schema: StructType =
     DataType.fromJson(schemaJson).asInstanceOf[StructType]
@@ -66,7 +73,11 @@ object Manifest {
 
   def toJson(m: Manifest): String =
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(m)
-  def fromJson(s: String): Manifest = mapper.readValue(s, classOf[Manifest])
+  def fromJson(s: String): Manifest = {
+    val m = mapper.readValue(s, classOf[Manifest])
+    // pre-mapping manifests lack the two newer properties
+    if (m.droppedCols == null) m.copy(droppedCols = Seq.empty) else m
+  }
 }
 
 /**

@@ -108,6 +108,24 @@ object JsonIngest {
 object SchemaDsl {
   val FieldIdKey = "graft.field_id"
 
+  /** Column-mapping seam: a field whose metadata carries this key is
+   *  stored in parquet under that PHYSICAL name instead of its logical
+   *  name. Re-added columns (drop then add of the same name) get a
+   *  fresh physical name so name-based parquet resolution can never
+   *  resurrect the dropped column's data from pre-alter files — the
+   *  role `PARQUET:field_id` plays in the reference's iceberg layer. */
+  val PhysicalKey = "graft.physical"
+
+  def physicalName(f: StructField): String =
+    if (f.metadata.contains(PhysicalKey)) f.metadata.getString(PhysicalKey)
+    else f.name
+
+  def maxFieldId(schema: StructType): Long =
+    schema.fields.map(f =>
+      if (f.metadata.contains(FieldIdKey)) f.metadata.getLong(FieldIdKey)
+      else 0L
+    ).foldLeft(0L)(math.max)
+
   def field(name: String, typeName: String, nullable: Boolean = true): StructField =
     StructField(name, parseType(typeName), nullable)
 

@@ -257,7 +257,9 @@ private[sources] class GraftScan(root: String, manifest: Manifest,
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required.json)
+    new GraftReaderFactory(required.json,
+      manifest.schema.fields
+        .map(f => f.name -> graft.model.SchemaDsl.physicalName(f)).toMap)
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong =
@@ -369,11 +371,11 @@ private[sources] final case class GraftInputPartition(
     path: String, rows: Long, dvBlob: Array[Byte],
     cap: Long = -1L) extends InputPartition
 
-private[sources] class GraftReaderFactory(requiredJson: String)
-    extends PartitionReaderFactory {
+private[sources] class GraftReaderFactory(requiredJson: String,
+    physNames: Map[String, String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftPartitionReader(partition.asInstanceOf[GraftInputPartition],
-      DataType.fromJson(requiredJson).asInstanceOf[StructType])
+      DataType.fromJson(requiredJson).asInstanceOf[StructType], physNames)
 }
 
 /**
@@ -383,7 +385,8 @@ private[sources] class GraftReaderFactory(requiredJson: String)
  * blob, value conversion straight to Spark internal representations.
  */
 private[sources] class GraftPartitionReader(part: GraftInputPartition,
-    required: StructType) extends PartitionReader[InternalRow] {
+    required: StructType, physNames: Map[String, String])
+    extends PartitionReader[InternalRow] {
 
   private val dv: Roaring64Bitmap =
     if (part.dvBlob == null) null else DvCache.deserialize(part.dvBlob)
@@ -391,51 +394,64 @@ private[sources] class GraftPartitionReader(part: GraftInputPartition,
   private var emitted = 0L // pushed-limit cap (part.cap < 0 = unlimited)
   private var current: InternalRow = _
 
-  // COUNT(*)-style scans request zero columns: no parquet decode at
-  // all — emit (rows - deleted) empty internal rows
-  private val emptyProjection = required.fields.isEmpty
-  private var emptyLeft: Long =
-    if (!emptyProjection) 0L
-    else {
-      val live = part.rows - (if (dv == null) 0L else dv.getLongCardinality)
-      if (part.cap >= 0L) math.min(live, part.cap) else live
-    }
-
   private val conf = new Configuration()
 
-  private val (reader, converters) =
-    if (emptyProjection) (null, null)
+  // Requested columns resolved against THIS file's physical schema
+  // (column mapping: a table field is stored under its physical name;
+  // a field absent from the file — written before an alterAddColumn,
+  // or remapped after a drop+re-add — reads as null).
+  private val resolved: Seq[(StructField, Option[PType])] =
+    if (required.fields.isEmpty) Nil
     else {
       val inFile = HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(part.path), conf)
       val footer = ParquetFileReader.open(inFile)
       val fileSchema = try footer.getFooter.getFileMetaData.getSchema
         finally footer.close()
-      val fields: Seq[PType] = required.fields.toSeq.map { f =>
-        require(fileSchema.containsField(f.name),
-          s"column ${f.name} missing in ${part.path}")
-        fileSchema.getFields.asScala
-          .find(_.getName == f.name)
-          .getOrElse(throw new IllegalStateException(
-            s"column ${f.name} missing in ${part.path}"))
+      required.fields.toSeq.map { f =>
+        val phys = physNames.getOrElse(f.name, f.name)
+        f -> fileSchema.getFields.asScala.find(_.getName == phys)
       }
-      val requested = new MessageType("graft_projection", fields.asJava)
+    }
+
+  // COUNT(*)-style scans request zero columns (no parquet decode at
+  // all), and a file holding NONE of the requested columns decodes
+  // nothing either: emit (rows - deleted) synthetic rows
+  private val syntheticRows = resolved.forall(_._2.isEmpty)
+  private var emptyLeft: Long =
+    if (!syntheticRows) 0L
+    else {
+      val live = part.rows - (if (dv == null) 0L else dv.getLongCardinality)
+      if (part.cap >= 0L) math.min(live, part.cap) else live
+    }
+
+  private val (reader, converters) =
+    if (syntheticRows) (null, null)
+    else {
+      val present: Seq[PType] = resolved.collect { case (_, Some(pt)) => pt }
+      val requested = new MessageType("graft_projection", present.asJava)
       conf.set(ReadSupport.PARQUET_READ_SCHEMA, requested.toString)
       val r = org.apache.parquet.hadoop.ParquetReader
         .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(part.path))
         .withConf(conf)
         .build()
-      val convs = required.fields.toSeq.zip(fields).zipWithIndex.map {
-        case ((sf, pt), i) => GraftPartitionReader.converter(sf.dataType, pt, i)
+      var gi = -1 // index into the REQUESTED (present-only) projection
+      val convs = resolved.map {
+        case (sf, Some(pt)) =>
+          gi += 1
+          GraftPartitionReader.converter(sf.dataType, pt, gi)
+        case (_, scala.None) => (_: Group) => null
       }
       (r, convs)
     }
 
   override def next(): Boolean = {
-    if (emptyProjection) {
+    if (syntheticRows) {
       if (emptyLeft <= 0L) return false
       emptyLeft -= 1
-      current = new GenericInternalRow(0)
+      current =
+        if (required.fields.isEmpty) new GenericInternalRow(0)
+        else new GenericInternalRow(Array.fill[Any](required.fields.length)(null))
       return true
     }
     if (part.cap >= 0L && emitted >= part.cap) return false

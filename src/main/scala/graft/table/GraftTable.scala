@@ -82,6 +82,14 @@ final class GraftTable private (
   private var versionVar: Long = initManifest.version
   private var commitLsnVar: Long = initManifest.commitLsn
   private var flushLsnVar: Long = initManifest.flushLsn
+  // monotonic field-id high-water mark: never reuse a dropped column's
+  // id, even across reopen (iceberg last-column-id semantics)
+  private var lastFieldIdVar: Long = math.max(initManifest.lastFieldId,
+    SchemaDsl.maxFieldId(initManifest.schema))
+  // physical names dropped from the schema but possibly still present
+  // in live data files (drop never rewrites data)
+  private val droppedColsVar =
+    mutable.ArrayBuffer[String](initManifest.droppedCols: _*)
 
   def version: Long = versionVar
   def commitLsn: Long = commitLsnVar
@@ -177,6 +185,21 @@ final class GraftTable private (
     case Identity.FullRow => schemaVar.fields.toSeq
     case _ => keyCols.map(c => schemaVar.fields(schemaVar.fieldIndex(c)))
   }
+
+  // ---- column mapping (physical names) --------------------------------
+  // Parquet resolution is by NAME, so a re-added column must not share a
+  // physical name with a dropped column still present in old files.
+  // Every data-file read requests the PHYSICAL schema and renames to
+  // logical; every data-file write renames logical -> physical first.
+  // Key columns are never remapped (they cannot be dropped), so index
+  // files and delete resolution are unaffected.
+  private def physicalSchema: StructType =
+    StructType(schemaVar.fields.map(f => f.copy(name = SchemaDsl.physicalName(f))))
+  private def hasColumnMapping: Boolean =
+    schemaVar.fields.exists(f => SchemaDsl.physicalName(f) != f.name)
+  /** physical -> logical projection for frames read with physicalSchema */
+  private def toLogicalCols: Seq[org.apache.spark.sql.Column] =
+    schemaVar.fields.toSeq.map(f => col(SchemaDsl.physicalName(f)).as(f.name))
 
   // =====================================================================
   // Ingestion (M1-M6): the reference's §3.1 event pipeline as one
@@ -356,7 +379,10 @@ final class GraftTable private (
       precomputedStats: Option[Map[Int, (Long, Map[String, Seq[String]])]]
         = scala.None): Unit = {
     val tmp = s"$root/tmp/${UUID.randomUUID()}"
-    prof("  data write")(survivors.write.mode("overwrite").parquet(tmp))
+    val out = if (!hasColumnMapping) survivors
+      else survivors.select(schemaVar.fields.toSeq.map(f =>
+        col(f.name).as(SchemaDsl.physicalName(f))) :+ col("_lsn"): _*)
+    prof("  data write")(out.write.mode("overwrite").parquet(tmp))
     val parts = Fio.list(tmp)
       .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
     if (parts.isEmpty) { Fio.delete(tmp); return }
@@ -616,7 +642,7 @@ final class GraftTable private (
     rows.grouped(config.rowsPerFile).map { chunk =>
       val name = f"data-${newId()}%09d.parquet"
       val tmp = s"$root/tmp/${UUID.randomUUID()}"
-      spark.createDataFrame(chunk.asJava, schemaVar)
+      spark.createDataFrame(chunk.asJava, physicalSchema)
         .coalesce(1).write.mode("overwrite").parquet(tmp)
       movePartFile(tmp, s"$destDir/$name")
       DataFileEntry(name, chunk.size.toLong, Fio.sizeOf(s"$destDir/$name"),
@@ -680,7 +706,9 @@ final class GraftTable private (
       indexDir: String, lsnValue: Long): IndexFileEntry = {
     val name = f"idx-${newId()}%09d.parquet"
     val paths = files.map(f => s"$dataDir/$f")
-    val df = spark.read.schema(schemaVar).parquet(paths: _*)
+    // key columns are never remapped, so selecting them by logical name
+    // from a physical-schema read is exact
+    val df = spark.read.schema(physicalSchema).parquet(paths: _*)
       .select(keyFields.map(f => col(f.name)) :+
         substring_index(col("_metadata.file_path"), "/", -1).as("_file") :+
         col("_metadata.row_index").as("_pos") :+
@@ -793,7 +821,7 @@ final class GraftTable private (
 
   def currentManifest: Manifest = Manifest(versionVar, commitLsnVar,
     flushLsnVar, schemaVar.json, keyCols, fileEntries.values.toSeq,
-    dvFiles.toSeq, indexFiles.toSeq)
+    dvFiles.toSeq, indexFiles.toSeq, lastFieldIdVar, droppedColsVar.toSeq)
 
   private[table] def loadDvState(): Unit =
     // direct sidecar reads, bitmap OR into roaring state — positions are
@@ -876,8 +904,8 @@ final class GraftTable private (
         pinsAndPaths.map(_._2)
       case scala.None => rawPaths
     }
-    val base = spark.read.schema(schemaVar).parquet(paths: _*)
-    applyDvFilter(base).select(schemaVar.fieldNames.map(col).toSeq: _*)
+    val base = spark.read.schema(physicalSchema).parquet(paths: _*)
+    applyDvFilter(base).select(toLogicalCols: _*)
   }
 
   /** Filter out DV'd rows — no shuffle on the common path; the Spark-4
@@ -958,8 +986,8 @@ final class GraftTable private (
       }.map(e => s"$root/data/${e.path}").toSeq
       if (keep.isEmpty)
         spark.createDataFrame(new java.util.ArrayList[Row](), schemaVar)
-      else applyDvFilter(spark.read.schema(schemaVar).parquet(keep: _*))
-        .select(schemaVar.fieldNames.map(col).toSeq: _*)
+      else applyDvFilter(spark.read.schema(physicalSchema).parquet(keep: _*))
+        .select(toLogicalCols: _*)
     }
 
   // =====================================================================
@@ -994,8 +1022,9 @@ final class GraftTable private (
     val totalLive = math.max(1L, victims.map(e => e.rows - e.deletes).sum)
     val nOut = math.ceil(totalLive.toDouble / config.rowsPerFile).toInt
 
-    val live = applyDvFilter(spark.read.schema(schemaVar).parquet(paths: _*))
-      .select(schemaVar.fieldNames.map(col).toSeq: _*)
+    // rewrite keeps PHYSICAL names — compaction only moves rows
+    val live = applyDvFilter(spark.read.schema(physicalSchema).parquet(paths: _*))
+      .select(physicalSchema.fieldNames.map(col).toSeq: _*)
     val tmp = s"$root/tmp/${UUID.randomUUID()}"
     live.repartition(nOut).write.mode("overwrite").parquet(tmp)
 
@@ -1010,7 +1039,7 @@ final class GraftTable private (
     Fio.delete(tmp)
     val counts: Map[String, Long] =
       if (newNames.isEmpty) Map.empty
-      else spark.read.schema(schemaVar)
+      else spark.read.schema(physicalSchema)
         .parquet(newNames.map(n => s"$root/data/$n"): _*)
         .groupBy(substring_index(col("_metadata.file_path"), "/", -1).as("_f"))
         .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -1075,7 +1104,7 @@ final class GraftTable private (
                 else old.where(!col("_file").isin(victims.toSeq: _*)))
     }
     if (additions.nonEmpty)
-      parts += spark.read.schema(schemaVar)
+      parts += spark.read.schema(physicalSchema)
         .parquet(additions.map(f => s"$root/data/$f"): _*)
         .select(keyFields.map(f => col(f.name)) :+
           substring_index(col("_metadata.file_path"), "/", -1).as("_file") :+
@@ -1141,18 +1170,27 @@ final class GraftTable private (
    *  add composes naturally here because reads project the manifest
    *  schema over the files, so pre-alter parquet yields null for the
    *  new column without rewriting anything). Type names use the REST
-   *  grammar (`SchemaDsl.parseType`). The new field gets a fresh field
-   *  id so a later drop+re-add of the same name cannot resurrect old
-   *  data (PARQUET:field_id semantics). */
+   *  grammar (`SchemaDsl.parseType`).
+   *
+   *  Re-add safety: parquet resolution is by NAME, and drop never
+   *  rewrites files, so re-adding a dropped name would resurrect the
+   *  old values. The new field gets a monotonically-fresh field id
+   *  (persisted `lastFieldId`, never reused) and — when the name was
+   *  previously dropped — a unique PHYSICAL name, so every read of
+   *  pre-alter files yields null for it (see physicalSchema). */
   def alterAddColumn(name: String, typeName: String): Unit = synchronized {
     require(!schemaVar.fieldNames.contains(name), s"column $name exists")
-    val nextId = schemaVar.fields.map(f =>
-      if (f.metadata.contains(SchemaDsl.FieldIdKey))
-        f.metadata.getLong(SchemaDsl.FieldIdKey) else 0L
-    ).foldLeft(0L)(math.max) + 1L
-    val fld = SchemaDsl.field(name, typeName).copy(
-      metadata = new org.apache.spark.sql.types.MetadataBuilder()
-        .putLong(SchemaDsl.FieldIdKey, nextId).build())
+    // FullRow identity derives the key set from the schema; widening it
+    // would desync persisted index files written with the old key
+    // schema (resolveCommittedDeletes joins on keyFields names)
+    require(identity != Identity.FullRow,
+      "alterAddColumn unsupported on full-row-identity tables")
+    lastFieldIdVar = math.max(lastFieldIdVar, SchemaDsl.maxFieldId(schemaVar)) + 1L
+    val mb = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(SchemaDsl.FieldIdKey, lastFieldIdVar)
+    if (droppedColsVar.contains(name))
+      mb.putString(SchemaDsl.PhysicalKey, s"${name}_$lastFieldIdVar")
+    val fld = SchemaDsl.field(name, typeName).copy(metadata = mb.build())
     schemaVar = StructType(schemaVar.fields :+ fld)
     keyIdx = keyCols.map(schemaVar.fieldIndex)
     // widen buffered rows (mem slice + staged xact buffers) in place
@@ -1175,6 +1213,11 @@ final class GraftTable private (
 
   def alterDropColumns(cols: Seq[String]): Unit = synchronized {
     require(cols.forall(c => !keyCols.contains(c)), "cannot drop key columns")
+    // the dropped columns' PHYSICAL names may survive in live files;
+    // record them so a re-add of the same name maps to a fresh one
+    schemaVar.fields.filter(f => cols.contains(f.name))
+      .map(SchemaDsl.physicalName)
+      .foreach(p => if (!droppedColsVar.contains(p)) droppedColsVar += p)
     val keepIdx = schemaVar.fields.zipWithIndex
       .collect { case (f, i) if !cols.contains(f.name) => i }.toSeq
     schemaVar = StructType(keepIdx.map(schemaVar.fields))
@@ -1206,10 +1249,23 @@ final class GraftTable private (
     Fio.mkdirs(s"$root/data")
     val renamed = files.map { src =>
       val name = f"data-${newId()}%09d.parquet"
-      Fio.move(src, s"$root/data/$name")
+      if (!hasColumnMapping) Fio.move(src, s"$root/data/$name")
+      else {
+        // external files carry LOGICAL column names; with a physical
+        // mapping active the file must be rewritten once so its
+        // re-added column is not shadowed by the name seam (rare: only
+        // tables that re-added a dropped column pay this)
+        val tmp = s"$root/tmp/${UUID.randomUUID()}"
+        spark.read.schema(schemaVar).parquet(src)
+          .select(schemaVar.fields.toSeq.map(f =>
+            col(f.name).as(SchemaDsl.physicalName(f))): _*)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        movePartFile(tmp, s"$root/data/$name")
+        Fio.delete(src)
+      }
       name
     }
-    val counts = spark.read.schema(schemaVar)
+    val counts = spark.read.schema(physicalSchema)
       .parquet(renamed.map(n => s"$root/data/$n"): _*)
       .groupBy(substring_index(col("_metadata.file_path"), "/", -1).as("_f"))
       .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -1375,6 +1431,7 @@ object GraftTable {
     keyCols.foreach(c =>
       require(schema.fieldNames.contains(c), s"no such key column: $c"))
     val m = Manifest.empty(schema, keyCols)
+      .copy(lastFieldId = graft.model.SchemaDsl.maxFieldId(schema))
     ManifestLog.commit(root, m)
     new GraftTable(spark, root, m, identity, config)
   }

@@ -196,4 +196,29 @@ class GraftDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getBoolean(1) == false)
     t.drop()
   }
+
+  test("schema evolution through the connector: added and re-added columns") {
+    val dir = tmpDir() + "/evo"
+    val t = GraftTable.create(spark, dir, schema,
+      Identity.Keys(Seq("id")), TableConfig(memSliceSize = 1, walEnabled = false))
+    t.insertAll(Seq(Row(1L, "a", 1.0, true,
+      java.sql.Timestamp.valueOf("2025-01-01 00:00:01"))), 1) // flushed pre-alter
+    // 1) plain add: pre-alter file physically LACKS the column
+    t.alterAddColumn("grade", "int64")
+    // 2) drop + re-add: pre-alter file physically CONTAINS 'name'
+    t.alterDropColumns(Seq("name"))
+    t.alterAddColumn("name", "string")
+    t.insertAll(Seq(Row(2L, 2.0, false,
+      java.sql.Timestamp.valueOf("2025-01-01 00:00:02"), 7L, "fresh")), 10)
+    val got = spark.read.format("graft").load(dir)
+      .select("id", "grade", "name").collect()
+      .map(r => r.getLong(0) -> ((
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2)))).toMap
+    assert(got == Map(1L -> ((-1L, null)), 2L -> ((7L, "fresh"))),
+      "old file: null grade AND null name (no resurrection); new file: real values")
+    // selecting ONLY columns absent from the old file still counts its rows
+    assert(spark.read.format("graft").load(dir).select("grade").count() == 2L)
+    t.drop()
+  }
 }

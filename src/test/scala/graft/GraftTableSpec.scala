@@ -245,6 +245,78 @@ class GraftTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.drop()
   }
 
+  test("alter add column: old files read null, new ingest fills it") {
+    val t = mkTable(TableConfig(memSliceSize = 2, walEnabled = false))
+    t.insertAll(Seq(user(1, "a", 20), user(2, "b", 30)), 1) // flushed
+    t.apply(Seq(Append(user(3, "c", 40), 5), Commit(6)))    // still in tail
+    t.alterAddColumn("score", "int64")
+    assert(t.schema.fieldNames.toSeq ==
+      Seq("id", "name", "email", "age", "score"))
+    val before = t.read().collect()
+      .map(r => r.getInt(0) -> r.isNullAt(4)).toMap
+    assert(before == Map(1 -> true, 2 -> true, 3 -> true),
+      "pre-alter rows (flushed AND tail) yield null for the new column")
+    t.insertAll(Seq(Row(4, "d", "d@x.com", 50, 99L)), 10)
+    val after = t.read().collect()
+      .map(r => r.getInt(0) ->
+        (if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    assert(after == Map(1 -> -1L, 2 -> -1L, 3 -> -1L, 4 -> 99L))
+    t.drop()
+  }
+
+  test("drop then re-add same name cannot resurrect old values") {
+    val cfg = TableConfig(memSliceSize = 1, walEnabled = false)
+    val root = tmpDir() + "/users"
+    val t = GraftTable.create(spark, root, userSchema,
+      Identity.Keys(Seq("id")), cfg)
+    t.insertAll(Seq(user(1, "a", 20)), 1) // email=a@x.com flushed to disk
+    t.alterDropColumns(Seq("email"))
+    t.alterAddColumn("email", "string")   // same NAME, fresh identity
+    def emails(tt: GraftTable): Map[Int, String] =
+      tt.read().collect().map(r => r.getInt(0) ->
+        (if (r.isNullAt(3)) null else r.getString(3))).toMap
+    assert(emails(t) == Map(1 -> null),
+      "old file physically holds 'email' but must NOT resurrect")
+    t.insertAll(Seq(Row(2, "b", 30, "fresh@x.com")), 10)
+    assert(emails(t) == Map(1 -> null, 2 -> "fresh@x.com"))
+    // survives compaction (rewrite) and reopen (manifest roundtrip)
+    t.optimize()
+    assert(emails(t) == Map(1 -> null, 2 -> "fresh@x.com"))
+    val t2 = GraftTable.open(spark, root, Identity.Keys(Seq("id")), cfg)
+    assert(emails(t2) == Map(1 -> null, 2 -> "fresh@x.com"))
+    t2.drop()
+  }
+
+  test("field ids and physical names are never reused across add/drop cycles") {
+    val t = mkTable(TableConfig(walEnabled = false))
+    def meta(name: String) = t.schema.fields.find(_.name == name).get.metadata
+    t.alterAddColumn("x", "int32")
+    val id1 = meta("x").getLong(SchemaDsl.FieldIdKey)
+    assert(!meta("x").contains(SchemaDsl.PhysicalKey),
+      "never-dropped name keeps its logical name physically")
+    t.alterDropColumns(Seq("x"))
+    t.alterAddColumn("x", "int32")
+    val id2 = meta("x").getLong(SchemaDsl.FieldIdKey)
+    val phys2 = meta("x").getString(SchemaDsl.PhysicalKey)
+    assert(id2 > id1, "ids are monotonic, never reused")
+    assert(phys2 == s"x_$id2", "re-added name maps to a fresh physical name")
+    t.alterDropColumns(Seq("x"))
+    t.alterAddColumn("x", "int32")
+    val id3 = meta("x").getLong(SchemaDsl.FieldIdKey)
+    assert(id3 > id2)
+    assert(meta("x").getString(SchemaDsl.PhysicalKey) == s"x_$id3")
+    assert(t.currentManifest.droppedCols == Seq("x", phys2),
+      "manifest accumulates dropped physical names")
+    t.drop()
+  }
+
+  test("alterAddColumn rejected on full-row identity") {
+    val t = GraftTable.create(spark, tmpDir() + "/fr", userSchema,
+      Identity.FullRow, TableConfig(walEnabled = false))
+    assertThrows[IllegalArgumentException](t.alterAddColumn("x", "int32"))
+    t.drop()
+  }
+
   test("bulk parquet load registers files without rewrite") {
     val dir = tmpDir()
     val src = s"$dir/bulk.parquet"
