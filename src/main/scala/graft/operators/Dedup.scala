@@ -64,41 +64,50 @@ object Dedup {
     // per-pair prefilter below touches only two longs, never the arrays.
     // The shingle frame is persisted: both self-join sides derive from
     // it, and without a cache each side re-tokenizes the corpus. One
-    // spill-safe copy of the shingle sets is the standard LSH trade.
+    // spill-safe copy of the shingle sets is the standard LSH trade;
+    // it is unpersisted before returning (result is materialized below).
     val t = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
         shingles(col(textCol), n).as("sh"))
       .select(col("blk"), col("id"), col("sh"),
         size(col("sh")).cast("long").as("sz"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = t.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"),
-      col("sz").as("sz_a"))
-    val b = t.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"),
-      col("sz").as("sz_b"))
-    // Single-pass JVM Jaccard (hash-set membership count) with the
-    // exact arithmetic of `jaccardMilli`/the SQL oracle. The Column
-    // formulation lets Catalyst push the >= filter into the join
-    // condition AHEAD of the cheap predicates and re-evaluate
-    // array_intersect up to 6x per pair (measured 2x slower); here the
-    // whole condition is authored explicitly, cheap conjuncts first,
-    // and the set intersection runs once per surviving-size pair.
-    val jm = udf((x: Seq[String], y: Seq[String]) => {
-      val set = new java.util.HashSet[String](x.length * 2)
-      x.foreach(set.add)
-      var inter = 0L
-      y.foreach { v => if (set.contains(v)) inter += 1L }
-      val uni = x.length.toLong + y.length.toLong - inter
-      if (uni == 0L) 0L else math.floor(1000.0 * inter / uni).toLong
-    })
-    // conjunct order matters: ids and sizes are longs; the size-ratio
-    // bound Jaccard(A,B) <= min(|A|,|B|)/max(|A|,|B|) prunes pairs that
-    // cannot reach minMilli before the O(|A|+|B|) intersection runs
-    a.join(b,
-        a("blk") === b("blk") && col("id_a") < col("id_b") &&
-          lit(1000L) * least(col("sz_a"), col("sz_b")) >=
-            lit(minMilli.toLong) * greatest(col("sz_a"), col("sz_b")) &&
-          jm(col("sh_a"), col("sh_b")) >= minMilli)
-      .select(col("id_a"), col("id_b"),
-        jm(col("sh_a"), col("sh_b")).as("jaccard_milli"))
+    try {
+      val a = t.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"),
+        col("sz").as("sz_a"))
+      val b = t.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"),
+        col("sz").as("sz_b"))
+      // Single-pass JVM Jaccard (hash-set membership count) with the
+      // exact arithmetic of `jaccardMilli`/the SQL oracle. Marked
+      // nondeterministic NOT because it is (it is pure) but to pin the
+      // plan: a deterministic UDF filter gets pushed through the
+      // projection back into the join condition, re-evaluating the
+      // O(|A|+|B|) intersection once in the join filter and once in
+      // the projection per surviving pair. Nondeterministic aliases
+      // block that rewrite, so the intersection runs EXACTLY once.
+      val jm = udf((x: Seq[String], y: Seq[String]) => {
+        val set = new java.util.HashSet[String](x.length * 2)
+        x.foreach(set.add)
+        var inter = 0L
+        y.foreach { v => if (set.contains(v)) inter += 1L }
+        val uni = x.length.toLong + y.length.toLong - inter
+        if (uni == 0L) 0L else math.floor(1000.0 * inter / uni).toLong
+      }).asNondeterministic()
+      // join on the cheap conjuncts only: ids and sizes are longs; the
+      // size-ratio bound Jaccard(A,B) <= min(|A|,|B|)/max(|A|,|B|)
+      // prunes pairs that cannot reach minMilli before the intersection
+      val pairs = a.join(b,
+          a("blk") === b("blk") && col("id_a") < col("id_b") &&
+            lit(1000L) * least(col("sz_a"), col("sz_b")) >=
+              lit(minMilli.toLong) * greatest(col("sz_a"), col("sz_b")))
+        .select(col("id_a"), col("id_b"),
+          jm(col("sh_a"), col("sh_b")).as("jaccard_milli"))
+        .where(col("jaccard_milli") >= minMilli)
+      // materialize (severs lineage from the cached shingle frame) so
+      // the cache can be dropped before returning; localCheckpoint
+      // blocks are GC-reclaimed by the ContextCleaner when the caller
+      // releases the frame, unlike CacheManager entries
+      pairs.localCheckpoint(eager = true)
+    } finally t.unpersist()
   }
 
   /** splitmix64 finalizer: strong 64-bit mixing, branch-free. */
@@ -191,32 +200,39 @@ object Dedup {
     // hashed shingle sets, persisted once: the band self-join sides and
     // BOTH verification joins re-read this frame — uncached, the corpus
     // would re-tokenize ~4x. One spill-safe copy of int64 shingle sets
-    // (smaller than the text) is the standard LSH trade at any scale.
+    // (smaller than the text) is the standard LSH trade at any scale;
+    // it is unpersisted before returning (result is materialized below).
     val t = df.select(col(idCol).as("id"),
         hashedShingles(TextOps.tokens(TextOps.normalize(col(textCol))),
           shingleN).as("hs"))
       .where(size(col("hs")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigs = t.withColumn("sig", minhashSignature(col("hs"), numHashes))
-    // band buckets: only ids travel through the LSH join, never arrays
-    val banded = sigs.select(col("id"),
-      posexplode(array((0 until bands).map(b =>
-        hash(slice(col("sig"), b * rows + 1, rows), lit(b))): _*))
-        .as(Seq("band", "bucket")))
-    val candidates = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct() // a pair may collide in several bands
-    // verification: fetch the two hashed shingle sets by id and compute
-    // exact Jaccard on the candidate pairs only
-    candidates
-      .join(t.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
-      .join(t.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        jaccardMilli(col("hs_a"), col("hs_b")).as("jaccard_milli"))
-      .where(col("jaccard_milli") >= minMilli)
+    try {
+      val sigs = t.withColumn("sig", minhashSignature(col("hs"), numHashes))
+      // band buckets: only ids travel through the LSH join, never arrays
+      val banded = sigs.select(col("id"),
+        posexplode(array((0 until bands).map(b =>
+          hash(slice(col("sig"), b * rows + 1, rows), lit(b))): _*))
+          .as(Seq("band", "bucket")))
+      val candidates = banded.as("a")
+        .join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct() // a pair may collide in several bands
+      // verification: fetch the two hashed shingle sets by id and compute
+      // exact Jaccard on the candidate pairs only
+      val pairs = candidates
+        .join(t.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
+        .join(t.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          jaccardMilli(col("hs_a"), col("hs_b")).as("jaccard_milli"))
+        .where(col("jaccard_milli") >= minMilli)
+      // materialize so the shingle cache can be dropped before
+      // returning; localCheckpoint blocks are GC-reclaimed by the
+      // ContextCleaner, unlike CacheManager entries
+      pairs.localCheckpoint(eager = true)
+    } finally t.unpersist()
   }
 
   /**
