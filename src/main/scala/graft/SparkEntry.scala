@@ -34,6 +34,24 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Root for two-stage oracle staging: approximate operators (LSH /
+   *  MinHash / SimHash / IVF) materialize their deterministic
+   *  intermediate — fingerprints, shingle sets, candidate pairs — here,
+   *  keyed by the scale-factor directory name, and the DuckDB oracle
+   *  reads the staged parquet back (`read_parquet`) to verify the
+   *  exact pair-join / ranking stages over the SAME inputs Spark used.
+   *  Absolute because `oracleSql` is static SQL text; the driver always
+   *  verifies at sf0.01, which is the path the oracle strings embed. */
+  private val OracleStageRoot = "/root/repo/target/oracle-stage"
+
+  /** Write `df` to the oracle stage and read it back, so the Spark plan
+   *  downstream consumes byte-identical data to what the oracle sees. */
+  private def stage(df: DataFrame, dir: String, sub: String): DataFrame = {
+    val p = s"$OracleStageRoot/${new java.io.File(dir).getName}/$sub"
+    df.write.mode("overwrite").parquet(p)
+    df.sparkSession.read.parquet(p)
+  }
+
   /** events.parquet carries TIMESTAMP(NANOS), which Spark 4 rejects on
    *  schema inference; read with an explicit schema mapping ts to raw
    *  nanosecond longs (session-config-independent). DuckDB truncates
@@ -807,17 +825,29 @@ object SparkEntry {
     }),
 
     "dedup_minhash_lsh" -> ((s, d) => {
-      // LSH path (no SQL oracle: xxhash64 signatures); deterministic
-      Dedup.minhashPairs(t(s, d, "documents"), "doc_id", "text",
-          shingleN = 2, numHashes = 64, bands = 16, minMilli = 200)
+      // two-stage oracle: the hashed shingle sets and the LSH candidate
+      // pairs are staged to parquet; DuckDB recomputes the exact-Jaccard
+      // verification over them (probabilistic recall is spec'd in
+      // ScalaTest; the deterministic verify stage is oracle-exact here)
+      val sh = stage(Dedup.minhashShingleFrame(
+          t(s, d, "documents"), "doc_id", "text", shingleN = 2),
+        d, "dedup_minhash_sh")
+      val cand = stage(Dedup.minhashCandidates(sh, numHashes = 64, bands = 16),
+        d, "dedup_minhash_cand")
+      Dedup.verifyJaccardMilli(sh, cand, minMilli = 200)
         .orderBy("id_a", "id_b")
     }),
 
     "dedup_simhash" -> ((s, d) => {
       // hamming <= 6 of 64: the typical near-dup band; pigeonhole
-      // blocking = 7 chunks of 9+ bits, so blocks stay selective
-      Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text",
-          maxHamming = 6)
+      // blocking = 7 chunks of 9+ bits, so blocks stay selective.
+      // Fingerprints are staged; pigeonhole blocking has FULL recall,
+      // so DuckDB's exact hamming<=6 self-join over the staged frame
+      // must equal this output row-for-row.
+      val fp = stage(t(s, d, "documents").select(col("doc_id").as("id"),
+          TextOps.simhash64(col("text")).as("sim")),
+        d, "dedup_simhash_fp")
+      Dedup.simhashPairsFrom(fp, maxHamming = 6)
         .orderBy("id_a", "id_b")
     }),
 
@@ -831,20 +861,29 @@ object SparkEntry {
     }),
 
     "ann_lsh_topk" -> ((s, d) => {
-      // approximate path (no SQL oracle; recall asserted in ScalaTest)
+      // two-stage oracle: the LSH candidate set is staged; DuckDB
+      // re-scores and re-ranks it with the same cosine arithmetic as
+      // ann_brute_topk (recall is asserted in ScalaTest)
       val e = t(s, d, "embeddings")
-      Similarity.lshTopK(e, "vec_id", "embedding",
-          e.where(col("vec_id") < 8), "vec_id", "embedding", k = 5, nbits = 8)
+      val q = e.where(col("vec_id") < 8)
+      val cand = stage(Similarity.lshCandidatePairs(e, "vec_id", "embedding",
+          q, "vec_id", "embedding", nbits = 8),
+        d, "ann_lsh_cand")
+      Similarity.topKFromCandidates(cand, e, "vec_id", "embedding",
+          q, "vec_id", "embedding", k = 5)
         .orderBy("query_id", "rank")
     }),
 
     "ann_ivf_topk" -> ((s, d) => {
-      // IVF-Flat scale path (no SQL oracle; recall asserted in
-      // ScalaTest like the LSH variant)
+      // IVF-Flat scale path; same two-stage oracle as the LSH variant —
+      // the probed candidate set is staged, DuckDB re-ranks it exactly
       val e = t(s, d, "embeddings")
-      Similarity.ivfTopK(e, "vec_id", "embedding",
-          e.where(col("vec_id") < 8), "vec_id", "embedding", k = 5,
-          nCells = 32, nProbe = 6)
+      val q = e.where(col("vec_id") < 8)
+      val cand = stage(Similarity.ivfCandidatePairs(e, "vec_id", "embedding",
+          q, "vec_id", "embedding", nCells = 32, nProbe = 6),
+        d, "ann_ivf_cand")
+      Similarity.topKFromCandidates(cand, e, "vec_id", "embedding",
+          q, "vec_id", "embedding", k = 5)
         .orderBy("query_id", "rank")
     }),
 
@@ -1174,6 +1213,64 @@ object SparkEntry {
         |  AND CAST(FLOOR(1000.0 * len(list_intersect(a.sh, b.sh)) /
         |            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) AS BIGINT) >= 300
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Two-stage oracles for the approximate paths: the query builder
+    // stages its deterministic intermediates (fingerprints / shingle
+    // sets / candidate pairs) as parquet under target/oracle-stage and
+    // DuckDB verifies the exact pair-join / ranking stage over them.
+    // The driver verifies at sf0.01, hence the staged paths below.
+
+    "dedup_minhash_lsh" ->
+      """WITH sh AS (SELECT * FROM read_parquet('/root/repo/target/oracle-stage/sf0.01/dedup_minhash_sh/*.parquet')),
+        |cand AS (SELECT * FROM read_parquet('/root/repo/target/oracle-stage/sf0.01/dedup_minhash_cand/*.parquet'))
+        |SELECT c.id_a, c.id_b,
+        |       CAST(FLOOR(1000.0 * len(list_intersect(a.hs, b.hs)) /
+        |            (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))) AS BIGINT) AS jaccard_milli
+        |FROM cand c JOIN sh a ON a.id = c.id_a JOIN sh b ON b.id = c.id_b
+        |WHERE (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) > 0
+        |  AND CAST(FLOOR(1000.0 * len(list_intersect(a.hs, b.hs)) /
+        |            (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))) AS BIGINT) >= 200
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_simhash" ->
+      """WITH fp AS (SELECT * FROM read_parquet('/root/repo/target/oracle-stage/sf0.01/dedup_simhash_fp/*.parquet'))
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |       CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+        |FROM fp a JOIN fp b ON a.id < b.id
+        |WHERE bit_count(xor(a.sim, b.sim)) <= 6
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "ann_lsh_topk" ->
+      """WITH cand AS (SELECT * FROM read_parquet('/root/repo/target/oracle-stage/sf0.01/ann_lsh_cand/*.parquet')),
+        |scored AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |         CAST(ROUND(list_cosine_similarity(ce.embedding::DOUBLE[], qe.embedding::DOUBLE[]) * 1000000) AS BIGINT) AS cosine_micro
+        |  FROM cand c
+        |  JOIN embeddings ce ON ce.vec_id = c.neighbor_id
+        |  JOIN embeddings qe ON qe.vec_id = c.query_id)
+        |SELECT query_id, neighbor_id,
+        |       CAST(row_number() OVER (PARTITION BY query_id
+        |            ORDER BY cosine_micro DESC, neighbor_id ASC) AS BIGINT) AS rank,
+        |       cosine_micro
+        |FROM scored
+        |QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "ann_ivf_topk" ->
+      """WITH cand AS (SELECT * FROM read_parquet('/root/repo/target/oracle-stage/sf0.01/ann_ivf_cand/*.parquet')),
+        |scored AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |         CAST(ROUND(list_cosine_similarity(ce.embedding::DOUBLE[], qe.embedding::DOUBLE[]) * 1000000) AS BIGINT) AS cosine_micro
+        |  FROM cand c
+        |  JOIN embeddings ce ON ce.vec_id = c.neighbor_id
+        |  JOIN embeddings qe ON qe.vec_id = c.query_id)
+        |SELECT query_id, neighbor_id,
+        |       CAST(row_number() OVER (PARTITION BY query_id
+        |            ORDER BY cosine_micro DESC, neighbor_id ASC) AS BIGINT) AS rank,
+        |       cosine_micro
+        |FROM scored
+        |QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
 
     "ann_brute_topk" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),

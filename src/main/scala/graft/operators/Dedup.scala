@@ -195,45 +195,62 @@ object Dedup {
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
       minMilli: Int = 500): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must divide into bands")
-    val rows = numHashes / bands
     // hashed shingle sets, persisted once: the band self-join sides and
     // BOTH verification joins re-read this frame — uncached, the corpus
     // would re-tokenize ~4x. One spill-safe copy of int64 shingle sets
     // (smaller than the text) is the standard LSH trade at any scale;
     // it is unpersisted before returning (result is materialized below).
-    val t = df.select(col(idCol).as("id"),
-        hashedShingles(TextOps.tokens(TextOps.normalize(col(textCol))),
-          shingleN).as("hs"))
-      .where(size(col("hs")) > 0)
+    val t = minhashShingleFrame(df, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val sigs = t.withColumn("sig", minhashSignature(col("hs"), numHashes))
-      // band buckets: only ids travel through the LSH join, never arrays
-      val banded = sigs.select(col("id"),
-        posexplode(array((0 until bands).map(b =>
-          hash(slice(col("sig"), b * rows + 1, rows), lit(b))): _*))
-          .as(Seq("band", "bucket")))
-      val candidates = banded.as("a")
-        .join(banded.as("b"),
-          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-            col("a.id") < col("b.id"))
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-        .distinct() // a pair may collide in several bands
-      // verification: fetch the two hashed shingle sets by id and compute
-      // exact Jaccard on the candidate pairs only
-      val pairs = candidates
-        .join(t.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
-        .join(t.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
-        .select(col("id_a"), col("id_b"),
-          jaccardMilli(col("hs_a"), col("hs_b")).as("jaccard_milli"))
-        .where(col("jaccard_milli") >= minMilli)
+      val pairs = verifyJaccardMilli(t,
+        minhashCandidates(t, numHashes, bands), minMilli)
       // materialize so the shingle cache can be dropped before
       // returning; localCheckpoint blocks are GC-reclaimed by the
       // ContextCleaner, unlike CacheManager entries
       pairs.localCheckpoint(eager = true)
     } finally t.unpersist()
   }
+
+  /** Stage 1 of the MinHash pipeline: (id, hs) hashed-shingle sets.
+   *  Exposed so a correctness harness can materialize the exact sets
+   *  the candidate/verify stages consume (two-stage oracle). */
+  def minhashShingleFrame(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        hashedShingles(TextOps.tokens(TextOps.normalize(col(textCol))),
+          shingleN).as("hs"))
+      .where(size(col("hs")) > 0)
+
+  /** Stage 2: LSH band-bucket candidate pairs (id_a < id_b, distinct)
+   *  over a prepared (id, hs) frame. Only ids travel through the join. */
+  def minhashCandidates(t: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    val sigs = t.withColumn("sig", minhashSignature(col("hs"), numHashes))
+    // band buckets: only ids travel through the LSH join, never arrays
+    val banded = sigs.select(col("id"),
+      posexplode(array((0 until bands).map(b =>
+        hash(slice(col("sig"), b * rows + 1, rows), lit(b))): _*))
+        .as(Seq("band", "bucket")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct() // a pair may collide in several bands
+  }
+
+  /** Stage 3: exact-Jaccard verification of candidate (id_a, id_b)
+   *  pairs against the (id, hs) shingle frame. */
+  def verifyJaccardMilli(t: DataFrame, candidates: DataFrame,
+      minMilli: Int): DataFrame =
+    candidates
+      .join(t.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
+      .join(t.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        jaccardMilli(col("hs_a"), col("hs_b")).as("jaccard_milli"))
+      .where(col("jaccard_milli") >= minMilli)
 
   /**
    * SimHash near-dup: docs whose 64-bit simhash fingerprints are within
@@ -271,7 +288,8 @@ object Dedup {
         col("a.blk_i") === col("b.blk_i") && col("a.blk_v") === col("b.blk_v") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        TextOps.hamming64(col("a.sim"), col("b.sim")).as("hamming"))
+        // long: engine-portable (DuckDB bit_count is narrow-int)
+        TextOps.hamming64(col("a.sim"), col("b.sim")).cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct() // a pair may collide in several chunks
   }

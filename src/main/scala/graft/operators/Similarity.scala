@@ -98,37 +98,71 @@ object Similarity {
    */
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
-      k: Int, nbits: Int = 8, tables: Int = 4): DataFrame = {
-    // cast + norm hoisted to one projection per ROW (they ride the
-    // posexplode as two extra columns); inside the pair select they
-    // would re-fold per candidate pair
+      k: Int, nbits: Int = 8, tables: Int = 4): DataFrame =
+    topKFromCandidates(
+      lshCandidatePairs(corpus, idCol, vecCol, queries, qIdCol, qVecCol,
+        nbits, tables),
+      corpus, idCol, vecCol, queries, qIdCol, qVecCol, k)
+
+  /** LSH candidate stage: distinct (query_id, neighbor_id) pairs that
+   *  collide in at least one table's probe set (own bucket + Hamming-1
+   *  neighbors). Only ids and bucket longs travel through the join —
+   *  never vectors — so the shuffle is narrow at any corpus size.
+   *  Exposed separately so a correctness harness can materialize the
+   *  exact candidate set the ranking stage consumes (two-stage oracle). */
+  def lshCandidatePairs(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      nbits: Int = 8, tables: Int = 4): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id") +:
-        transform(col(vecCol), x => x.cast("double")).as("cv") +:
         (0 until tables).map(t =>
           lshBucket(col(vecCol), nbits, t).as(s"b$t")): _*)
-      .withColumn("cn", norm(col("cv")))
-      .select(col("neighbor_id"), col("cv"), col("cn"),
+      .select(col("neighbor_id"),
         posexplode(array((0 until tables).map(t => col(s"b$t")): _*))
           .as(Seq("tbl", "bucket")))
     val q = queries.select(col(qIdCol).as("query_id") +:
-        transform(col(qVecCol), x => x.cast("double")).as("qv") +:
         (0 until tables).map(t =>
           lshBucket(col(qVecCol), nbits, t).as(s"b$t")): _*)
-      .withColumn("qn", norm(col("qv")))
-      .select(col("query_id"), col("qv"), col("qn"),
+      .select(col("query_id"),
         posexplode(array((0 until tables).map(t => col(s"b$t")): _*))
           .as(Seq("tbl", "qb")))
       // probe set per table: own bucket + flip each bit once
       .withColumn("bucket", explode(array(
         (col("qb") +: (0 until nbits).map(b =>
           col("qb").bitwiseXOR(lit(1L << b)))): _*)))
-    val scored = c.join(broadcast(q), Seq("tbl", "bucket"))
+      .select(col("query_id"), col("tbl"), col("bucket"))
+    c.join(broadcast(q), Seq("tbl", "bucket"))
       .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct() // a pair may collide in several tables/probes
+  }
+
+  /**
+   * Rank a candidate (query_id, neighbor_id) frame by EXACT cosine and
+   * keep the top `k` per query. Vectors are fetched by id (one corpus
+   * join, one broadcast query join) — candidates are bounded by
+   * #queries x probe width, far smaller than the corpus, so the
+   * candidate side broadcasts and the corpus is never shuffled.
+   * Output: (query_id, neighbor_id, rank, cosine_micro) — identical
+   * arithmetic to bruteForceTopK, so a SQL oracle scoring the same
+   * staged candidate set reproduces this bit-for-bit.
+   */
+  def topKFromCandidates(candidates: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int): DataFrame = {
+    // cast + norm are per-ROW quantities, projected once per side —
+    // folding them inside the pair select would redo both per PAIR
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        transform(col(vecCol), x => x.cast("double")).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val q = queries.select(col(qIdCol).as("query_id"),
+        transform(col(qVecCol), x => x.cast("double")).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val scored = c.join(broadcast(candidates), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("cv"), col("qv")) / (col("cn") * col("qn")) * 1e6)
           .cast("long").as("cosine_micro"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(max(col("cosine_micro")).as("cosine_micro")) // dedupe multi-probe hits
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine_micro").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -169,6 +203,20 @@ object Similarity {
    */
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String, k: Int,
+      nCells: Int = 64, nProbe: Int = 8, iters: Int = 2): DataFrame =
+    topKFromCandidates(
+      ivfCandidatePairs(corpus, idCol, vecCol, queries, qIdCol, qVecCol,
+        nCells, nProbe, iters),
+      corpus, idCol, vecCol, queries, qIdCol, qVecCol, k)
+
+  /** IVF candidate stage: distinct (query_id, neighbor_id) pairs whose
+   *  corpus vector lives in one of the query's `nProbe` nearest cells.
+   *  Centroid training (distributed Lloyd rounds) happens here; only
+   *  ids and a cell int travel through the probe join. Exposed
+   *  separately so a correctness harness can materialize the exact
+   *  candidate set the ranking stage consumes (two-stage oracle). */
+  def ivfCandidatePairs(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
       nCells: Int = 64, nProbe: Int = 8, iters: Int = 2): DataFrame = {
     val spark = corpus.sparkSession
     // cell assignment is argmax over dot(v, centroid) with UNIT
@@ -232,28 +280,16 @@ object Similarity {
       cents = next
     }
     val bc = spark.sparkContext.broadcast(cents)
-    // norms hoisted per ROW (see bruteForceTopK): candidates pay one
-    // dot product each, not three HOF folds
-    val cCells = c.withColumn("cn", norm(col("cv")))
-      .select(col("neighbor_id"), col("cv"), col("cn"),
-        element_at(nearestCellsUdf(bc, 1)(col("cv")), 1).as("cell"))
+    val cCells = c.select(col("neighbor_id"),
+      element_at(nearestCellsUdf(bc, 1)(col("cv")), 1).as("cell"))
     val q = queries.select(col(qIdCol).as("query_id"),
         transform(col(qVecCol), x => x.cast("double")).as("qv"))
-      .withColumn("qn", norm(col("qv")))
-      .select(col("query_id"), col("qv"), col("qn"),
+      .select(col("query_id"),
         explode(nearestCellsUdf(bc, nProbe)(col("qv"))).as("cell"))
-    val scored = cCells.join(broadcast(q), Seq("cell"))
+    cCells.join(broadcast(q), Seq("cell"))
       .where(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(dot(col("cv"), col("qv")) / (col("cn") * col("qn")) * 1e6)
-          .cast("long").as("cosine_micro"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(max(col("cosine_micro")).as("cosine_micro")) // multi-probe dedupe
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine_micro").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        col("rank").cast("long").as("rank"), col("cosine_micro"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct() // defensive: a corpus row has exactly one cell today,
+                  // but multi-assignment variants would duplicate pairs
   }
 }
