@@ -39,7 +39,12 @@ final case class TableConfig(
      *  bitmaps up to this many deleted positions; above it, fall back
      *  to a shuffle anti-join against the DV parquet (the broadcast
      *  would otherwise grow with total delete volume). */
-    dvBroadcastMaxDeletes: Long = 10L * 1000 * 1000)
+    dvBroadcastMaxDeletes: Long = 10L * 1000 * 1000,
+    /** batch ingest: past this many fall-through deletes in one batch,
+     *  resolution runs fully distributed (delete frame |><| key index
+     *  -> per-file roaring DV delta) instead of collecting delete keys
+     *  to the driver — a purge-style batch never funnels keys. */
+    distributedDeleteThreshold: Long = 100L * 1000)
 
 /**
  * A Graft table: PK-identified, LSN-versioned, append/upsert/delete
@@ -349,15 +354,34 @@ final class GraftTable private (
           .select(dataCols.map(col) :+ col("_lsn"): _*)
         val statFields = schemaVar.fields.zipWithIndex
           .filter { case (f, _) => statsComparable(f.dataType) }.toSeq
-        // ONE pass over the cached fold output collects BOTH the
-        // per-partition survivor stats and the fall-through delete keys
-        // (formerly two jobs). Delete volume stays bounded by the
-        // batch's delete count, never its row count.
-        val (partStats, dels) = prof("stats+deletes")(
-          collectFoldOutputs(folded, statFields, keyPos))
-        prof("writeBatchFiles(del)")(
-          writeBatchFiles(survivors, maxLsn, Some(partStats)))
-        dels.foreach { case (k, lsn) => pendingDeletes += ((k, lsn)) }
+        // cheap cached scan decides the resolution path BEFORE any
+        // delete key can reach the driver
+        val nDel = folded.where(col("_tag") =!= "a").count()
+        if (nDel < config.distributedDeleteThreshold) {
+          // ONE pass over the cached fold output collects BOTH the
+          // per-partition survivor stats and the fall-through delete keys
+          // (formerly two jobs). Delete volume stays bounded by the
+          // batch's delete count, never its row count.
+          val (partStats, dels) = prof("stats+deletes")(
+            collectFoldOutputs(folded, statFields, keyPos))
+          prof("writeBatchFiles(del)")(
+            writeBatchFiles(survivors, maxLsn, Some(partStats)))
+          dels.foreach { case (k, lsn) => pendingDeletes += ((k, lsn)) }
+        } else {
+          // scale path (purge-style batches): delete keys NEVER
+          // materialize on the driver — stats collect skips them and
+          // resolution runs as a distributed join writing a per-file
+          // roaring DV delta (reference resolves against its persisted
+          // bucket hash map the same LSN-exact way,
+          // `persisted_bucket_hash_map.rs:276`)
+          val (partStats, _) = prof("stats")(
+            collectFoldOutputs(folded, statFields, keyPos, shipDeletes = false))
+          prof("writeBatchFiles(del)")(
+            writeBatchFiles(survivors, maxLsn, Some(partStats)))
+          prof("resolveDeletesDistributed")(resolveDeletesDistributed(
+            folded.where(col("_tag") =!= "a")
+              .select(keyColNames.map(col) :+ col("_lsn").as("_dlsn"): _*)))
+        }
       } finally folded.unpersist()
     }
     maybeMergeIndexes()
@@ -484,10 +508,12 @@ final class GraftTable private (
    *  projection (narrow transforms preserve them), which is what
    *  `writeBatchFiles` keys its part-file stats on. */
   private def collectFoldOutputs(folded: DataFrame,
-      statFields: Seq[(StructField, Int)], keyPos: Array[Int])
+      statFields: Seq[(StructField, Int)], keyPos: Array[Int],
+      shipDeletes: Boolean = true)
       : (Map[Int, (Long, Map[String, Seq[String]])], Seq[(Seq[Any], Long)]) = {
     val ords = statFields.map { case (f, _) => anyOrdering(f.dataType) }
     val idxs = statFields.map(_._2).toArray
+    val ship = shipDeletes // primitive capture: closure must not hold `this`
     val raw = folded.rdd.mapPartitionsWithIndex { (pid, it) =>
       var n = 0L
       val mins = Array.fill[Any](idxs.length)(null)
@@ -505,7 +531,7 @@ final class GraftTable private (
             }
             j += 1
           }
-        } else {
+        } else if (ship) {
           dels += ((keyPos.toSeq.map(i => r.get(2 + i)), r.getLong(1)))
         }
       }
@@ -770,6 +796,74 @@ final class GraftTable private (
     }
   }
 
+  /**
+   * Scale path for delete-heavy batches: resolve fall-through deletes
+   * entirely as a Spark job. `delFrame` (key cols + `_dlsn`) joins the
+   * key index on the key; each key's pop replay — newest row appended
+   * strictly before each delete LSN, duplicate deliveries no-op — runs
+   * in the executors with the SAME rule as `resolveCommittedDeletes`;
+   * already-dead positions are subtracted by an anti-join against the
+   * existing DV frame; and the surviving delta aggregates into one
+   * roaring bitmap per affected data FILE before anything reaches the
+   * driver. Driver traffic is bounded by file count, never delete
+   * count. The sidecar is written here and committed by the caller's
+   * publish(), exactly like the driver path (reference resolves via its
+   * persisted bucket hash map, `persisted_bucket_hash_map.rs:276`).
+   */
+  private def resolveDeletesDistributed(delFrame: DataFrame): Unit = {
+    if (indexFiles.isEmpty) return // nothing flushed: deletes miss
+    val keyNames = keyFields.map(_.name).toSeq
+    val idx = spark.read.parquet(
+      indexFiles.map(e => s"$root/index/${e.path}").toSeq: _*)
+    // live-file filter matches the driver path's fileEntries guard
+    val live = spark.sparkContext.broadcast(fileEntries.keySet.toSet)
+    val replay = udf((cands: Seq[Row], dlsns: Seq[Long]) => {
+      // newest (lsn, file, pos) first, DEAD ROWS INCLUDED — see
+      // resolveCommittedDeletes for why stale deliveries must no-op
+      // on the same target instead of popping an older row
+      val rows = cands.iterator
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .filter { case (_, f, _) => live.value.contains(f) }
+        .toVector.sorted.reverse
+      dlsns.distinct.sorted.flatMap { dlsn =>
+        rows.find(_._1 < dlsn).map { case (_, f, p) => (f, p) }
+      }.distinct
+    })
+    val delta = idx.join(delFrame, keyNames)
+      .groupBy(keyNames.map(col): _*)
+      .agg(collect_set(struct(col("_lsn"), col("_file"), col("_pos")))
+          .as("cands"),
+        collect_set(col("_dlsn")).as("dlsns"))
+      .select(explode(replay(col("cands"), col("dlsns"))).as("fp"))
+      .select(col("fp._1").as("file"), col("fp._2").as("pos"))
+    val fresh = dvPairsFrame() match {
+      case Some(dv) => delta.join(dv, Seq("file", "pos"), "left_anti")
+      case scala.None => delta
+    }
+    import spark.implicits._
+    val perFile = fresh.toDF("_1", "_2").as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (f, it) =>
+        val bm = new Roaring64Bitmap
+        it.foreach(t => bm.addLong(t._2))
+        (f, DvCache.serialize(bm))
+      }.collect()
+    if (perFile.isEmpty) return
+    val bitmaps = perFile.toSeq.map { case (f, b) => f -> DvCache.deserialize(b) }
+    bitmaps.foreach { case (f, bm) =>
+      dvMap.getOrElseUpdate(f, new Roaring64Bitmap).or(bm)
+      fileEntries(f) = fileEntries(f).copy(
+        deletes = fileEntries(f).deletes + bm.getLongCardinality)
+    }
+    Fio.mkdirs(s"$root/dv")
+    val name = f"dv-${newId()}%09d.bin"
+    DvSidecar.write(s"$root/dv/$name", bitmaps)
+    dvFiles += name
+    dvBroadcast = scala.None // invalidate
+    if (dvFiles.size >= config.indexMergeFileCountThreshold)
+      rewriteDvFiles(Set.empty)
+  }
+
   // =====================================================================
   // Publish (M8/M9): resolve deletes, persist DV delta, commit manifest.
   // The reference's in-memory mooncake snapshot and durable iceberg
@@ -933,31 +1027,7 @@ final class GraftTable private (
         substring_index(col("_metadata.file_path"), "/", -1),
         col("_metadata.row_index")))
     } else {
-      // dvMap == persisted DV files ∪ unpersisted newDvPairs; both sides
-      // of the anti-join are needed for reads taken mid-publish (compact).
-      // Sidecar blobs are read and EXPANDED to (file,pos) rows on the
-      // executors (binaryFile scan + flatMap) — the driver never holds a
-      // raw position list past the broadcast threshold.
-      import spark.implicits._
-      val persisted =
-        if (dvFiles.isEmpty) scala.None
-        else Some(spark.read.format("binaryFile")
-          .load(dvFiles.map(f => s"$root/dv/$f").toSeq: _*)
-          .select(col("content")).as[Array[Byte]]
-          .flatMap(bytes => DvSidecar.fromBytes(bytes).iterator.flatMap {
-            case (f, bm) =>
-              val it = bm.getLongIterator
-              new Iterator[(String, Long)] {
-                def hasNext: Boolean = it.hasNext
-                def next(): (String, Long) = (f, it.next())
-              }
-          })
-          .toDF("file", "pos"))
-      val unpersisted =
-        if (newDvPairs.isEmpty) scala.None
-        else Some(spark.createDataFrame(
-          newDvPairs.map { case (f, p) => Row(f, p) }.asJava, dvSchema))
-      val dv = (persisted ++ unpersisted).reduce(_ unionByName _)
+      val dv = dvPairsFrame().get // dvMap nonempty => some DV source is
         .select(col("file").as("_dv_file"), col("pos").as("_dv_pos"))
       base
         .withColumn("_scan_file",
@@ -967,6 +1037,35 @@ final class GraftTable private (
           col("_scan_pos") === col("_dv_pos"), "left_anti")
         .drop("_scan_file", "_scan_pos")
     }
+  }
+
+  /** Every existing DV position as a distributed (file, pos) frame:
+   *  dvMap == persisted DV files ∪ unpersisted newDvPairs; both sides
+   *  are needed for consumers running mid-publish (compact). Sidecar
+   *  blobs are read and EXPANDED to (file,pos) rows on the executors
+   *  (binaryFile scan + flatMap) — the driver never holds a raw
+   *  position list. None when no DV state exists. */
+  private def dvPairsFrame(): Option[DataFrame] = {
+    import spark.implicits._
+    val persisted =
+      if (dvFiles.isEmpty) scala.None
+      else Some(spark.read.format("binaryFile")
+        .load(dvFiles.map(f => s"$root/dv/$f").toSeq: _*)
+        .select(col("content")).as[Array[Byte]]
+        .flatMap(bytes => DvSidecar.fromBytes(bytes).iterator.flatMap {
+          case (f, bm) =>
+            val it = bm.getLongIterator
+            new Iterator[(String, Long)] {
+              def hasNext: Boolean = it.hasNext
+              def next(): (String, Long) = (f, it.next())
+            }
+        })
+        .toDF("file", "pos"))
+    val unpersisted =
+      if (newDvPairs.isEmpty) scala.None
+      else Some(spark.createDataFrame(
+        newDvPairs.map { case (f, p) => Row(f, p) }.asJava, dvSchema))
+    (persisted ++ unpersisted).reduceOption(_ unionByName _)
   }
 
   /** File pruning by manifest min/max stats: driver-side pre-filter of

@@ -358,6 +358,50 @@ class BatchIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.drop()
   }
 
+  test("delete-heavy batch resolves distributed, state-equal to driver path") {
+    // Past distributedDeleteThreshold the fall-through delete keys must
+    // never collect to the driver: resolution becomes delete frame |><|
+    // key index with per-key pop replay in executors and a per-FILE
+    // roaring delta. Same events through both paths (threshold maxed
+    // out vs forced to 1) must agree on state AND total DV count —
+    // including duplicate deliveries (no-op) and misses (never-seen
+    // keys). Scale coverage: the million-row test above now runs the
+    // distributed path too (1.18M deletes > the 100k default).
+    val n = 4000
+    def run(thresh: Long): (Set[(Long, Long, String)], Long, Long) = {
+      val t = GraftTable.create(spark, tmpDir() + "/dd", schema,
+        Identity.Keys(Seq("id")),
+        TableConfig(walEnabled = false, distributedDeleteThreshold = thresh))
+      val base = spark.range(1, n + 1).select(
+        lit("i").as("_op"), col("id").as("_lsn"),
+        lit(null).cast("long").as("_xact"),
+        col("id"), col("id").as("v"), lit("x").as("tag"))
+      CdcPipeline.applyBatch(t, base)
+      // delete ids 1..3000, re-deliver deletes of 1..200 at later LSNs
+      // (must no-op), and delete never-seen ids n+1..n+100 (must miss)
+      val d1 = spark.range(1, 3001).select(col("id"), (col("id") + n).as("_lsn"))
+      val d2 = spark.range(1, 201).select(col("id"), (col("id") + 2L * n).as("_lsn"))
+      val d3 = spark.range(n + 1, n + 101).select(col("id"), (col("id") + 2L * n).as("_lsn"))
+      val dels = d1.union(d2).union(d3).select(
+        lit("d").as("_op"), col("_lsn"), lit(null).cast("long").as("_xact"),
+        col("id"), lit(null).cast("long").as("v"),
+        lit(null).cast("string").as("tag"))
+      CdcPipeline.applyBatch(t, dels)
+      val st = state(t)
+      val m = t.currentManifest
+      val out = (st, m.dataFiles.map(_.deletes).sum, t.commitLsn)
+      t.drop()
+      out
+    }
+    val (sa, dva, la) = run(Long.MaxValue) // driver resolution
+    val (sb, dvb, lb) = run(1L)            // forced distributed resolution
+    assert(sb == sa, s"state diverged: only-driver=${sa.diff(sb).take(5)} " +
+      s"only-dist=${sb.diff(sa).take(5)}")
+    assert(dvb == dva, s"DV count diverged: driver=$dva distributed=$dvb")
+    assert(lb == la)
+    assert(sa.size == n - 3000)
+  }
+
   test("anti-join DV fallback above the broadcast threshold") {
     val t = GraftTable.create(spark, tmpDir() + "/aj", schema,
       Identity.Keys(Seq("id")),
