@@ -85,7 +85,28 @@ object Manifest {
  * works identically on file://, hdfs:// and s3a:// (reference keeps the
  * same seam via opendal accessors, `storage/filesystem/accessor/`).
  */
+/** Injectable IO fault hook — the test seam mirroring the reference's
+ *  chaos filesystem wrapper (`storage/filesystem/accessor/
+ *  filesystem_accessor_chaos_wrapper.rs`, `chaos_generator.rs`): every
+ *  mutating `Fio` op consults the installed hook first and may throw,
+ *  simulating storage failures at exact protocol points (before a tmp
+ *  write, between tmp write and rename-commit, before a move/delete). */
+trait FioFaults {
+  /** Called before the op touches storage; throw to inject a failure.
+   *  `op` ∈ {write, commit-rename, move, delete}. */
+  def beforeOp(op: String, path: String): Unit
+}
+
 object Fio {
+  /** When non-null, mutating ops call `beforeOp` first (tests only;
+   *  production never sets it). Volatile: installed/cleared across
+   *  test threads. */
+  @volatile private[graft] var faults: FioFaults = null
+  @inline private def check(op: String, path: String): Unit = {
+    val f = faults
+    if (f != null) f.beforeOp(op, path)
+  }
+
   def fs(path: String, conf: Configuration = new Configuration()): FileSystem =
     new Path(path).getFileSystem(conf)
 
@@ -94,11 +115,13 @@ object Fio {
   def exists(p: String): Boolean = fs(p).exists(new Path(p))
 
   def writeAtomic(path: String, content: String): Unit = {
+    check("write", path)
     val f = fs(path)
     val tmp = new Path(path + ".tmp")
     val out = f.create(tmp, true)
     try out.write(content.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    check("commit-rename", path) // crash AFTER tmp landed, BEFORE commit
     if (!f.rename(tmp, new Path(path))) {
       // rename-over-existing fails on some FS; only tolerate if target
       // landed with identical content (idempotent re-commit)
@@ -116,11 +139,13 @@ object Fio {
   }
 
   def writeBytesAtomic(path: String, bytes: Array[Byte]): Unit = {
+    check("write", path)
     val f = fs(path)
     val tmp = new Path(path + ".tmp")
     val out = f.create(tmp, true)
     try out.write(bytes)
     finally out.close()
+    check("commit-rename", path)
     if (!f.rename(tmp, new Path(path))) {
       f.delete(tmp, false)
       if (!f.exists(new Path(path)))
@@ -135,7 +160,10 @@ object Fio {
     finally in.close()
   }
 
-  def delete(path: String): Unit = fs(path).delete(new Path(path), true)
+  def delete(path: String): Unit = {
+    check("delete", path)
+    fs(path).delete(new Path(path), true)
+  }
 
   def list(dir: String): Seq[String] = {
     val f = fs(dir)
@@ -145,6 +173,7 @@ object Fio {
   }
 
   def move(src: String, dst: String): Unit = {
+    check("move", dst)
     val f = fs(dst)
     if (!f.rename(new Path(src), new Path(dst)))
       throw new java.io.IOException(s"move failed: $src -> $dst")

@@ -1522,6 +1522,25 @@ object GraftTable {
     }
   }
 
+  /** Delete files a crashed operation left behind that the recovered
+   *  manifest does not reference. Only called at open time: no reader
+   *  can hold a pre-crash plan, so unreferenced == garbage (compact
+   *  victims awaiting vacuum included — reopen supersedes vacuum). */
+  private def sweepOrphans(root: String, m: Manifest): Unit = {
+    val live: Set[String] = (m.dataFiles.map(_.path) ++ m.dvFiles ++
+      m.indexFiles.map(_.path)).toSet
+    Seq("data", "index", "dv").foreach { sub =>
+      Fio.list(s"$root/$sub").foreach { n =>
+        if (!live.contains(n)) Fio.delete(s"$root/$sub/$n")
+      }
+    }
+    Seq("manifest", "wal").foreach { sub =>
+      Fio.list(s"$root/$sub").filter(_.endsWith(".tmp"))
+        .foreach(n => Fio.delete(s"$root/$sub/$n"))
+    }
+    Fio.delete(s"$root/tmp")
+  }
+
   def create(spark: SparkSession, root: String, schema: StructType,
       identity: Identity, config: TableConfig = TableConfig()): GraftTable = {
     require(!Fio.exists(s"$root/manifest"), s"table already exists at $root")
@@ -1547,6 +1566,16 @@ object GraftTable {
     // staged (pre-commit) xact files are rebuilt from the WAL; stale
     // staging from a crash is garbage
     Fio.delete(s"$root/staged")
+    // recovery sweep: a crash between a file move and the manifest
+    // commit leaves orphans in data/index/dv (plus stray .tmp files
+    // from torn atomic writes and abandoned job dirs under tmp/).
+    // They are invisible to the recovered manifest but COLLIDE with
+    // reissued file ids — nextFileId derives from manifest names, so
+    // the next flush would rename onto the orphan and fail. WAL replay
+    // rewrites their contents; sweep BEFORE replay. (The reference's
+    // recovery likewise deletes uncommitted files,
+    // `moonlink_backend/src/recovery_utils.rs`.)
+    sweepOrphans(root, m)
     if (config.walEnabled) {
       val kf = identity match {
         case Identity.FullRow => m.schema.fields.toSeq

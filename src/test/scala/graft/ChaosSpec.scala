@@ -132,6 +132,145 @@ class ChaosSpec extends AnyFunSuite with BeforeAndAfterAll {
     table.drop()
   }
 
+  // ---- injected IO faults (reference chaos_generator.rs +
+  // filesystem_accessor_chaos_wrapper.rs re-expressed) ----------------
+
+  /** Seeded fault injector: each mutating Fio op throws with
+   *  probability `p` while armed. */
+  private final class SeededFaults(seed: Long, p: Double)
+      extends graft.format.FioFaults {
+    private val rnd = new Random(seed)
+    @volatile var armed = false
+    override def beforeOp(op: String, path: String): Unit =
+      if (armed && rnd.nextDouble() < p)
+        throw new java.io.IOException(s"injected fault: $op $path")
+  }
+
+  private def isInjected(e: Throwable): Boolean = {
+    var t: Throwable = e
+    while (t != null) {
+      if (t.isInstanceOf[java.io.IOException] && t.getMessage != null &&
+          t.getMessage.startsWith("injected fault")) return true
+      t = t.getCause
+    }
+    false
+  }
+
+  test("chaos: injected IO faults — reopen always recovers a committed prefix") {
+    // Storage fails at random protocol points (tmp write, the window
+    // between tmp write and rename-commit, file move, delete) during
+    // ingest, flush, compact and vacuum. After every simulated crash the
+    // table reopens from disk and its state must equal the op-log fold
+    // at EXACTLY the recovered commit LSN — a batch is either wholly
+    // durable (WAL landed) or wholly absent, never partial.
+    Seq(11L, 2026L).foreach { seed =>
+      val rnd = new Random(seed)
+      val dir = java.nio.file.Files.createTempDirectory(s"chaos-io-$seed").toString
+      val cfg = TableConfig(memSliceSize = 8, walEnabled = true,
+        compactSmallFileRows = 16, compactDeleteRatio = 0.3)
+      var table = GraftTable.create(spark, s"$dir/t", schema,
+        Identity.Keys(Seq("k")), cfg)
+      val faults = new SeededFaults(seed * 31, 0.10)
+      graft.format.Fio.faults = faults
+      try {
+        // full op log: committed state at commit LSN L == fold of all
+        // ops with lsn <= L in lsn order (stream has no aborted xacts)
+        val oplog = mutable.ArrayBuffer[(Long, String, Long, Long)]()
+        var lsn = 0L
+        def nextLsn(): Long = { lsn += 1; lsn }
+        def modelAt(cl: Long): Map[Long, Long] = {
+          val m = mutable.HashMap[Long, Long]()
+          oplog.iterator.takeWhile(_._1 <= cl).foreach {
+            case (_, "a", k, v) => m(k) = v
+            case (_, "d", k, _) => m.remove(k)
+            case _ => ()
+          }
+          m.toMap
+        }
+        def verifyState(): Unit = {
+          val cl = table.commitLsn
+          val got = table.read(None).collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap
+          assert(got == modelAt(cl),
+            s"seed=$seed: state at recovered commitLsn=$cl diverged " +
+              s"(table=${got.size} rows, model=${modelAt(cl).size})")
+        }
+        def reopen(): Unit = {
+          faults.armed = false // recovery itself runs fault-free
+          table = GraftTable.open(spark, s"$dir/t", Identity.Keys(Seq("k")), cfg)
+          verifyState()
+          faults.armed = true
+        }
+        val batch = mutable.ArrayBuffer[CdcEvent]()
+        val pending = mutable.ArrayBuffer[(Long, String, Long, Long)]()
+        var crashes = 0
+        faults.armed = true
+        (0 until 180).foreach { _ =>
+          rnd.nextInt(8) match {
+            case 0 | 1 | 2 => // upsert
+              val k = rnd.nextInt(30).toLong
+              val v = rnd.nextLong(1000000)
+              val l = nextLsn()
+              batch ++= CdcEvent.upsert(Row(k, v), Seq(k), l)
+              pending += ((l, "d", k, 0L)); pending += ((l, "a", k, v))
+            case 3 => // append fresh key
+              val k = 1000L + rnd.nextInt(100000)
+              val v = rnd.nextLong(1000000)
+              val l = nextLsn()
+              batch += Append(Row(k, v), l)
+              pending += ((l, "a", k, v))
+            case 4 => // delete (maybe-existing) key
+              val k = rnd.nextInt(30).toLong
+              val l = nextLsn()
+              batch += Delete(Seq(k), l, ifExists = true)
+              pending += ((l, "d", k, 0L))
+            case 5 | 6 => // commit attempt — the crash-interesting moment
+              val cl = nextLsn()
+              batch += Commit(cl)
+              try {
+                table.apply(batch.toSeq)
+                oplog ++= pending
+                pending.clear(); batch.clear()
+              } catch {
+                case e: Throwable if isInjected(e) =>
+                  crashes += 1
+                  faults.armed = false
+                  table = GraftTable.open(spark, s"$dir/t",
+                    Identity.Keys(Seq("k")), cfg)
+                  // WAL durability decides: the whole batch recovered,
+                  // or none of it — sync the op log to what actually
+                  // committed, then the state must match exactly
+                  if (table.commitLsn >= cl) oplog ++= pending
+                  pending.clear(); batch.clear()
+                  verifyState()
+                  faults.armed = true
+              }
+            case 7 => // maintenance under fire
+              try {
+                rnd.nextInt(3) match {
+                  case 0 => table.flush()
+                  case 1 => table.compact(force = true); table.vacuum()
+                  case 2 => reopen() // clean crash: nothing in flight
+                }
+              } catch {
+                case e: Throwable if isInjected(e) =>
+                  crashes += 1
+                  reopen()
+              }
+          }
+        }
+        faults.armed = false
+        // drain the tail fault-free and verify the final state
+        batch += Commit(nextLsn())
+        table.apply(batch.toSeq)
+        oplog ++= pending
+        verifyState()
+        assert(crashes > 0, s"seed=$seed never hit an injected fault")
+        table.drop()
+      } finally graft.format.Fio.faults = null
+    }
+  }
+
   test("chaos: random CDC streams match the in-memory model (tiny mem slice)") {
     runChaos(seed = 42, steps = 120,
       TableConfig(memSliceSize = 8, walEnabled = false,
