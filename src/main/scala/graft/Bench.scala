@@ -73,7 +73,12 @@ object Bench {
     // doesn't pay one-time costs
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev seam: GRAFT_BENCH_ONLY=q1,q2 runs a subset (absent in driver runs)
+    val only = sys.env.get("GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val n =
         try fn(spark, sfDir).count()

@@ -271,27 +271,51 @@ object Dedup {
       maxHamming, numBlocks)
 
   /** Pair generation over a prepared (id, sim) frame — split out so the
-   *  recall guarantee is testable on crafted fingerprints. */
+   *  recall guarantee is testable on crafted fingerprints.
+   *
+   *  The banded join runs over DISTINCT fingerprints, not docs: an
+   *  exact-dup cluster of m docs shares one fingerprint, and joining at
+   *  doc granularity would re-verify the same chunk collision m^2 times
+   *  (a dup-heavy 100 TB corpus is exactly where that explodes — the
+   *  sf1 bench measured 167 s, quadratic in cluster size). Fingerprint
+   *  pairs are expanded back to doc pairs by two output-bound
+   *  equi-joins; same-fingerprint clusters contribute their pairs via a
+   *  plain self-join at hamming 0. Output is identical to the
+   *  doc-granularity join (every id_a < id_b pair within the ball,
+   *  exactly once). */
   private[graft] def simhashPairsFrom(t: DataFrame, maxHamming: Int,
       numBlocks: Int = 0): DataFrame = {
     val r = if (numBlocks > 0) numBlocks else maxHamming + 1
     require(r > maxHamming, "need > maxHamming blocks for full recall")
     val w = (64 + r - 1) / r // chunk width; last chunk may be narrower
-    val banded = t.select(col("id"), col("sim"),
+    val fps = t.select(col("sim")).distinct()
+    val banded = fps.select(col("sim"),
       posexplode(array((0 until r).map { i =>
         val lo = i * w
         val width = math.min(w, 64 - lo)
         // bits [lo, lo+width) of the fingerprint
         shiftrightunsigned(shiftleft(col("sim"), 64 - lo - width), 64 - width)
       }: _*)).as(Seq("blk_i", "blk_v")))
-    banded.as("a").join(banded.as("b"),
+    val fpPairs = banded.as("a").join(banded.as("b"),
         col("a.blk_i") === col("b.blk_i") && col("a.blk_v") === col("b.blk_v") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.sim") < col("b.sim"))
+      .select(col("a.sim").as("sim_a"), col("b.sim").as("sim_b"),
         // long: engine-portable (DuckDB bit_count is narrow-int)
         TextOps.hamming64(col("a.sim"), col("b.sim")).cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct() // a pair may collide in several chunks
+    // cross-cluster doc pairs: one fp pair -> |class_a| x |class_b| rows
+    val cross = fpPairs
+      .join(t.select(col("sim").as("sim_a"), col("id").as("ia")), "sim_a")
+      .join(t.select(col("sim").as("sim_b"), col("id").as("ib")), "sim_b")
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("hamming"))
+    // within-cluster pairs (identical fingerprints = hamming 0)
+    val same = t.as("x").join(t.as("y"),
+        col("x.sim") === col("y.sim") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        lit(0L).as("hamming"))
+    cross.unionByName(same)
   }
 
   /** Embedding cosine near-dup pairs >= `minCosineMilli` (brute force
