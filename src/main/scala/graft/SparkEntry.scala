@@ -887,6 +887,27 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "ann_ivf_index_topk" -> ((s, d) => {
+      // the deployment shape of IVF: train ONCE, persist centroids +
+      // cell assignment, probe many query batches against the persisted
+      // index without ever re-scanning the corpus for training. Both
+      // index halves round-trip through parquet here (stage), so this
+      // row proves the persisted form, not just the in-memory one; the
+      // oracle re-ranks the probed candidates exactly as ann_ivf_topk's.
+      val e = t(s, d, "embeddings")
+      val q = e.where(col("vec_id") < 8)
+      val cents = stage(Similarity.ivfTrain(e, "vec_id", "embedding",
+          nCells = 32), d, "ann_ivf_centroids")
+      val assigned = stage(Similarity.ivfAssign(e, "vec_id", "embedding",
+          cents).withColumnRenamed("vec_id", "id"), d, "ann_ivf_assign")
+      val cand = stage(Similarity.ivfCandidatesFromIndex(assigned, "id",
+          cents, q, "vec_id", "embedding", nProbe = 6),
+        d, "ann_ivf_index_cand")
+      Similarity.topKFromCandidates(cand, e, "vec_id", "embedding",
+          q, "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     "embed_neardup" -> ((s, d) => {
       Dedup.embeddingPairs(t(s, d, "embeddings"), "vec_id", "embedding",
           blockCol = col("label"), minCosineMilli = 300)
@@ -1258,6 +1279,22 @@ object SparkEntry {
 
     "ann_ivf_topk" ->
       """WITH cand AS (SELECT * FROM read_parquet('/root/repo/target/oracle-stage/sf0.01/ann_ivf_cand/*.parquet')),
+        |scored AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |         CAST(ROUND(list_cosine_similarity(ce.embedding::DOUBLE[], qe.embedding::DOUBLE[]) * 1000000) AS BIGINT) AS cosine_micro
+        |  FROM cand c
+        |  JOIN embeddings ce ON ce.vec_id = c.neighbor_id
+        |  JOIN embeddings qe ON qe.vec_id = c.query_id)
+        |SELECT query_id, neighbor_id,
+        |       CAST(row_number() OVER (PARTITION BY query_id
+        |            ORDER BY cosine_micro DESC, neighbor_id ASC) AS BIGINT) AS rank,
+        |       cosine_micro
+        |FROM scored
+        |QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "ann_ivf_index_topk" ->
+      """WITH cand AS (SELECT * FROM read_parquet('/root/repo/target/oracle-stage/sf0.01/ann_ivf_index_cand/*.parquet')),
         |scored AS (
         |  SELECT c.query_id, c.neighbor_id,
         |         CAST(ROUND(list_cosine_similarity(ce.embedding::DOUBLE[], qe.embedding::DOUBLE[]) * 1000000) AS BIGINT) AS cosine_micro

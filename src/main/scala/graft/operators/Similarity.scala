@@ -218,6 +218,16 @@ object Similarity {
   def ivfCandidatePairs(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
       nCells: Int = 64, nProbe: Int = 8, iters: Int = 2): DataFrame = {
+    val cents = trainCentroids(corpus, idCol, vecCol, nCells, iters)
+    probeCandidates(
+      assignCells(corpus, idCol, vecCol, cents), cents,
+      queries, qIdCol, qVecCol, nProbe)
+  }
+
+  /** Distributed spherical k-means over the corpus; the nCells x dim
+   *  unit-centroid matrix is the ONLY thing that reaches the driver. */
+  private def trainCentroids(corpus: DataFrame, idCol: String,
+      vecCol: String, nCells: Int, iters: Int): Array[Array[Double]] = {
     val spark = corpus.sparkSession
     // cell assignment is argmax over dot(v, centroid) with UNIT
     // centroids — scale-invariant in v, so corpus/query vectors are
@@ -279,17 +289,74 @@ object Similarity {
       }
       cents = next
     }
-    val bc = spark.sparkContext.broadcast(cents)
-    val cCells = c.select(col("neighbor_id"),
-      element_at(nearestCellsUdf(bc, 1)(col("cv")), 1).as("cell"))
+    cents
+  }
+
+  /** (id, cell) assignment of every corpus row to its nearest trained
+   *  cell — the persistable half of the index (parquet it, bucket it
+   *  by cell, reuse it across every query batch). */
+  private def assignCells(corpus: DataFrame, idCol: String,
+      vecCol: String, cents: Array[Array[Double]]): DataFrame = {
+    val bc = corpus.sparkSession.sparkContext.broadcast(cents)
+    corpus.select(col(idCol).as("neighbor_id"),
+        transform(col(vecCol), x => x.cast("double")).as("cv"))
+      .select(col("neighbor_id"),
+        element_at(nearestCellsUdf(bc, 1)(col("cv")), 1).as("cell"))
+  }
+
+  private def probeCandidates(assigned: DataFrame,
+      cents: Array[Array[Double]], queries: DataFrame,
+      qIdCol: String, qVecCol: String, nProbe: Int): DataFrame = {
+    val bc = queries.sparkSession.sparkContext.broadcast(cents)
     val q = queries.select(col(qIdCol).as("query_id"),
         transform(col(qVecCol), x => x.cast("double")).as("qv"))
       .select(col("query_id"),
         explode(nearestCellsUdf(bc, nProbe)(col("qv"))).as("cell"))
-    cCells.join(broadcast(q), Seq("cell"))
+    assigned.join(broadcast(q), Seq("cell"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"))
       .distinct() // defensive: a corpus row has exactly one cell today,
                   // but multi-assignment variants would duplicate pairs
   }
+
+  // ---- persisted IVF index (train once / probe many) -----------------
+  // At 100 TB the index is built by one batch job and served to every
+  // query batch after it; re-training per query call (ivfTopK) is the
+  // correctness baseline, not the deployment shape. Both halves are
+  // plain DataFrames, so they parquet/bucket like any table.
+
+  /** Train and return the centroid matrix as a storable DataFrame
+   *  (cell int, centroid array<double>), deterministic for a given
+   *  corpus. */
+  def ivfTrain(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 64, iters: Int = 2): DataFrame = {
+    val cents = trainCentroids(corpus, idCol, vecCol, nCells, iters)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    cents.toSeq.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toDF("cell", "centroid")
+  }
+
+  /** Assign corpus rows to cells of a trained index: (id, cell). */
+  def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame =
+    assignCells(corpus, idCol, vecCol, collectCentroids(centroids))
+      .withColumnRenamed("neighbor_id", idCol)
+
+  /** Candidate pairs from a PERSISTED index (assignment + centroids):
+   *  no training pass, the corpus is never re-scanned for the index —
+   *  only the probed cells' ids travel through the join. */
+  def ivfCandidatesFromIndex(assigned: DataFrame, idCol: String,
+      centroids: DataFrame, queries: DataFrame, qIdCol: String,
+      qVecCol: String, nProbe: Int = 8): DataFrame =
+    probeCandidates(assigned.select(col(idCol).as("neighbor_id"), col("cell")),
+      collectCentroids(centroids), queries, qIdCol, qVecCol, nProbe)
+
+  /** centroids DF -> dense matrix (nCells rows — driver-small by
+   *  construction, the same matrix training already collects). */
+  private def collectCentroids(centroids: DataFrame): Array[Array[Double]] =
+    centroids.select(col("cell"), col("centroid")).collect()
+      .map(r => (r.getInt(0),
+        r.getAs[scala.collection.Seq[Double]](1).toArray))
+      .sortBy(_._1).map(_._2)
 }

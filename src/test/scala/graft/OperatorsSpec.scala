@@ -89,6 +89,35 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.8, s"IVF recall@5 = $recall (expected >= 0.8 on clusters)")
   }
 
+  test("persisted IVF index reproduces the in-memory IVF path exactly") {
+    // train once / probe many: centroids + assignment round-trip
+    // through parquet, and the probed candidate set must equal what
+    // ivfCandidatePairs computes end-to-end (training is deterministic)
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val dim = 16
+    val vecs = (0 until 300).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val q = vecs.where(col("vec_id") < 10)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-idx").toString
+    Similarity.ivfTrain(vecs, "vec_id", "embedding", nCells = 16)
+      .write.parquet(s"$dir/centroids")
+    val cents = spark.read.parquet(s"$dir/centroids")
+    Similarity.ivfAssign(vecs, "vec_id", "embedding", cents)
+      .write.parquet(s"$dir/assign")
+    val assigned = spark.read.parquet(s"$dir/assign")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fromIndex = pairSet(Similarity.ivfCandidatesFromIndex(
+      assigned, "vec_id", cents, q, "vec_id", "embedding", nProbe = 4))
+    val inMemory = pairSet(Similarity.ivfCandidatePairs(
+      vecs, "vec_id", "embedding", q, "vec_id", "embedding",
+      nCells = 16, nProbe = 4))
+    assert(fromIndex == inMemory)
+    assert(fromIndex.nonEmpty)
+  }
+
   test("simhash: identical docs collide, near-identical docs are close") {
     import spark.implicits._
     val df = Seq(
