@@ -799,6 +799,7 @@ object SparkEntry {
     "text_stats" -> ((s, d) => {
       t(s, d, "documents").select(col("doc_id"),
           TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextOps.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"),
           TextOps.wordCount(col("text")).cast("long").as("n_words"),
           TextOps.punctCount(col("text")).cast("long").as("n_punct"),
           TextOps.qualityScore(col("text")).as("quality"),
@@ -1196,6 +1197,7 @@ object SparkEntry {
     "text_stats" ->
       """SELECT doc_id,
         |       CAST(len(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+        |       CAST(len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+')) AS BIGINT) AS n_bpe_tokens,
         |       CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_words,
         |       CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS n_punct,
         |       GREATEST(0, LEAST(1000,

@@ -30,6 +30,19 @@ object TextOps {
   def wordCount(c: Column): Column =
     size(filter(split(c, "\\s+"), t => t =!= lit("")))
 
+  /** GPT-2-style pretokenizer pattern, restricted to constructs with
+   *  identical semantics in Java regex and RE2 (no lookahead, ASCII
+   *  classes): contraction suffixes, space-prefixed letter/digit runs,
+   *  space-prefixed punctuation runs, whitespace runs. */
+  val BpePattern =
+    "'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+"
+
+  /** BPE-ish token count: number of pretokenizer matches — the unit a
+   *  byte-pair encoder would split further. Counts MATCHES (not
+   *  delimited fields), so the SQL mirror is len(regexp_extract_all). */
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(BpePattern), lit(0)))
+
   /** occurrences of literal `s` via the length/replace trick — exactly
    *  mirrorable in SQL: (len(c) - len(replace(c, s, ''))) / len(s). */
   def occurrences(c: Column, s: String): Column =

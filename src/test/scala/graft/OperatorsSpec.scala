@@ -282,4 +282,19 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Int]("pc") == 3)  // , ; !  (. ! ? , ; :)
     assert(r.getAs[String]("lang") == "en")
   }
+
+  test("BPE-ish token count matches hand-tokenized pretokens") {
+    import spark.implicits._
+    // 'I' / ''ve' / ' got' / ' 12' / ' cats' / ',' / ' don' / ''t'
+    // / ' I' / '?'  = 10 pretokens (contractions split, space-prefixed
+    // runs, punctuation separate)
+    val df = Seq(
+      (1L, "I've got 12 cats, don't I?"),
+      (2L, "hello  world"), // letter run / whitespace run / letter run
+      (3L, "")).toDF("id", "text")
+    val got = df.select($"id",
+        TextOps.bpeTokenCount($"text").as("n")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(got == Map(1L -> 10, 2L -> 3, 3L -> 0))
+  }
 }
