@@ -839,6 +839,33 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "dedup_minhash_incr" -> ((s, d) => {
+      // incremental dedup (the daily-crawl shape): the odd-doc
+      // increment probes a PERSISTED band index of the even-doc corpus
+      // — the index round-trips through parquet and is never
+      // recomputed; candidates = cross(new vs index) ∪
+      // within(increment). Composition with the batch path is exact
+      // (spec'd); the oracle re-verifies Jaccard over the staged sets.
+      val all = t(s, d, "documents")
+      val oldHs = Dedup.minhashShingleFrame(
+        all.where(col("doc_id") % 2 === 0), "doc_id", "text", shingleN = 2)
+      val newHs = Dedup.minhashShingleFrame(
+        all.where(col("doc_id") % 2 === 1), "doc_id", "text", shingleN = 2)
+      val idxBands = stage(Dedup.minhashBandFrame(oldHs, 64, 16),
+        d, "dedup_incr_idx_bands")
+      val sh = stage(newHs.unionByName(oldHs), d, "dedup_incr_sh")
+      val cand = stage(
+        Dedup.minhashCandidatesAgainst(
+            Dedup.minhashBandFrame(newHs, 64, 16), idxBands)
+          .unionByName(Dedup.minhashCandidates(newHs, 64, 16)),
+        d, "dedup_incr_cand")
+      Dedup.verifyJaccardMilli(sh, cand, minMilli = 200)
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"),
+          col("jaccard_milli"))
+        .orderBy("id_a", "id_b")
+    }),
+
     "dedup_simhash" -> ((s, d) => {
       // hamming <= 6 of 64: the typical near-dup band; pigeonhole
       // blocking = 7 chunks of 9+ bits, so blocks stay selective.
@@ -1247,6 +1274,18 @@ object SparkEntry {
       """WITH sh AS (SELECT * FROM read_parquet('/root/repo/target/oracle-stage/sf0.01/dedup_minhash_sh/*.parquet')),
         |cand AS (SELECT * FROM read_parquet('/root/repo/target/oracle-stage/sf0.01/dedup_minhash_cand/*.parquet'))
         |SELECT c.id_a, c.id_b,
+        |       CAST(FLOOR(1000.0 * len(list_intersect(a.hs, b.hs)) /
+        |            (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))) AS BIGINT) AS jaccard_milli
+        |FROM cand c JOIN sh a ON a.id = c.id_a JOIN sh b ON b.id = c.id_b
+        |WHERE (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) > 0
+        |  AND CAST(FLOOR(1000.0 * len(list_intersect(a.hs, b.hs)) /
+        |            (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))) AS BIGINT) >= 200
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_minhash_incr" ->
+      """WITH sh AS (SELECT * FROM read_parquet('/root/repo/target/oracle-stage/sf0.01/dedup_incr_sh/*.parquet')),
+        |cand AS (SELECT * FROM read_parquet('/root/repo/target/oracle-stage/sf0.01/dedup_incr_cand/*.parquet'))
+        |SELECT LEAST(c.id_a, c.id_b) AS id_a, GREATEST(c.id_a, c.id_b) AS id_b,
         |       CAST(FLOOR(1000.0 * len(list_intersect(a.hs, b.hs)) /
         |            (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))) AS BIGINT) AS jaccard_milli
         |FROM cand c JOIN sh a ON a.id = c.id_a JOIN sh b ON b.id = c.id_b

@@ -222,17 +222,26 @@ object Dedup {
           shingleN).as("hs"))
       .where(size(col("hs")) > 0)
 
-  /** Stage 2: LSH band-bucket candidate pairs (id_a < id_b, distinct)
-   *  over a prepared (id, hs) frame. Only ids travel through the join. */
-  def minhashCandidates(t: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  /** (id, band, bucket) LSH band frame of a prepared (id, hs) shingle
+   *  frame — the persistable half of an incremental dedup index. A
+   *  doc's bands depend only on its own signature, so band frames
+   *  computed batch-by-batch compose exactly: candidates over a corpus
+   *  == within-batch candidates ∪ cross-batch candidates. */
+  def minhashBandFrame(t: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
     val sigs = t.withColumn("sig", minhashSignature(col("hs"), numHashes))
     // band buckets: only ids travel through the LSH join, never arrays
-    val banded = sigs.select(col("id"),
+    sigs.select(col("id"),
       posexplode(array((0 until bands).map(b =>
         hash(slice(col("sig"), b * rows + 1, rows), lit(b))): _*))
         .as(Seq("band", "bucket")))
+  }
+
+  /** Stage 2: LSH band-bucket candidate pairs (id_a < id_b, distinct)
+   *  over a prepared (id, hs) frame. Only ids travel through the join. */
+  def minhashCandidates(t: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val banded = minhashBandFrame(t, numHashes, bands)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -240,6 +249,19 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct() // a pair may collide in several bands
   }
+
+  /** Incremental candidates: NEW-batch docs colliding with docs of a
+   *  PERSISTED band index (id_a = new, id_b = indexed; ids must be
+   *  disjoint). The index is never recomputed — the daily-crawl shape:
+   *  band the increment, join it against the stored bands, append the
+   *  increment's bands to the index afterwards. */
+  def minhashCandidatesAgainst(newBanded: DataFrame,
+      indexBanded: DataFrame): DataFrame =
+    newBanded.as("a")
+      .join(indexBanded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
 
   /** Stage 3: exact-Jaccard verification of candidate (id_a, id_b)
    *  pairs against the (id, hs) shingle frame. */

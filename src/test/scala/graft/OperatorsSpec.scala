@@ -40,6 +40,43 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("incremental minhash composes exactly with the batch path") {
+    // signatures are per-doc, so candidates over old ∪ new must equal
+    // within(old) ∪ within(new) ∪ cross(new vs old band index) — the
+    // persisted-index increment path loses NOTHING vs recomputing the
+    // whole corpus
+    val oldDocs = docs.where(col("doc_id") % 2 === 0)
+    val newDocs = docs.where(col("doc_id") % 2 === 1)
+    def shingles(df: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashShingleFrame(df, "doc_id", "text", shingleN = 2)
+    val dir = java.nio.file.Files.createTempDirectory("mh-idx").toString
+    // persist the corpus index once (bands + shingle sets)
+    Dedup.minhashBandFrame(shingles(oldDocs), 64, 16)
+      .write.parquet(s"$dir/bands")
+    shingles(oldDocs).write.parquet(s"$dir/hs")
+    val idxBands = spark.read.parquet(s"$dir/bands")
+    val idxHs = spark.read.parquet(s"$dir/hs")
+    // increment arrives: band it, probe the stored index
+    val newHs = shingles(newDocs)
+    val cross = Dedup.minhashCandidatesAgainst(
+      Dedup.minhashBandFrame(newHs, 64, 16), idxBands)
+    val within = Dedup.minhashCandidates(newHs, 64, 16)
+    val verified = Dedup.verifyJaccardMilli(newHs.unionByName(idxHs),
+        cross.unionByName(within), minMilli = 500)
+      .collect().map(r => {
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        (math.min(a, b), math.max(a, b))
+      }).toSet
+    val fullNewPairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        shingleN = 2, numHashes = 64, bands = 16, minMilli = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // drop pairs entirely inside the old corpus: the increment path
+      // only ever reports pairs touching the new batch
+      .filter { case (a, b) => a % 2 == 1 || b % 2 == 1 }.toSet
+    assert(verified == fullNewPairs)
+    assert(verified.nonEmpty)
+  }
+
   test("LSH ANN reaches high recall@5 on clustered vectors") {
     // LSH's guarantee is distance-dependent: build a corpus of 40
     // clusters (cosine ~0.95 within, ~random across) — the regime
