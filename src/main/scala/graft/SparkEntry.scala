@@ -846,18 +846,21 @@ object SparkEntry {
       // recomputed; candidates = cross(new vs index) ∪
       // within(increment). Composition with the batch path is exact
       // (spec'd); the oracle re-verifies Jaccard over the staged sets.
-      val all = t(s, d, "documents")
-      val oldHs = Dedup.minhashShingleFrame(
-        all.where(col("doc_id") % 2 === 0), "doc_id", "text", shingleN = 2)
-      val newHs = Dedup.minhashShingleFrame(
-        all.where(col("doc_id") % 2 === 1), "doc_id", "text", shingleN = 2)
+      // the corpus is tokenized exactly ONCE (the staged shingle frame
+      // feeds everything); each side is signed exactly once (its band
+      // frame is staged and both candidate joins read the parquet back)
+      val sh = stage(Dedup.minhashShingleFrame(
+          t(s, d, "documents"), "doc_id", "text", shingleN = 2),
+        d, "dedup_incr_sh")
+      val oldHs = sh.where(col("id") % 2 === 0)
+      val newHs = sh.where(col("id") % 2 === 1)
       val idxBands = stage(Dedup.minhashBandFrame(oldHs, 64, 16),
         d, "dedup_incr_idx_bands")
-      val sh = stage(newHs.unionByName(oldHs), d, "dedup_incr_sh")
+      val newBands = stage(Dedup.minhashBandFrame(newHs, 64, 16),
+        d, "dedup_incr_new_bands")
       val cand = stage(
-        Dedup.minhashCandidatesAgainst(
-            Dedup.minhashBandFrame(newHs, 64, 16), idxBands)
-          .unionByName(Dedup.minhashCandidates(newHs, 64, 16)),
+        Dedup.minhashCandidatesAgainst(newBands, idxBands)
+          .unionByName(Dedup.minhashCandidatesFromBands(newBands)),
         d, "dedup_incr_cand")
       Dedup.verifyJaccardMilli(sh, cand, minMilli = 200)
         .select(least(col("id_a"), col("id_b")).as("id_a"),

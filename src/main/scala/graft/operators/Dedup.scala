@@ -240,15 +240,19 @@ object Dedup {
 
   /** Stage 2: LSH band-bucket candidate pairs (id_a < id_b, distinct)
    *  over a prepared (id, hs) frame. Only ids travel through the join. */
-  def minhashCandidates(t: DataFrame, numHashes: Int, bands: Int): DataFrame = {
-    val banded = minhashBandFrame(t, numHashes, bands)
+  def minhashCandidates(t: DataFrame, numHashes: Int, bands: Int): DataFrame =
+    minhashCandidatesFromBands(minhashBandFrame(t, numHashes, bands))
+
+  /** Same self-join over an ALREADY-banded (id, band, bucket) frame —
+   *  use when the band frame is persisted or shared between joins, so
+   *  signatures are computed exactly once. */
+  def minhashCandidatesFromBands(banded: DataFrame): DataFrame =
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct() // a pair may collide in several bands
-  }
 
   /** Incremental candidates: NEW-batch docs colliding with docs of a
    *  PERSISTED band index (id_a = new, id_b = indexed; ids must be
