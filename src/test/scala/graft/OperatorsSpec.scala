@@ -77,6 +77,40 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(verified.nonEmpty)
   }
 
+  test("streamed band index accumulates to the exact batch-path result") {
+    // the foreachBatch shape of crawl dedup: micro-batches arrive one
+    // at a time, each probes the persisted index (cross pairs), checks
+    // itself (within pairs), then appends its bands+shingles to the
+    // index. Every pair (a,b) is covered exactly when the later side
+    // arrives, so the union over batches must equal the one-shot batch
+    // path over the whole corpus.
+    val parts = Seq(0L, 1L, 2L).map(i => docs.where(col("doc_id") % 3 === i))
+    val dir = java.nio.file.Files.createTempDirectory("mh-stream").toString
+    val acc = scala.collection.mutable.Set[(Long, Long)]()
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val hs = Dedup.minhashShingleFrame(p, "doc_id", "text", shingleN = 2)
+      val bands = Dedup.minhashBandFrame(hs, 64, 16)
+      val within = Dedup.minhashCandidatesFromBands(bands)
+      val (cand, verHs) =
+        if (i == 0) (within, hs)
+        else (within.unionByName(Dedup.minhashCandidatesAgainst(
+            bands, spark.read.parquet(s"$dir/bands"))),
+          hs.unionByName(spark.read.parquet(s"$dir/hs")))
+      Dedup.verifyJaccardMilli(verHs, cand, minMilli = 500).collect()
+        .foreach { r =>
+          val (a, b) = (r.getLong(0), r.getLong(1))
+          acc += ((math.min(a, b), math.max(a, b)))
+        }
+      bands.write.mode("append").parquet(s"$dir/bands")
+      hs.write.mode("append").parquet(s"$dir/hs")
+    }
+    val full = Dedup.minhashPairs(docs, "doc_id", "text",
+        shingleN = 2, numHashes = 64, bands = 16, minMilli = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(acc.toSet == full)
+    assert(full.nonEmpty)
+  }
+
   test("LSH ANN reaches high recall@5 on clustered vectors") {
     // LSH's guarantee is distance-dependent: build a corpus of 40
     // clusters (cosine ~0.95 within, ~random across) — the regime
