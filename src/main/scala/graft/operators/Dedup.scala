@@ -195,20 +195,54 @@ object Dedup {
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
       minMilli: Int = 500): DataFrame = {
-    // hashed shingle sets, persisted once: the band self-join sides and
-    // BOTH verification joins re-read this frame — uncached, the corpus
-    // would re-tokenize ~4x. One spill-safe copy of int64 shingle sets
-    // (smaller than the text) is the standard LSH trade at any scale;
-    // it is unpersisted before returning (result is materialized below).
+    // hashed shingle sets, persisted once: the collapse, the band
+    // self-join sides and BOTH verification joins re-read this frame —
+    // uncached, the corpus would re-tokenize ~4x. One spill-safe copy
+    // of int64 shingle sets (smaller than the text) is the standard
+    // LSH trade at any scale; it is unpersisted before returning
+    // (result is materialized below).
     val t = minhashShingleFrame(df, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val pairs = verifyJaccardMilli(t,
-        minhashCandidates(t, numHashes, bands), minMilli)
-      // materialize so the shingle cache can be dropped before
-      // returning; localCheckpoint blocks are GC-reclaimed by the
-      // ContextCleaner, unlike CacheManager entries
-      pairs.localCheckpoint(eager = true)
+      // EXACT-DUP COLLAPSE before the banded join: docs with the same
+      // shingle SET have the same signature, so an m-doc dup cluster
+      // collides in EVERY band and the doc-granularity self-join emits
+      // m^2/2 candidates x bands — quadratic in cluster size, the
+      // pathology that kills dup-heavy corpora (see simhashPairsFrom
+      // for the same fix on the simhash path). One representative per
+      // distinct set runs LSH + verification; pairs expand back
+      // output-bound: cross-cluster via two membership joins (each
+      // member pair has the representatives' exact Jaccard), plus the
+      // within-cluster pairs at exactly 1000 (identical non-empty
+      // sets; the shingle frame excludes empties).
+      val member = t.select(col("id"), array_sort(col("hs")).as("k"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val reps = member.groupBy(col("k")).agg(min(col("id")).as("id"))
+        .join(t, "id").select(col("k"), col("id"), col("hs"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val repT = reps.select(col("id"), col("hs"))
+        val repPairs = verifyJaccardMilli(repT,
+          minhashCandidates(repT, numHashes, bands), minMilli)
+        val repKey = reps.select(col("id"), col("k"))
+        val cross = repPairs
+          .join(repKey.select(col("id").as("id_a"), col("k").as("k_a")), "id_a")
+          .join(repKey.select(col("id").as("id_b"), col("k").as("k_b")), "id_b")
+          .join(member.select(col("k").as("k_a"), col("id").as("ma")), "k_a")
+          .join(member.select(col("k").as("k_b"), col("id").as("mb")), "k_b")
+          .select(least(col("ma"), col("mb")).as("id_a"),
+            greatest(col("ma"), col("mb")).as("id_b"), col("jaccard_milli"))
+        val within = member.as("x").join(member.as("y"),
+            col("x.k") === col("y.k") && col("x.id") < col("y.id"))
+          .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+            lit(1000L).as("jaccard_milli"))
+        val pairs =
+          if (minMilli <= 1000) cross.unionByName(within) else cross
+        // materialize so the caches can be dropped before returning;
+        // localCheckpoint blocks are GC-reclaimed by the
+        // ContextCleaner, unlike CacheManager entries
+        pairs.localCheckpoint(eager = true)
+      } finally { member.unpersist(); reps.unpersist() }
     } finally t.unpersist()
   }
 

@@ -40,6 +40,27 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("minhash dup collapse is pair-identical to the doc-level join") {
+    // a corpus with heavy exact-dup clusters (30 copies of each of the
+    // first docs): the collapsed path must emit exactly the pairs the
+    // plain doc-granularity band join emits — same ids, same
+    // jaccard_milli — while only ever banding one rep per cluster
+    val copies = (1 to 30).map(i => docs.where(col("doc_id") < 8)
+      .select((col("doc_id") + i * 100000L).as("doc_id"), col("text")))
+    val corpus = docs.select(col("doc_id"), col("text"))
+      .unionByName(copies.reduce(_ unionByName _))
+    val sh = Dedup.minhashShingleFrame(corpus, "doc_id", "text", shingleN = 2)
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val plain = norm(Dedup.verifyJaccardMilli(sh,
+      Dedup.minhashCandidates(sh, 64, 16), minMilli = 500))
+    val collapsed = norm(Dedup.minhashPairs(corpus, "doc_id", "text",
+      shingleN = 2, numHashes = 64, bands = 16, minMilli = 500))
+    assert(collapsed == plain)
+    // the dup clusters make this corpus pair-rich by construction
+    assert(plain.size > 30 * 29 / 2)
+  }
+
   test("incremental minhash composes exactly with the batch path") {
     // signatures are per-doc, so candidates over old ∪ new must equal
     // within(old) ∪ within(new) ∪ cross(new vs old band index) — the
