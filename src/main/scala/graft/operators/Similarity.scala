@@ -33,20 +33,11 @@ object Similarity {
   /** float/any-numeric array -> array<double> via the codegen'd Cast */
   private def asDouble(a: Column): Column = a.cast("array<double>")
 
-  private val dotUdf = udf((a: Seq[Double], b: Seq[Double]) => {
-    if (a == null || b == null) None
-    else {
-      // same left-to-right fold as aggregate(zip_with(a,b,_*_),0,_+_)
-      val x = a.toArray; val y = b.toArray
-      val n = math.min(x.length, y.length)
-      var s = 0.0; var i = 0
-      while (i < n) { s += x(i) * y(i); i += 1 }
-      Some(s)
-    }
-  })
-
-  /** elementwise dot product (tight JVM fold, exact IEEE order) */
-  def dot(a: Column, b: Column): Column = dotUdf(asDouble(a), asDouble(b))
+  /** elementwise dot product — native codegen'd Catalyst expression
+   *  (graft.functions.DotProduct): reads ArrayData in place, zero
+   *  per-row allocation, exact left-to-right IEEE order. */
+  def dot(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.dotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

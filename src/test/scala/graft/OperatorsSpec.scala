@@ -40,6 +40,31 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("native DotProduct matches the JVM fold, handles nulls") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),        // 32.0
+      (2L, Seq(0.5, -1.5), Seq(2.0, 2.0)),                 // -2.0
+      (3L, Seq.empty[Double], Seq.empty[Double])           // 0.0
+    ).toDF("id", "a", "b")
+    val got = df.select($"id",
+        graft.functions.VectorExpressions.dotProduct($"a", $"b").as("d"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got == Map(1L -> 32.0, 2L -> -2.0, 3L -> 0.0))
+    // null array and null element both yield null
+    val n = df.select(
+        graft.functions.VectorExpressions.dotProduct(
+          org.apache.spark.sql.functions.lit(null)
+            .cast("array<double>"), $"b").as("d"),
+        graft.functions.VectorExpressions.dotProduct(
+          org.apache.spark.sql.functions.array(
+            org.apache.spark.sql.functions.lit(null).cast("double")),
+          org.apache.spark.sql.functions.array(
+            org.apache.spark.sql.functions.lit(1.0))).as("e"))
+      .collect().head
+    assert(n.isNullAt(0) && n.isNullAt(1))
+  }
+
   test("minhash dup collapse is pair-identical to the doc-level join") {
     // a corpus with heavy exact-dup clusters (30 copies of each of the
     // first docs): the collapsed path must emit exactly the pairs the
