@@ -43,10 +43,28 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  private val unitVecUdf = udf((a: Seq[Double]) => {
-    if (a == null) None
+  /** Seq[java.lang.Double] -> primitive array; null if the Seq is null
+   *  or contains a null element (the HOF lambdas these UDFs replaced
+   *  propagated element nulls to a null result; unboxing a null in
+   *  toArray would instead throw and fail the task). */
+  private def unboxOrNull(a: Seq[java.lang.Double]): Array[Double] = {
+    if (a == null) return null
+    val x = new Array[Double](a.length)
+    var i = 0
+    val it = a.iterator
+    while (it.hasNext) {
+      val e = it.next()
+      if (e == null) return null
+      x(i) = e.doubleValue
+      i += 1
+    }
+    x
+  }
+
+  private val unitVecUdf = udf((a: Seq[java.lang.Double]) => {
+    val x = unboxOrNull(a)
+    if (x == null) None
     else {
-      val x = a.toArray
       var s = 0.0; var i = 0
       while (i < x.length) { s += x(i) * x(i); i += 1 }
       val n = math.sqrt(s)
@@ -89,33 +107,50 @@ object Similarity {
         col("rank").cast("long").as("rank"), col("cosine_micro"))
   }
 
+  /** Hyperplane coefficient matrices for LSH bucketing, memoized once
+   *  per executor JVM. Each coefficient is a pure function of
+   *  (table, plane, element index) — xxhash64-derived values in
+   *  [-1, 1): hashInt(i, hashInt(table*nbits+p, 42)) / Long.Max — so
+   *  computing the matrix once and reusing it across every row is
+   *  bit-identical to the per-row regeneration it replaces, and strictly
+   *  less work (the old inner loop paid nbits x dim hash calls PER ROW).
+   *  The matrix is nbits x dim doubles (a few KB), keyed by dim so
+   *  ragged corpora stay correct; no driver/broadcast round-trip needed
+   *  since every executor derives the identical values. */
+  private object LshPlanes {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Double]]]()
+    def get(nbits: Int, table: Int, dim: Int): Array[Array[Double]] =
+      cache.computeIfAbsent((nbits, table, dim), { _ =>
+        Array.tabulate(nbits) { p =>
+          val seed = XXH64.hashInt(table * nbits + p, 42L)
+          Array.tabulate(dim)(i =>
+            XXH64.hashInt(i, seed).toDouble / Long.MaxValue.toDouble)
+        }
+      })
+  }
+
   /** `nbits`-bit LSH bucket id of a vector for hash table `table`:
-   *  sign bits of dot products with deterministic hyperplanes. Plane
-   *  coefficients are xxhash64-derived values in [-1, 1) regenerated
-   *  identically on every executor — the UDF reproduces the exact
-   *  Column-expression chain it replaced (xxhash64(plane, idx) =
-   *  hashInt(idx, hashInt(plane, 42)), cast to double, / Long.Max),
-   *  so bucket ids are bit-identical to the old interpreted fold. */
+   *  sign bits of dot products with deterministic hyperplanes (see
+   *  LshPlanes). Bucket ids are bit-identical to the interpreted
+   *  Column-expression fold this replaced. */
   def lshBucket(vec: Column, nbits: Int, table: Int = 0): Column =
     lshBucketUdf(nbits, table)(asDouble(vec))
 
   private def lshBucketUdf(nbits: Int, table: Int)
       : org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((v: Seq[Double]) => {
-      if (v == null) None
+    udf((v: Seq[java.lang.Double]) => {
+      val a = unboxOrNull(v)
+      if (a == null) None
       else {
-        import org.apache.spark.sql.catalyst.expressions.XXH64
-        val a = v.toArray
+        val planes = LshPlanes.get(nbits, table, a.length)
         var bucket = 0L
         var p = 0
         while (p < nbits) {
-          val seed = XXH64.hashInt(table * nbits + p, 42L)
+          val plane = planes(p)
           var s = 0.0; var i = 0
-          while (i < a.length) {
-            s += a(i) * (XXH64.hashInt(i, seed).toDouble /
-              Long.MaxValue.toDouble)
-            i += 1
-          }
+          while (i < a.length) { s += a(i) * plane(i); i += 1 }
           if (s >= 0) bucket += (1L << p)
           p += 1
         }
@@ -265,8 +300,10 @@ object Similarity {
       queries, qIdCol, qVecCol, nProbe)
   }
 
-  /** Distributed spherical k-means over the corpus; the nCells x dim
-   *  unit-centroid matrix is the ONLY thing that reaches the driver. */
+  /** Distributed spherical k-means over the corpus; only bounded
+   *  nCells x (dim+1) accumulator matrices ever reach the driver
+   *  (at most ceil(numPartitions/64) per Lloyd round), combined in
+   *  partition-index order so training is deterministic. */
   private def trainCentroids(corpus: DataFrame, idCol: String,
       vecCol: String, nCells: Int, iters: Int): Array[Array[Double]] = {
     val spark = corpus.sparkSession
@@ -286,17 +323,28 @@ object Similarity {
       .map(r => normalized(r.getAs[scala.collection.Seq[Double]](0).toArray))
     val dim = cents.headOption.map(_.length).getOrElse(0)
     // Each Lloyd round is ONE narrow pass: per-partition JVM
-    // accumulators (cell sums + counts) combined by treeAggregate —
-    // the MLlib-KMeans shape. No shuffle, no wide codegen'd aggregate
-    // (a dim+1-column groupBy spent seconds in codegen alone), and the
-    // driver receives exactly one nCells x (dim+1) matrix per round
-    // regardless of corpus size.
+    // accumulators (cell sums + counts) — the MLlib-KMeans shape. No
+    // shuffle of data rows, no wide codegen'd aggregate (a dim+1-column
+    // groupBy spent seconds in codegen alone). Accumulators are combined
+    // in PARTITION-INDEX ORDER (fixed fan-in groups of 64, then a sorted
+    // driver fold) rather than treeAggregate, whose combine order
+    // follows task completion — FP addition is not associative, so a
+    // scheduling-dependent order would make training nondeterministic
+    // across runs of the same corpus. The driver receives at most
+    // ceil(P/64) nCells x (dim+1) matrices per round.
+    def merge(a: (Array[Double], Array[Long]), b: (Array[Double], Array[Long]))
+        : (Array[Double], Array[Long]) = {
+      var i = 0; while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }
+      var j = 0; while (j < a._2.length) { a._2(j) += b._2(j); j += 1 }
+      a
+    }
     (0 until iters).foreach { _ =>
       val bc = spark.sparkContext.broadcast(cents)
       val nc = cents.length
-      val (sums, counts) = c.select(col("cv")).rdd.treeAggregate(
-        (Array.ofDim[Double](nc * dim), Array.ofDim[Long](nc)))(
-        seqOp = { case (acc @ (s, n), row) =>
+      val perPart = c.select(col("cv")).rdd.mapPartitionsWithIndex { (pi, it) =>
+        val s = Array.ofDim[Double](nc * dim)
+        val n = Array.ofDim[Long](nc)
+        it.foreach { row =>
           // primitive array first — indexed access on the converter's
           // Seq inside the dot loop is pathologically slow (see
           // nearestCellsUdf)
@@ -316,13 +364,19 @@ object Similarity {
           val m = math.min(dim, v.length)
           while (i < m) { s(off + i) += v(i); i += 1 }
           n(best) += 1
-          acc
-        },
-        combOp = { case ((s1, n1), (s2, n2)) =>
-          var i = 0; while (i < s1.length) { s1(i) += s2(i); i += 1 }
-          var j = 0; while (j < n1.length) { n1(j) += n2(j); j += 1 }
-          (s1, n1)
-        })
+        }
+        Iterator((pi, (s, n)))
+      }
+      val grouped = perPart
+        .map { case (pi, acc) => (pi / 64, (pi, acc)) }
+        .groupByKey()
+        .map { case (g, accs) =>
+          (g, accs.toSeq.sortBy(_._1).map(_._2).reduceLeft(merge))
+        }
+        .collect().sortBy(_._1).map(_._2)
+      val (sums, counts) =
+        if (grouped.isEmpty) (Array.ofDim[Double](nc * dim), Array.ofDim[Long](nc))
+        else grouped.reduceLeft(merge)
       val next = cents.map(_.clone())
       var ci = 0
       while (ci < nc) {

@@ -26,16 +26,24 @@ object TextOps {
 
   def distinctTokens(c: Column): Column = array_distinct(tokens(c))
 
+  /** ASCII whitespace spelled as an explicit class, NOT `\s`: Java's
+   *  `\s` includes vertical tab (\x0B) while RE2's does not, so a `\s`
+   *  on both sides would make Spark and the DuckDB oracle tokenize text
+   *  containing \x0B differently. The explicit class means both engines
+   *  see the identical set. */
+  val WsClass = " \\t\\n\\x0B\\f\\r"
+
   /** whitespace-delimited word count */
   def wordCount(c: Column): Column =
-    size(filter(split(c, "\\s+"), t => t =!= lit("")))
+    size(filter(split(c, s"[$WsClass]+"), t => t =!= lit("")))
 
   /** GPT-2-style pretokenizer pattern, restricted to constructs with
-   *  identical semantics in Java regex and RE2 (no lookahead, ASCII
-   *  classes): contraction suffixes, space-prefixed letter/digit runs,
-   *  space-prefixed punctuation runs, whitespace runs. */
+   *  identical semantics in Java regex and RE2 (no lookahead, explicit
+   *  ASCII classes — see WsClass): contraction suffixes, space-prefixed
+   *  letter/digit runs, space-prefixed punctuation runs, whitespace
+   *  runs. */
   val BpePattern =
-    "'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+"
+    s"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^${WsClass}A-Za-z0-9]+|[$WsClass]+"
 
   /** BPE-ish token count: number of pretokenizer matches — the unit a
    *  byte-pair encoder would split further. Counts MATCHES (not

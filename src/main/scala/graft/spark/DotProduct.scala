@@ -8,9 +8,11 @@ import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType}
 
 /** Elementwise dot product of two double arrays, folded strictly left
- *  to right (s += a(i)*b(i) for i < min(len)); null if either array or
- *  any touched element is null — mirroring the lambda fold it
- *  replaced, so oracle comparisons stay bit-exact. Lives in an
+ *  to right (s += a(i)*b(i)); null if either array is null, the two
+ *  arrays differ in length (ragged/corrupt vectors must not yield a
+ *  silent partial product), or any element is null — mirroring the
+ *  zip_with/aggregate lambda fold it replaced (which null-pads the
+ *  shorter side), so oracle comparisons stay bit-exact. Lives in an
  *  `org.apache.spark.sql` subpackage (standard extension shim) because
  *  `AbstractDataType` and `ExpressionUtils` are `private[sql]`; the
  *  public API is `graft.functions.VectorExpressions.dotProduct`. */
@@ -28,7 +30,8 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null // ragged pair: no partial dot
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -45,11 +48,15 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |final int $n = $a.numElements();
          |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
          |}
          |${ev.value} = $s;
        """.stripMargin

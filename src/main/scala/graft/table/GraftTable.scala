@@ -129,10 +129,11 @@ final class GraftTable private (
     val pendingDeletes = mutable.ArrayBuffer[Seq[Any]]()
     val stagedFiles = mutable.ArrayBuffer[DataFileEntry]()
     val stagedIndexFiles = mutable.ArrayBuffer[IndexFileEntry]()
-    /** live rows in `buffer`, maintained incrementally: the stage-flush
-     *  trigger fires per append, so it must be O(1) — counting the
-     *  buffer there is O(rows) per event = quadratic per txn. */
-    var liveRows: Int = 0
+    // The stage-flush trigger reads buffer.length (O(1) on ArrayBuffer):
+    // TOTAL buffered rows including tombstones, matching the reference's
+    // should_transaction_flush over mem_slice.get_num_rows()
+    // (mooncake_table.rs:858) — a live-only count would let an
+    // upsert-heavy txn (delete+append per key) grow the buffer unbounded.
   }
   private val xacts = mutable.HashMap[Long, XactState]()
 
@@ -233,9 +234,8 @@ final class GraftTable private (
         val x = xacts.getOrElseUpdate(xid, new XactState)
         val tr = new TailRow(row, lsn)
         x.buffer += tr
-        x.liveRows += 1
         if (identity != Identity.None) stackPush(x.index, keyOf(row), tr)
-        if (x.liveRows >= config.memSliceSize) stageXactFlush(xid, x)
+        if (x.buffer.length >= config.memSliceSize) stageXactFlush(xid, x)
 
       case Delete(key, lsn, scala.None, _) =>
         require(identity != Identity.None,
@@ -245,11 +245,8 @@ final class GraftTable private (
 
       case Delete(key, _, Some(xid), _) =>
         val x = xacts.getOrElseUpdate(xid, new XactState)
-        val k = KeyVal(key)
-        val killsLive = x.index.get(k).exists(_.headOption.exists(_.live))
-        if (!stackMark(x.index, k, 0L)) // dead within the txn
+        if (!stackMark(x.index, KeyVal(key), 0L)) // dead within the txn
           x.pendingDeletes += key
-        else if (killsLive) x.liveRows -= 1 // dead head = stale no-op
 
       case Commit(lsn, scala.None) =>
         commitLsnVar = math.max(commitLsnVar, lsn)
@@ -574,7 +571,7 @@ final class GraftTable private (
    *  `transaction_stream.rs:171,334` — abort must drop flushed files). */
   private def stageXactFlush(xid: Long, x: XactState): Unit = {
     val rows = x.buffer.filter(_.live).map(_.row).toSeq
-    x.buffer.clear(); x.index.clear(); x.liveRows = 0
+    x.buffer.clear(); x.index.clear()
     if (rows.isEmpty) return
     val stagedDir = s"$root/staged/xact-$xid"
     Fio.mkdirs(stagedDir)

@@ -131,26 +131,27 @@ class GraftTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.drop()
   }
 
-  test("xact stage-flush trigger counts LIVE rows, deletes decrement") {
-    // the trigger is an O(1) incremental counter (quadratic-scan fix);
-    // this pins its semantics: a delete inside the txn frees a slot, a
-    // duplicate delete of the same key does not double-free
+  test("xact stage-flush trigger counts TOTAL buffered rows incl. tombstones") {
+    // matches the reference's should_transaction_flush, which counts
+    // mem-slice rows, not live rows (mooncake_table.rs:858): an
+    // upsert-heavy txn tombstones most of its buffer, and a live-only
+    // trigger would let the buffer grow without bound. Tombstoned rows
+    // still occupy a slot until the flush drops them.
     val t = mkTable(TableConfig(memSliceSize = 3, walEnabled = false))
     t.apply(Seq(
       Append(user(1, "a", 1), 1, Some(4L)),
       Append(user(2, "b", 2), 2, Some(4L)),
-      Delete(Seq(1), 3, Some(4L)),        // live 2 -> 1
-      Delete(Seq(1), 4, Some(4L)),        // dup delivery: still 1
-      Append(user(3, "c", 3), 5, Some(4L)))) // live 2: NO flush yet
+      Delete(Seq(1), 3, Some(4L)),        // tombstone: buffer still 2
+      Delete(Seq(1), 4, Some(4L))))       // dup delivery: deferred, buffer 2
     def stagedFiles() = Option(new java.io.File(s"${t.root}/staged/xact-4")
       .list()).map(_.length).getOrElse(0)
-    assert(stagedFiles() == 0,
-      "stage flush fired early: tombstones must free their slots")
+    assert(stagedFiles() == 0, "stage flush fired below the row threshold")
     t.apply(Seq(
-      Append(user(4, "d", 4), 6, Some(4L)))) // live 3: staged flush fires
-    assert(stagedFiles() > 0, "stage flush did not fire at the threshold")
+      Append(user(3, "c", 3), 5, Some(4L)))) // buffer 3: staged flush fires
+    assert(stagedFiles() > 0,
+      "stage flush must fire on total buffered rows (tombstones included)")
     t.apply(Seq(Commit(10, Some(4L))))
-    assert(stateOf(t).keySet == Set(2, 3, 4))
+    assert(stateOf(t).keySet == Set(2, 3))
     t.drop()
   }
 

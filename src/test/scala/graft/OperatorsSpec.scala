@@ -63,6 +63,12 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
             org.apache.spark.sql.functions.lit(1.0))).as("e"))
       .collect().head
     assert(n.isNullAt(0) && n.isNullAt(1))
+    // ragged pair (length mismatch) yields null — a corrupt vector must
+    // not produce a silent partial dot product
+    val ragged = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
+      .select(graft.functions.VectorExpressions.dotProduct($"a", $"b").as("d"))
+      .collect().head
+    assert(ragged.isNullAt(0), "length-mismatched arrays must dot to null")
   }
 
   test("minhash dup collapse is pair-identical to the doc-level join") {
