@@ -4,24 +4,23 @@ import graft.format.{DataFileEntry, DvSidecar, Manifest, ManifestLog}
 import graft.table.{DvCache, GraftTable}
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.parquet.example.data.Group
+import org.apache.hadoop.mapred.FileSplit
+import org.apache.hadoop.mapreduce.TaskAttemptID
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
 import org.apache.parquet.hadoop.ParquetFileReader
-import org.apache.parquet.hadoop.api.ReadSupport
-import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.metadata.ParquetMetadata
 import org.apache.parquet.hadoop.util.HadoopInputFile
-import org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
-import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
-import org.apache.parquet.schema.{MessageType, Type => PType}
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
-import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.vectorized.ColumnarBatch
 import org.roaringbitmap.longlong.Roaring64Bitmap
 
 import java.util.OptionalLong
@@ -41,9 +40,19 @@ import scala.jdk.CollectionConverters._
  *  - FILTER PUSHDOWN as manifest min/max FILE pruning (inexact, like
  *    the reference's `supports_filters_pushdown`: pushed filters prune
  *    whole files, Spark re-evaluates them on the surviving rows),
- *  - DELETION VECTORS applied inside the reader as positional skips —
- *    the `RowSelection` analogue (`table_provider.rs:140-167`): each
- *    partition carries only its own file's roaring blob,
+ *  - DELETION VECTORS applied as positional skips at three levels —
+ *    the `RowSelection` analogue (`table_provider.rs:140-167`): fully
+ *    deleted FILES are never planned, fully deleted ROW GROUPS are
+ *    dropped from the footer handed to the reader (their pages are
+ *    never fetched or decoded), and residual per-row deletes are
+ *    skipped while iterating; each partition carries only its own
+ *    file's roaring blob,
+ *  - VECTORIZED DECODE: Spark's own `VectorizedParquetRecordReader`
+ *    does the page decode into `ColumnarBatch`es. DV-free files (the
+ *    common case after compaction) stream whole batches to Spark
+ *    (`supportColumnarReads`), so the scan feeds whole-stage codegen's
+ *    ColumnarToRow exactly like the built-in parquet source; DV'd
+ *    files keep batch decode but iterate rows to apply the skips,
  *  - one InputPartition per data file (files are written ~rowsPerFile
  *    ≈ 128 MiB, the natural split granularity at cluster scale),
  *  - AGGREGATE PUSHDOWN: unfiltered global COUNT(*)/MIN/MAX are
@@ -53,10 +62,10 @@ import scala.jdk.CollectionConverters._
  *  - LIMIT PUSHDOWN: plans only enough files to cover the limit and
  *    caps each reader (Spark keeps the final global Limit).
  *
- * Scope: flat relational schemas (the types `statsComparable` covers,
- * plus binary); nested/decimal columns stay on the library read path
- * (`GraftTable.read`). The committed snapshot only — the in-memory
- * tail needs the live table object (S11 union read).
+ * Type scope: everything the vectorized parquet reader handles — the
+ * full flat relational set plus decimal, array, struct, map. The
+ * committed snapshot only — the in-memory tail needs the live table
+ * object (S11 union read).
  */
 class GraftDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft"
@@ -218,8 +227,10 @@ private[sources] class GraftScan(root: String, manifest: Manifest,
       s"pushed=[${pushed.mkString(", ")}], cols=${required.fieldNames.mkString(",")}" +
       (if (limit >= 0L) s", limit=$limit" else "") + ")"
 
+  // fully-deleted files (rows == deletes) are the FILE-level DV skip:
+  // zero live rows, so they are never planned at all
   private lazy val statSurvivors: Seq[DataFileEntry] =
-    manifest.dataFiles.filter(e =>
+    manifest.dataFiles.filter(e => e.rows > e.deletes &&
       pushed.forall(f => GraftScan.mayMatch(manifest.schema, e, f)))
 
   // With a pushed limit (only offered with no residual filters), stop
@@ -259,7 +270,13 @@ private[sources] class GraftScan(root: String, manifest: Manifest,
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(required.json,
       manifest.schema.fields
-        .map(f => f.name -> graft.model.SchemaDsl.physicalName(f)).toMap)
+        .map(f => f.name -> graft.model.SchemaDsl.physicalName(f)).toMap,
+      // Spark requires every partition of a scan to agree on columnar
+      // vs row output, so the choice is per-SCAN: batches only when no
+      // planned file carries a DV (true for every post-compaction
+      // snapshot — compaction folds DVs into rewritten files)
+      allColumnar = required.fields.nonEmpty &&
+        survivors.forall(e => !dvBlobs.contains(e.path)))
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong =
@@ -372,150 +389,171 @@ private[sources] final case class GraftInputPartition(
     cap: Long = -1L) extends InputPartition
 
 private[sources] class GraftReaderFactory(requiredJson: String,
-    physNames: Map[String, String]) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GraftPartitionReader(partition.asInstanceOf[GraftInputPartition],
-      DataType.fromJson(requiredJson).asInstanceOf[StructType], physNames)
+    physNames: Map[String, String], allColumnar: Boolean)
+    extends PartitionReaderFactory {
+
+  private def required: StructType =
+    DataType.fromJson(requiredJson).asInstanceOf[StructType]
+
+  /** DV-free scans stream ColumnarBatches straight to Spark (the
+   *  ColumnarToRow-fed fast path); scans touching any file with deletes
+   *  iterate rows so positional skips can apply. COUNT(*)-style
+   *  zero-column scans stay on the row path (synthetic rows, zero
+   *  parquet bytes). Scan-level, not per-partition: Spark rejects
+   *  mixed-mode scans. */
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    allColumnar
+
+  override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] =
+    new GraftColumnarReader(partition.asInstanceOf[GraftInputPartition],
+      required, physNames)
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val part = partition.asInstanceOf[GraftInputPartition]
+    if (required.fields.isEmpty) new GraftCountReader(part)
+    else new GraftRowReader(part, required, physNames)
+  }
 }
 
 /**
- * Executor-side reader: parquet Group API over the PRUNED subset of the
- * file schema (column pruning happens in parquet-mr — unrequested
- * columns never decode), positional DV skip via the partition's roaring
- * blob, value conversion straight to Spark internal representations.
+ * Shared setup for the executor-side readers: Spark's
+ * `VectorizedParquetRecordReader` over the PRUNED projection, with the
+ * file's footer doctored so fully-deleted ROW GROUPS never reach the
+ * reader (the reference's `RowSelection` skip at row-group granularity,
+ * `table_provider.rs:140-167`) plus the absolute-row-position ranges of
+ * the groups that survive (for residual per-row DV skips).
+ *
+ * Column mapping: the table field is stored under its physical name, so
+ * the requested Catalyst schema sent to the reader carries physical
+ * names (order = `required` order — downstream consumption is
+ * positional). A field absent from the file (written before an
+ * alterAddColumn, or remapped after drop+re-add) becomes a null vector.
  */
-private[sources] class GraftPartitionReader(part: GraftInputPartition,
-    required: StructType, physNames: Map[String, String])
-    extends PartitionReader[InternalRow] {
+private[sources] object GraftVectorReader {
+  /** (reader, kept-group ranges as (startPos, rowCount) in read order).
+   *  `dv` may be null (no deletes). */
+  def open(part: GraftInputPartition, required: StructType,
+      physNames: Map[String, String], dv: Roaring64Bitmap)
+      : (VectorizedParquetRecordReader, Array[(Long, Long)]) = {
+    val physRequired = StructType(required.fields.map(f =>
+      f.copy(name = physNames.getOrElse(f.name, f.name))))
 
-  private val dv: Roaring64Bitmap =
-    if (part.dvBlob == null) null else DvCache.deserialize(part.dvBlob)
-  private var pos = -1L
-  private var emitted = 0L // pushed-limit cap (part.cap < 0 = unlimited)
-  private var current: InternalRow = _
+    val conf = new Configuration()
+    // the conf the built-in parquet source prepares on its hadoopConf —
+    // ParquetReadSupport resolves the requested schema from it
+    conf.set("parquet.read.support.class",
+      "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
+    conf.set("org.apache.spark.sql.parquet.row.requested_schema", physRequired.json)
+    conf.setBoolean("spark.sql.parquet.binaryAsString", false)
+    conf.setBoolean("spark.sql.parquet.int96AsTimestamp", true)
+    conf.setBoolean("spark.sql.caseSensitive", false)
+    conf.setBoolean("spark.sql.parquet.fieldId.read.enabled", false)
+    conf.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
+    conf.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", false)
 
-  private val conf = new Configuration()
+    val hPath = new org.apache.hadoop.fs.Path(part.path)
+    val inputFile = HadoopInputFile.fromPath(hPath, conf)
+    val fr = ParquetFileReader.open(inputFile)
+    val footer = try fr.getFooter finally fr.close()
 
-  // Requested columns resolved against THIS file's physical schema
-  // (column mapping: a table field is stored under its physical name;
-  // a field absent from the file — written before an alterAddColumn,
-  // or remapped after a drop+re-add — reads as null).
-  private val resolved: Seq[(StructField, Option[PType])] =
-    if (required.fields.isEmpty) Nil
-    else {
-      val inFile = HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(part.path), conf)
-      val footer = ParquetFileReader.open(inFile)
-      val fileSchema = try footer.getFooter.getFileMetaData.getSchema
-        finally footer.close()
-      required.fields.toSeq.map { f =>
-        val phys = physNames.getOrElse(f.name, f.name)
-        f -> fileSchema.getFields.asScala.find(_.getName == phys)
-      }
+    // absolute row positions per row group (files are whole units —
+    // never split — so positions are the running row count)
+    var off = 0L
+    val blocks = footer.getBlocks.asScala.toSeq.map { b =>
+      val start = off; off += b.getRowCount; (b, start, b.getRowCount)
     }
+    val kept = blocks.filter { case (_, start, n) =>
+      dv == null || rangeCardinality(dv, start, n) < n
+    }
+    val doctored = new ParquetMetadata(footer.getFileMetaData,
+      kept.map(_._1).asJava)
 
-  // COUNT(*)-style scans request zero columns (no parquet decode at
-  // all), and a file holding NONE of the requested columns decodes
-  // nothing either: emit (rows - deleted) synthetic rows
-  private val syntheticRows = resolved.forall(_._2.isEmpty)
-  private var emptyLeft: Long =
-    if (!syntheticRows) 0L
-    else {
-      val live = part.rows - (if (dv == null) 0L else dv.getLongCardinality)
-      if (part.cap >= 0L) math.min(live, part.cap) else live
-    }
-
-  private val (reader, converters) =
-    if (syntheticRows) (null, null)
-    else {
-      val present: Seq[PType] = resolved.collect { case (_, Some(pt)) => pt }
-      val requested = new MessageType("graft_projection", present.asJava)
-      conf.set(ReadSupport.PARQUET_READ_SCHEMA, requested.toString)
-      val r = org.apache.parquet.hadoop.ParquetReader
-        .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(part.path))
-        .withConf(conf)
-        .build()
-      var gi = -1 // index into the REQUESTED (present-only) projection
-      val convs = resolved.map {
-        case (sf, Some(pt)) =>
-          gi += 1
-          GraftPartitionReader.converter(sf.dataType, pt, gi)
-        case (_, scala.None) => (_: Group) => null
-      }
-      (r, convs)
-    }
-
-  override def next(): Boolean = {
-    if (syntheticRows) {
-      if (emptyLeft <= 0L) return false
-      emptyLeft -= 1
-      current =
-        if (required.fields.isEmpty) new GenericInternalRow(0)
-        else new GenericInternalRow(Array.fill[Any](required.fields.length)(null))
-      return true
-    }
-    if (part.cap >= 0L && emitted >= part.cap) return false
-    var g: Group = reader.read()
-    pos += 1
-    while (g != null && dv != null && dv.contains(pos)) {
-      g = reader.read()
-      pos += 1
-    }
-    if (g == null) return false
-    val vals = new Array[Any](converters.length)
-    var i = 0
-    while (i < converters.length) {
-      vals(i) = converters(i)(g)
-      i += 1
-    }
-    current = new GenericInternalRow(vals)
-    emitted += 1
-    true
+    // our files are always written by this engine on Spark 4 — modern
+    // parquet, no julian/gregorian rebase (CORRECTED = pass-through)
+    val reader = new VectorizedParquetRecordReader(
+      null, "CORRECTED", "UTC", "CORRECTED", "UTC",
+      /* useOffHeap = */ false, /* capacity = */ 4096)
+    val split = new FileSplit(hPath, 0, inputFile.getLength, Array.empty[String])
+    val ctx = new TaskAttemptContextImpl(conf, new TaskAttemptID())
+    val stream = inputFile.newStream()
+    try reader.initialize(split, ctx, Some(inputFile), Some(stream), Some(doctored))
+    catch { case t: Throwable => stream.close(); throw t }
+    reader.initBatch(new StructType(), new GenericInternalRow(0))
+    (reader, kept.map { case (_, start, n) => (start, n) }.toArray)
   }
 
-  override def get(): InternalRow = current
-  override def close(): Unit = if (reader != null) reader.close()
+  /** deleted positions within [start, start+n) */
+  def rangeCardinality(dv: Roaring64Bitmap, start: Long, n: Long): Long =
+    dv.rankLong(start + n - 1) - (if (start > 0) dv.rankLong(start - 1) else 0L)
 }
 
-private[sources] object GraftPartitionReader {
-  private val JulianEpochDay = 2440588L
-  private val MicrosPerDay = 86400000000L
+/** Columnar reader for DV-free files: whole `ColumnarBatch`es flow to
+ *  Spark, identical shape to the built-in vectorized parquet scan. */
+private[sources] class GraftColumnarReader(part: GraftInputPartition,
+    required: StructType, physNames: Map[String, String])
+    extends PartitionReader[ColumnarBatch] {
+  private val (reader, _) = GraftVectorReader.open(part, required, physNames, null)
+  reader.enableReturningBatches()
+  private var emitted = 0L
 
-  /** Group -> Spark internal value for requested field `i`. */
-  def converter(dt: DataType, pt: PType, i: Int): Group => Any = {
-    val prim = pt.asPrimitiveType().getPrimitiveTypeName
-    val base: Group => Any = dt match {
-      case LongType => g => g.getLong(i, 0)
-      case IntegerType => g => g.getInteger(i, 0)
-      case ShortType => g => g.getInteger(i, 0).toShort
-      case DoubleType => g => g.getDouble(i, 0)
-      case FloatType => g => g.getFloat(i, 0)
-      case BooleanType => g => g.getBoolean(i, 0)
-      case StringType => g => UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
-      case BinaryType => g => g.getBinary(i, 0).getBytes
-      case DateType => g => g.getInteger(i, 0) // internal: days since epoch
-      case TimestampType if prim == PrimitiveTypeName.INT96 => g => {
-        // spark legacy INT96: 8B little-endian nano-of-day + 4B julian day
-        val b = java.nio.ByteBuffer.wrap(g.getInt96(i, 0).getBytes)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        val nanos = b.getLong
-        val julian = b.getInt
-        (julian - JulianEpochDay) * MicrosPerDay + nanos / 1000L
-      }
-      case TimestampType => g => {
-        val raw = g.getLong(i, 0)
-        pt.getLogicalTypeAnnotation match {
-          case ts: TimestampLogicalTypeAnnotation => ts.getUnit match {
-            case org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MILLIS => raw * 1000L
-            case org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.NANOS => raw / 1000L
-            case _ => raw // MICROS — Spark's internal representation
-          }
-          case _ => raw
-        }
-      }
-      case other => throw new UnsupportedOperationException(
-        s"graft DSv2 reader does not support $other; use GraftTable.read")
-    }
-    g => if (g.getFieldRepetitionCount(i) == 0) null else base(g)
+  override def next(): Boolean = {
+    if (part.cap >= 0L && emitted >= part.cap) return false
+    val has = reader.nextKeyValue()
+    if (has) emitted += get().numRows()
+    has
   }
+  override def get(): ColumnarBatch =
+    reader.getCurrentValue.asInstanceOf[ColumnarBatch]
+  override def close(): Unit = reader.close()
+}
+
+/** Row reader for files WITH deletion vectors: batch-decoded by the
+ *  same vectorized reader, iterated row-wise to skip deleted positions
+ *  (fully-deleted row groups were already dropped from the footer, so
+ *  the position of the i-th row read maps through the kept ranges). */
+private[sources] class GraftRowReader(part: GraftInputPartition,
+    required: StructType, physNames: Map[String, String])
+    extends PartitionReader[InternalRow] {
+  private val dv: Roaring64Bitmap =
+    if (part.dvBlob == null) null else DvCache.deserialize(part.dvBlob)
+  private val (reader, ranges) = GraftVectorReader.open(part, required, physNames, dv)
+  private var rangeIdx = 0
+  private var ordinalInRange = 0L
+  private var emitted = 0L
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    if (part.cap >= 0L && emitted >= part.cap) return false
+    while (reader.nextKeyValue()) {
+      while (rangeIdx < ranges.length && ordinalInRange >= ranges(rangeIdx)._2) {
+        rangeIdx += 1; ordinalInRange = 0L
+      }
+      val pos = ranges(rangeIdx)._1 + ordinalInRange
+      ordinalInRange += 1
+      if (dv == null || !dv.contains(pos)) {
+        current = reader.getCurrentValue.asInstanceOf[InternalRow]
+        emitted += 1
+        return true
+      }
+    }
+    false
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
+}
+
+/** Zero-column scans (COUNT(*) shapes): no parquet bytes touched —
+ *  emit (rows - deletes) empty rows straight from the metadata. */
+private[sources] class GraftCountReader(part: GraftInputPartition)
+    extends PartitionReader[InternalRow] {
+  private val dv: Roaring64Bitmap =
+    if (part.dvBlob == null) null else DvCache.deserialize(part.dvBlob)
+  private var left: Long = {
+    val live = part.rows - (if (dv == null) 0L else dv.getLongCardinality)
+    if (part.cap >= 0L) math.min(live, part.cap) else live
+  }
+  private val row = new GenericInternalRow(0)
+  override def next(): Boolean = if (left <= 0L) false else { left -= 1; true }
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
 }

@@ -197,6 +197,42 @@ class GraftDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.drop()
   }
 
+  test("decimal, array, and struct columns read identically to the library path") {
+    // the vectorized reader serves the full type surface the reference's
+    // table provider serves (whatever Arrow schema the table has,
+    // table_provider.rs:74-171) — including under DVs (row path)
+    val dir = tmpDir() + "/typed"
+    val sch = StructType(Seq(
+      StructField("id", LongType),
+      StructField("price", DecimalType(12, 2)),
+      StructField("tags", ArrayType(StringType)),
+      StructField("meta", StructType(Seq(
+        StructField("k", StringType), StructField("v", LongType))))))
+    val t = GraftTable.create(spark, dir, sch,
+      Identity.Keys(Seq("id")), TableConfig(memSliceSize = 4, walEnabled = false))
+    def row(i: Long) = Row(i, BigDecimal(i * 100 + 1, 2).bigDecimal,
+      if (i % 5 == 0) null else Seq(s"t$i", s"u$i"),
+      Row(s"k$i", i * 10))
+    t.apply((1L to 12L).flatMap(i =>
+      CdcEvent.upsert(row(i), Seq(i), i)) :+ Commit(13L))
+    def collectBoth() = {
+      val lib = t.read(scala.None).orderBy("id").collect().toSeq
+      val v2 = spark.read.format("graft").load(dir).orderBy("id").collect().toSeq
+      (lib, v2)
+    }
+    val (lib1, v21) = collectBoth()
+    assert(v21 == lib1, "columnar path must match the library read")
+    assert(v21.head.getDecimal(1) == new java.math.BigDecimal("1.01"))
+    assert(v21(1).getSeq[String](2) == Seq("t2", "u2"))
+    assert(v21.head.getStruct(3).getLong(1) == 10L)
+    // a delete flips the scan to the DV row path — same contract
+    t.apply(Seq(Delete(Seq(6L), 20L), Commit(21L)))
+    val (lib2, v22) = collectBoth()
+    assert(v22 == lib2, "DV row path must match the library read")
+    assert(!v22.exists(_.getLong(0) == 6L))
+    t.drop()
+  }
+
   test("schema evolution through the connector: added and re-added columns") {
     val dir = tmpDir() + "/evo"
     val t = GraftTable.create(spark, dir, schema,

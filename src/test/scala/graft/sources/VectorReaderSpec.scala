@@ -1,0 +1,129 @@
+package graft.sources
+
+import graft.table.DvCache
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.vectorized.ColumnarBatch
+import org.roaringbitmap.longlong.Roaring64Bitmap
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+import scala.jdk.CollectionConverters._
+
+/**
+ * The vectorized partition reader underneath the DSv2 connector
+ * (`GraftVectorReader`): proves the three DV skip levels the reference
+ * applies via `RowSelection` (`table_provider.rs:140-167`) —
+ * fully-deleted row groups never reach the parquet reader (dropped from
+ * the doctored footer), residual positions are skipped row-wise against
+ * absolute row indexes, and DV-free scans stream whole ColumnarBatches.
+ */
+class VectorReaderSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-vector-reader-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType)))
+
+  /** one parquet file with MANY row groups (tiny block size) */
+  private def writeMultiGroupFile(n: Long): (String, Seq[(Long, Long)]) = {
+    val dir = Files.createTempDirectory("graft-rg").toString + "/data"
+    spark.range(0, n).select(col("id"),
+        concat(lit("name-"), col("id")).as("name"))
+      .coalesce(1).write
+      .option("parquet.block.size", "8192") // ~hundreds of rows per group
+      .parquet(dir)
+    val file = new java.io.File(dir).listFiles()
+      .find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+    val fr = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file), new Configuration()))
+    val blocks = try fr.getFooter.getBlocks.asScala.toSeq finally fr.close()
+    var off = 0L
+    (file, blocks.map { b => val s = off; off += b.getRowCount; (s, b.getRowCount) })
+  }
+
+  test("fully-deleted row groups are dropped from the doctored footer") {
+    val n = 4000L
+    val (file, groups) = writeMultiGroupFile(n)
+    assert(groups.length >= 3, s"need multiple row groups, got ${groups.length}")
+    // delete ALL of group 0 plus the first row of group 1
+    val (g0start, g0rows) = groups.head
+    val (g1start, _) = groups(1)
+    val dv = new Roaring64Bitmap()
+    (g0start until g0start + g0rows).foreach(dv.addLong)
+    dv.addLong(g1start)
+    val part = GraftInputPartition(file, n, DvCache.serialize(dv))
+
+    val (reader, kept) = GraftVectorReader.open(part, schema, Map.empty, dv)
+    try {
+      assert(kept.length == groups.length - 1,
+        "the fully-deleted group must not survive the footer")
+      assert(kept.head._1 == g1start,
+        "first surviving range must start at group 1's absolute position")
+    } finally reader.close()
+
+    // end-to-end: the row reader sees exactly the undeleted suffix
+    val rr = new GraftRowReader(part, schema, Map.empty)
+    val ids = scala.collection.mutable.ArrayBuffer[Long]()
+    try while (rr.next()) ids += rr.get().getLong(0)
+    finally rr.close()
+    assert(ids.length == n - g0rows - 1)
+    assert(ids.head == g1start + 1 && ids.last == n - 1)
+    assert(!ids.exists(_ < g1start + 1), "deleted positions must not surface")
+  }
+
+  test("residual per-row deletes skip against absolute positions") {
+    val n = 3000L
+    val (file, groups) = writeMultiGroupFile(n)
+    assert(groups.length >= 2)
+    // scatter deletes across groups (none fully deleted)
+    val deleted = (0L until n by 7L).toSet
+    val dv = new Roaring64Bitmap()
+    deleted.foreach(dv.addLong)
+    val part = GraftInputPartition(file, n, DvCache.serialize(dv))
+    val rr = new GraftRowReader(part, schema, Map.empty)
+    val ids = scala.collection.mutable.ArrayBuffer[Long]()
+    try while (rr.next()) ids += rr.get().getLong(0)
+    finally rr.close()
+    assert(ids.toSet == (0L until n).toSet -- deleted)
+  }
+
+  test("DV-free files stream ColumnarBatches") {
+    val n = 2500L
+    val (file, _) = writeMultiGroupFile(n)
+    val part = GraftInputPartition(file, n, null)
+    val cr = new GraftColumnarReader(part, schema, Map.empty)
+    var rows = 0L
+    var batches = 0
+    try while (cr.next()) {
+      val b: ColumnarBatch = cr.get()
+      rows += b.numRows(); batches += 1
+    } finally cr.close()
+    assert(rows == n, "columnar path must deliver every live row")
+    assert(batches >= 1)
+  }
+
+  test("reader cap stops early (pushed-limit partition cap)") {
+    val n = 2000L
+    val (file, _) = writeMultiGroupFile(n)
+    val part = GraftInputPartition(file, n, null, cap = 10L)
+    val rr = new GraftRowReader(part, schema, Map.empty)
+    var c = 0
+    try while (rr.next()) c += 1
+    finally rr.close()
+    assert(c == 10, s"cap=10 must stop the reader, got $c")
+  }
+}
