@@ -673,6 +673,46 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "cdc_schema_evolve" -> ((s, d) => {
+      // S1 + M14 in-stream: ONE CDC feed carrying ingest → ALTER (add
+      // 'src', drop 'event_type') → ingest, applied without stopping
+      // the query — the reference turns a changed Relation message into
+      // a mid-stream AlterTable the same way (moonlink_sink.rs:347-361).
+      // Post-alter upserts backfill 'src' from the event type, so the
+      // final state mixes pre-alter rows (null src, no event_type) and
+      // post-alter rows (real src).
+      import s.implicits._
+      val table = GraftTable.create(s, freshDir("evolve"), eventTableSchema,
+        Identity.Keys(Seq("user_id")), ingestCfg)
+      val ev = events(s, d)
+      val mm = ev.agg(min(col("event_id")), max(col("event_id"))).head()
+      val mid = (mm.getLong(0) + mm.getLong(1)) / 2
+      // LSN = event_id*4 so the two alter LSNs slot strictly between
+      // the halves without colliding with any data LSN
+      val first = ev.where(col("event_id") <= mid).select(
+        lit("u").as("_op"), (col("event_id") * 4).as("_lsn"),
+        col("user_id"), col("event_id"), col("event_type"), col("value"))
+      CdcPipeline.applyBatch(table, first)
+      val ddl = Seq(
+        ("alter_add", mid * 4 + 1, "src string"),
+        ("alter_drop", mid * 4 + 2, "event_type"))
+        .toDF("_op", "_lsn", "_ddl")
+        .withColumn("user_id", lit(null).cast("long"))
+        .withColumn("event_id", lit(null).cast("long"))
+        .withColumn("event_type", lit(null).cast("string"))
+        .withColumn("value", lit(null).cast("double"))
+        .withColumn("src", lit(null).cast("string"))
+      val second = ev.where(col("event_id") > mid).select(
+        lit("u").as("_op"), (col("event_id") * 4).as("_lsn"),
+        lit(null).cast("string").as("_ddl"),
+        col("user_id"), col("event_id"), col("event_type"), col("value"),
+        col("event_type").as("src"))
+      CdcPipeline.applyBatch(table, ddl.unionByName(second))
+      table.read(scala.None).select(col("user_id"),
+        col("event_id").as("last_event_id"), col("src"),
+        cents(col("value")).as("value_cents")).orderBy("user_id")
+    }),
+
     "cdc_bulk_load" -> ((s, d) => {
       // S7 + M2: bulk-adopt a latest-per-user snapshot parquet without
       // rewriting (index built at the load LSN), then CDC-delete the
@@ -1192,6 +1232,15 @@ object SparkEntry {
     "cdc_alter_add" ->
       """SELECT user_id, event_id AS last_event_id,
         |       CASE WHEN user_id % 10 = 0 THEN 'readded' END AS readded_type,
+        |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "cdc_schema_evolve" ->
+      """SELECT user_id, event_id AS last_event_id,
+        |       CASE WHEN event_id > (SELECT (MIN(event_id)+MAX(event_id))//2 FROM events)
+        |            THEN event_type END AS src,
         |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
         |FROM events
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1

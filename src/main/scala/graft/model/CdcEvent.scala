@@ -53,6 +53,24 @@ final case class StreamAbort(xid: Long) extends CdcEvent {
   def xactId: Option[Long] = Some(xid)
 }
 
+/** In-stream schema change: add columns as (name, REST type name)
+ *  pairs. The reference raises the equivalent `AlterTable` when a PG
+ *  `Relation` message arrives with a changed column set mid-stream
+ *  (`pg_replicate/moonlink_sink.rs:347-361`); here the change is an
+ *  explicit event in LSN order — data rows after it carry the new
+ *  column. Not valid inside a streaming transaction. */
+final case class AlterAdd(cols: Seq[(String, String)], lsn: Long)
+    extends CdcEvent {
+  def xactId: Option[Long] = None
+}
+
+/** In-stream schema change: drop columns by name (key columns are
+ *  rejected by the table). Data rows after it no longer carry the
+ *  column. Not valid inside a streaming transaction. */
+final case class AlterDrop(cols: Seq[String], lsn: Long) extends CdcEvent {
+  def xactId: Option[Long] = None
+}
+
 object CdcEvent {
   /** Upsert = delete-if-exists + append at the same LSN (reference
    *  `moonlink_rest_sink.rs:222-247`). */

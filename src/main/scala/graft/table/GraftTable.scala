@@ -30,6 +30,13 @@ final case class TableConfig(
     compactDeleteRatio: Double = 0.5,
     /** write an event log (WAL) per apply() and replay it on open. */
     walEnabled: Boolean = true,
+    /** micro-batches at or below this many events take the simple
+     *  collect-to-driver event path; larger control-bearing batches
+     *  stream partition-at-a-time through `applyStreamed` so driver
+     *  memory stays bounded by one shuffle partition + the mem-slice
+     *  (plain data batches never touch the driver at any size —
+     *  `applyBatchDF`). */
+    driverEventBatchRows: Long = 100000,
     /** auto index merge (M11): consolidate once this many index files
      *  accumulate (reference `index_merge_config.rs:9-31` merges at
      *  >= 16 under final size). Delete resolution joins against every
@@ -224,6 +231,35 @@ final class GraftTable private (
   }
 
   private[table] def applyInternal(events: Seq[CdcEvent]): Long = {
+    processEvents(events)
+    publish()
+    commitLsnVar
+  }
+
+  /**
+   * Streamed variant of `apply` for giant micro-batches: consumes the
+   * event iterator in bounded chunks — WAL append + fold per chunk,
+   * ONE publish at the end — so the driver never materializes the full
+   * batch (`CdcPipeline` feeds this from `toLocalIterator`, holding one
+   * Spark partition at a time). Retained state stays bounded by the
+   * mem-slice: streaming-transaction buffers drain through
+   * `stageXactFlush` at `memSliceSize` rows regardless of event count.
+   */
+  def applyStreamed(events: Iterator[CdcEvent],
+      chunkRows: Int = 65536): Long = synchronized {
+    streamedApplies += 1
+    events.grouped(chunkRows).foreach { chunk =>
+      if (config.walEnabled && chunk.nonEmpty) Wal.append(root, schemaVar, chunk)
+      processEvents(chunk)
+    }
+    publish()
+    commitLsnVar
+  }
+
+  /** test-visible evidence that the streamed path ran */
+  private[graft] var streamedApplies: Long = 0L
+
+  private def processEvents(events: Seq[CdcEvent]): Unit = {
     events.foreach {
       case Append(row, lsn, scala.None) =>
         val tr = new TailRow(row, lsn)
@@ -255,9 +291,20 @@ final class GraftTable private (
       case Commit(lsn, Some(xid)) => commitXact(xid, lsn)
 
       case StreamAbort(xid) => abortXact(xid)
+
+      // In-stream schema evolution (the reference's mid-stream
+      // AlterTable from a changed Relation message,
+      // moonlink_sink.rs:347-361). Idempotent on replay: an alter
+      // publishes its schema immediately, so a WAL-replayed alter may
+      // already be reflected in the manifest.
+      case AlterAdd(cols, _) =>
+        cols.filter { case (n, _) => !schemaVar.fieldNames.contains(n) }
+          .foreach { case (n, t) => alterAddColumn(n, t) }
+
+      case AlterDrop(cols, _) =>
+        val present = cols.filter(schemaVar.fieldNames.contains)
+        if (present.nonEmpty) alterDropColumns(present)
     }
-    publish()
-    commitLsnVar
   }
 
   // trigger on TOTAL buffered rows (incl. tombstones), not live rows:

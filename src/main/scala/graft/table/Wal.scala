@@ -31,7 +31,21 @@ object Wal {
       .flatMap(n => "\\d{9}".r.findFirstIn(n)).map(_.toLong)
       .maxOption.getOrElse(-1L) + 1
     val sb = new StringBuilder
-    events.foreach { e => sb.append(eventToJson(schema, e)).append('\n') }
+    // the schema EVOLVES through in-stream alter events: appends after
+    // an AlterAdd carry the widened row and must serialize every field
+    var sch = schema
+    events.foreach { e =>
+      sb.append(eventToJson(sch, e)).append('\n')
+      e match {
+        case AlterAdd(cols, _) =>
+          cols.filter { case (n, _) => !sch.fieldNames.contains(n) }
+            .foreach { case (n, t) =>
+              sch = StructType(sch.fields :+ SchemaDsl.field(n, t)) }
+        case AlterDrop(cols, _) =>
+          sch = StructType(sch.fields.filterNot(f => cols.contains(f.name)))
+        case _ =>
+      }
+    }
     Fio.writeAtomic(f"${walDir(root)}/wal-$next%09d.jsonl", sb.toString)
   }
 
@@ -47,6 +61,11 @@ object Wal {
       case e: Commit => e.lsn > committedLsn
       case e: Append => e.lsn > committedLsn
       case e: Delete => e.lsn > committedLsn
+      // alters publish their schema change immediately, so a replayed
+      // alter may already be reflected in the manifest — the table's
+      // alter event handling is idempotent to absorb that
+      case e: AlterAdd => e.lsn > committedLsn
+      case e: AlterDrop => e.lsn > committedLsn
       case _: StreamAbort => true
     }
   }
@@ -82,6 +101,16 @@ object Wal {
         x.foreach(o.put("x", _))
       case StreamAbort(xid) =>
         o.put("t", "ab"); o.put("x", xid)
+      case AlterAdd(cols, lsn) =>
+        o.put("t", "aa"); o.put("lsn", lsn)
+        val arr = o.putArray("cols")
+        cols.foreach { case (cn, ct) =>
+          val e = mapper.createArrayNode(); e.add(cn); e.add(ct); arr.add(e)
+        }
+      case AlterDrop(cols, lsn) =>
+        o.put("t", "ad"); o.put("lsn", lsn)
+        val arr = o.putArray("cols")
+        cols.foreach(arr.add)
     }
     mapper.writeValueAsString(o)
   }
@@ -110,6 +139,13 @@ object Wal {
         Delete(key, n.get("lsn").asLong, x, n.path("ife").asBoolean(false))
       case "c" => Commit(n.get("lsn").asLong, x)
       case "ab" => StreamAbort(n.get("x").asLong)
+      case "aa" => AlterAdd(
+        n.get("cols").elements().asScala
+          .map(e => (e.get(0).asText, e.get(1).asText)).toSeq,
+        n.get("lsn").asLong)
+      case "ad" => AlterDrop(
+        n.get("cols").elements().asScala.map(_.asText).toSeq,
+        n.get("lsn").asLong)
     }
   }
 

@@ -1,0 +1,132 @@
+package graft
+
+import graft.model._
+import graft.streaming.CdcPipeline
+import graft.table._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/**
+ * The Structured-Streaming CDC surface: in-stream schema evolution
+ * (the reference's mid-stream AlterTable from a changed `Relation`
+ * message, `pg_replicate/moonlink_sink.rs:347-361`) and the bounded
+ * driver funnel for giant transaction-bearing micro-batches.
+ */
+class CdcPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-cdc-pipeline-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-cdc-pipe").toString
+
+  private val schema = SchemaDsl.struct(
+    "id" -> "int64", "name" -> "string", "v" -> "int64")
+
+  private def mkTable(cfg: TableConfig): GraftTable =
+    GraftTable.create(spark, tmpDir() + "/t", schema,
+      Identity.Keys(Seq("id")), cfg)
+
+  /** event frame with the full union of columns the tests use */
+  private def frame(rows: Seq[(String, Long, Option[Long], String, Row)]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(
+      StructField("_op", StringType), StructField("_lsn", LongType),
+      StructField("_xact", LongType), StructField("_ddl", StringType),
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("v", LongType), StructField("grade", StringType)))
+    val data = rows.map { case (op, lsn, xact, ddl, d) =>
+      Row(op, lsn, xact.orNull, ddl,
+        d.get(0), d.get(1), d.get(2), d.get(3))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data, 2), sch)
+  }
+
+  private def d(id: java.lang.Long, name: String, v: java.lang.Long,
+      grade: String = null): Row = Row(id, name, v, grade)
+
+  test("in-stream alter_add and alter_drop split one micro-batch") {
+    val t = mkTable(TableConfig(memSliceSize = 4, walEnabled = false))
+    // ingest -> add 'grade' -> ingest with grade -> drop 'name' -> ingest
+    val batch = frame(Seq(
+      ("i", 1L, None, null, d(1L, "a", 10L)),
+      ("i", 2L, None, null, d(2L, "b", 20L)),
+      ("alter_add", 3L, None, "grade string", d(null, null, null)),
+      ("i", 4L, None, null, d(3L, "c", 30L, "A")),
+      ("alter_drop", 5L, None, "name", d(null, null, null)),
+      ("i", 6L, None, null, d(4L, null, 40L, "B"))))
+    CdcPipeline.applyBatch(t, batch)
+    assert(t.schema.fieldNames.toSeq == Seq("id", "v", "grade"))
+    val got = t.read().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSeq
+    assert(got == Seq((1L, 10L, null), (2L, 20L, null),
+      (3L, 30L, "A"), (4L, 40L, "B")),
+      "pre-alter rows read null grade; post-alter rows keep values; name gone")
+    t.drop()
+  }
+
+  test("in-stream alters survive a crash-reopen (WAL replay idempotence)") {
+    val t = mkTable(TableConfig(memSliceSize = 100, walEnabled = true))
+    CdcPipeline.applyBatch(t, frame(Seq(
+      ("i", 1L, None, null, d(1L, "a", 10L)),
+      ("alter_add", 2L, None, "grade string", d(null, null, null)),
+      ("i", 3L, None, null, d(2L, "b", 20L, "B")))))
+    // reopen from disk: the WAL window replays the alter (already
+    // reflected in the published manifest schema — must be a no-op)
+    // plus the appends around it
+    val r = GraftTable.open(spark, t.root, Identity.Keys(Seq("id")),
+      TableConfig(memSliceSize = 100, walEnabled = true))
+    assert(r.schema.fieldNames.toSeq == Seq("id", "name", "v", "grade"))
+    val got = r.read().orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getString(1),
+        if (x.isNullAt(3)) null else x.getString(3))).toSeq
+    assert(got == Seq((1L, "a", null), (2L, "b", "B")))
+    t.drop()
+  }
+
+  test("giant xact batch streams through applyStreamed, memory bounded") {
+    // driverEventBatchRows tiny -> the streamed path MUST run; the
+    // mem-slice cap forces staged flushes mid-transaction, so the
+    // buffer drains while the iterator is still being consumed
+    val t = mkTable(TableConfig(memSliceSize = 500, walEnabled = false,
+      driverEventBatchRows = 1000))
+    val n = 20000L
+    val rows = spark.range(1, n + 1).select(
+      lit("i").as("_op"), col("id").as("_lsn"), lit(7L).as("_xact"),
+      lit(null).cast("string").as("_ddl"), col("id"),
+      concat(lit("u"), col("id")).as("name"), (col("id") * 2).as("v"),
+      lit(null).cast("string").as("grade"))
+    val commit = frame(Seq(("c", n + 1L, Some(7L), null, d(null, null, null))))
+    CdcPipeline.applyBatch(t, rows.unionByName(commit))
+    assert(t.streamedApplies == 1L,
+      "past driverEventBatchRows the batch must take the streamed path")
+    assert(t.read().count() == n)
+    val chk = t.read().where(col("id") === 12345L).head()
+    assert(chk.getString(1) == "u12345" && chk.getLong(2) == 24690L)
+    t.drop()
+  }
+
+  test("small xact batches still take the collected driver path") {
+    val t = mkTable(TableConfig(memSliceSize = 500, walEnabled = false,
+      driverEventBatchRows = 1000))
+    CdcPipeline.applyBatch(t, frame(Seq(
+      ("i", 1L, Some(9L), null, d(1L, "a", 10L)),
+      ("c", 2L, Some(9L), null, d(null, null, null)))))
+    assert(t.streamedApplies == 0L, "small batches stay on the simple path")
+    assert(t.read().count() == 1L)
+    t.drop()
+  }
+}
