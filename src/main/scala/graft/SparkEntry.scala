@@ -882,31 +882,54 @@ object SparkEntry {
     "dedup_minhash_incr" -> ((s, d) => {
       // incremental dedup (the daily-crawl shape): the odd-doc
       // increment probes a PERSISTED band index of the even-doc corpus
-      // — the index round-trips through parquet and is never
-      // recomputed; candidates = cross(new vs index) ∪
-      // within(increment). Composition with the batch path is exact
-      // (spec'd); the oracle re-verifies Jaccard over the staged sets.
-      // the corpus is tokenized exactly ONCE (the staged shingle frame
-      // feeds everything); each side is signed exactly once (its band
-      // frame is staged and both candidate joins read the parquet back)
+      // — the index is a maintained GRAFT TABLE (CDC appends, manifest
+      // versioning, compaction), so it inherits the engine's durability
+      // instead of living as loose parquet; it is never recomputed.
+      // candidates = cross(new vs index) ∪ within(increment);
+      // composition with the batch path is exact (spec'd); the oracle
+      // re-verifies Jaccard over the staged sets. The corpus is
+      // tokenized exactly ONCE (the staged shingle frame feeds
+      // everything); each side is signed exactly once.
       val sh = stage(Dedup.minhashShingleFrame(
           t(s, d, "documents"), "doc_id", "text", shingleN = 2),
         d, "dedup_incr_sh")
       val oldHs = sh.where(col("id") % 2 === 0)
       val newHs = sh.where(col("id") % 2 === 1)
-      val idxBands = stage(Dedup.minhashBandFrame(oldHs, 64, 16),
-        d, "dedup_incr_idx_bands")
+      // the index table: banded corpus ingested through the CDC batch
+      // path (append-only, fully distributed), read back via the
+      // engine's committed-snapshot read
+      val idxTable = GraftTable.create(s, freshDir("dedup-idx"),
+        SchemaDsl.struct("id" -> "int64", "band" -> "int32",
+          "bucket" -> "int32"),
+        Identity.None, ingestCfg)
+      CdcPipeline.applyBatch(idxTable,
+        Dedup.minhashBandFrame(oldHs, 64, 16).select(
+          lit("i").as("_op"),
+          (monotonically_increasing_id() + 1L).as("_lsn"),
+          col("id"), col("band"), col("bucket")))
+      val idxBands = idxTable.read(scala.None)
       val newBands = stage(Dedup.minhashBandFrame(newHs, 64, 16),
         d, "dedup_incr_new_bands")
       val cand = stage(
         Dedup.minhashCandidatesAgainst(newBands, idxBands)
           .unionByName(Dedup.minhashCandidatesFromBands(newBands)),
         d, "dedup_incr_cand")
-      Dedup.verifyJaccardMilli(sh, cand, minMilli = 200)
+      val out = Dedup.verifyJaccardMilli(sh, cand, minMilli = 200)
         .select(least(col("id_a"), col("id_b")).as("id_a"),
           greatest(col("id_a"), col("id_b")).as("id_b"),
           col("jaccard_milli"))
         .orderBy("id_a", "id_b")
+      // index maintenance: the increment's bands append into the same
+      // table (next day's increment probes them too) and compaction
+      // folds the accumulated small files — the index lifecycle is the
+      // table's lifecycle. `cand` is already materialized (staged), so
+      // this cannot perturb the result.
+      CdcPipeline.applyBatch(idxTable,
+        newBands.select(lit("i").as("_op"),
+          (monotonically_increasing_id() + idxTable.commitLsn + 1L).as("_lsn"),
+          col("id"), col("band"), col("bucket")))
+      idxTable.optimize()
+      out
     }),
 
     "dedup_simhash" -> ((s, d) => {

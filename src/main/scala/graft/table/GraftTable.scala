@@ -1011,6 +1011,38 @@ final class GraftTable private (
     read(Some(lsn))
   }
 
+  // ----- reader pins: vacuum-safe snapshot reads -----------------------
+  // The reference refcounts scan state per snapshot (scan_table_begin/
+  // end pin the files a DataFusion scan touches, table_provider.rs:
+  // 244-256); a plain `read()` DataFrame is lazy, so a compact+vacuum
+  // issued before (or during) its execution could delete the files
+  // under it. `readPinned` snapshots the version's file set and vacuum
+  // spares every pinned file until the handle closes.
+
+  /** A pinned snapshot read: `df` stays executable across concurrent
+   *  compact()/vacuum() until `close()`. */
+  final class ReadPin private[GraftTable] (
+      private[GraftTable] val dataFiles: Set[String],
+      private[GraftTable] val dvPins: Set[String],
+      private[GraftTable] val idxPins: Set[String],
+      val df: DataFrame) extends AutoCloseable {
+    override def close(): Unit = releasePin(this)
+  }
+
+  private val readPinsActive = mutable.ArrayBuffer[ReadPin]()
+  private def releasePin(p: ReadPin): Unit =
+    synchronized { readPinsActive -= p }
+
+  /** Pin the current committed version and read it (same semantics as
+   *  `read`). Callers own the handle: `close()` releases the pin. */
+  def readPinned(atLeastLsn: Option[Long] = scala.None): ReadPin = synchronized {
+    val df = read(atLeastLsn)
+    val pin = new ReadPin(fileEntries.keySet.toSet, dvFiles.toSet,
+      indexFiles.map(_.path).toSet, df)
+    readPinsActive += pin
+    pin
+  }
+
   // ----- M16 seam: optional object-storage cache on the scan path -----
   // The pin cycle mirrors scan_table_begin/end (S12): each read pins the
   // snapshot's files and the PREVIOUS read's pins release after the new
@@ -1215,9 +1247,11 @@ final class GraftTable private (
    *  current manifest (snapshot-isolation GC; ≈ Delta VACUUM / Iceberg
    *  expire_snapshots). Call when no reader holds an older version. */
   def vacuum(): Int = synchronized {
-    val liveData = fileEntries.keySet
-    val liveDv = dvFiles.toSet
-    val liveIdx = indexFiles.map(_.path).toSet
+    // current version's files plus every pinned snapshot's (readers at
+    // older versions survive compaction+vacuum issued mid-scan)
+    val liveData = fileEntries.keySet ++ readPinsActive.flatMap(_.dataFiles)
+    val liveDv = dvFiles.toSet ++ readPinsActive.flatMap(_.dvPins)
+    val liveIdx = indexFiles.map(_.path).toSet ++ readPinsActive.flatMap(_.idxPins)
     var n = 0
     Fio.list(s"$root/data").filterNot(liveData).foreach { f =>
       Fio.delete(s"$root/data/$f"); n += 1

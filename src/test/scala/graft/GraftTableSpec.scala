@@ -166,6 +166,28 @@ class GraftTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.drop()
   }
 
+  test("pinned reader survives compaction and vacuum issued mid-scan") {
+    // the reference refcounts scan state per snapshot
+    // (scan_table_begin/end, table_provider.rs:244-256): a reader
+    // opened at vN must keep reading vN even if compact+vacuum run
+    // before its (lazy) execution
+    val cfg = TableConfig(memSliceSize = 4, walEnabled = false,
+      compactDeleteRatio = 0.4, compactSmallFileRows = 0)
+    val t = mkTable(cfg)
+    t.insertAll((1 to 12).map(i => user(i, s"u$i", i)), 1)
+    val pin = t.readPinned()
+    t.apply((1 to 6).map(i => Delete(Seq(i), 100L + i): CdcEvent) :+ Commit(110))
+    t.optimize() // rewrites the heavily-deleted files
+    t.vacuum()   // must spare every pinned file
+    assert(pin.df.collect().map(_.getInt(0)).toSet == (1 to 12).toSet,
+      "pinned snapshot must still read its own version after vacuum")
+    assert(stateOf(t).keySet == (7 to 12).toSet, "live read sees current state")
+    pin.close()
+    assert(t.vacuum() > 0, "closing the pin frees the old files")
+    assert(stateOf(t).keySet == (7 to 12).toSet)
+    t.drop()
+  }
+
   test("compaction rewrites heavily-deleted files and preserves results") {
     val cfg = TableConfig(memSliceSize = 4, walEnabled = false,
       compactDeleteRatio = 0.4, compactSmallFileRows = 0)
