@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.DotProduct
+import org.apache.spark.sql.graft.{DotProduct, LshBucket}
 
 /**
  * Native Catalyst expressions for the vector hot path — the brief's
@@ -23,4 +23,10 @@ object VectorExpressions {
 
   /** dot(a, b) over array<double> — codegen'd, allocation-free. */
   def dotProduct(a: Column, b: Column): Column = DotProduct.asColumn(a, b)
+
+  /** LSH hyperplane bucket id (see `org.apache.spark.sql.graft
+   *  .LshBucket`) — reads ArrayData in place against a per-executor
+   *  memoized plane matrix; null array / null element → null. */
+  def lshBucket(vec: Column, nbits: Int, table: Int): Column =
+    LshBucket.asColumn(vec, nbits, table)
 }

@@ -43,39 +43,6 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Seq[java.lang.Double] -> primitive array; null if the Seq is null
-   *  or contains a null element (the HOF lambdas these UDFs replaced
-   *  propagated element nulls to a null result; unboxing a null in
-   *  toArray would instead throw and fail the task). */
-  private def unboxOrNull(a: Seq[java.lang.Double]): Array[Double] = {
-    if (a == null) return null
-    val x = new Array[Double](a.length)
-    var i = 0
-    val it = a.iterator
-    while (it.hasNext) {
-      val e = it.next()
-      if (e == null) return null
-      x(i) = e.doubleValue
-      i += 1
-    }
-    x
-  }
-
-  private val unitVecUdf = udf((a: Seq[java.lang.Double]) => {
-    val x = unboxOrNull(a)
-    if (x == null) None
-    else {
-      var s = 0.0; var i = 0
-      while (i < x.length) { s += x(i) * x(i); i += 1 }
-      val n = math.sqrt(s)
-      Some(x.map(_ / n).toSeq) // n=0 -> NaN/Inf, same as the old lambda
-    }
-  })
-
-  /** cast a float array to double and L2-normalize (cosine becomes a
-   *  plain dot product afterwards) */
-  def unitVec(a: Column): Column = unitVecUdf(asDouble(a))
-
   /**
    * Brute-force cosine top-k: for each query vector, the k nearest
    * corpus vectors. Queries are broadcast (small side); the corpus is
@@ -107,56 +74,15 @@ object Similarity {
         col("rank").cast("long").as("rank"), col("cosine_micro"))
   }
 
-  /** Hyperplane coefficient matrices for LSH bucketing, memoized once
-   *  per executor JVM. Each coefficient is a pure function of
-   *  (table, plane, element index) — xxhash64-derived values in
-   *  [-1, 1): hashInt(i, hashInt(table*nbits+p, 42)) / Long.Max — so
-   *  computing the matrix once and reusing it across every row is
-   *  bit-identical to the per-row regeneration it replaces, and strictly
-   *  less work (the old inner loop paid nbits x dim hash calls PER ROW).
-   *  The matrix is nbits x dim doubles (a few KB), keyed by dim so
-   *  ragged corpora stay correct; no driver/broadcast round-trip needed
-   *  since every executor derives the identical values. */
-  private object LshPlanes {
-    import org.apache.spark.sql.catalyst.expressions.XXH64
-    private val cache =
-      new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Double]]]()
-    def get(nbits: Int, table: Int, dim: Int): Array[Array[Double]] =
-      cache.computeIfAbsent((nbits, table, dim), { _ =>
-        Array.tabulate(nbits) { p =>
-          val seed = XXH64.hashInt(table * nbits + p, 42L)
-          Array.tabulate(dim)(i =>
-            XXH64.hashInt(i, seed).toDouble / Long.MaxValue.toDouble)
-        }
-      })
-  }
-
   /** `nbits`-bit LSH bucket id of a vector for hash table `table`:
-   *  sign bits of dot products with deterministic hyperplanes (see
-   *  LshPlanes). Bucket ids are bit-identical to the interpreted
-   *  Column-expression fold this replaced. */
+   *  sign bits of dot products with deterministic hyperplanes — a
+   *  native Catalyst expression over a per-executor memoized plane
+   *  matrix (`org.apache.spark.sql.graft.LshBucket`): reads ArrayData
+   *  in place, zero per-row conversion/boxing, null array or null
+   *  element → null. Bucket ids are bit-identical to the interpreted
+   *  Column-expression fold and the UDF this replaced. */
   def lshBucket(vec: Column, nbits: Int, table: Int = 0): Column =
-    lshBucketUdf(nbits, table)(asDouble(vec))
-
-  private def lshBucketUdf(nbits: Int, table: Int)
-      : org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((v: Seq[java.lang.Double]) => {
-      val a = unboxOrNull(v)
-      if (a == null) None
-      else {
-        val planes = LshPlanes.get(nbits, table, a.length)
-        var bucket = 0L
-        var p = 0
-        while (p < nbits) {
-          val plane = planes(p)
-          var s = 0.0; var i = 0
-          while (i < a.length) { s += a(i) * plane(i); i += 1 }
-          if (s >= 0) bucket += (1L << p)
-          p += 1
-        }
-        Some(bucket)
-      }
-    })
+    graft.functions.VectorExpressions.lshBucket(asDouble(vec), nbits, table)
 
   /**
    * Multi-table LSH approximate top-k (the standard recall lever:

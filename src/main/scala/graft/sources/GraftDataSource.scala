@@ -262,9 +262,32 @@ private[sources] class GraftScan(root: String, manifest: Manifest,
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    survivors.map { e =>
-      GraftInputPartition(s"$root/data/${e.path}", e.rows,
-        dvBlobs.getOrElse(e.path, null), limit): InputPartition
+    survivors.flatMap { e =>
+      val path = s"$root/data/${e.path}"
+      val dv = dvBlobs.getOrElse(e.path, null)
+      // Intra-file parallelism without any planning-time footer IO
+      // (critical at 100 TB: planning must stay metadata-only): files
+      // larger than maxPartitionBytes split into byte ranges; the
+      // reader keeps the row groups whose MIDPOINT falls in its range
+      // (parquet-mr's own range rule), so ranges partition the groups
+      // exactly. Limit-capped scans stay one partition per file — the
+      // cap accounting is per file.
+      val maxSplit =
+        try org.apache.spark.sql.SparkSession.active.conf
+          .get("spark.sql.files.maxPartitionBytes", "134217728").toLong
+        catch { case _: Throwable => 134217728L }
+      if (limit >= 0L || e.bytes <= maxSplit)
+        Seq(GraftInputPartition(path, e.rows, dv, limit): InputPartition)
+      else {
+        val nSplits = math.max(1L, (e.bytes + maxSplit - 1) / maxSplit)
+        val span = (e.bytes + nSplits - 1) / nSplits
+        (0L until nSplits).map { i =>
+          GraftInputPartition(path, e.rows, dv, limit,
+            splitStart = i * span,
+            splitEnd = if (i == nSplits - 1) Long.MaxValue else (i + 1) * span)
+            : InputPartition
+        }
+      }
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -386,7 +409,9 @@ private[sources] class GraftAggReaderFactory extends PartitionReaderFactory {
 
 private[sources] final case class GraftInputPartition(
     path: String, rows: Long, dvBlob: Array[Byte],
-    cap: Long = -1L) extends InputPartition
+    cap: Long = -1L,
+    splitStart: Long = 0L, splitEnd: Long = Long.MaxValue)
+    extends InputPartition
 
 private[sources] class GraftReaderFactory(requiredJson: String,
     physNames: Map[String, String], allColumnar: Boolean)
@@ -456,14 +481,21 @@ private[sources] object GraftVectorReader {
     val fr = ParquetFileReader.open(inputFile)
     val footer = try fr.getFooter finally fr.close()
 
-    // absolute row positions per row group (files are whole units —
-    // never split — so positions are the running row count)
+    // absolute row positions per row group: positions are the running
+    // row count over the FULL footer, independent of which groups this
+    // partition reads
     var off = 0L
     val blocks = footer.getBlocks.asScala.toSeq.map { b =>
       val start = off; off += b.getRowCount; (b, start, b.getRowCount)
     }
-    val kept = blocks.filter { case (_, start, n) =>
-      dv == null || rangeCardinality(dv, start, n) < n
+    // a group belongs to this partition iff its byte MIDPOINT falls in
+    // the split range (parquet-mr's own range rule, so byte-range
+    // splits partition the groups exactly); fully-DV'd groups drop here
+    // too — their pages are never fetched
+    val kept = blocks.filter { case (b, start, n) =>
+      val mid = b.getStartingPos + b.getCompressedSize / 2
+      mid >= part.splitStart && mid < part.splitEnd &&
+        (dv == null || rangeCardinality(dv, start, n) < n)
     }
     val doctored = new ParquetMetadata(footer.getFileMetaData,
       kept.map(_._1).asJava)
@@ -543,13 +575,18 @@ private[sources] class GraftRowReader(part: GraftInputPartition,
 }
 
 /** Zero-column scans (COUNT(*) shapes): no parquet bytes touched —
- *  emit (rows - deletes) empty rows straight from the metadata. */
+ *  emit (rows - deletes) empty rows straight from the metadata. When a
+ *  file was byte-range split, only the FIRST split emits (per-split
+ *  row counts would need footer IO, and a metadata-only count doesn't
+ *  benefit from parallelism). */
 private[sources] class GraftCountReader(part: GraftInputPartition)
     extends PartitionReader[InternalRow] {
   private val dv: Roaring64Bitmap =
     if (part.dvBlob == null) null else DvCache.deserialize(part.dvBlob)
   private var left: Long = {
-    val live = part.rows - (if (dv == null) 0L else dv.getLongCardinality)
+    val live =
+      if (part.splitStart > 0L) 0L
+      else part.rows - (if (dv == null) 0L else dv.getLongCardinality)
     if (part.cap >= 0L) math.min(live, part.cap) else live
   }
   private val row = new GenericInternalRow(0)

@@ -44,12 +44,23 @@ object CdcPipeline {
    *  transaction-bearing batch streams through bounded memory. The
    *  local `schema` evolves across alter events so later rows decode
    *  against the post-alter column set. */
-  def eventIterator(table: GraftTable, batch: DataFrame): Iterator[CdcEvent] = {
+  def eventIterator(table: GraftTable, batch: DataFrame): Iterator[CdcEvent] =
+    eventsFromRows(table, batch.orderBy("_lsn").toLocalIterator().asScala)
+
+  /** Materialized event list for SMALL batches: one collect job (a
+   *  sorted `toLocalIterator` would schedule one job per shuffle
+   *  partition — measured ~3s/batch of pure scheduling overhead at
+   *  local[32], which dominates control-sized batches). */
+  def toEvents(table: GraftTable, batch: DataFrame): Seq[CdcEvent] =
+    eventsFromRows(table, batch.orderBy("_lsn").collect().iterator).toSeq
+
+  private def eventsFromRows(table: GraftTable,
+      rows: Iterator[Row]): Iterator[CdcEvent] = {
     var schema = table.schema
     val keyCols = Identity.keyColumns(table.identity, schema.fieldNames.toSeq)
     var sawCommit = false
     var maxLsn = -1L
-    val base = batch.orderBy("_lsn").toLocalIterator().asScala.flatMap { r =>
+    val base = rows.flatMap { r =>
       val op = r.getAs[String]("_op")
       val lsn = r.getAs[Long]("_lsn")
       maxLsn = math.max(maxLsn, lsn)
@@ -98,10 +109,6 @@ object CdcPipeline {
       override def next(): CdcEvent = { done = true; Commit(maxLsn) }
     }
   }
-
-  /** Materialized event list (small batches / tests). */
-  def toEvents(table: GraftTable, batch: DataFrame): Seq[CdcEvent] =
-    eventIterator(table, batch).toSeq
 
   /** Apply one micro-batch (usable directly for batch-mode ingest too).
    *

@@ -71,6 +71,26 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ragged.isNullAt(0), "length-mismatched arrays must dot to null")
   }
 
+  test("native LshBucket: deterministic, null array and null element -> null") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array, lit}
+    val df = Seq((1L, Seq(0.5, -0.25, 1.0)), (2L, Seq(0.5, -0.25, 1.0)))
+      .toDF("id", "v")
+    val b = df.select(
+        graft.functions.VectorExpressions.lshBucket($"v", 8, 0).as("b0"),
+        graft.functions.VectorExpressions.lshBucket($"v", 8, 1).as("b1"))
+      .collect()
+    assert(b(0) == b(1), "identical vectors must bucket identically")
+    val n = df.limit(1).select(
+        graft.functions.VectorExpressions.lshBucket(
+          lit(null).cast("array<double>"), 8, 0).as("x"),
+        graft.functions.VectorExpressions.lshBucket(
+          array(lit(1.0), lit(null).cast("double")), 8, 0).as("y"))
+      .collect().head
+    assert(n.isNullAt(0) && n.isNullAt(1),
+      "null array and null element must both bucket to null")
+  }
+
   test("minhash dup collapse is pair-identical to the doc-level join") {
     // a corpus with heavy exact-dup clusters (30 copies of each of the
     // first docs): the collapsed path must emit exactly the pairs the

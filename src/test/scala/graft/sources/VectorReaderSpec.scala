@@ -116,6 +116,35 @@ class VectorReaderSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batches >= 1)
   }
 
+  test("byte-range splits partition the row groups exactly once") {
+    // intra-file parallelism: two half-file byte ranges; each range
+    // keeps the groups whose midpoint falls inside it (parquet-mr's
+    // rule), so together they read every row exactly once — and DV
+    // position mapping stays absolute (computed from the full footer)
+    val n = 4000L
+    val (file, groups) = writeMultiGroupFile(n)
+    assert(groups.length >= 3)
+    val fileLen = new java.io.File(file).length()
+    val dv = new Roaring64Bitmap()
+    (0L until n by 13L).foreach(dv.addLong) // scattered deletes
+    val blob = DvCache.serialize(dv)
+    val halves = Seq(
+      GraftInputPartition(file, n, blob, splitStart = 0L, splitEnd = fileLen / 2),
+      GraftInputPartition(file, n, blob, splitStart = fileLen / 2,
+        splitEnd = Long.MaxValue))
+    val perSplit = halves.map { p =>
+      val rr = new GraftRowReader(p, schema, Map.empty)
+      val ids = scala.collection.mutable.ArrayBuffer[Long]()
+      try while (rr.next()) ids += rr.get().getLong(0)
+      finally rr.close()
+      ids.toSeq
+    }
+    assert(perSplit.forall(_.nonEmpty), "both splits must carry row groups")
+    assert(perSplit.flatten.sorted ==
+      (0L until n).filterNot(_ % 13 == 0).sorted,
+      "splits together must read every live row exactly once")
+  }
+
   test("reader cap stops early (pushed-limit partition cap)") {
     val n = 2000L
     val (file, _) = writeMultiGroupFile(n)
