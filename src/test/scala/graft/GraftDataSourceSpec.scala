@@ -197,6 +197,32 @@ class GraftDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.drop()
   }
 
+  test("DV-free scans are columnar; scans under DVs flip to row mode") {
+    // the plan-shape contract behind the DSv2 perf story: without
+    // deletes the scan feeds ColumnarBatches into ColumnarToRow (the
+    // built-in parquet shape); any DV'd file flips the whole scan to
+    // row mode so positional skips can apply
+    val dir = tmpDir() + "/colmode"
+    val t = GraftTable.create(spark, dir, schema,
+      Identity.Keys(Seq("id")), TableConfig(memSliceSize = 4, walEnabled = false))
+    def row(i: Long) = Row(i, s"n$i", i * 1.5, true,
+      java.sql.Timestamp.valueOf("2025-01-01 00:00:01"))
+    t.apply((1L to 8L).flatMap(i =>
+      CdcEvent.upsert(row(i), Seq(i), i)) :+ Commit(9L))
+    def plan() = spark.read.format("graft").load(dir)
+      .select("id", "score").queryExecution.executedPlan.toString
+    assert(plan().contains("ColumnarToRow"),
+      "delete-free snapshot must serve ColumnarBatches")
+    t.apply(Seq(Delete(Seq(3L), 20L), Commit(21L)))
+    assert(!plan().contains("ColumnarToRow"),
+      "a DV'd file must flip the scan to the row path")
+    // compaction folds the DVs away -> columnar again
+    t.optimize()
+    assert(plan().contains("ColumnarToRow"),
+      "post-compaction snapshot must be columnar again")
+    t.drop()
+  }
+
   test("decimal, array, and struct columns read identically to the library path") {
     // the vectorized reader serves the full type surface the reference's
     // table provider serves (whatever Arrow schema the table has,
