@@ -673,6 +673,46 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "cdc_pgoutput" -> ((s, d) => {
+      // S1 protocol layer end-to-end: the events stream re-encoded as
+      // pgoutput BINARY frames (Relation + per-txn Begin/Update*/
+      // Commit), decoded by the replication session into xid-tagged
+      // CDC events (reference cdc_event.rs:51-128, moonlink_sink.rs:
+      // 127-150), applied through the staged-xact machinery. The feed
+      // is 1/20th of the stream — a replication slot is one serial
+      // connection by nature; the distributed ingest scale path is
+      // applyBatchDF, covered by the other cdc_* entries.
+      import graft.sources.PgOutput
+      val table = GraftTable.create(s, freshDir("pgout"), eventTableSchema,
+        Identity.Keys(Seq("user_id")), ingestCfg)
+      val rows = events(s, d).where(col("user_id") % 20 === 3)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+        .orderBy("event_id").collect()
+      val sess = new PgOutput.Session("events", Seq("user_id"))
+      val relCols = Seq("user_id" -> 20, "event_id" -> 20,
+        "event_type" -> 25, "value" -> 701)
+      table.apply(sess.onMessage(
+        PgOutput.encodeRelation(9001, "public", "events", relCols)))
+      var done = 0L
+      rows.grouped(math.max(1, rows.length / 4 + 1)).zipWithIndex.foreach {
+        case (chunk, i) =>
+          done += chunk.length
+          val msgs =
+            Seq(PgOutput.encodeBegin(done, 100L + i)) ++
+            chunk.map(r => PgOutput.encodeUpdate(9001, Seq(
+              Some(r.getLong(0).toString), Some(r.getLong(1).toString),
+              Option(r.getString(2)),
+              Option(r.get(3)).map(_.toString)))) ++
+            Seq(PgOutput.encodeCommit(done, done + 1))
+          table.apply(msgs.flatMap(sess.onMessage))
+      }
+      table.read(scala.None).select(col("user_id"),
+        col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"),
+        cents(col("value")).as("value_cents"))
+        .orderBy("user_id")
+    }),
+
     "cdc_schema_evolve" -> ((s, d) => {
       // S1 + M14 in-stream: ONE CDC feed carrying ingest → ALTER (add
       // 'src', drop 'event_type') → ingest, applied without stopping
@@ -1257,6 +1297,14 @@ object SparkEntry {
         |       CASE WHEN user_id % 10 = 0 THEN 'readded' END AS readded_type,
         |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
         |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "cdc_pgoutput" ->
+      """SELECT user_id, event_id AS last_event_id,
+        |       event_type AS last_event_type,
+        |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
+        |FROM events WHERE user_id % 20 = 3
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
         |ORDER BY user_id""".stripMargin,
 

@@ -1,0 +1,305 @@
+package graft.sources
+
+import graft.model._
+import org.apache.spark.sql.Row
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets.UTF_8
+import scala.collection.mutable
+
+/**
+ * PostgreSQL `pgoutput` logical-replication protocol: binary message
+ * decode + the event-translation session that turns a WAL stream into
+ * [[CdcEvent]]s (S1). This is the protocol layer of the reference's
+ * CDC source (`pg_replicate/postgres_source.rs:311`, message handling
+ * `pg_replicate/conversions/cdc_event.rs:51-128`, sink translation
+ * `pg_replicate/moonlink_sink.rs:127-361`) — implemented from the
+ * PUBLIC protocol spec (PostgreSQL docs, "Logical Replication Message
+ * Formats"). The only piece this sandbox cannot run is the socket
+ * transport (a replication slot connection); everything from raw
+ * message bytes onward is real and driver-verified (`cdc_pgoutput`).
+ *
+ * Message grammar implemented (protocol version 1, text tuples):
+ *   'B' Begin:    final_lsn i64, commit_ts i64, xid i32
+ *   'C' Commit:   flags i8, commit_lsn i64, end_lsn i64, commit_ts i64
+ *   'R' Relation: relid i32, namespace cstr, name cstr, replident i8,
+ *                 ncols i16, [flags i8, name cstr, typoid i32, typmod i32]*
+ *   'I' Insert:   relid i32, 'N', TupleData
+ *   'U' Update:   relid i32, ['K'|'O', TupleData]?, 'N', TupleData
+ *   'D' Delete:   relid i32, 'K'|'O', TupleData
+ *   'T' Truncate: nrels i32, flags i8, relid i32 *
+ *   TupleData:    ncols i16, ['n' | 'u' | 't' len i32 bytes]*
+ */
+object PgOutput {
+
+  // ---- message ADT ------------------------------------------------------
+
+  sealed trait Msg
+  final case class Begin(finalLsn: Long, commitTs: Long, xid: Long) extends Msg
+  final case class CommitMsg(flags: Int, commitLsn: Long, endLsn: Long,
+      commitTs: Long) extends Msg
+  final case class RelCol(flags: Int, name: String, typeOid: Int, typeMod: Int)
+  final case class Relation(relId: Int, namespace: String, name: String,
+      replIdent: Int, cols: Seq[RelCol]) extends Msg
+  /** None = SQL NULL; Some(Left(())) = unchanged TOAST; Some(Right(s)) = text */
+  type Tuple = Seq[Option[Either[Unit, String]]]
+  final case class Insert(relId: Int, row: Tuple) extends Msg
+  final case class Update(relId: Int, oldKey: Option[(Char, Tuple)],
+      row: Tuple) extends Msg
+  final case class DeleteMsg(relId: Int, keyKind: Char, key: Tuple) extends Msg
+  final case class Truncate(relIds: Seq[Int]) extends Msg
+
+  // ---- binary decode ----------------------------------------------------
+
+  def decode(bytes: Array[Byte]): Msg = {
+    val b = ByteBuffer.wrap(bytes) // big-endian, the wire order
+    def cstr(): String = {
+      val sb = new java.lang.StringBuilder
+      var c = b.get()
+      val start = b.position() - 1
+      var n = 0
+      while (c != 0) { n += 1; c = b.get() }
+      new String(bytes, start, n, UTF_8)
+    }
+    def tuple(): Tuple = {
+      val n = b.getShort().toInt
+      (0 until n).map { _ =>
+        b.get().toChar match {
+          case 'n' => None
+          case 'u' => Some(Left(()))
+          case 't' =>
+            val len = b.getInt()
+            val arr = new Array[Byte](len)
+            b.get(arr)
+            Some(Right(new String(arr, UTF_8)))
+          case other =>
+            throw new IllegalArgumentException(s"bad TupleData kind '$other'")
+        }
+      }
+    }
+    b.get().toChar match {
+      case 'B' => Begin(b.getLong(), b.getLong(), b.getInt().toLong & 0xffffffffL)
+      case 'C' => CommitMsg(b.get().toInt, b.getLong(), b.getLong(), b.getLong())
+      case 'R' =>
+        val relId = b.getInt()
+        val ns = cstr(); val nm = cstr()
+        val ident = b.get().toInt
+        val ncols = b.getShort().toInt
+        val cols = (0 until ncols).map { _ =>
+          RelCol(b.get().toInt, cstr(), b.getInt(), b.getInt())
+        }
+        Relation(relId, ns, nm, ident, cols)
+      case 'I' =>
+        val relId = b.getInt()
+        val kind = b.get().toChar
+        require(kind == 'N', s"Insert expects 'N' tuple, got '$kind'")
+        Insert(relId, tuple())
+      case 'U' =>
+        val relId = b.getInt()
+        var kind = b.get().toChar
+        val old = if (kind == 'K' || kind == 'O') {
+          val t = tuple(); val k = kind; kind = b.get().toChar; Some((k, t))
+        } else None
+        require(kind == 'N', s"Update expects 'N' tuple, got '$kind'")
+        Update(relId, old, tuple())
+      case 'D' =>
+        val relId = b.getInt()
+        val kind = b.get().toChar
+        require(kind == 'K' || kind == 'O', s"Delete expects 'K'/'O', got '$kind'")
+        DeleteMsg(relId, kind, tuple())
+      case 'T' =>
+        val n = b.getInt(); b.get() // flags
+        Truncate((0 until n).map(_ => b.getInt()))
+      case other =>
+        throw new IllegalArgumentException(s"unknown pgoutput message '$other'")
+    }
+  }
+
+  // ---- binary encode (fixtures + the driver's synthetic feed) -----------
+
+  private def buf(): java.io.ByteArrayOutputStream = new java.io.ByteArrayOutputStream()
+  private implicit class Put(o: java.io.ByteArrayOutputStream) {
+    def i8(v: Int): Put = { o.write(v & 0xff); this }
+    def i16(v: Int): Put = { o.write((v >> 8) & 0xff); o.write(v & 0xff); this }
+    def i32(v: Int): Put = { i16(v >>> 16); i16(v & 0xffff); this }
+    def i64(v: Long): Put = { i32((v >>> 32).toInt); i32(v.toInt); this }
+    def ch(c: Char): Put = i8(c)
+    def cstr(s: String): Put = { o.write(s.getBytes(UTF_8)); o.write(0); this }
+    def tuple(t: Seq[Option[String]]): Put = {
+      i16(t.length)
+      t.foreach {
+        case scala.None => ch('n')
+        case Some(s) =>
+          val bs = s.getBytes(UTF_8); ch('t'); i32(bs.length); o.write(bs)
+      }
+      this
+    }
+    def bytes: Array[Byte] = o.toByteArray
+  }
+
+  def encodeBegin(finalLsn: Long, xid: Long): Array[Byte] =
+    buf().ch('B').i64(finalLsn).i64(0L).i32(xid.toInt).bytes
+  def encodeCommit(commitLsn: Long, endLsn: Long): Array[Byte] =
+    buf().ch('C').i8(0).i64(commitLsn).i64(endLsn).i64(0L).bytes
+  def encodeRelation(relId: Int, ns: String, name: String,
+      cols: Seq[(String, Int)]): Array[Byte] = {
+    val b = buf().ch('R').i32(relId).cstr(ns).cstr(name).i8('d').i16(cols.length)
+    cols.foreach { case (n, oid) => b.i8(0).cstr(n).i32(oid).i32(-1) }
+    b.bytes
+  }
+  def encodeInsert(relId: Int, row: Seq[Option[String]]): Array[Byte] =
+    buf().ch('I').i32(relId).ch('N').tuple(row).bytes
+  def encodeUpdate(relId: Int, row: Seq[Option[String]]): Array[Byte] =
+    buf().ch('U').i32(relId).ch('N').tuple(row).bytes
+  def encodeDelete(relId: Int, key: Seq[Option[String]]): Array[Byte] =
+    buf().ch('D').i32(relId).ch('K').tuple(key).bytes
+
+  // ---- PG type OIDs -> engine types --------------------------------------
+
+  /** pg_type OID -> REST type name (the subset the reference's
+   *  postgres_schema_to_moonlink_schema maps, `pg_replicate/util.rs`). */
+  def restType(oid: Int, typeMod: Int): String = oid match {
+    case 16 => "boolean"
+    case 21 => "int16"
+    case 23 => "int32"
+    case 20 => "int64"
+    case 700 => "float32"
+    case 701 => "float64"
+    case 25 | 1043 | 1042 => "string"
+    case 17 => "string" // bytea surfaces as hex string at this layer
+    case 1082 => "date32"
+    case 1114 | 1184 => "timestamp"
+    case 1700 =>
+      // numeric typmod packs ((precision << 16) | scale) + 4; -1 = free
+      if (typeMod == -1) "decimal(38,18)"
+      else {
+        val m = typeMod - 4
+        s"decimal(${(m >> 16) & 0xffff},${m & 0xffff})"
+      }
+    case other =>
+      throw new IllegalArgumentException(s"unmapped pg type oid $other")
+  }
+
+  /** text-format value -> the JVM value the table schema expects. */
+  def parseValue(oid: Int, typeMod: Int, text: String): Any = oid match {
+    case 16 => text == "t" || text == "true"
+    case 21 => text.toShort
+    case 23 => text.toInt
+    case 20 => text.toLong
+    case 700 => text.toFloat
+    case 701 => text.toDouble
+    case 25 | 1043 | 1042 | 17 => text
+    case 1082 => java.sql.Date.valueOf(text)
+    case 1114 | 1184 =>
+      // "2025-01-02 03:04:05[.ffffff][+00]" — normalize the tz suffix off
+      val t = text.stripSuffix("+00").stripSuffix(" UTC").trim
+      java.sql.Timestamp.valueOf(t)
+    case 1700 => new java.math.BigDecimal(text)
+    case other =>
+      throw new IllegalArgumentException(s"unmapped pg type oid $other")
+  }
+
+  // ---- replication session: messages -> CdcEvents ------------------------
+
+  /**
+   * One logical-replication stream for ONE table (the reference fans a
+   * publication out to per-table sinks the same way,
+   * `moonlink_sink.rs:127-150`). Feed raw message bytes in WAL order;
+   * collect [[CdcEvent]]s to apply.
+   *
+   *  - DML inside Begin..Commit carries the txn's xid as a streaming
+   *    transaction id; Commit emits `Commit(lsn, Some(xid))` — exactly
+   *    the engine's staged-xact machinery.
+   *  - A `Relation` message whose column set differs from the
+   *    registered one becomes in-stream `AlterAdd`/`AlterDrop` events
+   *    (the reference's mid-stream AlterTable,
+   *    `moonlink_sink.rs:347-361`).
+   *  - `Update` = delete(old identity) + append(new); when no old key
+   *    is present the key comes from the new tuple (replica identity
+   *    unchanged). `UnchangedToast` columns are unsupported on the
+   *    tables we ingest (the reference substitutes a type default;
+   *    we reject loudly rather than fabricate a value).
+   */
+  final class Session(tableName: String, keyCols: Seq[String]) {
+    private var rel: Option[Relation] = scala.None
+    private var xid: Option[Long] = scala.None
+    private var nextLsn: Long = 1L // per-event LSNs within a txn
+
+    private def cols: Seq[RelCol] = rel.get.cols
+    private def keyIdx: Seq[Int] = keyCols.map(k => cols.indexWhere(_.name == k))
+
+    private def rowOf(t: Tuple): Row = Row.fromSeq(
+      t.zip(cols).map {
+        case (scala.None, _) => null
+        case (Some(Left(())), c) => throw new IllegalArgumentException(
+          s"unchanged-TOAST column ${c.name}: replica identity FULL required")
+        case (Some(Right(s)), c) => parseValue(c.typeOid, c.typeMod, s)
+      })
+
+    private def keyOf(t: Tuple): Seq[Any] = keyIdx.map { i =>
+      t(i) match {
+        case Some(Right(s)) => parseValue(cols(i).typeOid, cols(i).typeMod, s)
+        case _ => throw new IllegalArgumentException(
+          s"delete/update key column ${cols(i).name} missing from tuple")
+      }
+    }
+
+    private def lsn(): Long = { val l = nextLsn; nextLsn += 1; l }
+
+    def onMessage(bytes: Array[Byte]): Seq[CdcEvent] = decode(bytes) match {
+      case Begin(_, _, x) =>
+        xid = Some(x); Nil
+      case CommitMsg(_, commitLsn, _, _) =>
+        // a commit publishes everything at-or-below its LSN, so it must
+        // cover the txn's synthesized per-event LSNs (real WAL byte
+        // positions always do; a synthetic feed must encode commit LSNs
+        // past its event count)
+        require(commitLsn >= nextLsn - 1,
+          s"commit LSN $commitLsn below the txn's last event LSN ${nextLsn - 1}")
+        val x = xid; xid = scala.None
+        nextLsn = math.max(nextLsn, commitLsn + 1)
+        Seq(Commit(commitLsn, x))
+      case r @ Relation(_, _, name, _, newCols) =>
+        if (name != tableName) Nil // not our table's relation
+        else {
+          val out = rel match {
+            case scala.None => Nil
+            case Some(old) =>
+              val oldNames = old.cols.map(_.name)
+              val newNames = newCols.map(_.name)
+              val dropped = oldNames.filterNot(newNames.contains)
+              val added = newCols.filterNot(c => oldNames.contains(c.name))
+              (if (dropped.nonEmpty) Seq(AlterDrop(dropped, lsn())) else Nil) ++
+                (if (added.nonEmpty) Seq(AlterAdd(
+                  added.map(c => c.name -> restType(c.typeOid, c.typeMod)),
+                  lsn())) else Nil)
+          }
+          rel = Some(r)
+          out
+        }
+      case Insert(_, row) =>
+        require(rel.isDefined, "Insert before Relation message")
+        Seq(Append(rowOf(row), lsn(), xid))
+      case Update(_, oldKey, row) =>
+        require(rel.isDefined, "Update before Relation message")
+        val l = lsn()
+        val key = oldKey match {
+          case Some((_, t)) => keyOf(t)
+          case scala.None => keyOf(row) // identity unchanged
+        }
+        CdcEvent.upsert(rowOf(row), key, l, xid)
+      case DeleteMsg(_, _, key) =>
+        require(rel.isDefined, "Delete before Relation message")
+        Seq(Delete(keyOf(key), lsn(), xid))
+      case Truncate(_) =>
+        // the reference treats TRUNCATE as out-of-scope for moonlink
+        // tables; surface loudly rather than silently dropping data
+        throw new UnsupportedOperationException(
+          "TRUNCATE is not supported on graft tables")
+    }
+
+    /** current registered schema as (name, REST type) pairs */
+    def schema: Seq[(String, String)] =
+      cols.map(c => c.name -> restType(c.typeOid, c.typeMod))
+  }
+}
