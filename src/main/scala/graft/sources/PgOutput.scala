@@ -19,7 +19,10 @@ import scala.collection.mutable
  * transport (a replication slot connection); everything from raw
  * message bytes onward is real and driver-verified (`cdc_pgoutput`).
  *
- * Message grammar implemented (protocol version 1, text tuples):
+ * Message grammar implemented (text tuples; protocol v1 plus the v2
+ * streamed-transaction messages the reference consumes —
+ * `cdc_event.rs:5-7` lists StreamStartBody/StreamStopBody/
+ * StreamCommitBody/StreamAbortBody):
  *   'B' Begin:    final_lsn i64, commit_ts i64, xid i32
  *   'C' Commit:   flags i8, commit_lsn i64, end_lsn i64, commit_ts i64
  *   'R' Relation: relid i32, namespace cstr, name cstr, replident i8,
@@ -28,7 +31,17 @@ import scala.collection.mutable
  *   'U' Update:   relid i32, ['K'|'O', TupleData]?, 'N', TupleData
  *   'D' Delete:   relid i32, 'K'|'O', TupleData
  *   'T' Truncate: nrels i32, flags i8, relid i32 *
+ *   'Y' Type:     typoid i32, namespace cstr, name cstr   (ignored)
+ *   'O' Origin:   origin_lsn i64, name cstr               (ignored)
+ *   'S' StreamStart: xid i32, first_segment i8
+ *   'E' StreamStop:  (empty)
+ *   'c' StreamCommit: xid i32, flags i8, commit_lsn i64, end_lsn i64,
+ *                     commit_ts i64
+ *   'A' StreamAbort:  xid i32, subxid i32
  *   TupleData:    ncols i16, ['n' | 'u' | 't' len i32 bytes]*
+ * Inside a streamed segment (between StreamStart and StreamStop) every
+ * DML/Relation/Truncate message carries the txn's xid as its FIRST
+ * field (protocol v2) — `decode(bytes, streamed = true)` parses it.
  */
 object PgOutput {
 
@@ -48,11 +61,20 @@ object PgOutput {
       row: Tuple) extends Msg
   final case class DeleteMsg(relId: Int, keyKind: Char, key: Tuple) extends Msg
   final case class Truncate(relIds: Seq[Int]) extends Msg
+  final case class TypeMsg(typeOid: Int, namespace: String, name: String) extends Msg
+  final case class Origin(originLsn: Long, name: String) extends Msg
+  final case class StreamStart(xid: Long, firstSegment: Boolean) extends Msg
+  case object StreamStop extends Msg
+  final case class StreamCommit(xid: Long, commitLsn: Long, endLsn: Long) extends Msg
+  final case class StreamAbortMsg(xid: Long, subXid: Long) extends Msg
 
   // ---- binary decode ----------------------------------------------------
 
-  def decode(bytes: Array[Byte]): Msg = {
+  /** `streamed = true` inside a StreamStart..StreamStop segment, where
+   *  DML/Relation/Truncate carry a leading xid (protocol v2). */
+  def decode(bytes: Array[Byte], streamed: Boolean = false): Msg = {
     val b = ByteBuffer.wrap(bytes) // big-endian, the wire order
+    def skipStreamXid(): Unit = if (streamed) { b.getInt(); () }
     def cstr(): String = {
       val sb = new java.lang.StringBuilder
       var c = b.get()
@@ -80,7 +102,18 @@ object PgOutput {
     b.get().toChar match {
       case 'B' => Begin(b.getLong(), b.getLong(), b.getInt().toLong & 0xffffffffL)
       case 'C' => CommitMsg(b.get().toInt, b.getLong(), b.getLong(), b.getLong())
+      case 'Y' => skipStreamXid(); TypeMsg(b.getInt(), cstr(), cstr())
+      case 'O' => Origin(b.getLong(), cstr())
+      case 'S' => StreamStart(b.getInt().toLong & 0xffffffffL, b.get() == 1)
+      case 'E' => StreamStop
+      case 'c' =>
+        val xid = b.getInt().toLong & 0xffffffffL
+        b.get() // flags
+        StreamCommit(xid, b.getLong(), b.getLong())
+      case 'A' => StreamAbortMsg(b.getInt().toLong & 0xffffffffL,
+        b.getInt().toLong & 0xffffffffL)
       case 'R' =>
+        skipStreamXid()
         val relId = b.getInt()
         val ns = cstr(); val nm = cstr()
         val ident = b.get().toInt
@@ -90,11 +123,13 @@ object PgOutput {
         }
         Relation(relId, ns, nm, ident, cols)
       case 'I' =>
+        skipStreamXid()
         val relId = b.getInt()
         val kind = b.get().toChar
         require(kind == 'N', s"Insert expects 'N' tuple, got '$kind'")
         Insert(relId, tuple())
       case 'U' =>
+        skipStreamXid()
         val relId = b.getInt()
         var kind = b.get().toChar
         val old = if (kind == 'K' || kind == 'O') {
@@ -103,11 +138,13 @@ object PgOutput {
         require(kind == 'N', s"Update expects 'N' tuple, got '$kind'")
         Update(relId, old, tuple())
       case 'D' =>
+        skipStreamXid()
         val relId = b.getInt()
         val kind = b.get().toChar
         require(kind == 'K' || kind == 'O', s"Delete expects 'K'/'O', got '$kind'")
         DeleteMsg(relId, kind, tuple())
       case 'T' =>
+        skipStreamXid()
         val n = b.getInt(); b.get() // flags
         Truncate((0 until n).map(_ => b.getInt()))
       case other =>
@@ -141,6 +178,16 @@ object PgOutput {
     buf().ch('B').i64(finalLsn).i64(0L).i32(xid.toInt).bytes
   def encodeCommit(commitLsn: Long, endLsn: Long): Array[Byte] =
     buf().ch('C').i8(0).i64(commitLsn).i64(endLsn).i64(0L).bytes
+  def encodeStreamStart(xid: Long, first: Boolean): Array[Byte] =
+    buf().ch('S').i32(xid.toInt).i8(if (first) 1 else 0).bytes
+  def encodeStreamStop(): Array[Byte] = buf().ch('E').bytes
+  def encodeStreamCommit(xid: Long, commitLsn: Long): Array[Byte] =
+    buf().ch('c').i32(xid.toInt).i8(0).i64(commitLsn).i64(commitLsn + 1).i64(0L).bytes
+  def encodeStreamAbort(xid: Long): Array[Byte] =
+    buf().ch('A').i32(xid.toInt).i32(xid.toInt).bytes
+  def encodeStreamedInsert(xid: Long, relId: Int,
+      row: Seq[Option[String]]): Array[Byte] =
+    buf().ch('I').i32(xid.toInt).i32(relId).ch('N').tuple(row).bytes
   def encodeRelation(relId: Int, ns: String, name: String,
       cols: Seq[(String, Int)]): Array[Byte] = {
     val b = buf().ch('R').i32(relId).cstr(ns).cstr(name).i8('d').i16(cols.length)
@@ -223,6 +270,8 @@ object PgOutput {
   final class Session(tableName: String, keyCols: Seq[String]) {
     private var rel: Option[Relation] = scala.None
     private var xid: Option[Long] = scala.None
+    /** xid of the streamed (in-progress, v2) txn segment we are inside */
+    private var streamXid: Option[Long] = scala.None
     private var nextLsn: Long = 1L // per-event LSNs within a txn
 
     private def cols: Seq[RelCol] = rel.get.cols
@@ -245,10 +294,25 @@ object PgOutput {
     }
 
     private def lsn(): Long = { val l = nextLsn; nextLsn += 1; l }
+    /** streamed segments take priority over a Begin..Commit context */
+    private def dmlXid: Option[Long] = streamXid.orElse(xid)
 
-    def onMessage(bytes: Array[Byte]): Seq[CdcEvent] = decode(bytes) match {
+    def onMessage(bytes: Array[Byte]): Seq[CdcEvent] =
+        decode(bytes, streamed = streamXid.isDefined) match {
       case Begin(_, _, x) =>
         xid = Some(x); Nil
+      case StreamStart(x, _) =>
+        streamXid = Some(x); Nil
+      case StreamStop =>
+        streamXid = scala.None; Nil
+      case StreamCommit(x, commitLsn, _) =>
+        require(commitLsn >= nextLsn - 1,
+          s"stream-commit LSN $commitLsn below last event LSN ${nextLsn - 1}")
+        nextLsn = math.max(nextLsn, commitLsn + 1)
+        Seq(Commit(commitLsn, Some(x)))
+      case StreamAbortMsg(x, _) =>
+        Seq(StreamAbort(x))
+      case _: TypeMsg | _: Origin => Nil // metadata-only messages
       case CommitMsg(_, commitLsn, _, _) =>
         // a commit publishes everything at-or-below its LSN, so it must
         // cover the txn's synthesized per-event LSNs (real WAL byte
@@ -279,7 +343,7 @@ object PgOutput {
         }
       case Insert(_, row) =>
         require(rel.isDefined, "Insert before Relation message")
-        Seq(Append(rowOf(row), lsn(), xid))
+        Seq(Append(rowOf(row), lsn(), dmlXid))
       case Update(_, oldKey, row) =>
         require(rel.isDefined, "Update before Relation message")
         val l = lsn()
@@ -287,10 +351,10 @@ object PgOutput {
           case Some((_, t)) => keyOf(t)
           case scala.None => keyOf(row) // identity unchanged
         }
-        CdcEvent.upsert(rowOf(row), key, l, xid)
+        CdcEvent.upsert(rowOf(row), key, l, dmlXid)
       case DeleteMsg(_, _, key) =>
         require(rel.isDefined, "Delete before Relation message")
-        Seq(Delete(keyOf(key), lsn(), xid))
+        Seq(Delete(keyOf(key), lsn(), dmlXid))
       case Truncate(_) =>
         // the reference treats TRUNCATE as out-of-scope for moonlink
         // tables; surface loudly rather than silently dropping data

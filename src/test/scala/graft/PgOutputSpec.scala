@@ -138,6 +138,41 @@ class PgOutputSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.drop()
   }
 
+  test("streamed (in-progress) txn: segments, commit, and abort") {
+    // protocol v2: large txns stream in segments before their commit;
+    // DML inside a segment carries a leading xid. Abort must discard
+    // everything staged (the engine's StreamAbort machinery).
+    val dir = Files.createTempDirectory("graft-pgstream").toString + "/t"
+    val t = GraftTable.create(spark, dir,
+      SchemaDsl.struct("id" -> "int64", "name" -> "string", "score" -> "float64"),
+      Identity.Keys(Seq("id")),
+      TableConfig(memSliceSize = 2, walEnabled = false)) // forces staged flushes
+    val s = new Session("users", Seq("id"))
+    def feed(msgs: Array[Byte]*): Unit = t.apply(msgs.flatMap(s.onMessage))
+    feed(encodeRelation(RelId, "public", "users", userCols))
+    // txn 21 streams two segments then commits
+    feed(
+      encodeStreamStart(21L, first = true),
+      encodeStreamedInsert(21L, RelId, Seq(Some("1"), Some("a"), Some("1.0"))),
+      encodeStreamedInsert(21L, RelId, Seq(Some("2"), Some("b"), Some("2.0"))),
+      encodeStreamStop(),
+      encodeStreamStart(21L, first = false),
+      encodeStreamedInsert(21L, RelId, Seq(Some("3"), Some("c"), Some("3.0"))),
+      encodeStreamStop(),
+      encodeStreamCommit(21L, 100L))
+    assert(t.read().count() == 3)
+    // txn 22 streams a segment then ABORTS: nothing may surface
+    feed(
+      encodeStreamStart(22L, first = true),
+      encodeStreamedInsert(22L, RelId, Seq(Some("9"), Some("x"), Some("9.0"))),
+      encodeStreamedInsert(22L, RelId, Seq(Some("10"), Some("y"), Some("10.0"))),
+      encodeStreamStop(),
+      encodeStreamAbort(22L))
+    val ids = t.read().collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 3L), s"aborted streamed txn leaked: $ids")
+    t.drop()
+  }
+
   test("session rejects TOAST placeholders and early DML loudly") {
     val s = new Session("users", Seq("id"))
     intercept[IllegalArgumentException] {
