@@ -366,4 +366,117 @@ object PgOutput {
     def schema: Seq[(String, String)] =
       cols.map(c => c.name -> restType(c.typeOid, c.typeMod))
   }
+
+  // ---- streaming-replication transport frames ---------------------------
+
+  /**
+   * The outer copy-data frames of the START_REPLICATION stream (public
+   * PG docs, "Streaming Replication Protocol"): pgoutput messages ride
+   * inside XLogData ('w'); the primary interleaves keepalives ('k');
+   * the standby confirms progress with status updates ('r'). The
+   * reference consumes the same two inbound frames
+   * (`cdc_event.rs:185-186` PrimaryKeepAlive; XLogData via the
+   * LogicalReplicationMessage stream) and confirms with
+   * `standby_status_update(lsn, lsn, lsn, ts, 0)`
+   * (`postgres_source.rs:565-573`).
+   *
+   *   'w' XLogData:         walStart i64, walEnd i64, sendTs i64, payload
+   *   'k' PrimaryKeepalive: walEnd i64, sendTs i64, replyRequested i8
+   *   'r' StandbyStatus:    written i64, flushed i64, applied i64,
+   *                         sendTs i64, replyRequested i8
+   */
+  sealed trait Frame
+  final case class XLogData(walStart: Long, walEnd: Long, sendTs: Long,
+      payload: Array[Byte]) extends Frame
+  final case class PrimaryKeepalive(walEnd: Long, sendTs: Long,
+      replyRequested: Boolean) extends Frame
+  final case class StandbyStatus(written: Long, flushed: Long, applied: Long,
+      sendTs: Long, replyRequested: Boolean) extends Frame
+
+  def decodeFrame(bytes: Array[Byte]): Frame = {
+    val b = ByteBuffer.wrap(bytes)
+    b.get().toChar match {
+      case 'w' =>
+        val walStart = b.getLong(); val walEnd = b.getLong()
+        val ts = b.getLong()
+        val payload = new Array[Byte](b.remaining()); b.get(payload)
+        XLogData(walStart, walEnd, ts, payload)
+      case 'k' => PrimaryKeepalive(b.getLong(), b.getLong(), b.get() == 1)
+      case 'r' => StandbyStatus(b.getLong(), b.getLong(), b.getLong(),
+        b.getLong(), b.get() == 1)
+      case other =>
+        throw new IllegalArgumentException(s"unknown replication frame '$other'")
+    }
+  }
+
+  def encodeXLogData(walStart: Long, walEnd: Long,
+      payload: Array[Byte]): Array[Byte] = {
+    val os = buf()
+    os.ch('w').i64(walStart).i64(walEnd).i64(0L)
+    os.write(payload, 0, payload.length)
+    os.toByteArray
+  }
+  def encodeKeepalive(walEnd: Long, replyRequested: Boolean): Array[Byte] =
+    buf().ch('k').i64(walEnd).i64(0L).i8(if (replyRequested) 1 else 0).bytes
+  def encodeStandbyStatus(flushed: Long): Array[Byte] =
+    buf().ch('r').i64(flushed).i64(flushed).i64(flushed).i64(0L).i8(0).bytes
+
+  /**
+   * Frame-level replication loop state over a [[Session]]: unwraps
+   * XLogData, enforces the keepalive floor the reference asserts
+   * (`moonlink_sink.rs:205,215,371-374` — wal positions never move
+   * backwards, and no commit may land below the highest keepalive
+   * `wal_end` already seen), and tracks the confirmed LSN to feed back.
+   *
+   * The feedback contract mirrors the reference exactly: commits and
+   * keepalives both advance the replication mark
+   * (`moonlink_sink.rs:240,275,375` `replication_state.mark`), and the
+   * status update confirms write=flush=apply at the marked LSN
+   * (`postgres_source.rs:573`) — confirming tells the primary it may
+   * recycle WAL, so the mark must only ever cover durably-applied
+   * positions.
+   */
+  final class ReplicationStream(session: Session) {
+    private var keepaliveFloor: Long = 0L
+    private var confirmed: Long = 0L
+    private var replyPending: Boolean = false
+
+    def onFrame(bytes: Array[Byte]): Seq[CdcEvent] = decodeFrame(bytes) match {
+      case PrimaryKeepalive(walEnd, _, reply) =>
+        require(walEnd >= keepaliveFloor,
+          s"keepalive wal_end $walEnd moved backwards (floor $keepaliveFloor)")
+        keepaliveFloor = walEnd
+        confirmed = math.max(confirmed, walEnd)
+        if (reply) replyPending = true
+        Nil
+      case XLogData(_, _, _, payload) =>
+        val events = session.onMessage(payload)
+        events.foreach {
+          case Commit(lsn, _) =>
+            require(lsn >= keepaliveFloor,
+              s"commit LSN $lsn below keepalive floor $keepaliveFloor")
+            confirmed = math.max(confirmed, lsn)
+          case _ => ()
+        }
+        events
+      case f: StandbyStatus =>
+        throw new IllegalArgumentException(
+          s"standby status is an outbound frame, not stream input: $f")
+    }
+
+    /** LSN safe to confirm (highest commit/keepalive position seen). */
+    def confirmedLsn: Long = confirmed
+
+    /** Encoded 'r' feedback frame; clears any keepalive reply demand.
+     *  Callers pass the LOWER of [[confirmedLsn]] and the table's
+     *  persisted LSN when the sink lags the stream. */
+    def statusUpdate(flushedLsn: Long): Array[Byte] = {
+      require(flushedLsn <= confirmed,
+        s"cannot confirm $flushedLsn past the stream position $confirmed")
+      replyPending = false
+      encodeStandbyStatus(flushedLsn)
+    }
+
+    def needsReply: Boolean = replyPending
+  }
 }

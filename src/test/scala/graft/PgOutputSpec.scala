@@ -173,6 +173,49 @@ class PgOutputSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.drop()
   }
 
+  test("transport frames: XLogData unwrap, keepalive floor, feedback") {
+    // the outer START_REPLICATION frames around the pgoutput payloads;
+    // keepalive floor + confirm semantics per the reference sink
+    val dir = Files.createTempDirectory("graft-pgframe").toString + "/t"
+    val t = GraftTable.create(spark, dir,
+      SchemaDsl.struct("id" -> "int64", "name" -> "string", "score" -> "float64"),
+      Identity.Keys(Seq("id")), TableConfig(walEnabled = false))
+    val rs = new ReplicationStream(new Session("users", Seq("id")))
+    def feed(msgs: Array[Byte]*): Unit =
+      t.apply(msgs.flatMap(m => rs.onFrame(encodeXLogData(1L, 2L, m))))
+    feed(encodeRelation(RelId, "public", "users", userCols))
+    // keepalive advances the confirmable position ahead of any commit
+    assert(rs.onFrame(encodeKeepalive(50L, replyRequested = false)).isEmpty)
+    assert(rs.confirmedLsn == 50L)
+    feed(
+      encodeBegin(60L, 7L),
+      encodeInsert(RelId, Seq(Some("1"), Some("a"), Some("1.5"))),
+      encodeCommit(60L, 61L))
+    assert(t.read().count() == 1)
+    assert(rs.confirmedLsn == 60L)
+    // a reply-requested keepalive demands feedback; statusUpdate clears it
+    rs.onFrame(encodeKeepalive(70L, replyRequested = true))
+    assert(rs.needsReply)
+    decodeFrame(rs.statusUpdate(65L)) match {
+      case StandbyStatus(w, f, a, _, _) =>
+        assert(w == 65L && f == 65L && a == 65L)
+      case other => fail(s"$other")
+    }
+    assert(!rs.needsReply)
+    // floor violations surface loudly: backwards keepalive, low commit,
+    // confirming past the stream position
+    intercept[IllegalArgumentException] {
+      rs.onFrame(encodeKeepalive(40L, replyRequested = false))
+    }
+    intercept[IllegalArgumentException] {
+      feed(encodeBegin(62L, 8L),
+        encodeInsert(RelId, Seq(Some("2"), Some("b"), Some("2.5"))),
+        encodeCommit(62L, 63L)) // 62 < keepalive floor 70
+    }
+    intercept[IllegalArgumentException] { rs.statusUpdate(9999L) }
+    t.drop()
+  }
+
   test("session rejects TOAST placeholders and early DML loudly") {
     val s = new Session("users", Seq("id"))
     intercept[IllegalArgumentException] {
