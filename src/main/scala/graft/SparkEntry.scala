@@ -894,6 +894,39 @@ object SparkEntry {
         .orderBy("lang_guess")
     }),
 
+    "text_pii" -> ((s, d) => {
+      // The synthetic corpus carries no PII, so the query doctors the
+      // text DETERMINISTICALLY from driver data (doc_id/source-derived
+      // email/IP/phone, appended conditionally so both the match and
+      // no-match paths run); the oracle builds the identical string in
+      // SQL, making the redaction regexes the thing under test. All
+      // codegen'd regexp_replace — one scan, no shuffle until the sort.
+      val doctored = concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"), lit("@"),
+            col("source"), lit(".example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+            lit(".0."), (col("doc_id") % 100).cast("string"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")))
+      t(s, d, "documents")
+        .select(col("doc_id"), doctored.as("doctored"))
+        .select(col("doc_id"),
+          TextOps.piiMatches(col("doctored"), TextOps.EmailPattern)
+            .cast("long").as("n_emails"),
+          TextOps.piiMatches(col("doctored"), TextOps.Ipv4Pattern)
+            .cast("long").as("n_ips"),
+          TextOps.piiMatches(col("doctored"), TextOps.PhonePattern)
+            .cast("long").as("n_phones"),
+          md5(TextOps.redactPii(col("doctored"))).as("red_fp"))
+        .orderBy("doc_id")
+    }),
+
     "dedup_exact" -> ((s, d) => {
       Dedup.exact(t(s, d, "documents"), "doc_id", "text")
         .orderBy("fp")
@@ -1365,6 +1398,24 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_langid" -> langIdOracle,
+
+    "text_pii" ->
+      """WITH doctored AS (
+        |  SELECT doc_id,
+        |         text ||
+        |         CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@' || source || '.example.com' ELSE '' END ||
+        |         CASE WHEN doc_id % 4 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END ||
+        |         CASE WHEN doc_id % 5 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS d
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(len(regexp_extract_all(d, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |       CAST(len(regexp_extract_all(d, '(?:[0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ips,
+        |       CAST(len(regexp_extract_all(d, '(?:\+[0-9]{1,2} )?[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |       md5(regexp_replace(regexp_replace(regexp_replace(d,
+        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |           '(?:[0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+        |           '(?:\+[0-9]{1,2} )?[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS red_fp
+        |FROM doctored ORDER BY doc_id""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(trim(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')))) AS fp,

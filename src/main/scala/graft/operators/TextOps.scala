@@ -155,4 +155,30 @@ object TextOps {
   /** Hamming distance between two 64-bit simhashes (bit_count is
    *  codegen'd). */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ---- PII redaction ----------------------------------------------------
+  // Patterns restricted to the Java∩RE2 common subset (explicit ASCII
+  // classes, non-capturing groups, greedy quantifiers, no lookaround or
+  // backreferences) so Spark and the DuckDB oracle match identically.
+
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "(?:[0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val PhonePattern = "(?:\\+[0-9]{1,2} )?[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** number of matches of a PII pattern (group 0 = whole match) */
+  def piiMatches(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0)))
+
+  /** Redact emails, then IPv4s, then phone numbers to typed tokens.
+   *  Order matters: the email local part may contain dotted digit runs
+   *  an IP pattern would claim, so emails go first; the replacement
+   *  tokens contain no digits/dots/dashes, so later passes cannot match
+   *  inside earlier redactions. All three are codegen'd
+   *  `regexp_replace` — no UDF. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      PhonePattern, "<PHONE>")
 }

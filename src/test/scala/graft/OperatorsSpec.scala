@@ -440,4 +440,27 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getInt(1))).toMap
     assert(got == Map(1L -> 10, 2L -> 3, 3L -> 0))
   }
+
+  test("PII redaction replaces emails/IPs/phones and nothing else") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail bob.smith+x@corp.example.com now"),
+      (2L, "host 192.168.0.1 and 10.0.0.255 up"),
+      (3L, "call +1 555-123-4567 or 555-987-6543"),
+      (4L, "v1.2.3 release at 3.4pm, no pii here"),
+      (5L, "a@b.io on 1.2.3.4")).toDF("id", "text")
+    val got = df.select($"id", TextOps.redactPii($"text").as("r"),
+        TextOps.piiMatches($"text", TextOps.EmailPattern).as("ne"),
+        TextOps.piiMatches($"text", TextOps.Ipv4Pattern).as("ni"),
+        TextOps.piiMatches($"text", TextOps.PhonePattern).as("np"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    assert(got(1L) == (("mail <EMAIL> now", 1, 0, 0)))
+    assert(got(2L) == (("host <IP> and <IP> up", 0, 2, 0)))
+    assert(got(3L) == (("call <PHONE> or <PHONE>", 0, 0, 2)))
+    // "v1.2.3" has only 2 dotted groups; "3.4pm" none — untouched
+    assert(got(4L) == (("v1.2.3 release at 3.4pm, no pii here", 0, 0, 0)))
+    // email local/domain dots must win over the IP pattern
+    assert(got(5L) == (("<EMAIL> on <IP>", 1, 1, 0)))
+  }
 }
