@@ -927,6 +927,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "text_decontam" -> ((s, d) => {
+      // Benchmark decontamination (the eval-overlap gate every training
+      // pipeline runs before a corpus ships): the "benchmark" is a
+      // deterministic ~1% slice of the corpus (doc_id % 97 == 0); a
+      // training doc is contaminated when >= 30% of its distinct token
+      // bigrams appear in the benchmark set. The benchmark gram set is
+      // tiny by construction -> broadcast join, so the corpus side
+      // never shuffles; per-doc agg is the only exchange. Two-stage
+      // oracle: the exploded gram frame is staged, DuckDB recomputes
+      // the join/agg/threshold stage exactly.
+      val grams = t(s, d, "documents").select(col("doc_id"),
+        explode(array_distinct(TextOps.tokenNgrams(col("text"), 2)))
+          .as("gram"))
+      val staged = stage(grams, d, "decontam_grams")
+      val bench = staged.where(col("doc_id") % 97 === 0)
+        .select(col("gram")).distinct().withColumn("hit", lit(1L))
+      staged.where(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench), Seq("gram"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(col("doc_id"), col("n_grams"), col("n_hits"),
+          (col("n_hits") * 1000 >= col("n_grams") * 300).cast("long")
+            .as("contaminated"))
+        .orderBy("doc_id")
+    }),
+
     "dedup_exact" -> ((s, d) => {
       Dedup.exact(t(s, d, "documents"), "doc_id", "text")
         .orderBy("fp")
@@ -1416,6 +1443,17 @@ object SparkEntry {
         |           '(?:[0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
         |           '(?:\+[0-9]{1,2} )?[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS red_fp
         |FROM doctored ORDER BY doc_id""".stripMargin,
+
+    "text_decontam" ->
+      """WITH g AS (SELECT * FROM read_parquet('/root/repo/target/oracle-stage/sf0.01/decontam_grams/*.parquet')),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+        |SELECT g.doc_id, COUNT(*) AS n_grams,
+        |       CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |       CAST(CASE WHEN SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) * 1000
+        |                      >= COUNT(*) * 300 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+        |FROM g LEFT JOIN bench b ON g.gram = b.gram
+        |WHERE g.doc_id % 97 <> 0
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(trim(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')))) AS fp,

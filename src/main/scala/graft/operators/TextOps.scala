@@ -156,6 +156,20 @@ object TextOps {
    *  codegen'd). */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Token n-grams joined with single spaces (the decontamination
+   *  unit): windows over [[tokens]], empty array when the doc has
+   *  fewer than `n` tokens. `sequence` must be guarded — Spark
+   *  generates DESCENDING sequences when stop < start. Stays inside
+   *  codegen (transform/slice/concat_ws). */
+  def tokenNgrams(c: Column, n: Int): Column = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val toks = tokens(c)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   // ---- PII redaction ----------------------------------------------------
   // Patterns restricted to the Java∩RE2 common subset (explicit ASCII
   // classes, non-capturing groups, greedy quantifiers, no lookaround or

@@ -441,6 +441,20 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map(1L -> 10, 2L -> 3, 3L -> 0))
   }
 
+  test("token n-grams window correctly incl. short docs") {
+    import spark.implicits._
+    val df = Seq((1L, "a b, c d!"), (2L, "x y"), (3L, "solo"), (4L, ""))
+      .toDF("id", "text")
+    val bi = df.select($"id", TextOps.tokenNgrams($"text", 2).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(bi(1L) == Seq("a b", "b c", "c d"))
+    assert(bi(2L) == Seq("x y"))
+    assert(bi(3L) == Nil && bi(4L) == Nil)
+    val tri = df.select($"id", TextOps.tokenNgrams($"text", 3).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(tri(1L) == Seq("a b c", "b c d") && tri(2L) == Nil)
+  }
+
   test("PII redaction replaces emails/IPs/phones and nothing else") {
     import spark.implicits._
     val df = Seq(
