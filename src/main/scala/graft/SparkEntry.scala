@@ -965,6 +965,19 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "dedup_substring" -> ((s, d) => {
+      // Substring-level exact dedup (Lee et al. 2021 at token-k-gram
+      // granularity): positions whose 4-gram fingerprint repeats
+      // corpus-wide mark duplicated token spans; overlapping spans
+      // merge per doc. Two-stage oracle: the positioned fingerprint
+      // frame is staged, DuckDB recomputes repeat-marking, island
+      // merge, and the per-doc rollup exactly.
+      val staged = stage(Dedup.substringGramFrame(
+          t(s, d, "documents"), "doc_id", "text", k = 4),
+        d, "substr_grams")
+      Dedup.substringDupSpans(staged, k = 4).orderBy("doc_id")
+    }),
+
     "dedup_minhash_lsh" -> ((s, d) => {
       // two-stage oracle: the hashed shingle sets and the LSH candidate
       // pairs are staged to parquet; DuckDB recomputes the exact-Jaccard
@@ -1481,6 +1494,23 @@ object SparkEntry {
     // sets / candidate pairs) as parquet under target/oracle-stage and
     // DuckDB verifies the exact pair-join / ranking stage over them.
     // The driver verifies at sf0.01, hence the staged paths below.
+
+    "dedup_substring" ->
+      """WITH f AS (SELECT * FROM read_parquet('/root/repo/target/oracle-stage/sf0.01/substr_grams/*.parquet')),
+        |dup AS (SELECT doc_id, pos FROM (
+        |          SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY fp) AS occ FROM f)
+        |        WHERE occ > 1),
+        |isl AS (SELECT doc_id, pos,
+        |          SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |        FROM (SELECT doc_id, pos,
+        |                CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 4
+        |                     THEN 1 ELSE 0 END AS brk
+        |              FROM dup)),
+        |sp AS (SELECT doc_id, island, MAX(pos) - MIN(pos) + 4 AS span_len
+        |       FROM isl GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(span_len) AS BIGINT) AS dup_tokens,
+        |       COUNT(*) AS n_spans
+        |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dedup_minhash_lsh" ->
       """WITH sh AS (SELECT * FROM read_parquet('/root/repo/target/oracle-stage/sf0.01/dedup_minhash_sh/*.parquet')),

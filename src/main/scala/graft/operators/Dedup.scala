@@ -406,6 +406,50 @@ object Dedup {
 
   /** Keep the first row per key by an ordering column (CDC-style
    *  "latest wins" dedup used widely in pipelines). */
+  /**
+   * Positioned k-gram fingerprint frame for substring-level dedup
+   * ("Deduplicating Training Data Makes Language Models Better", Lee
+   * et al. 2021, approximated at the token-k-gram granularity): one
+   * row per window position, `fp` = md5 of the space-joined k-gram.
+   * md5 keeps the downstream shuffle at 32 bytes/row regardless of
+   * gram width, and the oracle recomputes over the same fingerprints.
+   */
+  def substringGramFrame(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        posexplode(TextOps.tokenNgrams(col(textCol), k)))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        md5(col("col")).as("fp"))
+
+  /**
+   * Duplicated-substring spans from a positioned gram frame: a window
+   * position is duplicated when its fingerprint occurs at more than
+   * one (doc, pos) site corpus-wide; duplicated positions cover token
+   * interval [pos, pos+k-1]; overlapping/adjacent intervals merge
+   * per doc (gaps-and-islands). Output per doc: total duplicated
+   * tokens + merged span count.
+   *
+   * Two shuffles, both inherent: one on `fp` to find repeats (32-byte
+   * keys, map-side-combinable), one on `doc_id` for the island window.
+   * Never materializes pairs — cost is O(corpus), not O(dup²), which
+   * is what makes substring dedup feasible at 100 TB where a
+   * boilerplate k-gram can occur millions of times.
+   */
+  def substringDupSpans(grams: DataFrame, k: Int): DataFrame = {
+    val dup = grams
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy("fp")))
+      .where(col("occ") > 1)
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    dup
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(w) > k, 1).otherwise(0))
+      .withColumn("island", sum("brk").over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg((max("pos") - min("pos") + lit(k)).cast("long").as("span_len"))
+      .groupBy("doc_id")
+      .agg(sum("span_len").as("dup_tokens"), count(lit(1)).as("n_spans"))
+  }
+
   def latestPerKey(df: DataFrame, keyCols: Seq[String], orderCol: String): DataFrame = {
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol).desc)
     df.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")

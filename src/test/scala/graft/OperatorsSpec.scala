@@ -455,6 +455,28 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tri(1L) == Seq("a b c", "b c d") && tri(2L) == Nil)
   }
 
+  test("substring dup spans: repeats mark merged token intervals") {
+    import spark.implicits._
+    // docs 1 and 2 share the 5-token run "p q r s t" (k=3 -> windows
+    // at 3 consecutive positions merge into ONE span of 5 tokens);
+    // doc 3 repeats its own 3-gram "a b c" at two sites (within-doc
+    // repeats count); doc 4 shares nothing.
+    val df = Seq(
+      (1L, "p q r s t u v w"),
+      (2L, "x y p q r s t z"),
+      (3L, "a b c k m a b c"),
+      (4L, "unique words only here")).toDF("doc_id", "text")
+    val got = Dedup.substringDupSpans(
+        Dedup.substringGramFrame(df, "doc_id", "text", k = 3), k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // doc 1: positions 1,2,3 dup -> span [1,5] = 5 tokens
+    // doc 2: positions 3,4,5 dup -> span [3,7] = 5 tokens
+    // doc 3: positions 1 and 6 dup (gap 5 > k) -> two 3-token spans
+    assert(got == Map(1L -> ((5L, 1L)), 2L -> ((5L, 1L)),
+      3L -> ((6L, 2L))))
+  }
+
   test("PII redaction replaces emails/IPs/phones and nothing else") {
     import spark.implicits._
     val df = Seq(
