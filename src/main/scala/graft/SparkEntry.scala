@@ -1121,6 +1121,24 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "dedup_semantic" -> ((s, d) => {
+      // SemDeDup: k-means cells (the IVF trainer reused as the
+      // clustering stage) bound the pairwise cosine scan; lowest-id
+      // representative survives per dup chain. The (id, cell)
+      // assignment stages to parquet; DuckDB recomputes the
+      // within-cell pair/threshold/representative stage exactly.
+      val emb = t(s, d, "embeddings")
+      val cents = Similarity.ivfTrain(emb, "vec_id", "embedding",
+        nCells = 16, iters = 2)
+      val assigned = stage(
+        Similarity.ivfAssign(emb, "vec_id", "embedding", cents),
+        d, "semdedup_assign")
+      Dedup.semanticDupMarks(assigned, emb, "vec_id", "embedding",
+          minCosineMilli = 300)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")
+    }),
+
     // ---- multimodal plumbing -------------------------------------------
 
     "mm_frames" -> ((s, d) => {
@@ -1613,6 +1631,20 @@ object SparkEntry {
         |  ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE CAST(ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 1000) AS BIGINT) >= 300
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_semantic" ->
+      """WITH a AS (SELECT * FROM read_parquet('/root/repo/target/oracle-stage/sf0.01/semdedup_assign/*.parquet')),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT x.vec_id AS id, MIN(y.vec_id) AS dup_of
+        |      FROM a x JOIN a y ON x.cell = y.cell AND y.vec_id < x.vec_id
+        |      JOIN e ex ON ex.vec_id = x.vec_id
+        |      JOIN e ey ON ey.vec_id = y.vec_id
+        |      WHERE CAST(ROUND(list_cosine_similarity(ex.v, ey.v) * 1000) AS BIGINT) >= 300
+        |      GROUP BY 1)
+        |SELECT a.vec_id, a.cell, COALESCE(p.dup_of, -1) AS dup_of,
+        |       CAST(CASE WHEN p.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM a LEFT JOIN p ON p.id = a.vec_id
+        |ORDER BY vec_id""".stripMargin,
 
     "mm_frames" ->
       """WITH m AS (

@@ -407,6 +407,49 @@ object Dedup {
   /** Keep the first row per key by an ordering column (CDC-style
    *  "latest wins" dedup used widely in pipelines). */
   /**
+   * SemDeDup-style semantic dedup marks ("SemDeDup: Data-efficient
+   * learning at web-scale through semantic deduplication", Abbas et
+   * al. 2023): given a (id, cell) clustering of the embedding space
+   * (k-means cells — [[Similarity.ivfTrain]]/[[Similarity.ivfAssign]]
+   * are exactly that), a row is a semantic duplicate when a LOWER-id
+   * row in the SAME cell has cosine >= threshold; the kept
+   * representative per dup chain is the lowest id. The cluster is what
+   * bounds the pairwise stage — cells are O(corpus/nCells), so the
+   * within-cell self-join never goes corpus-quadratic, which is the
+   * paper's core scaling argument and the same shape as
+   * [[embeddingPairs]]' block bound.
+   *
+   * Output: (id, cell, dup_of = lowest qualifying lower id or -1,
+   * kept 0/1). Deterministic given the assignment, so the oracle
+   * recomputes it exactly from the staged (id, cell) frame.
+   */
+  def semanticDupMarks(assigned: DataFrame, df: DataFrame, idCol: String,
+      vecCol: String, minCosineMilli: Int): DataFrame = {
+    val vecs = df.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+    val t = assigned.select(col(idCol).as("id"), col("cell"))
+      .join(vecs, Seq("id"))
+    val a = t.select(col("cell"), col("id").as("id_a"), col("v").as("v_a"),
+      col("nrm").as("n_a"))
+    val b = t.select(col("cell"), col("id").as("id_b"), col("v").as("v_b"),
+      col("nrm").as("n_b"))
+    val dup = a.join(b, Seq("cell"))
+      .where(col("id_b") < col("id_a"))
+      .select(col("id_a").as("id"), col("id_b"),
+        round(Similarity.dot(col("v_a"), col("v_b"))
+            / (col("n_a") * col("n_b")) * 1000).cast("long")
+          .as("cos_milli"))
+      .where(col("cos_milli") >= minCosineMilli)
+      .groupBy(col("id")).agg(min("id_b").as("dup_of"))
+    t.select(col("id"), col("cell"))
+      .join(dup, Seq("id"), "left")
+      .select(col("id"), col("cell"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+        col("dup_of").isNull.cast("long").as("kept"))
+  }
+
+  /**
    * Positioned k-gram fingerprint frame for substring-level dedup
    * ("Deduplicating Training Data Makes Language Models Better", Lee
    * et al. 2021, approximated at the token-k-gram granularity): one

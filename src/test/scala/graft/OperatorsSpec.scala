@@ -455,6 +455,26 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tri(1L) == Seq("a b c", "b c d") && tri(2L) == Nil)
   }
 
+  test("semantic dedup marks lower-id in-cell neighbors only") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)), (2L, Seq(0.99, 0.1, 0.0)), // dups, cell 0
+      (3L, Seq(0.0, 1.0, 0.0)),                            // lone, cell 0
+      (4L, Seq(0.0, 0.0, 1.0)), (5L, Seq(0.0, 0.1, 0.99)), // dups, cell 1
+      (6L, Seq(1.0, 0.05, 0.0))                            // ≈vec 1 but cell 1:
+    ).toDF("vec_id", "embedding")                          //   must NOT mark
+    val assigned = Seq((1L, 0), (2L, 0), (3L, 0), (4L, 1), (5L, 1), (6L, 1))
+      .toDF("vec_id", "cell")
+    val got = Dedup.semanticDupMarks(assigned, vecs, "vec_id", "embedding",
+        minCosineMilli = 900)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) == ((-1L, 1L)) && got(2L) == ((1L, 0L)))
+    assert(got(3L) == ((-1L, 1L)))
+    assert(got(4L) == ((-1L, 1L)) && got(5L) == ((4L, 0L)))
+    assert(got(6L) == ((-1L, 1L))) // cross-cell similarity never marks
+  }
+
   test("substring dup spans: repeats mark merged token intervals") {
     import spark.implicits._
     // docs 1 and 2 share the 5-token run "p q r s t" (k=3 -> windows
