@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{DotProduct, LshBucket}
+import org.apache.spark.sql.graft.{DotProduct, JaccardMilli, LshBucket}
 
 /**
  * Native Catalyst expressions for the vector hot path — the brief's
@@ -29,4 +29,11 @@ object VectorExpressions {
    *  memoized plane matrix; null array / null element → null. */
   def lshBucket(vec: Column, nbits: Int, table: Int): Column =
     LshBucket.asColumn(vec, nbits, table)
+
+  /** Exact milli-Jaccard of two sorted distinct array<int> sets via a
+   *  single allocation-free merge (see `org.apache.spark.sql.graft
+   *  .JaccardMilli`; plan-pinned nondeterministic — the doc there
+   *  explains why). */
+  def jaccardMilliSorted(a: Column, b: Column): Column =
+    JaccardMilli.asColumn(a, b)
 }

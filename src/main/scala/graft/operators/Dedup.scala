@@ -59,15 +59,32 @@ object Dedup {
    */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, n: Int, minMilli: Int): DataFrame = {
-    // shingle sizes are projected alongside the sets (codegen
-    // subexpression elimination computes the set once per row) so the
-    // per-pair prefilter below touches only two longs, never the arrays.
-    // The shingle frame is persisted: both self-join sides derive from
-    // it, and without a cache each side re-tokenizes the corpus. One
-    // spill-safe copy of the shingle sets is the standard LSH trade;
-    // it is unpersisted before returning (result is materialized below).
-    val t = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
-        shingles(col(textCol), n).as("sh"))
+    val base = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      shingles(col(textCol), n).as("sh"))
+    // Dictionary-encode shingles to dense per-block ints before the
+    // pair stage: the dictionary is a bijection within the block, so
+    // per-pair intersection counts — and therefore every output value —
+    // are identical to string-set Jaccard, but each pair eval becomes a
+    // primitive merge over two sorted int arrays instead of building a
+    // string HashSet per pair (the measured hot spot: at sf1 94% of the
+    // ~6M candidate pairs survive to output, so per-pair constant cost
+    // IS the runtime). The narrow int arrays also shrink the self-join
+    // shuffle. Docs with empty shingle sets drop out of the explode;
+    // they cannot reach any output pair (empty vs empty -> jaccard 0,
+    // empty vs non-empty -> size-ratio prune), so results are
+    // unchanged. Per-block vocabulary is dictionary-bounded — the same
+    // boundedness the block declaration already asserts for the pair
+    // space itself.
+    val dict = base.select(col("blk"), explode(col("sh")).as("s")).distinct()
+      .withColumn("idx",
+        row_number().over(Window.partitionBy("blk").orderBy("s")))
+    // shingle frame persisted: both self-join sides derive from it, and
+    // without a cache each side would re-tokenize + re-encode. One
+    // spill-safe copy is the standard trade; unpersisted on return.
+    val t = base.select(col("blk"), col("id"), explode(col("sh")).as("s"))
+      .join(dict, Seq("blk", "s"))
+      .groupBy(col("blk"), col("id"))
+      .agg(sort_array(collect_list(col("idx"))).as("sh"))
       .select(col("blk"), col("id"), col("sh"),
         size(col("sh")).cast("long").as("sz"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -76,22 +93,14 @@ object Dedup {
         col("sz").as("sz_a"))
       val b = t.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"),
         col("sz").as("sz_b"))
-      // Single-pass JVM Jaccard (hash-set membership count) with the
-      // exact arithmetic of `jaccardMilli`/the SQL oracle. Marked
-      // nondeterministic NOT because it is (it is pure) but to pin the
-      // plan: a deterministic UDF filter gets pushed through the
-      // projection back into the join condition, re-evaluating the
-      // O(|A|+|B|) intersection once in the join filter and once in
-      // the projection per surviving pair. Nondeterministic aliases
-      // block that rewrite, so the intersection runs EXACTLY once.
-      val jm = udf((x: Seq[String], y: Seq[String]) => {
-        val set = new java.util.HashSet[String](x.length * 2)
-        x.foreach(set.add)
-        var inter = 0L
-        y.foreach { v => if (set.contains(v)) inter += 1L }
-        val uni = x.length.toLong + y.length.toLong - inter
-        if (uni == 0L) 0L else math.floor(1000.0 * inter / uni).toLong
-      }).asNondeterministic()
+      // Single-pass merge intersection over the sorted dictionary
+      // codes as a native codegen'd Catalyst expression — reads the
+      // int ArrayData in place, no per-pair conversion or allocation.
+      // Plan-pinned nondeterministic (the expression's doc explains
+      // the double-eval rewrite it blocks), so it runs EXACTLY once
+      // per pair.
+      val jm = (x: Column, y: Column) =>
+        graft.functions.VectorExpressions.jaccardMilliSorted(x, y)
       // join on the cheap conjuncts only: ids and sizes are longs; the
       // size-ratio bound Jaccard(A,B) <= min(|A|,|B|)/max(|A|,|B|)
       // prunes pairs that cannot reach minMilli before the intersection
