@@ -27,15 +27,16 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
-  /** Distinct word n-gram shingles of the normalized text. */
+  /** Distinct word n-gram shingles of the normalized text. For n > 1
+   *  the windows come from the native `TokenNgrams` expression — the
+   *  `transform(sequence, slice)` formulation it replaces re-evaluated
+   *  the token subtree once per position (see the expression's doc);
+   *  the gram VALUES are identical. */
   def shingles(c: Column, n: Int): Column = {
     val toks = TextOps.tokens(TextOps.normalize(c))
     if (n == 1) array_distinct(toks)
     else array_distinct(
-      when(size(toks) < n, array())
-        .otherwise(transform(
-          sequence(lit(0), size(toks) - lit(n)),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      org.apache.spark.sql.graft.TokenNgrams.asColumn(toks, n))
   }
 
   /** Jaccard similarity of two array columns, in exact integer

@@ -158,17 +158,15 @@ object TextOps {
 
   /** Token n-grams joined with single spaces (the decontamination
    *  unit): windows over [[tokens]], empty array when the doc has
-   *  fewer than `n` tokens. `sequence` must be guarded — Spark
-   *  generates DESCENDING sequences when stop < start. Stays inside
-   *  codegen (transform/slice/concat_ws). */
-  def tokenNgrams(c: Column, n: Int): Column = {
-    require(n >= 1, s"n-gram size must be >= 1, got $n")
-    val toks = tokens(c)
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - lit(n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-  }
+   *  fewer than `n` tokens. Native expression
+   *  (`org.apache.spark.sql.graft.TokenNgrams`) rather than
+   *  `transform(sequence, i -> concat_ws(slice))`: the lambda inlines
+   *  the token subtree per POSITION, re-splitting the text once per
+   *  window (measured 3.5x the entry runtime; quadratic in doc
+   *  length), where the unary expression evaluates the token array
+   *  exactly once per row. */
+  def tokenNgrams(c: Column, n: Int): Column =
+    org.apache.spark.sql.graft.TokenNgrams.asColumn(tokens(c), n)
 
   // ---- PII redaction ----------------------------------------------------
   // Patterns restricted to the Java∩RE2 common subset (explicit ASCII
