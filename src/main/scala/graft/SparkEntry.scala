@@ -959,6 +959,46 @@ object SparkEntry {
         .orderBy("fp")
     }),
 
+    "pipeline_corpus_filter" -> ((s, d) => {
+      // The capstone composition every training pipeline ships: one
+      // declarative plan chaining quality gate + language gate +
+      // exact-dup removal (min-id representative per fingerprint) +
+      // eval-slice exclusion + benchmark decontamination. Each stage
+      // is the already-verified operator; Catalyst fuses the scalar
+      // gates into one scan pass, the dup window shuffles on the
+      // 16-byte fingerprint, and the contamination side is the
+      // broadcast-join shape of text_decontam feeding a broadcast
+      // anti-join (the contaminated-id set is tiny by construction).
+      val docs = t(s, d, "documents")
+      val grams = docs.select(col("doc_id"),
+        explode(array_distinct(TextOps.tokenNgrams(col("text"), 2)))
+          .as("gram"))
+      val staged = stage(grams, d, "pipeline_grams")
+      val bench = staged.where(col("doc_id") % 97 === 0)
+        .select(col("gram")).distinct().withColumn("hit", lit(1L))
+      val contam = staged.where(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench), Seq("gram"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .where(col("n_hits") * 1000 >= col("n_grams") * 300)
+        .select("doc_id")
+      val scored = docs.select(col("doc_id"),
+        TextOps.qualityScore(col("text")).as("quality"),
+        TextOps.langId(col("text")).as("lang_guess"),
+        TextOps.fingerprint(col("text")).as("fp"))
+      // dup representative is elected over the FULL corpus (before any
+      // gate), so a kept doc never changes when thresholds move
+      scored
+        .withColumn("keep_id", min("doc_id").over(Window.partitionBy("fp")))
+        .where(col("doc_id") % 97 =!= 0 && col("quality") >= 150 &&
+          col("lang_guess") =!= "unknown" &&
+          col("doc_id") === col("keep_id"))
+        .join(contam, Seq("doc_id"), "left_anti")
+        .select("doc_id", "quality", "lang_guess")
+        .orderBy("doc_id")
+    }),
+
     "dedup_jaccard_pairs" -> ((s, d) => {
       Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text",
           blockCol = "source", n = 1, minMilli = 300)
@@ -1457,6 +1497,8 @@ object SparkEntry {
 
     "text_langid" -> langIdOracle,
 
+    "pipeline_corpus_filter" -> pipelineFilterOracle,
+
     "text_pii" ->
       """WITH doctored AS (
         |  SELECT doc_id,
@@ -1667,20 +1709,61 @@ object SparkEntry {
   )
 
   /** lang-ID oracle: the same padded stopword-count argmax formula. */
-  private def langIdOracle: String = {
-    def occ(w: String) =
-      s"(length(' '||text||' ') - length(replace(' '||text||' ', ' $w ', ''))) // ${w.length + 2}"
-    def hits(ws: Seq[String]) = ws.map(occ).mkString("(", " + ", ")")
+  private def occSql(w: String) =
+    s"(length(' '||text||' ') - length(replace(' '||text||' ', ' $w ', ''))) // ${w.length + 2}"
+
+  /** SQL mirror of `TextOps.langId(text)` (an expression, reused by the
+   *  langid and pipeline oracles). */
+  private def langIdSqlCase: String = {
+    def hits(ws: Seq[String]) = ws.map(occSql).mkString("(", " + ", ")")
     val en = hits(TextOps.EnStop); val de = hits(TextOps.DeStop)
     val fr = hits(TextOps.FrStop); val es = hits(TextOps.EsStop)
-    s"""WITH g AS (
-       |  SELECT doc_id,
-       |    CASE WHEN GREATEST($en, $de, $fr, $es) = 0 THEN 'unknown'
+    s"""CASE WHEN GREATEST($en, $de, $fr, $es) = 0 THEN 'unknown'
        |         WHEN $en = GREATEST($en, $de, $fr, $es) THEN 'en'
        |         WHEN $de = GREATEST($en, $de, $fr, $es) THEN 'de'
        |         WHEN $fr = GREATEST($en, $de, $fr, $es) THEN 'fr'
-       |         ELSE 'es' END AS lang_guess
+       |         ELSE 'es' END""".stripMargin
+  }
+
+  /** SQL mirror of `TextOps.qualityScore(text)` — the same integer
+   *  formula the text_stats oracle spells inline. */
+  private def qualitySqlExpr: String = {
+    val stop = TextOps.EnStop.map(occSql).mkString("(", " + ", ")")
+    s"""GREATEST(0, LEAST(1000,
+       |  2 * len(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'), x -> x <> ''))
+       |  + 10 * $stop
+       |  - 5 * length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+       |  + length(text) // 10))""".stripMargin
+  }
+
+  private def langIdOracle: String =
+    s"""WITH g AS (
+       |  SELECT doc_id, $langIdSqlCase AS lang_guess
        |  FROM documents)
        |SELECT lang_guess, count(*) AS n FROM g GROUP BY 1 ORDER BY 1""".stripMargin
-  }
+
+  private def pipelineFilterOracle: String =
+    s"""WITH g AS (SELECT * FROM read_parquet('/root/repo/target/oracle-stage/sf0.01/pipeline_grams/*.parquet')),
+       |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+       |contam AS (
+       |  SELECT g.doc_id
+       |  FROM g LEFT JOIN bench b ON g.gram = b.gram
+       |  WHERE g.doc_id % 97 <> 0
+       |  GROUP BY g.doc_id
+       |  HAVING SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) * 1000 >= COUNT(*) * 300),
+       |scored AS (
+       |  SELECT doc_id,
+       |         CAST($qualitySqlExpr AS BIGINT) AS quality,
+       |         $langIdSqlCase AS lang_guess,
+       |         md5(trim(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')))) AS fp
+       |  FROM documents),
+       |keep AS (SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS keep_id FROM scored)
+       |SELECT k.doc_id, k.quality, k.lang_guess
+       |FROM keep k
+       |WHERE k.doc_id % 97 <> 0
+       |  AND k.quality >= 150
+       |  AND k.lang_guess <> 'unknown'
+       |  AND k.doc_id = k.keep_id
+       |  AND k.doc_id NOT IN (SELECT doc_id FROM contam)
+       |ORDER BY k.doc_id""".stripMargin
 }
