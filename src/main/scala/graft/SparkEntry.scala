@@ -783,6 +783,82 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "cdc_rpc_scan" -> ((s, d) => {
+      // S12 end-to-end over the WIRE protocol: create + bulk-load the
+      // table through RPC frames, CDC-delete so DVs exist, then read
+      // PURELY from the scan_table_begin blob — an external reader
+      // gets data-file paths and DV byte ranges from the scan state
+      // and must reconstruct exactly the library read. The DV bitmaps
+      // broadcast (they are small by construction); the scan itself is
+      // a plain distributed parquet read filtered on
+      // _metadata.row_index.
+      import graft.sources.{RpcServer, RpcWire, ScanState}
+      val catalog = GraftCatalog(s, freshDir("rpcwh"))
+      val server = new RpcServer(catalog)
+      def call[A](r: RpcWire.Request)(read: RpcWire.Dec => A): A =
+        RpcWire.decodeResult(RpcWire.unframe(server.handleFrame(
+          RpcWire.frame(RpcWire.encodeRequest(r)))))(read)
+          .fold(e => throw new IllegalStateException(e.message), identity)
+      val boundary = events(s, d).agg(max(col("event_id"))).head().getLong(0)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+      val snap = events(s, d)
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      val srcDir = freshDir("rpcsrc")
+      snap.write.parquet(srcDir)
+      call(RpcWire.CreateTable("db", "ev", "parquet", srcDir,
+        """{"schema":[{"name":"user_id","type":"int64"},
+          |{"name":"event_id","type":"int64"},
+          |{"name":"event_type","type":"string"},
+          |{"name":"value","type":"float64"}],"key":["user_id"]}"""
+          .stripMargin))(_ => ())
+      val table = catalog.table("db.ev")
+      CdcPipeline.applyBatch(table, snap
+        .where(col("event_type") === "purchase")
+        .select(lit("d").as("_op"), lit(boundary + 1).as("_lsn"),
+          col("user_id"), lit(null).cast("long").as("event_id"),
+          lit(null).cast("string").as("event_type"),
+          lit(null).cast("double").as("value")))
+      val blob = call(RpcWire.ScanTableBegin("db", "ev", table.commitLsn))(
+        _.bytesField())
+      val st = ScanState.decode(blob)
+      // blob-driven DV reconstruction: per data-file deleted positions
+      val deadByName: Map[String, Array[Long]] = st.deletionVectors
+        .groupBy(_.dataFileNumber).map { case (num, refs) =>
+          val bm = new org.roaringbitmap.longlong.Roaring64Bitmap
+          refs.foreach { r =>
+            val sidecar = graft.format.Fio.readBytes(
+              st.puffinFiles(r.puffinFileNumber))
+            val one = new org.roaringbitmap.longlong.Roaring64Bitmap
+            one.deserialize(new java.io.DataInputStream(
+              new java.io.ByteArrayInputStream(java.util.Arrays
+                .copyOfRange(sidecar, r.offset, r.offset + r.size))))
+            bm.or(one)
+          }
+          val name = st.dataFiles(num)
+            .substring(st.dataFiles(num).lastIndexOf('/') + 1)
+          name -> bm.toArray
+        }
+      val deadBc = s.sparkContext.broadcast(deadByName.map {
+        case (k, v) => k -> v.toSet
+      })
+      val isLive = udf((file: String, pos: Long) => {
+        val name = file.substring(file.lastIndexOf('/') + 1)
+        !deadBc.value.getOrElse(name, Set.empty[Long]).contains(pos)
+      })
+      val out = s.read.parquet(st.dataFiles: _*)
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("_metadata.file_path").as("_file"),
+          col("_metadata.row_index").as("_pos"))
+        .where(isLive(col("_file"), col("_pos")))
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          cents(col("value")).as("value_cents"))
+        .orderBy("user_id")
+      val materialized = out.localCheckpoint(true)
+      call(RpcWire.ScanTableEnd("db", "ev"))(_ => ())
+      materialized
+    }),
+
     "proto_row_ingest" -> ((s, d) => {
       // S4 end-to-end: events encoded as MoonlinkRow protobuf wire
       // messages, decoded distributed, appended, aggregated — the
@@ -1449,6 +1525,16 @@ object SparkEntry {
         |ORDER BY user_id""".stripMargin,
 
     "cdc_bulk_load" ->
+      """WITH last AS (
+        |  SELECT user_id, event_id, event_type, value
+        |  FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)
+        |SELECT user_id, event_id AS last_event_id,
+        |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
+        |FROM last WHERE event_type <> 'purchase'
+        |ORDER BY user_id""".stripMargin,
+
+    "cdc_rpc_scan" ->
       """WITH last AS (
         |  SELECT user_id, event_id, event_type, value
         |  FROM events

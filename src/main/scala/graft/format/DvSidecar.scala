@@ -54,6 +54,27 @@ object DvSidecar {
     }
   }
 
+  /** (data-file name, blob byte offset, blob size) per entry — the
+   *  in-sidecar addresses the S12 scan protocol publishes as its
+   *  deletion-vector refs, so a reader can fetch exactly one bitmap's
+   *  byte range. */
+  def blobRefs(bytes: Array[Byte]): Seq[(String, Int, Int)] = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    require(in.readInt() == Magic, "not a GDV1 deletion-vector sidecar")
+    val n = in.readInt()
+    var pos = 8
+    (0 until n).map { _ =>
+      val nameLen = in.readInt()
+      val nb = new Array[Byte](nameLen)
+      in.readFully(nb)
+      val blobLen = in.readInt()
+      in.skipBytes(blobLen)
+      val off = pos + 4 + nameLen + 4
+      pos = off + blobLen
+      (new String(nb, StandardCharsets.UTF_8), off, blobLen)
+    }
+  }
+
   def write(path: String, entries: Seq[(String, Roaring64Bitmap)]): Unit =
     Fio.writeBytesAtomic(path, toBytes(entries))
 

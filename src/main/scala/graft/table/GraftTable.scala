@@ -965,6 +965,11 @@ final class GraftTable private (
     DvSidecar.write(s"$root/dv/$name", byFile.toSeq)
   }
 
+  /** committed live cardinality from manifest stats (no scan) */
+  def liveRowCount: Long = synchronized {
+    fileEntries.values.map(e => e.rows - e.deletes).sum
+  }
+
   def currentManifest: Manifest = Manifest(versionVar, commitLsnVar,
     flushLsnVar, schemaVar.json, keyCols, fileEntries.values.toSeq,
     dvFiles.toSeq, indexFiles.toSeq, lastFieldIdVar, droppedColsVar.toSeq)
@@ -1026,6 +1031,10 @@ final class GraftTable private (
       private[GraftTable] val dvPins: Set[String],
       private[GraftTable] val idxPins: Set[String],
       val df: DataFrame) extends AutoCloseable {
+    /** the pinned snapshot's file names (S12 scan protocol publishes
+     *  these as the scan-state blob) */
+    def pinnedDataFiles: Seq[String] = dataFiles.toSeq.sorted
+    def pinnedDvFiles: Seq[String] = dvPins.toSeq.sorted
     override def close(): Unit = releasePin(this)
   }
 
