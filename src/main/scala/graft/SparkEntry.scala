@@ -1161,6 +1161,36 @@ object SparkEntry {
       out
     }),
 
+    "dedup_components" -> ((s, d) => {
+      // Near-dup PAIRS -> transitive duplicate CLUSTERS: A~B and B~C
+      // must collapse to one cluster even though (A,C) was never a
+      // candidate pair. Edges = MinHash/LSH candidates verified at
+      // jaccard >= 200 milli (staged; DuckDB recomputes the components
+      // over the SAME edges by recursive closure); labeling = the
+      // alternating large-star/small-star contraction in
+      // Dedup.connectedComponents — O(log n) rounds of groupBy+join,
+      // no neighbor list ever materialized. Every document gets a row
+      // (isolated docs represent themselves) so the output IS the
+      // dedup verdict: keep rows where doc_id = cluster_rep.
+      val sh = stage(Dedup.minhashShingleFrame(
+          t(s, d, "documents"), "doc_id", "text", shingleN = 2),
+        d, "dedup_comp_sh")
+      val edges = stage(Dedup.verifyJaccardMilli(sh,
+          Dedup.minhashCandidates(sh, numHashes = 64, bands = 16),
+          minMilli = 200).select(col("id_a"), col("id_b")),
+        d, "dedup_comp_edges")
+      val comp = Dedup.connectedComponents(edges, "id_a", "id_b")
+      val labeled = t(s, d, "documents").select(col("doc_id"))
+        .join(comp, col("doc_id") === comp("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("cluster_rep"))
+      val sizes = labeled.groupBy("cluster_rep")
+        .agg(count(lit(1)).as("cluster_size"))
+      labeled.join(sizes, "cluster_rep")
+        .select(col("doc_id"), col("cluster_rep"), col("cluster_size"))
+        .orderBy("doc_id")
+    }),
+
     "dedup_simhash" -> ((s, d) => {
       // hamming <= 6 of 64: the typical near-dup band; pigeonhole
       // blocking = 7 chunks of 9+ bits, so blocks stay selective.
@@ -1681,6 +1711,25 @@ object SparkEntry {
         |  AND CAST(FLOOR(1000.0 * len(list_intersect(a.hs, b.hs)) /
         |            (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))) AS BIGINT) >= 200
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_components" ->
+      """WITH RECURSIVE raw AS (
+        |  SELECT id_a, id_b FROM read_parquet('/root/repo/target/oracle-stage/sf0.01/dedup_comp_edges/*.parquet')),
+        |e AS (SELECT id_a AS a, id_b AS b FROM raw
+        |      UNION SELECT id_b, id_a FROM raw),
+        |reach(src, dst) AS (
+        |  SELECT a, a FROM e
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.dst),
+        |comp AS (SELECT src AS id, MIN(dst) AS comp FROM reach GROUP BY src),
+        |labeled AS (
+        |  SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_rep
+        |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+        |sizes AS (SELECT cluster_rep, COUNT(*) AS cluster_size
+        |          FROM labeled GROUP BY cluster_rep)
+        |SELECT l.doc_id, l.cluster_rep, s.cluster_size
+        |FROM labeled l JOIN sizes s USING (cluster_rep)
+        |ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash" ->
       """WITH fp AS (SELECT * FROM read_parquet('/root/repo/target/oracle-stage/sf0.01/dedup_simhash_fp/*.parquet'))

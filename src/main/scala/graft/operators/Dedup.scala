@@ -507,4 +507,98 @@ object Dedup {
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol).desc)
     df.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
   }
+
+  /**
+   * Connected components over a near-dup pair graph — the step between
+   * pair generation (MinHash/SimHash/embedding) and "keep one
+   * representative per duplicate CLUSTER": transitivity means A~B and
+   * B~C must collapse to one cluster even though (A,C) was never a
+   * candidate pair.
+   *
+   * Algorithm: alternating large-star / small-star (Kiveris et al.,
+   * "Connected Components in MapReduce and Beyond", SoCC 2014) — the
+   * 100-TB-scale choice: converges in O(log^2 n) rounds (O(log n) in
+   * practice), and each round is ONE groupBy-min plus ONE equi-join,
+   * both shuffling on node id. No per-node neighbor lists are ever
+   * materialized (no `collect_list`), so a million-member duplicate
+   * cluster — the boilerplate-page shape — costs O(edges) per round,
+   * not O(cluster^2), and a hub node's neighborhood never has to fit
+   * in one task. Label-propagation by contrast needs diameter rounds;
+   * star-contraction halves tree heights every round.
+   *
+   * Each round's output is `localCheckpoint`ed: iterative plans
+   * otherwise double their lineage per round and Catalyst re-analysis
+   * goes quadratic. Convergence is detected by an aggregate signature
+   * (count + xor/sum of edge hashes) — one tiny agg per round, not an
+   * except() anti-join over the full edge set.
+   *
+   * Input: one row per undirected edge (`aCol`, `bCol`), any
+   * orientation, duplicates/self-loops tolerated. Output: (`id`,
+   * `comp`) for every node incident to an edge, where `comp` is the
+   * smallest node id in the component (the canonical representative).
+   * Nodes with no edges are absent — callers coalesce(comp, id).
+   */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val spark = edges.sparkSession
+    // canonical small->large, self-loops dropped, deduped
+    var e = edges
+      .select(least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .where(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+
+    // count + two independently-mixed xor folds; xor (not sum) because
+    // ANSI mode faults on long overflow and the edge set is distinct
+    def signature(df: DataFrame): (Long, Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        bit_xor(xxhash64(col("u"), col("v"))),
+        bit_xor(xxhash64(col("v"), lit(0x9e3779b9L), col("u")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
+
+    // large-star: every node u links its LARGER neighbors to
+    // m = min(N(u) ∪ {u}); small-star: every node links its smaller
+    // neighbors and itself to the minimum. Both are groupBy+join on
+    // node id — the min is computed by aggregation, then re-attached,
+    // so the neighborhood itself never gathers anywhere.
+    def largeStar(cur: DataFrame): DataFrame = {
+      val sym = cur.select(col("u"), col("v"))
+        .union(cur.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      sym.join(mins, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .select(least(col("u"), col("v")).as("u"),
+          greatest(col("u"), col("v")).as("v"))
+        .where(col("u") =!= col("v")).distinct()
+    }
+    def smallStar(cur: DataFrame): DataFrame = {
+      // edges already point large->small as (v, u) with u < v
+      val mins = cur.groupBy("v").agg(min(col("u")).as("m"))
+      val relink = cur.join(mins, "v")
+        .select(col("u"), col("m").as("v"))
+      val self = mins.select(col("v").as("u"), col("m").as("v"))
+      relink.union(self)
+        .select(least(col("u"), col("v")).as("u"),
+          greatest(col("u"), col("v")).as("v"))
+        .where(col("u") =!= col("v")).distinct()
+    }
+
+    var sig = signature(e)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      sig = nextSig
+      e = next
+      rounds += 1
+    }
+    // fixpoint is a star forest: every edge is (member, root)
+    e.select(col("v").as("id"), col("u").as("comp"))
+      .union(e.select(col("u").as("id"), col("u").as("comp")).distinct())
+      .distinct()
+  }
 }

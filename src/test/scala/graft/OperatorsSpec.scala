@@ -519,4 +519,55 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // email local/domain dots must win over the IP pattern
     assert(got(5L) == (("<EMAIL> on <IP>", 1, 1, 0)))
   }
+
+  /** reference labeling: plain union-find over the same edges */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def componentsOf(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("connected components: chains, stars, and isolated pairs collapse to min id") {
+    // two chains sharing no nodes, a star, a self-loop, a dup edge
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),            // chain -> comp 1
+      (10L, 11L), (11L, 12L),                  // chain -> comp 10
+      (20L, 21L), (20L, 22L), (20L, 23L),      // star  -> comp 20
+      (30L, 30L),                              // self-loop: dropped, 30 absent
+      (40L, 41L), (41L, 40L))                  // dup orientation -> comp 40
+    val got = componentsOf(edges)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L,
+      40L -> 40L, 41L -> 40L))
+  }
+
+  test("connected components: long path needs multiple contraction rounds") {
+    // a 200-node path (diameter 199) — label propagation would need
+    // ~200 rounds; star contraction must converge in O(log n)
+    val edges = (0L until 199L).map(i => (i + 1, i))
+    val got = componentsOf(edges)
+    assert(got.size == 200 && got.values.forall(_ == 0L))
+  }
+
+  test("connected components: random graph matches union-find") {
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+    val want = unionFind(edges)
+    assert(componentsOf(edges) == want)
+  }
 }
