@@ -1003,6 +1003,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "text_gopher" -> ((s, d) => {
+      // Gopher repetition/quality rules (Rae et al. 2021, table A1).
+      // The synthetic corpus is single-line prose, so the entry
+      // doctors multi-line structure in deterministically from doc_id
+      // — duplicate lines, bullet lines, an ellipsis-terminated line,
+      // a symbol run — making every rule's numerator nonzero on a
+      // known subset; the oracle builds the identical string in SQL,
+      // so the rule arithmetic itself is the thing under test.
+      val doctored = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          lit("\nrepeat line alpha\nrepeat line alpha\n- bullet one\n* bullet two"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          lit("\nto be continued...\n### heading")).otherwise(lit("")))
+      TextOps.gopherStats(
+        t(s, d, "documents").withColumn("text", doctored),
+        "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     "text_decontam" -> ((s, d) => {
       // Benchmark decontamination (the eval-overlap gate every training
       // pipeline runs before a corpus ships): the "benchmark" is a
@@ -1632,6 +1652,58 @@ object SparkEntry {
         |           '(?:[0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
         |           '(?:\+[0-9]{1,2} )?[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS red_fp
         |FROM doctored ORDER BY doc_id""".stripMargin,
+
+    "text_gopher" ->
+      """WITH base AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'repeat line alpha' || chr(10) || 'repeat line alpha' || chr(10) || '- bullet one' || chr(10) || '* bullet two' ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'to be continued...' || chr(10) || '### heading' ELSE '' END AS text
+        |  FROM documents),
+        |tokstats AS (
+        |  SELECT doc_id,
+        |         len(list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'), x -> x <> '')) AS n_words,
+        |         list_sum(list_transform(list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'), x -> x <> ''), x -> length(x))) AS tok_chars,
+        |         length(text) - length(replace(text, '#', '')) AS n_hash,
+        |         (length(text) - length(replace(text, '...', ''))) // 3 AS n_ellipsis
+        |  FROM base),
+        |linegrp AS (
+        |  SELECT doc_id, line, COUNT(*) AS cnt, length(line) AS llen,
+        |         CASE WHEN starts_with(ltrim(line), '-') OR starts_with(ltrim(line), '*') THEN 1 ELSE 0 END AS bullet,
+        |         CASE WHEN ends_with(rtrim(line), '...') THEN 1 ELSE 0 END AS ell
+        |  FROM (SELECT doc_id, line FROM base, UNNEST(string_split(text, chr(10))) AS t(line))
+        |  GROUP BY doc_id, line),
+        |linestats AS (
+        |  SELECT doc_id, SUM(cnt) AS n_lines, SUM(cnt - 1) AS dup_occ,
+        |         SUM(cnt * llen) AS line_chars, SUM((cnt - 1) * llen) AS dup_chars,
+        |         SUM(cnt * bullet) AS bullet_lines, SUM(cnt * ell) AS ellipsis_lines
+        |  FROM linegrp GROUP BY doc_id),
+        |tk AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'), x -> x <> '') AS tks FROM base),
+        |gramcnt AS (
+        |  SELECT doc_id, g, COUNT(*) AS cnt FROM (
+        |    SELECT doc_id, tks[i] || ' ' || tks[i+1] AS g
+        |    FROM tk, UNNEST(generate_series(1, len(tks) - 1)) AS u(i))
+        |  GROUP BY doc_id, g),
+        |gramstats AS (SELECT doc_id, MAX(cnt * (length(g) - 1)) AS top2_chars FROM gramcnt GROUP BY doc_id),
+        |m AS (
+        |  SELECT t.doc_id,
+        |         CAST(t.n_words AS BIGINT) AS n_words,
+        |         CAST(CASE WHEN t.n_words = 0 THEN 0 ELSE FLOOR(1000.0 * t.tok_chars / t.n_words) END AS BIGINT) AS mean_word_len_milli,
+        |         CAST(CASE WHEN t.n_words = 0 THEN 0 ELSE FLOOR(1000.0 * (t.n_hash + t.n_ellipsis) / t.n_words) END AS BIGINT) AS symbol_ratio_milli,
+        |         CAST(FLOOR(1000.0 * l.bullet_lines / l.n_lines) AS BIGINT) AS bullet_frac_milli,
+        |         CAST(FLOOR(1000.0 * l.ellipsis_lines / l.n_lines) AS BIGINT) AS ellipsis_frac_milli,
+        |         CAST(FLOOR(1000.0 * l.dup_occ / l.n_lines) AS BIGINT) AS dup_line_frac_milli,
+        |         CAST(CASE WHEN l.line_chars = 0 THEN 0 ELSE FLOOR(1000.0 * l.dup_chars / l.line_chars) END AS BIGINT) AS dup_line_char_frac_milli,
+        |         CAST(CASE WHEN t.tok_chars = 0 OR g.top2_chars IS NULL THEN 0 ELSE FLOOR(1000.0 * g.top2_chars / t.tok_chars) END AS BIGINT) AS top2gram_char_frac_milli
+        |  FROM tokstats t JOIN linestats l USING (doc_id)
+        |  LEFT JOIN gramstats g USING (doc_id))
+        |SELECT *,
+        |       CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+        |         AND mean_word_len_milli >= 3000 AND mean_word_len_milli <= 10000
+        |         AND symbol_ratio_milli < 100 AND bullet_frac_milli < 900
+        |         AND ellipsis_frac_milli < 300 AND dup_line_frac_milli < 300
+        |         AND dup_line_char_frac_milli < 200 AND top2gram_char_frac_milli < 200
+        |         THEN 1 ELSE 0 END AS BIGINT) AS gopher_keep
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "text_decontam" ->
       """WITH g AS (SELECT * FROM read_parquet('/root/repo/target/oracle-stage/sf0.01/decontam_grams/*.parquet')),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -193,4 +193,88 @@ object TextOps {
         regexp_replace(c, EmailPattern, "<EMAIL>"),
         Ipv4Pattern, "<IP>"),
       PhonePattern, "<PHONE>")
+
+  // ---- Gopher-style repetition / quality rules --------------------------
+
+  /** milli-fraction with a zero-denominator guard; floor(double) so the
+   *  DuckDB mirror (`FLOOR(1000.0 * n / d)`) computes the identical
+   *  IEEE value. */
+  private def milli(num: Column, den: Column): Column =
+    when(den === 0, lit(0L))
+      .otherwise(floor(lit(1000.0) * num / den)).cast("long")
+
+  /**
+   * Repetition and quality signals per document, after the Gopher
+   * filter rules (Rae et al. 2021, "Scaling Language Models", table
+   * A1): word count and mean word length, symbol-to-word ratio
+   * (# and ellipsis), bullet-started and ellipsis-ended line
+   * fractions, duplicate-line fraction (by occurrence and by
+   * character mass), and the character fraction of the most frequent
+   * word 2-gram. `gopher_keep` applies the paper's thresholds.
+   *
+   * All fractions are floor-milli integers so the DuckDB oracle is
+   * hash-exact. Shape at scale: line and 2-gram stats explode and
+   * re-aggregate keyed by (doc_id, value) — distributed by content,
+   * never a per-doc in-memory map; the three per-doc aggregates join
+   * 1:1 on doc_id. A 10-million-line document costs its row count,
+   * not its row count squared.
+   */
+  def gopherStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val words = filter(split(col("text"), s"[$WsClass]+"), t => t =!= lit(""))
+    val tokstats = base.select(col("doc_id"),
+      size(words).cast("long").as("n_words"),
+      aggregate(words, lit(0L), (acc, x) => acc + length(x)).as("tok_chars"),
+      (length(col("text")) -
+        length(replace(col("text"), lit("#"), lit("")))).cast("long").as("n_hash"),
+      ((length(col("text")) -
+        length(replace(col("text"), lit("..."), lit("")))) / lit(3))
+        .cast("long").as("n_ellipsis"))
+    val linegrp = base
+      .select(col("doc_id"), explode(split(col("text"), "\n")).as("line"))
+      .groupBy(col("doc_id"), col("line")).agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"), col("cnt"), length(col("line")).as("llen"),
+        when(ltrim(col("line")).startsWith("-") ||
+             ltrim(col("line")).startsWith("*"), lit(1L)).otherwise(0L).as("bullet"),
+        when(rtrim(col("line")).endsWith("..."), lit(1L)).otherwise(0L).as("ell"))
+    val linestats = linegrp.groupBy("doc_id").agg(
+      sum(col("cnt")).as("n_lines"),
+      sum(col("cnt") - 1).as("dup_occ"),
+      sum(col("cnt") * col("llen")).as("line_chars"),
+      sum((col("cnt") - 1) * col("llen")).as("dup_chars"),
+      sum(col("cnt") * col("bullet")).as("bullet_lines"),
+      sum(col("cnt") * col("ell")).as("ellipsis_lines"))
+    val gramstats = base
+      .select(col("doc_id"), explode(tokenNgrams(col("text"), 2)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(max(col("cnt") * (length(col("g")) - 1)).as("top2_chars"))
+    val meanLen = milli(col("tok_chars"), col("n_words"))
+    val symbol = milli(col("n_hash") + col("n_ellipsis"), col("n_words"))
+    val bullet = milli(col("bullet_lines"), col("n_lines"))
+    val ellip = milli(col("ellipsis_lines"), col("n_lines"))
+    val dupLine = milli(col("dup_occ"), col("n_lines"))
+    val dupChar = milli(col("dup_chars"), col("line_chars"))
+    val top2 = when(col("top2_chars").isNull, lit(0L))
+      .otherwise(milli(col("top2_chars"), col("tok_chars")))
+    tokstats.join(linestats, "doc_id").join(gramstats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        meanLen.as("mean_word_len_milli"),
+        symbol.as("symbol_ratio_milli"),
+        bullet.as("bullet_frac_milli"),
+        ellip.as("ellipsis_frac_milli"),
+        dupLine.as("dup_line_frac_milli"),
+        dupChar.as("dup_line_char_frac_milli"),
+        top2.as("top2gram_char_frac_milli"))
+      .withColumn("gopher_keep",
+        when(col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("mean_word_len_milli") >= 3000 &&
+          col("mean_word_len_milli") <= 10000 &&
+          col("symbol_ratio_milli") < 100 &&
+          col("bullet_frac_milli") < 900 &&
+          col("ellipsis_frac_milli") < 300 &&
+          col("dup_line_frac_milli") < 300 &&
+          col("dup_line_char_frac_milli") < 200 &&
+          col("top2gram_char_frac_milli") < 200, lit(1L)).otherwise(0L))
+  }
 }

@@ -563,6 +563,40 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.size == 200 && got.values.forall(_ == 0L))
   }
 
+  test("gopher stats: rule numerators and keep flag on constructed docs") {
+    import spark.implicits._
+    val longText = (1 to 60).map(i => "word" + i).mkString(" ")
+    val df = Seq(
+      (1L, longText),                                  // clean prose -> keep
+      (2L, "dup\ndup\ndup\nuniq"),                     // 2/4 dup lines
+      (3L, "- a\n* b\nplain"),                         // 2/3 bullets
+      (4L, "so...\nmore..."),                          // 2/2 ellipsis lines
+      (5L, "### x # y #"),                             // symbol-heavy
+      (6L, ""),                                        // empty: no words
+      (7L, ("ab cd " * 40).trim)                       // one dominant 2-gram
+    ).toDF("doc_id", "text")
+    val got = TextOps.gopherStats(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def f(id: Long, name: String): Long =
+      got(id).getAs[Long](name)
+    assert(f(1L, "n_words") == 60 && f(1L, "gopher_keep") == 1)
+    // doc 2: 4 lines, "dup" occurs 3x -> 2 duplicate occurrences
+    assert(f(2L, "dup_line_frac_milli") == 500)
+    assert(f(2L, "dup_line_char_frac_milli") ==
+      math.floor(1000.0 * 6 / 13).toLong) // 2 dup occurrences x 3 chars / 13 line chars
+    assert(f(3L, "bullet_frac_milli") == 666)
+    assert(f(4L, "ellipsis_frac_milli") == 1000)
+    // doc 5: 5 whitespace words, 5 '#' chars -> ratio exactly 1000
+    assert(f(5L, "symbol_ratio_milli") == 1000 && f(5L, "gopher_keep") == 0)
+    // empty doc: zero denominators guard to 0, fails word-count gate
+    assert(f(6L, "n_words") == 0 && f(6L, "mean_word_len_milli") == 0 &&
+      f(6L, "gopher_keep") == 0)
+    // doc 7: "ab cd" dominates; 79 grams, "ab cd" occurs 40 times of
+    // 79, char mass 40*4 of 160 token chars -> 1000 exactly
+    assert(f(7L, "top2gram_char_frac_milli") == 1000 &&
+      f(7L, "gopher_keep") == 0)
+  }
+
   test("connected components: random graph matches union-find") {
     val rnd = new scala.util.Random(42)
     val edges = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
