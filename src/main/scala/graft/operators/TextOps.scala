@@ -221,34 +221,59 @@ object TextOps {
    */
   def gopherStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val base = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-    val words = filter(split(col("text"), s"[$WsClass]+"), t => t =!= lit(""))
-    val tokstats = base.select(col("doc_id"),
-      size(words).cast("long").as("n_words"),
-      aggregate(words, lit(0L), (acc, x) => acc + length(x)).as("tok_chars"),
-      (length(col("text")) -
-        length(replace(col("text"), lit("#"), lit("")))).cast("long").as("n_hash"),
-      ((length(col("text")) -
-        length(replace(col("text"), lit("..."), lit("")))) / lit(3))
-        .cast("long").as("n_ellipsis"))
-    val linegrp = base
-      .select(col("doc_id"), explode(split(col("text"), "\n")).as("line"))
-      .groupBy(col("doc_id"), col("line")).agg(count(lit(1)).as("cnt"))
-      .select(col("doc_id"), col("cnt"), length(col("line")).as("llen"),
-        when(ltrim(col("line")).startsWith("-") ||
-             ltrim(col("line")).startsWith("*"), lit(1L)).otherwise(0L).as("bullet"),
-        when(rtrim(col("line")).endsWith("..."), lit(1L)).otherwise(0L).as("ell"))
-    val linestats = linegrp.groupBy("doc_id").agg(
-      sum(col("cnt")).as("n_lines"),
-      sum(col("cnt") - 1).as("dup_occ"),
-      sum(col("cnt") * col("llen")).as("line_chars"),
-      sum((col("cnt") - 1) * col("llen")).as("dup_chars"),
+    // ONE corpus scan: lines and word 2-grams ride the same Generate as
+    // tagged structs (a naive three-branch plan re-reads the text
+    // column three times — at 100 TB that is 3 corpus scans). The
+    // token-level scalars (words, word chars, '#', '...') are summed
+    // from per-LINE counts: none of those constructs can span a
+    // newline, so per-line totals equal whole-text totals; 2-grams CAN
+    // span lines (tokens split on any non-alphanumeric), so they
+    // explode from the full text. Every doc has >= 1 line, so the
+    // final doc_id aggregate retains all rows.
+    val lineStructs = transform(split(col("text"), "\n"),
+      l => struct(lit(0).as("kind"), l.as("v")))
+    val gramStructs = transform(tokenNgrams(col("text"), 2),
+      g => struct(lit(1).as("kind"), g.as("v")))
+    val ex = base.select(col("doc_id"),
+        explode(concat(lineStructs, gramStructs)).as("e"))
+      .select(col("doc_id"), col("e.kind").as("kind"), col("e.v").as("v"))
+    // value-level dedup: one row per (doc, kind, value) with its count —
+    // the shuffle is keyed by content, so a 10-million-line document
+    // spreads over the cluster instead of pinning one task
+    val grp = ex.groupBy(col("doc_id"), col("kind"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val lineWords = filter(split(col("v"), s"[$WsClass]+"), t => t =!= lit(""))
+    val m = grp.select(col("doc_id"), col("kind"), col("cnt"),
+      length(col("v")).as("vlen"),
+      when(col("kind") === 0, size(lineWords).cast("long"))
+        .otherwise(0L).as("lwords"),
+      when(col("kind") === 0,
+        aggregate(lineWords, lit(0L), (acc, x) => acc + length(x)))
+        .otherwise(0L).as("lchars"),
+      when(col("kind") === 0, (length(col("v")) -
+        length(replace(col("v"), lit("#"), lit("")))).cast("long"))
+        .otherwise(0L).as("lhash"),
+      when(col("kind") === 0, ((length(col("v")) -
+        length(replace(col("v"), lit("..."), lit("")))) / lit(3)).cast("long"))
+        .otherwise(0L).as("lell"),
+      when(col("kind") === 0 && (ltrim(col("v")).startsWith("-") ||
+        ltrim(col("v")).startsWith("*")), lit(1L)).otherwise(0L).as("bullet"),
+      when(col("kind") === 0 && rtrim(col("v")).endsWith("..."), lit(1L))
+        .otherwise(0L).as("ell"))
+    val isLine = col("kind") === 0
+    val stats = m.groupBy("doc_id").agg(
+      sum(when(isLine, col("cnt")).otherwise(0L)).as("n_lines"),
+      sum(when(isLine, col("cnt") - 1).otherwise(0L)).as("dup_occ"),
+      sum(when(isLine, col("cnt") * col("vlen")).otherwise(0L)).as("line_chars"),
+      sum(when(isLine, (col("cnt") - 1) * col("vlen")).otherwise(0L)).as("dup_chars"),
       sum(col("cnt") * col("bullet")).as("bullet_lines"),
-      sum(col("cnt") * col("ell")).as("ellipsis_lines"))
-    val gramstats = base
-      .select(col("doc_id"), explode(tokenNgrams(col("text"), 2)).as("g"))
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
-      .groupBy("doc_id")
-      .agg(max(col("cnt") * (length(col("g")) - 1)).as("top2_chars"))
+      sum(col("cnt") * col("ell")).as("ellipsis_lines"),
+      sum(col("cnt") * col("lwords")).as("n_words"),
+      sum(col("cnt") * col("lchars")).as("tok_chars"),
+      sum(col("cnt") * col("lhash")).as("n_hash"),
+      sum(col("cnt") * col("lell")).as("n_ellipsis"),
+      max(when(col("kind") === 1, col("cnt") * (col("vlen") - 1)))
+        .as("top2_chars"))
     val meanLen = milli(col("tok_chars"), col("n_words"))
     val symbol = milli(col("n_hash") + col("n_ellipsis"), col("n_words"))
     val bullet = milli(col("bullet_lines"), col("n_lines"))
@@ -257,7 +282,7 @@ object TextOps {
     val dupChar = milli(col("dup_chars"), col("line_chars"))
     val top2 = when(col("top2_chars").isNull, lit(0L))
       .otherwise(milli(col("top2_chars"), col("tok_chars")))
-    tokstats.join(linestats, "doc_id").join(gramstats, Seq("doc_id"), "left")
+    stats
       .select(col("doc_id"), col("n_words"),
         meanLen.as("mean_word_len_milli"),
         symbol.as("symbol_ratio_milli"),
