@@ -1023,6 +1023,37 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "text_vocab" -> ((s, d) => {
+      // top-1000 corpus vocabulary with deterministic tie-break — the
+      // first step of tokenizer training / frequency filtering. The
+      // count is a distributed explode+groupBy; the top-k runs as
+      // TakeOrderedAndProject (per-partition heaps), and only the k
+      // survivors see the ranking window.
+      TextOps.vocabulary(t(s, d, "documents"), "text", 1000)
+        .orderBy("vocab_id")
+    }),
+
+    "pack_sequences" -> ((s, d) => {
+      // concat-and-chunk packing into 2048-token training sequences,
+      // cumsum windowed per source shard (the global-order variant
+      // would serialize the corpus through one task).
+      TextOps.packSequences(t(s, d, "documents"),
+        "doc_id", "text", "source", 2048)
+        .orderBy("doc_id")
+    }),
+
+    "sample_mixture" -> ((s, d) => {
+      // training-mixture reweighting: per-language quotas applied by
+      // the deterministic engine-portable sample key — a pure per-row
+      // predicate, no shuffle, no global count; stable under re-runs
+      // and repartitioning.
+      TextOps.quotaSample(t(s, d, "documents"), "doc_id", "lang",
+          Map("en" -> 400L, "fr" -> 700L), defaultPermille = 1000L)
+        .select(col("doc_id"), col("lang"), col("sample_key"),
+          col("quota_permille"))
+        .orderBy("doc_id")
+    }),
+
     "text_decontam" -> ((s, d) => {
       // Benchmark decontamination (the eval-overlap gate every training
       // pipeline runs before a corpus ships): the "benchmark" is a
@@ -1704,6 +1735,45 @@ object SparkEntry {
         |         AND dup_line_char_frac_milli < 200 AND top2gram_char_frac_milli < 200
         |         THEN 1 ELSE 0 END AS BIGINT) AS gopher_keep
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "text_vocab" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-zA-Z0-9]+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |cnt AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+        |        ORDER BY cnt DESC, token LIMIT 1000)
+        |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS vocab_id,
+        |       token, cnt
+        |FROM cnt ORDER BY vocab_id""".stripMargin,
+
+    "pack_sequences" ->
+      """WITH c AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^ \t\n\x0B\f\rA-Za-z0-9]+|[ \t\n\x0B\f\r]+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM c)
+        |SELECT doc_id, source, n_tokens,
+        |       (cum - n_tokens) // 2048 AS pack_id,
+        |       (cum - n_tokens) % 2048 AS pack_offset,
+        |       CASE WHEN n_tokens > 0
+        |         THEN (cum - 1) // 2048 - (cum - n_tokens) // 2048
+        |         ELSE 0 END AS n_splits
+        |FROM w ORDER BY doc_id""".stripMargin,
+
+    "sample_mixture" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |         ((doc_id % 1000003) * 2654435761) % 1000 AS sample_key,
+        |         CAST(CASE WHEN lang = 'en' THEN 400
+        |                   WHEN lang = 'fr' THEN 700
+        |                   ELSE 1000 END AS BIGINT) AS quota_permille
+        |  FROM documents)
+        |SELECT doc_id, lang, sample_key, quota_permille
+        |FROM s WHERE sample_key < quota_permille
+        |ORDER BY doc_id""".stripMargin,
 
     "text_decontam" ->
       """WITH g AS (SELECT * FROM read_parquet('/root/repo/target/oracle-stage/sf0.01/decontam_grams/*.parquet')),

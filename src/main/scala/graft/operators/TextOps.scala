@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -301,5 +302,83 @@ object TextOps {
           col("dup_line_frac_milli") < 300 &&
           col("dup_line_char_frac_milli") < 200 &&
           col("top2gram_char_frac_milli") < 200, lit(1L)).otherwise(0L))
+  }
+
+  /**
+   * Corpus vocabulary: the top-k tokens of `lower(text)` by frequency,
+   * deterministic tie-break (count desc, then token asc), dense
+   * 1-based ids — the first step of any tokenizer-training or
+   * frequency-filtering pass. The heavy stage is the distributed token
+   * count (explode + groupBy token, with map-side partial
+   * aggregation); the top-k runs as `TakeOrderedAndProject` —
+   * per-partition heaps of size k, never a global sort — and only the
+   * k survivors see the row_number window (a single tiny partition by
+   * construction).
+   */
+  def vocabulary(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val counts = df
+      .select(explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc).limit(k)
+    counts.withColumn("vocab_id",
+        row_number().over(Window.orderBy(col("cnt").desc, col("token").asc))
+          .cast("long"))
+      .select(col("vocab_id"), col("token"), col("cnt"))
+  }
+
+  /** Deterministic per-row sampling key in [0, 1000): multiplicative
+   *  hashing in plain BIGINT arithmetic — `((id % 1000003) * 2654435761)
+   *  % 1000`. Deliberately NOT an engine hash builtin (Spark's xxhash64
+   *  and DuckDB's hash differ), so the sample is reproducible across
+   *  engines, runs, and partitionings; the pre-modulus keeps the
+   *  product overflow-safe under ANSI. */
+  def sampleKey(idCol: Column): Column =
+    ((idCol % 1000003L) * 2654435761L) % 1000L
+
+  /**
+   * Quota (mixture) sampling — the training-mixture reweighting step:
+   * each class (language, source, domain) keeps `quotaPermille` of its
+   * documents, chosen by the deterministic [[sampleKey]], so the
+   * sample is stable under re-runs and needs no global count or sort.
+   * Pure per-row predicate: no shuffle, pushes down to the scan.
+   */
+  def quotaSample(df: DataFrame, idCol: String, classCol: String,
+      quotaPermille: Map[String, Long], defaultPermille: Long): DataFrame = {
+    val quota = quotaPermille.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultPermille)) { case (acc, (k, v)) =>
+        when(col(classCol) === k, lit(v)).otherwise(acc)
+      }
+    df.withColumn("sample_key", sampleKey(col(idCol)))
+      .withColumn("quota_permille", quota)
+      .where(col("sample_key") < col("quota_permille"))
+  }
+
+  /**
+   * Concat-and-chunk training-sequence packing: documents within a
+   * shard, in id order, are laid head-to-tail and cut into fixed
+   * `seqLen` token windows. Emits where each document lands —
+   * `pack_id` (the window its first token falls in), `pack_offset`
+   * (position inside that window) and `n_splits` (how many window
+   * boundaries the document straddles). The cumulative sum is a window
+   * per SHARD (`shardCol`), so the work distributes across shards —
+   * the global-order variant would serialize the whole corpus through
+   * one task, which is exactly how real pipelines end up packing per
+   * input shard anyway. Token counts use the BPE-ish pretokenizer
+   * (see [[bpeTokenCount]]).
+   */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      shardCol: String, seqLen: Int): DataFrame = {
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), col(shardCol),
+        bpeTokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col(idCol), col(shardCol), col("n_tokens"),
+        ((col("cum") - col("n_tokens")) / lit(seqLen)).cast("long").as("pack_id"),
+        ((col("cum") - col("n_tokens")) % lit(seqLen)).as("pack_offset"),
+        when(col("n_tokens") > 0,
+          ((col("cum") - 1) / lit(seqLen)).cast("long") -
+            ((col("cum") - col("n_tokens")) / lit(seqLen)).cast("long"))
+          .otherwise(0L).as("n_splits"))
   }
 }

@@ -597,6 +597,50 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       f(7L, "gopher_keep") == 0)
   }
 
+  test("vocabulary: frequency order, ascii tie-break, k cap") {
+    import spark.implicits._
+    val df = Seq("b b a", "a c b", "d").toDF("text")
+    // counts: a=2 b=3 c=1 d=1 -> b, a, then c before d (tie by token)
+    val got = TextOps.vocabulary(df, "text", 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, "b", 3L), (2L, "a", 2L), (3L, "c", 1L)))
+  }
+
+  test("sequence packing: pack ids, offsets, boundary straddles per shard") {
+    import spark.implicits._
+    // BPE counts: "a b c"=3, "a b"=2, "a b c d"=4; seqLen=4
+    val df = Seq(
+      (1L, "s1", "a b c"), (2L, "s1", "a b"), (3L, "s1", "a b c d"),
+      (10L, "s2", "a b c d")  // second shard starts fresh at pack 0
+    ).toDF("doc_id", "source", "text")
+    val got = TextOps.packSequences(df, "doc_id", "text", "source", 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got(1L) == ((3L, 0L, 0L, 0L)))   // [0,3): pack 0, no straddle
+    assert(got(2L) == ((2L, 0L, 3L, 1L)))   // [3,5): crosses boundary 4
+    assert(got(3L) == ((4L, 1L, 1L, 1L)))   // [5,9): crosses boundary 8
+    assert(got(10L) == ((4L, 0L, 0L, 0L)))  // shard s2 independent
+  }
+
+  test("quota sampling: deterministic, class-bounded, partition-invariant") {
+    import spark.implicits._
+    val df = (0L until 2000L).map(i =>
+      (i, if (i % 2 == 0) "en" else "de")).toDF("doc_id", "lang")
+    val quotas = Map("en" -> 300L)
+    val kept = TextOps.quotaSample(df, "doc_id", "lang", quotas, 1000L)
+    val byLang = kept.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // de keeps everything; en keeps ~30% (multiplicative hash is
+    // uniform-ish; allow wide tolerance, determinism is the point)
+    assert(byLang("de") == 1000L)
+    assert(byLang("en") > 200L && byLang("en") < 400L)
+    // exact same ids regardless of partitioning
+    val a = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = TextOps.quotaSample(df.repartition(13), "doc_id", "lang",
+      quotas, 1000L).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
   test("connected components: random graph matches union-find") {
     val rnd = new scala.util.Random(42)
     val edges = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
