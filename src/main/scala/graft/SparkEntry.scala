@@ -1097,8 +1097,12 @@ object SparkEntry {
       // broadcast-join shape of text_decontam feeding a broadcast
       // anti-join (the contaminated-id set is tiny by construction).
       val docs = t(s, d, "documents")
+      // 5-gram overlap, not bigrams: short grams false-positive across
+      // unrelated docs as the corpus grows (at sf0.1 a 2-gram gate
+      // marked every doc contaminated); real decontam uses long grams
+      // so only genuine near-copies of benchmark docs trip the gate
       val grams = docs.select(col("doc_id"),
-        explode(array_distinct(TextOps.tokenNgrams(col("text"), 2)))
+        explode(array_distinct(TextOps.tokenNgrams(col("text"), 5)))
           .as("gram"))
       val staged = stage(grams, d, "pipeline_grams")
       val bench = staged.where(col("doc_id") % 97 === 0)
