@@ -392,6 +392,24 @@ object SparkEntry {
 
     "cdc_upsert_state" -> ((s, d) => cdcUpsert(s, d)),
 
+    "cdc_time_travel" -> ((s, d) => {
+      // M8/M9 time travel: the upsert stream applied in FOUR batches,
+      // then read AS OF the LSN where batch 2 ended. The snapshot is
+      // materialized purely from that version's manifest (its files
+      // minus its DVs) — rows upserted by batches 3-4, and the DVs
+      // those upserts added over batch-1/2 files, must not leak in.
+      val table = runCdc(s, d, deleteType = None, nBatches = 4)
+      val mm = events(s, d)
+        .agg(min(col("event_id")), max(col("event_id"))).head()
+      val span = (mm.getLong(1) - mm.getLong(0)) / 4 + 1
+      val cut = mm.getLong(0) + 2 * span - 1
+      table.readAsOf(cut)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"),
+          cents(col("value")).as("value_cents"))
+        .orderBy("user_id")
+    }),
+
     "cdc_dsv2_read" -> ((s, d) => {
       // DSv2 connector: the same upsert table read back through
       // spark.read.format("graft") — manifest snapshot, reader-side DV
@@ -1528,6 +1546,20 @@ object SparkEntry {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "cdc_upsert_state" -> cdcUpsertOracle,
+
+    // upsert state truncated at the batch-2 LSN cut (LSN = event_id;
+    // 4 batches of span (hi-lo)//4+1 — integer division, like the
+    // Scala side's Long arithmetic)
+    "cdc_time_travel" ->
+      """WITH b AS (SELECT min(event_id) AS lo, max(event_id) AS hi FROM events)
+        |SELECT user_id,
+        |       event_id AS last_event_id,
+        |       event_type AS last_event_type,
+        |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
+        |FROM events
+        |WHERE event_id < (SELECT lo + 2*((hi-lo)//4+1) FROM b)
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
     "cdc_cached_read" -> cdcUpsertOracle,
     "cdc_dsv2_read" -> cdcUpsertOracle,
     "cdc_delete_state" -> cdcDeleteOracle,

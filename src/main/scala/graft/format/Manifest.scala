@@ -206,11 +206,17 @@ object ManifestLog {
     Fio.writeAtomic(file(root, m.version), Manifest.toJson(m))
   }
 
-  def latestVersion(root: String): Option[Long] =
+  /** All committed versions, ascending. The log keeps every version
+   *  (vacuum touches only data/dv/index), so this is the time-travel
+   *  axis: any version whose files survive the vacuum horizon can be
+   *  re-materialized. */
+  def versions(root: String): Seq[Long] =
     Fio.list(dir(root))
       .filter(n => n.startsWith("v") && n.endsWith(".json"))
       .flatMap(n => scala.util.Try(n.stripPrefix("v").stripSuffix(".json").toLong).toOption)
-      .maxOption
+      .sorted
+
+  def latestVersion(root: String): Option[Long] = versions(root).maxOption
 
   def load(root: String, version: Long): Manifest =
     Manifest.fromJson(Fio.readString(file(root, version)))

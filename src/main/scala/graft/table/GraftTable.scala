@@ -1006,6 +1006,74 @@ final class GraftTable private (
     else committed.unionByName(spark.createDataFrame(tailRows.asJava, schemaVar))
   }
 
+  /**
+   * Time-travel read (M8/M9 extension): the durable snapshot of the
+   * NEWEST manifest version whose commitLsn <= `lsn` — its data files
+   * minus its deletion vectors, projected to its own (historical)
+   * schema, so a read across an ALTER shows the columns of that era.
+   *
+   * Semantics: this serves the version's persisted file layer (the
+   * two-tier-LSN durable state, reference persistence snapshots
+   * §3.2) — when the version was published by a batch apply, flushLsn
+   * == commitLsn and the snapshot is the exact table state at that
+   * commit. Valid back to the vacuum horizon: vacuum() spares only
+   * current + pinned files, so materializing a version older than the
+   * last vacuum fails on the missing file, loudly (same contract as
+   * Iceberg snapshot expiry / Delta VACUUM vs time travel).
+   */
+  def readAsOf(lsn: Long): DataFrame = synchronized {
+    val vs = ManifestLog.versions(root)
+    val m = vs.reverseIterator.map(v => ManifestLog.load(root, v))
+      .find(m => m.commitLsn >= 0 && m.commitLsn <= lsn)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no committed version at or below LSN $lsn"))
+    snapshotDF(m)
+  }
+
+  /** Time-travel read addressed by manifest VERSION (the second axis
+   *  real table formats expose beside the LSN/timestamp one). DDL
+   *  publishes a version without consuming an LSN, so version
+   *  addressing is the only way to read the pre-ALTER era of an
+   *  LSN-coincident schema change. */
+  def readAsOfVersion(version: Long): DataFrame = synchronized {
+    require(ManifestLog.versions(root).contains(version),
+      s"no such version: $version")
+    snapshotDF(ManifestLog.load(root, version))
+  }
+
+  /** Materialize a (possibly historical) manifest version: its file
+   *  set with its DV set, under its own schema's physical-name
+   *  mapping. Reads no instance scan state — only the manifest and
+   *  its sidecars — so it is correct for any version, not just the
+   *  live one. */
+  private def snapshotDF(m: Manifest): DataFrame = {
+    val snapSchema = m.schema
+    if (m.dataFiles.isEmpty)
+      return spark.createDataFrame(new java.util.ArrayList[Row](), snapSchema)
+    val phys = StructType(snapSchema.fields.map(f =>
+      f.copy(name = SchemaDsl.physicalName(f))))
+    val base = spark.read.schema(phys)
+      .parquet(m.dataFiles.map(e => s"$root/data/${e.path}"): _*)
+    val dv = mutable.LinkedHashMap[String, Roaring64Bitmap]()
+    m.dvFiles.foreach { f =>
+      DvSidecar.read(s"$root/dv/$f").foreach { case (file, bm) =>
+        dv.getOrElseUpdate(file, new Roaring64Bitmap).or(bm)
+      }
+    }
+    val live = dv.iterator.filter(_._2.getLongCardinality > 0)
+      .map { case (f, bm) => f -> DvCache.serialize(bm) }.toMap
+    val filtered =
+      if (live.isEmpty) base
+      else {
+        val bc = spark.sparkContext.broadcast(live)
+        base.where(DvCache.notDeletedUdf(bc)(
+          substring_index(col("_metadata.file_path"), "/", -1),
+          col("_metadata.row_index")))
+      }
+    filtered.select(snapSchema.fields.toSeq.map(f =>
+      col(SchemaDsl.physicalName(f)).as(f.name)): _*)
+  }
+
   /** Blocking read: wait up to `timeoutMs` for commitLsn >= lsn (a
    *  concurrent thread drives apply()). Reference `try_read` blocking
    *  path, `read_state_manager.rs:107-130`. */

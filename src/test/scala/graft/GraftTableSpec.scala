@@ -401,4 +401,62 @@ class GraftTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.read(Some(t.commitLsn)).count() == 5)
     t.drop()
   }
+
+  test("time travel: readAsOf returns each version's state") {
+    val t = mkTable(TableConfig(memSliceSize = 1, walEnabled = false))
+    t.insertAll(Seq(user(1, "a", 20), user(2, "b", 30)), 1)   // commit ~3
+    val lsn1 = t.commitLsn
+    t.upsertAll(Seq(user(1, "a2", 21)), 10)                   // DV + append
+    val lsn2 = t.commitLsn
+    t.apply(Seq(Delete(Seq(2), 20), Commit(21)))
+    val lsn3 = t.commitLsn
+    def asOf(l: Long): Map[Int, (String, Int)] =
+      t.readAsOf(l).collect()
+        .map(r => r.getInt(0) -> (r.getString(1), r.getInt(3))).toMap
+    assert(asOf(lsn1) == Map(1 -> ("a", 20), 2 -> ("b", 30)))
+    assert(asOf(lsn2) == Map(1 -> ("a2", 21), 2 -> ("b", 30)))
+    assert(asOf(lsn3) == Map(1 -> ("a2", 21)))
+    // an LSN between versions resolves to the earlier one
+    assert(asOf(lsn2 + (lsn3 - lsn2) / 2) == asOf(lsn2))
+    // and the current read agrees with the newest as-of
+    assert(asOf(Long.MaxValue) == stateOf(t))
+    intercept[IllegalArgumentException](t.readAsOf(-1L))
+    t.drop()
+  }
+
+  test("time travel across ALTER shows the historical schema") {
+    val t = mkTable(TableConfig(memSliceSize = 1, walEnabled = false))
+    t.insertAll(Seq(user(1, "a", 20)), 1)
+    val preAlterVersion = t.version
+    val preAlterLsn = t.commitLsn
+    t.alterDropColumns(Seq("email"))
+    t.alterAddColumn("tier", "string")
+    t.insertAll(Seq(Row(2, "b", 30, "gold")), 50)
+    // version addressing reaches the pre-ALTER era (DDL publishes a
+    // version at the SAME commit LSN, so LSN addressing resolves to
+    // the newest — post-alter — state at that LSN)
+    val hist = t.readAsOfVersion(preAlterVersion)
+    assert(hist.schema.fieldNames.toSeq ==
+      Seq("id", "name", "email", "age"), "historical columns")
+    assert(hist.collect().map(_.getString(2)).toSeq == Seq("a@x.com"))
+    val atLsn = t.readAsOf(preAlterLsn)
+    assert(atLsn.schema.fieldNames.toSeq == Seq("id", "name", "age", "tier"),
+      "LSN addressing resolves past the LSN-coincident DDL")
+    assert(atLsn.count() == 1, "but still excludes the later ingest")
+    val now = t.read()
+    assert(now.schema.fieldNames.toSeq == Seq("id", "name", "age", "tier"))
+    t.drop()
+  }
+
+  test("time travel past the vacuum horizon fails loudly") {
+    val t = mkTable(TableConfig(memSliceSize = 1, walEnabled = false))
+    t.insertAll(Seq(user(1, "a", 20), user(2, "b", 30)), 1)
+    val old = t.commitLsn
+    t.apply(Seq(Delete(Seq(1), 10), Commit(11)))
+    t.compact()
+    t.vacuum() // rewrites files; the old version's files are gone
+    intercept[Exception] { t.readAsOf(old).collect() }
+    assert(stateOf(t) == Map(2 -> ("b", 30)), "current read unaffected")
+    t.drop()
+  }
 }
