@@ -1148,6 +1148,53 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "stream_corpus_filter" -> ((s, d) => {
+      // The capstone's STREAMING form: documents arrive as file-source
+      // micro-batches (4 doc_id-range files, one per trigger, mtimes
+      // staggered so arrival order is doc_id order); each batch passes
+      // the stateless quality gate, then flatMapGroupsWithState keyed
+      // on the content fingerprint drops any doc whose text already
+      // streamed — first-wins dedup with O(1)-per-key state, the
+      // incremental shape a daily-crawl pipeline runs. With batches in
+      // id order the emitted set equals global min-doc_id-per-fp,
+      // which is what the oracle recomputes. The corpus streams TWICE
+      // (second copy id-shifted past the first) so the copies land in
+      // later batches and the state dedup must drop every one of them
+      // — at sf0.01 the raw corpus has no exact dups at all, and an
+      // un-exercised state path would be a vacuous test.
+      import org.apache.spark.sql.types._
+      val srcDir = freshDir("scf-src")
+      val docs0 = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val off = docs0.agg(max(col("doc_id"))).head().getLong(0) + 1
+      docs0.unionByName(docs0.select((col("doc_id") + off).as("doc_id"),
+          col("lang"), col("text")))
+        .repartitionByRange(4, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(srcDir)
+      val parts = new java.io.File(srcDir).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      val base = System.currentTimeMillis() - 3600 * 1000
+      parts.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(base + i * 60000L) }
+      val sch = StructType(Seq(StructField("doc_id", LongType),
+        StructField("lang", StringType), StructField("text", StringType)))
+      val stream = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val sink = freshDir("scf-out")
+      val q = graft.streaming.CorpusStream
+        .dedupFilterStream(stream, "text", minQuality = 150)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", freshDir("scf-ckpt"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(sink)
+        .select(col("doc_id"), col("lang"), col("quality"), col("fp"))
+        .orderBy("doc_id")
+    }),
+
     "dedup_jaccard_pairs" -> ((s, d) => {
       Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text",
           blockCol = "source", n = 1, minMilli = 300)
@@ -1701,6 +1748,26 @@ object SparkEntry {
     "text_langid" -> langIdOracle,
 
     "pipeline_corpus_filter" -> pipelineFilterOracle,
+
+    // streaming first-wins dedup with batches arriving in doc_id order
+    // == global min-doc_id-per-fingerprint among quality-gated docs;
+    // the stream carries the corpus twice (copy id-shifted past the
+    // originals), so every copy must lose to its original
+    "stream_corpus_filter" ->
+      s"""WITH doubled AS (
+         |  SELECT doc_id, lang, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), lang, text
+         |  FROM documents),
+         |scored AS (
+         |  SELECT doc_id, lang,
+         |         CAST($qualitySqlExpr AS BIGINT) AS quality,
+         |         md5(trim(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')))) AS fp
+         |  FROM doubled),
+         |gated AS (SELECT * FROM scored WHERE quality >= 150)
+         |SELECT doc_id, lang, quality, fp FROM gated
+         |QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fp)
+         |ORDER BY doc_id""".stripMargin,
 
     "text_pii" ->
       """WITH doctored AS (

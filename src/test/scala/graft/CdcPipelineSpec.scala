@@ -129,4 +129,31 @@ class CdcPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.read().count() == 1L)
     t.drop()
   }
+
+  test("streaming corpus filter: state dedups across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String, String)]
+    val good = "the quick brown fox jumps over the lazy dog and then " * 20
+    val docs = in.toDF().toDF("doc_id", "lang", "text")
+    val out = graft.streaming.CorpusStream
+      .dedupFilterStream(docs, "text", minQuality = 150)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("scf_test").start()
+    // batch 1: two distinct docs (one is an in-batch dup pair -> min id)
+    in.addData((1L, "en", good), (2L, "en", good + "tail "),
+      (3L, "en", good))
+    q.processAllAvailable()
+    // batch 2: exact re-sends of both texts plus one junk doc
+    in.addData((10L, "en", good), (11L, "en", good + "tail "),
+      (12L, "en", "!!"))
+    q.processAllAvailable()
+    val got = spark.table("scf_test").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    q.stop()
+    assert(got == Seq(1L, 2L),
+      "in-batch dup elects min id; cross-batch re-sends and junk dropped")
+  }
 }
