@@ -410,6 +410,25 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "cdc_changes" -> ((s, d) => {
+      // Change data feed over the time-travel axis: the delete-carrying
+      // stream applied in 4 batches, then changesBetween(end of batch
+      // 2, end of batch 3) — net inserts (users first seen in batch
+      // 3), updates (re-upserted), and deletes (latest event became a
+      // purchase). Two snapshot scans + one key-partitioned join, no
+      // log replay regardless of how many commits separate the cuts.
+      val table = runCdc(s, d, deleteType = Some("purchase"), nBatches = 4)
+      val mm = events(s, d)
+        .agg(min(col("event_id")), max(col("event_id"))).head()
+      val span = (mm.getLong(1) - mm.getLong(0)) / 4 + 1
+      val (cutA, cutB) = (mm.getLong(0) + 2 * span - 1, mm.getLong(0) + 3 * span - 1)
+      table.changesBetween(cutA, cutB)
+        .select(col("user_id"), col("_change_type").as("change_type"),
+          col("_post.event_id").as("last_event_id"),
+          cents(col("_post.value")).as("value_cents"))
+        .orderBy("user_id")
+    }),
+
     "cdc_dsv2_read" -> ((s, d) => {
       // DSv2 connector: the same upsert table read back through
       // spark.read.format("graft") — manifest snapshot, reader-side DV
@@ -1593,6 +1612,36 @@ object SparkEntry {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "cdc_upsert_state" -> cdcUpsertOracle,
+
+    // net state diff between the batch-2 and batch-3 cuts of the
+    // delete-carrying stream. States: latest event per user below the
+    // cut, dropped when it is a purchase (the delete op). The engine
+    // compares full row structs; comparing event_id here is equivalent
+    // because every upsert carries a fresh event_id (= its LSN).
+    "cdc_changes" ->
+      """WITH b AS (SELECT min(event_id) AS lo, max(event_id) AS hi FROM events),
+        |sA AS (
+        |  SELECT * FROM (
+        |    SELECT user_id, event_id, event_type, value FROM events
+        |    WHERE event_id < (SELECT lo + 2*((hi-lo)//4+1) FROM b)
+        |    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)
+        |  WHERE event_type <> 'purchase'),
+        |sB AS (
+        |  SELECT * FROM (
+        |    SELECT user_id, event_id, event_type, value FROM events
+        |    WHERE event_id < (SELECT lo + 3*((hi-lo)//4+1) FROM b)
+        |    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)
+        |  WHERE event_type <> 'purchase')
+        |SELECT coalesce(sB.user_id, sA.user_id) AS user_id,
+        |       CASE WHEN sA.user_id IS NULL THEN 'insert'
+        |            WHEN sB.user_id IS NULL THEN 'delete'
+        |            ELSE 'update' END AS change_type,
+        |       sB.event_id AS last_event_id,
+        |       CAST(ROUND(sB.value*100) AS BIGINT) AS value_cents
+        |FROM sA FULL JOIN sB ON sA.user_id = sB.user_id
+        |WHERE sA.user_id IS NULL OR sB.user_id IS NULL
+        |   OR sA.event_id <> sB.event_id
+        |ORDER BY user_id""".stripMargin,
 
     // upsert state truncated at the batch-2 LSN cut (LSN = event_id;
     // 4 batches of span (hi-lo)//4+1 — integer division, like the

@@ -448,6 +448,23 @@ class GraftTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.drop()
   }
 
+  test("changesBetween classifies net insert/update/delete") {
+    val t = mkTable(TableConfig(memSliceSize = 1, walEnabled = false))
+    t.insertAll(Seq(user(1, "a", 20), user(2, "b", 30), user(3, "c", 40)), 1)
+    val lsnA = t.commitLsn
+    t.upsertAll(Seq(user(2, "b2", 31), user(4, "d", 50)), 10) // update + insert
+    t.apply(Seq(Delete(Seq(3), 20), Commit(21)))              // delete
+    val lsnB = t.commitLsn
+    t.upsertAll(Seq(user(5, "e", 60)), 30) // past the window: invisible
+    val ch = t.changesBetween(lsnA, lsnB)
+      .select("id", "_change_type").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(ch == Map(2 -> "update", 3 -> "delete", 4 -> "insert"))
+    // unchanged key 1 absent; empty window diffs to nothing
+    assert(t.changesBetween(lsnA, lsnA).count() == 0)
+    t.drop()
+  }
+
   test("time travel past the vacuum horizon fails loudly") {
     val t = mkTable(TableConfig(memSliceSize = 1, walEnabled = false))
     t.insertAll(Seq(user(1, "a", 20), user(2, "b", 30)), 1)
