@@ -52,6 +52,22 @@ object SparkEntry {
     df.sparkSession.read.parquet(p)
   }
 
+  /** Write `df` as `n` doc_id-range parquet files with staggered
+   *  mtimes, so a maxFilesPerTrigger=1 file-source stream replays it
+   *  in id order — the arrival-order precondition that makes the
+   *  streaming dedup entries' emitted sets equal their batch oracles. */
+  private def streamSourceDir(df: DataFrame, n: Int): String = {
+    val dir = freshDir("stream-src")
+    df.repartitionByRange(n, col("doc_id")).sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(dir)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val base = System.currentTimeMillis() - 3600 * 1000
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(base + i * 60000L) }
+    dir
+  }
+
   /** events.parquet carries TIMESTAMP(NANOS), which Spark 4 rejects on
    *  schema inference; read with an explicit schema mapping ts to raw
    *  nanosecond longs (session-config-independent). DuckDB truncates
@@ -1182,20 +1198,12 @@ object SparkEntry {
       // — at sf0.01 the raw corpus has no exact dups at all, and an
       // un-exercised state path would be a vacuous test.
       import org.apache.spark.sql.types._
-      val srcDir = freshDir("scf-src")
       val docs0 = t(s, d, "documents")
         .select(col("doc_id"), col("lang"), col("text"))
       val off = docs0.agg(max(col("doc_id"))).head().getLong(0) + 1
-      docs0.unionByName(docs0.select((col("doc_id") + off).as("doc_id"),
-          col("lang"), col("text")))
-        .repartitionByRange(4, col("doc_id"))
-        .sortWithinPartitions("doc_id")
-        .write.mode("overwrite").parquet(srcDir)
-      val parts = new java.io.File(srcDir).listFiles()
-        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-      val base = System.currentTimeMillis() - 3600 * 1000
-      parts.zipWithIndex.foreach { case (f, i) =>
-        f.setLastModified(base + i * 60000L) }
+      val srcDir = streamSourceDir(
+        docs0.unionByName(docs0.select((col("doc_id") + off).as("doc_id"),
+          col("lang"), col("text"))), 4)
       val sch = StructType(Seq(StructField("doc_id", LongType),
         StructField("lang", StringType), StructField("text", StringType)))
       val stream = s.readStream.schema(sch)
@@ -1212,6 +1220,44 @@ object SparkEntry {
       s.read.parquet(sink)
         .select(col("doc_id"), col("lang"), col("quality"), col("fp"))
         .orderBy("doc_id")
+    }),
+
+    "stream_minhash_dedup" -> ((s, d) => {
+      // Streaming NEAR-dup: the doubled corpus streams through MinHash
+      // banding with one long of state per occupied (band, bucket) —
+      // each arriving doc that collides with a non-empty bucket emits
+      // a candidate link to the bucket's representative (its min id).
+      // With id-ordered batches the distinct output equals
+      // min-per-bucket pairs, which the oracle recomputes from the
+      // staged band frame (two-stage design like dedup_minhash_lsh:
+      // banding is the staged deterministic artifact, the link rule is
+      // the recomputed stage).
+      import org.apache.spark.sql.types._
+      val docs0 = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val off = docs0.agg(max(col("doc_id"))).head().getLong(0) + 1
+      val doubled = docs0.unionByName(
+        docs0.select((col("doc_id") + off).as("doc_id"), col("text")))
+      val srcDir = streamSourceDir(doubled, 4)
+      stage(Dedup.minhashBandFrame(
+          Dedup.minhashShingleFrame(doubled, "doc_id", "text", shingleN = 2),
+          numHashes = 64, bands = 16),
+        d, "stream_mh_bands")
+      val sch = StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType)))
+      val stream = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val sink = freshDir("smh-out")
+      val q = graft.streaming.CorpusStream
+        .minhashCandidateStream(stream, "doc_id", "text",
+          shingleN = 2, numHashes = 64, bands = 16)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", freshDir("smh-ckpt"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(sink).select(col("id_a"), col("id_b"))
+        .distinct().orderBy("id_a", "id_b")
     }),
 
     "dedup_jaccard_pairs" -> ((s, d) => {
@@ -1992,6 +2038,17 @@ object SparkEntry {
         |WHERE (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) > 0
         |  AND CAST(FLOOR(1000.0 * len(list_intersect(a.hs, b.hs)) /
         |            (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))) AS BIGINT) >= 200
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // streaming LSH candidate links == (bucket-min, member) pairs over
+    // the staged band frame, distinct across bands
+    "stream_minhash_dedup" ->
+      """WITH b AS (SELECT * FROM read_parquet('/root/repo/target/oracle-stage/sf0.01/stream_mh_bands/*.parquet')),
+        |m AS (SELECT id, band, bucket,
+        |             MIN(id) OVER (PARTITION BY band, bucket) AS rep
+        |      FROM b)
+        |SELECT DISTINCT rep AS id_a, id AS id_b FROM m
+        |WHERE id > rep
         |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_minhash_incr" ->

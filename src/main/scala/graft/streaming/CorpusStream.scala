@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.operators.TextOps
+import graft.operators.{Dedup, TextOps}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -32,6 +32,51 @@ object CorpusStream {
 
   final case class GatedDoc(doc_id: Long, lang: String, quality: Long,
       fp: String)
+
+  final case class BandRow(id: Long, band: Int, bucket: Int)
+  final case class CandPair(id_a: Long, id_b: Long)
+
+  /**
+   * Streaming NEAR-dup candidate detection: each arriving document is
+   * MinHash-signed and banded (stateless — a doc's bands depend only
+   * on its own text), then every (band, bucket) keeps ONE long of
+   * state: the smallest doc id ever seen in that bucket (its
+   * representative). A document colliding with a non-empty bucket
+   * emits the candidate link (representative, doc) — the edge a
+   * downstream exact-verify or cluster-collapse consumes.
+   *
+   * This is the streaming half of the LSH pipeline the batch path
+   * runs (`Dedup.minhashCandidatesAgainst`): candidate FLAGGING rides
+   * the stream at O(bands) state lookups per doc; the exact Jaccard
+   * verify stays an offline join, exactly how production crawl
+   * pipelines split the work. State is one (band, bucket) -> long
+   * entry per occupied bucket — bounded by corpus diversity, not by
+   * stream length, and partitioned by the bucket shuffle.
+   *
+   * With id-ordered arrival the emitted set is deterministic: the
+   * representative IS the bucket's global min id (smallest ids arrive
+   * first), so the distinct output equals { (min(bucket), id) | id in
+   * bucket, id > min } — recomputable by the oracle from the staged
+   * band frame.
+   */
+  def minhashCandidateStream(docs: DataFrame, idCol: String,
+      textCol: String, shingleN: Int, numHashes: Int,
+      bands: Int): Dataset[CandPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val banded = Dedup.minhashBandFrame(
+        Dedup.minhashShingleFrame(docs, idCol, textCol, shingleN),
+        numHashes, bands)
+      .select(col("id"), col("band"), col("bucket")).as[BandRow]
+    banded.groupByKey(r => (r.band, r.bucket))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: (Int, Int), it: Iterator[BandRow], state: GroupState[Long]) => {
+          val ids = it.map(_.id).toArray.sorted.distinct
+          val rep = if (state.exists) math.min(state.get, ids(0)) else ids(0)
+          state.update(rep)
+          ids.iterator.filter(_ > rep).map(CandPair(rep, _))
+        })
+  }
 
   /** quality gate + streaming first-wins dedup over `fp`. `docs` must
    *  be a STREAMING frame with (doc_id, lang, <textCol>). */

@@ -156,4 +156,33 @@ class CdcPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq(1L, 2L),
       "in-batch dup elects min id; cross-batch re-sends and junk dropped")
   }
+
+  test("streaming minhash links candidates to the bucket representative") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val a = ("the quick brown fox jumps over the lazy dog " * 10) +
+      "and then it sat down to rest for a while near the river bank"
+    val b = a + " one extra trailing clause changes a few shingles only"
+    val other = "completely different content about spark structured " +
+      "streaming state stores and deterministic oracle verification " * 8
+    val docs = in.toDF().toDF("doc_id", "text")
+    val q = graft.streaming.CorpusStream
+      .minhashCandidateStream(docs, "doc_id", "text",
+        shingleN = 2, numHashes = 64, bands = 16)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("smh_test").start()
+    in.addData((1L, a), (2L, other))
+    q.processAllAvailable()
+    in.addData((3L, b), (4L, a)) // near-dup of 1 and exact dup of 1
+    q.processAllAvailable()
+    val pairs = spark.table("smh_test").select("id_a", "id_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    assert(pairs.contains((1L, 4L)), "exact copy links to representative")
+    assert(pairs.contains((1L, 3L)), "near-dup collides in some band")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L),
+      "unrelated doc never links")
+  }
 }
