@@ -426,6 +426,23 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "cdc_clustered_prune" -> ((s, d) => {
+      // Clustered maintenance (Iceberg sort-order / Delta ZORDER role):
+      // optimize(clusterBy) range-sorts the rewrite so file stats become
+      // disjoint value ranges, then a stats-pruned scan + row filter
+      // answers a range query touching only the overlapping files. The
+      // oracle catches over-aggressive pruning (missing rows); the
+      // effectiveness claim (files actually skipped) is spec'd in
+      // GraftTableSpec.
+      val table = runCdc(s, d, deleteType = None)
+      table.optimize(clusterBy = Seq("value"))
+      table.prunedRead("value", Some(150.0), None)
+        .where(col("value") >= 150.0)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          cents(col("value")).as("value_cents"))
+        .orderBy("user_id")
+    }),
+
     "cdc_changes" -> ((s, d) => {
       // Change data feed over the time-travel axis: the delete-carrying
       // stream applied in 4 batches, then changesBetween(end of batch
@@ -1658,6 +1675,19 @@ object SparkEntry {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "cdc_upsert_state" -> cdcUpsertOracle,
+
+    // latest state per user, range-filtered on value (the clustered
+    // pruned scan must return exactly the rows a plain filter returns)
+    "cdc_clustered_prune" ->
+      """WITH last AS (
+        |  SELECT user_id, event_id, value FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)
+        |SELECT user_id,
+        |       event_id AS last_event_id,
+        |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
+        |FROM last
+        |WHERE value >= 150.0
+        |ORDER BY user_id""".stripMargin,
 
     // net state diff between the batch-2 and batch-3 cuts of the
     // delete-carrying stream. States: latest event per user below the

@@ -1298,7 +1298,8 @@ final class GraftTable private (
    *  entries (reference `compaction/compactor.rs:40,388`; thresholds
    *  `compaction_config.rs:48-55`). Fully distributed — no driver
    *  collect of data rows. */
-  def compact(force: Boolean = false): Boolean = synchronized {
+  def compact(force: Boolean = false,
+      clusterBy: Seq[String] = Nil): Boolean = synchronized {
     // resolve committed deletes first: afterwards every remaining
     // pending delete has lsn > commitLsn >= any rewritten row's LSN, so
     // stamping compacted index entries with the victims' maxLsn keeps
@@ -1321,14 +1322,29 @@ final class GraftTable private (
     val totalLive = math.max(1L, victims.map(e => e.rows - e.deletes).sum)
     val nOut = math.ceil(totalLive.toDouble / config.rowsPerFile).toInt
 
-    // rewrite keeps PHYSICAL names — compaction only moves rows
+    // rewrite keeps PHYSICAL names — compaction only moves rows.
+    // clusterBy range-partitions + sorts the rewrite on the given
+    // LOGICAL columns, so the new files' min/max stats become disjoint
+    // ranges and manifest file pruning turns a full scan into a
+    // point-range one — the Iceberg sort-order / Delta OPTIMIZE ZORDER
+    // role, applied at the natural rewrite point
     val live = applyDvFilter(spark.read.schema(physicalSchema).parquet(paths: _*))
       .select(physicalSchema.fieldNames.map(col).toSeq: _*)
+    val shaped =
+      if (clusterBy.isEmpty) live.repartition(nOut)
+      else {
+        val cs = clusterBy.map { c =>
+          col(SchemaDsl.physicalName(
+            schemaVar.fields(schemaVar.fieldIndex(c))))
+        }
+        live.repartitionByRange(nOut, cs: _*).sortWithinPartitions(cs: _*)
+      }
     val tmp = s"$root/tmp/${UUID.randomUUID()}"
-    live.repartition(nOut).write.mode("overwrite").parquet(tmp)
+    shaped.write.mode("overwrite").parquet(tmp)
 
-    // adopt the written part files, then derive per-file row counts by
-    // reading footers back (one lightweight metadata job)
+    // adopt the written part files, then ONE read-back job derives
+    // per-file row counts AND min/max stats (compaction must not
+    // degrade pruning: the victims' stats die with them)
     val parts = Fio.list(tmp).filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
     val newNames = parts.map { p =>
       val name = f"data-${newId()}%09d.parquet"
@@ -1336,14 +1352,32 @@ final class GraftTable private (
       name
     }
     Fio.delete(tmp)
-    val counts: Map[String, Long] =
+    val statFields = schemaVar.fields.filter(f => statsComparable(f.dataType)).toSeq
+    val backStats: Map[String, (Long, Map[String, Seq[String]])] =
       if (newNames.isEmpty) Map.empty
-      else spark.read.schema(physicalSchema)
-        .parquet(newNames.map(n => s"$root/data/$n"): _*)
-        .groupBy(substring_index(col("_metadata.file_path"), "/", -1).as("_f"))
-        .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      else {
+        val aggs = count(lit(1)).as("_n") +: statFields.flatMap { f =>
+          val p = col(SchemaDsl.physicalName(f))
+          Seq(min(p).as(s"_mn_${f.name}"), max(p).as(s"_mx_${f.name}"))
+        }
+        spark.read.schema(physicalSchema)
+          .parquet(newNames.map(n => s"$root/data/$n"): _*)
+          .groupBy(substring_index(col("_metadata.file_path"), "/", -1).as("_f"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect().map { r =>
+            val stats = statFields.map { f =>
+              val mn = r.get(r.fieldIndex(s"_mn_${f.name}"))
+              val mx = r.get(r.fieldIndex(s"_mx_${f.name}"))
+              f.name -> (if (mn == null) Seq.empty[String]
+                         else Seq(mn.toString, mx.toString))
+            }.toMap
+            r.getString(0) -> (r.getLong(r.fieldIndex("_n")), stats)
+          }.toMap
+      }
+    val counts: Map[String, Long] = backStats.map { case (n, (c, _)) => n -> c }
     val entries = newNames.map(n => DataFileEntry(n,
-      counts.getOrElse(n, 0L), Fio.sizeOf(s"$root/data/$n"), maxLsn))
+      counts.getOrElse(n, 0L), Fio.sizeOf(s"$root/data/$n"), maxLsn, 0L,
+      backStats.get(n).map(_._2).getOrElse(Map.empty)))
 
     victimNames.foreach { n => fileEntries.remove(n); dvMap.remove(n) }
     entries.filter(_.rows > 0).foreach(e => fileEntries(e.path) = e)
@@ -1459,8 +1493,11 @@ final class GraftTable private (
 
   /** Force flush + compaction + index merge (M15 ForceFullMaintenance,
    *  reference `table_handler.rs:239-320`). */
-  def optimize(): Unit = synchronized {
-    flush(); compact(force = true); mergeIndexes(); publish()
+  /** M15 full maintenance; `clusterBy` additionally sorts the rewrite
+   *  so file stats become disjoint ranges (see `compact`). */
+  def optimize(clusterBy: Seq[String] = Nil): Unit = synchronized {
+    flush(); compact(force = true, clusterBy = clusterBy)
+    mergeIndexes(); publish()
   }
 
   /** Drop columns (M14, `mooncake_table.rs:616` — the only schema

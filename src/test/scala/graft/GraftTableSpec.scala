@@ -393,6 +393,34 @@ class GraftTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.drop()
   }
 
+  test("compaction preserves stats; clusterBy yields disjoint ranges") {
+    val t = mkTable(TableConfig(memSliceSize = 2, walEnabled = false,
+      rowsPerFile = 4))
+    // ages interleave across the ingest files, so BEFORE clustering
+    // every file spans nearly the whole range and nothing prunes
+    t.insertAll(Seq(user(1, "a", 10), user(2, "b", 90),
+      user(3, "c", 11), user(4, "d", 91)), 1)
+    t.insertAll(Seq(user(5, "e", 12), user(6, "f", 92),
+      user(7, "g", 13), user(8, "h", 93)), 10)
+    t.compact(force = true, clusterBy = Seq("age"))
+    val m = t.currentManifest
+    assert(m.dataFiles.size >= 2)
+    assert(m.dataFiles.forall(_.stats.get("age").exists(_.nonEmpty)),
+      "stats must survive compaction")
+    val ranges = m.dataFiles
+      .map(e => (e.stats("age")(0).toInt, e.stats("age")(1).toInt))
+      .sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) => assert(hi1 <= lo2, "disjoint ranges")
+      case _ => ()
+    }
+    val pruned = t.prunedRead("age", Some(90), None)
+    assert(pruned.collect().map(_.getInt(0)).toSet == Set(2, 4, 6, 8))
+    assert(pruned.inputFiles.length < m.dataFiles.size,
+      "clustered pruning skips files")
+    t.drop()
+  }
+
   test("LSN-consistent snapshot: flushLsn <= commitLsn invariants") {
     // cf. test_flush_lsn_ordering, tests.rs:1197
     val t = mkTable(TableConfig(memSliceSize = 2, walEnabled = false))
