@@ -100,6 +100,50 @@ class GraftDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.drop()
   }
 
+  test("DSv2 stat pruning composes with clustered compaction") {
+    // ids interleave across the two ingest files, so BEFORE clustering
+    // both span nearly the whole range and a range filter prunes
+    // nothing; after optimize(clusterBy) the rewrite's preserved
+    // min/max stats are disjoint and the same pushed filter drops files
+    // at scan-planning time — maintenance makes the connector faster
+    // with zero connector changes.
+    val dir = tmpDir() + "/t"
+    val t = GraftTable.create(spark, dir, schema,
+      Identity.Keys(Seq("id")), TableConfig(memSliceSize = 4,
+        walEnabled = false, rowsPerFile = 10))
+    def row(i: Long) = Row(i, s"n$i", i * 1.5, i % 2 == 0,
+      java.sql.Timestamp.valueOf("2025-01-01 00:00:00"))
+    val (low, high) = ((1L to 10L) ++ (101L to 110L)).partition(_ <= 10L)
+    // batch 1 = odd positions of both ranges, batch 2 = even: interleaved
+    val Seq(b1, b2) = Seq(0, 1).map(p =>
+      (low ++ high).zipWithIndex.collect { case (i, ix) if ix % 2 == p => i })
+    t.apply(b1.flatMap(i => CdcEvent.upsert(row(i), Seq(i), i))
+      :+ Commit(200L))
+    t.apply(b2.flatMap(i => CdcEvent.upsert(row(i), Seq(i), i))
+      :+ Commit(400L))
+    t.flush()
+    def partsFor(m: graft.format.Manifest,
+        filters: Array[org.apache.spark.sql.sources.Filter]): Int = {
+      val sb = new GraftScanBuilder(t.root, m)
+      sb.pushFilters(filters)
+      sb.build().toBatch.planInputPartitions().length
+    }
+    val before = t.currentManifest
+    assert(before.dataFiles.size >= 2)
+    assert(partsFor(before, Array(GreaterThan("id", 100L))) ==
+      partsFor(before, Array.empty), "interleaved files cannot prune")
+    t.optimize(clusterBy = Seq("id"))
+    val after = t.currentManifest
+    assert(after.dataFiles.size >= 2, "rowsPerFile=10 over 20 live rows")
+    assert(partsFor(after, Array(GreaterThan("id", 100L))) <
+      partsFor(after, Array.empty), "clustered stats must prune")
+    val got = spark.read.format("graft").load(t.root)
+      .where(col("id") > 100L).orderBy("id").collect()
+    assert(got.map(_.getLong(0)).toSeq == (101L to 110L),
+      "pruned read returns exactly the filtered rows")
+    t.drop()
+  }
+
   test("count(*) answered from the manifest, zero files read") {
     val t = buildTable()
     val df = spark.read.format("graft").load(t.root)
