@@ -1124,6 +1124,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "sample_stratified" -> ((s, d) => {
+      // exact-count mixture: exactly 100 docs per language, ranked by
+      // the same engine-portable key as sample_mixture (so a rate
+      // pre-thin composes with this exactly); DuckDB replays the
+      // identical rank arithmetic.
+      TextOps.stratifiedSample(t(s, d, "documents"), "doc_id", "lang", 100)
+        .select(col("doc_id"), col("lang"), col("strat_rank"))
+        .orderBy("doc_id")
+    }),
+
     "text_decontam" -> ((s, d) => {
       // Benchmark decontamination (the eval-overlap gate every training
       // pipeline runs before a corpus ships): the "benchmark" is a
@@ -2001,6 +2011,18 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, lang, sample_key, quota_permille
         |FROM s WHERE sample_key < quota_permille
+        |ORDER BY doc_id""".stripMargin,
+
+    // exact-count per-language sample: same rank arithmetic as the
+    // Spark side (multiplicative-hash key, id tie-break)
+    "sample_stratified" ->
+      """SELECT doc_id, lang, strat_rank FROM (
+        |  SELECT doc_id, lang,
+        |         CAST(row_number() OVER (PARTITION BY lang
+        |              ORDER BY ((doc_id % 1000003) * 2654435761) % 1000, doc_id)
+        |              AS BIGINT) AS strat_rank
+        |  FROM documents)
+        |WHERE strat_rank <= 100
         |ORDER BY doc_id""".stripMargin,
 
     "text_decontam" ->

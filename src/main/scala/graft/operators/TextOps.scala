@@ -354,6 +354,26 @@ object TextOps {
   }
 
   /**
+   * Exact-count stratified sampling: exactly min(k, |stratum|) rows
+   * per class, chosen by the deterministic [[sampleKey]] rank with id
+   * as the tie-break — the "n documents per language/source" shape a
+   * published training mixture specifies, where [[quotaSample]]'s
+   * per-row rate predicate can only hit a budget in expectation.
+   * One exchange keyed by class; ranking is per-stratum, never a
+   * global sort. A skewed stratum funnels through one task at 100 TB —
+   * pre-thin it with [[quotaSample]] to ~10x the budget first (rate =
+   * 10k/|stratum|), which preserves the final ranked selection because
+   * the rate gate and the rank order use the SAME key.
+   */
+  def stratifiedSample(df: DataFrame, idCol: String, classCol: String,
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(col(classCol))
+      .orderBy(sampleKey(col(idCol)).asc, col(idCol).asc)
+    df.withColumn("strat_rank", row_number().over(w).cast("long"))
+      .where(col("strat_rank") <= k)
+  }
+
+  /**
    * Concat-and-chunk training-sequence packing: documents within a
    * shard, in id order, are laid head-to-tail and cut into fixed
    * `seqLen` token windows. Emits where each document lands —

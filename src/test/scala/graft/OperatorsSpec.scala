@@ -641,6 +641,30 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b)
   }
 
+  test("stratified sampling: exact per-class counts, rate-thin composes") {
+    import spark.implicits._
+    val df = (0L until 2000L).map(i =>
+      (i, if (i % 4 == 0) "en" else if (i % 4 == 1) "de" else "fr"))
+      .toDF("doc_id", "lang")   // en 500, de 500, fr 1000
+    val got = TextOps.stratifiedSample(df, "doc_id", "lang", 120)
+    val byLang = got.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang == Map("en" -> 120L, "de" -> 120L, "fr" -> 120L))
+    // a stratum smaller than the budget keeps everything
+    val small = TextOps.stratifiedSample(df.where(col("doc_id") < 40), // en 10
+      "doc_id", "lang", 120)
+    assert(small.where(col("lang") === "en").count() == 10L)
+    // partition-invariant ids, and a 10x quota pre-thin (same key)
+    // selects the IDENTICAL final set — the documented skew remedy
+    val ids = got.select("doc_id").collect().map(_.getLong(0)).toSet
+    val thinned = TextOps.quotaSample(df.repartition(13), "doc_id", "lang",
+      Map.empty, defaultPermille = 600L)  // keeps ~60% >> 120/stratum
+    val viaThin = TextOps.stratifiedSample(thinned.drop("sample_key",
+      "quota_permille"), "doc_id", "lang", 120)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaThin == ids)
+  }
+
   test("connected components: random graph matches union-find") {
     val rnd = new scala.util.Random(42)
     val edges = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
