@@ -385,4 +385,202 @@ object Similarity {
       .map(r => (r.getInt(0),
         r.getAs[scala.collection.Seq[Double]](1).toArray))
       .sortBy(_._1).map(_._2)
+
+  // ---- product quantization (the ANN memory/bandwidth half) ----------
+  // At 100 TB the raw vectors are the storage problem: dim-64 float =
+  // 256 B/row, PQ codes at m=8 small ints are ~32x less, so the
+  // shortlist scan runs over data that fits where the flat vectors
+  // don't. Deployment shape = ADC shortlist over codes, then EXACT
+  // refine of the shortlist only (shortlist >> k) — which is also what
+  // makes the two-stage oracle exact: the staged shortlist is re-ranked
+  // by DuckDB with the same exact-cosine arithmetic as every other ANN
+  // entry. Vectors are UNIT-normalized inside train/encode/table
+  // construction, so ADC's L2 order IS cosine order (||a-b||^2 = 2-2cos
+  // on unit vectors) and the shortlist agrees with the cosine refine.
+
+  /** `m` per-subspace codebooks, flattened (sub*nCodes+code) -> centroid
+   *  of length subDim. */
+  final case class PqCodebooks(m: Int, nCodes: Int, subDim: Int,
+      books: Array[Array[Double]])
+
+  /** Train PQ codebooks: contiguous `m`-way split of the unit vector,
+   *  `nCodes` L2 centroids per subspace. ONE corpus pass per Lloyd
+   *  round trains ALL subspaces at once — the accumulator is
+   *  m x nCodes x (subDim+1) doubles (9 KiB at the defaults), combined
+   *  in PARTITION-INDEX order exactly like trainCentroids, so training
+   *  is deterministic for a given corpus. Seeds: the `nCodes` corpus
+   *  vectors with smallest xxhash64(id), sliced per subspace. */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, nCodes: Int = 16, iters: Int = 2): PqCodebooks = {
+    val spark = corpus.sparkSession
+    val c = corpus.select(asDouble(col(vecCol)).as("cv"),
+      xxhash64(col(idCol)).as("h"))
+    val seeds = c.orderBy("h").limit(nCodes).select("cv").collect()
+      .map(r => unit(r.getAs[scala.collection.Seq[Double]](0).toArray))
+    val dim = seeds.headOption.map(_.length).getOrElse(0)
+    require(m > 0 && dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sd = dim / m
+    var books: Array[Array[Double]] = Array.tabulate(m * nCodes) { j =>
+      val s = seeds((j % nCodes) % seeds.length)
+      java.util.Arrays.copyOfRange(s, (j / nCodes) * sd, (j / nCodes) * sd + sd)
+    }
+    def merge(a: (Array[Double], Array[Long]), b: (Array[Double], Array[Long]))
+        : (Array[Double], Array[Long]) = {
+      var i = 0; while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }
+      var j = 0; while (j < a._2.length) { a._2(j) += b._2(j); j += 1 }
+      a
+    }
+    (0 until iters).foreach { _ =>
+      val bc = spark.sparkContext.broadcast(books)
+      val perPart = c.select("cv").rdd.mapPartitionsWithIndex { (pi, it) =>
+        val sums = Array.ofDim[Double](m * nCodes * sd)
+        val cnts = Array.ofDim[Long](m * nCodes)
+        it.foreach { row =>
+          val v = unit(row.getAs[scala.collection.Seq[Double]](0).toArray)
+          val bk = bc.value
+          var sub = 0
+          while (sub < m) {
+            val base = sub * sd
+            val lim = math.max(0, math.min(sd, v.length - base))
+            var best = 0; var bestD = Double.MaxValue; var code = 0
+            while (code < nCodes) {
+              val ct = bk(sub * nCodes + code)
+              var d = 0.0; var i = 0
+              while (i < lim) { val x = v(base + i) - ct(i); d += x * x; i += 1 }
+              if (d < bestD) { bestD = d; best = code } // ties keep lowest code
+              code += 1
+            }
+            val off = (sub * nCodes + best) * sd
+            var i = 0
+            while (i < lim) { sums(off + i) += v(base + i); i += 1 }
+            cnts(sub * nCodes + best) += 1
+            sub += 1
+          }
+        }
+        Iterator((pi, (sums, cnts)))
+      }
+      val grouped = perPart
+        .map { case (pi, acc) => (pi / 64, (pi, acc)) }
+        .groupByKey()
+        .map { case (g, accs) =>
+          (g, accs.toSeq.sortBy(_._1).map(_._2).reduceLeft(merge))
+        }
+        .collect().sortBy(_._1).map(_._2)
+      if (grouped.nonEmpty) {
+        val (sums, cnts) = grouped.reduceLeft(merge)
+        books = Array.tabulate(m * nCodes) { j =>
+          if (cnts(j) > 0)
+            Array.tabulate(sd)(i => sums(j * sd + i) / cnts(j))
+          else books(j) // empty codes keep their seed
+        }
+      }
+    }
+    PqCodebooks(m, nCodes, sd, books)
+  }
+
+  /** Encode every corpus vector to its m nearest-code ints:
+   *  (neighbor_id, codes array<int>) — the persistable compressed half
+   *  of the index; parquet it and every query batch scans codes, never
+   *  raw vectors. */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      cb: PqCodebooks): DataFrame = {
+    val bc = corpus.sparkSession.sparkContext.broadcast(cb)
+    val enc = udf((u: Seq[Double]) => {
+      val v = unit(u.toArray); val b = bc.value
+      Array.tabulate(b.m) { sub =>
+        val base = sub * b.subDim
+        val lim = math.max(0, math.min(b.subDim, v.length - base))
+        var best = 0; var bestD = Double.MaxValue; var code = 0
+        while (code < b.nCodes) {
+          val ct = b.books(sub * b.nCodes + code)
+          var d = 0.0; var i = 0
+          while (i < lim) { val x = v(base + i) - ct(i); d += x * x; i += 1 }
+          if (d < bestD) { bestD = d; best = code }
+          code += 1
+        }
+        best
+      }.toSeq
+    })
+    corpus.select(col(idCol).as("neighbor_id"),
+      enc(asDouble(col(vecCol))).as("codes"))
+  }
+
+  /** ADC shortlist: per query a distance TABLE (m x nCodes partial
+   *  squared distances between the query's slices and every code
+   *  centroid) is built once driver-side — the query batch is bounded
+   *  and small, the same assumption broadcast(q) makes everywhere in
+   *  this file — and broadcast; a corpus row's approximate distance is
+   *  then m array lookups summed, no per-pair vector math at all. Top
+   *  `shortlist` per query by (adc asc, id asc), integer micro-units
+   *  for run-stable ordering. Returns (query_id, neighbor_id) for the
+   *  exact refine / two-stage oracle. */
+  def pqShortlist(encoded: DataFrame, cb: PqCodebooks, queries: DataFrame,
+      qIdCol: String, qVecCol: String, shortlist: Int): DataFrame = {
+    val spark = encoded.sparkSession
+    val qRows = queries.select(col(qIdCol).as("query_id"),
+      asDouble(col(qVecCol)).as("qv")).collect()
+    val tabs: Array[Array[Double]] = qRows.map { r =>
+      val qv = unit(r.getAs[scala.collection.Seq[Double]](1).toArray)
+      val t = new Array[Double](cb.m * cb.nCodes)
+      var sub = 0
+      while (sub < cb.m) {
+        val base = sub * cb.subDim
+        val lim = math.max(0, math.min(cb.subDim, qv.length - base))
+        var code = 0
+        while (code < cb.nCodes) {
+          val ct = cb.books(sub * cb.nCodes + code)
+          var d = 0.0; var i = 0
+          while (i < lim) { val x = qv(base + i) - ct(i); d += x * x; i += 1 }
+          t(sub * cb.nCodes + code) = d
+          code += 1
+        }
+        sub += 1
+      }
+      t
+    }
+    val bc = spark.sparkContext.broadcast(tabs)
+    val nCodes = cb.nCodes
+    val adcUdf = udf((qi: Int, cs: Seq[Int]) => {
+      val t = bc.value(qi); val a = cs.toArray
+      var s = 0.0; var sub = 0
+      while (sub < a.length) { s += t(sub * nCodes + a(sub)); sub += 1 }
+      s
+    })
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_micro").asc, col("neighbor_id").asc)
+    encoded.select(col("neighbor_id"), col("codes"),
+        posexplode(array(qRows.map(r => lit(r.get(0))): _*))
+          .as(Seq("qi", "query_id")))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc_micro",
+        round(adcUdf(col("qi"), col("codes")) * 1e6).cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+  }
+
+  /** PQ ANN end-to-end: train + encode + ADC shortlist + exact refine.
+   *  Same output schema as bruteForceTopK. */
+  def pqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String, k: Int,
+      m: Int = 8, nCodes: Int = 16, shortlist: Int = 24,
+      iters: Int = 2): DataFrame = {
+    val cb = pqTrain(corpus, idCol, vecCol, m, nCodes, iters)
+    topKFromCandidates(
+      pqShortlist(pqEncode(corpus, idCol, vecCol, cb), cb,
+        queries, qIdCol, qVecCol, shortlist),
+      corpus, idCol, vecCol, queries, qIdCol, qVecCol, k)
+  }
+
+  /** In-place-safe unit normalization (zero vectors pass through). */
+  private def unit(v: Array[Double]): Array[Double] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n > 0) {
+      val o = new Array[Double](v.length)
+      i = 0; while (i < v.length) { o(i) = v(i) / n; i += 1 }
+      o
+    } else v
+  }
 }

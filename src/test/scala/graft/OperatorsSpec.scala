@@ -277,6 +277,42 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(close < far, s"one-word edit ($close bits) should beat unrelated ($far bits)")
   }
 
+  test("PQ ANN: deterministic train, compact codes, high recall@5") {
+    // same clustered regime as the LSH/IVF tests; PQ's ADC shortlist
+    // must surface the true neighbors for the exact refine to rank
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val dim = 32
+    val base = Array.fill(40)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 400).map { i =>
+      val c = base(i % 40)
+      (i.toLong, c.map(x => x + 0.15f * rnd.nextGaussian().toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val q = vecs.where(col("vec_id") < 16)
+    val cb = Similarity.pqTrain(vecs, "vec_id", "embedding",
+      m = 8, nCodes = 16, iters = 2)
+    // run-to-run determinism on the same frame (partition-index-ordered
+    // combines); a DIFFERENT partitioning may differ in FP low bits
+    val cb2 = Similarity.pqTrain(vecs, "vec_id", "embedding",
+      m = 8, nCodes = 16, iters = 2)
+    assert(cb.books.map(_.toSeq).toSeq == cb2.books.map(_.toSeq).toSeq,
+      "training must be deterministic run to run")
+    val codes = Similarity.pqEncode(vecs, "vec_id", "embedding", cb)
+    val cs = codes.select("codes").collect()
+      .map(_.getAs[scala.collection.Seq[Int]](0))
+    assert(cs.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)),
+      "codes must be m small ints")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 5))
+    val approx = pairs(Similarity.pqTopK(vecs, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 5, m = 8, nCodes = 16, shortlist = 24))
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"PQ recall@5 = $recall (expected >= 0.8 on clusters)")
+  }
+
   test("simhash pigeonhole blocking has full recall vs brute force") {
     // adversarial fingerprints: pairs differing ONLY in top bits (the
     // pairs prefix-blocking missed) + random noise, verified against
