@@ -1458,6 +1458,25 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "ann_ivfpq_topk" -> ((s, d) => {
+      // true IVF-PQ: the coarse quantizer bounds the scan to the
+      // probed cells, PQ codes make each scored row m table lookups;
+      // exact-cosine refine of the shortlist. Same staged oracle.
+      val e = t(s, d, "embeddings")
+      val q = e.where(col("vec_id") < 8)
+      val cb = Similarity.pqTrain(e, "vec_id", "embedding",
+        m = 8, nCodes = 16, iters = 2)
+      val coarse = Similarity.ivfCandidatePairs(e, "vec_id", "embedding",
+        q, "vec_id", "embedding", nCells = 32, nProbe = 6)
+      val cand = stage(Similarity.pqShortlistFromCandidates(coarse,
+          Similarity.pqEncode(e, "vec_id", "embedding", cb), cb,
+          q, "vec_id", "embedding", shortlist = 16),
+        d, "ann_ivfpq_cand")
+      Similarity.topKFromCandidates(cand, e, "vec_id", "embedding",
+          q, "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     "ann_ivf_topk" -> ((s, d) => {
       // IVF-Flat scale path; same two-stage oracle as the LSH variant —
       // the probed candidate set is staged, DuckDB re-ranks it exactly
@@ -2163,6 +2182,22 @@ object SparkEntry {
 
     "ann_lsh_topk" ->
       """WITH cand AS (SELECT * FROM read_parquet('/root/repo/target/oracle-stage/sf0.01/ann_lsh_cand/*.parquet')),
+        |scored AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |         CAST(ROUND(list_cosine_similarity(ce.embedding::DOUBLE[], qe.embedding::DOUBLE[]) * 1000000) AS BIGINT) AS cosine_micro
+        |  FROM cand c
+        |  JOIN embeddings ce ON ce.vec_id = c.neighbor_id
+        |  JOIN embeddings qe ON qe.vec_id = c.query_id)
+        |SELECT query_id, neighbor_id,
+        |       CAST(row_number() OVER (PARTITION BY query_id
+        |            ORDER BY cosine_micro DESC, neighbor_id ASC) AS BIGINT) AS rank,
+        |       cosine_micro
+        |FROM scored
+        |QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "ann_ivfpq_topk" ->
+      """WITH cand AS (SELECT * FROM read_parquet('/root/repo/target/oracle-stage/sf0.01/ann_ivfpq_cand/*.parquet')),
         |scored AS (
         |  SELECT c.query_id, c.neighbor_id,
         |         CAST(ROUND(list_cosine_similarity(ce.embedding::DOUBLE[], qe.embedding::DOUBLE[]) * 1000000) AS BIGINT) AS cosine_micro

@@ -519,25 +519,8 @@ object Similarity {
     val spark = encoded.sparkSession
     val qRows = queries.select(col(qIdCol).as("query_id"),
       asDouble(col(qVecCol)).as("qv")).collect()
-    val tabs: Array[Array[Double]] = qRows.map { r =>
-      val qv = unit(r.getAs[scala.collection.Seq[Double]](1).toArray)
-      val t = new Array[Double](cb.m * cb.nCodes)
-      var sub = 0
-      while (sub < cb.m) {
-        val base = sub * cb.subDim
-        val lim = math.max(0, math.min(cb.subDim, qv.length - base))
-        var code = 0
-        while (code < cb.nCodes) {
-          val ct = cb.books(sub * cb.nCodes + code)
-          var d = 0.0; var i = 0
-          while (i < lim) { val x = qv(base + i) - ct(i); d += x * x; i += 1 }
-          t(sub * cb.nCodes + code) = d
-          code += 1
-        }
-        sub += 1
-      }
-      t
-    }
+    val tabs: Array[Array[Double]] = qRows.map(r =>
+      adcTable(cb, unit(r.getAs[scala.collection.Seq[Double]](1).toArray)))
     val bc = spark.sparkContext.broadcast(tabs)
     val nCodes = cb.nCodes
     val adcUdf = udf((qi: Int, cs: Seq[Int]) => {
@@ -557,6 +540,62 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= shortlist)
       .select(col("query_id"), col("neighbor_id"))
+  }
+
+  /** True IVF-PQ (the FAISS IndexIVFPQ shape — the standard
+   *  billion-scale deployment): ADC-score ONLY the pairs the coarse
+   *  IVF quantizer admitted (`coarse` from ivfCandidatePairs or the
+   *  persisted-index probe), so the scan is bounded by nProbe/nCells
+   *  AND each scored row is m table lookups over compressed codes.
+   *  Top `shortlist` per query for the exact refine / staged oracle. */
+  def pqShortlistFromCandidates(coarse: DataFrame, encoded: DataFrame,
+      cb: PqCodebooks, queries: DataFrame, qIdCol: String,
+      qVecCol: String, shortlist: Int): DataFrame = {
+    val spark = encoded.sparkSession
+    val qRows = queries.select(col(qIdCol).as("query_id"),
+      asDouble(col(qVecCol)).as("qv")).collect()
+    val tabs: Map[String, Array[Double]] = qRows.map { r =>
+      String.valueOf(r.get(0)) -> adcTable(cb,
+        unit(r.getAs[scala.collection.Seq[Double]](1).toArray))
+    }.toMap
+    val bc = spark.sparkContext.broadcast(tabs)
+    val nCodes = cb.nCodes
+    val adcUdf = udf((qid: String, cs: Seq[Int]) => {
+      val t = bc.value(qid); val a = cs.toArray
+      var s = 0.0; var sub = 0
+      while (sub < a.length) { s += t(sub * nCodes + a(sub)); sub += 1 }
+      s
+    })
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_micro").asc, col("neighbor_id").asc)
+    encoded.join(broadcast(coarse), Seq("neighbor_id"))
+      .withColumn("adc_micro",
+        round(adcUdf(col("query_id").cast("string"), col("codes")) * 1e6)
+          .cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+  }
+
+  /** The m x nCodes ADC table for one unit query vector: partial
+   *  squared distance to every code centroid. */
+  private def adcTable(cb: PqCodebooks, qv: Array[Double]): Array[Double] = {
+    val t = new Array[Double](cb.m * cb.nCodes)
+    var sub = 0
+    while (sub < cb.m) {
+      val base = sub * cb.subDim
+      val lim = math.max(0, math.min(cb.subDim, qv.length - base))
+      var code = 0
+      while (code < cb.nCodes) {
+        val ct = cb.books(sub * cb.nCodes + code)
+        var d = 0.0; var i = 0
+        while (i < lim) { val x = qv(base + i) - ct(i); d += x * x; i += 1 }
+        t(sub * cb.nCodes + code) = d
+        code += 1
+      }
+      sub += 1
+    }
+    t
   }
 
   /** PQ ANN end-to-end: train + encode + ADC shortlist + exact refine.

@@ -313,6 +313,36 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.8, s"PQ recall@5 = $recall (expected >= 0.8 on clusters)")
   }
 
+  test("IVF-PQ ANN reaches high recall@5 on clustered vectors") {
+    // the composed deployment shape: coarse cells bound the scan, ADC
+    // over codes ranks within them, exact refine on the shortlist
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val dim = 32
+    val base = Array.fill(40)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 400).map { i =>
+      val c = base(i % 40)
+      (i.toLong, c.map(x => x + 0.15f * rnd.nextGaussian().toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val q = vecs.where(col("vec_id") < 16)
+    val cb = Similarity.pqTrain(vecs, "vec_id", "embedding",
+      m = 8, nCodes = 16, iters = 2)
+    val coarse = Similarity.ivfCandidatePairs(vecs, "vec_id", "embedding",
+      q, "vec_id", "embedding", nCells = 32, nProbe = 6)
+    val cand = Similarity.pqShortlistFromCandidates(coarse,
+      Similarity.pqEncode(vecs, "vec_id", "embedding", cb), cb,
+      q, "vec_id", "embedding", shortlist = 24)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 5))
+    val approx = pairs(Similarity.topKFromCandidates(cand,
+      vecs, "vec_id", "embedding", q, "vec_id", "embedding", k = 5))
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF-PQ recall@5 = $recall (expected >= 0.8)")
+  }
+
   test("simhash pigeonhole blocking has full recall vs brute force") {
     // adversarial fingerprints: pairs differing ONLY in top bits (the
     // pairs prefix-blocking missed) + random noise, verified against
