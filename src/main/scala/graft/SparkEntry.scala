@@ -1373,6 +1373,29 @@ object SparkEntry {
       out
     }),
 
+    "dedup_bloom_incr" -> ((s, d) => {
+      // Incremental EXACT dedup with a Bloom prefilter — "dedup the
+      // daily crawl against all history" without re-shuffling history:
+      // a broadcast Bloom of the even-doc (history) fingerprints routes
+      // increment rows; filter-negative rows are definitely new and
+      // never join, the positive sliver is anti-join-verified on the
+      // fingerprint column alone. Result is EXACT (bloom has no false
+      // negatives), so the oracle is the plain anti-join in SQL. The
+      // increment replays a tenth of history id-shifted (the raw corpus
+      // has no exact dups at sf0.01 — without the replay the dup path
+      // would be vacuous).
+      val fps = t(s, d, "documents").select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp"))
+      val hist = fps.where(col("doc_id") % 2 === 0)
+      val incr = fps.where(col("doc_id") % 2 === 1)
+        .unionByName(
+          fps.where(col("doc_id") % 2 === 0 && col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("fp")))
+      Dedup.bloomNewDocs(hist, incr, "fp",
+          expectedItems = 1L << 20, fpp = 0.01)
+        .orderBy("doc_id")
+    }),
+
     "dedup_components" -> ((s, d) => {
       // Near-dup PAIRS -> transitive duplicate CLUSTERS: A~B and B~C
       // must collapse to one cluster even though (A,C) was never a
@@ -2152,6 +2175,21 @@ object SparkEntry {
         |  AND CAST(FLOOR(1000.0 * len(list_intersect(a.hs, b.hs)) /
         |            (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))) AS BIGINT) >= 200
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_bloom_incr" ->
+      """WITH fps AS (
+        |  SELECT doc_id,
+        |         md5(trim(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')))) AS fp
+        |  FROM documents),
+        |hist AS (SELECT fp FROM fps WHERE doc_id % 2 = 0),
+        |incr AS (
+        |  SELECT doc_id, fp FROM fps WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, fp FROM fps
+        |  WHERE doc_id % 2 = 0 AND doc_id % 10 = 0)
+        |SELECT i.doc_id, i.fp FROM incr i
+        |WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp = i.fp)
+        |ORDER BY doc_id""".stripMargin,
 
     "dedup_components" ->
       """WITH RECURSIVE raw AS (

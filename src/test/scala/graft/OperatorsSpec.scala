@@ -738,4 +738,25 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val want = unionFind(edges)
     assert(componentsOf(edges) == want)
   }
+
+  test("bloom incremental dedup: exact vs anti-join, even when the filter false-positives") {
+    import spark.implicits._
+    // history 0..499 (fp = "k<i>"), increment overlaps on multiples of 5
+    // and adds fresh keys; an aggressively small/high-fpp filter forces
+    // genuine false positives through the verify join
+    val hist = (0 until 500).map(i => (i.toLong, s"k$i")).toDF("doc_id", "fp")
+    val incr = ((0 until 500 by 5).map(i => (10000L + i, s"k$i")) ++
+      (0 until 300).map(i => (20000L + i, s"new$i"))).toDF("doc_id", "fp")
+    val want = incr.join(hist.select("fp"), Seq("fp"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    for (fpp <- Seq(0.5, 0.01)) {
+      val got = Dedup.bloomNewDocs(hist, incr, "fp",
+          expectedItems = 600L, fpp = fpp)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == want, s"fpp=$fpp")
+    }
+    // no false negatives: every true dup must be routed to the verify
+    // join (i.e. none of them can appear in the result)
+    assert(want.forall(_ >= 20000L))
+  }
 }
