@@ -380,6 +380,25 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "ev_interval_join" -> ((s, d) => {
+      // pure range-containment join (no equi key): attribution windows
+      // [purchase_ts, +600s) over high-value purchases vs ALL events.
+      // Spark's native plan for this predicate is
+      // BroadcastNestedLoopJoin (O(n*m)); the bucketized operator turns
+      // it into a bin equi-join + exact post-filter
+      val e = events(s, d).withColumn("us", expr("ts DIV 1000"))
+      val windows = e
+        .where(col("event_type") === "purchase" && col("value") > 150)
+        .select(col("event_id").as("w_id"), col("us").as("start_us"),
+          (col("us") + 600000000L).as("end_us"))
+      AsOf.intervalJoin(e.select(col("us"), col("value")), "us",
+          windows, "start_us", "end_us", binWidth = 600000000L)
+        .groupBy("w_id")
+        .agg(count(lit(1)).as("n_events"),
+          cents(sum(col("value"))).as("value_cents"))
+        .orderBy("w_id")
+    }),
+
     "ev_props_json" -> ((s, d) => {
       // semi-structured payload parsing: JSON props column -> typed field
       events(s, d)
@@ -1723,6 +1742,17 @@ object SparkEntry {
         |SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
         |       count(*) AS n_events
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ev_interval_join" ->
+      """WITH w AS (
+        |  SELECT event_id AS w_id, epoch_us(ts) AS start_us,
+        |         epoch_us(ts) + 600000000 AS end_us
+        |  FROM events WHERE event_type = 'purchase' AND value > 150),
+        |e AS (SELECT epoch_us(ts) AS us, value FROM events)
+        |SELECT w.w_id, count(*) AS n_events,
+        |       CAST(ROUND(SUM(e.value)*100) AS BIGINT) AS value_cents
+        |FROM w JOIN e ON e.us >= w.start_us AND e.us < w.end_us
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "ev_user_stats" ->
       """SELECT user_id, count(*) AS n,

@@ -59,4 +59,46 @@ object AsOf {
         col(s"_carry.$src").as(out)
       }: _*)
   }
+
+  /**
+   * Interval (range-containment) join WITHOUT an equi key: every point
+   * row is matched to every interval with start <= ts < end. Spark's
+   * only native plan for this predicate is BroadcastNestedLoopJoin —
+   * O(points × intervals) comparisons, a scale-killer the moment the
+   * interval side outgrows a broadcast.
+   *
+   * Bucketization turns it into an equi-join: time is cut into
+   * `binWidth` bins, each interval is exploded to the bins it covers,
+   * each point carries its single bin, and the join runs on the bin id
+   * with the exact containment predicate applied AFTER the hash match.
+   * A point's bin is unique, so a (point, interval) pair can only meet
+   * in one bin — no post-join dedup is needed.
+   *
+   * Cost: shuffle(points) + shuffle(intervals × bins-per-interval),
+   * both on the bin key — fully parallel, AQE-skew-splittable. Choose
+   * `binWidth` ≈ the typical interval length: each interval then
+   * explodes into ≤ 2 bins, and each bin's candidate set is local in
+   * time. (A pathologically long interval explodes into
+   * length/binWidth rows — still output-proportional work, never
+   * quadratic.)
+   *
+   * Both timestamp columns and `binWidth` must share one unit (e.g.
+   * µs). Intervals are half-open [start, end); empty intervals are
+   * dropped.
+   */
+  def intervalJoin(points: DataFrame, pointTs: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    // integer DIV, not floor(double /): timestamps in µs exceed the
+    // range where double division is exact at the bin boundary
+    val binned = intervals.where(col(endCol) > col(startCol))
+      .withColumn("_bin", explode(sequence(
+        expr(s"$startCol DIV ${binWidth}L"),
+        expr(s"($endCol - 1) DIV ${binWidth}L"))))
+    points.withColumn("_bin", expr(s"$pointTs DIV ${binWidth}L"))
+      .join(binned, Seq("_bin"))
+      .where(col(pointTs) >= col(startCol) && col(pointTs) < col(endCol))
+      .drop("_bin")
+  }
 }

@@ -739,6 +739,24 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(componentsOf(edges) == want)
   }
 
+  test("interval join: bucketized equals naive range join, incl. long and cross-bin intervals") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val points = (0 until 500).map(i => (i.toLong, rnd.nextInt(10000).toLong))
+      .toDF("p_id", "ts")
+    // lengths from 0 (empty, dropped) to 30x binWidth (long-interval path)
+    val intervals = (0 until 60).map { i =>
+      val s = rnd.nextInt(10000).toLong
+      (1000L + i, s, s + rnd.nextInt(3000).toLong)
+    }.toDF("w_id", "s", "e")
+    val got = AsOf.intervalJoin(points, "ts", intervals, "s", "e", binWidth = 100L)
+      .select("p_id", "w_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = points.join(intervals, $"ts" >= $"s" && $"ts" < $"e")
+      .select("p_id", "w_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("bloom incremental dedup: exact vs anti-join, even when the filter false-positives") {
     import spark.implicits._
     // history 0..499 (fp = "k<i>"), increment overlaps on multiples of 5
