@@ -427,6 +427,36 @@ object SparkEntry {
 
     "cdc_upsert_state" -> ((s, d) => cdcUpsert(s, d)),
 
+    "cdc_merge_into" -> ((s, d) => {
+      // declarative MERGE INTO (the Delta/Iceberg verb) lowered to one
+      // CDC batch per merge: key-only semi/anti routing, then plain
+      // i/u/d events through the distributed ingest path.
+      //   load customers with custkey%3!=0
+      //   MERGE evens (mktsegment:='MERGED'): update matched, insert rest
+      //   MERGE custkey%7==0: delete matched only
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      val table = GraftTable.create(s, freshDir("merge"),
+        SchemaDsl.struct("c_custkey" -> "int64",
+          "c_mktsegment" -> "string", "c_acctbal" -> "float64"),
+        Identity.Keys(Seq("c_custkey")), ingestCfg)
+      CdcPipeline.applyBatch(table,
+        cust.where(col("c_custkey") % 3 =!= 0)
+          .select(lit("i").as("_op"),
+            (monotonically_increasing_id() + 1L).as("_lsn"),
+            col("c_custkey"), col("c_mktsegment"), col("c_acctbal")))
+      Merge.into(table,
+        cust.where(col("c_custkey") % 2 === 0)
+          .withColumn("c_mktsegment", lit("MERGED")))
+      Merge.into(table,
+        cust.where(col("c_custkey") % 7 === 0),
+        whenMatched = Merge.DeleteMatched, insertNotMatched = false)
+      table.read(scala.None)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          cents(col("c_acctbal")).as("acctbal_cents"))
+        .orderBy("c_custkey")
+    }),
+
     "cdc_time_travel" -> ((s, d) => {
       // M8/M9 time travel: the upsert stream applied in FOUR batches,
       // then read AS OF the LSN where batch 2 ended. The snapshot is
@@ -1819,6 +1849,18 @@ object SparkEntry {
         |WHERE sA.user_id IS NULL OR sB.user_id IS NULL
         |   OR sA.event_id <> sB.event_id
         |ORDER BY user_id""".stripMargin,
+
+    // initial load %3!=0; merge evens as 'MERGED' (update|insert);
+    // merge-delete %7==0
+    "cdc_merge_into" ->
+      """SELECT c_custkey,
+        |       CASE WHEN c_custkey % 2 = 0 THEN 'MERGED'
+        |            ELSE c_mktsegment END AS c_mktsegment,
+        |       CAST(ROUND(c_acctbal*100) AS BIGINT) AS acctbal_cents
+        |FROM customer
+        |WHERE (c_custkey % 3 <> 0 OR c_custkey % 2 = 0)
+        |  AND c_custkey % 7 <> 0
+        |ORDER BY c_custkey""".stripMargin,
 
     // upsert state truncated at the batch-2 LSN cut (LSN = event_id;
     // 4 batches of span (hi-lo)//4+1 — integer division, like the

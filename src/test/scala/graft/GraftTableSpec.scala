@@ -504,4 +504,40 @@ class GraftTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stateOf(t) == Map(2 -> ("b", 30)), "current read unaffected")
     t.drop()
   }
+
+  test("MERGE INTO: update/insert/delete actions, condition, preconditions") {
+    import spark.implicits._
+    val t = mkTable()
+    t.insertAll(Seq(user(1, "a", 20), user(2, "b", 30), user(3, "c", 40)), 1)
+    def src(rows: (Int, String, Int)*) =
+      rows.map { case (id, n, age) => (id, n, s"$n@x.com", age) }
+        .toDF("id", "name", "email", "age")
+    // update matched (2,3) + insert unmatched (4)
+    Merge.into(t, src((2, "B", 31), (3, "C", 41), (4, "d", 50)))
+    assert(stateOf(t) == Map(1 -> ("a", 20), 2 -> ("B", 31),
+      3 -> ("C", 41), 4 -> ("d", 50)))
+    // matched condition gates the update; unmatched insert unaffected
+    Merge.into(t, src((1, "A", 99), (4, "D", 1), (5, "e", 60)),
+      matchedCondition = Some(org.apache.spark.sql.functions.col("age") > 50))
+    assert(stateOf(t) == Map(1 -> ("A", 99), 2 -> ("B", 31),
+      3 -> ("C", 41), 4 -> ("d", 50), 5 -> ("e", 60)))
+    // delete matched only (99 has no match -> no-op), no inserts
+    Merge.into(t, src((2, "x", 0), (99, "x", 0)),
+      whenMatched = Merge.DeleteMatched, insertNotMatched = false)
+    assert(stateOf(t).keySet == Set(1, 3, 4, 5))
+    // insert-if-absent: matched ignored
+    Merge.into(t, src((1, "zzz", 0), (6, "f", 70)),
+      whenMatched = Merge.IgnoreMatched)
+    assert(stateOf(t)(1) == ("A", 99) && stateOf(t)(6) == ("f", 70))
+    // duplicate source keys rejected
+    intercept[IllegalArgumentException] {
+      Merge.into(t, src((7, "g", 1), (7, "g2", 2)))
+    }
+    t.drop()
+    // non-keyed identity rejected
+    val ap = GraftTable.create(spark, tmpDir() + "/ap", userSchema,
+      Identity.None, TableConfig())
+    intercept[IllegalArgumentException] { Merge.into(ap, src((1, "a", 1))) }
+    ap.drop()
+  }
 }
