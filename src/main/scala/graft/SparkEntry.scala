@@ -1142,6 +1142,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "text_heavyhitters" -> ((s, d) => {
+      // φ-heavy-hitter bigrams (count >= 0.1% of all bigram
+      // occurrences), exact counts via count-min-sketch shortlist +
+      // exact verify over the surviving sliver — the sketch shuffles
+      // depth x width cells, never one row per distinct gram
+      TextOps.heavyHitters(t(s, d, "documents"), "text",
+          n = 2, phiPermille = 1L)
+        .orderBy("gram")
+    }),
+
     "text_vocab" -> ((s, d) => {
       // top-1000 corpus vocabulary with deterministic tie-break — the
       // first step of tokenizer training / frequency filtering. The
@@ -2106,6 +2116,17 @@ object SparkEntry {
         |         AND dup_line_char_frac_milli < 200 AND top2gram_char_frac_milli < 200
         |         THEN 1 ELSE 0 END AS BIGINT) AS gopher_keep
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "text_heavyhitters" ->
+      """WITH toks AS (
+        |  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-zA-Z0-9]+'), x -> x <> '') AS ts
+        |  FROM documents),
+        |idx AS (SELECT ts, unnest(range(1, len(ts))) AS i FROM toks),
+        |grams AS (SELECT ts[i] || ' ' || ts[i+1] AS gram FROM idx),
+        |cnt AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt FROM grams GROUP BY gram)
+        |SELECT gram, cnt FROM cnt
+        |WHERE cnt >= greatest(1, (SELECT count(*) FROM grams) // 1000)
+        |ORDER BY gram""".stripMargin,
 
     "text_vocab" ->
       """WITH tok AS (

@@ -326,6 +326,56 @@ object TextOps {
       .select(col("vocab_id"), col("token"), col("cnt"))
   }
 
+  /**
+   * φ-heavy hitters over token n-grams — every gram whose occurrence
+   * count is ≥ `phiPermille`‰ of all gram occurrences, with EXACT
+   * counts — via a count-min-sketch shortlist:
+   *
+   *  pass 1 builds a depth×width CMS distributively: each occurrence
+   *  maps to one bucket per depth row (codegen'd xxhash64), and the
+   *  groupBy shuffles at most depth×width CELLS — thousands of rows —
+   *  instead of one row per distinct gram. Only the sketch (a few
+   *  hundred KB) reaches the driver; the occurrence total falls out of
+   *  it for free (every row of the sketch sums to it).
+   *
+   *  pass 2 re-scans occurrences and keeps those whose sketch estimate
+   *  (min over depth rows, a literal-array lookup — no UDF) reaches
+   *  the threshold. CMS never underestimates, so every TRUE heavy
+   *  hitter survives — full recall by construction; false positives
+   *  (hash collisions) are killed by the exact groupBy + HAVING that
+   *  runs over the surviving sliver only.
+   *
+   * At 100 TB this is the difference between shuffling billions of
+   * distinct grams (the exact-groupBy-everything plan) and shuffling a
+   * fixed-size sketch plus the heavy tail — the same
+   * summarize-then-verify discipline as the Bloom dedup path.
+   */
+  def heavyHitters(df: DataFrame, textCol: String, n: Int,
+      phiPermille: Long, depth: Int = 4, width: Int = 8192): DataFrame = {
+    require(depth >= 1 && width >= 1 && phiPermille >= 1)
+    val toks = tokens(lower(col(textCol)))
+    val gramCol =
+      if (n == 1) toks
+      else org.apache.spark.sql.graft.TokenNgrams.asColumn(toks, n)
+    val occ = df.select(explode(gramCol).as("gram"))
+    def bucket(d: Int): Column =
+      pmod(xxhash64(lit(d), col("gram")), lit(width)).cast("int")
+    val cells = occ.select(explode(array((0 until depth).map(d =>
+        struct(lit(d).as("d"), bucket(d).as("b"))): _*)).as("c"))
+      .groupBy(col("c.d").as("d"), col("c.b").as("b"))
+      .agg(count(lit(1)).as("n")).collect()
+    val sketch = Array.fill(depth)(new Array[Long](width))
+    cells.foreach(r => sketch(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    val total = sketch(0).sum
+    val threshold = math.max(1L, total * phiPermille / 1000L)
+    val est = (0 until depth).map(d =>
+      element_at(typedlit(sketch(d).toSeq), bucket(d) + 1))
+      .reduce(least(_, _))
+    occ.where(est >= threshold)
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= threshold)
+  }
+
   /** Deterministic per-row sampling key in [0, 1000): multiplicative
    *  hashing in plain BIGINT arithmetic — `((id % 1000003) * 2654435761)
    *  % 1000`. Deliberately NOT an engine hash builtin (Spark's xxhash64

@@ -757,6 +757,30 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty)
   }
 
+  test("heavy hitters: CMS shortlist is exact even with a collision-heavy sketch") {
+    import spark.implicits._
+    // skewed corpus: token i appears ~ (40 - i) times per doc batch
+    val docsDf = (0 until 40).flatMap(i =>
+      Seq.fill(40 - i)(s"w$i")).grouped(37).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+    // ground truth: unigram counts >= 1% of total occurrences
+    val exact = docsDf.select(explode(TextOps.tokens(lower(col("text")))).as("g"))
+      .groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = exact.values.sum
+    val thr = math.max(1L, total * 10 / 1000)
+    val want = exact.filter(_._2 >= thr)
+    // width 8 << 40 distinct tokens: every bucket collides, estimates
+    // overshoot wildly — the exact verify must still produce `want`
+    for (width <- Seq(8, 4096)) {
+      val got = TextOps.heavyHitters(docsDf, "text", n = 1,
+          phiPermille = 10L, depth = 3, width = width)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == want, s"width=$width")
+    }
+    assert(want.nonEmpty && want.size < exact.size)
+  }
+
   test("bloom incremental dedup: exact vs anti-join, even when the filter false-positives") {
     import spark.implicits._
     // history 0..499 (fp = "k<i>"), increment overlaps on multiples of 5
