@@ -56,9 +56,10 @@ object SparkEntry {
    *  mtimes, so a maxFilesPerTrigger=1 file-source stream replays it
    *  in id order — the arrival-order precondition that makes the
    *  streaming dedup entries' emitted sets equal their batch oracles. */
-  private def streamSourceDir(df: DataFrame, n: Int): String = {
+  private def streamSourceDir(df: DataFrame, n: Int,
+      idCol: String = "doc_id"): String = {
     val dir = freshDir("stream-src")
-    df.repartitionByRange(n, col("doc_id")).sortWithinPartitions("doc_id")
+    df.repartitionByRange(n, col(idCol)).sortWithinPartitions(idCol)
       .write.mode("overwrite").parquet(dir)
     val parts = new java.io.File(dir).listFiles()
       .filter(_.getName.startsWith("part-")).sortBy(_.getName)
@@ -378,6 +379,46 @@ object SparkEntry {
           payloadCols = Map("c_eid" -> "click_event_id"))
         .select(col("event_id"), col("user_id"), col("click_event_id"))
         .orderBy("event_id")
+    }),
+
+    "stream_join" -> ((s, d) => {
+      // watermarked stream-stream attribution join: clicks and
+      // purchases ride the SAME live event feed (4 ts-ordered files,
+      // one per trigger), split by type into two streams, and joined
+      // on user within a forward 4h window — the time bound in the
+      // join condition is what lets Spark EVICT join state (without it
+      // an inner stream-stream join buffers both sides forever).
+      // ts-ordered arrival + 1h watermark delay means nothing is ever
+      // late, so the emitted set equals the batch join the oracle runs.
+      import org.apache.spark.sql.types._
+      val ev = events(s, d)
+        .select(col("event_id"), expr("ts DIV 1000").as("us"),
+          col("user_id"), col("event_type"))
+      val srcDir = streamSourceDir(ev, 4, idCol = "event_id")
+      val sch = StructType(Seq(StructField("event_id", LongType),
+        StructField("us", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType)))
+      val stream = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .withColumn("ets", timestamp_micros(col("us")))
+      val clicks = stream.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ets").as("c_ts"))
+      val purchases = stream.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ets").as("p_ts"))
+      val sink = freshDir("sj-out")
+      val q = graft.streaming.StreamJoin.intervalJoin(
+          clicks, purchases, "user_id", "c_ts", "p_ts",
+          maxSpan = "4 hours", delay = "1 hour")
+        .select(col("user_id"), col("click_id"), col("purchase_id"))
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", freshDir("sj-ckpt"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(sink).orderBy("click_id", "purchase_id")
     }),
 
     "ev_interval_join" -> ((s, d) => {
@@ -1782,6 +1823,15 @@ object SparkEntry {
         |SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
         |       count(*) AS n_events
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "stream_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND epoch_us(p.ts) >= epoch_us(c.ts)
+        | AND epoch_us(p.ts) < epoch_us(c.ts) + 14400000000
+        |ORDER BY click_id, purchase_id""".stripMargin,
 
     "ev_interval_join" ->
       """WITH w AS (

@@ -185,4 +185,40 @@ class CdcPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L),
       "unrelated doc never links")
   }
+
+  test("stream-stream interval join matches across micro-batches, honors the window") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicksIn = MemoryStream[(Long, Long, Long)]    // user, click_id, us
+    val buysIn = MemoryStream[(Long, Long, Long)]      // user, purchase_id, us
+    val hour = 3600L * 1000000L
+    // event times must sit above the INITIAL watermark (epoch 0) or
+    // the first batch's rows are dropped as late
+    val t0 = 1704067200L * 1000000L // 2024-01-01
+    val clicks = clicksIn.toDF().toDF("user_id", "click_id", "c_us")
+      .withColumn("c_ts", timestamp_micros(col("c_us"))).drop("c_us")
+    val buys = buysIn.toDF().toDF("user_id", "purchase_id", "p_us")
+      .withColumn("p_ts", timestamp_micros(col("p_us"))).drop("p_us")
+    val q = graft.streaming.StreamJoin.intervalJoin(
+        clicks, buys, "user_id", "c_ts", "p_ts",
+        maxSpan = "4 hours", delay = "1 hour")
+      .select("click_id", "purchase_id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sj_test").start()
+    // batch 1: click u1@t0, purchase u1@t0+1h (in-batch match),
+    //          purchase u2@t0 (no click), click u3@t0
+    clicksIn.addData((1L, 100L, t0), (3L, 300L, t0))
+    buysIn.addData((1L, 900L, t0 + hour), (2L, 901L, t0))
+    q.processAllAvailable()
+    // batch 2: purchase u3@t0+3h matches the batch-1 click (state),
+    //          purchase u1@t0+5h is PAST the 4h window
+    buysIn.addData((3L, 902L, t0 + 3 * hour), (1L, 903L, t0 + 5 * hour))
+    q.processAllAvailable()
+    val got = spark.table("sj_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    assert(got == Set((100L, 900L), (300L, 902L)),
+      "in-batch + cross-batch matches only, window and direction enforced")
+  }
 }
