@@ -315,6 +315,17 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    "q_exact_quantiles" -> ((s, d) => {
+      // EXACT p50/p90/p99 of l_extendedprice with no global sort:
+      // histogram locates each rank's bucket (shuffles <=4096 cells),
+      // then a TakeOrdered over that single bucket's sliver re-ranks
+      // exactly — the discrete quantile is a real element of the
+      // column, so the oracle's ORDER BY/OFFSET reproduces it exactly
+      Quantiles.exactQuantiles(t(s, d, "lineitem"), "l_extendedprice",
+          percents = Seq(50, 90, 99))
+        .orderBy("percent")
+    }),
+
     "q_scalar_funcs" -> ((s, d) => {
       // scalar-function surface: dates, strings, conditionals, math
       t(s, d, "orders")
@@ -1785,6 +1796,16 @@ object SparkEntry {
         |       count(DISTINCT l_suppkey) AS n_supps,
         |       count(*) AS n_rows
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_exact_quantiles" ->
+      """WITH v AS (SELECT l_extendedprice AS x FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |n AS (SELECT count(*) AS n FROM v),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x) AS rk FROM v),
+        |p(p) AS (VALUES (50), (90), (99))
+        |SELECT CAST(p.p AS BIGINT) AS percent, r.x AS value
+        |FROM p, n, r
+        |WHERE r.rk = greatest(1, (n.n * p.p) // 100)
+        |ORDER BY percent""".stripMargin,
 
     "q_scalar_funcs" ->
       """SELECT o_orderkey,

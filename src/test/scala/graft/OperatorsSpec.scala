@@ -757,6 +757,36 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty)
   }
 
+  test("exact quantiles: histogram path equals full sort, edge cases") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val xs = Seq.fill(5000)(rnd.nextDouble() * 1000.0 - 200.0)
+    val df = xs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val sorted = xs.sorted
+    val n = xs.size
+    for (buckets <- Seq(7, 4096)) { // tiny bucket count stresses re-rank
+      val got = Quantiles.exactQuantiles(df, "v",
+          percents = Seq(1, 50, 90, 99, 100), buckets = buckets)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val want = Seq(1, 50, 90, 99, 100).map(p =>
+        p.toLong -> sorted(math.max(1L, n.toLong * p / 100L).toInt - 1)).toMap
+      assert(got == want, s"buckets=$buckets")
+    }
+    // constant column, duplicate-heavy column, empty frame
+    val const = Seq.fill(100)(42.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    assert(Quantiles.exactQuantiles(const, "v", Seq(50, 99))
+      .collect().forall(_.getDouble(1) == 42.0))
+    val dups = (1 to 1000).map(i => (i.toLong, (i % 3).toDouble)).toDF("id", "v")
+    val dupSorted = (1 to 1000).map(i => (i % 3).toDouble).sorted
+    val gotDup = Quantiles.exactQuantiles(dups, "v", Seq(40, 80))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(gotDup == Map(40L -> dupSorted(399), 80L -> dupSorted(799)))
+    assert(Quantiles.exactQuantiles(df.where(col("v") > 99999), "v",
+      Seq(50)).count() == 0)
+  }
+
   test("heavy hitters: CMS shortlist is exact even with a collision-heavy sketch") {
     import spark.implicits._
     // skewed corpus: token i appears ~ (40 - i) times per doc batch
