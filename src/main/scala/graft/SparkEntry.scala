@@ -544,6 +544,26 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "cdc_zorder_prune" -> ((s, d) => {
+      // Z-ORDER maintenance (Delta OPTIMIZE ZORDER BY role): the
+      // rewrite sorts on the Morton interleave of (user_id, value), so
+      // each file covers a small hypercube and min/max stats prune on
+      // EITHER dimension — a linear clusterBy would serve only its
+      // lead column. The two-predicate pruned scan + exact row filter
+      // must return exactly what a plain filter returns (oracle);
+      // the files-actually-skipped-on-both-dims claim is spec'd in
+      // GraftTableSpec.
+      val table = runCdc(s, d, deleteType = None)
+      table.optimize(clusterBy = Seq("user_id", "value"), zorder = true)
+      table.prunedRead(Seq(
+          ("user_id", scala.None, Some(75L)),
+          ("value", Some(150.0), scala.None)))
+        .where(col("user_id") <= 75L && col("value") >= 150.0)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          cents(col("value")).as("value_cents"))
+        .orderBy("user_id")
+    }),
+
     "cdc_changes" -> ((s, d) => {
       // Change data feed over the time-travel axis: the delete-carrying
       // stream applied in 4 batches, then changesBetween(end of batch
@@ -1899,6 +1919,18 @@ object SparkEntry {
         |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
         |FROM last
         |WHERE value >= 150.0
+        |ORDER BY user_id""".stripMargin,
+
+    // latest state per user, filtered on BOTH z-ordered dimensions
+    "cdc_zorder_prune" ->
+      """WITH last AS (
+        |  SELECT user_id, event_id, value FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)
+        |SELECT user_id,
+        |       event_id AS last_event_id,
+        |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
+        |FROM last
+        |WHERE user_id <= 75 AND value >= 150.0
         |ORDER BY user_id""".stripMargin,
 
     // net state diff between the batch-2 and batch-3 cuts of the

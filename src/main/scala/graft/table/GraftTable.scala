@@ -1272,15 +1272,23 @@ final class GraftTable private (
    *  the scan list before Spark ever plans it (SURVEY §4; the reference
    *  ships stats to engines via iceberg manifests). */
   def prunedRead(colName: String, lo: Option[Any], hi: Option[Any]): DataFrame =
+    prunedRead(Seq((colName, lo, hi)))
+
+  /** Multi-predicate form: a file survives only if EVERY (col, lo, hi)
+   *  range overlaps its stats — the shape a z-ordered table serves,
+   *  where ANY clustered column's predicate prunes. */
+  def prunedRead(preds: Seq[(String, Option[Any], Option[Any])]): DataFrame =
     synchronized {
-      val dt = schemaVar.fields(schemaVar.fieldIndex(colName)).dataType
-      implicit val ord: Ordering[Any] = anyOrdering(dt)
       val keep = fileEntries.values.filter { e =>
-        e.stats.get(colName) match {
-          case Some(Seq(mn, mx)) =>
-            lo.forall(l => ord.gteq(parseStat(dt, mx), l)) &&
-              hi.forall(h => ord.lteq(parseStat(dt, mn), h))
-          case _ => true // no stats -> cannot prune
+        preds.forall { case (colName, lo, hi) =>
+          val dt = schemaVar.fields(schemaVar.fieldIndex(colName)).dataType
+          implicit val ord: Ordering[Any] = anyOrdering(dt)
+          e.stats.get(colName) match {
+            case Some(Seq(mn, mx)) =>
+              lo.forall(l => ord.gteq(parseStat(dt, mx), l)) &&
+                hi.forall(h => ord.lteq(parseStat(dt, mn), h))
+            case _ => true // no stats -> cannot prune
+          }
         }
       }.map(e => s"$root/data/${e.path}").toSeq
       if (keep.isEmpty)
@@ -1299,7 +1307,8 @@ final class GraftTable private (
    *  `compaction_config.rs:48-55`). Fully distributed — no driver
    *  collect of data rows. */
   def compact(force: Boolean = false,
-      clusterBy: Seq[String] = Nil): Boolean = synchronized {
+      clusterBy: Seq[String] = Nil,
+      zorder: Boolean = false): Boolean = synchronized {
     // resolve committed deletes first: afterwards every remaining
     // pending delete has lsn > commitLsn >= any rewritten row's LSN, so
     // stamping compacted index entries with the victims' maxLsn keeps
@@ -1337,7 +1346,30 @@ final class GraftTable private (
           col(SchemaDsl.physicalName(
             schemaVar.fields(schemaVar.fieldIndex(c))))
         }
-        live.repartitionByRange(nOut, cs: _*).sortWithinPartitions(cs: _*)
+        if (zorder && cs.size >= 2) {
+          // Morton clustering: scale each column onto a shared bit
+          // grid from its global min/max (one tiny agg job), interleave
+          // into a single z long, and sort the rewrite on it — every
+          // output file then covers a small hypercube, so min/max
+          // stats prune on ANY clustered column, not just the first
+          import graft.spark.ZOrder
+          val bits = ZOrder.bitsFor(cs.size)
+          val mm = live.agg(
+            cs.flatMap(c => Seq(min(c), max(c))).head,
+            cs.flatMap(c => Seq(min(c), max(c))).tail: _*).head()
+          def toD(a: Any): Double = a match {
+            case null => 0.0
+            case n: java.lang.Number => n.doubleValue()
+            case other => other.toString.toDouble
+          }
+          val coords = cs.zipWithIndex.map { case (c, i) =>
+            ZOrder.gridCoord(c, toD(mm.get(2 * i)), toD(mm.get(2 * i + 1)), bits)
+          }
+          live.withColumn("_z", ZOrder.zValue(coords, bits))
+            .repartitionByRange(nOut, col("_z"))
+            .sortWithinPartitions(col("_z")).drop("_z")
+        } else
+          live.repartitionByRange(nOut, cs: _*).sortWithinPartitions(cs: _*)
       }
     val tmp = s"$root/tmp/${UUID.randomUUID()}"
     shaped.write.mode("overwrite").parquet(tmp)
@@ -1495,8 +1527,9 @@ final class GraftTable private (
    *  reference `table_handler.rs:239-320`). */
   /** M15 full maintenance; `clusterBy` additionally sorts the rewrite
    *  so file stats become disjoint ranges (see `compact`). */
-  def optimize(clusterBy: Seq[String] = Nil): Unit = synchronized {
-    flush(); compact(force = true, clusterBy = clusterBy)
+  def optimize(clusterBy: Seq[String] = Nil,
+      zorder: Boolean = false): Unit = synchronized {
+    flush(); compact(force = true, clusterBy = clusterBy, zorder = zorder)
     mergeIndexes(); publish()
   }
 

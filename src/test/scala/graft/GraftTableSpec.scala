@@ -421,6 +421,45 @@ class GraftTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.drop()
   }
 
+  test("z-order compaction prunes on BOTH clustered dimensions") {
+    import org.apache.spark.sql.functions.col
+    // 8x8 grid: age is the transpose of id, so the dims are independent
+    // and any linear sort leaves the other dimension unpruned
+    def grid(): Seq[Row] =
+      (0 until 64).map(i => user(i, s"u$i", (i % 8) * 8 + i / 8))
+    val zt = GraftTable.create(spark, tmpDir() + "/z", userSchema,
+      Identity.Keys(Seq("id")),
+      TableConfig(memSliceSize = 8, walEnabled = false, rowsPerFile = 16))
+    zt.insertAll(grid(), 1)
+    zt.optimize(clusterBy = Seq("id", "age"), zorder = true)
+    val zm = zt.currentManifest
+    assert(zm.dataFiles.size >= 4)
+    def files(t: GraftTable, c: String): Int =
+      t.prunedRead(c, scala.None, Some(20)).inputFiles.length
+    assert(files(zt, "id") < zm.dataFiles.size, "z-order prunes on id")
+    assert(files(zt, "age") < zm.dataFiles.size, "z-order prunes on age")
+    // two-predicate pruned read + exact filter == plain filter
+    val got = zt.prunedRead(Seq(("id", scala.None, Some(30)),
+        ("age", scala.None, Some(30))))
+      .where(col("id") <= 30 && col("age") <= 30)
+      .collect().map(_.getInt(0)).toSet
+    val want = zt.read().where(col("id") <= 30 && col("age") <= 30)
+      .collect().map(_.getInt(0)).toSet
+    assert(got == want && want.nonEmpty)
+    zt.drop()
+    // contrast: LINEAR clusterBy(id) cannot prune the age dimension
+    val lt = GraftTable.create(spark, tmpDir() + "/l", userSchema,
+      Identity.Keys(Seq("id")),
+      TableConfig(memSliceSize = 8, walEnabled = false, rowsPerFile = 16))
+    lt.insertAll(grid(), 1)
+    lt.optimize(clusterBy = Seq("id"))
+    val lm = lt.currentManifest
+    assert(files(lt, "id") < lm.dataFiles.size, "linear prunes its lead")
+    assert(files(lt, "age") == lm.dataFiles.size,
+      "transposed age spans every linearly-clustered file")
+    lt.drop()
+  }
+
   test("LSN-consistent snapshot: flushLsn <= commitLsn invariants") {
     // cf. test_flush_lsn_ordering, tests.rs:1197
     val t = mkTable(TableConfig(memSliceSize = 2, walEnabled = false))

@@ -757,6 +757,23 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty)
   }
 
+  test("z-value interleaves coordinate bits; grid scaling clamps") {
+    import spark.implicits._
+    import graft.spark.ZOrder
+    val df = Seq((5L, 3L)).toDF("x", "y")
+    // bits=3, k=2: x occupies even bit positions, y odd ->
+    // x=101, y=011 => z = 0b011011 = 27
+    val z = df.select(ZOrder.zValue(Seq(col("x"), col("y")), 3)).head().getLong(0)
+    assert(z == 27L)
+    // grid scaling: ends map to 0 and 2^bits-1; collapsed range -> 0
+    val g = Seq((0.0), (100.0), (50.0)).toDF("v")
+      .select(ZOrder.gridCoord(col("v"), 0.0, 100.0, 4))
+      .collect().map(_.getLong(0)).toSeq
+    assert(g == Seq(0L, 15L, 7L))
+    assert(Seq(7.0).toDF("v")
+      .select(ZOrder.gridCoord(col("v"), 7.0, 7.0, 4)).head().getLong(0) == 0L)
+  }
+
   test("exact quantiles: histogram path equals full sort, edge cases") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
