@@ -218,7 +218,8 @@ private[sources] object GraftScan {
 
 private[sources] class GraftScan(root: String, manifest: Manifest,
     required: StructType, pushed: Array[Filter], limit: Long = -1L)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeV2Filtering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -227,15 +228,73 @@ private[sources] class GraftScan(root: String, manifest: Manifest,
       s"pushed=[${pushed.mkString(", ")}], cols=${required.fieldNames.mkString(",")}" +
       (if (limit >= 0L) s", limit=$limit" else "") + ")"
 
+  // ---- runtime (dynamic) file pruning -------------------------------
+  // Spark's DPP/runtime-filter machinery calls `filter` at EXECUTION
+  // time with the join keys it actually observed (e.g. the broadcast
+  // side's values as an IN predicate); files whose stats exclude every
+  // key are dropped before any parquet byte is read — dynamic file
+  // pruning, the DSv2 sibling of static manifest pruning. Predicates
+  // we cannot evaluate are ignored (pruning is best-effort; Spark
+  // re-applies the real join).
+  // only columns in the scan OUTPUT: Spark resolves every offered
+  // attribute against the (column-pruned) relation and faults on any
+  // it cannot find
+  override def filterAttributes(): Array[NamedReference] =
+    required.fields
+      .filter(f => GraftTable.statsComparable(f.dataType))
+      .map(f => org.apache.spark.sql.connector.expressions.Expressions
+        .column(f.name))
+
+  @volatile private var runtimeIn: Seq[(String, Seq[Any])] = Nil
+
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    import org.apache.spark.sql.connector.expressions.Literal
+    runtimeIn = runtimeIn ++ predicates.toSeq.flatMap { p =>
+      val kids = p.children()
+      val colName = kids.headOption.collect {
+        case r: NamedReference if r.fieldNames().length == 1 =>
+          r.fieldNames()(0)
+      }
+      val dt = colName.flatMap(c =>
+        manifest.schema.fields.find(_.name == c).map(_.dataType))
+      val lits = kids.drop(1).toSeq.map {
+        case l: Literal[_] =>
+          dt.flatMap(t => GraftScan.coerce(t,
+            CatalystTypeConverters.convertToScala(l.value(), l.dataType())))
+        case _ => scala.None
+      }
+      (p.name(), colName, dt) match {
+        case ("IN" | "=", Some(c), Some(_)) if lits.nonEmpty && lits.forall(_.isDefined) =>
+          Seq(c -> lits.map(_.get))
+        case _ => Nil
+      }
+    }
+  }
+
+  private def passesRuntime(e: DataFileEntry): Boolean =
+    runtimeIn.forall { case (c, values) =>
+      (manifest.schema.fields.find(_.name == c), e.stats.get(c)) match {
+        case (Some(fd), Some(Seq(mn, mx))) =>
+          val ord = GraftTable.anyOrdering(fd.dataType)
+          val (lo, hi) = (GraftTable.parseStat(fd.dataType, mn),
+            GraftTable.parseStat(fd.dataType, mx))
+          values.exists(v => ord.lteq(lo, v) && ord.gteq(hi, v))
+        case _ => true // no stats -> cannot prune
+      }
+    }
+
   // fully-deleted files (rows == deletes) are the FILE-level DV skip:
-  // zero live rows, so they are never planned at all
-  private lazy val statSurvivors: Seq[DataFileEntry] =
+  // zero live rows, so they are never planned at all. (defs, not lazy
+  // vals: runtime filters arriving via `filter` must re-prune.)
+  private def statSurvivors: Seq[DataFileEntry] =
     manifest.dataFiles.filter(e => e.rows > e.deletes &&
-      pushed.forall(f => GraftScan.mayMatch(manifest.schema, e, f)))
+      pushed.forall(f => GraftScan.mayMatch(manifest.schema, e, f)) &&
+      passesRuntime(e))
 
   // With a pushed limit (only offered with no residual filters), stop
   // planning files once their live rows cover it.
-  private lazy val survivors: Seq[DataFileEntry] =
+  private def survivors: Seq[DataFileEntry] =
     if (limit < 0L) statSurvivors
     else {
       var acc = 0L

@@ -327,4 +327,40 @@ class GraftDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.format("graft").load(dir).select("grade").count() == 2L)
     t.drop()
   }
+
+  test("runtime V2 filtering prunes files from join-key IN predicates") {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    import org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    val t = buildTable() // two files: ids 1-20 and 101-120
+    val manifest = t.currentManifest
+    def scanWith(preds: Array[Predicate]): Int = {
+      val sb = new GraftScanBuilder(t.root, manifest)
+      val scan = sb.build()
+      scan.asInstanceOf[SupportsRuntimeV2Filtering].filter(preds)
+      scan.toBatch.planInputPartitions().length
+    }
+    def in(values: Long*): Predicate =
+      new Predicate("IN", (Expressions.column("id") +:
+        values.map(v => Expressions.literal(v):
+          org.apache.spark.sql.connector.expressions.Expression)).toArray)
+    val all = scanWith(Array.empty)
+    assert(all >= 2)
+    assert(scanWith(Array(in(110L, 115L))) == 1,
+      "keys from one range plan one file")
+    assert(scanWith(Array(in(500L))) == 0, "alien keys plan nothing")
+    assert(scanWith(Array(in(5L, 110L))) == all,
+      "keys spanning both ranges keep both files")
+    // an unsupported predicate shape is ignored, never wrong
+    assert(scanWith(Array(new Predicate("ALWAYS_TRUE", Array.empty))) == all)
+    // e2e: broadcast join against a 2-key dim — result must equal the
+    // library-path join regardless of whether Spark elected DPP
+    import org.apache.spark.sql.functions.broadcast
+    val dim = spark.range(109, 111).toDF("id") // ids 109, 110
+    val got = spark.read.format("graft").load(t.root)
+      .join(broadcast(dim), "id").select("id").collect()
+      .map(_.getLong(0)).toSet
+    assert(got == Set(109L, 110L))
+    t.drop()
+  }
 }
