@@ -564,6 +564,22 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "cdc_dpp_join" -> ((s, d) => {
+      // dynamic file pruning end-to-end: user_id-clustered files, DSv2
+      // scan broadcast-joined to an 11-key dim — Spark's DPP hands the
+      // observed keys to the scan as a runtime IN predicate and files
+      // outside their range are never read (effectiveness spec'd in
+      // GraftDataSourceSpec; this row pins result correctness)
+      val table = runCdc(s, d, deleteType = None)
+      table.optimize(clusterBy = Seq("user_id"))
+      val dim = s.range(10, 21).toDF("user_id")
+      s.read.format("graft").load(table.root)
+        .join(broadcast(dim), "user_id")
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          cents(col("value")).as("value_cents"))
+        .orderBy("user_id")
+    }),
+
     "cdc_changes" -> ((s, d) => {
       // Change data feed over the time-travel axis: the delete-carrying
       // stream applied in 4 batches, then changesBetween(end of batch
@@ -1919,6 +1935,18 @@ object SparkEntry {
         |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
         |FROM last
         |WHERE value >= 150.0
+        |ORDER BY user_id""".stripMargin,
+
+    // latest state for the dim's 11 users (the DPP-pruned join)
+    "cdc_dpp_join" ->
+      """WITH last AS (
+        |  SELECT user_id, event_id, value FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)
+        |SELECT user_id,
+        |       event_id AS last_event_id,
+        |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
+        |FROM last
+        |WHERE user_id BETWEEN 10 AND 20
         |ORDER BY user_id""".stripMargin,
 
     // latest state per user, filtered on BOTH z-ordered dimensions
