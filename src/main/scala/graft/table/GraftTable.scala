@@ -974,6 +974,39 @@ final class GraftTable private (
     flushLsnVar, schemaVar.json, keyCols, fileEntries.values.toSeq,
     dvFiles.toSeq, indexFiles.toSeq, lastFieldIdVar, droppedColsVar.toSeq)
 
+  // ---- metadata tables (Iceberg `table.files` / `table.history` role) --
+
+  /** One row per live data file of the CURRENT version: the manifest's
+   *  file-level accounting (row counts, DV-masked rows, byte sizes,
+   *  commit LSN high-water) exposed as a queryable DataFrame. Driver
+   *  metadata only — no data file is opened. */
+  def metaFiles: DataFrame = synchronized {
+    val rows = fileEntries.values.toSeq.map(e =>
+      Row(e.path, e.rows, e.bytes, e.maxLsn, e.deletes, e.rows - e.deletes))
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("path", StringType), StructField("rows", LongType),
+      StructField("bytes", LongType), StructField("max_lsn", LongType),
+      StructField("deletes", LongType), StructField("live_rows", LongType))))
+  }
+
+  /** One row per manifest version, oldest first: the table's commit
+   *  history with per-version file/row accounting — what an auditor or
+   *  an incremental consumer reads to pick time-travel cuts. O(versions)
+   *  tiny JSON loads on the driver, no scan. */
+  def metaHistory: DataFrame = synchronized {
+    val rows = ManifestLog.versions(root).map { v =>
+      val m = ManifestLog.load(root, v)
+      Row(v, m.commitLsn, m.flushLsn, m.dataFiles.size.toLong,
+        m.totalRows, m.liveRows, m.dvFiles.size.toLong,
+        m.indexFiles.size.toLong)
+    }
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("version", LongType), StructField("commit_lsn", LongType),
+      StructField("flush_lsn", LongType), StructField("n_files", LongType),
+      StructField("total_rows", LongType), StructField("live_rows", LongType),
+      StructField("n_dv_files", LongType), StructField("n_index_files", LongType))))
+  }
+
   private[table] def loadDvState(): Unit =
     // direct sidecar reads, bitmap OR into roaring state — positions are
     // never expanded to pair lists, and reopen costs no Spark job
@@ -1078,6 +1111,68 @@ final class GraftTable private (
           .when(col("_post").isNull, lit("delete"))
           .otherwise(lit("update")).as("_change_type"),
         col("_pre"), col("_post")): _*)
+  }
+
+  /**
+   * Predicate delete (the DELETE WHERE verb): resolve the predicate
+   * against the current state into key-level delete events, then run
+   * them through the ordinary distributed batch path — one scan of the
+   * table + one ingest batch. Untouched rows are never rewritten: the
+   * matched rows become DV positions exactly like CDC deletes, so the
+   * verb costs O(matched) no matter how large the table is (rewriting
+   * files is compaction's job, triggered by its own thresholds).
+   * Returns the commit LSN of the delete batch.
+   */
+  def deleteWhere(cond: org.apache.spark.sql.Column): Long = synchronized {
+    require(identity != Identity.None, "deleteWhere needs a table identity")
+    flush() // pin the file set the predicate scan reads
+    val lsn = commitLsnVar + 1
+    val ev = read(scala.None).where(cond).select(
+      lit("d").as("_op") +: lit(lsn).as("_lsn") +:
+      schemaVar.fieldNames.toSeq.map(col): _*)
+    applyBatchDF(ev, lsn, hasDeletes = true)
+  }
+
+  /**
+   * RESTORE (the Delta RESTORE / Iceberg rollback verb): make a
+   * historical version's content the CURRENT content, published as a
+   * NEW version — history is never rewritten, so a restore is itself
+   * an auditable commit and un-restoring is just another restore.
+   * Metadata-only: the new manifest points at the old version's files;
+   * no data moves. Valid back to the vacuum horizon (a missing file
+   * fails loudly, the same contract as time travel). The WAL is
+   * cleared: every event it could replay is either durable in the
+   * restored manifest or deliberately rolled back, and replaying the
+   * rolled-back suffix on reopen would resurrect it.
+   */
+  def restoreToVersion(version: Long): Long = synchronized {
+    require(xacts.isEmpty, "open streaming transactions; commit or abort first")
+    require(tail.isEmpty && pendingDeletes.isEmpty && newDvPairs.isEmpty,
+      "unflushed tail rows; flush() before restore")
+    require(ManifestLog.versions(root).contains(version),
+      s"no such version: $version")
+    val m = ManifestLog.load(root, version)
+    require(m.keyCols == keyCols, "table identity changed; cannot restore")
+    m.dataFiles.foreach(e => require(Fio.exists(s"$root/data/${e.path}"),
+      s"version $version is beyond the vacuum horizon: missing ${e.path}"))
+    schemaVar = m.schema
+    keyIdx = keyCols.map(schemaVar.fieldIndex)
+    fileEntries.clear(); m.dataFiles.foreach(e => fileEntries(e.path) = e)
+    dvFiles.clear(); dvFiles ++= m.dvFiles
+    indexFiles.clear(); indexFiles ++= m.indexFiles
+    commitLsnVar = m.commitLsn
+    flushLsnVar = m.flushLsn
+    // field ids stay monotonic ACROSS the restore: ids assigned by the
+    // rolled-back suffix are burned, never reissued
+    lastFieldIdVar = math.max(lastFieldIdVar, m.lastFieldId)
+    // physical names used anywhere in history stay reserved — files
+    // written after `version` survive on disk until vacuum
+    m.droppedCols.foreach(p =>
+      if (!droppedColsVar.contains(p)) droppedColsVar += p)
+    dvMap.clear(); dvBroadcast = scala.None
+    loadDvState()
+    if (config.walEnabled) Fio.delete(Wal.walDir(root))
+    publish()
   }
 
   /** Materialize a (possibly historical) manifest version: its file
@@ -1606,6 +1701,88 @@ final class GraftTable private (
     tail.foreach(tr => stackPush(tailIndex, keyOf(tr.row), tr))
     xacts.values.foreach { x =>
       reproject(x.buffer)
+      x.index.clear()
+      x.buffer.foreach(tr => stackPush(x.index, keyOf(tr.row), tr))
+    }
+    publish()
+  }
+
+  /** Rename a column (M14 family, the metadata-only half real table
+   *  formats ship beside add/drop): the LOGICAL name changes, the
+   *  PHYSICAL name stays what the live files carry, so no data is
+   *  rewritten — reads keep projecting physical -> logical and writes
+   *  keep emitting the physical name (the same seam alterAddColumn's
+   *  re-add path uses). The old name's physical identity is recorded
+   *  as dropped so a later alterAddColumn of the old name maps to a
+   *  FRESH physical name instead of resurrecting the renamed column's
+   *  stored values. */
+  def alterRenameColumn(from: String, to: String): Unit = synchronized {
+    require(schemaVar.fieldNames.contains(from), s"no such column: $from")
+    require(!schemaVar.fieldNames.contains(to), s"column $to exists")
+    // key names thread through index parquet columns and delete
+    // resolution; FullRow identity derives its key set from the schema
+    require(!keyCols.contains(from), "cannot rename key columns")
+    require(identity != Identity.FullRow,
+      "alterRenameColumn unsupported on full-row-identity tables")
+    val i = schemaVar.fieldIndex(from)
+    val f = schemaVar.fields(i)
+    val phys = SchemaDsl.physicalName(f)
+    val mb = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(f.metadata).putString(SchemaDsl.PhysicalKey, phys)
+    schemaVar = StructType(
+      schemaVar.fields.updated(i, f.copy(name = to, metadata = mb.build())))
+    if (!droppedColsVar.contains(phys)) droppedColsVar += phys
+    // buffered rows are positional; nothing to rewrite
+    publish()
+  }
+
+  /** Widen a column's type in place (int32->int64, float32->float64 —
+   *  the safe promotions Iceberg/Delta type-widening allows). Metadata
+   *  only: live files keep their narrow physical type and the parquet
+   *  reader widens at scan time (Spark 4 reads INT32 pages under a
+   *  LongType read schema); new files are written at the wide type.
+   *  Buffered tail/xact rows widen their boxed values in place so the
+   *  next flush writes the wide type. */
+  def alterWidenColumn(name: String, typeName: String): Unit = synchronized {
+    require(schemaVar.fieldNames.contains(name), s"no such column: $name")
+    // a key column's width threads through persisted index files and
+    // delete-resolution joins; widening it would desync them
+    require(!keyCols.contains(name), "cannot widen key columns")
+    require(identity != Identity.FullRow,
+      "alterWidenColumn unsupported on full-row-identity tables")
+    val i = schemaVar.fieldIndex(name)
+    val f = schemaVar.fields(i)
+    val target = SchemaDsl.parseType(typeName)
+    import org.apache.spark.sql.types._
+    val ok = (f.dataType, target) match {
+      case (IntegerType, LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+    require(ok, s"unsupported widening ${f.dataType.simpleString} -> " +
+      target.simpleString)
+    schemaVar = StructType(schemaVar.fields.updated(i, f.copy(dataType = target)))
+    def widenVal(v: Any): Any = v match {
+      case null => null
+      case x: java.lang.Short if target == IntegerType => x.intValue()
+      case x: java.lang.Short => x.longValue()
+      case x: java.lang.Integer => x.longValue()
+      case x: java.lang.Float => x.doubleValue()
+      case other => other
+    }
+    def widenRows(trs: mutable.ArrayBuffer[TailRow]): Unit =
+      trs.mapInPlace { tr =>
+        val vs = tr.row.toSeq.updated(i, widenVal(tr.row.get(i)))
+        val ntr = new TailRow(Row.fromSeq(vs), tr.lsn)
+        ntr.deletedLsn = tr.deletedLsn
+        ntr
+      }
+    widenRows(tail)
+    tailIndex.clear()
+    tail.foreach(tr => stackPush(tailIndex, keyOf(tr.row), tr))
+    xacts.values.foreach { x =>
+      widenRows(x.buffer)
       x.index.clear()
       x.buffer.foreach(tr => stackPush(x.index, keyOf(tr.row), tr))
     }

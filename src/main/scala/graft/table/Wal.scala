@@ -23,7 +23,7 @@ import scala.jdk.CollectionConverters._
 object Wal {
   private val mapper = new ObjectMapper()
 
-  private def walDir(root: String) = s"$root/wal"
+  private[table] def walDir(root: String) = s"$root/wal"
 
   def append(root: String, schema: StructType, events: Seq[CdcEvent]): Unit = {
     Fio.mkdirs(walDir(root))
