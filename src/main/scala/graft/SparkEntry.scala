@@ -326,6 +326,16 @@ object SparkEntry {
         .orderBy("percent")
     }),
 
+    "q_kmv_distinct" -> ((s, d) => {
+      // approximate COUNT DISTINCT via the K-minimum-values sketch:
+      // per-partition k-capped heaps pre-thin to <=P*k candidate
+      // hashes before the only shuffle (the full distinct set never
+      // travels); the portable Weyl hash + exact BIGINT division make
+      // DuckDB recompute the IDENTICAL sketch, verifying the estimate
+      // itself, not just an error band
+      Sketches.kmvDistinct(t(s, d, "lineitem"), col("l_partkey"), k = 256)
+    }),
+
     "q_scalar_funcs" -> ((s, d) => {
       // scalar-function surface: dates, strings, conditionals, math
       t(s, d, "orders")
@@ -597,6 +607,111 @@ object SparkEntry {
           col("_post.event_id").as("last_event_id"),
           cents(col("_post.value")).as("value_cents"))
         .orderBy("user_id")
+    }),
+
+    "cdc_restore" -> ((s, d) => {
+      // RESTORE (rollback-as-commit): three upsert batches, roll back
+      // to the end-of-batch-2 version, read. The restored state is
+      // served from a NEW manifest version pointing at the old files —
+      // batch 3's rows and the DVs its upserts added must vanish.
+      val table = GraftTable.create(s, freshDir("restore"), eventTableSchema,
+        Identity.Keys(Seq("user_id")), ingestCfg)
+      val ev = cdcEventFrame(s, d, None)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val mm = ev.agg(min(col("_lsn")), max(col("_lsn"))).head()
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+        val span = (hi - lo) / 3 + 1
+        var vKeep = -1L
+        (0 until 3).foreach { i =>
+          CdcPipeline.applyBatch(table, ev.where(
+            col("_lsn") >= lo + i * span && col("_lsn") < lo + (i + 1) * span))
+          if (i == 1) vKeep = table.version
+        }
+        table.restoreToVersion(vKeep)
+      } finally ev.unpersist()
+      table.read(scala.None)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"),
+          cents(col("value")).as("value_cents"))
+        .orderBy("user_id")
+    }),
+
+    "cdc_delete_where" -> ((s, d) => {
+      // DELETE WHERE as a first-class verb: upsert state, then one
+      // predicate delete lowered to key-level delete events through
+      // the distributed batch path — matched rows become DV positions,
+      // untouched files are never rewritten.
+      val table = runCdc(s, d, deleteType = None)
+      table.deleteWhere(
+        col("value") < 150.0 || col("event_type") === "purchase")
+      table.read(scala.None)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          cents(col("value")).as("value_cents"))
+        .orderBy("user_id")
+    }),
+
+    "cdc_rename_col" -> ((s, d) => {
+      // metadata-only column rename mid-stream: batch 1 ingests under
+      // the old name, ALTER RENAME event_type -> etype, batch 2 ingests
+      // under the new name; pre-rename files resolve through the
+      // physical-name mapping without any rewrite.
+      val table = GraftTable.create(s, freshDir("rename"), eventTableSchema,
+        Identity.Keys(Seq("user_id")), ingestCfg)
+      val ev = cdcEventFrame(s, d, None)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val mm = ev.agg(min(col("_lsn")), max(col("_lsn"))).head()
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+        val span = (hi - lo) / 2 + 1
+        CdcPipeline.applyBatch(table, ev.where(col("_lsn") < lo + span))
+        table.alterRenameColumn("event_type", "etype")
+        CdcPipeline.applyBatch(table, ev.where(col("_lsn") >= lo + span)
+          .withColumnRenamed("event_type", "etype"))
+      } finally ev.unpersist()
+      table.read(scala.None)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("etype").as("last_etype"), cents(col("value")).as("value_cents"))
+        .orderBy("user_id")
+    }),
+
+    "cdc_alter_widen" -> ((s, d) => {
+      // type widening mid-stream: batch 1 writes vcents as INT32
+      // parquet, ALTER widens it to int64 (metadata only — narrow
+      // pages decode under the wide read schema), batch 2 ingests
+      // values beyond Int.MaxValue into the same column.
+      val sch = SchemaDsl.struct("user_id" -> "int64",
+        "event_id" -> "int64", "vcents" -> "int32")
+      val table = GraftTable.create(s, freshDir("widen"), sch,
+        Identity.Keys(Seq("user_id")), ingestCfg)
+      val base = events(s, d).select(lit("u").as("_op"),
+        col("event_id").as("_lsn"), col("user_id"), col("event_id"),
+        col("value"))
+      val mm = base.agg(min(col("_lsn")), max(col("_lsn"))).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val span = (hi - lo) / 2 + 1
+      CdcPipeline.applyBatch(table, base.where(col("_lsn") < lo + span)
+        .withColumn("vcents", cents(col("value")).cast("int")).drop("value"))
+      table.alterWidenColumn("vcents", "int64")
+      CdcPipeline.applyBatch(table, base.where(col("_lsn") >= lo + span)
+        .withColumn("vcents", cents(col("value")) + lit(3000000000L))
+        .drop("value"))
+      table.read(scala.None)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("vcents"))
+        .orderBy("user_id")
+    }),
+
+    "cdc_meta_history" -> ((s, d) => {
+      // metadata tables: the manifest history's per-version row
+      // accounting (live_rows = sum over files of rows - DV-masked)
+      // must match event-sourced truth at EVERY commit point — the
+      // oracle recomputes each cut's state from the raw events while
+      // Spark answers purely from manifest metadata, no scan.
+      val table = runCdc(s, d, deleteType = Some("purchase"), nBatches = 4)
+      table.metaHistory.where(col("commit_lsn") >= 0)
+        .select(col("commit_lsn"), col("live_rows")).distinct()
+        .orderBy("commit_lsn")
     }),
 
     "cdc_dsv2_read" -> ((s, d) => {
@@ -1856,6 +1971,19 @@ object SparkEntry {
         |       CAST(length(o_orderpriority) AS BIGINT) AS prio_len
         |FROM orders ORDER BY o_orderkey LIMIT 500""".stripMargin,
 
+    // the IDENTICAL KMV sketch recomputed in SQL: same Weyl hash, same
+    // k smallest distinct hashes, same BIGINT division
+    "q_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT (l_partkey * 2654435761) % 2147483648 AS hv
+        |  FROM lineitem),
+        |k AS (SELECT hv FROM h ORDER BY hv LIMIT 256),
+        |a AS (SELECT count(*) AS n, max(hv) AS hk FROM k)
+        |SELECT (SELECT count(DISTINCT l_partkey) FROM lineitem) AS exact_distinct,
+        |       CAST(CASE WHEN n < 256 THEN n
+        |                 ELSE (255 * 2147483648) // hk END AS BIGINT) AS est_distinct
+        |FROM a""".stripMargin,
+
     "q_topk" ->
       """SELECT o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_cents
         |FROM orders ORDER BY price_cents DESC, o_orderkey ASC LIMIT 20""".stripMargin,
@@ -2016,6 +2144,74 @@ object SparkEntry {
         |WHERE event_id < (SELECT lo + 2*((hi-lo)//4+1) FROM b)
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
         |ORDER BY user_id""".stripMargin,
+    // upsert state truncated at the end-of-batch-2 cut of THREE
+    // batches (the version the restore rolls back to)
+    "cdc_restore" ->
+      """WITH b AS (SELECT min(event_id) AS lo, max(event_id) AS hi FROM events)
+        |SELECT user_id,
+        |       event_id AS last_event_id,
+        |       event_type AS last_event_type,
+        |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
+        |FROM events
+        |WHERE event_id < (SELECT lo + 2*((hi-lo)//3+1) FROM b)
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+
+    // last state per user, minus rows matched by the DELETE WHERE
+    // predicate (value < 150 OR last event is a purchase)
+    "cdc_delete_where" ->
+      """WITH last AS (
+        |  SELECT user_id, event_id, event_type, value
+        |  FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)
+        |SELECT user_id, event_id AS last_event_id,
+        |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
+        |FROM last
+        |WHERE NOT (value < 150.0 OR event_type = 'purchase')
+        |ORDER BY user_id""".stripMargin,
+
+    // plain upsert state; the renamed column carries the old values
+    "cdc_rename_col" ->
+      """SELECT user_id,
+        |       event_id AS last_event_id,
+        |       event_type AS last_etype,
+        |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+
+    // vcents = cents before the widen cut (batch 1, stored INT32),
+    // cents + 3e9 (beyond int range) from batch 2 on
+    "cdc_alter_widen" ->
+      """WITH b AS (SELECT min(event_id) AS lo, max(event_id) AS hi FROM events),
+        |last AS (
+        |  SELECT user_id, event_id, value FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)
+        |SELECT user_id, event_id AS last_event_id,
+        |       CASE WHEN event_id >= (SELECT lo + ((hi-lo)//2+1) FROM b)
+        |            THEN CAST(ROUND(value*100) AS BIGINT) + 3000000000
+        |            ELSE CAST(ROUND(value*100) AS BIGINT) END AS vcents
+        |FROM last ORDER BY user_id""".stripMargin,
+
+    // per-commit live-row accounting recomputed from raw events: each
+    // of the 4 batch commits' LSN is the max event_id below its cut;
+    // live rows at a cut = users whose latest event there is not a
+    // purchase (the delete op)
+    "cdc_meta_history" ->
+      """WITH b AS (SELECT min(event_id) AS lo, max(event_id) AS hi FROM events),
+        |cuts AS (
+        |  SELECT (SELECT max(event_id) FROM events
+        |          WHERE event_id < (SELECT lo + i*((hi-lo)//4+1) FROM b)) AS commit_lsn
+        |  FROM generate_series(1, 4) t(i)),
+        |state AS (
+        |  SELECT c.commit_lsn, e.user_id, e.event_type,
+        |         row_number() OVER (PARTITION BY c.commit_lsn, e.user_id
+        |                            ORDER BY e.event_id DESC) AS rn
+        |  FROM events e JOIN cuts c ON e.event_id <= c.commit_lsn)
+        |SELECT commit_lsn, count(*) AS live_rows
+        |FROM state WHERE rn = 1 AND event_type <> 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "cdc_cached_read" -> cdcUpsertOracle,
     "cdc_dsv2_read" -> cdcUpsertOracle,
     "cdc_delete_state" -> cdcDeleteOracle,
