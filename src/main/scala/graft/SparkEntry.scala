@@ -326,6 +326,19 @@ object SparkEntry {
         .orderBy("percent")
     }),
 
+    "q_kmv_groups" -> ((s, d) => {
+      // per-GROUP distinct estimation: the KMV sketch as a typed
+      // Aggregator inside an ordinary groupBy — partial aggregation
+      // merges k-capped sorted buffers map-side, so each group ships
+      // O(k) longs per partition instead of its distinct-user set;
+      // the exact count rides along to document estimate quality
+      val est = Sketches.kmvEstimate(64)
+      events(s, d).groupBy(col("event_type"))
+        .agg(est(Sketches.portableHash(col("user_id"))).as("est_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .orderBy("event_type")
+    }),
+
     "q_kmv_distinct" -> ((s, d) => {
       // approximate COUNT DISTINCT via the K-minimum-values sketch:
       // per-partition k-capped heaps pre-thin to <=P*k candidate
@@ -647,6 +660,22 @@ object SparkEntry {
         col("value") < 150.0 || col("event_type") === "purchase")
       table.read(scala.None)
         .select(col("user_id"), col("event_id").as("last_event_id"),
+          cents(col("value")).as("value_cents"))
+        .orderBy("user_id")
+    }),
+
+    "cdc_update_where" -> ((s, d) => {
+      // UPDATE ... SET as a first-class verb: matched rows become
+      // upsert events (delete-half DVs the old version, append-half
+      // writes the new), O(matched) like deleteWhere — click events
+      // get their value doubled and type rebranded.
+      val table = runCdc(s, d, deleteType = None)
+      table.updateWhere(col("event_type") === "click",
+        Map("value" -> col("value") * 2.0,
+          "event_type" -> lit("click2x")))
+      table.read(scala.None)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"),
           cents(col("value")).as("value_cents"))
         .orderBy("user_id")
     }),
@@ -1355,6 +1384,16 @@ object SparkEntry {
         .orderBy("gram")
     }),
 
+    "text_bm25" -> ((s, d) => {
+      // BM25 corpus ranking against a fixed query (the retrieval-based
+      // curation primitive): one stats scan (N, avgdl, per-term df) +
+      // one scoring scan ending in a top-20 heap. The ln idf is
+      // replaced by its rational core so the score is a fixed IEEE
+      // dag DuckDB recomputes bit-identically.
+      TextOps.bm25(t(s, d, "documents"), "text", "doc_id",
+        terms = Seq("hash", "join", "spark"))
+    }),
+
     "text_vocab" -> ((s, d) => {
       // top-1000 corpus vocabulary with deterministic tie-break — the
       // first step of tokenizer training / frequency filtering. The
@@ -1971,6 +2010,27 @@ object SparkEntry {
         |       CAST(length(o_orderpriority) AS BIGINT) AS prio_len
         |FROM orders ORDER BY o_orderkey LIMIT 500""".stripMargin,
 
+    // per-group KMV recomputed with a rank window: k smallest distinct
+    // hashes per event_type, same Weyl hash and BIGINT division
+    "q_kmv_groups" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |         (user_id * 2654435761) % 2147483648 AS hv
+        |  FROM events),
+        |r AS (SELECT event_type, hv,
+        |             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+        |      FROM h),
+        |a AS (SELECT event_type, count(*) AS n, max(hv) AS hk
+        |      FROM r WHERE rn <= 64 GROUP BY 1),
+        |x AS (SELECT event_type, count(DISTINCT user_id) AS exact_users
+        |      FROM events GROUP BY 1)
+        |SELECT a.event_type,
+        |       CAST(CASE WHEN a.n < 64 THEN a.n
+        |                 ELSE (63 * 2147483648) // a.hk END AS BIGINT) AS est_users,
+        |       x.exact_users
+        |FROM a JOIN x USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+
     // the IDENTICAL KMV sketch recomputed in SQL: same Weyl hash, same
     // k smallest distinct hashes, same BIGINT division
     "q_kmv_distinct" ->
@@ -2168,6 +2228,21 @@ object SparkEntry {
         |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
         |FROM last
         |WHERE NOT (value < 150.0 OR event_type = 'purchase')
+        |ORDER BY user_id""".stripMargin,
+
+    // last state per user; matched rows (last event is a click) carry
+    // the UPDATE's assignments (value doubled, type rebranded)
+    "cdc_update_where" ->
+      """WITH last AS (
+        |  SELECT user_id, event_id, event_type, value
+        |  FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)
+        |SELECT user_id, event_id AS last_event_id,
+        |       CASE WHEN event_type = 'click' THEN 'click2x'
+        |            ELSE event_type END AS last_event_type,
+        |       CAST(ROUND(CASE WHEN event_type = 'click' THEN value * 2.0
+        |                       ELSE value END * 100) AS BIGINT) AS value_cents
+        |FROM last
         |ORDER BY user_id""".stripMargin,
 
     // plain upsert state; the renamed column carries the old values
@@ -2454,6 +2529,36 @@ object SparkEntry {
         |SELECT gram, cnt FROM cnt
         |WHERE cnt >= greatest(1, (SELECT count(*) FROM grams) // 1000)
         |ORDER BY gram""".stripMargin,
+
+    // the identical rational-idf BM25 dag: same tokenization, same
+    // literals (2.2, 1.2, 0.25, 0.75), same left-assoc term-order sum
+    "text_bm25" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         len(list_filter(regexp_split_to_array(lower(text), '[^a-zA-Z0-9]+'),
+        |             x -> x <> '')) AS dl,
+        |         len(list_filter(regexp_split_to_array(lower(text), '[^a-zA-Z0-9]+'),
+        |             x -> x = 'hash')) AS tf0,
+        |         len(list_filter(regexp_split_to_array(lower(text), '[^a-zA-Z0-9]+'),
+        |             x -> x = 'join')) AS tf1,
+        |         len(list_filter(regexp_split_to_array(lower(text), '[^a-zA-Z0-9]+'),
+        |             x -> x = 'spark')) AS tf2
+        |  FROM documents),
+        |st AS (
+        |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+        |         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        |  FROM base)
+        |SELECT doc_id,
+        |       CAST(ROUND((
+        |           ((n - df0 + 0.5)/(df0 + 0.5)) * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |         + ((n - df1 + 0.5)/(df1 + 0.5)) * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |         + ((n - df2 + 0.5)/(df2 + 0.5)) * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |       ) * 1000000.0) AS BIGINT) AS score_micro
+        |FROM base, st
+        |ORDER BY score_micro DESC, doc_id
+        |LIMIT 20""".stripMargin,
 
     "text_vocab" ->
       """WITH tok AS (

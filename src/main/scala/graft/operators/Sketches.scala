@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Distinct-count estimation via the K-minimum-values sketch
@@ -54,4 +56,65 @@ object Sketches {
       countDistinct(column).cast("long").as("exact_distinct"))
     exact.crossJoin(est).select(col("exact_distinct"), col("est_distinct"))
   }
+
+  /** The portable hash as a column (shared by both KMV forms). */
+  def portableHash(c: Column): Column =
+    pmod(c.cast("long") * lit(WeylA), lit(HashMod))
+
+  /** Per-GROUP distinct estimation: the KMV sketch as a typed
+   *  `Aggregator` usable inside any groupBy — the mergeable-sketch
+   *  form (buffer = sorted array of ≤k distinct hashes, merge = sorted
+   *  dedup-merge truncated at k) that partial aggregation combines
+   *  map-side, so each group ships O(k) longs per partition instead of
+   *  its distinct set. Same estimate function as kmvDistinct, so the
+   *  oracle recomputes it per group with a rank window. */
+  final class KmvAggregator(k: Int)
+      extends Aggregator[Long, Array[Long], Long] {
+    override def zero: Array[Long] = Array.emptyLongArray
+
+    override def reduce(b: Array[Long], h: Long): Array[Long] = {
+      val pos = java.util.Arrays.binarySearch(b, h)
+      if (pos >= 0) b // duplicate hash
+      else {
+        val ins = -pos - 1
+        if (b.length >= k && ins >= k) b // not among the k smallest
+        else {
+          val n = math.min(b.length + 1, k)
+          val out = new Array[Long](n)
+          System.arraycopy(b, 0, out, 0, math.min(ins, n))
+          if (ins < n) {
+            out(ins) = h
+            System.arraycopy(b, ins, out, ins + 1, n - ins - 1)
+          }
+          out
+        }
+      }
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      val cap = math.min(a.length + b.length, k)
+      val out = new Array[Long](cap)
+      var i = 0; var j = 0; var o = 0
+      var last = Long.MinValue; var first = true
+      while (o < cap && (i < a.length || j < b.length)) {
+        val v =
+          if (j >= b.length || (i < a.length && a(i) <= b(j))) {
+            val x = a(i); i += 1; x
+          } else { val x = b(j); j += 1; x }
+        if (first || v != last) { out(o) = v; o += 1; last = v; first = false }
+      }
+      if (o == cap) out else java.util.Arrays.copyOf(out, o)
+    }
+
+    override def finish(r: Array[Long]): Long =
+      if (r.length < k) r.length.toLong
+      else (k - 1).toLong * HashMod / r(r.length - 1)
+
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** `kmvEstimate(k)(portableHash(col))` inside any `.agg(...)`. */
+  def kmvEstimate(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(new KmvAggregator(k), Encoders.scalaLong)
 }

@@ -451,4 +451,51 @@ object TextOps {
             ((col("cum") - col("n_tokens")) / lit(seqLen)).cast("long"))
           .otherwise(0L).as("n_splits"))
   }
+
+  /**
+   * BM25 relevance of every document against a fixed query-term list —
+   * the corpus-ranking primitive behind retrieval-based data curation
+   * (select pretraining documents similar to a high-quality seed set).
+   *
+   * Engine-portable scoring: the usual `ln` idf is replaced by its
+   * rational core (N - df + 0.5)/(df + 0.5) — the same monotone
+   * ranking — so the whole score is a FIXED dag of IEEE double ops
+   * (adds/multiplies/divides of integer-derived values) that DuckDB
+   * evaluates bit-identically; the per-term scores sum in declared
+   * term order, because FP addition order is part of the cross-engine
+   * contract. Constants (k1 = 1.2, b = 0.75, 2.2, 0.25) appear as
+   * source literals on BOTH sides, never derived arithmetic, so the
+   * doubles agree exactly.
+   *
+   * Scale shape: pass 1 aggregates (N, sum dl, per-term df) — one scan
+   * into a handful of longs; pass 2 scores and TakeOrders the top N.
+   * tf/dl come from the same tokenization both passes; no shuffle ever
+   * carries more than the aggregate row and the top-N heap.
+   */
+  def bm25(docs: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String], topN: Int = 20): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      size(filter(col("_toks"), x => x === lit(t))).cast("long").as(s"_tf$i") }
+    val base = docs.select(col(idCol), toks.as("_toks"))
+      .select(col(idCol) +: size(col("_toks")).cast("long").as("_dl") +: tfCols: _*)
+    val aggs = count(lit(1)).as("n") +: sum(col("_dl")).as("sumdl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"_tf$i") > 0, 1L).otherwise(0L)).as(s"_df$i"))
+    val st = base.agg(aggs.head, aggs.tail: _*).head()
+    val n = st.getLong(0)
+    val avgdl = st.getLong(1).toDouble / n.toDouble
+    val termScores = terms.indices.map { i =>
+      val dfT = st.getLong(2 + i)
+      val idf = (n.toDouble - dfT.toDouble + 0.5) / (dfT.toDouble + 0.5)
+      val tf = col(s"_tf$i").cast("double")
+      lit(idf) * (tf * lit(2.2)) /
+        (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("_dl").cast("double") / lit(avgdl)))
+    }
+    base.select(col(idCol),
+        round(termScores.reduce(_ + _) * lit(1000000.0)).cast("long")
+          .as("score_micro"))
+      .orderBy(col("score_micro").desc, col(idCol).asc)
+      .limit(topN)
+  }
 }

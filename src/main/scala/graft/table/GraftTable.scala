@@ -1134,6 +1134,33 @@ final class GraftTable private (
   }
 
   /**
+   * Predicate update (the UPDATE ... SET verb): matched rows become
+   * upsert events with the assignments applied — the delete-half DVs
+   * the old row version, the append-half writes the new one, exactly
+   * like a CDC update. O(matched) like deleteWhere; key columns cannot
+   * be assigned (an update that moves a key is a delete + insert, which
+   * MERGE INTO expresses). Returns the commit LSN of the update batch.
+   */
+  def updateWhere(cond: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column]): Long = synchronized {
+    require(identity != Identity.None, "updateWhere needs a table identity")
+    require(identity != Identity.FullRow,
+      "updateWhere on full-row identity changes the key; use delete+insert")
+    set.keys.foreach(c => require(schemaVar.fieldNames.contains(c),
+      s"no such column: $c"))
+    require(set.keys.forall(c => !keyCols.contains(c)),
+      "cannot assign key columns")
+    flush() // pin the file set the predicate scan reads
+    val lsn = commitLsnVar + 1
+    val ev = read(scala.None).where(cond).select(
+      lit("u").as("_op") +: lit(lsn).as("_lsn") +:
+      schemaVar.fields.toSeq.map(f =>
+        set.get(f.name).map(_.cast(f.dataType).as(f.name))
+          .getOrElse(col(f.name))): _*)
+    applyBatchDF(ev, lsn, hasDeletes = true)
+  }
+
+  /**
    * RESTORE (the Delta RESTORE / Iceberg rollback verb): make a
    * historical version's content the CURRENT content, published as a
    * NEW version — history is never rewritten, so a restore is itself

@@ -848,4 +848,35 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // join (i.e. none of them can appear in the result)
     assert(want.forall(_ >= 20000L))
   }
+
+  test("KmvAggregator reduce/merge keep the k smallest distinct hashes") {
+    val k = 8
+    val agg = new Sketches.KmvAggregator(k)
+    val rnd = new scala.util.Random(7)
+    // reduce path: arbitrary stream with duplicates
+    val xs = Seq.fill(200)(rnd.nextInt(50).toLong)
+    val buf = xs.foldLeft(agg.zero)(agg.reduce)
+    val want = xs.distinct.sorted.take(k)
+    assert(buf.toSeq == want)
+    // merge path: any split of the stream merges to the same sketch
+    val (l, r) = xs.splitAt(83)
+    val merged = agg.merge(
+      l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+    assert(merged.toSeq == want)
+    // under-filled finish = exact count; full finish = KMV estimate
+    assert(agg.finish(Array(3L, 9L)) == 2L)
+    val full = (1 to k).map(_ * 1000L).toArray
+    assert(agg.finish(full) == (k - 1).toLong * Sketches.HashMod / full.last)
+  }
+
+  test("kmvDistinct estimate converges on a known-cardinality column") {
+    import spark.implicits._
+    val df = spark.range(0, 100000).select((col("id") % 5000).as("v"))
+      .repartition(4)
+    val Row(exact: Long, est: Long) =
+      Sketches.kmvDistinct(df, col("v"), k = 256).head()
+    assert(exact == 5000L)
+    // KMV with k=256 has ~1/sqrt(k) ≈ 6% relative error at 1 sigma
+    assert(math.abs(est - 5000L) < 1000L, s"est=$est")
+  }
 }

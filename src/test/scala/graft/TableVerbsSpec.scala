@@ -62,6 +62,28 @@ class TableVerbsSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.drop()
   }
 
+  // ---- UPDATE WHERE ----------------------------------------------------
+
+  test("updateWhere rewrites matched rows via the upsert path") {
+    val t = mkTable(TableConfig(memSliceSize = 2, walEnabled = false))
+    t.insertAll((1 to 4).map(i => Row(i, s"u$i", 20 + i)), 1) // flushed
+    t.updateWhere(col("age") >= 23,
+      Map("name" -> concat(col("name"), lit("!")), "age" -> (col("age") + 100)))
+    assert(stateOf(t) == Map(1 -> ("u1", 21), 2 -> ("u2", 22),
+      3 -> ("u3!", 123), 4 -> ("u4!", 124)))
+    // old row versions are DV'd, not rewritten in place
+    assert(t.currentManifest.dataFiles.map(_.deletes).sum == 2)
+    t.drop()
+  }
+
+  test("updateWhere rejects key-column assignments") {
+    val t = mkTable()
+    t.insertAll(Seq(Row(1, "a", 20)), 1)
+    assertThrows[IllegalArgumentException](
+      t.updateWhere(col("age") > 0, Map("id" -> lit(9))))
+    t.drop()
+  }
+
   // ---- RESTORE ---------------------------------------------------------
 
   test("restore is an auditable commit: history keeps the undone suffix") {
