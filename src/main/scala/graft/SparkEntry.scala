@@ -787,6 +787,35 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    "cdc_stream_source" -> ((s, d) => {
+      // the table as a Structured Streaming SOURCE (the readStream
+      // half that pairs with the foreachBatch sink side): published
+      // manifest versions are the offsets, each micro-batch reads
+      // exactly the files its version range added, through the same
+      // vectorized DSv2 partitions as the batch scan. AvailableNow
+      // drains the two-commit history into a memory sink; the
+      // aggregate over the sink must equal the batch read's.
+      val table = GraftTable.create(s, freshDir("gss"), eventTableSchema,
+        Identity.None, TableConfig(walEnabled = false))
+      val ev = cdcEventFrame(s, d, None).withColumn("_op", lit("i"))
+      val mm = ev.agg(min(col("_lsn")), max(col("_lsn"))).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val span = (hi - lo) / 2 + 1
+      CdcPipeline.applyBatch(table, ev.where(col("_lsn") < lo + span))
+      CdcPipeline.applyBatch(table, ev.where(col("_lsn") >= lo + span))
+      val qn = "gss_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = s.readStream.format("graft").load(table.root)
+        .writeStream.format("memory").queryName(qn)
+        .option("checkpointLocation", freshDir("gss_ckpt"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qn)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), cents(sum(col("value"))).as("value_cents"))
+        .orderBy("event_type")
+    }),
+
     "cdc_sql_view" -> ((s, d) => {
       // S12: catalog + temp-view registration — plain spark.sql runs
       // over the live ingested state (the reference serves DuckDB/
@@ -2305,6 +2334,12 @@ object SparkEntry {
     "cdc_union_read" -> cdcUpsertOracle,
 
     "cdc_append_scan" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(ROUND(SUM(value)*100) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // every event exactly once through the streaming source
+    "cdc_stream_source" ->
       """SELECT event_type, count(*) AS n,
         |       CAST(ROUND(SUM(value)*100) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,

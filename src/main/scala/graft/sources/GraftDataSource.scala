@@ -94,7 +94,8 @@ private[graft] class GraftSparkTable(root: String)
   override def name(): String = s"graft.`$root`"
   override def schema(): StructType = manifest.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(root, manifest)
 }
@@ -366,6 +367,92 @@ private[sources] class GraftScan(root: String, manifest: Manifest,
     override def numRows(): OptionalLong =
       OptionalLong.of(survivors.map(e => e.rows - e.deletes).sum)
   }
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(root, manifest, required, pushed)
+}
+
+/**
+ * The table as a Structured Streaming SOURCE (the Delta
+ * `spark.readStream` role, and the streaming face of the reference's
+ * union-read surface): PUBLISHED manifest versions are the offsets,
+ * and each micro-batch reads exactly the data files that versions
+ * (start, end] added — committed, durable parquet; never the
+ * in-memory tail, and never rows whose flush has not been published
+ * (flush and snapshot-publish are separate by design; the batch
+ * ingest paths publish after every flush).
+ *
+ * Contract: append-only tables (no key columns). A keyed table's
+ * history contains updates/deletes, which an append stream cannot
+ * represent — `changesBetween` serves that shape. Commits inside the
+ * streamed range must be additive: a removed file or a grown DV set
+ * (compaction, predicate delete) fails the batch loudly rather than
+ * re-emitting or silently dropping rows.
+ *
+ * Scale shape: offsets are O(1) manifest-version reads; planning a
+ * batch is O(new files) driver metadata; the data path is the same
+ * vectorized per-file partitions as the batch scan, with the same
+ * column pruning and stat pruning applied. A 100-TB table streams at
+ * the cost of its NEW files only — the incremental invariant.
+ */
+private[graft] class GraftMicroBatchStream(root: String,
+    manifest: Manifest, required: StructType, pushed: Array[Filter])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  require(manifest.keyCols.isEmpty,
+    "streaming read requires an append-only table (no key columns); " +
+      "keyed tables serve change feeds via changesBetween")
+
+  private case class VOffset(version: Long) extends Offset {
+    override def json(): String = s"""{"version":$version}"""
+  }
+
+  // stream from the beginning of history: the first batch serves the
+  // whole current content (Delta's default starting position)
+  override def initialOffset(): Offset = VOffset(0L)
+
+  override def latestOffset(): Offset =
+    VOffset(ManifestLog.loadLatest(root)
+      .getOrElse(throw new IllegalStateException(s"no table at $root"))
+      .version)
+
+  override def deserializeOffset(json: String): Offset =
+    VOffset("""-?\d+""".r.findFirstIn(json)
+      .getOrElse(throw new IllegalArgumentException(s"bad offset: $json"))
+      .toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val (vs, ve) = (start.asInstanceOf[VOffset].version,
+      end.asInstanceOf[VOffset].version)
+    if (sys.env.contains("GRAFT_STREAM_DEBUG"))
+      System.err.println(s"[graft-stream] plan($vs, $ve)")
+    if (vs == ve) return Array.empty
+    val mS = ManifestLog.load(root, vs)
+    val mE = ManifestLog.load(root, ve)
+    val startPaths = mS.dataFiles.map(_.path).toSet
+    require(startPaths.subsetOf(mE.dataFiles.map(_.path).toSet) &&
+      mE.dvFiles.size >= mS.dvFiles.size && mS.dvFiles.forall(mE.dvFiles.contains),
+      s"non-append commit between versions $vs and $ve " +
+        "(compaction or delete); streaming reads require additive commits")
+    mE.dataFiles
+      .filter(e => !startPaths.contains(e.path))
+      .filter(e => pushed.forall(f => GraftScan.mayMatch(mE.schema, e, f)))
+      .map(e => GraftInputPartition(s"$root/data/${e.path}", e.rows,
+        dvBlob = null): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(required.json,
+      manifest.schema.fields
+        .map(f => f.name -> graft.model.SchemaDsl.physicalName(f)).toMap,
+      allColumnar = required.fields.nonEmpty)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 /**

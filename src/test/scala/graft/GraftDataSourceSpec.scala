@@ -363,4 +363,77 @@ class GraftDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set(109L, 110L))
     t.drop()
   }
+
+  // ---- streaming source (MicroBatchStream over manifest versions) -----
+
+  private def appendOnlyTable(): GraftTable = {
+    val dir = tmpDir() + "/t"
+    val t = GraftTable.create(spark, dir, SchemaDsl.struct(
+      "id" -> "int64", "v" -> "float64"),
+      Identity.None, TableConfig(walEnabled = false))
+    t.insertAll((1L to 50L).map(i => Row(i, i * 0.5)), 1)
+    t.flush(); t.publish() // streams serve PUBLISHED manifest versions
+    t
+  }
+
+  test("readStream serves existing content, then new commits incrementally") {
+    val t = appendOnlyTable()
+    val ckpt = tmpDir() + "/ckpt"
+    val qname = "gss_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = spark.readStream.format("graft").load(t.root)
+      .writeStream.format("memory").queryName(qname)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+      .start()
+    try {
+      def sinkIds(): Set[Long] =
+        spark.table(qname).select("id").collect().map(_.getLong(0)).toSet
+      def await(cond: => Boolean): Unit = {
+        val deadline = System.currentTimeMillis() + 30000
+        while (!cond && System.currentTimeMillis() < deadline) {
+          q.processAllAvailable(); Thread.sleep(50)
+        }
+        assert(cond)
+      }
+      await(sinkIds() == (1L to 50L).toSet)
+      // commit more while the stream runs: only the NEW files replay
+      t.insertAll((51L to 80L).map(i => Row(i, i * 0.5)), 100)
+      t.flush(); t.publish()
+      await(sinkIds() == (1L to 80L).toSet)
+    } finally q.stop()
+    t.drop()
+  }
+
+  test("streaming read rejects keyed tables and non-append commits") {
+    // keyed table: refused at stream construction
+    val keyed = buildTable()
+    val ex = intercept[Exception] {
+      spark.readStream.format("graft").load(keyed.root)
+        .writeStream.format("memory")
+        .queryName("gss_keyed_" + java.util.UUID.randomUUID().toString.take(8))
+        .option("checkpointLocation", tmpDir() + "/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    assert(ex.getMessage != null)
+    keyed.drop()
+
+    // append-only table compacted mid-stream: the removed files make
+    // the range non-additive and the batch must fail loudly
+    val t = appendOnlyTable()
+    val v0 = t.currentManifest.version
+    t.insertAll((51L to 60L).map(i => Row(i, i * 0.5)), 100)
+    t.flush(); t.publish()
+    val stream = new graft.sources.GraftMicroBatchStream(t.root,
+      t.currentManifest, t.schema, Array.empty)
+    t.optimize() // rewrites files -> non-additive
+    val vN = t.currentManifest.version
+    val err = intercept[IllegalArgumentException] {
+      stream.planInputPartitions(
+        stream.deserializeOffset(s"""{"version":$v0}"""),
+        stream.deserializeOffset(s"""{"version":$vN}"""))
+    }
+    assert(err.getMessage.contains("non-append"))
+    t.drop()
+  }
 }
