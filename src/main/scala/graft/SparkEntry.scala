@@ -69,20 +69,14 @@ object SparkEntry {
     dir
   }
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark 4 rejects on
-   *  schema inference; read with an explicit schema mapping ts to raw
-   *  nanosecond longs (session-config-independent). DuckDB truncates
-   *  the same column to microseconds, so comparisons use `ts DIV 1000`
-   *  vs `epoch_us(ts)` — integer arithmetic only (the values exceed
-   *  double's 53-bit mantissa). */
-  private def events(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    val sch = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    spark.read.schema(sch).parquet(s"$dir/events.parquet")
-  }
+  /** events table with `ts` ALWAYS in epoch microseconds (LongType),
+   *  whatever physical unit the current testdata generation stores —
+   *  the fixture layer sniffs the parquet footer's logical-type
+   *  annotation and normalizes (see [[graft.model.Fixtures]]). DuckDB's
+   *  `epoch_us(ts)` matches exactly; all arithmetic stays integer (the
+   *  values exceed double's 53-bit mantissa). */
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    Fixtures.eventsMicros(spark, dir)
 
   private def cents(c: org.apache.spark.sql.Column) =
     round(c * 100).cast("long")
@@ -377,7 +371,7 @@ object SparkEntry {
     "ev_hourly_agg" -> ((s, d) => {
       // tumbling 1h event-time window per type (streaming-equivalent agg)
       events(s, d)
-        .groupBy(expr("ts DIV 3600000000000 * 3600000000").as("hour_us"),
+        .groupBy(expr("ts DIV 3600000000 * 3600000000").as("hour_us"),
           col("event_type"))
         .agg(count(lit(1)).as("n"), cents(sum(col("value"))).as("value_cents"))
         .orderBy("hour_us", "event_type")
@@ -387,7 +381,7 @@ object SparkEntry {
       // gap-based sessionization (30 min): session count + events/user
       val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
       events(s, d)
-        .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("us"))
+        .select(col("user_id"), col("event_id"), col("ts").as("us"))
         .withColumn("prev_us", lag(col("us"), 1).over(w))
         .withColumn("new_s",
           when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1L)
@@ -403,7 +397,7 @@ object SparkEntry {
       // as-of join: each purchase picks the user's most recent click at
       // or before it (microsecond granularity, matching the oracle's
       // timestamp precision)
-      val e = events(s, d).withColumn("us", expr("ts DIV 1000"))
+      val e = events(s, d).withColumn("us", col("ts"))
       val purchases = e.where(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("us"))
       val clicks = e.where(col("event_type") === "click")
@@ -426,7 +420,7 @@ object SparkEntry {
       // late, so the emitted set equals the batch join the oracle runs.
       import org.apache.spark.sql.types._
       val ev = events(s, d)
-        .select(col("event_id"), expr("ts DIV 1000").as("us"),
+        .select(col("event_id"), col("ts").as("us"),
           col("user_id"), col("event_type"))
       val srcDir = streamSourceDir(ev, 4, idCol = "event_id")
       val sch = StructType(Seq(StructField("event_id", LongType),
@@ -461,7 +455,7 @@ object SparkEntry {
       // Spark's native plan for this predicate is
       // BroadcastNestedLoopJoin (O(n*m)); the bucketized operator turns
       // it into a bin equi-join + exact post-filter
-      val e = events(s, d).withColumn("us", expr("ts DIV 1000"))
+      val e = events(s, d).withColumn("us", col("ts"))
       val windows = e
         .where(col("event_type") === "purchase" && col("value") > 150)
         .select(col("event_id").as("w_id"), col("us").as("start_us"),
@@ -492,8 +486,8 @@ object SparkEntry {
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n"),
           countDistinct(col("event_type")).as("n_types"),
-          expr("min(ts) DIV 1000").as("first_us"),
-          expr("max(ts) DIV 1000").as("last_us"),
+          min(col("ts")).as("first_us"),
+          max(col("ts")).as("last_us"),
           cents(sum(col("value"))).as("value_cents"))
         .orderBy("user_id")
     }),
@@ -1311,7 +1305,7 @@ object SparkEntry {
               lit("event value stream").as("description"),
               lit("1").as("unit"),
               struct(transform(col("pts"), p => struct(
-                p("ts").cast("string").as("timeUnixNano"),
+                (p("ts") * lit(1000L)).cast("string").as("timeUnixNano"),
                 p("value").as("asDouble"),
                 array(struct(lit("user_id").as("key"),
                   struct(col("user_id").cast("string").as("intValue"))

@@ -443,12 +443,16 @@ object TextOps {
     df.select(col(idCol), col(shardCol),
         bpeTokenCount(col(textCol)).cast("long").as("n_tokens"))
       .withColumn("cum", sum(col("n_tokens")).over(w))
+      // pure BIGINT arithmetic end-to-end: DIV, not `/`-then-cast — the
+      // double detour survives powers of two (seqLen=2048 divides
+      // exactly) but is a latent boundary hazard for any other seqLen,
+      // and keeping both engines on integer ops removes the class
       .select(col(idCol), col(shardCol), col("n_tokens"),
-        ((col("cum") - col("n_tokens")) / lit(seqLen)).cast("long").as("pack_id"),
-        ((col("cum") - col("n_tokens")) % lit(seqLen)).as("pack_offset"),
+        expr(s"(cum - n_tokens) DIV $seqLen").as("pack_id"),
+        (col("cum") - col("n_tokens")) % lit(seqLen.toLong) as "pack_offset",
         when(col("n_tokens") > 0,
-          ((col("cum") - 1) / lit(seqLen)).cast("long") -
-            ((col("cum") - col("n_tokens")) / lit(seqLen)).cast("long"))
+          expr(s"(cum - 1) DIV $seqLen") -
+            expr(s"(cum - n_tokens) DIV $seqLen"))
           .otherwise(0L).as("n_splits"))
   }
 
