@@ -1283,6 +1283,97 @@ object SparkEntry {
         .orderBy("etype")
     }),
 
+    "kafka_avro_binary" -> ((s, d) => {
+      // S5's wire format proper: the SAME events ride the Avro BINARY
+      // encoding (zigzag varints, length-prefixed strings, positional
+      // union branches — what Kafka producers actually ship), encoded
+      // row->datum on the executors, decoded back by the binary wire
+      // decoder, appended, aggregated. Same oracle as the JSON twin:
+      // the two encodings must be indistinguishable past the decoder.
+      val avroSchema =
+        """{"type":"record","name":"Event","fields":[
+          |  {"name":"user_id","type":"long"},
+          |  {"name":"event_id","type":"long"},
+          |  {"name":"event_type","type":["null","string"]},
+          |  {"name":"value","type":"double"}]}""".stripMargin
+      val enc = AvroIngest.binaryEncoderFor(avroSchema)
+      val src = events(s, d).select(col("user_id"), col("event_id"),
+        when(col("event_type") === "view", lit(null).cast("string"))
+          .otherwise(col("event_type")).as("event_type"), col("value"))
+      val datums = src.rdd.map(r => Row(enc(r)))
+      val payloads = s.createDataFrame(datums,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("datum",
+            org.apache.spark.sql.types.BinaryType))))
+      val table = GraftTable.create(s, freshDir("avrobin"),
+        AvroIngest.schemaToStruct(avroSchema),
+        Identity.None, TableConfig(walEnabled = false))
+      AvroIngest.ingestBinary(table, payloads, "datum", avroSchema, startLsn = 1)
+      table.read(None)
+        .groupBy(coalesce(col("event_type"), lit("(null)")).as("etype"))
+        .agg(count(lit(1)).as("n"), cents(sum(col("value"))).as("value_cents"))
+        .orderBy("etype")
+    }),
+
+    "rest_http_ingest" -> ((s, d) => {
+      // S3's missing half made real: a user's first contact with the
+      // reference is `curl` against the REST API (`rest_api.rs:416`).
+      // This entry round-trips ingestion through an actual localhost
+      // HTTP listener: create table over HTTP (FieldSchema list), POST
+      // one JSON row event per request (insert/upsert semantics with
+      // sync LSN responses), flush over HTTP, then read the table
+      // through the engine and aggregate. Row-at-a-time REST rides the
+      // driver event loop by design (reference table_handler.rs:124);
+      // bulk data belongs to applyBatch — so the entry's subset is
+      // bounded (user_id % 20 == 7), never the corpus.
+      val cat = graft.table.GraftCatalog(s, freshDir("rest-wh"))
+      val srv = graft.sources.RestServer.start(cat)
+      try {
+        // plain HttpURLConnection: no client thread pool to leak into
+        // the driver JVM, and keep-alive pools the loopback connection
+        def post(path: String, body: String): String = {
+          val conn = java.net.URI.create(srv.baseUrl + path).toURL
+            .openConnection().asInstanceOf[java.net.HttpURLConnection]
+          conn.setRequestMethod("POST")
+          conn.setRequestProperty("Content-Type", "application/json")
+          conn.setDoOutput(true)
+          val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          conn.setFixedLengthStreamingMode(bytes.length)
+          val os = conn.getOutputStream
+          try os.write(bytes) finally os.close()
+          val code = conn.getResponseCode
+          val is = if (code == 200) conn.getInputStream else conn.getErrorStream
+          val resp = new String(is.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8)
+          is.close()
+          require(code == 200, s"POST $path -> $code: $resp")
+          resp
+        }
+        post("/tables/users",
+          """{"schema":[
+            |  {"name":"user_id","data_type":"int64","nullable":false},
+            |  {"name":"event_id","data_type":"int64","nullable":true},
+            |  {"name":"event_type","data_type":"string","nullable":true},
+            |  {"name":"value","data_type":"float64","nullable":true}],
+            | "key_columns":["user_id"]}""".stripMargin)
+        val rows = events(s, d).where(col("user_id") % 20 === 7)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            to_json(struct(col("user_id"), col("event_id"),
+              col("event_type"), col("value"))).as("data"))
+          .orderBy("event_id").collect()
+        rows.foreach { r =>
+          post("/ingest/users",
+            s"""{"operation":"upsert","data":${r.getString(3)},"request_mode":"sync"}""")
+        }
+        post("/tables/users/flush", "{}")
+        cat.table("users").read(scala.None)
+          .select(col("user_id"), col("event_id").as("last_event_id"),
+            col("event_type").as("last_event_type"),
+            cents(col("value")).as("value_cents"))
+          .orderBy("user_id")
+      } finally srv.stop()
+    }),
+
     "otel_metrics_agg" -> ((s, d) => {
       // S6 end-to-end: synthesize OTLP/HTTP JSON metric exports from
       // the events table (one request per user, one gauge data point
@@ -1685,15 +1776,16 @@ object SparkEntry {
           col("jaccard_milli"))
         .orderBy("id_a", "id_b")
       // index maintenance: the increment's bands append into the same
-      // table (next day's increment probes them too) and compaction
-      // folds the accumulated small files — the index lifecycle is the
-      // table's lifecycle. `cand` is already materialized (staged), so
-      // this cannot perturb the result.
+      // table (next day's increment probes them too) as ONE batched
+      // append with no in-entry compaction — folding the index's small
+      // files belongs to the table's periodic maintenance job (the verb
+      // cdc_compact_state proves), not to every increment's critical
+      // path. `cand` is already materialized (staged), so this cannot
+      // perturb the result.
       CdcPipeline.applyBatch(idxTable,
         newBands.select(lit("i").as("_op"),
           (monotonically_increasing_id() + idxTable.commitLsn + 1L).as("_lsn"),
           col("id"), col("band"), col("bucket")))
-      idxTable.optimize()
       out
     }),
 
@@ -2427,6 +2519,22 @@ object SparkEntry {
         |       count(*) AS n,
         |       CAST(ROUND(SUM(value)*100) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "kafka_avro_binary" ->
+      """SELECT CASE WHEN event_type = 'view' THEN '(null)' ELSE event_type END AS etype,
+        |       count(*) AS n,
+        |       CAST(ROUND(SUM(value)*100) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "rest_http_ingest" ->
+      """SELECT user_id,
+        |       event_id AS last_event_id,
+        |       event_type AS last_event_type,
+        |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
+        |FROM events
+        |WHERE user_id % 20 = 7
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
 
     "otel_metrics_agg" ->
       """SELECT user_id, count(*) AS n,

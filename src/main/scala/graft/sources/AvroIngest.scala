@@ -51,7 +51,10 @@ object AvroIngest {
   private final case class AArray(items: AvroType) extends AvroType
   private final case class AMap(values: AvroType) extends AvroType
   private final case class ARecord(fields: Seq[(String, AvroType)]) extends AvroType
-  private final case class ANullable(inner: AvroType) extends AvroType
+  /** `nullIndex` preserves the union's declared branch order — the JSON
+   *  encoding names its branch, but the BINARY encoding identifies it
+   *  by position, so `[null, T]` and `[T, null]` decode differently. */
+  private final case class ANullable(inner: AvroType, nullIndex: Int) extends AvroType
 
   private def parseType(n: JsonNode): AvroType =
     if (n.isTextual) n.asText() match {
@@ -71,7 +74,8 @@ object AvroIngest {
       val (nulls, rest) = variants.partition(v => v.isTextual && v.asText == "null")
       require(nulls.size == 1 && rest.size == 1,
         "complex unions are not supported") // avro_converter.rs:205
-      ANullable(parseType(rest.head))
+      ANullable(parseType(rest.head),
+        variants.indexWhere(v => v.isTextual && v.asText == "null"))
     } else if (n.isObject) {
       val t = n.get("type").asText()
       val logical = Option(n.get("logicalType")).map(_.asText())
@@ -113,13 +117,13 @@ object AvroIngest {
     case ARecord(fields) => StructType(fields.map { case (name, ft) =>
       StructField(name, toDataType(unwrap(ft)), nullable = isNullable(ft))
     })
-    case ANullable(inner) => toDataType(inner)
+    case ANullable(inner, _) => toDataType(inner)
   }
 
   private def unwrap(t: AvroType): AvroType =
-    t match { case ANullable(i) => i; case o => o }
+    t match { case ANullable(i, _) => i; case o => o }
   private def isNullable(t: AvroType): Boolean =
-    t match { case ANullable(_) | ANull => true; case _ => false }
+    t match { case ANullable(_, _) | ANull => true; case _ => false }
 
   /** Declared Avro schema (top-level record) -> Spark schema. */
   def schemaToStruct(avroSchemaJson: String): StructType = {
@@ -137,7 +141,7 @@ object AvroIngest {
     case _ if n == null || n.isNull =>
       require(isNullable(t) || t == ANull, s"null for non-nullable $t")
       null
-    case ANullable(inner) =>
+    case ANullable(inner, _) =>
       // union JSON encoding: {"<branchName>": value}
       require(n.isObject && n.size() == 1, s"expected union wrapper, got $n")
       decode(inner, n.elements().next())
@@ -166,6 +170,183 @@ object AvroIngest {
       n.properties().asScala.toSeq.map(e => Row(e.getKey, decode(values, e.getValue)))
     case ARecord(fields) =>
       Row.fromSeq(fields.map { case (name, ft) => decode(ft, n.get(name)) })
+  }
+
+  // ---- value decoding (Avro BINARY encoding) ---------------------------
+  //
+  // The Kafka wire format proper (reference decodes real Avro datums,
+  // rest_ingest/avro_converter.rs:28-120): zigzag-varint ints/longs,
+  // little-endian IEEE floats, length-prefixed bytes/strings, BLOCK
+  // sequences for arrays/maps (count, or negative count + byte size,
+  // repeated until a 0 count), and positional union branch indexes.
+
+  /** Cursor over one binary datum. Throws on truncation/overrun —
+   *  a malformed datum must fail the ingest, not corrupt rows. */
+  private final class BinCursor(buf: Array[Byte]) {
+    private var pos = 0
+    private def next(): Int = {
+      if (pos >= buf.length)
+        throw new IllegalArgumentException(
+          s"truncated avro binary datum at byte $pos")
+      val b = buf(pos) & 0xff; pos += 1; b
+    }
+    /** zigzag varint (int and long share the encoding) */
+    def readLong(): Long = {
+      var n = 0L; var shift = 0; var b = 0
+      do {
+        b = next()
+        if (shift >= 64)
+          throw new IllegalArgumentException("varint longer than 10 bytes")
+        n |= (b & 0x7fL) << shift; shift += 7
+      } while ((b & 0x80) != 0)
+      (n >>> 1) ^ -(n & 1L)
+    }
+    def readInt(): Int = {
+      val v = readLong()
+      if (v < Int.MinValue || v > Int.MaxValue)
+        throw new IllegalArgumentException(s"int out of range: $v")
+      v.toInt
+    }
+    def readBoolean(): Boolean = next() != 0
+    def readFixed(size: Int): Array[Byte] = {
+      if (pos + size > buf.length)
+        throw new IllegalArgumentException(
+          s"truncated avro binary datum: need $size bytes at $pos")
+      val a = java.util.Arrays.copyOfRange(buf, pos, pos + size)
+      pos += size; a
+    }
+    def readFloat(): Float = java.lang.Float.intBitsToFloat(
+      (next()) | (next() << 8) | (next() << 16) | (next() << 24))
+    def readDouble(): Double = {
+      var bits = 0L
+      var i = 0
+      while (i < 8) { bits |= next().toLong << (8 * i); i += 1 }
+      java.lang.Double.longBitsToDouble(bits)
+    }
+    def readBytes(): Array[Byte] = {
+      val len = readLong()
+      if (len < 0 || len > buf.length)
+        throw new IllegalArgumentException(s"bad bytes length: $len")
+      readFixed(len.toInt)
+    }
+    def atEnd: Boolean = pos == buf.length
+  }
+
+  /** One block-encoded sequence: count items per block (a negative
+   *  count means |count| items preceded by a byte-size long, which
+   *  skippers use and decoders ignore), 0 terminates. */
+  private def readBlocks[T](in: BinCursor)(item: => T): Seq[T] = {
+    val out = Seq.newBuilder[T]
+    var count = in.readLong()
+    while (count != 0) {
+      val n = if (count < 0) { in.readLong(); -count } else count
+      var i = 0L
+      while (i < n) { out += item; i += 1 }
+      count = in.readLong()
+    }
+    out.result()
+  }
+
+  private def decodeBinary(t: AvroType, in: BinCursor): Any = t match {
+    case ANull => null
+    case ABool => in.readBoolean()
+    case AInt => in.readInt()
+    case ALong => in.readLong()
+    case AFloat => in.readFloat()
+    case ADouble => in.readDouble()
+    case AString => new String(in.readBytes(), StandardCharsets.UTF_8)
+    case ABytes => in.readBytes()
+    case AFixed(size) => in.readFixed(size)
+    case ADate =>
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(in.readInt().toLong))
+    case ATimestampMicros =>
+      val us = in.readLong()
+      val ts = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      ts.setNanos(Math.floorMod(us, 1000000L).toInt * 1000)
+      ts
+    case ADecimal(_, scale) =>
+      new java.math.BigDecimal(new java.math.BigInteger(in.readBytes()), scale)
+    case ANullable(inner, nullIndex) =>
+      val branch = in.readLong()
+      if (branch < 0 || branch > 1)
+        throw new IllegalArgumentException(s"bad union branch: $branch")
+      if (branch == nullIndex) null else decodeBinary(inner, in)
+    case AArray(items) => readBlocks(in)(decodeBinary(items, in))
+    case AMap(values) => readBlocks(in) {
+      val k = new String(in.readBytes(), StandardCharsets.UTF_8)
+      Row(k, decodeBinary(values, in))
+    }
+    case ARecord(fields) =>
+      Row.fromSeq(fields.map { case (_, ft) => decodeBinary(ft, in) })
+  }
+
+  // ---- value encoding (Avro BINARY) — the producer half, used by the
+  // round-trip tests and by anything that needs to WRITE Kafka datums.
+  private def writeVarint(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    var n = (v << 1) ^ (v >> 63) // zigzag
+    while ((n & ~0x7fL) != 0) {
+      out.write(((n & 0x7f) | 0x80).toInt); n >>>= 7
+    }
+    out.write(n.toInt)
+  }
+
+  private def encodeBinaryValue(t: AvroType, v: Any,
+      out: java.io.ByteArrayOutputStream): Unit = (t, v) match {
+    case (ANull, _) => ()
+    case (ANullable(_, nullIndex), null) => writeVarint(out, nullIndex.toLong)
+    case (ANullable(inner, nullIndex), x) =>
+      writeVarint(out, (1 - nullIndex).toLong)
+      encodeBinaryValue(inner, x, out)
+    case (_, null) =>
+      throw new IllegalArgumentException(s"null for non-nullable $t")
+    case (ABool, b: Boolean) => out.write(if (b) 1 else 0)
+    case (AInt, i: Int) => writeVarint(out, i.toLong)
+    case (ALong, l: Long) => writeVarint(out, l)
+    case (AFloat, f: Float) =>
+      val bits = java.lang.Float.floatToIntBits(f)
+      (0 until 4).foreach(i => out.write((bits >>> (8 * i)) & 0xff))
+    case (ADouble, d: Double) =>
+      val bits = java.lang.Double.doubleToLongBits(d)
+      (0 until 8).foreach(i => out.write(((bits >>> (8 * i)) & 0xff).toInt))
+    case (AString, s: String) =>
+      val b = s.getBytes(StandardCharsets.UTF_8)
+      writeVarint(out, b.length.toLong); out.write(b, 0, b.length)
+    case (ABytes, b: Array[Byte]) =>
+      writeVarint(out, b.length.toLong); out.write(b, 0, b.length)
+    case (AFixed(size), b: Array[Byte]) =>
+      require(b.length == size, s"fixed($size) got ${b.length} bytes")
+      out.write(b, 0, b.length)
+    case (ADate, d: java.sql.Date) =>
+      writeVarint(out, d.toLocalDate.toEpochDay)
+    case (ATimestampMicros, ts: java.sql.Timestamp) =>
+      // micros = whole seconds from getTime + sub-second from getNanos
+      writeVarint(out, Math.addExact(
+        Math.multiplyExact(Math.floorDiv(ts.getTime, 1000L), 1000000L),
+        ts.getNanos / 1000L))
+    case (ADecimal(_, scale), d: java.math.BigDecimal) =>
+      val b = d.setScale(scale).unscaledValue().toByteArray
+      writeVarint(out, b.length.toLong); out.write(b, 0, b.length)
+    case (AArray(items), xs: Seq[_]) =>
+      if (xs.nonEmpty) {
+        writeVarint(out, xs.size.toLong)
+        xs.foreach(x => encodeBinaryValue(items, x, out))
+      }
+      writeVarint(out, 0L)
+    case (AMap(values), entries: Seq[_]) =>
+      if (entries.nonEmpty) {
+        writeVarint(out, entries.size.toLong)
+        entries.foreach { case r: Row =>
+          encodeBinaryValue(AString, r.getString(0), out)
+          encodeBinaryValue(values, r.get(1), out)
+        }
+      }
+      writeVarint(out, 0L)
+    case (ARecord(fields), r: Row) =>
+      fields.zipWithIndex.foreach { case ((_, ft), i) =>
+        encodeBinaryValue(ft, r.get(i), out)
+      }
+    case (tt, vv) => throw new IllegalArgumentException(
+      s"cannot encode ${Option(vv).map(_.getClass.getName)} as $tt")
   }
 
   /**
@@ -197,5 +378,74 @@ object AvroIngest {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try CdcPipeline.applyBatch(table, ev)
     finally ev.unpersist()
+  }
+
+  /** Decode a frame of Avro BINARY datums (`payloadCol` is a binary
+   *  column holding one datum each) into typed rows — the Kafka wire
+   *  path proper; same distributed seam as [[toRows]]. */
+  def toRowsBinary(spark: SparkSession, payloads: DataFrame,
+      payloadCol: String, avroSchemaJson: String): DataFrame = {
+    val root = parseType(new ObjectMapper().readTree(avroSchemaJson))
+      .asInstanceOf[ARecord]
+    val schema = toDataType(root).asInstanceOf[StructType]
+    val rdd = payloads.select(col(payloadCol)).as(Encoders.BINARY).rdd
+      .map { bytes =>
+        val in = new BinCursor(bytes)
+        val row = decodeBinary(root, in).asInstanceOf[Row]
+        require(in.atEnd, "trailing bytes after avro binary datum")
+        row
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Append-ingest binary datums (binary twin of [[ingest]]). */
+  def ingestBinary(table: GraftTable, payloads: DataFrame, payloadCol: String,
+      avroSchemaJson: String, startLsn: Long): Long = {
+    val ev = toRowsBinary(table.spark, payloads, payloadCol, avroSchemaJson)
+      .withColumn("_op", lit("i"))
+      .withColumn("_lsn", monotonically_increasing_id() + startLsn)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try CdcPipeline.applyBatch(table, ev)
+    finally ev.unpersist()
+  }
+
+  /** Decode ONE binary datum (REST /kafka ingest path; row-at-a-time). */
+  def decodeBinaryDatum(avroSchemaJson: String, datum: Array[Byte]): Row = {
+    val root = parseType(new ObjectMapper().readTree(avroSchemaJson))
+      .asInstanceOf[ARecord]
+    val in = new BinCursor(datum)
+    val row = decodeBinary(root, in).asInstanceOf[Row]
+    require(in.atEnd, "trailing bytes after avro binary datum")
+    row
+  }
+
+  /** Decode ONE Avro-JSON datum (REST path, JSON encoding). */
+  def decodeJsonDatum(avroSchemaJson: String, json: String): Row = {
+    val mapper = new ObjectMapper()
+    val root = parseType(mapper.readTree(avroSchemaJson)).asInstanceOf[ARecord]
+    decode(root, mapper.readTree(json)).asInstanceOf[Row]
+  }
+
+  /** Encode one row as an Avro BINARY datum — the producer half (test
+   *  fixtures and Kafka-bound sinks). Inverse of [[decodeBinaryDatum]]. */
+  def encodeBinaryDatum(avroSchemaJson: String, row: Row): Array[Byte] = {
+    val root = parseType(new ObjectMapper().readTree(avroSchemaJson))
+      .asInstanceOf[ARecord]
+    val out = new java.io.ByteArrayOutputStream()
+    encodeBinaryValue(root, row, out)
+    out.toByteArray
+  }
+
+  /** Serializable row->datum encoder for one schema, usable inside
+   *  executor-side maps (the schema model is Serializable and parses
+   *  ONCE, driver-side; the closure captures only the parsed tree). */
+  def binaryEncoderFor(avroSchemaJson: String): Row => Array[Byte] = {
+    val root = parseType(new ObjectMapper().readTree(avroSchemaJson))
+      .asInstanceOf[ARecord]
+    row => {
+      val out = new java.io.ByteArrayOutputStream()
+      encodeBinaryValue(root, row, out)
+      out.toByteArray
+    }
   }
 }

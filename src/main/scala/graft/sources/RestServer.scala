@@ -1,0 +1,245 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import graft.model._
+import graft.table.{GraftCatalog, GraftTable, TableConfig}
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.Executors
+import java.util.concurrent.atomic.AtomicLong
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
+
+/**
+ * REST HTTP ingestion surface (the reference's primary user API,
+ * `moonlink_service/src/rest_api.rs:389-423`): a localhost HTTP
+ * listener wrapping the programmatic catalog/table API. Endpoints:
+ *
+ *   GET    /health                      — liveness (`/health`, :407)
+ *   GET    /tables                      — list tables (:408)
+ *   POST   /tables/{t}                  — create (schema as FieldSchema
+ *                                         list, `schema_util.rs:6-14`)
+ *   DELETE /tables/{t}                  — drop (:414)
+ *   POST   /ingest/{t}                  — one JSON row event
+ *                                         {operation, data,
+ *                                         request_mode} (:416, :1046)
+ *   POST   /ingestpb/{t}                — one protobuf row datum,
+ *                                         base64 `data` (:417)
+ *   POST   /kafka/{t}/schema            — declare Avro schema (:418)
+ *   POST   /kafka/{t}/ingest            — one Avro datum, binary
+ *                                         (base64) or avro-json (:419)
+ *   POST   /tables/{t}/optimize         — compaction (:421)
+ *   POST   /tables/{t}/snapshot         — force snapshot publish (:422)
+ *   POST   /tables/{t}/flush            — mem->parquet flush (:423)
+ *
+ * Row-at-a-time requests ride the driver event path (`table.apply`) —
+ * the same single event loop the reference routes REST rows through
+ * (`rest_api.rs` -> event channel -> `table_handler.rs:124`); bulk
+ * data belongs to the distributed `CdcPipeline.applyBatch` surface.
+ * `request_mode=sync` responds with the post-apply commit LSN;
+ * `async` acknowledges after enqueue semantics (here: same apply —
+ * single-node — but the response omits the LSN, matching the
+ * reference's Option<lsn> contract).
+ *
+ * Security note: binds loopback only — this is a library test surface,
+ * not a hardened service.
+ */
+final class RestServer(catalog: GraftCatalog, port: Int = 0) {
+
+  private val mapper = new ObjectMapper()
+  private val avroSchemas = TrieMap[String, String]() // table -> schema json
+  private val lsns = TrieMap[String, AtomicLong]()
+
+  private val server = HttpServer.create(
+    new InetSocketAddress("127.0.0.1", port), 0)
+  // daemon threads + explicit shutdown: the embedded server must never
+  // keep the host JVM alive (HttpServer.stop does NOT stop a
+  // caller-provided executor)
+  private val pool = Executors.newFixedThreadPool(4, r => {
+    val t = new Thread(r, "graft-rest"); t.setDaemon(true); t
+  })
+  server.setExecutor(pool)
+
+  def boundPort: Int = server.getAddress.getPort
+  def baseUrl: String = s"http://127.0.0.1:$boundPort"
+
+  def start(): RestServer = { server.start(); this }
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
+
+  // ---- routing ---------------------------------------------------------
+
+  server.createContext("/", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit = {
+      val method = ex.getRequestMethod
+      val path = ex.getRequestURI.getPath.stripSuffix("/")
+      try {
+        val (status, body) = route(method, path,
+          new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+        respond(ex, status, body)
+      } catch {
+        case e: NoSuchElementException =>
+          respond(ex, 404, err(s"not found: ${e.getMessage}"))
+        case NonFatal(e) =>
+          respond(ex, 400, err(Option(e.getMessage).getOrElse(e.toString)))
+      }
+    }
+  })
+
+  private def route(method: String, path: String,
+      body: String): (Int, ObjectNode) = {
+    val parts = path.split("/").filter(_.nonEmpty).toList
+    (method, parts) match {
+      case ("GET", "health" :: Nil) =>
+        200 -> obj("service" -> "graft", "status" -> "healthy")
+      case ("GET", "tables" :: Nil) => listTables()
+      case ("POST", "tables" :: t :: Nil) => createTable(t, parse(body))
+      case ("DELETE", "tables" :: t :: Nil) =>
+        catalog.dropTable(t); lsns.remove(t); avroSchemas.remove(t)
+        200 -> obj()
+      case ("POST", "ingest" :: t :: Nil) =>
+        ingestRow(t, parse(body), Payload.Json)
+      case ("POST", "ingestpb" :: t :: Nil) =>
+        ingestRow(t, parse(body), Payload.Proto)
+      case ("POST", "kafka" :: t :: "schema" :: Nil) =>
+        val r = parse(body)
+        avroSchemas(t) = mapper.writeValueAsString(req(r, "kafka_schema"))
+        200 -> obj("table" -> t,
+          "schema_id" -> Option(r.get("schema_id")).map(_.asLong(0L)).getOrElse(0L))
+      case ("POST", "kafka" :: t :: "ingest" :: Nil) =>
+        ingestRow(t, parse(body), Payload.Avro)
+      case ("POST", "tables" :: t :: "optimize" :: Nil) =>
+        catalog.table(t).optimize(); 200 -> obj()
+      case ("POST", "tables" :: t :: "snapshot" :: Nil) =>
+        val tbl = catalog.table(t); tbl.flush()
+        200 -> obj("lsn" -> tbl.commitLsn)
+      case ("POST", "tables" :: t :: "flush" :: Nil) =>
+        val tbl = catalog.table(t); tbl.flush()
+        200 -> obj("lsn" -> tbl.flushLsn)
+      case _ => throw new NoSuchElementException(s"$method $path")
+    }
+  }
+
+  // ---- handlers --------------------------------------------------------
+
+  private def listTables(): (Int, ObjectNode) = {
+    val arr = mapper.createArrayNode()
+    catalog.list.foreach { name =>
+      val t = catalog.table(name)
+      arr.add(obj("table" -> name, "commit_lsn" -> t.commitLsn,
+        "flush_lsn" -> t.flushLsn))
+    }
+    val o = mapper.createObjectNode(); o.set[ObjectNode]("tables", arr)
+    200 -> o
+  }
+
+  /** body: {schema: [FieldSchema...], key_columns: [..] | append_only} */
+  private def createTable(name: String, r: JsonNode): (Int, ObjectNode) = {
+    val fields = req(r, "schema").elements().asScala.toSeq.map { f =>
+      (f.get("name").asText(), f.get("data_type").asText(),
+        Option(f.get("nullable")).forall(_.asBoolean(true)))
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      fields.zipWithIndex.map { case ((n, dt, nn), i) =>
+        SchemaDsl.field(n, dt, nn).copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong(SchemaDsl.FieldIdKey, i + 1L).build())
+      })
+    val identity =
+      if (Option(r.get("append_only")).exists(_.asBoolean(false))) Identity.None
+      else Option(r.get("key_columns")) match {
+        case Some(kc) if kc.isArray && kc.size() > 0 =>
+          Identity.Keys(kc.elements().asScala.map(_.asText()).toSeq)
+        case _ => Identity.None
+      }
+    catalog.createTable(name, schema, identity,
+      TableConfig(walEnabled = false))
+    200 -> obj("table" -> name, "lsn" -> 0L)
+  }
+
+  private object Payload extends Enumeration { val Json, Proto, Avro = Value }
+
+  /** {operation: insert|upsert|delete, data: ..., request_mode} */
+  private def ingestRow(name: String, r: JsonNode,
+      kind: Payload.Value): (Int, ObjectNode) = {
+    val table = catalog.table(name)
+    val op = req(r, "operation").asText()
+    val sync = Option(r.get("request_mode")).exists(_.asText() == "sync")
+    val row = kind match {
+      case Payload.Json => JsonIngest.parse(table.schema,
+        mapper.writeValueAsString(req(r, "data")))
+      case Payload.Proto => ProtoIngest.decodeRow(bytesOf(req(r, "data")),
+        table.schema)
+      case Payload.Avro =>
+        val sch = avroSchemas.getOrElse(name, throw new IllegalArgumentException(
+          s"no avro schema declared for $name (POST /kafka/$name/schema first)"))
+        val d = req(r, "data")
+        if (d.isTextual || d.isArray) AvroIngest.decodeBinaryDatum(sch, bytesOf(d))
+        else AvroIngest.decodeJsonDatum(sch, mapper.writeValueAsString(d))
+    }
+    val lsn = lsns.getOrElseUpdate(name,
+      new AtomicLong(table.commitLsn)).incrementAndGet()
+    val keyCols = Identity.keyColumns(table.identity,
+      table.schema.fieldNames.toSeq)
+    def key: Seq[Any] =
+      keyCols.map(c => row.get(table.schema.fieldIndex(c)))
+    val events: Seq[CdcEvent] = op match {
+      case "insert" => Seq(Append(row, lsn), Commit(lsn))
+      case "upsert" => CdcEvent.upsert(row, key, lsn) :+ Commit(lsn)
+      case "delete" => Seq(Delete(key, lsn), Commit(lsn))
+      case other => throw new IllegalArgumentException(s"unknown operation $other")
+    }
+    val committed = table.apply(events)
+    val resp = obj("table" -> name, "operation" -> op)
+    if (sync) resp.put("lsn", committed)
+    200 -> resp
+  }
+
+  // ---- helpers ---------------------------------------------------------
+
+  /** `data` as raw bytes: base64 string (the JSON-friendly transport
+   *  for binary datums) or a JSON array of byte values (serde's
+   *  default Vec<u8> encoding, `rest_api.rs:288`). */
+  private def bytesOf(n: JsonNode): Array[Byte] =
+    if (n.isTextual) java.util.Base64.getDecoder.decode(n.asText())
+    else if (n.isArray) n.elements().asScala.map(_.asInt().toByte).toArray
+    else throw new IllegalArgumentException(s"binary data must be base64 or byte array")
+
+  private def parse(body: String): JsonNode =
+    if (body.trim.isEmpty) mapper.createObjectNode() else mapper.readTree(body)
+
+  private def req(r: JsonNode, field: String): JsonNode =
+    Option(r.get(field)).filterNot(_.isNull).getOrElse(
+      throw new IllegalArgumentException(s"missing field: $field"))
+
+  private def obj(kvs: (String, Any)*): ObjectNode = {
+    val o = mapper.createObjectNode()
+    kvs.foreach {
+      case (k, v: String) => o.put(k, v)
+      case (k, v: Long) => o.put(k, v)
+      case (k, v: Int) => o.put(k, v)
+      case (k, v: Boolean) => o.put(k, v)
+      case (k, v) => o.put(k, String.valueOf(v))
+    }
+    o
+  }
+
+  private def err(msg: String): ObjectNode = obj("message" -> msg)
+
+  private def respond(ex: HttpExchange, status: Int, body: ObjectNode): Unit = {
+    val bytes = mapper.writeValueAsBytes(body)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, bytes.length)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+}
+
+object RestServer {
+  /** Start on an ephemeral loopback port. */
+  def start(catalog: GraftCatalog): RestServer =
+    new RestServer(catalog).start()
+}

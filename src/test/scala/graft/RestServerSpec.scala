@@ -1,0 +1,142 @@
+package graft
+
+import graft.sources.RestServer
+import graft.table.GraftCatalog
+import org.apache.spark.sql.{Row, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * REST HTTP surface (reference `moonlink_service/src/rest_api.rs:
+ * 389-423`): table lifecycle, row ingest in all three payload
+ * encodings (JSON / protobuf / Avro binary), maintenance verbs, and
+ * error statuses — all through a real loopback HTTP listener.
+ */
+class RestServerSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-rest-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private var catalog: GraftCatalog = _
+  private var srv: RestServer = _
+
+  override def beforeAll(): Unit = {
+    catalog = GraftCatalog(spark,
+      java.nio.file.Files.createTempDirectory("rest-wh").toString)
+    srv = RestServer.start(catalog)
+  }
+
+  override def afterAll(): Unit = {
+    if (srv != null) srv.stop()
+    spark.stop()
+  }
+
+  private def http(method: String, path: String,
+      body: String = ""): (Int, String) = {
+    val conn = java.net.URI.create(srv.baseUrl + path).toURL
+      .openConnection().asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod(method)
+    if (body.nonEmpty) {
+      conn.setRequestProperty("Content-Type", "application/json")
+      conn.setDoOutput(true)
+      val bytes = body.getBytes("UTF-8")
+      conn.setFixedLengthStreamingMode(bytes.length)
+      val os = conn.getOutputStream
+      try os.write(bytes) finally os.close()
+    }
+    val code = conn.getResponseCode
+    val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+    val resp = new String(is.readAllBytes(), "UTF-8")
+    is.close()
+    (code, resp)
+  }
+
+  private val usersSchema =
+    """{"schema":[
+      |  {"name":"id","data_type":"int32","nullable":false},
+      |  {"name":"name","data_type":"string","nullable":false},
+      |  {"name":"email","data_type":"string","nullable":true},
+      |  {"name":"age","data_type":"int32","nullable":true}],
+      | "key_columns":["id"]}""".stripMargin
+
+  test("health, create, list, ingest JSON, read back, drop") {
+    assert(http("GET", "/health")._1 == 200)
+    val (cc, _) = http("POST", "/tables/users", usersSchema)
+    assert(cc == 200)
+    assert(http("GET", "/tables")._2.contains("\"users\""))
+
+    // the reference README's E2E slice: insert/upsert/delete rows
+    assert(http("POST", "/ingest/users",
+      """{"operation":"insert","data":{"id":1,"name":"a","age":30},"request_mode":"sync"}""")._1 == 200)
+    assert(http("POST", "/ingest/users",
+      """{"operation":"insert","data":{"id":2,"name":"b","email":"b@x"},"request_mode":"sync"}""")._1 == 200)
+    // upsert overwrites id=1; sync mode returns an LSN
+    val (uc, ub) = http("POST", "/ingest/users",
+      """{"operation":"upsert","data":{"id":1,"name":"a2","age":31},"request_mode":"sync"}""")
+    assert(uc == 200 && ub.contains("\"lsn\""))
+    // async mode omits the LSN (Option contract, rest_api.rs:305)
+    val (_, ab) = http("POST", "/ingest/users",
+      """{"operation":"insert","data":{"id":3,"name":"c"}}""")
+    assert(!ab.contains("\"lsn\""))
+    assert(http("POST", "/ingest/users",
+      """{"operation":"delete","data":{"id":2,"name":"b"},"request_mode":"sync"}""")._1 == 200)
+
+    val got = catalog.table("users").read(None)
+      .selectExpr("id", "name", "age").orderBy("id").collect()
+    assert(got.toSeq == Seq(Row(1, "a2", 31), Row(3, "c", null)))
+
+    assert(http("POST", "/tables/users/flush", "{}")._1 == 200)
+    assert(http("POST", "/tables/users/optimize",
+      """{"mode":"full"}""")._1 == 200)
+    assert(http("POST", "/tables/users/snapshot", "{}")._1 == 200)
+    assert(catalog.table("users").read(None).count() == 2)
+
+    assert(http("DELETE", "/tables/users")._1 == 200)
+    assert(!http("GET", "/tables")._2.contains("\"users\""))
+  }
+
+  test("avro binary datum over /kafka endpoints") {
+    http("POST", "/tables/kf",
+      """{"schema":[
+        |  {"name":"id","data_type":"int64","nullable":false},
+        |  {"name":"v","data_type":"string","nullable":true}],
+        | "append_only":true}""".stripMargin)
+    val avro =
+      """{"type":"record","name":"R","fields":[
+        |  {"name":"id","type":"long"},
+        |  {"name":"v","type":["null","string"]}]}""".stripMargin
+    // declare the schema exactly as the reference does (schema_id'd)
+    val schBody = s"""{"table":"kf","kafka_schema":${avro},"schema_id":7}"""
+    assert(http("POST", "/kafka/kf/schema", schBody)._1 == 200)
+    val datum = graft.sources.AvroIngest.encodeBinaryDatum(avro, Row(9L, "hey"))
+    val b64 = java.util.Base64.getEncoder.encodeToString(datum)
+    assert(http("POST", "/kafka/kf/ingest",
+      s"""{"operation":"insert","data":"$b64","request_mode":"sync"}""")._1 == 200)
+    // and the serde Vec<u8> form: a JSON array of byte values
+    val arr = datum.map(b => (b & 0xff) - (if ((b & 0x80) != 0) 256 else 0))
+      .mkString("[", ",", "]")
+    assert(http("POST", "/kafka/kf/ingest",
+      s"""{"operation":"insert","data":$arr,"request_mode":"sync"}""")._1 == 200)
+    val got = catalog.table("kf").read(None).orderBy("id").collect()
+    assert(got.toSeq == Seq(Row(9L, "hey"), Row(9L, "hey")))
+  }
+
+  test("errors: unknown table 404-ish, bad operation, missing fields") {
+    assert(http("POST", "/ingest/nope",
+      """{"operation":"insert","data":{}}""")._1 == 404)
+    http("POST", "/tables/errt",
+      """{"schema":[{"name":"id","data_type":"int64","nullable":false}],
+        | "key_columns":["id"]}""".stripMargin)
+    assert(http("POST", "/ingest/errt",
+      """{"operation":"replace","data":{"id":1}}""")._1 == 400)
+    assert(http("POST", "/ingest/errt", """{"data":{"id":1}}""")._1 == 400)
+    assert(http("POST", "/kafka/errt/ingest",
+      """{"operation":"insert","data":"AA=="}""")._1 == 400) // no schema declared
+    assert(http("GET", "/nonsense")._1 == 404)
+  }
+}
