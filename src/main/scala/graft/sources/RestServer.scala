@@ -96,7 +96,9 @@ final class RestServer(catalog: GraftCatalog, port: Int = 0) {
       case ("GET", "health" :: Nil) =>
         200 -> obj("service" -> "graft", "status" -> "healthy")
       case ("GET", "tables" :: Nil) => listTables()
+      case ("GET", "schema" :: t :: Nil) => fetchSchema(t)
       case ("POST", "tables" :: t :: Nil) => createTable(t, parse(body))
+      case ("POST", "upload" :: t :: Nil) => uploadFiles(t, parse(body))
       case ("DELETE", "tables" :: t :: Nil) =>
         catalog.dropTable(t); lsns.remove(t); avroSchemas.remove(t)
         200 -> obj()
@@ -160,6 +162,72 @@ final class RestServer(catalog: GraftCatalog, port: Int = 0) {
     200 -> obj("table" -> name, "lsn" -> 0L)
   }
 
+  /** GET /schema/{t}: the table's current schema as the same
+   *  FieldSchema list the create endpoint accepts (the reference ships
+   *  Arrow IPC bytes, `rest_api.rs:415`; the JSON list is this API's
+   *  symmetric transport). */
+  private def fetchSchema(name: String): (Int, ObjectNode) = {
+    val t = catalog.table(name)
+    val arr = mapper.createArrayNode()
+    t.schema.fields.foreach { f =>
+      val o = mapper.createObjectNode()
+      o.put("name", f.name); o.put("data_type", restTypeName(f.dataType))
+      o.put("nullable", f.nullable); arr.add(o)
+    }
+    val o = obj("table" -> name)
+    o.set[ObjectNode]("schema", arr)
+    200 -> o
+  }
+
+  private def restTypeName(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ShortType => "int16"
+      case IntegerType => "int32"
+      case LongType => "int64"
+      case StringType => "string"
+      case BooleanType => "boolean"
+      case FloatType => "float32"
+      case DoubleType => "float64"
+      case DateType => "date32"
+      case TimestampType => "timestamp"
+      case BinaryType => "binary"
+      case d: DecimalType => s"decimal(${d.precision},${d.scale})"
+      case ArrayType(et, _) => s"list<${restTypeName(et)}>"
+      case other => other.simpleString
+    }
+  }
+
+  /** POST /upload/{t}: bulk parquet ingestion (`rest_api.rs:420`,
+   *  FileEventOperation) — `upload` ADOPTS the files into the table
+   *  (no rewrite; the table takes ownership and moves them), `insert`
+   *  reads them as rows through the distributed append path. */
+  private def uploadFiles(name: String, r: JsonNode): (Int, ObjectNode) = {
+    import org.apache.spark.sql.functions._
+    val table = catalog.table(name)
+    val files = req(r, "files").elements().asScala.map(_.asText()).toSeq
+    require(files.nonEmpty, "files must be non-empty")
+    val sync = Option(r.get("request_mode")).exists(_.asText() == "sync")
+    val lsn = nextLsn(name, table)
+    Option(r.get("operation")).map(_.asText()).getOrElse("upload") match {
+      case "upload" => table.loadFiles(files, lsn)
+      case "insert" =>
+        // per-row LSNs from the allocated base (unique-LSN contract of
+        // the batch path); the table commits at the batch max and the
+        // next allocation resyncs from commitLsn
+        val rows = table.spark.read.schema(table.schema).parquet(files: _*)
+        graft.streaming.CdcPipeline.applyBatch(table, rows.select(
+          lit("i").as("_op") +:
+            (monotonically_increasing_id() + lsn).as("_lsn") +:
+            table.schema.fieldNames.toSeq.map(col): _*))
+      case other =>
+        throw new IllegalArgumentException(s"unknown file operation $other")
+    }
+    val resp = obj("table" -> name)
+    if (sync) resp.put("lsn", table.commitLsn)
+    200 -> resp
+  }
+
   private object Payload extends Enumeration { val Json, Proto, Avro = Value }
 
   /** {operation: insert|upsert|delete, data: ..., request_mode} */
@@ -180,8 +248,7 @@ final class RestServer(catalog: GraftCatalog, port: Int = 0) {
         if (d.isTextual || d.isArray) AvroIngest.decodeBinaryDatum(sch, bytesOf(d))
         else AvroIngest.decodeJsonDatum(sch, mapper.writeValueAsString(d))
     }
-    val lsn = lsns.getOrElseUpdate(name,
-      new AtomicLong(table.commitLsn)).incrementAndGet()
+    val lsn = nextLsn(name, table)
     val keyCols = Identity.keyColumns(table.identity,
       table.schema.fieldNames.toSeq)
     def key: Seq[Any] =
@@ -199,6 +266,14 @@ final class RestServer(catalog: GraftCatalog, port: Int = 0) {
   }
 
   // ---- helpers ---------------------------------------------------------
+
+  /** Allocate the next event LSN for a table — always strictly above
+   *  its commitLsn, so bulk operations (whose batch path mints large
+   *  monotonic-id LSN ranges) can never leave the counter behind and
+   *  let a later delete land BELOW rows it should target. */
+  private def nextLsn(name: String, table: GraftTable): Long =
+    lsns.getOrElseUpdate(name, new AtomicLong(table.commitLsn))
+      .updateAndGet(l => math.max(l, table.commitLsn) + 1)
 
   /** `data` as raw bytes: base64 string (the JSON-friendly transport
    *  for binary datums) or a JSON array of byte values (serde's

@@ -126,6 +126,55 @@ class RestServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == Seq(Row(9L, "hey"), Row(9L, "hey")))
   }
 
+  test("schema fetch mirrors the create-time FieldSchema list") {
+    http("POST", "/tables/scht",
+      """{"schema":[
+        |  {"name":"id","data_type":"int64","nullable":false},
+        |  {"name":"price","data_type":"decimal(10,2)","nullable":true},
+        |  {"name":"tags","data_type":"list<string>","nullable":true}],
+        | "key_columns":["id"]}""".stripMargin)
+    val (code, body) = http("GET", "/schema/scht")
+    assert(code == 200)
+    assert(body.contains("\"decimal(10,2)\"") && body.contains("\"list<string>\"")
+      && body.contains("\"int64\""))
+    http("DELETE", "/tables/scht")
+  }
+
+  test("file upload: adopt parquet files, then row-ingest deletes resolve against them") {
+    import org.apache.spark.sql.functions._
+    http("POST", "/tables/up",
+      """{"schema":[
+        |  {"name":"id","data_type":"int64","nullable":false},
+        |  {"name":"v","data_type":"int64","nullable":true}],
+        | "key_columns":["id"]}""".stripMargin)
+    val src = java.nio.file.Files.createTempDirectory("rest-up").toString + "/p"
+    spark.range(1, 11).select(col("id"), (col("id") * 10).as("v"))
+      .coalesce(1).write.parquet(src)
+    val files = new java.io.File(src).list()
+      .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+      .map(n => s"$src/$n")
+    val (uc, ub) = http("POST", "/upload/up",
+      s"""{"operation":"upload","files":["${files.mkString("\",\"")}"],"request_mode":"sync"}""")
+    assert(uc == 200 && ub.contains("\"lsn\""), ub)
+    assert(catalog.table("up").read(None).count() == 10)
+    // a later REST delete must target the adopted rows (LSN above load)
+    assert(http("POST", "/ingest/up",
+      """{"operation":"delete","data":{"id":3},"request_mode":"sync"}""")._1 == 200)
+    val got = catalog.table("up").read(None).orderBy("id").collect()
+    assert(got.length == 9 && !got.exists(_.getLong(0) == 3L))
+    // and the insert-by-rows form appends through the distributed path
+    val src2 = java.nio.file.Files.createTempDirectory("rest-up2").toString + "/p"
+    spark.range(100, 103).select(col("id"), (col("id") * 10).as("v"))
+      .coalesce(1).write.parquet(src2)
+    val files2 = new java.io.File(src2).list()
+      .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+      .map(n => s"$src2/$n")
+    assert(http("POST", "/upload/up",
+      s"""{"operation":"insert","files":["${files2.mkString("\",\"")}"],"request_mode":"sync"}""")._1 == 200)
+    assert(catalog.table("up").read(None).count() == 12)
+    http("DELETE", "/tables/up")
+  }
+
   test("errors: unknown table 404-ish, bad operation, missing fields") {
     assert(http("POST", "/ingest/nope",
       """{"operation":"insert","data":{}}""")._1 == 404)
