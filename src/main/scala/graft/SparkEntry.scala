@@ -1157,6 +1157,61 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "cdc_rest_catalog" -> ((s, d) => {
+      // S8's catalog half at the protocol level (reference
+      // rest_catalog.rs:96-186 speaks the same Apache Iceberg REST
+      // spec): every manifest publish swings the catalog's
+      // (metadata-location, snapshot-id) pointer through an optimistic
+      // assert-ref-snapshot-id commit over REAL HTTP; a deliberately
+      // stale commit must 409 and land only after reload-rebase. The
+      // pointer tracks graft manifest versions — translating them into
+      // Iceberg metadata.json stays the documented jar-blocked seam.
+      import graft.format.RestCatalog
+      val srv = new RestCatalog.Server().start()
+      try {
+        val cat = new RestCatalog.Client(srv.baseUrl)
+        cat.createNamespace("wh")
+        val table = GraftTable.create(s, freshDir("restcat"),
+          eventTableSchema, Identity.Keys(Seq("user_id")), ingestCfg)
+        def metaLoc: String =
+          f"${table.root}/manifest/v${table.currentManifest.version}%09d.json"
+        cat.createTable("wh", "events", metaLoc,
+          table.currentManifest.version)
+        val ev = cdcEventFrame(s, d, deleteType = Some("view"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val mm = ev.agg(min(col("_lsn")), max(col("_lsn"))).head()
+          val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+          val span = (hi - lo) / 3 + 1
+          (0 until 3).foreach { i =>
+            val before = cat.loadTable("wh", "events").snapshotId
+            CdcPipeline.applyBatch(table, ev.where(
+              col("_lsn") >= lo + i * span && col("_lsn") < lo + (i + 1) * span))
+            require(cat.commitTable("wh", "events", before, metaLoc,
+              table.currentManifest.version),
+              s"catalog commit $i conflicted unexpectedly")
+          }
+          // a stale writer (still at the FIRST commit's snapshot) must
+          // be rejected, then land after reloading the current pointer
+          require(!cat.commitTable("wh", "events", 0L, metaLoc,
+            table.currentManifest.version + 1), "stale commit must 409")
+          val cur = cat.loadTable("wh", "events")
+          require(cur.snapshotId == table.currentManifest.version,
+            s"catalog ${cur.snapshotId} != table ${table.currentManifest.version}")
+        } finally ev.unpersist()
+        // the reader's path: resolve the manifest through the catalog
+        // pointer, then read the table at exactly that version
+        val ref = cat.loadTable("wh", "events")
+        require(graft.format.Fio.exists(ref.metadataLocation),
+          s"catalog points at a missing manifest: ${ref.metadataLocation}")
+        table.readAsOfVersion(ref.snapshotId)
+          .select(col("user_id"), col("event_id").as("last_event_id"),
+            col("event_type").as("last_event_type"),
+            cents(col("value")).as("value_cents"))
+          .orderBy("user_id")
+      } finally srv.stop()
+    }),
+
     "cdc_schema_evolve" -> ((s, d) => {
       // S1 + M14 in-stream: ONE CDC feed carrying ingest → ALTER (add
       // 'src', drop 'event_type') → ingest, applied without stopping
@@ -2566,6 +2621,17 @@ object SparkEntry {
         |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
         |FROM events WHERE user_id % 20 = 9
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "cdc_rest_catalog" ->
+      """WITH last AS (
+        |  SELECT user_id, event_id, event_type, value
+        |  FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)
+        |SELECT user_id, event_id AS last_event_id,
+        |       event_type AS last_event_type,
+        |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
+        |FROM last WHERE event_type <> 'view'
         |ORDER BY user_id""".stripMargin,
 
     "cdc_schema_evolve" ->
