@@ -1212,6 +1212,81 @@ object SparkEntry {
       } finally srv.stop()
     }),
 
+    "cdc_catalog_recovery" -> ((s, d) => {
+      // durable table registry + startup recovery (reference
+      // moonlink_metadata_store `base_metadata_store.rs:30-68` +
+      // backend `recovery_utils.rs:120-170`): tables created through
+      // the catalog are recorded in the warehouse's metadata store;
+      // after a simulated process restart a FRESH catalog instance
+      // recovers every registered table from durable state alone
+      // (registry + manifest log) and re-registers its SQL view — the
+      // final query runs over plain spark.sql against the RECOVERED
+      // catalog, no handle from before the "crash" survives.
+      val wh = freshDir("wh-rec")
+      val cat = GraftCatalog(s, wh)
+      val kv = cat.createTable("ev_kv_rec", eventTableSchema,
+        Identity.Keys(Seq("user_id")), ingestCfg,
+        srcUri = "postgres://demo/db")
+      val lg = cat.createTable("ev_log_rec", eventTableSchema,
+        Identity.None, TableConfig(walEnabled = false))
+      val ev = cdcEventFrame(s, d, None)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val mm = ev.agg(min(col("_lsn")), max(col("_lsn"))).head()
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+        val span = (hi - lo) / 2 + 1
+        (0 until 2).foreach { i =>
+          CdcPipeline.applyBatch(kv, ev.where(
+            col("_lsn") >= lo + i * span && col("_lsn") < lo + (i + 1) * span))
+        }
+        CdcPipeline.applyBatch(lg, ev.withColumn("_op", lit("i")))
+      } finally ev.unpersist()
+      val (commitBefore, cardBefore) = (kv.commitLsn, kv.liveRowCount)
+      // ---- "restart": recover a brand-new catalog over the warehouse
+      val (cat2, missing) = GraftCatalog.recover(s, wh)
+      require(missing.isEmpty && cat2.list.toSet ==
+        Set("ev_kv_rec", "ev_log_rec"),
+        s"recovery lost tables: ${cat2.list} (missing=$missing)")
+      require(cat2.table("ev_kv_rec").commitLsn == commitBefore &&
+        cat2.table("ev_kv_rec").liveRowCount == cardBefore,
+        "recovered table state diverged from pre-restart state")
+      s.sql("""SELECT user_id, event_id AS last_event_id,
+              |       event_type AS last_event_type,
+              |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
+              |FROM ev_kv_rec ORDER BY user_id""".stripMargin)
+    }),
+
+    "cdc_table_status" -> ((s, d) => {
+      // reference table_status.rs:5-18: per-table (commit LSN, flush
+      // LSN, cardinality) introspection. Cardinality comes from the
+      // manifest's file-level row accounting (rows minus DV-masked) —
+      // O(manifest) driver metadata, no data scan — so the upsert
+      // table must report DISTINCT users while the append-only log
+      // reports every event, both at the stream's final LSN.
+      val wh = freshDir("wh-st")
+      val cat = GraftCatalog(s, wh)
+      val kv = cat.createTable("ev_kv_st", eventTableSchema,
+        Identity.Keys(Seq("user_id")), ingestCfg)
+      val lg = cat.createTable("ev_log_st", eventTableSchema,
+        Identity.None, TableConfig(walEnabled = false))
+      val ev = cdcEventFrame(s, d, None)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val mm = ev.agg(min(col("_lsn")), max(col("_lsn"))).head()
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+        val span = (hi - lo) / 2 + 1
+        (0 until 2).foreach { i =>
+          CdcPipeline.applyBatch(kv, ev.where(
+            col("_lsn") >= lo + i * span && col("_lsn") < lo + (i + 1) * span))
+        }
+        CdcPipeline.applyBatch(lg, ev.withColumn("_op", lit("i")))
+      } finally ev.unpersist()
+      cat.statusAll
+        .select(col("database"), col("table").as("table_name"),
+          col("commit_lsn"), col("flush_lsn"), col("cardinality"))
+        .orderBy("table_name")
+    }),
+
     "cdc_schema_evolve" -> ((s, d) => {
       // S1 + M14 in-stream: ONE CDC feed carrying ingest → ALTER (add
       // 'src', drop 'event_type') → ingest, applied without stopping
@@ -2633,6 +2708,24 @@ object SparkEntry {
         |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
         |FROM last WHERE event_type <> 'view'
         |ORDER BY user_id""".stripMargin,
+
+    "cdc_catalog_recovery" ->
+      """SELECT user_id,
+        |       event_id AS last_event_id,
+        |       event_type AS last_event_type,
+        |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "cdc_table_status" ->
+      """SELECT 'graft' AS database, 'ev_kv_st' AS table_name,
+        |       max(event_id) AS commit_lsn, max(event_id) AS flush_lsn,
+        |       count(DISTINCT user_id) AS cardinality FROM events
+        |UNION ALL
+        |SELECT 'graft', 'ev_log_st', max(event_id), max(event_id),
+        |       count(*) FROM events
+        |ORDER BY table_name""".stripMargin,
 
     "cdc_schema_evolve" ->
       """SELECT user_id, event_id AS last_event_id,

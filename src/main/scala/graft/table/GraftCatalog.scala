@@ -2,29 +2,49 @@ package graft.table
 
 import graft.format.Fio
 import graft.model.Identity
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import scala.collection.mutable
+import scala.jdk.CollectionConverters._
 
 /**
- * In-process catalog of Graft tables — the Spark counterpart of the
- * reference backend's table registry + DataFusion catalog/schema
- * providers (`moonlink_backend/src/lib.rs:145-450`,
+ * Catalog of Graft tables — the Spark counterpart of the reference
+ * backend's table registry + DataFusion catalog/schema providers
+ * (`moonlink_backend/src/lib.rs:145-450`,
  * `moonlink_datafusion/src/catalog_provider.rs`). Registers each
  * table's union read as a Spark temp view so plain `spark.sql` queries
  * run over live ingested state.
+ *
+ * Table definitions are durable: every create/drop is recorded in the
+ * warehouse's [[MetadataStore]] (the reference persists the same
+ * registry in its `moonlink_metadata_store` crate), and
+ * [[GraftCatalog.recover]] re-materializes the full catalog after a
+ * process restart — each listed table reopens from its manifest log +
+ * WAL, exactly the reference backend's startup recovery
+ * (`moonlink_backend/src/recovery_utils.rs:120-170`: load all metadata
+ * entries, recover each table from its latest persisted snapshot).
  */
-final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
+final class GraftCatalog private (val spark: SparkSession,
+    val warehouse: String, val database: String) {
   private val tables = mutable.LinkedHashMap[String, GraftTable]()
+  val metadataStore = new MetadataStore(warehouse)
 
   def createTable(name: String, schema: StructType, identity: Identity,
-      config: TableConfig = TableConfig()): GraftTable = synchronized {
-    require(!tables.contains(name), s"table $name exists")
-    val t = GraftTable.create(spark, s"$warehouse/$name", schema, identity, config)
-    tables(name) = t
-    t
-  }
+      config: TableConfig = TableConfig(),
+      srcTableName: String = "", srcUri: String = MetadataStore.RestUri): GraftTable =
+    synchronized {
+      require(!tables.contains(name), s"table $name exists")
+      // registry entry first, then the table directory: a crash between
+      // the two leaves a registered-but-empty table, which recovery
+      // reports (and a retried create completes) — the reverse order
+      // would strand an orphan directory no recovery would ever find
+      metadataStore.store(TableMetadataEntry(database, name,
+        if (srcTableName.isEmpty) name else srcTableName, srcUri, identity, config))
+      val t = GraftTable.create(spark, s"$warehouse/$name", schema, identity, config)
+      tables(name) = t
+      t
+    }
 
   def openTable(name: String, identity: Identity,
       config: TableConfig = TableConfig()): GraftTable = synchronized {
@@ -47,13 +67,66 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
 
   def dropTable(name: String): Unit = synchronized {
     tables.remove(name).foreach(_.drop())
+    // openTable can attach a table that predates the registry; only a
+    // registered entry is deleted (the store requires existence)
+    if (metadataStore.allEntries().exists(e =>
+        e.database == database && e.table == name))
+      metadataStore.delete(database, name)
     spark.catalog.dropTempView(name)
+  }
+
+  /** Current status of one open table — reference
+   *  `table_status.rs:5-18` (commit LSN, flush LSN, cardinality,
+   *  warehouse location). Cardinality is the FLUSHED snapshot's live
+   *  row count from manifest stats — O(manifest), no scan. */
+  def tableStatus(name: String): TableStatus = synchronized {
+    val t = tables(name)
+    TableStatus(database, name, t.commitLsn, t.flushLsn, t.liveRowCount,
+      warehouse)
+  }
+
+  /** All open tables' status as a queryable DataFrame (the backend's
+   *  `list_table_status` surface). */
+  def statusAll: DataFrame = synchronized {
+    val rows = tables.keys.toSeq.map { n =>
+      val st = tableStatus(n)
+      Row(st.database, st.table, st.commitLsn, st.flushLsn,
+        st.cardinality, st.warehouseLocation)
+    }
+    spark.createDataFrame(rows.asJava, GraftCatalog.statusSchema)
   }
 }
 
 object GraftCatalog {
-  def apply(spark: SparkSession, warehouse: String): GraftCatalog = {
+  val statusSchema: StructType = StructType(Seq(
+    StructField("database", StringType), StructField("table", StringType),
+    StructField("commit_lsn", LongType), StructField("flush_lsn", LongType),
+    StructField("cardinality", LongType),
+    StructField("warehouse_location", StringType)))
+
+  def apply(spark: SparkSession, warehouse: String,
+      database: String = "graft"): GraftCatalog = {
     Fio.mkdirs(warehouse)
-    new GraftCatalog(spark, warehouse)
+    new GraftCatalog(spark, warehouse, database)
+  }
+
+  /** Startup recovery: read the warehouse's metadata store and reopen
+   *  every registered table from durable state (manifest log + WAL),
+   *  re-registering its SQL view — the reference backend's
+   *  `recover_all_tables` (`recovery_utils.rs:120-170`). A registered
+   *  table whose directory never materialized (crash between registry
+   *  commit and create) is surfaced via `missing` rather than failing
+   *  the whole recovery. */
+  def recover(spark: SparkSession, warehouse: String,
+      database: String = "graft"): (GraftCatalog, Seq[TableMetadataEntry]) = {
+    val cat = apply(spark, warehouse, database)
+    val missing = mutable.ArrayBuffer[TableMetadataEntry]()
+    cat.metadataStore.allEntries().filter(_.database == database).foreach { e =>
+      if (Fio.exists(s"$warehouse/${e.table}/manifest")) {
+        cat.openTable(e.table, e.identity, e.config)
+        cat.registerView(e.table)
+      } else missing += e
+    }
+    (cat, missing.toSeq)
   }
 }

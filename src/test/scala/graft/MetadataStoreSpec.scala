@@ -1,0 +1,125 @@
+package graft
+
+import graft.model._
+import graft.table._
+import org.apache.spark.sql.{Row, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/**
+ * Durable table registry + startup recovery, mirroring the reference's
+ * `moonlink_metadata_store` store/load/delete contract
+ * (`base_metadata_store.rs:30-68`) and the backend's recover-all path
+ * (`moonlink_backend/src/recovery_utils.rs:120-170`).
+ */
+class MetadataStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-meta").toString
+
+  private val schema = SchemaDsl.struct(
+    "id" -> "int64", "v" -> "int64")
+
+  test("store / load / delete round-trip with config fidelity") {
+    val st = new MetadataStore(tmpDir())
+    assert(!st.metadataTableExists)
+    assert(st.allEntries().isEmpty)
+    val cfg = TableConfig(memSliceSize = 7, walEnabled = false,
+      compactDeleteRatio = 0.25)
+    st.store(TableMetadataEntry("db", "t1", "src_t1", "postgres://h/db",
+      Identity.Keys(Seq("id", "v")), cfg))
+    st.store(TableMetadataEntry("db", "t2", "t2", MetadataStore.RestUri,
+      Identity.None, TableConfig()))
+    assert(st.metadataTableExists)
+    // a fresh handle over the same warehouse sees both entries intact
+    val st2 = new MetadataStore(st.warehouse)
+    val all = st2.allEntries()
+    assert(all.map(_.table) == Seq("t1", "t2"))
+    val e1 = all.head
+    assert(e1.srcUri == "postgres://h/db" && e1.srcTableName == "src_t1")
+    assert(e1.identity == Identity.Keys(Seq("id", "v")))
+    assert(e1.config == cfg)
+    assert(all(1).identity == Identity.None &&
+      all(1).srcUri == MetadataStore.RestUri)
+    // duplicate id refused; delete requires existence
+    intercept[IllegalArgumentException] {
+      st2.store(TableMetadataEntry("db", "t1", "x", "y", Identity.FullRow,
+        TableConfig()))
+    }
+    st2.delete("db", "t1")
+    assert(st2.allEntries().map(_.table) == Seq("t2"))
+    intercept[IllegalArgumentException] { st2.delete("db", "t1") }
+  }
+
+  test("catalog persists creates/drops; recover() reopens every table") {
+    val wh = tmpDir()
+    val cat = GraftCatalog(spark, wh)
+    val t1 = cat.createTable("kv", schema, Identity.Keys(Seq("id")),
+      TableConfig(memSliceSize = 4, walEnabled = true))
+    val t2 = cat.createTable("log", schema, Identity.None,
+      TableConfig(walEnabled = false))
+    t1.apply(Seq(Append(Row(1L, 10L), 1), Append(Row(2L, 20L), 2),
+      Delete(Seq(1L), 3), Commit(4)))
+    t1.flush(); t1.publish()
+    t2.insertAll(Seq(Row(5L, 50L), Row(6L, 60L), Row(7L, 70L)), startLsn = 1)
+    // no WAL on t2: durability needs the flushed files in a published
+    // manifest (flush writes data, publish commits the snapshot)
+    t2.flush(); t2.publish()
+
+    // "restart": a brand-new catalog instance over the same warehouse
+    val (cat2, missing) = GraftCatalog.recover(spark, wh)
+    assert(missing.isEmpty)
+    assert(cat2.list.toSet == Set("kv", "log"))
+    assert(cat2.table("kv").read().collect().map(_.getLong(0)).toSet == Set(2L))
+    assert(cat2.table("log").read().count() == 3)
+    // recovered tables keep accepting writes at the recovered LSN
+    val kv = cat2.table("kv")
+    kv.insertAll(Seq(Row(9L, 90L)), startLsn = kv.commitLsn + 1)
+    assert(kv.read().collect().map(_.getLong(0)).toSet == Set(2L, 9L))
+    // views registered: plain SQL works over recovered state
+    assert(spark.sql("SELECT count(*) AS n FROM log").head().getLong(0) == 3)
+
+    // drop removes the registry entry; the next recovery skips it
+    cat2.dropTable("log")
+    val (cat3, _) = GraftCatalog.recover(spark, wh)
+    assert(cat3.list == Seq("kv"))
+  }
+
+  test("tableStatus reports reference table_status.rs fields") {
+    val wh = tmpDir()
+    val cat = GraftCatalog(spark, wh, database = "proddb")
+    val t = cat.createTable("kv", schema, Identity.Keys(Seq("id")))
+    t.insertAll(Seq(Row(1L, 1L), Row(2L, 2L), Row(3L, 3L)), startLsn = 1)
+    t.flush(); t.publish()
+    val st = cat.tableStatus("kv")
+    // commit at LSN 4; flush LSN = highest flushed ROW lsn (3)
+    assert(st == TableStatus("proddb", "kv", 4L, 3L, 3L, wh))
+    val df = cat.statusAll
+    assert(df.columns.toSeq == Seq("database", "table", "commit_lsn",
+      "flush_lsn", "cardinality", "warehouse_location"))
+    assert(df.head().getLong(4) == 3L)
+  }
+
+  test("recovery surfaces a registered-but-never-created table") {
+    val wh = tmpDir()
+    val cat = GraftCatalog(spark, wh)
+    // simulate a crash between registry commit and table create
+    cat.metadataStore.store(TableMetadataEntry("graft", "ghost", "ghost",
+      MetadataStore.RestUri, Identity.None, TableConfig()))
+    val (cat2, missing) = GraftCatalog.recover(spark, wh)
+    assert(cat2.list.isEmpty)
+    assert(missing.map(_.table) == Seq("ghost"))
+  }
+}
