@@ -1287,6 +1287,41 @@ object SparkEntry {
         .orderBy("table_name")
     }),
 
+    "obs_metrics_export" -> ((s, d) => {
+      // the observability loop closed in-engine (reference
+      // observability/: snapshot_creation.rs, iceberg_persistence.rs,
+      // latency_guard.rs — OTEL histograms with fixed explicit bounds
+      // labeled by table id, plus op counters): table ops record into
+      // the metrics registry, the registry exports standard OTLP-JSON,
+      // and the engine's OWN OTEL ingest (S6) parses it back for SQL.
+      // Latency VALUES are wall-clock nondeterministic, so the oracle
+      // pins the monotonic counters; histogram structure (series
+      // present, counts == op counts, bounds == reference boundaries)
+      // is asserted in-code.
+      import graft.observability.Metrics
+      val table = runCdc(s, d, deleteType = None)
+      val root = table.root
+      val snap = Metrics.histogram("graft.snapshot_creation_latency", root)
+      require(snap.exists(_.count.sum() >= 2L),
+        s"expected >=2 snapshot-creation latency records, got $snap")
+      require(snap.exists(_.boundariesMs == Metrics.DefaultBoundariesMs),
+        "histogram must carry the reference's explicit boundaries")
+      require(Metrics.histogram("graft.persistence_latency", root)
+        .exists(h => h.count.sum() >= 1L &&
+          h.bucketCounts.sum == h.count.sum()),
+        "persistence histogram bucket counts must sum to its count")
+      val payload = Metrics.toOtlpJson(timeUnixNano = 1700000000000000000L)
+      import s.implicits._
+      OtelIngest.metricsToRows(Seq(payload).toDF("body"), "body")
+        .where(col("metric_type") === "sum")
+        .withColumn("tid", expr(
+          "filter(attributes, a -> a.key = 'graft.table_id')[0].value.string_value"))
+        .where(col("tid") === root)
+        .where(col("metric_name").isin("graft.commits", "graft.rows_ingested"))
+        .select(col("metric_name"), col("value_int"))
+        .orderBy("metric_name")
+    }),
+
     "cdc_schema_evolve" -> ((s, d) => {
       // S1 + M14 in-stream: ONE CDC feed carrying ingest → ALTER (add
       // 'src', drop 'event_type') → ingest, applied without stopping
@@ -2726,6 +2761,12 @@ object SparkEntry {
         |SELECT 'graft', 'ev_log_st', max(event_id), max(event_id),
         |       count(*) FROM events
         |ORDER BY table_name""".stripMargin,
+
+    "obs_metrics_export" ->
+      """SELECT 'graft.commits' AS metric_name, CAST(2 AS BIGINT) AS value_int
+        |UNION ALL
+        |SELECT 'graft.rows_ingested', count(*) FROM events
+        |ORDER BY metric_name""".stripMargin,
 
     "cdc_schema_evolve" ->
       """SELECT user_id, event_id AS last_event_id,

@@ -2,6 +2,7 @@ package graft.table
 
 import graft.format._
 import graft.model._
+import graft.observability.Metrics
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -227,6 +228,14 @@ final class GraftTable private (
    *  version. Returns the commit LSN after the batch. */
   def apply(events: Seq[CdcEvent]): Long = synchronized {
     if (config.walEnabled && events.nonEmpty) Wal.append(root, schemaVar, events)
+    Metrics.counter("graft.rows_ingested", root, events.count {
+      case _: Append | _: Delete => true
+      case _ => false
+    }.toLong)
+    Metrics.counter("graft.commits", root, events.count {
+      case Commit(_, scala.None) => true
+      case _ => false
+    }.toLong)
     applyInternal(events)
   }
 
@@ -368,6 +377,8 @@ final class GraftTable private (
     flush() // drain any driver-path tail so file order stays LSN-ordered
     val dataCols = schemaVar.fieldNames.toSeq
     val est = if (estRows >= 0L) estRows else events.count()
+    Metrics.counter("graft.rows_ingested", root, est)
+    Metrics.counter("graft.commits", root)
     val nOut = math.max(1L,
       (est + config.rowsPerFile - 1) / config.rowsPerFile).toInt
     if (!hasDeletes) {
@@ -725,7 +736,7 @@ final class GraftTable private (
 
   /** Flush committed-visible tail rows to parquet data files
    *  (reference `mooncake_table.rs:1317`, `disk_slice.rs`). */
-  def flush(): Unit = synchronized {
+  def flush(): Unit = synchronized { Metrics.time("graft.persistence_latency", root) {
     // committed rows whose delete (if any) is not yet committed
     val flushable = tail.filter(t =>
       t.lsn <= commitLsnVar && (t.live || t.deletedLsn > commitLsnVar))
@@ -755,7 +766,7 @@ final class GraftTable private (
     val keep = tail.filter(t => t.lsn > commitLsnVar)
     tail.clear(); tail ++= keep
     stackRetain(tailIndex)(tr => tr.lsn > commitLsnVar)
-  }
+  }}
 
   /** Write rows as one or more single-task parquet files with stable row
    *  order — positions are the file row order, the invariant DVs depend
@@ -976,7 +987,7 @@ final class GraftTable private (
         indexFiles.size >= config.indexMergeFileCountThreshold)
       rebuildIndexExcluding(Set.empty, Seq.empty, -1L)
 
-  def publish(): Long = synchronized {
+  def publish(): Long = synchronized { Metrics.time("graft.snapshot_creation_latency", root) {
     prof("resolveDeletes")(resolveCommittedDeletes())
     if (newDvPairs.nonEmpty) {
       Fio.mkdirs(s"$root/dv")
@@ -998,7 +1009,7 @@ final class GraftTable private (
     // snapshot LSN for the same reason, wal.rs:750)
     if (config.walEnabled) Wal.truncate(root, flushLsnVar)
     versionVar
-  }
+  }}
 
   /** Persist a DV delta as a GDV1 roaring sidecar — driver IO, no Spark
    *  job (the reference ships puffin roaring blobs the same way; a
@@ -2080,7 +2091,8 @@ object GraftTable {
    *  events past the manifest's commit LSN are replayed (M12; reference
    *  recovery `moonlink_backend/src/recovery_utils.rs`). */
   def open(spark: SparkSession, root: String, identity: Identity,
-      config: TableConfig = TableConfig()): GraftTable = {
+      config: TableConfig = TableConfig()): GraftTable =
+      Metrics.time("graft.table_recovery_latency", root) {
     val m = ManifestLog.loadLatest(root)
       .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
     val t = new GraftTable(spark, root, m, identity, config)
