@@ -1669,6 +1669,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "chunk_documents" -> ((s, d) => {
+      // RAG/retrieval unit prep: every document cut into 64-token
+      // windows advancing by 48 (25% overlap), digest per chunk — a
+      // pure per-row explode, zero shuffle at any corpus size (the
+      // sort below is presentation only; the driver compare is
+      // order-insensitive)
+      TextOps.chunkDocuments(t(s, d, "documents"), "doc_id", "text",
+          winSize = 64, stride = 48)
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     "text_langid" -> ((s, d) => {
       t(s, d, "documents")
         .select(col("doc_id"), TextOps.langId(col("text")).as("lang_guess"))
@@ -2829,6 +2840,23 @@ object SparkEntry {
         |       CAST(ROUND(SUM(value)*100) AS BIGINT) AS value_cents,
         |       epoch_us(MIN(ts)) AS first_us
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "chunk_documents" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         string_split_regex(trim(text), '\s+') AS t,
+        |         len(string_split_regex(trim(text), '\s+')) AS n
+        |  FROM documents WHERE trim(text) <> ''
+        |)
+        |, spans AS (
+        |  SELECT doc_id, t, n, unnest(range(0, (n-1)//48 + 1)) AS gs FROM toks
+        |)
+        |SELECT doc_id,
+        |       CAST(gs AS BIGINT) AS chunk_id,
+        |       CAST(least(64, n - gs*48) AS BIGINT) AS chunk_tokens,
+        |       md5(array_to_string(t[gs*48+1 : gs*48+64], ' ')) AS chunk_md5
+        |FROM spans
+        |ORDER BY doc_id, chunk_id""".stripMargin,
 
     "text_stats" ->
       """SELECT doc_id,

@@ -457,6 +457,43 @@ object TextOps {
   }
 
   /**
+   * Overlapping fixed-window document chunking — the retrieval/RAG unit
+   * prep complement of [[packSequences]]: packing concatenates documents
+   * into training sequences, chunking cuts EACH document independently
+   * into `winSize`-token windows whose starts advance by `stride`
+   * (stride < winSize ⇒ overlap, so no boundary loses context); the
+   * last window keeps the shorter tail. Emits one row per chunk with a
+   * content digest — the join key for downstream embedding/dedup of the
+   * chunk corpus.
+   *
+   * Scale shape: a pure per-row `explode` over a token-start sequence —
+   * ZERO shuffle at any corpus size, output bounded by
+   * ceil(tokens/stride) rows per document, and the token array is built
+   * once per document (the explode carries only the start offsets, the
+   * slice happens against the one array). 100 TB of documents chunk at
+   * scan speed, partition-parallel.
+   */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      winSize: Int, stride: Int): DataFrame = {
+    require(stride > 0 && winSize >= stride,
+      s"need 0 < stride <= winSize, got winSize=$winSize stride=$stride")
+    df.where(length(trim(col(textCol))) > 0)
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("_toks"))
+      .withColumn("_n", size(col("_toks")))
+      // starts 0, stride, 2*stride, ... while start < n_tokens
+      .withColumn("chunk_id",
+        explode(expr(s"sequence(0, (_n - 1) DIV $stride)")))
+      .select(col(idCol),
+        col("chunk_id").cast("long").as("chunk_id"),
+        least(lit(winSize.toLong),
+          col("_n").cast("long") - col("chunk_id") * stride)
+          .as("chunk_tokens"),
+        md5(array_join(
+          slice(col("_toks"), col("chunk_id") * stride + 1, lit(winSize)), " "))
+          .as("chunk_md5"))
+  }
+
+  /**
    * BM25 relevance of every document against a fixed query-term list —
    * the corpus-ranking primitive behind retrieval-based data curation
    * (select pretraining documents similar to a high-quality seed set).

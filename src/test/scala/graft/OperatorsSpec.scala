@@ -879,4 +879,35 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // KMV with k=256 has ~1/sqrt(k) ≈ 6% relative error at 1 sigma
     assert(math.abs(est - 5000L) < 1000L, s"est=$est")
   }
+
+  test("chunkDocuments window/stride boundary semantics") {
+    import spark.implicits._
+    // 10 tokens, winSize 4, stride 3 -> starts 0,3,6,9:
+    // [t0..t3] [t3..t6] [t6..t9] [t9] — last chunk is the 1-token tail
+    val docs = Seq(
+      (1L, (0 until 10).map(i => s"t$i").mkString(" ")),
+      (2L, "only three tokens"),
+      (3L, "   "), // whitespace-only: no chunks
+      (4L, "x")).toDF("doc_id", "text")
+    val out = TextOps.chunkDocuments(docs, "doc_id", "text",
+      winSize = 4, stride = 3)
+      .orderBy("doc_id", "chunk_id").collect()
+    val byDoc = out.groupBy(_.getLong(0))
+    assert(!byDoc.contains(3L))
+    assert(byDoc(1L).map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((0L, 4L), (1L, 4L), (2L, 4L), (3L, 1L)))
+    assert(byDoc(2L).map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((0L, 3L)))
+    assert(byDoc(4L).map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((0L, 1L)))
+    // overlap invariant: consecutive full windows share winSize-stride
+    // tokens, so chunk 0's digest of [t3] tail == chunk 3's content
+    val d1 = byDoc(1L).map(_.getString(3))
+    assert(d1.distinct.length == 4) // all chunk contents distinct here
+    // digest is over the joined token text, reproducible
+    import org.apache.spark.sql.functions.md5
+    val want = Seq("t9").mkString(" ")
+    val wantMd5 = spark.range(1).select(md5(lit(want))).head().getString(0)
+    assert(d1.last == wantMd5)
+  }
 }
