@@ -3,7 +3,7 @@ package graft
 import graft.model._
 import graft.operators._
 import graft.sources.{AvroIngest, OtelIngest, OtelSchema, ProtoIngest}
-import graft.streaming.CdcPipeline
+import graft.streaming.{CdcPipeline, MaintenanceDaemon}
 import graft.table._
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1285,6 +1285,133 @@ object SparkEntry {
         .select(col("database"), col("table").as("table_name"),
           col("commit_lsn"), col("flush_lsn"), col("cardinality"))
         .orderBy("table_name")
+    }),
+
+    "cdc_chaos_recovery" -> ((s, d) => {
+      // the chaos filesystem wrapper made driver-visible (reference
+      // filesystem_accessor_chaos_wrapper.rs + chaos_generator.rs
+      // inject storage errors under every accessor op; spec'd at
+      // random seeds in ChaosSpec): a DETERMINISTIC injector fails
+      // every 13th mutating storage op — tmp writes, rename-commits,
+      // moves, deletes — while the events subset ingests in 8 batches.
+      // Each injected crash reopens the table from durable state (WAL
+      // replay + orphan sweep) and re-applies the failed batch at
+      // fresh LSNs (the upsert fold is key-idempotent under
+      // re-application, so stale uncommitted replays cannot survive).
+      // Wherever the faults land, the final state must equal the clean
+      // upsert fold — that location-independence IS the invariant.
+      val cfg = TableConfig(memSliceSize = 256, walEnabled = true)
+      val root = freshDir("chaos-e2e")
+      var table = GraftTable.create(s, root, eventTableSchema,
+        Identity.Keys(Seq("user_id")), cfg)
+      val rows = events(s, d).where(col("user_id") % 10 === 7)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"))
+        .orderBy("event_id").collect()
+      final class EveryNth(n: Int) extends graft.format.FioFaults {
+        var count = 0; var crashes = 0
+        @volatile var armed = true
+        override def beforeOp(op: String, path: String): Unit =
+          if (armed) {
+            count += 1
+            if (count % n == 0)
+              throw new java.io.IOException(s"injected fault: $op $path")
+          }
+      }
+      def isInjected(e: Throwable): Boolean = {
+        var t: Throwable = e
+        while (t != null) {
+          if (t.isInstanceOf[java.io.IOException] && t.getMessage != null &&
+              t.getMessage.startsWith("injected fault")) return true
+          t = t.getCause
+        }
+        false
+      }
+      val faults = new EveryNth(13)
+      graft.format.Fio.faults = faults
+      try {
+        var lsn = 1L
+        val nb = 8
+        val per = math.max(1, (rows.length + nb - 1) / nb)
+        rows.grouped(per).foreach { batch =>
+          var done = false
+          while (!done) {
+            val start = lsn
+            try {
+              table.upsertAll(batch.toSeq, startLsn = start)
+              lsn = start + batch.length + 1
+              done = true
+            } catch {
+              case e: Throwable if isInjected(e) =>
+                faults.crashes += 1
+                faults.armed = false // recovery itself runs fault-free
+                table = GraftTable.open(s, root,
+                  Identity.Keys(Seq("user_id")), cfg)
+                // batch commits are atomic: either the whole batch's
+                // commit landed (crash after durability) or none of it
+                // did. Either way the attempt's LSN range is burned —
+                // a retry uses strictly later LSNs so its delete-halves
+                // outrank any stale uncommitted replay of the failed
+                // attempt (deletes target strictly-earlier LSNs only)
+                if (table.commitLsn >= start + batch.length) done = true
+                lsn = start + batch.length + 1
+                faults.armed = true
+            }
+          }
+        }
+        faults.armed = false
+        require(faults.crashes > 0,
+          s"chaos never fired (ops seen: ${faults.count})")
+        // final read from a FRESH open — durable state only
+        table = GraftTable.open(s, root, Identity.Keys(Seq("user_id")), cfg)
+      } finally graft.format.Fio.faults = null
+      table.read(scala.None)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"),
+          cents(col("value")).as("value_cents"))
+        .orderBy("user_id")
+    }),
+
+    "cdc_maintenance_timer" -> ((s, d) => {
+      // reference table_handler_timer.rs:7-24 (periodic mooncake-
+      // snapshot / force-snapshot ticks driving the event loop): the
+      // daemon's snapshot tick flushes committed rows that live only
+      // in the mem-slice tail + WAL into manifest-committed parquet.
+      // Proof shape: ingest via the driver event path under a huge
+      // mem-slice (nothing auto-flushes), tick once, then reopen the
+      // table WITH THE WAL DISABLED — only manifest-durable state
+      // survives, and it must equal the full upsert fold. Idle ticks
+      // must publish nothing (no manifest-version spam).
+      val cfg = TableConfig(memSliceSize = Int.MaxValue, walEnabled = true)
+      val wh = freshDir("wh-mt")
+      val cat = GraftCatalog(s, wh)
+      val table = cat.createTable("ev_mt", eventTableSchema,
+        Identity.Keys(Seq("user_id")), cfg)
+      // SF-proportional subset (driver event path holds these rows)
+      val rows = events(s, d).where(col("user_id") % 10 === 3)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"))
+        .orderBy("event_id").collect()
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      table.upsertAll(b1.toSeq, startLsn = 1)
+      table.upsertAll(b2.toSeq, startLsn = b1.length + 2L)
+      require(table.flushLsn < table.commitLsn,
+        "precondition: committed rows must still be tail-only")
+      val daemon = new MaintenanceDaemon(cat)
+      require(daemon.snapshotTick() == Seq("ev_mt"),
+        "snapshot tick must flush exactly the dirty table")
+      require(table.flushLsn >= b1.length + b2.length,
+        s"tick left rows unflushed: flushLsn=${table.flushLsn}")
+      require(daemon.snapshotTick().isEmpty,
+        "an idle tick must not publish a new version")
+      daemon.maintenanceTick() // compaction/index-merge debt bounded
+      val re = GraftTable.open(s, table.root,
+        Identity.Keys(Seq("user_id")), TableConfig(walEnabled = false))
+      re.read(scala.None)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"),
+          cents(col("value")).as("value_cents"))
+        .orderBy("user_id")
     }),
 
     "obs_metrics_export" -> ((s, d) => {
@@ -2772,6 +2899,24 @@ object SparkEntry {
         |SELECT 'graft', 'ev_log_st', max(event_id), max(event_id),
         |       count(*) FROM events
         |ORDER BY table_name""".stripMargin,
+
+    "cdc_chaos_recovery" ->
+      """SELECT user_id,
+        |       event_id AS last_event_id,
+        |       event_type AS last_event_type,
+        |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
+        |FROM events WHERE user_id % 10 = 7
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "cdc_maintenance_timer" ->
+      """SELECT user_id,
+        |       event_id AS last_event_id,
+        |       event_type AS last_event_type,
+        |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
+        |FROM events WHERE user_id % 10 = 3
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
 
     "obs_metrics_export" ->
       """SELECT 'graft.commits' AS metric_name, CAST(2 AS BIGINT) AS value_int

@@ -1027,6 +1027,15 @@ final class GraftTable private (
     fileEntries.values.map(e => e.rows - e.deletes).sum
   }
 
+  /** Whether committed rows still live only in the mem-slice tail —
+   *  the maintenance daemon's snapshot-tick predicate (the same filter
+   *  `flush()` uses to pick flushable rows). False on an idle table, so
+   *  periodic ticks never publish no-op manifest versions. */
+  def hasUnflushedCommitted: Boolean = synchronized {
+    tail.exists(t =>
+      t.lsn <= commitLsnVar && (t.live || t.deletedLsn > commitLsnVar))
+  }
+
   def currentManifest: Manifest = Manifest(versionVar, commitLsnVar,
     flushLsnVar, schemaVar.json, keyCols, fileEntries.values.toSeq,
     dvFiles.toSeq, indexFiles.toSeq, lastFieldIdVar, droppedColsVar.toSeq)

@@ -1,0 +1,92 @@
+package graft
+
+import graft.model._
+import graft.streaming.MaintenanceDaemon
+import graft.table._
+import org.apache.spark.sql.{Row, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/**
+ * Periodic maintenance daemon semantics, mirroring the reference's
+ * `table_handler_timer.rs:7-24` timers (mooncake-snapshot tick /
+ * force-snapshot tick) as catalog-level scheduled maintenance.
+ */
+class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val schema = SchemaDsl.struct("id" -> "int64", "v" -> "int64")
+  // huge mem slice: nothing auto-flushes, the tick has to do it
+  private val tailOnlyCfg =
+    TableConfig(memSliceSize = Int.MaxValue, walEnabled = true)
+
+  private def mkCatalog(): GraftCatalog =
+    GraftCatalog(spark, Files.createTempDirectory("graft-mt").toString)
+
+  test("snapshot tick flushes exactly the dirty tables, once") {
+    val cat = mkCatalog()
+    val a = cat.createTable("a", schema, Identity.Keys(Seq("id")), tailOnlyCfg)
+    val b = cat.createTable("b", schema, Identity.Keys(Seq("id")), tailOnlyCfg)
+    a.insertAll(Seq(Row(1L, 10L), Row(2L, 20L)), startLsn = 1)
+    val daemon = new MaintenanceDaemon(cat)
+    assert(a.hasUnflushedCommitted && !b.hasUnflushedCommitted)
+    val v0 = a.currentManifest.version
+    assert(daemon.snapshotTick() == Seq("a"))
+    assert(!a.hasUnflushedCommitted)
+    assert(a.currentManifest.version == v0 + 1)
+    // idle ticks are no-ops: no new manifest version on either table
+    val (va, vb) = (a.currentManifest.version, b.currentManifest.version)
+    assert(daemon.snapshotTick().isEmpty)
+    assert(a.currentManifest.version == va &&
+      b.currentManifest.version == vb)
+    // the flushed state is manifest-durable: WAL-less reopen sees it
+    val re = GraftTable.open(spark, a.root, Identity.Keys(Seq("id")),
+      TableConfig(walEnabled = false))
+    assert(re.read().collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
+  test("maintenance tick compacts small-file debt") {
+    val cat = mkCatalog()
+    val t = cat.createTable("t", schema, Identity.Keys(Seq("id")),
+      TableConfig(memSliceSize = 2, walEnabled = false,
+        compactSmallFileRows = 1000))
+    // many tiny commits -> many tiny files
+    (0 until 6).foreach { i =>
+      t.insertAll(Seq(Row(i.toLong, i.toLong)), startLsn = i * 2L + 1)
+      t.flush(); t.publish()
+    }
+    assert(t.currentManifest.dataFiles.size > 1)
+    new MaintenanceDaemon(cat).maintenanceTick()
+    assert(t.currentManifest.dataFiles.size == 1)
+    assert(t.read().count() == 6)
+  }
+
+  test("started daemon ticks on its own schedule until stopped") {
+    val cat = mkCatalog()
+    val t = cat.createTable("t", schema, Identity.Keys(Seq("id")), tailOnlyCfg)
+    val daemon = new MaintenanceDaemon(cat, snapshotEveryMs = 50,
+      maintenanceEveryMs = 3600000).start()
+    try {
+      t.insertAll(Seq(Row(7L, 70L)), startLsn = 1)
+      val deadline = System.currentTimeMillis() + 15000
+      while (t.hasUnflushedCommitted && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      assert(!t.hasUnflushedCommitted, "timer never flushed the tail")
+    } finally daemon.stop()
+    // after stop, new committed tail rows stay (no rogue thread)
+    t.insertAll(Seq(Row(8L, 80L)), startLsn = 10)
+    Thread.sleep(200)
+    assert(t.hasUnflushedCommitted)
+  }
+}
