@@ -1239,7 +1239,10 @@ object SparkEntry {
           CdcPipeline.applyBatch(kv, ev.where(
             col("_lsn") >= lo + i * span && col("_lsn") < lo + (i + 1) * span))
         }
-        CdcPipeline.applyBatch(lg, ev.withColumn("_op", lit("i")))
+        // the second table exists to prove MULTI-table recovery; a
+        // subset ingest carries that proof at a fraction of the cost
+        CdcPipeline.applyBatch(lg, ev.where(col("user_id") % 4 === 1)
+          .withColumn("_op", lit("i")))
       } finally ev.unpersist()
       val (commitBefore, cardBefore) = (kv.commitLsn, kv.liveRowCount)
       // ---- "restart": recover a brand-new catalog over the warehouse
@@ -1285,6 +1288,42 @@ object SparkEntry {
         .select(col("database"), col("table").as("table_name"),
           col("commit_lsn"), col("flush_lsn"), col("cardinality"))
         .orderBy("table_name")
+    }),
+
+    "cdc_catalog_sql" -> ((s, d) => {
+      // the reference's DataFusion catalog/schema providers
+      // (moonlink_datafusion/src/catalog_provider.rs) as a Spark V2
+      // TableCatalog: the warehouse registers as a catalog and the
+      // final answer is PURE three-part-name SQL — no temp views, no
+      // handles — resolved through the metadata-store registry into
+      // the DSv2 vectorized scan (DV skipping, manifest pruning).
+      val wh = freshDir("wh-sql")
+      val cat = GraftCatalog(s, wh)
+      val kv = cat.createTable("events_sql", eventTableSchema,
+        Identity.Keys(Seq("user_id")), ingestCfg)
+      val ev = cdcEventFrame(s, d, None)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val mm = ev.agg(min(col("_lsn")), max(col("_lsn"))).head()
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+        val span = (hi - lo) / 2 + 1
+        (0 until 2).foreach { i =>
+          CdcPipeline.applyBatch(kv, ev.where(
+            col("_lsn") >= lo + i * span && col("_lsn") < lo + (i + 1) * span))
+        }
+      } finally ev.unpersist()
+      // catalog name keyed to the warehouse: Spark caches catalog
+      // instances per name, so reruns in one session must not collide
+      val cname = "gc" + math.abs(wh.hashCode).toString
+      s.conf.set(s"spark.sql.catalog.$cname",
+        classOf[graft.sources.GraftCatalogPlugin].getName)
+      s.conf.set(s"spark.sql.catalog.$cname.warehouse", wh)
+      s.sql(s"""SELECT user_id, event_id AS last_event_id,
+               |       event_type AS last_event_type,
+               |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
+               |FROM $cname.graft.events_sql
+               |WHERE user_id % 4 = 1
+               |ORDER BY user_id""".stripMargin)
     }),
 
     "cdc_chaos_recovery" -> ((s, d) => {
@@ -2899,6 +2938,15 @@ object SparkEntry {
         |SELECT 'graft', 'ev_log_st', max(event_id), max(event_id),
         |       count(*) FROM events
         |ORDER BY table_name""".stripMargin,
+
+    "cdc_catalog_sql" ->
+      """SELECT user_id,
+        |       event_id AS last_event_id,
+        |       event_type AS last_event_type,
+        |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
+        |FROM events WHERE user_id % 4 = 1
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
 
     "cdc_chaos_recovery" ->
       """SELECT user_id,
