@@ -1326,6 +1326,42 @@ object SparkEntry {
                |ORDER BY user_id""".stripMargin)
     }),
 
+    "cdc_sql_time_travel" -> ((s, d) => {
+      // M8's time-travel axis through idiomatic Spark SQL: the V2
+      // catalog implements loadTable(ident, version), so
+      // `VERSION AS OF v` pins the scan to version v's manifest (files
+      // + DVs of that commit, nothing newer). Pinning the version
+      // published after batch 1 of 2 must reproduce the first half's
+      // upsert fold exactly, while the unpinned read sees both.
+      val wh = freshDir("wh-tt")
+      val cat = GraftCatalog(s, wh)
+      val kv = cat.createTable("events_tt", eventTableSchema,
+        Identity.Keys(Seq("user_id")), ingestCfg)
+      val ev = cdcEventFrame(s, d, None)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val v1 =
+        try {
+          val mm = ev.agg(min(col("_lsn")), max(col("_lsn"))).head()
+          val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+          val span = (hi - lo) / 2 + 1
+          CdcPipeline.applyBatch(kv, ev.where(col("_lsn") < lo + span))
+          val mid = kv.currentManifest.version
+          CdcPipeline.applyBatch(kv, ev.where(col("_lsn") >= lo + span))
+          mid
+        } finally { ev.unpersist(); }
+      val cname = "gc" + math.abs(wh.hashCode).toString
+      s.conf.set(s"spark.sql.catalog.$cname",
+        classOf[graft.sources.GraftCatalogPlugin].getName)
+      s.conf.set(s"spark.sql.catalog.$cname.warehouse", wh)
+      require(v1 < kv.currentManifest.version,
+        "batch 2 must have produced newer versions than the pin")
+      s.sql(s"""SELECT user_id, event_id AS last_event_id,
+               |       event_type AS last_event_type,
+               |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
+               |FROM $cname.graft.events_tt VERSION AS OF $v1
+               |ORDER BY user_id""".stripMargin)
+    }),
+
     "cdc_chaos_recovery" -> ((s, d) => {
       // the chaos filesystem wrapper made driver-visible (reference
       // filesystem_accessor_chaos_wrapper.rs + chaos_generator.rs
@@ -2945,6 +2981,16 @@ object SparkEntry {
         |       event_type AS last_event_type,
         |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
         |FROM events WHERE user_id % 4 = 1
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "cdc_sql_time_travel" ->
+      """SELECT user_id,
+        |       event_id AS last_event_id,
+        |       event_type AS last_event_type,
+        |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
+        |FROM events
+        |WHERE event_id < (SELECT MIN(event_id) + (MAX(event_id)-MIN(event_id))//2 + 1 FROM events)
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
         |ORDER BY user_id""".stripMargin,
 

@@ -223,4 +223,19 @@ object ManifestLog {
 
   def loadLatest(root: String): Option[Manifest] =
     latestVersion(root).map(load(root, _))
+
+  /** Commit wall-clock of a version: the manifest file's modification
+   *  time (epoch millis) — the atomic rename that commits a version is
+   *  also what stamps it, so this is the commit instant on any Hadoop
+   *  FS (Iceberg stores the same instant inside its metadata; keeping
+   *  it OUT of the JSON keeps commits byte-deterministic). */
+  def commitTimeMs(root: String, version: Long): Long =
+    Fio.fs(file(root, version))
+      .getFileStatus(new org.apache.hadoop.fs.Path(file(root, version)))
+      .getModificationTime
+
+  /** Time travel by wall-clock: the latest version committed at or
+   *  before `tsMs` (epoch millis). */
+  def versionAsOfTime(root: String, tsMs: Long): Option[Long] =
+    versions(root).filter(v => commitTimeMs(root, v) <= tsMs).maxOption
 }

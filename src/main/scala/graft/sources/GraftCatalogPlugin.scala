@@ -124,6 +124,29 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
     new GraftSparkTable(rootOf(ident))
   }
 
+  /** SQL time travel `VERSION AS OF v` — manifest versions ARE the
+   *  snapshot ids (M8; the reference exposes the same axis through
+   *  Iceberg snapshots). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    loadTable(ident) // existence check
+    val v = version.toLong
+    require(graft.format.ManifestLog.versions(rootOf(ident)).contains(v),
+      s"table $ident has no version $v")
+    new GraftSparkTable(rootOf(ident), Some(v))
+  }
+
+  /** SQL time travel `TIMESTAMP AS OF t` — Spark hands micros since
+   *  epoch; resolve to the latest version committed at or before it
+   *  (commit instant = the manifest file's atomic-rename mtime). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    loadTable(ident) // existence check
+    val v = graft.format.ManifestLog
+      .versionAsOfTime(rootOf(ident), timestampMicros / 1000L)
+      .getOrElse(throw new IllegalArgumentException(
+        s"table $ident has no version at or before $timestampMicros"))
+    new GraftSparkTable(rootOf(ident), Some(v))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {

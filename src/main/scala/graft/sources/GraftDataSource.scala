@@ -88,9 +88,13 @@ private[graft] object GraftSparkTable {
       throw new IllegalArgumentException(s"no graft manifest under $root"))
 }
 
-private[graft] class GraftSparkTable(root: String)
+private[graft] class GraftSparkTable(root: String,
+    asOfVersion: Option[Long] = scala.None)
     extends Table with SupportsRead {
-  private lazy val manifest = GraftSparkTable.load(root)
+  private lazy val manifest = asOfVersion match {
+    case Some(v) => ManifestLog.load(root, v) // SQL time travel pin
+    case scala.None => GraftSparkTable.load(root)
+  }
   override def name(): String = s"graft.`$root`"
   override def schema(): StructType = manifest.schema
   override def capabilities(): java.util.Set[TableCapability] =

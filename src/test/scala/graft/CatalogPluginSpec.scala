@@ -74,6 +74,36 @@ class CatalogPluginSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!graft.format.Fio.exists(s"$wh/t2/manifest"))
   }
 
+  test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF") {
+    val (cname, wh) = freshCatalog()
+    val cat = GraftCatalog(spark, wh)
+    val t = cat.createTable("tt", schema, Identity.Keys(Seq("id")))
+    t.upsertAll(Seq(Row(1L, 10L)), startLsn = 1)
+    t.flush(); val v1 = t.publish()
+    Thread.sleep(1100) // mtime resolution can be a full second
+    val midMs = System.currentTimeMillis()
+    Thread.sleep(1100)
+    t.upsertAll(Seq(Row(1L, 99L), Row(2L, 20L)), startLsn = 10)
+    t.flush(); t.publish()
+    // current state vs pinned version
+    assert(spark.sql(s"SELECT count(*) FROM $cname.graft.tt")
+      .head().getLong(0) == 2L)
+    val pinned = spark.sql(
+      s"SELECT id, v FROM $cname.graft.tt VERSION AS OF $v1").collect()
+    assert(pinned.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 10L)))
+    // timestamp between the two commits resolves to the first version
+    val ts = java.time.Instant.ofEpochMilli(midMs).toString.replace("T", " ")
+      .stripSuffix("Z")
+    val asOf = spark.sql(s"SELECT id, v FROM $cname.graft.tt " +
+      s"TIMESTAMP AS OF '$ts'").collect()
+    assert(asOf.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 10L)))
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cname.graft.tt VERSION AS OF 99").collect()
+    }
+  }
+
   test("unknown table fails analysis, not execution") {
     val (cname, _) = freshCatalog()
     val e = intercept[Exception] {
