@@ -1326,6 +1326,33 @@ object SparkEntry {
                |ORDER BY user_id""".stripMargin)
     }),
 
+    "cdc_sql_insert" -> ((s, d) => {
+      // the append half of the SQL surface: CREATE TABLE (DDL through
+      // the V2 catalog) then INSERT INTO ... SELECT — executors write
+      // the staged parquet with Spark's normal distributed write, the
+      // driver commit ADOPTS the part files into the manifest at one
+      // LSN (the S7 bulk-load path; driver touches metadata only).
+      // Two inserts = two atomic manifest commits; the aggregate reads
+      // back through the same catalog's vectorized scan.
+      val wh = freshDir("wh-ins")
+      val cname = "gc" + math.abs(wh.hashCode).toString
+      s.conf.set(s"spark.sql.catalog.$cname",
+        classOf[graft.sources.GraftCatalogPlugin].getName)
+      s.conf.set(s"spark.sql.catalog.$cname.warehouse", wh)
+      s.sql(s"CREATE TABLE $cname.graft.ev_ins (user_id BIGINT, " +
+        "event_id BIGINT, event_type STRING, value DOUBLE)")
+      events(s, d).createOrReplaceTempView("ev_src_ins")
+      s.sql(s"""INSERT INTO $cname.graft.ev_ins
+               |SELECT user_id, event_id, event_type, value
+               |FROM ev_src_ins WHERE user_id % 2 = 0""".stripMargin)
+      s.sql(s"""INSERT INTO $cname.graft.ev_ins
+               |SELECT user_id, event_id, event_type, value
+               |FROM ev_src_ins WHERE user_id % 2 = 1""".stripMargin)
+      s.sql(s"""SELECT event_type, count(*) AS n,
+               |       CAST(ROUND(SUM(value)*100) AS BIGINT) AS value_cents
+               |FROM $cname.graft.ev_ins GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
+
     "cdc_sql_time_travel" -> ((s, d) => {
       // M8's time-travel axis through idiomatic Spark SQL: the V2
       // catalog implements loadTable(ident, version), so
@@ -2983,6 +3010,11 @@ object SparkEntry {
         |FROM events WHERE user_id % 4 = 1
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
         |ORDER BY user_id""".stripMargin,
+
+    "cdc_sql_insert" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(ROUND(SUM(value)*100) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "cdc_sql_time_travel" ->
       """SELECT user_id,

@@ -86,22 +86,73 @@ private[graft] object GraftSparkTable {
   def load(root: String): Manifest =
     ManifestLog.loadLatest(root).getOrElse(
       throw new IllegalArgumentException(s"no graft manifest under $root"))
+
+  /** SQL INSERT INTO commit: stage the frame as parquet (distributed
+   *  executor write, any size), then adopt the part files atomically
+   *  at the next LSN via the bulk-load path — the driver touches file
+   *  METADATA only, never rows. */
+  private[sources] def appendSql(root: String,
+      data: org.apache.spark.sql.DataFrame): Unit = {
+    val m = load(root)
+    val table = GraftTable.open(data.sparkSession, root,
+      graft.model.Identity.None, graft.table.TableConfig(walEnabled = false))
+    val staging = s"$root/tmp/insert-${java.util.UUID.randomUUID()}"
+    // column order by table schema; analysis already matched the names
+    data.select(m.schema.fieldNames.toSeq.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("overwrite").parquet(staging)
+    val parts = graft.format.Fio.list(staging)
+      .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+      .map(n => s"$staging/$n")
+    // a fresh table's commitLsn is -1; SQL appends start at LSN 1
+    try table.loadFiles(parts, lsn = math.max(table.commitLsn, 0L) + 1)
+    finally graft.format.Fio.delete(staging)
+  }
 }
 
 private[graft] class GraftSparkTable(root: String,
     asOfVersion: Option[Long] = scala.None)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   private lazy val manifest = asOfVersion match {
     case Some(v) => ManifestLog.load(root, v) // SQL time travel pin
     case scala.None => GraftSparkTable.load(root)
   }
   override def name(): String = s"graft.`$root`"
   override def schema(): StructType = manifest.schema
-  override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ,
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val caps = java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
+    // SQL INSERT INTO is the append surface: executors write staged
+    // parquet through Spark's normal distributed write, the driver
+    // commit adopts the part files into the manifest (the bulk-load
+    // path, S7). Keyed tables need the upsert fold — their writes stay
+    // on the ingestion API, so they do not advertise writability.
+    if (manifest.keyCols.isEmpty)
+      caps.add(TableCapability.V1_BATCH_WRITE)
+    caps
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(root, manifest)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(manifest.keyCols.isEmpty,
+      s"$name is a keyed table: INSERT goes through the ingestion API " +
+        "(upserts need the key fold); SQL INSERT appends are append-only")
+    require(asOfVersion.isEmpty, "cannot INSERT into a time-travel pin")
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
+              require(!overwrite, "graft INSERT is append-only (no OVERWRITE)")
+              GraftSparkTable.appendSql(root, data)
+            }
+        }
+    }
+  }
 }
 
 private[graft] class GraftScanBuilder(root: String, manifest: Manifest)

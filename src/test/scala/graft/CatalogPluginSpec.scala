@@ -104,6 +104,32 @@ class CatalogPluginSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("INSERT INTO appends through staged files on append-only tables") {
+    val (cname, wh) = freshCatalog()
+    val cat = GraftCatalog(spark, wh)
+    cat.createTable("logt", schema, Identity.None,
+      TableConfig(walEnabled = false))
+    spark.sql(s"INSERT INTO $cname.graft.logt VALUES (1, 10), (2, 20)")
+    spark.sql(s"INSERT INTO $cname.graft.logt SELECT id, id * 100 " +
+      "FROM range(3, 6)")
+    val got = spark.sql(
+      s"SELECT id, v FROM $cname.graft.logt ORDER BY id").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 10L), (2L, 20L), (3L, 300L), (4L, 400L), (5L, 500L)))
+    // each INSERT is one atomic manifest commit at its own LSN
+    val t = GraftTable.open(spark, s"$wh/logt", Identity.None,
+      TableConfig(walEnabled = false))
+    assert(t.commitLsn == 2L)
+    // keyed tables refuse SQL INSERT (writes go through the ingest API)
+    val kt = cat.createTable("keyedt", schema, Identity.Keys(Seq("id")))
+    kt.upsertAll(Seq(Row(1L, 1L)), startLsn = 1); kt.flush(); kt.publish()
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO $cname.graft.keyedt VALUES (9, 9)")
+    }
+    assert(e.getMessage.contains("does not support append") ||
+      e.getMessage.contains("keyed"))
+  }
+
   test("unknown table fails analysis, not execution") {
     val (cname, _) = freshCatalog()
     val e = intercept[Exception] {
