@@ -1885,6 +1885,39 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "otel_pb_ingest" -> ((s, d) => {
+      // S6's PRIMARY wire format: the same per-user metric stream as
+      // otel_metrics_agg, but as binary OTLP protobuf requests
+      // (reference otel_to_moonlink_pb.rs) — producer-encoded and
+      // engine-decoded by the dependency-free proto3 wire codec, both
+      // sides distributed (executors encode/decode, the driver never
+      // holds a payload). Must land byte-for-byte the same table rows
+      // and aggregate as the JSON path.
+      import graft.sources.OtelPb
+      val enc = udf((userId: Long, pts: Seq[Row]) =>
+        OtelPb.Enc.request(
+          Seq(OtelPb.Enc.strAttr("service.name", "graft-events")),
+          "graft.meter", "1.0",
+          Seq(OtelPb.Enc.gauge("events.value", "1",
+            pts.map(p => OtelPb.Enc.gaugePoint(
+              p.getLong(0) * 1000L, p.getDouble(1),
+              Seq(OtelPb.Enc.intAttr("user_id", userId))))))))
+      val pay = events(s, d)
+        .groupBy(col("user_id"))
+        .agg(collect_list(struct(col("ts"), col("value"))).as("pts"))
+        .select(enc(col("user_id"), col("pts")).as("payload"))
+      val table = GraftTable.create(s, freshDir("otelpb"), OtelSchema.schema,
+        Identity.None, TableConfig(walEnabled = false))
+      OtelPb.ingestPayloads(table, pay, "payload", startLsn = 1)
+      OtelSchema.explodeAttrs(table.read(scala.None))
+        .where(col("attr_key") === "user_id" && col("metric_type") === "gauge")
+        .groupBy(col("attr_value").cast("long").as("user_id"))
+        .agg(count(lit(1)).as("n"),
+          cents(sum(col("value_double"))).as("value_cents"),
+          expr("min(time_unix_nano) DIV 1000").as("first_us"))
+        .orderBy("user_id")
+    }),
+
     // ---- text analysis (training-data ops) -----------------------------
 
     "text_stats" -> ((s, d) => {
@@ -3107,6 +3140,12 @@ object SparkEntry {
         |ORDER BY user_id""".stripMargin,
 
     "otel_metrics_agg" ->
+      """SELECT user_id, count(*) AS n,
+        |       CAST(ROUND(SUM(value)*100) AS BIGINT) AS value_cents,
+        |       epoch_us(MIN(ts)) AS first_us
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "otel_pb_ingest" ->
       """SELECT user_id, count(*) AS n,
         |       CAST(ROUND(SUM(value)*100) AS BIGINT) AS value_cents,
         |       epoch_us(MIN(ts)) AS first_us
