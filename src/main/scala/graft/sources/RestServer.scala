@@ -82,8 +82,12 @@ final class RestServer(catalog: GraftCatalog, port: Int = 0) {
       val method = ex.getRequestMethod
       val path = ex.getRequestURI.getPath.stripSuffix("/")
       try {
+        val raw = ex.getRequestBody.readAllBytes()
+        val contentType = Option(
+          ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
         val (status, body) = route(method, path,
-          new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+          new String(raw, StandardCharsets.UTF_8), raw, contentType,
+          Option(ex.getRequestURI.getQuery).getOrElse(""))
         respond(ex, status, body)
       } catch {
         case e: NoSuchElementException =>
@@ -94,10 +98,19 @@ final class RestServer(catalog: GraftCatalog, port: Int = 0) {
     }
   })
 
-  private def route(method: String, path: String,
-      body: String): (Int, ObjectNode) = {
+  private def route(method: String, path: String, body: String,
+      raw: Array[Byte], contentType: String, query: String): (Int, ObjectNode) = {
     val parts = path.split("/").filter(_.nonEmpty).toList
     (method, parts) match {
+      // OTLP/HTTP metrics endpoint (reference otel/service.rs): binary
+      // protobuf is the primary encoding, JSON the secondary; the
+      // Content-Type header selects, exactly like real collectors
+      case ("POST", "v1" :: "metrics" :: Nil) =>
+        val table = query.split("&").collectFirst {
+          case kv if kv.startsWith("table=") => kv.stripPrefix("table=")
+        }.getOrElse(throw new IllegalArgumentException(
+          "POST /v1/metrics needs ?table=<otel table>"))
+        otlpIngest(table, raw, body, contentType)
       case ("GET", "health" :: Nil) =>
         200 -> obj("service" -> "graft", "status" -> "healthy")
       case ("GET", "tables" :: Nil) => listTables()
@@ -279,6 +292,27 @@ final class RestServer(catalog: GraftCatalog, port: Int = 0) {
     val resp = obj("table" -> name, "operation" -> op)
     if (sync) resp.put("lsn", committed)
     200 -> resp
+  }
+
+  /** OTLP/HTTP ExportMetricsServiceRequest → data-point rows appended
+   *  to an OtelSchema table in one commit (a request is a txn). */
+  private def otlpIngest(name: String, raw: Array[Byte], body: String,
+      contentType: String): (Int, ObjectNode) = {
+    val table = catalog.table(name)
+    val rows: Seq[org.apache.spark.sql.Row] =
+      if (contentType.startsWith("application/x-protobuf"))
+        OtelPb.decodeRequest(raw)
+      else {
+        // JSON encoding: the same distributed converter, one-row frame
+        val s = table.spark
+        import s.implicits._
+        OtelIngest.metricsToRows(Seq(body).toDF("p"), "p").collect().toSeq
+      }
+    val lsn = nextLsn(name, table)
+    val committed = table.apply(
+      rows.map(r => Append(r, lsn): CdcEvent) :+ Commit(lsn))
+    200 -> obj("table" -> name).put("points", rows.length)
+      .put("lsn", committed)
   }
 
   // ---- helpers ---------------------------------------------------------

@@ -175,6 +175,39 @@ class RestServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     http("DELETE", "/tables/up")
   }
 
+  test("OTLP /v1/metrics accepts protobuf and JSON by Content-Type") {
+    import graft.sources.{OtelPb, OtelSchema}
+    catalog.createTable("otelt", OtelSchema.schema, graft.model.Identity.None,
+      graft.table.TableConfig(walEnabled = false))
+    // binary protobuf (primary encoding)
+    val pb = OtelPb.Enc.request(
+      Seq(OtelPb.Enc.strAttr("service.name", "svc")), "m", "1", Seq(
+        OtelPb.Enc.gauge("g", "1", Seq(
+          OtelPb.Enc.gaugePoint(11L, 1.5, Seq(OtelPb.Enc.intAttr("u", 1))),
+          OtelPb.Enc.gaugePoint(12L, 2.5, Seq(OtelPb.Enc.intAttr("u", 2)))))))
+    val conn = java.net.URI.create(srv.baseUrl + "/v1/metrics?table=otelt")
+      .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setRequestProperty("Content-Type", "application/x-protobuf")
+    conn.setDoOutput(true)
+    conn.getOutputStream.write(pb); conn.getOutputStream.close()
+    assert(conn.getResponseCode == 200)
+    val resp = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+    assert(resp.contains("\"points\":2"))
+    // JSON (secondary encoding) via the default content type
+    val (c2, r2) = http("POST", "/v1/metrics?table=otelt",
+      """{"resourceMetrics":[{"scopeMetrics":[{"scope":{"name":"m"},
+        |"metrics":[{"name":"g","gauge":{"dataPoints":[
+        |{"timeUnixNano":"13","asDouble":3.5}]}}]}]}]}""".stripMargin)
+    assert(c2 == 200 && r2.contains("\"points\":1"))
+    val got = catalog.table("otelt").read()
+      .select("time_unix_nano", "value_double").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted
+    assert(got.toSeq == Seq((11L, 1.5), (12L, 2.5), (13L, 3.5)))
+    // table param required
+    assert(http("POST", "/v1/metrics", """{"resourceMetrics":[]}""")._1 == 400)
+  }
+
   test("errors: unknown table 404-ish, bad operation, missing fields") {
     assert(http("POST", "/ingest/nope",
       """{"operation":"insert","data":{}}""")._1 == 404)
