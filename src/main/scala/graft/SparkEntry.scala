@@ -1290,6 +1290,44 @@ object SparkEntry {
         .orderBy("table_name")
     }),
 
+    "cdc_expire_versions" -> ((s, d) => {
+      // retention lifecycle (Iceberg expire-snapshots semantics): a
+      // 4-batch ingest builds a manifest history; expireVersions
+      // bounds the LOG (metadata only — one commit per micro-batch is
+      // ~30M JSONs/year at 1 s batches, so this runs on the
+      // maintenance cadence at scale), and the retention-aware vacuum
+      // (retainVersions=2) reclaims files outside the horizon while
+      // every version INSIDE it stays re-materializable after the GC.
+      val cfg = TableConfig(memSliceSize = 4096, walEnabled = false,
+        retainVersions = 2)
+      val table = runCdc(s, d, deleteType = None, nBatches = 4, cfg = cfg)
+      val root = table.root
+      val before = graft.format.ManifestLog.versions(root)
+      require(before.size >= 4, s"expected >=4 versions, got $before")
+      val expired = table.expireVersions(keepLast = 3)
+      require(expired == before.size - 3, s"expired $expired")
+      val kept = graft.format.ManifestLog.versions(root)
+      require(kept == before.takeRight(3), s"kept $kept")
+      // an expired version's manifest is gone — loading it fails loudly
+      require(scala.util.Try(
+        graft.format.ManifestLog.load(root, before.head)).isFailure,
+        "expired manifest must not load")
+      table.vacuum()
+      // both horizon versions re-materialize AFTER vacuum; the one
+      // outside the horizon lost its exclusive files by contract
+      val horizon = kept.takeRight(2)
+      val users = table.liveRowCount
+      horizon.foreach { v =>
+        require(table.readAsOfVersion(v).count() == users,
+          s"version $v unreadable after retention vacuum")
+      }
+      table.read(scala.None)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"),
+          cents(col("value")).as("value_cents"))
+        .orderBy("user_id")
+    }),
+
     "cdc_catalog_sql" -> ((s, d) => {
       // the reference's DataFusion catalog/schema providers
       // (moonlink_datafusion/src/catalog_provider.rs) as a Spark V2
@@ -3034,6 +3072,8 @@ object SparkEntry {
         |SELECT 'graft', 'ev_log_st', max(event_id), max(event_id),
         |       count(*) FROM events
         |ORDER BY table_name""".stripMargin,
+
+    "cdc_expire_versions" -> cdcUpsertOracle,
 
     "cdc_catalog_sql" ->
       """SELECT user_id,

@@ -238,4 +238,9 @@ object ManifestLog {
    *  before `tsMs` (epoch millis). */
   def versionAsOfTime(root: String, tsMs: Long): Option[Long] =
     versions(root).filter(v => commitTimeMs(root, v) <= tsMs).maxOption
+
+  /** Remove one version's manifest document (expire-snapshots path —
+   *  never called on the latest version). */
+  def delete(root: String, version: Long): Unit =
+    Fio.delete(file(root, version))
 }

@@ -52,7 +52,14 @@ final case class TableConfig(
      *  resolution runs fully distributed (delete frame |><| key index
      *  -> per-file roaring DV delta) instead of collecting delete keys
      *  to the driver — a purge-style batch never funnels keys. */
-    distributedDeleteThreshold: Long = 100L * 1000)
+    distributedDeleteThreshold: Long = 100L * 1000,
+    /** vacuum keeps files referenced by this many latest manifest
+     *  versions (>=1; 1 = current snapshot only). Versions inside the
+     *  horizon stay time-travelable AFTER vacuum; older manifests
+     *  remain loadable but their exclusive files are reclaimed —
+     *  bound the log itself with [[GraftTable.expireVersions]]
+     *  (Iceberg expire-snapshots / retention semantics). */
+    retainVersions: Int = 1)
 
 /**
  * A Graft table: PK-identified, LSN-versioned, append/upsert/delete
@@ -1617,11 +1624,21 @@ final class GraftTable private (
    *  current manifest (snapshot-isolation GC; ≈ Delta VACUUM / Iceberg
    *  expire_snapshots). Call when no reader holds an older version. */
   def vacuum(): Int = synchronized {
-    // current version's files plus every pinned snapshot's (readers at
-    // older versions survive compaction+vacuum issued mid-scan)
-    val liveData = fileEntries.keySet ++ readPinsActive.flatMap(_.dataFiles)
-    val liveDv = dvFiles.toSet ++ readPinsActive.flatMap(_.dvPins)
-    val liveIdx = indexFiles.map(_.path).toSet ++ readPinsActive.flatMap(_.idxPins)
+    // current version's files, plus every pinned snapshot's (readers at
+    // older versions survive compaction+vacuum issued mid-scan), plus
+    // everything referenced inside the time-travel retention horizon
+    // (`retainVersions` latest manifests stay re-materializable)
+    val horizon = ManifestLog.versions(root)
+      .takeRight(math.max(1, config.retainVersions))
+      .filterNot(_ == versionVar) // current state is the in-memory maps
+      .map(v => ManifestLog.load(root, v))
+    val liveData = fileEntries.keySet ++ readPinsActive.flatMap(_.dataFiles) ++
+      horizon.flatMap(_.dataFiles.map(_.path))
+    val liveDv = dvFiles.toSet ++ readPinsActive.flatMap(_.dvPins) ++
+      horizon.flatMap(_.dvFiles)
+    val liveIdx = indexFiles.map(_.path).toSet ++
+      readPinsActive.flatMap(_.idxPins) ++
+      horizon.flatMap(_.indexFiles.map(_.path))
     var n = 0
     Fio.list(s"$root/data").filterNot(liveData).foreach { f =>
       Fio.delete(s"$root/data/$f"); n += 1
@@ -1633,6 +1650,21 @@ final class GraftTable private (
       Fio.delete(s"$root/index/$f"); n += 1
     }
     n
+  }
+
+  /** Expire old manifest versions (Iceberg expire-snapshots
+   *  semantics): keep the latest `keepLast` manifest documents, delete
+   *  the rest from the log. Bounds the time-travel axis — at one
+   *  commit per micro-batch a year of 1-second batches is ~30M tiny
+   *  JSONs, so production runs this on the maintenance cadence. Data
+   *  reclamation stays vacuum's job (its `retainVersions` horizon);
+   *  expiry only forgets METADATA, so it never races a pinned reader.
+   *  Returns the number of versions expired. */
+  def expireVersions(keepLast: Int): Int = synchronized {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val expired = ManifestLog.versions(root).dropRight(keepLast)
+    expired.foreach(v => ManifestLog.delete(root, v))
+    expired.size
   }
 
   /** Index merge (M11): consolidate index files without touching data

@@ -72,6 +72,34 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.read().count() == 6)
   }
 
+  test("expireVersions bounds the log; retention vacuum keeps the horizon") {
+    val cat = mkCatalog()
+    val t = cat.createTable("t", schema, Identity.Keys(Seq("id")),
+      TableConfig(memSliceSize = 2, walEnabled = false,
+        retainVersions = 2, compactSmallFileRows = 1000))
+    (0 until 4).foreach { i =>
+      t.upsertAll(Seq(Row(i.toLong, i * 10L)), startLsn = i * 3L + 1)
+      t.flush(); t.publish()
+    }
+    val vs0 = graft.format.ManifestLog.versions(t.root)
+    assert(t.expireVersions(keepLast = 3) == vs0.size - 3)
+    val kept = graft.format.ManifestLog.versions(t.root)
+    assert(kept == vs0.takeRight(3))
+    intercept[Exception] {
+      graft.format.ManifestLog.load(t.root, vs0.head)
+    }
+    // compaction rewrites files, then vacuum: the horizon's last two
+    // versions must still re-materialize, the third (outside
+    // retainVersions=2) may lose its exclusive files
+    t.optimize(); t.vacuum()
+    val horizon = graft.format.ManifestLog.versions(t.root).takeRight(2)
+    horizon.foreach { v =>
+      assert(t.readAsOfVersion(v).count() >= 0) // scan materializes
+    }
+    assert(t.read().count() == 4)
+    intercept[IllegalArgumentException] { t.expireVersions(0) }
+  }
+
   test("started daemon ticks on its own schedule until stopped") {
     val cat = mkCatalog()
     val t = cat.createTable("t", schema, Identity.Keys(Seq("id")), tailOnlyCfg)
