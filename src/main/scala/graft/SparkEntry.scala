@@ -2506,6 +2506,16 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "embed_pool" -> ((s, d) => {
+      // chunk→document pooling: all embeddings sharing a label combine
+      // into one mergeable integer-milli sum vector — one exchange on
+      // (group, dim) with map-side partial sums, bit-identical under
+      // any partitioning (float mean-pooling is not)
+      Similarity.meanPoolMilli(t(s, d, "embeddings"), "label", "embedding")
+        .select(col("g").as("label"), col("n_vecs"), col("pooled_milli"))
+        .orderBy("label")
+    }),
+
     "embed_neardup" -> ((s, d) => {
       Dedup.embeddingPairs(t(s, d, "embeddings"), "vec_id", "embedding",
           blockCol = col("label"), minCosineMilli = 300)
@@ -2557,6 +2567,51 @@ object SparkEntry {
         .select(col("media_id"), col("n_bytes"), col("checksum"),
           element_at(col("feature"), 1).cast("long").as("f0"))
         .orderBy("media_id")
+    }),
+
+    "mm_dedup" -> ((s, d) => {
+      // content-addressed media dedup: payloads digest in place during
+      // the scan, the shuffle carries (digest, id) pairs only — the
+      // first pass over any crawled media corpus. The documents corpus
+      // has deliberate exact-dup clusters, so n_copies > 1 groups
+      // exist and the canonical keep_id choice is exercised.
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+      Multimodal.contentDedup(docs, "doc_id", "media")
+        .orderBy("keep_id")
+    }),
+
+    "mm_audio_windows" -> ((s, d) => {
+      // audio-shape overlapping byte windows (64-byte window, 48-byte
+      // hop): the zero-shuffle explode scaling of chunk_documents on
+      // BINARY payloads; per-window digest is the dedup/align key
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+      Multimodal.byteWindows(docs, "doc_id", "media",
+          winBytes = 64, hopBytes = 48)
+        .select(col("media_id"), col("win_id"),
+          length(col("win")).cast("long").as("win_len"),
+          // hex, not md5: byte-exact in BOTH engines on raw binary
+          // (DuckDB's md5/sha256 take VARCHAR only), and window slices
+          // must stay encoding-independent — a byte window may split a
+          // multibyte char, so no string round-trip is safe
+          hex(col("win")).as("win_hex"))
+        .orderBy("media_id", "win_id")
+    }),
+
+    "mm_pairs" -> ((s, d) => {
+      // contrastive pair construction with DETERMINISTIC negative
+      // sampling (fixed multiplicative hash over the dense id space —
+      // no RNG state, so retries rebuild identical training pairs);
+      // negatives resolve via one id-equi join, never a cross join
+      val docs = t(s, d, "documents")
+      val n = docs.agg(count(lit(1))).head().getLong(0)
+      Multimodal.contrastivePairs(
+          docs.select(col("doc_id")), "doc_id",
+          docs.select(col("doc_id"), substring(col("text"), 1, 40)
+            .as("caption")), "doc_id", "caption",
+          nIds = n, negatives = 2)
+        .orderBy("media_id", "pair_no")
     })
   )
 
@@ -3640,6 +3695,21 @@ object SparkEntry {
         |QUALIFY rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
 
+    "embed_pool" ->
+      """WITH e AS (
+        |  SELECT label, gs AS pos,
+        |         CAST(ROUND(embedding[gs+1] * 1000) AS BIGINT) AS mv
+        |  FROM (SELECT label, embedding,
+        |               unnest(range(0, len(embedding))) AS gs
+        |        FROM embeddings)
+        |), s AS (
+        |  SELECT label, pos, SUM(mv) AS sv, count(*) AS n
+        |  FROM e GROUP BY 1, 2
+        |)
+        |SELECT CAST(label AS BIGINT) AS label, max(n) AS n_vecs,
+        |       list(sv ORDER BY pos) AS pooled_milli
+        |FROM s GROUP BY label ORDER BY label""".stripMargin,
+
     "embed_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |       CAST(ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 1000) AS BIGINT) AS cosine_milli
@@ -3679,7 +3749,50 @@ object SparkEntry {
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |       CAST(list_sum(list_transform(string_split_regex(text, ''), c -> ascii(c))) AS BIGINT) AS checksum,
         |       CAST(octet_length(encode(text)) % 251 AS BIGINT) AS f0
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "mm_dedup" ->
+      """SELECT sha256(text) AS digest,
+        |       min(doc_id) AS keep_id,
+        |       count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    "mm_audio_windows" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, encode(text) AS media,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents WHERE octet_length(encode(text)) > 0
+        |), w AS (
+        |  SELECT media_id, media, n,
+        |         unnest(range(0, (n-1)//48 + 1)) AS gs FROM m
+        |)
+        |SELECT media_id, CAST(gs AS BIGINT) AS win_id,
+        |       CAST(least(64, n - gs*48) AS BIGINT) AS win_len,
+        |       substring(hex(media), gs*96+1, 128) AS win_hex
+        |FROM w ORDER BY media_id, win_id""".stripMargin,
+
+    "mm_pairs" ->
+      """WITH n AS (SELECT count(*) AS c FROM documents),
+        |cap AS (SELECT doc_id AS cap_id, substring(text, 1, 40) AS caption
+        |        FROM documents),
+        |pos AS (SELECT doc_id AS media_id, doc_id AS cap_id,
+        |               1 AS label, 0 AS pair_no FROM documents),
+        |neg0 AS (
+        |  SELECT d.doc_id AS media_id, p.pair_no,
+        |         (d.doc_id * 2654435761 + p.pair_no * 40503) % n.c AS cap_id
+        |  FROM documents d, n, (SELECT unnest(range(1, 3)) AS pair_no) p
+        |),
+        |neg AS (
+        |  SELECT media_id,
+        |         CASE WHEN cap_id = media_id
+        |              THEN (cap_id + 1) % (SELECT c FROM n) ELSE cap_id END
+        |           AS cap_id,
+        |         0 AS label, pair_no FROM neg0
+        |)
+        |SELECT u.media_id, u.cap_id, u.label, u.pair_no, cap.caption
+        |FROM (SELECT * FROM pos UNION ALL SELECT * FROM neg) u
+        |JOIN cap USING (cap_id)
+        |ORDER BY media_id, pair_no""".stripMargin
   )
 
   /** lang-ID oracle: the same padded stopword-count argmax formula. */

@@ -44,6 +44,35 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /**
+   * Group-wise mean pooling of embeddings — the chunk→document (or
+   * frame→clip) aggregation step: chunk embeddings of one group
+   * combine into a single vector. Pooling runs in INTEGER millis
+   * (each component rounds to round(x*1000) before summing), so the
+   * result is bit-identical under any aggregation order — float
+   * mean-pooling is not reproducible across partitionings, and
+   * reproducible data builds matter more than the 1e-3 quantization.
+   * Callers divide `pooled_milli` by `n_vecs` (and L2-normalize) when
+   * a unit vector is needed downstream; keeping the raw sums makes
+   * pools MERGEABLE across shards.
+   *
+   * Scale shape: posexplode → ONE exchange on (group, dim) with
+   * map-side partial sums (P×dims longs per partition), then a
+   * per-group sort of `dims` entries — never a per-group row
+   * materialization. 100 TB of chunk embeddings pool at shuffle speed.
+   */
+  def meanPoolMilli(df: DataFrame, groupCol: String,
+      vecCol: String): DataFrame =
+    df.select(col(groupCol).cast("long").as("g"),
+        posexplode(asDouble(col(vecCol))).as(Seq("pos", "v")))
+      .withColumn("mv", round(col("v") * 1000).cast("long"))
+      .groupBy(col("g"), col("pos"))
+      .agg(sum(col("mv")).as("sv"), count(lit(1)).as("n"))
+      .groupBy(col("g"))
+      .agg(max(col("n")).as("n_vecs"),
+        transform(array_sort(collect_list(struct(col("pos"), col("sv")))),
+          x => x("sv")).as("pooled_milli"))
+
+  /**
    * Brute-force cosine top-k: for each query vector, the k nearest
    * corpus vectors. Queries are broadcast (small side); the corpus is
    * scanned once; ranking shuffles only (query_id, candidate) pairs
