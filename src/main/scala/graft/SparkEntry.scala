@@ -1969,6 +1969,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "text_ccnet_bucket" -> ((s, d) => {
+      // CCNet head/middle/tail corpus split: perplexity proxied by
+      // corpus token frequency (integer-exact), cutoffs from a scalar
+      // corpus reference — no LM, no global sort (see TextOps)
+      TextOps.ccnetBucket(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     "chunk_documents" -> ((s, d) => {
       // RAG/retrieval unit prep: every document cut into 64-token
       // windows advancing by 48 (25% overlap), digest per chunk — a
@@ -3245,6 +3253,24 @@ object SparkEntry {
         |       CAST(ROUND(SUM(value)*100) AS BIGINT) AS value_cents,
         |       epoch_us(MIN(ts)) AS first_us
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "text_ccnet_bucket" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-zA-Z0-9]+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |cnt AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY 1),
+        |tot AS (SELECT SUM(c*c) AS s2, SUM(c) AS s1 FROM cnt),
+        |doc AS (SELECT t.doc_id, SUM(cnt.c) AS sum_c, COUNT(*) AS n_tokens
+        |        FROM tok t JOIN cnt USING (token) GROUP BY 1)
+        |SELECT doc_id, n_tokens,
+        |       (sum_c * 1000) // n_tokens AS avg_count_milli,
+        |       CASE WHEN (sum_c * 1000) // n_tokens >=
+        |                 (SELECT (s2 * 1000) // s1 FROM tot) THEN 'head'
+        |            WHEN ((sum_c * 1000) // n_tokens) * 2 <
+        |                 (SELECT (s2 * 1000) // s1 FROM tot) THEN 'tail'
+        |            ELSE 'middle' END AS bucket
+        |FROM doc ORDER BY doc_id""".stripMargin,
 
     "chunk_documents" ->
       """WITH toks AS (

@@ -457,6 +457,44 @@ object TextOps {
   }
 
   /**
+   * CCNet-style corpus-frequency bucketing (Wenzek et al.: split a
+   * crawl into head/middle/tail by LM perplexity; the open-source
+   * pipeline's defining filter). With no LM in this environment the
+   * perplexity proxy is the corpus itself: a document whose tokens are
+   * corpus-COMMON scores like low-perplexity text, one built of rare
+   * tokens like tail text. All arithmetic is integer-exact:
+   *
+   *   score(doc)  = (Σ corpusCount(token) * 1000) DIV n_tokens
+   *   corpus ref  = (Σ c² * 1000) DIV (Σ c)   (the same average taken
+   *                 over every token OCCURRENCE in the corpus)
+   *   head   if score ≥ ref; tail if 2·score < ref; else middle.
+   *
+   * Fixed corpus-relative cutoffs instead of ntile terciles ON PURPOSE:
+   * terciles need a global sort of all documents, the scalar reference
+   * broadcasts. Scale shape: pass 1 is word-count (map-side combine,
+   * one exchange); pass 2 re-tokenizes and joins counts on token (one
+   * exchange) and folds per doc. Two corpus passes total, no global
+   * ordering anywhere.
+   */
+  def ccnetBucket(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("doc_id"),
+      explode(tokens(lower(col(textCol)))).as("token"))
+    val cnt = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val ref = cnt.agg(sum(col("c") * col("c")), sum(col("c"))).head()
+    val refMilli = ref.getLong(0) * 1000L / ref.getLong(1)
+    tok.join(cnt, "token")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("sum_c"), count(lit(1)).as("n_tokens"))
+      .withColumn("avg_count_milli", expr("(sum_c * 1000) DIV n_tokens"))
+      .withColumn("bucket",
+        when(col("avg_count_milli") >= refMilli, "head")
+          .when(col("avg_count_milli") * 2 < refMilli, "tail")
+          .otherwise("middle"))
+      .select(col("doc_id"), col("n_tokens"), col("avg_count_milli"),
+        col("bucket"))
+  }
+
+  /**
    * Overlapping fixed-window document chunking — the retrieval/RAG unit
    * prep complement of [[packSequences]]: packing concatenates documents
    * into training sequences, chunking cuts EACH document independently
