@@ -1977,6 +1977,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "text_bpe_train" -> ((s, d) => {
+      // tokenizer TRAINING: 8 BPE merges learned from the corpus word
+      // distribution — one corpus-shaped shuffle (word count), then
+      // per-step aggs over distinct words only; one row per step
+      // reaches the driver (see TextOps.bpeTrain)
+      TextOps.bpeTrain(t(s, d, "documents"), "text", steps = 8)
+        .orderBy("merge_rank")
+    }),
+
     "chunk_documents" -> ((s, d) => {
       // RAG/retrieval unit prep: every document cut into 64-token
       // windows advancing by 48 (25% overlap), digest per chunk — a
@@ -2627,6 +2636,36 @@ object SparkEntry {
   // DuckDB oracles (same parquet tables; ANSI SQL)
   // =====================================================================
 
+  /** Unrolled k-step BPE training oracle: the WITH chain repeats the
+   *  identical (pair-count → argmax → 3× delimited replace) step that
+   *  `TextOps.bpeTrain` runs, so both engines compute the same merge
+   *  table by construction (fixed pass count, total tie-break order). */
+  private def bpeOracleSql(steps: Int): String = {
+    val w0 =
+      """WITH w0 AS (
+        |  SELECT ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS seq, cnt
+        |  FROM (SELECT word, COUNT(*) AS cnt FROM (
+        |      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-zA-Z0-9]+'), x -> x <> '')) AS word
+        |      FROM documents) WHERE regexp_matches(word, '^[a-z]+$') GROUP BY word))""".stripMargin
+    val stepCtes = (1 to steps).map { n =>
+      s"""p$n AS (SELECT syms[i] AS l, syms[i+1] AS r, SUM(cnt) AS c
+         |  FROM (SELECT string_split(trim(seq), ' ') AS syms, cnt FROM w${n - 1}) t,
+         |       UNNEST(range(1, len(syms))) AS u(i)
+         |  GROUP BY 1,2),
+         |b$n AS (SELECT l, r, c FROM p$n ORDER BY c DESC, l, r LIMIT 1),
+         |w$n AS (SELECT replace(replace(replace(seq, ' '||l||' '||r||' ', ' '||l||r||' '),
+         |                    ' '||l||' '||r||' ', ' '||l||r||' '),
+         |                    ' '||l||' '||r||' ', ' '||l||r||' ') AS seq, cnt
+         |  FROM w${n - 1}, b$n)""".stripMargin
+    }
+    val selects = (1 to steps).map { n =>
+      s"SELECT CAST($n AS BIGINT) AS merge_rank, l AS sym_left, r AS sym_right, l||r AS merged, CAST(c AS BIGINT) AS pair_cnt FROM b$n"
+    }
+    (w0 +: stepCtes).mkString(",\n") +
+      "\nSELECT * FROM (" + selects.mkString("\nUNION ALL ") +
+      ") ORDER BY merge_rank"
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -3253,6 +3292,8 @@ object SparkEntry {
         |       CAST(ROUND(SUM(value)*100) AS BIGINT) AS value_cents,
         |       epoch_us(MIN(ts)) AS first_us
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "text_bpe_train" -> bpeOracleSql(8),
 
     "text_ccnet_bucket" ->
       """WITH tok AS (

@@ -551,6 +551,89 @@ object TextOps {
    * tf/dl come from the same tokenization both passes; no shuffle ever
    * carries more than the aggregate row and the top-N heap.
    */
+  /**
+   * Distributed BPE merge learning — the tokenizer-TRAINING step that
+   * [[vocabulary]] only prefaces (reference scope: the training-data
+   * pipeline's tokenizer prep). Classic byte-pair encoding over the
+   * corpus word distribution: represent each distinct word as
+   * space-delimited symbols, then `steps` times (1) count adjacent
+   * symbol pairs weighted by corpus word frequency, (2) pick the most
+   * frequent pair (deterministic tie-break: count desc, then left/right
+   * symbol asc), (3) fuse that pair everywhere. Returns the learned
+   * merge table `(merge_rank, sym_left, sym_right, merged, pair_cnt)` —
+   * `pair_cnt` is the pair's corpus frequency at selection time, as in
+   * standard BPE.
+   *
+   * Cross-engine contract: the fuse step is a fixed THREE applications
+   * of non-overlapping left-to-right `replace(' l r ' → ' lr ')` on the
+   * delimited string. One application can miss chained occurrences
+   * (`" l r l r "` — the shared delimiter is consumed by the first
+   * match); three applications reach the fixpoint for any chain depth
+   * that survives two rounds, and the count is fixed (not
+   * iterate-until-stable) so Spark and the SQL oracle compute the
+   * IDENTICAL result by construction. A replacement token can never
+   * spell a new `" l r "` match (it is a single delimited symbol), so
+   * the pass count only ever under-merges — identically on both sides.
+   *
+   * Scale shape: the only corpus-shaped stage is the one word-count
+   * shuffle building the distinct-word frame (exactly [[vocabulary]]'s
+   * heavy stage). Each of the `steps` iterations then runs over
+   * DISTINCT words only — pair extraction is a zero-shuffle zip/explode,
+   * the pair count aggregates with map-side partials (shuffle bounded
+   * by observed distinct pairs, ≤ symbol-vocab²), and only ONE row
+   * reaches the driver per step. The word frame re-persists each
+   * iteration so lineage stays flat. At 100 TB: ~1e8 distinct words ×
+   * a few dozen iterations of small aggs — the corpus itself is
+   * touched once.
+   */
+  def bpeTrain(df: DataFrame, textCol: String, steps: Int): DataFrame = {
+    require(steps >= 1, s"need steps >= 1, got $steps")
+    val spark = df.sparkSession
+    // distinct lowercase-alphabetic words with corpus counts, as
+    // delimited symbol strings " h e l l o "
+    val words0 = df
+      .select(explode(tokens(lower(col(textCol)))).as("word"))
+      .where(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 "))
+        .as("seq"), col("cnt"))
+
+    var cur = words0.persist()
+    cur.count()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= steps && !exhausted) {
+      val syms = cur.select(split(trim(col("seq")), " ").as("s"), col("cnt"))
+      val best = syms
+        .select(explode(arrays_zip(
+            slice(col("s"), lit(1), size(col("s")) - 1),
+            slice(col("s"), lit(2), size(col("s")) - 1))).as("p"), col("cnt"))
+        .groupBy(col("p.0").as("l"), col("p.1").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((step.toLong, l, r, l + r, c))
+        // symbols are [a-z]+ by the word filter — safe as SQL literals
+        val pat = s" $l $r "; val rep = s" $l$r "
+        val fused = cur.withColumn("seq",
+          expr(s"replace(replace(replace(seq, '$pat', '$rep'), '$pat', '$rep'), '$pat', '$rep')"))
+        val next = fused.persist()
+        next.count()
+        cur.unpersist()
+        cur = next
+        step += 1
+      }
+    }
+    cur.unpersist()
+    import spark.implicits._
+    merges.toSeq
+      .toDF("merge_rank", "sym_left", "sym_right", "merged", "pair_cnt")
+  }
+
   def bm25(docs: DataFrame, textCol: String, idCol: String,
       terms: Seq[String], topN: Int = 20): DataFrame = {
     val toks = tokens(lower(col(textCol)))

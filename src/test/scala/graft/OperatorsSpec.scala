@@ -910,4 +910,44 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val wantMd5 = spark.range(1).select(md5(lit(want))).head().getString(0)
     assert(d1.last == wantMd5)
   }
+
+  test("bpeTrain learns classic merges with deterministic tie-breaks") {
+    import spark.implicits._
+    // corpus: "low" x5, "lower" x2, "newest" x6, "widest" x3
+    // classic BPE walkthrough: (e,s) 9 -> (es,t) 9 -> (l,o) 7 -> (lo,w) 7 ...
+    val docs = Seq(
+      (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" "))
+      .toDF("text")
+    val out = TextOps.bpeTrain(docs, "text", steps = 4)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, "e", "s", "es", 9L),
+      (2L, "es", "t", "est", 9L),
+      (3L, "l", "o", "lo", 7L),
+      (4L, "lo", "w", "low", 7L)))
+  }
+
+  test("bpeTrain chained-pair fusion matches fixed 3-pass replace") {
+    import spark.implicits._
+    // "aaaa" x3: pair (a,a) count = 9 (3 adjacencies x 3 words... one
+    // distinct word, cnt 3, 3 pairs each). After merging (a,a) with the
+    // 3-pass delimited replace, "a a a a" -> "aa aa"; next best pair is
+    // (aa,aa) count 3.
+    val docs = Seq(Seq.fill(3)("aaaa").mkString(" ")).toDF("text")
+    val out = TextOps.bpeTrain(docs, "text", steps = 2)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4)))
+    assert(out.toSeq == Seq(("a", "a", 9L), ("aa", "aa", 3L)))
+  }
+
+  test("bpeTrain stops early when no pairs remain") {
+    import spark.implicits._
+    // single-char words only: no adjacent pairs ever
+    val docs = Seq("a b c a b").toDF("text")
+    val out = TextOps.bpeTrain(docs, "text", steps = 5).collect()
+    assert(out.isEmpty)
+  }
 }
