@@ -1391,6 +1391,40 @@ object SparkEntry {
                |FROM $cname.graft.ev_ins GROUP BY 1 ORDER BY 1""".stripMargin)
     }),
 
+    "cdc_sql_delete" -> ((s, d) => {
+      // SQL DELETE FROM through the V2 catalog (SupportsDelete): Spark
+      // hands the WHERE clause as source filters, the table translates
+      // them back to the CDC predicate-delete path — matched rows
+      // become delete events whose old versions are DV-masked via the
+      // key index. O(matched), no data file rewritten; the follow-up
+      // read resolves the new manifest through the same catalog.
+      val wh = freshDir("wh-del")
+      val cat = GraftCatalog(s, wh)
+      val kv = cat.createTable("events_del", eventTableSchema,
+        Identity.Keys(Seq("user_id")), ingestCfg)
+      val ev = cdcEventFrame(s, d, None)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val mm = ev.agg(min(col("_lsn")), max(col("_lsn"))).head()
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+        val span = (hi - lo) / 2 + 1
+        (0 until 2).foreach { i =>
+          CdcPipeline.applyBatch(kv, ev.where(
+            col("_lsn") >= lo + i * span && col("_lsn") < lo + (i + 1) * span))
+        }
+      } finally ev.unpersist()
+      val cname = "gc" + math.abs(wh.hashCode).toString
+      s.conf.set(s"spark.sql.catalog.$cname",
+        classOf[graft.sources.GraftCatalogPlugin].getName)
+      s.conf.set(s"spark.sql.catalog.$cname.warehouse", wh)
+      s.sql(s"DELETE FROM $cname.graft.events_del " +
+        "WHERE value < 150.0 OR event_type = 'purchase'")
+      s.sql(s"""SELECT user_id, event_id AS last_event_id,
+               |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
+               |FROM $cname.graft.events_del
+               |ORDER BY user_id""".stripMargin)
+    }),
+
     "cdc_sql_time_travel" -> ((s, d) => {
       // M8's time-travel axis through idiomatic Spark SQL: the V2
       // catalog implements loadTable(ident, version), so
@@ -3184,6 +3218,20 @@ object SparkEntry {
         |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
         |FROM events WHERE user_id % 4 = 1
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+
+    // upsert fold (last event per user), then the SQL DELETE's
+    // predicate removes matching FINAL states — same contract as
+    // cdc_delete_where, but driven through DELETE FROM
+    "cdc_sql_delete" ->
+      """WITH last AS (
+        |  SELECT user_id, event_id, event_type, value
+        |  FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)
+        |SELECT user_id, event_id AS last_event_id,
+        |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
+        |FROM last
+        |WHERE NOT (value < 150.0 OR event_type = 'purchase')
         |ORDER BY user_id""".stripMargin,
 
     "cdc_sql_insert" ->

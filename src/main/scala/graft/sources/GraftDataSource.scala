@@ -83,6 +83,39 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
 }
 
 private[graft] object GraftSparkTable {
+  /** Translate a DSv2 source filter back to a Column predicate for the
+   *  CDC delete path. None = untranslatable (canDeleteWhere refuses,
+   *  Spark surfaces "table does not support deletes" — never a wrong
+   *  delete). Column names arrive from Spark's own analysis, so
+   *  `col(name)` resolution is safe. */
+  private[sources] def filterColumn(
+      f: org.apache.spark.sql.sources.Filter)
+      : Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    f match {
+      case EqualTo(c, v) => Some(col(c) === lit(v))
+      case EqualNullSafe(c, v) => Some(col(c) <=> lit(v))
+      case GreaterThan(c, v) => Some(col(c) > lit(v))
+      case GreaterThanOrEqual(c, v) => Some(col(c) >= lit(v))
+      case LessThan(c, v) => Some(col(c) < lit(v))
+      case LessThanOrEqual(c, v) => Some(col(c) <= lit(v))
+      case In(c, vs) => Some(col(c).isInCollection(vs.toSeq))
+      case IsNull(c) => Some(col(c).isNull)
+      case IsNotNull(c) => Some(col(c).isNotNull)
+      case StringStartsWith(c, v) => Some(col(c).startsWith(v))
+      case StringEndsWith(c, v) => Some(col(c).endsWith(v))
+      case StringContains(c, v) => Some(col(c).contains(v))
+      case And(l, r) =>
+        for (lc <- filterColumn(l); rc <- filterColumn(r)) yield lc && rc
+      case Or(l, r) =>
+        for (lc <- filterColumn(l); rc <- filterColumn(r)) yield lc || rc
+      case Not(inner) => filterColumn(inner).map(!_)
+      case AlwaysTrue() => Some(lit(true))
+      case AlwaysFalse() => Some(lit(false))
+      case _ => scala.None
+    }
+  }
+
   def load(root: String): Manifest =
     ManifestLog.loadLatest(root).getOrElse(
       throw new IllegalArgumentException(s"no graft manifest under $root"))
@@ -112,7 +145,8 @@ private[graft] object GraftSparkTable {
 private[graft] class GraftSparkTable(root: String,
     asOfVersion: Option[Long] = scala.None)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   private lazy val manifest = asOfVersion match {
     case Some(v) => ManifestLog.load(root, v) // SQL time travel pin
     case scala.None => GraftSparkTable.load(root)
@@ -133,6 +167,39 @@ private[graft] class GraftSparkTable(root: String,
   }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(root, manifest)
+
+  /** SQL `DELETE FROM` (M13's predicate-delete verb on the SQL
+   *  surface): Spark hands the WHERE clause as pushed filters; when
+   *  every conjunct translates, the delete runs as the metadata-only
+   *  CDC path — matched rows become delete events, old versions are
+   *  DV-masked via the key index, no data file is rewritten
+   *  (O(matched) vs copy-on-write's O(touched FILES) at 100 TB). A
+   *  non-translatable predicate or an append-only/time-travel target
+   *  refuses here and Spark reports the table non-deletable rather
+   *  than silently deleting the wrong rows. */
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    manifest.keyCols.nonEmpty && asOfVersion.isEmpty &&
+      filters.forall(f => GraftSparkTable.filterColumn(f).isDefined)
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    require(canDeleteWhere(filters),
+      s"$name cannot DELETE WHERE ${filters.mkString(", ")} " +
+        "(append-only table, time-travel pin, or untranslatable predicate)")
+    val cond = filters.toSeq.flatMap(GraftSparkTable.filterColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    val table = GraftTable.open(
+      org.apache.spark.sql.SparkSession.active, root,
+      graft.model.Identity.Keys(manifest.keyCols),
+      graft.table.TableConfig())
+    table.deleteWhere(cond)
+    // SQL contract: the next statement sees the delete — publish the
+    // snapshot now (flush happened inside the delete's batch apply)
+    table.flush()
+    table.publish()
+  }
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)

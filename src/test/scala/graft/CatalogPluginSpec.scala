@@ -130,6 +130,36 @@ class CatalogPluginSpec extends AnyFunSuite with BeforeAndAfterAll {
       e.getMessage.contains("keyed"))
   }
 
+  test("SQL DELETE FROM runs as the metadata-only CDC delete path") {
+    val (cname, wh) = freshCatalog()
+    val cat = GraftCatalog(spark, wh)
+    val t = cat.createTable("dl", schema, Identity.Keys(Seq("id")))
+    t.upsertAll((1L to 6L).map(i => Row(i, i * 10L)), startLsn = 1)
+    t.flush(); t.publish()
+    // simple predicate: lowered to delete events + DV masks
+    spark.sql(s"DELETE FROM $cname.graft.dl WHERE v >= 50")
+    assert(spark.sql(s"SELECT id FROM $cname.graft.dl ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    // compound predicate with IN / AND / OR translates too
+    spark.sql(s"DELETE FROM $cname.graft.dl " +
+      "WHERE id IN (1, 2) AND v < 15 OR id = 4")
+    assert(spark.sql(s"SELECT id FROM $cname.graft.dl ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
+    // no data file was rewritten: the 4 deleted rows are DV masks on
+    // the original file set
+    val m = graft.format.ManifestLog.loadLatest(s"$wh/dl").get
+    assert(m.dataFiles.map(_.deletes).sum == 4L)
+    assert(m.liveRows == 2L)
+    // append-only tables refuse SQL DELETE instead of guessing
+    cat.createTable("al", schema, Identity.None,
+      TableConfig(walEnabled = false))
+    spark.sql(s"INSERT INTO $cname.graft.al VALUES (1, 10)")
+    val e = intercept[Exception] {
+      spark.sql(s"DELETE FROM $cname.graft.al WHERE id = 1")
+    }
+    assert(e.getMessage.toLowerCase.contains("delete"))
+  }
+
   test("unknown table fails analysis, not execution") {
     val (cname, _) = freshCatalog()
     val e = intercept[Exception] {
