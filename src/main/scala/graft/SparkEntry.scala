@@ -1425,6 +1425,70 @@ object SparkEntry {
                |ORDER BY user_id""".stripMargin)
     }),
 
+    "cdc_sql_update" -> ((s, d) => {
+      // SQL UPDATE via the delta-based row-level operation API
+      // (SupportsRowLevelOperations + SupportsDelta): Spark computes
+      // the matched delta, executors stage it as CDC "u" events, ONE
+      // batch commit DVs the old versions via the key index and
+      // appends the new rows — merge-on-read, the SQL twin of
+      // cdc_update_where (copy-on-write would rewrite whole files).
+      val wh = freshDir("wh-upd")
+      val cat = GraftCatalog(s, wh)
+      val kv = cat.createTable("events_upd", eventTableSchema,
+        Identity.Keys(Seq("user_id")), ingestCfg)
+      CdcPipeline.applyBatch(kv, cdcEventFrame(s, d, None))
+      val cname = "gc" + math.abs(wh.hashCode).toString
+      s.conf.set(s"spark.sql.catalog.$cname",
+        classOf[graft.sources.GraftCatalogPlugin].getName)
+      s.conf.set(s"spark.sql.catalog.$cname.warehouse", wh)
+      s.sql(s"UPDATE $cname.graft.events_upd " +
+        "SET value = value * 2.0, event_type = 'click2x' " +
+        "WHERE event_type = 'click'")
+      s.sql(s"""SELECT user_id, event_id AS last_event_id,
+               |       event_type AS last_event_type,
+               |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
+               |FROM $cname.graft.events_upd
+               |ORDER BY user_id""".stripMargin)
+    }),
+
+    "cdc_sql_merge" -> ((s, d) => {
+      // SQL MERGE INTO through the same delta path: one statement's
+      // delete + update + insert branches land as ONE CDC batch commit
+      // (one LSN, one manifest version). Matched users with an even
+      // event count drop, the rest re-value to their event count, and
+      // a shifted-id slice inserts as brand-new keys.
+      val wh = freshDir("wh-mrg")
+      val cat = GraftCatalog(s, wh)
+      val kv = cat.createTable("events_mrg", eventTableSchema,
+        Identity.Keys(Seq("user_id")), ingestCfg)
+      CdcPipeline.applyBatch(kv, cdcEventFrame(s, d, None))
+      val cname = "gc" + math.abs(wh.hashCode).toString
+      s.conf.set(s"spark.sql.catalog.$cname",
+        classOf[graft.sources.GraftCatalogPlugin].getName)
+      s.conf.set(s"spark.sql.catalog.$cname.warehouse", wh)
+      events(s, d).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .createOrReplaceTempView("ev_src_mrg")
+      s.sql(
+        s"""MERGE INTO $cname.graft.events_mrg t
+           |USING (SELECT user_id, n FROM ev_src_mrg WHERE user_id % 3 = 0
+           |       UNION ALL
+           |       SELECT user_id + 100000 AS user_id, n
+           |       FROM ev_src_mrg WHERE user_id % 3 = 1) s
+           |ON t.user_id = s.user_id
+           |WHEN MATCHED AND s.n % 2 = 0 THEN DELETE
+           |WHEN MATCHED THEN UPDATE
+           |  SET value = CAST(s.n AS DOUBLE), event_type = 'merged'
+           |WHEN NOT MATCHED THEN INSERT (user_id, event_id, event_type, value)
+           |  VALUES (s.user_id, s.n, 'inserted', CAST(s.n AS DOUBLE))
+           |""".stripMargin)
+      s.sql(s"""SELECT user_id, event_id AS last_event_id,
+               |       event_type AS last_event_type,
+               |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
+               |FROM $cname.graft.events_mrg
+               |ORDER BY user_id""".stripMargin)
+    }),
+
     "cdc_sql_time_travel" -> ((s, d) => {
       // M8's time-travel axis through idiomatic Spark SQL: the V2
       // catalog implements loadTable(ident, version), so
@@ -3219,6 +3283,45 @@ object SparkEntry {
         |FROM events WHERE user_id % 4 = 1
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
         |ORDER BY user_id""".stripMargin,
+
+    // upsert fold, then the SQL UPDATE's assignments on matched final
+    // states — identical contract to cdc_update_where, driven through
+    // the row-level operation API
+    "cdc_sql_update" ->
+      """WITH last AS (
+        |  SELECT user_id, event_id, event_type, value
+        |  FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)
+        |SELECT user_id, event_id AS last_event_id,
+        |       CASE WHEN event_type = 'click' THEN 'click2x'
+        |            ELSE event_type END AS last_event_type,
+        |       CAST(ROUND(CASE WHEN event_type = 'click' THEN value * 2.0
+        |                       ELSE value END * 100) AS BIGINT) AS value_cents
+        |FROM last
+        |ORDER BY user_id""".stripMargin,
+
+    // MERGE semantics replayed by hand: matched user_id%3=0 rows drop
+    // (even event count) or re-value to the count; user_id%3=1 inserts
+    // at a shifted key; everything else is untouched final state
+    "cdc_sql_merge" ->
+      """WITH last AS (
+        |  SELECT user_id, event_id, event_type, value
+        |  FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1),
+        |src AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id)
+        |SELECT * FROM (
+        |  SELECT l.user_id, l.event_id AS last_event_id,
+        |         l.event_type AS last_event_type,
+        |         CAST(ROUND(l.value*100) AS BIGINT) AS value_cents
+        |  FROM last l WHERE l.user_id % 3 <> 0
+        |  UNION ALL
+        |  SELECT l.user_id, l.event_id, 'merged', CAST(s.n * 100 AS BIGINT)
+        |  FROM last l JOIN src s USING (user_id)
+        |  WHERE l.user_id % 3 = 0 AND s.n % 2 <> 0
+        |  UNION ALL
+        |  SELECT s.user_id + 100000, s.n, 'inserted', CAST(s.n * 100 AS BIGINT)
+        |  FROM src s WHERE s.user_id % 3 = 1
+        |) ORDER BY user_id""".stripMargin,
 
     // upsert fold (last event per user), then the SQL DELETE's
     // predicate removes matching FINAL states — same contract as

@@ -146,13 +146,21 @@ private[graft] class GraftSparkTable(root: String,
     asOfVersion: Option[Long] = scala.None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   private lazy val manifest = asOfVersion match {
     case Some(v) => ManifestLog.load(root, v) // SQL time travel pin
     case scala.None => GraftSparkTable.load(root)
   }
   override def name(): String = s"graft.`$root`"
-  override def schema(): StructType = manifest.schema
+  /** key columns surface as NON-nullable: a keyed table can never hold
+   *  a null key (the upsert fold indexes by it), and Spark's row-level
+   *  operations require non-nullable row-id attributes */
+  override def schema(): StructType = {
+    val keys = manifest.keyCols.toSet
+    StructType(manifest.schema.fields.map(f =>
+      if (keys(f.name)) f.copy(nullable = false) else f))
+  }
   override def capabilities(): java.util.Set[TableCapability] = {
     val caps = java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
@@ -194,11 +202,23 @@ private[graft] class GraftSparkTable(root: String,
       org.apache.spark.sql.SparkSession.active, root,
       graft.model.Identity.Keys(manifest.keyCols),
       graft.table.TableConfig())
+    // deleteWhere's batch apply publishes the snapshot itself, so the
+    // next SQL statement reads the post-delete manifest
     table.deleteWhere(cond)
-    // SQL contract: the next statement sees the delete — publish the
-    // snapshot now (flush happened inside the delete's batch apply)
-    table.flush()
-    table.publish()
+  }
+
+  /** SQL UPDATE / MERGE INTO / subquery DELETE: delta-based row-level
+   *  operations (merge-on-read) — Spark computes the matched delta and
+   *  the table applies it as ONE CDC batch commit (see RowLevelOps).
+   *  Simple DELETE WHERE still short-circuits through canDeleteWhere
+   *  above without scanning a single row of data. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(manifest.keyCols.nonEmpty,
+      s"$name is append-only: SQL DELETE/UPDATE/MERGE need a keyed table")
+    require(asOfVersion.isEmpty, "cannot mutate a time-travel pin")
+    new GraftRowLevelBuilder(root, manifest, info)
   }
 
   override def newWriteBuilder(

@@ -1,0 +1,217 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.format.{Fio, Manifest}
+import graft.model.Identity
+import graft.table.{GraftTable, TableConfig, Wal}
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/**
+ * SQL UPDATE / MERGE INTO / complex DELETE via Spark's DELTA-BASED
+ * row-level operation API (`SupportsRowLevelOperations` +
+ * `SupportsDelta`) — the merge-on-read shape, not copy-on-write.
+ *
+ * The fit is exact: a graft keyed table's row identity IS its key
+ * columns, so `rowId()` returns them and Spark's WriteDelta hands the
+ * connector precisely the CDC event stream the table's fold already
+ * consumes — `update` becomes a "u" event (delete-half DVs the old
+ * version via the key index, append-half writes the new row),
+ * `delete` a "d" event (key columns only; the fold nulls non-key
+ * fields of delete-halves anyway), `insert` an "i" append. The whole
+ * SQL statement lands as ONE atomic manifest commit at one LSN.
+ *
+ * Dataflow at scale: executors serialize their matched rows as staged
+ * JSONL event files (the WAL codec — schema-aware, exact round-trip
+ * for doubles/decimals/timestamps); the driver commit reads the staged
+ * files back DISTRIBUTED and runs the normal `applyBatchDF` fold, so
+ * no event ever sits on the driver. Copy-on-write would rewrite every
+ * touched FILE — at 100 TB with point updates that is kilobytes vs
+ * terabytes of write amplification (same argument as `updateWhere`,
+ * reference `mooncake_table.rs:1241-1288` delete-by-key semantics).
+ */
+private[graft] class GraftRowLevelBuilder(root: String, manifest: Manifest,
+    info: RowLevelOperationInfo) extends RowLevelOperationBuilder {
+  override def build(): RowLevelOperation =
+    new GraftRowLevelOperation(root, manifest, info.command())
+}
+
+private[graft] class GraftRowLevelOperation(root: String, manifest: Manifest,
+    cmd: RowLevelOperation.Command)
+    extends RowLevelOperation with SupportsDelta {
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"graft $cmd via CDC delta events"
+
+  /** the op's read side is the ordinary DSv2 scan (vectorized, DV
+   *  skipping, manifest pruning — Spark prunes to the columns the
+   *  rewrite plan needs, always including the row id) */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(root, manifest)
+
+  /** row identity = key columns; no positional metadata needed — the
+   *  delete side resolves through the key index, not (file, pos) */
+  override def rowId(): Array[NamedReference] =
+    manifest.keyCols.map(Expressions.column).toArray
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new DeltaWrite {
+        override def toBatch(): DeltaBatchWrite =
+          new GraftDeltaBatchWrite(root, manifest, info)
+      }
+    }
+}
+
+/** one staged JSONL file of CDC events per non-empty writer task;
+ *  `mutations` counts deletes + updates (either implies the batch fold
+ *  must run with delete-halves, not the append-only fast path) */
+private[graft] case class StagedEventsMessage(path: String, mutations: Long)
+    extends WriterCommitMessage
+
+private[graft] class GraftDeltaBatchWrite(root: String, manifest: Manifest,
+    info: LogicalWriteInfo) extends DeltaBatchWrite {
+  private val staging = s"$root/tmp/rlo-${info.queryId()}"
+
+  /** opened EAGERLY on the driver, before any writer task stages a
+   *  file: open() sweeps orphaned `$root/tmp` entries from old crashes,
+   *  which must not race this statement's own staging dir */
+  private lazy val table = GraftTable.open(SparkSession.active, root,
+    Identity.Keys(manifest.keyCols), TableConfig())
+
+  override def createBatchWriterFactory(
+      pinfo: PhysicalWriteInfo): DeltaWriterFactory = {
+    table // force the open (and its tmp sweep) now
+    val rowIdSchema = info.rowIdSchema().orElse(null)
+    new GraftDeltaWriterFactory(staging, manifest.schema,
+      info.schema(), rowIdSchema)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val files = messages.collect {
+      case StagedEventsMessage(p, _) if p.nonEmpty => p }
+    val hasDeletes = messages.exists {
+      case StagedEventsMessage(_, m) => m > 0; case _ => false }
+    try {
+      if (files.nonEmpty) {
+        val sch = manifest.schema
+        val lsn = math.max(table.commitLsn, 0L) + 1
+        // distributed read-back: the driver only ever sees file paths
+        val rows = spark.read.textFile(files: _*).rdd.mapPartitions { it =>
+          val mapper = new ObjectMapper()
+          it.filter(_.nonEmpty).map { line =>
+            val n = mapper.readTree(line)
+            Row.fromSeq(n.get("t").asText +:
+              Wal.nodeToRow(sch, n.get("row")).toSeq)
+          }
+        }
+        val evSchema = StructType(
+          StructField("_op", StringType) +: sch.fields)
+        val ev = spark.createDataFrame(rows, evSchema)
+          .withColumn("_lsn", lit(lsn))
+        // applyBatchDF writes the batch, resolves delete-halves into
+        // DVs and publishes ONE new manifest version — the whole SQL
+        // statement is a single atomic snapshot commit, and the next
+        // statement's loadTable sees it
+        table.applyBatchDF(ev, lsn, hasDeletes = hasDeletes)
+      }
+    } finally Fio.delete(staging)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    Fio.delete(staging)
+}
+
+private[graft] class GraftDeltaWriterFactory(staging: String,
+    tableSchema: StructType, writeSchema: StructType,
+    rowIdSchema: StructType) extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DeltaWriter[InternalRow] =
+    new GraftDeltaWriter(staging, tableSchema, writeSchema, rowIdSchema,
+      partitionId, taskId)
+}
+
+/**
+ * Executor-side event writer: buffers this task's events as JSONL and
+ * commits them as one atomically-renamed staged file. The buffer holds
+ * only this TASK's matched slice (Spark has already partitioned the
+ * delta rows), the same order of magnitude as a mem-slice; genuinely
+ * huge matched sets arrive across many tasks.
+ */
+private[graft] class GraftDeltaWriter(staging: String,
+    tableSchema: StructType, writeSchema: StructType,
+    rowIdSchema: StructType, partitionId: Int, taskId: Long)
+    extends DeltaWriter[InternalRow] {
+
+  private val sb = new java.lang.StringBuilder
+  private var mutations = 0L
+  private val mapper = new ObjectMapper()
+
+  // full-row converter for insert/update payloads (write schema ==
+  // data columns, possibly reordered vs the table schema)
+  private val rowConv =
+    CatalystTypeConverters.createToScalaConverter(writeSchema)
+  private val writeIdx = tableSchema.fields.map { f =>
+    val i = writeSchema.fieldNames.indexOf(f.name)
+    require(i >= 0, s"delta write schema misses column ${f.name}")
+    i
+  }
+  // key-only converter for delete ids; key values land at their table
+  // positions, every other field stays null (the fold nulls them too)
+  private val idConv =
+    if (rowIdSchema == null) null
+    else CatalystTypeConverters.createToScalaConverter(rowIdSchema)
+  private val idIdx =
+    if (rowIdSchema == null) Array.empty[Int]
+    else rowIdSchema.fieldNames.map(tableSchema.fieldIndex)
+
+  private def fullRow(row: InternalRow): Row = {
+    val r = rowConv(row).asInstanceOf[Row]
+    Row.fromSeq(writeIdx.toSeq.map(r.get))
+  }
+
+  private def keyRow(id: InternalRow): Row = {
+    val r = idConv(id).asInstanceOf[Row]
+    val vals = Array.fill[Any](tableSchema.length)(null)
+    idIdx.zipWithIndex.foreach { case (pos, i) => vals(pos) = r.get(i) }
+    Row.fromSeq(vals.toSeq)
+  }
+
+  private def emit(op: String, row: Row): Unit = {
+    val o = mapper.createObjectNode()
+    o.put("t", op)
+    o.set[com.fasterxml.jackson.databind.JsonNode]("row",
+      Wal.rowToNode(tableSchema, row))
+    sb.append(mapper.writeValueAsString(o)).append('\n')
+  }
+
+  override def insert(row: InternalRow): Unit = emit("i", fullRow(row))
+
+  override def update(metadata: InternalRow, id: InternalRow,
+      row: InternalRow): Unit = {
+    mutations += 1 // an update's delete-half must DV the old version
+    emit("u", fullRow(row))
+  }
+
+  override def delete(metadata: InternalRow, id: InternalRow): Unit = {
+    mutations += 1
+    emit("d", keyRow(id))
+  }
+
+  override def commit(): WriterCommitMessage =
+    if (sb.length == 0) StagedEventsMessage("", 0L)
+    else {
+      val path = f"$staging/events-$partitionId%05d-$taskId.jsonl"
+      Fio.writeAtomic(path, sb.toString)
+      StagedEventsMessage(path, mutations)
+    }
+
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
+}

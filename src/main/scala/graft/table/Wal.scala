@@ -149,7 +149,7 @@ object Wal {
     }
   }
 
-  private def rowToNode(schema: StructType, row: Row): ObjectNode = {
+  private[graft] def rowToNode(schema: StructType, row: Row): ObjectNode = {
     val o = mapper.createObjectNode()
     schema.fields.zipWithIndex.foreach { case (f, i) =>
       o.set[JsonNode](f.name,
@@ -185,7 +185,7 @@ object Wal {
       throw new IllegalArgumentException(s"unsupported WAL type $d / ${x.getClass}")
   }
 
-  private def nodeToRow(schema: StructType, n: JsonNode): Row =
+  private[graft] def nodeToRow(schema: StructType, n: JsonNode): Row =
     Row.fromSeq(schema.fields.toSeq.map(f => nodeToValue(f.dataType, n.get(f.name))))
 
   private def nodeToValue(dt: DataType, n: JsonNode): Any = {

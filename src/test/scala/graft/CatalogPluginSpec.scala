@@ -160,6 +160,52 @@ class CatalogPluginSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.toLowerCase.contains("delete"))
   }
 
+  test("SQL UPDATE runs as a delta-based row-level operation") {
+    val (cname, wh) = freshCatalog()
+    val cat = GraftCatalog(spark, wh)
+    val t = cat.createTable("up", schema, Identity.Keys(Seq("id")))
+    t.upsertAll((1L to 5L).map(i => Row(i, i * 10L)), startLsn = 1)
+    t.flush(); t.publish()
+    spark.sql(s"UPDATE $cname.graft.up SET v = v + 1000 WHERE id >= 4")
+    assert(spark.sql(s"SELECT id, v FROM $cname.graft.up ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 1040L), (5L, 1050L)))
+    // the update is merge-on-read: old versions DV-masked, not rewritten
+    val m = graft.format.ManifestLog.loadLatest(s"$wh/up").get
+    assert(m.dataFiles.map(_.deletes).sum == 2L)
+    // a second UPDATE over the updated state composes
+    spark.sql(s"UPDATE $cname.graft.up SET v = 0 WHERE v > 1000")
+    assert(spark.sql(s"SELECT sum(v) FROM $cname.graft.up")
+      .head().getLong(0) == 60L)
+  }
+
+  test("SQL MERGE INTO upserts and deletes through one commit") {
+    val (cname, wh) = freshCatalog()
+    val cat = GraftCatalog(spark, wh)
+    val t = cat.createTable("mg", schema, Identity.Keys(Seq("id")))
+    t.upsertAll(Seq(Row(1L, 10L), Row(2L, 20L), Row(3L, 30L)), startLsn = 1)
+    t.flush(); t.publish()
+    import spark.implicits._
+    Seq((2L, 200L), (3L, -1L), (4L, 40L)).toDF("id", "v")
+      .createOrReplaceTempView("mg_src")
+    val beforeLsn = graft.format.ManifestLog.loadLatest(s"$wh/mg").get.commitLsn
+    spark.sql(
+      s"""MERGE INTO $cname.graft.mg t USING mg_src s ON t.id = s.id
+         |WHEN MATCHED AND s.v < 0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET t.v = s.v
+         |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)
+         |""".stripMargin)
+    assert(spark.sql(s"SELECT id, v FROM $cname.graft.mg ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 10L), (2L, 200L), (4L, 40L)))
+    // the whole MERGE (delete + update + insert) landed as ONE snapshot
+    // at ONE new LSN (open's WAL catch-up may add a recovery version at
+    // the OLD lsn, so count versions that advanced the commit LSN)
+    val vs = graft.format.ManifestLog.versions(s"$wh/mg")
+      .map(v => graft.format.ManifestLog.load(s"$wh/mg", v).commitLsn)
+    assert(vs.count(_ > beforeLsn) == 1)
+  }
+
   test("unknown table fails analysis, not execution") {
     val (cname, _) = freshCatalog()
     val e = intercept[Exception] {
