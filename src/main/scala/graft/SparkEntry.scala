@@ -826,6 +826,43 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    "cdc_stream_sink" -> ((s, d) => {
+      // the table as a Structured Streaming SINK — the writeStream
+      // half that closes the DSv2 loop with cdc_stream_source: a
+      // 4-file event feed streams INTO an append-only graft table via
+      // `writeStream.format("graft")`, each micro-batch epoch
+      // committing exactly-once through the manifest's epoch watermark
+      // (Manifest.streamEpochs rides the same atomic manifest commit
+      // as the data). The final batch read over the table must equal
+      // the plain batch aggregate of the feed.
+      val feed = streamSourceDir(
+        events(s, d).select(col("user_id"), col("event_id"),
+          col("event_type"), col("value")),
+        n = 4, idCol = "event_id")
+      val root = freshDir("gsk")
+      GraftTable.create(s, root, eventTableSchema,
+        Identity.None, TableConfig(walEnabled = false))
+      import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+      withShufflePartitions(s, 4) {
+        val q = s.readStream
+          .schema(StructType(Seq(
+            StructField("user_id", LongType), StructField("event_id", LongType),
+            StructField("event_type", StringType), StructField("value", DoubleType))))
+          .option("maxFilesPerTrigger", 1).parquet(feed)
+          .writeStream.format("graft").option("path", root)
+          .option("checkpointLocation", freshDir("gsk_ckpt"))
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      // read back through the DSv2 scan: the sink's publishes are
+      // manifest commits, visible to any fresh reader
+      s.read.format("graft").option("path", root).load()
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), cents(sum(col("value"))).as("value_cents"))
+        .orderBy("event_type")
+    }),
+
     "cdc_sql_view" -> ((s, d) => {
       // S12: catalog + temp-view registration — plain spark.sql runs
       // over the live ingested state (the reference serves DuckDB/
@@ -3181,6 +3218,12 @@ object SparkEntry {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // every event exactly once through the streaming source
+    // every feed row lands exactly once whatever the epoch count
+    "cdc_stream_sink" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(ROUND(SUM(value)*100) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "cdc_stream_source" ->
       """SELECT event_type, count(*) AS n,
         |       CAST(ROUND(SUM(value)*100) AS BIGINT) AS value_cents

@@ -52,7 +52,12 @@ final case class Manifest(
     // physical column names dropped from the schema that may still
     // exist in live data files; re-adding one forces a fresh physical
     // name (see SchemaDsl.PhysicalKey)
-    droppedCols: Seq[String] = Seq.empty) {
+    droppedCols: Seq[String] = Seq.empty,
+    // streaming-sink exactly-once watermark: number of committed sink
+    // epochs — micro-batch epoch e commits iff e >= streamEpochs, so a
+    // replayed epoch after restart is a no-op. Missing in pre-sink
+    // manifests → Jackson default 0 → every epoch ≥ 0 is new (correct).
+    streamEpochs: Long = 0L) {
 
   def schema: StructType =
     DataType.fromJson(schemaJson).asInstanceOf[StructType]

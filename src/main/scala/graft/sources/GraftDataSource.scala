@@ -169,8 +169,12 @@ private[graft] class GraftSparkTable(root: String,
     // commit adopts the part files into the manifest (the bulk-load
     // path, S7). Keyed tables need the upsert fold — their writes stay
     // on the ingestion API, so they do not advertise writability.
-    if (manifest.keyCols.isEmpty)
+    if (manifest.keyCols.isEmpty) {
       caps.add(TableCapability.V1_BATCH_WRITE)
+      // append-only tables also take streaming appends (exactly-once
+      // epoch commits; see GraftStreamingWrite)
+      caps.add(TableCapability.STREAMING_WRITE)
+    }
     caps
   }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -228,6 +232,8 @@ private[graft] class GraftSparkTable(root: String,
       s"$name is a keyed table: INSERT goes through the ingestion API " +
         "(upserts need the key fold); SQL INSERT appends are append-only")
     require(asOfVersion.isEmpty, "cannot INSERT into a time-travel pin")
+    val writeSchema = info.schema()
+    val queryId = info.queryId()
     new org.apache.spark.sql.connector.write.WriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.V1Write {
@@ -237,6 +243,9 @@ private[graft] class GraftSparkTable(root: String,
               require(!overwrite, "graft INSERT is append-only (no OVERWRITE)")
               GraftSparkTable.appendSql(root, data)
             }
+          override def toStreaming
+              : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+            new GraftStreamingWrite(root, manifest, queryId, writeSchema)
         }
     }
   }

@@ -74,6 +74,25 @@ private[graft] class GraftRowLevelOperation(root: String, manifest: Manifest,
 private[graft] case class StagedEventsMessage(path: String, mutations: Long)
     extends WriterCommitMessage
 
+private[graft] object StagedEvents {
+  /** Staged JSONL event files -> a distributed `(_op, data columns)`
+   *  frame: the driver only ever touches file PATHS, the WAL-codec
+   *  deserialization runs in the executors. */
+  def readEvents(spark: SparkSession, files: Seq[String],
+      sch: StructType): org.apache.spark.sql.DataFrame = {
+    val rows = spark.read.textFile(files: _*).rdd.mapPartitions { it =>
+      val mapper = new ObjectMapper()
+      it.filter(_.nonEmpty).map { line =>
+        val n = mapper.readTree(line)
+        Row.fromSeq(n.get("t").asText +:
+          Wal.nodeToRow(sch, n.get("row")).toSeq)
+      }
+    }
+    spark.createDataFrame(rows,
+      StructType(StructField("_op", StringType) +: sch.fields))
+  }
+}
+
 private[graft] class GraftDeltaBatchWrite(root: String, manifest: Manifest,
     info: LogicalWriteInfo) extends DeltaBatchWrite {
   private val staging = s"$root/tmp/rlo-${info.queryId()}"
@@ -100,20 +119,8 @@ private[graft] class GraftDeltaBatchWrite(root: String, manifest: Manifest,
       case StagedEventsMessage(_, m) => m > 0; case _ => false }
     try {
       if (files.nonEmpty) {
-        val sch = manifest.schema
         val lsn = math.max(table.commitLsn, 0L) + 1
-        // distributed read-back: the driver only ever sees file paths
-        val rows = spark.read.textFile(files: _*).rdd.mapPartitions { it =>
-          val mapper = new ObjectMapper()
-          it.filter(_.nonEmpty).map { line =>
-            val n = mapper.readTree(line)
-            Row.fromSeq(n.get("t").asText +:
-              Wal.nodeToRow(sch, n.get("row")).toSeq)
-          }
-        }
-        val evSchema = StructType(
-          StructField("_op", StringType) +: sch.fields)
-        val ev = spark.createDataFrame(rows, evSchema)
+        val ev = StagedEvents.readEvents(spark, files, manifest.schema)
           .withColumn("_lsn", lit(lsn))
         // applyBatchDF writes the batch, resolves delete-halves into
         // DVs and publishes ONE new manifest version — the whole SQL

@@ -110,6 +110,8 @@ final class GraftTable private (
   // in live data files (drop never rewrites data)
   private val droppedColsVar =
     mutable.ArrayBuffer[String](initManifest.droppedCols: _*)
+  // streaming-sink exactly-once watermark (see Manifest.streamEpochs)
+  private var streamEpochsVar: Long = initManifest.streamEpochs
 
   def version: Long = versionVar
   def commitLsn: Long = commitLsnVar
@@ -1045,7 +1047,8 @@ final class GraftTable private (
 
   def currentManifest: Manifest = Manifest(versionVar, commitLsnVar,
     flushLsnVar, schemaVar.json, keyCols, fileEntries.values.toSeq,
-    dvFiles.toSeq, indexFiles.toSeq, lastFieldIdVar, droppedColsVar.toSeq)
+    dvFiles.toSeq, indexFiles.toSeq, lastFieldIdVar, droppedColsVar.toSeq,
+    streamEpochsVar)
 
   // ---- metadata tables (Iceberg `table.files` / `table.history` role) --
 
@@ -1918,6 +1921,25 @@ final class GraftTable private (
    *  without rewriting; index built unless append-only (reference
    *  `batch_ingestion.rs:71,166`). One metadata job covers every
    *  per-file row count — not a driver loop of one job per file. */
+  /**
+   * Streaming-sink epoch commit (exactly-once): append `events`
+   * (an `_op`/`_lsn`-shaped frame of "i" rows) iff `epochId` has not
+   * been committed to this table yet. The epoch watermark rides the
+   * SAME manifest commit as the data (`Manifest.streamEpochs`), so a
+   * crash between data and watermark is impossible and a micro-batch
+   * replay after restart no-ops. Returns whether the epoch committed.
+   */
+  def applyEpochDF(events: DataFrame, epochId: Long): Boolean = synchronized {
+    if (epochId < streamEpochsVar) false
+    else {
+      streamEpochsVar = epochId + 1
+      val lsn = math.max(commitLsnVar, 0L) + 1
+      applyBatchDF(events.withColumn("_lsn", lit(lsn)), lsn,
+        hasDeletes = false)
+      true
+    }
+  }
+
   def loadFiles(files: Seq[String], lsn: Long): Unit = synchronized {
     Fio.mkdirs(s"$root/data")
     val renamed = files.map { src =>
