@@ -826,6 +826,36 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    "cdc_sql_history" -> ((s, d) => {
+      // Delta-style metadata tables through the SQL catalog: the
+      // 4-batch CDC history queried as `t$history` — pure SQL over
+      // manifest JSON (zero data files opened), same event-sourced
+      // live-rows contract as cdc_meta_history.
+      val wh = freshDir("wh-hist")
+      val cat = GraftCatalog(s, wh)
+      val kv = cat.createTable("events_hist", eventTableSchema,
+        Identity.Keys(Seq("user_id")), ingestCfg)
+      val ev = cdcEventFrame(s, d, Some("purchase"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val mm = ev.agg(min(col("_lsn")), max(col("_lsn"))).head()
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+        val span = (hi - lo) / 4 + 1
+        (0 until 4).foreach { i =>
+          CdcPipeline.applyBatch(kv, ev.where(
+            col("_lsn") >= lo + i * span && col("_lsn") < lo + (i + 1) * span))
+        }
+      } finally ev.unpersist()
+      val cname = "gc" + math.abs(wh.hashCode).toString
+      s.conf.set(s"spark.sql.catalog.$cname",
+        classOf[graft.sources.GraftCatalogPlugin].getName)
+      s.conf.set(s"spark.sql.catalog.$cname.warehouse", wh)
+      s.sql(s"""SELECT DISTINCT commit_lsn, live_rows
+               |FROM $cname.graft.`events_hist$$history`
+               |WHERE commit_lsn >= 0
+               |ORDER BY commit_lsn""".stripMargin)
+    }),
+
     "cdc_stream_sink" -> ((s, d) => {
       // the table as a Structured Streaming SINK — the writeStream
       // half that closes the DSv2 loop with cdc_stream_source: a
@@ -3180,6 +3210,23 @@ object SparkEntry {
     // of the 4 batch commits' LSN is the max event_id below its cut;
     // live rows at a cut = users whose latest event there is not a
     // purchase (the delete op)
+    // the SQL twin of cdc_meta_history: same 4-batch cuts, queried as
+    // the `t$history` metadata table
+    "cdc_sql_history" ->
+      """WITH b AS (SELECT min(event_id) AS lo, max(event_id) AS hi FROM events),
+        |cuts AS (
+        |  SELECT (SELECT max(event_id) FROM events
+        |          WHERE event_id < (SELECT lo + i*((hi-lo)//4+1) FROM b)) AS commit_lsn
+        |  FROM generate_series(1, 4) t(i)),
+        |state AS (
+        |  SELECT c.commit_lsn, e.user_id, e.event_type,
+        |         row_number() OVER (PARTITION BY c.commit_lsn, e.user_id
+        |                            ORDER BY e.event_id DESC) AS rn
+        |  FROM events e JOIN cuts c ON e.event_id <= c.commit_lsn)
+        |SELECT commit_lsn, count(*) AS live_rows
+        |FROM state WHERE rn = 1 AND event_type <> 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "cdc_meta_history" ->
       """WITH b AS (SELECT min(event_id) AS lo, max(event_id) AS hi FROM events),
         |cuts AS (

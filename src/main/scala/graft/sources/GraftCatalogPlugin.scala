@@ -118,6 +118,18 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
       e.database == dbOf(ident.namespace) && e.table == ident.name)
 
   override def loadTable(ident: Identifier): Table = {
+    // Delta-style metadata tables: `` t$history `` / `` t$files ``
+    // resolve beside the base table and answer from manifest JSON only
+    MetaTables.split(ident.name()) match {
+      case Some((base, suffix)) =>
+        val baseIdent = Identifier.of(ident.namespace(), base)
+        if (!tableExists(baseIdent))
+          throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+            (ident.namespace() :+ ident.name()).toSeq)
+        return MetaTables.table(rootOf(baseIdent), suffix,
+          s"$catalogName.${ident.namespace().mkString(".")}.${ident.name()}")
+      case scala.None =>
+    }
     if (!tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         (ident.namespace() :+ ident.name()).toSeq)

@@ -1,0 +1,111 @@
+package graft.sources
+
+import graft.format.ManifestLog
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/**
+ * Delta-style metadata tables through the SQL catalog: a graft table
+ * `t` also resolves as `` t$history `` (one row per manifest version —
+ * the reference surfaces the same axis as Iceberg snapshot history)
+ * and `` t$files `` (the CURRENT version's file-level accounting).
+ * Everything answers from manifest JSON on the driver — zero data
+ * files opened, O(versions + files) rows — but flows through a normal
+ * DSv2 scan so joins/filters/aggregations over metadata compose like
+ * any other table.
+ */
+private[graft] object MetaTables {
+
+  val HistorySchema: StructType = StructType(Seq(
+    StructField("version", LongType), StructField("commit_lsn", LongType),
+    StructField("flush_lsn", LongType), StructField("n_files", LongType),
+    StructField("total_rows", LongType), StructField("live_rows", LongType),
+    StructField("n_dv_files", LongType), StructField("n_index_files", LongType)))
+
+  val FilesSchema: StructType = StructType(Seq(
+    StructField("path", StringType), StructField("rows", LongType),
+    StructField("bytes", LongType), StructField("max_lsn", LongType),
+    StructField("deletes", LongType), StructField("live_rows", LongType)))
+
+  def history(root: String): Seq[Row] =
+    ManifestLog.versions(root).map { v =>
+      val m = ManifestLog.load(root, v)
+      Row(v, m.commitLsn, m.flushLsn, m.dataFiles.size.toLong,
+        m.totalRows, m.liveRows, m.dvFiles.size.toLong,
+        m.indexFiles.size.toLong)
+    }
+
+  def files(root: String): Seq[Row] =
+    ManifestLog.loadLatest(root).toSeq.flatMap(_.dataFiles).map(e =>
+      Row(e.path, e.rows, e.bytes, e.maxLsn, e.deletes, e.rows - e.deletes))
+
+  /** `name$suffix` → (name, suffix) when the suffix names a metadata
+   *  table; None for plain table names. */
+  def split(name: String): Option[(String, String)] = {
+    val i = name.lastIndexOf('$')
+    if (i <= 0) scala.None
+    else name.substring(i + 1) match {
+      case s @ ("history" | "files") => Some((name.substring(0, i), s))
+      case _ => scala.None
+    }
+  }
+
+  def table(root: String, suffix: String, displayName: String): Table =
+    suffix match {
+      case "history" =>
+        new LocalRowsTable(displayName, HistorySchema, () => history(root))
+      case "files" =>
+        new LocalRowsTable(displayName, FilesSchema, () => files(root))
+    }
+}
+
+/**
+ * A DSv2 table over a driver-computed row set. The rows materialize at
+ * PLANNING time (scan build) and ship inside the single input
+ * partition — right-sized for metadata (hundreds of rows), never for
+ * data. Recomputed per query, so metadata queries always see the
+ * current manifest state.
+ */
+private[graft] class LocalRowsTable(tname: String, tschema: StructType,
+    rows: () => Seq[Row]) extends Table with SupportsRead {
+  override def name(): String = tname
+  override def schema(): StructType = tschema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = tschema
+        override def toBatch: Batch = new Batch {
+          override def planInputPartitions(): Array[InputPartition] =
+            Array(LocalRowsPartition(tschema.json,
+              rows().map(_.toSeq.toArray).toArray))
+          override def createReaderFactory(): PartitionReaderFactory =
+            new LocalRowsReaderFactory
+        }
+      }
+    }
+}
+
+private[graft] case class LocalRowsPartition(schemaJson: String,
+    rows: Array[Array[Any]]) extends InputPartition
+
+private[graft] class LocalRowsReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[LocalRowsPartition]
+    val schema = DataType.fromJson(part.schemaJson).asInstanceOf[StructType]
+    val conv = CatalystTypeConverters.createToCatalystConverter(schema)
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < part.rows.length }
+      override def get(): InternalRow =
+        conv(Row.fromSeq(part.rows(i).toSeq)).asInstanceOf[InternalRow]
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -206,6 +206,30 @@ class CatalogPluginSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(vs.count(_ > beforeLsn) == 1)
   }
 
+  test("metadata tables resolve as t$history and t$files") {
+    val (cname, wh) = freshCatalog()
+    val cat = GraftCatalog(spark, wh)
+    val t = cat.createTable("mt", schema, Identity.Keys(Seq("id")))
+    t.upsertAll(Seq(Row(1L, 10L), Row(2L, 20L)), startLsn = 1)
+    t.flush(); t.publish()
+    t.apply(Seq(Delete(Seq(2L), 10L), Commit(11L)))
+    t.flush(); t.publish()
+    // history: one row per manifest version, live_rows tracks the fold
+    val hist = spark.sql(s"SELECT version, live_rows " +
+      s"FROM $cname.graft.`mt$$history` ORDER BY version").collect()
+    assert(hist.length >= 3)
+    assert(hist.last.getLong(1) == 1L)
+    // files: current accounting — SQL aggregation over metadata works
+    val files = spark.sql(s"SELECT sum(rows), sum(deletes), sum(live_rows) " +
+      s"FROM $cname.graft.`mt$$files`").head()
+    assert(files.getLong(0) == 2L && files.getLong(1) == 1L &&
+      files.getLong(2) == 1L)
+    // unknown base or suffix still fails analysis
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cname.graft.`nope$$history`").collect()
+    }
+  }
+
   test("unknown table fails analysis, not execution") {
     val (cname, _) = freshCatalog()
     val e = intercept[Exception] {
