@@ -741,6 +741,48 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "cdc_sql_alter" -> ((s, d) => {
+      // schema evolution through SQL DDL: the V2 catalog's alterTable
+      // maps ALTER COLUMN TYPE / RENAME COLUMN onto the table's alter
+      // verbs (metadata-only — narrow int32 pages decode under the
+      // widened read schema, rename is a logical-name swap over the
+      // column-mapping seam; zero files rewritten). Same widen contract
+      // as cdc_alter_widen, driven by SQL between two CDC batches.
+      val wh = freshDir("wh-alter")
+      val cat = GraftCatalog(s, wh)
+      val sch = SchemaDsl.struct("user_id" -> "int64",
+        "event_id" -> "int64", "vcents" -> "int32")
+      val table = cat.createTable("events_alter", sch,
+        Identity.Keys(Seq("user_id")), ingestCfg)
+      val base = events(s, d).select(lit("u").as("_op"),
+        col("event_id").as("_lsn"), col("user_id"), col("event_id"),
+        col("value"))
+      val mm = base.agg(min(col("_lsn")), max(col("_lsn"))).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val span = (hi - lo) / 2 + 1
+      CdcPipeline.applyBatch(table, base.where(col("_lsn") < lo + span)
+        .withColumn("vcents", cents(col("value")).cast("int")).drop("value"))
+      val cname = "gc" + math.abs(wh.hashCode).toString
+      s.conf.set(s"spark.sql.catalog.$cname",
+        classOf[graft.sources.GraftCatalogPlugin].getName)
+      s.conf.set(s"spark.sql.catalog.$cname.warehouse", wh)
+      s.sql(s"ALTER TABLE $cname.graft.events_alter " +
+        "ALTER COLUMN vcents TYPE BIGINT")
+      // the SQL alter ran on its own handle: reopen to continue ingest
+      val entry = new MetadataStore(wh).allEntries()
+        .find(_.table == "events_alter").get
+      val t2 = GraftTable.open(s, s"$wh/events_alter",
+        entry.identity, entry.config)
+      CdcPipeline.applyBatch(t2, base.where(col("_lsn") >= lo + span)
+        .withColumn("vcents", cents(col("value")) + lit(3000000000L))
+        .drop("value"))
+      s.sql(s"ALTER TABLE $cname.graft.events_alter " +
+        "RENAME COLUMN vcents TO value_cents")
+      s.sql(s"""SELECT user_id, event_id AS last_event_id, value_cents
+               |FROM $cname.graft.events_alter
+               |ORDER BY user_id""".stripMargin)
+    }),
+
     "cdc_meta_history" -> ((s, d) => {
       // metadata tables: the manifest history's per-version row
       // accounting (live_rows = sum over files of rows - DV-masked)
@@ -3195,6 +3237,19 @@ object SparkEntry {
 
     // vcents = cents before the widen cut (batch 1, stored INT32),
     // cents + 3e9 (beyond int range) from batch 2 on
+    // same widen contract as cdc_alter_widen, but the alters (widen +
+    // rename) arrive as SQL DDL through the V2 catalog
+    "cdc_sql_alter" ->
+      """WITH b AS (SELECT min(event_id) AS lo, max(event_id) AS hi FROM events),
+        |last AS (
+        |  SELECT user_id, event_id, value FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)
+        |SELECT user_id, event_id AS last_event_id,
+        |       CASE WHEN event_id >= (SELECT lo + ((hi-lo)//2+1) FROM b)
+        |            THEN CAST(ROUND(value*100) AS BIGINT) + 3000000000
+        |            ELSE CAST(ROUND(value*100) AS BIGINT) END AS value_cents
+        |FROM last ORDER BY user_id""".stripMargin,
+
     "cdc_alter_widen" ->
       """WITH b AS (SELECT min(event_id) AS lo, max(event_id) AS hi FROM events),
         |last AS (

@@ -160,6 +160,25 @@ object SchemaDsl {
     }
   }
 
+  /** Inverse of [[parseType]] — Spark DataType back to the REST
+   *  type-name grammar (for SQL DDL arriving as Catalyst types). */
+  def typeName(dt: DataType): String = dt match {
+    case ShortType => "int16"
+    case IntegerType => "int32"
+    case LongType => "int64"
+    case StringType => "string"
+    case BooleanType => "boolean"
+    case FloatType => "float32"
+    case DoubleType => "float64"
+    case DateType => "date32"
+    case TimestampType => "timestamp"
+    case BinaryType => "binary"
+    case d: DecimalType => s"decimal(${d.precision},${d.scale})"
+    case ArrayType(et, _) => s"list<${typeName(et)}>"
+    case other =>
+      throw new IllegalArgumentException(s"unsupported type: $other")
+  }
+
   def struct(fields: (String, String)*): StructType =
     StructType(fields.zipWithIndex.map { case ((n, t), i) =>
       field(n, t).copy(metadata = new MetadataBuilder()

@@ -3,7 +3,7 @@ package graft.sources
 import java.util
 
 import graft.format.Fio
-import graft.model.Identity
+import graft.model.{Identity, SchemaDsl}
 import graft.table.{GraftTable, MetadataStore, TableConfig, TableMetadataEntry}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog._
@@ -177,9 +177,39 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
     new GraftSparkTable(rootOf(ident))
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "alter goes through the ingestion API (in-stream DDL events)")
+  /** SQL ALTER TABLE → the table's schema-evolution verbs (M14): ADD /
+   *  DROP / RENAME COLUMN and ALTER COLUMN TYPE (widen) each publish a
+   *  new manifest version; data files are never rewritten (drop hides
+   *  via the column-mapping seam, add backfills nulls at read). The
+   *  same alters arrive in-stream as DDL events on the CDC path. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        (ident.namespace() :+ ident.name()).toSeq)
+    val entry = store.allEntries().find(e =>
+      e.database == dbOf(ident.namespace) && e.table == ident.name).get
+    val t = GraftTable.open(SparkSession.active, rootOf(ident),
+      entry.identity, entry.config)
+    def top(fieldNames: Array[String]): String = {
+      require(fieldNames.length == 1,
+        s"nested column alters unsupported: ${fieldNames.mkString(".")}")
+      fieldNames(0)
+    }
+    changes.foreach {
+      case c: TableChange.AddColumn =>
+        t.alterAddColumn(top(c.fieldNames()), SchemaDsl.typeName(c.dataType()))
+      case c: TableChange.DeleteColumn =>
+        t.alterDropColumns(Seq(top(c.fieldNames())))
+      case c: TableChange.RenameColumn =>
+        t.alterRenameColumn(top(c.fieldNames()), c.newName())
+      case c: TableChange.UpdateColumnType =>
+        t.alterWidenColumn(top(c.fieldNames()),
+          SchemaDsl.typeName(c.newDataType()))
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ALTER: $other")
+    }
+    new GraftSparkTable(rootOf(ident))
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     if (!tableExists(ident)) false

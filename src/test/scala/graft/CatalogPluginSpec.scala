@@ -230,6 +230,37 @@ class CatalogPluginSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("SQL ALTER TABLE drives the schema-evolution verbs") {
+    val (cname, wh) = freshCatalog()
+    val cat = GraftCatalog(spark, wh)
+    val t = cat.createTable("al2",
+      SchemaDsl.struct("id" -> "int64", "v" -> "int32"),
+      Identity.Keys(Seq("id")))
+    t.upsertAll(Seq(Row(1L, 10)), startLsn = 1)
+    t.flush(); t.publish()
+    // ADD: pre-alter rows read NULL for the new column, no rewrite
+    spark.sql(s"ALTER TABLE $cname.graft.al2 ADD COLUMN note STRING")
+    val r1 = spark.sql(s"SELECT id, v, note FROM $cname.graft.al2").head()
+    assert(r1.getLong(0) == 1L && r1.getInt(1) == 10 && r1.isNullAt(2))
+    // RENAME: data reachable under the new name
+    spark.sql(s"ALTER TABLE $cname.graft.al2 RENAME COLUMN v TO val")
+    assert(spark.sql(s"SELECT val FROM $cname.graft.al2").head().getInt(0) == 10)
+    // WIDEN int32 -> int64: old int32 files upcast at read
+    spark.sql(s"ALTER TABLE $cname.graft.al2 ALTER COLUMN val TYPE BIGINT")
+    assert(spark.sql(s"SELECT val FROM $cname.graft.al2").head().getLong(0) == 10L)
+    // DROP: analysis no longer sees the column
+    spark.sql(s"ALTER TABLE $cname.graft.al2 DROP COLUMN note")
+    intercept[Exception] {
+      spark.sql(s"SELECT note FROM $cname.graft.al2").collect()
+    }
+    // key columns cannot widen (index/DV join invariants)
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cname.graft.al2 ALTER COLUMN id TYPE DECIMAL(20,0)")
+    }
+    assert(e.getMessage.toLowerCase.contains("key") ||
+      e.getMessage.toLowerCase.contains("widen"))
+  }
+
   test("unknown table fails analysis, not execution") {
     val (cname, _) = freshCatalog()
     val e = intercept[Exception] {
