@@ -2184,6 +2184,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "text_quality_model" -> ((s, d) => {
+      // model-based quality filtering (the fastText/DCLM shape) with
+      // deterministic hashed pseudo-weights: one corpus scan, per-doc
+      // integer logit in a single tight-JVM pass, filter verdict as a
+      // column (see TextOps.qualityModel)
+      TextOps.qualityModel(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    "mix_weights" -> ((s, d) => {
+      // dataset-mixture design: per-source token shares and the
+      // temperature-1/2 sampling weights, all integer-deterministic
+      // (floor(sqrt(int)) ports bit-exactly; pow would not)
+      TextOps.mixtureWeights(t(s, d, "documents"), "source", "text")
+        .orderBy("source")
+    }),
+
     "text_bpe_train" -> ((s, d) => {
       // tokenizer TRAINING: 8 BPE merges learned from the corpus word
       // distribution — one corpus-shaped shuffle (word count), then
@@ -3588,6 +3605,47 @@ object SparkEntry {
         |       CAST(ROUND(SUM(value)*100) AS BIGINT) AS value_cents,
         |       epoch_us(MIN(ts)) AS first_us
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // identical integer pipeline: ASCII-alnum token split on the RAW
+    // text, per-char lowercase fold inside the Karp-Rabin hash
+    // (mod 1e9+7 — no wrapping, ports exactly), bucket pseudo-weights
+    "text_quality_model" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |         list_reduce(
+        |           list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(regexp_split_to_array(token, ''),
+        |               c -> CAST(CASE WHEN ascii(c) BETWEEN 65 AND 90
+        |                              THEN ascii(c) + 32
+        |                              ELSE ascii(c) END AS BIGINT))),
+        |           (a, b) -> (a * 31 + b) % 1000000007) AS hh
+        |  FROM tok),
+        |sc AS (SELECT doc_id, COUNT(*) AS n_tokens,
+        |              SUM(((hh % 4096) * 2654435761) % 2001 - 1000) AS logit
+        |       FROM h GROUP BY 1)
+        |SELECT doc_id, n_tokens, CAST(logit AS BIGINT) AS logit_milli,
+        |       CASE WHEN logit >= 0 THEN 'keep' ELSE 'drop' END AS decision
+        |FROM sc WHERE n_tokens > 0 ORDER BY doc_id""".stripMargin,
+
+    // integer shares; temperature-1/2 via floor(sqrt(int)) — IEEE sqrt
+    // is correctly rounded so both engines agree bit-exactly
+    "mix_weights" ->
+      """WITH per AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |         CAST(SUM(len(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'), x -> x <> ''))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT SUM(n_tokens) AS t FROM per),
+        |w AS (SELECT source, n_docs, n_tokens,
+        |             CAST((n_tokens * 1000) // (SELECT t FROM tot) AS BIGINT) AS share_milli,
+        |             CAST(floor(sqrt((n_tokens * 1000000) // (SELECT t FROM tot))) AS BIGINT) AS temp_w
+        |      FROM per)
+        |SELECT source, n_docs, n_tokens, share_milli,
+        |       CAST((temp_w * 1000) // (SELECT SUM(temp_w) FROM w) AS BIGINT) AS mix_milli
+        |FROM w ORDER BY source""".stripMargin,
 
     "text_bpe_train" -> bpeOracleSql(8),
 

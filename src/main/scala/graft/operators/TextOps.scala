@@ -552,6 +552,90 @@ object TextOps {
    * carries more than the aggregate row and the top-N heap.
    */
   /**
+   * Hashed linear quality classifier — the model-based quality-filter
+   * shape (fastText/DCLM-style "educational value" scoring) with a
+   * deterministic stand-in for the trained weights: each token hashes
+   * to one of `dim` buckets (Karp-Rabin over its chars, mod 1e9+7 so
+   * the arithmetic never overflows and ports to any engine), and the
+   * bucket's weight is a fixed multiplicative-hash pseudo-weight in
+   * [-1000, 1000] milli-units. The document logit is the integer SUM of
+   * its tokens' weights; `decision` is the filter verdict (logit ≥ 0).
+   * Swapping real trained weights in changes one lookup, none of the
+   * dataflow.
+   *
+   * Scale shape: ONE corpus scan, the score computed per document in a
+   * single tight-JVM pass over the text (UDF by measured rule #2 — the
+   * per-char HOF lambda would evaluate interpreted); no shuffle at all
+   * until the caller aggregates. The oracle recomputes the identical
+   * integer arithmetic in SQL.
+   */
+  def qualityModel(df: DataFrame, idCol: String, textCol: String,
+      dim: Int = 4096): DataFrame = {
+    val score = udf { (text: String) =>
+      if (text == null) (0L, 0L)
+      else {
+        var nTok = 0L; var logit = 0L
+        var i = 0; val n = text.length
+        while (i < n) {
+          // skip separators
+          while (i < n && !isTokChar(text.charAt(i))) i += 1
+          if (i < n) {
+            var h = 0L
+            while (i < n && isTokChar(text.charAt(i))) {
+              // lower-case fold matches lower() ++ the ASCII tokenizer
+              val c = text.charAt(i)
+              val lc = if (c >= 'A' && c <= 'Z') c + 32 else c.toInt
+              h = (h * 31L + lc) % 1000000007L
+              i += 1
+            }
+            nTok += 1
+            val bucket = h % dim
+            logit += ((bucket * 2654435761L) % 2001L) - 1000L
+          }
+        }
+        (nTok, logit)
+      }
+    }
+    df.select(col(idCol), score(col(textCol)).as("_s"))
+      .select(col(idCol),
+        col("_s._1").as("n_tokens"),
+        col("_s._2").as("logit_milli"),
+        when(col("_s._2") >= 0L, "keep").otherwise("drop").as("decision"))
+      .where(col("n_tokens") > 0)
+  }
+
+  private def isTokChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
+
+  /**
+   * Temperature-adjusted mixture weights over corpus sources — the
+   * dataset-mixture design step (sampling proportional to p^τ with
+   * τ = 1/2 flattens head domains and boosts the tail). Everything is
+   * integer-deterministic across engines: shares in milli by integer
+   * division, and the τ=0.5 reweight via floor(sqrt(integer)) — IEEE
+   * sqrt is correctly rounded, so for inputs < 2^53 both engines
+   * compute the identical bit pattern and the floor agrees exactly
+   * (a pow(p, 0.7)-style reweight would NOT port: pow is not correctly
+   * rounded). One corpus scan into a per-source aggregate; the
+   * normalization runs over the handful of source rows.
+   */
+  def mixtureWeights(df: DataFrame, sourceCol: String,
+      textCol: String): DataFrame = {
+    val per = df.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+    val total = per.agg(sum(col("n_tokens"))).head().getLong(0)
+    val w = per
+      .withColumn("share_milli", expr(s"(n_tokens * 1000) DIV ${total}L"))
+      .withColumn("temp_w",
+        floor(sqrt(expr(s"(n_tokens * 1000000) DIV ${total}L"))).cast("long"))
+    val wTotal = w.agg(sum(col("temp_w"))).head().getLong(0)
+    w.withColumn("mix_milli", expr(s"(temp_w * 1000) DIV ${wTotal}L"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("share_milli"), col("mix_milli"))
+  }
+
+  /**
    * Distributed BPE merge learning — the tokenizer-TRAINING step that
    * [[vocabulary]] only prefaces (reference scope: the training-data
    * pipeline's tokenizer prep). Classic byte-pair encoding over the

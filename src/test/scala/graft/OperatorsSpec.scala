@@ -911,6 +911,41 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d1.last == wantMd5)
   }
 
+  test("qualityModel: integer logit, case-folded hash, empty docs drop") {
+    import spark.implicits._
+    val docs = Seq((1L, "Hello WORLD"), (2L, "hello world"),
+      (3L, "!!!"), (4L, "")).toDF("doc_id", "text")
+    val out = TextOps.qualityModel(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // case folding: doc 1 and 2 hash identically
+    assert(out.length == 2)
+    assert(out(0).getLong(1) == 2L) // n_tokens
+    assert(out(0).getLong(2) == out(1).getLong(2), "case-insensitive logit")
+    val expected = Seq("hello", "world").map { tok =>
+      val h = tok.foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
+      ((h % 4096) * 2654435761L) % 2001L - 1000L
+    }.sum
+    assert(out(0).getLong(2) == expected)
+    assert(out(0).getString(3) == (if (expected >= 0) "keep" else "drop"))
+  }
+
+  test("mixtureWeights: integer shares and sqrt-temperature reweight") {
+    import spark.implicits._
+    // source a: 9x tokens of source b -> share 900/100; sqrt flattens
+    // to ~948/316 before normalization
+    val docs = (Seq.fill(9)(("a", "t " * 100)) ++ Seq(("b", "t " * 100)))
+      .toDF("source", "text")
+    val out = TextOps.mixtureWeights(docs, "source", "text")
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out(0) == ("a", 900L, 900L,
+      (math.floor(math.sqrt(900000L)).toLong * 1000L) /
+        (math.floor(math.sqrt(900000L)).toLong + math.floor(math.sqrt(100000L)).toLong)))
+    assert(out(1)._3 == 100L)
+    // temperature-1/2 boosts the tail source above its raw share
+    assert(out(1)._4 > 100L)
+  }
+
   test("bpeTrain learns classic merges with deterministic tie-breaks") {
     import spark.implicits._
     // corpus: "low" x5, "lower" x2, "newest" x6, "widest" x3
