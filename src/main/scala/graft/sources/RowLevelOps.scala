@@ -161,10 +161,12 @@ private[graft] class GraftDeltaWriter(staging: String,
   private val mapper = new ObjectMapper()
 
   // full-row converter for insert/update payloads (write schema ==
-  // data columns, possibly reordered vs the table schema)
-  private val rowConv =
+  // data columns, possibly reordered vs the table schema). LAZY: a
+  // pure DELETE's write schema carries no data columns at all — its
+  // writer must construct without ever touching these.
+  private lazy val rowConv =
     CatalystTypeConverters.createToScalaConverter(writeSchema)
-  private val writeIdx = tableSchema.fields.map { f =>
+  private lazy val writeIdx = tableSchema.fields.map { f =>
     val i = writeSchema.fieldNames.indexOf(f.name)
     require(i >= 0, s"delta write schema misses column ${f.name}")
     i
