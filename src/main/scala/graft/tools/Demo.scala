@@ -133,6 +133,33 @@ object Demo {
     println(s"[10] initial copy: ${copied.read().count()} rows after boundary " +
       s"drop + catch-up delete (source had ${reopened.read().count()})")
 
+    // 11. the SQL surface: register the warehouse as a V2 catalog and
+    // drive the full verb set — DDL, INSERT, UPDATE, MERGE, DELETE,
+    // time travel and the $history metadata table — in plain SQL
+    spark.conf.set("spark.sql.catalog.demo",
+      classOf[graft.sources.GraftCatalogPlugin].getName)
+    spark.conf.set("spark.sql.catalog.demo.warehouse", wh)
+    spark.sql("CREATE TABLE demo.graft.kv (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('keys'='id')")
+    val kv = GraftTable.open(spark, s"$wh/kv", Identity.Keys(Seq("id")))
+    kv.upsertAll(Seq(Row(1L, 10L), Row(2L, 20L), Row(3L, 30L)), startLsn = 1)
+    kv.flush(); kv.publish()
+    spark.sql("UPDATE demo.graft.kv SET v = v * 100 WHERE id >= 2")
+    spark.sql("""MERGE INTO demo.graft.kv t
+                |USING (SELECT * FROM VALUES (3L, -1L), (4L, 40L) AS s(id, v)) s
+                |ON t.id = s.id
+                |WHEN MATCHED AND s.v < 0 THEN DELETE
+                |WHEN MATCHED THEN UPDATE SET t.v = s.v
+                |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)
+                |""".stripMargin)
+    spark.sql("DELETE FROM demo.graft.kv WHERE v > 1000")
+    val sqlState = spark.sql("SELECT id, v FROM demo.graft.kv ORDER BY id")
+      .collect().map(r => s"${r.getLong(0)}->${r.getLong(1)}").mkString(", ")
+    val nVersions = spark.sql("SELECT count(*) FROM demo.graft.`kv$history`")
+      .head().getLong(0)
+    println(s"[11] SQL verbs: UPDATE+MERGE+DELETE left {$sqlState} " +
+      s"across $nVersions manifest versions (kv$$history)")
+
     graft.format.Fio.delete(wh)
     spark.stop()
   }
