@@ -32,9 +32,13 @@ object Bench {
       StructField("value", DoubleType), StructField("props", StringType)))
     val base = spark.read.schema(sch).parquet(s"$sfDir/events.parquet")
     val n = base.count()
+    // dev seam: probe size override for marginal-rate measurements
+    // (absent in driver runs — the contract entry stays the 1M probe)
+    val target = sys.env.get("GRAFT_INGEST_PROBE_ROWS")
+      .map(_.toLong).getOrElse(1000000L)
     // cap the union fan-in: tiny SF dirs would otherwise build a
     // 1000-branch plan (at sf0.1 this is exactly 10 copies = 1M events)
-    val copies = math.min(20, math.max(1, (1000000 / math.max(1L, n)).toInt))
+    val copies = math.min(20, math.max(1, (target / math.max(1L, n)).toInt))
     val big = (0 until copies).map { i =>
       base.select(lit("u").as("_op"), (col("event_id") + i * n).as("_lsn"),
         (col("user_id") + i * 1000000L).as("user_id"),

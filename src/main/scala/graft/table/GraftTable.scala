@@ -388,8 +388,21 @@ final class GraftTable private (
     val est = if (estRows >= 0L) estRows else events.count()
     Metrics.counter("graft.rows_ingested", root, est)
     Metrics.counter("graft.commits", root)
-    val nOut = math.max(1L,
-      (est + config.rowsPerFile - 1) / config.rowsPerFile).toInt
+    // fold/write parallelism doubles as the output FILE count (the
+    // positional index derives from partition ids). Size-tuned files
+    // want est/rowsPerFile partitions, but that starves cores on big
+    // batches (a 10M-row initial load folded in 10 tasks on 32 cores);
+    // widen toward the core count as long as every produced file stays
+    // ABOVE the small-file threshold, so faster ingest never feeds the
+    // compactor (measured 9.2 s -> 7.1 s on the 10M-row probe).
+    val nOut = {
+      val sized = math.max(1L,
+        (est + config.rowsPerFile - 1) / config.rowsPerFile)
+      val notSmall = math.max(sized,
+        est / math.max(1L, config.compactSmallFileRows))
+      val cores = spark.sparkContext.defaultParallelism.toLong
+      math.min(notSmall, math.max(sized, cores)).toInt
+    }
     if (!hasDeletes) {
       val survivors = events
         .where(col("_op").isin("i", "insert", "u", "upsert"))
@@ -474,7 +487,21 @@ final class GraftTable private (
         // the fold shuffle + persist — the batch's one data pass)
         val nDel = prof("fold+persist+nDel")(
           folded.where(col("_tag") =!= "a").count())
-        if (nDel < config.distributedDeleteThreshold) {
+        // a fall-through delete targets a row committed strictly BEFORE
+        // this batch (survivor lsn >= its key's min append lsn >= the
+        // delete's lsn, so same-batch rows are unreachable by the
+        // `lsn < dlsn` rule). The leading flush() indexed any committed
+        // tail, so an empty pre-batch index proves there is nothing to
+        // delete — the initial-load / bulk-backfill shape, where this
+        // skips the entire resolution join (measured 2.5 s of an
+        // 11.1 s 10M-row first batch).
+        if (indexFiles.isEmpty && nDel > 0) {
+          val (partStats, _) = prof("stats")(
+            collectFoldOutputs(folded, statFields, keyPos,
+              shipDeletes = false))
+          prof("writeBatchFiles(del)")(
+            writeBatchFiles(survivors, maxLsn, Some(partStats)))
+        } else if (nDel < config.distributedDeleteThreshold) {
           // ONE pass over the cached fold output collects BOTH the
           // per-partition survivor stats and the fall-through delete keys
           // (formerly two jobs). Delete volume stays bounded by the
