@@ -2184,6 +2184,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "pipeline_training_mix" -> ((s, d) => {
+      // capstone v2 — the modern pretraining-data pipeline in one
+      // dataflow: model-based quality filter (hashed linear logit) →
+      // exact dedup (normalized-md5, min-id representative) → per-
+      // source temperature-1/2 mixture weights over the SURVIVING
+      // corpus. Three corpus-shaped stages, each the scale shape its
+      // standalone entry audits; the mixture normalization runs over
+      // a handful of source rows.
+      val docs = t(s, d, "documents")
+      val keep = TextOps.qualityModel(docs, "doc_id", "text")
+        .where(col("decision") === "keep").select("doc_id")
+      val kept = docs.join(keep, "doc_id")
+      val reps = kept
+        .withColumn("fp", TextOps.fingerprint(col("text")))
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val surviving = docs.join(reps, "doc_id")
+      TextOps.mixtureWeights(surviving, "source", "text")
+        .orderBy("source")
+    }),
+
     "text_quality_model" -> ((s, d) => {
       // model-based quality filtering (the fastText/DCLM shape) with
       // deterministic hashed pseudo-weights: one corpus scan, per-doc
@@ -3605,6 +3626,42 @@ object SparkEntry {
         |       CAST(ROUND(SUM(value)*100) AS BIGINT) AS value_cents,
         |       epoch_us(MIN(ts)) AS first_us
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // quality keep-set → normalized-md5 dedup (min-id rep) → mixture
+    // weights over survivors — each stage the standalone entry's SQL
+    "pipeline_training_mix" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |         list_reduce(
+        |           list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(regexp_split_to_array(token, ''),
+        |               c -> CAST(CASE WHEN ascii(c) BETWEEN 65 AND 90
+        |                              THEN ascii(c) + 32
+        |                              ELSE ascii(c) END AS BIGINT))),
+        |           (a, b) -> (a * 31 + b) % 1000000007) AS hh
+        |  FROM tok),
+        |keep AS (SELECT doc_id FROM h GROUP BY doc_id
+        |         HAVING SUM(((hh % 4096) * 2654435761) % 2001 - 1000) >= 0),
+        |reps AS (
+        |  SELECT MIN(d.doc_id) AS doc_id
+        |  FROM documents d JOIN keep USING (doc_id)
+        |  GROUP BY md5(trim(lower(regexp_replace(d.text, '[^a-zA-Z0-9]+', ' ', 'g'))))),
+        |per AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |         CAST(SUM(len(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'), x -> x <> ''))) AS BIGINT) AS n_tokens
+        |  FROM documents JOIN reps USING (doc_id) GROUP BY 1),
+        |tot AS (SELECT SUM(n_tokens) AS t FROM per),
+        |w AS (SELECT source, n_docs, n_tokens,
+        |             CAST((n_tokens * 1000) // (SELECT t FROM tot) AS BIGINT) AS share_milli,
+        |             CAST(floor(sqrt((n_tokens * 1000000) // (SELECT t FROM tot))) AS BIGINT) AS temp_w
+        |      FROM per)
+        |SELECT source, n_docs, n_tokens, share_milli,
+        |       CAST((temp_w * 1000) // (SELECT SUM(temp_w) FROM w) AS BIGINT) AS mix_milli
+        |FROM w ORDER BY source""".stripMargin,
 
     // identical integer pipeline: ASCII-alnum token split on the RAW
     // text, per-char lowercase fold inside the Karp-Rabin hash
