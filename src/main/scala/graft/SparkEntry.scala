@@ -935,6 +935,40 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    "cdc_stream_upsert_sink" -> ((s, d) => {
+      // the KEYED half of the streaming sink: op-tagged CDC events
+      // stream through `option("cdc","true")` into a keyed table —
+      // each micro-batch epoch runs the full upsert fold (deletes DV
+      // committed versions via the key index) and commits at the
+      // source LSN, exactly-once by the manifest epoch watermark.
+      // Result must equal the batch upsert fold of the same events.
+      val feed = streamSourceDir(
+        cdcEventFrame(s, d, None), n = 4, idCol = "_lsn")
+      val root = freshDir("gcsk")
+      GraftTable.create(s, root, eventTableSchema,
+        Identity.Keys(Seq("user_id")), ingestCfg)
+      import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+      withShufflePartitions(s, 4) {
+        val q = s.readStream
+          .schema(StructType(Seq(
+            StructField("_op", StringType), StructField("_lsn", LongType),
+            StructField("user_id", LongType), StructField("event_id", LongType),
+            StructField("event_type", StringType), StructField("value", DoubleType))))
+          .option("maxFilesPerTrigger", 1).parquet(feed)
+          .writeStream.format("graft")
+          .option("path", root).option("cdc", "true")
+          .option("checkpointLocation", freshDir("gcsk_ckpt"))
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.read.format("graft").option("path", root).load()
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"),
+          cents(col("value")).as("value_cents"))
+        .orderBy("user_id")
+    }),
+
     "cdc_sql_view" -> ((s, d) => {
       // S12: catalog + temp-view registration — plain spark.sql runs
       // over the live ingested state (the reference serves DuckDB/
@@ -3337,6 +3371,8 @@ object SparkEntry {
 
     "cdc_cached_read" -> cdcUpsertOracle,
     "cdc_dsv2_read" -> cdcUpsertOracle,
+    // streaming CDC sink folds to the same final state as batch upserts
+    "cdc_stream_upsert_sink" -> cdcUpsertOracle,
     "cdc_delete_state" -> cdcDeleteOracle,
     "cdc_compact_state" -> cdcDeleteOracle,
     "cdc_sql_view" ->

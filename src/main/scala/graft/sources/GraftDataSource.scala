@@ -74,12 +74,23 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("graft source needs a path"))
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftSparkTable.load(root(options)).schema
+  private def isCdc(get: String => String): Boolean =
+    Option(get("cdc")).exists(_.equalsIgnoreCase("true"))
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val m = GraftSparkTable.load(root(options))
+    if (isCdc(options.get))
+      new GraftCdcSinkTable(root(options), m, "graft-cdc").schema()
+    else m.schema
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
-    new GraftSparkTable(properties.get("path"))
+      properties: java.util.Map[String, String]): Table = {
+    val p = properties.get("path")
+    if (isCdc(properties.get))
+      new GraftCdcSinkTable(p, GraftSparkTable.load(p), s"graft.`$p`$$cdc")
+    else new GraftSparkTable(p)
+  }
 }
 
 private[graft] object GraftSparkTable {
@@ -172,7 +183,8 @@ private[graft] class GraftSparkTable(root: String,
     if (manifest.keyCols.isEmpty) {
       caps.add(TableCapability.V1_BATCH_WRITE)
       // append-only tables also take streaming appends (exactly-once
-      // epoch commits; see GraftStreamingWrite)
+      // epoch commits; see GraftStreamingWrite). Keyed tables stream
+      // through their `t$cdc` sink table (event-schema writes).
       caps.add(TableCapability.STREAMING_WRITE)
     }
     caps
@@ -230,8 +242,9 @@ private[graft] class GraftSparkTable(root: String,
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     require(manifest.keyCols.isEmpty,
       s"$name is a keyed table: INSERT goes through the ingestion API " +
-        "(upserts need the key fold); SQL INSERT appends are append-only")
-    require(asOfVersion.isEmpty, "cannot INSERT into a time-travel pin")
+        "(upserts need the key fold); stream CDC events into it via " +
+        "the `t$cdc` sink table or option(\"cdc\",\"true\")")
+    require(asOfVersion.isEmpty, "cannot write to a time-travel pin")
     val writeSchema = info.schema()
     val queryId = info.queryId()
     new org.apache.spark.sql.connector.write.WriteBuilder {

@@ -49,7 +49,7 @@ private[graft] object MetaTables {
     val i = name.lastIndexOf('$')
     if (i <= 0) scala.None
     else name.substring(i + 1) match {
-      case s @ ("history" | "files") => Some((name.substring(0, i), s))
+      case s @ ("history" | "files" | "cdc") => Some((name.substring(0, i), s))
       case _ => scala.None
     }
   }
@@ -60,6 +60,10 @@ private[graft] object MetaTables {
         new LocalRowsTable(displayName, HistorySchema, () => history(root))
       case "files" =>
         new LocalRowsTable(displayName, FilesSchema, () => files(root))
+      case "cdc" =>
+        new GraftCdcSinkTable(root,
+          ManifestLog.loadLatest(root).getOrElse(
+            sys.error(s"no graft manifest under $root")), displayName)
     }
 }
 

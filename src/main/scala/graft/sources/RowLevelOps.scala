@@ -75,8 +75,9 @@ private[graft] case class StagedEventsMessage(path: String, mutations: Long)
     extends WriterCommitMessage
 
 private[graft] object StagedEvents {
-  /** Staged JSONL event files -> a distributed `(_op, data columns)`
-   *  frame: the driver only ever touches file PATHS, the WAL-codec
+  /** Staged JSONL event files -> a distributed `(_op, _lsn, data
+   *  columns)` frame (`_lsn` null when the event carries none): the
+   *  driver only ever touches file PATHS, the WAL-codec
    *  deserialization runs in the executors. */
   def readEvents(spark: SparkSession, files: Seq[String],
       sch: StructType): org.apache.spark.sql.DataFrame = {
@@ -84,12 +85,16 @@ private[graft] object StagedEvents {
       val mapper = new ObjectMapper()
       it.filter(_.nonEmpty).map { line =>
         val n = mapper.readTree(line)
-        Row.fromSeq(n.get("t").asText +:
+        val lsn: Any =
+          if (n.hasNonNull("lsn")) n.get("lsn").asLong else null
+        Row.fromSeq(n.get("t").asText +: lsn +:
           Wal.nodeToRow(sch, n.get("row")).toSeq)
       }
     }
     spark.createDataFrame(rows,
-      StructType(StructField("_op", StringType) +: sch.fields))
+      StructType(StructField("_op", StringType) +:
+        StructField("_lsn", org.apache.spark.sql.types.LongType) +:
+        sch.fields))
   }
 }
 

@@ -1967,6 +1967,26 @@ final class GraftTable private (
     }
   }
 
+  /**
+   * Streaming CDC-sink epoch commit: apply an `_op`/`_lsn`-tagged
+   * event frame (upserts AND deletes, source-assigned LSNs) iff
+   * `epochId` is new — the keyed-table sibling of [[applyEpochDF]],
+   * with the same manifest-borne exactly-once watermark. The batch
+   * commits at the frame's max LSN.
+   */
+  def applyEpochCdcDF(events: DataFrame, epochId: Long): Boolean =
+    synchronized {
+      if (epochId < streamEpochsVar) false
+      else {
+        streamEpochsVar = epochId + 1
+        val mx = events.agg(max(col("_lsn").cast("long"))).head()
+        if (!mx.isNullAt(0)) // empty epoch: just advance the watermark
+          applyBatchDF(events, mx.getLong(0), hasDeletes = true)
+        else publish()
+        true
+      }
+    }
+
   def loadFiles(files: Seq[String], lsn: Long): Unit = synchronized {
     Fio.mkdirs(s"$root/data")
     val renamed = files.map { src =>

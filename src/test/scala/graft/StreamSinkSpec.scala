@@ -79,7 +79,38 @@ class StreamSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.format.ManifestLog.loadLatest(root).get.streamEpochs == 3L)
   }
 
-  test("keyed tables refuse the streaming sink") {
+  test("keyed tables take CDC event streams: upserts + deletes fold") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = freshRoot()
+    GraftTable.create(spark, root, schema, Identity.Keys(Seq("id")),
+      TableConfig(walEnabled = false))
+    val in = MemoryStream[(String, Long, Long, Long)]
+    val q = in.toDF().toDF("_op", "_lsn", "id", "v")
+      .writeStream.format("graft")
+      .option("path", root).option("cdc", "true")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sink-ckpt").toString)
+      .start()
+    try {
+      // epoch 0: three inserts
+      in.addData(("u", 1L, 1L, 10L), ("u", 2L, 2L, 20L), ("u", 3L, 3L, 30L))
+      q.processAllAvailable()
+      // epoch 1: re-upsert key 1, delete key 2 — the fold must DV the
+      // committed old versions via the key index
+      in.addData(("u", 10L, 1L, 11L), ("d", 11L, 2L, 0L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.format("graft").option("path", root).load()
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 11L), (3L, 30L)))
+    val m = graft.format.ManifestLog.loadLatest(root).get
+    assert(m.streamEpochs == 2L)
+    assert(m.commitLsn == 11L, "commit rides the source LSN axis")
+  }
+
+  test("a keyed plain-row stream refuses; the $cdc facade is the sink") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -97,8 +128,23 @@ class StreamSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
       try { in.addData((1L, 1L)); q.processAllAvailable() }
       finally q.stop()
     }
-    assert(e.getMessage.toLowerCase.contains("stream") ||
-      e.getMessage.toLowerCase.contains("write") ||
-      e.getMessage.toLowerCase.contains("keyed"))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.toLowerCase.contains("keyed") ||
+      m.toLowerCase.contains("does not support")))
+    // the cdc facade refuses a frame missing the event columns
+    val e2 = intercept[Exception] {
+      val q = in.toDF().toDF("id", "v")
+        .writeStream.format("graft")
+        .option("path", root).option("cdc", "true")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-sink-ckpt").toString)
+        .start()
+      try { in.addData((2L, 2L)); q.processAllAvailable() }
+      finally q.stop()
+    }
+    assert(msgs(e2).exists(m => m.contains("_op") ||
+      m.toLowerCase.contains("column")))
   }
 }
