@@ -935,6 +935,42 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    "cdc_sql_call" -> ((s, d) => {
+      // M15's control ops on the SQL surface: Iceberg-style CALL
+      // procedures (optimize → compaction, vacuum → reclamation)
+      // through the V2 ProcedureCatalog, each returning its metric as
+      // a result row; the compacted table must still read the exact
+      // upsert fold.
+      val wh = freshDir("wh-call")
+      val cat = GraftCatalog(s, wh)
+      val kv = cat.createTable("events_call", eventTableSchema,
+        Identity.Keys(Seq("user_id")), ingestCfg)
+      val ev = cdcEventFrame(s, d, None)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val mm = ev.agg(min(col("_lsn")), max(col("_lsn"))).head()
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+        val span = (hi - lo) / 2 + 1
+        (0 until 2).foreach { i =>
+          CdcPipeline.applyBatch(kv, ev.where(
+            col("_lsn") >= lo + i * span && col("_lsn") < lo + (i + 1) * span))
+        }
+      } finally ev.unpersist()
+      val cname = "gc" + math.abs(wh.hashCode).toString
+      s.conf.set(s"spark.sql.catalog.$cname",
+        classOf[graft.sources.GraftCatalogPlugin].getName)
+      s.conf.set(s"spark.sql.catalog.$cname.warehouse", wh)
+      val opt = s.sql(s"CALL $cname.system.optimize(" +
+        "db => 'graft', tbl => 'events_call')").head()
+      require(opt.getLong(1) <= opt.getLong(0), "compaction grew the table")
+      s.sql(s"CALL $cname.system.vacuum('graft', 'events_call')").collect()
+      s.sql(s"""SELECT user_id, event_id AS last_event_id,
+               |       event_type AS last_event_type,
+               |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
+               |FROM $cname.graft.events_call
+               |ORDER BY user_id""".stripMargin)
+    }),
+
     "cdc_stream_upsert_sink" -> ((s, d) => {
       // the KEYED half of the streaming sink: op-tagged CDC events
       // stream through `option("cdc","true")` into a keyed table —
@@ -3373,6 +3409,8 @@ object SparkEntry {
     "cdc_dsv2_read" -> cdcUpsertOracle,
     // streaming CDC sink folds to the same final state as batch upserts
     "cdc_stream_upsert_sink" -> cdcUpsertOracle,
+    // CALL optimize/vacuum must preserve the exact fold
+    "cdc_sql_call" -> cdcUpsertOracle,
     "cdc_delete_state" -> cdcDeleteOracle,
     "cdc_compact_state" -> cdcDeleteOracle,
     "cdc_sql_view" ->

@@ -43,7 +43,22 @@ import scala.jdk.CollectionConverters._
  * JSON) and a manifest footer — O(tables) driver metadata; no data IO
  * until a scan actually runs.
  */
-class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
+class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+
+  /** `CALL cat.system.optimize|vacuum|expire_snapshots|restore|flush`
+   *  — the M13/M15 control verbs on the SQL surface (the reference's
+   *  REST control endpoints, `rest_api.rs /tables/{t}/...`). */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace().toSeq == Seq("system"),
+      s"procedures live in the `system` namespace, got $ident")
+    GraftProcedures.load(store, warehouse, ident.name())
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.toSeq == Seq("system")) GraftProcedures.list()
+    else Array.empty
 
   private var catalogName: String = _
   private var warehouse: String = _

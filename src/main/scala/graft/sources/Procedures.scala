@@ -1,0 +1,120 @@
+package graft.sources
+
+import graft.model.Identity
+import graft.table.{GraftTable, MetadataStore, TableConfig}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.Scan
+import org.apache.spark.sql.types._
+
+/**
+ * SQL maintenance procedures (the Iceberg `CALL catalog.system.x(...)`
+ * surface) over the M13/M15 control verbs — the reference exposes the
+ * same operations as REST control endpoints
+ * (`rest_api.rs /tables/{t}/optimize|snapshot|flush`):
+ *
+ *   CALL cat.system.optimize(db => 'graft', tbl => 't')
+ *   CALL cat.system.vacuum('graft', 't')
+ *   CALL cat.system.expire_snapshots('graft', 't', 3)
+ *   CALL cat.system.restore('graft', 't', 2)
+ *   CALL cat.system.flush('graft', 't')
+ *
+ * Each returns a one-row result scan with the operation's metric, so
+ * `CALL` output composes in SQL like any query. Procedures resolve in
+ * the `system` namespace of the graft catalog.
+ */
+private[graft] object GraftProcedures {
+
+  private val DbTbl = Seq(
+    ProcedureParameter.in("db", StringType).build(),
+    ProcedureParameter.in("tbl", StringType).build())
+
+  def list(): Array[Identifier] =
+    Array("optimize", "vacuum", "expire_snapshots", "restore", "flush")
+      .map(n => Identifier.of(Array("system"), n))
+
+  def load(store: MetadataStore, warehouse: String,
+      name: String): UnboundProcedure = {
+    def open(db: String, tbl: String): GraftTable = {
+      val entry = store.allEntries()
+        .find(e => e.database == db && e.table == tbl)
+        .getOrElse(sys.error(s"no such table: $db.$tbl"))
+      GraftTable.open(SparkSession.active, s"$warehouse/$tbl",
+        entry.identity, entry.config)
+    }
+    name match {
+      case "optimize" => proc("optimize", DbTbl,
+        StructType(Seq(StructField("files_before", LongType),
+          StructField("files_after", LongType))),
+        args => {
+          val t = open(args(0).toString, args(1).toString)
+          val before = t.currentManifest.dataFiles.size.toLong
+          t.optimize()
+          Seq(Row(before, t.currentManifest.dataFiles.size.toLong))
+        })
+      case "vacuum" => proc("vacuum", DbTbl,
+        StructType(Seq(StructField("removed_files", LongType))),
+        args => Seq(Row(
+          open(args(0).toString, args(1).toString).vacuum().toLong)))
+      case "expire_snapshots" => proc("expire_snapshots",
+        DbTbl :+ ProcedureParameter.in("keep_last", IntegerType).build(),
+        StructType(Seq(StructField("expired_versions", LongType))),
+        args => Seq(Row(open(args(0).toString, args(1).toString)
+          .expireVersions(args(2).asInstanceOf[Int]).toLong)))
+      case "restore" => proc("restore",
+        DbTbl :+ ProcedureParameter.in("version", LongType).build(),
+        StructType(Seq(StructField("restored_as_version", LongType))),
+        args => Seq(Row(open(args(0).toString, args(1).toString)
+          .restoreToVersion(args(2).asInstanceOf[Long]))))
+      case "flush" => proc("flush", DbTbl,
+        StructType(Seq(StructField("flush_lsn", LongType))),
+        args => {
+          val t = open(args(0).toString, args(1).toString)
+          t.flush(); t.publish()
+          Seq(Row(t.flushLsn))
+        })
+      case other => sys.error(s"no such procedure: system.$other")
+    }
+  }
+
+  /** assemble an UnboundProcedure whose call() surfaces `run`'s rows
+   *  through the same local-rows scan the metadata tables use */
+  private def proc(pname: String, params: Seq[ProcedureParameter],
+      outSchema: StructType,
+      run: Seq[Any] => Seq[Row]): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = pname
+      override def description(): String = s"graft system.$pname"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = pname
+          override def description(): String = s"graft system.$pname"
+          override def parameters(): Array[ProcedureParameter] =
+            params.toArray
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            val args = params.zipWithIndex.map { case (p, i) =>
+              p.dataType() match {
+                case StringType => input.getUTF8String(i).toString
+                case IntegerType => input.getInt(i)
+                case LongType => input.getLong(i)
+                case other => sys.error(s"unsupported param type $other")
+              }
+            }
+            val out = run(args)
+            val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+              .createToCatalystConverter(outSchema)
+            val scan: Scan =
+              new org.apache.spark.sql.connector.read.LocalScan {
+                override def readSchema(): StructType = outSchema
+                override def rows(): Array[InternalRow] =
+                  out.map(r => conv(r).asInstanceOf[InternalRow]).toArray
+              }
+            java.util.List.of(scan).iterator()
+          }
+        }
+    }
+}

@@ -331,6 +331,38 @@ class CatalogPluginSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(state() == before + 1000L)
   }
 
+  test("CALL procedures drive the maintenance verbs with result rows") {
+    val (cname, wh) = freshCatalog()
+    val cat = GraftCatalog(spark, wh)
+    val t = cat.createTable("pr", schema, Identity.Keys(Seq("id")))
+    // several small commits -> several files + versions to maintain
+    (1 to 4).foreach { i =>
+      t.upsertAll(Seq(Row(i.toLong, i * 10L)), startLsn = i * 10L)
+      t.flush(); t.publish()
+    }
+    val before = graft.format.ManifestLog.versions(s"$wh/pr").size
+    // optimize: compacts the 4 single-row files
+    val opt = spark.sql(
+      s"CALL $cname.system.optimize(db => 'graft', tbl => 'pr')").head()
+    assert(opt.getLong(0) == 4L && opt.getLong(1) == 1L)
+    // expire + vacuum: drop history, reclaim unreferenced files
+    val exp = spark.sql(
+      s"CALL $cname.system.expire_snapshots('graft', 'pr', 1)").head()
+    assert(exp.getLong(0) > 0L)
+    val vac = spark.sql(s"CALL $cname.system.vacuum('graft', 'pr')").head()
+    assert(vac.getLong(0) >= 0L)
+    // the pre-compaction files are gone from disk (reclaimed by vacuum
+    // or by the maintenance handle's orphan sweep at open)
+    assert(graft.format.Fio.list(s"$wh/pr/data").size == 1)
+    // table content untouched by maintenance
+    assert(spark.sql(s"SELECT sum(v) FROM $cname.graft.pr")
+      .head().getLong(0) == 100L)
+    assert(graft.format.ManifestLog.versions(s"$wh/pr").size < before + 2)
+    intercept[Exception] {
+      spark.sql(s"CALL $cname.system.nope('graft', 'pr')").collect()
+    }
+  }
+
   test("unknown table fails analysis, not execution") {
     val (cname, _) = freshCatalog()
     val e = intercept[Exception] {
