@@ -2292,6 +2292,18 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "text_bpe_encode" -> ((s, d) => {
+      // the APPLY half of tokenizer training: learn 8 merges, then
+      // encode the corpus with them — per-doc symbol counts under the
+      // trained tokenizer, one scan, zero shuffle, merges baked into
+      // the plan as codegen'd replaces (see TextOps.bpeEncode)
+      val docs = t(s, d, "documents")
+      val merges = TextOps.bpeTrain(docs, "text", steps = 8)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextOps.bpeEncode(docs, "doc_id", "text", merges).orderBy("doc_id")
+    }),
+
     "text_bpe_train" -> ((s, d) => {
       // tokenizer TRAINING: 8 BPE merges learned from the corpus word
       // distribution — one corpus-shaped shuffle (word count), then
@@ -2955,7 +2967,36 @@ object SparkEntry {
    *  identical (pair-count → argmax → 3× delimited replace) step that
    *  `TextOps.bpeTrain` runs, so both engines compute the same merge
    *  table by construction (fixed pass count, total tie-break order). */
-  private def bpeOracleSql(steps: Int): String = {
+  private def bpeOracleSql(steps: Int): String =
+    bpeCtes(steps) + "\nSELECT * FROM (" +
+      (1 to steps).map { n =>
+        s"SELECT CAST($n AS BIGINT) AS merge_rank, l AS sym_left, r AS sym_right, l||r AS merged, CAST(c AS BIGINT) AS pair_cnt FROM b$n"
+      }.mkString("\nUNION ALL ") + ") ORDER BY merge_rank"
+
+  /** the encode oracle re-learns the same merge chain, then applies it
+   *  to every document with the identical 3-pass delimited replaces */
+  private def bpeEncodeOracleSql(steps: Int): String = {
+    val enc =
+      """enc0 AS (
+        |  SELECT doc_id,
+        |         ' ' || regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' / ', 'g'), '([a-z0-9])', '\1 ', 'g') || ' ' AS sp
+        |  FROM documents)""".stripMargin
+    val applies = (1 to steps).map { n =>
+      s"""enc$n AS (SELECT doc_id,
+         |  replace(replace(replace(sp, ' '||l||' '||r||' ', ' '||l||r||' '),
+         |          ' '||l||' '||r||' ', ' '||l||r||' '),
+         |          ' '||l||' '||r||' ', ' '||l||r||' ') AS sp
+         |  FROM enc${n - 1}, b$n)""".stripMargin
+    }
+    bpeCtes(steps) + ",\n" + (enc +: applies).mkString(",\n") +
+      s"""
+         |SELECT doc_id,
+         |       CAST(len(list_filter(regexp_split_to_array(trim(sp), ' +'),
+         |                            x -> x <> '' AND x <> '/')) AS BIGINT) AS n_bpe_symbols
+         |FROM enc$steps ORDER BY doc_id""".stripMargin
+  }
+
+  private def bpeCtes(steps: Int): String = {
     val w0 =
       """WITH w0 AS (
         |  SELECT ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS seq, cnt
@@ -2973,12 +3014,7 @@ object SparkEntry {
          |                    ' '||l||' '||r||' ', ' '||l||r||' ') AS seq, cnt
          |  FROM w${n - 1}, b$n)""".stripMargin
     }
-    val selects = (1 to steps).map { n =>
-      s"SELECT CAST($n AS BIGINT) AS merge_rank, l AS sym_left, r AS sym_right, l||r AS merged, CAST(c AS BIGINT) AS pair_cnt FROM b$n"
-    }
-    (w0 +: stepCtes).mkString(",\n") +
-      "\nSELECT * FROM (" + selects.mkString("\nUNION ALL ") +
-      ") ORDER BY merge_rank"
+    (w0 +: stepCtes).mkString(",\n")
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -3779,6 +3815,7 @@ object SparkEntry {
         |FROM w ORDER BY source""".stripMargin,
 
     "text_bpe_train" -> bpeOracleSql(8),
+    "text_bpe_encode" -> bpeEncodeOracleSql(8),
 
     "text_ccnet_bucket" ->
       """WITH tok AS (

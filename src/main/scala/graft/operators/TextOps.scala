@@ -718,6 +718,45 @@ object TextOps {
       .toDF("merge_rank", "sym_left", "sym_right", "merged", "pair_cnt")
   }
 
+  /**
+   * BPE ENCODE with a learned merge table — the apply half of
+   * [[bpeTrain]]: each document's alphabetic words become delimited
+   * char sequences, the `merges` apply in rank order (each as the same
+   * fixed 3-pass delimited replace the trainer used, so train and
+   * encode share one fusion contract), and the output is the document's
+   * token count under the trained tokenizer — the number every
+   * packing/budgeting stage downstream consumes. Non-word tokens
+   * (digits etc.) count as single symbols.
+   *
+   * Scale shape: pure per-row string work — ONE corpus scan, zero
+   * shuffle, every replace codegen'd (`replace` is a native Catalyst
+   * StringReplace); the merge table is k literals baked into the plan,
+   * exactly how a broadcast tokenizer ships at 100 TB.
+   */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    merges.foreach { case (l, r) =>
+      require((l + r).matches("[a-z]+"), s"non-alphabetic merge: $l+$r") }
+    // delimit every alphanumeric char as its own symbol; non-alnum
+    // runs become a " / " boundary marker so merges can never span
+    // words. (No lookahead anywhere — the oracle's RE2 lacks it, so
+    // the contract sticks to plain global replaces.)
+    val spaced = concat(lit(" "),
+      regexp_replace(
+        regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " / "),
+        "([a-z0-9])", "$1 "),
+      lit(" "))
+    val fused = merges.foldLeft(spaced) { case (c, (l, r)) =>
+      val pat = s" $l $r "; val rep = s" $l$r "
+      (1 to 3).foldLeft(c)((cc, _) =>
+        call_function("replace", cc, lit(pat), lit(rep)))
+    }
+    df.select(col(idCol),
+      size(filter(split(trim(fused), " +"),
+          t => t =!= lit("") && t =!= lit("/")))
+        .cast("long").as("n_bpe_symbols"))
+  }
+
   def bm25(docs: DataFrame, textCol: String, idCol: String,
       terms: Seq[String], topN: Int = 20): DataFrame = {
     val toks = tokens(lower(col(textCol)))
