@@ -110,6 +110,82 @@ class StreamSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.commitLsn == 11L, "commit rides the source LSN axis")
   }
 
+  test("the $cdc facade resolves through the catalog (toTable)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val wh = Files.createTempDirectory("graft-cdc-cat").toString
+    val cname = "gs" + math.abs(wh.hashCode).toString
+    spark.conf.set(s"spark.sql.catalog.$cname",
+      classOf[graft.sources.GraftCatalogPlugin].getName)
+    spark.conf.set(s"spark.sql.catalog.$cname.warehouse", wh)
+    GraftCatalog(spark, wh).createTable("kv", schema,
+      Identity.Keys(Seq("id")), TableConfig(walEnabled = false))
+    val in = MemoryStream[(String, Long, Long, Long)]
+    val q = in.toDF().toDF("_op", "_lsn", "id", "v")
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sink-ckpt").toString)
+      .toTable(s"$cname.graft.`kv$$cdc`")
+    try {
+      in.addData(("u", 1L, 1L, 10L), ("d", 2L, 1L, 0L), ("u", 3L, 2L, 20L))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.sql(s"SELECT id, v FROM $cname.graft.kv").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 20L)))
+  }
+
+  test("chaos: CDC sink epochs are atomic and exactly-once under faults") {
+    import spark.implicits._
+    val root = freshRoot()
+    val t = GraftTable.create(spark, root, schema, Identity.Keys(Seq("id")),
+      TableConfig(walEnabled = false))
+    def ev(lsn0: Long, rows: (String, Long, Long)*) =
+      rows.toSeq.zipWithIndex.map { case ((op, id, v), i) =>
+        (op, lsn0 + i, id, v) }.toDF("_op", "_lsn", "id", "v")
+    assert(t.applyEpochCdcDF(ev(1L, ("u", 1L, 10L), ("u", 2L, 20L)), 0))
+    val rnd = new scala.util.Random(5L)
+    val faults = new graft.format.FioFaults {
+      @volatile var armed = false
+      override def beforeOp(op: String, path: String): Unit =
+        if (armed && rnd.nextDouble() < 0.2)
+          throw new java.io.IOException(s"injected fault: $op $path")
+    }
+    graft.format.Fio.faults = faults
+    try {
+      // epoch 1 attempts under faults: each try is all-or-nothing; the
+      // epoch watermark makes a retry after a POST-commit fault no-op
+      var done = false
+      var tries = 0
+      while (!done && tries < 10) {
+        tries += 1
+        faults.armed = true
+        val t2 = try {
+          faults.armed = false // open/recovery runs clean
+          val h = GraftTable.open(spark, root, Identity.Keys(Seq("id")),
+            TableConfig(walEnabled = false))
+          faults.armed = true
+          h
+        } catch { case _: Throwable => null }
+        if (t2 != null) {
+          try { t2.applyEpochCdcDF(ev(10L, ("u", 1L, 11L), ("d", 2L, 0L)), 1) }
+          catch { case _: Throwable => }
+          faults.armed = false
+          done = graft.format.ManifestLog.loadLatest(root).get.streamEpochs == 2L
+        }
+        faults.armed = false
+      }
+      assert(done, s"epoch 1 never landed in $tries tries")
+    } finally graft.format.Fio.faults = null
+    // final state: epoch 1 applied EXACTLY once whatever the retries
+    val h = GraftTable.open(spark, root, Identity.Keys(Seq("id")),
+      TableConfig(walEnabled = false))
+    assert(h.read(None).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 11L)))
+    // a replay of epoch 1 against the recovered table is refused
+    assert(!h.applyEpochCdcDF(ev(10L, ("u", 1L, 999L)), 1))
+  }
+
   test("a keyed plain-row stream refuses; the $cdc facade is the sink") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
