@@ -46,13 +46,24 @@ private[graft] object GraftProcedures {
         entry.identity, entry.config)
     }
     name match {
-      case "optimize" => proc("optimize", DbTbl,
+      case "optimize" => proc("optimize",
+        DbTbl ++ Seq(
+          ProcedureParameter.in("cluster_by", StringType)
+            .defaultValue("''").comment("comma-separated sort columns")
+            .build(),
+          ProcedureParameter.in("zorder", StringType)
+            .defaultValue("'false'")
+            .comment("'true' = z-order interleave over cluster_by")
+            .build()),
         StructType(Seq(StructField("files_before", LongType),
           StructField("files_after", LongType))),
         args => {
           val t = open(args(0).toString, args(1).toString)
+          val cols = args(2).toString.split(",").map(_.trim)
+            .filter(_.nonEmpty).toSeq
           val before = t.currentManifest.dataFiles.size.toLong
-          t.optimize()
+          t.optimize(clusterBy = cols,
+            zorder = args(3).toString.equalsIgnoreCase("true"))
           Seq(Row(before, t.currentManifest.dataFiles.size.toLong))
         })
       case "vacuum" => proc("vacuum", DbTbl,

@@ -345,6 +345,9 @@ class CatalogPluginSpec extends AnyFunSuite with BeforeAndAfterAll {
     val opt = spark.sql(
       s"CALL $cname.system.optimize(db => 'graft', tbl => 'pr')").head()
     assert(opt.getLong(0) == 4L && opt.getLong(1) == 1L)
+    // clustered + z-ordered variant through named args
+    spark.sql(s"CALL $cname.system.optimize(db => 'graft', tbl => 'pr', " +
+      "cluster_by => 'id', zorder => 'false')").collect()
     // expire + vacuum: drop history, reclaim unreferenced files
     val exp = spark.sql(
       s"CALL $cname.system.expire_snapshots('graft', 'pr', 1)").head()
