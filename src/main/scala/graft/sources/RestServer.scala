@@ -115,6 +115,9 @@ final class RestServer(catalog: GraftCatalog, port: Int = 0) {
         200 -> obj("service" -> "graft", "status" -> "healthy")
       case ("GET", "tables" :: Nil) => listTables()
       case ("GET", "schema" :: t :: Nil) => fetchSchema(t)
+      // the reference's db-qualified form (`rest_api.rs:415`); the
+      // single-warehouse server resolves by table name
+      case ("GET", "schema" :: _ :: t :: Nil) => fetchSchema(t)
       case ("POST", "tables" :: t :: Nil) => createTable(t, parse(body))
       case ("POST", "upload" :: t :: Nil) => uploadFiles(t, parse(body))
       case ("DELETE", "tables" :: t :: Nil) =>
