@@ -2635,6 +2635,31 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "text_decontam_fuzzy" -> ((s, d) => {
+      // NEAR-duplicate benchmark decontamination — the fuzzy complement
+      // of text_decontam's exact-gram overlap: benchmark docs (every
+      // 20th) and the remaining corpus both minhash-band; a corpus doc
+      // is flagged iff it shares a band bucket with a benchmark doc AND
+      // exact-Jaccard over the staged shingle sets confirms ≥ 500‰.
+      // The corpus only ever ships ids through the band join — the
+      // benchmark side is tiny by construction, the contamination check
+      // costs one banded join at any corpus size.
+      val docs = t(s, d, "documents")
+      val sh = stage(Dedup.minhashShingleFrame(
+          docs, "doc_id", "text", shingleN = 2),
+        d, "decontam_fz_sh")
+      val benchSh = sh.where(col("id") % 20 === 0)
+      val corpusSh = sh.where(col("id") % 20 =!= 0)
+      val cand = stage(Dedup.minhashCandidatesAgainst(
+          Dedup.minhashBandFrame(corpusSh, numHashes = 64, bands = 16),
+          Dedup.minhashBandFrame(benchSh, numHashes = 64, bands = 16)),
+        d, "decontam_fz_cand")
+      Dedup.verifyJaccardMilli(sh, cand, minMilli = 500)
+        .select(col("id_a").as("corpus_id"), col("id_b").as("benchmark_id"),
+          col("jaccard_milli"))
+        .orderBy("corpus_id", "benchmark_id")
+    }),
+
     "dedup_minhash_incr" -> ((s, d) => {
       // incremental dedup (the daily-crawl shape): the odd-doc
       // increment probes a PERSISTED band index of the even-doc corpus
@@ -4124,6 +4149,19 @@ object SparkEntry {
         |  AND CAST(FLOOR(1000.0 * len(list_intersect(a.hs, b.hs)) /
         |            (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))) AS BIGINT) >= 200
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // exact-Jaccard confirmation over the staged cross candidates
+    "text_decontam_fuzzy" ->
+      """WITH sh AS (SELECT * FROM read_parquet('/root/repo/target/oracle-stage/sf0.01/decontam_fz_sh/*.parquet')),
+        |cand AS (SELECT * FROM read_parquet('/root/repo/target/oracle-stage/sf0.01/decontam_fz_cand/*.parquet'))
+        |SELECT c.id_a AS corpus_id, c.id_b AS benchmark_id,
+        |       CAST(FLOOR(1000.0 * len(list_intersect(a.hs, b.hs)) /
+        |            (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))) AS BIGINT) AS jaccard_milli
+        |FROM cand c JOIN sh a ON a.id = c.id_a JOIN sh b ON b.id = c.id_b
+        |WHERE (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) > 0
+        |  AND CAST(FLOOR(1000.0 * len(list_intersect(a.hs, b.hs)) /
+        |            (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))) AS BIGINT) >= 500
+        |ORDER BY corpus_id, benchmark_id""".stripMargin,
 
     // streaming LSH candidate links == (bucket-min, member) pairs over
     // the staged band frame, distinct across bands
