@@ -301,6 +301,23 @@ object SparkEntry {
         .orderBy("n_name", "c_mktsegment")
     }),
 
+    "q_pivot" -> ((s, d) => {
+      // relational PIVOT: per-user event counts spread across the five
+      // event-type columns — Catalyst's pivot lowers to one grouped
+      // aggregate with a conditional-count per pivot value (the same
+      // single exchange as a plain groupBy; no per-column scans)
+      events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("user_id"), col("click").as("n_click"),
+          col("error").as("n_error"), col("purchase").as("n_purchase"),
+          col("signup").as("n_signup"), col("view").as("n_view"))
+        .orderBy("user_id")
+    }),
+
     "q_setops" -> ((s, d) => {
       // customers ordering in 1995 but NOT in 1996 (EXCEPT), plus the
       // intersection count as a second branch via union of two marked sets
@@ -389,6 +406,34 @@ object SparkEntry {
           col("event_type"))
         .agg(count(lit(1)).as("n"), cents(sum(col("value"))).as("value_cents"))
         .orderBy("hour_us", "event_type")
+    }),
+
+    "ev_funnel" -> ((s, d) => {
+      // ordered funnel analysis: per user, the earliest view, the
+      // earliest click AFTER that view, the earliest purchase AFTER
+      // that click (event_id order = event time order in this fixture).
+      // Three grouped aggregates, each keyed on user_id — the same
+      // exchange reused; no window over the raw event stream.
+      // thinned to every 7th event so the chain genuinely breaks for
+      // some users (the dense synthetic stream completes any funnel)
+      val ev = events(s, d)
+        .where(col("event_id") % 7 === 0)
+        .select(col("user_id"), col("event_id"), col("event_type"))
+      val m1 = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("event_id")).as("view_id"))
+      val m2 = ev.join(m1, "user_id")
+        .where(col("event_type") === "click" && col("event_id") > col("view_id"))
+        .groupBy("user_id").agg(min(col("event_id")).as("click_id"))
+      val m3 = ev.join(m2, "user_id")
+        .where(col("event_type") === "purchase" && col("event_id") > col("click_id"))
+        .groupBy("user_id").agg(min(col("event_id")).as("purchase_id"))
+      val depth = m1.join(m2, Seq("user_id"), "left")
+        .join(m3, Seq("user_id"), "left")
+        .select(col("user_id"),
+          when(col("purchase_id").isNotNull, 3L)
+            .when(col("click_id").isNotNull, 2L).otherwise(1L).as("depth"))
+      depth.groupBy("depth").agg(count(lit(1)).as("n_users"))
+        .orderBy("depth")
     }),
 
     "ev_sessionize" -> ((s, d) => {
@@ -3120,6 +3165,16 @@ object SparkEntry {
         |GROUP BY ROLLUP(n_name, c_mktsegment)
         |ORDER BY 1, 2""".stripMargin,
 
+    // pivot == conditional counts per event type, one grouped pass
+    "q_pivot" ->
+      """SELECT user_id,
+        |       COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+        |       COUNT(*) FILTER (WHERE event_type = 'error') AS n_error,
+        |       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |       COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+        |       COUNT(*) FILTER (WHERE event_type = 'view') AS n_view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_setops" ->
       """WITH y95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate)=1995),
         |     y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate)=1996),
@@ -3202,6 +3257,29 @@ object SparkEntry {
         |       count(*) AS n,
         |       CAST(ROUND(SUM(value)*100) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    // ordered min-chain funnel: view -> click-after-view ->
+    // purchase-after-click; depth histogram over users with a view
+    "ev_funnel" ->
+      """WITH ev AS (SELECT * FROM events WHERE event_id % 7 = 0),
+        |m1 AS (
+        |  SELECT user_id, MIN(event_id) AS view_id FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |m2 AS (
+        |  SELECT e.user_id, MIN(e.event_id) AS click_id
+        |  FROM ev e JOIN m1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.event_id > m1.view_id
+        |  GROUP BY 1),
+        |m3 AS (
+        |  SELECT e.user_id, MIN(e.event_id) AS purchase_id
+        |  FROM ev e JOIN m2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.event_id > m2.click_id
+        |  GROUP BY 1)
+        |SELECT CASE WHEN m3.user_id IS NOT NULL THEN 3
+        |            WHEN m2.user_id IS NOT NULL THEN 2 ELSE 1 END AS depth,
+        |       COUNT(*) AS n_users
+        |FROM m1 LEFT JOIN m2 USING (user_id) LEFT JOIN m3 USING (user_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "ev_sessionize" ->
       """WITH e AS (
