@@ -408,6 +408,22 @@ object SparkEntry {
         .orderBy("hour_us", "event_type")
     }),
 
+    "ev_retention" -> ((s, d) => {
+      // cohort retention curve: each user's first active hour anchors
+      // their cohort; the histogram counts users still active N hours
+      // later. Two grouped aggregates on the user key + one on the
+      // offset — distinct-activity rows only ever shuffle once.
+      val act = events(s, d)
+        .select(col("user_id"), expr("ts DIV 3600000000").as("h"))
+        .distinct()
+      val coh = act.groupBy("user_id").agg(min(col("h")).as("h0"))
+      act.join(coh, "user_id")
+        .select(col("user_id"), (col("h") - col("h0")).as("hours_since_first"))
+        .groupBy("hours_since_first")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("hours_since_first")
+    }),
+
     "ev_funnel" -> ((s, d) => {
       // ordered funnel analysis: per user, the earliest view, the
       // earliest click AFTER that view, the earliest purchase AFTER
@@ -3257,6 +3273,16 @@ object SparkEntry {
         |       count(*) AS n,
         |       CAST(ROUND(SUM(value)*100) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    // first-active-hour cohorts; integer hour indexes (µs DIV 3600e6)
+    "ev_retention" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS h FROM events),
+        |coh AS (SELECT user_id, MIN(h) AS h0 FROM act GROUP BY 1)
+        |SELECT CAST(a.h - c.h0 AS BIGINT) AS hours_since_first,
+        |       COUNT(DISTINCT a.user_id) AS n_users
+        |FROM act a JOIN coh c USING (user_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // ordered min-chain funnel: view -> click-after-view ->
     // purchase-after-click; depth histogram over users with a view
