@@ -318,6 +318,24 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "q_unpivot" -> ((s, d) => {
+      // UNPIVOT (stack) round-trip: the pivoted per-user counts fold
+      // back to long form — generator-based, no shuffle beyond the
+      // pivot's own; zero-count cells drop so the round-trip equals
+      // the plain grouped counts
+      events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .selectExpr("user_id",
+          "stack(5, 'click', click, 'error', error, 'purchase', purchase, " +
+            "'signup', signup, 'view', view) AS (event_type, n)")
+        .where(col("n") > 0)
+        .orderBy("user_id", "event_type")
+    }),
+
     "q_setops" -> ((s, d) => {
       // customers ordering in 1995 but NOT in 1996 (EXCEPT), plus the
       // intersection count as a second branch via union of two marked sets
@@ -3180,6 +3198,11 @@ object SparkEntry {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY ROLLUP(n_name, c_mktsegment)
         |ORDER BY 1, 2""".stripMargin,
+
+    // pivot→unpivot round-trip == the plain grouped counts
+    "q_unpivot" ->
+      """SELECT user_id, event_type, COUNT(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // pivot == conditional counts per event type, one grouped pass
     "q_pivot" ->
