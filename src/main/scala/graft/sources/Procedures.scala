@@ -33,7 +33,8 @@ private[graft] object GraftProcedures {
     ProcedureParameter.in("tbl", StringType).build())
 
   def list(): Array[Identifier] =
-    Array("optimize", "vacuum", "expire_snapshots", "restore", "flush")
+    Array("optimize", "vacuum", "expire_snapshots", "restore", "flush",
+        "check")
       .map(n => Identifier.of(Array("system"), n))
 
   def load(store: MetadataStore, warehouse: String,
@@ -86,6 +87,15 @@ private[graft] object GraftProcedures {
           val t = open(args(0).toString, args(1).toString)
           t.flush(); t.publish()
           Seq(Row(t.flushLsn))
+        })
+      case "check" => proc("check", DbTbl,
+        StructType(Seq(StructField("check", StringType),
+          StructField("ok", BooleanType),
+          StructField("detail", StringType))),
+        args => {
+          val t = open(args(0).toString, args(1).toString)
+          t.integrityCheck().map { case (name, ok, detail) =>
+            Row(name, ok, detail) }
         })
       case other => sys.error(s"no such procedure: system.$other")
     }

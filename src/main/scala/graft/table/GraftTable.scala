@@ -1058,6 +1058,55 @@ final class GraftTable private (
     DvSidecar.write(s"$root/dv/$name", byFile.toSeq)
   }
 
+  /**
+   * Table fsck (the `CALL system.check` verb): structural integrity of
+   * the committed snapshot, each check a (name, ok, detail) row.
+   * One distributed metadata-column scan for the row counts; everything
+   * else is manifest/bitmap arithmetic on the driver.
+   */
+  def integrityCheck(): Seq[(String, Boolean, String)] = synchronized {
+    val m = currentManifest
+    val out = mutable.Buffer[(String, Boolean, String)]()
+    def detail(bad: Seq[String]): String =
+      if (bad.isEmpty) "ok" else s"bad=${bad.take(5).mkString(",")}"
+    // every manifest-referenced file exists on disk
+    val missing =
+      m.dataFiles.map(_.path).filterNot(p => Fio.exists(s"$root/data/$p")) ++
+      m.dvFiles.filterNot(p => Fio.exists(s"$root/dv/$p")) ++
+      m.indexFiles.map(_.path).filterNot(p => Fio.exists(s"$root/index/$p"))
+    out += (("files-present", missing.isEmpty, detail(missing)))
+    // physical parquet row counts match the manifest accounting
+    if (m.dataFiles.nonEmpty && missing.isEmpty) {
+      val counts = spark.read
+        .parquet(m.dataFiles.map(e => s"$root/data/${e.path}"): _*)
+        .groupBy(substring_index(col("_metadata.file_path"), "/", -1).as("f"))
+        .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val bad = m.dataFiles
+        .filter(e => counts.getOrElse(e.path, -1L) != e.rows).map(_.path)
+      out += (("row-counts", bad.isEmpty, detail(bad)))
+    } else out += (("row-counts", missing.isEmpty, "skipped: missing files"))
+    // DV positions stay inside their file; masked counts match
+    val rowsOf = m.dataFiles.map(e => e.path -> e.rows).toMap
+    val delOf = m.dataFiles.map(e => e.path -> e.deletes).toMap
+    val dvBad = dvMap.toSeq.filter { case (f, _) => rowsOf.contains(f) }
+      .flatMap { case (f, bm) =>
+        val maxPos =
+          if (bm.isEmpty) -1L else bm.getReverseLongIterator.next()
+        val cardBad = bm.getLongCardinality != delOf(f)
+        if (maxPos >= rowsOf(f) || cardBad) Some(f) else scala.None
+      }
+    out += (("dv-bounds", dvBad.isEmpty, detail(dvBad)))
+    // keyed tables: every live data file is covered by the key index
+    if (keyCols.nonEmpty) {
+      val covered = m.indexFiles.flatMap(_.dataFiles).toSet
+      val uncovered = m.dataFiles.map(_.path).filterNot(covered)
+      out += (("index-coverage", uncovered.isEmpty, detail(uncovered)))
+    }
+    out += (("lsn-order", m.flushLsn <= m.commitLsn,
+      s"flush=${m.flushLsn} commit=${m.commitLsn}"))
+    out.toSeq
+  }
+
   /** committed live cardinality from manifest stats (no scan) */
   def liveRowCount: Long = synchronized {
     fileEntries.values.map(e => e.rows - e.deletes).sum

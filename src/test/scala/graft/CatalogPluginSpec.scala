@@ -366,6 +366,26 @@ class CatalogPluginSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("CALL system.check reports integrity; detects tampered storage") {
+    val (cname, wh) = freshCatalog()
+    val cat = GraftCatalog(spark, wh)
+    val t = cat.createTable("ck", schema, Identity.Keys(Seq("id")))
+    t.upsertAll((1L to 5L).map(i => Row(i, i)), startLsn = 1)
+    t.flush(); t.publish()
+    t.apply(Seq(Delete(Seq(2L), 10L), Commit(11L)))
+    t.flush(); t.publish()
+    def checks() = spark.sql(s"CALL $cname.system.check('graft', 'ck')")
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    val c1 = checks()
+    assert(c1.size >= 5 && c1.values.forall(identity), s"clean table: $c1")
+    // tamper: delete a data file behind the manifest's back
+    val victim = graft.format.ManifestLog.loadLatest(s"$wh/ck")
+      .get.dataFiles.head.path
+    graft.format.Fio.delete(s"$wh/ck/data/$victim")
+    val c2 = checks()
+    assert(!c2("files-present"), s"tamper undetected: $c2")
+  }
+
   test("unknown table fails analysis, not execution") {
     val (cname, _) = freshCatalog()
     val e = intercept[Exception] {
