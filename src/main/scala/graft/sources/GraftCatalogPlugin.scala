@@ -44,7 +44,8 @@ import scala.jdk.CollectionConverters._
  * until a scan actually runs.
  */
 class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   /** `CALL cat.system.optimize|vacuum|expire_snapshots|restore|flush`
    *  — the M13/M15 control verbs on the SQL surface (the reference's
@@ -58,6 +59,20 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.toSeq == Seq("system")) GraftProcedures.list()
+    else Array.empty
+
+  /** `SELECT cat.system.jaccard_milli(...)` — the native kernels as
+   *  V2 catalog functions (see GraftFunctions). */
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction = {
+    if (ident.namespace().toSeq != Seq("system"))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident)
+    GraftFunctions.load(ident.name())
+  }
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.toSeq == Seq("system")) GraftFunctions.list()
     else Array.empty
 
   private var catalogName: String = _

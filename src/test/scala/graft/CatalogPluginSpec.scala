@@ -386,6 +386,37 @@ class CatalogPluginSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!c2("files-present"), s"tamper undetected: $c2")
   }
 
+  test("catalog functions expose the native kernels to SQL") {
+    val (cname, _) = freshCatalog()
+    // jaccard over sorted distinct int arrays: |{2,3}| / |{1,2,3,4}|
+    assert(spark.sql(s"SELECT $cname.system.jaccard_milli(" +
+      "array(1, 2, 3), array(2, 3, 4))").head().getLong(0) == 500L)
+    // identical arrays -> 1000; disjoint -> 0; null -> null
+    assert(spark.sql(s"SELECT $cname.system.jaccard_milli(" +
+      "array(7), array(7))").head().getLong(0) == 1000L)
+    assert(spark.sql(s"SELECT $cname.system.jaccard_milli(" +
+      "array(1), array(2))").head().getLong(0) == 0L)
+    // in-order IEEE dot product
+    assert(spark.sql(s"SELECT $cname.system.dot(" +
+      "array(1.0D, 2.0D), array(3.0D, 4.0D))").head().getDouble(0) == 11.0)
+    // ragged pair -> null (no partial dot)
+    assert(spark.sql(s"SELECT $cname.system.dot(" +
+      "array(1.0D), array(1.0D, 2.0D))").head().isNullAt(0))
+    // the function result must equal the codegen'd expression's
+    import spark.implicits._
+    val df = Seq((Seq(1, 2, 3), Seq(2, 3, 4))).toDF("a", "b")
+    df.createOrReplaceTempView("jv")
+    val viaSql = spark.sql(
+      s"SELECT $cname.system.jaccard_milli(a, b) FROM jv").head().getLong(0)
+    val viaExpr = df.select(org.apache.spark.sql.graft.JaccardMilli
+      .asColumn(org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b"))).head().getLong(0)
+    assert(viaSql == viaExpr)
+    intercept[Exception] {
+      spark.sql(s"SELECT $cname.system.nope(1)").collect()
+    }
+  }
+
   test("unknown table fails analysis, not execution") {
     val (cname, _) = freshCatalog()
     val e = intercept[Exception] {
