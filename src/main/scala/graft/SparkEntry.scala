@@ -2687,6 +2687,34 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "q_sql_kernel" -> ((s, d) => {
+      // the V2 FunctionCatalog surface end-to-end: block-bounded
+      // similar-pair search written in PLAIN SQL with the catalog's
+      // jaccard_milli kernel over a staged shingle frame — the same
+      // contract as dedup_jaccard_pairs, driven entirely through SQL.
+      val sh = stage(
+        Dedup.minhashShingleFrame(
+            t(s, d, "documents"), "doc_id", "text", shingleN = 2)
+          .join(t(s, d, "documents")
+            .select(col("doc_id").as("id"), col("source")), "id"),
+        d, "sqlkernel_sh")
+      val wh = freshDir("wh-fn")
+      val cname = "gc" + math.abs(wh.hashCode).toString
+      s.conf.set(s"spark.sql.catalog.$cname",
+        classOf[graft.sources.GraftCatalogPlugin].getName)
+      s.conf.set(s"spark.sql.catalog.$cname.warehouse", wh)
+      sh.createOrReplaceTempView("sqlkernel_sh_v")
+      s.sql(
+        s"""SELECT a.id AS id_a, b.id AS id_b,
+           |       $cname.system.jaccard_milli(
+           |         sort_array(a.hs), sort_array(b.hs)) AS jaccard_milli
+           |FROM sqlkernel_sh_v a JOIN sqlkernel_sh_v b
+           |  ON a.source = b.source AND a.id < b.id
+           |WHERE $cname.system.jaccard_milli(
+           |        sort_array(a.hs), sort_array(b.hs)) >= 300
+           |ORDER BY id_a, id_b""".stripMargin)
+    }),
+
     "dedup_substring" -> ((s, d) => {
       // Substring-level exact dedup (Lee et al. 2021 at token-k-gram
       // granularity): positions whose 4-gram fingerprint repeats
@@ -4275,6 +4303,18 @@ object SparkEntry {
         |WHERE (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) > 0
         |  AND CAST(FLOOR(1000.0 * len(list_intersect(a.hs, b.hs)) /
         |            (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))) AS BIGINT) >= 200
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // same formula over the staged (id, hs, source) frame
+    "q_sql_kernel" ->
+      """WITH sh AS (SELECT * FROM read_parquet('/root/repo/target/oracle-stage/sf0.01/sqlkernel_sh/*.parquet'))
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |       CAST(FLOOR(1000.0 * len(list_intersect(a.hs, b.hs)) /
+        |            (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))) AS BIGINT) AS jaccard_milli
+        |FROM sh a JOIN sh b ON a.source = b.source AND a.id < b.id
+        |WHERE (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) > 0
+        |  AND CAST(FLOOR(1000.0 * len(list_intersect(a.hs, b.hs)) /
+        |            (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))) AS BIGINT) >= 300
         |ORDER BY id_a, id_b""".stripMargin,
 
     // exact-Jaccard confirmation over the staged cross candidates

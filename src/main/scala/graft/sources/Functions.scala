@@ -27,8 +27,8 @@ private[graft] object GraftFunctions {
 
   def load(name: String): UnboundFunction = name match {
     case "jaccard_milli" => unbound("jaccard_milli",
-      "exact Jaccard in milli-units over two sorted int arrays",
-      Array(ArrayType(IntegerType), ArrayType(IntegerType)), LongType,
+      "exact Jaccard in milli-units over two sorted long arrays",
+      Array(ArrayType(LongType), ArrayType(LongType)), LongType,
       in => {
         if (in.isNullAt(0) || in.isNullAt(1)) null
         else {
@@ -36,7 +36,7 @@ private[graft] object GraftFunctions {
           val nx = x.numElements(); val ny = y.numElements()
           var i = 0; var j = 0; var inter = 0L
           while (i < nx && j < ny) {
-            val va = x.getInt(i); val vb = y.getInt(j)
+            val va = x.getLong(i); val vb = y.getLong(j)
             if (va == vb) { inter += 1L; i += 1; j += 1 }
             else if (va < vb) i += 1
             else j += 1
