@@ -210,7 +210,22 @@ private[graft] class GraftDeltaWriter(staging: String,
   override def update(metadata: InternalRow, id: InternalRow,
       row: InternalRow): Unit = {
     mutations += 1 // an update's delete-half must DV the old version
-    emit("u", fullRow(row))
+    val full = fullRow(row)
+    // a "u" event deletes-by-NEW-key: an UPDATE that assigns a key
+    // column would orphan the old row version. Such an update is a
+    // delete+insert, which MERGE expresses; refuse rather than corrupt.
+    // (d+i at one LSN is no substitute — the fold's tie order within a
+    // key at equal LSN is what upsert events exist to make atomic.)
+    if (idIdx.nonEmpty) {
+      val oldKey = idConv(id).asInstanceOf[Row]
+      idIdx.zipWithIndex.foreach { case (pos, i) =>
+        require(full.get(pos) == oldKey.get(i),
+          s"UPDATE must not assign key column ${tableSchema.fields(pos).name}" +
+            " (row identity); a key-moving update is a DELETE + INSERT" +
+            " — express it with MERGE INTO")
+      }
+    }
+    emit("u", full)
   }
 
   override def delete(metadata: InternalRow, id: InternalRow): Unit = {

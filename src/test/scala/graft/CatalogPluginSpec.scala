@@ -417,6 +417,25 @@ class CatalogPluginSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("UPDATE that moves a key refuses instead of corrupting state") {
+    val (cname, wh) = freshCatalog()
+    val cat = GraftCatalog(spark, wh)
+    val t = cat.createTable("km", schema, Identity.Keys(Seq("id")))
+    t.upsertAll(Seq(Row(1L, 10L), Row(2L, 20L)), startLsn = 1)
+    t.flush(); t.publish()
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE $cname.graft.km SET id = id + 100 WHERE id = 1")
+    }
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(e).exists(m => m.toLowerCase.contains("key") ||
+      m.toLowerCase.contains("row id") || m.toLowerCase.contains("identity")),
+      msgs(e).mkString(" | "))
+    // table unchanged
+    assert(spark.sql(s"SELECT id FROM $cname.graft.km ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
   test("unknown table fails analysis, not execution") {
     val (cname, _) = freshCatalog()
     val e = intercept[Exception] {
