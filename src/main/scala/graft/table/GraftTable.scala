@@ -2008,10 +2008,21 @@ final class GraftTable private (
   def applyEpochDF(events: DataFrame, epochId: Long): Boolean = synchronized {
     if (epochId < streamEpochsVar) false
     else {
+      // the watermark advances in the same publish as the data; if the
+      // apply FAILS, resync the in-memory mark from the DURABLE
+      // manifest — a failure before the publish rolls back (the
+      // in-handle retry re-applies), a failure after it keeps the
+      // advanced mark (the retry no-ops) — exactly-once either way
       streamEpochsVar = epochId + 1
-      val lsn = math.max(commitLsnVar, 0L) + 1
-      applyBatchDF(events.withColumn("_lsn", lit(lsn)), lsn,
-        hasDeletes = false)
+      try {
+        val lsn = math.max(commitLsnVar, 0L) + 1
+        applyBatchDF(events.withColumn("_lsn", lit(lsn)), lsn,
+          hasDeletes = false)
+      } catch { case e: Throwable =>
+        streamEpochsVar = ManifestLog.loadLatest(root)
+          .map(_.streamEpochs).getOrElse(0L)
+        throw e
+      }
       true
     }
   }
@@ -2028,10 +2039,17 @@ final class GraftTable private (
       if (epochId < streamEpochsVar) false
       else {
         streamEpochsVar = epochId + 1
-        val mx = events.agg(max(col("_lsn").cast("long"))).head()
-        if (!mx.isNullAt(0)) // empty epoch: just advance the watermark
-          applyBatchDF(events, mx.getLong(0), hasDeletes = true)
-        else publish()
+        try {
+          val mx = events.agg(max(col("_lsn").cast("long"))).head()
+          if (!mx.isNullAt(0)) // empty epoch: just advance the watermark
+            applyBatchDF(events, mx.getLong(0), hasDeletes = true)
+          else publish()
+        } catch { case e: Throwable =>
+          // resync from the durable manifest (see applyEpochDF)
+          streamEpochsVar = ManifestLog.loadLatest(root)
+            .map(_.streamEpochs).getOrElse(0L)
+          throw e
+        }
         true
       }
     }

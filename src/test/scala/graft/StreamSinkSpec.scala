@@ -186,6 +186,33 @@ class StreamSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!h.applyEpochCdcDF(ev(10L, ("u", 1L, 999L)), 1))
   }
 
+  test("a failed epoch retried on the SAME handle applies exactly once") {
+    import spark.implicits._
+    val root = freshRoot()
+    val t = GraftTable.create(spark, root, schema, Identity.None,
+      TableConfig(walEnabled = false))
+    def ev(rows: (Long, Long)*) = rows.toSeq.toDF("id", "v")
+      .select(lit("i").as("_op"), col("id"), col("v"))
+    assert(t.applyEpochDF(ev((1L, 10L)), 0))
+    // epoch 1 fails mid-apply (every mutating IO op throws)
+    val faults = new graft.format.FioFaults {
+      @volatile var armed = true
+      override def beforeOp(op: String, path: String): Unit =
+        if (armed) throw new java.io.IOException(s"injected fault: $op")
+    }
+    graft.format.Fio.faults = faults
+    try intercept[Exception] { t.applyEpochDF(ev((2L, 20L)), 1) }
+    finally { faults.armed = false; graft.format.Fio.faults = null }
+    // the in-memory watermark resynced from the durable manifest, so
+    // the SAME handle's retry must apply (not silently skip) — and
+    // exactly once
+    assert(t.applyEpochDF(ev((2L, 20L)), 1))
+    assert(!t.applyEpochDF(ev((2L, 20L)), 1))
+    assert(t.read(None).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 10L), (2L, 20L)))
+  }
+
   test("a keyed plain-row stream refuses; the $cdc facade is the sink") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
