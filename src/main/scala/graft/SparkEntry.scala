@@ -336,6 +336,22 @@ object SparkEntry {
         .orderBy("user_id", "event_type")
     }),
 
+    "q_cube" -> ((s, d) => {
+      // CUBE with grouping_id: all four aggregation levels over
+      // (event_type, user-parity) in ONE pass — Catalyst expands to a
+      // single grouped exchange, the same shape rollup audits
+      events(s, d)
+        .select(col("event_type"), (col("user_id") % 2).as("parity"),
+          col("value"))
+        .cube(col("event_type"), col("parity"))
+        .agg(count(lit(1)).as("n"), cents(sum(col("value"))).as("value_cents"),
+          grouping_id().as("gid"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          coalesce(col("parity"), lit(-1L)).as("parity"),
+          col("gid"), col("n"), col("value_cents"))
+        .orderBy("gid", "event_type", "parity")
+    }),
+
     "q_setops" -> ((s, d) => {
       // customers ordering in 1995 but NOT in 1996 (EXCEPT), plus the
       // intersection count as a second branch via union of two marked sets
@@ -3226,6 +3242,18 @@ object SparkEntry {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY ROLLUP(n_name, c_mktsegment)
         |ORDER BY 1, 2""".stripMargin,
+
+    // CUBE levels with DuckDB's GROUPING() composed into Spark's
+    // grouping_id bit order (event_type = high bit, parity = low)
+    "q_cube" ->
+      """SELECT COALESCE(event_type, 'ALL') AS event_type,
+        |       COALESCE(parity, -1) AS parity,
+        |       CAST(GROUPING(event_type) * 2 + GROUPING(parity) AS BIGINT) AS gid,
+        |       COUNT(*) AS n,
+        |       CAST(ROUND(SUM(value)*100) AS BIGINT) AS value_cents
+        |FROM (SELECT event_type, user_id % 2 AS parity, value FROM events)
+        |GROUP BY CUBE (event_type, parity)
+        |ORDER BY gid, event_type, parity""".stripMargin,
 
     // pivot→unpivot round-trip == the plain grouped counts
     "q_unpivot" ->
