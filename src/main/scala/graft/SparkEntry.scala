@@ -442,6 +442,30 @@ object SparkEntry {
         .orderBy("hour_us", "event_type")
     }),
 
+    "ev_outliers" -> ((s, d) => {
+      // per-type p99 outlier detection with rank-exact integer
+      // semantics: the threshold is the value at ascending rank
+      // ceil(0.99·n) within each event type; outliers are the values
+      // strictly above it. One window pass per type partition + one
+      // aggregate — no FP stddev, so the contract ports exactly.
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value_cents"), col("event_id"))
+      val ranked = events(s, d)
+        .select(col("event_type"), col("event_id"),
+          cents(col("value")).as("value_cents"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1))
+          .over(Window.partitionBy(col("event_type"))))
+      val thr = ranked
+        .where(col("rn") === expr("CAST(ceil(0.99 * n) AS BIGINT)"))
+        .select(col("event_type"), col("value_cents").as("p99_cents"))
+      ranked.join(thr, "event_type")
+        .groupBy(col("event_type"), col("p99_cents"))
+        .agg(sum(when(col("value_cents") > col("p99_cents"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+        .orderBy("event_type")
+    }),
+
     "ev_retention" -> ((s, d) => {
       // cohort retention curve: each user's first active hour anchors
       // their cohort; the histogram counts users still active N hours
@@ -3352,6 +3376,23 @@ object SparkEntry {
         |       count(*) AS n,
         |       CAST(ROUND(SUM(value)*100) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    // rank-exact per-type p99 and the strictly-above count
+    "ev_outliers" ->
+      """WITH ranked AS (
+        |  SELECT event_type,
+        |         CAST(ROUND(value*100) AS BIGINT) AS value_cents,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY CAST(ROUND(value*100) AS BIGINT), event_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |thr AS (
+        |  SELECT event_type, value_cents AS p99_cents FROM ranked
+        |  WHERE rn = CAST(ceil(0.99 * n) AS BIGINT))
+        |SELECT r.event_type, t.p99_cents,
+        |       CAST(SUM(CASE WHEN r.value_cents > t.p99_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM ranked r JOIN thr t USING (event_type)
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
 
     // first-active-hour cohorts; integer hour indexes (µs DIV 3600e6)
     "ev_retention" ->
