@@ -442,6 +442,40 @@ object SparkEntry {
         .orderBy("hour_us", "event_type")
     }),
 
+    "stream_hourly_agg" -> ((s, d) => {
+      // stateful WINDOWED aggregation on a stream: event-time hourly
+      // windows with a watermark, state maintained across 4 micro-
+      // batches; complete-mode sink so every window surfaces for the
+      // batch-equality check (append mode would hold back windows the
+      // final watermark never passes). Must equal the batch hourly agg.
+      val feed = streamSourceDir(
+        events(s, d).select(col("event_id"), col("ts"), col("event_type"),
+          col("value")),
+        n = 4, idCol = "event_id")
+      val qn = "sha_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+      withShufflePartitions(s, 4) {
+        val q = s.readStream
+          .schema(StructType(Seq(
+            StructField("event_id", LongType), StructField("ts", LongType),
+            StructField("event_type", StringType),
+            StructField("value", DoubleType))))
+          .option("maxFilesPerTrigger", 1).parquet(feed)
+          .withColumn("event_time", timestamp_micros(col("ts")))
+          .withWatermark("event_time", "1 hour")
+          .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), cents(sum(col("value"))).as("value_cents"))
+          .writeStream.outputMode("complete").format("memory").queryName(qn)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.table(qn)
+        .select(unix_micros(col("window.start")).as("hour_us"),
+          col("event_type"), col("n"), col("value_cents"))
+        .orderBy("hour_us", "event_type")
+    }),
+
     "ev_outliers" -> ((s, d) => {
       // per-type p99 outlier detection with rank-exact integer
       // semantics: the threshold is the value at ascending rank
@@ -3372,6 +3406,13 @@ object SparkEntry {
         |FROM orders ORDER BY price_cents DESC, o_orderkey ASC LIMIT 20""".stripMargin,
 
     "ev_hourly_agg" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+        |       count(*) AS n,
+        |       CAST(ROUND(SUM(value)*100) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    // the streaming windowed state must finalize to the batch answer
+    "stream_hourly_agg" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
         |       count(*) AS n,
         |       CAST(ROUND(SUM(value)*100) AS BIGINT) AS value_cents
