@@ -1124,6 +1124,48 @@ object SparkEntry {
                |ORDER BY user_id""".stripMargin)
     }),
 
+    "cdc_stream_sink_restart" -> ((s, d) => {
+      // sink exactly-once THROUGH a query restart: the same checkpoint
+      // drives two AvailableNow runs — the feed grows between them, and
+      // Spark's replay of the boundary epoch after restart must no-op
+      // against the manifest watermark. Final state == one clean append
+      // of the whole feed.
+      val prep = streamSourceDir(
+        events(s, d).select(col("user_id"), col("event_id"),
+          col("event_type"), col("value")),
+        n = 4, idCol = "event_id")
+      val feed = freshDir("gskr-feed"); graft.format.Fio.mkdirs(feed)
+      val parts = new java.io.File(prep).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      val root = freshDir("gskr")
+      GraftTable.create(s, root, eventTableSchema,
+        Identity.None, TableConfig(walEnabled = false))
+      val ckpt = freshDir("gskr_ckpt")
+      import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+      val sch = StructType(Seq(
+        StructField("user_id", LongType), StructField("event_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType)))
+      def drain(): Unit = withShufflePartitions(s, 4) {
+        val q = s.readStream.schema(sch)
+          .option("maxFilesPerTrigger", 1).parquet(feed)
+          .writeStream.format("graft").option("path", root)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      parts.take(2).foreach(f => graft.format.Fio.move(
+        f.getPath, s"$feed/${f.getName}"))
+      drain() // run 1: two files, then the query STOPS
+      parts.drop(2).foreach(f => graft.format.Fio.move(
+        f.getPath, s"$feed/${f.getName}"))
+      drain() // run 2: same checkpoint resumes past the committed epochs
+      s.read.format("graft").option("path", root).load()
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), cents(sum(col("value"))).as("value_cents"))
+        .orderBy("event_type")
+    }),
+
     "cdc_stream_upsert_sink" -> ((s, d) => {
       // the KEYED half of the streaming sink: op-tagged CDC events
       // stream through `option("cdc","true")` into a keyed table —
@@ -3758,6 +3800,12 @@ object SparkEntry {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // every event exactly once through the streaming source
+    // restart replays the boundary epoch; the watermark must no-op it
+    "cdc_stream_sink_restart" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(ROUND(SUM(value)*100) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // every feed row lands exactly once whatever the epoch count
     "cdc_stream_sink" ->
       """SELECT event_type, count(*) AS n,
