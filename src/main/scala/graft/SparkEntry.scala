@@ -234,6 +234,25 @@ object SparkEntry {
         .orderBy("n_name")
     }),
 
+    "q4_late_orders" -> ((s, d) => {
+      // the TPC-H Q4 shape on this schema: EXISTS-correlated subquery
+      // lowered to a LEFT SEMI join with a non-equi conjunct (late
+      // shipment = shipdate beyond orderdate + 60 days); the semi join
+      // keys on orderkey so the non-equi predicate evaluates inside
+      // the hash match, never as a nested loop
+      val o = t(s, d, "orders").where(
+        col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-07-01").cast("timestamp"))
+      val l = t(s, d, "lineitem")
+      o.join(l,
+          l("l_orderkey") === o("o_orderkey") &&
+            l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+
     "q6_revenue_delta" -> ((s, d) => {
       t(s, d, "lineitem")
         .where(to_date(col("l_shipdate")) >= lit("1996-01-01") &&
@@ -3293,6 +3312,17 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // EXISTS-correlated late-shipment check, grouped by priority
+    "q4_late_orders" ->
+      """SELECT o_orderpriority, count(*) AS n
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1995-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q6_revenue_delta" ->
