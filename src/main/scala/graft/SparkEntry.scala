@@ -234,6 +234,28 @@ object SparkEntry {
         .orderBy("n_name")
     }),
 
+    "q22_idle_customers" -> ((s, d) => {
+      // the TPC-H Q22 shape: above-average-balance customers with NO
+      // orders — a scalar-subquery threshold (integer cents, so the
+      // boundary cannot drift between engines' FP sum orders) feeding
+      // a LEFT ANTI join, grouped by segment
+      val c = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          cents(col("c_acctbal")).as("bal_cents"))
+      val pos = c.where(col("bal_cents") > 0)
+      val mm = pos.agg(sum(col("bal_cents")), count(lit(1))).head()
+      val thr = mm.getLong(0) / mm.getLong(1) // integer division, positive
+      c.where(col("bal_cents") > thr)
+        .join(t(s, d, "orders")
+            .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+            .select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("bal_cents")).as("bal_cents"))
+        .orderBy("c_mktsegment")
+    }),
+
     "q4_late_orders" -> ((s, d) => {
       // the TPC-H Q4 shape on this schema: EXISTS-correlated subquery
       // lowered to a LEFT SEMI join with a non-equi conjunct (late
@@ -3312,6 +3334,23 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // integer-cents average threshold + NOT EXISTS orders
+    "q22_idle_customers" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |         CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_cents
+        |  FROM customer),
+        |thr AS (SELECT SUM(bal_cents) // COUNT(*) AS t FROM c WHERE bal_cents > 0)
+        |SELECT c_mktsegment, COUNT(*) AS n,
+        |       CAST(SUM(bal_cents) AS BIGINT) AS bal_cents
+        |FROM c
+        |WHERE bal_cents > (SELECT t FROM thr)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |                    AND o.o_orderdate < TIMESTAMP '1997-01-01')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // EXISTS-correlated late-shipment check, grouped by priority
