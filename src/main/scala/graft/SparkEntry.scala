@@ -2849,11 +2849,15 @@ object SparkEntry {
       // similar-pair search written in PLAIN SQL with the catalog's
       // jaccard_milli kernel over a staged shingle frame — the same
       // contract as dedup_jaccard_pairs, driven entirely through SQL.
+      // hs pre-sorts ONCE PER ROW at staging — the kernel's sorted-
+      // input contract must never be re-established per PAIR (the
+      // r9-measured hot spot: two array sorts × every candidate pair)
       val sh = stage(
         Dedup.minhashShingleFrame(
             t(s, d, "documents"), "doc_id", "text", shingleN = 2)
           .join(t(s, d, "documents")
-            .select(col("doc_id").as("id"), col("source")), "id"),
+            .select(col("doc_id").as("id"), col("source")), "id")
+          .withColumn("hs", sort_array(col("hs"))),
         d, "sqlkernel_sh")
       val wh = freshDir("wh-fn")
       val cname = "gc" + math.abs(wh.hashCode).toString
@@ -2861,14 +2865,16 @@ object SparkEntry {
         classOf[graft.sources.GraftCatalogPlugin].getName)
       s.conf.set(s"spark.sql.catalog.$cname.warehouse", wh)
       sh.createOrReplaceTempView("sqlkernel_sh_v")
+      // kernel computed ONCE per pair in the inner projection; the
+      // outer threshold filters the alias (the function's declared
+      // non-determinism pins the plan — no pushdown re-substitution)
       s.sql(
-        s"""SELECT a.id AS id_a, b.id AS id_b,
-           |       $cname.system.jaccard_milli(
-           |         sort_array(a.hs), sort_array(b.hs)) AS jaccard_milli
-           |FROM sqlkernel_sh_v a JOIN sqlkernel_sh_v b
-           |  ON a.source = b.source AND a.id < b.id
-           |WHERE $cname.system.jaccard_milli(
-           |        sort_array(a.hs), sort_array(b.hs)) >= 300
+        s"""SELECT id_a, id_b, jaccard_milli FROM (
+           |  SELECT a.id AS id_a, b.id AS id_b,
+           |         $cname.system.jaccard_milli(a.hs, b.hs) AS jaccard_milli
+           |  FROM sqlkernel_sh_v a JOIN sqlkernel_sh_v b
+           |    ON a.source = b.source AND a.id < b.id)
+           |WHERE jaccard_milli >= 300
            |ORDER BY id_a, id_b""".stripMargin)
     }),
 
@@ -3144,9 +3150,15 @@ object SparkEntry {
       // into one mergeable integer-milli sum vector — one exchange on
       // (group, dim) with map-side partial sums, bit-identical under
       // any partitioning (float mean-pooling is not)
+      // exploded to one (label, pos) row per dimension — scalar columns
+      // hash deterministically in the driver harness where an
+      // array-typed column cannot
       Similarity.meanPoolMilli(t(s, d, "embeddings"), "label", "embedding")
-        .select(col("g").as("label"), col("n_vecs"), col("pooled_milli"))
-        .orderBy("label")
+        .select(col("g").as("label"), col("n_vecs"),
+          posexplode(col("pooled_milli")).as(Seq("pos", "sum_milli")))
+        .select(col("label"), col("n_vecs"), col("pos").cast("long").as("pos"),
+          col("sum_milli"))
+        .orderBy("label", "pos")
     }),
 
     "embed_neardup" -> ((s, d) => {
@@ -4234,7 +4246,7 @@ object SparkEntry {
         |doc AS (SELECT t.doc_id, SUM(cnt.c) AS sum_c, COUNT(*) AS n_tokens
         |        FROM tok t JOIN cnt USING (token) GROUP BY 1)
         |SELECT doc_id, n_tokens,
-        |       (sum_c * 1000) // n_tokens AS avg_count_milli,
+        |       CAST((sum_c * 1000) // n_tokens AS BIGINT) AS avg_count_milli,
         |       CASE WHEN (sum_c * 1000) // n_tokens >=
         |                 (SELECT (s2 * 1000) // s1 FROM tot) THEN 'head'
         |            WHEN ((sum_c * 1000) // n_tokens) * 2 <
@@ -4434,11 +4446,11 @@ object SparkEntry {
         |         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
         |  FROM c)
         |SELECT doc_id, source, n_tokens,
-        |       (cum - n_tokens) // 2048 AS pack_id,
-        |       (cum - n_tokens) % 2048 AS pack_offset,
-        |       CASE WHEN n_tokens > 0
+        |       CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
+        |       CAST((cum - n_tokens) % 2048 AS BIGINT) AS pack_offset,
+        |       CAST(CASE WHEN n_tokens > 0
         |         THEN (cum - 1) // 2048 - (cum - n_tokens) // 2048
-        |         ELSE 0 END AS n_splits
+        |         ELSE 0 END AS BIGINT) AS n_splits
         |FROM w ORDER BY doc_id""".stripMargin,
 
     "sample_mixture" ->
@@ -4726,10 +4738,12 @@ object SparkEntry {
         |), s AS (
         |  SELECT label, pos, SUM(mv) AS sv, count(*) AS n
         |  FROM e GROUP BY 1, 2
+        |), g AS (
+        |  SELECT label, max(n) AS n_vecs FROM s GROUP BY label
         |)
-        |SELECT CAST(label AS BIGINT) AS label, max(n) AS n_vecs,
-        |       list(sv ORDER BY pos) AS pooled_milli
-        |FROM s GROUP BY label ORDER BY label""".stripMargin,
+        |SELECT CAST(s.label AS BIGINT) AS label, g.n_vecs,
+        |       CAST(s.pos AS BIGINT) AS pos, CAST(s.sv AS BIGINT) AS sum_milli
+        |FROM s JOIN g USING (label) ORDER BY label, pos""".stripMargin,
 
     "embed_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -57,7 +57,16 @@ final case class Manifest(
     // epochs — micro-batch epoch e commits iff e >= streamEpochs, so a
     // replayed epoch after restart is a no-op. Missing in pre-sink
     // manifests → Jackson default 0 → every epoch ≥ 0 is new (correct).
-    streamEpochs: Long = 0L) {
+    // Kept as the TOTAL epoch high-water for observability; the
+    // per-query gate below is what correctness rides on.
+    streamEpochs: Long = 0L,
+    // exactly-once gate SCOPED BY STREAMING QUERY: queryId -> next
+    // expected epoch. Spark epoch ids are per-checkpoint batch ids
+    // starting at 0, so a single global counter would silently skip a
+    // second query's (or a fresh-checkpoint restart's) early epochs as
+    // "replays" — Delta scopes its sink txn version by query id the
+    // same way.
+    queryEpochs: Map[String, Long] = Map.empty) {
 
   def schema: StructType =
     DataType.fromJson(schemaJson).asInstanceOf[StructType]
@@ -80,8 +89,15 @@ object Manifest {
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(m)
   def fromJson(s: String): Manifest = {
     val m = mapper.readValue(s, classOf[Manifest])
-    // pre-mapping manifests lack the two newer properties
-    if (m.droppedCols == null) m.copy(droppedCols = Seq.empty) else m
+    // older manifests lack the newer properties
+    val m1 = if (m.droppedCols == null) m.copy(droppedCols = Seq.empty) else m
+    // erasure leaves Jackson free to box small epoch counts as Integer
+    // inside Map[String, Long]; renormalize so unboxing never casts
+    val qe: Map[String, Long] =
+      if (m1.queryEpochs == null) Map.empty
+      else m1.queryEpochs.asInstanceOf[Map[String, Any]].map { kv =>
+        kv._1 -> kv._2.asInstanceOf[Number].longValue }
+    m1.copy(queryEpochs = qe)
   }
 }
 
@@ -185,6 +201,12 @@ object Fio {
   }
 
   def sizeOf(path: String): Long = fs(path).getFileStatus(new Path(path)).getLen
+
+  /** Modification time in epoch millis, or None if the path vanished
+   *  (another sweeper / the owning writer got there first). */
+  def modTime(path: String): Option[Long] =
+    try Some(fs(path).getFileStatus(new Path(path)).getModificationTime)
+    catch { case _: java.io.FileNotFoundException => scala.None }
 
   def copy(src: String, dst: String): Unit = {
     val conf = new Configuration()

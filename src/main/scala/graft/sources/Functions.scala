@@ -26,9 +26,14 @@ private[graft] object GraftFunctions {
       .map(n => Identifier.of(Array("system"), n))
 
   def load(name: String): UnboundFunction = name match {
+    // declared non-deterministic although pure, for the same plan-
+    // pinning reason as the Catalyst sibling (`JaccardMilli`): a
+    // deterministic projection gets substituted into a pushed-down
+    // filter, re-running the O(|A|+|B|) merge twice per pair
     case "jaccard_milli" => unbound("jaccard_milli",
       "exact Jaccard in milli-units over two sorted long arrays",
       Array(ArrayType(LongType), ArrayType(LongType)), LongType,
+      deterministic = false,
       in => {
         if (in.isNullAt(0) || in.isNullAt(1)) null
         else {
@@ -49,6 +54,7 @@ private[graft] object GraftFunctions {
     case "dot" => unbound("dot",
       "IEEE in-order dot product of two equal-length double arrays",
       Array(ArrayType(DoubleType), ArrayType(DoubleType)), DoubleType,
+      deterministic = true,
       in => {
         if (in.isNullAt(0) || in.isNullAt(1)) null
         else {
@@ -71,7 +77,7 @@ private[graft] object GraftFunctions {
   }
 
   private def unbound(fname: String, desc: String,
-      inTypes: Array[DataType], outType: DataType,
+      inTypes: Array[DataType], outType: DataType, deterministic: Boolean,
       eval: InternalRow => Any): UnboundFunction =
     new UnboundFunction {
       override def name(): String = fname
@@ -84,6 +90,7 @@ private[graft] object GraftFunctions {
           override def inputTypes(): Array[DataType] = inTypes
           override def resultType(): DataType = outType
           override def isResultNullable: Boolean = true
+          override def isDeterministic: Boolean = deterministic
           override def produceResult(input: InternalRow): Any = eval(input)
         }
       }

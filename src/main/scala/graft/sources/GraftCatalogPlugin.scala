@@ -140,8 +140,12 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces
     store.allEntries().filter(_.database == dbOf(ns))
       .map(e => Identifier.of(ns, e.table)).toArray
 
+  // default-db tables live at $warehouse/$tbl (the historical layout);
+  // any other database is a subdirectory, so same-named tables in two
+  // databases never collide on one physical root
   private def rootOf(ident: Identifier): String =
-    s"$warehouse/${ident.name}"
+    graft.table.GraftCatalog.rootOf(warehouse, dbOf(ident.namespace),
+      ident.name)
 
   override def tableExists(ident: Identifier): Boolean =
     store.allEntries().exists(e =>

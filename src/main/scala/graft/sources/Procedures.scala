@@ -43,7 +43,8 @@ private[graft] object GraftProcedures {
       val entry = store.allEntries()
         .find(e => e.database == db && e.table == tbl)
         .getOrElse(sys.error(s"no such table: $db.$tbl"))
-      GraftTable.open(SparkSession.active, s"$warehouse/$tbl",
+      GraftTable.open(SparkSession.active,
+        graft.table.GraftCatalog.rootOf(warehouse, db, tbl),
         entry.identity, entry.config)
     }
     name match {

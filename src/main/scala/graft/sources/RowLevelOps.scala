@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write._
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, lit, when}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -125,13 +125,24 @@ private[graft] class GraftDeltaBatchWrite(root: String, manifest: Manifest,
     try {
       if (files.nonEmpty) {
         val lsn = math.max(table.commitLsn, 0L) + 1
-        val ev = StagedEvents.readEvents(spark, files, manifest.schema)
-          .withColumn("_lsn", lit(lsn))
+        // delete events order BEFORE this statement's appends on the
+        // LSN axis (d at lsn, i/u at lsn+1): a key-moving UPDATE's
+        // d(old key) must resolve against the PRE-statement table even
+        // when another row moves INTO the vacated key in the same
+        // statement — equal-LSN d/append ties within a key would fold
+        // nondeterministically. Statements without deletes stay
+        // single-LSN.
+        val raw = StagedEvents.readEvents(spark, files, manifest.schema)
+        val (ev, maxLsn) =
+          if (hasDeletes)
+            (raw.withColumn("_lsn", when(col("_op") === "d", lit(lsn))
+              .otherwise(lit(lsn + 1))), lsn + 1)
+          else (raw.withColumn("_lsn", lit(lsn)), lsn)
         // applyBatchDF writes the batch, resolves delete-halves into
         // DVs and publishes ONE new manifest version — the whole SQL
         // statement is a single atomic snapshot commit, and the next
         // statement's loadTable sees it
-        table.applyBatchDF(ev, lsn, hasDeletes = hasDeletes)
+        table.applyBatchDF(ev, maxLsn, hasDeletes = hasDeletes)
       }
     } finally Fio.delete(staging)
   }
@@ -211,19 +222,19 @@ private[graft] class GraftDeltaWriter(staging: String,
       row: InternalRow): Unit = {
     mutations += 1 // an update's delete-half must DV the old version
     val full = fullRow(row)
-    // a "u" event deletes-by-NEW-key: an UPDATE that assigns a key
-    // column would orphan the old row version. Such an update is a
-    // delete+insert, which MERGE expresses; refuse rather than corrupt.
-    // (d+i at one LSN is no substitute — the fold's tie order within a
-    // key at equal LSN is what upsert events exist to make atomic.)
+    // a "u" event deletes-by-NEW-key, so an UPDATE that assigns a key
+    // column (row identity moves) is executed as DELETE(old key) +
+    // upsert(new row) — Iceberg/Delta run key-moving updates as
+    // delete+insert the same way. The commit path puts d events one
+    // LSN before the statement's appends, so the old-key delete always
+    // resolves against the pre-statement table even under same-
+    // statement key swaps.
     if (idIdx.nonEmpty) {
       val oldKey = idConv(id).asInstanceOf[Row]
-      idIdx.zipWithIndex.foreach { case (pos, i) =>
-        require(full.get(pos) == oldKey.get(i),
-          s"UPDATE must not assign key column ${tableSchema.fields(pos).name}" +
-            " (row identity); a key-moving update is a DELETE + INSERT" +
-            " — express it with MERGE INTO")
+      val moved = idIdx.zipWithIndex.exists { case (pos, i) =>
+        full.get(pos) != oldKey.get(i)
       }
+      if (moved) { mutations += 1; emit("d", keyRow(id)) }
     }
     emit("u", full)
   }

@@ -79,8 +79,8 @@ private[graft] class GraftStreamingWrite(root: String, manifest: Manifest,
       if (files.nonEmpty) {
         val ev = StagedEvents.readEvents(
           SparkSession.active, files, manifest.schema)
-        if (keyed) table.applyEpochCdcDF(ev, epochId)
-        else table.applyEpochDF(ev.drop("_lsn"), epochId)
+        if (keyed) table.applyEpochCdcDF(ev, epochId, queryId)
+        else table.applyEpochDF(ev.drop("_lsn"), epochId, queryId)
       }
     } finally files.foreach(Fio.delete)
   }

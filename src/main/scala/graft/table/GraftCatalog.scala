@@ -41,14 +41,17 @@ final class GraftCatalog private (val spark: SparkSession,
       // would strand an orphan directory no recovery would ever find
       metadataStore.store(TableMetadataEntry(database, name,
         if (srcTableName.isEmpty) name else srcTableName, srcUri, identity, config))
-      val t = GraftTable.create(spark, s"$warehouse/$name", schema, identity, config)
+      val t = GraftTable.create(spark,
+        GraftCatalog.rootOf(warehouse, database, name), schema, identity,
+        config)
       tables(name) = t
       t
     }
 
   def openTable(name: String, identity: Identity,
       config: TableConfig = TableConfig()): GraftTable = synchronized {
-    val t = GraftTable.open(spark, s"$warehouse/$name", identity, config)
+    val t = GraftTable.open(spark,
+      GraftCatalog.rootOf(warehouse, database, name), identity, config)
     tables(name) = t
     t
   }
@@ -110,6 +113,13 @@ object GraftCatalog {
     new GraftCatalog(spark, warehouse, database)
   }
 
+  /** Physical table root: the default database keeps the historical
+   *  flat `$warehouse/$tbl` layout; every other database nests under
+   *  its own directory so `db1.t` and `db2.t` never share a root. */
+  def rootOf(warehouse: String, database: String, table: String): String =
+    if (database == "graft") s"$warehouse/$table"
+    else s"$warehouse/$database/$table"
+
   /** Startup recovery: read the warehouse's metadata store and reopen
    *  every registered table from durable state (manifest log + WAL),
    *  re-registering its SQL view — the reference backend's
@@ -122,7 +132,8 @@ object GraftCatalog {
     val cat = apply(spark, warehouse, database)
     val missing = mutable.ArrayBuffer[TableMetadataEntry]()
     cat.metadataStore.allEntries().filter(_.database == database).foreach { e =>
-      if (Fio.exists(s"$warehouse/${e.table}/manifest")) {
+      if (Fio.exists(
+          s"${GraftCatalog.rootOf(warehouse, database, e.table)}/manifest")) {
         cat.openTable(e.table, e.identity, e.config)
         cat.registerView(e.table)
       } else missing += e

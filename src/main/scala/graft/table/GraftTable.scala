@@ -59,7 +59,15 @@ final case class TableConfig(
      *  remain loadable but their exclusive files are reclaimed —
      *  bound the log itself with [[GraftTable.expireVersions]]
      *  (Iceberg expire-snapshots / retention semantics). */
-    retainVersions: Int = 1)
+    retainVersions: Int = 1,
+    /** open()-time orphan sweep only reclaims debris OLDER than this
+     *  (crash leftovers), so it can never race a LIVE concurrent
+     *  writer — a streaming sink's tmp staging or another writer's
+     *  just-moved, not-yet-committed data file is younger than the
+     *  window and survives. Immediate reclamation is the explicit
+     *  vacuum()'s job (exclusive by contract). 0 = sweep everything
+     *  (single-writer tests / recovery tools). */
+    orphanGraceMs: Long = 10L * 60 * 1000)
 
 /**
  * A Graft table: PK-identified, LSN-versioned, append/upsert/delete
@@ -110,8 +118,10 @@ final class GraftTable private (
   // in live data files (drop never rewrites data)
   private val droppedColsVar =
     mutable.ArrayBuffer[String](initManifest.droppedCols: _*)
-  // streaming-sink exactly-once watermark (see Manifest.streamEpochs)
+  // streaming-sink exactly-once watermark (see Manifest.streamEpochs);
+  // total high-water for observability, per-QUERY map for correctness
   private var streamEpochsVar: Long = initManifest.streamEpochs
+  private var queryEpochsVar: Map[String, Long] = initManifest.queryEpochs
 
   def version: Long = versionVar
   def commitLsn: Long = commitLsnVar
@@ -194,10 +204,19 @@ final class GraftTable private (
       r
     }
 
-  private var nextFileId: Long =
-    (fileEntries.keys ++ dvFiles ++ indexFiles.map(_.path))
+  private var nextFileId: Long = {
+    val manifestIds = (fileEntries.keys ++ dvFiles ++ indexFiles.map(_.path))
       .flatMap(n => "\\d{9}".r.findFirstIn(n)).map(_.toLong)
-      .maxOption.getOrElse(-1L) + 1
+    // uncommitted orphans from a crashed (or concurrently live) writer
+    // can outlive the AGE-GATED open sweep; their ids must never be
+    // reissued or the next flush's rename lands on the orphan and
+    // fails. One listing per dir at handle construction — O(files),
+    // already paid by the open sweep itself.
+    val diskIds = Seq("data", "dv", "index")
+      .flatMap(sub => Fio.list(s"$root/$sub"))
+      .flatMap(n => "\\d{9}".r.findFirstIn(n)).map(_.toLong)
+    (manifestIds ++ diskIds).maxOption.getOrElse(-1L) + 1
+  }
   private def newId(): Long = { val i = nextFileId; nextFileId += 1; i }
 
   // key columns resolved positionally against the table schema (ingest
@@ -1124,7 +1143,7 @@ final class GraftTable private (
   def currentManifest: Manifest = Manifest(versionVar, commitLsnVar,
     flushLsnVar, schemaVar.json, keyCols, fileEntries.values.toSeq,
     dvFiles.toSeq, indexFiles.toSeq, lastFieldIdVar, droppedColsVar.toSeq,
-    streamEpochsVar)
+    streamEpochsVar, queryEpochsVar)
 
   // ---- metadata tables (Iceberg `table.files` / `table.history` role) --
 
@@ -2005,26 +2024,36 @@ final class GraftTable private (
    * crash between data and watermark is impossible and a micro-batch
    * replay after restart no-ops. Returns whether the epoch committed.
    */
-  def applyEpochDF(events: DataFrame, epochId: Long): Boolean = synchronized {
-    if (epochId < streamEpochsVar) false
+  def applyEpochDF(events: DataFrame, epochId: Long,
+      queryId: String = ""): Boolean = synchronized {
+    if (epochId < queryEpochsVar.getOrElse(queryId, 0L)) false
     else {
       // the watermark advances in the same publish as the data; if the
       // apply FAILS, resync the in-memory mark from the DURABLE
       // manifest — a failure before the publish rolls back (the
       // in-handle retry re-applies), a failure after it keeps the
-      // advanced mark (the retry no-ops) — exactly-once either way
-      streamEpochsVar = epochId + 1
+      // advanced mark (the retry no-ops) — exactly-once either way.
+      // The gate is PER QUERY ID (epoch ids are per-checkpoint batch
+      // ids starting at 0; a second query or a fresh-checkpoint
+      // restart must not have its early epochs skipped as replays).
+      queryEpochsVar = queryEpochsVar.updated(queryId, epochId + 1)
+      streamEpochsVar = math.max(streamEpochsVar, epochId + 1)
       try {
         val lsn = math.max(commitLsnVar, 0L) + 1
         applyBatchDF(events.withColumn("_lsn", lit(lsn)), lsn,
           hasDeletes = false)
       } catch { case e: Throwable =>
-        streamEpochsVar = ManifestLog.loadLatest(root)
-          .map(_.streamEpochs).getOrElse(0L)
+        resyncEpochMarks()
         throw e
       }
       true
     }
+  }
+
+  private def resyncEpochMarks(): Unit = {
+    val m = ManifestLog.loadLatest(root)
+    streamEpochsVar = m.map(_.streamEpochs).getOrElse(0L)
+    queryEpochsVar = m.map(_.queryEpochs).getOrElse(Map.empty)
   }
 
   /**
@@ -2034,20 +2063,27 @@ final class GraftTable private (
    * with the same manifest-borne exactly-once watermark. The batch
    * commits at the frame's max LSN.
    */
-  def applyEpochCdcDF(events: DataFrame, epochId: Long): Boolean =
+  def applyEpochCdcDF(events: DataFrame, epochId: Long,
+      queryId: String = ""): Boolean =
     synchronized {
-      if (epochId < streamEpochsVar) false
+      if (epochId < queryEpochsVar.getOrElse(queryId, 0L)) false
       else {
-        streamEpochsVar = epochId + 1
+        queryEpochsVar = queryEpochsVar.updated(queryId, epochId + 1)
+        streamEpochsVar = math.max(streamEpochsVar, epochId + 1)
         try {
-          val mx = events.agg(max(col("_lsn").cast("long"))).head()
+          // an at-least-once CDC source re-reading from its confirmed
+          // position resends already-committed LSNs in a FRESH epoch;
+          // drop them before the fold (the reference sink dedups by
+          // source LSN the same way) so replays no-op instead of
+          // rewriting redundant row versions
+          val fresh = events.filter(col("_lsn").cast("long") > commitLsnVar)
+          val mx = fresh.agg(max(col("_lsn").cast("long"))).head()
           if (!mx.isNullAt(0)) // empty epoch: just advance the watermark
-            applyBatchDF(events, mx.getLong(0), hasDeletes = true)
+            applyBatchDF(fresh, mx.getLong(0), hasDeletes = true)
           else publish()
         } catch { case e: Throwable =>
           // resync from the durable manifest (see applyEpochDF)
-          streamEpochsVar = ManifestLog.loadLatest(root)
-            .map(_.streamEpochs).getOrElse(0L)
+          resyncEpochMarks()
           throw e
         }
         true
@@ -2236,19 +2272,32 @@ object GraftTable {
    *  manifest does not reference. Only called at open time: no reader
    *  can hold a pre-crash plan, so unreferenced == garbage (compact
    *  victims awaiting vacuum included — reopen supersedes vacuum). */
-  private def sweepOrphans(root: String, m: Manifest): Unit = {
+  /** Age-gated crash-debris sweep at open(): only entries older than
+   *  `graceMs` are reclaimed, so opening a table for a one-statement
+   *  SQL verb can never race a LIVE concurrent writer — a streaming
+   *  sink's `tmp/sink-<queryId>` staging mid-epoch or another writer's
+   *  just-moved, not-yet-committed file is young and survives.
+   *  Immediate reclamation is vacuum()'s job. */
+  private def sweepOrphans(root: String, m: Manifest, graceMs: Long): Unit = {
+    val cutoff = System.currentTimeMillis() - graceMs
+    def stale(p: String): Boolean = Fio.modTime(p).forall(_ <= cutoff)
     val live: Set[String] = (m.dataFiles.map(_.path) ++ m.dvFiles ++
       m.indexFiles.map(_.path)).toSet
     Seq("data", "index", "dv").foreach { sub =>
       Fio.list(s"$root/$sub").foreach { n =>
-        if (!live.contains(n)) Fio.delete(s"$root/$sub/$n")
+        if (!live.contains(n) && stale(s"$root/$sub/$n"))
+          Fio.delete(s"$root/$sub/$n")
       }
     }
     Seq("manifest", "wal").foreach { sub =>
       Fio.list(s"$root/$sub").filter(_.endsWith(".tmp"))
-        .foreach(n => Fio.delete(s"$root/$sub/$n"))
+        .foreach { n =>
+          if (stale(s"$root/$sub/$n")) Fio.delete(s"$root/$sub/$n")
+        }
     }
-    Fio.delete(s"$root/tmp")
+    Fio.list(s"$root/tmp").foreach { n =>
+      if (stale(s"$root/tmp/$n")) Fio.delete(s"$root/tmp/$n")
+    }
   }
 
   def create(spark: SparkSession, root: String, schema: StructType,
@@ -2286,7 +2335,7 @@ object GraftTable {
     // rewrites their contents; sweep BEFORE replay. (The reference's
     // recovery likewise deletes uncommitted files,
     // `moonlink_backend/src/recovery_utils.rs`.)
-    sweepOrphans(root, m)
+    sweepOrphans(root, m, config.orphanGraceMs)
     if (config.walEnabled) {
       val kf = identity match {
         case Identity.FullRow => m.schema.fields.toSeq

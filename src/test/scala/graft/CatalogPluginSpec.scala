@@ -417,23 +417,31 @@ class CatalogPluginSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("UPDATE that moves a key refuses instead of corrupting state") {
+  test("UPDATE that moves a key executes as delete(old) + upsert(new)") {
     val (cname, wh) = freshCatalog()
     val cat = GraftCatalog(spark, wh)
     val t = cat.createTable("km", schema, Identity.Keys(Seq("id")))
-    t.upsertAll(Seq(Row(1L, 10L), Row(2L, 20L)), startLsn = 1)
+    t.upsertAll(Seq(Row(1L, 10L), Row(2L, 20L), Row(3L, 30L)), startLsn = 1)
     t.flush(); t.publish()
-    val e = intercept[Exception] {
-      spark.sql(s"UPDATE $cname.graft.km SET id = id + 100 WHERE id = 1")
-    }
-    def msgs(x: Throwable): Seq[String] =
-      if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
-    assert(msgs(e).exists(m => m.toLowerCase.contains("key") ||
-      m.toLowerCase.contains("row id") || m.toLowerCase.contains("identity")),
-      msgs(e).mkString(" | "))
-    // table unchanged
-    assert(spark.sql(s"SELECT id FROM $cname.graft.km ORDER BY id")
-      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // row identity moves: the old key's version is DV-deleted, the new
+    // key appends (Iceberg/Delta run key-moving updates the same way)
+    spark.sql(s"UPDATE $cname.graft.km SET id = id + 100 WHERE id = 1")
+    assert(spark.sql(s"SELECT id, v FROM $cname.graft.km ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((2L, 20L), (3L, 30L), (101L, 10L)))
+    // same-statement key SWAP: each old version deleted against the
+    // PRE-statement table (the d events order one LSN before the
+    // statement's appends), both new versions land
+    spark.sql(s"UPDATE $cname.graft.km SET id = 5 - id WHERE id IN (2, 3)")
+    assert(spark.sql(s"SELECT id, v FROM $cname.graft.km ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((2L, 30L), (3L, 20L), (101L, 10L)))
+    // moving ONTO an existing untouched key overwrites it (upsert
+    // identity: one live version per key, never a duplicate)
+    spark.sql(s"UPDATE $cname.graft.km SET id = 3 WHERE id = 101")
+    assert(spark.sql(s"SELECT id, v FROM $cname.graft.km ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((2L, 30L), (3L, 10L)))
   }
 
   test("unknown table fails analysis, not execution") {
@@ -442,5 +450,25 @@ class CatalogPluginSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.sql(s"SELECT * FROM $cname.graft.nope").collect()
     }
     assert(e.getMessage.toLowerCase.contains("table"))
+  }
+
+  test("same-named tables in different databases get distinct roots") {
+    val (cname, wh) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cname.db1.t (id BIGINT, v BIGINT)")
+    spark.sql(s"CREATE TABLE $cname.db2.t (id BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $cname.db1.t VALUES (1, 10)")
+    spark.sql(s"INSERT INTO $cname.db2.t VALUES (2, 20)")
+    assert(spark.sql(s"SELECT id FROM $cname.db1.t").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+    assert(spark.sql(s"SELECT id FROM $cname.db2.t").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+    // physically separate directories (non-default dbs nest)
+    assert(graft.format.Fio.exists(s"$wh/db1/t/manifest"))
+    assert(graft.format.Fio.exists(s"$wh/db2/t/manifest"))
+    // procedures resolve through the SAME db-qualified root
+    spark.sql(s"CALL $cname.system.flush(db => 'db1', tbl => 't')")
+    spark.sql(s"DROP TABLE $cname.db1.t")
+    assert(!graft.format.Fio.exists(s"$wh/db1/t/manifest"))
+    assert(spark.sql(s"SELECT id FROM $cname.db2.t").count() == 1L)
   }
 }

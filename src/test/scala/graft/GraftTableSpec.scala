@@ -579,4 +579,31 @@ class GraftTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { Merge.into(ap, src((1, "a", 1))) }
     ap.drop()
   }
+
+  test("open() orphan sweep is age-gated: young staging survives, stale debris goes") {
+    val root = tmpDir() + "/users"
+    val t = GraftTable.create(spark, root, userSchema,
+      Identity.Keys(Seq("id")), TableConfig(walEnabled = false))
+    t.upsertAll(Seq(user(1, "a", 20)), startLsn = 1); t.flush(); t.publish()
+    // a LIVE concurrent writer's staging (e.g. a streaming sink
+    // mid-epoch) is young — reopening the table for a one-statement
+    // SQL verb must not wipe it
+    val young = s"$root/tmp/sink-live-query/events-0.jsonl"
+    graft.format.Fio.writeAtomic(young, "{}")
+    // crash debris from long ago IS reclaimed
+    val stale = s"$root/tmp/sink-dead-query/events-0.jsonl"
+    graft.format.Fio.writeAtomic(stale, "{}")
+    new java.io.File(s"$root/tmp/sink-dead-query").setLastModified(
+      System.currentTimeMillis() - 24L * 3600 * 1000)
+    GraftTable.open(spark, root, Identity.Keys(Seq("id")),
+      TableConfig(walEnabled = false))
+    assert(graft.format.Fio.exists(young),
+      "age-gated sweep must keep a young writer's staging")
+    assert(!graft.format.Fio.exists(s"$root/tmp/sink-dead-query"),
+      "stale crash debris is reclaimed at open")
+    // grace 0 = the old immediate behavior (recovery tools)
+    GraftTable.open(spark, root, Identity.Keys(Seq("id")),
+      TableConfig(walEnabled = false, orphanGraceMs = 0L))
+    assert(!graft.format.Fio.exists(young))
+  }
 }

@@ -250,4 +250,59 @@ class StreamSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(msgs(e2).exists(m => m.contains("_op") ||
       m.toLowerCase.contains("column")))
   }
+
+  test("second query / fresh-checkpoint epochs are NOT skipped (per-query gate)") {
+    import spark.implicits._
+    val root = freshRoot()
+    val t = GraftTable.create(spark, root, schema, Identity.None,
+      TableConfig(walEnabled = false))
+    def ev(rows: (Long, Long)*) = rows.toSeq.toDF("id", "v")
+      .select(lit("i").as("_op"), col("id"), col("v"))
+    // query A commits two epochs
+    assert(t.applyEpochDF(ev((1L, 10L)), 0, queryId = "qA"))
+    assert(t.applyEpochDF(ev((2L, 20L)), 1, queryId = "qA"))
+    // a SECOND query (or the same stream restarted on a fresh
+    // checkpoint) restarts its epoch ids at 0 — under a single global
+    // counter these early epochs would be silently dropped as replays
+    assert(t.applyEpochDF(ev((3L, 30L)), 0, queryId = "qB"))
+    assert(t.read(None).count() == 3L)
+    // each query's OWN replays are still refused
+    assert(!t.applyEpochDF(ev((2L, 20L)), 1, queryId = "qA"))
+    assert(!t.applyEpochDF(ev((3L, 30L)), 0, queryId = "qB"))
+    // the per-query map is durable: a reopened handle keeps both gates
+    val t2 = GraftTable.open(spark, root, Identity.None,
+      TableConfig(walEnabled = false))
+    assert(!t2.applyEpochDF(ev((3L, 30L)), 0, queryId = "qB"))
+    assert(t2.applyEpochDF(ev((4L, 40L)), 1, queryId = "qB"))
+    assert(t2.applyEpochDF(ev((5L, 50L)), 2, queryId = "qA"))
+    assert(t2.read(None).count() == 5L)
+  }
+
+  test("CDC epoch drops already-committed LSNs (at-least-once source replay)") {
+    import spark.implicits._
+    val root = freshRoot()
+    val t = GraftTable.create(spark, root, schema, Identity.Keys(Seq("id")),
+      TableConfig(walEnabled = false))
+    def ev(rows: (String, Long, Long, Long)*) =
+      rows.toSeq.toDF("_op", "_lsn", "id", "v")
+    assert(t.applyEpochCdcDF(
+      ev(("u", 1L, 1L, 10L), ("u", 2L, 2L, 20L)), 0, queryId = "qA"))
+    val v1 = graft.format.ManifestLog.loadLatest(root).get.version
+    // a fresh query re-reads from its confirmed source position: LSNs
+    // 1-2 arrive AGAIN in its epoch 0 beside genuinely new LSN 3. The
+    // replayed LSNs must no-op (no redundant row versions), only LSN 3
+    // applies.
+    assert(t.applyEpochCdcDF(
+      ev(("u", 1L, 1L, 999L), ("u", 2L, 2L, 999L), ("u", 3L, 3L, 30L)),
+      0, queryId = "qB"))
+    val got = t.read(None).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 10L), (2L, 20L), (3L, 30L)),
+      s"replayed LSNs must not re-apply: $got")
+    assert(t.commitLsn == 3L)
+    // an epoch that is ONLY replayed LSNs still advances the watermark
+    assert(t.applyEpochCdcDF(ev(("u", 3L, 3L, 777L)), 1, queryId = "qB"))
+    assert(t.read(None).where("id = 3").head().getLong(1) == 30L)
+    assert(graft.format.ManifestLog.loadLatest(root).get.version > v1)
+  }
 }
