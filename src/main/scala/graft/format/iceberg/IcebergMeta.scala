@@ -1,0 +1,250 @@
+package graft.format.iceberg
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+import graft.model.SchemaDsl
+import org.apache.spark.sql.types._
+
+/**
+ * Iceberg v3 table metadata — schema JSON, manifest/manifest-list Avro
+ * schemas (with the spec's reserved field-ids), and the
+ * `metadata.json` document, all per the PUBLIC Iceberg table spec.
+ * This is the interop half the reference gets from the `iceberg`
+ * crate (`iceberg_table_syncer.rs:230,488,683`): external engines
+ * read the committed table because these files follow the spec, not
+ * because they share a library.
+ */
+private[graft] object IcebergMeta {
+
+  private val mapper = new ObjectMapper()
+
+  // ---- iceberg schema JSON from the table's Spark schema ---------------
+
+  def icebergTypeOf(dt: DataType): String = dt match {
+    case LongType => "long"
+    case IntegerType => "int"
+    case ShortType => "int"
+    case StringType => "string"
+    case DoubleType => "double"
+    case FloatType => "float"
+    case BooleanType => "boolean"
+    case DateType => "date"
+    case TimestampType => "timestamptz"
+    case BinaryType => "binary"
+    case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
+    case other =>
+      throw new IllegalArgumentException(s"no iceberg mapping for $other")
+  }
+
+  /** Field ids come from the table's own stable id seam
+   *  (`SchemaDsl.FieldIdKey`), falling back to position+1 for schemas
+   *  that predate id assignment. */
+  def schemaJson(schema: StructType, schemaId: Int = 0): String = {
+    val root = mapper.createObjectNode()
+    root.put("type", "struct")
+    root.put("schema-id", schemaId)
+    val fields = root.putArray("fields")
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      val n = fields.addObject()
+      n.put("id",
+        if (f.metadata.contains(SchemaDsl.FieldIdKey))
+          f.metadata.getLong(SchemaDsl.FieldIdKey)
+        else (i + 1).toLong)
+      n.put("name", f.name)
+      n.put("required", !f.nullable)
+      n.put("type", icebergTypeOf(f.dataType))
+    }
+    mapper.writeValueAsString(root)
+  }
+
+  // ---- avro schemas with reserved field-ids ----------------------------
+
+  /** manifest-list entry (`manifest_file`), v2+ field-ids 500-519. */
+  val manifestListSchema: String =
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string","field-id":500},
+      |{"name":"manifest_length","type":"long","field-id":501},
+      |{"name":"partition_spec_id","type":"int","field-id":502},
+      |{"name":"content","type":"int","field-id":517},
+      |{"name":"sequence_number","type":"long","field-id":515},
+      |{"name":"min_sequence_number","type":"long","field-id":516},
+      |{"name":"added_snapshot_id","type":"long","field-id":503},
+      |{"name":"added_files_count","type":"int","field-id":504},
+      |{"name":"existing_files_count","type":"int","field-id":505},
+      |{"name":"deleted_files_count","type":"int","field-id":506},
+      |{"name":"added_rows_count","type":"long","field-id":512},
+      |{"name":"existing_rows_count","type":"long","field-id":513},
+      |{"name":"deleted_rows_count","type":"long","field-id":514},
+      |{"name":"partitions","type":["null",{"type":"array","element-id":508,
+      |  "items":{"type":"record","name":"r508","fields":[
+      |    {"name":"contains_null","type":"boolean","field-id":509},
+      |    {"name":"contains_nan","type":["null","boolean"],"field-id":518},
+      |    {"name":"lower_bound","type":["null","bytes"],"field-id":510},
+      |    {"name":"upper_bound","type":["null","bytes"],"field-id":511}]}}],
+      | "field-id":507},
+      |{"name":"key_metadata","type":["null","bytes"],"field-id":519}
+      |]}""".stripMargin
+
+  /** `manifest_entry` with the nested `data_file` (`r2`) record —
+   *  required v2 fields plus the v3 deletion-vector trio
+   *  (referenced_data_file 143 / content_offset 144 /
+   *  content_size_in_bytes 145). Unpartitioned: `partition` is the
+   *  empty struct `r102`. */
+  val manifestEntrySchema: String =
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int","field-id":0},
+      |{"name":"snapshot_id","type":["null","long"],"field-id":1},
+      |{"name":"sequence_number","type":["null","long"],"field-id":3},
+      |{"name":"file_sequence_number","type":["null","long"],"field-id":4},
+      |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+      |  {"name":"content","type":"int","field-id":134},
+      |  {"name":"file_path","type":"string","field-id":100},
+      |  {"name":"file_format","type":"string","field-id":101},
+      |  {"name":"partition","field-id":102,
+      |   "type":{"type":"record","name":"r102","fields":[]}},
+      |  {"name":"record_count","type":"long","field-id":103},
+      |  {"name":"file_size_in_bytes","type":"long","field-id":104},
+      |  {"name":"split_offsets","type":["null",{"type":"array",
+      |    "items":"long","element-id":133}],"field-id":132},
+      |  {"name":"sort_order_id","type":["null","int"],"field-id":140},
+      |  {"name":"referenced_data_file","type":["null","string"],"field-id":143},
+      |  {"name":"content_offset","type":["null","long"],"field-id":144},
+      |  {"name":"content_size_in_bytes","type":["null","long"],"field-id":145}
+      |]}}]}""".stripMargin
+
+  // ---- metadata.json ---------------------------------------------------
+
+  final case class Snapshot(snapshotId: Long, parentId: Option[Long],
+      sequenceNumber: Long, timestampMs: Long, manifestList: String,
+      operation: String, schemaId: Int)
+
+  final case class TableMetadata(
+      formatVersion: Int, tableUuid: String, location: String,
+      lastSequenceNumber: Long, lastUpdatedMs: Long, lastColumnId: Long,
+      schemaJson: String, snapshots: Seq[Snapshot],
+      currentSnapshotId: Long) {
+    def currentSnapshot: Snapshot =
+      snapshots.find(_.snapshotId == currentSnapshotId)
+        .getOrElse(throw new IllegalStateException("no current snapshot"))
+  }
+
+  def metadataJson(m: TableMetadata): String = {
+    val root = mapper.createObjectNode()
+    root.put("format-version", m.formatVersion)
+    root.put("table-uuid", m.tableUuid)
+    root.put("location", m.location)
+    root.put("last-sequence-number", m.lastSequenceNumber)
+    root.put("last-updated-ms", m.lastUpdatedMs)
+    root.put("last-column-id", m.lastColumnId)
+    val schemas = root.putArray("schemas")
+    schemas.add(mapper.readTree(m.schemaJson))
+    root.put("current-schema-id",
+      mapper.readTree(m.schemaJson).get("schema-id").asInt)
+    val specs = root.putArray("partition-specs")
+    val spec = specs.addObject()
+    spec.put("spec-id", 0); spec.putArray("fields")
+    root.put("default-spec-id", 0)
+    root.put("last-partition-id", 999) // spec: >= 999 when unpartitioned
+    val orders = root.putArray("sort-orders")
+    val order = orders.addObject()
+    order.put("order-id", 0); order.putArray("fields")
+    root.put("default-sort-order-id", 0)
+    root.putObject("properties")
+    root.put("current-snapshot-id", m.currentSnapshotId)
+    val snaps = root.putArray("snapshots")
+    m.snapshots.foreach { s =>
+      val n = snaps.addObject()
+      n.put("snapshot-id", s.snapshotId)
+      s.parentId.foreach(p => n.put("parent-snapshot-id", p))
+      n.put("sequence-number", s.sequenceNumber)
+      n.put("timestamp-ms", s.timestampMs)
+      n.put("manifest-list", s.manifestList)
+      n.putObject("summary").put("operation", s.operation)
+      n.put("schema-id", s.schemaId)
+    }
+    val log = root.putArray("snapshot-log")
+    m.snapshots.foreach { s =>
+      val n = log.addObject()
+      n.put("timestamp-ms", s.timestampMs)
+      n.put("snapshot-id", s.snapshotId)
+    }
+    root.putArray("metadata-log")
+    val refs = root.putObject("refs")
+    val main = refs.putObject("main")
+    main.put("snapshot-id", m.currentSnapshotId)
+    main.put("type", "branch")
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
+  /** Independent spec-side parser (round-trip gate for the writer —
+   *  also what the read path drives; never shares state with the
+   *  writer beyond these public layouts). */
+  def parseMetadataJson(s: String): TableMetadata = {
+    val n = mapper.readTree(s)
+    def req(k: String): JsonNode = {
+      require(n.hasNonNull(k), s"metadata.json misses required key $k")
+      n.get(k)
+    }
+    val snaps = Seq.newBuilder[Snapshot]
+    req("snapshots").elements().forEachRemaining { sn =>
+      snaps += Snapshot(
+        sn.get("snapshot-id").asLong,
+        if (sn.hasNonNull("parent-snapshot-id"))
+          Some(sn.get("parent-snapshot-id").asLong) else None,
+        sn.get("sequence-number").asLong,
+        sn.get("timestamp-ms").asLong,
+        sn.get("manifest-list").asText,
+        sn.get("summary").get("operation").asText,
+        sn.get("schema-id").asInt)
+    }
+    val schemas = req("schemas")
+    val curSchemaId = req("current-schema-id").asInt
+    val schema = schemas.elements().asScalaSeq
+      .find(_.get("schema-id").asInt == curSchemaId)
+      .getOrElse(throw new IllegalArgumentException("current schema missing"))
+    TableMetadata(
+      req("format-version").asInt,
+      req("table-uuid").asText,
+      req("location").asText,
+      req("last-sequence-number").asLong,
+      req("last-updated-ms").asLong,
+      req("last-column-id").asLong,
+      mapper.writeValueAsString(schema),
+      snaps.result(),
+      req("current-snapshot-id").asLong)
+  }
+
+  /** Spark StructType back from an iceberg schema JSON (the parser's
+   *  read-path half; primitive columns only, like the writer). */
+  def sparkSchemaOf(schemaJson: String): StructType = {
+    val n = mapper.readTree(schemaJson)
+    StructType(n.get("fields").elements().asScalaSeq.map { f =>
+      val t = f.get("type").asText match {
+        case "long" => LongType
+        case "int" => IntegerType
+        case "string" => StringType
+        case "double" => DoubleType
+        case "float" => FloatType
+        case "boolean" => BooleanType
+        case "date" => DateType
+        case "timestamptz" => TimestampType
+        case "binary" => BinaryType
+        case d if d.startsWith("decimal") =>
+          val Array(p, sc) = d.stripPrefix("decimal(").stripSuffix(")")
+            .split(",").map(_.trim.toInt)
+          DecimalType(p, sc)
+        case other =>
+          throw new IllegalArgumentException(s"iceberg type: $other")
+      }
+      StructField(f.get("name").asText, t, !f.get("required").asBoolean)
+    })
+  }
+
+  private implicit class IterOps[T](it: java.util.Iterator[T]) {
+    def asScalaSeq: Seq[T] = {
+      val b = Seq.newBuilder[T]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+  }
+}

@@ -1,0 +1,292 @@
+package graft.format.iceberg
+
+import graft.format.{DvSidecar, Fio, Manifest}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col}
+import org.roaringbitmap.longlong.Roaring64NavigableMap
+
+import java.nio.charset.StandardCharsets
+
+/**
+ * Iceberg persistence sync (reference `iceberg_table_syncer.rs:230`
+ * `sync_data_files`, `:488` `sync_deletion_vector`): converts one
+ * committed graft manifest version into spec-conformant Iceberg v3
+ * metadata under `$root/metadata/` —
+ *
+ *  - one puffin file with a `deletion-vector-v1` blob per DV'd data
+ *    file (`iceberg/deletion_vector.rs:29`),
+ *  - a data manifest (content=data) + a delete manifest
+ *    (content=deletes) in Avro,
+ *  - a manifest list, a new snapshot in `v<seq>.metadata.json`, and a
+ *    `version-hint.text` pointer (HadoopTables convention).
+ *
+ * Files synced in a PRIOR snapshot re-enter the new data manifest as
+ * EXISTING with their original data sequence number, so time travel
+ * and incremental consumption see correct lineage. Scale: the sync is
+ * O(manifest) driver metadata work — no data file is read or moved;
+ * DV bitmaps stream from the same sidecars the engine already holds.
+ */
+private[graft] object IcebergSync {
+
+  private val StatusExisting = 0
+  private val StatusAdded = 1
+
+  final case class SyncResult(metadataPath: String, snapshotId: Long,
+      sequenceNumber: Long)
+
+  def metadataDir(root: String): String = s"$root/metadata"
+
+  def currentMetadataPath(root: String): Option[String] = {
+    val hint = s"${metadataDir(root)}/version-hint.text"
+    if (!Fio.exists(hint)) None
+    else Some(s"${metadataDir(root)}/${Fio.readString(hint).trim}")
+  }
+
+  /** Write one Iceberg snapshot for the graft manifest `m`. */
+  def sync(root: String, m: Manifest,
+      nowMs: Long = System.currentTimeMillis()): SyncResult = {
+    val dir = metadataDir(root)
+    Fio.mkdirs(dir)
+    val prior = currentMetadataPath(root)
+      .map(p => IcebergMeta.parseMetadataJson(Fio.readString(p)))
+    val seq = prior.map(_.lastSequenceNumber).getOrElse(0L) + 1
+    val snapshotId = seq
+    val uuid = java.util.UUID
+      .nameUUIDFromBytes(root.getBytes(StandardCharsets.UTF_8)).toString
+
+    // data sequence numbers of files synced by earlier snapshots: an
+    // unchanged file stays EXISTING at its original sequence
+    val priorSeqOf: Map[String, Long] = prior match {
+      case None => Map.empty
+      case Some(pm) =>
+        val ml = AvroOcf.readFile(Fio.readBytes(pm.currentSnapshot.manifestList))
+        ml.records.filter(_("content") == 0).flatMap { mf =>
+          val man = AvroOcf.readFile(Fio.readBytes(mf("manifest_path").toString))
+          man.records.map { e =>
+            val df = e("data_file").asInstanceOf[Map[String, Any]]
+            df("file_path").toString ->
+              e("sequence_number").asInstanceOf[Long]
+          }
+        }.toMap
+    }
+
+    val schemaJson = IcebergMeta.schemaJson(m.schema)
+    val manifestMeta = Map(
+      "schema" -> schemaJson, "schema-id" -> "0",
+      "partition-spec" -> "[]", "partition-spec-id" -> "0",
+      "format-version" -> "3")
+
+    def entry(status: Int, dataSeq: Option[Long],
+        dataFile: Map[String, Any]): Map[String, Any] = Map(
+      "status" -> status,
+      "snapshot_id" -> snapshotId,
+      "sequence_number" -> dataSeq.orNull,
+      "file_sequence_number" -> dataSeq.orNull,
+      "data_file" -> dataFile)
+
+    // ---- data manifest -------------------------------------------------
+    val dataEntries = m.dataFiles.map { f =>
+      val abs = s"$root/data/${f.path}"
+      val known = priorSeqOf.get(abs)
+      entry(
+        if (known.isDefined) StatusExisting else StatusAdded,
+        Some(known.getOrElse(seq)),
+        Map(
+          "content" -> 0, "file_path" -> abs, "file_format" -> "PARQUET",
+          "partition" -> Map.empty[String, Any],
+          "record_count" -> f.rows, "file_size_in_bytes" -> f.bytes,
+          "split_offsets" -> null, "sort_order_id" -> null,
+          "referenced_data_file" -> null, "content_offset" -> null,
+          "content_size_in_bytes" -> null))
+    }
+    val dataManifestPath = s"$dir/manifest-data-$seq.avro"
+    val dataManifestBytes = AvroOcf.writeFile(IcebergMeta.manifestEntrySchema,
+      manifestMeta + ("content" -> "data"), dataEntries)
+    Fio.writeBytesAtomic(dataManifestPath, dataManifestBytes)
+
+    // ---- deletion vectors -> puffin + delete manifest ------------------
+    val dvByFile: Seq[(String, Roaring64NavigableMap)] = {
+      val acc = scala.collection.mutable.LinkedHashMap[String, Roaring64NavigableMap]()
+      m.dvFiles.foreach { dv =>
+        DvSidecar.read(s"$root/dv/$dv").foreach { case (file, bm) =>
+          val nav = acc.getOrElseUpdate(file, new Roaring64NavigableMap())
+          bm.toArray.foreach(nav.addLong)
+        }
+      }
+      // only files still live in this manifest version
+      val live = m.dataFiles.map(_.path).toSet
+      acc.toSeq.filter { case (f, nm) => live(f) && nm.getLongCardinality > 0 }
+    }
+    val (deleteEntries, puffinPathOpt) =
+      if (dvByFile.isEmpty) (Seq.empty[Map[String, Any]], None)
+      else {
+        val puffinPath = s"$dir/dvs-$seq.puffin"
+        val blobs = dvByFile.map { case (file, nav) =>
+          (Puffin.dvBlobBytes(nav), Puffin.BlobMeta(
+            Puffin.DeletionVectorV1, fields = Seq(2147483546), // pos field
+            snapshotId = snapshotId, sequenceNumber = seq,
+            offset = 0, length = 0,
+            properties = Map(
+              "cardinality" -> nav.getLongCardinality.toString,
+              "referenced-data-file" -> s"$root/data/$file")))
+        }
+        val (bytes, placed) = Puffin.writeBytes(blobs)
+        Fio.writeBytesAtomic(puffinPath, bytes)
+        val entries = dvByFile.zip(placed).map { case ((file, nav), bm) =>
+          entry(StatusAdded, Some(seq), Map(
+            "content" -> 1, "file_path" -> puffinPath,
+            "file_format" -> "PUFFIN",
+            "partition" -> Map.empty[String, Any],
+            "record_count" -> nav.getLongCardinality,
+            "file_size_in_bytes" -> bytes.length.toLong,
+            "split_offsets" -> null, "sort_order_id" -> null,
+            "referenced_data_file" -> s"$root/data/$file",
+            "content_offset" -> bm.offset,
+            "content_size_in_bytes" -> bm.length))
+        }
+        (entries, Some(puffinPath))
+      }
+    val deleteManifestPath = s"$dir/manifest-deletes-$seq.avro"
+    if (deleteEntries.nonEmpty)
+      Fio.writeBytesAtomic(deleteManifestPath,
+        AvroOcf.writeFile(IcebergMeta.manifestEntrySchema,
+          manifestMeta + ("content" -> "deletes"), deleteEntries))
+
+    // ---- manifest list -------------------------------------------------
+    def listEntry(path: String, content: Int, entries: Seq[Map[String, Any]],
+        minSeq: Long): Map[String, Any] = {
+      val added = entries.count(_("status") == StatusAdded)
+      val existing = entries.size - added
+      def rows(statusWanted: Int) = entries
+        .filter(_("status") == statusWanted)
+        .map(_("data_file").asInstanceOf[Map[String, Any]]("record_count")
+          .asInstanceOf[Long]).sum
+      Map(
+        "manifest_path" -> path,
+        "manifest_length" -> Fio.sizeOf(path),
+        "partition_spec_id" -> 0, "content" -> content,
+        "sequence_number" -> seq, "min_sequence_number" -> minSeq,
+        "added_snapshot_id" -> snapshotId,
+        "added_files_count" -> added, "existing_files_count" -> existing,
+        "deleted_files_count" -> 0,
+        "added_rows_count" -> rows(StatusAdded),
+        "existing_rows_count" -> rows(StatusExisting),
+        "deleted_rows_count" -> 0L,
+        "partitions" -> Seq.empty[Any], "key_metadata" -> null)
+    }
+    val minDataSeq = dataEntries
+      .map(_("sequence_number").asInstanceOf[Long]).minOption.getOrElse(seq)
+    val listEntries =
+      listEntry(dataManifestPath, 0, dataEntries, minDataSeq) +:
+      (if (deleteEntries.nonEmpty)
+        Seq(listEntry(deleteManifestPath, 1, deleteEntries, seq))
+      else Seq.empty)
+    val manifestListPath = s"$dir/snap-$snapshotId-manifest-list.avro"
+    Fio.writeBytesAtomic(manifestListPath,
+      AvroOcf.writeFile(IcebergMeta.manifestListSchema,
+        Map("format-version" -> "3"), listEntries))
+
+    // ---- metadata.json + pointer ---------------------------------------
+    val snapshot = IcebergMeta.Snapshot(snapshotId,
+      prior.map(_.currentSnapshotId), seq, nowMs, manifestListPath,
+      operation = if (deleteEntries.nonEmpty) "overwrite" else "append",
+      schemaId = 0)
+    val meta = IcebergMeta.TableMetadata(
+      formatVersion = 3, tableUuid = uuid, location = root,
+      lastSequenceNumber = seq, lastUpdatedMs = nowMs,
+      lastColumnId = math.max(m.lastFieldId,
+        graft.model.SchemaDsl.maxFieldId(m.schema)),
+      schemaJson = schemaJson,
+      snapshots = prior.map(_.snapshots).getOrElse(Seq.empty) :+ snapshot,
+      currentSnapshotId = snapshotId)
+    val metadataPath = s"$dir/v$seq.metadata.json"
+    Fio.writeAtomic(metadataPath, IcebergMeta.metadataJson(meta))
+    // the hint is the one MUTABLE file (HadoopTables convention);
+    // writeAtomic refuses to rename over an existing target, so clear
+    // it first — the real commit pointer is the catalog's CAS swing,
+    // the hint only serves catalog-less readers
+    Fio.delete(s"$dir/version-hint.text")
+    Fio.writeAtomic(s"$dir/version-hint.text", s"v$seq.metadata.json")
+    SyncResult(metadataPath, snapshotId, seq)
+  }
+
+  // ---- independent read path (spec parser -> DataFrame) ----------------
+
+  final case class IcebergState(schemaJson: String,
+      dataFiles: Seq[(String, Long)],      // (path, record_count)
+      dvs: Map[String, Roaring64NavigableMap]) // data path -> deleted rows
+
+  /** Walk metadata.json -> manifest list -> manifests -> puffin blobs,
+   *  entirely through the spec parsers (no engine state). */
+  def readState(metadataPath: String): IcebergState = {
+    val meta = IcebergMeta.parseMetadataJson(Fio.readString(metadataPath))
+    val ml = AvroOcf.readFile(Fio.readBytes(meta.currentSnapshot.manifestList))
+    val dataFiles = Seq.newBuilder[(String, Long)]
+    val dvs = Map.newBuilder[String, Roaring64NavigableMap]
+    ml.records.foreach { mf =>
+      val man = AvroOcf.readFile(Fio.readBytes(mf("manifest_path").toString))
+      man.records.foreach { e =>
+        val df = e("data_file").asInstanceOf[Map[String, Any]]
+        df("content") match {
+          case 0 =>
+            dataFiles += (df("file_path").toString ->
+              df("record_count").asInstanceOf[Long])
+          case 1 =>
+            require(df("file_format") == "PUFFIN",
+              "v3 position deletes are puffin DVs here")
+            val puffin = Puffin.readBytes(
+              Fio.readBytes(df("file_path").toString))
+            val off = df("content_offset").asInstanceOf[Long]
+            val blob = puffin.blobs.find(_.offset == off)
+              .getOrElse(throw new IllegalStateException(
+                s"no blob at offset $off"))
+            dvs += (df("referenced_data_file").toString ->
+              Puffin.dvBlobParse(puffin.blobBytes(blob)))
+          case other =>
+            throw new IllegalArgumentException(s"manifest content $other")
+        }
+      }
+    }
+    IcebergState(meta.schemaJson, dataFiles.result(), dvs.result())
+  }
+
+  /** Materialize the Iceberg table state as a DataFrame: scan the
+   *  parquet files listed by the spec walk and mask DV'd positions via
+   *  the parquet `_metadata.row_index` hidden column — a read path
+   *  with NO graft-engine involvement, so the entry proves an external
+   *  engine could do the same. The DV position set broadcasts (bounded
+   *  by delete count); the scan itself is a plain distributed parquet
+   *  read. */
+  def readDataFrame(spark: SparkSession, metadataPath: String): DataFrame = {
+    val st = readState(metadataPath)
+    val schema = IcebergMeta.sparkSchemaOf(st.schemaJson)
+    val files = st.dataFiles.map(_._1)
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    // DV keys reduce to the FILE NAME (unique within a table), so the
+    // mask is an equi-join that broadcasts — `_metadata.file_path` is a
+    // URI while manifest paths are plain, and name equality sidesteps
+    // the scheme mismatch without a non-equi condition
+    val deleted: Seq[(String, Long)] = st.dvs.toSeq.flatMap { case (f, bm) =>
+      val name = f.substring(f.lastIndexOf('/') + 1)
+      bm.toArray.map(p => (name, p))
+    }
+    val base = spark.read.schema(schema).parquet(files: _*)
+      .select(col("*"),
+        org.apache.spark.sql.functions.substring_index(
+          col("_metadata.file_path"), "/", -1).as("_ice_file"),
+        col("_metadata.row_index").as("_ice_pos"))
+    val masked =
+      if (deleted.isEmpty) base
+      else {
+        import spark.implicits._
+        val delDf = deleted.toDF("_del_file", "_del_pos")
+        base.join(broadcast(delDf),
+          base("_ice_file") === delDf("_del_file") &&
+            base("_ice_pos") === delDf("_del_pos"),
+          "left_anti")
+      }
+    masked.drop("_ice_file", "_ice_pos")
+  }
+}

@@ -1,0 +1,169 @@
+package graft
+
+import graft.format.iceberg.{AvroOcf, IcebergMeta, IcebergSync, Puffin}
+import graft.model._
+import graft.table._
+import org.apache.spark.sql.{Row, SparkSession}
+import org.roaringbitmap.longlong.Roaring64NavigableMap
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/**
+ * Iceberg v3 metadata layer: Avro OCF codec, puffin deletion-vector
+ * blobs, metadata.json, and the graft→Iceberg snapshot sync — each
+ * layout pinned against the PUBLIC spec (golden byte checks), each
+ * writer gated by the independent parser round-trip.
+ */
+class IcebergSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+
+  test("avro OCF round-trips records and pins the container layout") {
+    val schema =
+      """{"type":"record","name":"t","fields":[
+        |{"name":"s","type":"string"},
+        |{"name":"n","type":"long"},
+        |{"name":"o","type":["null","long"]},
+        |{"name":"xs","type":{"type":"array","items":"int"}}]}""".stripMargin
+    val recs = Seq(
+      Map[String, Any]("s" -> "a", "n" -> 1L, "o" -> null, "xs" -> Seq(1, 2)),
+      Map[String, Any]("s" -> "b", "n" -> -3L, "o" -> 9L, "xs" -> Seq.empty[Int]))
+    val bytes = AvroOcf.writeFile(schema, Map("k" -> "v"), recs)
+    // golden: magic Obj\1 (avro spec 1.11 container files)
+    assert(hex(bytes.take(4)) == "4f626a01")
+    val back = AvroOcf.readFile(bytes)
+    assert(back.meta("k") == "v" && back.meta("avro.codec") == "null")
+    assert(back.records.size == 2)
+    assert(back.records(0)("s") == "a" && back.records(0)("o") == null)
+    assert(back.records(1)("n") == -3L && back.records(1)("o") == 9L)
+    assert(back.records(0)("xs") == Seq(1, 2))
+    // determinism: same inputs, same bytes (golden stability)
+    assert(java.util.Arrays.equals(bytes,
+      AvroOcf.writeFile(schema, Map("k" -> "v"), recs)))
+  }
+
+  test("deletion-vector blob pins the v3 layout: len|magic|roaring64|crc") {
+    val bm = new Roaring64NavigableMap()
+    Seq(1L, 5L, 100L).foreach(bm.addLong)
+    val blob = Puffin.dvBlobBytes(bm)
+    // golden: bytes 4..8 are the spec magic D1 D3 39 64
+    assert(hex(blob.slice(4, 8)) == "d1d33964")
+    // bytes 0..4 big-endian combined length of magic + vector
+    val combined = java.nio.ByteBuffer.wrap(blob, 0, 4).getInt
+    assert(combined == 4 + (blob.length - 12),
+      "length field = magic + portable bitmap")
+    val back = Puffin.dvBlobParse(blob)
+    assert(back.getLongCardinality == 3 && back.contains(5L) && !back.contains(6L))
+    // corrupting one payload byte must fail the crc gate
+    val bad = blob.clone(); bad(9) = (bad(9) ^ 0x1).toByte
+    intercept[Exception] { Puffin.dvBlobParse(bad) }
+  }
+
+  test("puffin container pins magic/footer and round-trips blobs") {
+    val bm1 = new Roaring64NavigableMap(); bm1.addLong(7L)
+    val bm2 = new Roaring64NavigableMap(); Seq(0L, 2L).foreach(bm2.addLong)
+    val blobs = Seq(bm1, bm2).zipWithIndex.map { case (bm, i) =>
+      (Puffin.dvBlobBytes(bm), Puffin.BlobMeta(Puffin.DeletionVectorV1,
+        Seq(2147483546), 10L, 1L, 0, 0,
+        Map("cardinality" -> bm.getLongCardinality.toString,
+          "referenced-data-file" -> s"/data/f$i.parquet")))
+    }
+    val (bytes, placed) = Puffin.writeBytes(blobs)
+    // golden: magic PFA1 leads and trails the file
+    assert(hex(bytes.take(4)) == "50464131")
+    assert(hex(bytes.takeRight(4)) == "50464131")
+    val back = Puffin.readBytes(bytes)
+    assert(back.blobs.size == 2)
+    assert(back.blobs.map(_.blobType).distinct == Seq("deletion-vector-v1"))
+    assert(back.blobs(1).properties("referenced-data-file") == "/data/f1.parquet")
+    val b2 = Puffin.dvBlobParse(back.blobBytes(back.blobs(1)))
+    assert(b2.getLongCardinality == 2 && b2.contains(0L) && b2.contains(2L))
+    assert(placed.map(_.offset) == back.blobs.map(_.offset))
+  }
+
+  test("metadata.json carries the v3 required fields and round-trips") {
+    val schema = SchemaDsl.struct("id" -> "int64", "v" -> "int64")
+    val sj = IcebergMeta.schemaJson(schema)
+    val snap = IcebergMeta.Snapshot(1L, None, 1L, 1700000000000L,
+      "/x/metadata/snap-1-manifest-list.avro", "append", 0)
+    val meta = IcebergMeta.TableMetadata(3, "uuid-x", "/x", 1L,
+      1700000000000L, 2L, sj, Seq(snap), 1L)
+    val json = IcebergMeta.metadataJson(meta)
+    // spec-required keys present verbatim
+    Seq("format-version", "table-uuid", "last-sequence-number",
+      "last-column-id", "schemas", "current-schema-id", "partition-specs",
+      "default-spec-id", "sort-orders", "default-sort-order-id",
+      "snapshots", "current-snapshot-id", "refs").foreach(k =>
+      assert(json.contains("\"" + k + "\""), s"missing $k"))
+    val back = IcebergMeta.parseMetadataJson(json)
+    assert(back.formatVersion == 3 && back.lastSequenceNumber == 1L)
+    assert(back.currentSnapshot.manifestList == snap.manifestList)
+    assert(back.currentSnapshot.operation == "append")
+    // spark schema reconstruction (field ids + nullability preserved)
+    val ss = IcebergMeta.sparkSchemaOf(back.schemaJson)
+    assert(ss.fieldNames.toSeq == Seq("id", "v"))
+  }
+
+  test("sync publishes a spec round-trippable snapshot; DVs mask deletes") {
+    val root = Files.createTempDirectory("graft-ice").toString + "/t"
+    val schema = SchemaDsl.struct("id" -> "int64", "v" -> "int64")
+    val t = GraftTable.create(spark, root, schema, Identity.Keys(Seq("id")),
+      TableConfig(walEnabled = false))
+    t.upsertAll((1L to 100L).map(i => Row(i, i * 10L)), startLsn = 1)
+    t.flush(); t.publish()
+    t.apply(Seq(Delete(Seq(7L), 200L), Delete(Seq(42L), 201L), Commit(202L)))
+    t.flush(); t.publish()
+    val r1 = IcebergSync.sync(root, t.currentManifest, nowMs = 1700000000000L)
+    assert(r1.sequenceNumber == 1L)
+    // the independent parser walks metadata.json -> list -> manifests
+    val st = IcebergSync.readState(r1.metadataPath)
+    assert(st.dataFiles.nonEmpty)
+    assert(st.dvs.values.map(_.getLongCardinality).sum == 2L,
+      "both deletes land as DV positions")
+    // reconstructed WITHOUT the graft engine: 98 surviving rows
+    val df = IcebergSync.readDataFrame(spark, r1.metadataPath)
+    assert(df.count() == 98L)
+    assert(df.where("id = 7 OR id = 42").count() == 0L)
+    assert(df.where("id = 8").head().getLong(1) == 80L)
+
+    // second snapshot: more data -> EXISTING lineage + parent pointer
+    t.upsertAll((101L to 120L).map(i => Row(i, i)), startLsn = 300L)
+    t.flush(); t.publish()
+    val r2 = IcebergSync.sync(root, t.currentManifest, nowMs = 1700000001000L)
+    assert(r2.sequenceNumber == 2L)
+    val meta2 = IcebergMeta.parseMetadataJson(
+      graft.format.Fio.readString(r2.metadataPath))
+    assert(meta2.snapshots.size == 2)
+    assert(meta2.currentSnapshot.parentId.contains(r1.snapshotId))
+    val ml2 = AvroOcf.readFile(graft.format.Fio.readBytes(
+      meta2.currentSnapshot.manifestList))
+    val dataMf = ml2.records.find(_("content") == 0).get
+    val man2 = AvroOcf.readFile(graft.format.Fio.readBytes(
+      dataMf("manifest_path").toString))
+    val statuses = man2.records.groupBy(_("status"))
+    assert(statuses.contains(1), "new files ADDED")
+    assert(statuses.contains(0), "carried files EXISTING")
+    // EXISTING files keep their original data sequence number
+    assert(man2.records.filter(_("status") == 0)
+      .forall(_("sequence_number") == 1L))
+    val df2 = IcebergSync.readDataFrame(spark, r2.metadataPath)
+    assert(df2.count() == 118L)
+    // manifest avro metadata pins the iceberg keys external readers use
+    assert(man2.meta("format-version") == "3")
+    assert(man2.meta("content") == "data")
+    assert(man2.meta("partition-spec") == "[]")
+    assert(man2.meta.contains("schema"))
+  }
+}
