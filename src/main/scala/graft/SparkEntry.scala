@@ -256,6 +256,66 @@ object SparkEntry {
         .orderBy("c_mktsegment")
     }),
 
+    "q2_min_cost_supplier" -> ((s, d) => {
+      // the TPC-H Q2 shape: a CORRELATED scalar min-subquery against a
+      // multi-join dimension tree, written in SQL so Catalyst's
+      // decorrelation (RewriteCorrelatedScalarSubquery) turns the
+      // per-part min into one aggregate + join instead of a re-executed
+      // subquery per row. Unit costs compare in integer cents so the
+      // min boundary cannot drift between engines. (No partsupp table
+      // in this schema; lineitem plays the part-supplier cost relation.)
+      t(s, d, "part").createOrReplaceTempView("q2_part")
+      t(s, d, "supplier").createOrReplaceTempView("q2_supplier")
+      t(s, d, "lineitem").createOrReplaceTempView("q2_lineitem")
+      t(s, d, "nation").createOrReplaceTempView("q2_nation")
+      t(s, d, "region").createOrReplaceTempView("q2_region")
+      s.sql(
+        """SELECT p.p_partkey, s.s_name, n.n_name,
+          |       CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS cost_cents
+          |FROM q2_part p, q2_supplier s, q2_lineitem l, q2_nation n, q2_region r
+          |WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey
+          |  AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+          |  AND r.r_name = 'EUROPE' AND p.p_size <= 10
+          |  AND CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) = (
+          |    SELECT MIN(CAST(ROUND(l2.l_extendedprice * 100) AS BIGINT))
+          |    FROM q2_lineitem l2, q2_supplier s2, q2_nation n2, q2_region r2
+          |    WHERE l2.l_partkey = p.p_partkey AND s2.s_suppkey = l2.l_suppkey
+          |      AND s2.s_nationkey = n2.n_nationkey
+          |      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+          |GROUP BY 1, 2, 3, 4
+          |ORDER BY cost_cents, p_partkey, s_name
+          |LIMIT 100""".stripMargin)
+    }),
+
+    "q7_nation_volume" -> ((s, d) => {
+      // the TPC-H Q7 shape: nation-pair shipping volume — a five-way
+      // join with a symmetric pair predicate and a per-year CASE-free
+      // rollup; revenue rounds to integer cents per ROW before the
+      // sum so the aggregate is engine-order-independent. The two
+      // nation dimensions broadcast; lineitem never shuffles twice.
+      val n1 = t(s, d, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = t(s, d, "nation")
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      t(s, d, "lineitem")
+        .where(to_date(col("l_shipdate")) >= lit("1995-01-01") &&
+          to_date(col("l_shipdate")) <= lit("1996-12-31"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .where((col("supp_nation") === "NATION_1" &&
+            col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" &&
+            col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * 100).cast("long")).as("revenue_cents"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
     "q4_late_orders" -> ((s, d) => {
       // the TPC-H Q4 shape on this schema: EXISTS-correlated subquery
       // lowered to a LEFT SEMI join with a non-equi conjunct (late
@@ -3411,6 +3471,41 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // EXISTS-correlated late-shipment check, grouped by priority
+    "q2_min_cost_supplier" ->
+      """SELECT p.p_partkey, s.s_name, n.n_name,
+        |       CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS cost_cents
+        |FROM part p, supplier s, lineitem l, nation n, region r
+        |WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey
+        |  AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+        |  AND r.r_name = 'EUROPE' AND p.p_size <= 10
+        |  AND CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) = (
+        |    SELECT MIN(CAST(ROUND(l2.l_extendedprice * 100) AS BIGINT))
+        |    FROM lineitem l2, supplier s2, nation n2, region r2
+        |    WHERE l2.l_partkey = p.p_partkey AND s2.s_suppkey = l2.l_suppkey
+        |      AND s2.s_nationkey = n2.n_nationkey
+        |      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY cost_cents, p_partkey, s_name
+        |LIMIT 100""".stripMargin,
+
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+        |       CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+        |           AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem l
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |  AND CAST(l.l_shipdate AS DATE) >= DATE '1995-01-01'
+        |  AND CAST(l.l_shipdate AS DATE) <= DATE '1996-12-31'
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
+
     "q4_late_orders" ->
       """SELECT o_orderpriority, count(*) AS n
         |FROM orders o
