@@ -457,14 +457,23 @@ final class GraftTable private (
         org.apache.spark.sql.expressions.Window.currentRow)
       val opN = when(col("_op").isin("i", "insert"), "i")
         .when(col("_op").isin("u", "upsert"), "u").otherwise("d")
-      // repartition(nOut, keys) satisfies the windows' clustering
-      // requirement, so the fold still costs exactly ONE exchange (and
-      // pins the output file count to est/rowsPerFile)
+      // repartition(foldP, keys) satisfies the windows' clustering
+      // requirement, so the fold still costs exactly ONE exchange.
+      // foldP decouples FOLD parallelism from the OUTPUT file count:
+      // a 1M-row batch size-tunes to nOut=1 file, and running the
+      // sort+windows in one task was the measured ingest bottleneck
+      // (~3 s of the 5 s probe); folding at the core count and packing
+      // afterwards with a NARROW coalesce over the persisted fold
+      // output keeps file sizing AND parallelism (and coalesce over a
+      // persisted frame preserves the deterministic partition order
+      // the positional index derivation depends on — a reshuffle here
+      // would not).
+      val foldP = math.max(nOut, spark.sparkContext.defaultParallelism)
       val tagged = events
         .where(col("_op").isin("i", "insert", "u", "upsert", "d", "delete"))
         .select(opN.as("_op") +:
           col("_lsn").cast("long").as("_lsn") +: dataCols.map(col): _*)
-        .repartition(nOut, keyColNames.map(col): _*)
+        .repartition(foldP, keyColNames.map(col): _*)
         .withColumn("_nextOp", lead(col("_op"), 1).over(wOrd))
         .withColumn("_minApp",
           min(when(col("_op") =!= "d", col("_lsn"))).over(wRun))
@@ -497,8 +506,19 @@ final class GraftTable private (
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val keyPos = keyColNames.map(schemaVar.fieldIndex).toArray
       try {
-        val survivors = folded.where(col("_tag") === "a")
-          .select(dataCols.map(col) :+ col("_lsn"): _*)
+        // packed for writing: when the fold ran WIDER than the output
+        // file count, a narrow coalesce over the persisted fold output
+        // merges whole partitions in deterministic order — file sizing
+        // without giving the windows' parallelism back. The fused
+        // per-partition stats are only partition-aligned when no
+        // packing happened; otherwise writeBatchFiles runs its own
+        // narrow stats pass over the packed frame.
+        val aligned = foldP == nOut
+        val survivors = {
+          val s0 = folded.where(col("_tag") === "a")
+            .select(dataCols.map(col) :+ col("_lsn"): _*)
+          if (aligned) s0 else s0.coalesce(nOut)
+        }
         val statFields = schemaVar.fields.zipWithIndex
           .filter { case (f, _) => statsComparable(f.dataType) }.toSeq
         // cheap cached scan decides the resolution path BEFORE any
@@ -506,6 +526,10 @@ final class GraftTable private (
         // the fold shuffle + persist — the batch's one data pass)
         val nDel = prof("fold+persist+nDel")(
           folded.where(col("_tag") =!= "a").count())
+        def fusedStats(): Option[Map[Int, (Long, Map[String, Seq[String]])]] =
+          if (!aligned) scala.None
+          else Some(prof("stats")(collectFoldOutputs(folded, statFields,
+            keyPos, shipDeletes = false))._1)
         // a fall-through delete targets a row committed strictly BEFORE
         // this batch (survivor lsn >= its key's min append lsn >= the
         // delete's lsn, so same-batch rows are unreachable by the
@@ -515,11 +539,8 @@ final class GraftTable private (
         // skips the entire resolution join (measured 2.5 s of an
         // 11.1 s 10M-row first batch).
         if (indexFiles.isEmpty && nDel > 0) {
-          val (partStats, _) = prof("stats")(
-            collectFoldOutputs(folded, statFields, keyPos,
-              shipDeletes = false))
           prof("writeBatchFiles(del)")(
-            writeBatchFiles(survivors, maxLsn, Some(partStats)))
+            writeBatchFiles(survivors, maxLsn, fusedStats()))
         } else if (nDel < config.distributedDeleteThreshold) {
           // ONE pass over the cached fold output collects BOTH the
           // per-partition survivor stats and the fall-through delete keys
@@ -528,7 +549,8 @@ final class GraftTable private (
           val (partStats, dels) = prof("stats+deletes")(
             collectFoldOutputs(folded, statFields, keyPos))
           prof("writeBatchFiles(del)")(
-            writeBatchFiles(survivors, maxLsn, Some(partStats)))
+            writeBatchFiles(survivors, maxLsn,
+              if (aligned) Some(partStats) else scala.None))
           dels.foreach { case (k, lsn) => pendingDeletes += ((k, lsn)) }
         } else {
           // scale path (purge-style batches): delete keys NEVER
@@ -537,11 +559,8 @@ final class GraftTable private (
           // roaring DV delta (reference resolves against its persisted
           // bucket hash map the same LSN-exact way,
           // `persisted_bucket_hash_map.rs:276`)
-          val (partStats, _) = prof("stats")(
-            collectFoldOutputs(folded, statFields, keyPos,
-              shipDeletes = false))
           prof("writeBatchFiles(del)")(
-            writeBatchFiles(survivors, maxLsn, Some(partStats)))
+            writeBatchFiles(survivors, maxLsn, fusedStats()))
           prof("resolveDeletesDistributed")(resolveDeletesDistributed(
             folded.where(col("_tag") =!= "a")
               .select(keyColNames.map(col) :+ col("_lsn").as("_dlsn"): _*)))
