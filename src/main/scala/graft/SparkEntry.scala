@@ -2130,6 +2130,150 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "cdc_chaos_sql" -> ((s, d) => {
+      // the every-Nth-op fault schedule extended through the SQL
+      // mutation surface (WriteDelta staging + one-batch commit) and
+      // the streaming-sink epoch commit. Exactly-once on BOTH failure
+      // halves: a crash BEFORE the manifest publish leaves no trace
+      // (the durable commit LSN is unchanged, the retry re-applies); a
+      // crash AFTER it is detected by the advanced durable LSN / epoch
+      // watermark, so the retry is skipped and nothing applies twice.
+      // Wherever the faults land, the final state must equal the clean
+      // fold + mutations — the same location-independence invariant as
+      // cdc_chaos_recovery, now over the SQL verbs.
+      val wh = freshDir("wh-chsql")
+      val cat = GraftCatalog(s, wh)
+      val kv = cat.createTable("events_chaos", eventTableSchema,
+        Identity.Keys(Seq("user_id")), ingestCfg)
+      CdcPipeline.applyBatch(kv,
+        cdcEventFrame(s, d, None).where(col("user_id") % 10 === 3))
+      val root = s"$wh/events_chaos"
+      val cname = "gc" + math.abs(wh.hashCode).toString
+      s.conf.set(s"spark.sql.catalog.$cname",
+        classOf[graft.sources.GraftCatalogPlugin].getName)
+      s.conf.set(s"spark.sql.catalog.$cname.warehouse", wh)
+      // targeted injector for the two failure halves: "pre" crashes the
+      // FIRST storage write of the statement (before any durability);
+      // "post" crashes the first cleanup delete/move AFTER the manifest
+      // commit-rename (the statement IS durable, the crash hits its
+      // cleanup tail — the redelivery/retry shape a real crash leaves)
+      final class HalfFault extends graft.format.FioFaults {
+        @volatile var mode: String = "off"
+        @volatile var fired = false
+        @volatile private var sawManifestCommit = false
+        var crashes = 0
+        def arm(m: String): Unit = { mode = m; fired = false
+          sawManifestCommit = false }
+        override def beforeOp(op: String, path: String): Unit = mode match {
+          case "pre" =>
+            if (!fired && op == "write") {
+              fired = true; crashes += 1
+              throw new java.io.IOException(s"injected fault: $op $path")
+            }
+          case "post" =>
+            if (op == "commit-rename" && path.contains("/manifest/"))
+              sawManifestCommit = true
+            else if (!fired && sawManifestCommit &&
+                (op == "delete" || op == "move")) {
+              fired = true; crashes += 1
+              throw new java.io.IOException(s"injected fault: $op $path")
+            }
+          case _ => ()
+        }
+      }
+      def isInjected(e: Throwable): Boolean = {
+        var t: Throwable = e
+        while (t != null) {
+          if (t.isInstanceOf[java.io.IOException] && t.getMessage != null &&
+              t.getMessage.startsWith("injected fault")) return true
+          t = t.getCause
+        }
+        false
+      }
+      val faults = new HalfFault
+      def durableLsn: Long = graft.format.ManifestLog.loadLatest(root)
+        .map(_.commitLsn).getOrElse(-1L)
+      // run one mutation under a chosen failure half, exactly once:
+      // pre-half must leave NO durable trace (then a clean retry
+      // applies); post-half must BE durable (so no retry happens)
+      def mutateOnce(half: String, sql: String): Unit = {
+        val before = durableLsn
+        faults.arm(half)
+        val failed =
+          try { s.sql(sql); false }
+          catch { case e: Throwable if isInjected(e) => true }
+        val fired = faults.fired // arm("off") resets the flag
+        faults.arm("off")
+        if (half == "pre") {
+          require(failed && durableLsn == before,
+            s"pre-publish crash must leave no durable trace: $sql")
+          s.sql(sql) // clean retry applies exactly once
+          require(durableLsn > before, s"retry did not land: $sql")
+        } else {
+          require(fired, s"post fault never fired: $sql")
+          require(durableLsn > before,
+            s"post-publish crash must already be durable: $sql")
+          // no retry: the statement landed; retrying would double-apply
+        }
+      }
+      graft.format.Fio.faults = faults
+      try {
+        // SQL half: four UPDATEs (+10 lands exactly once per user —
+        // the seeded ids are all odd, so % 8 buckets 1/3/5/7 partition
+        // them) alternating the failure half, and a MERGE delete of
+        // every 7th user crashed post-publish
+        Seq(1, 3, 5, 7).zipWithIndex.foreach { case (b, i) =>
+          mutateOnce(if (i % 2 == 0) "pre" else "post",
+            s"UPDATE $cname.graft.events_chaos " +
+              s"SET value = value + 10 WHERE user_id % 8 = $b")
+        }
+        mutateOnce("post", s"MERGE INTO $cname.graft.events_chaos t USING " +
+          s"(SELECT user_id FROM $cname.graft.events_chaos " +
+          "WHERE user_id % 7 = 0) m ON t.user_id = m.user_id " +
+          "WHEN MATCHED THEN DELETE")
+        // streaming half: a CDC epoch crashed pre-durability retries on
+        // the SAME handle and applies exactly once (the in-memory
+        // watermark resyncs from the durable manifest); then a
+        // REDELIVERED epoch against a fresh handle — the post-commit
+        // crash shape, where Spark re-offers the epoch after restart —
+        // must be refused by the per-query watermark
+        val t2 = GraftTable.open(s, root, Identity.Keys(Seq("user_id")),
+          ingestCfg)
+        val epochLsn = t2.commitLsn + 1000
+        val epochEv = t2.read(scala.None)
+          .where(col("user_id") % 9 === 1)
+          .select(lit("u").as("_op"), lit(epochLsn).as("_lsn"),
+            col("user_id"), col("event_id"), lit("epoch").as("event_type"),
+            lit(555.0).as("value"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        epochEv.count()
+        faults.arm("pre")
+        val epochFailed =
+          try { t2.applyEpochCdcDF(epochEv, 0, "chaos-q"); false }
+          catch { case e: Throwable if isInjected(e) => true }
+        faults.arm("off")
+        require(epochFailed, "epoch pre-fault never fired")
+        require(graft.format.ManifestLog.loadLatest(root)
+            .forall(_.queryEpochs.getOrElse("chaos-q", 0L) == 0L),
+          "failed epoch must not advance the durable watermark")
+        require(t2.applyEpochCdcDF(epochEv, 0, "chaos-q"),
+          "epoch retry after pre-crash must apply")
+        epochEv.unpersist()
+        require(faults.crashes >= 6,
+          s"expected 6 injected crashes, saw ${faults.crashes}")
+        // redelivery after the commit (fresh handle = restarted query)
+        val t3 = GraftTable.open(s, root, Identity.Keys(Seq("user_id")),
+          ingestCfg)
+        require(!t3.applyEpochCdcDF(epochEv.limit(0), 0, "chaos-q"),
+          "replayed epoch must be refused")
+        t3.read(scala.None)
+          .select(col("user_id"), col("event_id").as("last_event_id"),
+            col("event_type").as("last_event_type"),
+            cents(col("value")).as("value_cents"))
+          .orderBy("user_id")
+      } finally graft.format.Fio.faults = null
+    }),
+
     "cdc_maintenance_timer" -> ((s, d) => {
       // reference table_handler_timer.rs:7-24 (periodic mooncake-
       // snapshot / force-snapshot ticks driving the event loop): the
@@ -4222,6 +4366,19 @@ object SparkEntry {
         |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
         |FROM events WHERE user_id % 10 = 7
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "cdc_chaos_sql" ->
+      """WITH last AS (
+        |  SELECT user_id, event_id, event_type, value FROM events
+        |  WHERE user_id % 10 = 3
+        |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)
+        |SELECT user_id, event_id AS last_event_id,
+        |       CASE WHEN user_id % 9 = 1 THEN 'epoch'
+        |            ELSE event_type END AS last_event_type,
+        |       CAST(ROUND(CASE WHEN user_id % 9 = 1 THEN 555.0
+        |                       ELSE value + 10 END * 100) AS BIGINT) AS value_cents
+        |FROM last WHERE user_id % 7 <> 0
         |ORDER BY user_id""".stripMargin,
 
     "cdc_maintenance_timer" ->
