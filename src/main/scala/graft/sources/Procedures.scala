@@ -34,7 +34,7 @@ private[graft] object GraftProcedures {
 
   def list(): Array[Identifier] =
     Array("optimize", "vacuum", "expire_snapshots", "restore", "flush",
-        "check")
+        "check", "iceberg_sync")
       .map(n => Identifier.of(Array("system"), n))
 
   def load(store: MetadataStore, warehouse: String,
@@ -88,6 +88,22 @@ private[graft] object GraftProcedures {
           val t = open(args(0).toString, args(1).toString)
           t.flush(); t.publish()
           Seq(Row(t.flushLsn))
+        })
+      case "iceberg_sync" => proc("iceberg_sync", DbTbl,
+        // the reference's force-snapshot verb for its Iceberg layer
+        // (iceberg_table_syncer.rs sync_snapshot_impl): publish the
+        // current committed manifest as a NEW spec-conformant Iceberg
+        // v3 snapshot under $root/metadata/
+        StructType(Seq(StructField("metadata_path", StringType),
+          StructField("snapshot_id", LongType),
+          StructField("sequence_number", LongType))),
+        args => {
+          val db = args(0).toString; val tbl = args(1).toString
+          val t = open(db, tbl)
+          val r = graft.format.iceberg.IcebergSync.sync(
+            graft.table.GraftCatalog.rootOf(warehouse, db, tbl),
+            t.currentManifest)
+          Seq(Row(r.metadataPath, r.snapshotId, r.sequenceNumber))
         })
       case "check" => proc("check", DbTbl,
         StructType(Seq(StructField("check", StringType),

@@ -37,9 +37,18 @@ import graft.table.{GraftCatalog, GraftTable}
 final class MaintenanceDaemon(
     catalog: GraftCatalog,
     snapshotEveryMs: Long = 500,          // mooncake_snapshot_timer
-    maintenanceEveryMs: Long = 300000) {  // force_snapshot_timer
+    maintenanceEveryMs: Long = 300000,    // force_snapshot_timer
+    // Iceberg persistence cadence (reference M9: periodic
+    // RegularIcebergSnapshot, table_handler.rs:437); 0 = disabled
+    icebergEveryMs: Long = 0) {
 
   @volatile private var exec: ScheduledExecutorService = null
+  // last-synced (file set, delete count) per table: an iceberg tick
+  // publishes a snapshot only when either changed — the reference's
+  // "≥1 new data file / new unpersisted deletes" persist thresholds,
+  // expressed as set equality so idle ticks never spam snapshots
+  private val lastIcebergSig =
+    scala.collection.mutable.Map[String, (Set[String], Long)]()
 
   /** One snapshot pass over the catalog; returns tables flushed. */
   def snapshotTick(): Seq[String] =
@@ -58,6 +67,26 @@ final class MaintenanceDaemon(
       t.optimize(); t.vacuum()
     }
 
+  /** One Iceberg-persistence pass: tables whose committed file set or
+   *  delete count moved since the last sync publish a new spec
+   *  snapshot (metadata.json + avro manifests + puffin DVs); idle
+   *  tables publish nothing. Returns tables synced. */
+  def icebergTick(): Seq[String] =
+    catalog.list.filter { name =>
+      val t = catalog.table(name)
+      t.synchronized {
+        val m = t.currentManifest
+        val sig = (m.dataFiles.map(_.path).toSet,
+          m.dataFiles.map(_.deletes).sum)
+        val changed = !lastIcebergSig.get(name).contains(sig)
+        if (changed && m.dataFiles.nonEmpty) {
+          graft.format.iceberg.IcebergSync.sync(t.root, m)
+          lastIcebergSig(name) = sig
+          true
+        } else false
+      }
+    }
+
   def start(): this.type = synchronized {
     require(exec == null, "daemon already started")
     exec = Executors.newSingleThreadScheduledExecutor { r =>
@@ -73,6 +102,9 @@ final class MaintenanceDaemon(
       snapshotEveryMs, snapshotEveryMs, TimeUnit.MILLISECONDS)
     exec.scheduleWithFixedDelay(safely(() => maintenanceTick()),
       maintenanceEveryMs, maintenanceEveryMs, TimeUnit.MILLISECONDS)
+    if (icebergEveryMs > 0)
+      exec.scheduleWithFixedDelay(safely(() => icebergTick()),
+        icebergEveryMs, icebergEveryMs, TimeUnit.MILLISECONDS)
     this
   }
 

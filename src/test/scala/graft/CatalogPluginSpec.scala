@@ -471,4 +471,20 @@ class CatalogPluginSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!graft.format.Fio.exists(s"$wh/db1/t/manifest"))
     assert(spark.sql(s"SELECT id FROM $cname.db2.t").count() == 1L)
   }
+
+  test("CALL system.iceberg_sync publishes a readable Iceberg snapshot") {
+    val (cname, wh) = freshCatalog()
+    val cat = GraftCatalog(spark, wh)
+    val t = cat.createTable("isync", schema, Identity.Keys(Seq("id")))
+    t.upsertAll((1L to 10L).map(i => Row(i, i * 2L)), startLsn = 1)
+    t.flush(); t.publish()
+    val r = spark.sql(
+      s"CALL $cname.system.iceberg_sync(db => 'graft', tbl => 'isync')")
+      .head()
+    assert(r.getLong(2) == 1L, "first sync is sequence 1")
+    val df = graft.format.iceberg.IcebergSync.readDataFrame(spark,
+      r.getString(0))
+    assert(df.count() == 10L)
+    assert(df.where("id = 4").head().getLong(1) == 8L)
+  }
 }

@@ -117,4 +117,30 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     Thread.sleep(200)
     assert(t.hasUnflushedCommitted)
   }
+
+  test("iceberg tick publishes a spec snapshot only when state moved") {
+    val cat = mkCatalog()
+    val t = cat.createTable("ice", schema, Identity.Keys(Seq("id")),
+      TableConfig(walEnabled = false))
+    t.upsertAll((1L to 20L).map(i => Row(i, i)), startLsn = 1)
+    t.flush(); t.publish()
+    val daemon = new MaintenanceDaemon(cat)
+    assert(daemon.icebergTick() == Seq("ice"))
+    val m1 = graft.format.iceberg.IcebergSync.currentMetadataPath(t.root).get
+    val st1 = graft.format.iceberg.IcebergSync.readState(m1)
+    assert(st1.dataFiles.nonEmpty)
+    // idle tick: nothing changed, no new snapshot (no version spam)
+    assert(daemon.icebergTick().isEmpty)
+    assert(graft.format.iceberg.IcebergSync.currentMetadataPath(t.root)
+      .contains(m1))
+    // a delete moves the DV accounting -> next tick syncs again and the
+    // new snapshot's reconstruction reflects it
+    t.apply(Seq(Delete(Seq(5L), 100L), Commit(101L)))
+    t.flush(); t.publish()
+    assert(daemon.icebergTick() == Seq("ice"))
+    val m2 = graft.format.iceberg.IcebergSync.currentMetadataPath(t.root).get
+    assert(m2 != m1)
+    val df = graft.format.iceberg.IcebergSync.readDataFrame(spark, m2)
+    assert(df.count() == 19L && df.where("id = 5").count() == 0L)
+  }
 }
