@@ -121,12 +121,21 @@ private[graft] object IcebergMeta {
   final case class TableMetadata(
       formatVersion: Int, tableUuid: String, location: String,
       lastSequenceNumber: Long, lastUpdatedMs: Long, lastColumnId: Long,
-      schemaJson: String, snapshots: Seq[Snapshot],
-      currentSnapshotId: Long) {
+      // full schema history (iceberg keeps every schema ever current;
+      // snapshots pin theirs by schema-id), each a JSON doc carrying
+      // its own schema-id
+      schemas: Seq[String], currentSchemaId: Int,
+      snapshots: Seq[Snapshot], currentSnapshotId: Long) {
     def currentSnapshot: Snapshot =
       snapshots.find(_.snapshotId == currentSnapshotId)
         .getOrElse(throw new IllegalStateException("no current snapshot"))
+    def schemaJson: String = schemas
+      .find(sj => IcebergMeta.schemaIdOf(sj) == currentSchemaId)
+      .getOrElse(throw new IllegalStateException("current schema missing"))
   }
+
+  def schemaIdOf(schemaJson: String): Int =
+    mapper.readTree(schemaJson).get("schema-id").asInt
 
   def metadataJson(m: TableMetadata): String = {
     val root = mapper.createObjectNode()
@@ -137,9 +146,8 @@ private[graft] object IcebergMeta {
     root.put("last-updated-ms", m.lastUpdatedMs)
     root.put("last-column-id", m.lastColumnId)
     val schemas = root.putArray("schemas")
-    schemas.add(mapper.readTree(m.schemaJson))
-    root.put("current-schema-id",
-      mapper.readTree(m.schemaJson).get("schema-id").asInt)
+    m.schemas.foreach(sj => schemas.add(mapper.readTree(sj)))
+    root.put("current-schema-id", m.currentSchemaId)
     val specs = root.putArray("partition-specs")
     val spec = specs.addObject()
     spec.put("spec-id", 0); spec.putArray("fields")
@@ -197,11 +205,11 @@ private[graft] object IcebergMeta {
         sn.get("summary").get("operation").asText,
         sn.get("schema-id").asInt)
     }
-    val schemas = req("schemas")
+    val schemas = req("schemas").elements().asScalaSeq
+      .map(mapper.writeValueAsString)
     val curSchemaId = req("current-schema-id").asInt
-    val schema = schemas.elements().asScalaSeq
-      .find(_.get("schema-id").asInt == curSchemaId)
-      .getOrElse(throw new IllegalArgumentException("current schema missing"))
+    require(schemas.exists(sj => schemaIdOf(sj) == curSchemaId),
+      "current schema missing from schemas")
     TableMetadata(
       req("format-version").asInt,
       req("table-uuid").asText,
@@ -209,7 +217,8 @@ private[graft] object IcebergMeta {
       req("last-sequence-number").asLong,
       req("last-updated-ms").asLong,
       req("last-column-id").asLong,
-      mapper.writeValueAsString(schema),
+      schemas,
+      curSchemaId,
       snaps.result(),
       req("current-snapshot-id").asLong)
   }

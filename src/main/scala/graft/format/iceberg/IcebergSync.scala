@@ -70,9 +70,24 @@ private[graft] object IcebergSync {
         }.toMap
     }
 
-    val schemaJson = IcebergMeta.schemaJson(m.schema)
+    // schema evolution: a structurally-identical prior schema keeps its
+    // id (snapshots pin schemas by id); an ALTERed table appends a new
+    // schema with the next id — iceberg never rewrites schema history
+    val (allSchemas, schemaId) = prior match {
+      case None => (Seq(IcebergMeta.schemaJson(m.schema, 0)), 0)
+      case Some(pm) =>
+        pm.schemas.find(sj =>
+          IcebergMeta.schemaJson(m.schema, IcebergMeta.schemaIdOf(sj)) == sj)
+        match {
+          case Some(found) => (pm.schemas, IcebergMeta.schemaIdOf(found))
+          case scala.None =>
+            val nid = pm.schemas.map(IcebergMeta.schemaIdOf).max + 1
+            (pm.schemas :+ IcebergMeta.schemaJson(m.schema, nid), nid)
+        }
+    }
+    val schemaJson = IcebergMeta.schemaJson(m.schema, schemaId)
     val manifestMeta = Map(
-      "schema" -> schemaJson, "schema-id" -> "0",
+      "schema" -> schemaJson, "schema-id" -> schemaId.toString,
       "partition-spec" -> "[]", "partition-spec-id" -> "0",
       "format-version" -> "3")
 
@@ -190,13 +205,13 @@ private[graft] object IcebergSync {
     val snapshot = IcebergMeta.Snapshot(snapshotId,
       prior.map(_.currentSnapshotId), seq, nowMs, manifestListPath,
       operation = if (deleteEntries.nonEmpty) "overwrite" else "append",
-      schemaId = 0)
+      schemaId = schemaId)
     val meta = IcebergMeta.TableMetadata(
       formatVersion = 3, tableUuid = uuid, location = root,
       lastSequenceNumber = seq, lastUpdatedMs = nowMs,
       lastColumnId = math.max(m.lastFieldId,
         graft.model.SchemaDsl.maxFieldId(m.schema)),
-      schemaJson = schemaJson,
+      schemas = allSchemas, currentSchemaId = schemaId,
       snapshots = prior.map(_.snapshots).getOrElse(Seq.empty) :+ snapshot,
       currentSnapshotId = snapshotId)
     val metadataPath = s"$dir/v$seq.metadata.json"

@@ -99,7 +99,7 @@ class IcebergSpec extends AnyFunSuite with BeforeAndAfterAll {
     val snap = IcebergMeta.Snapshot(1L, None, 1L, 1700000000000L,
       "/x/metadata/snap-1-manifest-list.avro", "append", 0)
     val meta = IcebergMeta.TableMetadata(3, "uuid-x", "/x", 1L,
-      1700000000000L, 2L, sj, Seq(snap), 1L)
+      1700000000000L, 2L, Seq(sj), 0, Seq(snap), 1L)
     val json = IcebergMeta.metadataJson(meta)
     // spec-required keys present verbatim
     Seq("format-version", "table-uuid", "last-sequence-number",
@@ -165,5 +165,33 @@ class IcebergSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(man2.meta("content") == "data")
     assert(man2.meta("partition-spec") == "[]")
     assert(man2.meta.contains("schema"))
+  }
+
+  test("sync appends a new schema-id after ALTER; old snapshots keep theirs") {
+    val root = Files.createTempDirectory("graft-ice-ev").toString + "/t"
+    val schema = SchemaDsl.struct("id" -> "int64", "v" -> "int64")
+    val t = GraftTable.create(spark, root, schema, Identity.Keys(Seq("id")),
+      TableConfig(walEnabled = false))
+    t.upsertAll((1L to 5L).map(i => Row(i, i)), startLsn = 1)
+    t.flush(); t.publish()
+    val r1 = IcebergSync.sync(root, t.currentManifest, nowMs = 1700000000000L)
+    // same schema again: id 0 reused, history length stays 1
+    t.upsertAll(Seq(Row(6L, 6L)), startLsn = 10); t.flush(); t.publish()
+    val r2 = IcebergSync.sync(root, t.currentManifest, nowMs = 1700000001000L)
+    val m2 = IcebergMeta.parseMetadataJson(
+      graft.format.Fio.readString(r2.metadataPath))
+    assert(m2.schemas.size == 1 && m2.currentSchemaId == 0)
+    // ALTER adds a column -> new schema id 1; prior snapshots still
+    // reference schema 0 in the unchanged history
+    t.alterAddColumn("w", "int64"); t.flush(); t.publish()
+    val r3 = IcebergSync.sync(root, t.currentManifest, nowMs = 1700000002000L)
+    val m3 = IcebergMeta.parseMetadataJson(
+      graft.format.Fio.readString(r3.metadataPath))
+    assert(m3.schemas.size == 2 && m3.currentSchemaId == 1)
+    assert(m3.currentSnapshot.schemaId == 1)
+    assert(m3.snapshots.find(_.snapshotId == r1.snapshotId)
+      .exists(_.schemaId == 0))
+    assert(IcebergMeta.sparkSchemaOf(m3.schemaJson).fieldNames.toSeq ==
+      Seq("id", "v", "w"))
   }
 }
