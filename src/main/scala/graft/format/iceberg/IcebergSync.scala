@@ -233,9 +233,18 @@ private[graft] object IcebergSync {
 
   /** Walk metadata.json -> manifest list -> manifests -> puffin blobs,
    *  entirely through the spec parsers (no engine state). */
-  def readState(metadataPath: String): IcebergState = {
+  def readState(metadataPath: String,
+      snapshotId: Option[Long] = scala.None): IcebergState = {
     val meta = IcebergMeta.parseMetadataJson(Fio.readString(metadataPath))
-    val ml = AvroOcf.readFile(Fio.readBytes(meta.currentSnapshot.manifestList))
+    // snapshot-pinned (time-travel) read: any snapshot in the history
+    // resolves by id; default is the current one
+    val snap = snapshotId match {
+      case scala.None => meta.currentSnapshot
+      case Some(id) => meta.snapshots.find(_.snapshotId == id)
+        .getOrElse(throw new IllegalArgumentException(
+          s"no snapshot $id in ${meta.snapshots.map(_.snapshotId)}"))
+    }
+    val ml = AvroOcf.readFile(Fio.readBytes(snap.manifestList))
     val dataFiles = Seq.newBuilder[(String, Long)]
     val dvs = Map.newBuilder[String, Roaring64NavigableMap]
     ml.records.foreach { mf =>
@@ -262,7 +271,10 @@ private[graft] object IcebergSync {
         }
       }
     }
-    IcebergState(meta.schemaJson, dataFiles.result(), dvs.result())
+    val schemaJson = meta.schemas
+      .find(sj => IcebergMeta.schemaIdOf(sj) == snap.schemaId)
+      .getOrElse(meta.schemaJson) // pre-history metadata: current schema
+    IcebergState(schemaJson, dataFiles.result(), dvs.result())
   }
 
   /** Materialize the Iceberg table state as a DataFrame: scan the
@@ -272,8 +284,9 @@ private[graft] object IcebergSync {
    *  engine could do the same. The DV position set broadcasts (bounded
    *  by delete count); the scan itself is a plain distributed parquet
    *  read. */
-  def readDataFrame(spark: SparkSession, metadataPath: String): DataFrame = {
-    val st = readState(metadataPath)
+  def readDataFrame(spark: SparkSession, metadataPath: String,
+      snapshotId: Option[Long] = scala.None): DataFrame = {
+    val st = readState(metadataPath, snapshotId)
     val schema = IcebergMeta.sparkSchemaOf(st.schemaJson)
     val files = st.dataFiles.map(_._1)
     if (files.isEmpty)

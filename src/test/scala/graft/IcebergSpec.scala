@@ -194,4 +194,26 @@ class IcebergSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(IcebergMeta.sparkSchemaOf(m3.schemaJson).fieldNames.toSeq ==
       Seq("id", "v", "w"))
   }
+
+  test("snapshot-pinned read: time travel through the spec parsers") {
+    val root = Files.createTempDirectory("graft-ice-tt").toString + "/t"
+    val schema = SchemaDsl.struct("id" -> "int64", "v" -> "int64")
+    val t = GraftTable.create(spark, root, schema, Identity.Keys(Seq("id")),
+      TableConfig(walEnabled = false))
+    t.upsertAll((1L to 10L).map(i => Row(i, i)), startLsn = 1)
+    t.flush(); t.publish()
+    val r1 = IcebergSync.sync(root, t.currentManifest, nowMs = 1700000000000L)
+    t.apply(Seq(Delete(Seq(3L), 50L), Commit(51L)))
+    t.upsertAll((11L to 12L).map(i => Row(i, i)), startLsn = 60L)
+    t.flush(); t.publish()
+    val r2 = IcebergSync.sync(root, t.currentManifest, nowMs = 1700000001000L)
+    // current snapshot reflects delete + appends; the PINNED old
+    // snapshot still reads the pre-delete 10 rows from the SAME
+    // metadata.json — iceberg time travel, driven by the parsers only
+    assert(IcebergSync.readDataFrame(spark, r2.metadataPath).count() == 11L)
+    val old = IcebergSync.readDataFrame(spark, r2.metadataPath,
+      snapshotId = Some(r1.snapshotId))
+    assert(old.count() == 10L)
+    assert(old.where("id = 3").count() == 1L, "pinned snapshot pre-delete")
+  }
 }
