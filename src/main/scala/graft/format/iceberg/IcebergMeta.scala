@@ -116,7 +116,11 @@ private[graft] object IcebergMeta {
 
   final case class Snapshot(snapshotId: Long, parentId: Option[Long],
       sequenceNumber: Long, timestampMs: Long, manifestList: String,
-      operation: String, schemaId: Int)
+      operation: String, schemaId: Int,
+      // engine keys beside the spec's "operation" (iceberg's summary is
+      // a free string map; the reference rides its file-index puffin
+      // bookkeeping on catalog extensions the same way)
+      summary: Map[String, String] = Map.empty)
 
   final case class TableMetadata(
       formatVersion: Int, tableUuid: String, location: String,
@@ -167,7 +171,9 @@ private[graft] object IcebergMeta {
       n.put("sequence-number", s.sequenceNumber)
       n.put("timestamp-ms", s.timestampMs)
       n.put("manifest-list", s.manifestList)
-      n.putObject("summary").put("operation", s.operation)
+      val sm = n.putObject("summary")
+      sm.put("operation", s.operation)
+      s.summary.toSeq.sortBy(_._1).foreach { case (k, v) => sm.put(k, v) }
       n.put("schema-id", s.schemaId)
     }
     val log = root.putArray("snapshot-log")
@@ -195,6 +201,10 @@ private[graft] object IcebergMeta {
     }
     val snaps = Seq.newBuilder[Snapshot]
     req("snapshots").elements().forEachRemaining { sn =>
+      val summary = Map.newBuilder[String, String]
+      sn.get("summary").fields().forEachRemaining { e =>
+        if (e.getKey != "operation") summary += (e.getKey -> e.getValue.asText)
+      }
       snaps += Snapshot(
         sn.get("snapshot-id").asLong,
         if (sn.hasNonNull("parent-snapshot-id"))
@@ -203,7 +213,8 @@ private[graft] object IcebergMeta {
         sn.get("timestamp-ms").asLong,
         sn.get("manifest-list").asText,
         sn.get("summary").get("operation").asText,
-        sn.get("schema-id").asInt)
+        sn.get("schema-id").asInt,
+        summary.result())
     }
     val schemas = req("schemas").elements().asScalaSeq
       .map(mapper.writeValueAsString)

@@ -167,6 +167,32 @@ private[graft] object IcebergSync {
         AvroOcf.writeFile(IcebergMeta.manifestEntrySchema,
           manifestMeta + ("content" -> "deletes"), deleteEntries))
 
+    // ---- file indexes -> puffin pointer blobs (engine extension) -------
+    // sync_file_indices (:683): the snapshot carries the key-index set
+    // so a recovered engine resolves indexes without re-scanning; the
+    // blobs hold POINTERS (path + covered files), never index bytes —
+    // the index parquet itself is already durable beside the data
+    val indexPuffin: Option[String] =
+      if (m.indexFiles.isEmpty) scala.None
+      else {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val blobs = m.indexFiles.map { ie =>
+          val node = mapper.createObjectNode()
+          node.put("path", s"$root/index/${ie.path}")
+          val arr = node.putArray("data-files")
+          ie.dataFiles.foreach(f => arr.add(s"$root/data/$f"))
+          (mapper.writeValueAsBytes(node), Puffin.BlobMeta(
+            Puffin.GraftFileIndexV1, fields = Seq.empty,
+            snapshotId = snapshotId, sequenceNumber = seq,
+            offset = 0, length = 0,
+            properties = Map("cardinality" -> ie.dataFiles.size.toString)))
+        }
+        val (bytes, _) = Puffin.writeBytes(blobs)
+        val p = s"$dir/idx-$seq.puffin"
+        Fio.writeBytesAtomic(p, bytes)
+        Some(p)
+      }
+
     // ---- manifest list -------------------------------------------------
     def listEntry(path: String, content: Int, entries: Seq[Map[String, Any]],
         minSeq: Long): Map[String, Any] = {
@@ -205,7 +231,8 @@ private[graft] object IcebergSync {
     val snapshot = IcebergMeta.Snapshot(snapshotId,
       prior.map(_.currentSnapshotId), seq, nowMs, manifestListPath,
       operation = if (deleteEntries.nonEmpty) "overwrite" else "append",
-      schemaId = schemaId)
+      schemaId = schemaId,
+      summary = indexPuffin.map("graft.file-index-puffin" -> _).toMap)
     val meta = IcebergMeta.TableMetadata(
       formatVersion = 3, tableUuid = uuid, location = root,
       lastSequenceNumber = seq, lastUpdatedMs = nowMs,
@@ -229,7 +256,10 @@ private[graft] object IcebergSync {
 
   final case class IcebergState(schemaJson: String,
       dataFiles: Seq[(String, Long)],      // (path, record_count)
-      dvs: Map[String, Roaring64NavigableMap]) // data path -> deleted rows
+      dvs: Map[String, Roaring64NavigableMap], // data path -> deleted rows
+      // engine extension: key-index pointers (path -> covered data
+      // files) recovered from the snapshot's graft-file-index blobs
+      indexFiles: Seq[(String, Seq[String])] = Seq.empty)
 
   /** Walk metadata.json -> manifest list -> manifests -> puffin blobs,
    *  entirely through the spec parsers (no engine state). */
@@ -274,7 +304,19 @@ private[graft] object IcebergSync {
     val schemaJson = meta.schemas
       .find(sj => IcebergMeta.schemaIdOf(sj) == snap.schemaId)
       .getOrElse(meta.schemaJson) // pre-history metadata: current schema
-    IcebergState(schemaJson, dataFiles.result(), dvs.result())
+    val indexes = snap.summary.get("graft.file-index-puffin").toSeq
+      .flatMap { p =>
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val puffin = Puffin.readBytes(Fio.readBytes(p))
+        puffin.blobs.filter(_.blobType == Puffin.GraftFileIndexV1).map { b =>
+          val node = mapper.readTree(puffin.blobBytes(b))
+          val files = Seq.newBuilder[String]
+          node.get("data-files").elements()
+            .forEachRemaining(f => files += f.asText)
+          node.get("path").asText -> files.result()
+        }
+      }
+    IcebergState(schemaJson, dataFiles.result(), dvs.result(), indexes)
   }
 
   /** Materialize the Iceberg table state as a DataFrame: scan the

@@ -28,6 +28,11 @@ private[graft] object Puffin {
   private val Magic = Array[Byte](0x50, 0x46, 0x41, 0x31) // "PFA1"
   private val DvMagic = Array[Byte](0xD1.toByte, 0xD3.toByte, 0x39, 0x64)
   val DeletionVectorV1 = "deletion-vector-v1"
+  /** Engine-extension blob carrying a key-index pointer (the
+   *  reference ships its hash indexes as `mooncake-hash-index-v1`
+   *  puffin blobs the same way, `iceberg/index.rs:20`); foreign
+   *  readers skip unknown blob types per the puffin spec. */
+  val GraftFileIndexV1 = "graft-file-index-v1"
 
   final case class BlobMeta(blobType: String, fields: Seq[Int],
       snapshotId: Long, sequenceNumber: Long, offset: Long, length: Long,

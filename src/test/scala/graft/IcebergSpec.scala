@@ -216,4 +216,24 @@ class IcebergSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(old.count() == 10L)
     assert(old.where("id = 3").count() == 1L, "pinned snapshot pre-delete")
   }
+
+  test("file-index pointer blobs ride the snapshot (sync_file_indices)") {
+    val root = Files.createTempDirectory("graft-ice-idx").toString + "/t"
+    val schema = SchemaDsl.struct("id" -> "int64", "v" -> "int64")
+    val t = GraftTable.create(spark, root, schema, Identity.Keys(Seq("id")),
+      TableConfig(walEnabled = false))
+    t.upsertAll((1L to 30L).map(i => Row(i, i)), startLsn = 1)
+    t.flush(); t.publish()
+    val r = IcebergSync.sync(root, t.currentManifest, nowMs = 1700000000000L)
+    val st = IcebergSync.readState(r.metadataPath)
+    assert(st.indexFiles.nonEmpty, "keyed table ships its index pointers")
+    // every pointer resolves to a real index sidecar covering real files
+    st.indexFiles.foreach { case (idxPath, covered) =>
+      assert(graft.format.Fio.exists(idxPath), idxPath)
+      assert(covered.nonEmpty && covered.forall(graft.format.Fio.exists))
+    }
+    // the engine-extension blob type is skippable: the plain data read
+    // works regardless of whether a reader understands the index blobs
+    assert(IcebergSync.readDataFrame(spark, r.metadataPath).count() == 30L)
+  }
 }
