@@ -462,13 +462,18 @@ final class GraftTable private (
       // foldP decouples FOLD parallelism from the OUTPUT file count:
       // a 1M-row batch size-tunes to nOut=1 file, and running the
       // sort+windows in one task was the measured ingest bottleneck
-      // (~3 s of the 5 s probe); folding at the core count and packing
-      // afterwards with a NARROW coalesce over the persisted fold
-      // output keeps file sizing AND parallelism (and coalesce over a
-      // persisted frame preserves the deterministic partition order
-      // the positional index derivation depends on — a reshuffle here
-      // would not).
-      val foldP = math.max(nOut, spark.sparkContext.defaultParallelism)
+      // (~3 s of the 5 s probe); folding wide and packing afterwards
+      // with a NARROW coalesce over the persisted fold output keeps
+      // file sizing AND parallelism (and coalesce over a persisted
+      // frame preserves the deterministic partition order the
+      // positional index derivation depends on — a reshuffle here
+      // would not). Width scales with the batch (~32k rows/task,
+      // capped at the core count) so TINY batches keep the single-task
+      // shape instead of paying 32 tasks of scheduling for 15k rows
+      // (the r10 idle-bench regression on the small-batch cdc entries).
+      val foldP = math.max(nOut, math.min(
+        spark.sparkContext.defaultParallelism.toLong,
+        (est + 32767) / 32768).toInt)
       val tagged = events
         .where(col("_op").isin("i", "insert", "u", "upsert", "d", "delete"))
         .select(opN.as("_op") +:
