@@ -256,7 +256,9 @@ private[graft] object IcebergMeta {
         case other =>
           throw new IllegalArgumentException(s"iceberg type: $other")
       }
-      StructField(f.get("name").asText, t, !f.get("required").asBoolean)
+      val md = new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong(SchemaDsl.FieldIdKey, f.get("id").asLong).build()
+      StructField(f.get("name").asText, t, !f.get("required").asBoolean, md)
     })
   }
 

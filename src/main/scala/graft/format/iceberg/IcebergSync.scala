@@ -232,7 +232,15 @@ private[graft] object IcebergSync {
       prior.map(_.currentSnapshotId), seq, nowMs, manifestListPath,
       operation = if (deleteEntries.nonEmpty) "overwrite" else "append",
       schemaId = schemaId,
-      summary = indexPuffin.map("graft.file-index-puffin" -> _).toMap)
+      summary = indexPuffin.map("graft.file-index-puffin" -> _).toMap ++
+        // engine state a LOADER needs to rebuild the graft manifest
+        // from this snapshot alone (the reference persists its flush
+        // LSN as `moonlink.table-flush-lsn` the same way,
+        // iceberg_table_manager.rs:35)
+        Map("graft.commit-lsn" -> m.commitLsn.toString,
+          "graft.flush-lsn" -> m.flushLsn.toString,
+          "graft.key-cols" -> m.keyCols.mkString(","),
+          "graft.last-field-id" -> m.lastFieldId.toString))
     val meta = IcebergMeta.TableMetadata(
       formatVersion = 3, tableUuid = uuid, location = root,
       lastSequenceNumber = seq, lastUpdatedMs = nowMs,
@@ -250,6 +258,72 @@ private[graft] object IcebergSync {
     Fio.delete(s"$dir/version-hint.text")
     Fio.writeAtomic(s"$dir/version-hint.text", s"v$seq.metadata.json")
     SyncResult(metadataPath, snapshotId, seq)
+  }
+
+  // ---- loader: rebuild the graft manifest from an Iceberg snapshot ----
+
+  /** Disaster recovery / adoption (reference `iceberg_table_loader.rs`
+   *  `load_snapshot_from_table_impl`): reconstruct and COMMIT a graft
+   *  manifest from the table's current Iceberg snapshot alone — data
+   *  files from the data manifests, deletion vectors re-materialized
+   *  from the puffin blobs into a GDV1 sidecar, key-index pointers from
+   *  the engine-extension blobs, schema (with field ids) and LSN
+   *  watermarks from the snapshot metadata. Per-file min/max stats are
+   *  not persisted in the export and start empty (no pruning until the
+   *  next write re-collects them). Returns the committed manifest. */
+  def importManifest(root: String): Manifest = {
+    val metaPath = currentMetadataPath(root).getOrElse(
+      throw new IllegalArgumentException(s"no iceberg metadata under $root"))
+    val meta = IcebergMeta.parseMetadataJson(Fio.readString(metaPath))
+    val snap = meta.currentSnapshot
+    val st = readState(metaPath)
+    def rel(prefix: String, p: String): String = {
+      require(p.startsWith(s"$root/$prefix/"),
+        s"$p is outside this table's $prefix dir")
+      p.stripPrefix(s"$root/$prefix/")
+    }
+    // DVs: one consolidated GDV1 sidecar regenerated from the puffin
+    // bitmaps (positions are file ordinals on both sides)
+    val dvFiles: Seq[String] =
+      if (st.dvs.isEmpty) Seq.empty
+      else {
+        val entries = st.dvs.toSeq.map { case (path, nav) =>
+          val bm = new org.roaringbitmap.longlong.Roaring64Bitmap()
+          nav.toArray.foreach(bm.addLong)
+          rel("data", path) -> bm
+        }
+        Fio.mkdirs(s"$root/dv")
+        val name = "dv-iceberg-import.bin"
+        DvSidecar.write(s"$root/dv/$name", entries)
+        Seq(name)
+      }
+    val deletesOf: Map[String, Long] = st.dvs.map { case (p, nav) =>
+      rel("data", p) -> nav.getLongCardinality }
+    val commitLsn = snap.summary.get("graft.commit-lsn").map(_.toLong)
+      .getOrElse(snap.sequenceNumber)
+    val flushLsn = snap.summary.get("graft.flush-lsn").map(_.toLong)
+      .getOrElse(commitLsn)
+    val keyCols = snap.summary.get("graft.key-cols").toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    val dataEntries = st.dataFiles.map { case (path, rows) =>
+      val name = rel("data", path)
+      graft.format.DataFileEntry(name, rows, Fio.sizeOf(path), commitLsn,
+        deletesOf.getOrElse(name, 0L))
+    }
+    val indexEntries = st.indexFiles.map { case (idxPath, covered) =>
+      graft.format.IndexFileEntry(rel("index", idxPath),
+        covered.map(rel("data", _)))
+    }
+    val schema = IcebergMeta.sparkSchemaOf(st.schemaJson)
+    val m = Manifest(
+      version = 0L, commitLsn = commitLsn, flushLsn = flushLsn,
+      schemaJson = schema.json, keyCols = keyCols,
+      dataFiles = dataEntries, dvFiles = dvFiles,
+      indexFiles = indexEntries,
+      lastFieldId = snap.summary.get("graft.last-field-id").map(_.toLong)
+        .getOrElse(graft.model.SchemaDsl.maxFieldId(schema)))
+    graft.format.ManifestLog.commit(root, m)
+    m
   }
 
   // ---- independent read path (spec parser -> DataFrame) ----------------

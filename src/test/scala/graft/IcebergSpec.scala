@@ -236,4 +236,39 @@ class IcebergSpec extends AnyFunSuite with BeforeAndAfterAll {
     // works regardless of whether a reader understands the index blobs
     assert(IcebergSync.readDataFrame(spark, r.metadataPath).count() == 30L)
   }
+
+  test("loader: the graft manifest rebuilds from the Iceberg snapshot alone") {
+    val root = Files.createTempDirectory("graft-ice-load").toString + "/t"
+    val schema = SchemaDsl.struct("id" -> "int64", "v" -> "int64")
+    val t = GraftTable.create(spark, root, schema, Identity.Keys(Seq("id")),
+      TableConfig(walEnabled = false))
+    t.upsertAll((1L to 40L).map(i => Row(i, i * 3L)), startLsn = 1)
+    t.flush(); t.publish()
+    t.apply(Seq(Delete(Seq(9L), 100L), Commit(101L)))
+    t.flush(); t.publish()
+    val expect = t.read(scala.None).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val preLsn = t.commitLsn
+    IcebergSync.sync(root, t.currentManifest, nowMs = 1700000000000L)
+    // disaster: the graft manifest log and DV sidecars are GONE; only
+    // data/index files + the Iceberg export survive
+    graft.format.Fio.delete(s"$root/manifest")
+    graft.format.Fio.delete(s"$root/dv")
+    intercept[Exception] { GraftTable.open(spark, root,
+      Identity.Keys(Seq("id")), TableConfig(walEnabled = false)) }
+    // rebuild from the snapshot, reopen, and the state is identical
+    val m = IcebergSync.importManifest(root)
+    assert(m.commitLsn == preLsn && m.keyCols == Seq("id"))
+    val t2 = GraftTable.open(spark, root, Identity.Keys(Seq("id")),
+      TableConfig(walEnabled = false))
+    val got = t2.read(scala.None).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expect, "recovered state equals the pre-disaster state")
+    // and the recovered table keeps WORKING: upserts resolve via the
+    // recovered index, deletes DV, fresh files never collide
+    t2.upsertAll(Seq(Row(9L, 999L), Row(41L, 41L)), startLsn = preLsn + 10)
+    t2.flush(); t2.publish()
+    assert(t2.read(scala.None).count() == 41L)
+    assert(t2.read(scala.None).where("id = 9").head().getLong(1) == 999L)
+  }
 }
