@@ -2130,6 +2130,46 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "cdc_iceberg_restore" -> ((s, d) => {
+      // the loader half of S8 (reference iceberg_table_loader.rs
+      // load_snapshot_from_table_impl): after a disaster that destroys
+      // the engine's OWN metadata (manifest log + DV sidecars), the
+      // table rebuilds from its Iceberg export alone — data manifests,
+      // puffin DV blobs, index pointer blobs, LSN watermarks from the
+      // snapshot summary — and keeps ingesting through the recovered
+      // index. The oracle is the same clean fold: recovery must be
+      // invisible in the data.
+      import graft.format.iceberg.IcebergSync
+      val table = GraftTable.create(s, freshDir("icerestore"),
+        eventTableSchema, Identity.Keys(Seq("user_id")), ingestCfg)
+      val ev = cdcEventFrame(s, d, deleteType = Some("view"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val root = table.root
+      try {
+        val mm = ev.agg(min(col("_lsn")), max(col("_lsn"))).head()
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+        val mid = lo + (hi - lo) / 2
+        // first half ingests and exports to Iceberg
+        CdcPipeline.applyBatch(table, ev.where(col("_lsn") <= mid))
+        IcebergSync.sync(root, table.currentManifest)
+        // disaster: the graft manifest log and DV sidecars are gone
+        graft.format.Fio.delete(s"$root/manifest")
+        graft.format.Fio.delete(s"$root/dv")
+        graft.format.Fio.delete(s"$root/wal")
+        IcebergSync.importManifest(root)
+        // second half ingests THROUGH the recovered table: deletes
+        // resolve against the recovered key index into fresh DVs
+        val t2 = GraftTable.open(s, root, Identity.Keys(Seq("user_id")),
+          ingestCfg)
+        CdcPipeline.applyBatch(t2, ev.where(col("_lsn") > mid))
+        t2.read(scala.None)
+          .select(col("user_id"), col("event_id").as("last_event_id"),
+            col("event_type").as("last_event_type"),
+            cents(col("value")).as("value_cents"))
+          .orderBy("user_id")
+      } finally ev.unpersist()
+    }),
+
     "cdc_chaos_sql" -> ((s, d) => {
       // the every-Nth-op fault schedule extended through the SQL
       // mutation surface (WriteDelta staging + one-batch commit) and
@@ -4365,6 +4405,17 @@ object SparkEntry {
         |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
         |FROM events WHERE user_id % 10 = 7
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "cdc_iceberg_restore" ->
+      """WITH last AS (
+        |  SELECT user_id, event_id, event_type, value
+        |  FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)
+        |SELECT user_id, event_id AS last_event_id,
+        |       event_type AS last_event_type,
+        |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
+        |FROM last WHERE event_type <> 'view'
         |ORDER BY user_id""".stripMargin,
 
     "cdc_chaos_sql" ->

@@ -260,6 +260,52 @@ private[graft] object IcebergSync {
     SyncResult(metadataPath, snapshotId, seq)
   }
 
+  // ---- snapshot expiry (bounded metadata history) ----------------------
+
+  /** Drop all but the last `keepLast` snapshots from the Iceberg
+   *  history and reclaim files exclusive to the dropped ones
+   *  (manifest lists, manifests, puffin DV/index files) — iceberg
+   *  expire-snapshots semantics: data files are NEVER touched (they
+   *  belong to the table), only metadata. Returns snapshots dropped. */
+  def expireSnapshots(root: String, keepLast: Int): Int = {
+    val metaPath = currentMetadataPath(root).getOrElse(return 0)
+    val meta = IcebergMeta.parseMetadataJson(Fio.readString(metaPath))
+    val keepN = math.max(1, keepLast)
+    if (meta.snapshots.size <= keepN) return 0
+    val kept = meta.snapshots.takeRight(keepN)
+    val dropped = meta.snapshots.dropRight(keepN)
+    // metadata files referenced by a snapshot: its manifest list, every
+    // manifest in it, every puffin it points at (delete manifests +
+    // the index-pointer puffin in the summary)
+    def filesOf(sn: IcebergMeta.Snapshot): Set[String] = {
+      val ml = AvroOcf.readFile(Fio.readBytes(sn.manifestList))
+      val manifests = ml.records.map(_("manifest_path").toString)
+      val puffins = manifests.flatMap { mp =>
+        AvroOcf.readFile(Fio.readBytes(mp)).records.flatMap { e =>
+          val df = e("data_file").asInstanceOf[Map[String, Any]]
+          if (df("file_format") == "PUFFIN") Some(df("file_path").toString)
+          else scala.None
+        }
+      }
+      (Seq(sn.manifestList) ++ manifests ++ puffins ++
+        sn.summary.get("graft.file-index-puffin")).toSet
+    }
+    val keepFiles = kept.flatMap(filesOf).toSet
+    dropped.flatMap(filesOf).filterNot(keepFiles).foreach(Fio.delete)
+    // commit the pruned history as a NEW metadata file (iceberg never
+    // rewrites one in place); the name only needs to be fresh — the
+    // version-hint is the pointer
+    val dir = metadataDir(root)
+    val base = s"v${meta.lastSequenceNumber}"
+    val name = Iterator.from(1).map(i => s"$base-e$i.metadata.json")
+      .find(n => !Fio.exists(s"$dir/$n")).get
+    val pruned = meta.copy(snapshots = kept)
+    Fio.writeAtomic(s"$dir/$name", IcebergMeta.metadataJson(pruned))
+    Fio.delete(s"$dir/version-hint.text")
+    Fio.writeAtomic(s"$dir/version-hint.text", name)
+    dropped.size
+  }
+
   // ---- loader: rebuild the graft manifest from an Iceberg snapshot ----
 
   /** Disaster recovery / adoption (reference `iceberg_table_loader.rs`

@@ -75,8 +75,16 @@ private[graft] object GraftProcedures {
       case "expire_snapshots" => proc("expire_snapshots",
         DbTbl :+ ProcedureParameter.in("keep_last", IntegerType).build(),
         StructType(Seq(StructField("expired_versions", LongType))),
-        args => Seq(Row(open(args(0).toString, args(1).toString)
-          .expireVersions(args(2).asInstanceOf[Int]).toLong)))
+        args => {
+          val (db, tbl) = (args(0).toString, args(1).toString)
+          val keep = args(2).asInstanceOf[Int]
+          val n = open(db, tbl).expireVersions(keep).toLong
+          // the Iceberg export's history is bounded by the same verb
+          // (a no-op when the table was never synced)
+          graft.format.iceberg.IcebergSync.expireSnapshots(
+            graft.table.GraftCatalog.rootOf(warehouse, db, tbl), keep)
+          Seq(Row(n))
+        })
       case "restore" => proc("restore",
         DbTbl :+ ProcedureParameter.in("version", LongType).build(),
         StructType(Seq(StructField("restored_as_version", LongType))),

@@ -271,4 +271,38 @@ class IcebergSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t2.read(scala.None).count() == 41L)
     assert(t2.read(scala.None).where("id = 9").head().getLong(1) == 999L)
   }
+
+  test("expire bounds the snapshot history; current state keeps reading") {
+    val root = Files.createTempDirectory("graft-ice-exp").toString + "/t"
+    val schema = SchemaDsl.struct("id" -> "int64", "v" -> "int64")
+    val t = GraftTable.create(spark, root, schema, Identity.Keys(Seq("id")),
+      TableConfig(walEnabled = false))
+    (1 to 4).foreach { i =>
+      t.upsertAll(Seq(Row(i.toLong, i * 10L)), startLsn = i * 10L)
+      t.flush(); t.publish()
+      IcebergSync.sync(root, t.currentManifest, nowMs = 1700000000000L + i)
+    }
+    val before = IcebergMeta.parseMetadataJson(graft.format.Fio.readString(
+      IcebergSync.currentMetadataPath(root).get))
+    assert(before.snapshots.size == 4)
+    assert(IcebergSync.expireSnapshots(root, keepLast = 2) == 2)
+    val after = IcebergMeta.parseMetadataJson(graft.format.Fio.readString(
+      IcebergSync.currentMetadataPath(root).get))
+    assert(after.snapshots.size == 2)
+    assert(after.currentSnapshotId == before.currentSnapshotId)
+    // dropped snapshots' exclusive manifest lists are reclaimed; kept
+    // ones and ALL data files survive, and the table still reads
+    before.snapshots.dropRight(2).foreach(sn =>
+      assert(!graft.format.Fio.exists(sn.manifestList), sn.manifestList))
+    assert(IcebergSync.readDataFrame(spark,
+      IcebergSync.currentMetadataPath(root).get).count() == 4L)
+    // a later sync continues the history from the pruned metadata
+    t.upsertAll(Seq(Row(9L, 90L)), startLsn = 100L); t.flush(); t.publish()
+    val r5 = IcebergSync.sync(root, t.currentManifest,
+      nowMs = 1700000001000L)
+    assert(r5.sequenceNumber == 5L)
+    assert(IcebergSync.readDataFrame(spark, r5.metadataPath).count() == 5L)
+    // expiry is idempotent at the bound
+    assert(IcebergSync.expireSnapshots(root, keepLast = 5) == 0)
+  }
 }
