@@ -2130,6 +2130,40 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "cdc_delta_commit" -> ((s, d) => {
+      // S9 closed at the format level: the committed table exports a
+      // spec-conformant Delta transaction log (_delta_log/%020d.json,
+      // protocol v1/v2, metaData, add/remove diffs with stats) that an
+      // independent replay parser reconstructs with no graft-engine
+      // involvement — the reference feature-gates this sink behind an
+      // optional jar (deltalake_table_manager.rs); here the LOG FORMAT
+      // itself is written, like the Iceberg layer, dependency-free.
+      // DVs materialize via forced compaction before each export, so
+      // every exported file is wholly live (reader-v1 compatible).
+      import graft.format.delta.DeltaLog
+      val table = GraftTable.create(s, freshDir("deltacommit"),
+        eventTableSchema, Identity.Keys(Seq("user_id")), ingestCfg)
+      val ev = cdcEventFrame(s, d, deleteType = Some("view"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val mm = ev.agg(min(col("_lsn")), max(col("_lsn"))).head()
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+        val mid = lo + (hi - lo) / 2
+        CdcPipeline.applyBatch(table, ev.where(col("_lsn") <= mid))
+        table.optimize() // materialize DVs -> wholly-live files
+        require(DeltaLog.sync(table.root, table.currentManifest) == 0L)
+        CdcPipeline.applyBatch(table, ev.where(col("_lsn") > mid))
+        table.optimize()
+        // second export: the compaction swap lands as add+remove diffs
+        require(DeltaLog.sync(table.root, table.currentManifest) == 1L)
+        DeltaLog.readDataFrame(s, table.root)
+          .select(col("user_id"), col("event_id").as("last_event_id"),
+            col("event_type").as("last_event_type"),
+            cents(col("value")).as("value_cents"))
+          .orderBy("user_id")
+      } finally ev.unpersist()
+    }),
+
     "cdc_iceberg_restore" -> ((s, d) => {
       // the loader half of S8 (reference iceberg_table_loader.rs
       // load_snapshot_from_table_impl): after a disaster that destroys
@@ -4405,6 +4439,17 @@ object SparkEntry {
         |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
         |FROM events WHERE user_id % 10 = 7
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "cdc_delta_commit" ->
+      """WITH last AS (
+        |  SELECT user_id, event_id, event_type, value
+        |  FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)
+        |SELECT user_id, event_id AS last_event_id,
+        |       event_type AS last_event_type,
+        |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
+        |FROM last WHERE event_type <> 'view'
         |ORDER BY user_id""".stripMargin,
 
     "cdc_iceberg_restore" ->

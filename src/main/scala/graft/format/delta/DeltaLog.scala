@@ -1,0 +1,173 @@
+package graft.format.delta
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.format.{Fio, Manifest}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.nio.charset.StandardCharsets
+
+/**
+ * Delta Lake transaction-log export — the PUBLIC Delta protocol
+ * (delta-io PROTOCOL.md), closing the S9 seam the same way the
+ * Iceberg layer closed S8: the table's committed parquet files become
+ * readable as a Delta table because the `_delta_log` follows the spec,
+ * with no Delta jar involved (the reference feature-gates its own
+ * delta sink behind an optional dependency,
+ * `deltalake/deltalake_table_manager.rs`).
+ *
+ *  - commits: `_delta_log/%020d.json`, one JSON action per line;
+ *    version 0 carries `protocol` (minReader 1 / minWriter 2) and
+ *    `metaData` (uuid, parquet format, Spark-JSON schemaString,
+ *    unpartitioned); later versions carry `add`/`remove` diffs with
+ *    `dataChange:true` and per-file `stats` (numRecords).
+ *  - state reconstruction: replay all commit JSONs in version order;
+ *    live files = adds minus removes by path (checkpoints are an
+ *    optional optimization the spec lets readers live without).
+ *  - concurrency: a commit file is claimed by atomic rename, which
+ *    REFUSES to overwrite — exactly Delta's optimistic put-if-absent
+ *    commit rule, so two writers can never both claim a version.
+ *
+ * Deletion vectors are NOT exported: graft DVs materialize into plain
+ * parquet via compaction first (`optimize()`), so every exported file
+ * is wholly live — `sync` enforces it. This keeps the export at
+ * reader-version 1, readable by every Delta implementation ever
+ * shipped, rather than the v3 DV feature-gate.
+ */
+private[graft] object DeltaLog {
+
+  private val mapper = new ObjectMapper()
+
+  def logDir(root: String): String = s"$root/_delta_log"
+
+  def versions(root: String): Seq[Long] =
+    Fio.list(logDir(root)).filter(_.endsWith(".json"))
+      .flatMap(n => n.stripSuffix(".json").toLongOption).sorted
+
+  final case class DeltaFile(path: String, size: Long, numRecords: Long)
+  final case class DeltaState(version: Long, schemaString: String,
+      files: Seq[DeltaFile])
+
+  /** Replay the commit JSONs into the current table state. */
+  def readState(root: String): DeltaState = {
+    val vs = versions(root)
+    require(vs.nonEmpty, s"no delta log under $root")
+    var schema: String = null
+    val live = scala.collection.mutable.LinkedHashMap[String, DeltaFile]()
+    vs.foreach { v =>
+      val body = Fio.readString(f"${logDir(root)}/$v%020d.json")
+      body.split('\n').filter(_.nonEmpty).foreach { line =>
+        val n = mapper.readTree(line)
+        if (n.hasNonNull("metaData"))
+          schema = n.get("metaData").get("schemaString").asText
+        if (n.hasNonNull("add")) {
+          val a = n.get("add")
+          val stats =
+            if (a.hasNonNull("stats")) mapper.readTree(a.get("stats").asText)
+            else null
+          live(a.get("path").asText) = DeltaFile(a.get("path").asText,
+            a.get("size").asLong,
+            if (stats != null && stats.hasNonNull("numRecords"))
+              stats.get("numRecords").asLong else -1L)
+        }
+        if (n.hasNonNull("remove"))
+          live.remove(n.get("remove").get("path").asText)
+      }
+    }
+    require(schema != null, "delta log misses metaData")
+    DeltaState(vs.last, schema, live.values.toSeq)
+  }
+
+  /** Export the committed graft manifest as the next Delta version.
+   *  Returns the committed version, or -1 when nothing changed. */
+  def sync(root: String, m: Manifest,
+      nowMs: Long = System.currentTimeMillis()): Long = {
+    val withDeletes = m.dataFiles.filter(_.deletes > 0)
+    require(withDeletes.isEmpty,
+      s"delta export needs wholly-live files; ${withDeletes.size} file(s) " +
+        "carry deletion vectors — run optimize() (forced compaction " +
+        "materializes DV'd rows away) before syncing")
+    Fio.mkdirs(logDir(root))
+    val prior = if (versions(root).isEmpty) None else Some(readState(root))
+    val curFiles = m.dataFiles.map(f => s"data/${f.path}" -> f).toMap
+    val priorPaths = prior.map(_.files.map(_.path).toSet).getOrElse(Set.empty)
+    val adds = curFiles.keys.toSeq.sorted.filterNot(priorPaths)
+    val removes = priorPaths.toSeq.sorted.filterNot(curFiles.keySet)
+    val schemaChanged = prior.exists(_.schemaString != m.schemaJson)
+    if (prior.isDefined && adds.isEmpty && removes.isEmpty && !schemaChanged)
+      return -1L
+    val version = prior.map(_.version + 1).getOrElse(0L)
+    val out = new StringBuilder
+    def line(o: com.fasterxml.jackson.databind.node.ObjectNode): Unit =
+      out.append(mapper.writeValueAsString(o)).append('\n')
+    if (prior.isEmpty) {
+      val p = mapper.createObjectNode()
+      val pv = p.putObject("protocol")
+      pv.put("minReaderVersion", 1); pv.put("minWriterVersion", 2)
+      line(p)
+    }
+    if (prior.isEmpty || schemaChanged) {
+      val mdWrap = mapper.createObjectNode()
+      val md = mdWrap.putObject("metaData")
+      md.put("id", java.util.UUID
+        .nameUUIDFromBytes(root.getBytes(StandardCharsets.UTF_8)).toString)
+      val fmt = md.putObject("format")
+      fmt.put("provider", "parquet"); fmt.putObject("options")
+      md.put("schemaString", m.schemaJson)
+      md.putArray("partitionColumns")
+      md.putObject("configuration")
+      md.put("createdTime", nowMs)
+      line(mdWrap)
+    }
+    adds.foreach { p =>
+      val f = curFiles(p)
+      val aw = mapper.createObjectNode()
+      val a = aw.putObject("add")
+      a.put("path", p)
+      a.putObject("partitionValues")
+      a.put("size", f.bytes)
+      a.put("modificationTime", nowMs)
+      a.put("dataChange", true)
+      a.put("stats", s"""{"numRecords":${f.rows}}""")
+      line(aw)
+    }
+    removes.foreach { p =>
+      val rw = mapper.createObjectNode()
+      val r = rw.putObject("remove")
+      r.put("path", p)
+      r.put("deletionTimestamp", nowMs)
+      r.put("dataChange", true)
+      line(rw)
+    }
+    val ci = mapper.createObjectNode()
+    val c = ci.putObject("commitInfo")
+    c.put("timestamp", nowMs)
+    c.put("operation", if (prior.isEmpty) "WRITE" else "MERGE")
+    c.put("engineInfo", "graft")
+    line(ci)
+    // Delta's put-if-absent commit rule (optimistic concurrency on the
+    // version number): the atomic rename never clobbers an existing
+    // commit, and a DIFFERENT surviving content means another writer
+    // claimed this version first — the loser must fail loudly, reload
+    // and retry at the next version, never silently vanish
+    val path = f"${logDir(root)}/$version%020d.json"
+    Fio.writeAtomic(path, out.toString)
+    if (Fio.readString(path) != out.toString)
+      throw new java.util.ConcurrentModificationException(
+        s"delta version $version was claimed by another writer")
+    version
+  }
+
+  /** The Delta state as a DataFrame — plain parquet scan over the
+   *  replayed live-file set, no graft-engine involvement. */
+  def readDataFrame(spark: SparkSession, root: String): DataFrame = {
+    val st = readState(root)
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(st.schemaString)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val files = st.files.map(f => s"$root/${f.path}")
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(files: _*)
+  }
+}

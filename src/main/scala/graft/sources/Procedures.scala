@@ -34,7 +34,7 @@ private[graft] object GraftProcedures {
 
   def list(): Array[Identifier] =
     Array("optimize", "vacuum", "expire_snapshots", "restore", "flush",
-        "check", "iceberg_sync")
+        "check", "iceberg_sync", "delta_sync")
       .map(n => Identifier.of(Array("system"), n))
 
   def load(store: MetadataStore, warehouse: String,
@@ -112,6 +112,20 @@ private[graft] object GraftProcedures {
             graft.table.GraftCatalog.rootOf(warehouse, db, tbl),
             t.currentManifest)
           Seq(Row(r.metadataPath, r.snapshotId, r.sequenceNumber))
+        })
+      case "delta_sync" => proc("delta_sync", DbTbl,
+        // export the committed manifest as the next Delta log version;
+        // DVs materialize via forced compaction first so the export
+        // stays reader-v1 (every Delta implementation reads it)
+        StructType(Seq(StructField("delta_version", LongType))),
+        args => {
+          val db = args(0).toString; val tbl = args(1).toString
+          val t = open(db, tbl)
+          if (t.currentManifest.dataFiles.exists(_.deletes > 0))
+            t.optimize()
+          Seq(Row(graft.format.delta.DeltaLog.sync(
+            graft.table.GraftCatalog.rootOf(warehouse, db, tbl),
+            t.currentManifest)))
         })
       case "check" => proc("check", DbTbl,
         StructType(Seq(StructField("check", StringType),

@@ -1,0 +1,108 @@
+package graft
+
+import graft.format.delta.DeltaLog
+import graft.model._
+import graft.table._
+import org.apache.spark.sql.{Row, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/**
+ * Delta transaction-log export (S9): spec-layout commits under
+ * `_delta_log/`, add/remove diffs across versions, DV-materialization
+ * precondition, put-if-absent version claiming, and reconstruction
+ * through the independent replay parser.
+ */
+class DeltaLogSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val schema = SchemaDsl.struct("id" -> "int64", "v" -> "int64")
+
+  test("export commits the spec layout and replays to the same state") {
+    val root = Files.createTempDirectory("graft-delta").toString + "/t"
+    val t = GraftTable.create(spark, root, schema, Identity.Keys(Seq("id")),
+      TableConfig(walEnabled = false))
+    t.upsertAll((1L to 50L).map(i => Row(i, i * 2L)), startLsn = 1)
+    t.flush(); t.publish()
+    val v0 = DeltaLog.sync(root, t.currentManifest, nowMs = 1700000000000L)
+    assert(v0 == 0L)
+    // version 0 pins protocol + metaData + adds (golden layout keys)
+    val body = graft.format.Fio.readString(
+      s"$root/_delta_log/00000000000000000000.json")
+    Seq("\"protocol\"", "\"minReaderVersion\":1", "\"metaData\"",
+      "\"schemaString\"", "\"add\"", "\"partitionValues\"",
+      "\"dataChange\":true", "numRecords").foreach(k =>
+      assert(body.contains(k), s"missing $k"))
+    val df = DeltaLog.readDataFrame(spark, root)
+    assert(df.count() == 50L)
+    assert(df.where("id = 10").head().getLong(1) == 20L)
+    // a no-change sync commits nothing
+    assert(DeltaLog.sync(root, t.currentManifest) == -1L)
+
+    // deletes must MATERIALIZE before export (reader-v1 has no DVs)
+    t.apply(Seq(Delete(Seq(5L), 100L), Commit(101L)))
+    t.flush(); t.publish()
+    intercept[IllegalArgumentException] {
+      DeltaLog.sync(root, t.currentManifest)
+    }
+    t.optimize() // forced compaction drops DV'd rows into fresh files
+    val v1 = DeltaLog.sync(root, t.currentManifest, nowMs = 1700000001000L)
+    assert(v1 == 1L)
+    val body1 = graft.format.Fio.readString(
+      s"$root/_delta_log/00000000000000000001.json")
+    assert(body1.contains("\"remove\"") && body1.contains("\"add\""),
+      "compaction swap = adds + removes in one commit")
+    val df1 = DeltaLog.readDataFrame(spark, root)
+    assert(df1.count() == 49L && df1.where("id = 5").count() == 0L)
+    // the replayed state never references a removed file
+    val st = DeltaLog.readState(root)
+    assert(st.version == 1L)
+    st.files.foreach(f =>
+      assert(graft.format.Fio.exists(s"$root/${f.path}"), f.path))
+    assert(st.files.map(_.numRecords).sum == 49L)
+  }
+
+  test("version claiming is put-if-absent (optimistic concurrency)") {
+    val root = Files.createTempDirectory("graft-delta2").toString + "/t"
+    val t = GraftTable.create(spark, root, schema, Identity.Keys(Seq("id")),
+      TableConfig(walEnabled = false))
+    t.upsertAll(Seq(Row(1L, 1L)), startLsn = 1); t.flush(); t.publish()
+    assert(DeltaLog.sync(root, t.currentManifest) == 0L)
+    // a stale writer re-claiming version 0 cannot clobber the winner's
+    // commit (the rename never lands on an existing target)...
+    val before = graft.format.Fio.readString(
+      s"$root/_delta_log/00000000000000000000.json")
+    graft.format.Fio.writeAtomic(
+      s"$root/_delta_log/00000000000000000000.json", "{}")
+    assert(graft.format.Fio.readString(
+      s"$root/_delta_log/00000000000000000000.json") == before)
+    // ...and the sync-level loser detects the conflict loudly: a rival
+    // lands version 1 in the window between sync's state replay and its
+    // commit write (injected at the exact protocol point via FioFaults)
+    t.upsertAll(Seq(Row(2L, 2L)), startLsn = 10); t.flush(); t.publish()
+    val rivalPath = java.nio.file.Paths.get(
+      s"$root/_delta_log/00000000000000000001.json")
+    graft.format.Fio.faults = new graft.format.FioFaults {
+      override def beforeOp(op: String, path: String): Unit =
+        if (op == "write" && path.endsWith("00000000000000000001.json") &&
+            !java.nio.file.Files.exists(rivalPath))
+          java.nio.file.Files.write(rivalPath,
+            """{"commitInfo":{"timestamp":1,"operation":"WRITE"}}
+              |""".stripMargin.getBytes("UTF-8"))
+    }
+    try intercept[java.util.ConcurrentModificationException] {
+      DeltaLog.sync(root, t.currentManifest)
+    } finally graft.format.Fio.faults = null
+  }
+}
