@@ -105,4 +105,21 @@ class DeltaLogSpec extends AnyFunSuite with BeforeAndAfterAll {
       DeltaLog.sync(root, t.currentManifest)
     } finally graft.format.Fio.faults = null
   }
+
+  test("schema evolution re-emits metaData; replay resolves the new shape") {
+    val root = Files.createTempDirectory("graft-delta3").toString + "/t"
+    val t = GraftTable.create(spark, root, schema, Identity.Keys(Seq("id")),
+      TableConfig(walEnabled = false))
+    t.upsertAll(Seq(Row(1L, 10L)), startLsn = 1); t.flush(); t.publish()
+    assert(DeltaLog.sync(root, t.currentManifest) == 0L)
+    t.alterAddColumn("w", "int64")
+    t.flush(); t.publish()
+    assert(DeltaLog.sync(root, t.currentManifest) == 1L)
+    val body1 = graft.format.Fio.readString(
+      s"$root/_delta_log/00000000000000000001.json")
+    assert(body1.contains("\"metaData\""), "schema change re-emits metaData")
+    val df = DeltaLog.readDataFrame(spark, root)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "v", "w"))
+    assert(df.count() == 1L && df.head().isNullAt(2))
+  }
 }
