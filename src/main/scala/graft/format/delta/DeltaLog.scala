@@ -157,6 +157,114 @@ private[graft] object DeltaLog {
     version
   }
 
+  // ---- checkpoints (bounded log replay at scale) ------------------------
+
+  /** Write a spec checkpoint at the current version: one parquet file
+   *  `%020d.checkpoint.parquet` holding the reconstructed state as
+   *  action rows (protocol + metaData + one add per live file) and the
+   *  `_last_checkpoint` pointer — so replay costs O(checkpoint + tail)
+   *  instead of O(every commit ever), the property that keeps a
+   *  maintenance-tick export readable after thousands of versions. */
+  def checkpoint(spark: SparkSession, root: String): Long = {
+    import org.apache.spark.sql.types._
+    val st = readState(root)
+    val protocolT = StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType)))
+    val formatT = StructType(Seq(
+      StructField("provider", StringType),
+      StructField("options", MapType(StringType, StringType))))
+    val metaT = StructType(Seq(
+      StructField("id", StringType), StructField("format", formatT),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType)),
+      StructField("createdTime", LongType)))
+    val addT = StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType),
+      StructField("stats", StringType)))
+    val rowT = StructType(Seq(
+      StructField("protocol", protocolT), StructField("metaData", metaT),
+      StructField("add", addT)))
+    import org.apache.spark.sql.Row
+    val uuid = java.util.UUID
+      .nameUUIDFromBytes(root.getBytes(StandardCharsets.UTF_8)).toString
+    val rows: Seq[Row] =
+      Row(Row(1, 2), null, null) +:
+      Row(null, Row(uuid, Row("parquet", Map.empty[String, String]),
+        st.schemaString, Seq.empty[String], Map.empty[String, String],
+        0L), null) +:
+      st.files.map(f => Row(null, null,
+        Row(f.path, Map.empty[String, String], f.size, 0L, false,
+          s"""{"numRecords":${f.numRecords}}""")))
+    val tmp = s"${logDir(root)}/.ckpt-${java.util.UUID.randomUUID()}"
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), rowT)
+      .write.mode("overwrite").parquet(tmp)
+    val part = Fio.list(tmp)
+      .find(n => n.startsWith("part-") && n.endsWith(".parquet")).get
+    val target = f"${logDir(root)}/${st.version}%020d.checkpoint.parquet"
+    Fio.move(s"$tmp/$part", target)
+    Fio.delete(tmp)
+    val lastCkpt = s"""{"version":${st.version},"size":${rows.size}}"""
+    Fio.delete(s"${logDir(root)}/_last_checkpoint")
+    Fio.writeAtomic(s"${logDir(root)}/_last_checkpoint", lastCkpt)
+    st.version
+  }
+
+  /** Replay from the latest checkpoint (when one exists) plus the JSON
+   *  tail after it — the reader-side half of [[checkpoint]]. */
+  def readStateFromCheckpoint(spark: SparkSession, root: String): DeltaState = {
+    val hint = s"${logDir(root)}/_last_checkpoint"
+    if (!Fio.exists(hint)) return readState(root)
+    val ckptVersion = mapper.readTree(Fio.readString(hint))
+      .get("version").asLong
+    val ckpt = spark.read.parquet(
+      f"${logDir(root)}/$ckptVersion%020d.checkpoint.parquet").collect()
+    var schema: String = null
+    val live = scala.collection.mutable.LinkedHashMap[String, DeltaFile]()
+    ckpt.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("metaData")))
+        schema = r.getStruct(r.fieldIndex("metaData"))
+          .getString(2) // schemaString
+      if (!r.isNullAt(r.fieldIndex("add"))) {
+        val a = r.getStruct(r.fieldIndex("add"))
+        val stats = a.getString(5)
+        val n = if (stats == null) -1L
+          else mapper.readTree(stats).get("numRecords").asLong
+        live(a.getString(0)) = DeltaFile(a.getString(0), a.getLong(2), n)
+      }
+    }
+    // JSON tail after the checkpoint
+    var last = ckptVersion
+    versions(root).filter(_ > ckptVersion).foreach { v =>
+      last = v
+      val body = Fio.readString(f"${logDir(root)}/$v%020d.json")
+      body.split('\n').filter(_.nonEmpty).foreach { line =>
+        val n = mapper.readTree(line)
+        if (n.hasNonNull("metaData"))
+          schema = n.get("metaData").get("schemaString").asText
+        if (n.hasNonNull("add")) {
+          val a = n.get("add")
+          val stats = if (a.hasNonNull("stats"))
+            mapper.readTree(a.get("stats").asText) else null
+          live(a.get("path").asText) = DeltaFile(a.get("path").asText,
+            a.get("size").asLong,
+            if (stats != null && stats.hasNonNull("numRecords"))
+              stats.get("numRecords").asLong else -1L)
+        }
+        if (n.hasNonNull("remove"))
+          live.remove(n.get("remove").get("path").asText)
+      }
+    }
+    require(schema != null, "checkpoint misses metaData")
+    DeltaState(last, schema, live.values.toSeq)
+  }
+
   /** The Delta state as a DataFrame — plain parquet scan over the
    *  replayed live-file set, no graft-engine involvement. */
   def readDataFrame(spark: SparkSession, root: String): DataFrame = {

@@ -122,4 +122,37 @@ class DeltaLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.schema.fieldNames.toSeq == Seq("id", "v", "w"))
     assert(df.count() == 1L && df.head().isNullAt(2))
   }
+
+  test("checkpoint bounds log replay; state survives JSON-tail deletion") {
+    val root = Files.createTempDirectory("graft-delta4").toString + "/t"
+    val t = GraftTable.create(spark, root, schema, Identity.Keys(Seq("id")),
+      TableConfig(walEnabled = false))
+    (1 to 3).foreach { i =>
+      t.upsertAll(Seq(Row(i.toLong, i * 10L)), startLsn = i * 10L)
+      t.flush(); t.publish()
+      DeltaLog.sync(root, t.currentManifest, nowMs = 1700000000000L + i)
+    }
+    val v = DeltaLog.checkpoint(spark, root)
+    assert(v == 2L)
+    assert(graft.format.Fio.exists(
+      s"$root/_delta_log/00000000000000000002.checkpoint.parquet"))
+    assert(graft.format.Fio.exists(s"$root/_delta_log/_last_checkpoint"))
+    // checkpoint-based replay equals the JSON replay
+    val viaJson = DeltaLog.readState(root)
+    val viaCkpt = DeltaLog.readStateFromCheckpoint(spark, root)
+    assert(viaCkpt.files.map(_.path).sorted == viaJson.files.map(_.path).sorted)
+    assert(viaCkpt.schemaString == viaJson.schemaString)
+    // a commit AFTER the checkpoint lands in the tail replay
+    t.upsertAll(Seq(Row(9L, 90L)), startLsn = 100L); t.flush(); t.publish()
+    DeltaLog.sync(root, t.currentManifest, nowMs = 1700000001000L)
+    val after = DeltaLog.readStateFromCheckpoint(spark, root)
+    assert(after.version == 3L)
+    assert(after.files.map(_.numRecords).sum == 4L)
+    // the checkpoint alone suffices: delete the pre-checkpoint JSONs
+    // (spec: readers may start at the checkpoint) and replay still works
+    (0L to 2L).foreach(i =>
+      graft.format.Fio.delete(f"$root/_delta_log/$i%020d.json"))
+    val pruned = DeltaLog.readStateFromCheckpoint(spark, root)
+    assert(pruned.files.map(_.numRecords).sum == 4L)
+  }
 }
