@@ -77,17 +77,30 @@ private[graft] object DeltaLog {
     DeltaState(vs.last, schema, live.values.toSeq)
   }
 
+  /** True when any log state exists — JSON commits OR a checkpoint
+   *  whose pre-checkpoint JSONs were expired ([[expireLog]]). */
+  private def hasLog(root: String): Boolean =
+    versions(root).nonEmpty || Fio.exists(s"${logDir(root)}/_last_checkpoint")
+
   /** Export the committed graft manifest as the next Delta version.
-   *  Returns the committed version, or -1 when nothing changed. */
+   *  Returns the committed version, or -1 when nothing changed.
+   *
+   *  Pass `spark` when checkpoints are in play: prior-state replay then
+   *  starts at the latest checkpoint, so the export keeps working after
+   *  [[expireLog]] removed the pre-checkpoint JSON commits. */
   def sync(root: String, m: Manifest,
-      nowMs: Long = System.currentTimeMillis()): Long = {
+      nowMs: Long = System.currentTimeMillis(),
+      spark: Option[SparkSession] = None): Long = {
     val withDeletes = m.dataFiles.filter(_.deletes > 0)
     require(withDeletes.isEmpty,
       s"delta export needs wholly-live files; ${withDeletes.size} file(s) " +
         "carry deletion vectors — run optimize() (forced compaction " +
         "materializes DV'd rows away) before syncing")
     Fio.mkdirs(logDir(root))
-    val prior = if (versions(root).isEmpty) None else Some(readState(root))
+    val prior =
+      if (!hasLog(root)) None
+      else Some(spark.map(readStateFromCheckpoint(_, root))
+        .getOrElse(readState(root)))
     val curFiles = m.dataFiles.map(f => s"data/${f.path}" -> f).toMap
     val priorPaths = prior.map(_.files.map(_.path).toSet).getOrElse(Set.empty)
     val adds = curFiles.keys.toSeq.sorted.filterNot(priorPaths)
@@ -265,10 +278,25 @@ private[graft] object DeltaLog {
     DeltaState(last, schema, live.values.toSeq)
   }
 
+  /** Expire JSON commits at or below the latest checkpoint version —
+   *  Delta's metadata-cleanup rule (readers start at the checkpoint).
+   *  Returns how many commit files were removed. Safe only because
+   *  every reader/writer path here replays checkpoint-first whenever
+   *  `_last_checkpoint` exists. */
+  def expireLog(root: String): Int = {
+    val hint = s"${logDir(root)}/_last_checkpoint"
+    if (!Fio.exists(hint)) return 0
+    val ckptVersion = mapper.readTree(Fio.readString(hint))
+      .get("version").asLong
+    val expired = versions(root).filter(_ <= ckptVersion)
+    expired.foreach(v => Fio.delete(f"${logDir(root)}/$v%020d.json"))
+    expired.size
+  }
+
   /** The Delta state as a DataFrame — plain parquet scan over the
    *  replayed live-file set, no graft-engine involvement. */
   def readDataFrame(spark: SparkSession, root: String): DataFrame = {
-    val st = readState(root)
+    val st = readStateFromCheckpoint(spark, root)
     val schema = org.apache.spark.sql.types.DataType
       .fromJson(st.schemaString)
       .asInstanceOf[org.apache.spark.sql.types.StructType]

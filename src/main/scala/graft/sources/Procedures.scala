@@ -125,7 +125,7 @@ private[graft] object GraftProcedures {
             t.optimize()
           Seq(Row(graft.format.delta.DeltaLog.sync(
             graft.table.GraftCatalog.rootOf(warehouse, db, tbl),
-            t.currentManifest)))
+            t.currentManifest, spark = Some(t.spark))))
         })
       case "check" => proc("check", DbTbl,
         StructType(Seq(StructField("check", StringType),

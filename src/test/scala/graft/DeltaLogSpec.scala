@@ -148,11 +148,22 @@ class DeltaLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     val after = DeltaLog.readStateFromCheckpoint(spark, root)
     assert(after.version == 3L)
     assert(after.files.map(_.numRecords).sum == 4L)
-    // the checkpoint alone suffices: delete the pre-checkpoint JSONs
+    // the checkpoint alone suffices: expire the pre-checkpoint JSONs
     // (spec: readers may start at the checkpoint) and replay still works
-    (0L to 2L).foreach(i =>
-      graft.format.Fio.delete(f"$root/_delta_log/$i%020d.json"))
+    assert(DeltaLog.expireLog(root) == 3)
+    (0L to 2L).foreach(i => assert(
+      !graft.format.Fio.exists(f"$root/_delta_log/$i%020d.json")))
     val pruned = DeltaLog.readStateFromCheckpoint(spark, root)
     assert(pruned.files.map(_.numRecords).sum == 4L)
+    // the WRITER path survives expiry too: the next sync replays
+    // checkpoint-first, claims the right next version, and the exported
+    // table still reads whole
+    t.upsertAll(Seq(Row(10L, 100L)), startLsn = 200L); t.flush(); t.publish()
+    val v4 = DeltaLog.sync(root, t.currentManifest,
+      nowMs = 1700000002000L, spark = Some(spark))
+    assert(v4 == 4L)
+    val df = DeltaLog.readDataFrame(spark, root)
+    assert(df.count() == 5L)
+    assert(DeltaLog.readStateFromCheckpoint(spark, root).version == 4L)
   }
 }
