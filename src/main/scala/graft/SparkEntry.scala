@@ -346,6 +346,299 @@ object SparkEntry {
           count(lit(1)).as("n_rows"))
     }),
 
+    "q8_market_share" -> ((s, d) => {
+      // the TPC-H Q8 shape: one nation's milli-share of a region's
+      // market per year — conditional-sum ratio over a six-way join.
+      // Revenue rounds to integer cents per ROW, the share divides as
+      // BIGINT (DIV), so neither sum order nor FP division can drift.
+      // Both nation dims broadcast; the big tables join once each.
+      val suppN = t(s, d, "nation")
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val custN = t(s, d, "nation")
+        .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))
+      val rev = round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        * 100).cast("long")
+      t(s, d, "lineitem")
+        .join(t(s, d, "part").where(col("p_type") === "PROMO"),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(custN), col("c_nationkey") === col("cn_key"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "ASIA")
+        .join(broadcast(suppN), col("s_nationkey") === col("sn_key"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_1", rev).otherwise(0L))
+            .as("nation_cents"),
+          sum(rev).as("total_cents"))
+        .select(col("o_year"),
+          expr("nation_cents * 1000 DIV total_cents").as("share_milli"),
+          col("total_cents"))
+        .orderBy("o_year")
+    }),
+
+    "q9_profit_by_nation" -> ((s, d) => {
+      // the TPC-H Q9 shape: per-(nation, year) profit over a pattern-
+      // filtered part family; cost substitutes p_retailprice*quantity
+      // for the absent partsupp relation. Profit rounds to cents per
+      // row BEFORE the sum. The part filter prunes before any join.
+      val profit = (round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        * 100) - round(col("p_retailprice") * col("l_quantity") * 100))
+        .cast("long")
+      t(s, d, "lineitem")
+        .join(t(s, d, "part").where(col("p_name").like("%red%")),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("l_shipdate")).cast("long").as("o_year"))
+        .agg(sum(profit).as("profit_cents"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    "q10_returned_items" -> ((s, d) => {
+      // the TPC-H Q10 shape: top customers by returned-line revenue in
+      // a quarter — join + group + ranked LIMIT with a full tiebreak
+      // (revenue DESC, custkey ASC) so the cut is deterministic
+      t(s, d, "lineitem").where(col("l_returnflag") === "R")
+        .join(t(s, d, "orders").where(
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-04-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 100).cast("long")).as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
+    "q11_important_parts" -> ((s, d) => {
+      // the TPC-H Q11 shape: per-part inventory value for one nation's
+      // suppliers, kept only above a scalar-subquery fraction of the
+      // whole — the HAVING-vs-global-total plan, in SQL so Catalyst
+      // plans the total as one broadcast scalar, not a rescan per group
+      t(s, d, "lineitem").createOrReplaceTempView("q11_lineitem")
+      t(s, d, "supplier").createOrReplaceTempView("q11_supplier")
+      t(s, d, "nation").createOrReplaceTempView("q11_nation")
+      s.sql(
+        """WITH v AS (
+          |  SELECT l_partkey,
+          |         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+          |  FROM q11_lineitem
+          |  JOIN q11_supplier ON l_suppkey = s_suppkey
+          |  JOIN q11_nation ON s_nationkey = n_nationkey
+          |  WHERE n_name = 'NATION_3')
+          |SELECT l_partkey AS p_partkey, SUM(cents) AS value_cents
+          |FROM v
+          |GROUP BY 1
+          |HAVING SUM(cents) > (SELECT SUM(cents) DIV 1000 FROM v)
+          |ORDER BY value_cents DESC, p_partkey
+          |LIMIT 100""".stripMargin)
+    }),
+
+    "q12_priority_shipping" -> ((s, d) => {
+      // the TPC-H Q12 shape: CASE-sum counting of high- vs low-priority
+      // orders among late shipments, per ship year (o_orderpriority
+      // stands in for the absent l_shipmode)
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(year(col("l_shipdate")).cast("long").as("ship_year"))
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("ship_year")
+    }),
+
+    "q13_customer_distribution" -> ((s, d) => {
+      // the TPC-H Q13 shape: LEFT OUTER join + two-level aggregation —
+      // orders per customer (0 for orderless ones), then the histogram
+      // of customers per order count
+      val o = t(s, d, "orders").where(col("o_orderstatus") =!= "P")
+        .select(col("o_custkey"), col("o_orderkey"))
+      t(s, d, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    "q14_promo_effect" -> ((s, d) => {
+      // the TPC-H Q14 shape: conditional-revenue share in one month;
+      // milli-ratio via BIGINT DIV over per-row-rounded cents
+      val rev = round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        * 100).cast("long")
+      t(s, d, "lineitem")
+        .where(to_date(col("l_shipdate")) >= lit("1996-01-01") &&
+          to_date(col("l_shipdate")) < lit("1996-02-01"))
+        .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", rev).otherwise(0L))
+            .as("promo_cents"),
+          sum(rev).as("total_cents"))
+        .select(expr("promo_cents * 1000 DIV total_cents").as("promo_milli"),
+          col("promo_cents"), col("total_cents"))
+    }),
+
+    "q15_top_supplier" -> ((s, d) => {
+      // the TPC-H Q15 shape: a revenue view reused twice — once
+      // aggregated to its max, once filtered to the argmax rows (ties
+      // all surface, so no arbitrary cut)
+      t(s, d, "lineitem").createOrReplaceTempView("q15_lineitem")
+      t(s, d, "supplier").createOrReplaceTempView("q15_supplier")
+      s.sql(
+        """WITH revenue AS (
+          |  SELECT l_suppkey AS supplier_no,
+          |         SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+          |             AS BIGINT)) AS total_cents
+          |  FROM q15_lineitem
+          |  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+          |    AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+          |  GROUP BY 1)
+          |SELECT s_suppkey, s_name, total_cents
+          |FROM q15_supplier JOIN revenue ON s_suppkey = supplier_no
+          |WHERE total_cents = (SELECT MAX(total_cents) FROM revenue)
+          |ORDER BY s_suppkey""".stripMargin)
+    }),
+
+    "q16_supplier_cnt" -> ((s, d) => {
+      // the TPC-H Q16 shape: COUNT(DISTINCT) per part attribute class
+      // with a NOT-IN anti-subquery trimming the supplier domain
+      // (lineitem is the part-supplier relation in this schema)
+      val excluded = t(s, d, "supplier").where(col("s_acctbal") < 0)
+        .select(col("s_suppkey").as("l_suppkey"))
+      t(s, d, "lineitem")
+        .join(t(s, d, "part").where(col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 4, 9, 16, 25, 36, 49)),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(excluded), Seq("l_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+    }),
+
+    "q17_small_qty_revenue" -> ((s, d) => {
+      // the TPC-H Q17 shape: a per-part correlated AVG threshold —
+      // Catalyst decorrelates the scalar subquery into one aggregate
+      // joined back on partkey (quantities are integral doubles, so
+      // the half-average compare is FP-exact in both engines)
+      t(s, d, "lineitem").createOrReplaceTempView("q17_lineitem")
+      t(s, d, "part").createOrReplaceTempView("q17_part")
+      s.sql(
+        """SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+          |       DIV 7 AS BIGINT) AS avg_period_cents,
+          |       COUNT(*) AS n_lines
+          |FROM q17_lineitem l JOIN q17_part p ON l.l_partkey = p.p_partkey
+          |WHERE p.p_brand = 'Brand#1'
+          |  AND l.l_quantity < (
+          |    SELECT 0.5 * AVG(l2.l_quantity) FROM q17_lineitem l2
+          |    WHERE l2.l_partkey = p.p_partkey)""".stripMargin)
+    }),
+
+    "q18_large_orders" -> ((s, d) => {
+      // the TPC-H Q18 shape: orders whose line quantity total clears a
+      // threshold, found via IN over a grouped HAVING subquery, then
+      // re-joined for customer detail; ranked LIMIT with full tiebreak
+      t(s, d, "lineitem").createOrReplaceTempView("q18_lineitem")
+      t(s, d, "orders").createOrReplaceTempView("q18_orders")
+      t(s, d, "customer").createOrReplaceTempView("q18_customer")
+      s.sql(
+        """SELECT c_custkey, c_name, o_orderkey,
+          |       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents,
+          |       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+          |FROM q18_customer
+          |JOIN q18_orders ON c_custkey = o_custkey
+          |JOIN q18_lineitem ON o_orderkey = l_orderkey
+          |WHERE o_orderkey IN (
+          |  SELECT l_orderkey FROM q18_lineitem
+          |  GROUP BY 1 HAVING SUM(l_quantity) > 150)
+          |GROUP BY 1, 2, 3, 4
+          |ORDER BY total_cents DESC, o_orderkey
+          |LIMIT 100""".stripMargin)
+    }),
+
+    "q19_disjunctive_rev" -> ((s, d) => {
+      // the TPC-H Q19 shape: OR-of-AND predicate blocks across the
+      // join — Catalyst extracts the common l_partkey=p_partkey
+      // conjunct so the join stays an equi-join and only the residual
+      // disjunction evaluates post-match
+      val p = t(s, d, "part")
+      val l = t(s, d, "lineitem")
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey") && (
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(11, 25) &&
+          col("l_quantity").between(10, 30)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(26, 50) &&
+          col("l_quantity").between(20, 40))))
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 100).cast("long")).as("revenue_cents"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    "q20_part_promotion" -> ((s, d) => {
+      // the TPC-H Q20 shape: nested IN — suppliers whose 1996 shipped
+      // quantity of the part family exceeds a fifth of their all-time
+      // total for it (5*sum vs sum in BIGINT: no FP fraction drift)
+      t(s, d, "lineitem").createOrReplaceTempView("q20_lineitem")
+      t(s, d, "part").createOrReplaceTempView("q20_part")
+      t(s, d, "supplier").createOrReplaceTempView("q20_supplier")
+      t(s, d, "nation").createOrReplaceTempView("q20_nation")
+      s.sql(
+        """SELECT s_suppkey, s_name
+          |FROM q20_supplier JOIN q20_nation ON s_nationkey = n_nationkey
+          |WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+          |  AND s_suppkey IN (
+          |    SELECT l_suppkey FROM q20_lineitem
+          |    WHERE l_partkey IN (
+          |      SELECT p_partkey FROM q20_part WHERE p_name LIKE 'red%')
+          |    GROUP BY 1
+          |    HAVING 5 * CAST(SUM(CASE WHEN year(l_shipdate) = 1996
+          |                   THEN l_quantity ELSE 0 END) AS BIGINT)
+          |         > CAST(SUM(l_quantity) AS BIGINT))
+          |ORDER BY s_suppkey""".stripMargin)
+    }),
+
+    "q21_waiting_suppliers" -> ((s, d) => {
+      // the TPC-H Q21 shape: EXISTS + NOT EXISTS self-joins on the
+      // fact table — a supplier's late line on a finished order where
+      // ANOTHER supplier shipped on time and NO other supplier was
+      // late; lateness = shipdate past orderdate + 60 days
+      t(s, d, "lineitem").createOrReplaceTempView("q21_lineitem")
+      t(s, d, "orders").createOrReplaceTempView("q21_orders")
+      t(s, d, "supplier").createOrReplaceTempView("q21_supplier")
+      t(s, d, "nation").createOrReplaceTempView("q21_nation")
+      s.sql(
+        """SELECT s_name, COUNT(*) AS numwait
+          |FROM q21_supplier
+          |JOIN q21_lineitem l1 ON s_suppkey = l1.l_suppkey
+          |JOIN q21_orders ON o_orderkey = l1.l_orderkey
+          |JOIN q21_nation ON s_nationkey = n_nationkey
+          |WHERE o_orderstatus = 'F' AND n_name = 'NATION_1'
+          |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          |  AND EXISTS (
+          |    SELECT 1 FROM q21_lineitem l2
+          |    WHERE l2.l_orderkey = l1.l_orderkey
+          |      AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (
+          |    SELECT 1 FROM q21_lineitem l3
+          |    JOIN q21_orders o3 ON o3.o_orderkey = l3.l_orderkey
+          |    WHERE l3.l_orderkey = l1.l_orderkey
+          |      AND l3.l_suppkey <> l1.l_suppkey
+          |      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+          |GROUP BY 1
+          |ORDER BY numwait DESC, s_name
+          |LIMIT 100""".stripMargin)
+    }),
+
     "q_semi_join" -> ((s, d) => {
       // customers WITH at least one order (left semi), per segment
       val c = t(s, d, "customer")
@@ -3741,6 +4034,204 @@ object SparkEntry {
         |  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
         |  AND l_discount >= 0.05 AND l_discount <= 0.07
         |  AND l_quantity < 24""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       CAST(SUM(CASE WHEN n1.n_name = 'NATION_1'
+        |                 THEN CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)
+        |                 ELSE 0 END) * 1000
+        |            // SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT))
+        |         AS BIGINT) AS share_milli,
+        |       CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT))
+        |         AS BIGINT) AS total_cents
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |JOIN region ON n2.n_regionkey = r_regionkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q9_profit_by_nation" ->
+      """SELECT n_name AS nation,
+        |       CAST(year(l_shipdate) AS BIGINT) AS o_year,
+        |       CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100)
+        |                     - ROUND(p_retailprice*l_quantity*100) AS BIGINT))
+        |         AS BIGINT) AS profit_cents
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |       CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT))
+        |         AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_cents DESC, c_custkey ASC
+        |LIMIT 20""".stripMargin,
+
+    "q11_important_parts" ->
+      """WITH v AS (
+        |  SELECT l_partkey,
+        |         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_3')
+        |SELECT l_partkey AS p_partkey,
+        |       CAST(SUM(cents) AS BIGINT) AS value_cents
+        |FROM v
+        |GROUP BY 1
+        |HAVING SUM(cents) > (SELECT SUM(cents) // 1000 FROM v)
+        |ORDER BY value_cents DESC, p_partkey
+        |LIMIT 100""".stripMargin,
+
+    "q12_priority_shipping" ->
+      """SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+        |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |                 THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q13_customer_distribution" ->
+      """WITH per_cust AS (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT JOIN (SELECT o_custkey, o_orderkey FROM orders
+        |             WHERE o_orderstatus <> 'P') o
+        |    ON c_custkey = o.o_custkey
+        |  GROUP BY 1)
+        |SELECT c_count, COUNT(*) AS custdist
+        |FROM per_cust
+        |GROUP BY 1
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q14_promo_effect" ->
+      """WITH f AS (
+        |  SELECT CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT) AS cents,
+        |         p_type
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        |    AND CAST(l_shipdate AS DATE) < DATE '1996-02-01')
+        |SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END) * 1000
+        |            // SUM(cents) AS BIGINT) AS promo_milli,
+        |       CAST(SUM(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END)
+        |         AS BIGINT) AS promo_cents,
+        |       CAST(SUM(cents) AS BIGINT) AS total_cents
+        |FROM f""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+        |             AS BIGINT)) AS BIGINT) AS total_cents
+        |  FROM lineitem
+        |  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        |    AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_cents
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_cents = (SELECT MAX(total_cents) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_size,
+        |       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
+
+    "q17_small_qty_revenue" ->
+      """SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+        |       // 7 AS BIGINT) AS avg_period_cents,
+        |       COUNT(*) AS n_lines
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_brand = 'Brand#1'
+        |  AND l.l_quantity < (
+        |    SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+        |    WHERE l2.l_partkey = p.p_partkey)""".stripMargin,
+
+    "q18_large_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey,
+        |       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents,
+        |       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY 1 HAVING SUM(l_quantity) > 150)
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY total_cents DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+
+    "q19_disjunctive_rev" ->
+      """SELECT CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT))
+        |         AS BIGINT) AS revenue_cents,
+        |       COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 25
+        |       AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 26 AND 50
+        |       AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+
+    "q20_part_promotion" ->
+      """SELECT s_suppkey, s_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey FROM lineitem
+        |    WHERE l_partkey IN (
+        |      SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        |    GROUP BY 1
+        |    HAVING 5 * CAST(SUM(CASE WHEN year(l_shipdate) = 1996
+        |                   THEN l_quantity ELSE 0 END) AS BIGINT)
+        |         > CAST(SUM(l_quantity) AS BIGINT))
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q21_waiting_suppliers" ->
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F' AND n_name = 'NATION_1'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin,
 
     "q_semi_join" ->
       """SELECT c_mktsegment, count(*) AS n_customers
