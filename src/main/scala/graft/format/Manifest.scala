@@ -136,6 +136,16 @@ object Fio {
   def exists(p: String): Boolean = fs(p).exists(new Path(p))
 
   def writeAtomic(path: String, content: String): Unit = {
+    writeAtomicCas(path, content); ()
+  }
+
+  /** Atomic put-if-absent: returns true when THIS content owns `path`
+   *  after the call (rename won, or an identical idempotent re-commit
+   *  already landed), false when a DIFFERENT content claimed the path
+   *  first — the compare half of a CAS commit. The happy path costs
+   *  one write + one rename; the read-back runs only when the rename
+   *  lost the race. */
+  def writeAtomicCas(path: String, content: String): Boolean = {
     check("write", path)
     val f = fs(path)
     val tmp = new Path(path + ".tmp")
@@ -143,12 +153,15 @@ object Fio {
     try out.write(content.getBytes(StandardCharsets.UTF_8))
     finally out.close()
     check("commit-rename", path) // crash AFTER tmp landed, BEFORE commit
-    if (!f.rename(tmp, new Path(path))) {
-      // rename-over-existing fails on some FS; only tolerate if target
-      // landed with identical content (idempotent re-commit)
+    if (f.rename(tmp, new Path(path))) true
+    else {
+      // rename-over-existing fails on some FS; tolerate ONLY an
+      // identical surviving content (idempotent re-commit) — a
+      // different survivor means another writer claimed this path
       f.delete(tmp, false)
       if (!f.exists(new Path(path)))
         throw new java.io.IOException(s"atomic commit failed: $path")
+      readString(path) == content
     }
   }
 
@@ -228,9 +241,19 @@ object ManifestLog {
   private def dir(root: String) = s"$root/manifest"
   private def file(root: String, v: Long) = f"${dir(root)}/v$v%09d.json"
 
+  /** Commit version `m.version` with put-if-absent semantics: the
+   *  version file is claimed by atomic rename, and a rival writer that
+   *  claimed it first (two handles on one root, each folding its own
+   *  mutation from the same base version) fails LOUDLY here instead of
+   *  having its manifest silently dropped — the caller's statement
+   *  retries from the new latest version, exactly the optimistic-
+   *  concurrency rule the Delta/Iceberg commit protocols use. */
   def commit(root: String, m: Manifest): Unit = {
     Fio.mkdirs(dir(root))
-    Fio.writeAtomic(file(root, m.version), Manifest.toJson(m))
+    if (!Fio.writeAtomicCas(file(root, m.version), Manifest.toJson(m)))
+      throw new java.util.ConcurrentModificationException(
+        s"manifest version ${m.version} of $root was claimed by another " +
+          "writer; reload the table and retry the statement")
   }
 
   /** All committed versions, ascending. The log keeps every version

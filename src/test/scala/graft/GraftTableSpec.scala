@@ -188,6 +188,43 @@ class GraftTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.drop()
   }
 
+  test("rival writers on one root: manifest commit is CAS, loser fails loud") {
+    // two INDEPENDENT handles (two SQL statements, two processes) fold
+    // their own mutation from the same base version; the manifest
+    // version file is claimed put-if-absent, so exactly one commit
+    // survives and the loser gets a ConcurrentModificationException —
+    // never a silently dropped manifest (Delta/Iceberg's optimistic
+    // commit rule; the reference serializes through one table handler
+    // instead, table_handler.rs event loop)
+    val root = tmpDir() + "/users"
+    val a = GraftTable.create(spark, root, userSchema,
+      Identity.Keys(Seq("id")), TableConfig(walEnabled = false))
+    a.insertAll(Seq(user(1, "base", 1)), 1)
+    val b = GraftTable.open(spark, root, Identity.Keys(Seq("id")),
+      TableConfig(walEnabled = false))
+    // handle A commits the next version first...
+    a.apply(Seq(Append(user(2, "from-a", 2), 10), Commit(11)))
+    a.flush(); a.publish()
+    // ...so handle B's fold from the stale base must NOT silently
+    // overwrite or vanish — it must throw (a delete-only mutation, so
+    // the collision under test is the VERSION claim itself; a rival
+    // flush's data-file move already fails loudly on its own rename)
+    intercept[java.util.ConcurrentModificationException] {
+      b.apply(Seq(Delete(Seq(1), 20), Commit(21))) // publishes on Commit
+    }
+    // the winner's state is durable and intact; the loser retries by
+    // reopening at the new latest version and re-applying its events
+    val retry = GraftTable.open(spark, root, Identity.Keys(Seq("id")),
+      TableConfig(walEnabled = false))
+    assert(stateOf(retry) == Map(1 -> ("base", 1), 2 -> ("from-a", 2)))
+    retry.apply(Seq(Delete(Seq(1), 20), Commit(21)))
+    assert(stateOf(retry) == Map(2 -> ("from-a", 2)))
+    // idempotent re-commit of an IDENTICAL manifest stays tolerated
+    // (crash-recovery re-commit): same version, same bytes, no throw
+    graft.format.ManifestLog.commit(root, retry.currentManifest)
+    retry.drop()
+  }
+
   test("compaction rewrites heavily-deleted files and preserves results") {
     val cfg = TableConfig(memSliceSize = 4, walEnabled = false,
       compactDeleteRatio = 0.4, compactSmallFileRows = 0)
