@@ -93,6 +93,11 @@ object Bench {
         }
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-22s $sec%8.2fs  ($n rows)")
+      // run-context hygiene: entries persist()/cache() within their own
+      // scope; anything an entry leaked must not tax LATER entries (a
+      // 143-entry sf1 run measured a late entry at 15x its standalone
+      // cost purely from accumulated cache + GC pressure)
+      spark.catalog.clearCache()
       name -> sec
     }
     val ingestSec =

@@ -608,27 +608,57 @@ final class GraftTable private (
       p.stripPrefix("part-").takeWhile(_.isDigit).toInt -> name
     }.toMap
     Fio.delete(tmp)
-    // cached pass #1: per-partition row counts + min/max per comparable
-    // column (manifest pruning, reference `parquet_stats_utils.rs`) —
-    // or the caller's fused fold-output pass, when it already ran one
-    val partStats = precomputedStats.getOrElse {
-      val statFields = schemaVar.fields.zipWithIndex
-        .filter { case (f, _) => statsComparable(f.dataType) }.toSeq
-      prof("  stats pass")(collectPartitionStats(survivors, statFields))
-    }
-    // cached pass #2: the key index — positions are partition row
+    val statFields = schemaVar.fields.zipWithIndex
+      .filter { case (f, _) => statsComparable(f.dataType) }.toSeq
+    // per-partition row counts + min/max per comparable column
+    // (manifest pruning, reference `parquet_stats_utils.rs`): supplied
+    // by the caller's fused fold-output pass when it ran one, FUSED
+    // into the key-index pass below for keyed tables (one scan of the
+    // persisted frame instead of two), or a dedicated narrow pass as
+    // the append-only fallback
+    val fusedAcc: Option[PartStatsAcc] =
+      if (precomputedStats.isEmpty && identity != Identity.None) {
+        val acc = new PartStatsAcc
+        spark.sparkContext.register(acc, "graft.flush.partStats")
+        Some(acc)
+      } else scala.None
+    // cached pass: the key index — positions are partition row
     // order, exactly what the write just persisted
     if (identity != Identity.None) {
       Fio.mkdirs(s"$root/index")
       val kIdx = keyFields.map(f => schemaVar.fieldIndex(f.name))
       val lsnPos = schemaVar.fields.length
       val fileOfPid = pidToName // local: closure must not capture `this`
+      val statIdxs = statFields.map(_._2).toArray
+      val statOrds = statFields.map { case (f, _) => anyOrdering(f.dataType) }
+      val accOpt = fusedAcc
       val idxRdd = survivors.rdd.mapPartitionsWithIndex { (pid, it) =>
         val fname = fileOfPid.getOrElse(pid, null)
         var pos = -1L
-        it.map { r =>
+        val mins = Array.fill[Any](statIdxs.length)(null)
+        val maxs = Array.fill[Any](statIdxs.length)(null)
+        val rows = it.map { r =>
           pos += 1
+          if (accOpt.isDefined) {
+            var j = 0
+            while (j < statIdxs.length) {
+              val v = r.get(statIdxs(j))
+              if (v != null) {
+                if (mins(j) == null || statOrds(j).lt(v, mins(j))) mins(j) = v
+                if (maxs(j) == null || statOrds(j).gt(v, maxs(j))) maxs(j) = v
+              }
+              j += 1
+            }
+          }
           Row.fromSeq(kIdx.map(r.get) :+ fname :+ pos :+ r.getLong(lsnPos))
+        }
+        // the by-name ++ operand evaluates after `rows` exhausts: the
+        // partition's final (count, min, max) lands exactly once per
+        // pid — last-write-wins keying makes retries/speculation
+        // idempotent (identical deterministic content per pid)
+        rows ++ {
+          accOpt.foreach(_.add((pid, pos + 1, mins.toSeq, maxs.toSeq)))
+          Iterator.empty
         }
       }
       val itmp = s"$root/tmp/${UUID.randomUUID()}"
@@ -645,6 +675,16 @@ final class GraftTable private (
       val allNames = pidToName.values.toSeq
       inames.foreach(n => indexFiles += IndexFileEntry(n, allNames))
     }
+    val partStats = precomputedStats
+      .orElse(fusedAcc.map(acc => acc.value.map { case (pid, (n, mins, maxs)) =>
+        val stats = statFields.zipWithIndex.map { case ((f, _), j) =>
+          f.name -> (if (mins(j) == null) Seq.empty[String]
+                     else Seq(mins(j).toString, maxs(j).toString))
+        }.toMap
+        pid -> (n, stats)
+      }))
+      .getOrElse(prof("  stats pass")(
+        collectPartitionStats(survivors, statFields)))
     pidToName.foreach { case (pid, n) =>
       partStats.get(pid).filter(_._1 > 0L) match {
         case Some((rows, stats)) =>
@@ -2213,6 +2253,31 @@ object DvCache {
   def notDeletedUdf(bc: Broadcast[Map[String, Array[Byte]]]): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((file: String, pos: Long) =>
       !bitmaps(bc).get(file).exists(_.contains(pos)))
+}
+
+/** Per-partition (rowCount, mins, maxs) side-channel for the fused
+ *  index+stats flush pass: keyed LAST-WRITE-WINS by partition id, so
+ *  task retries and speculative duplicates (identical deterministic
+ *  partition content) merge idempotently — a summing accumulator
+ *  would double-count, this one cannot. */
+private[graft] final class PartStatsAcc
+    extends org.apache.spark.util.AccumulatorV2[
+      (Int, Long, Seq[Any], Seq[Any]),
+      Map[Int, (Long, Seq[Any], Seq[Any])]] {
+  private val m =
+    scala.collection.mutable.Map[Int, (Long, Seq[Any], Seq[Any])]()
+  override def isZero: Boolean = m.isEmpty
+  override def copy(): PartStatsAcc = {
+    val a = new PartStatsAcc; a.m ++= m; a
+  }
+  override def reset(): Unit = m.clear()
+  override def add(v: (Int, Long, Seq[Any], Seq[Any])): Unit =
+    m(v._1) = (v._2, v._3, v._4)
+  override def merge(other: org.apache.spark.util.AccumulatorV2[
+      (Int, Long, Seq[Any], Seq[Any]),
+      Map[Int, (Long, Seq[Any], Seq[Any])]]): Unit =
+    other.value.foreach { case (k, v) => m(k) = v }
+  override def value: Map[Int, (Long, Seq[Any], Seq[Any])] = m.toMap
 }
 
 object GraftTable {
