@@ -361,8 +361,14 @@ private[graft] object IcebergSync {
         covered.map(rel("data", _)))
     }
     val schema = IcebergMeta.sparkSchemaOf(st.schemaJson)
+    // non-destructive adoption: when (part of) a manifest log survives,
+    // the recovered state lands as the NEXT version on top of it —
+    // history stays time-travelable and the commit can never collide
+    // with an existing version file
+    val nextVersion = graft.format.ManifestLog.latestVersion(root)
+      .map(_ + 1).getOrElse(0L)
     val m = Manifest(
-      version = 0L, commitLsn = commitLsn, flushLsn = flushLsn,
+      version = nextVersion, commitLsn = commitLsn, flushLsn = flushLsn,
       schemaJson = schema.json, keyCols = keyCols,
       dataFiles = dataEntries, dvFiles = dvFiles,
       indexFiles = indexEntries,

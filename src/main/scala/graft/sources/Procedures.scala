@@ -34,7 +34,7 @@ private[graft] object GraftProcedures {
 
   def list(): Array[Identifier] =
     Array("optimize", "vacuum", "expire_snapshots", "restore", "flush",
-        "check", "iceberg_sync", "delta_sync")
+        "check", "iceberg_sync", "delta_sync", "delta_checkpoint")
       .map(n => Identifier.of(Array("system"), n))
 
   def load(store: MetadataStore, warehouse: String,
@@ -126,6 +126,21 @@ private[graft] object GraftProcedures {
           Seq(Row(graft.format.delta.DeltaLog.sync(
             graft.table.GraftCatalog.rootOf(warehouse, db, tbl),
             t.currentManifest, spark = Some(t.spark))))
+        })
+      case "delta_checkpoint" => proc("delta_checkpoint", DbTbl,
+        // bound log replay for the Delta export: write a spec
+        // checkpoint parquet + _last_checkpoint at the current version,
+        // then expire the JSON commits it supersedes (readers and the
+        // next delta_sync replay checkpoint-first)
+        StructType(Seq(StructField("checkpoint_version", LongType),
+          StructField("expired_commits", LongType))),
+        args => {
+          val t = open(args(0).toString, args(1).toString)
+          val root = graft.table.GraftCatalog.rootOf(
+            warehouse, args(0).toString, args(1).toString)
+          val v = graft.format.delta.DeltaLog.checkpoint(t.spark, root)
+          val expired = graft.format.delta.DeltaLog.expireLog(root)
+          Seq(Row(v, expired.toLong))
         })
       case "check" => proc("check", DbTbl,
         StructType(Seq(StructField("check", StringType),

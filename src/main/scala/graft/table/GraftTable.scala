@@ -121,6 +121,9 @@ final class GraftTable private (
   // streaming-sink exactly-once watermark (see Manifest.streamEpochs);
   // total high-water for observability, per-QUERY map for correctness
   private var streamEpochsVar: Long = initManifest.streamEpochs
+  // the last manifest known durable through THIS handle — the no-op
+  // publish guard compares against it (version field excepted)
+  private var lastPublishedVar: Manifest = initManifest
   private var queryEpochsVar: Map[String, Long] = initManifest.queryEpochs
 
   def version: Long = versionVar
@@ -1121,13 +1124,25 @@ final class GraftTable private (
       if (dvFiles.size >= config.indexMergeFileCountThreshold)
         rewriteDvFiles(Set.empty)
     }
-    versionVar += 1
-    ManifestLog.commit(root, currentManifest)
-    // truncate at the *flush* LSN: committed-but-unflushed tail rows are
-    // durable only in the WAL (reference truncates at the persisted-
-    // snapshot LSN for the same reason, wal.rs:750)
-    if (config.walEnabled) Wal.truncate(root, flushLsnVar)
-    versionVar
+    // no-op guard: when nothing beyond the version number would change,
+    // committing is pure version spam — and WORSE than spam with CAS
+    // commits: a WAL replay on a second handle (its tail rebuild ends
+    // in the same Commit marker) would claim the version a live
+    // writer's next real commit needs. Idle publishes return the
+    // current version untouched.
+    if (currentManifest.copy(version = lastPublishedVar.version)
+        == lastPublishedVar) versionVar
+    else {
+      versionVar += 1
+      val m = currentManifest
+      ManifestLog.commit(root, m)
+      lastPublishedVar = m
+      // truncate at the *flush* LSN: committed-but-unflushed tail rows
+      // are durable only in the WAL (reference truncates at the
+      // persisted-snapshot LSN for the same reason, wal.rs:750)
+      if (config.walEnabled) Wal.truncate(root, flushLsnVar)
+      versionVar
+    }
   }}
 
   /** Persist a DV delta as a GDV1 roaring sidecar — driver IO, no Spark

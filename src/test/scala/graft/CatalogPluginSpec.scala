@@ -366,6 +366,34 @@ class CatalogPluginSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("CALL system.delta_sync + delta_checkpoint: export, bound, continue") {
+    val (cname, wh) = freshCatalog()
+    val cat = GraftCatalog(spark, wh)
+    val t = cat.createTable("dl", schema, Identity.Keys(Seq("id")))
+    (1 to 3).foreach { i =>
+      t.upsertAll(Seq(Row(i.toLong, i * 10L)), startLsn = i * 10L)
+      t.flush(); t.publish()
+      spark.sql(s"CALL $cname.system.delta_sync('graft', 'dl')").collect()
+    }
+    val root = s"$wh/dl"
+    assert(graft.format.delta.DeltaLog.versions(root) == Seq(0L, 1L, 2L))
+    val ck = spark.sql(
+      s"CALL $cname.system.delta_checkpoint('graft', 'dl')").head()
+    assert(ck.getLong(0) == 2L, "checkpoint at the current version")
+    assert(ck.getLong(1) == 3L, "the three superseded JSON commits expire")
+    assert(graft.format.delta.DeltaLog.versions(root).isEmpty)
+    // the export still reads whole from the checkpoint alone...
+    assert(graft.format.delta.DeltaLog.readDataFrame(spark, root)
+      .count() == 3L)
+    // ...and the next sync claims the right next version from it
+    t.upsertAll(Seq(Row(9L, 90L)), startLsn = 100L); t.flush(); t.publish()
+    val v = spark.sql(
+      s"CALL $cname.system.delta_sync('graft', 'dl')").head().getLong(0)
+    assert(v == 3L)
+    assert(graft.format.delta.DeltaLog.readStateFromCheckpoint(spark, root)
+      .files.map(_.numRecords).sum == 4L)
+  }
+
   test("CALL system.check reports integrity; detects tampered storage") {
     val (cname, wh) = freshCatalog()
     val cat = GraftCatalog(spark, wh)

@@ -188,6 +188,31 @@ class GraftTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.drop()
   }
 
+  test("reopen replays the WAL tail without minting a version (no-op guard)") {
+    // a Commit marker above the flush LSN survives WAL truncation; a
+    // SECOND handle's open replays it to rebuild the tail — that
+    // replay must not claim a manifest version (it would version-spam
+    // every reopen AND steal the version a live writer's next real
+    // commit needs under CAS)
+    val root = tmpDir() + "/users"
+    val t = GraftTable.create(spark, root, userSchema,
+      Identity.Keys(Seq("id")), TableConfig())
+    t.apply(Seq(Append(user(1, "a", 20), 1), Commit(2)))
+    t.flush(); t.publish()
+    val versions = graft.format.ManifestLog.versions(root)
+    val t2 = GraftTable.open(spark, root, Identity.Keys(Seq("id")),
+      TableConfig())
+    assert(graft.format.ManifestLog.versions(root) == versions,
+      "replaying an already-durable watermark commits nothing")
+    assert(stateOf(t2) == Map(1 -> ("a", 20)))
+    // the live first handle's next REAL commit proceeds un-conflicted
+    t.apply(Seq(Append(user(2, "b", 30), 10), Commit(11)))
+    t.flush(); t.publish()
+    assert(stateOf(GraftTable.open(spark, root, Identity.Keys(Seq("id"))))
+      == Map(1 -> ("a", 20), 2 -> ("b", 30)))
+    t.drop()
+  }
+
   test("rival writers on one root: manifest commit is CAS, loser fails loud") {
     // two INDEPENDENT handles (two SQL statements, two processes) fold
     // their own mutation from the same base version; the manifest

@@ -270,6 +270,14 @@ class IcebergSpec extends AnyFunSuite with BeforeAndAfterAll {
     t2.flush(); t2.publish()
     assert(t2.read(scala.None).count() == 41L)
     assert(t2.read(scala.None).where("id = 9").head().getLong(1) == 999L)
+    // adoption is NON-DESTRUCTIVE when a manifest log survives: a
+    // second import lands as the next version on top of the existing
+    // history instead of colliding with (or rewriting) version 0
+    val latestBefore = graft.format.ManifestLog.latestVersion(root).get
+    val m2 = IcebergSync.importManifest(root)
+    assert(m2.version == latestBefore + 1,
+      "import on a live log commits as the next version")
+    assert(graft.format.ManifestLog.latestVersion(root).contains(m2.version))
   }
 
   test("expire bounds the snapshot history; current state keeps reading") {
