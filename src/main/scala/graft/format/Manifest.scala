@@ -165,6 +165,35 @@ object Fio {
     }
   }
 
+  /** Atomic REPLACE for mutable pointer files (version-hint,
+   *  _last_checkpoint): the swap must never leave a window with no
+   *  pointer at all, which delete-then-rename has. Local paths get a
+   *  true atomic move over the target; non-file schemes fall back to
+   *  delete+rename (the catalog CAS, not the hint, is the real commit
+   *  pointer there). */
+  def replaceAtomic(path: String, content: String): Unit = {
+    check("write", path)
+    val uri = java.net.URI.create(path.replace(" ", "%20"))
+    if (uri.getScheme == null || uri.getScheme == "file") {
+      val p = java.nio.file.Paths.get(
+        if (uri.getScheme == null) path else uri.getPath)
+      val tmp = p.resolveSibling(p.getFileName.toString + ".swap")
+      java.nio.file.Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      val f = fs(path)
+      f.delete(new Path(path), false)
+      val tmp = new Path(path + ".tmp")
+      val out = f.create(tmp, true)
+      try out.write(content.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      if (!f.rename(tmp, new Path(path)) && !f.exists(new Path(path)))
+        throw new java.io.IOException(s"pointer replace failed: $path")
+    }
+  }
+
   def readString(path: String): String = {
     val f = fs(path)
     val in = f.open(new Path(path))

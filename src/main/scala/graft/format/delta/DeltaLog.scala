@@ -224,8 +224,7 @@ private[graft] object DeltaLog {
     Fio.move(s"$tmp/$part", target)
     Fio.delete(tmp)
     val lastCkpt = s"""{"version":${st.version},"size":${rows.size}}"""
-    Fio.delete(s"${logDir(root)}/_last_checkpoint")
-    Fio.writeAtomic(s"${logDir(root)}/_last_checkpoint", lastCkpt)
+    Fio.replaceAtomic(s"${logDir(root)}/_last_checkpoint", lastCkpt)
     st.version
   }
 

@@ -50,6 +50,14 @@ private[graft] object IcebergSync {
     val prior = currentMetadataPath(root)
       .map(p => IcebergMeta.parseMetadataJson(Fio.readString(p)))
     val seq = prior.map(_.lastSequenceNumber).getOrElse(0L) + 1
+    // every artifact of THIS sync attempt gets an attempt-unique name
+    // (iceberg names metadata files <version>-<uuid>.metadata.json for
+    // the same reason): a sync that crashed after writing files but
+    // before the pointer swing leaves a complete orphan set — a RETRY
+    // must never have its fresh content silently displaced by the
+    // orphan's stale bytes under put-if-absent writes. Only the
+    // pointer (hint / catalog CAS) ever selects a closure.
+    val attempt = java.util.UUID.randomUUID().toString.take(8)
     val snapshotId = seq
     val uuid = java.util.UUID
       .nameUUIDFromBytes(root.getBytes(StandardCharsets.UTF_8)).toString
@@ -114,7 +122,7 @@ private[graft] object IcebergSync {
           "referenced_data_file" -> null, "content_offset" -> null,
           "content_size_in_bytes" -> null))
     }
-    val dataManifestPath = s"$dir/manifest-data-$seq.avro"
+    val dataManifestPath = s"$dir/manifest-data-$seq-$attempt.avro"
     val dataManifestBytes = AvroOcf.writeFile(IcebergMeta.manifestEntrySchema,
       manifestMeta + ("content" -> "data"), dataEntries)
     Fio.writeBytesAtomic(dataManifestPath, dataManifestBytes)
@@ -135,7 +143,7 @@ private[graft] object IcebergSync {
     val (deleteEntries, puffinPathOpt) =
       if (dvByFile.isEmpty) (Seq.empty[Map[String, Any]], None)
       else {
-        val puffinPath = s"$dir/dvs-$seq.puffin"
+        val puffinPath = s"$dir/dvs-$seq-$attempt.puffin"
         val blobs = dvByFile.map { case (file, nav) =>
           (Puffin.dvBlobBytes(nav), Puffin.BlobMeta(
             Puffin.DeletionVectorV1, fields = Seq(2147483546), // pos field
@@ -161,7 +169,7 @@ private[graft] object IcebergSync {
         }
         (entries, Some(puffinPath))
       }
-    val deleteManifestPath = s"$dir/manifest-deletes-$seq.avro"
+    val deleteManifestPath = s"$dir/manifest-deletes-$seq-$attempt.avro"
     if (deleteEntries.nonEmpty)
       Fio.writeBytesAtomic(deleteManifestPath,
         AvroOcf.writeFile(IcebergMeta.manifestEntrySchema,
@@ -188,7 +196,7 @@ private[graft] object IcebergSync {
             properties = Map("cardinality" -> ie.dataFiles.size.toString)))
         }
         val (bytes, _) = Puffin.writeBytes(blobs)
-        val p = s"$dir/idx-$seq.puffin"
+        val p = s"$dir/idx-$seq-$attempt.puffin"
         Fio.writeBytesAtomic(p, bytes)
         Some(p)
       }
@@ -222,7 +230,7 @@ private[graft] object IcebergSync {
       (if (deleteEntries.nonEmpty)
         Seq(listEntry(deleteManifestPath, 1, deleteEntries, seq))
       else Seq.empty)
-    val manifestListPath = s"$dir/snap-$snapshotId-manifest-list.avro"
+    val manifestListPath = s"$dir/snap-$snapshotId-$attempt-manifest-list.avro"
     Fio.writeBytesAtomic(manifestListPath,
       AvroOcf.writeFile(IcebergMeta.manifestListSchema,
         Map("format-version" -> "3"), listEntries))
@@ -249,14 +257,14 @@ private[graft] object IcebergSync {
       schemas = allSchemas, currentSchemaId = schemaId,
       snapshots = prior.map(_.snapshots).getOrElse(Seq.empty) :+ snapshot,
       currentSnapshotId = snapshotId)
-    val metadataPath = s"$dir/v$seq.metadata.json"
+    val metadataPath = s"$dir/v$seq-$attempt.metadata.json"
     Fio.writeAtomic(metadataPath, IcebergMeta.metadataJson(meta))
     // the hint is the one MUTABLE file (HadoopTables convention);
-    // writeAtomic refuses to rename over an existing target, so clear
-    // it first — the real commit pointer is the catalog's CAS swing,
-    // the hint only serves catalog-less readers
-    Fio.delete(s"$dir/version-hint.text")
-    Fio.writeAtomic(s"$dir/version-hint.text", s"v$seq.metadata.json")
+    // the swing is an atomic REPLACE so no crash instant leaves the
+    // table pointerless — the real commit pointer is the catalog's
+    // CAS swing, the hint only serves catalog-less readers
+    Fio.replaceAtomic(s"$dir/version-hint.text",
+      s"v$seq-$attempt.metadata.json")
     SyncResult(metadataPath, snapshotId, seq)
   }
 
@@ -301,8 +309,7 @@ private[graft] object IcebergSync {
       .find(n => !Fio.exists(s"$dir/$n")).get
     val pruned = meta.copy(snapshots = kept)
     Fio.writeAtomic(s"$dir/$name", IcebergMeta.metadataJson(pruned))
-    Fio.delete(s"$dir/version-hint.text")
-    Fio.writeAtomic(s"$dir/version-hint.text", name)
+    Fio.replaceAtomic(s"$dir/version-hint.text", name)
     dropped.size
   }
 

@@ -280,6 +280,43 @@ class IcebergSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.format.ManifestLog.latestVersion(root).contains(m2.version))
   }
 
+  test("sync crash before the pointer swing: retry publishes the fresh state") {
+    // a sync that wrote its whole artifact set but died before the
+    // version-hint swing leaves a complete ORPHAN closure at the same
+    // sequence number; the retry (possibly with NEWER table state)
+    // writes attempt-unique names, so the orphan can never displace the
+    // retry's bytes — the hint always selects a closure whose content
+    // is what the successful sync actually saw
+    val root = Files.createTempDirectory("graft-ice-crash").toString + "/t"
+    val schema = SchemaDsl.struct("id" -> "int64", "v" -> "int64")
+    val t = GraftTable.create(spark, root, schema, Identity.Keys(Seq("id")),
+      TableConfig(walEnabled = false))
+    t.upsertAll((1L to 5L).map(i => Row(i, i)), startLsn = 1)
+    t.flush(); t.publish()
+    IcebergSync.sync(root, t.currentManifest, nowMs = 1700000000000L)
+    t.upsertAll(Seq(Row(6L, 6L)), startLsn = 10L); t.flush(); t.publish()
+    graft.format.Fio.faults = new graft.format.FioFaults {
+      override def beforeOp(op: String, path: String): Unit =
+        if (op == "write" && path.endsWith("version-hint.text"))
+          throw new java.io.IOException("injected: crash before hint swing")
+    }
+    try intercept[java.io.IOException] {
+      IcebergSync.sync(root, t.currentManifest, nowMs = 1700000001000L)
+    } finally graft.format.Fio.faults = null
+    // the hint still selects the LAST GOOD snapshot (seq 1, 5 rows)
+    assert(IcebergSync.readDataFrame(spark,
+      IcebergSync.currentMetadataPath(root).get).count() == 5L)
+    // the retry sees prior = seq 1, claims seq 2 with fresh names, and
+    // the published closure carries the retry's CURRENT state — the
+    // crashed attempt's orphans are never adopted
+    t.upsertAll(Seq(Row(7L, 7L)), startLsn = 20L); t.flush(); t.publish()
+    val r = IcebergSync.sync(root, t.currentManifest, nowMs = 1700000002000L)
+    assert(r.sequenceNumber == 2L)
+    val df = IcebergSync.readDataFrame(spark,
+      IcebergSync.currentMetadataPath(root).get)
+    assert(df.count() == 7L, "the hinted snapshot holds the retry's state")
+  }
+
   test("expire bounds the snapshot history; current state keeps reading") {
     val root = Files.createTempDirectory("graft-ice-exp").toString + "/t"
     val schema = SchemaDsl.struct("id" -> "int64", "v" -> "int64")
