@@ -46,7 +46,15 @@ object Wal {
         case _ =>
       }
     }
-    Fio.writeAtomic(f"${walDir(root)}/wal-$next%09d.jsonl", sb.toString)
+    // put-if-absent with LOUD conflict: a rival handle racing the same
+    // segment number must never have its durability record silently
+    // dropped (the manifest commit has the same CAS rule) — the losing
+    // statement fails before its caller can believe the events durable
+    if (!Fio.writeAtomicCas(f"${walDir(root)}/wal-$next%09d.jsonl",
+        sb.toString))
+      throw new java.util.ConcurrentModificationException(
+        f"WAL segment wal-$next%09d of $root was claimed by another " +
+          "writer; reload the table and retry the statement")
   }
 
   /** Replay events with lsn > committedLsn (plus all transactional
