@@ -109,8 +109,8 @@ class ChaosSpec extends AnyFunSuite with BeforeAndAfterAll {
             table.apply(batch.toSeq ++ xevs.toSeq); batch.clear()
             // aborted: model unchanged except main batch stays pending
           }
-        case 9 => // maintenance / recovery chaos
-          rnd.nextInt(3) match {
+        case 9 => // maintenance / recovery / export chaos
+          rnd.nextInt(4) match {
             case 0 => table.flush()
             case 1 => if (rnd.nextBoolean()) { table.compact(force = true); table.vacuum() }
             case 2 =>
@@ -119,6 +119,18 @@ class ChaosSpec extends AnyFunSuite with BeforeAndAfterAll {
                 table = GraftTable.open(spark, s"$dir/t",
                   Identity.Keys(Seq("k")), cfg)
               }
+            case 3 =>
+              // the Iceberg export verb interleaves with ingest at any
+              // committed state; the spec parse-back must agree with
+              // the manifest it exported (files AND DV cardinalities)
+              val m = table.currentManifest
+              val r = graft.format.iceberg.IcebergSync.sync(s"$dir/t", m)
+              val st = graft.format.iceberg.IcebergSync.readState(r.metadataPath)
+              assert(st.dataFiles.size == m.dataFiles.size,
+                s"seed=$seed: iceberg export lost files")
+              assert(st.dvs.values.map(_.getLongCardinality).sum ==
+                m.dataFiles.map(_.deletes).sum,
+                s"seed=$seed: iceberg export DV cardinality diverged")
           }
       }
     }
