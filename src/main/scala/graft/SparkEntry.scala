@@ -1354,6 +1354,27 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "cdc_point_lookup" -> ((s, d) => {
+      // the reference's hash-index point probe surfaced to SQL
+      // (persisted_bucket_hash_map.rs:276): after an index merge the
+      // bucketed key index carries xxhash64 coverage per file, and a
+      // full-key equality scan plans ONLY the data files the index
+      // names — at 100 TB a point query touches one index bucket and
+      // one data file, not the table. Ten point probes read back
+      // through the DSv2 connector.
+      val table = runCdc(s, d, deleteType = None)
+      table.mergeIndexes()
+      val probes = (1 to 10).map(i => i * 7L)
+      probes.map { uid =>
+        s.read.format("graft").load(table.root)
+          .where(col("user_id") === uid)
+      }.reduce(_ unionByName _)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"),
+          cents(col("value")).as("value_cents"))
+        .orderBy("user_id")
+    }),
+
     "cdc_cached_read" -> ((s, d) => {
       // M16: same upsert table, scan routed through the object-storage
       // cache (read pins local copies; DV filtering keys on preserved
@@ -4704,6 +4725,17 @@ object SparkEntry {
 
     "cdc_cached_read" -> cdcUpsertOracle,
     "cdc_dsv2_read" -> cdcUpsertOracle,
+
+    // ten point probes = the upsert state restricted to those keys
+    "cdc_point_lookup" ->
+      """SELECT user_id,
+        |       event_id AS last_event_id,
+        |       event_type AS last_event_type,
+        |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
+        |FROM events
+        |WHERE user_id IN (7, 14, 21, 28, 35, 42, 49, 56, 63, 70)
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
     // streaming CDC sink folds to the same final state as batch upserts
     "cdc_stream_upsert_sink" -> cdcUpsertOracle,
     // CALL optimize/vacuum must preserve the exact fold

@@ -35,7 +35,19 @@ final case class DataFileEntry(
     // column name -> (min, max) as JSON-friendly strings, for pruning
     stats: Map[String, Seq[String]] = Map.empty)
 
-final case class IndexFileEntry(path: String, dataFiles: Seq[String])
+final case class IndexFileEntry(path: String, dataFiles: Seq[String],
+    // merged (hash-bucketed) index files carry their xxhash64(key)
+    // coverage as ["min","max"] strings (string-encoded like stats, so
+    // Jackson never boxes) — a point lookup probes only the files
+    // whose range covers the key's hash, the reference's bucketed
+    // hash-map probe (`persisted_bucket_hash_map.rs:276`). Empty =
+    // unranged (fresh flush output): always probed.
+    khRange: Seq[String] = Seq.empty) {
+  def coversHash(kh: Long): Boolean = khRange match {
+    case Seq(mn, mx) => kh >= mn.toLong && kh <= mx.toLong
+    case _ => true
+  }
+}
 
 final case class Manifest(
     version: Long,

@@ -449,13 +449,60 @@ private[sources] class GraftScan(root: String, manifest: Manifest,
       }
     }
 
+  // ---- index-backed point lookup ------------------------------------
+  // When the pushed filters pin EVERY key column with an equality, the
+  // persisted key index answers "which data files can hold this key"
+  // directly — the reference's bucketed hash-map point probe
+  // (`persisted_bucket_hash_map.rs:276`) as file pruning: merged index
+  // files carry their xxhash64(key) coverage in the manifest, so the
+  // probe reads ONE index bucket file at any table size, then the scan
+  // plans only the data files the index names (usually one). Purely an
+  // optimization: any failure falls back to the stats path.
+  private lazy val indexLookupFiles: Option[Set[String]] = try {
+    if (manifest.keyCols.isEmpty || manifest.indexFiles.isEmpty) scala.None
+    else {
+      val eqs = pushed.collect {
+        case org.apache.spark.sql.sources.EqualTo(c, v) => c -> v }.toMap
+      if (!manifest.keyCols.forall(eqs.contains)) scala.None
+      else {
+        val s = org.apache.spark.sql.SparkSession.active
+        val keyFields = manifest.keyCols.map(c =>
+          manifest.schema.fields(manifest.schema.fieldIndex(c)))
+        val keyRow = org.apache.spark.sql.Row.fromSeq(
+          keyFields.map(f => eqs(f.name)))
+        val oneRow = s.createDataFrame(
+          java.util.Collections.singletonList(keyRow),
+          StructType(keyFields))
+        // hash parity by construction: the SAME Spark expression that
+        // bucketed the merged index computes the probe hash
+        val kh = oneRow.select(org.apache.spark.sql.functions
+          .xxhash64(keyFields.map(f =>
+            org.apache.spark.sql.functions.col(f.name)): _*)).head().getLong(0)
+        val buckets = manifest.indexFiles.filter(_.coversHash(kh))
+        if (buckets.isEmpty) Some(Set.empty[String])
+        else {
+          val idx = s.read.parquet(
+            buckets.map(e => s"$root/index/${e.path}"): _*)
+          val cond = keyFields.map(f =>
+            org.apache.spark.sql.functions.col(f.name) ===
+              org.apache.spark.sql.functions.lit(eqs(f.name)))
+            .reduce(_ && _)
+          Some(idx.where(cond)
+            .select(org.apache.spark.sql.functions.col("_file"))
+            .distinct().collect().map(_.getString(0)).toSet)
+        }
+      }
+    }
+  } catch { case _: Throwable => scala.None }
+
   // fully-deleted files (rows == deletes) are the FILE-level DV skip:
   // zero live rows, so they are never planned at all. (defs, not lazy
   // vals: runtime filters arriving via `filter` must re-prune.)
   private def statSurvivors: Seq[DataFileEntry] =
     manifest.dataFiles.filter(e => e.rows > e.deletes &&
       pushed.forall(f => GraftScan.mayMatch(manifest.schema, e, f)) &&
-      passesRuntime(e))
+      passesRuntime(e) &&
+      indexLookupFiles.forall(_.contains(e.path)))
 
   // With a pushed limit (only offered with no residual filters), stop
   // planning files once their live rows cover it.

@@ -1880,11 +1880,19 @@ final class GraftTable private (
       // size-tuned output: the index holds ~one row per live table row,
       // so a single-file merge would funnel the whole table through one
       // task at scale (reference merges into final-SIZED index files,
-      // `persisted_bucket_hash_map.rs:525`)
+      // `persisted_bucket_hash_map.rs:525`). The merge RANGE-partitions
+      // on xxhash64(key) and records each file's hash coverage in the
+      // manifest — the bucketed-hash-map shape: a point lookup probes
+      // ONE merged file at any table size instead of the whole index.
       val nOut = math.max(1, math.ceil(fileEntries.values.map(_.rows)
         .sum.toDouble / config.rowsPerFile).toInt)
       val tmp = s"$root/tmp/${UUID.randomUUID()}"
-      parts.reduce(_ unionByName _).coalesce(nOut)
+      val keyHash = xxhash64(keyFields.map(f => col(f.name)): _*)
+      val unioned = parts
+        .map(df => if (df.columns.contains("_kh")) df.drop("_kh") else df)
+        .reduce(_ unionByName _)
+        .withColumn("_kh", keyHash)
+      unioned.repartitionByRange(nOut, col("_kh"))
         .write.mode("overwrite").parquet(tmp)
       val outParts = Fio.list(tmp)
         .filter(n => n.startsWith("part-") && n.endsWith(".parquet")).sorted
@@ -1892,12 +1900,43 @@ final class GraftTable private (
       outParts.foreach { p =>
         val name = f"idx-${newId()}%09d.parquet"
         Fio.move(s"$tmp/$p", s"$root/index/$name")
-        indexFiles += IndexFileEntry(name, allData)
+        indexFiles += IndexFileEntry(name, allData,
+          khRange = khFooterRange(s"$root/index/$name")
+            .map { case (mn, mx) => Seq(mn.toString, mx.toString) }
+            .getOrElse(Seq.empty))
       }
       Fio.delete(tmp)
     }
     // old index files reclaimed by vacuum()
   }
+
+  /** min/max of the `_kh` column from the parquet FOOTER — driver
+   *  metadata IO only, no Spark job (the write just produced the file;
+   *  its row-group stats are exact). None when the column is absent or
+   *  statless (pruning then stays off for that file — safe). */
+  private def khFooterRange(path: String): Option[(Long, Long)] = try {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.conf.Configuration())
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val blocks = reader.getFooter.getBlocks
+      var mn = Long.MaxValue; var mx = Long.MinValue; var seen = false
+      blocks.forEach { b =>
+        b.getColumns.forEach { c =>
+          if (c.getPath.toDotString == "_kh" && c.getStatistics != null &&
+              !c.getStatistics.isEmpty) {
+            val st = c.getStatistics
+              .asInstanceOf[org.apache.parquet.column.statistics.LongStatistics]
+            mn = math.min(mn, st.genericGetMin)
+            mx = math.max(mx, st.genericGetMax)
+            seen = true
+          }
+        }
+      }
+      if (seen) Some((mn, mx)) else scala.None
+    } finally reader.close()
+  } catch { case _: Throwable => scala.None }
 
   /** Consolidate DV sidecars after compaction: victims' DVs drop, the
    *  rest persist as ONE sidecar serialized straight from the driver's

@@ -77,6 +77,48 @@ class GraftDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.drop()
   }
 
+  test("full-key equality probes the bucketed index; stats alone cannot") {
+    // two files with OVERLAPPING id ranges defeat min/max pruning; the
+    // merged (hash-bucketed) key index names the exact file — the
+    // reference's persisted-hash-map point probe as DSv2 file pruning
+    val dir = tmpDir() + "/t"
+    val t = GraftTable.create(spark, dir, schema,
+      Identity.Keys(Seq("id")), TableConfig(walEnabled = false))
+    def row(i: Long) = Row(i, s"n$i", i * 1.5, i % 2 == 0,
+      java.sql.Timestamp.valueOf(f"2025-01-01 00:00:${i % 60}%02d"))
+    val odds = (1L to 19L by 2) :+ 100L
+    val evens = (2L to 20L by 2) :+ 99L
+    t.apply(odds.flatMap(i => CdcEvent.upsert(row(i), Seq(i), i)) :+ Commit(50L))
+    t.flush(); t.publish()
+    t.apply(evens.flatMap(i => CdcEvent.upsert(row(i), Seq(i), i + 50)) :+ Commit(99L))
+    t.flush(); t.publish()
+    assert(t.currentManifest.dataFiles.size == 2)
+    t.mergeIndexes()
+    val m = t.currentManifest
+    assert(m.indexFiles.nonEmpty && m.indexFiles.forall(_.khRange.size == 2),
+      "merged index files carry their hash coverage")
+    def partsFor(fs: Array[org.apache.spark.sql.sources.Filter]): Int = {
+      val sb = new GraftScanBuilder(t.root, m)
+      sb.pushFilters(fs)
+      sb.build().toBatch.planInputPartitions().length
+    }
+    assert(partsFor(Array.empty) == 2)
+    // both files' id stats cover 19 — stats pass 2, the index names 1
+    assert(partsFor(Array(GreaterThan("id", 18L), LessThan("id", 20L))) == 2,
+      "overlapping ranges: stats cannot isolate")
+    assert(partsFor(Array(EqualTo("id", 19L))) == 1,
+      "the index probe plans exactly the one file holding the key")
+    // a key that never existed plans ZERO files
+    assert(partsFor(Array(EqualTo("id", 55L))) == 0)
+    // end-to-end correctness with the probe active
+    val got = spark.read.format("graft").load(t.root)
+      .where(col("id") === 19L).collect()
+    assert(got.length == 1 && got.head.getLong(0) == 19L)
+    assert(spark.read.format("graft").load(t.root)
+      .where(col("id") === 55L).count() == 0L)
+    t.drop()
+  }
+
   test("pushed filters prune files by manifest stats") {
     val t = buildTable()
     val manifest = t.currentManifest
