@@ -1365,10 +1365,8 @@ object SparkEntry {
       val table = runCdc(s, d, deleteType = None)
       table.mergeIndexes()
       val probes = (1 to 10).map(i => i * 7L)
-      probes.map { uid =>
-        s.read.format("graft").load(table.root)
-          .where(col("user_id") === uid)
-      }.reduce(_ unionByName _)
+      s.read.format("graft").load(table.root)
+        .where(col("user_id").isin(probes: _*))
         .select(col("user_id"), col("event_id").as("last_event_id"),
           col("event_type").as("last_event_type"),
           cents(col("value")).as("value_cents"))

@@ -324,6 +324,7 @@ private[sources] object GraftScan {
       case GreaterThanOrEqual(c, v) => ok(c, v)
       case LessThan(c, v) => ok(c, v)
       case LessThanOrEqual(c, v) => ok(c, v)
+      case In(c, vs) => vs.nonEmpty && vs.forall(v => ok(c, v))
       case _ => false
     }
   }
@@ -374,6 +375,13 @@ private[sources] object GraftScan {
       }
       case LessThanOrEqual(c, v) => (bounds(c), cv(c, v)) match {
         case (Some((mn, _, ord)), Some(x)) => ord.lteq(mn, x)
+        case _ => true
+      }
+      case In(c, vs) => bounds(c) match {
+        case Some((mn, mx, ord)) => vs.exists(v => cv(c, v) match {
+          case Some(x) => ord.lteq(mn, x) && ord.gteq(mx, x)
+          case scala.None => true
+        })
         case _ => true
       }
       case _ => true
@@ -461,35 +469,49 @@ private[sources] class GraftScan(root: String, manifest: Manifest,
   private lazy val indexLookupFiles: Option[Set[String]] = try {
     if (manifest.keyCols.isEmpty || manifest.indexFiles.isEmpty) scala.None
     else {
-      val eqs = pushed.collect {
-        case org.apache.spark.sql.sources.EqualTo(c, v) => c -> v }.toMap
-      if (!manifest.keyCols.forall(eqs.contains)) scala.None
-      else {
+      import org.apache.spark.sql.functions.{col => fcol, lit => flit, xxhash64}
+      import org.apache.spark.sql.sources.{EqualTo, In}
+      // key tuples pinned by the pushed filters: every key column with
+      // an equality (composite keys), or an IN list on the single key
+      // column (batch point lookups) — bounded to keep the probe tiny
+      val keyFields = manifest.keyCols.map(c =>
+        manifest.schema.fields(manifest.schema.fieldIndex(c)))
+      val tuples: Option[Seq[Seq[Any]]] =
+        if (manifest.keyCols.length == 1) {
+          val k = manifest.keyCols.head
+          pushed.collectFirst {
+            case In(c, vs) if c == k && vs.nonEmpty && vs.length <= 1024 &&
+              vs.forall(_ != null) => vs.toSeq.map(Seq(_))
+            case EqualTo(c, v) if c == k && v != null => Seq(Seq(v))
+          }
+        } else {
+          val eqs = pushed.collect { case EqualTo(c, v) if v != null => c -> v }.toMap
+          if (manifest.keyCols.forall(eqs.contains))
+            Some(Seq(manifest.keyCols.map(eqs)))
+          else scala.None
+        }
+      tuples.map { ts =>
         val s = org.apache.spark.sql.SparkSession.active
-        val keyFields = manifest.keyCols.map(c =>
-          manifest.schema.fields(manifest.schema.fieldIndex(c)))
-        val keyRow = org.apache.spark.sql.Row.fromSeq(
-          keyFields.map(f => eqs(f.name)))
-        val oneRow = s.createDataFrame(
-          java.util.Collections.singletonList(keyRow),
-          StructType(keyFields))
+        val rows = ts.map(org.apache.spark.sql.Row.fromSeq(_))
         // hash parity by construction: the SAME Spark expression that
-        // bucketed the merged index computes the probe hash
-        val kh = oneRow.select(org.apache.spark.sql.functions
-          .xxhash64(keyFields.map(f =>
-            org.apache.spark.sql.functions.col(f.name)): _*)).head().getLong(0)
-        val buckets = manifest.indexFiles.filter(_.coversHash(kh))
-        if (buckets.isEmpty) Some(Set.empty[String])
+        // bucketed the merged index computes the probe hashes
+        val hashes = s.createDataFrame(rows.asJava, StructType(keyFields))
+          .select(xxhash64(keyFields.map(f => fcol(f.name)): _*))
+          .collect().map(_.getLong(0)).toSet
+        val buckets = manifest.indexFiles.filter(e =>
+          hashes.exists(e.coversHash))
+        if (buckets.isEmpty) Set.empty[String]
         else {
           val idx = s.read.parquet(
             buckets.map(e => s"$root/index/${e.path}"): _*)
-          val cond = keyFields.map(f =>
-            org.apache.spark.sql.functions.col(f.name) ===
-              org.apache.spark.sql.functions.lit(eqs(f.name)))
-            .reduce(_ && _)
-          Some(idx.where(cond)
-            .select(org.apache.spark.sql.functions.col("_file"))
-            .distinct().collect().map(_.getString(0)).toSet)
+          val cond =
+            if (manifest.keyCols.length == 1)
+              fcol(manifest.keyCols.head).isin(ts.map(_.head): _*)
+            else keyFields.zip(ts.head).map { case (f, v) =>
+              fcol(f.name) === flit(v) }.reduce(_ && _)
+          idx.where(cond)
+            .select(fcol("_file"))
+            .distinct().collect().map(_.getString(0)).toSet
         }
       }
     }

@@ -110,6 +110,14 @@ class GraftDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the index probe plans exactly the one file holding the key")
     // a key that never existed plans ZERO files
     assert(partsFor(Array(EqualTo("id", 55L))) == 0)
+    // IN-list batch lookup: keys living in ONE file plan one file;
+    // keys spanning both plan both; all-absent keys plan zero
+    assert(partsFor(Array(
+      org.apache.spark.sql.sources.In("id", Array(3L, 7L, 11L)))) == 1)
+    assert(partsFor(Array(
+      org.apache.spark.sql.sources.In("id", Array(3L, 4L)))) == 2)
+    assert(partsFor(Array(
+      org.apache.spark.sql.sources.In("id", Array(55L, 66L)))) == 0)
     // end-to-end correctness with the probe active
     val got = spark.read.format("graft").load(t.root)
       .where(col("id") === 19L).collect()
