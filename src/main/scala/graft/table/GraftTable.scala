@@ -995,7 +995,21 @@ final class GraftTable private (
     val keySchema = StructType(keyFields)
     val keyDF = spark.createDataFrame(
       due.map(d => Row.fromSeq(d._1)).distinct.asJava, keySchema)
-    val idx = spark.read.parquet(indexFiles.map(e => s"$root/index/${e.path}").toSeq: _*)
+    // bucket pruning: hash-ranged (merged) index files are probed only
+    // when they can cover a due key's xxhash64 — a small delete set on
+    // a big table reads a handful of index buckets, not the whole
+    // index (the same coverage map the DSv2 point lookup uses)
+    val probeFiles =
+      if (!indexFiles.exists(_.khRange.size == 2)) indexFiles.toSeq
+      else {
+        val hashes = keyDF.select(xxhash64(
+            keyFields.map(f => col(f.name)): _*))
+          .collect().map(_.getLong(0)).toSet
+        indexFiles.toSeq.filter(e => hashes.exists(e.coversHash))
+      }
+    if (probeFiles.isEmpty) return
+    val idx = spark.read.parquet(
+      probeFiles.map(e => s"$root/index/${e.path}"): _*)
     val nk = keyFields.length
     val cands = idx.join(broadcast(keyDF), keyFields.map(_.name).toSeq)
       .select(keyFields.map(f => col(f.name)) :+

@@ -188,6 +188,29 @@ class GraftTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.drop()
   }
 
+  test("deletes resolve through the hash-bucketed merged index") {
+    // after mergeIndexes the index is range-partitioned on
+    // xxhash64(key) with coverage recorded per file; delete resolution
+    // prunes to covering buckets — EVERY due key must still find its
+    // row (a coverage bug here silently misses deletes)
+    val root = tmpDir() + "/users"
+    val t = GraftTable.create(spark, root, userSchema,
+      Identity.Keys(Seq("id")), TableConfig(walEnabled = false))
+    t.insertAll((1 to 30).map(i => user(i, s"u$i", i)), 1)
+    t.insertAll((31 to 60).map(i => user(i, s"u$i", i)), 100)
+    t.mergeIndexes()
+    assert(t.currentManifest.indexFiles.forall(_.khRange.size == 2))
+    // deletes spanning both original files, resolved post-merge
+    val victims = Seq(1, 15, 30, 31, 45, 60)
+    t.apply(victims.zipWithIndex.map { case (k, i) =>
+      Delete(Seq(k), 200L + i): CdcEvent } :+ Commit(300L))
+    assert(stateOf(t).keySet == ((1 to 60).toSet -- victims))
+    // and a delete for an absent key still no-ops
+    t.apply(Seq(Delete(Seq(999), 400L, ifExists = true), Commit(401L)))
+    assert(stateOf(t).keySet == ((1 to 60).toSet -- victims))
+    t.drop()
+  }
+
   test("reopen replays the WAL tail without minting a version (no-op guard)") {
     // a Commit marker above the flush LSN survives WAL truncation; a
     // SECOND handle's open replays it to rebuild the tail — that
