@@ -3671,6 +3671,40 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "dedup_keep_best" -> ((s, d) => {
+      // quality-aware canonicalization: inside each near-dup cluster
+      // keep the HIGHEST-quality document (tie -> lowest id) instead
+      // of an arbitrary representative — the survivor-selection pass a
+      // production corpus dedup runs after clustering (connectivity
+      // picks the cluster, quality picks what ships to training).
+      // Staged: the labeled (doc, cluster, quality) frame; the oracle
+      // recomputes the argmax selection over the SAME rows. Scale: one
+      // window keyed by cluster + one grouped count — both shuffle on
+      // cluster_rep only; quality is integer milli (engine-exact).
+      val docs = t(s, d, "documents")
+      val sh = Dedup.minhashShingleFrame(docs, "doc_id", "text", shingleN = 2)
+      val edges = Dedup.verifyJaccardMilli(sh,
+          Dedup.minhashCandidates(sh, numHashes = 64, bands = 16),
+          minMilli = 200)
+        .select(col("id_a"), col("id_b"))
+      val comp = Dedup.connectedComponents(edges, "id_a", "id_b")
+      val labeled = stage(docs
+          .select(col("doc_id"), TextOps.qualityScore(col("text")).as("q_milli"))
+          .join(comp, col("doc_id") === comp("id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("comp"), col("doc_id")).as("cluster_rep"),
+            col("q_milli").cast("long").as("q_milli")),
+        d, "keepbest_labeled")
+      val w = Window.partitionBy(col("cluster_rep"))
+        .orderBy(col("q_milli").desc, col("doc_id").asc)
+      labeled.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .join(labeled.groupBy("cluster_rep")
+          .agg(count(lit(1)).as("cluster_size")), "cluster_rep")
+        .select(col("cluster_rep"), col("doc_id").as("kept_doc"),
+          col("q_milli"), col("cluster_size"))
+        .orderBy("cluster_rep")
+    }),
+
     "dedup_simhash" -> ((s, d) => {
       // hamming <= 6 of 64: the typical near-dup band; pigeonhole
       // blocking = 7 chunks of 9+ bits, so blocks stay selective.
@@ -5549,6 +5583,21 @@ object SparkEntry {
         |SELECT l.doc_id, l.cluster_rep, s.cluster_size
         |FROM labeled l JOIN sizes s USING (cluster_rep)
         |ORDER BY doc_id""".stripMargin,
+
+    "dedup_keep_best" ->
+      """WITH l AS (
+        |  SELECT * FROM read_parquet('/root/repo/target/oracle-stage/sf0.01/keepbest_labeled/*.parquet')),
+        |k AS (
+        |  SELECT cluster_rep, doc_id AS kept_doc, q_milli,
+        |         row_number() OVER (PARTITION BY cluster_rep
+        |                            ORDER BY q_milli DESC, doc_id ASC) AS rn
+        |  FROM l),
+        |sz AS (SELECT cluster_rep, COUNT(*) AS cluster_size FROM l GROUP BY 1)
+        |SELECT k.cluster_rep, k.kept_doc, CAST(k.q_milli AS BIGINT) AS q_milli,
+        |       sz.cluster_size
+        |FROM k JOIN sz USING (cluster_rep)
+        |WHERE rn = 1
+        |ORDER BY cluster_rep""".stripMargin,
 
     "dedup_simhash" ->
       """WITH fp AS (SELECT * FROM read_parquet('/root/repo/target/oracle-stage/sf0.01/dedup_simhash_fp/*.parquet'))

@@ -275,7 +275,8 @@ private[graft] object IcebergSync {
    *  (manifest lists, manifests, puffin DV/index files) — iceberg
    *  expire-snapshots semantics: data files are NEVER touched (they
    *  belong to the table), only metadata. Returns snapshots dropped. */
-  def expireSnapshots(root: String, keepLast: Int): Int = {
+  def expireSnapshots(root: String, keepLast: Int,
+      graceMs: Long = 10 * 60 * 1000L): Int = {
     val metaPath = currentMetadataPath(root).getOrElse(return 0)
     val meta = IcebergMeta.parseMetadataJson(Fio.readString(metaPath))
     val keepN = math.max(1, keepLast)
@@ -310,6 +311,21 @@ private[graft] object IcebergSync {
     val pruned = meta.copy(snapshots = kept)
     Fio.writeAtomic(s"$dir/$name", IcebergMeta.metadataJson(pruned))
     Fio.replaceAtomic(s"$dir/version-hint.text", name)
+    // sweep orphaned sync artifacts: metadata-dir files no kept
+    // snapshot references and the pruned-history commit does not own —
+    // crashed attempts' complete-but-never-pointed closures and
+    // superseded metadata documents. AGE-GATED so a concurrent sync's
+    // just-written, not-yet-pointed artifacts always survive the sweep
+    // (the same grace rule as the table-open orphan sweep).
+    val owned = keepFiles ++ Set(s"$dir/$name", s"$dir/version-hint.text")
+    val cutoff = System.currentTimeMillis() - math.max(0L, graceMs)
+    Fio.list(dir).map(n => s"$dir/$n").filterNot(owned).filter { p =>
+      val n = p.substring(p.lastIndexOf('/') + 1)
+      n.startsWith("manifest-") || n.startsWith("snap-") ||
+        n.startsWith("dvs-") || n.startsWith("idx-") ||
+        (n.startsWith("v") && n.endsWith(".metadata.json"))
+    }.filter(p => Fio.modTime(p).exists(_ < cutoff))
+      .foreach(Fio.delete)
     dropped.size
   }
 

@@ -349,5 +349,26 @@ class IcebergSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(IcebergSync.readDataFrame(spark, r5.metadataPath).count() == 5L)
     // expiry is idempotent at the bound
     assert(IcebergSync.expireSnapshots(root, keepLast = 5) == 0)
+    // orphan sweep: a crashed attempt's complete-but-never-pointed
+    // closure (and superseded metadata documents) reclaim on the next
+    // expiry once past the grace age; kept snapshots' files survive
+    graft.format.Fio.faults = new graft.format.FioFaults {
+      override def beforeOp(op: String, path: String): Unit =
+        if (op == "write" && path.endsWith("version-hint.text"))
+          throw new java.io.IOException("injected: crash before hint swing")
+    }
+    try intercept[java.io.IOException] {
+      IcebergSync.sync(root, t.currentManifest, nowMs = 1700000002000L)
+    } finally graft.format.Fio.faults = null
+    val dir = IcebergSync.metadataDir(root)
+    val orphaned = graft.format.Fio.list(dir).filter(_.contains("-data-6"))
+    assert(orphaned.nonEmpty, "the crashed attempt left artifacts")
+    t.upsertAll(Seq(Row(10L, 100L)), startLsn = 200L); t.flush(); t.publish()
+    IcebergSync.sync(root, t.currentManifest, nowMs = 1700000003000L)
+    assert(IcebergSync.expireSnapshots(root, keepLast = 2, graceMs = 0L) > 0)
+    assert(graft.format.Fio.list(dir).count(_.contains("-data-6")) == 1,
+      "only the successful seq-6 attempt's manifest survives the sweep")
+    assert(IcebergSync.readDataFrame(spark,
+      IcebergSync.currentMetadataPath(root).get).count() == 6L)
   }
 }
