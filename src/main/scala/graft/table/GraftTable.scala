@@ -682,7 +682,7 @@ final class GraftTable private (
       .orElse(fusedAcc.map(acc => acc.value.map { case (pid, (n, mins, maxs)) =>
         val stats = statFields.zipWithIndex.map { case ((f, _), j) =>
           f.name -> (if (mins(j) == null) Seq.empty[String]
-                     else Seq(mins(j).toString, maxs(j).toString))
+                     else statBounds(f.dataType, mins(j), maxs(j)))
         }.toMap
         pid -> (n, stats)
       }))
@@ -726,7 +726,7 @@ final class GraftTable private (
     }.collect().map { case (pid, n, mins, maxs) =>
       val stats = statFields.zipWithIndex.map { case ((f, _), j) =>
         f.name -> (if (mins(j) == null) Seq.empty[String]
-                   else Seq(mins(j).toString, maxs(j).toString))
+                   else statBounds(f.dataType, mins(j), maxs(j)))
       }.toMap
       pid -> (n, stats)
     }.toMap
@@ -771,7 +771,7 @@ final class GraftTable private (
     val stats = raw.map { case (pid, n, mins, maxs, _) =>
       val m = statFields.zipWithIndex.map { case ((f, _), j) =>
         f.name -> (if (mins(j) == null) Seq.empty[String]
-                   else Seq(mins(j).toString, maxs(j).toString))
+                   else statBounds(f.dataType, mins(j), maxs(j)))
       }.toMap
       pid -> (n, m)
     }.toMap
@@ -924,7 +924,7 @@ final class GraftTable private (
         if (vs.isEmpty) f.name -> Seq.empty[String]
         else {
           implicit val ord: Ordering[Any] = anyOrdering(f.dataType)
-          f.name -> Seq(vs.min.toString, vs.max.toString)
+          f.name -> statBounds(f.dataType, vs.min, vs.max)
         }
     }.toMap
 
@@ -1787,7 +1787,7 @@ final class GraftTable private (
               val mn = r.get(r.fieldIndex(s"_mn_${f.name}"))
               val mx = r.get(r.fieldIndex(s"_mx_${f.name}"))
               f.name -> (if (mn == null) Seq.empty[String]
-                         else Seq(mn.toString, mx.toString))
+                         else statBounds(f.dataType, mn, mx))
             }.toMap
             r.getString(0) -> (r.getLong(r.fieldIndex("_n")), stats)
           }.toMap
@@ -2534,6 +2534,41 @@ object GraftTable {
     case _: BooleanType => Ordering.Boolean.on[Any](_.asInstanceOf[Boolean])
     case other => throw new IllegalArgumentException(s"no ordering for $other")
   }
+
+  /** Manifest-stat bounds as strings. String columns TRUNCATE to 32
+   *  code points (Iceberg's metrics truncation): the lower bound keeps
+   *  the plain prefix (prefix <= every value), the upper bound is the
+   *  prefix with its last liftable code point incremented (> every
+   *  value sharing the prefix — UTF-8 preserves code-point order, so
+   *  the bound holds under UTF8String binary comparison too). A max
+   *  whose truncation cannot be raised drops the pair rather than
+   *  store a wrong bound. Without this, a long-text column would embed
+   *  its full boundary documents in the manifest — megabytes per file
+   *  at corpus scale. */
+  private[graft] def statBounds(dt: DataType, mn: Any, mx: Any): Seq[String] =
+    dt match {
+      case StringType =>
+        val lo = mn.toString; val hi = mx.toString
+        val max = 32
+        def cpLen(s: String) = s.codePointCount(0, s.length)
+        def prefix(s: String) =
+          s.substring(0, s.offsetByCodePoints(0, max))
+        val loT = if (cpLen(lo) <= max) lo else prefix(lo)
+        if (cpLen(hi) <= max) Seq(loT, hi)
+        else {
+          val cps = prefix(hi).codePoints().toArray
+          var i = cps.length - 1
+          var lifted: String = null
+          while (i >= 0 && lifted == null) {
+            val c = cps(i) + 1
+            if (c <= 0x10FFFF && (c < 0xD800 || c > 0xDFFF))
+              lifted = new String(cps.take(i) :+ c, 0, i + 1)
+            else i -= 1
+          }
+          if (lifted == null) Seq.empty else Seq(loT, lifted)
+        }
+      case _ => Seq(mn.toString, mx.toString)
+    }
 
   private[graft] def statsComparable(dt: DataType): Boolean = dt match {
     case _: IntegerType | _: LongType | _: ShortType | _: DoubleType |

@@ -188,6 +188,42 @@ class GraftTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.drop()
   }
 
+  test("string stats truncate to bounded prefixes that still bound") {
+    import org.apache.spark.sql.types.StringType
+    val ord = GraftTable.anyOrdering(StringType)
+    // short strings store exactly
+    assert(GraftTable.statBounds(StringType, "abc", "xyz") == Seq("abc", "xyz"))
+    // long bounds truncate to 32 code points; the upper bound LIFTS so
+    // it still dominates the real max under binary UTF8 comparison
+    val lo = "a" * 100
+    val hi = "m" * 50 + "zzz"
+    val Seq(bLo, bHi) = GraftTable.statBounds(StringType, lo, hi)
+    assert(bLo.length == 32 && bHi.length == 32)
+    assert(ord.lteq(bLo, lo), "lower bound <= min")
+    assert(ord.gteq(bHi, hi), "lifted upper bound >= max")
+    assert(bHi == "m" * 31 + "n")
+    // an un-liftable max drops the pair instead of storing a wrong bound
+    val unliftable = new String(Array.fill(40)(0x10FFFF), 0, 40)
+    assert(GraftTable.statBounds(StringType, "a", unliftable).isEmpty)
+    // non-strings stringify exactly
+    assert(GraftTable.statBounds(
+      org.apache.spark.sql.types.LongType, 5L, 9L) == Seq("5", "9"))
+    // end-to-end: a long-text column's manifest stats stay tiny and the
+    // scan still prunes by prefix
+    val root = tmpDir() + "/docs"
+    val sch = SchemaDsl.struct("id" -> "int64", "body" -> "string")
+    val t = GraftTable.create(spark, root, sch, Identity.Keys(Seq("id")),
+      TableConfig(walEnabled = false))
+    t.apply(Seq(
+      Append(Row(1L, "alpha " * 50), 1), Append(Row(2L, "beta " * 50), 2),
+      Commit(3)))
+    t.flush(); t.publish()
+    val stats = t.currentManifest.dataFiles.head.stats("body")
+    assert(stats.forall(_.length <= 33),
+      s"stats must stay bounded, got lengths ${stats.map(_.length)}")
+    t.drop()
+  }
+
   test("deletes resolve through the hash-bucketed merged index") {
     // after mergeIndexes the index is range-partitioned on
     // xxhash64(key) with coverage recorded per file; delete resolution
