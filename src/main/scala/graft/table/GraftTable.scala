@@ -1862,7 +1862,25 @@ final class GraftTable private (
    *  (reference `mooncake_table.rs:1369`, `index_merge_config.rs`). */
   def mergeIndexes(): Boolean = synchronized {
     if (identity == Identity.None || indexFiles.size < 2) return false
-    rebuildIndexExcluding(Set.empty, Seq.empty, -1L)
+    val (ranged, unranged) = indexFiles.toSeq.partition(_.khRange.size == 2)
+    if (ranged.nonEmpty && unranged.size >= 2 &&
+        ranged.size < config.indexMergeFileCountThreshold) {
+      // GENERATIONAL merge: fold only the unranged flush tail into a
+      // fresh ranged generation — O(rows since the last merge), never
+      // O(table). Point probes and delete resolution already search
+      // every covering bucket across generations, so overlap is free;
+      // when ranged generations themselves pile past the threshold the
+      // else-branch folds everything into one generation again (the
+      // reference's merge likewise takes the small-file subset,
+      // index_merge_config.rs).
+      val covered = unranged.flatMap(_.dataFiles).distinct
+      val estRows = covered.flatMap(fileEntries.get).map(_.rows).sum
+      val fresh = writeRangedIndex(
+        spark.read.parquet(unranged.map(e => s"$root/index/${e.path}"): _*),
+        math.max(1L, estRows), covered)
+      indexFiles.clear()
+      indexFiles ++= ranged ++ fresh
+    } else rebuildIndexExcluding(Set.empty, Seq.empty, -1L)
     publish()
     true
   }
@@ -1889,39 +1907,46 @@ final class GraftTable private (
           col("_metadata.row_index").as("_pos") :+
           lit(additionsLsn).as("_lsn"): _*)
     indexFiles.clear()
-    if (parts.nonEmpty) {
-      Fio.mkdirs(s"$root/index")
-      // size-tuned output: the index holds ~one row per live table row,
-      // so a single-file merge would funnel the whole table through one
-      // task at scale (reference merges into final-SIZED index files,
-      // `persisted_bucket_hash_map.rs:525`). The merge RANGE-partitions
-      // on xxhash64(key) and records each file's hash coverage in the
-      // manifest — the bucketed-hash-map shape: a point lookup probes
-      // ONE merged file at any table size instead of the whole index.
-      val nOut = math.max(1, math.ceil(fileEntries.values.map(_.rows)
-        .sum.toDouble / config.rowsPerFile).toInt)
-      val tmp = s"$root/tmp/${UUID.randomUUID()}"
-      val keyHash = xxhash64(keyFields.map(f => col(f.name)): _*)
-      val unioned = parts
-        .map(df => if (df.columns.contains("_kh")) df.drop("_kh") else df)
-        .reduce(_ unionByName _)
-        .withColumn("_kh", keyHash)
-      unioned.repartitionByRange(nOut, col("_kh"))
-        .write.mode("overwrite").parquet(tmp)
-      val outParts = Fio.list(tmp)
-        .filter(n => n.startsWith("part-") && n.endsWith(".parquet")).sorted
-      val allData = fileEntries.keys.toSeq
-      outParts.foreach { p =>
-        val name = f"idx-${newId()}%09d.parquet"
-        Fio.move(s"$tmp/$p", s"$root/index/$name")
-        indexFiles += IndexFileEntry(name, allData,
-          khRange = khFooterRange(s"$root/index/$name")
-            .map { case (mn, mx) => Seq(mn.toString, mx.toString) }
-            .getOrElse(Seq.empty))
-      }
-      Fio.delete(tmp)
-    }
+    if (parts.nonEmpty)
+      indexFiles ++= writeRangedIndex(
+        parts.map(df => if (df.columns.contains("_kh")) df.drop("_kh") else df)
+          .reduce(_ unionByName _),
+        fileEntries.values.map(_.rows).sum,
+        fileEntries.keys.toSeq)
     // old index files reclaimed by vacuum()
+  }
+
+  /** Range-merge an index frame into size-tuned, hash-bucketed files.
+   *  Size-tuned: the index holds ~one row per live table row, so a
+   *  single-file merge would funnel the whole table through one task
+   *  at scale (reference merges into final-SIZED index files,
+   *  `persisted_bucket_hash_map.rs:525`). The merge RANGE-partitions
+   *  on xxhash64(key) and records each file's hash coverage in the
+   *  manifest — the bucketed-hash-map shape: a point lookup probes
+   *  ONE covering file per generation instead of the whole index. */
+  private def writeRangedIndex(df0: DataFrame, estRows: Long,
+      covered: Seq[String]): Seq[IndexFileEntry] = {
+    Fio.mkdirs(s"$root/index")
+    val nOut = math.max(1,
+      math.ceil(estRows.toDouble / config.rowsPerFile).toInt)
+    val tmp = s"$root/tmp/${UUID.randomUUID()}"
+    val keyHash = xxhash64(keyFields.map(f => col(f.name)): _*)
+    val unioned = (if (df0.columns.contains("_kh")) df0.drop("_kh") else df0)
+      .withColumn("_kh", keyHash)
+    unioned.repartitionByRange(nOut, col("_kh"))
+      .write.mode("overwrite").parquet(tmp)
+    val outParts = Fio.list(tmp)
+      .filter(n => n.startsWith("part-") && n.endsWith(".parquet")).sorted
+    val entries = outParts.map { p =>
+      val name = f"idx-${newId()}%09d.parquet"
+      Fio.move(s"$tmp/$p", s"$root/index/$name")
+      IndexFileEntry(name, covered,
+        khRange = khFooterRange(s"$root/index/$name")
+          .map { case (mn, mx) => Seq(mn.toString, mx.toString) }
+          .getOrElse(Seq.empty))
+    }
+    Fio.delete(tmp)
+    entries
   }
 
   /** min/max of the `_kh` column from the parquet FOOTER — driver

@@ -247,6 +247,29 @@ class GraftTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.drop()
   }
 
+  test("index merge is generational: later merges fold only the new tail") {
+    val root = tmpDir() + "/users"
+    val t = GraftTable.create(spark, root, userSchema,
+      Identity.Keys(Seq("id")), TableConfig(walEnabled = false))
+    t.insertAll((1 to 30).map(i => user(i, s"u$i", i)), 1)
+    t.insertAll((31 to 60).map(i => user(i, s"u$i", i)), 100)
+    t.mergeIndexes() // full: generation 1
+    val gen1 = t.currentManifest.indexFiles.map(_.path).toSet
+    assert(t.currentManifest.indexFiles.forall(_.khRange.size == 2))
+    t.insertAll((61 to 90).map(i => user(i, s"u$i", i)), 200)
+    t.insertAll((91 to 120).map(i => user(i, s"u$i", i)), 300)
+    t.mergeIndexes() // generational: gen1 files must survive UNTOUCHED
+    val after = t.currentManifest.indexFiles
+    assert(gen1.subsetOf(after.map(_.path).toSet),
+      "generation-1 buckets are not rewritten by the incremental merge")
+    assert(after.forall(_.khRange.size == 2), "the new tail is ranged too")
+    // deletes spanning BOTH generations resolve through the probes
+    t.apply(Seq(Delete(Seq(15), 400L), Delete(Seq(75), 401L): CdcEvent)
+      :+ Commit(402L))
+    assert(stateOf(t).keySet == ((1 to 120).toSet -- Seq(15, 75)))
+    t.drop()
+  }
+
   test("reopen replays the WAL tail without minting a version (no-op guard)") {
     // a Commit marker above the flush LSN survives WAL truncation; a
     // SECOND handle's open replays it to rebuild the tail — that
