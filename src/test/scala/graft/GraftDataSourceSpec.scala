@@ -127,6 +127,36 @@ class GraftDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.drop()
   }
 
+  test("composite-key point probe needs every key column pinned") {
+    val dir = tmpDir() + "/t"
+    val sch = SchemaDsl.struct("id" -> "int64", "name" -> "string",
+      "v" -> "int64")
+    val t = GraftTable.create(spark, dir, sch,
+      Identity.Keys(Seq("id", "name")), TableConfig(walEnabled = false))
+    def ev(i: Long, n: String) = CdcEvent.upsert(Row(i, n, i), Seq(i, n), i)
+    t.apply((1L to 10L).flatMap(i => ev(i, s"a$i")) :+ Commit(20L))
+    t.flush(); t.publish()
+    t.apply((1L to 10L).flatMap(i => ev(i, s"b$i")) :+ Commit(40L))
+    t.flush(); t.publish()
+    t.mergeIndexes()
+    val m = t.currentManifest
+    def partsFor(fs: Array[org.apache.spark.sql.sources.Filter]): Int = {
+      val sb = new GraftScanBuilder(t.root, m)
+      sb.pushFilters(fs)
+      sb.build().toBatch.planInputPartitions().length
+    }
+    // id stats overlap across both files ([1,10] each); only the full
+    // composite equality engages the index probe
+    assert(partsFor(Array(EqualTo("id", 5L))) == 2,
+      "partial key: no probe, stats cannot isolate")
+    assert(partsFor(Array(EqualTo("id", 5L), EqualTo("name", "a5"))) == 1)
+    assert(partsFor(Array(EqualTo("id", 5L), EqualTo("name", "zz"))) == 0)
+    val got = spark.read.format("graft").load(t.root)
+      .where(col("id") === 5L && col("name") === "b5").collect()
+    assert(got.length == 1 && got.head.getLong(2) == 5L)
+    t.drop()
+  }
+
   test("pushed filters prune files by manifest stats") {
     val t = buildTable()
     val manifest = t.currentManifest
