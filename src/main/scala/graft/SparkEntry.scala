@@ -437,7 +437,8 @@ object SparkEntry {
           |SELECT l_partkey AS p_partkey, SUM(cents) AS value_cents
           |FROM v
           |GROUP BY 1
-          |HAVING SUM(cents) > (SELECT SUM(cents) DIV 1000 FROM v)
+          |HAVING SUM(cents) > (SELECT SUM(cents)
+          |                     DIV (2 * COUNT(DISTINCT l_partkey)) FROM v)
           |ORDER BY value_cents DESC, p_partkey
           |LIMIT 100""".stripMargin)
     }),
@@ -4148,7 +4149,8 @@ object SparkEntry {
         |       CAST(SUM(cents) AS BIGINT) AS value_cents
         |FROM v
         |GROUP BY 1
-        |HAVING SUM(cents) > (SELECT SUM(cents) // 1000 FROM v)
+        |HAVING SUM(cents) > (SELECT SUM(cents)
+        |                     // (2 * COUNT(DISTINCT l_partkey)) FROM v)
         |ORDER BY value_cents DESC, p_partkey
         |LIMIT 100""".stripMargin,
 
