@@ -224,6 +224,32 @@ class GraftTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.drop()
   }
 
+  test("statBounds property: truncated bounds always bound (seeded sweep)") {
+    import org.apache.spark.sql.types.StringType
+    val ord = GraftTable.anyOrdering(StringType)
+    val rnd = new scala.util.Random(20260814L)
+    // alphabet stresses the lift: multi-byte UTF-8, astral plane,
+    // chars adjacent to the surrogate range
+    val alphabet = "abé中퟿" + new String(Character.toChars(0x1F600))
+    def randStr(): String = {
+      val n = rnd.nextInt(60)
+      (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    (1 to 500).foreach { i =>
+      val a = randStr(); val b = randStr()
+      val (lo, hi) = if (ord.lteq(a, b)) (a, b) else (b, a)
+      GraftTable.statBounds(StringType, lo, hi) match {
+        case Seq(bLo, bHi) =>
+          assert(ord.lteq(bLo, lo), s"case $i: lower bound must not exceed min")
+          assert(ord.gteq(bHi, hi), s"case $i: upper bound must dominate max")
+          assert(bLo.codePointCount(0, bLo.length) <= 32 &&
+            bHi.codePointCount(0, bHi.length) <= 32)
+        case Seq() => // dropped pair: legal (un-liftable max), never wrong
+        case other => fail(s"case $i: unexpected shape $other")
+      }
+    }
+  }
+
   test("deletes resolve through the hash-bucketed merged index") {
     // after mergeIndexes the index is range-partitioned on
     // xxhash64(key) with coverage recorded per file; delete resolution
