@@ -3306,6 +3306,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "sample_diverse" -> ((s, d) => {
+      // DIVERSITY-aware coverage sampling (the cluster-balanced subset
+      // selection DataComp/SemDeDup-style curation runs): k-means cells
+      // partition the embedding space, and the sample keeps the 4
+      // vectors closest to each centroid — every region of the space is
+      // represented, where a uniform sample oversamples dense regions.
+      // Scale: training is bounded (nCells x dim on the driver), the
+      // scoring pass is one broadcast join (centroid matrix is tiny) +
+      // a window keyed by cell; nothing all-pairs. Affinity ranks in
+      // integer milli; the oracle replays the rank over the STAGED
+      // scored frame so no FP recomputes cross-engine.
+      val emb = t(s, d, "embeddings")
+      val cents = Similarity.ivfTrain(emb, "vec_id", "embedding",
+        nCells = 32, iters = 2)
+      val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+      val scored = stage(assigned
+          .join(emb, "vec_id").join(broadcast(cents), "cell")
+          .select(col("vec_id"), col("cell"),
+            round(Similarity.dot(col("embedding"), col("centroid")) * 1000)
+              .cast("long").as("aff_milli")),
+        d, "sdv_scored")
+      val w = Window.partitionBy(col("cell"))
+        .orderBy(col("aff_milli").desc, col("vec_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 4)
+        .select(col("cell"), col("vec_id"), col("aff_milli"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("cell", "rank")
+    }),
+
     "sample_stratified" -> ((s, d) => {
       // exact-count mixture: exactly 100 docs per language, ranked by
       // the same engine-portable key as sample_mixture (so a rate
@@ -5424,6 +5454,20 @@ object SparkEntry {
         |SELECT doc_id, lang, sample_key, quota_permille
         |FROM s WHERE sample_key < quota_permille
         |ORDER BY doc_id""".stripMargin,
+
+    // cluster-balanced coverage sample: rank replayed over the staged
+    // scored frame (integer affinity, id tie-break)
+    "sample_diverse" ->
+      """WITH sc AS (
+        |  SELECT * FROM read_parquet('/root/repo/target/oracle-stage/sf0.01/sdv_scored/*.parquet')),
+        |r AS (
+        |  SELECT cell, vec_id, aff_milli,
+        |         row_number() OVER (PARTITION BY cell
+        |                            ORDER BY aff_milli DESC, vec_id ASC) AS rank
+        |  FROM sc)
+        |SELECT cell, vec_id, aff_milli, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 4
+        |ORDER BY cell, rank""".stripMargin,
 
     // exact-count per-language sample: same rank arithmetic as the
     // Spark side (multiplicative-hash key, id tie-break)
