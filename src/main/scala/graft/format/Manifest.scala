@@ -195,12 +195,19 @@ object Fio {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     } else {
+      // object-store schemes can't REPLACE_EXISTING-rename: land the tmp
+      // FIRST, delete the target only immediately before the rename, so
+      // the pointer-missing window shrinks from (write + delete + rename)
+      // to the delete→rename instant — and if a crash hits inside it the
+      // tmp file still holds the content for manual recovery. Real
+      // object-store deployments should route pointer swings through the
+      // catalog CAS (RestCatalog) which has no such window at all.
       val f = fs(path)
-      f.delete(new Path(path), false)
       val tmp = new Path(path + ".tmp")
       val out = f.create(tmp, true)
       try out.write(content.getBytes(StandardCharsets.UTF_8))
       finally out.close()
+      f.delete(new Path(path), false)
       if (!f.rename(tmp, new Path(path)) && !f.exists(new Path(path)))
         throw new java.io.IOException(s"pointer replace failed: $path")
     }

@@ -82,6 +82,28 @@ private[graft] object DeltaLog {
   private def hasLog(root: String): Boolean =
     versions(root).nonEmpty || Fio.exists(s"${logDir(root)}/_last_checkpoint")
 
+  /** Prior-state replay for writers. Once `_last_checkpoint` exists the
+   *  JSON-only replay is no longer sound: [[expireLog]] may have removed
+   *  the pre-checkpoint commits, and a metaData action in the surviving
+   *  tail would make [[readState]] "succeed" with an incomplete file set
+   *  (ghost adds never get removes; checkpoint-first readers see deleted
+   *  files as live). So a checkpointed table REQUIRES the Spark reader. */
+  private def priorState(root: String, spark: Option[SparkSession]): DeltaState =
+    spark.map(readStateFromCheckpoint(_, root)).getOrElse {
+      // versions are claimed contiguously (put-if-absent on prior+1) and
+      // expireLog removes a prefix, so the JSON chain is complete iff
+      // version 0 survives — in that case JSON-only replay is still sound
+      val vs = versions(root)
+      val truncated = vs.isEmpty || vs.min > 0L
+      if (truncated && Fio.exists(s"${logDir(root)}/_last_checkpoint"))
+        throw new IllegalStateException(
+          s"$root has a Delta checkpoint (_last_checkpoint) and the " +
+            "pre-checkpoint JSON commits are expired: replaying the tail " +
+            "alone can silently drop pre-checkpoint adds — pass " +
+            "spark = Some(session) so replay starts at the checkpoint")
+      readState(root)
+    }
+
   /** Export the committed graft manifest as the next Delta version.
    *  Returns the committed version, or -1 when nothing changed.
    *
@@ -99,8 +121,7 @@ private[graft] object DeltaLog {
     Fio.mkdirs(logDir(root))
     val prior =
       if (!hasLog(root)) None
-      else Some(spark.map(readStateFromCheckpoint(_, root))
-        .getOrElse(readState(root)))
+      else Some(priorState(root, spark))
     val curFiles = m.dataFiles.map(f => s"data/${f.path}" -> f).toMap
     val priorPaths = prior.map(_.files.map(_.path).toSet).getOrElse(Set.empty)
     val adds = curFiles.keys.toSeq.sorted.filterNot(priorPaths)
@@ -180,7 +201,17 @@ private[graft] object DeltaLog {
    *  maintenance-tick export readable after thousands of versions. */
   def checkpoint(spark: SparkSession, root: String): Long = {
     import org.apache.spark.sql.types._
-    val st = readState(root)
+    // checkpoint-first replay, NOT readState: after a prior checkpoint +
+    // expireLog the JSON commits below it are gone, and a metaData action
+    // in the tail would let a JSON-only replay "succeed" while dropping
+    // every pre-checkpoint add — the new checkpoint would then persist
+    // that loss and the next expireLog would delete the evidence.
+    val st = readStateFromCheckpoint(spark, root)
+    // idempotent re-checkpoint: nothing committed since the last one —
+    // the checkpoint parquet at this version already exists and Fio.move
+    // refuses to clobber, so just keep it
+    if (Fio.exists(f"${logDir(root)}/${st.version}%020d.checkpoint.parquet"))
+      return st.version
     val protocolT = StructType(Seq(
       StructField("minReaderVersion", IntegerType),
       StructField("minWriterVersion", IntegerType)))

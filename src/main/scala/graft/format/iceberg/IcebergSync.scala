@@ -146,7 +146,10 @@ private[graft] object IcebergSync {
         val puffinPath = s"$dir/dvs-$seq-$attempt.puffin"
         val blobs = dvByFile.map { case (file, nav) =>
           (Puffin.dvBlobBytes(nav), Puffin.BlobMeta(
-            Puffin.DeletionVectorV1, fields = Seq(2147483546), // pos field
+            // reference writes an empty fields list for DV blobs
+            // (iceberg_table_syncer.rs); 2147483545 would be the reserved
+            // `pos` id but spec-strict readers expect no field binding here
+            Puffin.DeletionVectorV1, fields = Seq.empty,
             snapshotId = snapshotId, sequenceNumber = seq,
             offset = 0, length = 0,
             properties = Map(

@@ -166,4 +166,62 @@ class DeltaLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() == 5L)
     assert(DeltaLog.readStateFromCheckpoint(spark, root).version == 4L)
   }
+
+  test("second checkpoint after expiry keeps pre-checkpoint adds " +
+      "(even with a schema-change metaData in the tail)") {
+    val root = Files.createTempDirectory("graft-delta5").toString + "/t"
+    val t = GraftTable.create(spark, root, schema, Identity.Keys(Seq("id")),
+      TableConfig(walEnabled = false))
+    (1 to 3).foreach { i =>
+      t.upsertAll(Seq(Row(i.toLong, i * 10L)), startLsn = i * 10L)
+      t.flush(); t.publish()
+      DeltaLog.sync(root, t.currentManifest, nowMs = 1700000000000L + i)
+    }
+    // checkpoint #1 + expiry: pre-checkpoint state now lives ONLY in
+    // the checkpoint parquet
+    assert(DeltaLog.checkpoint(spark, root) == 2L)
+    assert(DeltaLog.expireLog(root) == 3)
+    // a schema change lands a metaData action in the post-checkpoint
+    // JSON tail — the exact shape that let a JSON-only replay "succeed"
+    // with an incomplete file set before the fix
+    t.alterAddColumn("w", "int64")
+    t.upsertAll(Seq(Row(9L, 90L, 9L)), startLsn = 100L)
+    t.flush(); t.publish()
+    assert(DeltaLog.sync(root, t.currentManifest, nowMs = 1700000001000L,
+      spark = Some(spark)) == 3L)
+    // checkpoint #2 must fold checkpoint#1 + tail, not the tail alone;
+    // a lossy one here + expiry would be PERMANENT data loss
+    assert(DeltaLog.checkpoint(spark, root) == 3L)
+    assert(DeltaLog.expireLog(root) == 1)
+    val st = DeltaLog.readStateFromCheckpoint(spark, root)
+    assert(st.files.map(_.numRecords).sum == 4L,
+      s"pre-checkpoint adds lost: ${st.files}")
+    assert(st.schemaString.contains("\"w\""), "tail metaData must win")
+    assert(DeltaLog.readDataFrame(spark, root).count() == 4L)
+    // idempotent re-checkpoint at an unchanged version is a no-op
+    assert(DeltaLog.checkpoint(spark, root) == 3L)
+  }
+
+  test("sync on a checkpointed table refuses a Spark-less JSON-only replay") {
+    val root = Files.createTempDirectory("graft-delta6").toString + "/t"
+    val t = GraftTable.create(spark, root, schema, Identity.Keys(Seq("id")),
+      TableConfig(walEnabled = false))
+    t.upsertAll(Seq(Row(1L, 1L)), startLsn = 1); t.flush(); t.publish()
+    DeltaLog.sync(root, t.currentManifest)
+    assert(DeltaLog.checkpoint(spark, root) == 0L)
+    // with the full JSON chain still on disk, Spark-less sync stays
+    // sound (complete replay) — only TRUNCATION makes it unsafe
+    assert(DeltaLog.sync(root, t.currentManifest) == -1L)
+    assert(DeltaLog.expireLog(root) == 1)
+    t.upsertAll(Seq(Row(2L, 2L)), startLsn = 10); t.flush(); t.publish()
+    // spark=None + checkpoint + expired prefix → loud error, never a
+    // silent tail-only replay that ghosts removed files
+    val e = intercept[IllegalStateException] {
+      DeltaLog.sync(root, t.currentManifest)
+    }
+    assert(e.getMessage.contains("_last_checkpoint"))
+    // with the session the same sync commits fine
+    assert(DeltaLog.sync(root, t.currentManifest,
+      spark = Some(spark)) == 1L)
+  }
 }

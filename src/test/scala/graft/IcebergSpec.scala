@@ -76,7 +76,7 @@ class IcebergSpec extends AnyFunSuite with BeforeAndAfterAll {
     val bm2 = new Roaring64NavigableMap(); Seq(0L, 2L).foreach(bm2.addLong)
     val blobs = Seq(bm1, bm2).zipWithIndex.map { case (bm, i) =>
       (Puffin.dvBlobBytes(bm), Puffin.BlobMeta(Puffin.DeletionVectorV1,
-        Seq(2147483546), 10L, 1L, 0, 0,
+        Seq.empty, 10L, 1L, 0, 0, // reference convention: DV blobs bind no fields
         Map("cardinality" -> bm.getLongCardinality.toString,
           "referenced-data-file" -> s"/data/f$i.parquet")))
     }
