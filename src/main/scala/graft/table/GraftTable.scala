@@ -981,6 +981,11 @@ final class GraftTable private (
   // Delete resolution: delete-key set |><| key index -> DV positions.
   // =====================================================================
 
+  /** (index files probed, index files total) of the last delete
+   *  resolution — observability hook for specs asserting the khRange
+   *  bucket pruning actually bounds IO. (-1,-1) until a resolution ran. */
+  private[graft] var lastDeleteProbe: (Int, Int) = (-1, -1)
+
   private def resolveCommittedDeletes(): Unit = {
     val due = pendingDeletes.filter(_._2 <= commitLsnVar)
     if (due.isEmpty) return
@@ -1007,6 +1012,7 @@ final class GraftTable private (
           .collect().map(_.getLong(0)).toSet
         indexFiles.toSeq.filter(e => hashes.exists(e.coversHash))
       }
+    lastDeleteProbe = (probeFiles.size, indexFiles.size)
     if (probeFiles.isEmpty) return
     val idx = spark.read.parquet(
       probeFiles.map(e => s"$root/index/${e.path}"): _*)
@@ -1058,8 +1064,40 @@ final class GraftTable private (
   private def resolveDeletesDistributed(delFrame: DataFrame): Unit = {
     if (indexFiles.isEmpty) return // nothing flushed: deletes miss
     val keyNames = keyFields.map(_.name).toSeq
+    // Bucket pruning — the driver path's khRange coverage filter
+    // (resolveCommittedDeletes above) at cluster scale: ranged index
+    // generations are probed only when some due key's xxhash64 lands in
+    // their [min,max] coverage. Instead of collecting the (possibly
+    // huge) due-key hash set, ONE tiny aggregate over the delete frame
+    // computes the set of covering file ordinals — driver traffic is
+    // bounded by index-file count, and a delete batch touching a slice
+    // of the keyspace reads only its covering buckets, never the whole
+    // index (the reference probes per-bucket the same way,
+    // `persisted_bucket_hash_map.rs:276`).
+    val all = indexFiles.toSeq
+    val probeFiles = {
+      val ranged = all.zipWithIndex.collect {
+        case (e, i) if e.khRange.size == 2 =>
+          (i, e.khRange.head.toLong, e.khRange(1).toLong)
+      }
+      if (ranged.isEmpty) all
+      else {
+        val rangesB = spark.sparkContext.broadcast(ranged)
+        val covering = udf((kh: Long) => rangesB.value.collect {
+          case (i, mn, mx) if kh >= mn && kh <= mx => i })
+        val hit = delFrame
+          .select(explode(covering(
+            xxhash64(keyNames.map(col): _*))).as("i"))
+          .agg(collect_set(col("i"))).head().getSeq[Int](0).toSet
+        all.zipWithIndex
+          .filter { case (e, i) => e.khRange.size != 2 || hit(i) }
+          .map(_._1)
+      }
+    }
+    lastDeleteProbe = (probeFiles.size, all.size)
+    if (probeFiles.isEmpty) return // all ranged, none cover: deletes miss
     val idx = spark.read.parquet(
-      indexFiles.map(e => s"$root/index/${e.path}").toSeq: _*)
+      probeFiles.map(e => s"$root/index/${e.path}"): _*)
     // live-file filter matches the driver path's fileEntries guard
     val live = spark.sparkContext.broadcast(fileEntries.keySet.toSet)
     val replay = udf((cands: Seq[Row], dlsns: Seq[Long]) => {
