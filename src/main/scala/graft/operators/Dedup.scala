@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.observability.Metrics
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -176,9 +177,19 @@ object Dedup {
     f(tokensCol)
   }
 
-  /** MinHash signature over hashed shingles: one JVM pass computes all
-   *  `numHashes` minima (seeded splitmix64 rehash per function). */
-  def minhashSignature(hashedShingleCol: Column, numHashes: Int): Column = {
+  /** MinHash signature over hashed shingles: all `numHashes` minima
+   *  (seeded splitmix64 rehash per function) in one codegen'd pass —
+   *  a native Catalyst expression (`spark/MinhashSig.scala`), so the
+   *  hottest dedup scan stays inside whole-stage codegen with zero
+   *  catalyst→Seq boxing. */
+  def minhashSignature(hashedShingleCol: Column, numHashes: Int): Column =
+    org.apache.spark.sql.graft.MinhashSig.asColumn(hashedShingleCol, numHashes)
+
+  /** The pre-r11 UDF form of [[minhashSignature]] — kept as the
+   *  equivalence oracle for the codegen expression (spec-asserted
+   *  bit-identical in DedupSpec). */
+  private[graft] def minhashSignatureUdf(hashedShingleCol: Column,
+      numHashes: Int): Column = {
     val f = udf((hs: Seq[Long]) => {
       val sig = Array.fill(numHashes)(Long.MaxValue)
       hs.foreach { x =>
@@ -204,7 +215,7 @@ object Dedup {
    */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      minMilli: Int = 500): DataFrame = {
+      minMilli: Int = 500, maxBucket: Int = 0): DataFrame = {
     // hashed shingle sets, persisted once: the collapse, the band
     // self-join sides and BOTH verification joins re-read this frame —
     // uncached, the corpus would re-tokenize ~4x. One spill-safe copy
@@ -233,7 +244,8 @@ object Dedup {
       try {
         val repT = reps.select(col("id"), col("hs"))
         val repPairs = verifyJaccardMilli(repT,
-          minhashCandidates(repT, numHashes, bands), minMilli)
+          minhashCandidatesFromBands(
+            minhashBandFrame(repT, numHashes, bands), maxBucket), minMilli)
         val repKey = reps.select(col("id"), col("k"))
         val cross = repPairs
           .join(repKey.select(col("id").as("id_a"), col("k").as("k_a")), "id_a")
@@ -287,29 +299,85 @@ object Dedup {
   def minhashCandidates(t: DataFrame, numHashes: Int, bands: Int): DataFrame =
     minhashCandidatesFromBands(minhashBandFrame(t, numHashes, bands))
 
+  /** Hot-bucket cap (VERDICT r10 #4): drop (band, bucket) groups with
+   *  more than `maxBucket` members before a band self-join. The
+   *  exact-dup collapse removes byte-identical clusters, but
+   *  NEAR-identical boilerplate (crawl headers, templated pages) can
+   *  still put 10^5 distinct docs into one band bucket, making one
+   *  reducer emit the bucket's m^2/2 pairs. The cap bounds per-bucket
+   *  pair emission at maxBucket^2/2 — the standard LSH recall trade:
+   *  a pair colliding ONLY in capped buckets is lost, but with b
+   *  independent bands a genuinely near pair almost surely collides in
+   *  an uncapped one too. Dropped buckets are counted into the
+   *  `graft.lsh_buckets_capped` / `graft.lsh_rows_capped` metrics so
+   *  the trade is observable, never silent. 0 = uncapped. */
+  private def capBuckets(banded: DataFrame, maxBucket: Int,
+      keys: Seq[String] = Seq("band", "bucket")): DataFrame =
+    if (maxBucket <= 0) banded
+    else {
+      val hot = oversizedBuckets(banded, maxBucket, keys)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val agg = hot.agg(count(lit(1)), coalesce(sum(col("n")), lit(0L))).head()
+      Metrics.counter("graft.lsh_buckets_capped", "dedup", agg.getLong(0))
+      Metrics.counter("graft.lsh_rows_capped", "dedup", agg.getLong(1))
+      // hot set is tiny (only oversized buckets) -> broadcast anti-join
+      banded.join(broadcast(hot.select(keys.map(col): _*)), keys, "left_anti")
+    }
+
+  /** The (keys..., n) groups larger than `maxBucket` — the accounting
+   *  half of [[capBuckets]], exposed so pipelines can audit exactly
+   *  which buckets the cap dropped. */
+  def oversizedBuckets(banded: DataFrame, maxBucket: Int,
+      keys: Seq[String] = Seq("band", "bucket")): DataFrame =
+    banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") > maxBucket)
+
   /** Same self-join over an ALREADY-banded (id, band, bucket) frame —
    *  use when the band frame is persisted or shared between joins, so
-   *  signatures are computed exactly once. */
-  def minhashCandidatesFromBands(banded: DataFrame): DataFrame =
-    banded.as("a")
-      .join(banded.as("b"),
+   *  signatures are computed exactly once. `maxBucket` > 0 bounds
+   *  per-bucket pair emission (see [[capBuckets]]). */
+  def minhashCandidatesFromBands(banded: DataFrame,
+      maxBucket: Int = 0): DataFrame = {
+    val capped = capBuckets(banded, maxBucket)
+    capped.as("a")
+      .join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct() // a pair may collide in several bands
+  }
 
   /** Incremental candidates: NEW-batch docs colliding with docs of a
    *  PERSISTED band index (id_a = new, id_b = indexed; ids must be
    *  disjoint). The index is never recomputed — the daily-crawl shape:
    *  band the increment, join it against the stored bands, append the
-   *  increment's bands to the index afterwards. */
+   *  increment's bands to the index afterwards. `maxBucket` > 0 caps
+   *  on the COMBINED (new + indexed) bucket size, since pair emission
+   *  is the product of the two sides. */
   def minhashCandidatesAgainst(newBanded: DataFrame,
-      indexBanded: DataFrame): DataFrame =
-    newBanded.as("a")
-      .join(indexBanded.as("b"),
+      indexBanded: DataFrame, maxBucket: Int = 0): DataFrame = {
+    val (a0, b0) =
+      if (maxBucket <= 0) (newBanded, indexBanded)
+      else {
+        val hot = oversizedBuckets(
+            newBanded.select(col("band"), col("bucket"))
+              .unionAll(indexBanded.select(col("band"), col("bucket"))),
+            maxBucket)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val agg = hot.agg(count(lit(1)), coalesce(sum(col("n")), lit(0L))).head()
+        Metrics.counter("graft.lsh_buckets_capped", "dedup", agg.getLong(0))
+        Metrics.counter("graft.lsh_rows_capped", "dedup", agg.getLong(1))
+        val key = broadcast(hot.select(col("band"), col("bucket")))
+        (newBanded.join(key, Seq("band", "bucket"), "left_anti"),
+          indexBanded.join(key, Seq("band", "bucket"), "left_anti"))
+      }
+    a0.as("a")
+      .join(b0.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+  }
 
   /** Stage 3: exact-Jaccard verification of candidate (id_a, id_b)
    *  pairs against the (id, hs) shingle frame. */
@@ -335,10 +403,10 @@ object Dedup {
    * exact Hamming verification runs on candidates only.
    */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, numBlocks: Int = 0): DataFrame =
+      maxHamming: Int = 3, numBlocks: Int = 0, maxBlock: Int = 0): DataFrame =
     simhashPairsFrom(
       df.select(col(idCol).as("id"), TextOps.simhash64(col(textCol)).as("sim")),
-      maxHamming, numBlocks)
+      maxHamming, numBlocks, maxBlock)
 
   /** Pair generation over a prepared (id, sim) frame — split out so the
    *  recall guarantee is testable on crafted fingerprints.
@@ -354,18 +422,23 @@ object Dedup {
    *  doc-granularity join (every id_a < id_b pair within the ball,
    *  exactly once). */
   private[graft] def simhashPairsFrom(t: DataFrame, maxHamming: Int,
-      numBlocks: Int = 0): DataFrame = {
+      numBlocks: Int = 0, maxBlock: Int = 0): DataFrame = {
     val r = if (numBlocks > 0) numBlocks else maxHamming + 1
     require(r > maxHamming, "need > maxHamming blocks for full recall")
     val w = (64 + r - 1) / r // chunk width; last chunk may be narrower
     val fps = t.select(col("sim")).distinct()
-    val banded = fps.select(col("sim"),
+    val banded0 = fps.select(col("sim"),
       posexplode(array((0 until r).map { i =>
         val lo = i * w
         val width = math.min(w, 64 - lo)
         // bits [lo, lo+width) of the fingerprint
         shiftrightunsigned(shiftleft(col("sim"), 64 - lo - width), 64 - width)
       }: _*)).as(Seq("blk_i", "blk_v")))
+    // maxBlock > 0: hot chunk-blocks (boilerplate with a common bit
+    // pattern) are dropped with accounting — NOTE this trades away the
+    // pigeonhole FULL-recall guarantee for bounded pair emission, the
+    // same cap trade as minhash (capBuckets doc)
+    val banded = capBuckets(banded0, maxBlock, Seq("blk_i", "blk_v"))
     val fpPairs = banded.as("a").join(banded.as("b"),
         col("a.blk_i") === col("b.blk_i") && col("a.blk_v") === col("b.blk_v") &&
           col("a.sim") < col("b.sim"))

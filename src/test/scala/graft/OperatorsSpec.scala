@@ -40,6 +40,66 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("native MinhashSig is bit-identical to the UDF oracle") {
+    // the codegen'd Catalyst expression replacing the boxed UDF on the
+    // hottest dedup path (VERDICT r10 #3) — identical seeded-splitmix64
+    // arithmetic, asserted element-for-element on real shingle sets
+    val hs = Dedup.minhashShingleFrame(docs, "doc_id", "text", shingleN = 2)
+    val both = hs.select(col("id"),
+        Dedup.minhashSignature(col("hs"), 64).as("sig"),
+        Dedup.minhashSignatureUdf(col("hs"), 64).as("oracle"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"id=${r.getLong(0)}")
+    }
+    // empty shingle set -> all-MaxValue signature; null -> null
+    import spark.implicits._
+    val edge = Seq(Tuple1(Seq.empty[Long])).toDF("hs")
+      .select(Dedup.minhashSignature(col("hs"), 8).as("sig"),
+        Dedup.minhashSignature(lit(null).cast("array<bigint>"), 8).as("n"))
+      .collect().head
+    assert(edge.getSeq[Long](0) == Seq.fill(8)(Long.MaxValue))
+    assert(edge.isNullAt(1))
+  }
+
+  test("LSH hot-bucket cap: bounded emission, recall via other bands, accounting") {
+    import spark.implicits._
+    // crafted band frame: one hot bucket of 50 docs (near-identical
+    // boilerplate), two of which ALSO collide in a cold bucket (a
+    // genuinely-near pair colliding in several bands), plus an
+    // unrelated cold pair
+    val hot = (1L to 50L).map(id => (id, 0, 7L))
+    val rescue = Seq((1L, 1, 99L), (2L, 1, 99L))
+    val cold = Seq((100L, 2, 5L), (101L, 2, 5L))
+    val banded = (hot ++ rescue ++ cold).toDF("id", "band", "bucket")
+    // uncapped: the hot bucket emits its full C(50,2)
+    assert(Dedup.minhashCandidatesFromBands(banded).count() == 1225 + 1)
+    // cap ABOVE every bucket: result unchanged (recall untouched)
+    assert(Dedup.minhashCandidatesFromBands(banded, maxBucket = 50)
+      .count() == 1225 + 1)
+    // cap below the hot bucket: its quadratic emission is gone; the
+    // near pair (1,2) SURVIVES via its other band, the cold pair is
+    // untouched — bounded emission, graceful recall
+    val before = graft.observability.Metrics
+      .counterValue("graft.lsh_buckets_capped", "dedup")
+    val capped = Dedup.minhashCandidatesFromBands(banded, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L), (100L, 101L)))
+    assert(graft.observability.Metrics
+      .counterValue("graft.lsh_buckets_capped", "dedup") == before + 1)
+    // the accounting frame names the dropped bucket exactly
+    val over = Dedup.oversizedBuckets(banded, 10).collect()
+    assert(over.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((0, 7L, 50L)))
+    // incremental variant caps on the COMBINED bucket size
+    val newB = Seq((200L, 0, 7L), (201L, 2, 5L)).toDF("id", "band", "bucket")
+    val inc = Dedup.minhashCandidatesAgainst(newB, banded, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc == Set((201L, 100L), (201L, 101L)),
+      s"hot-bucket collisions must be dropped, got $inc")
+  }
+
   test("native DotProduct matches the JVM fold, handles nulls") {
     import spark.implicits._
     val df = Seq(
