@@ -490,6 +490,39 @@ final class GraftTable private (
         .withColumn("_fall",
           (col("_op") === "d" && col("_minApp").isNull) ||
           (col("_op") === "u" && col("_minApp") === col("_lsn")))
+      // FIRST-BATCH FAST FOLD: the leading flush() indexed any committed
+      // tail, so an EMPTY pre-batch index proves no fall-through delete
+      // can land (a fall-through targets a row committed strictly before
+      // this batch). The fold then needs only the survivor half — no
+      // delete-struct explode (which would cache 2x the rows on a
+      // distinct-key upsert stream, the initial-load shape), no nDel
+      // count pass, no resolution. In-batch semantics (later upsert
+      // kills earlier append, deletes kill in-batch appends) still run
+      // through the same windows.
+      if (indexFiles.isEmpty) {
+        val survivors0 = tagged.where(col("_surv"))
+          .select(dataCols.map(col) :+ col("_lsn"): _*)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val survivors =
+            if (foldP == nOut) survivors0
+            else {
+              // materialize the cache at FOLD width before the narrow
+              // coalesce — otherwise the first action (the data write)
+              // would run the whole shuffle+window fold inside nOut
+              // tasks, giving the windows' parallelism back
+              prof("fold+persist")(survivors0.count())
+              survivors0.coalesce(nOut)
+            }
+          // stats fuse into writeBatchFiles' key-index pass (keyed table)
+          prof("writeBatchFiles(fast)")(writeBatchFiles(survivors, maxLsn))
+        } finally survivors0.unpersist()
+        maybeMergeIndexes()
+        commitLsnVar = math.max(commitLsnVar, maxLsn)
+        flushLsnVar = math.max(flushLsnVar, maxLsn)
+        publish()
+        return commitLsnVar
+      }
       // collapse to the FOLD OUTPUT before caching: survivors + fall-
       // through deletes only (a dual-role upsert emits both), so the
       // cache holds O(keys + deletes) rows, never the raw batch. The
@@ -538,18 +571,9 @@ final class GraftTable private (
           if (!aligned) scala.None
           else Some(prof("stats")(collectFoldOutputs(folded, statFields,
             keyPos, shipDeletes = false))._1)
-        // a fall-through delete targets a row committed strictly BEFORE
-        // this batch (survivor lsn >= its key's min append lsn >= the
-        // delete's lsn, so same-batch rows are unreachable by the
-        // `lsn < dlsn` rule). The leading flush() indexed any committed
-        // tail, so an empty pre-batch index proves there is nothing to
-        // delete — the initial-load / bulk-backfill shape, where this
-        // skips the entire resolution join (measured 2.5 s of an
-        // 11.1 s 10M-row first batch).
-        if (indexFiles.isEmpty && nDel > 0) {
-          prof("writeBatchFiles(del)")(
-            writeBatchFiles(survivors, maxLsn, fusedStats()))
-        } else if (nDel < config.distributedDeleteThreshold) {
+        // (the indexFiles.isEmpty shape took the fast fold above and
+        // never reaches here)
+        if (nDel < config.distributedDeleteThreshold) {
           // ONE pass over the cached fold output collects BOTH the
           // per-partition survivor stats and the fall-through delete keys
           // (formerly two jobs). Delete volume stays bounded by the
@@ -597,20 +621,6 @@ final class GraftTable private (
     val out = if (!hasColumnMapping) survivors
       else survivors.select(schemaVar.fields.toSeq.map(f =>
         col(f.name).as(SchemaDsl.physicalName(f))) :+ col("_lsn"): _*)
-    prof("  data write")(out.write.mode("overwrite").parquet(tmp))
-    val parts = Fio.list(tmp)
-      .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
-    if (parts.isEmpty) { Fio.delete(tmp); return }
-    Fio.mkdirs(s"$root/data")
-    // part-00042-<uuid>.parquet was written by task/partition 42 with
-    // rows in partition iteration order — the positional invariant DVs
-    // depend on; a partition with no rows writes no file
-    val pidToName: Map[Int, String] = parts.sorted.map { p =>
-      val name = f"data-${newId()}%09d.parquet"
-      Fio.move(s"$tmp/$p", s"$root/data/$name")
-      p.stripPrefix("part-").takeWhile(_.isDigit).toInt -> name
-    }.toMap
-    Fio.delete(tmp)
     val statFields = schemaVar.fields.zipWithIndex
       .filter { case (f, _) => statsComparable(f.dataType) }.toSeq
     // per-partition row counts + min/max per comparable column
@@ -625,48 +635,97 @@ final class GraftTable private (
         spark.sparkContext.register(acc, "graft.flush.partStats")
         Some(acc)
       } else scala.None
+    // data-file names are pre-assigned PER PARTITION ID so the key-index
+    // job below can launch CONCURRENTLY with the data write: both scan
+    // the same persisted frame (the BlockManager computes each cached
+    // block exactly once; the second reader blocks on the block lock),
+    // and the index rows reference the name partition i's part-file
+    // WILL get — on a real cluster the two jobs overlap executor use,
+    // at local[32] they overlap the two single-task writes of a
+    // size-tuned batch. Names for partitions that turn out empty are
+    // simply never used (a partition with no rows writes no file).
+    val nParts = survivors.rdd.getNumPartitions
+    val preNames: Map[Int, String] =
+      (0 until nParts).map(i => i -> f"data-${newId()}%09d.parquet").toMap
     // cached pass: the key index — positions are partition row
-    // order, exactly what the write just persisted
-    if (identity != Identity.None) {
-      Fio.mkdirs(s"$root/index")
-      val kIdx = keyFields.map(f => schemaVar.fieldIndex(f.name))
-      val lsnPos = schemaVar.fields.length
-      val fileOfPid = pidToName // local: closure must not capture `this`
-      val statIdxs = statFields.map(_._2).toArray
-      val statOrds = statFields.map { case (f, _) => anyOrdering(f.dataType) }
-      val accOpt = fusedAcc
-      val idxRdd = survivors.rdd.mapPartitionsWithIndex { (pid, it) =>
-        val fname = fileOfPid.getOrElse(pid, null)
-        var pos = -1L
-        val mins = Array.fill[Any](statIdxs.length)(null)
-        val maxs = Array.fill[Any](statIdxs.length)(null)
-        val rows = it.map { r =>
-          pos += 1
-          if (accOpt.isDefined) {
-            var j = 0
-            while (j < statIdxs.length) {
-              val v = r.get(statIdxs(j))
-              if (v != null) {
-                if (mins(j) == null || statOrds(j).lt(v, mins(j))) mins(j) = v
-                if (maxs(j) == null || statOrds(j).gt(v, maxs(j))) maxs(j) = v
+    // order, exactly what the data write persists
+    val idxFut: scala.concurrent.Future[Option[String]] =
+      if (identity == Identity.None) scala.concurrent.Future.successful(scala.None)
+      else {
+        Fio.mkdirs(s"$root/index")
+        val kIdx = keyFields.map(f => schemaVar.fieldIndex(f.name))
+        val lsnPos = schemaVar.fields.length
+        val fileOfPid = preNames // local: closure must not capture `this`
+        val statIdxs = statFields.map(_._2).toArray
+        val statOrds = statFields.map { case (f, _) => anyOrdering(f.dataType) }
+        val accOpt = fusedAcc
+        val idxRdd = survivors.rdd.mapPartitionsWithIndex { (pid, it) =>
+          val fname = fileOfPid.getOrElse(pid, null)
+          var pos = -1L
+          val mins = Array.fill[Any](statIdxs.length)(null)
+          val maxs = Array.fill[Any](statIdxs.length)(null)
+          val rows = it.map { r =>
+            pos += 1
+            if (accOpt.isDefined) {
+              var j = 0
+              while (j < statIdxs.length) {
+                val v = r.get(statIdxs(j))
+                if (v != null) {
+                  if (mins(j) == null || statOrds(j).lt(v, mins(j))) mins(j) = v
+                  if (maxs(j) == null || statOrds(j).gt(v, maxs(j))) maxs(j) = v
+                }
+                j += 1
               }
-              j += 1
             }
+            Row.fromSeq(kIdx.map(r.get) :+ fname :+ pos :+ r.getLong(lsnPos))
           }
-          Row.fromSeq(kIdx.map(r.get) :+ fname :+ pos :+ r.getLong(lsnPos))
+          // the by-name ++ operand evaluates after `rows` exhausts: the
+          // partition's final (count, min, max) lands exactly once per
+          // pid — last-write-wins keying makes retries/speculation
+          // idempotent (identical deterministic content per pid)
+          rows ++ {
+            accOpt.foreach(_.add((pid, pos + 1, mins.toSeq, maxs.toSeq)))
+            Iterator.empty
+          }
         }
-        // the by-name ++ operand evaluates after `rows` exhausts: the
-        // partition's final (count, min, max) lands exactly once per
-        // pid — last-write-wins keying makes retries/speculation
-        // idempotent (identical deterministic content per pid)
-        rows ++ {
-          accOpt.foreach(_.add((pid, pos + 1, mins.toSeq, maxs.toSeq)))
-          Iterator.empty
-        }
+        val itmp = s"$root/tmp/${UUID.randomUUID()}"
+        val df = spark.createDataFrame(idxRdd, indexSchema)
+        scala.concurrent.Future {
+          df.write.mode("overwrite").parquet(itmp)
+          Some(itmp)
+        }(scala.concurrent.ExecutionContext.global)
       }
-      val itmp = s"$root/tmp/${UUID.randomUUID()}"
-      prof("  index write")(spark.createDataFrame(idxRdd, indexSchema)
-        .write.mode("overwrite").parquet(itmp))
+    try prof("  data write")(out.write.mode("overwrite").parquet(tmp))
+    catch { case e: Throwable =>
+      // the index job must not outlive a failed write: settle it, then
+      // surface the data-write failure
+      try scala.concurrent.Await.ready(idxFut,
+        scala.concurrent.duration.Duration.Inf)
+      catch { case _: Throwable => () }
+      throw e
+    }
+    val itmpOpt = prof("  index await")(scala.concurrent.Await.result(
+      idxFut, scala.concurrent.duration.Duration.Inf))
+    val parts = Fio.list(tmp)
+      .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+    if (parts.isEmpty) {
+      Fio.delete(tmp); itmpOpt.foreach(Fio.delete); return
+    }
+    Fio.mkdirs(s"$root/data")
+    // part-00042-<uuid>.parquet was written by task/partition 42 with
+    // rows in partition iteration order — the positional invariant DVs
+    // depend on; a partition with no rows writes no file
+    val pidToName: Map[Int, String] = parts.sorted.map { p =>
+      val pid = p.stripPrefix("part-").takeWhile(_.isDigit).toInt
+      // a 0-partition frame (e.g. a no-op deleteWhere) still writes one
+      // empty schema-bearing part file whose pid has no pre-assigned
+      // name; the 0-row entry is dropped by the partStats cleanup below
+      val name = preNames.getOrElse(pid, f"data-${newId()}%09d.parquet")
+      Fio.move(s"$tmp/$p", s"$root/data/$name")
+      pid -> name
+    }.toMap
+    Fio.delete(tmp)
+    itmpOpt.foreach { itmp =>
       val iparts = Fio.list(itmp)
         .filter(n => n.startsWith("part-") && n.endsWith(".parquet")).sorted
       val inames = iparts.map { p =>
