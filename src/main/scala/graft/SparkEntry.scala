@@ -3077,17 +3077,30 @@ object SparkEntry {
       // (reference otel_to_moonlink_pb.rs) — producer-encoded and
       // engine-decoded by the dependency-free proto3 wire codec, both
       // sides distributed (executors encode/decode, the driver never
-      // holds a payload). Must land byte-for-byte the same table rows
-      // and aggregate as the JSON path.
+      // holds a payload). Each point carries ONE exemplar (value +
+      // trace/span correlation ids) and the resource carries an entity
+      // ref whose id key resolves against the resource attributes
+      // (otel_to_moonlink_pb.rs:166,229) — the aggregate surfaces the
+      // exemplar values, the span-id round-trip and the resolved
+      // entity pair so the oracle verifies the whole wide row.
       import graft.sources.OtelPb
       val enc = udf((userId: Long, pts: Seq[Row]) =>
         OtelPb.Enc.request(
           Seq(OtelPb.Enc.strAttr("service.name", "graft-events")),
           "graft.meter", "1.0",
           Seq(OtelPb.Enc.gauge("events.value", "1",
-            pts.map(p => OtelPb.Enc.gaugePoint(
-              p.getLong(0) * 1000L, p.getDouble(1),
-              Seq(OtelPb.Enc.intAttr("user_id", userId))))))))
+            pts.map { p =>
+              val ns = p.getLong(0) * 1000L
+              OtelPb.Enc.gaugePoint(ns, p.getDouble(1),
+                Seq(OtelPb.Enc.intAttr("user_id", userId)),
+                exemplars = Seq(OtelPb.Enc.exemplar(ns, p.getDouble(1),
+                  java.nio.ByteBuffer.allocate(16)
+                    .putLong(userId).putLong(ns).array(),
+                  java.nio.ByteBuffer.allocate(8).putLong(ns).array(),
+                  Seq(OtelPb.Enc.strAttr("sampled.by", "head")))))
+            })),
+          entityRefs = Seq(OtelPb.Enc.entityRef("service",
+            idKeys = Seq("service.name")))))
       val pay = events(s, d)
         .groupBy(col("user_id"))
         .agg(collect_list(struct(col("ts"), col("value"))).as("pts"))
@@ -3097,10 +3110,20 @@ object SparkEntry {
       OtelPb.ingestPayloads(table, pay, "payload", startLsn = 1)
       OtelSchema.explodeAttrs(table.read(scala.None))
         .where(col("attr_key") === "user_id" && col("metric_type") === "gauge")
+        .withColumn("ex", element_at(col("exemplars"), 1))
+        .withColumn("er_val", element_at(
+          element_at(col("resource_entity_refs"), 1)("id_pairs"), 1)
+          ("value")("string_value"))
         .groupBy(col("attr_value").cast("long").as("user_id"))
         .agg(count(lit(1)).as("n"),
           cents(sum(col("value_double"))).as("value_cents"),
-          expr("min(time_unix_nano) DIV 1000").as("first_us"))
+          expr("min(time_unix_nano) DIV 1000").as("first_us"),
+          sum(size(col("exemplars"))).as("n_exemplars"),
+          sum(cents(col("ex")("as_double"))).as("exemplar_cents"),
+          max(expr("CAST(conv(hex(ex.span_id), 16, 10) AS BIGINT) DIV 1000"))
+            .as("span_max_us"),
+          sum(when(col("er_val") === "graft-events", 1L).otherwise(0L))
+            .as("n_entity"))
         .orderBy("user_id")
     }),
 
@@ -5143,7 +5166,11 @@ object SparkEntry {
     "otel_pb_ingest" ->
       """SELECT user_id, count(*) AS n,
         |       CAST(ROUND(SUM(value)*100) AS BIGINT) AS value_cents,
-        |       epoch_us(MIN(ts)) AS first_us
+        |       epoch_us(MIN(ts)) AS first_us,
+        |       count(*) AS n_exemplars,
+        |       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS exemplar_cents,
+        |       epoch_us(MAX(ts)) AS span_max_us,
+        |       count(*) AS n_entity
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // quality keep-set → normalized-md5 dedup (min-id rep) → mixture

@@ -34,13 +34,23 @@ object OtelIngest {
     StructField("key", StringType),
     StructField("value", jAttrValue))))
 
+  // proto3 JSON: int64 as string, bytes as base64
+  private val jExemplars = ArrayType(StructType(Seq(
+    StructField("timeUnixNano", StringType),
+    StructField("asDouble", DoubleType),
+    StructField("asInt", StringType),
+    StructField("traceId", StringType),
+    StructField("spanId", StringType),
+    StructField("filteredAttributes", jAttrs))))
+
   private val jNumberDp = StructType(Seq(
     StructField("startTimeUnixNano", StringType),
     StructField("timeUnixNano", StringType),
     StructField("asDouble", DoubleType),
     StructField("asInt", StringType),
     StructField("attributes", jAttrs),
-    StructField("flags", IntegerType)))
+    StructField("flags", IntegerType),
+    StructField("exemplars", jExemplars)))
 
   private val jHistDp = StructType(Seq(
     StructField("startTimeUnixNano", StringType),
@@ -52,7 +62,14 @@ object OtelIngest {
     StructField("min", DoubleType),
     StructField("max", DoubleType),
     StructField("attributes", jAttrs),
-    StructField("flags", IntegerType)))
+    StructField("flags", IntegerType),
+    StructField("exemplars", jExemplars)))
+
+  private val jEntityRefs = ArrayType(StructType(Seq(
+    StructField("schemaUrl", StringType),
+    StructField("type", StringType),
+    StructField("idKeys", ArrayType(StringType)),
+    StructField("descriptionKeys", ArrayType(StringType)))))
 
   private val jMetric = StructType(Seq(
     StructField("name", StringType),
@@ -78,7 +95,8 @@ object OtelIngest {
   private val jResourceMetrics = StructType(Seq(
     StructField("schemaUrl", StringType),
     StructField("resource", StructType(Seq(
-      StructField("attributes", jAttrs)))),
+      StructField("attributes", jAttrs),
+      StructField("entityRefs", jEntityRefs)))),
     StructField("scopeMetrics", ArrayType(jScopeMetrics))))
 
   /** OTLP/HTTP JSON ExportMetricsServiceRequest (metrics subset). */
@@ -103,6 +121,51 @@ object OtelIngest {
         a("value")("intValue").cast(LongType),
         a("value")("doubleValue")))).cast(attrListNullable)
 
+  private val exemplarListNullable: ArrayType = ArrayType(StructType(Seq(
+    StructField("time_unix_nano", LongType),
+    StructField("as_int", LongType),
+    StructField("as_double", DoubleType),
+    StructField("trace_id", BinaryType),
+    StructField("span_id", BinaryType),
+    StructField("filtered_attributes", attrListNullable))))
+
+  /** JSON exemplar list -> exemplarList encoding (int64-as-string cast,
+   *  base64 trace/span ids decoded to raw bytes). */
+  private def convExemplars(c: Column): Column =
+    transform(c, e => struct(
+      e("timeUnixNano").cast(LongType),
+      e("asInt").cast(LongType),
+      e("asDouble"),
+      unbase64(e("traceId")),
+      unbase64(e("spanId")),
+      convAttrs(e("filteredAttributes")))).cast(exemplarListNullable)
+
+  private val entityRefListNullable: ArrayType = ArrayType(StructType(Seq(
+    StructField("type", StringType),
+    StructField("id_pairs", attrListNullable),
+    StructField("description_pairs", attrListNullable),
+    StructField("schema_url", StringType))))
+
+  /** Resource entityRefs -> entityRefList: id/description KEYS resolve
+   *  against the (already-converted) resource attribute list; a key
+   *  with no matching attribute gets the all-null value struct — the
+   *  declarative twin of `otel_to_moonlink_pb.rs:166`. */
+  private def convEntityRefs(refs: Column, attrsConv: Column): Column = {
+    val nullVal = struct(
+      lit(null).cast(StringType).as("string_value"),
+      lit(null).cast(BooleanType).as("bool_value"),
+      lit(null).cast(LongType).as("int_value"),
+      lit(null).cast(DoubleType).as("double_value"))
+    def pairs(keys: Column): Column = transform(keys, k => struct(
+      k,
+      coalesce(
+        element_at(filter(attrsConv, a => a("key") === k), 1)("value"),
+        nullVal)))
+    transform(refs, er => struct(
+      er("type"), pairs(er("idKeys")), pairs(er("descriptionKeys")),
+      er("schemaUrl"))).cast(entityRefListNullable)
+  }
+
   /**
    * One row per data point, in `OtelSchema.schema` column order.
    * `payloadCol` holds OTLP JSON request bodies (one request per input
@@ -121,9 +184,13 @@ object OtelIngest {
       .select(
         col("rm.schemaUrl").as("resource_schema_url"),
         convAttrs(col("rm.resource.attributes")).as("resource_attributes"),
+        convEntityRefs(col("rm.resource.entityRefs"),
+          convAttrs(col("rm.resource.attributes")))
+          .as("resource_entity_refs"),
         explode(col("rm.scopeMetrics")).as("sm"))
       .select(
         col("resource_schema_url"), col("resource_attributes"),
+        col("resource_entity_refs"),
         col("sm.scope.name").as("scope_name"),
         col("sm.scope.version").as("scope_version"),
         convAttrs(col("sm.scope.attributes")).as("scope_attributes"),
@@ -134,6 +201,7 @@ object OtelIngest {
     // first select (still has `m`): alias the metric descriptor
     def common = Seq(
       col("resource_schema_url"), col("resource_attributes"),
+      col("resource_entity_refs"),
       col("scope_name"), col("scope_version"), col("scope_attributes"),
       col("m.name").as("metric_name"),
       col("m.description").as("metric_description"),
@@ -141,6 +209,7 @@ object OtelIngest {
     // second select (after the data-point explode): plain names only
     def commonOut = Seq(
       col("resource_schema_url"), col("resource_attributes"),
+      col("resource_entity_refs"),
       col("scope_name"), col("scope_version"), col("scope_attributes"),
       col("metric_name"), col("metric_description"), col("metric_unit"))
 
@@ -156,7 +225,8 @@ object OtelIngest {
       lit(null).cast(ArrayType(LongType)).as("bucket_counts"),
       lit(null).cast(ArrayType(DoubleType)).as("explicit_bounds"),
       lit(null).cast(DoubleType).as("min"),
-      lit(null).cast(DoubleType).as("max"))
+      lit(null).cast(DoubleType).as("max"),
+      lit(null).cast(exemplarListNullable).as("hist_exemplars"))
 
     // gauge: no temporality/monotonicity (reference passes -1/false,
     // `otel_to_moonlink_pb.rs` gauge arm)
@@ -166,7 +236,8 @@ object OtelIngest {
         col("dp.asDouble").as("value_double"),
         col("dp.asInt").cast(LongType).as("value_int"),
         lit(false).as("is_monotonic"),
-        lit(-1).as("aggregation_temporality")) ++ nullHist: _*)
+        lit(-1).as("aggregation_temporality"),
+        convExemplars(col("dp.exemplars")).as("exemplars")) ++ nullHist: _*)
 
     val sum = metrics.where(col("m.sum").isNotNull)
       .select(common ++ Seq(
@@ -177,7 +248,8 @@ object OtelIngest {
         col("dp.asDouble").as("value_double"),
         col("dp.asInt").cast(LongType).as("value_int"),
         col("_mono").as("is_monotonic"),
-        col("_temp").as("aggregation_temporality")) ++ nullHist: _*)
+        col("_temp").as("aggregation_temporality"),
+        convExemplars(col("dp.exemplars")).as("exemplars")) ++ nullHist: _*)
 
     val hist = metrics.where(col("m.histogram").isNotNull)
       .select(common ++ Seq(
@@ -188,12 +260,14 @@ object OtelIngest {
         lit(null).cast(LongType).as("value_int"),
         lit(null).cast(BooleanType).as("is_monotonic"),
         col("_temp").as("aggregation_temporality"),
+        lit(null).cast(exemplarListNullable).as("exemplars"),
         col("dp.count").cast(LongType).as("count"),
         col("dp.sum").as("sum"),
         transform(col("dp.bucketCounts"), _.cast(LongType)).as("bucket_counts"),
         col("dp.explicitBounds").as("explicit_bounds"),
         col("dp.min").as("min"),
-        col("dp.max").as("max")): _*)
+        col("dp.max").as("max"),
+        convExemplars(col("dp.exemplars")).as("hist_exemplars")): _*)
 
     val ordered = OtelSchema.schema.fieldNames.toSeq
     gauge.select(ordered.map(col): _*)

@@ -118,40 +118,107 @@ object OtelPb {
       while (p.hasMore) acc += java.lang.Double.longBitsToDouble(p.fixed64())
     }
 
+  /** Exemplar{time=2(fixed64), as_double=3, span_id=4, trace_id=5,
+   *  as_int=6(sfixed64), filtered_attributes=7} → exemplarList struct
+   *  order (time, as_int, as_double, trace_id, span_id, attrs) —
+   *  `otel_to_moonlink_pb.rs:229` exemplars_to_rowvalue_array. */
+  private def exemplar(r: R): Row = {
+    var time = 0L
+    var aI: java.lang.Long = null; var aD: java.lang.Double = null
+    var traceId: Array[Byte] = null; var spanId: Array[Byte] = null
+    val as = mutable.ArrayBuffer[Row]()
+    while (r.hasMore) {
+      val tag = r.varint(); val f = (tag >> 3).toInt; val wt = (tag & 7).toInt
+      f match {
+        case 2 => time = r.fixed64()
+        case 3 => aD = java.lang.Double.longBitsToDouble(r.fixed64())
+        case 4 => spanId = r.bytes()
+        case 5 => traceId = r.bytes()
+        case 6 => aI = r.fixed64()
+        case 7 => attrs(r.sub(), as)
+        case _ => r.skip(wt)
+      }
+    }
+    Row(time, aI, aD, traceId, spanId, as.toSeq)
+  }
+
+  /** EntityRef{schema_url=1, type=2, id_keys=3, description_keys=4}
+   *  kept raw; values resolve later against the resource attrs. */
+  private final case class EntRef(schemaUrl: String, typ: String,
+      idKeys: Seq[String], descKeys: Seq[String])
+
+  private def entityRef(r: R): EntRef = {
+    var su: String = null; var ty: String = null
+    val ids = mutable.ArrayBuffer[String]()
+    val descs = mutable.ArrayBuffer[String]()
+    while (r.hasMore) {
+      val tag = r.varint(); val f = (tag >> 3).toInt; val wt = (tag & 7).toInt
+      f match {
+        case 1 => su = r.str()
+        case 2 => ty = r.str()
+        case 3 => ids += r.str()
+        case 4 => descs += r.str()
+        case _ => r.skip(wt)
+      }
+    }
+    EntRef(su, ty, ids.toSeq, descs.toSeq)
+  }
+
+  /** Entity refs → entityRefList rows: id/description KEYS resolve to
+   *  (key, value) pairs against the resource attribute map; a key with
+   *  no matching attribute gets the all-null value struct — exactly
+   *  `entityrefs_to_rowvalue_array` (`otel_to_moonlink_pb.rs:166`). */
+  private def resolveEntityRefs(refs: Seq[EntRef],
+      resAttrs: Seq[Row]): Seq[Row] = {
+    val nullVal = Row(null, null, null, null)
+    val attrMap = resAttrs.map(a => a.getString(0) -> a.getStruct(1)).toMap
+    refs.map { er =>
+      def pairs(keys: Seq[String]): Seq[Row] =
+        keys.map(k => Row(k, attrMap.getOrElse(k, nullVal)))
+      Row(if (er.typ == null || er.typ.isEmpty) null else er.typ,
+        pairs(er.idKeys), pairs(er.descKeys),
+        if (er.schemaUrl == null || er.schemaUrl.isEmpty) null
+        else er.schemaUrl)
+    }
+  }
+
   private final case class NumPoint(
       start: java.lang.Long, time: Long, asDouble: java.lang.Double,
-      asInt: java.lang.Long, attrs: Seq[Row], flags: java.lang.Integer)
+      asInt: java.lang.Long, attrs: Seq[Row], flags: java.lang.Integer,
+      exemplars: Seq[Row])
 
-  /** NumberDataPoint{start=2,time=3,as_double=4,as_int=6(sfixed64),
-   *  attributes=7,flags=8} */
+  /** NumberDataPoint{start=2,time=3,as_double=4,exemplars=5,
+   *  as_int=6(sfixed64),attributes=7,flags=8} */
   private def numberPoint(r: R): NumPoint = {
     var start: java.lang.Long = null; var time = 0L
     var aD: java.lang.Double = null; var aI: java.lang.Long = null
     var flags: java.lang.Integer = null
     val as = mutable.ArrayBuffer[Row]()
+    val exs = mutable.ArrayBuffer[Row]()
     while (r.hasMore) {
       val tag = r.varint(); val f = (tag >> 3).toInt; val wt = (tag & 7).toInt
       f match {
         case 2 => start = r.fixed64()
         case 3 => time = r.fixed64()
         case 4 => aD = java.lang.Double.longBitsToDouble(r.fixed64())
+        case 5 => exs += exemplar(r.sub())
         case 6 => aI = r.fixed64()
         case 7 => attrs(r.sub(), as)
         case 8 => flags = r.varint().toInt
         case _ => r.skip(wt)
       }
     }
-    NumPoint(start, time, aD, aI, as.toSeq, flags)
+    NumPoint(start, time, aD, aI, as.toSeq, flags, exs.toSeq)
   }
 
   private final case class HistPoint(
       start: java.lang.Long, time: Long, count: Long,
       sum: java.lang.Double, buckets: Seq[Long], bounds: Seq[Double],
       min: java.lang.Double, max: java.lang.Double, attrs: Seq[Row],
-      flags: java.lang.Integer)
+      flags: java.lang.Integer, exemplars: Seq[Row])
 
   /** HistogramDataPoint{start=2,time=3,count=4,sum=5,bucket_counts=6,
-   *  explicit_bounds=7,attributes=9,flags=10,min=11,max=12} */
+   *  explicit_bounds=7,exemplars=8,attributes=9,flags=10,min=11,max=12} */
   private def histPoint(r: R): HistPoint = {
     var start: java.lang.Long = null; var time = 0L; var count = 0L
     var sum: java.lang.Double = null
@@ -160,6 +227,7 @@ object OtelPb {
     val bk = mutable.ArrayBuffer[Long]()
     val bd = mutable.ArrayBuffer[Double]()
     val as = mutable.ArrayBuffer[Row]()
+    val exs = mutable.ArrayBuffer[Row]()
     while (r.hasMore) {
       val tag = r.varint(); val f = (tag >> 3).toInt; val wt = (tag & 7).toInt
       f match {
@@ -169,6 +237,7 @@ object OtelPb {
         case 5  => sum = java.lang.Double.longBitsToDouble(r.fixed64())
         case 6  => repFixed64(r, wt, bk)
         case 7  => repDouble(r, wt, bd)
+        case 8  => exs += exemplar(r.sub())
         case 9  => attrs(r.sub(), as)
         case 10 => flags = r.varint().toInt
         case 11 => mn = java.lang.Double.longBitsToDouble(r.fixed64())
@@ -177,7 +246,7 @@ object OtelPb {
       }
     }
     HistPoint(start, time, count, sum, bk.toSeq, bd.toSeq, mn, mx,
-      as.toSeq, flags)
+      as.toSeq, flags, exs.toSeq)
   }
 
   /** Decode one binary ExportMetricsServiceRequest into data-point rows
@@ -193,23 +262,29 @@ object OtelPb {
         val rm = req.sub()
         var schemaUrl: String = null
         val resAttrs = mutable.ArrayBuffer[Row]()
+        val entRefs = mutable.ArrayBuffer[EntRef]()
         // (scopeName, scopeVersion, scopeAttrs, metricsReaders)
         val scopes = mutable.ArrayBuffer[R]()
         while (rm.hasMore) {
           val t = rm.varint(); val f2 = (t >> 3).toInt
           f2 match {
             case 1 =>
+              // Resource{attributes=1, entity_refs=3}
               val res = rm.sub()
               while (res.hasMore) {
-                val t3 = res.varint()
-                if ((t3 >> 3).toInt == 1) attrs(res.sub(), resAttrs)
-                else res.skip((t3 & 7).toInt)
+                val t3 = res.varint(); val f3 = (t3 >> 3).toInt
+                f3 match {
+                  case 1 => attrs(res.sub(), resAttrs)
+                  case 3 => entRefs += entityRef(res.sub())
+                  case _ => res.skip((t3 & 7).toInt)
+                }
               }
             case 2 => scopes += rm.sub()
             case 3 => schemaUrl = rm.str()
             case _ => rm.skip((t & 7).toInt)
           }
         }
+        val entityRows = resolveEntityRefs(entRefs.toSeq, resAttrs.toSeq)
         scopes.foreach { sm =>
           // ScopeMetrics{scope=1{name=1,version=2,attributes=3}, metrics=2}
           var sName: String = null; var sVer: String = null
@@ -285,19 +360,21 @@ object OtelPb {
             }
             def common(start: java.lang.Long, time: Long, attrsV: Seq[Row],
                 flags: java.lang.Integer) = Seq[Any](
-              schemaUrl, resAttrs.toSeq, sName, sVer, sAttrs.toSeq,
+              schemaUrl, resAttrs.toSeq, entityRows, sName, sVer, sAttrs.toSeq,
               name, desc, unit, kind, start, time, attrsV, flags)
             nums.foreach { p =>
               out += Row.fromSeq(common(p.start, p.time, p.attrs, p.flags) ++
                 Seq[Any](p.asDouble, p.asInt,
                   if (kind == "sum") isMono else null,
                   if (kind == "sum") temp else null,
-                  null, null, null, null, null, null))
+                  p.exemplars,
+                  null, null, null, null, null, null, null))
             }
             hists.foreach { p =>
               out += Row.fromSeq(common(p.start, p.time, p.attrs, p.flags) ++
-                Seq[Any](null, null, null, temp,
-                  p.count, p.sum, p.buckets, p.bounds, p.min, p.max))
+                Seq[Any](null, null, null, temp, null,
+                  p.count, p.sum, p.buckets, p.bounds, p.min, p.max,
+                  p.exemplars))
             }
           }
         }
@@ -358,9 +435,30 @@ object OtelPb {
     def intAttr(key: String, v: Long): Array[Byte] = msg { o =>
       str(o, 1, key); len(o, 2, msg(o2 => { tag(o2, 3, 0); vint(o2, v) }))
     }
+    /** Exemplar{time=2, as_double=3, span_id=4, trace_id=5,
+     *  filtered_attributes=7} (double-valued form). */
+    def exemplar(timeNano: Long, value: Double, traceId: Array[Byte],
+        spanId: Array[Byte],
+        filteredAttrs: Seq[Array[Byte]] = Seq.empty): Array[Byte] = msg { o =>
+      f64(o, 2, timeNano); dbl(o, 3, value)
+      if (spanId != null) len(o, 4, spanId)
+      if (traceId != null) len(o, 5, traceId)
+      filteredAttrs.foreach(len(o, 7, _))
+    }
+    /** EntityRef{schema_url=1, type=2, id_keys=3, description_keys=4}. */
+    def entityRef(typ: String, idKeys: Seq[String],
+        descriptionKeys: Seq[String] = Seq.empty,
+        schemaUrl: String = null): Array[Byte] = msg { o =>
+      if (schemaUrl != null) str(o, 1, schemaUrl)
+      str(o, 2, typ)
+      idKeys.foreach(str(o, 3, _))
+      descriptionKeys.foreach(str(o, 4, _))
+    }
     def gaugePoint(timeNano: Long, value: Double,
-        attrs: Seq[Array[Byte]]): Array[Byte] = msg { o =>
+        attrs: Seq[Array[Byte]],
+        exemplars: Seq[Array[Byte]] = Seq.empty): Array[Byte] = msg { o =>
       f64(o, 3, timeNano); dbl(o, 4, value)
+      exemplars.foreach(len(o, 5, _))
       attrs.foreach(len(o, 7, _))
     }
     def sumIntPoint(timeNano: Long, value: Long,
@@ -369,7 +467,8 @@ object OtelPb {
       attrs.foreach(len(o, 7, _))
     }
     def histogramPoint(timeNano: Long, count: Long, sum: Double,
-        bounds: Seq[Double], buckets: Seq[Long]): Array[Byte] = msg { o =>
+        bounds: Seq[Double], buckets: Seq[Long],
+        exemplars: Seq[Array[Byte]] = Seq.empty): Array[Byte] = msg { o =>
       f64(o, 3, timeNano); f64(o, 4, count); dbl(o, 5, sum)
       // packed encodings, as real exporters emit
       len(o, 6, msg(o2 => buckets.foreach { b =>
@@ -379,6 +478,7 @@ object OtelPb {
         val v = java.lang.Double.doubleToLongBits(b)
         var i = 0; while (i < 8) { o2.write(((v >>> (8 * i)) & 0xFF).toInt); i += 1 }
       }))
+      exemplars.foreach(len(o, 8, _))
     }
     def gauge(name: String, unit: String,
         points: Seq[Array[Byte]]): Array[Byte] = msg { o =>
@@ -402,13 +502,18 @@ object OtelPb {
         tag(o2, 2, 0); vint(o2, temporality)
       })
     }
-    /** One request: resource attrs + one scope + its metrics. */
+    /** One request: resource attrs (+ optional entity refs) + one
+     *  scope + its metrics. */
     def request(resourceAttrs: Seq[Array[Byte]], scopeName: String,
         scopeVersion: String, metrics: Seq[Array[Byte]],
-        schemaUrl: String = "https://opentelemetry.io/schemas/1.21.0")
+        schemaUrl: String = "https://opentelemetry.io/schemas/1.21.0",
+        entityRefs: Seq[Array[Byte]] = Seq.empty)
         : Array[Byte] = msg { o =>
       len(o, 1, msg { rm =>
-        len(rm, 1, msg(res => resourceAttrs.foreach(len(res, 1, _))))
+        len(rm, 1, msg { res =>
+          resourceAttrs.foreach(len(res, 1, _))
+          entityRefs.foreach(len(res, 3, _))
+        })
         len(rm, 2, msg { sm =>
           len(sm, 1, msg { sc =>
             str(sc, 1, scopeName); str(sc, 2, scopeVersion)

@@ -26,11 +26,33 @@ object OtelSchema {
     StructField("key", StringType, nullable = false),
     StructField("value", attrValue))))
 
+  /** exemplar: a sampled measurement correlated to a trace
+   *  (`otel_schema.rs:98` exemplar_struct: time, int-or-double value,
+   *  trace/span ids, filtered attributes) */
+  val exemplarList: ArrayType = ArrayType(StructType(Seq(
+    StructField("time_unix_nano", LongType),
+    StructField("as_int", LongType),
+    StructField("as_double", DoubleType),
+    StructField("trace_id", BinaryType),
+    StructField("span_id", BinaryType),
+    StructField("filtered_attributes", attrList))))
+
+  /** resource entity reference (`otel_schema.rs:77` entity_ref_struct):
+   *  type + id/description key-value pairs RESOLVED against the
+   *  resource attributes (the reference fills values from the resource
+   *  attr map, `otel_to_moonlink_pb.rs:166`) + schema url */
+  val entityRefList: ArrayType = ArrayType(StructType(Seq(
+    StructField("type", StringType),
+    StructField("id_pairs", attrList),
+    StructField("description_pairs", attrList),
+    StructField("schema_url", StringType))))
+
   /** one row per metric data point */
   val schema: StructType = StructType(Seq(
     // resource / scope
     StructField("resource_schema_url", StringType),
     StructField("resource_attributes", attrList),
+    StructField("resource_entity_refs", entityRefList),
     StructField("scope_name", StringType),
     StructField("scope_version", StringType),
     StructField("scope_attributes", attrList),
@@ -49,13 +71,15 @@ object OtelSchema {
     StructField("value_int", LongType),
     StructField("is_monotonic", BooleanType),
     StructField("aggregation_temporality", IntegerType),
+    StructField("exemplars", exemplarList),
     // histogram points
     StructField("count", LongType),
     StructField("sum", DoubleType),
     StructField("bucket_counts", ArrayType(LongType)),
     StructField("explicit_bounds", ArrayType(DoubleType)),
     StructField("min", DoubleType),
-    StructField("max", DoubleType)))
+    StructField("max", DoubleType),
+    StructField("hist_exemplars", exemplarList)))
 
   /** Analysis helper: explode the attribute list into (key, value)
    *  rows — the query-side counterpart of the nested encoding. */

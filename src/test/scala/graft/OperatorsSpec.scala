@@ -507,11 +507,11 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     import scala.jdk.CollectionConverters._
     val s = graft.sources.OtelSchema.schema
     val attr = Row("host", Row("web-1", null, null, null))
-    val row = Row(null, Seq(attr), "scope", "1.0", null,
+    val row = Row(null, Seq(attr), null, "scope", "1.0", null,
       "cpu_usage", null, "%", "gauge",
       null, 1704067200000000000L, Seq(Row("core", Row(null, null, 0L, null))),
-      0, 0.42, null, null, null,
-      null, null, null, null, null, null)
+      0, 0.42, null, null, null, null,
+      null, null, null, null, null, null, null)
     val df = spark.createDataFrame(Seq(row).asJava, s)
     val exploded = graft.sources.OtelSchema.explodeAttrs(df)
     val got = exploded.select("metric_name", "attr_key", "attr_value").collect()
