@@ -1374,6 +1374,40 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "cdc_inlist_probe" -> ((s, d) => {
+      // the reference's index STRESS shape (microbench_index_stress.rs:
+      // random probes against a 10M-entry merged index): a ~10k-key IN
+      // list (sf-scaled: every 7th event_id) probed through the DSv2
+      // index lookup against a merged bucketed index on a table keyed
+      // by event_id. The probe hashes the whole key list once, opens
+      // only hash-covering index buckets, and plans only the data
+      // files the index names — per-probe IO bounded by bucket count,
+      // never table size (GraftDataSourceSpec pins the planned-file
+      // counts; this entry pins result correctness + bench cost).
+      val table = GraftTable.create(s, freshDir("inlist"),
+        eventTableSchema, Identity.Keys(Seq("event_id")),
+        TableConfig(walEnabled = false))
+      val ev = cdcEventFrame(s, d, None)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val mm = ev.agg(min(col("_lsn")), max(col("_lsn"))).head()
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+        val span = (hi - lo) / 2 + 1
+        CdcPipeline.applyBatch(table, ev.where(col("_lsn") < lo + span))
+        CdcPipeline.applyBatch(table, ev.where(col("_lsn") >= lo + span))
+      } finally ev.unpersist()
+      table.mergeIndexes()
+      // bounded driver list: ~14k keys at sf0.1, ~1.4k at sf0.01
+      val probes = events(s, d).select(col("event_id"))
+        .where(col("event_id") % 7 === 0)
+        .collect().map(_.getLong(0)).toSeq
+      s.read.format("graft").load(table.root)
+        .where(col("event_id").isin(probes: _*))
+        .select(col("event_id"), col("event_type"),
+          cents(col("value")).as("value_cents"))
+        .orderBy("event_id")
+    }),
+
     "cdc_cached_read" -> ((s, d) => {
       // M16: same upsert table, scan routed through the object-storage
       // cache (read pins local copies; DV filtering keys on preserved
@@ -5156,6 +5190,12 @@ object SparkEntry {
         |WHERE user_id IN (7, 27, 47, 67)
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
         |ORDER BY user_id""".stripMargin,
+
+    "cdc_inlist_probe" ->
+      """SELECT event_id, event_type,
+        |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
+        |FROM events WHERE event_id % 7 = 0
+        |ORDER BY event_id""".stripMargin,
 
     "otel_metrics_agg" ->
       """SELECT user_id, count(*) AS n,

@@ -479,8 +479,12 @@ private[sources] class GraftScan(root: String, manifest: Manifest,
       val tuples: Option[Seq[Seq[Any]]] =
         if (manifest.keyCols.length == 1) {
           val k = manifest.keyCols.head
+          // bound: 64k keys ≈ one bounded driver list + one hash set —
+          // covers the reference's batch-probe stress shape (10k-key
+          // IN against a merged index, microbench_index_stress.rs);
+          // beyond it the stats path still prunes
           pushed.collectFirst {
-            case In(c, vs) if c == k && vs.nonEmpty && vs.length <= 1024 &&
+            case In(c, vs) if c == k && vs.nonEmpty && vs.length <= 65536 &&
               vs.forall(_ != null) => vs.toSeq.map(Seq(_))
             case EqualTo(c, v) if c == k && v != null => Seq(Seq(v))
           }

@@ -124,6 +124,20 @@ class GraftDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.length == 1 && got.head.getLong(0) == 19L)
     assert(spark.read.format("graft").load(t.root)
       .where(col("id") === 55L).count() == 0L)
+    // 10k-key IN (the reference's batch-probe stress shape,
+    // microbench_index_stress.rs): the probe must still engage — per-
+    // probe file opens stay bounded by the COVERING buckets, here one
+    // data file holds the only present keys, the other 9,997 miss
+    val bigIn = (1000L to 10996L).toArray ++ Array(3L, 5L, 7L)
+    assert(partsFor(Array(
+      org.apache.spark.sql.sources.In("id", bigIn.map(_.asInstanceOf[Any])))) == 1,
+      "10k-key IN must plan only the file holding the present keys")
+    assert(partsFor(Array(org.apache.spark.sql.sources.In("id",
+      (1000L to 10999L).toArray.map(_.asInstanceOf[Any])))) == 0,
+      "all-absent 10k-key IN plans zero files")
+    val bigGot = spark.read.format("graft").load(t.root)
+      .where(col("id").isin(bigIn: _*)).collect()
+    assert(bigGot.map(_.getLong(0)).sorted.toSeq == Seq(3L, 5L, 7L))
     t.drop()
   }
 
