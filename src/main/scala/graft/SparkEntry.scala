@@ -3064,6 +3064,63 @@ object SparkEntry {
       } finally srv.stop()
     }),
 
+    "rest_map_ingest" -> ((s, d) => {
+      // map<string,T> through the REST surface (SURVEY "what's
+      // missing" #4): the schema DSL accepts the map type and stores
+      // it as list<struct{key,value}> — the reference's convention for
+      // keyed collections (otel_schema.rs:49-60), parquet-stable. JSON
+      // ingest accepts the natural object form {"k": v}; the query
+      // side rebuilds MapType with map_from_entries and does key
+      // lookups. Bounded like rest_http_ingest (row-at-a-time REST is
+      // the reference's serial path by design).
+      val cat = graft.table.GraftCatalog(s, freshDir("restmap-wh"))
+      val srv = graft.sources.RestServer.start(cat)
+      try {
+        def post(path: String, body: String): String = {
+          val conn = java.net.URI.create(srv.baseUrl + path).toURL
+            .openConnection().asInstanceOf[java.net.HttpURLConnection]
+          conn.setRequestMethod("POST")
+          conn.setRequestProperty("Content-Type", "application/json")
+          conn.setDoOutput(true)
+          val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          conn.setFixedLengthStreamingMode(bytes.length)
+          val os = conn.getOutputStream
+          try os.write(bytes) finally os.close()
+          val code = conn.getResponseCode
+          val is = if (code == 200) conn.getInputStream else conn.getErrorStream
+          val resp = new String(is.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8)
+          is.close()
+          require(code == 200, s"POST $path -> $code: $resp")
+          resp
+        }
+        post("/tables/kv",
+          """{"schema":[
+            |  {"name":"user_id","data_type":"int64","nullable":false},
+            |  {"name":"props","data_type":"map<string,int64>","nullable":true}],
+            | "key_columns":["user_id"]}""".stripMargin)
+        val rows = events(s, d)
+          .where(col("user_id").isin(7L, 27L))
+          .select(col("event_id"),
+            to_json(struct(col("user_id"), struct(
+              col("user_id").as("uid"), col("event_id").as("eid"),
+              (col("event_id") * 2).as("eid2")).as("props"))).as("data"))
+          .orderBy("event_id").collect()
+        rows.foreach { r =>
+          post("/ingest/kv",
+            s"""{"operation":"upsert","data":${r.getString(1)},"request_mode":"sync"}""")
+        }
+        post("/tables/kv/flush", "{}")
+        val m = map_from_entries(col("props"))
+        cat.table("kv").read(scala.None)
+          .select(col("user_id"),
+            element_at(m, "eid").as("last_eid"),
+            element_at(m, "eid2").as("last_eid2"),
+            size(col("props")).cast("long").as("n_keys"))
+          .orderBy("user_id")
+      } finally srv.stop()
+    }),
+
     "otel_metrics_agg" -> ((s, d) => {
       // S6 end-to-end: synthesize OTLP/HTTP JSON metric exports from
       // the events table (one request per user, one gauge data point
@@ -5188,6 +5245,13 @@ object SparkEntry {
         |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
         |FROM events
         |WHERE user_id IN (7, 27, 47, 67)
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "rest_map_ingest" ->
+      """SELECT user_id, event_id AS last_eid, event_id*2 AS last_eid2,
+        |       CAST(3 AS BIGINT) AS n_keys
+        |FROM events WHERE user_id IN (7, 27)
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
         |ORDER BY user_id""".stripMargin,
 

@@ -76,6 +76,23 @@ object JsonIngest {
       val odt = OffsetDateTime.parse(n.asText, DateTimeFormatter.ISO_OFFSET_DATE_TIME)
       val inst = odt.withOffsetSameInstant(ZoneOffset.UTC).toInstant
       java.sql.Timestamp.from(truncToMicros(inst))
+    case at @ ArrayType(st: StructType, _) if SchemaDsl.isMapEncoded(at) =>
+      // map<string,V> (stored list-of-struct): the natural JSON form is
+      // an OBJECT {"k": v, ...}; an array of {key, value} entries (the
+      // storage encoding itself) is accepted too
+      if (n.isObject)
+        n.fields().asScala.toSeq.map { e =>
+          Row(e.getKey,
+            if (e.getValue.isNull) null
+            else convert(st.fields(1).dataType, e.getValue,
+              s"$path.${e.getKey}"))
+        }
+      else if (n.isArray)
+        n.elements().asScala.zipWithIndex
+          .map { case (e, i) => if (e.isNull) null
+            else convert(st, e, s"$path[$i]") }
+          .toSeq
+      else throw new IllegalArgumentException(s"$path: not a map object: $n")
     case ArrayType(et, _) =>
       if (!n.isArray) throw new IllegalArgumentException(s"$path: not an array: $n")
       n.elements().asScala.zipWithIndex
@@ -126,17 +143,43 @@ object SchemaDsl {
       else 0L
     ).foldLeft(0L)(math.max)
 
+  /** Marker on a map-encoded array's `key` field: `map<string,T>` is
+   *  STORED as list<struct{key,value}> — the reference's convention for
+   *  keyed collections (OTEL attrs are list-of-struct precisely because
+   *  it has no Map type, `otel_schema.rs:49-60`), which also keeps the
+   *  parquet layout engine-portable. The marker lets [[typeName]] and
+   *  the JSON ingest round-trip the MAP semantics over the list
+   *  encoding. */
+  val MapEntryKey = "graft.map_entry"
+
+  /** The storage encoding of `map<string,V>`. */
+  def mapEntryStruct(valueType: DataType): StructType = StructType(Seq(
+    StructField("key", StringType, nullable = false,
+      metadata = new MetadataBuilder().putBoolean(MapEntryKey, true).build()),
+    StructField("value", valueType)))
+
+  /** True when `dt` is the list-of-struct encoding of a map column. */
+  def isMapEncoded(dt: DataType): Boolean = dt match {
+    case ArrayType(st: StructType, _) =>
+      st.fields.length == 2 && st.fields(0).name == "key" &&
+        st.fields(1).name == "value" &&
+        st.fields(0).metadata.contains(MapEntryKey)
+    case _ => false
+  }
+
   def field(name: String, typeName: String, nullable: Boolean = true): StructField =
     StructField(name, parseType(typeName), nullable)
 
   /** REST type-name grammar (schema_util.rs:74-177). Nested list-of-list
-   *  and struct-in-list are rejected, as in the reference (:162-166). */
+   *  and struct-in-list are rejected, as in the reference (:162-166);
+   *  `map<string,T>` additionally accepted, stored list-of-struct. */
   def parseType(t: String): DataType = parseType(t, topLevel = true)
 
   private def parseType(t: String, topLevel: Boolean): DataType = {
     val s = t.trim.toLowerCase
     val decimalRe = "decimal\\((\\d+),\\s*(\\d+)\\)".r
     val listRe = "(?:list|array)<(.+)>".r
+    val mapRe = "map<\\s*string\\s*,(.+)>".r
     s match {
       case "int16" => ShortType
       case "int32" => IntegerType
@@ -149,6 +192,10 @@ object SchemaDsl {
       case "timestamp" => TimestampType
       case "binary" | "bytea" => BinaryType
       case decimalRe(p, sc) => DecimalType(p.toInt, sc.toInt)
+      case mapRe(vt) =>
+        if (!topLevel)
+          throw new IllegalArgumentException(s"nested map rejected: $t")
+        ArrayType(mapEntryStruct(parseType(vt, topLevel = false)))
       case listRe(inner) =>
         if (!topLevel)
           throw new IllegalArgumentException(s"nested list rejected: $t")
@@ -163,6 +210,8 @@ object SchemaDsl {
   /** Inverse of [[parseType]] — Spark DataType back to the REST
    *  type-name grammar (for SQL DDL arriving as Catalyst types). */
   def typeName(dt: DataType): String = dt match {
+    case at @ ArrayType(st: StructType, _) if isMapEncoded(at) =>
+      s"map<string,${typeName(st.fields(1).dataType)}>"
     case ShortType => "int16"
     case IntegerType => "int32"
     case LongType => "int64"

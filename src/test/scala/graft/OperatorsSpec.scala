@@ -501,6 +501,28 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // field ids assigned in declaration order
     val s = SchemaDsl.struct("a" -> "int32", "b" -> "string")
     assert(s.fields.map(_.metadata.getLong(SchemaDsl.FieldIdKey)).toSeq == Seq(1L, 2L))
+    // map<string,T>: stored list<struct{key,value}> (reference keyed-
+    // collection convention, otel_schema.rs:49-60), marker round-trips
+    val mt = SchemaDsl.parseType("map<string,int64>")
+    assert(SchemaDsl.isMapEncoded(mt))
+    assert(!SchemaDsl.isMapEncoded(SchemaDsl.parseType("list<int64>")))
+    assert(SchemaDsl.typeName(mt) == "map<string,int64>")
+    assertThrows[IllegalArgumentException](
+      SchemaDsl.parseType("list<map<string,int64>>"))
+    assertThrows[IllegalArgumentException](
+      SchemaDsl.parseType("map<string,map<string,int64>>"))
+    assertThrows[IllegalArgumentException](SchemaDsl.parseType("map<int64,int64>"))
+    // JSON ingest: the natural object form AND the entry-array form
+    val ms = org.apache.spark.sql.types.StructType(Seq(
+      SchemaDsl.field("id", "int64"), SchemaDsl.field("props", "map<string,int64>")))
+    val r1 = JsonIngest.parse(ms, """{"id":1,"props":{"a":10,"b":null,"c":30}}""")
+    assert(r1.getSeq[Row](1).map(e => (e.getString(0), e.get(1))) ==
+      Seq(("a", 10L), ("b", null), ("c", 30L)))
+    val r2 = JsonIngest.parse(ms,
+      """{"id":2,"props":[{"key":"x","value":7}]}""")
+    assert(r2.getSeq[Row](1) == Seq(Row("x", 7L)))
+    assertThrows[IllegalArgumentException](
+      JsonIngest.parse(ms, """{"id":3,"props":42}"""))
   }
 
   test("OTEL schema: nested attribute explode") {
