@@ -110,9 +110,49 @@ object Bench {
     val qs = (results :+ ("ingest_1m_events_sec" -> ingestSec))
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    // sf1 scale guard (VERDICT r10 #8): the 10 most scale-sensitive
+    // entries (dedup / ANN / tokenizer) plus the ingest probe re-run at
+    // 10x the data (tmp/sf1, synthesized by tools/gen_sf1.py) so a
+    // super-linear regression shows up in the recorded artifact diff,
+    // not in an ad-hoc sweep. Skipped when the directory is absent or
+    // GRAFT_BENCH_SF1=0.
+    val sf1Dir = "tmp/sf1"
+    val sf1Json =
+      if (!new java.io.File(sf1Dir).isDirectory ||
+          sys.env.get("GRAFT_BENCH_SF1").contains("0")) ""
+      else {
+        val sensitive = Seq("dedup_exact", "dedup_minhash_lsh",
+          "dedup_minhash_incr", "dedup_simhash", "dedup_components",
+          "ann_ivf_topk", "ann_ivfpq_topk", "embed_neardup",
+          "text_bpe_train", "text_heavyhitters")
+        val r1 = sensitive.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
+          .map { case (name, fn) =>
+            val t0 = System.nanoTime()
+            val n =
+              try fn(spark, sf1Dir).count()
+              catch { case e: Throwable =>
+                System.err.println(s"[bench] sf1:$name failed: ${e.getMessage}")
+                -1L
+              }
+            val sec = (System.nanoTime() - t0) / 1e9
+            System.err.println(f"[bench] sf1:$name%-18s $sec%8.2fs  ($n rows)")
+            spark.catalog.clearCache()
+            name -> sec
+          }
+        val ing1 =
+          try ingest1m(spark, sf1Dir)
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] sf1:ingest_1m failed: ${e.getMessage}")
+            -1.0
+          }
+        System.err.println(f"[bench] sf1:ingest_1m_events $ing1%8.2fs")
+        (r1 :+ ("ingest_1m_events_sec" -> ing1))
+          .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+          .mkString(""","sf1":{""", ",", "}")
+      }
     val total = results.map(_._2).sum
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$sf1Json,"sf":"$sfDir"}"""
     // the line is ~4 KB at 137 queries — a byte-bounded tail capture
     // can cut into it, so it ALSO lands whole in its own file
     try java.nio.file.Files.writeString(
