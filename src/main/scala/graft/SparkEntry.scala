@@ -3064,6 +3064,64 @@ object SparkEntry {
       } finally srv.stop()
     }),
 
+    "serve_lifecycle" -> ((s, d) => {
+      // the standalone service process (reference moonlink-service CLI,
+      // moonlink_service/src/main.rs): one warehouse served over REST +
+      // TCP RPC from one process, stopped, then RESTARTED — the second
+      // start must recover every registered table (recover_all_tables
+      // on boot) and serve identical reads. Bounded row-at-a-time REST
+      // like rest_http_ingest (one fixed user ≈ 67 events at every SF).
+      import graft.tools.Serve
+      val wh = freshDir("serve-wh")
+      def post(base: String, path: String, body: String): String = {
+        val conn = java.net.URI.create(base + path).toURL
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setRequestProperty("Content-Type", "application/json")
+        conn.setDoOutput(true)
+        val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val os = conn.getOutputStream
+        try os.write(bytes) finally os.close()
+        val code = conn.getResponseCode
+        val is = if (code == 200) conn.getInputStream else conn.getErrorStream
+        val resp = new String(is.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        is.close()
+        require(code == 200, s"POST $path -> $code: $resp")
+        resp
+      }
+      val h1 = Serve.start(s, Serve.Config(wh,
+        restPort = Some(0), tcpPort = Some(0), otelPort = None))
+      try {
+        val base = h1.rest.get.baseUrl
+        post(base, "/tables/users",
+          """{"schema":[
+            |  {"name":"user_id","data_type":"int64","nullable":false},
+            |  {"name":"event_id","data_type":"int64","nullable":true},
+            |  {"name":"event_type","data_type":"string","nullable":true},
+            |  {"name":"value","data_type":"float64","nullable":true}],
+            | "key_columns":["user_id"]}""".stripMargin)
+        val rows = events(s, d).where(col("user_id") === 7L)
+          .select(col("event_id"), to_json(struct(col("user_id"),
+            col("event_id"), col("event_type"), col("value"))).as("data"))
+          .orderBy("event_id").collect()
+        rows.foreach(r => post(base, "/ingest/users",
+          s"""{"operation":"upsert","data":${r.getString(1)},"request_mode":"sync"}"""))
+        post(base, "/tables/users/flush", "{}")
+      } finally h1.stop()
+      // restart: recovery must reopen the table and serve the same state
+      val h2 = Serve.start(s, Serve.Config(wh,
+        restPort = Some(0), tcpPort = Some(0), otelPort = None))
+      try
+        h2.catalog.table("users").read(scala.None)
+          .select(col("user_id"), col("event_id").as("last_event_id"),
+            col("event_type").as("last_event_type"),
+            cents(col("value")).as("value_cents"))
+          .orderBy("user_id")
+          .localCheckpoint(true)
+      finally h2.stop()
+    }),
+
     "rest_map_ingest" -> ((s, d) => {
       // map<string,T> through the REST surface (SURVEY "what's
       // missing" #4): the schema DSL accepts the map type and stores
@@ -5245,6 +5303,14 @@ object SparkEntry {
         |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
         |FROM events
         |WHERE user_id IN (7, 27, 47, 67)
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "serve_lifecycle" ->
+      """SELECT user_id, event_id AS last_event_id,
+        |       event_type AS last_event_type,
+        |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
+        |FROM events WHERE user_id = 7
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
         |ORDER BY user_id""".stripMargin,
 

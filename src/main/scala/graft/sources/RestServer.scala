@@ -137,10 +137,16 @@ final class RestServer(catalog: GraftCatalog, port: Int = 0) {
       case ("POST", "tables" :: t :: "optimize" :: Nil) =>
         catalog.table(t).optimize(); 200 -> obj()
       case ("POST", "tables" :: t :: "snapshot" :: Nil) =>
-        val tbl = catalog.table(t); tbl.flush()
+        // snapshot = flushed AND published: the manifest version is the
+        // durable commit a restarted service recovers (publish() is a
+        // no-op when nothing is pending)
+        val tbl = catalog.table(t); tbl.flush(); tbl.publish()
         200 -> obj("lsn" -> tbl.commitLsn)
       case ("POST", "tables" :: t :: "flush" :: Nil) =>
-        val tbl = catalog.table(t); tbl.flush()
+        // flush acks durability to the caller, so the manifest commit
+        // rides along — without it a WAL-less table's flushed files
+        // would be unreachable after restart (no version references them)
+        val tbl = catalog.table(t); tbl.flush(); tbl.publish()
         200 -> obj("lsn" -> tbl.flushLsn)
       case _ => throw new NoSuchElementException(s"$method $path")
     }

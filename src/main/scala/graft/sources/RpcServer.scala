@@ -12,9 +12,9 @@ import scala.util.control.NonFatal
  * The RPC control/scan plane of S12: serves the reference's ten
  * operations (`moonlink_rpc/src/lib.rs:30-41`) over [[RpcWire]] frames
  * against a [[GraftCatalog]]. The transport here is
- * `handleFrame(bytes) -> bytes` — a socket would pump frames into it
- * unchanged (same in-process seam as [[PgOutput.Session]] for S1; this
- * sandbox has no server sockets to bind).
+ * `handleFrame(bytes) -> bytes`; [[RpcTcpServer]] pumps frames into it
+ * unchanged from a real loopback TCP listener (the standalone
+ * deployment, `graft.tools.Serve`), and tests drive it in-process.
  *
  * Op mapping (deviations documented):
  *  - `create_table`: the reference pulls the schema from the Postgres
@@ -40,6 +40,18 @@ final class RpcServer(catalog: GraftCatalog) {
   private val pins = scala.collection.mutable.Map[(String, String), GraftTable#ReadPin]()
 
   private def key(db: String, t: String) = s"$db.$t"
+
+  /** Lookup with bare-name fallback: RPC-created tables key as
+   *  `db.t`, while REST/library-created tables in the same warehouse
+   *  key by bare name — one Serve process exposes both over one
+   *  catalog, so the RPC surface must resolve either. */
+  private def resolve(db: String, t: String): GraftTable = {
+    val k = key(db, t)
+    val names = catalog.list
+    if (names.contains(k)) catalog.table(k)
+    else if (names.contains(t)) catalog.table(t)
+    else catalog.table(k) // keep the db-qualified error message
+  }
 
   def handleFrame(frameBytes: Array[Byte]): Array[Byte] =
     frame(handle(unframe(frameBytes)))
@@ -81,7 +93,7 @@ final class RpcServer(catalog: GraftCatalog) {
       encodeOk(_ => ())
 
     case CreateSnapshot(db, t, lsn) =>
-      val table = catalog.table(key(db, t))
+      val table = resolve(db, t)
       require(table.commitLsn >= lsn,
         s"commit watermark ${table.commitLsn} below snapshot lsn $lsn")
       table.optimize()
@@ -104,7 +116,7 @@ final class RpcServer(catalog: GraftCatalog) {
 
     case GetTableSchema(db, t) =>
       val bytes = org.apache.spark.sql.graft.ArrowSchemaShim
-        .toArrowIpcBytes(catalog.table(key(db, t)).schema)
+        .toArrowIpcBytes(resolve(db, t).schema)
       encodeOk(e => { e.bytesField(bytes); () })
 
     case ListTables =>
@@ -123,20 +135,20 @@ final class RpcServer(catalog: GraftCatalog) {
       }
 
     case LoadFiles(db, t, files) =>
-      val table = catalog.table(key(db, t))
+      val table = resolve(db, t)
       table.loadFiles(files, table.commitLsn + 1)
       encodeOk(_ => ())
 
     case OptimizeTable(db, t, mode) =>
       require(Seq("data", "index", "full").contains(mode),
         s"unknown optimize mode '$mode'") // reference modes
-      catalog.table(key(db, t)).optimize()
+      resolve(db, t).optimize()
       encodeOk(_ => ())
 
     case ScanTableBegin(db, t, lsn) =>
       require(!pins.contains((db, t)),
         s"scan already in progress for $db.$t") // one scan per handle
-      val table = catalog.table(key(db, t))
+      val table = resolve(db, t)
       val pin = table.readPinned(if (lsn > 0) Some(lsn) else None)
       pins((db, t)) = pin
       val dataFiles = pin.pinnedDataFiles

@@ -1,0 +1,112 @@
+package graft.tools
+
+import graft.sources.{RestServer, RpcServer, RpcTcpServer}
+import graft.streaming.MaintenanceDaemon
+import graft.table.GraftCatalog
+import org.apache.spark.sql.SparkSession
+
+/**
+ * The standalone service process — the deployment surface of the
+ * reference's `moonlink-service` CLI (`moonlink_service/src/main.rs`:
+ * base path + REST port 3030 + TCP port 3031 + OTEL port 3435, each
+ * individually disable-able):
+ *
+ *   sbt "runMain graft.tools.Serve /data/warehouse \
+ *        [--rest-port 3030] [--tcp-port 3031] [--otel-port 3435] \
+ *        [--no-rest] [--no-tcp] [--no-otel] [--maintenance-ms 300000]"
+ *
+ * One process = one SparkSession + one [[GraftCatalog]] over the base
+ * path, shared by every transport:
+ *  - REST (S3): table create/drop/list, row + protobuf + Kafka/Avro
+ *    ingest, optimize/snapshot/flush control verbs, sync/async LSN ack;
+ *  - TCP RPC (S12): the u32-framed binary protocol, scan-state blobs
+ *    for external readers;
+ *  - OTEL (S6): a dedicated listener whose `/v1/metrics` endpoint
+ *    takes OTLP protobuf or JSON by Content-Type (the reference binds
+ *    its otel API on its own port, `otel_ingestion_api_port`);
+ *  - the maintenance daemon (M15) ticks snapshots/compaction in the
+ *    background, as the reference's timer loop does.
+ */
+object Serve {
+
+  final case class Config(
+      basePath: String,
+      restPort: Option[Int] = Some(3030),
+      tcpPort: Option[Int] = Some(3031),
+      otelPort: Option[Int] = Some(3435),
+      maintenanceMs: Long = 300000L)
+
+  final class Handle(
+      val catalog: GraftCatalog,
+      val rest: Option[RestServer],
+      val otel: Option[RestServer],
+      val tcp: Option[RpcTcpServer],
+      val daemon: MaintenanceDaemon) {
+    def stop(): Unit = {
+      daemon.stop()
+      tcp.foreach(_.stop())
+      otel.foreach(_.stop())
+      rest.foreach(_.stop())
+    }
+  }
+
+  def start(spark: SparkSession, cfg: Config): Handle = {
+    // service start = backend recovery: reopen every registered table
+    // in the warehouse (the reference's `recover_all_tables` on boot,
+    // `recovery_utils.rs:120-170`); registry entries whose directory
+    // never materialized are warned about, not fatal
+    val (catalog, missing) = GraftCatalog.recover(spark, cfg.basePath)
+    missing.foreach(e => System.err.println(
+      s"[graft-serve] WARN registered table ${e.table} has no manifest; skipped"))
+    val rest = cfg.restPort.map(p => new RestServer(catalog, p).start())
+    val otel = cfg.otelPort.map(p => new RestServer(catalog, p).start())
+    val rpc = new RpcServer(catalog)
+    val tcp = cfg.tcpPort.map(p => new RpcTcpServer(rpc, p).start())
+    val daemon = new MaintenanceDaemon(catalog,
+      maintenanceEveryMs = cfg.maintenanceMs).start()
+    new Handle(catalog, rest, otel, tcp, daemon)
+  }
+
+  def parseArgs(args: Array[String]): Config = {
+    require(args.nonEmpty, "usage: Serve <base-path> [flags]")
+    var cfg = Config(basePath = args.head)
+    var i = 1
+    while (i < args.length) {
+      args(i) match {
+        case "--rest-port" => cfg = cfg.copy(restPort = Some(args(i + 1).toInt)); i += 2
+        case "--tcp-port" => cfg = cfg.copy(tcpPort = Some(args(i + 1).toInt)); i += 2
+        case "--otel-port" => cfg = cfg.copy(otelPort = Some(args(i + 1).toInt)); i += 2
+        case "--maintenance-ms" =>
+          cfg = cfg.copy(maintenanceMs = args(i + 1).toLong); i += 2
+        case "--no-rest" => cfg = cfg.copy(restPort = None); i += 1
+        case "--no-tcp" => cfg = cfg.copy(tcpPort = None); i += 1
+        case "--no-otel" => cfg = cfg.copy(otelPort = None); i += 1
+        case other => throw new IllegalArgumentException(s"unknown flag $other")
+      }
+    }
+    cfg
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cfg = parseArgs(args)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-serve")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val h = start(spark, cfg)
+    h.rest.foreach(r => println(s"[graft-serve] REST  ${r.baseUrl}"))
+    h.otel.foreach(r => println(s"[graft-serve] OTEL  ${r.baseUrl}/v1/metrics"))
+    h.tcp.foreach(t => println(s"[graft-serve] RPC   127.0.0.1:${t.boundPort}"))
+    println(s"[graft-serve] warehouse ${cfg.basePath}")
+    val done = new java.util.concurrent.CountDownLatch(1)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      h.stop(); done.countDown()
+    }))
+    done.await() // serve until SIGTERM/SIGINT
+  }
+}
