@@ -209,9 +209,14 @@ private[graft] object DeltaLog {
     val st = readStateFromCheckpoint(spark, root)
     // idempotent re-checkpoint: nothing committed since the last one —
     // the checkpoint parquet at this version already exists and Fio.move
-    // refuses to clobber, so just keep it
-    if (Fio.exists(f"${logDir(root)}/${st.version}%020d.checkpoint.parquet"))
+    // refuses to clobber, so keep it, but REPAIR the pointer: a crash
+    // between the parquet move and the _last_checkpoint write would
+    // otherwise leave an orphaned checkpoint no reader ever engages
+    if (Fio.exists(f"${logDir(root)}/${st.version}%020d.checkpoint.parquet")) {
+      Fio.replaceAtomic(s"${logDir(root)}/_last_checkpoint",
+        s"""{"version":${st.version},"size":${st.files.size + 2}}""")
       return st.version
+    }
     val protocolT = StructType(Seq(
       StructField("minReaderVersion", IntegerType),
       StructField("minWriterVersion", IntegerType)))

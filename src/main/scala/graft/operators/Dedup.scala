@@ -315,8 +315,12 @@ object Dedup {
       keys: Seq[String] = Seq("band", "bucket")): DataFrame =
     if (maxBucket <= 0) banded
     else {
+      // localCheckpoint, not persist: the hot set is read by the
+      // accounting agg AND the later (lazy) anti-join, and checkpoint
+      // blocks are GC-reclaimed by the ContextCleaner — a CacheManager
+      // entry per call would pile up in long-lived dedup sessions
       val hot = oversizedBuckets(banded, maxBucket, keys)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager = true)
       val agg = hot.agg(count(lit(1)), coalesce(sum(col("n")), lit(0L))).head()
       Metrics.counter("graft.lsh_buckets_capped", "dedup", agg.getLong(0))
       Metrics.counter("graft.lsh_rows_capped", "dedup", agg.getLong(1))
@@ -364,7 +368,7 @@ object Dedup {
             newBanded.select(col("band"), col("bucket"))
               .unionAll(indexBanded.select(col("band"), col("bucket"))),
             maxBucket)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint(true) // see capBuckets: reclaimable, no cache pile-up
         val agg = hot.agg(count(lit(1)), coalesce(sum(col("n")), lit(0L))).head()
         Metrics.counter("graft.lsh_buckets_capped", "dedup", agg.getLong(0))
         Metrics.counter("graft.lsh_rows_capped", "dedup", agg.getLong(1))

@@ -161,9 +161,13 @@ object OtelIngest {
       coalesce(
         element_at(filter(attrsConv, a => a("key") === k), 1)("value"),
         nullVal)))
+    // empty type/schema_url → null, matching the PB decode (the
+    // reference nulls empty strings, otel_to_moonlink_pb.rs:199-209)
     transform(refs, er => struct(
-      er("type"), pairs(er("idKeys")), pairs(er("descriptionKeys")),
-      er("schemaUrl"))).cast(entityRefListNullable)
+      when(length(er("type")) > 0, er("type")),
+      pairs(er("idKeys")), pairs(er("descriptionKeys")),
+      when(length(er("schemaUrl")) > 0, er("schemaUrl"))))
+      .cast(entityRefListNullable)
   }
 
   /**
@@ -184,13 +188,14 @@ object OtelIngest {
       .select(
         col("rm.schemaUrl").as("resource_schema_url"),
         convAttrs(col("rm.resource.attributes")).as("resource_attributes"),
-        convEntityRefs(col("rm.resource.entityRefs"),
-          convAttrs(col("rm.resource.attributes")))
-          .as("resource_entity_refs"),
+        col("rm.resource.entityRefs").as("_erefs"),
         explode(col("rm.scopeMetrics")).as("sm"))
       .select(
         col("resource_schema_url"), col("resource_attributes"),
-        col("resource_entity_refs"),
+        // key resolution reads the ALREADY-converted attr list from the
+        // previous select, so the attribute conversion runs once
+        convEntityRefs(col("_erefs"), col("resource_attributes"))
+          .as("resource_entity_refs"),
         col("sm.scope.name").as("scope_name"),
         col("sm.scope.version").as("scope_version"),
         convAttrs(col("sm.scope.attributes")).as("scope_attributes"),

@@ -171,7 +171,14 @@ object OtelPb {
   private def resolveEntityRefs(refs: Seq[EntRef],
       resAttrs: Seq[Row]): Seq[Row] = {
     val nullVal = Row(null, null, null, null)
-    val attrMap = resAttrs.map(a => a.getString(0) -> a.getStruct(1)).toMap
+    // FIRST occurrence wins on (wire-legal but spec-discouraged)
+    // duplicate attr keys — the JSON path's element_at(filter, 1) does
+    // the same, so both transports land identical rows (the reference
+    // asserts no duplicates at all, otel_to_moonlink_pb.rs:168)
+    val attrMap = resAttrs.foldLeft(Map.empty[String, Row]) { (m, a) =>
+      val k = a.getString(0)
+      if (m.contains(k)) m else m + (k -> a.getStruct(1))
+    }
     refs.map { er =>
       def pairs(keys: Seq[String]): Seq[Row] =
         keys.map(k => Row(k, attrMap.getOrElse(k, nullVal)))

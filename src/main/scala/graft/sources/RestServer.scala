@@ -48,7 +48,13 @@ import scala.util.control.NonFatal
  * Security note: binds loopback only — this is a library test surface,
  * not a hardened service.
  */
-final class RestServer(catalog: GraftCatalog, port: Int = 0) {
+final class RestServer(catalog: GraftCatalog, port: Int = 0,
+    // OTEL-ONLY mode: the listener serves /v1/metrics (+ /health) and
+    // nothing else — the reference binds its otel ingestion API on its
+    // own port with no admin surface (`otel_ingestion_api_port`), so a
+    // deployment can expose the metrics port to telemetry producers
+    // without also exposing table create/drop/ingest
+    otelOnly: Boolean = false) {
 
   private val mapper = new ObjectMapper()
   private val avroSchemas = TrieMap[String, String]() // table -> schema json
@@ -101,6 +107,8 @@ final class RestServer(catalog: GraftCatalog, port: Int = 0) {
   private def route(method: String, path: String, body: String,
       raw: Array[Byte], contentType: String, query: String): (Int, ObjectNode) = {
     val parts = path.split("/").filter(_.nonEmpty).toList
+    if (otelOnly && parts.headOption.forall(p => p != "v1" && p != "health"))
+      throw new NoSuchElementException(s"$method $path (otel-only listener)")
     (method, parts) match {
       // OTLP/HTTP metrics endpoint (reference otel/service.rs): binary
       // protobuf is the primary encoding, JSON the secondary; the

@@ -37,7 +37,18 @@ final class RpcServer(catalog: GraftCatalog) {
   import RpcWire._
 
   private val mapper = new ObjectMapper()
-  private val pins = scala.collection.mutable.Map[(String, String), GraftTable#ReadPin]()
+  // one-scan-per-table handle state; synchronized because the TCP
+  // transport can dispatch from several connection threads (each
+  // connection gets its OWN RpcServer — see RpcTcpServer — so pins are
+  // connection-scoped like the reference's per-handle scan state, but
+  // a misbehaving client pipelining from two threads must still never
+  // corrupt the map)
+  private val pins = scala.collection.concurrent.TrieMap[(String, String), GraftTable#ReadPin]()
+
+  /** Release every pin this handle still holds — connection teardown
+   *  (a client that dropped mid-scan must not pin versions forever). */
+  def closePins(): Unit =
+    pins.keys.toSeq.foreach(k => pins.remove(k).foreach(_.close()))
 
   private def key(db: String, t: String) = s"$db.$t"
 
@@ -146,11 +157,14 @@ final class RpcServer(catalog: GraftCatalog) {
       encodeOk(_ => ())
 
     case ScanTableBegin(db, t, lsn) =>
-      require(!pins.contains((db, t)),
-        s"scan already in progress for $db.$t") // one scan per handle
       val table = resolve(db, t)
       val pin = table.readPinned(if (lsn > 0) Some(lsn) else None)
-      pins((db, t)) = pin
+      // atomic claim: one scan per (table, handle); a lost race must
+      // release its own pin, never leak it
+      if (pins.putIfAbsent((db, t), pin).isDefined) {
+        pin.close()
+        throw new IllegalStateException(s"scan already in progress for $db.$t")
+      }
       val dataFiles = pin.pinnedDataFiles
       val dvFiles = pin.pinnedDvFiles
       val dataNumber = dataFiles.zipWithIndex.toMap

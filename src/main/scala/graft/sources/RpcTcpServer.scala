@@ -11,11 +11,15 @@ import scala.util.control.NonFatal
  * request/response over a plain socket, many requests per connection —
  * the standalone-deployment listener the reference serves on port 3031
  * (`moonlink_service/src/rpc_server.rs`; framing `moonlink_rpc`). The
- * protocol layer itself is [[RpcServer]] (shared with the in-process
- * path, so both transports dispatch identically); this class owns only
- * the socket lifecycle.
+ * protocol layer itself is [[RpcServer]]; each CONNECTION gets its own
+ * instance (the factory), so scan-pin state is per-handle exactly like
+ * the reference's per-connection rpc loop — one client can never end
+ * another client's scan or observe its in-progress pins — and a
+ * dropped connection releases whatever it still pinned.
  */
-final class RpcTcpServer(rpc: RpcServer, port: Int = 0) {
+final class RpcTcpServer(newHandler: () => RpcServer, port: Int = 0) {
+
+  def this(rpc: RpcServer, port: Int) = this(() => rpc, port)
 
   private val server =
     new ServerSocket(port, 16, InetAddress.getLoopbackAddress)
@@ -49,6 +53,7 @@ final class RpcTcpServer(rpc: RpcServer, port: Int = 0) {
   private def serve(sock: Socket): Unit = {
     val in = new DataInputStream(sock.getInputStream)
     val out = sock.getOutputStream
+    val rpc = newHandler()
     try {
       sock.setTcpNoDelay(true)
       while (true) {
@@ -59,14 +64,18 @@ final class RpcTcpServer(rpc: RpcServer, port: Int = 0) {
         require(len >= 0 && len <= (64 << 20), s"bad frame length $len")
         val body = new Array[Byte](len)
         in.readFully(body)
-        out.write(rpc.handleFrame(RpcWire.frame(body)))
+        // handle() takes the bare body — no re-frame/unframe copy pair
+        out.write(RpcWire.frame(rpc.handle(body)))
         out.flush()
       }
     } catch {
       case _: EOFException => // client closed between frames
       case NonFatal(e) if running =>
         System.err.println(s"[graft-rpc] connection error: ${e.getMessage}")
-    } finally sock.close()
+    } finally {
+      rpc.closePins() // a vanished client must not pin versions forever
+      sock.close()
+    }
   }
 
   def stop(): Unit = {

@@ -59,9 +59,13 @@ object Serve {
     missing.foreach(e => System.err.println(
       s"[graft-serve] WARN registered table ${e.table} has no manifest; skipped"))
     val rest = cfg.restPort.map(p => new RestServer(catalog, p).start())
-    val otel = cfg.otelPort.map(p => new RestServer(catalog, p).start())
-    val rpc = new RpcServer(catalog)
-    val tcp = cfg.tcpPort.map(p => new RpcTcpServer(rpc, p).start())
+    // the OTEL port serves ONLY /v1/metrics + /health (reference model:
+    // the otel ingestion port has no admin surface)
+    val otel = cfg.otelPort.map(p =>
+      new RestServer(catalog, p, otelOnly = true).start())
+    // one RpcServer per CONNECTION: scan pins are handle-scoped
+    val tcp = cfg.tcpPort.map(p =>
+      new RpcTcpServer(() => new RpcServer(catalog), p).start())
     val daemon = new MaintenanceDaemon(catalog,
       maintenanceEveryMs = cfg.maintenanceMs).start()
     new Handle(catalog, rest, otel, tcp, daemon)
@@ -71,13 +75,20 @@ object Serve {
     require(args.nonEmpty, "usage: Serve <base-path> [flags]")
     var cfg = Config(basePath = args.head)
     var i = 1
+    def value(flag: String): String = {
+      require(i + 1 < args.length, s"$flag needs a value")
+      args(i + 1)
+    }
     while (i < args.length) {
       args(i) match {
-        case "--rest-port" => cfg = cfg.copy(restPort = Some(args(i + 1).toInt)); i += 2
-        case "--tcp-port" => cfg = cfg.copy(tcpPort = Some(args(i + 1).toInt)); i += 2
-        case "--otel-port" => cfg = cfg.copy(otelPort = Some(args(i + 1).toInt)); i += 2
+        case "--rest-port" =>
+          cfg = cfg.copy(restPort = Some(value("--rest-port").toInt)); i += 2
+        case "--tcp-port" =>
+          cfg = cfg.copy(tcpPort = Some(value("--tcp-port").toInt)); i += 2
+        case "--otel-port" =>
+          cfg = cfg.copy(otelPort = Some(value("--otel-port").toInt)); i += 2
         case "--maintenance-ms" =>
-          cfg = cfg.copy(maintenanceMs = args(i + 1).toLong); i += 2
+          cfg = cfg.copy(maintenanceMs = value("--maintenance-ms").toLong); i += 2
         case "--no-rest" => cfg = cfg.copy(restPort = None); i += 1
         case "--no-tcp" => cfg = cfg.copy(tcpPort = None); i += 1
         case "--no-otel" => cfg = cfg.copy(otelPort = None); i += 1

@@ -116,9 +116,15 @@ class ServeSpec extends AnyFunSuite with BeforeAndAfterAll {
         """{"resourceMetrics":[{"scopeMetrics":[{"metrics":[
           |{"name":"m1","gauge":{"dataPoints":[
           |  {"timeUnixNano":"1","asDouble":1.5}]}}]}]}]}""".stripMargin)
-      post(s"$otel/tables/metrics/flush", "{}")
+      // flush via the ADMIN port; the OTEL port must refuse everything
+      // except /v1/metrics and /health (no admin surface on the
+      // telemetry-exposed listener, like the reference's otel port)
+      post(s"$rest/tables/metrics/flush", "{}")
       assert(h.catalog.table("metrics").read()
         .where("metric_name = 'm1'").count() == 1L)
+      val denied = intercept[IllegalArgumentException](
+        post(s"$otel/tables/denied", """{"schema":[]}"""))
+      assert(denied.getMessage.contains("404"))
     } finally h.stop()
     // stop() released the ports: a fresh start on the same warehouse
     // recovers the tables (backend recovery through the catalog)
