@@ -3767,6 +3767,26 @@ object SparkEntry {
         .orderBy("corpus_id", "benchmark_id")
     }),
 
+    "dedup_minhash_capped" -> ((s, d) => {
+      // the LSH hot-bucket cap (VERDICT r10 #4) made ORACLE-EXACT:
+      // capping is deterministic (drop (band,bucket) groups over the
+      // bound before the self-join), so DuckDB recomputes the capped
+      // candidate set from the staged band frame and re-verifies the
+      // exact Jaccard — the recall trade is pinned by value, not just
+      // by the ScalaTest property. maxBucket=2 BITES at sf0.01 (the
+      // band frame's largest buckets hold 3 docs; 14 such buckets are
+      // dropped) while verification keeps precision exact.
+      val sh = stage(Dedup.minhashShingleFrame(
+          t(s, d, "documents"), "doc_id", "text", shingleN = 2),
+        d, "dedup_cap_sh")
+      val bands = stage(Dedup.minhashBandFrame(sh, 64, 16),
+        d, "dedup_cap_bands")
+      Dedup.verifyJaccardMilli(sh,
+          Dedup.minhashCandidatesFromBands(bands, maxBucket = 2),
+          minMilli = 200)
+        .orderBy("id_a", "id_b")
+    }),
+
     "dedup_minhash_incr" -> ((s, d) => {
       // incremental dedup (the daily-crawl shape): the odd-doc
       // increment probes a PERSISTED band index of the even-doc corpus
@@ -5779,6 +5799,23 @@ object SparkEntry {
         |      FROM b)
         |SELECT DISTINCT rep AS id_a, id AS id_b FROM m
         |WHERE id > rep
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_minhash_capped" ->
+      """WITH sh AS (SELECT * FROM read_parquet('/root/repo/target/oracle-stage/sf0.01/dedup_cap_sh/*.parquet')),
+        |bands AS (SELECT * FROM read_parquet('/root/repo/target/oracle-stage/sf0.01/dedup_cap_bands/*.parquet')),
+        |kept AS (SELECT band, bucket FROM bands GROUP BY 1, 2 HAVING count(*) <= 2),
+        |b2 AS (SELECT b.id, b.band, b.bucket FROM bands b JOIN kept USING (band, bucket)),
+        |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+        |         FROM b2 x JOIN b2 y
+        |           ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id)
+        |SELECT c.id_a, c.id_b,
+        |       CAST(FLOOR(1000.0 * len(list_intersect(a.hs, b.hs)) /
+        |            (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))) AS BIGINT) AS jaccard_milli
+        |FROM cand c JOIN sh a ON a.id = c.id_a JOIN sh b ON b.id = c.id_b
+        |WHERE (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) > 0
+        |  AND CAST(FLOOR(1000.0 * len(list_intersect(a.hs, b.hs)) /
+        |            (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))) AS BIGINT) >= 200
         |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_minhash_incr" ->
