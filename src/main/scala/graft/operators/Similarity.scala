@@ -1,8 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{NearestCells, PqAdcScore, PqEncodeCodes}
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
 /**
  * Similarity search over embedding columns (`Array[Float]`), pure
@@ -198,9 +200,10 @@ object Similarity {
   }
 
   /** Top-`n` cell ids (by dot product with the broadcast centroids —
-   *  spherical k-means assignment on unit vectors). The closure holds
-   *  only the broadcast handle; each executor scores against the
-   *  shared centroid array. */
+   *  spherical k-means assignment on unit vectors). RETAINED AS THE
+   *  SPEC ORACLE for the codegen'd `NearestCells` expression that
+   *  replaced it on the assignment/probe paths (OperatorsSpec asserts
+   *  bit-identical output). */
   private[graft] def nearestCellsUdf(
       bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
       n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
@@ -351,22 +354,24 @@ object Similarity {
    *  cell — the persistable half of the index (parquet it, bucket it
    *  by cell, reuse it across every query batch). */
   private def assignCells(corpus: DataFrame, idCol: String,
-      vecCol: String, cents: Array[Array[Double]]): DataFrame = {
-    val bc = corpus.sparkSession.sparkContext.broadcast(cents)
+      vecCol: String, cents: Array[Array[Double]]): DataFrame =
+    // codegen'd NearestCells expression: the centroid matrix rides the
+    // stage's (broadcast) task binary, the corpus scan stays inside
+    // whole-stage codegen — the UDF it replaced paid a catalyst→Seq
+    // conversion per corpus vector on the one pass that touches
+    // EVERYTHING at 100 TB
     corpus.select(col(idCol).as("neighbor_id"),
         asDouble(col(vecCol)).as("cv"))
       .select(col("neighbor_id"),
-        element_at(nearestCellsUdf(bc, 1)(col("cv")), 1).as("cell"))
-  }
+        element_at(NearestCells.asColumn(col("cv"), cents, 1), 1).as("cell"))
 
   private def probeCandidates(assigned: DataFrame,
       cents: Array[Array[Double]], queries: DataFrame,
       qIdCol: String, qVecCol: String, nProbe: Int): DataFrame = {
-    val bc = queries.sparkSession.sparkContext.broadcast(cents)
     val q = queries.select(col(qIdCol).as("query_id"),
         asDouble(col(qVecCol)).as("qv"))
       .select(col("query_id"),
-        explode(nearestCellsUdf(bc, nProbe)(col("qv"))).as("cell"))
+        explode(NearestCells.asColumn(col("qv"), cents, nProbe)).as("cell"))
     assigned.join(broadcast(q), Seq("cell"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"))
@@ -512,7 +517,17 @@ object Similarity {
    *  of the index; parquet it and every query batch scans codes, never
    *  raw vectors. */
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
-      cb: PqCodebooks): DataFrame = {
+      cb: PqCodebooks): DataFrame =
+    // codegen'd PqEncodeCodes (see NearestCells note in assignCells):
+    // this is the other whole-corpus scan of the PQ path
+    corpus.select(col(idCol).as("neighbor_id"),
+      PqEncodeCodes.asColumn(asDouble(col(vecCol)),
+        cb.books, cb.m, cb.nCodes, cb.subDim).as("codes"))
+
+  /** The Scala-UDF encode the expression replaced — RETAINED AS THE
+   *  SPEC ORACLE (OperatorsSpec asserts bit-identical codes). */
+  private[graft] def pqEncodeUdf(corpus: DataFrame, idCol: String,
+      vecCol: String, cb: PqCodebooks): DataFrame = {
     val bc = corpus.sparkSession.sparkContext.broadcast(cb)
     val enc = udf((u: Seq[Double]) => {
       val v = unit(u.toArray); val b = bc.value
@@ -550,14 +565,6 @@ object Similarity {
       asDouble(col(qVecCol)).as("qv")).collect()
     val tabs: Array[Array[Double]] = qRows.map(r =>
       adcTable(cb, unit(r.getAs[scala.collection.Seq[Double]](1).toArray)))
-    val bc = spark.sparkContext.broadcast(tabs)
-    val nCodes = cb.nCodes
-    val adcUdf = udf((qi: Int, cs: Seq[Int]) => {
-      val t = bc.value(qi); val a = cs.toArray
-      var s = 0.0; var sub = 0
-      while (sub < a.length) { s += t(sub * nCodes + a(sub)); sub += 1 }
-      s
-    })
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_micro").asc, col("neighbor_id").asc)
     encoded.select(col("neighbor_id"), col("codes"),
@@ -565,7 +572,8 @@ object Similarity {
           .as(Seq("qi", "query_id")))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("adc_micro",
-        round(adcUdf(col("qi"), col("codes")) * 1e6).cast("long"))
+        round(PqAdcScore.asColumn(col("qi"), col("codes"), tabs, cb.nCodes)
+          * 1e6).cast("long"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= shortlist)
       .select(col("query_id"), col("neighbor_id"))
@@ -583,24 +591,23 @@ object Similarity {
     val spark = encoded.sparkSession
     val qRows = queries.select(col(qIdCol).as("query_id"),
       asDouble(col(qVecCol)).as("qv")).collect()
-    val tabs: Map[String, Array[Double]] = qRows.map { r =>
-      String.valueOf(r.get(0)) -> adcTable(cb,
-        unit(r.getAs[scala.collection.Seq[Double]](1).toArray))
-    }.toMap
-    val bc = spark.sparkContext.broadcast(tabs)
-    val nCodes = cb.nCodes
-    val adcUdf = udf((qid: String, cs: Seq[Int]) => {
-      val t = bc.value(qid); val a = cs.toArray
-      var s = 0.0; var sub = 0
-      while (sub < a.length) { s += t(sub * nCodes + a(sub)); sub += 1 }
-      s
-    })
+    val tabs: Array[Array[Double]] = qRows.map(r =>
+      adcTable(cb, unit(r.getAs[scala.collection.Seq[Double]](1).toArray)))
+    // query_id → table-ordinal map as a tiny broadcast-joined frame, so
+    // the ADC expression indexes a flat double[][] (no string keying)
+    val qIdx = spark.createDataFrame(
+      java.util.Arrays.asList(qRows.zipWithIndex.map { case (r, i) =>
+        Row(r.get(0), i) }: _*),
+      StructType(Seq(
+        StructField("query_id", queries.select(col(qIdCol)).schema.head.dataType),
+        StructField("qi", IntegerType, nullable = false))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_micro").asc, col("neighbor_id").asc)
     encoded.join(broadcast(coarse), Seq("neighbor_id"))
+      .join(broadcast(qIdx), Seq("query_id"))
       .withColumn("adc_micro",
-        round(adcUdf(col("query_id").cast("string"), col("codes")) * 1e6)
-          .cast("long"))
+        round(PqAdcScore.asColumn(col("qi"), col("codes"), tabs, cb.nCodes)
+          * 1e6).cast("long"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= shortlist)
       .select(col("query_id"), col("neighbor_id"))

@@ -63,6 +63,72 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(edge.isNullAt(1))
   }
 
+  test("native NearestCells/PqEncodeCodes/PqAdcScore match their UDF oracles") {
+    // the codegen'd ANN kernels (IVF assignment, PQ encode, ADC sum)
+    // asserted bit-identical to the retained Scala-UDF oracles —
+    // including a ragged dim (non-multiple of subDim), a zero vector
+    // (unit() passthrough), duplicated centroids (tie-break by lowest
+    // index), and null propagation
+    import spark.implicits._
+    import org.apache.spark.sql.graft.{NearestCells, PqAdcScore}
+    val rnd = new scala.util.Random(7)
+    val dim = 20
+    val rows = (0 until 120).map { i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextGaussian().toFloat))
+    } :+ (120L -> Seq.fill(dim)(0f))
+    val df = rows.toDF("vec_id", "embedding")
+    val cents = Array.fill(9)(Array.fill(dim)(rnd.nextGaussian()))
+    cents(5) = cents(2).clone() // exact tie: index 2 must win
+    val bc = spark.sparkContext.broadcast(cents)
+    val dv = col("embedding").cast("array<double>")
+    val cellsBoth = df.select(col("vec_id"),
+        NearestCells.asColumn(dv, cents, 4).as("expr"),
+        Similarity.nearestCellsUdf(bc, 4)(dv).as("oracle"))
+      .collect()
+    assert(cellsBoth.nonEmpty)
+    cellsBoth.foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](2), s"vec_id=${r.getLong(0)}")
+    }
+    // PQ encode: expression vs UDF oracle, row for row
+    val cb = Similarity.pqTrain(df, "vec_id", "embedding",
+      m = 4, nCodes = 8, iters = 1)
+    def codesOf(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Int](1))).toSeq
+    assert(codesOf(Similarity.pqEncode(df, "vec_id", "embedding", cb)) ==
+      codesOf(Similarity.pqEncodeUdf(df, "vec_id", "embedding", cb)))
+    // ragged slice clamp (m*subDim > dim): expression and oracle agree
+    // on the defensive lim path pqTrain itself never produces
+    val ragged = Similarity.PqCodebooks(4, 8, 6,
+      Array.fill(4 * 8)(Array.fill(6)(rnd.nextGaussian())))
+    assert(codesOf(Similarity.pqEncode(df, "vec_id", "embedding", ragged)) ==
+      codesOf(Similarity.pqEncodeUdf(df, "vec_id", "embedding", ragged)))
+    // ADC lookup-sum: expression vs a driver-side recompute
+    val tabs = Array.tabulate(3)(q =>
+      Array.tabulate(4 * 8)(j => (q * 100 + j) * 0.125))
+    val coded = (0 until 30).map(i =>
+      (i % 3, Seq.fill(4)(rnd.nextInt(8)))).toDF("qi", "codes")
+    val adc = coded.select(col("qi"), col("codes"),
+        PqAdcScore.asColumn(col("qi"), col("codes"), tabs, 8).as("s"))
+      .collect()
+    adc.foreach { r =>
+      val qi = r.getInt(0); val cs = r.getSeq[Int](1)
+      val want = cs.zipWithIndex.map { case (c, sub) =>
+        tabs(qi)(sub * 8 + c) }.sum
+      assert(r.getDouble(2) == want)
+    }
+    // null propagation on all three
+    val nulls = df.limit(1).select(
+        NearestCells.asColumn(lit(null).cast("array<double>"), cents, 2).as("a"),
+        org.apache.spark.sql.graft.PqEncodeCodes.asColumn(
+          lit(null).cast("array<double>"), cb.books, cb.m, cb.nCodes,
+          cb.subDim).as("b"),
+        PqAdcScore.asColumn(lit(null).cast("int"),
+          lit(Array(0, 1, 2, 3)), tabs, 8).as("c"))
+      .collect().head
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1) && nulls.isNullAt(2))
+  }
+
   test("LSH hot-bucket cap: bounded emission, recall via other bands, accounting") {
     import spark.implicits._
     // crafted band frame: one hot bucket of 50 docs (near-identical
