@@ -13,6 +13,10 @@ object ProbeIngest {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val reps = args.lift(1).map(_.toInt).getOrElse(3)
+    // arg 3: target row count (default 1M) — 10M runs measure MARGINAL
+    // throughput linearity (does the per-row cost hold at 10x the
+    // batch?), the per-round bench only records the 1M point
+    val target = args.lift(2).map(_.toLong).getOrElse(1000000L)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -26,7 +30,7 @@ object ProbeIngest {
       StructField("value", DoubleType), StructField("props", StringType)))
     val base = spark.read.schema(sch).parquet(s"$dir/events.parquet")
     val n = base.count()
-    val copies = math.min(20, math.max(1, (1000000L / math.max(1L, n)).toInt))
+    val copies = math.min(200, math.max(1, (target / math.max(1L, n)).toInt))
     val big = (0 until copies).map { i =>
       base.select(lit("u").as("_op"), (col("event_id") + i * n).as("_lsn"),
         (col("user_id") + i * 1000000L).as("user_id"),
