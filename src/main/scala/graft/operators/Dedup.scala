@@ -146,7 +146,18 @@ object Dedup {
    * replaces ~10^8 interpreted expression evals with primitive array
    * work. Tokens still come from the codegen'd split/filter pipeline.
    */
-  def hashedShingles(tokensCol: Column, n: Int): Column = {
+  def hashedShingles(tokensCol: Column, n: Int): Column =
+    // codegen'd HashedShinglesExpr (spark/TextHashExpressions.scala):
+    // bit-identical FNV+splitmix64 arithmetic AND HashSet insertion
+    // order to the retained UDF oracle below; coalesce restores the
+    // UDF's null-tokens→empty-set convention
+    coalesce(
+      org.apache.spark.sql.graft.HashedShinglesExpr.asColumn(tokensCol, n),
+      typedlit(Seq.empty[Long]))
+
+  /** The pre-r11 UDF form of [[hashedShingles]] — kept as the
+   *  equivalence oracle for the codegen expression (DedupSpec). */
+  private[graft] def hashedShinglesUdf(tokensCol: Column, n: Int): Column = {
     val f = udf((toks: Seq[String]) => {
       if (toks == null || toks.length < n) Array.empty[Long]
       else {

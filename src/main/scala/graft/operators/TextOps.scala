@@ -131,7 +131,17 @@ object TextOps {
 
   /** 64-bit SimHash over token xxhash64 values: per-bit majority vote.
    *  (Weighted variant of Charikar's simhash; deterministic.) */
-  def simhash64(c: Column): Column = {
+  def simhash64(c: Column): Column =
+    // codegen'd SimhashFp (spark/TextHashExpressions.scala): one pass
+    // replacing an INTERPRETED transform lambda + boxed UDF; same
+    // xxhash64(seed 42) per token, same majority vote; coalesce
+    // restores the UDF's null→0L convention
+    coalesce(org.apache.spark.sql.graft.SimhashFp.asColumn(tokens(c)),
+      lit(0L))
+
+  /** The pre-r11 transform+UDF form of [[simhash64]] — kept as the
+   *  equivalence oracle for the codegen expression (OperatorsSpec). */
+  private[graft] def simhash64Udf(c: Column): Column = {
     val hashes = transform(tokens(c), t => xxhash64(t))
     val simhashUdf = udf((hs: Seq[Long]) => {
       if (hs == null || hs.isEmpty) 0L

@@ -1,0 +1,185 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+
+/**
+ * Codegen'd text-fingerprint kernels — the FIRST corpus pass of every
+ * dedup family ran as Scala UDFs over `array<string>` tokens, paying a
+ * catalyst→Seq[String] conversion (every token string materialized into
+ * a wrapper) per document. Each expression is bit-identical to the UDF
+ * it replaces — same FNV/xxhash64 arithmetic, same java.util.HashSet
+ * insertion order for the shingle set — so every staged two-stage
+ * oracle and hand-computed spec value is unchanged. The UDFs are
+ * retained as spec oracles.
+ *
+ * Token elements are non-null by construction (`TextOps.tokens` filters
+ * empties); a null token ARRAY returns null here and is `coalesce`d to
+ * the UDFs' null-in-empty-out convention at the call sites.
+ */
+case class HashedShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_hashed_shingles"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val len = a.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Long])
+    // materialize UTF-16 views once per token (the UDF's Seq[String]
+    // did the same, plus a wrapper per element)
+    val toks = new Array[String](len)
+    var i = 0
+    while (i < len) { toks(i) = a.getUTF8String(i).toString; i += 1 }
+    val set = new java.util.HashSet[java.lang.Long]()
+    i = 0
+    val last = len - n
+    while (i <= last) {
+      var h = 0xCBF29CE484222325L
+      var j = 0
+      while (j < n) {
+        val t = toks(i + j)
+        var k = 0
+        while (k < t.length) { h = h * 0x100000001B3L + t.charAt(k); k += 1 }
+        h = h * 0x100000001B3L + ' '
+        j += 1
+      }
+      set.add(HashedShinglesExpr.mix64(h))
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var p = 0
+    while (it.hasNext) { out(p) = it.next(); p += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val len = ctx.freshName("len"); val toks = ctx.freshName("toks")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val k = ctx.freshName("k"); val h = ctx.freshName("h")
+      val t = ctx.freshName("t"); val set = ctx.freshName("set")
+      val out = ctx.freshName("out"); val it = ctx.freshName("it")
+      val p = ctx.freshName("p"); val last = ctx.freshName("last")
+      s"""
+         |final int $len = $a.numElements();
+         |if ($len < $n) {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(new long[0]);
+         |} else {
+         |  final String[] $toks = new String[$len];
+         |  for (int $i = 0; $i < $len; $i++) $toks[$i] = $a.getUTF8String($i).toString();
+         |  final java.util.HashSet<Long> $set = new java.util.HashSet<Long>();
+         |  final int $last = $len - $n;
+         |  for (int $i = 0; $i <= $last; $i++) {
+         |    long $h = 0xCBF29CE484222325L;
+         |    for (int $j = 0; $j < $n; $j++) {
+         |      final String $t = $toks[$i + $j];
+         |      for (int $k = 0; $k < $t.length(); $k++) $h = $h * 0x100000001B3L + $t.charAt($k);
+         |      $h = $h * 0x100000001B3L + ' ';
+         |    }
+         |    $set.add(org.apache.spark.sql.graft.HashedShinglesExpr.mix64($h));
+         |  }
+         |  final long[] $out = new long[$set.size()];
+         |  final java.util.Iterator<Long> $it = $set.iterator();
+         |  int $p = 0;
+         |  while ($it.hasNext()) $out[$p++] = $it.next().longValue();
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HashedShinglesExpr =
+    copy(child = newChild)
+}
+
+object HashedShinglesExpr {
+  /** splitmix64 finalizer — identical to `Dedup.mix64`. Public static
+   *  so the generated Java calls the same code eval() does. */
+  def mix64(x: Long): Long = {
+    var z = x + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  def asColumn(tokens: Column, n: Int): Column =
+    ExpressionUtils.column(
+      HashedShinglesExpr(ExpressionUtils.expression(tokens), n))
+}
+
+/** 64-bit SimHash over a token array: xxhash64(token, seed 42) per
+ *  token (bit-identical to Spark's `xxhash64` builtin the old
+ *  `transform` produced — XXH64 over the UTF-8 bytes), then a per-bit
+ *  majority vote. Replaces an INTERPRETED `transform` lambda (HOFs
+ *  don't codegen) feeding a boxed UDF with one codegen'd pass. */
+case class SimhashFp(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_simhash_fp"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val len = a.numElements()
+    if (len == 0) return 0L
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < len) {
+      val t = a.getUTF8String(i)
+      val h = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val len = ctx.freshName("len"); val votes = ctx.freshName("votes")
+      val i = ctx.freshName("i"); val b = ctx.freshName("b")
+      val t = ctx.freshName("t"); val h = ctx.freshName("h")
+      val out = ctx.freshName("out")
+      s"""
+         |final int $len = $a.numElements();
+         |long $out = 0L;
+         |if ($len > 0) {
+         |  final int[] $votes = new int[64];
+         |  for (int $i = 0; $i < $len; $i++) {
+         |    final org.apache.spark.unsafe.types.UTF8String $t = $a.getUTF8String($i);
+         |    final long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+         |      $t.getBaseObject(), $t.getBaseOffset(), $t.numBytes(), 42L);
+         |    for (int $b = 0; $b < 64; $b++) {
+         |      if ((($h >>> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
+         |    }
+         |  }
+         |  for (int $b = 0; $b < 64; $b++) if ($votes[$b] > 0) $out |= (1L << $b);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashFp =
+    copy(child = newChild)
+}
+
+object SimhashFp {
+  def asColumn(tokens: Column): Column =
+    ExpressionUtils.column(SimhashFp(ExpressionUtils.expression(tokens)))
+}

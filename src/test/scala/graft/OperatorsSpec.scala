@@ -63,6 +63,34 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(edge.isNullAt(1))
   }
 
+  test("native HashedShinglesExpr and SimhashFp match their UDF oracles") {
+    // the codegen'd first-pass text kernels, asserted bit-identical to
+    // the retained UDFs on real docs — INCLUDING the HashSet insertion
+    // ORDER of the shingle arrays (staged oracles hash arrays by value)
+    val toks = TextOps.tokens(TextOps.normalize(col("text")))
+    val both = docs.select(col("doc_id"),
+        Dedup.hashedShingles(toks, 3).as("hsE"),
+        Dedup.hashedShinglesUdf(toks, 3).as("hsO"),
+        TextOps.simhash64(col("text")).as("fpE"),
+        TextOps.simhash64Udf(col("text")).as("fpO"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"doc=${r.getLong(0)}")
+      assert(r.getLong(3) == r.getLong(4), s"doc=${r.getLong(0)}")
+    }
+    // null / short-doc conventions: null text → empty set and 0L; a
+    // doc with fewer tokens than n → empty set
+    import spark.implicits._
+    val edge = Seq(("two tokens", 1L), (null, 2L)).toDF("text", "id")
+      .select(Dedup.hashedShingles(
+          TextOps.tokens(TextOps.normalize(col("text"))), 3).as("hs"),
+        TextOps.simhash64(col("text")).as("fp"))
+      .orderBy(lit(1)).collect()
+    assert(edge.forall(r => r.getSeq[Long](0).isEmpty))
+    assert(edge.exists(r => r.getLong(1) == 0L))
+  }
+
   test("native NearestCells/PqEncodeCodes/PqAdcScore match their UDF oracles") {
     // the codegen'd ANN kernels (IVF assignment, PQ encode, ADC sum)
     // asserted bit-identical to the retained Scala-UDF oracles —
