@@ -4036,6 +4036,35 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "ann_ivf_incr" -> ((s, d) => {
+      // incremental ANN (the daily-crawl shape, mirroring
+      // dedup_minhash_incr): the even-id corpus trains and fills the
+      // persisted index; the odd-id INCREMENT is assigned with the
+      // SAME centroids — no retrain, no re-scan of the base corpus —
+      // and appended to the assignment table. Queries probe the
+      // union index; the exact refine covers both generations. The
+      // staged candidate set is deterministic, so DuckDB re-ranks it
+      // exactly as ann_ivf_index_topk's oracle does.
+      val e = t(s, d, "embeddings")
+      val base = e.where(col("vec_id") % 2 === 0)
+      val incr = e.where(col("vec_id") % 2 === 1)
+      val q = e.where(col("vec_id") < 8)
+      val cents = stage(Similarity.ivfTrain(base, "vec_id", "embedding",
+          nCells = 32), d, "ann_incr_centroids")
+      val assigned = stage(
+        Similarity.ivfAssign(base, "vec_id", "embedding", cents)
+          .withColumnRenamed("vec_id", "id")
+          .unionByName(Similarity.ivfAssign(incr, "vec_id", "embedding", cents)
+            .withColumnRenamed("vec_id", "id")),
+        d, "ann_incr_assign")
+      val cand = stage(Similarity.ivfCandidatesFromIndex(assigned, "id",
+          cents, q, "vec_id", "embedding", nProbe = 6),
+        d, "ann_incr_cand")
+      Similarity.topKFromCandidates(cand, e, "vec_id", "embedding",
+          q, "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     "embed_pool" -> ((s, d) => {
       // chunk→document pooling: all embeddings sharing a label combine
       // into one mergeable integer-milli sum vector — one exchange on
@@ -5953,6 +5982,22 @@ object SparkEntry {
 
     "ann_ivf_index_topk" ->
       """WITH cand AS (SELECT * FROM read_parquet('/root/repo/target/oracle-stage/sf0.01/ann_ivf_index_cand/*.parquet')),
+        |scored AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |         CAST(ROUND(list_cosine_similarity(ce.embedding::DOUBLE[], qe.embedding::DOUBLE[]) * 1000000) AS BIGINT) AS cosine_micro
+        |  FROM cand c
+        |  JOIN embeddings ce ON ce.vec_id = c.neighbor_id
+        |  JOIN embeddings qe ON qe.vec_id = c.query_id)
+        |SELECT query_id, neighbor_id,
+        |       CAST(row_number() OVER (PARTITION BY query_id
+        |            ORDER BY cosine_micro DESC, neighbor_id ASC) AS BIGINT) AS rank,
+        |       cosine_micro
+        |FROM scored
+        |QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "ann_ivf_incr" ->
+      """WITH cand AS (SELECT * FROM read_parquet('/root/repo/target/oracle-stage/sf0.01/ann_incr_cand/*.parquet')),
         |scored AS (
         |  SELECT c.query_id, c.neighbor_id,
         |         CAST(ROUND(list_cosine_similarity(ce.embedding::DOUBLE[], qe.embedding::DOUBLE[]) * 1000000) AS BIGINT) AS cosine_micro
