@@ -770,22 +770,26 @@ object TextOps {
   def bm25(docs: DataFrame, textCol: String, idCol: String,
       terms: Seq[String], topN: Int = 20): DataFrame = {
     val toks = tokens(lower(col(textCol)))
-    val tfCols = terms.zipWithIndex.map { case (t, i) =>
-      size(filter(col("_toks"), x => x === lit(t))).cast("long").as(s"_tf$i") }
+    // ONE hashed pass computes every term frequency (codegen'd
+    // TermCounts) — the previous per-term `size(filter(...))` lambdas
+    // walked the token array k times, interpreted
     val base = docs.select(col(idCol), toks.as("_toks"))
-      .select(col(idCol) +: size(col("_toks")).cast("long").as("_dl") +: tfCols: _*)
+      .select(col(idCol), size(col("_toks")).cast("long").as("_dl"),
+        org.apache.spark.sql.graft.TermCounts.asColumn(col("_toks"), terms)
+          .as("_tfs"))
+    def tf(i: Int): Column = element_at(col("_tfs"), i + 1)
     val aggs = count(lit(1)).as("n") +: sum(col("_dl")).as("sumdl") +:
       terms.indices.map(i =>
-        sum(when(col(s"_tf$i") > 0, 1L).otherwise(0L)).as(s"_df$i"))
+        sum(when(tf(i) > 0, 1L).otherwise(0L)).as(s"_df$i"))
     val st = base.agg(aggs.head, aggs.tail: _*).head()
     val n = st.getLong(0)
     val avgdl = st.getLong(1).toDouble / n.toDouble
     val termScores = terms.indices.map { i =>
       val dfT = st.getLong(2 + i)
       val idf = (n.toDouble - dfT.toDouble + 0.5) / (dfT.toDouble + 0.5)
-      val tf = col(s"_tf$i").cast("double")
-      lit(idf) * (tf * lit(2.2)) /
-        (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("_dl").cast("double") / lit(avgdl)))
+      val tfd = tf(i).cast("double")
+      lit(idf) * (tfd * lit(2.2)) /
+        (tfd + lit(1.2) * (lit(0.25) + lit(0.75) * col("_dl").cast("double") / lit(avgdl)))
     }
     base.select(col(idCol),
         round(termScores.reduce(_ + _) * lit(1000000.0)).cast("long")

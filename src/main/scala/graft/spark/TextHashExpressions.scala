@@ -183,3 +183,65 @@ object SimhashFp {
   def asColumn(tokens: Column): Column =
     ExpressionUtils.column(SimhashFp(ExpressionUtils.expression(tokens)))
 }
+
+/** Per-term token counts in ONE pass: `terms.length` exact term
+ *  frequencies of a token array, replacing k interpreted
+ *  `size(filter(toks, _ === term))` lambdas (one walk of the token
+ *  array per term, each element eval an expression-tree interpretation)
+ *  with a single hashed lookup per token. Output: long[terms.length]
+ *  in `terms` order. Null token array → null (call sites guarantee
+ *  non-null via `tokens()`). */
+case class TermCounts(child: Expression, terms: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_term_counts"
+
+  // UTF8String-keyed index, built once per (de)serialized expression
+  // instance and shared by eval and codegen via addReferenceObj
+  @transient private lazy val index: java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer] = {
+    val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer]()
+    terms.zipWithIndex.foreach { case (t, i) =>
+      m.put(org.apache.spark.unsafe.types.UTF8String.fromString(t), i) }
+    m
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val counts = new Array[Long](terms.length)
+    var i = 0
+    while (i < n) {
+      val ix = index.get(a.getUTF8String(i))
+      if (ix != null) counts(ix) += 1
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val idxRef = ctx.addReferenceObj("termIndex", index, "java.util.HashMap")
+      val n = ctx.freshName("n"); val counts = ctx.freshName("counts")
+      val i = ctx.freshName("i"); val ix = ctx.freshName("ix")
+      s"""
+         |final int $n = $a.numElements();
+         |final long[] $counts = new long[${terms.length}];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final Object $ix = $idxRef.get($a.getUTF8String($i));
+         |  if ($ix != null) $counts[((Integer) $ix).intValue()]++;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($counts);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): TermCounts =
+    copy(child = newChild)
+}
+
+object TermCounts {
+  def asColumn(tokens: Column, terms: Seq[String]): Column =
+    ExpressionUtils.column(TermCounts(ExpressionUtils.expression(tokens), terms))
+}

@@ -79,6 +79,15 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"doc=${r.getLong(0)}")
       assert(r.getLong(3) == r.getLong(4), s"doc=${r.getLong(0)}")
     }
+    // TermCounts: one-pass term frequencies equal the per-term
+    // interpreted filter counts (bm25's previous form)
+    val terms = Seq("the", "data", "zebra")
+    val tcBoth = docs.select(
+        org.apache.spark.sql.graft.TermCounts.asColumn(toks, terms).as("tc"),
+        array(terms.map(t =>
+          size(filter(toks, x => x === lit(t))).cast("long")): _*).as("ref"))
+      .collect()
+    tcBoth.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
     // null / short-doc conventions: null text → empty set and 0L; a
     // doc with fewer tokens than n → empty set
     import spark.implicits._
