@@ -4065,6 +4065,41 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "stream_ivf_assign" -> ((s, d) => {
+      // Streaming ANN index maintenance: embeddings arrive as
+      // file-source micro-batches and are assigned to the PERSISTED
+      // centroids (trained in batch on the even-id half; no retrain
+      // in-stream — ann_ivf_incr's deployment shape, streamed). The
+      // assignment is a stateless codegen'd select (NearestCells), so
+      // it streams as-is. The oracle is fully independent here: DuckDB
+      // recomputes every row's argmax-dot cell from the staged
+      // centroids — streamed output must equal the exact batch
+      // assignment, bit for bit (both sides are strict left-to-right
+      // double folds; ties break to the lowest cell).
+      import org.apache.spark.sql.types._
+      withShufflePartitions(s, 4) {
+        val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val cents = stage(Similarity.ivfTrain(
+            e.where(col("vec_id") % 2 === 0), "vec_id", "embedding",
+            nCells = 32), d, "stream_ivf_centroids")
+        val srcDir = streamSourceDir(e, 4, idCol = "vec_id")
+        val sch = StructType(Seq(StructField("vec_id", LongType),
+          StructField("embedding", ArrayType(FloatType))))
+        val stream = s.readStream.schema(sch)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        val sink = freshDir("siv-out")
+        val q = Similarity.ivfAssign(stream, "vec_id", "embedding", cents)
+          .writeStream.outputMode("append").format("parquet")
+          .option("path", sink)
+          .option("checkpointLocation", freshDir("siv-ckpt"))
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(sink).select(col("vec_id"), col("cell"))
+          .orderBy("vec_id")
+      }
+    }),
+
     "embed_pool" -> ((s, d) => {
       // chunk→document pooling: all embeddings sharing a label combine
       // into one mergeable integer-milli sum vector — one exchange on
@@ -6011,6 +6046,19 @@ object SparkEntry {
         |FROM scored
         |QUALIFY rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    "stream_ivf_assign" ->
+      """WITH cents AS (SELECT cell, centroid FROM read_parquet('/root/repo/target/oracle-stage/sf0.01/stream_ivf_centroids/*.parquet')),
+        |scored AS (
+        |  SELECT e.vec_id, c.cell,
+        |         list_inner_product(e.embedding::DOUBLE[], c.centroid) AS ip
+        |  FROM embeddings e CROSS JOIN cents c),
+        |ranked AS (
+        |  SELECT vec_id, cell,
+        |         row_number() OVER (PARTITION BY vec_id
+        |              ORDER BY ip DESC, cell ASC) AS rn
+        |  FROM scored)
+        |SELECT vec_id, cell FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
     "ann_brute_topk" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
