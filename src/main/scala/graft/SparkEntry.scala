@@ -3447,6 +3447,53 @@ object SparkEntry {
         terms = Seq("hash", "join", "spark"))
     }),
 
+    "ann_filtered_topk" -> ((s, d) => {
+      // Filtered vector search (the vector-DB "metadata filter"
+      // feature): the label predicate applies BEFORE the scan
+      // (pre-filtering), so the cosine pass touches only the matching
+      // slice of the corpus and always returns k — the post-filter
+      // alternative (top-k then filter) re-scans everything and can
+      // come up short. Catalyst pushes the label filter into the
+      // parquet scan (PushedFilters), which at 100 TB is the
+      // difference between scanning a partition and the corpus.
+      val e = t(s, d, "embeddings")
+      val q = e.where(col("vec_id") < 8)
+      Similarity.bruteForceTopK(e.where(col("label") === 2),
+          "vec_id", "embedding", q, "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    "search_hybrid_rrf" -> ((s, d) => {
+      // Hybrid retrieval: the BM25 lexical ranking fused with the
+      // exact-cosine vector ranking by reciprocal-rank fusion
+      // (RRF, k=60 — the standard two-tower combiner). doc_id==vec_id
+      // joins the modalities; a doc ranked by only one list still
+      // scores through that list (full-outer + coalesce 0). Integer
+      // micro-RRF via floor(1e6/(60+rank)) keeps the fused score an
+      // exact IEEE dag both engines reproduce. The vector list is
+      // top-50 for query vec 0; lexical is the bm25 top-50 for the
+      // fixed term set. Both source rankings are independently
+      // verified elsewhere (text_bm25, ann_brute_topk).
+      val docs = t(s, d, "documents")
+      val e = t(s, d, "embeddings")
+      val lex = TextOps.bm25(docs, "text", "doc_id",
+          terms = Seq("hash", "join", "spark"), topN = 50)
+        .withColumn("lex_rank", row_number().over(
+          Window.orderBy(col("score_micro").desc, col("doc_id").asc)))
+        .select(col("doc_id"), col("lex_rank").cast("long").as("lex_rank"))
+      val q = e.where(col("vec_id") === 0)
+      val vec = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+          q, "vec_id", "embedding", k = 50)
+        .select(col("neighbor_id").as("doc_id"), col("rank").as("vec_rank"))
+      lex.join(vec, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          (coalesce(floor(lit(1000000.0) / (lit(60.0) + col("lex_rank"))), lit(0.0)) +
+           coalesce(floor(lit(1000000.0) / (lit(60.0) + col("vec_rank"))), lit(0.0)))
+            .cast("long").as("rrf_micro"))
+        .orderBy(col("rrf_micro").desc, col("doc_id").asc)
+        .limit(10)
+    }),
+
     "text_vocab" -> ((s, d) => {
       // top-1000 corpus vocabulary with deterministic tie-break — the
       // first step of tokenizer training / frequency filtering. The
@@ -5696,6 +5743,67 @@ object SparkEntry {
         |FROM base, st
         |ORDER BY score_micro DESC, doc_id
         |LIMIT 20""".stripMargin,
+
+    "ann_filtered_topk" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         CAST(ROUND(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) * 1000000) AS BIGINT) AS cosine_micro
+        |  FROM embeddings c, q WHERE c.vec_id <> q.vec_id AND c.label = 2)
+        |SELECT query_id, neighbor_id,
+        |       CAST(row_number() OVER (PARTITION BY query_id
+        |            ORDER BY cosine_micro DESC, neighbor_id ASC) AS BIGINT) AS rank,
+        |       cosine_micro
+        |FROM scored
+        |QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "search_hybrid_rrf" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         len(list_filter(regexp_split_to_array(lower(text), '[^a-zA-Z0-9]+'),
+        |             x -> x <> '')) AS dl,
+        |         len(list_filter(regexp_split_to_array(lower(text), '[^a-zA-Z0-9]+'),
+        |             x -> x = 'hash')) AS tf0,
+        |         len(list_filter(regexp_split_to_array(lower(text), '[^a-zA-Z0-9]+'),
+        |             x -> x = 'join')) AS tf1,
+        |         len(list_filter(regexp_split_to_array(lower(text), '[^a-zA-Z0-9]+'),
+        |             x -> x = 'spark')) AS tf2
+        |  FROM documents),
+        |st AS (
+        |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+        |         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        |  FROM base),
+        |lexall AS (
+        |  SELECT doc_id,
+        |         CAST(ROUND((
+        |             ((n - df0 + 0.5)/(df0 + 0.5)) * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |           + ((n - df1 + 0.5)/(df1 + 0.5)) * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |           + ((n - df2 + 0.5)/(df2 + 0.5)) * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |         ) * 1000000.0) AS BIGINT) AS score_micro
+        |  FROM base, st),
+        |lex AS (
+        |  SELECT doc_id,
+        |         row_number() OVER (ORDER BY score_micro DESC, doc_id) AS lex_rank
+        |  FROM lexall QUALIFY lex_rank <= 50),
+        |q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        |vecscored AS (
+        |  SELECT c.vec_id AS doc_id,
+        |         CAST(ROUND(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) * 1000000) AS BIGINT) AS cm
+        |  FROM embeddings c, q WHERE c.vec_id <> 0),
+        |vec AS (
+        |  SELECT doc_id,
+        |         row_number() OVER (ORDER BY cm DESC, doc_id) AS vec_rank
+        |  FROM vecscored QUALIFY vec_rank <= 50),
+        |fused AS (
+        |  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+        |         CAST(COALESCE(FLOOR(1000000.0/(60.0 + l.lex_rank)), 0)
+        |            + COALESCE(FLOOR(1000000.0/(60.0 + v.vec_rank)), 0) AS BIGINT) AS rrf_micro
+        |  FROM lex l FULL JOIN vec v ON l.doc_id = v.doc_id)
+        |SELECT doc_id, rrf_micro FROM fused
+        |ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin,
 
     "text_vocab" ->
       """WITH tok AS (
