@@ -110,7 +110,7 @@ object Bench {
     val qs = (results :+ ("ingest_1m_events_sec" -> ingestSec))
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    // sf1 scale guard (VERDICT r10 #8): the 10 most scale-sensitive
+    // sf1 scale guard (VERDICT r10 #8): the most scale-sensitive
     // entries (dedup / ANN / tokenizer) plus the ingest probe re-run at
     // 10x the data (tmp/sf1, synthesized by tools/gen_sf1.py) so a
     // super-linear regression shows up in the recorded artifact diff,
@@ -123,8 +123,8 @@ object Bench {
       else {
         val sensitive = Seq("dedup_exact", "dedup_minhash_lsh",
           "dedup_minhash_incr", "dedup_simhash", "dedup_components",
-          "ann_ivf_topk", "ann_ivfpq_topk", "embed_neardup",
-          "text_bpe_train", "text_heavyhitters")
+          "ann_ivf_topk", "ann_ivfpq_topk", "ann_ivf_incr",
+          "embed_neardup", "text_bpe_train", "text_heavyhitters")
         val r1 = sensitive.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
           .map { case (name, fn) =>
             val t0 = System.nanoTime()

@@ -4073,8 +4073,13 @@ object SparkEntry {
       val q = e.where(col("vec_id") < 8)
       val cents = stage(Similarity.ivfTrain(e, "vec_id", "embedding",
           nCells = 32), d, "ann_ivf_centroids")
+      // cell-clustered persistence: the probe's static In(cell, ...)
+      // pushdown prunes row groups, so a query batch reads only its
+      // probed cells' slice of the index
       val assigned = stage(Similarity.ivfAssign(e, "vec_id", "embedding",
-          cents).withColumnRenamed("vec_id", "id"), d, "ann_ivf_assign")
+          cents).withColumnRenamed("vec_id", "id")
+          .repartitionByRange(4, col("cell")).sortWithinPartitions("cell"),
+        d, "ann_ivf_assign")
       val cand = stage(Similarity.ivfCandidatesFromIndex(assigned, "id",
           cents, q, "vec_id", "embedding", nProbe = 6),
         d, "ann_ivf_index_cand")

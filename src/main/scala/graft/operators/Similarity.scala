@@ -372,7 +372,17 @@ object Similarity {
         asDouble(col(qVecCol)).as("qv"))
       .select(col("query_id"),
         explode(NearestCells.asColumn(col("qv"), cents, nProbe)).as("cell"))
-    assigned.join(broadcast(q), Seq("cell"))
+    // the probed-cell set is driver-bounded (<= nQueries * nProbe
+    // ints, and <= nCells after distinct), so materialize it as a
+    // STATIC IN-filter on the assignment scan: Catalyst pushes
+    // In(cell, ...) to parquet, and a cell-clustered index table
+    // prunes to the probed cells' row groups — at 100 TB the probe
+    // reads ~nProbe/nCells of the index instead of all of it. The
+    // broadcast equi-join alone can't prune the scan (join keys are
+    // not static predicates; DPP needs a partitioned source).
+    val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0))
+    assigned.where(col("cell").isin(probed.toSeq: _*))
+      .join(broadcast(q), Seq("cell"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"))
       .distinct() // defensive: a corpus row has exactly one cell today,

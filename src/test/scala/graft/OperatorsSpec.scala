@@ -415,13 +415,20 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val assigned = spark.read.parquet(s"$dir/assign")
     def pairSet(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val fromIndex = pairSet(Similarity.ivfCandidatesFromIndex(
-      assigned, "vec_id", cents, q, "vec_id", "embedding", nProbe = 4))
+    val probe = Similarity.ivfCandidatesFromIndex(
+      assigned, "vec_id", cents, q, "vec_id", "embedding", nProbe = 4)
+    val fromIndex = pairSet(probe)
     val inMemory = pairSet(Similarity.ivfCandidatePairs(
       vecs, "vec_id", "embedding", q, "vec_id", "embedding",
       nCells = 16, nProbe = 4))
     assert(fromIndex == inMemory)
     assert(fromIndex.nonEmpty)
+    // the probed-cell set must reach the assignment scan as a STATIC
+    // pushed In-filter (row-group pruning on a cell-clustered index);
+    // a broadcast join key alone would scan the whole assignment
+    val scans = probe.queryExecution.executedPlan.toString()
+    assert(scans.contains("In(cell"),
+      s"assignment scan lost the probed-cell pushdown:\n$scans")
   }
 
   test("simhash: identical docs collide, near-identical docs are close") {
