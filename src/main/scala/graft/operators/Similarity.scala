@@ -368,20 +368,26 @@ object Similarity {
   private def probeCandidates(assigned: DataFrame,
       cents: Array[Array[Double]], queries: DataFrame,
       qIdCol: String, qVecCol: String, nProbe: Int): DataFrame = {
-    val q = queries.select(col(qIdCol).as("query_id"),
+    // the (query_id, cell) probe set is driver-bounded (nQueries x
+    // nProbe — the same bounded-query-batch assumption broadcast(q)
+    // makes everywhere in this file), so collect it ONCE and reuse it
+    // for both halves below instead of evaluating the query-side
+    // NearestCells scan twice
+    val qAssigned = queries.select(col(qIdCol).as("query_id"),
         asDouble(col(qVecCol)).as("qv"))
       .select(col("query_id"),
         explode(NearestCells.asColumn(col("qv"), cents, nProbe)).as("cell"))
-    // the probed-cell set is driver-bounded (<= nQueries * nProbe
-    // ints, and <= nCells after distinct), so materialize it as a
+    val qRows = qAssigned.collect()
     // STATIC IN-filter on the assignment scan: Catalyst pushes
     // In(cell, ...) to parquet, and a cell-clustered index table
     // prunes to the probed cells' row groups — at 100 TB the probe
     // reads ~nProbe/nCells of the index instead of all of it. The
     // broadcast equi-join alone can't prune the scan (join keys are
     // not static predicates; DPP needs a partitioned source).
-    val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0))
-    assigned.where(col("cell").isin(probed.toSeq: _*))
+    val probed = qRows.map(_.getInt(1)).distinct.toSeq
+    val q = assigned.sparkSession.createDataFrame(
+      java.util.Arrays.asList(qRows: _*), qAssigned.schema)
+    assigned.where(col("cell").isin(probed: _*))
       .join(broadcast(q), Seq("cell"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"))
@@ -570,7 +576,6 @@ object Similarity {
    *  exact refine / two-stage oracle. */
   def pqShortlist(encoded: DataFrame, cb: PqCodebooks, queries: DataFrame,
       qIdCol: String, qVecCol: String, shortlist: Int): DataFrame = {
-    val spark = encoded.sparkSession
     val qRows = queries.select(col(qIdCol).as("query_id"),
       asDouble(col(qVecCol)).as("qv")).collect()
     val tabs: Array[Array[Double]] = qRows.map(r =>
@@ -599,8 +604,12 @@ object Similarity {
       cb: PqCodebooks, queries: DataFrame, qIdCol: String,
       qVecCol: String, shortlist: Int): DataFrame = {
     val spark = encoded.sparkSession
+    // duplicate query_ids keep their LAST row (the behavior of the
+    // string-keyed Map this replaced — and with one table per id the
+    // qIdx join can never fan out a coarse row)
     val qRows = queries.select(col(qIdCol).as("query_id"),
-      asDouble(col(qVecCol)).as("qv")).collect()
+        asDouble(col(qVecCol)).as("qv")).collect()
+      .map(r => String.valueOf(r.get(0)) -> r).toMap.values.toArray
     val tabs: Array[Array[Double]] = qRows.map(r =>
       adcTable(cb, unit(r.getAs[scala.collection.Seq[Double]](1).toArray)))
     // query_id → table-ordinal map as a tiny broadcast-joined frame, so
@@ -614,9 +623,16 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_micro").asc, col("neighbor_id").asc)
     encoded.join(broadcast(coarse), Seq("neighbor_id"))
-      .join(broadcast(qIdx), Seq("query_id"))
+      .join(broadcast(qIdx), Seq("query_id"), "left")
       .withColumn("adc_micro",
-        round(PqAdcScore.asColumn(col("qi"), col("codes"), tabs, cb.nCodes)
+        round(PqAdcScore.asColumn(
+            // fail fast like the Map lookup this replaced: a coarse
+            // row whose query_id is absent from `queries` is a caller
+            // bug, not a row to drop silently
+            coalesce(col("qi"), raise_error(concat(
+              lit("pqShortlistFromCandidates: query_id not in queries: "),
+              col("query_id").cast("string"))).cast("int")),
+            col("codes"), tabs, cb.nCodes)
           * 1e6).cast("long"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= shortlist)

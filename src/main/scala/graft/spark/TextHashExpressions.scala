@@ -76,7 +76,10 @@ case class HashedShinglesExpr(child: Expression, n: Int)
          |} else {
          |  final String[] $toks = new String[$len];
          |  for (int $i = 0; $i < $len; $i++) $toks[$i] = $a.getUTF8String($i).toString();
-         |  final java.util.HashSet<Long> $set = new java.util.HashSet<Long>();
+         |  /* raw types + explicit casts: Janino erases generics, so a
+         |     typed Iterator<Long>.next() resolves to Object and fails
+         |     to compile (silent interpreted fallback) */
+         |  final java.util.HashSet $set = new java.util.HashSet();
          |  final int $last = $len - $n;
          |  for (int $i = 0; $i <= $last; $i++) {
          |    long $h = 0xCBF29CE484222325L;
@@ -85,12 +88,12 @@ case class HashedShinglesExpr(child: Expression, n: Int)
          |      for (int $k = 0; $k < $t.length(); $k++) $h = $h * 0x100000001B3L + $t.charAt($k);
          |      $h = $h * 0x100000001B3L + ' ';
          |    }
-         |    $set.add(org.apache.spark.sql.graft.HashedShinglesExpr.mix64($h));
+         |    $set.add(java.lang.Long.valueOf(org.apache.spark.sql.graft.HashedShinglesExpr.mix64($h)));
          |  }
          |  final long[] $out = new long[$set.size()];
-         |  final java.util.Iterator<Long> $it = $set.iterator();
+         |  final java.util.Iterator $it = $set.iterator();
          |  int $p = 0;
-         |  while ($it.hasNext()) $out[$p++] = $it.next().longValue();
+         |  while ($it.hasNext()) $out[$p++] = ((java.lang.Long) $it.next()).longValue();
          |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
          |}
        """.stripMargin
@@ -199,13 +202,22 @@ case class TermCounts(child: Expression, terms: Seq[String])
   override def nullable: Boolean = true
   override def prettyName: String = "graft_term_counts"
 
-  // UTF8String-keyed index, built once per (de)serialized expression
-  // instance and shared by eval and codegen via addReferenceObj
+  // UTF8String-keyed index of each term's FIRST occurrence, plus a
+  // canonical-slot map so duplicated terms each receive the full count
+  // (matching the per-term `size(filter(...))` this replaced — a
+  // last-wins HashMap would zero all but one duplicate). Built once
+  // per (de)serialized expression instance, shared by eval and codegen
+  // via addReferenceObj.
   @transient private lazy val index: java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer] = {
     val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer]()
     terms.zipWithIndex.foreach { case (t, i) =>
-      m.put(org.apache.spark.unsafe.types.UTF8String.fromString(t), i) }
+      m.putIfAbsent(org.apache.spark.unsafe.types.UTF8String.fromString(t), i) }
     m
+  }
+  @transient private lazy val canon: Array[Int] = {
+    val first = scala.collection.mutable.HashMap.empty[String, Int]
+    terms.zipWithIndex.map { case (t, i) =>
+      first.getOrElseUpdate(t, i) }.toArray
   }
 
   override protected def nullSafeEval(input: Any): Any = {
@@ -218,14 +230,19 @@ case class TermCounts(child: Expression, terms: Seq[String])
       if (ix != null) counts(ix) += 1
       i += 1
     }
-    new GenericArrayData(counts)
+    val out = new Array[Long](terms.length)
+    i = 0
+    while (i < terms.length) { out(i) = counts(canon(i)); i += 1 }
+    new GenericArrayData(out)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val idxRef = ctx.addReferenceObj("termIndex", index, "java.util.HashMap")
+      val canRef = ctx.addReferenceObj("termCanon", canon, "int[]")
       val n = ctx.freshName("n"); val counts = ctx.freshName("counts")
       val i = ctx.freshName("i"); val ix = ctx.freshName("ix")
+      val out = ctx.freshName("out")
       s"""
          |final int $n = $a.numElements();
          |final long[] $counts = new long[${terms.length}];
@@ -233,7 +250,9 @@ case class TermCounts(child: Expression, terms: Seq[String])
          |  final Object $ix = $idxRef.get($a.getUTF8String($i));
          |  if ($ix != null) $counts[((Integer) $ix).intValue()]++;
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($counts);
+         |final long[] $out = new long[${terms.length}];
+         |for (int $i = 0; $i < ${terms.length}; $i++) $out[$i] = $counts[$canRef[$i]];
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
     })
 

@@ -80,8 +80,9 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getLong(3) == r.getLong(4), s"doc=${r.getLong(0)}")
     }
     // TermCounts: one-pass term frequencies equal the per-term
-    // interpreted filter counts (bm25's previous form)
-    val terms = Seq("the", "data", "zebra")
+    // interpreted filter counts (bm25's previous form) — including a
+    // DUPLICATED term, which must receive its full count in every slot
+    val terms = Seq("the", "data", "zebra", "the")
     val tcBoth = docs.select(
         org.apache.spark.sql.graft.TermCounts.asColumn(toks, terms).as("tc"),
         array(terms.map(t =>
@@ -502,6 +503,13 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val cand = Similarity.pqShortlistFromCandidates(coarse,
       Similarity.pqEncode(vecs, "vec_id", "embedding", cb), cb,
       q, "vec_id", "embedding", shortlist = 24)
+    // duplicated query rows must not fan out the shortlist join — the
+    // deduped qIdx keeps one table per id, so the result is identical
+    val candDup = Similarity.pqShortlistFromCandidates(coarse,
+      Similarity.pqEncode(vecs, "vec_id", "embedding", cb), cb,
+      q.unionAll(q.limit(3)), "vec_id", "embedding", shortlist = 24)
+    assert(candDup.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("query_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
