@@ -4117,6 +4117,39 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "ann_ivf_graft_index" -> ((s, d) => {
+      // the ANN index SERVED BY THE ENGINE: the IVF assignment lives
+      // in a maintained graft table (CDC append, manifest versioning,
+      // durability) instead of loose parquet; the table's own
+      // optimize(clusterBy = cell) range-sorts it so manifest min/max
+      // stats make cells disjoint file ranges; the probe then reads it
+      // through the DSv2 scan, where the probed-cell In-filter prunes
+      // to covering files — the same stat-pruning machinery
+      // cdc_clustered_prune proves, now serving vector search. The
+      // staged candidate set is re-ranked exactly by the oracle
+      // (ann_ivf_index_topk's two-stage design).
+      val e = t(s, d, "embeddings")
+      val q = e.where(col("vec_id") < 8)
+      val cents = stage(Similarity.ivfTrain(e, "vec_id", "embedding",
+          nCells = 32), d, "ann_gt_centroids")
+      val idxTable = GraftTable.create(s, freshDir("ann-idx"),
+        SchemaDsl.struct("id" -> "int64", "cell" -> "int32"),
+        Identity.None, ingestCfg)
+      CdcPipeline.applyBatch(idxTable,
+        Similarity.ivfAssign(e, "vec_id", "embedding", cents)
+          .select(lit("i").as("_op"),
+            (monotonically_increasing_id() + 1L).as("_lsn"),
+            col("vec_id").as("id"), col("cell")))
+      idxTable.optimize(clusterBy = Seq("cell"))
+      val assigned = s.read.format("graft").load(idxTable.root)
+        .select(col("id"), col("cell"))
+      val cand = stage(Similarity.ivfCandidatesFromIndex(assigned, "id",
+          cents, q, "vec_id", "embedding", nProbe = 6), d, "ann_gt_cand")
+      Similarity.topKFromCandidates(cand, e, "vec_id", "embedding",
+          q, "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     "stream_ivf_assign" -> ((s, d) => {
       // Streaming ANN index maintenance: embeddings arrive as
       // file-source micro-batches and are assigned to the PERSISTED
@@ -6146,6 +6179,22 @@ object SparkEntry {
 
     "ann_ivf_incr" ->
       """WITH cand AS (SELECT * FROM read_parquet('/root/repo/target/oracle-stage/sf0.01/ann_incr_cand/*.parquet')),
+        |scored AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |         CAST(ROUND(list_cosine_similarity(ce.embedding::DOUBLE[], qe.embedding::DOUBLE[]) * 1000000) AS BIGINT) AS cosine_micro
+        |  FROM cand c
+        |  JOIN embeddings ce ON ce.vec_id = c.neighbor_id
+        |  JOIN embeddings qe ON qe.vec_id = c.query_id)
+        |SELECT query_id, neighbor_id,
+        |       CAST(row_number() OVER (PARTITION BY query_id
+        |            ORDER BY cosine_micro DESC, neighbor_id ASC) AS BIGINT) AS rank,
+        |       cosine_micro
+        |FROM scored
+        |QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "ann_ivf_graft_index" ->
+      """WITH cand AS (SELECT * FROM read_parquet('/root/repo/target/oracle-stage/sf0.01/ann_gt_cand/*.parquet')),
         |scored AS (
         |  SELECT c.query_id, c.neighbor_id,
         |         CAST(ROUND(list_cosine_similarity(ce.embedding::DOUBLE[], qe.embedding::DOUBLE[]) * 1000000) AS BIGINT) AS cosine_micro
