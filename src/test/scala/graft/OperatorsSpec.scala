@@ -89,9 +89,43 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
           size(filter(toks, x => x === lit(t))).cast("long")): _*).as("ref"))
       .collect()
     tcBoth.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+    // unicode sweep — the public `tokens()` is ASCII-alnum by contract,
+    // but the kernels take ANY array<string>, so feed raw
+    // whitespace-split tokens: multibyte UTF-8 (CJK, accents,
+    // cyrillic) and surrogate pairs (emoji, gothic). charAt iterates
+    // UTF-16 code units (shingle FNV) and XXH64 hashes UTF-8 bytes
+    // (simhash); expression and oracle must agree on BOTH encodings.
+    import spark.implicits._
+    val uni = Seq(
+      (1L, "héllo wörld héllo wörld naïve café naïve café résumé"),
+      (2L, "日本語 のテキスト 処理 日本語 のテキスト 検証 対象 です"),
+      (3L, "emoji 😀😀 test 𝔊𝔬𝔱𝔥𝔦𝔠 𝔊𝔬𝔱𝔥𝔦𝔠 mixed ascii text here"),
+      (4L, "русский текст пример русский текст проверка снова тут"),
+      (5L, "mixed 日本 ascii héllo 😀 all четыре scripts in one doc"))
+      .toDF("id", "text")
+    val wsToks = filter(split(col("text"), " +"), t => t =!= lit(""))
+    val uniBoth = uni.select(col("id"),
+        Dedup.hashedShingles(wsToks, 2).as("hsE"),
+        Dedup.hashedShinglesUdf(wsToks, 2).as("hsO"),
+        org.apache.spark.sql.graft.SimhashFp.asColumn(wsToks).as("fpE"),
+        transform(wsToks, t => xxhash64(t)).as("hashes"))
+      .collect()
+    uniBoth.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"unicode doc=${r.getLong(0)}")
+      assert(r.getSeq[Long](1).nonEmpty, s"unicode doc=${r.getLong(0)} lost its shingles")
+      // simhash oracle recomputed driver-side from the builtin
+      // xxhash64 values (the pre-r11 pipeline's exact inputs)
+      val votes = new Array[Int](64)
+      r.getSeq[Long](4).foreach { h =>
+        (0 until 64).foreach { b =>
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1 }
+      }
+      val want = (0 until 64).foldLeft(0L)((acc, b) =>
+        if (votes(b) > 0) acc | (1L << b) else acc)
+      assert(r.getLong(3) == want, s"unicode doc=${r.getLong(0)} simhash")
+    }
     // null / short-doc conventions: null text → empty set and 0L; a
     // doc with fewer tokens than n → empty set
-    import spark.implicits._
     val edge = Seq(("two tokens", 1L), (null, 2L)).toDF("text", "id")
       .select(Dedup.hashedShingles(
           TextOps.tokens(TextOps.normalize(col("text"))), 3).as("hs"),
