@@ -25,8 +25,9 @@ object VectorExpressions {
   def dotProduct(a: Column, b: Column): Column = DotProduct.asColumn(a, b)
 
   /** LSH hyperplane bucket id (see `org.apache.spark.sql.graft
-   *  .LshBucket`) — reads ArrayData in place against a per-executor
-   *  memoized plane matrix; null array / null element → null. */
+   *  .LshBucket`) — codegen'd; reads ArrayData in place against a
+   *  per-executor memoized plane matrix; null array / null element →
+   *  null. */
   def lshBucket(vec: Column, nbits: Int, table: Int): Column =
     LshBucket.asColumn(vec, nbits, table)
 

@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -32,25 +32,12 @@ private[graft] object LshPlanes {
     })
 }
 
-/** `nbits`-bit LSH bucket id of a double vector for hash table `table`:
- *  sign bits of dot products with the deterministic LshPlanes
- *  hyperplanes. Reads `ArrayData` in place — no catalyst→Scala Seq
- *  conversion, no per-element boxing (the UDF it replaced paid both per
- *  row). Null array or any null element → null, preserving the
- *  null-propagation of the original lambda fold. CodegenFallback: the
- *  surrounding operators still codegen; only this expression evaluates
- *  via `eval`, which is the same call shape a UDF would pay minus the
- *  converters. */
-case class LshBucket(child: Expression, nbits: Int, table: Int)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
-
-  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
-  override def dataType: DataType = LongType
-  override def nullable: Boolean = true
-  override def prettyName: String = "graft_lsh_bucket"
-
-  override protected def nullSafeEval(v: Any): Any = {
-    val a = v.asInstanceOf[ArrayData]
+/** The bucket computation as a Java-callable kernel (a top-level
+ *  object gets static forwarders, so generated code calls it
+ *  directly). Returns null when any element is null — the
+ *  null-propagation of the original lambda fold. */
+object LshKernel {
+  def bucketOrNull(a: ArrayData, nbits: Int, table: Int): java.lang.Long = {
     val n = a.numElements()
     var i = 0
     while (i < n) {
@@ -68,8 +55,42 @@ case class LshBucket(child: Expression, nbits: Int, table: Int)
       if (s >= 0) bucket += (1L << p)
       p += 1
     }
-    bucket
+    java.lang.Long.valueOf(bucket)
   }
+}
+
+/** `nbits`-bit LSH bucket id of a double vector for hash table `table`:
+ *  sign bits of dot products with the deterministic LshPlanes
+ *  hyperplanes. Reads `ArrayData` in place — no catalyst→Scala Seq
+ *  conversion, no per-element boxing. Null array or any null element →
+ *  null. Codegen'd since round 11 (previously CodegenFallback): the
+ *  generated code hands the already-evaluated ArrayData to the
+ *  LshKernel static, so the fallback's per-row boxed `eval(InternalRow)`
+ *  dispatch is gone and the enclosing whole-stage span stays fused. */
+case class LshBucket(child: Expression, nbits: Int, table: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_lsh_bucket"
+
+  override protected def nullSafeEval(v: Any): Any =
+    LshKernel.bucketOrNull(v.asInstanceOf[ArrayData], nbits, table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val r = ctx.freshName("bucket")
+      s"""
+         |final java.lang.Long $r =
+         |  org.apache.spark.sql.graft.LshKernel.bucketOrNull($a, $nbits, $table);
+         |if ($r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $r.longValue();
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): LshBucket =
     copy(child = newChild)
