@@ -544,6 +544,19 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       q.unionAll(q.limit(3)), "vec_id", "embedding", shortlist = 24)
     assert(candDup.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
       cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // a coarse row whose query_id is NOT in `queries` is a caller bug
+    // and must fail fast (the Map-lookup behavior), not drop silently
+    val ex = intercept[Exception] {
+      Similarity.pqShortlistFromCandidates(coarse,
+        Similarity.pqEncode(vecs, "vec_id", "embedding", cb), cb,
+        q.where(col("vec_id") =!= 0), "vec_id", "embedding",
+        shortlist = 24).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8).toSeq
+    assert(chain(ex).exists(c => String.valueOf(c.getMessage)
+        .contains("query_id not in queries")),
+      s"expected the fail-fast raise_error, got: $ex")
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("query_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
