@@ -696,6 +696,25 @@ object SparkEntry {
         .orderBy("n_name", "c_mktsegment")
     }),
 
+    "q_grouping_sets" -> ((s, d) => {
+      // explicit GROUPING SETS ((n_name), (c_mktsegment)) — the union
+      // of two single-dimension groupings WITHOUT the pair, which
+      // neither rollup nor cube expresses; Catalyst lowers it to one
+      // Expand + one grouped aggregate (a single exchange, same as a
+      // plain groupBy — not two scans unioned)
+      val n = t(s, d, "nation")
+      val c = t(s, d, "customer")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupingSets(
+          Seq(Seq(col("n_name")), Seq(col("c_mktsegment"))),
+          col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), cents(sum(col("c_acctbal"))).as("bal_cents"))
+        .select(coalesce(col("n_name"), lit("ALL")).as("n_name"),
+          coalesce(col("c_mktsegment"), lit("ALL")).as("c_mktsegment"),
+          col("n"), col("bal_cents"))
+        .orderBy("n_name", "c_mktsegment")
+    }),
+
     "q_pivot" -> ((s, d) => {
       // relational PIVOT: per-user event counts spread across the five
       // event-type columns — Catalyst's pivot lowers to one grouped
@@ -4696,6 +4715,15 @@ object SparkEntry {
         |       CAST(ROUND(SUM(c_acctbal)*100) AS BIGINT) AS bal_cents
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY ROLLUP(n_name, c_mktsegment)
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT COALESCE(n_name, 'ALL') AS n_name,
+        |       COALESCE(c_mktsegment, 'ALL') AS c_mktsegment,
+        |       count(*) AS n,
+        |       CAST(ROUND(SUM(c_acctbal)*100) AS BIGINT) AS bal_cents
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name), (c_mktsegment))
         |ORDER BY 1, 2""".stripMargin,
 
     // CUBE levels with DuckDB's GROUPING() composed into Spark's
