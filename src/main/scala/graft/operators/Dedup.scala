@@ -34,7 +34,7 @@ object Dedup {
    *  the token subtree once per position (see the expression's doc);
    *  the gram VALUES are identical. */
   def shingles(c: Column, n: Int): Column = {
-    val toks = TextOps.tokens(TextOps.normalize(c))
+    val toks = TextOps.normTokens(c)
     if (n == 1) array_distinct(toks)
     else array_distinct(
       org.apache.spark.sql.graft.TokenNgrams.asColumn(toks, n))
@@ -285,7 +285,7 @@ object Dedup {
   def minhashShingleFrame(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int): DataFrame =
     df.select(col(idCol).as("id"),
-        hashedShingles(TextOps.tokens(TextOps.normalize(col(textCol))),
+        hashedShingles(TextOps.normTokens(col(textCol)),
           shingleN).as("hs"))
       .where(size(col("hs")) > 0)
 

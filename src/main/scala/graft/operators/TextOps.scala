@@ -19,9 +19,24 @@ object TextOps {
    *  Java regex and RE2). */
   val TokenPattern = "[^a-zA-Z0-9]+"
 
-  /** non-empty alphanumeric tokens */
+  /** non-empty alphanumeric tokens — a codegen'd single byte-scan
+   *  (`spark/AsciiTokens.scala`) replacing `filter(split(regex))`,
+   *  which paid a regex pass plus one interpreted lambda eval per
+   *  token per document on EVERY text operator's first stage.
+   *  Spec-asserted bit-equal to the regex pipeline (incl. unicode). */
   def tokens(c: Column): Column =
+    org.apache.spark.sql.graft.AsciiTokens.asColumn(c)
+
+  /** The pre-r11 regex+HOF form of [[tokens]] — kept as the
+   *  equivalence oracle for the codegen expression (OperatorsSpec). */
+  private[graft] def tokensRegex(c: Column): Column =
     filter(split(c, TokenPattern), t => t =!= lit(""))
+
+  /** Fused `tokens(normalize(c))` — lowercased tokens in ONE byte scan
+   *  (no regex at all); spec-asserted bit-equal to the composed
+   *  pipeline. The dedup family's first corpus stage. */
+  def normTokens(c: Column): Column =
+    org.apache.spark.sql.graft.AsciiTokens.normColumn(c)
 
   def tokenCount(c: Column): Column = size(tokens(c))
 

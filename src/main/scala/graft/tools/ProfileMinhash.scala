@@ -21,7 +21,7 @@ object ProfileMinhash {
     val df = spark.read.parquet(s"$dir/documents.parquet")
     df.count()
     val t = df.select(col("doc_id").as("id"),
-      Dedup.hashedShingles(TextOps.tokens(TextOps.normalize(col("text"))), 2)
+      Dedup.hashedShingles(TextOps.normTokens(col("text")), 2)
         .as("hs")).where(size(col("hs")) > 0)
     time("shingle-hash pass")(t.count())
     time("shingle-hash pass2")(t.count())

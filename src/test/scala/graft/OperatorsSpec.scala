@@ -135,6 +135,55 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(edge.exists(r => r.getLong(1) == 0L))
   }
 
+  test("native AsciiTokens matches the regex+filter tokenizer") {
+    // the byte-scan tokenizer vs the regex pipeline it replaced, on
+    // real docs AND unicode/multibyte/surrogate text (every non-ASCII
+    // byte has the high bit set, so the byte scan can never split
+    // inside a codepoint — both sides see non-ASCII as separators)
+    import spark.implicits._
+    val real = docs.select(
+        TextOps.tokens(col("text")).as("a"),
+        TextOps.tokensRegex(col("text")).as("b"))
+      .where(not(col("a") === col("b"))).count()
+    assert(real == 0)
+    val uni = Seq("héllo wörld abc123 x", "日本語テキストabc処理def",
+        "emoji😀mixed𝔊𝔬𝔱𝔥ascii", "...only---separators!!!", "", "a",
+        "Tab\tand\nnewline  split UPPER123lower")
+      .toDF("text")
+      .select(col("text"), TextOps.tokens(col("text")).as("a"),
+        TextOps.tokensRegex(col("text")).as("b"))
+      .collect()
+    uni.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"text='${r.getString(0)}'")
+    }
+    // null propagation matches
+    val nul = docs.limit(1).select(
+        TextOps.tokens(lit(null).cast("string")).as("a"),
+        TextOps.tokensRegex(lit(null).cast("string")).as("b"))
+      .collect().head
+    assert(nul.isNullAt(0) && nul.isNullAt(1))
+    // the fused lowered form equals the composed normalize pipeline on
+    // real docs + unicode (incl. the Kelvin sign K, whose unicode
+    // lowercase IS ascii 'k': normalize kills it pre-lower, and so
+    // must the fused scan)
+    val fusedReal = docs.select(
+        TextOps.normTokens(col("text")).as("a"),
+        TextOps.tokensRegex(TextOps.normalize(col("text"))).as("b"))
+      .where(not(col("a") === col("b"))).count()
+    assert(fusedReal == 0)
+    val fusedUni = Seq("MiXeD CaSe ABC123xyz", "Kelvin K sign",
+        "İstanbul UPPER lower", "日本ABC語def")
+      .toDF("text")
+      .select(col("text"), TextOps.normTokens(col("text")).as("a"),
+        TextOps.tokensRegex(TextOps.normalize(col("text"))).as("b"))
+      .collect()
+    fusedUni.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"text='${r.getString(0)}'")
+    }
+  }
+
   test("native NearestCells/PqEncodeCodes/PqAdcScore match their UDF oracles") {
     // the codegen'd ANN kernels (IVF assignment, PQ encode, ADC sum)
     // asserted bit-identical to the retained Scala-UDF oracles —
