@@ -80,3 +80,67 @@ object JaccardMilli {
       ExpressionUtils.expression(a),
       ExpressionUtils.expression(b)))
 }
+
+/** [[JaccardMilli]] over SORTED arrays of distinct non-null LONGS (the
+ *  64-bit hashed-shingle sets of `Dedup.hashedShingles`) — identical
+ *  merge, arithmetic, plan-pinning rationale. Used by the dedup
+ *  verification stage, where the `array_intersect` form it replaces
+ *  built a hash set per candidate PAIR. */
+case class JaccardMilliLong(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_jaccard_milli_long"
+  override lazy val deterministic: Boolean = false
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0; var j = 0; var inter = 0L
+    while (i < nx && j < ny) {
+      val va = x.getLong(i); val vb = y.getLong(j)
+      if (va == vb) { inter += 1L; i += 1; j += 1 }
+      else if (va < vb) i += 1
+      else j += 1
+    }
+    val uni = nx.toLong + ny.toLong - inter
+    if (uni == 0L) 0L else math.floor(1000.0 * inter / uni).toLong
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val va = ctx.freshName("va"); val vb = ctx.freshName("vb")
+      val inter = ctx.freshName("inter"); val uni = ctx.freshName("uni")
+      s"""
+         |final int $nx = $a.numElements();
+         |final int $ny = $b.numElements();
+         |int $i = 0; int $j = 0; long $inter = 0L;
+         |while ($i < $nx && $j < $ny) {
+         |  final long $va = $a.getLong($i);
+         |  final long $vb = $b.getLong($j);
+         |  if ($va == $vb) { $inter++; $i++; $j++; }
+         |  else if ($va < $vb) { $i++; } else { $j++; }
+         |}
+         |final long $uni = (long) $nx + (long) $ny - $inter;
+         |${ev.value} = ($uni == 0L) ? 0L : (long) Math.floor(1000.0 * $inter / $uni);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardMilliLong =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaccardMilliLong {
+  def asColumn(a: Column, b: Column): Column =
+    ExpressionUtils.column(JaccardMilliLong(
+      ExpressionUtils.expression(a),
+      ExpressionUtils.expression(b)))
+}
