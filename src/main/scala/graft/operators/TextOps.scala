@@ -123,8 +123,15 @@ object TextOps {
   }
 
   /** normalized text: collapse non-alphanumerics to single spaces,
-   *  lowercase, trim. */
+   *  lowercase, trim — one codegen'd byte scan
+   *  (`spark/AsciiTokens.scala`), spec-asserted bit-equal to the
+   *  regex pipeline it replaced. */
   def normalize(c: Column): Column =
+    org.apache.spark.sql.graft.AsciiNormalize.asColumn(c)
+
+  /** The pre-r11 regex form of [[normalize]] — kept as the equivalence
+   *  oracle for the codegen expression (OperatorsSpec). */
+  private[graft] def normalizeRegex(c: Column): Column =
     trim(lower(regexp_replace(c, TokenPattern, " ")))
 
   /** document fingerprint = md5 of the normalized text (md5 is

@@ -50,6 +50,28 @@ object AsciiTokensKernel {
     }
     new GenericArrayData(out.toArray(new Array[AnyRef](out.size())))
   }
+
+  /** Normalized form in the same scan: lowered alnum bytes, interior
+   *  separator runs → one space, outer separators dropped. */
+  def normalize(s: UTF8String): UTF8String = {
+    val b = s.getBytes
+    val n = b.length
+    val out = new Array[Byte](n)
+    var p = 0
+    var i = 0
+    var pendingSpace = false
+    while (i < n) {
+      val c = b(i)
+      if (isAlnum(c)) {
+        if (pendingSpace && p > 0) { out(p) = ' '; p += 1 }
+        pendingSpace = false
+        out(p) = if (c >= 'A' && c <= 'Z') (c + 32).toByte else c
+        p += 1
+      } else pendingSpace = true
+      i += 1
+    }
+    UTF8String.fromBytes(java.util.Arrays.copyOf(out, p))
+  }
 }
 
 /** `graft_ascii_tokens(str)` — the `TextOps.tokens` primitive every
@@ -77,6 +99,37 @@ case class AsciiTokens(child: Expression, lowerAscii: Boolean = false)
 
   override protected def withNewChildInternal(newChild: Expression): AsciiTokens =
     copy(child = newChild)
+}
+
+/** `graft_ascii_normalize(str)` — `TextOps.normalize` as the same
+ *  single byte scan: alnum runs lowered byte-wise, separator runs
+ *  collapsed to one interior space, leading/trailing separators
+ *  dropped. Bit-equal to `trim(lower(regexp_replace(c, pat, " ")))`:
+ *  after the replace the string holds only [a-zA-Z0-9 ], so the
+ *  pipeline's unicode `lower` only ever lowercases ASCII. */
+case class AsciiNormalize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_ascii_normalize"
+
+  override protected def nullSafeEval(input: Any): Any =
+    AsciiTokensKernel.normalize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"${ev.value} = org.apache.spark.sql.graft.AsciiTokensKernel.normalize($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): AsciiNormalize =
+    copy(child = newChild)
+}
+
+object AsciiNormalize {
+  def asColumn(str: Column): Column =
+    ExpressionUtils.column(AsciiNormalize(ExpressionUtils.expression(str)))
 }
 
 object AsciiTokens {

@@ -176,11 +176,29 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
         "İstanbul UPPER lower", "日本ABC語def")
       .toDF("text")
       .select(col("text"), TextOps.normTokens(col("text")).as("a"),
-        TextOps.tokensRegex(TextOps.normalize(col("text"))).as("b"))
+        TextOps.tokensRegex(TextOps.normalizeRegex(col("text"))).as("b"))
       .collect()
     fusedUni.foreach { r =>
       assert(r.getSeq[String](1) == r.getSeq[String](2),
         s"text='${r.getString(0)}'")
+    }
+    // normalize as a byte scan equals the regex pipeline (real docs +
+    // unicode + all-separator/empty edges) — fingerprint md5s depend
+    // on byte equality, not just token equality
+    val normReal = docs.select(TextOps.normalize(col("text")).as("a"),
+        TextOps.normalizeRegex(col("text")).as("b"))
+      .where(not(col("a") === col("b"))).count()
+    assert(normReal == 0)
+    val normUni = Seq("  MiXeD  CaSe!!ABC  ", "ABC 123 xyz", "...", "",
+        "mixed 456 DEF", "\t\nA\t\nB\t\n",
+        "日本 ABC 語 def", // CJK separators between tokens
+        "emoji 😀 mid K kelvin") // surrogate pair + U+212A
+      .toDF("text")
+      .select(col("text"), TextOps.normalize(col("text")).as("a"),
+        TextOps.normalizeRegex(col("text")).as("b"))
+      .collect()
+    normUni.foreach { r =>
+      assert(r.getString(1) == r.getString(2), s"text='${r.getString(0)}'")
     }
   }
 
