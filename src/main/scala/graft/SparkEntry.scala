@@ -788,6 +788,101 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    "q_skew_salted_topk" -> ((s, d) => {
+      // exact per-key TOP-K under key skew via deterministic SALTING —
+      // the skew class neither partial aggregation nor AQE mitigates:
+      // a Window.partitionBy(key) funnels EVERY row of a hot key
+      // through one task's sort. The derived key collapses ~91% of
+      // lineitem onto "hot"; stage 1 ranks within (key, salt) and keeps
+      // k per salt bucket, stage 2 re-ranks only the ≤ keys×S×k
+      // survivors. Exact because each row lives in exactly one salt
+      // bucket, so the true per-key top-k is a subset of the union of
+      // per-(key,salt) top-k. The hot key's sort state shrinks S-fold;
+      // the salt never leaves the plan (the oracle is the plain per-key
+      // rank). Ordering is total (cents desc, orderkey, linenumber) so
+      // both stages and the oracle elect identical rows.
+      val S = 8
+      val k = 5
+      val li = t(s, d, "lineitem").select(
+        when(col("l_partkey") % 100 < 91, lit("hot"))
+          .otherwise(concat(lit("c"), (col("l_partkey") % 100).cast("string")))
+          .as("grp"),
+        col("l_orderkey"), col("l_linenumber"),
+        cents(col("l_extendedprice")).as("price_cents"))
+      val salt = pmod(
+        Sketches.portableHash(col("l_orderkey") * lit(8) + col("l_linenumber")),
+        lit(S.toLong))
+      val order = Seq(col("price_cents").desc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+      val stage1 = li.withColumn("salt", salt)
+        .withColumn("srk", row_number().over(
+          Window.partitionBy(col("grp"), col("salt")).orderBy(order: _*)))
+        .where(col("srk") <= k)
+      stage1
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("grp")).orderBy(order: _*)).cast("long"))
+        .where(col("rk") <= k)
+        .select(col("grp"), col("rk"), col("price_cents"),
+          col("l_orderkey"), col("l_linenumber"))
+        .orderBy("grp", "rk")
+    }),
+
+    "q_skew_salted_join" -> ((s, d) => {
+      // shuffle-join skew via deterministic SALTING: the derived join
+      // key puts ~90% of lineitem on key 0, so a plain shuffle join
+      // sends the entire hot key to one reducer. The dim side (assumed
+      // beyond broadcast scale at 100 TB — the hint pins the shuffled
+      // hash join so the demo doesn't silently broadcast at test SF)
+      // replicates ×S with an explicit salt column; the fact side
+      // computes salt = portableHash(row) % S, so joining on
+      // (key, salt) spreads the hot key across S reducers while every
+      // fact row still meets exactly one dim replica. AQE's skew split
+      // is the automatic alternative for sort-merge/shuffled-hash
+      // joins; salting is the deterministic guarantee that also works
+      // when runtime stats miss. The salt never leaves the plan.
+      val S = 8
+      val fact = t(s, d, "lineitem").select(
+        when(col("l_orderkey") % 50 < 45, lit(0L))
+          .otherwise(col("l_orderkey") % 50).as("jk"),
+        cents(col("l_extendedprice")).as("price_cents"),
+        pmod(Sketches.portableHash(
+          col("l_orderkey") * lit(8) + col("l_linenumber")), lit(S.toLong))
+          .as("salt"))
+      val dim = s.range(0, 50).select(col("id").as("jk"),
+        concat(lit("d"), col("id").cast("string")).as("label"))
+      val dimSalted = dim.crossJoin(
+        s.range(0, S).select(col("id").as("salt")))
+      fact.join(dimSalted.hint("shuffle_hash"),
+          fact("jk") === dimSalted("jk") && fact("salt") === dimSalted("salt"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("price_cents")).as("sum_cents"))
+        .orderBy("label")
+    }),
+
+    "shard_shuffle" -> ((s, d) => {
+      // deterministic training-shard shuffle: the portable
+      // multiplicative hash is the pseudo-random sort key, shard =
+      // key % nShards, position = rank within the shard — the
+      // "globally shuffled, sharded corpus" layout every training run
+      // consumes. ONE exchange keyed by shard + a per-shard sort; no
+      // global total order anywhere (the textbook mistake is
+      // orderBy(rand()) — a full sort through one range exchange, and
+      // non-reproducible). Engine-portable hash ⇒ DuckDB replays the
+      // identical permutation; re-runs and repartitioning cannot
+      // change the layout because the key is a pure function of
+      // doc_id.
+      val nShards = 8
+      val key = Sketches.portableHash(col("doc_id"))
+      t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"), key.as("skey"),
+          pmod(key, lit(nShards.toLong)).as("shard"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("shard"))
+            .orderBy(col("skey"), col("doc_id"))).cast("long"))
+        .select(col("shard"), col("pos"), col("doc_id"), col("n_chars"))
+        .orderBy("shard", "pos")
+    }),
+
     "q_exact_quantiles" -> ((s, d) => {
       // EXACT p50/p90/p99 of l_extendedprice with no global sort:
       // histogram locates each rank's bucket (shuffles <=4096 cells),
@@ -4768,6 +4863,50 @@ object SparkEntry {
         |       count(DISTINCT l_suppkey) AS n_supps,
         |       count(*) AS n_rows
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the salt is plan-internal: the oracle is the PLAIN per-key top-k
+    // over the identical total order
+    "q_skew_salted_topk" ->
+      """WITH li AS (
+        |  SELECT CASE WHEN l_partkey % 100 < 91 THEN 'hot'
+        |              ELSE 'c' || CAST(l_partkey % 100 AS VARCHAR) END AS grp,
+        |         l_orderkey, l_linenumber,
+        |         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents
+        |  FROM lineitem)
+        |SELECT grp,
+        |       CAST(row_number() OVER w AS BIGINT) AS rk,
+        |       price_cents, l_orderkey, l_linenumber
+        |FROM li
+        |WINDOW w AS (PARTITION BY grp
+        |             ORDER BY price_cents DESC, l_orderkey, l_linenumber)
+        |QUALIFY rk <= 5
+        |ORDER BY grp, rk""".stripMargin,
+
+    // the salt is plan-internal: the oracle is the PLAIN skewed join
+    "q_skew_salted_join" ->
+      """WITH fact AS (
+        |  SELECT CASE WHEN l_orderkey % 50 < 45 THEN 0
+        |              ELSE l_orderkey % 50 END AS jk,
+        |         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents
+        |  FROM lineitem),
+        |dim AS (SELECT range AS jk, 'd' || CAST(range AS VARCHAR) AS label
+        |        FROM range(0, 50))
+        |SELECT label, count(*) AS n_rows,
+        |       CAST(SUM(price_cents) AS BIGINT) AS sum_cents
+        |FROM fact JOIN dim USING (jk)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // identical Weyl hash ⇒ DuckDB replays the exact permutation
+    "shard_shuffle" ->
+      """WITH k AS (
+        |  SELECT doc_id, n_chars,
+        |         (doc_id * 2654435761) % 2147483648 AS skey
+        |  FROM documents)
+        |SELECT skey % 8 AS shard,
+        |       CAST(row_number() OVER (PARTITION BY skey % 8
+        |                               ORDER BY skey, doc_id) AS BIGINT) AS pos,
+        |       doc_id, n_chars
+        |FROM k ORDER BY shard, pos""".stripMargin,
 
     "q_exact_quantiles" ->
       """WITH v AS (SELECT l_extendedprice AS x FROM lineitem WHERE l_extendedprice IS NOT NULL),
