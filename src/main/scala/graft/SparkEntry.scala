@@ -1275,6 +1275,65 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "cdc_spj_join" -> ((s, d) => {
+      // STORAGE-PARTITIONED JOIN — bucketing for co-located joins: both
+      // tables bucket-compacted onto the same pmod(xxhash64(key), 8)
+      // layout (optimize(bucketBy)); the DSv2 scans report
+      // KeyGroupedPartitioning, the catalog's FunctionCatalog serves
+      // the matching `bucket` function, and the three-part-name SQL
+      // join plans with ZERO exchanges on either side (plan pinned in
+      // SpjSpec; this row pins result correctness). At 100 TB this is
+      // the recurring fact-fact join that never re-shuffles: Iceberg's
+      // SPJ machinery over the graft bucket layout. Broadcast is
+      // disabled scoped, since neither side broadcasts at real scale;
+      // the result is staged while the confs hold so the recorded scan
+      // executes the shuffle-free plan.
+      val wh = freshDir("wh-spj")
+      val cat = GraftCatalog(s, wh)
+      val cust = cat.createTable("cust", SchemaDsl.struct(
+        "c_custkey" -> "int64", "acct_cents" -> "int64"),
+        Identity.Keys(Seq("c_custkey")), ingestCfg)
+      val ords = cat.createTable("ords", SchemaDsl.struct(
+        "o_custkey" -> "int64", "n_orders" -> "int64",
+        "total_cents" -> "int64"),
+        Identity.Keys(Seq("o_custkey")), ingestCfg)
+      CdcPipeline.applyBatch(cust, t(s, d, "customer").select(
+        lit("i").as("_op"), col("c_custkey").as("_lsn"),
+        col("c_custkey"), cents(col("c_acctbal")).as("acct_cents")))
+      CdcPipeline.applyBatch(ords, t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        // per-row cents BEFORE the sum: integer aggregation is
+        // order-independent where a double sum would round differently
+        // across engines at cent boundaries
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("total_cents"))
+        .select(lit("i").as("_op"), col("o_custkey").as("_lsn"),
+          col("o_custkey"), col("n_orders"), col("total_cents")))
+      cust.optimize(bucketBy = Some(8))
+      ords.optimize(bucketBy = Some(8))
+      val cname = "gc" + math.abs(wh.hashCode).toString
+      s.conf.set(s"spark.sql.catalog.$cname",
+        classOf[graft.sources.GraftCatalogPlugin].getName)
+      s.conf.set(s"spark.sql.catalog.$cname.warehouse", wh)
+      val scoped = Seq(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val olds = scoped.map { case (k, _) => k -> s.conf.getOption(k) }
+      scoped.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        stage(s.sql(
+          s"""SELECT x.c_custkey, x.acct_cents, y.n_orders, y.total_cents
+             |FROM $cname.graft.cust x
+             |JOIN $cname.graft.ords y ON x.c_custkey = y.o_custkey
+             |WHERE x.c_custkey % 3 = 0
+             |ORDER BY x.c_custkey""".stripMargin), d, "spj_join")
+      } finally olds.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, scala.None) => s.conf.unset(k)
+      }
+    }),
+
     "cdc_changes" -> ((s, d) => {
       // Change data feed over the time-travel axis: the delete-carrying
       // stream applied in 4 batches, then changesBetween(end of batch
@@ -5114,6 +5173,20 @@ object SparkEntry {
         |FROM last
         |WHERE user_id BETWEEN 10 AND 20
         |ORDER BY user_id""".stripMargin,
+
+    // the bucket layout is plan-internal: the oracle is the plain join
+    "cdc_spj_join" ->
+      """WITH ords AS (
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |         CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |           AS total_cents
+        |  FROM orders GROUP BY 1)
+        |SELECT c_custkey,
+        |       CAST(ROUND(c_acctbal*100) AS BIGINT) AS acct_cents,
+        |       n_orders, total_cents
+        |FROM customer JOIN ords ON c_custkey = o_custkey
+        |WHERE c_custkey % 3 = 0
+        |ORDER BY c_custkey""".stripMargin,
 
     // latest state per user, filtered on BOTH z-ordered dimensions
     "cdc_zorder_prune" ->

@@ -33,7 +33,14 @@ final case class DataFileEntry(
     maxLsn: Long,
     deletes: Long = 0L,        // rows masked by DVs (compaction trigger)
     // column name -> (min, max) as JSON-friendly strings, for pruning
-    stats: Map[String, Seq[String]] = Map.empty)
+    stats: Map[String, Seq[String]] = Map.empty,
+    // hash-bucket id when the file was written by a BUCKETED rewrite
+    // (every row satisfies pmod(xxhash64(keyCols), bucketN) == bucket);
+    // -1 = unbucketed. Valid only against the manifest's bucketN —
+    // fromJson normalizes the pair (missing-field ambiguity: Jackson
+    // reads an absent primitive as 0, so bucket is trusted only when
+    // bucketN > 0, which only a bucket-aware writer ever sets).
+    bucket: Long = -1L)
 
 final case class IndexFileEntry(path: String, dataFiles: Seq[String],
     // merged (hash-bucketed) index files carry their xxhash64(key)
@@ -78,7 +85,13 @@ final case class Manifest(
     // second query's (or a fresh-checkpoint restart's) early epochs as
     // "replays" — Delta scopes its sink txn version by query id the
     // same way.
-    queryEpochs: Map[String, Long] = Map.empty) {
+    queryEpochs: Map[String, Long] = Map.empty,
+    // storage-bucket count from the last BUCKETED compaction: >0 means
+    // bucketed files' `bucket` ids are pmod(xxhash64(keyCols), bucketN)
+    // — the layout contract behind storage-partitioned joins (the DSv2
+    // scan reports KeyGroupedPartitioning when every planned file
+    // carries a valid bucket). 0 = never bucketed.
+    bucketN: Long = 0L) {
 
   def schema: StructType =
     DataType.fromJson(schemaJson).asInstanceOf[StructType]
@@ -109,7 +122,13 @@ object Manifest {
       if (m1.queryEpochs == null) Map.empty
       else m1.queryEpochs.asInstanceOf[Map[String, Any]].map { kv =>
         kv._1 -> kv._2.asInstanceOf[Number].longValue }
-    m1.copy(queryEpochs = qe)
+    val m2 = m1.copy(queryEpochs = qe)
+    // bucket ids are meaningful only under a bucket spec: a manifest
+    // written before the field existed deserializes bucket as 0 (the
+    // JVM default for a missing primitive), which bucketN == 0 gates off
+    if (m2.bucketN <= 0L && m2.dataFiles.exists(_.bucket != -1L))
+      m2.copy(dataFiles = m2.dataFiles.map(_.copy(bucket = -1L)))
+    else m2
   }
 }
 

@@ -22,10 +22,57 @@ import org.apache.spark.sql.types._
 private[graft] object GraftFunctions {
 
   def list(): Array[Identifier] =
-    Array("jaccard_milli", "dot")
+    Array("jaccard_milli", "dot", "bucket")
       .map(n => Identifier.of(Array("system"), n))
 
+  /** `bucket(numBuckets, keys...)` — the storage-bucket function behind
+   *  storage-partitioned joins: pmod(xxhash64(keys...), numBuckets),
+   *  the exact arithmetic of the bucketed-compaction layout
+   *  (`GraftTable.compact(bucketBy)`) and the key index's hash family.
+   *  Spark resolves a scan-reported bucket transform against the EMPTY
+   *  namespace of the table's catalog
+   *  (V2ExpressionUtils.loadV2FunctionOpt), binding with a synthetic
+   *  leading int argument for numBuckets; both join sides must bind to
+   *  the same `canonicalName` for the shuffle-free plan. */
+  def bucket(): UnboundFunction = new UnboundFunction {
+    override def name(): String = "bucket"
+    override def description(): String =
+      "storage bucket: pmod(xxhash64(keys...), numBuckets)"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.length >= 2, "bucket(numBuckets, key...)")
+      require(inputType.fields(0).dataType == IntegerType,
+        s"numBuckets must be int, got ${inputType.fields(0).dataType}")
+      val keyTypes: Array[DataType] = inputType.fields.drop(1).map(_.dataType)
+      new ScalarFunction[java.lang.Integer] {
+        override def name(): String = "bucket"
+        override def canonicalName(): String =
+          s"graft.bucket(${keyTypes.map(_.typeName).mkString(",")})"
+        override def inputTypes(): Array[DataType] = IntegerType +: keyTypes
+        override def resultType(): DataType = IntegerType
+        override def isResultNullable: Boolean = false
+        override def produceResult(input: InternalRow): java.lang.Integer = {
+          val n = input.getInt(0)
+          // the interpreted form of xxhash64(keys...): seed 42, null
+          // children skipped — identical to the Catalyst expression the
+          // bucketed rewrite evaluated, so a function-evaluated bucket
+          // (e.g. Spark's shuffle-one-side SPJ path) matches storage
+          var h = 42L
+          var i = 1
+          while (i < input.numFields) {
+            if (!input.isNullAt(i))
+              h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+                .hash(input.get(i, keyTypes(i - 1)), keyTypes(i - 1), h)
+            i += 1
+          }
+          java.lang.Integer.valueOf(
+            java.lang.Math.floorMod(h, n.toLong).toInt)
+        }
+      }
+    }
+  }
+
   def load(name: String): UnboundFunction = name match {
+    case "bucket" => bucket()
     // declared non-deterministic although pure, for the same plan-
     // pinning reason as the Catalyst sibling (`JaccardMilli`): a
     // deterministic projection gets substituted into a pushed-down

@@ -65,10 +65,16 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces
    *  V2 catalog functions (see GraftFunctions). */
   override def loadFunction(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction = {
-    if (ident.namespace().toSeq != Seq("system"))
+    // Spark's storage-partitioned-join resolution loads `bucket` from
+    // the EMPTY namespace of the table's catalog
+    // (V2ExpressionUtils.loadV2FunctionOpt); user SQL reaches the same
+    // kernels under `system`
+    if (ident.namespace().isEmpty && ident.name() == "bucket")
+      GraftFunctions.bucket()
+    else if (ident.namespace().toSeq != Seq("system"))
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchFunctionException(ident)
-    GraftFunctions.load(ident.name())
+    else GraftFunctions.load(ident.name())
   }
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =

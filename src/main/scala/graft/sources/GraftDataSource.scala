@@ -392,7 +392,34 @@ private[sources] object GraftScan {
 private[sources] class GraftScan(root: String, manifest: Manifest,
     required: StructType, pushed: Array[Filter], limit: Long = -1L)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeV2Filtering {
+    with SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+
+  // ---- storage-partitioned joins --------------------------------------
+  // After a bucketed compaction (optimize(bucketBy = n)) every live
+  // file holds exactly one value of pmod(xxhash64(keyCols), n), so the
+  // scan's partitions are KEY-GROUPED by that bucket function. Reporting
+  // it lets Spark plan joins/aggregations on the key columns with ZERO
+  // shuffles when both sides share the layout (the DSv2 storage-
+  // partitioned join; requires spark.sql.sources.v2.bucketing.enabled
+  // and the relation to resolve through the graft catalog, whose
+  // FunctionCatalog serves the matching `bucket` function). Gated
+  // per-scan: every PLANNED file must carry a valid bucket id and the
+  // key columns must survive column pruning — any miss degrades to
+  // UnknownPartitioning, never to a wrong answer.
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    val sv = survivors
+    if (manifest.bucketN > 0 && manifest.keyCols.nonEmpty && sv.nonEmpty &&
+        sv.forall(_.bucket >= 0L) &&
+        manifest.keyCols.forall(required.fieldNames.contains))
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(
+          manifest.bucketN.toInt, manifest.keyCols: _*)),
+        sv.map(_.bucket).distinct.size)
+    else
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+  }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -574,14 +601,16 @@ private[sources] class GraftScan(root: String, manifest: Manifest,
           .get("spark.sql.files.maxPartitionBytes", "134217728").toLong
         catch { case _: Throwable => 134217728L }
       if (limit >= 0L || e.bytes <= maxSplit)
-        Seq(GraftInputPartition(path, e.rows, dv, limit): InputPartition)
+        Seq(GraftInputPartition(path, e.rows, dv, limit,
+          bucket = e.bucket): InputPartition)
       else {
         val nSplits = math.max(1L, (e.bytes + maxSplit - 1) / maxSplit)
         val span = (e.bytes + nSplits - 1) / nSplits
         (0L until nSplits).map { i =>
           GraftInputPartition(path, e.rows, dv, limit,
             splitStart = i * span,
-            splitEnd = if (i == nSplits - 1) Long.MaxValue else (i + 1) * span)
+            splitEnd = if (i == nSplits - 1) Long.MaxValue else (i + 1) * span,
+            bucket = e.bucket)
             : InputPartition
         }
       }
@@ -793,8 +822,17 @@ private[sources] class GraftAggReaderFactory extends PartitionReaderFactory {
 private[sources] final case class GraftInputPartition(
     path: String, rows: Long, dvBlob: Array[Byte],
     cap: Long = -1L,
-    splitStart: Long = 0L, splitEnd: Long = Long.MaxValue)
+    splitStart: Long = 0L, splitEnd: Long = Long.MaxValue,
+    // storage bucket id when the file came from a bucketed rewrite
+    // (Manifest.DataFileEntry.bucket); consulted by Spark ONLY when the
+    // scan reports KeyGroupedPartitioning, which the scan gates on
+    // every planned file carrying a valid id
+    bucket: Long = -1L)
     extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucket.toInt))
+}
 
 private[sources] class GraftReaderFactory(requiredJson: String,
     physNames: Map[String, String], allColumnar: Boolean)

@@ -121,6 +121,9 @@ final class GraftTable private (
   // streaming-sink exactly-once watermark (see Manifest.streamEpochs);
   // total high-water for observability, per-QUERY map for correctness
   private var streamEpochsVar: Long = initManifest.streamEpochs
+  // storage-bucket count from the last bucketed compaction (see
+  // Manifest.bucketN); per-file ids live in the DataFileEntry
+  private var bucketNVar: Long = initManifest.bucketN
   // the last manifest known durable through THIS handle — the no-op
   // publish guard compares against it (version field excepted)
   private var lastPublishedVar: Manifest = initManifest
@@ -1333,7 +1336,7 @@ final class GraftTable private (
   def currentManifest: Manifest = Manifest(versionVar, commitLsnVar,
     flushLsnVar, schemaVar.json, keyCols, fileEntries.values.toSeq,
     dvFiles.toSeq, indexFiles.toSeq, lastFieldIdVar, droppedColsVar.toSeq,
-    streamEpochsVar, queryEpochsVar)
+    streamEpochsVar, queryEpochsVar, bucketNVar)
 
   // ---- metadata tables (Iceberg `table.files` / `table.history` role) --
 
@@ -1550,6 +1553,7 @@ final class GraftTable private (
     indexFiles.clear(); indexFiles ++= m.indexFiles
     commitLsnVar = m.commitLsn
     flushLsnVar = m.flushLsn
+    bucketNVar = m.bucketN
     // field ids stay monotonic ACROSS the restore: ids assigned by the
     // rolled-back suffix are burned, never reissued
     lastFieldIdVar = math.max(lastFieldIdVar, m.lastFieldId)
@@ -1791,7 +1795,8 @@ final class GraftTable private (
    *  collect of data rows. */
   def compact(force: Boolean = false,
       clusterBy: Seq[String] = Nil,
-      zorder: Boolean = false): Boolean = synchronized {
+      zorder: Boolean = false,
+      bucketBy: Option[Int] = scala.None): Boolean = synchronized {
     // resolve committed deletes first: afterwards every remaining
     // pending delete has lsn > commitLsn >= any rewritten row's LSN, so
     // stamping compacted index entries with the victims' maxLsn keeps
@@ -1804,8 +1809,13 @@ final class GraftTable private (
     val shouldRun = force || all.exists(heavilyDeleted) ||
       all.count(small) >= config.compactFileCountThreshold
     if (!shouldRun) return false
-    val victims = all.filter(e => heavilyDeleted(e) || small(e) || force)
-      .take(config.compactMaxFilesPerOp)
+    // a bucketed rewrite must cover EVERY live file: bucket ids are
+    // only meaningful when the whole table shares one bucketN, so the
+    // per-op file cap does not apply
+    val victims =
+      if (bucketBy.isDefined) all
+      else all.filter(e => heavilyDeleted(e) || small(e) || force)
+        .take(config.compactMaxFilesPerOp)
     if (victims.isEmpty) return false
 
     val victimNames = victims.map(_.path).toSet
@@ -1822,7 +1832,34 @@ final class GraftTable private (
     // role, applied at the natural rewrite point
     val live = applyDvFilter(spark.read.schema(physicalSchema).parquet(paths: _*))
       .select(physicalSchema.fieldNames.map(col).toSeq: _*)
-    val shaped =
+    // storage bucket of a row: the SAME hash family the key index uses
+    // (xxhash64 over the physical key columns). Defined here so the
+    // rewrite routing and the read-back validation share one expression.
+    def bucketExpr(n: Int) = pmod(xxhash64(keyCols.map(c =>
+      col(SchemaDsl.physicalName(
+        schemaVar.fields(schemaVar.fieldIndex(c))))): _*), lit(n.toLong))
+    val shaped = bucketBy match {
+      case Some(n) =>
+        require(keyCols.nonEmpty, "bucketBy needs a keyed table")
+        require(clusterBy.isEmpty && !zorder,
+          "bucketBy excludes clusterBy/zorder (one physical order per rewrite)")
+        // `repartition(n, e)` routes a row to partition
+        // pmod(murmur3(e), n) — NOT to the value of e. Feeding it a
+        // per-bucket PROXY long with murmur3(proxy) % n == bucket makes
+        // partition index == bucket id, so the ordinary per-partition
+        // parquet write emits one single-bucket file per non-empty
+        // bucket with the whole pass codegen'd (no RDD partitioner
+        // detour). Proxy search is O(n) driver arithmetic.
+        val proxies: Seq[Long] = (0 until n).map { bkt =>
+          Iterator.from(0).map(_.toLong).find(v => java.lang.Math.floorMod(
+            org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(v, 42)
+              .toLong, n.toLong) == bkt.toLong).get
+        }
+        live.withColumn("_gb",
+            element_at(typedlit(proxies), (bucketExpr(n) + 1L).cast("int")))
+          .repartition(n, col("_gb"))
+          .drop("_gb")
+      case scala.None =>
       if (clusterBy.isEmpty) live.repartition(nOut)
       else {
         val cs = clusterBy.map { c =>
@@ -1854,6 +1891,7 @@ final class GraftTable private (
         } else
           live.repartitionByRange(nOut, cs: _*).sortWithinPartitions(cs: _*)
       }
+    }
     val tmp = s"$root/tmp/${UUID.randomUUID()}"
     shaped.write.mode("overwrite").parquet(tmp)
 
@@ -1868,18 +1906,32 @@ final class GraftTable private (
     }
     Fio.delete(tmp)
     val statFields = schemaVar.fields.filter(f => statsComparable(f.dataType)).toSeq
+    // with bucketBy the SAME read-back job also validates the routing:
+    // each new file's bucket expression must be constant (min == max),
+    // which becomes the file's manifest bucket id
+    var fileBucket: Map[String, Long] = Map.empty
     val backStats: Map[String, (Long, Map[String, Seq[String]])] =
       if (newNames.isEmpty) Map.empty
       else {
-        val aggs = count(lit(1)).as("_n") +: statFields.flatMap { f =>
-          val p = col(SchemaDsl.physicalName(f))
-          Seq(min(p).as(s"_mn_${f.name}"), max(p).as(s"_mx_${f.name}"))
-        }
-        spark.read.schema(physicalSchema)
+        val aggs = count(lit(1)).as("_n") +:
+          (bucketBy.toSeq.flatMap(n =>
+            Seq(min(bucketExpr(n)).as("_bmn"), max(bucketExpr(n)).as("_bmx"))) ++
+          statFields.flatMap { f =>
+            val p = col(SchemaDsl.physicalName(f))
+            Seq(min(p).as(s"_mn_${f.name}"), max(p).as(s"_mx_${f.name}"))
+          })
+        val rows = spark.read.schema(physicalSchema)
           .parquet(newNames.map(n => s"$root/data/$n"): _*)
           .groupBy(substring_index(col("_metadata.file_path"), "/", -1).as("_f"))
           .agg(aggs.head, aggs.tail: _*)
-          .collect().map { r =>
+          .collect()
+        if (bucketBy.isDefined)
+          fileBucket = rows.flatMap { r =>
+            val (mn, mx) = (r.getLong(r.fieldIndex("_bmn")),
+              r.getLong(r.fieldIndex("_bmx")))
+            if (mn == mx) Some(r.getString(0) -> mn) else scala.None
+          }.toMap
+        rows.map { r =>
             val stats = statFields.map { f =>
               val mn = r.get(r.fieldIndex(s"_mn_${f.name}"))
               val mx = r.get(r.fieldIndex(s"_mx_${f.name}"))
@@ -1892,7 +1944,18 @@ final class GraftTable private (
     val counts: Map[String, Long] = backStats.map { case (n, (c, _)) => n -> c }
     val entries = newNames.map(n => DataFileEntry(n,
       counts.getOrElse(n, 0L), Fio.sizeOf(s"$root/data/$n"), maxLsn, 0L,
-      backStats.get(n).map(_._2).getOrElse(Map.empty)))
+      backStats.get(n).map(_._2).getOrElse(Map.empty),
+      bucket = fileBucket.getOrElse(n, -1L)))
+    // the bucket spec is table-level: it holds only when this rewrite
+    // covered every live file (it did — victims = all) AND every
+    // surviving file validated single-bucket; any miss degrades to
+    // unbucketed (correctness never depends on the spec, only SPJ does)
+    bucketNVar = bucketBy match {
+      case Some(n) if entries.filter(e =>
+        counts.getOrElse(e.path, 0L) > 0L).forall(_.bucket >= 0L) => n.toLong
+      case Some(_) => 0L
+      case scala.None => bucketNVar
+    }
 
     victimNames.foreach { n => fileEntries.remove(n); dvMap.remove(n) }
     entries.filter(_.rows > 0).foreach(e => fileEntries(e.path) = e)
@@ -2100,8 +2163,10 @@ final class GraftTable private (
   /** M15 full maintenance; `clusterBy` additionally sorts the rewrite
    *  so file stats become disjoint ranges (see `compact`). */
   def optimize(clusterBy: Seq[String] = Nil,
-      zorder: Boolean = false): Unit = synchronized {
-    flush(); compact(force = true, clusterBy = clusterBy, zorder = zorder)
+      zorder: Boolean = false,
+      bucketBy: Option[Int] = scala.None): Unit = synchronized {
+    flush(); compact(force = true, clusterBy = clusterBy, zorder = zorder,
+      bucketBy = bucketBy)
     mergeIndexes(); publish()
   }
 

@@ -1,0 +1,198 @@
+package graft
+
+import graft.format.Manifest
+import graft.model._
+import graft.sources.{GraftCatalogPlugin, GraftFunctions}
+import graft.table._
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/**
+ * Storage-partitioned joins: after `optimize(bucketBy = n)` both join
+ * sides share the pmod(xxhash64(keys), n) layout, the DSv2 scans
+ * report KeyGroupedPartitioning, and Spark plans the join with ZERO
+ * exchanges — the DSv2 co-located-join machinery Iceberg uses, over
+ * the graft bucket layout. At 100 TB this is the difference between
+ * shuffling both fact tables and shuffling nothing.
+ */
+class SpjSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-spj-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def freshCatalog(): (String, String) = {
+    val wh = Files.createTempDirectory("graft-spj").toString
+    val name = "gs" + math.abs(wh.hashCode).toString
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[GraftCatalogPlugin].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+    (name, wh)
+  }
+
+  private def withConf[T](pairs: (String, String)*)(body: => T): T = {
+    val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("bucketed compaction writes single-bucket files and records the spec") {
+    val wh = Files.createTempDirectory("graft-spj-t").toString
+    val cat = GraftCatalog(spark, wh)
+    val t = cat.createTable("bt",
+      SchemaDsl.struct("id" -> "int64", "v" -> "int64"),
+      Identity.Keys(Seq("id")))
+    t.upsertAll((1L to 300L).map(i => Row(i, i * 10)), startLsn = 1)
+    t.flush(); t.publish()
+    t.optimize(bucketBy = Some(4))
+    val m = t.currentManifest
+    assert(m.bucketN == 4L, "bucket spec not recorded")
+    assert(m.dataFiles.nonEmpty && m.dataFiles.forall(_.bucket >= 0L),
+      s"unbucketed files after bucketBy: ${m.dataFiles.map(_.bucket)}")
+    // per-file validation against independent arithmetic: every row's
+    // pmod(xxhash64(id), 4) equals its file's manifest bucket
+    val physId = SchemaDsl.physicalName(
+      t.schema.fields(t.schema.fieldIndex("id")))
+    m.dataFiles.foreach { e =>
+      val buckets = spark.read.parquet(s"$wh/bt/data/${e.path}")
+        .select(pmod(xxhash64(col(physId)), lit(4L)).as("b"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+      assert(buckets == Seq(e.bucket), s"file ${e.path} mixes buckets")
+    }
+    // manifest round-trip keeps the layout; total rows preserved
+    val rt = Manifest.fromJson(Manifest.toJson(m))
+    assert(rt.bucketN == 4L && rt.dataFiles.map(_.bucket) ==
+      m.dataFiles.map(_.bucket))
+    assert(m.dataFiles.map(_.rows).sum == 300L)
+    // a later unbucketed flush closes the gate per-file, not globally
+    t.upsertAll(Seq(Row(1000L, 1L)), startLsn = 400)
+    t.flush(); t.publish()
+    val m2 = t.currentManifest
+    assert(m2.bucketN == 4L && m2.dataFiles.exists(_.bucket == -1L))
+  }
+
+  test("legacy manifests never resurrect bucket ids") {
+    // a manifest with bucketN == 0 but nonzero bucket fields (what an
+    // old JSON deserializes to, since missing primitives read as 0)
+    // must normalize every bucket to -1
+    val m = Manifest.empty(
+      org.apache.spark.sql.types.StructType(Seq()), Seq("id"))
+      .copy(dataFiles = Seq(graft.format.DataFileEntry(
+        "f1.parquet", 10L, 100L, 1L, bucket = 0L)))
+    val rt = Manifest.fromJson(Manifest.toJson(m))
+    assert(rt.bucketN == 0L && rt.dataFiles.head.bucket == -1L)
+  }
+
+  test("catalog bucket function matches the storage layout arithmetic") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.types._
+    val bound = GraftFunctions.bucket().bind(StructType(Seq(
+      StructField("n", IntegerType), StructField("id", LongType))))
+    val viaSpark = spark.range(1, 100)
+      .select(col("id"), pmod(xxhash64(col("id")), lit(7L)).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    viaSpark.foreach { case (id, want) =>
+      val got = bound.asInstanceOf[
+        org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer]]
+        .produceResult(new GenericInternalRow(Array[Any](7, id)))
+      assert(got.intValue() == want.toInt, s"id=$id")
+    }
+  }
+
+  test("co-bucketed tables join and aggregate with zero exchanges") {
+    val (cname, wh) = freshCatalog()
+    val cat = GraftCatalog(spark, wh)
+    val sa = SchemaDsl.struct("id" -> "int64", "a" -> "int64")
+    val sb = SchemaDsl.struct("id" -> "int64", "b" -> "int64")
+    val ta = cat.createTable("ta", sa, Identity.Keys(Seq("id")))
+    val tb = cat.createTable("tb", sb, Identity.Keys(Seq("id")))
+    ta.upsertAll((1L to 400L).map(i => Row(i, i * 10)), startLsn = 1)
+    ta.flush(); ta.publish()
+    tb.upsertAll((1L to 400L).filter(_ % 2 == 0).map(i => Row(i, i * 7)),
+      startLsn = 1)
+    tb.flush(); tb.publish()
+    ta.optimize(bucketBy = Some(4))
+    tb.optimize(bucketBy = Some(4))
+
+    withConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      // at test SF the build side broadcasts, which is also a fine plan
+      // — disable it so the assertion exercises the shuffle-join path
+      // SPJ exists to replace (at 100 TB neither side broadcasts)
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = spark.sql(
+        s"""SELECT x.id, x.a, y.b
+           |FROM $cname.graft.ta x JOIN $cname.graft.tb y ON x.id = y.id
+           |""".stripMargin)
+      val rows = df.collect()
+      assert(rows.length == 200)
+      rows.foreach { r =>
+        assert(r.getLong(1) == r.getLong(0) * 10 &&
+          r.getLong(2) == r.getLong(0) * 7)
+      }
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Exchange"),
+        s"storage-partitioned join still shuffled:\n$plan")
+
+      // aggregation on the join key rides the same partitioning:
+      // join + groupBy(id-side key) with zero exchanges end to end
+      val agg = spark.sql(
+        s"""SELECT x.id, count(*) AS n, sum(y.b) AS s
+           |FROM $cname.graft.ta x JOIN $cname.graft.tb y ON x.id = y.id
+           |GROUP BY x.id""".stripMargin)
+      val ar = agg.collect()
+      assert(ar.length == 200 && ar.forall(_.getLong(1) == 1L))
+      val aplan = agg.queryExecution.executedPlan.toString()
+      assert(!aplan.contains("Exchange"),
+        s"key-grouped aggregation still shuffled:\n$aplan")
+
+      // without the conf the same query falls back to shuffles but
+      // stays correct (the layout is an optimization, not a contract)
+      withConf("spark.sql.sources.v2.bucketing.enabled" -> "false") {
+        val off = spark.sql(
+          s"""SELECT count(*) AS n
+             |FROM $cname.graft.ta x JOIN $cname.graft.tb y ON x.id = y.id
+             |""".stripMargin)
+        assert(off.head().getLong(0) == 200L)
+      }
+    }
+  }
+
+  test("deletes and point mutations keep the bucketed layout usable") {
+    val (cname, wh) = freshCatalog()
+    val cat = GraftCatalog(spark, wh)
+    val s = SchemaDsl.struct("id" -> "int64", "v" -> "int64")
+    val t = cat.createTable("md", s, Identity.Keys(Seq("id")))
+    t.upsertAll((1L to 100L).map(i => Row(i, i)), startLsn = 1)
+    t.flush(); t.publish()
+    t.optimize(bucketBy = Some(4))
+    // DV-masking rows does not move them between files: the layout
+    // stays valid and the scan still reports it
+    t.deleteWhere(col("id").isin(10L, 20L))
+    t.flush(); t.publish()
+    val m = t.currentManifest
+    assert(m.bucketN == 4L && m.dataFiles.forall(_.bucket >= 0L))
+    withConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true") {
+      val df = spark.sql(s"SELECT id, count(*) AS n FROM $cname.graft.md " +
+        "GROUP BY id")
+      assert(df.collect().length == 98)
+      assert(!df.queryExecution.executedPlan.toString().contains("Exchange"))
+    }
+  }
+}
