@@ -985,6 +985,55 @@ object SparkEntry {
         .orderBy("hour_us", "event_type")
     }),
 
+    "stream_sessionize" -> ((s, d) => {
+      // SESSION windows on a stream: gap-based (30 min) per-user
+      // sessions via session_window + watermark, state merged across 4
+      // micro-batches. Append mode emits only watermark-closed
+      // sessions — correct-by-construction incremental sessionization
+      // (complete mode is unsupported for session windows, and update
+      // mode would emit partial sessions) — so the feed ends with one
+      // far-future SENTINEL event that pushes the final watermark past
+      // every real session; the sentinel's own (held-back) session is
+      // filtered out. Session state is keyed (user, window) and evicted
+      // at the watermark, so memory is (open sessions), not stream
+      // length. Gap semantics match the oracle exactly: a new session
+      // starts iff t - prev >= gap (Spark's session end is exclusive).
+      val base = events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val mm = base.agg(max(col("event_id")), max(col("ts"))).head()
+      val sentinel = s.createDataFrame(
+        java.util.Arrays.asList(
+          Row(mm.getLong(0) + 1L, -1L, mm.getLong(1) + 30L * 86400000000L, 0.0)),
+        base.schema)
+      val feed = streamSourceDir(base.unionByName(sentinel), n = 4,
+        idCol = "event_id")
+      val qn = "ssw_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+      withShufflePartitions(s, 4) {
+        val q = s.readStream
+          .schema(StructType(Seq(
+            StructField("event_id", LongType), StructField("user_id", LongType),
+            StructField("ts", LongType), StructField("value", DoubleType))))
+          .option("maxFilesPerTrigger", 1).parquet(feed)
+          .withColumn("event_time", timestamp_micros(col("ts")))
+          .withColumn("vc", cents(col("value")))
+          .withWatermark("event_time", "1 minute")
+          .groupBy(session_window(col("event_time"), "30 minutes"),
+            col("user_id"))
+          .agg(count(lit(1)).as("n_events"), sum(col("vc")).as("value_cents"))
+          .writeStream.outputMode("append").format("memory").queryName(qn)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.table(qn)
+        .where(col("user_id") =!= -1L)
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start_us"),
+          col("n_events"), col("value_cents"))
+        .orderBy("user_id", "session_start_us")
+    }),
+
     "ev_outliers" -> ((s, d) => {
       // per-type p99 outlier detection with rank-exact integer
       // semantics: the threshold is the value at ascending rank
@@ -5090,6 +5139,31 @@ object SparkEntry {
         |       COUNT(*) AS n_users
         |FROM m1 LEFT JOIN m2 USING (user_id) LEFT JOIN m3 USING (user_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // streaming session windows == batch gap-sessionization: new
+    // session iff t - prev >= gap (session_window's exclusive end);
+    // sum over per-row cents keeps the aggregate integer-exact
+    "stream_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |         CAST(ROUND(value*100) AS BIGINT) AS vc
+        |  FROM events),
+        |o AS (
+        |  SELECT user_id, us, vc,
+        |         CASE WHEN lag(us) OVER w IS NULL
+        |                OR us - lag(us) OVER w >= 1800000000
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |g AS (
+        |  SELECT user_id, us, vc,
+        |         SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING
+        |                        AND CURRENT ROW) AS sid
+        |  FROM o)
+        |SELECT user_id, MIN(us) AS session_start_us,
+        |       count(*) AS n_events, CAST(SUM(vc) AS BIGINT) AS value_cents
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin,
 
     "ev_sessionize" ->
       """WITH e AS (

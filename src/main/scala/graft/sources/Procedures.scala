@@ -56,6 +56,11 @@ private[graft] object GraftProcedures {
           ProcedureParameter.in("zorder", StringType)
             .defaultValue("'false'")
             .comment("'true' = z-order interleave over cluster_by")
+            .build(),
+          ProcedureParameter.in("bucket_by", IntegerType)
+            .defaultValue("0")
+            .comment("bucket count for the storage-partitioned-join " +
+              "layout (pmod(xxhash64(keys), n)); 0 = off")
             .build()),
         StructType(Seq(StructField("files_before", LongType),
           StructField("files_after", LongType))),
@@ -63,9 +68,15 @@ private[graft] object GraftProcedures {
           val t = open(args(0).toString, args(1).toString)
           val cols = args(2).toString.split(",").map(_.trim)
             .filter(_.nonEmpty).toSeq
+          val nBuckets = args(4) match {
+            case null => 0
+            case i: Int => i
+            case other => other.toString.toInt
+          }
           val before = t.currentManifest.dataFiles.size.toLong
           t.optimize(clusterBy = cols,
-            zorder = args(3).toString.equalsIgnoreCase("true"))
+            zorder = args(3).toString.equalsIgnoreCase("true"),
+            bucketBy = if (nBuckets > 0) Some(nBuckets) else scala.None)
           Seq(Row(before, t.currentManifest.dataFiles.size.toLong))
         })
       case "vacuum" => proc("vacuum", DbTbl,

@@ -172,6 +172,23 @@ class SpjSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("CALL system.optimize(bucket_by) buckets through the SQL surface") {
+    val (cname, wh) = freshCatalog()
+    val cat = GraftCatalog(spark, wh)
+    val t = cat.createTable("ct",
+      SchemaDsl.struct("id" -> "int64", "v" -> "int64"),
+      Identity.Keys(Seq("id")))
+    t.upsertAll((1L to 50L).map(i => Row(i, i)), startLsn = 1)
+    t.flush(); t.publish()
+    val out = spark.sql(s"CALL $cname.system.optimize(db => 'graft', " +
+      "tbl => 'ct', bucket_by => 4)").collect()
+    assert(out.length == 1)
+    val entry = new MetadataStore(wh).allEntries().find(_.table == "ct").get
+    val m = GraftTable.open(spark, s"$wh/ct", entry.identity, entry.config)
+      .currentManifest
+    assert(m.bucketN == 4L && m.dataFiles.forall(_.bucket >= 0L))
+  }
+
   test("deletes and point mutations keep the bucketed layout usable") {
     val (cname, wh) = freshCatalog()
     val cat = GraftCatalog(spark, wh)
