@@ -2480,6 +2480,37 @@ object SparkEntry {
                |FROM $cname.graft.ev_ins GROUP BY 1 ORDER BY 1""".stripMargin)
     }),
 
+    "cdc_sql_overwrite" -> ((s, d) => {
+      // the SQL write surface beyond plain INSERT: CTAS (create + adopt
+      // in one statement), TRUNCATE TABLE (one metadata-only commit —
+      // the file set empties, history stays time-travelable), and
+      // INSERT OVERWRITE (truncate + append committed as ONE manifest
+      // version, so no reader observes the empty middle). The flow is
+      // built so each verb's failure would corrupt the final content:
+      // CTAS seeds %4=0, INSERT adds %4=3, TRUNCATE drops both (a
+      // silent no-op would leak them), INSERT lands %4=1, OVERWRITE
+      // replaces it with %4=2 (an append-not-replace would double the
+      // later %4=1), INSERT adds %4=1 back. Final state: %4 ∈ {1,2}.
+      val wh = freshDir("wh-ow")
+      val cname = "gc" + math.abs(wh.hashCode).toString
+      s.conf.set(s"spark.sql.catalog.$cname",
+        classOf[graft.sources.GraftCatalogPlugin].getName)
+      s.conf.set(s"spark.sql.catalog.$cname.warehouse", wh)
+      events(s, d).createOrReplaceTempView("ev_src_ow")
+      def slice(m: Long) =
+        s"SELECT user_id, event_id, value FROM ev_src_ow WHERE user_id % 4 = $m"
+      s.sql(s"CREATE TABLE $cname.graft.ev_ow AS ${slice(0)}")
+      s.sql(s"INSERT INTO $cname.graft.ev_ow ${slice(3)}")
+      s.sql(s"TRUNCATE TABLE $cname.graft.ev_ow")
+      s.sql(s"INSERT INTO $cname.graft.ev_ow ${slice(1)}")
+      s.sql(s"INSERT OVERWRITE $cname.graft.ev_ow ${slice(2)}")
+      s.sql(s"INSERT INTO $cname.graft.ev_ow ${slice(1)}")
+      s.sql(s"""SELECT user_id, count(*) AS n,
+               |       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT)
+               |         AS value_cents
+               |FROM $cname.graft.ev_ow GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
+
     "cdc_sql_delete" -> ((s, d) => {
       // SQL DELETE FROM through the V2 catalog (SupportsDelete): Spark
       // hands the WHERE clause as source filters, the table translates
@@ -5663,6 +5694,15 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n,
         |       CAST(ROUND(SUM(value)*100) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // after CTAS(%4=0) + INSERT(%4=3) + TRUNCATE + INSERT(%4=1) +
+    // OVERWRITE(%4=2) + INSERT(%4=1), the live content is %4 in (1,2)
+    "cdc_sql_overwrite" ->
+      """SELECT user_id, count(*) AS n,
+        |       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT)
+        |         AS value_cents
+        |FROM events WHERE user_id % 4 IN (1, 2)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "cdc_sql_time_travel" ->
       """SELECT user_id,

@@ -135,8 +135,15 @@ private[graft] object GraftSparkTable {
    *  executor write, any size), then adopt the part files atomically
    *  at the next LSN via the bulk-load path — the driver touches file
    *  METADATA only, never rows. */
+  private[sources] def openTable(root: String, m: Manifest): GraftTable =
+    GraftTable.open(org.apache.spark.sql.SparkSession.active, root,
+      if (m.keyCols.isEmpty) graft.model.Identity.None
+      else graft.model.Identity.Keys(m.keyCols),
+      graft.table.TableConfig(walEnabled = false))
+
   private[sources] def appendSql(root: String,
-      data: org.apache.spark.sql.DataFrame): Unit = {
+      data: org.apache.spark.sql.DataFrame,
+      overwrite: Boolean = false): Unit = {
     val m = load(root)
     val table = GraftTable.open(data.sparkSession, root,
       graft.model.Identity.None, graft.table.TableConfig(walEnabled = false))
@@ -148,8 +155,11 @@ private[graft] object GraftSparkTable {
       .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
       .map(n => s"$staging/$n")
     // a fresh table's commitLsn is -1; SQL appends start at LSN 1
-    try table.loadFiles(parts, lsn = math.max(table.commitLsn, 0L) + 1)
-    finally graft.format.Fio.delete(staging)
+    val lsn = math.max(table.commitLsn, 0L) + 1
+    try {
+      if (overwrite) table.overwriteFiles(parts, lsn)
+      else table.loadFiles(parts, lsn)
+    } finally graft.format.Fio.delete(staging)
   }
 }
 
@@ -158,6 +168,7 @@ private[graft] class GraftSparkTable(root: String,
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.TruncatableTable
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   private lazy val manifest = asOfVersion match {
     case Some(v) => ManifestLog.load(root, v) // SQL time travel pin
@@ -186,8 +197,21 @@ private[graft] class GraftSparkTable(root: String,
       // epoch commits; see GraftStreamingWrite). Keyed tables stream
       // through their `t$cdc` sink table (event-schema writes).
       caps.add(TableCapability.STREAMING_WRITE)
+      // INSERT OVERWRITE lowers to truncate-then-append, committed as
+      // ONE manifest version (see GraftTable.overwriteFiles)
+      caps.add(TableCapability.TRUNCATE)
     }
     caps
+  }
+
+  /** SQL TRUNCATE TABLE: one metadata-only commit empties the live
+   *  file set; history stays time-travelable, vacuum reclaims bytes.
+   *  Works for keyed tables too (unlike INSERT, which needs the upsert
+   *  fold): dropping ALL rows needs no key resolution. */
+  override def truncateTable(): Boolean = {
+    require(asOfVersion.isEmpty, "cannot truncate a time-travel pin")
+    GraftSparkTable.openTable(root, manifest).truncate()
+    true
   }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(root, manifest)
@@ -247,15 +271,23 @@ private[graft] class GraftSparkTable(root: String,
     require(asOfVersion.isEmpty, "cannot write to a time-travel pin")
     val writeSchema = info.schema()
     val queryId = info.queryId()
-    new org.apache.spark.sql.connector.write.WriteBuilder {
+    new org.apache.spark.sql.connector.write.WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      // INSERT OVERWRITE: Spark lowers the static overwrite to
+      // truncate-then-append on the builder; the table commits both
+      // halves as ONE manifest version (overwriteFiles), so no reader
+      // ever observes the empty middle state
+      private var doTruncate = false
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+        doTruncate = true; this
+      }
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.V1Write {
           override def toInsertableRelation
               : org.apache.spark.sql.sources.InsertableRelation =
-            (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
-              require(!overwrite, "graft INSERT is append-only (no OVERWRITE)")
-              GraftSparkTable.appendSql(root, data)
-            }
+            (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) =>
+              GraftSparkTable.appendSql(root, data,
+                overwrite = doTruncate || overwrite)
           override def toStreaming
               : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
             new GraftStreamingWrite(root, manifest, queryId, writeSchema)

@@ -2409,6 +2409,41 @@ final class GraftTable private (
       }
     }
 
+  /** TRUNCATE: drop every live row (committed, buffered, and pending
+   *  deletes) as ONE metadata-only commit — the new manifest version
+   *  has an empty file set, old versions stay readable (snapshot
+   *  isolation) and vacuum reclaims the storage at its own cadence.
+   *  O(manifest) driver work at any table size, like restore. */
+  def truncate(): Long = synchronized {
+    require(xacts.isEmpty, "open streaming transactions; commit or abort first")
+    clearLiveState()
+    commitLsnVar = math.max(commitLsnVar, 0L) + 1
+    flushLsnVar = commitLsnVar
+    publish()
+  }
+
+  /** INSERT OVERWRITE: replace the whole table content with the staged
+   *  part files in ONE atomic manifest commit — a crash before the
+   *  publish leaves the previous version intact (the truncate half and
+   *  the adopt half can never be observed separately). */
+  def overwriteFiles(files: Seq[String], lsn: Long): Unit = synchronized {
+    require(xacts.isEmpty, "open streaming transactions; commit or abort first")
+    clearLiveState()
+    loadFiles(files, lsn) // publishes truncate + adopt as one version
+  }
+
+  private def clearLiveState(): Unit = {
+    tail.clear(); tailIndex.clear()
+    pendingDeletes.clear(); newDvPairs.clear()
+    fileEntries.clear(); dvFiles.clear(); indexFiles.clear()
+    dvMap.clear(); dvBroadcast = scala.None
+    bucketNVar = 0L
+    // buffered rows are gone by definition of truncate: a WAL replay
+    // must not resurrect them (unconditional — another handle on this
+    // root may run with WAL enabled even when this one does not)
+    Fio.delete(Wal.walDir(root))
+  }
+
   def loadFiles(files: Seq[String], lsn: Long): Unit = synchronized {
     Fio.mkdirs(s"$root/data")
     val renamed = files.map { src =>
