@@ -4087,6 +4087,29 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "dedup_minhash_salted" -> ((s, d) => {
+      // the salted RE-SPLIT half of the hot-bucket defense (the recall-
+      // preserving alternative to dedup_minhash_capped's drop): each
+      // oversized (band, bucket) splits into ceil(n/maxBucket)
+      // sub-buckets by the portable hash of the id — pairs emit within
+      // sub-buckets plus one star of representative links per split
+      // bucket, so true boilerplate clusters stay CONNECTED while pair
+      // emission stays linear in n. Fully deterministic, so DuckDB
+      // recomputes the identical candidate set (sub-bucket salts, reps,
+      // hubs, star links) from the staged band frame and re-verifies
+      // the exact Jaccard. maxBucket=2 bites at sf0.01 like the capped
+      // entry, making the two defenses value-comparable side by side.
+      val sh = stage(Dedup.minhashShingleFrame(
+          t(s, d, "documents"), "doc_id", "text", shingleN = 2),
+        d, "dedup_salt_sh")
+      val bands = stage(Dedup.minhashBandFrame(sh, 64, 16),
+        d, "dedup_salt_bands")
+      Dedup.verifyJaccardMilli(sh,
+          Dedup.minhashCandidatesSalted(bands, maxBucket = 2),
+          minMilli = 200)
+        .orderBy("id_a", "id_b")
+    }),
+
     "dedup_minhash_incr" -> ((s, d) => {
       // incremental dedup (the daily-crawl shape): the odd-doc
       // increment probes a PERSISTED band index of the even-doc corpus
@@ -6373,6 +6396,38 @@ object SparkEntry {
         |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
         |         FROM b2 x JOIN b2 y
         |           ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id)
+        |SELECT c.id_a, c.id_b,
+        |       CAST(FLOOR(1000.0 * len(list_intersect(a.hs, b.hs)) /
+        |            (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))) AS BIGINT) AS jaccard_milli
+        |FROM cand c JOIN sh a ON a.id = c.id_a JOIN sh b ON b.id = c.id_b
+        |WHERE (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) > 0
+        |  AND CAST(FLOOR(1000.0 * len(list_intersect(a.hs, b.hs)) /
+        |            (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))) AS BIGINT) >= 200
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // the salted re-split recomputed exactly: sub-bucket salts from the
+    // portable hash, within-sub pairs, plus the rep->hub star links
+    "dedup_minhash_salted" ->
+      """WITH sh AS (SELECT * FROM read_parquet('/root/repo/target/oracle-stage/sf0.01/dedup_salt_sh/*.parquet')),
+        |bands AS (SELECT * FROM read_parquet('/root/repo/target/oracle-stage/sf0.01/dedup_salt_bands/*.parquet')),
+        |sz AS (SELECT band, bucket, count(*) AS n FROM bands GROUP BY 1, 2),
+        |b2 AS (SELECT b.id, b.band, b.bucket, s.n,
+        |              CASE WHEN s.n > 2
+        |                   THEN ((b.id * 2654435761) % 2147483648) % ((s.n + 1) // 2)
+        |                   ELSE 0 END AS salt
+        |       FROM bands b JOIN sz s USING (band, bucket)),
+        |within AS (SELECT x.id AS id_a, y.id AS id_b
+        |           FROM b2 x JOIN b2 y
+        |             ON x.band = y.band AND x.bucket = y.bucket
+        |            AND x.salt = y.salt AND x.id < y.id),
+        |reps AS (SELECT band, bucket, salt, MIN(id) AS rid
+        |         FROM b2 WHERE n > 2 GROUP BY 1, 2, 3),
+        |hubs AS (SELECT band, bucket, MIN(rid) AS hub FROM reps GROUP BY 1, 2),
+        |links AS (SELECT h.hub AS id_a, r.rid AS id_b
+        |          FROM reps r JOIN hubs h USING (band, bucket)
+        |          WHERE r.rid <> h.hub),
+        |cand AS (SELECT DISTINCT id_a, id_b FROM
+        |         (SELECT * FROM within UNION ALL SELECT * FROM links))
         |SELECT c.id_a, c.id_b,
         |       CAST(FLOOR(1000.0 * len(list_intersect(a.hs, b.hs)) /
         |            (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))) AS BIGINT) AS jaccard_milli

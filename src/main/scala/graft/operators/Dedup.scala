@@ -363,6 +363,51 @@ object Dedup {
       .distinct() // a pair may collide in several bands
   }
 
+  /** Salted RE-SPLIT alternative to the drop cap: each oversized
+   *  (band, bucket) group splits into k = ceil(n/maxBucket) sub-buckets
+   *  by the engine-portable multiplicative hash of the id; pairs emit
+   *  WITHIN sub-buckets, and one STAR of representative links per split
+   *  bucket (each sub-bucket's min id to the bucket's global min id)
+   *  preserves connectivity across the split. Pair emission per
+   *  oversized bucket is O(n·maxBucket + k) instead of C(n,2), and
+   *  every candidate — star links included — still passes exact-Jaccard
+   *  verification, so false links die there while true boilerplate
+   *  clusters stay CONNECTED: strictly better recall than dropping at
+   *  the same asymptotic cost. Deterministic end-to-end (portable hash,
+   *  integer k), so an external engine recomputes the identical set. */
+  def minhashCandidatesSalted(banded: DataFrame,
+      maxBucket: Int): DataFrame = {
+    require(maxBucket > 0, "salted re-split needs a positive bound")
+    val hot = oversizedBuckets(banded, maxBucket)
+      .localCheckpoint(true) // see capBuckets: reclaimable, no cache pile-up
+    val agg = hot.agg(count(lit(1)), coalesce(sum(col("n")), lit(0L))).head()
+    Metrics.counter("graft.lsh_buckets_salted", "dedup", agg.getLong(0))
+    Metrics.counter("graft.lsh_rows_salted", "dedup", agg.getLong(1))
+    val withK = banded.join(
+      broadcast(hot.withColumn("k",
+          expr(s"(n + ${maxBucket - 1}) div $maxBucket"))
+        .select(col("band"), col("bucket"), col("k"))),
+      Seq("band", "bucket"), "left")
+    val salted = withK.withColumn("salt",
+      when(col("k").isNull, lit(0L)).otherwise(
+        pmod(pmod(col("id") * lit(Sketches.WeylA), lit(Sketches.HashMod)),
+          col("k"))))
+      .select(col("id"), col("band"), col("bucket"), col("salt"), col("k"))
+    val within = salted.as("a").join(salted.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.salt") === col("b.salt") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val reps = salted.where(col("k").isNotNull)
+      .groupBy(col("band"), col("bucket"), col("salt"))
+      .agg(min(col("id")).as("rid"))
+    val hubs = reps.groupBy(col("band"), col("bucket"))
+      .agg(min(col("rid")).as("hub"))
+    val links = reps.join(hubs, Seq("band", "bucket"))
+      .where(col("rid") =!= col("hub"))
+      .select(col("hub").as("id_a"), col("rid").as("id_b"))
+    within.unionByName(links).distinct()
+  }
+
   /** Incremental candidates: NEW-batch docs colliding with docs of a
    *  PERSISTED band index (id_a = new, id_b = indexed; ids must be
    *  disjoint). The index is never recomputed — the daily-crawl shape:
