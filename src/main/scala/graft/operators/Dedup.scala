@@ -226,7 +226,8 @@ object Dedup {
    */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      minMilli: Int = 500, maxBucket: Int = 0): DataFrame = {
+      minMilli: Int = 500, maxBucket: Int = 0,
+      saltResplit: Boolean = false): DataFrame = {
     // hashed shingle sets, persisted once: the collapse, the band
     // self-join sides and BOTH verification joins re-read this frame —
     // uncached, the corpus would re-tokenize ~4x. One spill-safe copy
@@ -254,9 +255,14 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val repT = reps.select(col("id"), col("hs"))
-        val repPairs = verifyJaccardMilli(repT,
-          minhashCandidatesFromBands(
-            minhashBandFrame(repT, numHashes, bands), maxBucket), minMilli)
+        // hot-bucket defense: drop (capBuckets) or salted re-split —
+        // the re-split keeps recall (see minhashCandidatesSalted)
+        val banded = minhashBandFrame(repT, numHashes, bands)
+        val repCand =
+          if (saltResplit && maxBucket > 0)
+            minhashCandidatesSalted(banded, maxBucket)
+          else minhashCandidatesFromBands(banded, maxBucket)
+        val repPairs = verifyJaccardMilli(repT, repCand, minMilli)
         val repKey = reps.select(col("id"), col("k"))
         val cross = repPairs
           .join(repKey.select(col("id").as("id_a"), col("k").as("k_a")), "id_a")
