@@ -957,10 +957,14 @@ object SparkEntry {
       // batches; complete-mode sink so every window surfaces for the
       // batch-equality check (append mode would hold back windows the
       // final watermark never passes). Must equal the batch hourly agg.
+      // time-split arrival (see stream_sessionize): an event-time
+      // watermark assumes rough event-time arrival order; id-sliced
+      // files are only time-ordered when ids and times correlate, and
+      // rows behind the watermark would be silently dropped as late
       val feed = streamSourceDir(
         events(s, d).select(col("event_id"), col("ts"), col("event_type"),
           col("value")),
-        n = 4, idCol = "event_id")
+        n = 4, idCol = "ts")
       val qn = "sha_" + java.util.UUID.randomUUID().toString.replace("-", "")
       import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
       withShufflePartitions(s, 4) {
@@ -1001,12 +1005,33 @@ object SparkEntry {
       val base = events(s, d)
         .select(col("event_id"), col("user_id"), col("ts"), col("value"))
       val mm = base.agg(max(col("event_id")), max(col("ts"))).head()
-      val sentinel = s.createDataFrame(
-        java.util.Arrays.asList(
-          Row(mm.getLong(0) + 1L, -1L, mm.getLong(1) + 30L * 86400000000L, 0.0)),
-        base.schema)
-      val feed = streamSourceDir(base.unionByName(sentinel), n = 4,
-        idCol = "event_id")
+      // split the feed by EVENT TIME (not id): a real stream arrives in
+      // rough event-time order, and the watermark contract assumes it —
+      // id-sliced files each spanning the whole timeline would arrive
+      // almost entirely behind the watermark from trigger 2 on and be
+      // dropped as late (observed at sf1, where ids and times are
+      // uncorrelated). Range-split time slices are never late under
+      // any delay.
+      val feed = streamSourceDir(base, n = 4, idCol = "ts")
+      // TWO sentinel files, each its own trigger: the first advances
+      // the watermark past every real session; the second is a real
+      // data batch that applies it, deterministically evicting and
+      // emitting all real sessions. Relying on the trailing NO-DATA
+      // batch instead is a race under AvailableNow (observed at sf1:
+      // run-to-run output counts differed by the last tranche).
+      (1 to 2).foreach { i =>
+        val p = java.nio.file.Files.createTempDirectory("graft-sentinel")
+        val sent = s.createDataFrame(
+          java.util.Arrays.asList(Row(mm.getLong(0) + i,
+            -1L, mm.getLong(1) + i * 30L * 86400000000L, 0.0)),
+          base.schema)
+        sent.coalesce(1).write.mode("overwrite").parquet(p.toString)
+        val part = new java.io.File(p.toString).listFiles()
+          .filter(_.getName.startsWith("part-")).head
+        val dst = new java.io.File(feed, s"sentinel-$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(System.currentTimeMillis() + i * 60000L)
+      }
       val qn = "ssw_" + java.util.UUID.randomUUID().toString.replace("-", "")
       import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
       withShufflePartitions(s, 4) {
@@ -1148,7 +1173,10 @@ object SparkEntry {
         val ev = events(s, d)
           .select(col("event_id"), col("ts").as("us"),
             col("user_id"), col("event_type"))
-        val srcDir = streamSourceDir(ev, 4, idCol = "event_id")
+        // split by TIME so the files really are ts-ordered (ids and
+        // times need not correlate; late-arriving rows would silently
+        // drop against the watermark otherwise)
+        val srcDir = streamSourceDir(ev, 4, idCol = "us")
         val sch = StructType(Seq(StructField("event_id", LongType),
           StructField("us", LongType), StructField("user_id", LongType),
           StructField("event_type", StringType)))
