@@ -121,10 +121,16 @@ object Bench {
       if (!new java.io.File(sf1Dir).isDirectory ||
           sys.env.get("GRAFT_BENCH_SF1").contains("0")) ""
       else {
+        // the streaming entries + SPJ ride along because their sf1
+        // failure mode is SILENT OUTPUT LOSS, not slowness (the
+        // late-data bug class): sf1_rows below records each entry's
+        // emitted row count so a coverage regression shows up as a
+        // count diff between rounds, which timing alone cannot catch
         val sensitive = Seq("dedup_exact", "dedup_minhash_lsh",
           "dedup_minhash_incr", "dedup_simhash", "dedup_components",
           "ann_ivf_topk", "ann_ivfpq_topk", "ann_ivf_incr",
-          "embed_neardup", "text_bpe_train", "text_heavyhitters")
+          "embed_neardup", "text_bpe_train", "text_heavyhitters",
+          "stream_sessionize", "stream_join", "cdc_spj_join")
         val r1 = sensitive.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
           .map { case (name, fn) =>
             val t0 = System.nanoTime()
@@ -137,7 +143,7 @@ object Bench {
             val sec = (System.nanoTime() - t0) / 1e9
             System.err.println(f"[bench] sf1:$name%-18s $sec%8.2fs  ($n rows)")
             spark.catalog.clearCache()
-            name -> sec
+            (name, sec, n)
           }
         val ing1 =
           try ingest1m(spark, sf1Dir)
@@ -146,9 +152,12 @@ object Bench {
             -1.0
           }
         System.err.println(f"[bench] sf1:ingest_1m_events $ing1%8.2fs")
-        (r1 :+ ("ingest_1m_events_sec" -> ing1))
+        val secs = (r1.map(t => t._1 -> t._2) :+ ("ingest_1m_events_sec" -> ing1))
           .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
           .mkString(""","sf1":{""", ",", "}")
+        val rows = r1.map { case (k, _, n) => "\"" + k + "\":" + n }
+          .mkString(""","sf1_rows":{""", ",", "}")
+        secs + rows
       }
     val total = results.map(_._2).sum
     val line =
