@@ -65,7 +65,12 @@ object SparkEntry {
       .filter(_.getName.startsWith("part-")).sortBy(_.getName)
     val base = System.currentTimeMillis() - 3600 * 1000
     parts.zipWithIndex.foreach { case (f, i) =>
-      f.setLastModified(base + i * 60000L) }
+      // the file source replays in MTIME order — the event-time stream
+      // entries' correctness rides on this stamp, so a filesystem that
+      // silently ignores setLastModified must fail loudly, not regress
+      // into nondeterministic late-data drops
+      require(f.setLastModified(base + i * 60000L),
+        s"cannot stamp mtime on $f: arrival order would be undefined") }
     dir
   }
 
@@ -1030,7 +1035,8 @@ object SparkEntry {
           .filter(_.getName.startsWith("part-")).head
         val dst = new java.io.File(feed, s"sentinel-$i.parquet")
         java.nio.file.Files.move(part.toPath, dst.toPath)
-        dst.setLastModified(System.currentTimeMillis() + i * 60000L)
+        require(dst.setLastModified(System.currentTimeMillis() + i * 60000L),
+          s"cannot stamp mtime on $dst: sentinel order would be undefined")
       }
       val qn = "ssw_" + java.util.UUID.randomUUID().toString.replace("-", "")
       import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}

@@ -441,10 +441,15 @@ private[sources] class GraftScan(root: String, manifest: Manifest,
   // UnknownPartitioning, never to a wrong answer.
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    // cheap gates FIRST: the common unbucketed scan must not pay the
+    // manifest-pruning pass (survivors) just to return Unknown —
+    // planning stays metadata-cheap at 100-TB manifest sizes
+    if (manifest.bucketN <= 0 || manifest.keyCols.isEmpty ||
+        !manifest.keyCols.forall(required.fieldNames.contains))
+      return new org.apache.spark.sql.connector.read.partitioning
+        .UnknownPartitioning(0)
     val sv = survivors
-    if (manifest.bucketN > 0 && manifest.keyCols.nonEmpty && sv.nonEmpty &&
-        sv.forall(_.bucket >= 0L) &&
-        manifest.keyCols.forall(required.fieldNames.contains))
+    if (sv.nonEmpty && sv.forall(_.bucket >= 0L))
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
         Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(
           manifest.bucketN.toInt, manifest.keyCols: _*)),

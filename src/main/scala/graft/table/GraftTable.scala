@@ -1806,7 +1806,9 @@ final class GraftTable private (
     def heavilyDeleted(e: DataFileEntry) =
       e.deletes > 0 && e.deletes.toDouble >= e.rows * config.compactDeleteRatio
     def small(e: DataFileEntry) = e.rows < config.compactSmallFileRows
-    val shouldRun = force || all.exists(heavilyDeleted) ||
+    // an explicitly requested bucketed layout must never silently
+    // no-op on a healthy file set
+    val shouldRun = force || bucketBy.isDefined || all.exists(heavilyDeleted) ||
       all.count(small) >= config.compactFileCountThreshold
     if (!shouldRun) return false
     // a bucketed rewrite must cover EVERY live file: bucket ids are
