@@ -178,6 +178,30 @@ object Demo {
       s"log reads $deltaRows rows via spec parsers; point probe {$probed} " +
       "through the bucketed key index")
 
+    // 13. storage-partitioned join: bucket-compact kv and a second
+    // co-keyed table onto the same layout, then join them through the
+    // SQL catalog with zero exchanges (the DSv2 co-located join)
+    spark.sql("CREATE TABLE demo.graft.kw (id BIGINT, w BIGINT) " +
+      "TBLPROPERTIES ('keys'='id')")
+    val kw = GraftTable.open(spark, s"$wh/kw", Identity.Keys(Seq("id")))
+    kw.upsertAll(Seq(Row(1L, 7L), Row(4L, 9L)), startLsn = 1)
+    kw.flush(); kw.publish()
+    spark.sql("CALL demo.system.optimize(db => 'graft', tbl => 'kv', " +
+      "bucket_by => 4)")
+    spark.sql("CALL demo.system.optimize(db => 'graft', tbl => 'kw', " +
+      "bucket_by => 4)")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val spj = spark.sql("SELECT a.id, a.v, b.w FROM demo.graft.kv a " +
+      "JOIN demo.graft.kw b ON a.id = b.id ORDER BY a.id")
+    val spjRows = spj.collect().map(r =>
+      s"${r.getLong(0)}->(${r.getLong(1)},${r.getLong(2)})").mkString(", ")
+    val nExchanges = "Exchange hashpartitioning".r
+      .findAllIn(spj.queryExecution.executedPlan.toString()).size
+    println(s"[13] storage-partitioned join: {$spjRows} with " +
+      s"$nExchanges hash exchanges (co-bucketed layout, bucket_by=4)")
+
     graft.format.Fio.delete(wh)
     spark.stop()
   }
