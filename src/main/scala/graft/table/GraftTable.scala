@@ -2418,10 +2418,18 @@ final class GraftTable private (
    *  O(manifest) driver work at any table size, like restore. */
   def truncate(): Long = synchronized {
     require(xacts.isEmpty, "open streaming transactions; commit or abort first")
+    val maxBuffered = maxLiveLsn
     clearLiveState()
-    commitLsnVar = math.max(commitLsnVar, 0L) + 1
+    // the truncate commit outranks EVERY event the WAL may still hold
+    // (buffered-but-unflushed rows can carry caller-supplied LSNs above
+    // the old commit), so a crash between the publish and the WAL
+    // delete below cannot resurrect them through replay — the replay
+    // gate skips lsn <= flushLsn
+    commitLsnVar = math.max(maxBuffered, 0L) + 1
     flushLsnVar = commitLsnVar
-    publish()
+    val v = publish()
+    Fio.delete(Wal.walDir(root))
+    v
   }
 
   /** INSERT OVERWRITE: replace the whole table content with the staged
@@ -2430,20 +2438,35 @@ final class GraftTable private (
    *  the adopt half can never be observed separately). */
   def overwriteFiles(files: Seq[String], lsn: Long): Unit = synchronized {
     require(xacts.isEmpty, "open streaming transactions; commit or abort first")
+    val maxBuffered = maxLiveLsn
     clearLiveState()
+    // see truncate(): the commit watermarks must outrank any stale WAL
+    // event so the post-publish WAL delete is safe to lose to a crash
+    commitLsnVar = math.max(commitLsnVar, maxBuffered)
+    flushLsnVar = math.max(flushLsnVar, maxBuffered)
     loadFiles(files, lsn) // publishes truncate + adopt as one version
+    Fio.delete(Wal.walDir(root))
   }
 
+  /** Highest LSN observable anywhere in live state — committed or
+   *  buffered (tail rows carry caller-supplied LSNs that may exceed the
+   *  commit watermark before their Commit arrives). */
+  private def maxLiveLsn: Long =
+    (Seq(commitLsnVar, flushLsnVar) ++ tail.map(_.lsn) ++
+      pendingDeletes.map(_._2)).max
+
+  /** Clears in-memory + manifest-derived live state WITHOUT touching
+   *  durable artifacts: the caller publishes the cleared state first
+   *  and only then deletes the WAL, so a crash at any instant leaves
+   *  either the old table (manifest unchanged, WAL intact) or the new
+   *  one (stale WAL events outranked by the bumped watermarks) —
+   *  never a torn middle. */
   private def clearLiveState(): Unit = {
     tail.clear(); tailIndex.clear()
     pendingDeletes.clear(); newDvPairs.clear()
     fileEntries.clear(); dvFiles.clear(); indexFiles.clear()
     dvMap.clear(); dvBroadcast = scala.None
     bucketNVar = 0L
-    // buffered rows are gone by definition of truncate: a WAL replay
-    // must not resurrect them (unconditional — another handle on this
-    // root may run with WAL enabled even when this one does not)
-    Fio.delete(Wal.walDir(root))
   }
 
   def loadFiles(files: Seq[String], lsn: Long): Unit = synchronized {

@@ -88,6 +88,51 @@ class SqlWriteSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((5L, 50L)))
   }
 
+  test("torn truncate is atomic across the WAL: old state or new, never a middle") {
+    val wh = Files.createTempDirectory("graft-torn").toString
+    val cfg = TableConfig(memSliceSize = 4096, walEnabled = true)
+    val t = GraftTable.create(spark, s"$wh/t",
+      SchemaDsl.struct("id" -> "int64", "v" -> "int64"),
+      Identity.Keys(Seq("id")), cfg)
+    t.upsertAll(Seq(Row(1L, 10L), Row(2L, 20L), Row(3L, 30L)), startLsn = 1)
+    t.flush(); t.publish()
+    // committed-but-UNFLUSHED row: durable only in the WAL, and at a
+    // caller LSN far above the commit watermark — the resurrection bait
+    t.upsertAll(Seq(Row(99L, 990L)), startLsn = 100)
+
+    final class OpFault(op: String, substr: String)
+        extends graft.format.FioFaults {
+      @volatile var armed = false
+      override def beforeOp(o: String, path: String): Unit =
+        if (armed && o == op && path.contains(substr))
+          throw new java.io.IOException(s"injected fault: $o $path")
+    }
+
+    // crash BEFORE the manifest commit: the truncate must not be
+    // observable at all — reopen recovers the full pre-truncate state
+    // INCLUDING the WAL-only row
+    val f1 = new OpFault("commit-rename", "manifest")
+    graft.format.Fio.faults = f1
+    try {
+      f1.armed = true
+      intercept[Exception] { t.truncate() }
+      f1.armed = false
+      val t2 = GraftTable.open(spark, s"$wh/t", Identity.Keys(Seq("id")), cfg)
+      assert(t2.read(scala.None).count() == 4,
+        "torn truncate lost the WAL-durable row")
+      // crash AFTER the manifest commit, BEFORE the WAL delete: the
+      // truncate is durable and the stale WAL must NOT resurrect rows
+      val f2 = new OpFault("delete", "wal")
+      graft.format.Fio.faults = f2
+      f2.armed = true
+      intercept[Exception] { t2.truncate() }
+      f2.armed = false
+      val t3 = GraftTable.open(spark, s"$wh/t", Identity.Keys(Seq("id")), cfg)
+      assert(t3.read(scala.None).count() == 0,
+        "stale WAL resurrected rows after a committed truncate")
+    } finally graft.format.Fio.faults = null
+  }
+
   test("TRUNCATE works on keyed tables and clears their index") {
     val (cname, wh) = freshCatalog()
     val cat = GraftCatalog(spark, wh)
