@@ -172,6 +172,42 @@ class SpjSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("SPJ survives one-sided bucket pruning: partition values pad, zero exchanges") {
+    // a selective IN-list on side A's key prunes its scan to a SUBSET
+    // of buckets (through the index point-lookup path), while side B
+    // plans all of them — the partition-value mismatch Spark resolves
+    // by padding (pushPartValues). The join must stay shuffle-free AND
+    // exact. This is the realistic 100-TB shape: selective queries
+    // over co-bucketed tables prune asymmetrically.
+    val (cname, wh) = freshCatalog()
+    val cat = GraftCatalog(spark, wh)
+    val sa = SchemaDsl.struct("id" -> "int64", "a" -> "int64")
+    val sb = SchemaDsl.struct("id" -> "int64", "b" -> "int64")
+    val ta = cat.createTable("pa", sa, Identity.Keys(Seq("id")))
+    val tb = cat.createTable("pb", sb, Identity.Keys(Seq("id")))
+    ta.upsertAll((1L to 200L).map(i => Row(i, i * 2)), startLsn = 1)
+    ta.flush(); ta.publish()
+    tb.upsertAll((1L to 200L).map(i => Row(i, i * 5)), startLsn = 1)
+    tb.flush(); tb.publish()
+    ta.optimize(bucketBy = Some(8))
+    tb.optimize(bucketBy = Some(8))
+    withConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = spark.sql(
+        s"""SELECT x.id, x.a, y.b
+           |FROM $cname.graft.pa x JOIN $cname.graft.pb y ON x.id = y.id
+           |WHERE x.id IN (7, 8, 9)""".stripMargin)
+      val rows = df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      assert(rows.toSeq == Seq((7L, 14L, 35L), (8L, 16L, 40L), (9L, 18L, 45L)))
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"pruned SPJ fell back to a shuffle:\n$plan")
+    }
+  }
+
   test("CALL system.optimize(bucket_by) buckets through the SQL surface") {
     val (cname, wh) = freshCatalog()
     val cat = GraftCatalog(spark, wh)
