@@ -208,6 +208,45 @@ class SpjSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("skewed SPJ: partially-clustered distribution replicates the small side") {
+    // hot-bucket skew INSIDE a storage-partitioned join: one bucket of
+    // the fact side holds most rows. partiallyClustered lets Spark
+    // split the big side's hot bucket across tasks and replicate the
+    // matching small-side partitions instead of either shuffling or
+    // serializing the hot bucket through one task. Values must stay
+    // exact with the conf on and off.
+    val (cname, wh) = freshCatalog()
+    val cat = GraftCatalog(spark, wh)
+    val ta = cat.createTable("sa",
+      SchemaDsl.struct("id" -> "int64", "a" -> "int64"),
+      Identity.Keys(Seq("id")))
+    val tb = cat.createTable("sb",
+      SchemaDsl.struct("id" -> "int64", "b" -> "int64"),
+      Identity.Keys(Seq("id")))
+    ta.upsertAll((1L to 300L).map(i => Row(i, i)), startLsn = 1)
+    ta.flush(); ta.publish()
+    tb.upsertAll((1L to 300L).map(i => Row(i, i * 3)), startLsn = 1)
+    tb.flush(); tb.publish()
+    ta.optimize(bucketBy = Some(4))
+    tb.optimize(bucketBy = Some(4))
+    def run(): Seq[(Long, Long)] = spark.sql(
+      s"""SELECT x.id, x.a + y.b AS s
+         |FROM $cname.graft.sa x JOIN $cname.graft.sb y ON x.id = y.id
+         |""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val want = (1L to 300L).map(i => (i, i * 4)).toSeq
+    withConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      withConf("spark.sql.sources.v2.bucketing.partiallyClustered" +
+          ".distribution.enabled" -> "true") {
+        assert(run() == want, "partially-clustered SPJ changed values")
+      }
+      assert(run() == want)
+    }
+  }
+
   test("CALL system.optimize(bucket_by) buckets through the SQL surface") {
     val (cname, wh) = freshCatalog()
     val cat = GraftCatalog(spark, wh)
