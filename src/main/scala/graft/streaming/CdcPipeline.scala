@@ -128,6 +128,7 @@ object CdcPipeline {
       else batch.withColumn("_xact", lit(null).cast("long"))
     if (!b.columns.contains("_ddl"))
       b = b.withColumn("_ddl", lit(null).cast("string"))
+    val t0 = if (sys.env.get("GRAFT_PROF").contains("1")) System.nanoTime() else 0L
     val s = b.agg(
       max(col("_lsn")),
       sum(when(col("_xact").isNotNull, 1L).otherwise(0L)),
@@ -136,6 +137,8 @@ object CdcPipeline {
         "c", "commit"), 1L).otherwise(0L)),
       max(when(col("_op").isin("c", "commit"), col("_lsn"))),
       count(lit(1))).head()
+    if (t0 != 0L) println(
+      f"[graft-prof] batch pre-agg            ${(System.nanoTime() - t0) / 1e9}%.3f s")
     if (s.isNullAt(0)) return table.commitLsn // empty batch
     val maxLsn = s.getLong(0)
     val hasXact = s.getLong(1) > 0

@@ -408,7 +408,7 @@ final class GraftTable private (
    */
   def applyBatchDF(events: DataFrame, maxLsn: Long,
       hasDeletes: Boolean, estRows: Long = -1L): Long = synchronized {
-    flush() // drain any driver-path tail so file order stays LSN-ordered
+    prof("entry flush")(flush()) // drain any driver-path tail so file order stays LSN-ordered
     val dataCols = schemaVar.fieldNames.toSeq
     val est = if (estRows >= 0L) estRows else events.count()
     Metrics.counter("graft.rows_ingested", root, est)
@@ -480,16 +480,22 @@ final class GraftTable private (
       val foldP = math.max(nOut, math.min(
         spark.sparkContext.defaultParallelism.toLong,
         (est + 32767) / 32768).toInt)
-      val tagged = events
+      // the survivor half needs only `lead`; `_minApp`/`_fall` (the
+      // fall-through-delete detector) is added ONLY on the slow path so
+      // the first-batch fast fold below runs one window function, not
+      // two (the running-min pass over every fold partition is pure
+      // waste when an empty pre-batch index proves no fall-through)
+      val taggedSurv = events
         .where(col("_op").isin("i", "insert", "u", "upsert", "d", "delete"))
         .select(opN.as("_op") +:
           col("_lsn").cast("long").as("_lsn") +: dataCols.map(col): _*)
         .repartition(foldP, keyColNames.map(col): _*)
         .withColumn("_nextOp", lead(col("_op"), 1).over(wOrd))
-        .withColumn("_minApp",
-          min(when(col("_op") =!= "d", col("_lsn"))).over(wRun))
         .withColumn("_surv", col("_op") =!= "d" &&
           (col("_nextOp").isNull || col("_nextOp") === "i"))
+      lazy val tagged = taggedSurv
+        .withColumn("_minApp",
+          min(when(col("_op") =!= "d", col("_lsn"))).over(wRun))
         .withColumn("_fall",
           (col("_op") === "d" && col("_minApp").isNull) ||
           (col("_op") === "u" && col("_minApp") === col("_lsn")))
@@ -503,7 +509,7 @@ final class GraftTable private (
       // kills earlier append, deletes kill in-batch appends) still run
       // through the same windows.
       if (indexFiles.isEmpty) {
-        val survivors0 = tagged.where(col("_surv"))
+        val survivors0 = taggedSurv.where(col("_surv"))
           .select(dataCols.map(col) :+ col("_lsn"): _*)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
@@ -520,10 +526,10 @@ final class GraftTable private (
           // stats fuse into writeBatchFiles' key-index pass (keyed table)
           prof("writeBatchFiles(fast)")(writeBatchFiles(survivors, maxLsn))
         } finally survivors0.unpersist()
-        maybeMergeIndexes()
+        prof("maybeMergeIndexes")(maybeMergeIndexes())
         commitLsnVar = math.max(commitLsnVar, maxLsn)
         flushLsnVar = math.max(flushLsnVar, maxLsn)
-        publish()
+        prof("publish")(publish())
         return commitLsnVar
       }
       // collapse to the FOLD OUTPUT before caching: survivors + fall-
