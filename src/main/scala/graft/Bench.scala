@@ -97,19 +97,36 @@ object Bench {
     // dev seam: GRAFT_BENCH_ONLY=q1,q2 runs a subset (absent in driver runs)
     val only = sys.env.get("GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // streaming/HTTP entries pay a per-run trigger floor plus listener
+    // and state-store setup whose idle variance (±1-2 s) swamps real
+    // round-over-round deltas; running them TWICE and recording the
+    // second (warm) pass makes their numbers reproducible within ±10%
+    // (VERDICT r11 #8) — the warm pass still pays every trigger, it
+    // just doesn't pay one-time socket/state-dir initialization
+    def warmTwice(name: String): Boolean =
+      name.startsWith("stream_") || name.startsWith("rest_") ||
+      name.startsWith("cdc_stream")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val n =
-        try fn(spark, sfDir).count()
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            -1L
-        }
-      val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-22s $sec%8.2fs  ($n rows)")
+      def once(): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val n =
+          try fn(spark, sfDir).count()
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              -1L
+          }
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val first = once()
+      val (sec, n) =
+        if (first._2 >= 0 && warmTwice(name)) { spark.catalog.clearCache(); once() }
+        else first
+      if (warmTwice(name)) System.err.println(
+        f"[bench] $name%-22s $sec%8.2fs  ($n rows; cold ${first._1}%.2fs)")
+      else System.err.println(f"[bench] $name%-22s $sec%8.2fs  ($n rows)")
       // run-context hygiene: entries persist()/cache() within their own
       // scope; anything an entry leaked must not tax LATER entries (a
       // 143-entry sf1 run measured a late entry at 15x its standalone
