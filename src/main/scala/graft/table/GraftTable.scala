@@ -428,13 +428,21 @@ final class GraftTable private (
       val cores = spark.sparkContext.defaultParallelism.toLong
       math.min(notSmall, math.max(sized, cores)).toInt
     }
+    // a bucketed layout (optimize(bucketBy)) is maintained by EVERY
+    // subsequent distributed write: the batch routes through the bucket
+    // partitioner instead of a narrow pack, so the scan keeps reporting
+    // KeyGroupedPartitioning under continuous CDC
+    val bucketRoute = bucketNVar > 0 && keyCols.nonEmpty
     if (!hasDeletes) {
-      val survivors = events
+      val survivors0 = events
         .where(col("_op").isin("i", "insert", "u", "upsert"))
         .select(dataCols.map(col) :+ col("_lsn").cast("long").as("_lsn"): _*)
-        .coalesce(nOut) // merge-only, keeps the path shuffle-free
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try prof("writeBatchFiles(ins)")(writeBatchFiles(survivors, maxLsn))
+      val survivors =
+        (if (bucketRoute) routeToBuckets(survivors0, bucketNVar.toInt)
+         else survivors0.coalesce(nOut)) // merge-only, keeps the path shuffle-free
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try prof("writeBatchFiles(ins)")(
+        writeBatchFiles(survivors, maxLsn, bucketed = bucketRoute))
       finally survivors.unpersist()
     } else {
       require(identity != Identity.None,
@@ -509,12 +517,15 @@ final class GraftTable private (
       // kills earlier append, deletes kill in-batch appends) still run
       // through the same windows.
       if (indexFiles.isEmpty) {
-        val survivors0 = taggedSurv.where(col("_surv"))
+        val surv0View = taggedSurv.where(col("_surv"))
           .select(dataCols.map(col) :+ col("_lsn"): _*)
+        val survivors0 =
+          (if (bucketRoute) routeToBuckets(surv0View, bucketNVar.toInt)
+           else surv0View)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           val survivors =
-            if (foldP == nOut) survivors0
+            if (bucketRoute || foldP == nOut) survivors0
             else {
               // materialize the cache at FOLD width before the narrow
               // coalesce — otherwise the first action (the data write)
@@ -524,7 +535,8 @@ final class GraftTable private (
               survivors0.coalesce(nOut)
             }
           // stats fuse into writeBatchFiles' key-index pass (keyed table)
-          prof("writeBatchFiles(fast)")(writeBatchFiles(survivors, maxLsn))
+          prof("writeBatchFiles(fast)")(
+            writeBatchFiles(survivors, maxLsn, bucketed = bucketRoute))
         } finally survivors0.unpersist()
         prof("maybeMergeIndexes")(maybeMergeIndexes())
         commitLsnVar = math.max(commitLsnVar, maxLsn)
@@ -563,11 +575,18 @@ final class GraftTable private (
         // per-partition stats are only partition-aligned when no
         // packing happened; otherwise writeBatchFiles runs its own
         // narrow stats pass over the packed frame.
-        val aligned = foldP == nOut
+        val aligned = !bucketRoute && foldP == nOut
         val survivors = {
           val s0 = folded.where(col("_tag") === "a")
             .select(dataCols.map(col) :+ col("_lsn"): _*)
-          if (aligned) s0 else s0.coalesce(nOut)
+          if (bucketRoute)
+            // persisted: the route is a shuffle, and the two concurrent
+            // writeBatchFiles jobs must observe ONE row order per
+            // partition (reduce-side fetch order is not deterministic
+            // across jobs on a cluster; the cache pins it)
+            routeToBuckets(s0, bucketNVar.toInt)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          else if (aligned) s0 else s0.coalesce(nOut)
         }
         val statFields = schemaVar.fields.zipWithIndex
           .filter { case (f, _) => statsComparable(f.dataType) }.toSeq
@@ -591,7 +610,8 @@ final class GraftTable private (
             collectFoldOutputs(folded, statFields, keyPos))
           prof("writeBatchFiles(del)")(
             writeBatchFiles(survivors, maxLsn,
-              if (aligned) Some(partStats) else scala.None))
+              if (aligned) Some(partStats) else scala.None,
+              bucketed = bucketRoute))
           dels.foreach { case (k, lsn) => pendingDeletes += ((k, lsn)) }
         } else {
           // scale path (purge-style batches): delete keys NEVER
@@ -601,11 +621,13 @@ final class GraftTable private (
           // bucket hash map the same LSN-exact way,
           // `persisted_bucket_hash_map.rs:276`)
           prof("writeBatchFiles(del)")(
-            writeBatchFiles(survivors, maxLsn, fusedStats()))
+            writeBatchFiles(survivors, maxLsn, fusedStats(),
+              bucketed = bucketRoute))
           prof("resolveDeletesDistributed")(resolveDeletesDistributed(
             folded.where(col("_tag") =!= "a")
               .select(keyColNames.map(col) :+ col("_lsn").as("_dlsn"): _*)))
         }
+        if (bucketRoute) survivors.unpersist()
       } finally folded.unpersist()
     }
     maybeMergeIndexes()
@@ -615,6 +637,25 @@ final class GraftTable private (
     commitLsnVar
   }
 
+  /** Route a batch frame onto the table's bucketed layout: one ordinary
+   *  `repartition(n, proxy)` whose proxy longs make partition index ==
+   *  storage bucket id (see `bucketProxies`), so the per-partition
+   *  parquet write emits single-bucket files and ongoing distributed
+   *  ingest KEEPS storage-partitioned joins alive after an
+   *  `optimize(bucketBy = n)`. Key columns are never remapped, so the
+   *  logical-name hash matches the physical `bucketExpr`. Costs the
+   *  batch one extra exchange — the price of maintaining the layout,
+   *  paid where the reference pays it too (hash-bucketed index files,
+   *  `persisted_bucket_hash_map.rs`). */
+  private def routeToBuckets(df: DataFrame, n: Int): DataFrame = {
+    val proxies = bucketProxies(n)
+    val bexpr = pmod(xxhash64(keyCols.map(col): _*), lit(n.toLong))
+    df.withColumn("_gb",
+        element_at(typedlit(proxies), (bexpr + 1L).cast("int")))
+      .repartition(n, col("_gb"))
+      .drop("_gb")
+  }
+
   /** Write a distributed survivors frame (data columns + `_lsn`) as
    *  data files and register the key index + per-file stats WITHOUT
    *  re-reading what was just written: part-file numbers correspond 1:1
@@ -622,10 +663,12 @@ final class GraftTable private (
    *  and the stats derive from cheap passes over the caller-persisted
    *  frame — the cluster-side analogue of `writeRowChunks` +
    *  `writeIndexFromRows` (the reference builds its file index while
-   *  writing for the same reason, `disk_slice.rs`). */
+   *  writing for the same reason, `disk_slice.rs`). With `bucketed` the
+   *  caller routed the frame through `routeToBuckets`, so partition id
+   *  IS the storage bucket id and each new file records it. */
   private def writeBatchFiles(survivors: DataFrame, maxLsn: Long,
       precomputedStats: Option[Map[Int, (Long, Map[String, Seq[String]])]]
-        = scala.None): Unit = {
+        = scala.None, bucketed: Boolean = false): Unit = {
     val tmp = s"$root/tmp/${UUID.randomUUID()}"
     val out = if (!hasColumnMapping) survivors
       else survivors.select(schemaVar.fields.toSeq.map(f =>
@@ -760,7 +803,8 @@ final class GraftTable private (
       partStats.get(pid).filter(_._1 > 0L) match {
         case Some((rows, stats)) =>
           fileEntries(n) = DataFileEntry(n, rows,
-            Fio.sizeOf(s"$root/data/$n"), maxLsn, 0L, stats)
+            Fio.sizeOf(s"$root/data/$n"), maxLsn, 0L, stats,
+            bucket = if (bucketed) pid.toLong else -1L)
         case scala.None => Fio.delete(s"$root/data/$n")
       }
     }
@@ -869,14 +913,14 @@ final class GraftTable private (
     if (rows.isEmpty) return
     val stagedDir = s"$root/staged/xact-$xid"
     Fio.mkdirs(stagedDir)
-    val entries = writeRowChunks(rows, stagedDir, maxLsn = -1L)
+    val chunks = chunkRowsForWrite(rows, rows.map(_ => -1L))
+    val entries = writeRowChunks(chunks, stagedDir, maxLsn = -1L)
     x.stagedFiles ++= entries
     if (identity != Identity.None)
       // staged rows get _lsn = -1: they become visible at the commit
       // LSN, and any delete that may target them (the xact's own
       // deferred deletes, or later events) carries a real LSN > -1
-      x.stagedIndexFiles += writeIndexFromRows(rows,
-        rows.map(_ => -1L), entries, stagedDir)
+      x.stagedIndexFiles += writeIndexFromRows(chunks, entries, stagedDir)
   }
 
   private def commitXact(xid: Long, lsn: Long): Unit = {
@@ -933,8 +977,9 @@ final class GraftTable private (
     if (flushable.nonEmpty) {
       val maxLsn = flushable.map(_.lsn).max
       Fio.mkdirs(s"$root/data")
-      val rows = flushable.map(_.row).toSeq
-      val entries = writeRowChunks(rows, s"$root/data", maxLsn)
+      val chunks = chunkRowsForWrite(
+        flushable.map(_.row).toSeq, flushable.map(_.lsn).toSeq)
+      val entries = writeRowChunks(chunks, s"$root/data", maxLsn)
       entries.foreach(e => fileEntries(e.path) = e)
       if (identity != Identity.None) {
         Fio.mkdirs(s"$root/index")
@@ -942,8 +987,7 @@ final class GraftTable private (
         // index is built directly, no read-back scan; per-row LSNs make
         // delete resolution LSN-exact (a delete only targets rows that
         // existed strictly before it)
-        indexFiles += writeIndexFromRows(rows, flushable.map(_.lsn).toSeq,
-          entries, s"$root/index")
+        indexFiles += writeIndexFromRows(chunks, entries, s"$root/index")
         maybeMergeIndexes()
       }
       // a committed row with a pending (uncommitted) delete was just
@@ -958,21 +1002,75 @@ final class GraftTable private (
     stackRetain(tailIndex)(tr => tr.lsn > commitLsnVar)
   }}
 
-  /** Write rows as one or more single-task parquet files with stable row
+  /** Per-bucket proxy longs for routing a bucketed write through an
+   *  ordinary `repartition(n, col)`: `repartition` sends a row to
+   *  partition pmod(murmur3(e), n) — NOT to the value of e — so feeding
+   *  it a proxy long with murmur3(proxy) % n == bucket makes partition
+   *  index == bucket id and the whole pass stays codegen'd (no RDD
+   *  partitioner detour). Proxy search is O(n) driver arithmetic. */
+  private def bucketProxies(n: Int): Seq[Long] = (0 until n).map { bkt =>
+    Iterator.from(0).map(_.toLong).find(v => java.lang.Math.floorMod(
+      org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(v, 42)
+        .toLong, n.toLong) == bkt.toLong).get
+  }
+
+  /** Driver-side evaluator of the storage bucket function —
+   *  pmod(xxhash64(key cols), n) — through the SAME Catalyst expression
+   *  the DataFrame-side `bucketExpr` compiles to (`XxHash64`, seed 42,
+   *  over the key columns' actual types), so a driver-flushed row lands
+   *  in exactly the bucket the scan's KeyGroupedPartitioning reports.
+   *  Key columns are never remapped, so logical positions are exact. */
+  private def rowBucketEval(n: Long): Row => Long = {
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, XxHash64}
+    val kIdxs = keyCols.map(schemaVar.fieldIndex)
+    val fields = kIdxs.map(schemaVar.fields(_))
+    val refs = fields.zipWithIndex.map { case (f, j) =>
+      BoundReference(j, f.dataType, f.nullable)
+        : org.apache.spark.sql.catalyst.expressions.Expression }
+    val hash = XxHash64(refs, 42L)
+    val convs = fields.map(f => org.apache.spark.sql.catalyst
+      .CatalystTypeConverters.createToCatalystConverter(f.dataType))
+    (r: Row) => {
+      val ir = org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+        kIdxs.indices.map(j => convs(j)(r.get(kIdxs(j)))))
+      java.lang.Math.floorMod(hash.eval(ir).asInstanceOf[Long], n)
+    }
+  }
+
+  /** Deterministic chunking for driver-path writes: when the table
+   *  carries a bucketed layout (`bucketN > 0`, set by
+   *  `optimize(bucketBy)`), rows group by storage bucket — each chunk
+   *  single-bucket, original row order preserved within a bucket — so
+   *  ongoing flushes KEEP the layout (and storage-partitioned joins)
+   *  alive instead of degrading the scan to UnknownPartitioning until
+   *  the next full rewrite. Unbucketed tables keep plain rowsPerFile
+   *  runs. Returns (rows+lsns chunk, bucket id or -1). */
+  private def chunkRowsForWrite(rows: Seq[Row], lsns: Seq[Long])
+      : Seq[(Seq[(Row, Long)], Long)] = {
+    val paired = rows.zip(lsns)
+    if (bucketNVar > 0 && keyCols.nonEmpty) {
+      val be = rowBucketEval(bucketNVar)
+      paired.groupBy(p => be(p._1)).toSeq.sortBy(_._1).flatMap {
+        case (b, g) => g.grouped(config.rowsPerFile).map(c => (c, b)) }
+    } else paired.grouped(config.rowsPerFile).map(c => (c, -1L)).toSeq
+  }
+
+  /** Write pre-chunked rows as single-task parquet files with stable row
    *  order — positions are the file row order, the invariant DVs depend
    *  on (the reference owns its writer for the same reason,
    *  `disk_slice.rs`). Bounded by the mem-slice size. */
-  private def writeRowChunks(rows: Seq[Row], destDir: String,
-      maxLsn: Long): Seq[DataFileEntry] = {
-    rows.grouped(config.rowsPerFile).map { chunk =>
+  private def writeRowChunks(chunks: Seq[(Seq[(Row, Long)], Long)],
+      destDir: String, maxLsn: Long): Seq[DataFileEntry] = {
+    chunks.map { case (chunk, bkt) =>
+      val chunkRows = chunk.map(_._1)
       val name = f"data-${newId()}%09d.parquet"
       val tmp = s"$root/tmp/${UUID.randomUUID()}"
-      spark.createDataFrame(chunk.asJava, physicalSchema)
+      spark.createDataFrame(chunkRows.asJava, physicalSchema)
         .coalesce(1).write.mode("overwrite").parquet(tmp)
       movePartFile(tmp, s"$destDir/$name")
       DataFileEntry(name, chunk.size.toLong, Fio.sizeOf(s"$destDir/$name"),
-        maxLsn, 0L, columnStats(chunk))
-    }.toSeq
+        maxLsn, 0L, columnStats(chunkRows), bucket = bkt)
+    }
   }
 
   private def movePartFile(tmpDir: String, dest: String): Unit = {
@@ -998,15 +1096,15 @@ final class GraftTable private (
 
   /** Fast-path index writer for rows the driver already holds in write
    *  order: the key index (key cols, _file, _pos, _lsn) is derived from
-   *  the chunking that writeRowChunks just performed — no read-back
-   *  job. `_lsn` is each row's append LSN. */
-  private def writeIndexFromRows(rows: Seq[Row], lsns: Seq[Long],
+   *  the SAME chunks writeRowChunks just wrote — no read-back job.
+   *  `_lsn` is each row's append LSN. */
+  private def writeIndexFromRows(chunks: Seq[(Seq[(Row, Long)], Long)],
       entries: Seq[DataFileEntry], indexDir: String): IndexFileEntry = {
     val name = f"idx-${newId()}%09d.parquet"
     val kf = keyFields
     val kIdx = kf.map(f => schemaVar.fieldIndex(f.name))
-    val idxRows = rows.zip(lsns).grouped(config.rowsPerFile).zip(entries.iterator)
-      .flatMap { case (chunk, e) =>
+    val idxRows = chunks.iterator.zip(entries.iterator)
+      .flatMap { case ((chunk, _), e) =>
         chunk.iterator.zipWithIndex.map { case ((r, lsn), pos) =>
           Row.fromSeq(kIdx.map(r.get) :+ e.path :+ pos.toLong :+ lsn)
         }
@@ -1150,9 +1248,28 @@ final class GraftTable private (
       }
       if (ranged.isEmpty) all
       else {
-        val rangesB = spark.sparkContext.broadcast(ranged)
-        val covering = udf((kh: Long) => rangesB.value.collect {
-          case (i, mn, mx) if kh >= mn && kh <= mx => i })
+        // sorted-range probe: ranges sorted by min hash + a prefix max
+        // of the max hashes; per delete key one binary search finds the
+        // last range whose min covers, and the backward sweep stops as
+        // soon as NO earlier range's max can still cover (generations
+        // overlap, so enumeration is needed — the prefix max bounds it
+        // to O(log n + generations) on the bucketed layouts compaction
+        // produces, instead of a linear scan of every khRange when
+        // index generations grow into the hundreds between merges)
+        val sortedR = ranged.sortBy(_._2)
+        val mns = sortedR.map(_._2).toArray
+        val mxs = sortedR.map(_._3).toArray
+        val ords = sortedR.map(_._1).toArray
+        val pmax = mxs.clone()
+        var j = 1
+        while (j < pmax.length) {
+          pmax(j) = math.max(pmax(j - 1), pmax(j)); j += 1
+        }
+        val rangesB = spark.sparkContext.broadcast((mns, mxs, ords, pmax))
+        val covering = udf((kh: Long) => {
+          val (mn, mx, ord, pm) = rangesB.value
+          GraftTable.coveringOrdinals(kh, mn, mx, ord, pm)
+        })
         val hit = delFrame
           .select(explode(covering(
             xxhash64(keyNames.map(col): _*))).as("i"))
@@ -1817,9 +1934,17 @@ final class GraftTable private (
     val shouldRun = force || bucketBy.isDefined || all.exists(heavilyDeleted) ||
       all.count(small) >= config.compactFileCountThreshold
     if (!shouldRun) return false
-    // a bucketed rewrite must cover EVERY live file: bucket ids are
-    // only meaningful when the whole table shares one bucketN, so the
-    // per-op file cap does not apply
+    // maintenance compaction on an already-bucketed table ESCALATES to a
+    // bucket-routed rewrite (same n): rewritten files stay single-bucket
+    // and the layout — and SPJ — survives routine small-file/DV
+    // maintenance instead of dying with the first merged file. Untouched
+    // files keep their valid bucket ids, so the victim cap still applies.
+    val effBucket = bucketBy.orElse(
+      if (bucketNVar > 0 && clusterBy.isEmpty && !zorder)
+        Some(bucketNVar.toInt)
+      else scala.None)
+    // a FRESH bucketed rewrite must cover EVERY live file: pre-existing
+    // files carry no bucket id, so the per-op file cap does not apply
     val victims =
       if (bucketBy.isDefined) all
       else all.filter(e => heavilyDeleted(e) || small(e) || force)
@@ -1846,7 +1971,7 @@ final class GraftTable private (
     def bucketExpr(n: Int) = pmod(xxhash64(keyCols.map(c =>
       col(SchemaDsl.physicalName(
         schemaVar.fields(schemaVar.fieldIndex(c))))): _*), lit(n.toLong))
-    val shaped = bucketBy match {
+    val shaped = effBucket match {
       case Some(n) =>
         require(keyCols.nonEmpty, "bucketBy needs a keyed table")
         require(clusterBy.isEmpty && !zorder,
@@ -1857,14 +1982,9 @@ final class GraftTable private (
         // partition index == bucket id, so the ordinary per-partition
         // parquet write emits one single-bucket file per non-empty
         // bucket with the whole pass codegen'd (no RDD partitioner
-        // detour). Proxy search is O(n) driver arithmetic.
-        val proxies: Seq[Long] = (0 until n).map { bkt =>
-          Iterator.from(0).map(_.toLong).find(v => java.lang.Math.floorMod(
-            org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(v, 42)
-              .toLong, n.toLong) == bkt.toLong).get
-        }
+        // detour; see `bucketProxies`).
         live.withColumn("_gb",
-            element_at(typedlit(proxies), (bucketExpr(n) + 1L).cast("int")))
+            element_at(typedlit(bucketProxies(n)), (bucketExpr(n) + 1L).cast("int")))
           .repartition(n, col("_gb"))
           .drop("_gb")
       case scala.None =>
@@ -1922,7 +2042,7 @@ final class GraftTable private (
       if (newNames.isEmpty) Map.empty
       else {
         val aggs = count(lit(1)).as("_n") +:
-          (bucketBy.toSeq.flatMap(n =>
+          (effBucket.toSeq.flatMap(n =>
             Seq(min(bucketExpr(n)).as("_bmn"), max(bucketExpr(n)).as("_bmx"))) ++
           statFields.flatMap { f =>
             val p = col(SchemaDsl.physicalName(f))
@@ -1933,7 +2053,7 @@ final class GraftTable private (
           .groupBy(substring_index(col("_metadata.file_path"), "/", -1).as("_f"))
           .agg(aggs.head, aggs.tail: _*)
           .collect()
-        if (bucketBy.isDefined)
+        if (effBucket.isDefined)
           fileBucket = rows.flatMap { r =>
             val (mn, mx) = (r.getLong(r.fieldIndex("_bmn")),
               r.getLong(r.fieldIndex("_bmx")))
@@ -1954,15 +2074,21 @@ final class GraftTable private (
       counts.getOrElse(n, 0L), Fio.sizeOf(s"$root/data/$n"), maxLsn, 0L,
       backStats.get(n).map(_._2).getOrElse(Map.empty),
       bucket = fileBucket.getOrElse(n, -1L)))
-    // the bucket spec is table-level: it holds only when this rewrite
-    // covered every live file (it did — victims = all) AND every
-    // surviving file validated single-bucket; any miss degrades to
-    // unbucketed (correctness never depends on the spec, only SPJ does)
+    // the bucket spec is table-level: a FRESH bucketBy holds only when
+    // this rewrite covered every live file (it did — victims = all) AND
+    // every surviving file validated single-bucket; any miss degrades to
+    // unbucketed (correctness never depends on the spec, only SPJ does).
+    // An ESCALATED maintenance rewrite keeps the spec (untouched files
+    // already carry valid ids; a failed new file gets -1 and the scan
+    // gate degrades per-scan). A clusterBy/zorder rewrite is an explicit
+    // CHANGE of physical layout: the bucket spec is dropped.
     bucketNVar = bucketBy match {
       case Some(n) if entries.filter(e =>
         counts.getOrElse(e.path, 0L) > 0L).forall(_.bucket >= 0L) => n.toLong
       case Some(_) => 0L
-      case scala.None => bucketNVar
+      case scala.None if effBucket.isDefined => bucketNVar
+      case scala.None =>
+        if (bucketNVar > 0 && (clusterBy.nonEmpty || zorder)) 0L else bucketNVar
     }
 
     victimNames.foreach { n => fileEntries.remove(n); dvMap.remove(n) }
@@ -2605,6 +2731,28 @@ object GraftTable {
   /** Value-semantics wrapper for key column values — the mem-index key
    *  (reference `MemIndex`, `mem_index.rs:38`). */
   final case class KeyVal(values: Seq[Any])
+
+  /** Ordinals of every [mn, mx] range covering `kh`, over ranges sorted
+   *  by `mn` with `pm` the running prefix max of `mx`: one binary search
+   *  for the last range whose min covers, then a backward sweep that
+   *  stops as soon as no earlier range's max can still cover. Extracted
+   *  so the executor-side covering probe in `resolveDeletesDistributed`
+   *  is property-testable against the naive linear filter. */
+  private[graft] def coveringOrdinals(kh: Long, mn: Array[Long],
+      mx: Array[Long], ord: Array[Int], pm: Array[Long]): Seq[Int] = {
+    var lo = 0; var hi = mn.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (mn(mid) <= kh) lo = mid + 1 else hi = mid
+    }
+    val out = mutable.ArrayBuffer[Int]()
+    var i = lo - 1
+    while (i >= 0 && pm(i) >= kh) {
+      if (mx(i) >= kh) out += ord(i)
+      i -= 1
+    }
+    out.toSeq
+  }
 
   /**
    * Per-partition fold of a key-clustered, (key, lsn, delete-first)-

@@ -453,4 +453,34 @@ class BatchIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.read().agg(min(col("id"))).head.getLong(0) == 901)
     t.drop()
   }
+
+  test("sorted-range covering probe matches the naive linear filter") {
+    // randomized overlapping generations (the shape index merges leave
+    // behind) — the binary-search + prefix-max sweep must enumerate
+    // exactly the ranges a linear scan would
+    val rnd = new Random(42)
+    for (trial <- 1 to 50) {
+      val n = 1 + rnd.nextInt(40)
+      val ranges = (0 until n).map { i =>
+        val a = rnd.nextLong() % 1000
+        val b = a + math.abs(rnd.nextLong() % 500)
+        (i, a, b)
+      }
+      val sorted = ranges.sortBy(_._2)
+      val mns = sorted.map(_._2).toArray
+      val mxs = sorted.map(_._3).toArray
+      val ords = sorted.map(_._1).toArray
+      val pmax = mxs.clone()
+      for (j <- 1 until pmax.length)
+        pmax(j) = math.max(pmax(j - 1), pmax(j))
+      for (_ <- 1 to 40) {
+        val kh = rnd.nextLong() % 1500
+        val naive = ranges.collect {
+          case (i, mn, mx) if kh >= mn && kh <= mx => i }.sorted
+        val fast = GraftTable.coveringOrdinals(kh, mns, mxs, ords, pmax)
+          .sorted
+        assert(fast == naive, s"trial $trial kh=$kh: $fast != $naive")
+      }
+    }
+  }
 }

@@ -77,11 +77,23 @@ class SpjSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rt.bucketN == 4L && rt.dataFiles.map(_.bucket) ==
       m.dataFiles.map(_.bucket))
     assert(m.dataFiles.map(_.rows).sum == 300L)
-    // a later unbucketed flush closes the gate per-file, not globally
+    // a later driver flush now routes through the SAME bucket layout
+    // (bucket-aware flush): the new file carries a valid bucket id and
+    // the table-level spec survives ongoing ingest
     t.upsertAll(Seq(Row(1000L, 1L)), startLsn = 400)
     t.flush(); t.publish()
     val m2 = t.currentManifest
-    assert(m2.bucketN == 4L && m2.dataFiles.exists(_.bucket == -1L))
+    assert(m2.bucketN == 4L && m2.dataFiles.forall(_.bucket >= 0L),
+      s"flush degraded the layout: ${m2.dataFiles.map(_.bucket)}")
+    // the flushed file's recorded bucket matches the storage arithmetic
+    val newFiles = m2.dataFiles.map(_.path).toSet -- m.dataFiles.map(_.path)
+    newFiles.foreach { p =>
+      val e = m2.dataFiles.find(_.path == p).get
+      val buckets = spark.read.parquet(s"$wh/bt/data/$p")
+        .select(pmod(xxhash64(col(physId)), lit(4L)).as("b"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+      assert(buckets == Seq(e.bucket), s"flushed file $p wrong bucket")
+    }
   }
 
   test("legacy manifests never resurrect bucket ids") {
@@ -285,6 +297,68 @@ class SpjSpec extends AnyFunSuite with BeforeAndAfterAll {
         "GROUP BY id")
       assert(df.collect().length == 98)
       assert(!df.queryExecution.executedPlan.toString().contains("Exchange"))
+    }
+  }
+
+  test("SPJ survives continuous ingest: flushes, batches and maintenance keep the layout") {
+    // the round-11 gap: after optimize(bucketBy), the NEXT flushed file
+    // was unbucketed and the scan degraded to UnknownPartitioning until
+    // a full rewrite. Now every ingest path routes onto the layout:
+    // (a) driver flush, (b) distributed applyBatch (index non-empty →
+    // slow fold), (c) maintenance compaction (escalated re-bucket).
+    val (cname, wh) = freshCatalog()
+    val cat = GraftCatalog(spark, wh)
+    val ta = cat.createTable("ia",
+      SchemaDsl.struct("id" -> "int64", "a" -> "int64"),
+      Identity.Keys(Seq("id")))
+    val tb = cat.createTable("ib",
+      SchemaDsl.struct("id" -> "int64", "b" -> "int64"),
+      Identity.Keys(Seq("id")))
+    ta.upsertAll((1L to 200L).map(i => Row(i, i)), startLsn = 1)
+    ta.flush(); ta.publish()
+    tb.upsertAll((1L to 200L).map(i => Row(i, i * 3)), startLsn = 1)
+    tb.flush(); tb.publish()
+    ta.optimize(bucketBy = Some(4))
+    tb.optimize(bucketBy = Some(4))
+    // (a) driver-path ingest after the rewrite (new + overwritten keys)
+    ta.upsertAll((150L to 260L).map(i => Row(i, i)), startLsn = 500)
+    ta.flush(); ta.publish()
+    // (b) distributed batch ingest through CdcPipeline (slow fold path)
+    import spark.implicits._
+    val batch = (150L to 260L).map(i => ("u", 700L + i, i, i * 3))
+      .toDF("_op", "_lsn", "id", "b")
+    graft.streaming.CdcPipeline.applyBatch(tb, batch)
+    // (c) maintenance compaction escalates to a bucket-routed rewrite
+    ta.optimize()
+    val (ma, mb) = (ta.currentManifest, tb.currentManifest)
+    assert(ma.bucketN == 4L && ma.dataFiles.forall(_.bucket >= 0L),
+      s"ta layout degraded: ${ma.dataFiles.map(_.bucket)}")
+    assert(mb.bucketN == 4L && mb.dataFiles.forall(_.bucket >= 0L),
+      s"tb layout degraded: ${mb.dataFiles.map(_.bucket)}")
+    // every live file is genuinely single-bucket by independent arithmetic
+    Seq(("ia", ma), ("ib", mb)).foreach { case (tn, m) =>
+      m.dataFiles.foreach { e =>
+        val buckets = spark.read.parquet(s"$wh/$tn/data/${e.path}")
+          .select(pmod(xxhash64(col("id")), lit(4L)).as("bk"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        assert(buckets == Seq(e.bucket), s"$tn/${e.path} mixes buckets")
+      }
+    }
+    withConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = spark.sql(
+        s"""SELECT x.id, x.a, y.b
+           |FROM $cname.graft.ia x JOIN $cname.graft.ib y ON x.id = y.id
+           |""".stripMargin)
+      val rows = df.collect()
+      assert(rows.length == 260)
+      rows.foreach(r => assert(r.getLong(2) == r.getLong(0) * 3 &&
+        r.getLong(1) == r.getLong(0)))
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Exchange"),
+        s"SPJ died under continuous ingest:\n$plan")
     }
   }
 }
