@@ -1478,6 +1478,43 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "cdc_agg_pushdown" -> ((s, d) => {
+      // DSv2 aggregate pushdown: unfiltered global COUNT(*)/MIN/MAX are
+      // answered from manifest stats with ZERO data files read (the
+      // reference's cardinality accounting, `snapshot_read.rs:52-61`,
+      // over parquet stats, `iceberg/parquet_stats_utils.rs`). Phase 1:
+      // a compacted (delete-free) upsert table pushes count+min+max.
+      // Phase 2: a predicate delete masks rows through DVs — count(*)
+      // stays manifest-only (liveRows = rows minus masked), min/max
+      // correctly refuse (a DV could hide the extreme row). The entry
+      // THROWS unless each plan is GraftAggScan-only, so a pushdown
+      // regression fails the correctness gate itself.
+      val table = runCdc(s, d, deleteType = None, compactAfter = true)
+      def aggScanOnly(df: DataFrame): Row = {
+        val plan = df.queryExecution.executedPlan.toString
+        require(plan.contains("GraftAggScan") && !plan.contains("GraftScan("),
+          s"aggregate not answered from the manifest:\n$plan")
+        df.head()
+      }
+      val pre = aggScanOnly(s.read.format("graft").load(table.root).agg(
+        count(lit(1)), min(col("user_id")), max(col("user_id")),
+        min(col("event_id")), max(col("event_id")),
+        min(col("value")), max(col("value"))))
+      table.deleteWhere(col("event_type") === "purchase")
+      val post = aggScanOnly(
+        s.read.format("graft").load(table.root).agg(count(lit(1))))
+      import s.implicits._
+      Seq((pre.getLong(0), pre.getLong(1), pre.getLong(2), pre.getLong(3),
+        pre.getLong(4), pre.getDouble(5), pre.getDouble(6), post.getLong(0)))
+        .toDF("n_users", "mn_user", "mx_user", "mn_event", "mx_event",
+          "mn_value", "mx_value", "n_after_deletes")
+        .select(col("n_users"), col("mn_user"), col("mx_user"),
+          col("mn_event"), col("mx_event"),
+          cents(col("mn_value")).as("mn_value_cents"),
+          cents(col("mx_value")).as("mx_value_cents"),
+          col("n_after_deletes"))
+    }),
+
     "cdc_update_where" -> ((s, d) => {
       // UPDATE ... SET as a first-class verb: matched rows become
       // upsert events (delete-half DVs the old version, append-half
@@ -5442,6 +5479,22 @@ object SparkEntry {
         |FROM last
         |WHERE NOT (value < 150.0 OR event_type = 'purchase')
         |ORDER BY user_id""".stripMargin,
+
+    // manifest-only aggregates over the latest-per-user state: global
+    // count/min/max before deletes, live count after a predicate delete
+    "cdc_agg_pushdown" ->
+      """WITH last AS (
+        |  SELECT user_id, event_id, event_type, value
+        |  FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)
+        |SELECT count(*) AS n_users,
+        |       min(user_id) AS mn_user, max(user_id) AS mx_user,
+        |       min(event_id) AS mn_event, max(event_id) AS mx_event,
+        |       CAST(ROUND(min(value)*100) AS BIGINT) AS mn_value_cents,
+        |       CAST(ROUND(max(value)*100) AS BIGINT) AS mx_value_cents,
+        |       (SELECT count(*) FROM last WHERE event_type <> 'purchase')
+        |         AS n_after_deletes
+        |FROM last""".stripMargin,
 
     // last state per user; matched rows (last event is a click) carry
     // the UPDATE's assignments (value doubled, type rebranded)
