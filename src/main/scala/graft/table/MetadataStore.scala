@@ -66,7 +66,30 @@ object TableMetadataEntry {
   }
 }
 
-final class MetadataStore(val warehouse: String) {
+/**
+ * Backend seam over the registry — the reference's `MetadataStoreTrait`
+ * (`base_metadata_store.rs:29-68`) verb for verb: existence probe, full
+ * read, guarded insert, guarded delete. The versioned-JSON filesystem
+ * store ([[MetadataStore]]) is the default; [[InMemoryMetadataBackend]]
+ * exercises the contract without a filesystem; [[JdbcMetadataBackend]]
+ * speaks the reference's exact `tables` schema over plain `java.sql`,
+ * so a real sqlite/Postgres registry is a drop-in the moment a JDBC
+ * driver jar appears on the classpath (none ship in this environment).
+ * MetadataStoreSpec runs ONE contract suite against every backend.
+ */
+trait MetadataBackend {
+  /** reference `metadata_table_exists` */
+  def metadataTableExists: Boolean
+  /** reference `get_all_table_metadata_entries` */
+  def allEntries(): Seq[TableMetadataEntry]
+  /** reference `store_table_metadata` — creates the store on first
+   *  use; refuses a duplicate (database, table) id. */
+  def store(entry: TableMetadataEntry): Unit
+  /** reference `delete_table_metadata` — the entry must exist. */
+  def delete(database: String, table: String): Unit
+}
+
+final class MetadataStore(val warehouse: String) extends MetadataBackend {
   private val dir = s"$warehouse/_metadata"
 
   private def versions(): Seq[Long] =
@@ -77,28 +100,23 @@ final class MetadataStore(val warehouse: String) {
 
   private def file(v: Long): String = f"$dir/tables-v$v%09d.json"
 
-  /** reference `metadata_table_exists` */
-  def metadataTableExists: Boolean = versions().nonEmpty
+  override def metadataTableExists: Boolean = versions().nonEmpty
 
-  /** reference `get_all_table_metadata_entries` */
-  def allEntries(): Seq[TableMetadataEntry] = synchronized {
+  override def allEntries(): Seq[TableMetadataEntry] = synchronized {
     versions().lastOption match {
       case Some(v) => MetadataStore.fromJson(Fio.readString(file(v)))
       case None    => Seq.empty
     }
   }
 
-  /** reference `store_table_metadata` — creates the store on first
-   *  use; refuses a duplicate (database, table) id. */
-  def store(entry: TableMetadataEntry): Unit = synchronized {
+  override def store(entry: TableMetadataEntry): Unit = synchronized {
     val cur = allEntries()
     require(!cur.exists(e => e.database == entry.database && e.table == entry.table),
       s"metadata for ${entry.database}.${entry.table} already stored")
     commit(cur :+ entry)
   }
 
-  /** reference `delete_table_metadata` — the entry must exist. */
-  def delete(database: String, table: String): Unit = synchronized {
+  override def delete(database: String, table: String): Unit = synchronized {
     val cur = allEntries()
     require(cur.exists(e => e.database == database && e.table == table),
       s"no metadata for $database.$table")
@@ -132,6 +150,142 @@ object MetadataStore {
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(entries)
   private def fromJson(s: String): Seq[TableMetadataEntry] =
     mapper.readValue(s, classOf[Array[TableMetadataEntry]]).toSeq
+
+  /** One table's identity + config as the `config` JSON column of the
+   *  reference's `tables` schema (the reference serializes its
+   *  `MoonlinkTableConfig` the same way, `config_utils.rs`). */
+  private[graft] final case class ConfigDoc(srcTableName: String,
+      identityKind: String, keyCols: Seq[String], config: TableConfig)
+  private[graft] def configToJson(e: TableMetadataEntry): String =
+    mapper.writeValueAsString(
+      ConfigDoc(e.srcTableName, e.identityKind, e.keyCols, e.config))
+  private[graft] def configFromJson(database: String, table: String,
+      srcTableName: String, srcUri: String, json: String): TableMetadataEntry = {
+    val d = mapper.readValue(json, classOf[ConfigDoc])
+    TableMetadataEntry(database, table, srcTableName, srcUri,
+      d.identityKind, d.keyCols, d.config)
+  }
+}
+
+/** Contract-complete in-memory backend: the recovery tests' fast seam,
+ *  and the executable specification the durable backends must match. */
+final class InMemoryMetadataBackend extends MetadataBackend {
+  private var entries = Vector.empty[TableMetadataEntry]
+  private var created = false
+  override def metadataTableExists: Boolean = synchronized(created)
+  override def allEntries(): Seq[TableMetadataEntry] = synchronized(entries)
+  override def store(entry: TableMetadataEntry): Unit = synchronized {
+    require(!entries.exists(e =>
+        e.database == entry.database && e.table == entry.table),
+      s"metadata for ${entry.database}.${entry.table} already stored")
+    created = true
+    entries :+= entry
+  }
+  override def delete(database: String, table: String): Unit = synchronized {
+    require(entries.exists(e => e.database == database && e.table == table),
+      s"no metadata for $database.$table")
+    entries = entries.filterNot(e => e.database == database && e.table == table)
+  }
+}
+
+/**
+ * JDBC backend speaking the reference's registry schema verbatim —
+ * `sqlite/sql/create_tables.sql`: `tables("database", "table",
+ * src_table_name, src_table_uri, config)` with a composite primary key
+ * and the table config serialized into the `config` JSON column
+ * (`sqlite_metadata_store.rs:35-126`). Plain `java.sql` (in the JDK) so
+ * it binds to whatever driver the classpath offers: `jdbc:sqlite:...`
+ * or `jdbc:postgresql://...` become drop-ins the moment their jars
+ * appear — none ship in this offline environment, so the SQL shapes are
+ * spec-pinned and the contract suite runs on the other backends.
+ */
+final class JdbcMetadataBackend(url: String,
+    props: java.util.Properties = new java.util.Properties)
+    extends MetadataBackend {
+  import JdbcMetadataBackend._
+
+  private def withConn[T](f: java.sql.Connection => T): T = {
+    val c = java.sql.DriverManager.getConnection(url, props)
+    try f(c) finally c.close()
+  }
+
+  override def metadataTableExists: Boolean = withConn { c =>
+    val rs = c.getMetaData.getTables(null, null, "tables", null)
+    try rs.next() finally rs.close()
+  }
+
+  private def ensureTable(c: java.sql.Connection): Unit = {
+    val st = c.createStatement()
+    try st.executeUpdate(CreateTableSql) finally st.close()
+  }
+
+  override def allEntries(): Seq[TableMetadataEntry] = withConn { c =>
+    if (!metadataTableExists) return Seq.empty
+    val st = c.prepareStatement(SelectAllSql)
+    try {
+      val rs = st.executeQuery()
+      val out = Seq.newBuilder[TableMetadataEntry]
+      while (rs.next()) out += MetadataStore.configFromJson(
+        rs.getString(1), rs.getString(2), rs.getString(3),
+        rs.getString(4), rs.getString(5))
+      out.result()
+    } finally st.close()
+  }
+
+  override def store(entry: TableMetadataEntry): Unit = withConn { c =>
+    ensureTable(c)
+    // the PRIMARY KEY enforces the no-duplicate precondition atomically;
+    // surface it as the same IllegalArgumentException the other
+    // backends raise
+    val st = c.prepareStatement(InsertSql)
+    try {
+      st.setString(1, entry.database)
+      st.setString(2, entry.table)
+      st.setString(3, entry.srcTableName)
+      st.setString(4, entry.srcUri)
+      st.setString(5, MetadataStore.configToJson(entry))
+      st.executeUpdate()
+    } catch {
+      case e: java.sql.SQLException =>
+        throw new IllegalArgumentException(
+          s"metadata for ${entry.database}.${entry.table} already stored", e)
+    } finally st.close()
+  }
+
+  override def delete(database: String, table: String): Unit = withConn { c =>
+    val st = c.prepareStatement(DeleteSql)
+    try {
+      st.setString(1, database)
+      st.setString(2, table)
+      require(st.executeUpdate() == 1, s"no metadata for $database.$table")
+    } finally st.close()
+  }
+}
+
+object JdbcMetadataBackend {
+  /** `sqlite/sql/create_tables.sql` (quoted identifiers are portable
+   *  across sqlite and postgres). */
+  val CreateTableSql: String =
+    """CREATE TABLE IF NOT EXISTS tables (
+      |    "database" TEXT,
+      |    "table" TEXT,
+      |    src_table_name TEXT NOT NULL,
+      |    src_table_uri TEXT,
+      |    config TEXT,
+      |    PRIMARY KEY ("database", "table")
+      |)""".stripMargin
+  /** `sqlite_metadata_store.rs:35-44` */
+  val SelectAllSql: String =
+    """SELECT t."database", t."table", t.src_table_name, t.src_table_uri,
+      |       t.config FROM tables t""".stripMargin
+  /** `sqlite_metadata_store.rs:96` */
+  val InsertSql: String =
+    """INSERT INTO tables ("database", "table", src_table_name,
+      |                    src_table_uri, config)
+      |VALUES (?, ?, ?, ?, ?)""".stripMargin
+  /** `sqlite_metadata_store.rs:126` */
+  val DeleteSql: String =
+    """DELETE FROM tables WHERE "database" = ? AND "table" = ?"""
 }
 
 /**
