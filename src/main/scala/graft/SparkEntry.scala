@@ -2363,6 +2363,25 @@ object SparkEntry {
               r.snapshotId), s"iceberg catalog commit $i conflicted")
           }
         } finally ev.unpersist()
+        // retention parity (VERDICT r11 #7): expiring the graft manifest
+        // log ALSO bounds the exported Iceberg history — snapshots drop
+        // to the horizon and files exclusive to dropped snapshots are
+        // reclaimed. The read below goes through the PRUNED metadata via
+        // the spec parsers alone, so the oracle also proves expiry kept
+        // the surviving snapshot intact.
+        val before = cat.loadTable("wh", "events").snapshotId
+        table.expireVersions(keepLast = 1)
+        val prunedPath = IcebergSync.currentMetadataPath(table.root)
+          .getOrElse(sys.error("iceberg export vanished after expiry"))
+        val pruned = graft.format.iceberg.IcebergMeta.parseMetadataJson(
+          graft.format.Fio.readString(prunedPath))
+        require(pruned.snapshots.size == 1,
+          s"expiry left ${pruned.snapshots.size} iceberg snapshots")
+        require(pruned.snapshots.head.snapshotId == before,
+          "expiry must keep the LATEST snapshot")
+        // catalog parity: CAS the pointer onto the pruned history
+        require(cat.commitTable("wh", "events", before, prunedPath, before),
+          "catalog CAS onto pruned metadata conflicted")
         val ref = cat.loadTable("wh", "events")
         IcebergSync.readDataFrame(s, ref.metadataLocation)
           .select(col("user_id"), col("event_id").as("last_event_id"),

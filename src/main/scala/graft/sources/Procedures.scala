@@ -89,12 +89,10 @@ private[graft] object GraftProcedures {
         args => {
           val (db, tbl) = (args(0).toString, args(1).toString)
           val keep = args(2).asInstanceOf[Int]
-          val n = open(db, tbl).expireVersions(keep).toLong
-          // the Iceberg export's history is bounded by the same verb
-          // (a no-op when the table was never synced)
-          graft.format.iceberg.IcebergSync.expireSnapshots(
-            graft.table.GraftCatalog.rootOf(warehouse, db, tbl), keep)
-          Seq(Row(n))
+          // expireVersions itself mirrors the horizon into a synced
+          // Iceberg export, so the SQL verb, the library verb, and the
+          // maintenance daemon all keep retention parity
+          Seq(Row(open(db, tbl).expireVersions(keep).toLong))
         })
       case "restore" => proc("restore",
         DbTbl :+ ProcedureParameter.in("version", LongType).build(),

@@ -2149,6 +2149,13 @@ final class GraftTable private (
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val expired = ManifestLog.versions(root).dropRight(keepLast)
     expired.foreach(v => ManifestLog.delete(root, v))
+    // retention parity for a synced Iceberg export (reference syncs
+    // retention through its catalog): the export's snapshot history is
+    // bounded by the SAME horizon, and files exclusive to dropped
+    // snapshots (manifest lists, manifests, puffins) are reclaimed.
+    // No-op when the table was never synced.
+    if (expired.nonEmpty)
+      graft.format.iceberg.IcebergSync.expireSnapshots(root, keepLast)
     expired.size
   }
 
