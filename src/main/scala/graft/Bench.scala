@@ -168,7 +168,12 @@ object Bench {
           "dedup_minhash_incr", "dedup_simhash", "dedup_components",
           "ann_ivf_topk", "ann_ivfpq_topk", "ann_ivf_incr",
           "embed_neardup", "text_bpe_train", "text_heavyhitters",
-          "stream_sessionize", "stream_join", "cdc_spj_join")
+          "stream_sessionize", "stream_join", "cdc_spj_join",
+          // distributed delete resolution against a many-generation
+          // merged index (10% purge + hash-slice redelivery; the entry
+          // itself REQUIRES probed/total <= 0.5, so the sf1 row also
+          // re-asserts bucket pruning at 1M rows every round)
+          "cdc_delete_stress")
         val r1 = sensitive.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
           .map { case (name, fn) =>
             val t0 = System.nanoTime()

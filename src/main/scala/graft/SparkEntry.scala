@@ -1701,6 +1701,61 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "cdc_delete_stress" -> ((s, d) => {
+      // the delete-heavy scale shape (VERDICT r11 #4; reference resolves
+      // against its persisted bucket hash map, persisted_bucket_hash_map
+      // .rs:276): 4 LSN-range upsert batches, each followed by an index
+      // merge, leave a MANY-GENERATION hash-range-bucketed index; then
+      //  (1) one batch deletes ~10% of all keys through the DISTRIBUTED
+      //      resolution path (threshold lowered so the path is exercised
+      //      at every SF — delete keys never reach the driver, the DV
+      //      delta aggregates per data file);
+      //  (2) an at-least-once REDELIVERY of the slice of those deletes
+      //      whose key hashes fall in the lowest tenth of hash space:
+      //      state must not change (already-DV'd targets no-op), and the
+      //      covering-bucket probe must open only the generations' files
+      //      whose khRange intersects the slice — probed/total ≪ 1 is
+      //      REQUIRED here, so a pruning regression fails correctness.
+      val table = GraftTable.create(s, freshDir("delstress"),
+        eventTableSchema, Identity.Keys(Seq("user_id")),
+        TableConfig(memSliceSize = 4096, walEnabled = false,
+          distributedDeleteThreshold = 1000))
+      val ev = cdcEventFrame(s, d, None)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val hi =
+        try {
+          val mm = ev.agg(min(col("_lsn")), max(col("_lsn"))).head()
+          val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+          val span = (hi - lo) / 4 + 1
+          (0 until 4).foreach { i =>
+            CdcPipeline.applyBatch(table, ev.where(
+              col("_lsn") >= lo + i * span && col("_lsn") < lo + (i + 1) * span))
+            table.mergeIndexes() // each batch becomes its own generation
+          }
+          hi
+        } finally ev.unpersist()
+      table.deleteWhere(col("user_id") % 10 === 0) // (1) the 10% purge
+      // (2) redelivered deletes, clustered in hash space: xxhash64 is
+      // the index's own bucketing hash, so ~10% of the slice's keys
+      // cover ~10% of every generation's khRanges
+      val hashTenth = Long.MinValue + 1844674407370955161L // 2^64 / 10
+      val redelivered = events(s, d).select(col("user_id")).distinct()
+        .where(col("user_id") % 10 === 0 &&
+          xxhash64(col("user_id")) < hashTenth)
+        .select(lit("d").as("_op"), lit(hi + 2).as("_lsn"), col("user_id"),
+          lit(null).cast("long").as("event_id"),
+          lit(null).cast("string").as("event_type"),
+          lit(null).cast("double").as("value"))
+      CdcPipeline.applyBatch(table, redelivered)
+      val (probed, total) = table.lastDeleteProbe
+      require(total < 8 || probed.toDouble / total <= 0.5,
+        s"covering probe opened $probed of $total index buckets")
+      table.read(scala.None)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          cents(col("value")).as("value_cents"))
+        .orderBy("user_id")
+    }),
+
     "cdc_cached_read" -> ((s, d) => {
       // M16: same upsert table, scan routed through the object-storage
       // cache (read pins local copies; DV filtering keys on preserved
@@ -5497,6 +5552,19 @@ object SparkEntry {
         |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
         |FROM last
         |WHERE NOT (value < 150.0 OR event_type = 'purchase')
+        |ORDER BY user_id""".stripMargin,
+
+    // last state per user minus the purged tenth; the redelivered
+    // hash-slice deletes must be invisible (exactly-once effect under
+    // at-least-once delivery)
+    "cdc_delete_stress" ->
+      """WITH last AS (
+        |  SELECT user_id, event_id, value
+        |  FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)
+        |SELECT user_id, event_id AS last_event_id,
+        |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
+        |FROM last WHERE user_id % 10 <> 0
         |ORDER BY user_id""".stripMargin,
 
     // manifest-only aggregates over the latest-per-user state: global
