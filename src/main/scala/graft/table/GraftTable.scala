@@ -1020,7 +1020,7 @@ final class GraftTable private (
    *  over the key columns' actual types), so a driver-flushed row lands
    *  in exactly the bucket the scan's KeyGroupedPartitioning reports.
    *  Key columns are never remapped, so logical positions are exact. */
-  private def rowBucketEval(n: Long): Row => Long = {
+  private[graft] def rowBucketEval(n: Long): Row => Long = {
     import org.apache.spark.sql.catalyst.expressions.{BoundReference, XxHash64}
     val kIdxs = keyCols.map(schemaVar.fieldIndex)
     val fields = kIdxs.map(schemaVar.fields(_))

@@ -361,4 +361,41 @@ class SpjSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"SPJ died under continuous ingest:\n$plan")
     }
   }
+
+  test("driver-side bucket evaluator matches the DataFrame hash on every key type") {
+    // the flush path stamps buckets via GraftTable.rowBucketEval (a
+    // Catalyst XxHash64 evaluated on the driver); a drift from the
+    // DataFrame-side pmod(xxhash64(...), n) would silently mis-bucket
+    // driver-flushed files. Pin parity over long, int, string,
+    // timestamp, and composite keys, including nulls in non-key cols.
+    val wh = Files.createTempDirectory("graft-spj-be").toString
+    val cat = GraftCatalog(spark, wh)
+    import scala.jdk.CollectionConverters._
+    val cases = Seq(
+      ("klong", SchemaDsl.struct("id" -> "int64", "v" -> "int64"),
+        (1L to 50L).map(i => Row(i, i)), Seq("id")),
+      ("kint", SchemaDsl.struct("id" -> "int32", "v" -> "int64"),
+        (1 to 50).map(i => Row(i, i.toLong)), Seq("id")),
+      ("kstr", SchemaDsl.struct("id" -> "string", "v" -> "int64"),
+        (1 to 50).map(i => Row(s"user-$i-😀", i.toLong)), Seq("id")),
+      ("kts", SchemaDsl.struct("id" -> "timestamp", "v" -> "int64"),
+        (1 to 50).map(i => Row(
+          java.sql.Timestamp.valueOf(f"2025-01-01 00:00:${i % 60}%02d.${i}%03d"),
+          i.toLong)), Seq("id")),
+      ("kcomp", SchemaDsl.struct("a" -> "int64", "b" -> "string",
+          "v" -> "int64"),
+        (1 to 50).map(i => Row(i.toLong % 7, s"g$i", i.toLong)), Seq("a", "b")))
+    cases.foreach { case (name, schema, rows, keys) =>
+      val t = cat.createTable(name, schema, Identity.Keys(keys))
+      val n = 7L
+      val be = t.rowBucketEval(n)
+      val driverSide = rows.map(be)
+      val df = spark.createDataFrame(rows.asJava, t.schema)
+      val sparkSide = df.select(pmod(xxhash64(
+          keys.map(col): _*), lit(n)).as("b")).collect().map(_.getLong(0))
+      assert(driverSide == sparkSide.toSeq,
+        s"$name: driver buckets drifted from the DataFrame hash")
+      t.drop()
+    }
+  }
 }
