@@ -299,4 +299,117 @@ class ChaosSpec extends AnyFunSuite with BeforeAndAfterAll {
     runChaos(seed = 1234, steps = 200,
       TableConfig(memSliceSize = 64, walEnabled = false))
   }
+
+  test("chaos: bucketed layout holds under injected faults and recovery") {
+    // round-12's bucket-aware writes under fire: after optimize(bucketBy
+    // = 4), every flush / WAL replay / escalated compaction must leave
+    // files that are GENUINELY single-bucket (or none at all after a
+    // crash — the manifest commit is atomic), state must stay op-log
+    // exact, and correctness must never depend on the spec surviving.
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val seed = 97L
+    val rnd = new Random(seed)
+    val dir = java.nio.file.Files.createTempDirectory(s"chaos-bkt-$seed").toString
+    val cfg = TableConfig(memSliceSize = 8, walEnabled = true,
+      compactSmallFileRows = 16, compactDeleteRatio = 0.3)
+    var table = GraftTable.create(spark, s"$dir/t", schema,
+      Identity.Keys(Seq("k")), cfg)
+    var lsn = 0L
+    def nextLsn(): Long = { lsn += 1; lsn }
+    val oplog = mutable.ArrayBuffer[(Long, String, Long, Long)]()
+    def modelAt(cl: Long): Map[Long, Long] = {
+      val m = mutable.HashMap[Long, Long]()
+      oplog.iterator.takeWhile(_._1 <= cl).foreach {
+        case (_, "a", k, v) => m(k) = v
+        case (_, "d", k, _) => m.remove(k)
+      }
+      m.toMap
+    }
+    def verify(): Unit = {
+      val got = table.read(None).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == modelAt(table.commitLsn), "state diverged")
+      val m = table.currentManifest
+      assert(m.bucketN == 0L || m.bucketN == 4L)
+      m.dataFiles.filter(_.bucket >= 0L).foreach { e =>
+        val bs = spark.read.parquet(s"$dir/t/data/${e.path}")
+          .select(pmod(xxhash64(col("k")), lit(4L)).as("b"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        assert(bs.isEmpty || bs == Seq(e.bucket),
+          s"file ${e.path} broke the bucket invariant: $bs != ${e.bucket}")
+      }
+    }
+    // seed + bucket the layout fault-free
+    (1 to 20).foreach { i =>
+      val l = nextLsn()
+      table.apply(CdcEvent.upsert(Row(i.toLong, i.toLong), Seq(i.toLong), l))
+      oplog += ((l, "d", i.toLong, 0L)); oplog += ((l, "a", i.toLong, i.toLong))
+    }
+    val cl0 = nextLsn(); table.apply(Seq(Commit(cl0)))
+    table.optimize(bucketBy = Some(4))
+    verify()
+    val faults = new SeededFaults(seed * 31, 0.10)
+    graft.format.Fio.faults = faults
+    try {
+      val batch = mutable.ArrayBuffer[CdcEvent]()
+      val pending = mutable.ArrayBuffer[(Long, String, Long, Long)]()
+      var crashes = 0
+      faults.armed = true
+      def recover(cl: Long): Unit = {
+        crashes += 1
+        faults.armed = false
+        table = GraftTable.open(spark, s"$dir/t", Identity.Keys(Seq("k")), cfg)
+        if (cl >= 0 && table.commitLsn >= cl) oplog ++= pending
+        pending.clear(); batch.clear()
+        verify()
+        faults.armed = true
+      }
+      (0 until 140).foreach { _ =>
+        rnd.nextInt(8) match {
+          case 0 | 1 | 2 =>
+            val k = rnd.nextInt(30).toLong
+            val v = rnd.nextLong(1000000)
+            val l = nextLsn()
+            batch ++= CdcEvent.upsert(Row(k, v), Seq(k), l)
+            pending += ((l, "d", k, 0L)); pending += ((l, "a", k, v))
+          case 3 =>
+            val k = rnd.nextInt(30).toLong
+            val l = nextLsn()
+            batch += Delete(Seq(k), l, ifExists = true)
+            pending += ((l, "d", k, 0L))
+          case 4 | 5 =>
+            val cl = nextLsn()
+            batch += Commit(cl)
+            try {
+              table.apply(batch.toSeq)
+              oplog ++= pending
+              pending.clear(); batch.clear()
+            } catch {
+              case e: Throwable if isInjected(e) => recover(cl)
+            }
+          case 6 =>
+            try table.flush()
+            catch { case e: Throwable if isInjected(e) => recover(-1L) }
+          case 7 =>
+            // maintenance compaction now ESCALATES to a bucket-routed
+            // rewrite on this table — the crash-interesting new path
+            try { table.compact(force = true); table.vacuum() }
+            catch { case e: Throwable if isInjected(e) => recover(-1L) }
+        }
+      }
+      faults.armed = false
+      batch += Commit(nextLsn())
+      table.apply(batch.toSeq)
+      oplog ++= pending
+      verify()
+      assert(crashes > 0, "never hit an injected fault")
+      // every surviving write path routed onto the layout: the spec is
+      // intact end-to-end, not merely not-wrong
+      val m = table.currentManifest
+      assert(m.bucketN == 4L, "bucket spec lost without cause")
+      assert(m.dataFiles.forall(_.bucket >= 0L),
+        s"unbucketed files crept in: ${m.dataFiles.map(_.bucket)}")
+      table.drop()
+    } finally graft.format.Fio.faults = null
+  }
 }
