@@ -433,16 +433,18 @@ final class GraftTable private (
     // partitioner instead of a narrow pack, so the scan keeps reporting
     // KeyGroupedPartitioning under continuous CDC
     val bucketRoute = bucketNVar > 0 && keyCols.nonEmpty
+    val bSplit =
+      if (bucketRoute) bucketSplits(est, bucketNVar.toInt) else 0
     if (!hasDeletes) {
       val survivors0 = events
         .where(col("_op").isin("i", "insert", "u", "upsert"))
         .select(dataCols.map(col) :+ col("_lsn").cast("long").as("_lsn"): _*)
       val survivors =
-        (if (bucketRoute) routeToBuckets(survivors0, bucketNVar.toInt)
+        (if (bucketRoute) routeToBuckets(survivors0, bucketNVar.toInt, bSplit)
          else survivors0.coalesce(nOut)) // merge-only, keeps the path shuffle-free
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try prof("writeBatchFiles(ins)")(
-        writeBatchFiles(survivors, maxLsn, bucketed = bucketRoute))
+        writeBatchFiles(survivors, maxLsn, bucketSplit = bSplit))
       finally survivors.unpersist()
     } else {
       require(identity != Identity.None,
@@ -520,7 +522,7 @@ final class GraftTable private (
         val surv0View = taggedSurv.where(col("_surv"))
           .select(dataCols.map(col) :+ col("_lsn"): _*)
         val survivors0 =
-          (if (bucketRoute) routeToBuckets(surv0View, bucketNVar.toInt)
+          (if (bucketRoute) routeToBuckets(surv0View, bucketNVar.toInt, bSplit)
            else surv0View)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
@@ -536,7 +538,7 @@ final class GraftTable private (
             }
           // stats fuse into writeBatchFiles' key-index pass (keyed table)
           prof("writeBatchFiles(fast)")(
-            writeBatchFiles(survivors, maxLsn, bucketed = bucketRoute))
+            writeBatchFiles(survivors, maxLsn, bucketSplit = bSplit))
         } finally survivors0.unpersist()
         prof("maybeMergeIndexes")(maybeMergeIndexes())
         commitLsnVar = math.max(commitLsnVar, maxLsn)
@@ -584,7 +586,7 @@ final class GraftTable private (
             // writeBatchFiles jobs must observe ONE row order per
             // partition (reduce-side fetch order is not deterministic
             // across jobs on a cluster; the cache pins it)
-            routeToBuckets(s0, bucketNVar.toInt)
+            routeToBuckets(s0, bucketNVar.toInt, bSplit)
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           else if (aligned) s0 else s0.coalesce(nOut)
         }
@@ -611,7 +613,7 @@ final class GraftTable private (
           prof("writeBatchFiles(del)")(
             writeBatchFiles(survivors, maxLsn,
               if (aligned) Some(partStats) else scala.None,
-              bucketed = bucketRoute))
+              bucketSplit = bSplit))
           dels.foreach { case (k, lsn) => pendingDeletes += ((k, lsn)) }
         } else {
           // scale path (purge-style batches): delete keys NEVER
@@ -622,7 +624,7 @@ final class GraftTable private (
           // `persisted_bucket_hash_map.rs:276`)
           prof("writeBatchFiles(del)")(
             writeBatchFiles(survivors, maxLsn, fusedStats(),
-              bucketed = bucketRoute))
+              bucketSplit = bSplit))
           prof("resolveDeletesDistributed")(resolveDeletesDistributed(
             folded.where(col("_tag") =!= "a")
               .select(keyColNames.map(col) :+ col("_lsn").as("_dlsn"): _*)))
@@ -638,23 +640,38 @@ final class GraftTable private (
   }
 
   /** Route a batch frame onto the table's bucketed layout: one ordinary
-   *  `repartition(n, proxy)` whose proxy longs make partition index ==
-   *  storage bucket id (see `bucketProxies`), so the per-partition
-   *  parquet write emits single-bucket files and ongoing distributed
-   *  ingest KEEPS storage-partitioned joins alive after an
-   *  `optimize(bucketBy = n)`. Key columns are never remapped, so the
-   *  logical-name hash matches the physical `bucketExpr`. Costs the
-   *  batch one extra exchange — the price of maintaining the layout,
-   *  paid where the reference pays it too (hash-bucketed index files,
-   *  `persisted_bucket_hash_map.rs`). */
-  private def routeToBuckets(df: DataFrame, n: Int): DataFrame = {
-    val proxies = bucketProxies(n)
+   *  `repartition(n*splits, proxy)` whose proxy longs make partition
+   *  index == bucket*splits + split, so the per-partition parquet write
+   *  emits single-bucket files and ongoing distributed ingest KEEPS
+   *  storage-partitioned joins alive after an `optimize(bucketBy = n)`.
+   *  `splits > 1` keeps FILE sizing on big batches (SPJ only needs each
+   *  file single-bucket, never one file per bucket — the scan's
+   *  key-grouping coalesces same-bucket files); the split index is a
+   *  second independent hash of the keys (murmur3 vs the bucket's
+   *  xxhash64), so it is deterministic and spread. Key columns are
+   *  never remapped, so the logical-name hash matches the physical
+   *  `bucketExpr`. Costs the batch one extra exchange — the price of
+   *  maintaining the layout, paid where the reference pays it too
+   *  (hash-bucketed index files, `persisted_bucket_hash_map.rs`). */
+  private def routeToBuckets(df: DataFrame, n: Int, splits: Int = 1)
+      : DataFrame = {
+    val m = n * math.max(1, splits)
+    val proxies = bucketProxies(m)
     val bexpr = pmod(xxhash64(keyCols.map(col): _*), lit(n.toLong))
+    val target =
+      if (splits <= 1) bexpr
+      else bexpr * splits + pmod(hash(keyCols.map(col): _*), lit(splits))
     df.withColumn("_gb",
-        element_at(typedlit(proxies), (bexpr + 1L).cast("int")))
-      .repartition(n, col("_gb"))
+        element_at(typedlit(proxies), (target + 1L).cast("int")))
+      .repartition(m, col("_gb"))
       .drop("_gb")
   }
+
+  /** Split factor for a bucketed write of ~`rows` rows: enough that no
+   *  single-bucket file expects more than rowsPerFile rows. */
+  private def bucketSplits(rows: Long, n: Int): Int = math.max(1L,
+    (rows / math.max(1, n) + config.rowsPerFile - 1) / config.rowsPerFile)
+    .toInt
 
   /** Write a distributed survivors frame (data columns + `_lsn`) as
    *  data files and register the key index + per-file stats WITHOUT
@@ -663,12 +680,13 @@ final class GraftTable private (
    *  and the stats derive from cheap passes over the caller-persisted
    *  frame — the cluster-side analogue of `writeRowChunks` +
    *  `writeIndexFromRows` (the reference builds its file index while
-   *  writing for the same reason, `disk_slice.rs`). With `bucketed` the
-   *  caller routed the frame through `routeToBuckets`, so partition id
-   *  IS the storage bucket id and each new file records it. */
+   *  writing for the same reason, `disk_slice.rs`). With `bucketSplit
+   *  >= 1` the caller routed the frame through `routeToBuckets` with
+   *  that split factor, so partition id / split IS the storage bucket
+   *  id and each new file records it. */
   private def writeBatchFiles(survivors: DataFrame, maxLsn: Long,
       precomputedStats: Option[Map[Int, (Long, Map[String, Seq[String]])]]
-        = scala.None, bucketed: Boolean = false): Unit = {
+        = scala.None, bucketSplit: Int = 0): Unit = {
     val tmp = s"$root/tmp/${UUID.randomUUID()}"
     val out = if (!hasColumnMapping) survivors
       else survivors.select(schemaVar.fields.toSeq.map(f =>
@@ -804,7 +822,7 @@ final class GraftTable private (
         case Some((rows, stats)) =>
           fileEntries(n) = DataFileEntry(n, rows,
             Fio.sizeOf(s"$root/data/$n"), maxLsn, 0L, stats,
-            bucket = if (bucketed) pid.toLong else -1L)
+            bucket = if (bucketSplit >= 1) (pid / bucketSplit).toLong else -1L)
         case scala.None => Fio.delete(s"$root/data/$n")
       }
     }
@@ -1976,17 +1994,14 @@ final class GraftTable private (
         require(keyCols.nonEmpty, "bucketBy needs a keyed table")
         require(clusterBy.isEmpty && !zorder,
           "bucketBy excludes clusterBy/zorder (one physical order per rewrite)")
-        // `repartition(n, e)` routes a row to partition
-        // pmod(murmur3(e), n) — NOT to the value of e. Feeding it a
-        // per-bucket PROXY long with murmur3(proxy) % n == bucket makes
-        // partition index == bucket id, so the ordinary per-partition
-        // parquet write emits one single-bucket file per non-empty
-        // bucket with the whole pass codegen'd (no RDD partitioner
-        // detour; see `bucketProxies`).
-        live.withColumn("_gb",
-            element_at(typedlit(bucketProxies(n)), (bucketExpr(n) + 1L).cast("int")))
-          .repartition(n, col("_gb"))
-          .drop("_gb")
+        // the shared bucket router (proxy repartition: partition index
+        // == bucket*splits + split, each output file single-bucket —
+        // see `routeToBuckets`); splits keep rewrite files at
+        // rowsPerFile even when a bucket holds more. Key columns are
+        // never remapped, so the router's logical-name hash is exact
+        // over this physical-schema read; the read-back below validates
+        // every file independently anyway.
+        routeToBuckets(live, n, bucketSplits(totalLive, n))
       case scala.None =>
       if (clusterBy.isEmpty) live.repartition(nOut)
       else {

@@ -362,6 +362,47 @@ class SpjSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bucket routing splits big batches into rowsPerFile-sized single-bucket files") {
+    // SPJ needs each FILE single-bucket, never one file per bucket: a
+    // batch bigger than n*rowsPerFile must split WITHIN buckets so file
+    // sizing survives on bucketed tables (a 10M-row batch on a 4-bucket
+    // table must not write 2.5M-row files). The split index is a second
+    // independent key hash, so it is deterministic under replay.
+    val wh = Files.createTempDirectory("graft-spj-split").toString
+    val cat = GraftCatalog(spark, wh)
+    val t = cat.createTable("spl",
+      SchemaDsl.struct("id" -> "int64", "v" -> "int64"),
+      Identity.Keys(Seq("id")),
+      TableConfig(walEnabled = false, rowsPerFile = 100))
+    t.upsertAll((1L to 200L).map(i => Row(i, i)), startLsn = 1)
+    t.flush(); t.publish()
+    t.optimize(bucketBy = Some(2))
+    val before = t.currentManifest.dataFiles.map(_.path).toSet
+    // distributed batch of 600 fresh keys: splits = ceil(600/2/100) = 3
+    import spark.implicits._
+    val batch = (201L to 800L).map(i => ("u", 1000L + i, i, i))
+      .toDF("_op", "_lsn", "id", "v")
+    graft.streaming.CdcPipeline.applyBatch(t, batch)
+    val m = t.currentManifest
+    assert(m.bucketN == 2L && m.dataFiles.forall(_.bucket >= 0L))
+    val fresh = m.dataFiles.filterNot(e => before(e.path))
+    assert(fresh.nonEmpty)
+    // multiple files per bucket, none oversized, every one single-bucket
+    (0L to 1L).foreach { b =>
+      val files = fresh.filter(_.bucket == b)
+      assert(files.size >= 2, s"bucket $b not split: ${files.size} file(s)")
+    }
+    fresh.foreach { e =>
+      assert(e.rows <= 250, s"${e.path} oversized at ${e.rows} rows")
+      val bs = spark.read.parquet(s"$wh/spl/data/${e.path}")
+        .select(pmod(xxhash64(col("id")), lit(2L)).as("b"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+      assert(bs == Seq(e.bucket), s"${e.path} mixes buckets")
+    }
+    assert(t.read().count() == 800)
+    t.drop()
+  }
+
   test("driver-side bucket evaluator matches the DataFrame hash on every key type") {
     // the flush path stamps buckets via GraftTable.rowBucketEval (a
     // Catalyst XxHash64 evaluated on the driver); a drift from the
