@@ -40,7 +40,17 @@ final case class DataFileEntry(
     // fromJson normalizes the pair (missing-field ambiguity: Jackson
     // reads an absent primitive as 0, so bucket is trusted only when
     // bucketN > 0, which only a bucket-aware writer ever sets).
-    bucket: Long = -1L)
+    bucket: Long = -1L,
+    // column name -> null-row count, string-encoded like stats so
+    // Jackson never boxes (the iceberg null_value_counts analogue,
+    // reference `parquet_stats_utils.rs`). A MISSING column means the
+    // writer predates null accounting — readers must treat it as
+    // unknown, never as zero. Powers manifest-only COUNT(col) and
+    // IsNull/IsNotNull file pruning.
+    nullStats: Map[String, String] = Map.empty) {
+  /** Null count for `col` if this file recorded one. */
+  def nullsOf(col: String): Option[Long] = nullStats.get(col).map(_.toLong)
+}
 
 final case class IndexFileEntry(path: String, dataFiles: Seq[String],
     // merged (hash-bucketed) index files carry their xxhash64(key)
@@ -123,12 +133,20 @@ object Manifest {
       else m1.queryEpochs.asInstanceOf[Map[String, Any]].map { kv =>
         kv._1 -> kv._2.asInstanceOf[Number].longValue }
     val m2 = m1.copy(queryEpochs = qe)
+    // a manifest written before null accounting deserializes nullStats
+    // as null (Jackson ignores Scala defaults) — normalize to empty
+    // ("unknown"), which every reader treats as not-prunable/not-pushable
+    val m3 =
+      if (m2.dataFiles.exists(_.nullStats == null))
+        m2.copy(dataFiles = m2.dataFiles.map(e =>
+          if (e.nullStats == null) e.copy(nullStats = Map.empty) else e))
+      else m2
     // bucket ids are meaningful only under a bucket spec: a manifest
     // written before the field existed deserializes bucket as 0 (the
     // JVM default for a missing primitive), which bucketN == 0 gates off
-    if (m2.bucketN <= 0L && m2.dataFiles.exists(_.bucket != -1L))
-      m2.copy(dataFiles = m2.dataFiles.map(_.copy(bucket = -1L)))
-    else m2
+    if (m3.bucketN <= 0L && m3.dataFiles.exists(_.bucket != -1L))
+      m3.copy(dataFiles = m3.dataFiles.map(_.copy(bucket = -1L)))
+    else m3
   }
 }
 

@@ -13,7 +13,7 @@ import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
@@ -357,6 +357,10 @@ private[sources] object GraftScan {
       case LessThan(c, v) => ok(c, v)
       case LessThanOrEqual(c, v) => ok(c, v)
       case In(c, vs) => vs.nonEmpty && vs.forall(v => ok(c, v))
+      // null-presence filters prune on the per-file null counts (a
+      // missing count — pre-null-accounting writer — never prunes)
+      case IsNull(c) => schema.fieldNames.contains(c)
+      case IsNotNull(c) => schema.fieldNames.contains(c)
       case _ => false
     }
   }
@@ -416,6 +420,12 @@ private[sources] object GraftScan {
         })
         case _ => true
       }
+      // a file with zero recorded nulls cannot satisfy IS NULL; an
+      // all-null file cannot satisfy IS NOT NULL. DVs only shrink a
+      // file's row set, so "no rows of this kind exist" stays valid
+      // under masking; an unrecorded count keeps the file.
+      case IsNull(c) => e.nullsOf(c).forall(_ > 0L)
+      case IsNotNull(c) => e.nullsOf(c).forall(_ < e.rows)
       case _ => true
     }
   }
@@ -791,17 +801,25 @@ private[sources] object GraftAggScan {
   private def colOf(f: AggregateFunc): Option[String] = f match {
     case m: Min => named(m.column)
     case m: Max => named(m.column)
+    case c: Count => named(c.column)
     case _ => scala.None
   }
 
-  /** Global (no GROUP BY) COUNT(*)/MIN(col)/MAX(col) only; MIN/MAX
-   *  need a delete-free snapshot plus stats on every file for the
-   *  column (a DV could mask exactly the extreme row; a stat-less
-   *  file hides its range). */
+  /** Global (no GROUP BY) COUNT(*)/COUNT(col)/MIN(col)/MAX(col) only.
+   *  MIN/MAX need a delete-free snapshot plus stats on every file for
+   *  the column (a DV could mask exactly the extreme row; a stat-less
+   *  file hides its range); COUNT(col) needs a delete-free snapshot
+   *  plus a recorded null count on every file (a DV could mask a null
+   *  or a non-null row; a pre-null-accounting file is unknown, never
+   *  zero). */
   def supported(manifest: Manifest, agg: Aggregation): Boolean =
     agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
       agg.aggregateExpressions.forall {
         case _: CountStar => true
+        case c: Count =>
+          !c.isDistinct && manifest.dataFiles.forall(_.deletes == 0L) &&
+            colOf(c).exists(col =>
+              manifest.dataFiles.forall(_.nullsOf(col).isDefined))
         case f @ (_: Min | _: Max) =>
           manifest.dataFiles.forall(_.deletes == 0L) && colOf(f).exists { c =>
             manifest.schema.fields.find(_.name == c)
@@ -813,7 +831,8 @@ private[sources] object GraftAggScan {
 
   def schemaFor(schema: StructType, funcs: Seq[AggregateFunc]): StructType =
     StructType(funcs.zipWithIndex.map {
-      case (_: CountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
+      case (_: CountStar | _: Count, i) =>
+        StructField(s"agg_$i", LongType, nullable = false)
       case (f, i) =>
         val dt = colOf(f).flatMap(c => schema.fields.find(_.name == c)).map(_.dataType)
           .getOrElse(throw new IllegalStateException(s"unsupported pushed agg $f"))
@@ -835,6 +854,10 @@ private[sources] object GraftAggScan {
     }
     funcs.map {
       case _: CountStar => java.lang.Long.valueOf(manifest.liveRows)
+      case c: Count =>
+        val col = colOf(c).get
+        java.lang.Long.valueOf(manifest.dataFiles
+          .map(e => e.rows - e.nullsOf(col).get).sum)
       case f: Min => extreme(f, isMin = true)
       case f: Max => extreme(f, isMin = false)
       case other => throw new IllegalStateException(s"unsupported pushed agg $other")

@@ -597,7 +597,7 @@ final class GraftTable private (
         // the fold shuffle + persist — the batch's one data pass)
         val nDel = prof("fold+persist+nDel")(
           folded.where(col("_tag") =!= "a").count())
-        def fusedStats(): Option[Map[Int, (Long, Map[String, Seq[String]])]] =
+        def fusedStats(): Option[Map[Int, PartFileStats]] =
           if (!aligned) scala.None
           else Some(prof("stats")(collectFoldOutputs(folded, statFields,
             keyPos, shipDeletes = false))._1)
@@ -685,7 +685,7 @@ final class GraftTable private (
    *  that split factor, so partition id / split IS the storage bucket
    *  id and each new file records it. */
   private def writeBatchFiles(survivors: DataFrame, maxLsn: Long,
-      precomputedStats: Option[Map[Int, (Long, Map[String, Seq[String]])]]
+      precomputedStats: Option[Map[Int, PartFileStats]]
         = scala.None, bucketSplit: Int = 0): Unit = {
     val tmp = s"$root/tmp/${UUID.randomUUID()}"
     val out = if (!hasColumnMapping) survivors
@@ -734,6 +734,7 @@ final class GraftTable private (
           var pos = -1L
           val mins = Array.fill[Any](statIdxs.length)(null)
           val maxs = Array.fill[Any](statIdxs.length)(null)
+          val nulls = Array.fill[Long](statIdxs.length)(0L)
           val rows = it.map { r =>
             pos += 1
             if (accOpt.isDefined) {
@@ -743,18 +744,19 @@ final class GraftTable private (
                 if (v != null) {
                   if (mins(j) == null || statOrds(j).lt(v, mins(j))) mins(j) = v
                   if (maxs(j) == null || statOrds(j).gt(v, maxs(j))) maxs(j) = v
-                }
+                } else nulls(j) += 1
                 j += 1
               }
             }
             Row.fromSeq(kIdx.map(r.get) :+ fname :+ pos :+ r.getLong(lsnPos))
           }
           // the by-name ++ operand evaluates after `rows` exhausts: the
-          // partition's final (count, min, max) lands exactly once per
-          // pid — last-write-wins keying makes retries/speculation
+          // partition's final (count, min, max, nulls) lands exactly once
+          // per pid — last-write-wins keying makes retries/speculation
           // idempotent (identical deterministic content per pid)
           rows ++ {
-            accOpt.foreach(_.add((pid, pos + 1, mins.toSeq, maxs.toSeq)))
+            accOpt.foreach(_.add((pid, pos + 1, mins.toSeq, maxs.toSeq,
+              nulls.toSeq)))
             Iterator.empty
           }
         }
@@ -808,21 +810,26 @@ final class GraftTable private (
       inames.foreach(n => indexFiles += IndexFileEntry(n, allNames))
     }
     val partStats = precomputedStats
-      .orElse(fusedAcc.map(acc => acc.value.map { case (pid, (n, mins, maxs)) =>
-        val stats = statFields.zipWithIndex.map { case ((f, _), j) =>
-          f.name -> (if (mins(j) == null) Seq.empty[String]
-                     else statBounds(f.dataType, mins(j), maxs(j)))
-        }.toMap
-        pid -> (n, stats)
+      .orElse(fusedAcc.map(acc => acc.value.map {
+        case (pid, (n, mins, maxs, nulls)) =>
+          val stats = statFields.zipWithIndex.map { case ((f, _), j) =>
+            f.name -> (if (mins(j) == null) Seq.empty[String]
+                       else statBounds(f.dataType, mins(j), maxs(j)))
+          }.toMap
+          val ns = statFields.zipWithIndex.map { case ((f, _), j) =>
+            f.name -> nulls(j).toString
+          }.toMap
+          pid -> PartFileStats(n, stats, ns)
       }))
       .getOrElse(prof("  stats pass")(
         collectPartitionStats(survivors, statFields)))
     pidToName.foreach { case (pid, n) =>
-      partStats.get(pid).filter(_._1 > 0L) match {
-        case Some((rows, stats)) =>
-          fileEntries(n) = DataFileEntry(n, rows,
-            Fio.sizeOf(s"$root/data/$n"), maxLsn, 0L, stats,
-            bucket = if (bucketSplit >= 1) (pid / bucketSplit).toLong else -1L)
+      partStats.get(pid).filter(_.rows > 0L) match {
+        case Some(ps) =>
+          fileEntries(n) = DataFileEntry(n, ps.rows,
+            Fio.sizeOf(s"$root/data/$n"), maxLsn, 0L, ps.stats,
+            bucket = if (bucketSplit >= 1) (pid / bucketSplit).toLong else -1L,
+            nullStats = ps.nulls)
         case scala.None => Fio.delete(s"$root/data/$n")
       }
     }
@@ -833,13 +840,14 @@ final class GraftTable private (
    *  tuple per partition, never rows. */
   private def collectPartitionStats(survivors: DataFrame,
       statFields: Seq[(StructField, Int)])
-      : Map[Int, (Long, Map[String, Seq[String]])] = {
+      : Map[Int, PartFileStats] = {
     val ords = statFields.map { case (f, _) => anyOrdering(f.dataType) }
     val idxs = statFields.map(_._2).toArray
     survivors.rdd.mapPartitionsWithIndex { (pid, it) =>
       var n = 0L
       val mins = Array.fill[Any](idxs.length)(null)
       val maxs = Array.fill[Any](idxs.length)(null)
+      val nulls = Array.fill[Long](idxs.length)(0L)
       it.foreach { r =>
         n += 1
         var j = 0
@@ -848,17 +856,19 @@ final class GraftTable private (
           if (v != null) {
             if (mins(j) == null || ords(j).lt(v, mins(j))) mins(j) = v
             if (maxs(j) == null || ords(j).gt(v, maxs(j))) maxs(j) = v
-          }
+          } else nulls(j) += 1
           j += 1
         }
       }
-      Iterator.single((pid, n, mins.toSeq, maxs.toSeq))
-    }.collect().map { case (pid, n, mins, maxs) =>
+      Iterator.single((pid, n, mins.toSeq, maxs.toSeq, nulls.toSeq))
+    }.collect().map { case (pid, n, mins, maxs, nulls) =>
       val stats = statFields.zipWithIndex.map { case ((f, _), j) =>
         f.name -> (if (mins(j) == null) Seq.empty[String]
                    else statBounds(f.dataType, mins(j), maxs(j)))
       }.toMap
-      pid -> (n, stats)
+      val ns = statFields.zipWithIndex.map { case ((f, _), j) =>
+        f.name -> nulls(j).toString }.toMap
+      pid -> PartFileStats(n, stats, ns)
     }.toMap
   }
 
@@ -871,7 +881,7 @@ final class GraftTable private (
   private def collectFoldOutputs(folded: DataFrame,
       statFields: Seq[(StructField, Int)], keyPos: Array[Int],
       shipDeletes: Boolean = true)
-      : (Map[Int, (Long, Map[String, Seq[String]])], Seq[(Seq[Any], Long)]) = {
+      : (Map[Int, PartFileStats], Seq[(Seq[Any], Long)]) = {
     val ords = statFields.map { case (f, _) => anyOrdering(f.dataType) }
     val idxs = statFields.map(_._2).toArray
     val ship = shipDeletes // primitive capture: closure must not hold `this`
@@ -879,6 +889,7 @@ final class GraftTable private (
       var n = 0L
       val mins = Array.fill[Any](idxs.length)(null)
       val maxs = Array.fill[Any](idxs.length)(null)
+      val nulls = Array.fill[Long](idxs.length)(0L)
       val dels = mutable.ArrayBuffer[(Seq[Any], Long)]()
       it.foreach { r =>
         if (r.getString(0) == "a") {
@@ -889,23 +900,25 @@ final class GraftTable private (
             if (v != null) {
               if (mins(j) == null || ords(j).lt(v, mins(j))) mins(j) = v
               if (maxs(j) == null || ords(j).gt(v, maxs(j))) maxs(j) = v
-            }
+            } else nulls(j) += 1
             j += 1
           }
         } else if (ship) {
           dels += ((keyPos.toSeq.map(i => r.get(2 + i)), r.getLong(1)))
         }
       }
-      Iterator.single((pid, n, mins.toSeq, maxs.toSeq, dels.toSeq))
+      Iterator.single((pid, n, mins.toSeq, maxs.toSeq, nulls.toSeq, dels.toSeq))
     }.collect()
-    val stats = raw.map { case (pid, n, mins, maxs, _) =>
+    val stats = raw.map { case (pid, n, mins, maxs, nulls, _) =>
       val m = statFields.zipWithIndex.map { case ((f, _), j) =>
         f.name -> (if (mins(j) == null) Seq.empty[String]
                    else statBounds(f.dataType, mins(j), maxs(j)))
       }.toMap
-      pid -> (n, m)
+      val ns = statFields.zipWithIndex.map { case ((f, _), j) =>
+        f.name -> nulls(j).toString }.toMap
+      pid -> PartFileStats(n, m, ns)
     }.toMap
-    (stats, raw.toSeq.flatMap(_._5))
+    (stats, raw.toSeq.flatMap(_._6))
   }
 
   /** Block until all mutations at-or-below `lsn` are durably flushed to
@@ -1086,8 +1099,9 @@ final class GraftTable private (
       spark.createDataFrame(chunkRows.asJava, physicalSchema)
         .coalesce(1).write.mode("overwrite").parquet(tmp)
       movePartFile(tmp, s"$destDir/$name")
+      val (bounds, nulls) = columnStats(chunkRows)
       DataFileEntry(name, chunk.size.toLong, Fio.sizeOf(s"$destDir/$name"),
-        maxLsn, 0L, columnStats(chunkRows), bucket = bkt)
+        maxLsn, 0L, bounds, bucket = bkt, nullStats = nulls)
     }
   }
 
@@ -1099,18 +1113,24 @@ final class GraftTable private (
     Fio.delete(tmpDir)
   }
 
-  /** File-level min/max stats for manifest pruning (reference collects
-   *  parquet stats into iceberg manifests, `parquet_stats_utils.rs`). */
-  private def columnStats(rows: Seq[Row]): Map[String, Seq[String]] =
-    schemaVar.fields.zipWithIndex.collect {
+  /** File-level min/max + null-count stats for manifest pruning
+   *  (reference collects parquet stats into iceberg manifests,
+   *  `parquet_stats_utils.rs`). */
+  private def columnStats(rows: Seq[Row])
+      : (Map[String, Seq[String]], Map[String, String]) = {
+    val pairs = schemaVar.fields.zipWithIndex.collect {
       case (f, i) if statsComparable(f.dataType) =>
         val vs = rows.iterator.map(_.get(i)).filter(_ != null).toSeq
-        if (vs.isEmpty) f.name -> Seq.empty[String]
-        else {
-          implicit val ord: Ordering[Any] = anyOrdering(f.dataType)
-          f.name -> statBounds(f.dataType, vs.min, vs.max)
-        }
-    }.toMap
+        val bounds =
+          if (vs.isEmpty) f.name -> Seq.empty[String]
+          else {
+            implicit val ord: Ordering[Any] = anyOrdering(f.dataType)
+            f.name -> statBounds(f.dataType, vs.min, vs.max)
+          }
+        (bounds, f.name -> (rows.size - vs.size).toString)
+    }
+    (pairs.map(_._1).toMap, pairs.map(_._2).toMap)
+  }
 
   /** Fast-path index writer for rows the driver already holds in write
    *  order: the key index (key cols, _file, _pos, _lsn) is derived from
@@ -2053,7 +2073,7 @@ final class GraftTable private (
     // each new file's bucket expression must be constant (min == max),
     // which becomes the file's manifest bucket id
     var fileBucket: Map[String, Long] = Map.empty
-    val backStats: Map[String, (Long, Map[String, Seq[String]])] =
+    val backStats: Map[String, PartFileStats] =
       if (newNames.isEmpty) Map.empty
       else {
         val aggs = count(lit(1)).as("_n") +:
@@ -2061,7 +2081,8 @@ final class GraftTable private (
             Seq(min(bucketExpr(n)).as("_bmn"), max(bucketExpr(n)).as("_bmx"))) ++
           statFields.flatMap { f =>
             val p = col(SchemaDsl.physicalName(f))
-            Seq(min(p).as(s"_mn_${f.name}"), max(p).as(s"_mx_${f.name}"))
+            Seq(min(p).as(s"_mn_${f.name}"), max(p).as(s"_mx_${f.name}"),
+              count(p).as(s"_nn_${f.name}")) // non-null count -> nullStats
           })
         val rows = spark.read.schema(physicalSchema)
           .parquet(newNames.map(n => s"$root/data/$n"): _*)
@@ -2075,20 +2096,25 @@ final class GraftTable private (
             if (mn == mx) Some(r.getString(0) -> mn) else scala.None
           }.toMap
         rows.map { r =>
+            val n = r.getLong(r.fieldIndex("_n"))
             val stats = statFields.map { f =>
               val mn = r.get(r.fieldIndex(s"_mn_${f.name}"))
               val mx = r.get(r.fieldIndex(s"_mx_${f.name}"))
               f.name -> (if (mn == null) Seq.empty[String]
                          else statBounds(f.dataType, mn, mx))
             }.toMap
-            r.getString(0) -> (r.getLong(r.fieldIndex("_n")), stats)
+            val nulls = statFields.map { f =>
+              f.name -> (n - r.getLong(r.fieldIndex(s"_nn_${f.name}"))).toString
+            }.toMap
+            r.getString(0) -> PartFileStats(n, stats, nulls)
           }.toMap
       }
-    val counts: Map[String, Long] = backStats.map { case (n, (c, _)) => n -> c }
+    val counts: Map[String, Long] = backStats.map { case (n, s) => n -> s.rows }
     val entries = newNames.map(n => DataFileEntry(n,
       counts.getOrElse(n, 0L), Fio.sizeOf(s"$root/data/$n"), maxLsn, 0L,
-      backStats.get(n).map(_._2).getOrElse(Map.empty),
-      bucket = fileBucket.getOrElse(n, -1L)))
+      backStats.get(n).map(_.stats).getOrElse(Map.empty),
+      bucket = fileBucket.getOrElse(n, -1L),
+      nullStats = backStats.get(n).map(_.nulls).getOrElse(Map.empty)))
     // the bucket spec is table-level: a FRESH bucketBy holds only when
     // this rewrite covered every live file (it did — victims = all) AND
     // every surviving file validated single-bucket; any miss degrades to
@@ -2731,23 +2757,30 @@ object DvCache {
  *  would double-count, this one cannot. */
 private[graft] final class PartStatsAcc
     extends org.apache.spark.util.AccumulatorV2[
-      (Int, Long, Seq[Any], Seq[Any]),
-      Map[Int, (Long, Seq[Any], Seq[Any])]] {
+      (Int, Long, Seq[Any], Seq[Any], Seq[Long]),
+      Map[Int, (Long, Seq[Any], Seq[Any], Seq[Long])]] {
   private val m =
-    scala.collection.mutable.Map[Int, (Long, Seq[Any], Seq[Any])]()
+    scala.collection.mutable.Map[Int, (Long, Seq[Any], Seq[Any], Seq[Long])]()
   override def isZero: Boolean = m.isEmpty
   override def copy(): PartStatsAcc = {
     val a = new PartStatsAcc; a.m ++= m; a
   }
   override def reset(): Unit = m.clear()
-  override def add(v: (Int, Long, Seq[Any], Seq[Any])): Unit =
-    m(v._1) = (v._2, v._3, v._4)
+  override def add(v: (Int, Long, Seq[Any], Seq[Any], Seq[Long])): Unit =
+    m(v._1) = (v._2, v._3, v._4, v._5)
   override def merge(other: org.apache.spark.util.AccumulatorV2[
-      (Int, Long, Seq[Any], Seq[Any]),
-      Map[Int, (Long, Seq[Any], Seq[Any])]]): Unit =
+      (Int, Long, Seq[Any], Seq[Any], Seq[Long]),
+      Map[Int, (Long, Seq[Any], Seq[Any], Seq[Long])]]): Unit =
     other.value.foreach { case (k, v) => m(k) = v }
-  override def value: Map[Int, (Long, Seq[Any], Seq[Any])] = m.toMap
+  override def value: Map[Int, (Long, Seq[Any], Seq[Any], Seq[Long])] = m.toMap
 }
+
+/** Per-partition file statistics carried from a fold/stats pass into
+ *  `writeBatchFiles`: row count, [min,max] bounds and null counts per
+ *  stats column (the nulls power manifest-only COUNT(col) and
+ *  IsNull/IsNotNull file pruning). */
+private[graft] final case class PartFileStats(rows: Long,
+    stats: Map[String, Seq[String]], nulls: Map[String, String])
 
 object GraftTable {
   /** Value-semantics wrapper for key column values — the mem-index key

@@ -530,4 +530,60 @@ class GraftDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(err.getMessage.contains("non-append"))
     t.drop()
   }
+
+  test("count(col) pushed from null accounting; IS [NOT] NULL prunes files") {
+    val dir = tmpDir() + "/t"
+    val t = GraftTable.create(spark, dir, schema,
+      Identity.Keys(Seq("id")), TableConfig(memSliceSize = 4, walEnabled = false))
+    def row(i: Long, name: Any) = Row(i, name, i * 1.5, i % 2 == 0,
+      java.sql.Timestamp.valueOf(f"2025-01-01 00:00:${i % 60}%02d"))
+    // file A: nulls at 7,14 (2 of 20); file B: nulls at 105,112,119
+    t.apply((1L to 20L).flatMap(i =>
+      CdcEvent.upsert(row(i, if (i % 7 == 0) null else s"n$i"), Seq(i), i))
+      :+ Commit(21L))
+    t.apply((101L to 120L).flatMap(i =>
+      CdcEvent.upsert(row(i, if (i % 7 == 0) null else s"n$i"), Seq(i), i))
+      :+ Commit(121L))
+    // file C: no nulls at all; file D: ALL names null
+    t.apply((1001L to 1005L).flatMap(i =>
+      CdcEvent.upsert(row(i, s"n$i"), Seq(i), i)) :+ Commit(1006L))
+    t.apply((2001L to 2003L).flatMap(i =>
+      CdcEvent.upsert(row(i, null), Seq(i), i)) :+ Commit(2004L))
+    t.flush(); t.publish() // the 3-row tail is below the slice size
+    val m = t.currentManifest
+    assert(m.dataFiles.size == 4)
+    val df = spark.read.format("graft").load(t.root)
+    // COUNT(col) answered from per-file null counts, zero files read
+    val q = df.agg(count(col("name")), count(lit(1)))
+    assert(q.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+      "count(col) must come from the manifest's null accounting")
+    val r = q.head()
+    assert(r.getLong(0) == 40L && r.getLong(1) == 48L,
+      s"non-null names ${r.getLong(0)} of ${r.getLong(1)}")
+    // DISTINCT count cannot come from counts — must fall back
+    val qd = df.agg(count_distinct(col("name")))
+    assert(!qd.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+    assert(qd.head().getLong(0) == 40L)
+    // null-presence filters prune whole FILES from the plan
+    def partsFor(fs: Array[org.apache.spark.sql.sources.Filter]): Int = {
+      val sb = new GraftScanBuilder(t.root, m)
+      sb.pushFilters(fs)
+      sb.build().toBatch.planInputPartitions().length
+    }
+    assert(partsFor(Array.empty) == 4)
+    assert(partsFor(Array(org.apache.spark.sql.sources.IsNull("name"))) == 3,
+      "the null-free file must not be planned for IS NULL")
+    assert(partsFor(Array(org.apache.spark.sql.sources.IsNotNull("name"))) == 3,
+      "the all-null file must not be planned for IS NOT NULL")
+    // end-to-end values with the pruning active
+    assert(df.where(col("name").isNull).count() == 8L)
+    assert(df.where(col("name").isNotNull).count() == 40L)
+    // a DV makes count(col) unsafe — falls back, stays exact
+    t.apply(Seq(Delete(Seq(7L), 3000L), Commit(3001L)))
+    val df2 = spark.read.format("graft").load(t.root)
+    val q2 = df2.agg(count(col("name")))
+    assert(!q2.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+    assert(q2.head().getLong(0) == 40L) // deleted row had a null name
+    t.drop()
+  }
 }

@@ -106,6 +106,18 @@ class SpjSpec extends AnyFunSuite with BeforeAndAfterAll {
         "f1.parquet", 10L, 100L, 1L, bucket = 0L)))
     val rt = Manifest.fromJson(Manifest.toJson(m))
     assert(rt.bucketN == 0L && rt.dataFiles.head.bucket == -1L)
+    // pre-null-accounting JSON (no nullStats field at all) must read as
+    // UNKNOWN — empty map, nullsOf None — never as zero nulls
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val tree = om.readTree(Manifest.toJson(m))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    tree.get("dataFiles").forEach { n =>
+      n.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        .remove("nullStats"); ()
+    }
+    val legacy = Manifest.fromJson(tree.toString)
+    assert(legacy.dataFiles.head.nullStats == Map.empty)
+    assert(legacy.dataFiles.head.nullsOf("anything").isEmpty)
   }
 
   test("catalog bucket function matches the storage layout arithmetic") {
