@@ -1748,9 +1748,16 @@ object SparkEntry {
           lit(null).cast("long").as("event_id"),
           lit(null).cast("string").as("event_type"),
           lit(null).cast("double").as("value"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nRedelivered = redelivered.count()
       CdcPipeline.applyBatch(table, redelivered)
+      redelivered.unpersist()
       val (probed, total) = table.lastDeleteProbe
-      require(total < 8 || probed.toDouble / total <= 0.5,
+      // guarded on the slice being non-empty: an empty redelivery
+      // early-returns and lastDeleteProbe would still hold the purge's
+      // full-coverage value — a scale artifact, not a pruning failure
+      require(nRedelivered == 0 || total < 8 ||
+        probed.toDouble / total <= 0.5,
         s"covering probe opened $probed of $total index buckets")
       table.read(scala.None)
         .select(col("user_id"), col("event_id").as("last_event_id"),

@@ -53,6 +53,15 @@ final case class TableConfig(
      *  -> per-file roaring DV delta) instead of collecting delete keys
      *  to the driver — a purge-style batch never funnels keys. */
     distributedDeleteThreshold: Long = 100L * 1000,
+    /** bucketed tables: a distributed batch routes onto the bucket
+     *  layout only when it averages at least this many rows per bucket;
+     *  below it (micro-batches on a wide layout — 1k rows on 1024
+     *  buckets would fan out to ~600 one-row files PER BATCH) the batch
+     *  writes unbucketed, the scan's SPJ gate degrades per-scan, and
+     *  the next maintenance compaction re-buckets the small-file tail
+     *  (its escalation keeps the layout). File hygiene beats keeping
+     *  SPJ alive batch-by-batch at that size. */
+    bucketRouteMinRowsPerBucket: Int = 8,
     /** vacuum keeps files referenced by this many latest manifest
      *  versions (>=1; 1 = current snapshot only). Versions inside the
      *  horizon stay time-travelable AFTER vacuum; older manifests
@@ -428,11 +437,14 @@ final class GraftTable private (
       val cores = spark.sparkContext.defaultParallelism.toLong
       math.min(notSmall, math.max(sized, cores)).toInt
     }
-    // a bucketed layout (optimize(bucketBy)) is maintained by EVERY
-    // subsequent distributed write: the batch routes through the bucket
-    // partitioner instead of a narrow pack, so the scan keeps reporting
-    // KeyGroupedPartitioning under continuous CDC
-    val bucketRoute = bucketNVar > 0 && keyCols.nonEmpty
+    // a bucketed layout (optimize(bucketBy)) is maintained by every
+    // SUBSTANTIAL distributed write: the batch routes through the
+    // bucket partitioner instead of a narrow pack, so the scan keeps
+    // reporting KeyGroupedPartitioning under continuous CDC.
+    // Micro-batches below the per-bucket floor write unbucketed (see
+    // bucketRouteMinRowsPerBucket) — compaction re-buckets them.
+    val bucketRoute = bucketNVar > 0 && keyCols.nonEmpty &&
+      est >= bucketNVar * config.bucketRouteMinRowsPerBucket
     val bSplit =
       if (bucketRoute) bucketSplits(est, bucketNVar.toInt) else 0
     if (!hasDeletes) {
@@ -569,6 +581,8 @@ final class GraftTable private (
           dataCols.map(c => col(s"_r.$c").as(c)): _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val keyPos = keyColNames.map(schemaVar.fieldIndex).toArray
+      // the bucket route persists a second frame; released in finally
+      var routedCache: Option[DataFrame] = scala.None
       try {
         // packed for writing: when the fold ran WIDER than the output
         // file count, a narrow coalesce over the persisted fold output
@@ -581,14 +595,16 @@ final class GraftTable private (
         val survivors = {
           val s0 = folded.where(col("_tag") === "a")
             .select(dataCols.map(col) :+ col("_lsn"): _*)
-          if (bucketRoute)
+          if (bucketRoute) {
             // persisted: the route is a shuffle, and the two concurrent
             // writeBatchFiles jobs must observe ONE row order per
-            // partition (reduce-side fetch order is not deterministic
-            // across jobs on a cluster; the cache pins it)
-            routeToBuckets(s0, bucketNVar.toInt, bSplit)
+            // partition (the sorted route makes recompute deterministic;
+            // the cache avoids paying the sort twice)
+            val r = routeToBuckets(s0, bucketNVar.toInt, bSplit)
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          else if (aligned) s0 else s0.coalesce(nOut)
+            routedCache = Some(r)
+            r
+          } else if (aligned) s0 else s0.coalesce(nOut)
         }
         val statFields = schemaVar.fields.zipWithIndex
           .filter { case (f, _) => statsComparable(f.dataType) }.toSeq
@@ -629,8 +645,10 @@ final class GraftTable private (
             folded.where(col("_tag") =!= "a")
               .select(keyColNames.map(col) :+ col("_lsn").as("_dlsn"): _*)))
         }
-        if (bucketRoute) survivors.unpersist()
-      } finally folded.unpersist()
+      } finally {
+        routedCache.foreach(_.unpersist())
+        folded.unpersist()
+      }
     }
     maybeMergeIndexes()
     commitLsnVar = math.max(commitLsnVar, maxLsn)
@@ -661,9 +679,19 @@ final class GraftTable private (
     val target =
       if (splits <= 1) bexpr
       else bexpr * splits + pmod(hash(keyCols.map(col): _*), lit(splits))
+    // sortWithinPartitions pins a TOTAL deterministic row order: the
+    // data write and the concurrent key-index job must observe the
+    // same order even if a cached block is lost and recomputed, and a
+    // bare hash-shuffle's reduce-side arrival order is not
+    // deterministic across recomputations on a cluster. (key, _lsn) is
+    // unique per distinct event; identical redelivered rows tie
+    // harmlessly. Bonus: bucket files come out key-clustered.
+    val sortCols = keyCols.map(col) ++
+      (if (df.columns.contains("_lsn")) Seq(col("_lsn")) else Nil)
     df.withColumn("_gb",
         element_at(typedlit(proxies), (target + 1L).cast("int")))
       .repartition(m, col("_gb"))
+      .sortWithinPartitions(sortCols: _*)
       .drop("_gb")
   }
 
@@ -1039,11 +1067,12 @@ final class GraftTable private (
    *  it a proxy long with murmur3(proxy) % n == bucket makes partition
    *  index == bucket id and the whole pass stays codegen'd (no RDD
    *  partitioner detour). Proxy search is O(n) driver arithmetic. */
-  private def bucketProxies(n: Int): Seq[Long] = (0 until n).map { bkt =>
-    Iterator.from(0).map(_.toLong).find(v => java.lang.Math.floorMod(
-      org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(v, 42)
-        .toLong, n.toLong) == bkt.toLong).get
-  }
+  private def bucketProxies(n: Int): Seq[Long] =
+    GraftTable.proxyCache.getOrElseUpdate(n, (0 until n).map { bkt =>
+      Iterator.from(0).map(_.toLong).find(v => java.lang.Math.floorMod(
+        org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(v, 42)
+          .toLong, n.toLong) == bkt.toLong).get
+    })
 
   /** Driver-side evaluator of the storage bucket function —
    *  pmod(xxhash64(key cols), n) — through the SAME Catalyst expression
@@ -2370,6 +2399,10 @@ final class GraftTable private (
    *  pre-alter files yields null for it (see physicalSchema). */
   def alterAddColumn(name: String, typeName: String): Unit = synchronized {
     require(!schemaVar.fieldNames.contains(name), s"column $name exists")
+    // belt and braces for manifests written before stats stripping
+    // landed on the drop/rename verbs: a re-added name must never
+    // inherit a predecessor column's per-file stats
+    stripColumnStats(Set(name))
     // FullRow identity derives the key set from the schema; widening it
     // would desync persisted index files written with the old key
     // schema (resolveCommittedDeletes joins on keyFields names)
@@ -2401,8 +2434,37 @@ final class GraftTable private (
     publish()
   }
 
+  /** Remove per-file stats/null accounting for the given LOGICAL
+   *  columns. Stats maps are keyed by logical name, so a drop (or a
+   *  re-add after drop/rename, which maps to a FRESH physical column
+   *  old files read as all-NULL) would otherwise leave stale entries
+   *  that IS NULL pruning and COUNT(col) pushdown trust — turning
+   *  stale metadata into wrong answers. Min/max staleness was
+   *  comparison-safe (NULL matches nothing); null counts are not. */
+  private def stripColumnStats(cols: Set[String]): Unit =
+    fileEntries.keys.toSeq.foreach { k =>
+      val e = fileEntries(k)
+      if (cols.exists(c => e.stats.contains(c) || e.nullStats.contains(c)))
+        fileEntries(k) = e.copy(
+          stats = e.stats -- cols, nullStats = e.nullStats -- cols)
+    }
+
+  /** Re-key per-file stats on a rename: the data is the same physical
+   *  column, so its bounds/null counts stay valid under the new name. */
+  private def rekeyColumnStats(from: String, to: String): Unit =
+    fileEntries.keys.toSeq.foreach { k =>
+      val e = fileEntries(k)
+      if (e.stats.contains(from) || e.nullStats.contains(from))
+        fileEntries(k) = e.copy(
+          stats = e.stats.get(from)
+            .map(v => e.stats - from + (to -> v)).getOrElse(e.stats),
+          nullStats = e.nullStats.get(from)
+            .map(v => e.nullStats - from + (to -> v)).getOrElse(e.nullStats))
+    }
+
   def alterDropColumns(cols: Seq[String]): Unit = synchronized {
     require(cols.forall(c => !keyCols.contains(c)), "cannot drop key columns")
+    stripColumnStats(cols.toSet)
     // the dropped columns' PHYSICAL names may survive in live files;
     // record them so a re-add of the same name maps to a fresh one
     schemaVar.fields.filter(f => cols.contains(f.name))
@@ -2456,6 +2518,7 @@ final class GraftTable private (
     schemaVar = StructType(
       schemaVar.fields.updated(i, f.copy(name = to, metadata = mb.build())))
     if (!droppedColsVar.contains(phys)) droppedColsVar += phys
+    rekeyColumnStats(from, to)
     // buffered rows are positional; nothing to rewrite
     publish()
   }
@@ -2786,6 +2849,12 @@ object GraftTable {
   /** Value-semantics wrapper for key column values — the mem-index key
    *  (reference `MemIndex`, `mem_index.rs:38`). */
   final case class KeyVal(values: Seq[Any])
+
+  /** Proxy tables depend only on the partition count and cost expected
+   *  O(m^2) murmur3 probes to derive — memoized process-wide so
+   *  continuous micro-batch ingest never recomputes them. */
+  private[table] val proxyCache =
+    scala.collection.concurrent.TrieMap.empty[Int, Seq[Long]]
 
   /** Ordinals of every [mn, mx] range covering `kh`, over ranges sorted
    *  by `mn` with `pm` the running prefix max of `mx`: one binary search

@@ -235,8 +235,10 @@ final class JdbcMetadataBackend(url: String,
   override def store(entry: TableMetadataEntry): Unit = withConn { c =>
     ensureTable(c)
     // the PRIMARY KEY enforces the no-duplicate precondition atomically;
-    // surface it as the same IllegalArgumentException the other
-    // backends raise
+    // ONLY an integrity violation (SQLState class 23) maps to the
+    // contract's IllegalArgumentException — connectivity/permission/DDL
+    // failures must surface as themselves, or a caller would conclude
+    // "already exists" and skip creation instead of retrying
     val st = c.prepareStatement(InsertSql)
     try {
       st.setString(1, entry.database)
@@ -246,7 +248,9 @@ final class JdbcMetadataBackend(url: String,
       st.setString(5, MetadataStore.configToJson(entry))
       st.executeUpdate()
     } catch {
-      case e: java.sql.SQLException =>
+      case e: java.sql.SQLException
+          if e.isInstanceOf[java.sql.SQLIntegrityConstraintViolationException] ||
+            Option(e.getSQLState).exists(_.startsWith("23")) =>
         throw new IllegalArgumentException(
           s"metadata for ${entry.database}.${entry.table} already stored", e)
     } finally st.close()

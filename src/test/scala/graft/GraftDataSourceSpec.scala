@@ -586,4 +586,46 @@ class GraftDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q2.head().getLong(0) == 40L) // deleted row had a null name
     t.drop()
   }
+
+  test("null accounting cannot go stale across column drop/re-add or rename") {
+    // a re-added column maps to a FRESH physical name old files read as
+    // all-NULL; stale per-file null counts (0 for the predecessor)
+    // would make IS NULL prune those files and COUNT(col) claim their
+    // rows as non-null — the alter verbs must strip/re-key stats
+    val dir = tmpDir() + "/t"
+    val sch = SchemaDsl.struct("id" -> "int64", "v" -> "string",
+      "w" -> "int64")
+    val t = GraftTable.create(spark, dir, sch,
+      Identity.Keys(Seq("id")), TableConfig(memSliceSize = 4, walEnabled = false))
+    t.apply((1L to 10L).flatMap(i =>
+      CdcEvent.upsert(Row(i, s"v$i", i * 100), Seq(i), i)) :+ Commit(11L))
+    t.flush(); t.publish()
+    assert(t.currentManifest.dataFiles.forall(_.nullsOf("v").contains(0L)))
+    t.alterDropColumns(Seq("v"))
+    t.alterAddColumn("v", "string")
+    val df = spark.read.format("graft").load(t.root)
+    // every old row now reads v as NULL: IS NULL must return them all
+    assert(df.where(col("v").isNull).count() == 10L)
+    // and COUNT(v) must not push from the stripped (unknown) accounting
+    val q = df.agg(count(col("v")))
+    assert(!q.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+      "count(col) must not trust a predecessor column's null counts")
+    assert(q.head().getLong(0) == 0L)
+    // rename re-keys stats: pruning keeps working under the new name...
+    t.alterRenameColumn("w", "w2")
+    assert(t.currentManifest.dataFiles.forall(e =>
+      e.nullsOf("w2").contains(0L) && e.nullsOf("w").isEmpty))
+    def partsFor(fs: Array[org.apache.spark.sql.sources.Filter]): Int = {
+      val sb = new GraftScanBuilder(t.root, t.currentManifest)
+      sb.pushFilters(fs)
+      sb.build().toBatch.planInputPartitions().length
+    }
+    assert(partsFor(Array(GreaterThan("w2", 100000L))) == 0,
+      "renamed column's bounds must keep pruning")
+    // ...and a fresh column under the old name inherits nothing
+    t.alterAddColumn("w", "int64")
+    val df3 = spark.read.format("graft").load(t.root)
+    assert(df3.where(col("w").isNull).count() == 10L)
+    t.drop()
+  }
 }
