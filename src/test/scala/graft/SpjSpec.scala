@@ -415,6 +415,40 @@ class SpjSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.drop()
   }
 
+  test("micro-batches below the per-bucket floor stay unbucketed until compaction re-buckets") {
+    // a 10-row batch on a 4-bucket layout (floor = 4*8 = 32 rows) must
+    // NOT fan out into per-bucket files: it writes one unbucketed file
+    // (SPJ gate degrades per-scan, correctness unaffected) and the next
+    // maintenance compaction escalates it back onto the layout
+    val wh = Files.createTempDirectory("graft-spj-floor").toString
+    val cat = GraftCatalog(spark, wh)
+    val t = cat.createTable("fl",
+      SchemaDsl.struct("id" -> "int64", "v" -> "int64"),
+      Identity.Keys(Seq("id")), TableConfig(walEnabled = false))
+    t.upsertAll((1L to 200L).map(i => Row(i, i)), startLsn = 1)
+    t.flush(); t.publish()
+    t.optimize(bucketBy = Some(4))
+    val before = t.currentManifest.dataFiles.map(_.path).toSet
+    import spark.implicits._
+    val tiny = (201L to 210L).map(i => ("u", 500L + i, i, i))
+      .toDF("_op", "_lsn", "id", "v")
+    graft.streaming.CdcPipeline.applyBatch(t, tiny)
+    val m1 = t.currentManifest
+    val fresh = m1.dataFiles.filterNot(e => before(e.path))
+    assert(fresh.size == 1 && fresh.head.bucket == -1L,
+      s"below-floor batch must write ONE unbucketed file: " +
+        s"${fresh.map(e => (e.path, e.bucket, e.rows))}")
+    assert(m1.bucketN == 4L) // the spec survives; only the gate degrades
+    assert(t.read().count() == 210)
+    // maintenance re-buckets the small-file tail (escalated rewrite)
+    t.optimize()
+    val m2 = t.currentManifest
+    assert(m2.bucketN == 4L && m2.dataFiles.forall(_.bucket >= 0L),
+      s"compaction must restore the layout: ${m2.dataFiles.map(_.bucket)}")
+    assert(t.read().count() == 210)
+    t.drop()
+  }
+
   test("driver-side bucket evaluator matches the DataFrame hash on every key type") {
     // the flush path stamps buckets via GraftTable.rowBucketEval (a
     // Catalyst XxHash64 evaluated on the driver); a drift from the
