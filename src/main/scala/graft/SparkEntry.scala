@@ -1500,21 +1500,22 @@ object SparkEntry {
         count(lit(1)), min(col("user_id")), max(col("user_id")),
         min(col("event_id")), max(col("event_id")),
         min(col("value")), max(col("value")),
-        count(col("value")))) // COUNT(col): per-file null accounting
+        count(col("value")), // COUNT(col): per-file null accounting
+        sum(col("user_id")))) // SUM(col): exact integral per-file sums
       table.deleteWhere(col("event_type") === "purchase")
       val post = aggScanOnly(
         s.read.format("graft").load(table.root).agg(count(lit(1))))
       import s.implicits._
       Seq((pre.getLong(0), pre.getLong(1), pre.getLong(2), pre.getLong(3),
         pre.getLong(4), pre.getDouble(5), pre.getDouble(6), pre.getLong(7),
-        post.getLong(0)))
+        pre.getLong(8), post.getLong(0)))
         .toDF("n_users", "mn_user", "mx_user", "mn_event", "mx_event",
-          "mn_value", "mx_value", "n_values", "n_after_deletes")
+          "mn_value", "mx_value", "n_values", "sum_users", "n_after_deletes")
         .select(col("n_users"), col("mn_user"), col("mx_user"),
           col("mn_event"), col("mx_event"),
           cents(col("mn_value")).as("mn_value_cents"),
           cents(col("mx_value")).as("mx_value_cents"),
-          col("n_values"), col("n_after_deletes"))
+          col("n_values"), col("sum_users"), col("n_after_deletes"))
     }),
 
     "cdc_update_where" -> ((s, d) => {
@@ -5589,6 +5590,7 @@ object SparkEntry {
         |       CAST(ROUND(min(value)*100) AS BIGINT) AS mn_value_cents,
         |       CAST(ROUND(max(value)*100) AS BIGINT) AS mx_value_cents,
         |       count(value) AS n_values,
+        |       CAST(SUM(user_id) AS BIGINT) AS sum_users,
         |       (SELECT count(*) FROM last WHERE event_type <> 'purchase')
         |         AS n_after_deletes
         |FROM last""".stripMargin,

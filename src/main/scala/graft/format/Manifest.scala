@@ -47,9 +47,18 @@ final case class DataFileEntry(
     // writer predates null accounting — readers must treat it as
     // unknown, never as zero. Powers manifest-only COUNT(col) and
     // IsNull/IsNotNull file pruning.
-    nullStats: Map[String, String] = Map.empty) {
+    nullStats: Map[String, String] = Map.empty,
+    // column name -> exact sum of the file's non-null values, INTEGRAL
+    // columns only, accumulated in 64-bit wrapping arithmetic (addition
+    // mod 2^64 is associative, so per-file partials recombine to
+    // exactly Spark's non-ANSI sum). String-encoded like stats; a
+    // MISSING column means unknown (pre-accounting writer or a
+    // non-integral type) and never pushes.
+    sumStats: Map[String, String] = Map.empty) {
   /** Null count for `col` if this file recorded one. */
   def nullsOf(col: String): Option[Long] = nullStats.get(col).map(_.toLong)
+  /** Exact integral sum for `col` if this file recorded one. */
+  def sumOf(col: String): Option[Long] = sumStats.get(col).map(_.toLong)
 }
 
 final case class IndexFileEntry(path: String, dataFiles: Seq[String],
@@ -137,9 +146,10 @@ object Manifest {
     // as null (Jackson ignores Scala defaults) — normalize to empty
     // ("unknown"), which every reader treats as not-prunable/not-pushable
     val m3 =
-      if (m2.dataFiles.exists(_.nullStats == null))
-        m2.copy(dataFiles = m2.dataFiles.map(e =>
-          if (e.nullStats == null) e.copy(nullStats = Map.empty) else e))
+      if (m2.dataFiles.exists(e => e.nullStats == null || e.sumStats == null))
+        m2.copy(dataFiles = m2.dataFiles.map(e => e.copy(
+          nullStats = if (e.nullStats == null) Map.empty else e.nullStats,
+          sumStats = if (e.sumStats == null) Map.empty else e.sumStats)))
       else m2
     // bucket ids are meaningful only under a bucket spec: a manifest
     // written before the field existed deserializes bucket as 0 (the

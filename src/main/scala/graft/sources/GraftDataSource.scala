@@ -13,7 +13,7 @@ import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
@@ -802,7 +802,47 @@ private[sources] object GraftAggScan {
     case m: Min => named(m.column)
     case m: Max => named(m.column)
     case c: Count => named(c.column)
+    case s: Sum => named(s.column)
     case _ => scala.None
+  }
+
+  /** SUM pushes only for integral columns (exact wrapping partials).
+   *  Under non-ANSI arithmetic the wrapped stats total IS Spark's
+   *  answer. Under ANSI (the Spark 4 default) SUM throws on overflow,
+   *  and whether a scan overflows can depend on accumulation order —
+   *  so ANSI pushes only when the per-file bounds PROVE no ordering
+   *  can overflow (Σ (non-null rows × max|bound|) fits in a Long);
+   *  then the exact total is order-independent and equals the scan's.
+   *  An unprovable case declines, so the scan's ANSI error is never
+   *  masked by a silently wrapped metadata answer. */
+  private def sumPushable(manifest: Manifest, s: Sum): Boolean = {
+    if (s.isDistinct || !manifest.dataFiles.forall(_.deletes == 0L))
+      return false
+    val cOpt = colOf(s)
+    val fdOpt = cOpt.flatMap(c => manifest.schema.fields.find(_.name == c))
+    val ok = fdOpt.exists(fd =>
+      GraftTable.integralLong(fd.dataType).isDefined) &&
+      cOpt.exists(c => manifest.dataFiles.forall(e =>
+        e.sumOf(c).isDefined && e.nullsOf(c).isDefined))
+    if (!ok) return false
+    // SQLConf carries the real default (ANSI is ON in Spark 4); a
+    // caller-supplied fallback on RuntimeConfig.get would mask it
+    val ansi = org.apache.spark.sql.internal.SQLConf.get.ansiEnabled
+    if (!ansi) return true
+    val (c, fd) = (cOpt.get, fdOpt.get)
+    val caps = manifest.dataFiles.map { e =>
+      val nonNull = e.rows - e.nullsOf(c).get
+      if (nonNull == 0L) Some(BigInt(0))
+      else e.stats.get(c).filter(_.length == 2).map { b =>
+        val mn = BigInt(GraftTable.parseStat(fd.dataType, b.head)
+          .asInstanceOf[Number].longValue)
+        val mx = BigInt(GraftTable.parseStat(fd.dataType, b(1))
+          .asInstanceOf[Number].longValue)
+        BigInt(nonNull) * mn.abs.max(mx.abs)
+      } // a bound-less non-empty file makes overflow unprovable
+    }
+    caps.forall(_.isDefined) &&
+      caps.flatten.sum <= BigInt(Long.MaxValue)
   }
 
   /** Global (no GROUP BY) COUNT(*)/COUNT(col)/MIN(col)/MAX(col) only.
@@ -820,6 +860,7 @@ private[sources] object GraftAggScan {
           !c.isDistinct && manifest.dataFiles.forall(_.deletes == 0L) &&
             colOf(c).exists(col =>
               manifest.dataFiles.forall(_.nullsOf(col).isDefined))
+        case s: Sum => sumPushable(manifest, s)
         case f @ (_: Min | _: Max) =>
           manifest.dataFiles.forall(_.deletes == 0L) && colOf(f).exists { c =>
             manifest.schema.fields.find(_.name == c)
@@ -833,6 +874,8 @@ private[sources] object GraftAggScan {
     StructType(funcs.zipWithIndex.map {
       case (_: CountStar | _: Count, i) =>
         StructField(s"agg_$i", LongType, nullable = false)
+      case (_: Sum, i) => // Spark's SUM over integral inputs is LongType
+        StructField(s"agg_$i", LongType, nullable = true)
       case (f, i) =>
         val dt = colOf(f).flatMap(c => schema.fields.find(_.name == c)).map(_.dataType)
           .getOrElse(throw new IllegalStateException(s"unsupported pushed agg $f"))
@@ -858,6 +901,12 @@ private[sources] object GraftAggScan {
         val col = colOf(c).get
         java.lang.Long.valueOf(manifest.dataFiles
           .map(e => e.rows - e.nullsOf(col).get).sum)
+      case s: Sum =>
+        val col = colOf(s).get
+        val nonNull = manifest.dataFiles.map(e => e.rows - e.nullsOf(col).get).sum
+        if (nonNull == 0L) null // SUM over zero values is NULL
+        else java.lang.Long.valueOf(
+          manifest.dataFiles.foldLeft(0L)((a, e) => a + e.sumOf(col).get))
       case f: Min => extreme(f, isMin = true)
       case f: Max => extreme(f, isMin = false)
       case other => throw new IllegalStateException(s"unsupported pushed agg $other")

@@ -756,6 +756,8 @@ final class GraftTable private (
         val fileOfPid = preNames // local: closure must not capture `this`
         val statIdxs = statFields.map(_._2).toArray
         val statOrds = statFields.map { case (f, _) => anyOrdering(f.dataType) }
+        val sumFns = statFields.map { case (f, _) =>
+          GraftTable.integralLong(f.dataType).orNull }.toArray
         val accOpt = fusedAcc
         val idxRdd = survivors.rdd.mapPartitionsWithIndex { (pid, it) =>
           val fname = fileOfPid.getOrElse(pid, null)
@@ -763,6 +765,7 @@ final class GraftTable private (
           val mins = Array.fill[Any](statIdxs.length)(null)
           val maxs = Array.fill[Any](statIdxs.length)(null)
           val nulls = Array.fill[Long](statIdxs.length)(0L)
+          val sums = Array.fill[Long](statIdxs.length)(0L)
           val rows = it.map { r =>
             pos += 1
             if (accOpt.isDefined) {
@@ -772,6 +775,7 @@ final class GraftTable private (
                 if (v != null) {
                   if (mins(j) == null || statOrds(j).lt(v, mins(j))) mins(j) = v
                   if (maxs(j) == null || statOrds(j).gt(v, maxs(j))) maxs(j) = v
+                  if (sumFns(j) != null) sums(j) += sumFns(j)(v)
                 } else nulls(j) += 1
                 j += 1
               }
@@ -779,12 +783,12 @@ final class GraftTable private (
             Row.fromSeq(kIdx.map(r.get) :+ fname :+ pos :+ r.getLong(lsnPos))
           }
           // the by-name ++ operand evaluates after `rows` exhausts: the
-          // partition's final (count, min, max, nulls) lands exactly once
-          // per pid — last-write-wins keying makes retries/speculation
+          // partition's final (count, min, max, nulls, sums) lands exactly
+          // once per pid — last-write-wins keying makes retries/speculation
           // idempotent (identical deterministic content per pid)
           rows ++ {
             accOpt.foreach(_.add((pid, pos + 1, mins.toSeq, maxs.toSeq,
-              nulls.toSeq)))
+              nulls.toSeq, sums.toSeq)))
             Iterator.empty
           }
         }
@@ -839,7 +843,7 @@ final class GraftTable private (
     }
     val partStats = precomputedStats
       .orElse(fusedAcc.map(acc => acc.value.map {
-        case (pid, (n, mins, maxs, nulls)) =>
+        case (pid, (n, mins, maxs, nulls, sums)) =>
           val stats = statFields.zipWithIndex.map { case ((f, _), j) =>
             f.name -> (if (mins(j) == null) Seq.empty[String]
                        else statBounds(f.dataType, mins(j), maxs(j)))
@@ -847,7 +851,11 @@ final class GraftTable private (
           val ns = statFields.zipWithIndex.map { case ((f, _), j) =>
             f.name -> nulls(j).toString
           }.toMap
-          pid -> PartFileStats(n, stats, ns)
+          val sm = statFields.zipWithIndex.collect {
+            case ((f, _), j) if GraftTable.integralLong(f.dataType).isDefined =>
+              f.name -> sums(j).toString
+          }.toMap
+          pid -> PartFileStats(n, stats, ns, sm)
       }))
       .getOrElse(prof("  stats pass")(
         collectPartitionStats(survivors, statFields)))
@@ -857,7 +865,7 @@ final class GraftTable private (
           fileEntries(n) = DataFileEntry(n, ps.rows,
             Fio.sizeOf(s"$root/data/$n"), maxLsn, 0L, ps.stats,
             bucket = if (bucketSplit >= 1) (pid / bucketSplit).toLong else -1L,
-            nullStats = ps.nulls)
+            nullStats = ps.nulls, sumStats = ps.sums)
         case scala.None => Fio.delete(s"$root/data/$n")
       }
     }
@@ -871,11 +879,14 @@ final class GraftTable private (
       : Map[Int, PartFileStats] = {
     val ords = statFields.map { case (f, _) => anyOrdering(f.dataType) }
     val idxs = statFields.map(_._2).toArray
+    val sumFns = statFields.map { case (f, _) =>
+      GraftTable.integralLong(f.dataType).orNull }.toArray
     survivors.rdd.mapPartitionsWithIndex { (pid, it) =>
       var n = 0L
       val mins = Array.fill[Any](idxs.length)(null)
       val maxs = Array.fill[Any](idxs.length)(null)
       val nulls = Array.fill[Long](idxs.length)(0L)
+      val sums = Array.fill[Long](idxs.length)(0L)
       it.foreach { r =>
         n += 1
         var j = 0
@@ -884,19 +895,23 @@ final class GraftTable private (
           if (v != null) {
             if (mins(j) == null || ords(j).lt(v, mins(j))) mins(j) = v
             if (maxs(j) == null || ords(j).gt(v, maxs(j))) maxs(j) = v
+            if (sumFns(j) != null) sums(j) += sumFns(j)(v)
           } else nulls(j) += 1
           j += 1
         }
       }
-      Iterator.single((pid, n, mins.toSeq, maxs.toSeq, nulls.toSeq))
-    }.collect().map { case (pid, n, mins, maxs, nulls) =>
+      Iterator.single((pid, n, mins.toSeq, maxs.toSeq, nulls.toSeq, sums.toSeq))
+    }.collect().map { case (pid, n, mins, maxs, nulls, sums) =>
       val stats = statFields.zipWithIndex.map { case ((f, _), j) =>
         f.name -> (if (mins(j) == null) Seq.empty[String]
                    else statBounds(f.dataType, mins(j), maxs(j)))
       }.toMap
       val ns = statFields.zipWithIndex.map { case ((f, _), j) =>
         f.name -> nulls(j).toString }.toMap
-      pid -> PartFileStats(n, stats, ns)
+      val sm = statFields.zipWithIndex.collect {
+        case ((f, _), j) if GraftTable.integralLong(f.dataType).isDefined =>
+          f.name -> sums(j).toString }.toMap
+      pid -> PartFileStats(n, stats, ns, sm)
     }.toMap
   }
 
@@ -912,12 +927,15 @@ final class GraftTable private (
       : (Map[Int, PartFileStats], Seq[(Seq[Any], Long)]) = {
     val ords = statFields.map { case (f, _) => anyOrdering(f.dataType) }
     val idxs = statFields.map(_._2).toArray
+    val sumFns = statFields.map { case (f, _) =>
+      GraftTable.integralLong(f.dataType).orNull }.toArray
     val ship = shipDeletes // primitive capture: closure must not hold `this`
     val raw = folded.rdd.mapPartitionsWithIndex { (pid, it) =>
       var n = 0L
       val mins = Array.fill[Any](idxs.length)(null)
       val maxs = Array.fill[Any](idxs.length)(null)
       val nulls = Array.fill[Long](idxs.length)(0L)
+      val sums = Array.fill[Long](idxs.length)(0L)
       val dels = mutable.ArrayBuffer[(Seq[Any], Long)]()
       it.foreach { r =>
         if (r.getString(0) == "a") {
@@ -928,6 +946,7 @@ final class GraftTable private (
             if (v != null) {
               if (mins(j) == null || ords(j).lt(v, mins(j))) mins(j) = v
               if (maxs(j) == null || ords(j).gt(v, maxs(j))) maxs(j) = v
+              if (sumFns(j) != null) sums(j) += sumFns(j)(v)
             } else nulls(j) += 1
             j += 1
           }
@@ -935,18 +954,22 @@ final class GraftTable private (
           dels += ((keyPos.toSeq.map(i => r.get(2 + i)), r.getLong(1)))
         }
       }
-      Iterator.single((pid, n, mins.toSeq, maxs.toSeq, nulls.toSeq, dels.toSeq))
+      Iterator.single(
+        (pid, n, mins.toSeq, maxs.toSeq, nulls.toSeq, sums.toSeq, dels.toSeq))
     }.collect()
-    val stats = raw.map { case (pid, n, mins, maxs, nulls, _) =>
+    val stats = raw.map { case (pid, n, mins, maxs, nulls, sums, _) =>
       val m = statFields.zipWithIndex.map { case ((f, _), j) =>
         f.name -> (if (mins(j) == null) Seq.empty[String]
                    else statBounds(f.dataType, mins(j), maxs(j)))
       }.toMap
       val ns = statFields.zipWithIndex.map { case ((f, _), j) =>
         f.name -> nulls(j).toString }.toMap
-      pid -> PartFileStats(n, m, ns)
+      val sm = statFields.zipWithIndex.collect {
+        case ((f, _), j) if GraftTable.integralLong(f.dataType).isDefined =>
+          f.name -> sums(j).toString }.toMap
+      pid -> PartFileStats(n, m, ns, sm)
     }.toMap
-    (stats, raw.toSeq.flatMap(_._6))
+    (stats, raw.toSeq.flatMap(_._7))
   }
 
   /** Block until all mutations at-or-below `lsn` are durably flushed to
@@ -1128,9 +1151,10 @@ final class GraftTable private (
       spark.createDataFrame(chunkRows.asJava, physicalSchema)
         .coalesce(1).write.mode("overwrite").parquet(tmp)
       movePartFile(tmp, s"$destDir/$name")
-      val (bounds, nulls) = columnStats(chunkRows)
+      val (bounds, nulls, sums) = columnStats(chunkRows)
       DataFileEntry(name, chunk.size.toLong, Fio.sizeOf(s"$destDir/$name"),
-        maxLsn, 0L, bounds, bucket = bkt, nullStats = nulls)
+        maxLsn, 0L, bounds, bucket = bkt, nullStats = nulls,
+        sumStats = sums)
     }
   }
 
@@ -1142,11 +1166,11 @@ final class GraftTable private (
     Fio.delete(tmpDir)
   }
 
-  /** File-level min/max + null-count stats for manifest pruning
-   *  (reference collects parquet stats into iceberg manifests,
-   *  `parquet_stats_utils.rs`). */
+  /** File-level min/max + null-count + integral-sum stats for manifest
+   *  pruning and metadata-only aggregates (reference collects parquet
+   *  stats into iceberg manifests, `parquet_stats_utils.rs`). */
   private def columnStats(rows: Seq[Row])
-      : (Map[String, Seq[String]], Map[String, String]) = {
+      : (Map[String, Seq[String]], Map[String, String], Map[String, String]) = {
     val pairs = schemaVar.fields.zipWithIndex.collect {
       case (f, i) if statsComparable(f.dataType) =>
         val vs = rows.iterator.map(_.get(i)).filter(_ != null).toSeq
@@ -1156,9 +1180,12 @@ final class GraftTable private (
             implicit val ord: Ordering[Any] = anyOrdering(f.dataType)
             f.name -> statBounds(f.dataType, vs.min, vs.max)
           }
-        (bounds, f.name -> (rows.size - vs.size).toString)
+        val sum = GraftTable.integralLong(f.dataType).map(fn =>
+          f.name -> vs.foldLeft(0L)((a, v) => a + fn(v)).toString)
+        (bounds, f.name -> (rows.size - vs.size).toString, sum)
     }
-    (pairs.map(_._1).toMap, pairs.map(_._2).toMap)
+    (pairs.map(_._1).toMap, pairs.map(_._2).toMap,
+      pairs.flatMap(_._3).toMap)
   }
 
   /** Fast-path index writer for rows the driver already holds in write
@@ -2111,7 +2138,11 @@ final class GraftTable private (
           statFields.flatMap { f =>
             val p = col(SchemaDsl.physicalName(f))
             Seq(min(p).as(s"_mn_${f.name}"), max(p).as(s"_mx_${f.name}"),
-              count(p).as(s"_nn_${f.name}")) // non-null count -> nullStats
+              count(p).as(s"_nn_${f.name}")) ++ // non-null count -> nullStats
+              // integral sums recombine exactly (wrapping 64-bit adds)
+              (if (GraftTable.integralLong(f.dataType).isDefined)
+                 Seq(sum(p).cast("long").as(s"_sm_${f.name}"))
+               else Nil)
           })
         val rows = spark.read.schema(physicalSchema)
           .parquet(newNames.map(n => s"$root/data/$n"): _*)
@@ -2135,7 +2166,13 @@ final class GraftTable private (
             val nulls = statFields.map { f =>
               f.name -> (n - r.getLong(r.fieldIndex(s"_nn_${f.name}"))).toString
             }.toMap
-            r.getString(0) -> PartFileStats(n, stats, nulls)
+            val sums = statFields.collect {
+              case f if GraftTable.integralLong(f.dataType).isDefined =>
+                val i = r.fieldIndex(s"_sm_${f.name}")
+                // SUM of zero values is NULL; the partial identity is 0
+                f.name -> (if (r.isNullAt(i)) 0L else r.getLong(i)).toString
+            }.toMap
+            r.getString(0) -> PartFileStats(n, stats, nulls, sums)
           }.toMap
       }
     val counts: Map[String, Long] = backStats.map { case (n, s) => n -> s.rows }
@@ -2143,7 +2180,8 @@ final class GraftTable private (
       counts.getOrElse(n, 0L), Fio.sizeOf(s"$root/data/$n"), maxLsn, 0L,
       backStats.get(n).map(_.stats).getOrElse(Map.empty),
       bucket = fileBucket.getOrElse(n, -1L),
-      nullStats = backStats.get(n).map(_.nulls).getOrElse(Map.empty)))
+      nullStats = backStats.get(n).map(_.nulls).getOrElse(Map.empty),
+      sumStats = backStats.get(n).map(_.sums).getOrElse(Map.empty)))
     // the bucket spec is table-level: a FRESH bucketBy holds only when
     // this rewrite covered every live file (it did — victims = all) AND
     // every surviving file validated single-bucket; any miss degrades to
@@ -2444,9 +2482,10 @@ final class GraftTable private (
   private def stripColumnStats(cols: Set[String]): Unit =
     fileEntries.keys.toSeq.foreach { k =>
       val e = fileEntries(k)
-      if (cols.exists(c => e.stats.contains(c) || e.nullStats.contains(c)))
-        fileEntries(k) = e.copy(
-          stats = e.stats -- cols, nullStats = e.nullStats -- cols)
+      if (cols.exists(c => e.stats.contains(c) || e.nullStats.contains(c) ||
+          e.sumStats.contains(c)))
+        fileEntries(k) = e.copy(stats = e.stats -- cols,
+          nullStats = e.nullStats -- cols, sumStats = e.sumStats -- cols)
     }
 
   /** Re-key per-file stats on a rename: the data is the same physical
@@ -2454,12 +2493,15 @@ final class GraftTable private (
   private def rekeyColumnStats(from: String, to: String): Unit =
     fileEntries.keys.toSeq.foreach { k =>
       val e = fileEntries(k)
-      if (e.stats.contains(from) || e.nullStats.contains(from))
+      if (e.stats.contains(from) || e.nullStats.contains(from) ||
+          e.sumStats.contains(from))
         fileEntries(k) = e.copy(
           stats = e.stats.get(from)
             .map(v => e.stats - from + (to -> v)).getOrElse(e.stats),
           nullStats = e.nullStats.get(from)
-            .map(v => e.nullStats - from + (to -> v)).getOrElse(e.nullStats))
+            .map(v => e.nullStats - from + (to -> v)).getOrElse(e.nullStats),
+          sumStats = e.sumStats.get(from)
+            .map(v => e.sumStats - from + (to -> v)).getOrElse(e.sumStats))
     }
 
   def alterDropColumns(cols: Seq[String]): Unit = synchronized {
@@ -2820,30 +2862,35 @@ object DvCache {
  *  would double-count, this one cannot. */
 private[graft] final class PartStatsAcc
     extends org.apache.spark.util.AccumulatorV2[
-      (Int, Long, Seq[Any], Seq[Any], Seq[Long]),
-      Map[Int, (Long, Seq[Any], Seq[Any], Seq[Long])]] {
-  private val m =
-    scala.collection.mutable.Map[Int, (Long, Seq[Any], Seq[Any], Seq[Long])]()
+      (Int, Long, Seq[Any], Seq[Any], Seq[Long], Seq[Long]),
+      Map[Int, (Long, Seq[Any], Seq[Any], Seq[Long], Seq[Long])]] {
+  private val m = scala.collection.mutable
+    .Map[Int, (Long, Seq[Any], Seq[Any], Seq[Long], Seq[Long])]()
   override def isZero: Boolean = m.isEmpty
   override def copy(): PartStatsAcc = {
     val a = new PartStatsAcc; a.m ++= m; a
   }
   override def reset(): Unit = m.clear()
-  override def add(v: (Int, Long, Seq[Any], Seq[Any], Seq[Long])): Unit =
-    m(v._1) = (v._2, v._3, v._4, v._5)
+  override def add(
+      v: (Int, Long, Seq[Any], Seq[Any], Seq[Long], Seq[Long])): Unit =
+    m(v._1) = (v._2, v._3, v._4, v._5, v._6)
   override def merge(other: org.apache.spark.util.AccumulatorV2[
-      (Int, Long, Seq[Any], Seq[Any], Seq[Long]),
-      Map[Int, (Long, Seq[Any], Seq[Any], Seq[Long])]]): Unit =
+      (Int, Long, Seq[Any], Seq[Any], Seq[Long], Seq[Long]),
+      Map[Int, (Long, Seq[Any], Seq[Any], Seq[Long], Seq[Long])]]): Unit =
     other.value.foreach { case (k, v) => m(k) = v }
-  override def value: Map[Int, (Long, Seq[Any], Seq[Any], Seq[Long])] = m.toMap
+  override def value
+      : Map[Int, (Long, Seq[Any], Seq[Any], Seq[Long], Seq[Long])] = m.toMap
 }
 
 /** Per-partition file statistics carried from a fold/stats pass into
- *  `writeBatchFiles`: row count, [min,max] bounds and null counts per
- *  stats column (the nulls power manifest-only COUNT(col) and
- *  IsNull/IsNotNull file pruning). */
+ *  `writeBatchFiles`: row count, [min,max] bounds, null counts and
+ *  integral sums per stats column (nulls power manifest-only
+ *  COUNT(col) and IsNull/IsNotNull file pruning; sums power
+ *  manifest-only SUM(col) — wrapping 64-bit partials recombine to
+ *  exactly Spark's non-ANSI total). */
 private[graft] final case class PartFileStats(rows: Long,
-    stats: Map[String, Seq[String]], nulls: Map[String, String])
+    stats: Map[String, Seq[String]], nulls: Map[String, String],
+    sums: Map[String, String] = Map.empty)
 
 object GraftTable {
   /** Value-semantics wrapper for key column values — the mem-index key
@@ -2855,6 +2902,18 @@ object GraftTable {
    *  continuous micro-batch ingest never recomputes them. */
   private[table] val proxyCache =
     scala.collection.concurrent.TrieMap.empty[Int, Seq[Long]]
+
+  /** Extractor to Long for the integral types whose per-file sums are
+   *  exact under 64-bit wrapping accumulation (what Spark's non-ANSI
+   *  SUM computes); None = not summable from stats. */
+  private[graft] def integralLong(dt: DataType): Option[Any => Long] =
+    dt match {
+      case LongType    => Some(v => v.asInstanceOf[Long])
+      case IntegerType => Some(v => v.asInstanceOf[Int].toLong)
+      case ShortType   => Some(v => v.asInstanceOf[Short].toLong)
+      case ByteType    => Some(v => v.asInstanceOf[Byte].toLong)
+      case _           => scala.None
+    }
 
   /** Ordinals of every [mn, mx] range covering `kh`, over ranges sorted
    *  by `mn` with `pm` the running prefix max of `mx`: one binary search

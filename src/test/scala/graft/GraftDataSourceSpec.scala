@@ -587,6 +587,73 @@ class GraftDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.drop()
   }
 
+  test("SUM(col) pushed from exact integral per-file sums") {
+    val dir = tmpDir() + "/t"
+    val sch = SchemaDsl.struct("id" -> "int64", "v" -> "int64",
+      "score" -> "float64")
+    val t = GraftTable.create(spark, dir, sch,
+      Identity.Keys(Seq("id")), TableConfig(memSliceSize = 4, walEnabled = false))
+    // two files; v includes nulls and values near Long.MaxValue so the
+    // pushed total only matches Spark if the partials recombine with
+    // the SAME wrapping 64-bit arithmetic non-ANSI SUM uses
+    val big = Long.MaxValue - 3L
+    t.apply((1L to 8L).flatMap(i => CdcEvent.upsert(
+      Row(i, if (i % 4 == 0) null else big, i * 0.5), Seq(i), i))
+      :+ Commit(9L))
+    t.apply((101L to 108L).flatMap(i => CdcEvent.upsert(
+      Row(i, if (i % 4 == 0) null else big, i * 0.5), Seq(i), i))
+      :+ Commit(109L))
+    t.flush(); t.publish()
+    val df = spark.read.format("graft").load(t.root)
+    // ANSI arithmetic (the Spark 4 default): the bounds CANNOT prove
+    // no-overflow for these near-MaxValue values, so the pushdown must
+    // decline and let the scan raise the ANSI overflow (never mask it
+    // with a silently wrapped metadata total)
+    val qa = df.agg(sum(col("v")))
+    assert(!qa.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+      "overflow-unprovable SUM must not push under ANSI arithmetic")
+    intercept[Exception] { qa.head() } // the genuine ANSI overflow
+    // non-ANSI: wrapping partials must recombine to exactly the scan's
+    // wrapped total
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val q = spark.read.format("graft").load(t.root)
+        .agg(sum(col("v")), count(lit(1)))
+      assert(q.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+        "integral SUM must come from the manifest's per-file sums")
+      val want = t.read(scala.None).agg(sum(col("v"))).head().getLong(0)
+      val got = q.head()
+      assert(got.getLong(0) == want && got.getLong(1) == 16L,
+        s"pushed sum ${got.getLong(0)} != scan sum $want")
+      assert(want < 0L, "the test must actually exercise 64-bit wrap")
+    } finally spark.conf.unset("spark.sql.ansi.enabled")
+    // under ANSI, a PROVABLY safe sum (small bounds) still pushes
+    val t3 = GraftTable.create(spark, tmpDir() + "/t3", sch,
+      Identity.Keys(Seq("id")), TableConfig(memSliceSize = 4, walEnabled = false))
+    t3.apply((1L to 9L).flatMap(i => CdcEvent.upsert(
+      Row(i, i * 10, 1.0), Seq(i), i)) :+ Commit(10L))
+    t3.flush(); t3.publish()
+    val qs = spark.read.format("graft").load(t3.root).agg(sum(col("v")))
+    assert(qs.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+      "bounds-provable SUM must push under ANSI")
+    assert(qs.head().getLong(0) == (1L to 9L).map(_ * 10).sum)
+    t3.drop()
+    // a double column cannot push (order-dependent rounding)
+    val qd = df.agg(sum(col("score")))
+    assert(!qd.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+    // an all-null column sums to NULL
+    val t2dir = tmpDir() + "/t2"
+    val t2 = GraftTable.create(spark, t2dir, sch,
+      Identity.Keys(Seq("id")), TableConfig(memSliceSize = 4, walEnabled = false))
+    t2.apply((1L to 5L).flatMap(i => CdcEvent.upsert(
+      Row(i, null, 1.0), Seq(i), i)) :+ Commit(6L))
+    t2.flush(); t2.publish()
+    val qn = spark.read.format("graft").load(t2.root).agg(sum(col("v")))
+    assert(qn.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+    assert(qn.head().isNullAt(0))
+    t.drop(); t2.drop()
+  }
+
   test("null accounting cannot go stale across column drop/re-add or rename") {
     // a re-added column maps to a FRESH physical name old files read as
     // all-NULL; stale per-file null counts (0 for the predecessor)
