@@ -13,7 +13,7 @@ import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Avg, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
@@ -803,8 +803,18 @@ private[sources] object GraftAggScan {
     case m: Max => named(m.column)
     case c: Count => named(c.column)
     case s: Sum => named(s.column)
+    case a: Avg => named(a.column)
     case _ => scala.None
   }
+
+  /** AVG over an integral column is Divide(Cast(sum, double),
+   *  Cast(count, double)) in Spark — both operands push exactly, so the
+   *  quotient is bit-identical; the gate is Sum's (incl. the ANSI
+   *  overflow proof, since ANSI AVG's internal sum throws the same
+   *  way). */
+  private def avgPushable(manifest: Manifest, a: Avg): Boolean =
+    !a.isDistinct && colOf(a).exists(c => sumPushable(manifest,
+      new Sum(a.column, false)))
 
   /** SUM pushes only for integral columns (exact wrapping partials).
    *  Under non-ANSI arithmetic the wrapped stats total IS Spark's
@@ -861,6 +871,7 @@ private[sources] object GraftAggScan {
             colOf(c).exists(col =>
               manifest.dataFiles.forall(_.nullsOf(col).isDefined))
         case s: Sum => sumPushable(manifest, s)
+        case a: Avg => avgPushable(manifest, a)
         case f @ (_: Min | _: Max) =>
           manifest.dataFiles.forall(_.deletes == 0L) && colOf(f).exists { c =>
             manifest.schema.fields.find(_.name == c)
@@ -876,6 +887,8 @@ private[sources] object GraftAggScan {
         StructField(s"agg_$i", LongType, nullable = false)
       case (_: Sum, i) => // Spark's SUM over integral inputs is LongType
         StructField(s"agg_$i", LongType, nullable = true)
+      case (_: Avg, i) => // Spark's AVG over integral inputs is DoubleType
+        StructField(s"agg_$i", DoubleType, nullable = true)
       case (f, i) =>
         val dt = colOf(f).flatMap(c => schema.fields.find(_.name == c)).map(_.dataType)
           .getOrElse(throw new IllegalStateException(s"unsupported pushed agg $f"))
@@ -907,6 +920,13 @@ private[sources] object GraftAggScan {
         if (nonNull == 0L) null // SUM over zero values is NULL
         else java.lang.Long.valueOf(
           manifest.dataFiles.foldLeft(0L)((a, e) => a + e.sumOf(col).get))
+      case a: Avg =>
+        val col = colOf(a).get
+        val nonNull = manifest.dataFiles.map(e => e.rows - e.nullsOf(col).get).sum
+        if (nonNull == 0L) null // AVG over zero values is NULL
+        else java.lang.Double.valueOf(
+          manifest.dataFiles.foldLeft(0L)((x, e) => x + e.sumOf(col).get)
+            .toDouble / nonNull.toDouble)
       case f: Min => extreme(f, isMin = true)
       case f: Max => extreme(f, isMin = false)
       case other => throw new IllegalStateException(s"unsupported pushed agg $other")

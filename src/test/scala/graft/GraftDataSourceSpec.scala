@@ -633,10 +633,15 @@ class GraftDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     t3.apply((1L to 9L).flatMap(i => CdcEvent.upsert(
       Row(i, i * 10, 1.0), Seq(i), i)) :+ Commit(10L))
     t3.flush(); t3.publish()
-    val qs = spark.read.format("graft").load(t3.root).agg(sum(col("v")))
+    val qs = spark.read.format("graft").load(t3.root)
+      .agg(sum(col("v")), avg(col("v")))
     assert(qs.queryExecution.executedPlan.toString.contains("GraftAggScan"),
-      "bounds-provable SUM must push under ANSI")
-    assert(qs.head().getLong(0) == (1L to 9L).map(_ * 10).sum)
+      "bounds-provable SUM/AVG must push under ANSI")
+    val rs = qs.head()
+    assert(rs.getLong(0) == (1L to 9L).map(_ * 10).sum)
+    // AVG is Divide(Cast(sum,double), Cast(count,double)) — bit-exact
+    val wantAvg = t3.read(scala.None).agg(avg(col("v"))).head().getDouble(0)
+    assert(rs.getDouble(1) == wantAvg, s"pushed avg ${rs.getDouble(1)} != $wantAvg")
     t3.drop()
     // a double column cannot push (order-dependent rounding)
     val qd = df.agg(sum(col("score")))
