@@ -807,14 +807,52 @@ private[sources] object GraftAggScan {
     case _ => scala.None
   }
 
-  /** AVG over an integral column is Divide(Cast(sum, double),
-   *  Cast(count, double)) in Spark — both operands push exactly, so the
-   *  quotient is bit-identical; the gate is Sum's (incl. the ANSI
-   *  overflow proof, since ANSI AVG's internal sum throws the same
-   *  way). */
+  /** AVG over an integral column: Spark's `Average` accumulates its
+   *  running sum in DoubleType — order-dependent rounding, and it never
+   *  throws, under ANSI too (doubles don't overflow). A pushed
+   *  exact-long-sum / count answer is therefore bit-identical to the
+   *  scan ONLY when every double accumulation order is exact, which
+   *  holds iff all partial sums stay within ±2^53 (integers there are
+   *  exactly representable and their sums round-trip exactly). The
+   *  per-file bounds prove it: Σ(non-null rows × max(|min|,|max|)) ≤
+   *  2^53 bounds every prefix sum in every order. The gate applies in
+   *  BOTH ANSI modes — the double accumulator is the same either way.
+   *  Beyond the proof, decline: the scan can answer differently (e.g.
+   *  avg over {2^62, 1, -2^62} scans to 0.0 by catastrophic double
+   *  cancellation while the exact quotient is 0.333…), and the scan
+   *  provider must never answer differently from the scan
+   *  (reference `table_provider.rs:174-179`'s Inexact discipline).
+   *
+   *  Declining the Avg ALONE is not enough: Spark's
+   *  V2ScanRelationPushDown rewrites an un-pushable AVG(c) into the
+   *  Sum(c)/Count(c) pair, pushes THAT, and divides the exact pushed
+   *  sum — reintroducing the identical divergence one level up. So
+   *  `supported` also gates any aggregation containing the
+   *  avg-reconstructable pair (non-distinct Sum(c) AND Count(c) of the
+   *  same column) on the same 2^53 proof; see `avgRewriteSafe`. */
+  private val avgExactCap = BigInt(1L) << 53
+  private def exactInDoubles(manifest: Manifest, c: String): Boolean =
+    manifest.schema.fields.find(_.name == c)
+      .exists(fd => boundsWithin(manifest, c, fd, avgExactCap))
   private def avgPushable(manifest: Manifest, a: Avg): Boolean =
-    !a.isDistinct && colOf(a).exists(c => sumPushable(manifest,
-      new Sum(a.column, false)))
+    !a.isDistinct && sumPushable(manifest, new Sum(a.column, false)) &&
+      colOf(a).exists(c => exactInDoubles(manifest, c))
+
+  /** True when no average can be reconstructed from the pushed values
+   *  with different numerics than the un-pushed plan. Spark rewrites a
+   *  declined AVG(c) into Sum(c)+Count(c) and evaluates
+   *  exact_sum / count above the scan, while the un-pushed Average
+   *  accumulates in doubles — so the pair pushes only under the 2^53
+   *  proof. (A user-written `SELECT sum(c), count(c)` pays the same
+   *  conservative gate — indistinguishable from the rewrite, and the
+   *  full scan keeps it correct.) */
+  private def avgRewriteSafe(manifest: Manifest, funcs: Seq[AggregateFunc]): Boolean = {
+    val sumCols = funcs.collect {
+      case s: Sum if !s.isDistinct => colOf(s) }.flatten.toSet
+    val cntCols = funcs.collect {
+      case c: Count if !c.isDistinct => colOf(c) }.flatten.toSet
+    (sumCols & cntCols).forall(c => exactInDoubles(manifest, c))
+  }
 
   /** SUM pushes only for integral columns (exact wrapping partials).
    *  Under non-ANSI arithmetic the wrapped stats total IS Spark's
@@ -839,7 +877,15 @@ private[sources] object GraftAggScan {
     // caller-supplied fallback on RuntimeConfig.get would mask it
     val ansi = org.apache.spark.sql.internal.SQLConf.get.ansiEnabled
     if (!ansi) return true
-    val (c, fd) = (cOpt.get, fdOpt.get)
+    boundsWithin(manifest, cOpt.get, fdOpt.get, BigInt(Long.MaxValue))
+  }
+
+  /** Proves NO accumulation order over the snapshot's values can exceed
+   *  `cap` in magnitude: Σ per-file (non-null rows × max(|min|,|max|))
+   *  ≤ cap bounds every prefix sum of every permutation. A non-empty
+   *  file without recorded min/max bounds makes the claim unprovable. */
+  private def boundsWithin(manifest: Manifest, c: String,
+      fd: StructField, cap: BigInt): Boolean = {
     val caps = manifest.dataFiles.map { e =>
       val nonNull = e.rows - e.nullsOf(c).get
       if (nonNull == 0L) Some(BigInt(0))
@@ -851,8 +897,7 @@ private[sources] object GraftAggScan {
         BigInt(nonNull) * mn.abs.max(mx.abs)
       } // a bound-less non-empty file makes overflow unprovable
     }
-    caps.forall(_.isDefined) &&
-      caps.flatten.sum <= BigInt(Long.MaxValue)
+    caps.forall(_.isDefined) && caps.flatten.sum <= cap
   }
 
   /** Global (no GROUP BY) COUNT(*)/COUNT(col)/MIN(col)/MAX(col) only.
@@ -864,6 +909,7 @@ private[sources] object GraftAggScan {
    *  zero). */
   def supported(manifest: Manifest, agg: Aggregation): Boolean =
     agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+      avgRewriteSafe(manifest, agg.aggregateExpressions.toSeq) &&
       agg.aggregateExpressions.forall {
         case _: CountStar => true
         case c: Count =>
