@@ -1127,13 +1127,26 @@ final class GraftTable private (
    *  ongoing flushes KEEP the layout (and storage-partitioned joins)
    *  alive instead of degrading the scan to UnknownPartitioning until
    *  the next full rewrite. Unbucketed tables keep plain rowsPerFile
-   *  runs. Returns (rows+lsns chunk, bucket id or -1). */
+   *  runs. The distributed path's per-bucket floor applies here too: a
+   *  mem-slice that fans out across many buckets at only a few rows
+   *  each (e.g. 4096 rows over a 1024-bucket layout → ~1000 tiny files
+   *  PER FLUSH) is the exact small-file explosion
+   *  bucketRouteMinRowsPerBucket exists to prevent — such a slice
+   *  writes plain unbucketed chunks and escalated compaction re-buckets
+   *  the tail. The gate is on the buckets actually HIT, so a small
+   *  flush touching one bucket (one file either way) keeps the layout.
+   *  Returns (rows+lsns chunk, bucket id or -1). */
   private def chunkRowsForWrite(rows: Seq[Row], lsns: Seq[Long])
       : Seq[(Seq[(Row, Long)], Long)] = {
     val paired = rows.zip(lsns)
     if (bucketNVar > 0 && keyCols.nonEmpty) {
       val be = rowBucketEval(bucketNVar)
-      paired.groupBy(p => be(p._1)).toSeq.sortBy(_._1).flatMap {
+      val groups = paired.groupBy(p => be(p._1)).toSeq.sortBy(_._1)
+      val plainCount = (rows.size + config.rowsPerFile - 1) / config.rowsPerFile
+      val explodes = groups.size > plainCount &&
+        rows.size < groups.size.toLong * config.bucketRouteMinRowsPerBucket
+      if (explodes) paired.grouped(config.rowsPerFile).map(c => (c, -1L)).toSeq
+      else groups.flatMap {
         case (b, g) => g.grouped(config.rowsPerFile).map(c => (c, b)) }
     } else paired.grouped(config.rowsPerFile).map(c => (c, -1L)).toSeq
   }
@@ -2139,9 +2152,15 @@ final class GraftTable private (
             val p = col(SchemaDsl.physicalName(f))
             Seq(min(p).as(s"_mn_${f.name}"), max(p).as(s"_mx_${f.name}"),
               count(p).as(s"_nn_${f.name}")) ++ // non-null count -> nullStats
-              // integral sums recombine exactly (wrapping 64-bit adds)
+              // integral sums recombine exactly (wrapping 64-bit adds).
+              // Accumulate in decimal(38,0): an ANSI (Spark 4 default)
+              // long SUM would throw on overflow, making compaction
+              // hard-fail on data that ingested fine via the write
+              // path's wrapping adds; decimal can't overflow for any
+              // real file (≤ ~1e19 per row × file rows ≪ 1e38) and the
+              // driver narrows to the same wrapped 64-bit total below
               (if (GraftTable.integralLong(f.dataType).isDefined)
-                 Seq(sum(p).cast("long").as(s"_sm_${f.name}"))
+                 Seq(sum(p.cast("decimal(38,0)")).as(s"_sm_${f.name}"))
                else Nil)
           })
         val rows = spark.read.schema(physicalSchema)
@@ -2169,8 +2188,13 @@ final class GraftTable private (
             val sums = statFields.collect {
               case f if GraftTable.integralLong(f.dataType).isDefined =>
                 val i = r.fieldIndex(s"_sm_${f.name}")
-                // SUM of zero values is NULL; the partial identity is 0
-                f.name -> (if (r.isNullAt(i)) 0L else r.getLong(i)).toString
+                // SUM of zero values is NULL; the partial identity is 0.
+                // BigInt.longValue keeps the low-order 64 bits (two's
+                // complement) — exactly the wrapping total the write
+                // path accumulates
+                f.name -> (if (r.isNullAt(i)) 0L
+                           else BigDecimal(r.getDecimal(i)).toBigInt.longValue)
+                  .toString
             }.toMap
             r.getString(0) -> PartFileStats(n, stats, nulls, sums)
           }.toMap
@@ -2261,9 +2285,11 @@ final class GraftTable private (
     // retention through its catalog): the export's snapshot history is
     // bounded by the SAME horizon, and files exclusive to dropped
     // snapshots (manifest lists, manifests, puffins) are reclaimed.
-    // No-op when the table was never synced.
-    if (expired.nonEmpty)
-      graft.format.iceberg.IcebergSync.expireSnapshots(root, keepLast)
+    // Called UNCONDITIONALLY (a no-op for never-synced tables) so a
+    // run that pruned the graft log but crashed before the Iceberg
+    // sync is healed by the next expiry instead of no-opping forever
+    // on expired.isEmpty.
+    graft.format.iceberg.IcebergSync.expireSnapshots(root, keepLast)
     expired.size
   }
 

@@ -249,8 +249,7 @@ final class JdbcMetadataBackend(url: String,
       st.executeUpdate()
     } catch {
       case e: java.sql.SQLException
-          if e.isInstanceOf[java.sql.SQLIntegrityConstraintViolationException] ||
-            Option(e.getSQLState).exists(_.startsWith("23")) =>
+          if JdbcMetadataBackend.isConstraintViolation(e) =>
         throw new IllegalArgumentException(
           s"metadata for ${entry.database}.${entry.table} already stored", e)
     } finally st.close()
@@ -267,6 +266,25 @@ final class JdbcMetadataBackend(url: String,
 }
 
 object JdbcMetadataBackend {
+  /** ONLY an integrity violation maps to the contract's
+   *  IllegalArgumentException — connectivity/permission/DDL failures
+   *  must surface as themselves, or a caller would conclude "already
+   *  exists" and skip creation instead of retrying. Standard drivers
+   *  signal via the exception subclass or SQLState class 23; xerial
+   *  sqlite-jdbc historically reports null or non-standard SQLStates,
+   *  so its vendor signal — the SQLite result code SQLITE_CONSTRAINT
+   *  (19, also the low byte of extended codes like 1555
+   *  SQLITE_CONSTRAINT_PRIMARYKEY) or a message naming it — is matched
+   *  too, gated on the exception actually coming from that driver. */
+  private[graft] def isConstraintViolation(e: java.sql.SQLException): Boolean = {
+    val sqlite = e.getClass.getName.startsWith("org.sqlite.") ||
+      Option(e.getMessage).exists(_.contains("SQLITE_"))
+    e.isInstanceOf[java.sql.SQLIntegrityConstraintViolationException] ||
+      Option(e.getSQLState).exists(_.startsWith("23")) ||
+      (sqlite && ((e.getErrorCode & 0xff) == 19 ||
+        Option(e.getMessage).exists(_.contains("SQLITE_CONSTRAINT"))))
+  }
+
   /** `sqlite/sql/create_tables.sql` (quoted identifiers are portable
    *  across sqlite and postgres). */
   val CreateTableSql: String =

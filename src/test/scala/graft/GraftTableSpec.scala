@@ -376,6 +376,31 @@ class GraftTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.drop()
   }
 
+  test("compaction survives ANSI-overflowing integral sums (wrapped read-back)") {
+    // the rewrite's stats read-back must not hard-fail on data the
+    // write path ingested fine: an ANSI (Spark 4 default) long SUM
+    // throws on overflow, so the read-back accumulates in decimal and
+    // narrows to the same wrapping 64-bit total the flush path records
+    val sch = SchemaDsl.struct("id" -> "int64", "v" -> "int64")
+    val cfg = TableConfig(memSliceSize = 16, walEnabled = false,
+      compactDeleteRatio = 0.4, compactSmallFileRows = 0)
+    val t = GraftTable.create(spark, tmpDir() + "/t", sch,
+      Identity.Keys(Seq("id")), cfg)
+    val big = Long.MaxValue - 3L
+    t.apply((1L to 8L).flatMap(i =>
+      CdcEvent.upsert(Row(i, big), Seq(i), i)) :+ Commit(9L))
+    t.flush(); t.publish()
+    t.apply((1L to 4L).map(i => Delete(Seq(i), 100L + i): CdcEvent)
+      :+ Commit(110L))
+    assert(t.compact(), "compaction should trigger at 50% deletes")
+    val expected = (1 to 4).foldLeft(0L)((a, _) => a + big) // wraps
+    val got = t.currentManifest.dataFiles
+      .map(_.sumOf("v").get).foldLeft(0L)(_ + _)
+    assert(got == expected,
+      s"read-back sums must recombine to the wrapping total ($got != $expected)")
+    t.drop()
+  }
+
   test("WAL recovery: committed-but-unflushed rows survive reopen") {
     val root = tmpDir() + "/t"
     val cfg = TableConfig(walEnabled = true)

@@ -108,6 +108,26 @@ class MetadataStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex.getMessage.toLowerCase.contains("no suitable driver"))
   }
 
+  test("duplicate detection matches vendor constraint signals, nothing else") {
+    import java.sql.{SQLException, SQLIntegrityConstraintViolationException}
+    def cv(e: SQLException) = JdbcMetadataBackend.isConstraintViolation(e)
+    // standard signals: the dedicated subclass, or SQLState class 23
+    assert(cv(new SQLIntegrityConstraintViolationException("dup")))
+    assert(cv(new SQLException("dup", "23505", 0)))
+    // xerial sqlite-jdbc reports null/non-standard SQLStates: match the
+    // SQLite result code SQLITE_CONSTRAINT (19 / extended 1555) or a
+    // message naming it — but only when the error IS from that driver
+    assert(cv(new SQLException(
+      "[SQLITE_CONSTRAINT_PRIMARYKEY] A PRIMARY KEY constraint failed",
+      null: String, 1555)))
+    assert(cv(new SQLException("[SQLITE_CONSTRAINT] failed", null: String, 19)))
+    // non-sqlite vendors with overlapping low bytes must NOT match …
+    assert(!cv(new SQLException("duplicate entry", "HY000", 1555)))
+    // … and connectivity/permission/DDL failures must surface as-is
+    assert(!cv(new SQLException("connection refused", "08001", 0)))
+    assert(!cv(new SQLException("no such table: tables", null: String, 1)))
+  }
+
   test("catalog persists creates/drops; recover() reopens every table") {
     val wh = tmpDir()
     val cat = GraftCatalog(spark, wh)

@@ -94,6 +94,18 @@ class SpjSpec extends AnyFunSuite with BeforeAndAfterAll {
         .distinct().collect().map(_.getLong(0)).toSeq
       assert(buckets == Seq(e.bucket), s"flushed file $p wrong bucket")
     }
+    // a SCATTERED micro-flush (several buckets, few rows each) must
+    // NOT fan out into per-bucket tiny files: below the per-bucket
+    // floor it writes plain unbucketed chunks and escalated compaction
+    // re-buckets the tail (same policy as the distributed write path)
+    t.upsertAll((2000L to 2007L).map(i => Row(i, 1L)), startLsn = 500)
+    t.flush(); t.publish()
+    val m3 = t.currentManifest
+    val micro = m3.dataFiles.map(_.path).toSet -- m2.dataFiles.map(_.path)
+    assert(micro.size == 1, s"micro-flush exploded into ${micro.size} files")
+    assert(m3.dataFiles.filter(e => micro(e.path)).forall(_.bucket == -1L),
+      "a below-floor scattered flush must write unbucketed")
+    assert(m3.bucketN == 4L, "the table-level bucket spec must survive")
   }
 
   test("legacy manifests never resurrect bucket ids") {
