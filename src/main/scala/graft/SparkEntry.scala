@@ -1479,43 +1479,106 @@ object SparkEntry {
     }),
 
     "cdc_agg_pushdown" -> ((s, d) => {
-      // DSv2 aggregate pushdown: unfiltered global COUNT(*)/MIN/MAX are
-      // answered from manifest stats with ZERO data files read (the
+      // DSv2 aggregate pushdown, BOTH directions gated in-entry (the
       // reference's cardinality accounting, `snapshot_read.rs:52-61`,
-      // over parquet stats, `iceberg/parquet_stats_utils.rs`). Phase 1:
-      // a compacted (delete-free) upsert table pushes count+min+max.
-      // Phase 2: a predicate delete masks rows through DVs — count(*)
-      // stays manifest-only (liveRows = rows minus masked), min/max
-      // correctly refuse (a DV could hide the extreme row). The entry
-      // THROWS unless each plan is GraftAggScan-only, so a pushdown
-      // regression fails the correctness gate itself.
+      // over parquet stats, `iceberg/parquet_stats_utils.rs`):
+      //  - aggScanOnly THROWS unless the plan is GraftAggScan-only
+      //    (a pushdown regression fails the correctness gate), and
+      //  - mustScan THROWS if a plan IS GraftAggScan when pushing
+      //    would be unsound (a silently-wrong push fails it too).
+      // Phase 1: a compacted delete-free table pushes count/min/max/
+      // count(col)/sum/avg. Phase 2: a predicate delete masks rows via
+      // DVs — count(*) stays manifest-only (liveRows), min/max refuse
+      // forever (a DV could hide the extreme row), count(col)/sum/avg
+      // refuse UNTIL refreshDvStats folds the masked rows into the
+      // accounting, then push the live values. Phase 3 negatives:
+      // double columns never push sum/avg; an ANSI-unprovable SUM and
+      // a beyond-2^53 AVG decline on an adversarial side table.
       val table = runCdc(s, d, deleteType = None, compactAfter = true)
+      def planOf(df: DataFrame): String =
+        df.queryExecution.executedPlan.toString
       def aggScanOnly(df: DataFrame): Row = {
-        val plan = df.queryExecution.executedPlan.toString
+        val plan = planOf(df)
         require(plan.contains("GraftAggScan") && !plan.contains("GraftScan("),
           s"aggregate not answered from the manifest:\n$plan")
         df.head()
+      }
+      def mustScan(df: DataFrame, exec: Boolean = true): Row = {
+        val plan = planOf(df)
+        require(!plan.contains("GraftAggScan"),
+          s"aggregate ILLEGALLY answered from the manifest:\n$plan")
+        if (exec) df.head() else null
       }
       val pre = aggScanOnly(s.read.format("graft").load(table.root).agg(
         count(lit(1)), min(col("user_id")), max(col("user_id")),
         min(col("event_id")), max(col("event_id")),
         min(col("value")), max(col("value")),
         count(col("value")), // COUNT(col): per-file null accounting
-        sum(col("user_id")))) // SUM(col): exact integral per-file sums
+        sum(col("user_id")), // SUM(col): exact integral per-file sums
+        avg(col("user_id")))) // AVG: exact under the 2^53 bounds proof
+      // double column: SUM/AVG must never push (order-dependent FP)
+      mustScan(s.read.format("graft").load(table.root)
+        .agg(sum(col("value")), avg(col("value"))))
       table.deleteWhere(col("event_type") === "purchase")
-      val post = aggScanOnly(
-        s.read.format("graft").load(table.root).agg(count(lit(1))))
+      val dfDel = s.read.format("graft").load(table.root)
+      // COUNT(*) stays manifest-only under DVs (liveRows accounting)…
+      val post = aggScanOnly(dfDel.agg(count(lit(1))))
+      // …but MIN/MAX and un-refreshed COUNT(col)/SUM must fall back,
+      // and the DV-aware scan answers them exactly
+      mustScan(dfDel.agg(min(col("user_id")), max(col("event_id"))))
+      val stale = mustScan(dfDel.agg(count(col("value")), sum(col("user_id"))))
+      // refresh folds the masked rows in; COUNT(col)/SUM/AVG push the
+      // LIVE values and must agree with what the scan just said
+      require(table.refreshDvStats() >= 1, "no delete-carrying file refreshed")
+      table.publish()
+      val dfLive = s.read.format("graft").load(table.root)
+      val live = aggScanOnly(dfLive.agg(count(col("value")),
+        sum(col("user_id")), round(avg(col("user_id")) * 100).cast("long")))
+      require(live.getLong(0) == stale.getLong(0) &&
+        live.getLong(1) == stale.getLong(1),
+        s"pushed live aggregates diverge from the scan: $live vs $stale")
+      mustScan(dfLive.agg(min(col("user_id")))) // min/max: gated forever
+      // adversarial side table: {2^53, 1, 1, 1} — ANSI SUM is provable
+      // and pushes; AVG is beyond the 2^53 exactness proof and declines
+      // (including Spark's sum/count rewrite of it)
+      val aux = GraftTable.create(s, freshDir("aggneg"),
+        SchemaDsl.struct("id" -> "int64", "v" -> "int64"),
+        Identity.Keys(Seq("id")),
+        TableConfig(memSliceSize = 64, walEnabled = false))
+      aux.apply(Seq[Long](1L << 53, 1L, 1L, 1L).zipWithIndex.flatMap {
+        case (v, i) => CdcEvent.upsert(Row(i.toLong + 1L, v),
+          Seq(i.toLong + 1L), i.toLong + 1L) } :+ Commit(5L))
+      aux.flush(); aux.publish()
+      val dfAux = s.read.format("graft").load(aux.root)
+      val auxSum = aggScanOnly(dfAux.agg(sum(col("v"))))
+      require(auxSum.getLong(0) == (1L << 53) + 3L, s"aux sum $auxSum")
+      mustScan(dfAux.agg(avg(col("v"))), exec = false)
+      // unprovable ANSI SUM (near-MaxValue values): plan must scan so
+      // the genuine ANSI overflow surfaces instead of a wrapped push
+      val aux2 = GraftTable.create(s, freshDir("aggneg2"),
+        SchemaDsl.struct("id" -> "int64", "v" -> "int64"),
+        Identity.Keys(Seq("id")),
+        TableConfig(memSliceSize = 64, walEnabled = false))
+      aux2.apply((1L to 4L).flatMap(i => CdcEvent.upsert(
+        Row(i, Long.MaxValue - 3L), Seq(i), i)) :+ Commit(5L))
+      aux2.flush(); aux2.publish()
+      mustScan(s.read.format("graft").load(aux2.root).agg(sum(col("v"))),
+        exec = false)
       import s.implicits._
       Seq((pre.getLong(0), pre.getLong(1), pre.getLong(2), pre.getLong(3),
         pre.getLong(4), pre.getDouble(5), pre.getDouble(6), pre.getLong(7),
-        pre.getLong(8), post.getLong(0)))
+        pre.getLong(8), post.getLong(0), live.getLong(0), live.getLong(1),
+        live.getLong(2)))
         .toDF("n_users", "mn_user", "mx_user", "mn_event", "mx_event",
-          "mn_value", "mx_value", "n_values", "sum_users", "n_after_deletes")
+          "mn_value", "mx_value", "n_values", "sum_users", "n_after_deletes",
+          "n_values_live", "sum_users_live", "avg_user_c_live")
         .select(col("n_users"), col("mn_user"), col("mx_user"),
           col("mn_event"), col("mx_event"),
           cents(col("mn_value")).as("mn_value_cents"),
           cents(col("mx_value")).as("mx_value_cents"),
-          col("n_values"), col("sum_users"), col("n_after_deletes"))
+          col("n_values"), col("sum_users"), col("n_after_deletes"),
+          col("n_values_live"), col("sum_users_live"),
+          col("avg_user_c_live"))
     }),
 
     "cdc_update_where" -> ((s, d) => {
@@ -1922,7 +1985,18 @@ object SparkEntry {
       val opt = s.sql(s"CALL $cname.system.optimize(" +
         "db => 'graft', tbl => 'events_call')").head()
       require(opt.getLong(1) <= opt.getLong(0), "compaction grew the table")
+      // a second, bucketed optimize arms the bucket-layout check row
+      s.sql(s"CALL $cname.system.optimize(" +
+        "db => 'graft', tbl => 'events_call', bucket_by => 8)").collect()
       s.sql(s"CALL $cname.system.vacuum('graft', 'events_call')").collect()
+      // system.check must report every integrity row green — including
+      // the bucket-layout row the bucketed optimize just made apply
+      val ck = s.sql(s"CALL $cname.system.check('graft', 'events_call')")
+        .collect()
+      require(ck.exists(_.getString(0) == "bucket-layout"),
+        "bucket-layout check row missing on a bucketed table")
+      require(ck.forall(_.getBoolean(1)),
+        s"system.check reported failures: ${ck.mkString("; ")}")
       s.sql(s"""SELECT user_id, event_id AS last_event_id,
                |       event_type AS last_event_type,
                |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
@@ -5578,12 +5652,15 @@ object SparkEntry {
         |ORDER BY user_id""".stripMargin,
 
     // manifest-only aggregates over the latest-per-user state: global
-    // count/min/max before deletes, live count after a predicate delete
+    // count/min/max before deletes, live count after a predicate
+    // delete, and live COUNT(col)/SUM/AVG pushed from the refreshed
+    // masked-row accounting
     "cdc_agg_pushdown" ->
       """WITH last AS (
         |  SELECT user_id, event_id, event_type, value
         |  FROM events
-        |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)
+        |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1),
+        |live AS (SELECT * FROM last WHERE event_type <> 'purchase')
         |SELECT count(*) AS n_users,
         |       min(user_id) AS mn_user, max(user_id) AS mx_user,
         |       min(event_id) AS mn_event, max(event_id) AS mx_event,
@@ -5591,8 +5668,12 @@ object SparkEntry {
         |       CAST(ROUND(max(value)*100) AS BIGINT) AS mx_value_cents,
         |       count(value) AS n_values,
         |       CAST(SUM(user_id) AS BIGINT) AS sum_users,
-        |       (SELECT count(*) FROM last WHERE event_type <> 'purchase')
-        |         AS n_after_deletes
+        |       (SELECT count(*) FROM live) AS n_after_deletes,
+        |       (SELECT count(value) FROM live) AS n_values_live,
+        |       (SELECT CAST(SUM(user_id) AS BIGINT) FROM live)
+        |         AS sum_users_live,
+        |       (SELECT CAST(ROUND(AVG(user_id)*100) AS BIGINT) FROM live)
+        |         AS avg_user_c_live
         |FROM last""".stripMargin,
 
     // last state per user; matched rows (last event is a click) carry

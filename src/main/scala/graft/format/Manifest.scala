@@ -54,11 +54,33 @@ final case class DataFileEntry(
     // exactly Spark's non-ANSI sum). String-encoded like stats; a
     // MISSING column means unknown (pre-accounting writer or a
     // non-integral type) and never pushes.
-    sumStats: Map[String, String] = Map.empty) {
+    sumStats: Map[String, String] = Map.empty,
+    // masked-row accounting so COUNT(col)/SUM aggregate pushdown can
+    // stay exact under deletes (the reference keeps cardinality exact
+    // the same way: persisted minus deleted counts,
+    // `snapshot_read.rs:52-61`). dvAccounted = how many DV-masked rows
+    // are folded into the two maps below; the accounting is trusted
+    // ONLY while dvAccounted == deletes — a gap means deletes arrived
+    // whose values were never read back (refresh pending), and readers
+    // must decline. dvNullStats: column -> null count AMONG MASKED
+    // rows; dvSumStats: column -> wrapped sum of masked non-null
+    // values (integral columns). String-encoded like stats so Jackson
+    // never boxes; missing column = unknown.
+    dvAccounted: Long = 0L,
+    dvNullStats: Map[String, String] = Map.empty,
+    dvSumStats: Map[String, String] = Map.empty) {
   /** Null count for `col` if this file recorded one. */
   def nullsOf(col: String): Option[Long] = nullStats.get(col).map(_.toLong)
   /** Exact integral sum for `col` if this file recorded one. */
   def sumOf(col: String): Option[Long] = sumStats.get(col).map(_.toLong)
+  /** Masked-row accounting is current (covers every DV on the file). */
+  def dvStatsCurrent: Boolean = dvAccounted == deletes
+  /** Null count among MASKED rows for `col`, if current and recorded. */
+  def dvNullsOf(col: String): Option[Long] =
+    if (dvStatsCurrent) dvNullStats.get(col).map(_.toLong) else scala.None
+  /** Wrapped sum of MASKED non-null values for `col`, if current. */
+  def dvSumOf(col: String): Option[Long] =
+    if (dvStatsCurrent) dvSumStats.get(col).map(_.toLong) else scala.None
 }
 
 final case class IndexFileEntry(path: String, dataFiles: Seq[String],
@@ -146,10 +168,13 @@ object Manifest {
     // as null (Jackson ignores Scala defaults) — normalize to empty
     // ("unknown"), which every reader treats as not-prunable/not-pushable
     val m3 =
-      if (m2.dataFiles.exists(e => e.nullStats == null || e.sumStats == null))
+      if (m2.dataFiles.exists(e => e.nullStats == null || e.sumStats == null ||
+          e.dvNullStats == null || e.dvSumStats == null))
         m2.copy(dataFiles = m2.dataFiles.map(e => e.copy(
           nullStats = if (e.nullStats == null) Map.empty else e.nullStats,
-          sumStats = if (e.sumStats == null) Map.empty else e.sumStats)))
+          sumStats = if (e.sumStats == null) Map.empty else e.sumStats,
+          dvNullStats = if (e.dvNullStats == null) Map.empty else e.dvNullStats,
+          dvSumStats = if (e.dvSumStats == null) Map.empty else e.dvSumStats)))
       else m2
     // bucket ids are meaningful only under a bucket spec: a manifest
     // written before the field existed deserializes bucket as 0 (the

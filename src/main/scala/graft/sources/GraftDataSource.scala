@@ -854,6 +854,27 @@ private[sources] object GraftAggScan {
     (sumCols & cntCols).forall(c => exactInDoubles(manifest, c))
   }
 
+  /** Per-file masked-row accounting is usable for `col`: either the
+   *  file carries no DVs, or its accounting is CURRENT (dvAccounted ==
+   *  deletes — every delete's values were folded in by refreshDvStats)
+   *  and records the column. Between a delete and the next refresh the
+   *  entry is non-current and the aggregate declines to the scan. */
+  private def dvAccounted(e: graft.format.DataFileEntry, col: String): Boolean =
+    e.deletes == 0L || (e.dvNullsOf(col).isDefined && e.dvSumOf(col).isDefined)
+  private def dvNullsCounted(e: graft.format.DataFileEntry, col: String): Boolean =
+    e.deletes == 0L || e.dvNullsOf(col).isDefined
+  /** Live non-null rows of `col` in the file: physical non-nulls minus
+   *  masked non-nulls (deletes minus masked nulls). */
+  private def liveNonNull(e: graft.format.DataFileEntry, col: String): Long =
+    (e.rows - e.nullsOf(col).get) -
+      (e.deletes - (if (e.deletes == 0L) 0L else e.dvNullsOf(col).get))
+  /** Live wrapped sum of `col` in the file: physical wrapped sum minus
+   *  the masked wrapped sum (mod-2^64 arithmetic is a group, so the
+   *  difference is exactly the wrapped sum of the surviving rows). */
+  private def liveSum(e: graft.format.DataFileEntry, col: String): Long =
+    e.sumOf(col).get -
+      (if (e.deletes == 0L) 0L else e.dvSumOf(col).get)
+
   /** SUM pushes only for integral columns (exact wrapping partials).
    *  Under non-ANSI arithmetic the wrapped stats total IS Spark's
    *  answer. Under ANSI (the Spark 4 default) SUM throws on overflow,
@@ -862,16 +883,20 @@ private[sources] object GraftAggScan {
    *  can overflow (Σ (non-null rows × max|bound|) fits in a Long);
    *  then the exact total is order-independent and equals the scan's.
    *  An unprovable case declines, so the scan's ANSI error is never
-   *  masked by a silently wrapped metadata answer. */
+   *  masked by a silently wrapped metadata answer. DVs are fine when
+   *  the masked accounting is current (see dvAccounted): live sum =
+   *  wrapped total minus wrapped masked sum, and the all-rows bounds
+   *  proof covers every SUBSET accumulation order too, so the ANSI
+   *  argument carries over to the surviving rows unchanged. */
   private def sumPushable(manifest: Manifest, s: Sum): Boolean = {
-    if (s.isDistinct || !manifest.dataFiles.forall(_.deletes == 0L))
-      return false
+    if (s.isDistinct) return false
     val cOpt = colOf(s)
     val fdOpt = cOpt.flatMap(c => manifest.schema.fields.find(_.name == c))
     val ok = fdOpt.exists(fd =>
       GraftTable.integralLong(fd.dataType).isDefined) &&
       cOpt.exists(c => manifest.dataFiles.forall(e =>
-        e.sumOf(c).isDefined && e.nullsOf(c).isDefined))
+        e.sumOf(c).isDefined && e.nullsOf(c).isDefined &&
+          dvAccounted(e, c)))
     if (!ok) return false
     // SQLConf carries the real default (ANSI is ON in Spark 4); a
     // caller-supplied fallback on RuntimeConfig.get would mask it
@@ -900,22 +925,22 @@ private[sources] object GraftAggScan {
     caps.forall(_.isDefined) && caps.flatten.sum <= cap
   }
 
-  /** Global (no GROUP BY) COUNT(*)/COUNT(col)/MIN(col)/MAX(col) only.
+  /** Global (no GROUP BY) COUNT(*)/COUNT(col)/MIN/MAX/SUM/AVG only.
    *  MIN/MAX need a delete-free snapshot plus stats on every file for
    *  the column (a DV could mask exactly the extreme row; a stat-less
-   *  file hides its range); COUNT(col) needs a delete-free snapshot
-   *  plus a recorded null count on every file (a DV could mask a null
-   *  or a non-null row; a pre-null-accounting file is unknown, never
-   *  zero). */
+   *  file hides its range). COUNT(col) needs a recorded null count on
+   *  every file, and — for files carrying DVs — CURRENT masked-row
+   *  accounting (live non-null = physical non-null minus masked
+   *  non-null; a pre-accounting file is unknown, never zero). */
   def supported(manifest: Manifest, agg: Aggregation): Boolean =
     agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
       avgRewriteSafe(manifest, agg.aggregateExpressions.toSeq) &&
       agg.aggregateExpressions.forall {
         case _: CountStar => true
         case c: Count =>
-          !c.isDistinct && manifest.dataFiles.forall(_.deletes == 0L) &&
-            colOf(c).exists(col =>
-              manifest.dataFiles.forall(_.nullsOf(col).isDefined))
+          !c.isDistinct && colOf(c).exists(col =>
+            manifest.dataFiles.forall(e =>
+              e.nullsOf(col).isDefined && dvNullsCounted(e, col)))
         case s: Sum => sumPushable(manifest, s)
         case a: Avg => avgPushable(manifest, a)
         case f @ (_: Min | _: Max) =>
@@ -959,19 +984,19 @@ private[sources] object GraftAggScan {
       case c: Count =>
         val col = colOf(c).get
         java.lang.Long.valueOf(manifest.dataFiles
-          .map(e => e.rows - e.nullsOf(col).get).sum)
+          .map(e => liveNonNull(e, col)).sum)
       case s: Sum =>
         val col = colOf(s).get
-        val nonNull = manifest.dataFiles.map(e => e.rows - e.nullsOf(col).get).sum
+        val nonNull = manifest.dataFiles.map(e => liveNonNull(e, col)).sum
         if (nonNull == 0L) null // SUM over zero values is NULL
         else java.lang.Long.valueOf(
-          manifest.dataFiles.foldLeft(0L)((a, e) => a + e.sumOf(col).get))
+          manifest.dataFiles.foldLeft(0L)((a, e) => a + liveSum(e, col)))
       case a: Avg =>
         val col = colOf(a).get
-        val nonNull = manifest.dataFiles.map(e => e.rows - e.nullsOf(col).get).sum
+        val nonNull = manifest.dataFiles.map(e => liveNonNull(e, col)).sum
         if (nonNull == 0L) null // AVG over zero values is NULL
         else java.lang.Double.valueOf(
-          manifest.dataFiles.foldLeft(0L)((x, e) => x + e.sumOf(col).get)
+          manifest.dataFiles.foldLeft(0L)((x, e) => x + liveSum(e, col))
             .toDouble / nonNull.toDouble)
       case f: Min => extreme(f, isMin = true)
       case f: Max => extreme(f, isMin = false)

@@ -1546,6 +1546,18 @@ final class GraftTable private (
     }
     out += (("lsn-order", m.flushLsn <= m.commitLsn,
       s"flush=${m.flushLsn} commit=${m.commitLsn}"))
+    // bucketed tables: layout decay surfaced, not just correctness. A
+    // table fed only sub-floor micro-batches accumulates unbucketed
+    // files (both write paths degrade those to plain chunks) and
+    // silently loses zero-exchange SPJ until compaction re-buckets —
+    // operators need to SEE that drift to schedule maintenance. ok
+    // while every live file carries a valid bucket id.
+    if (m.bucketN > 0L) {
+      val unbucketed = m.dataFiles.count(_.bucket < 0L)
+      out += (("bucket-layout", unbucketed == 0,
+        s"bucketN=${m.bucketN} bucketed=${m.dataFiles.size - unbucketed} " +
+          s"unbucketed=$unbucketed"))
+    }
     out.toSeq
   }
 
@@ -2437,11 +2449,80 @@ final class GraftTable private (
    *  reference `table_handler.rs:239-320`). */
   /** M15 full maintenance; `clusterBy` additionally sorts the rewrite
    *  so file stats become disjoint ranges (see `compact`). */
+  /** Refresh masked-row accounting (dvAccounted/dvNullStats/dvSumStats)
+   *  for files whose DVs outgrew it, so COUNT(col)/SUM/AVG aggregate
+   *  pushdown stays exact under deletes (the reference keeps
+   *  cardinality exact under deletes the same way: persisted minus
+   *  deleted counts, `snapshot_read.rs:52-61`). ONE columnar job reads
+   *  only the stat columns of the stale files and folds each file's
+   *  CURRENT bitmap — an idempotent full recompute, since a positional
+   *  filter cannot prune parquet row groups and a delta pass would read
+   *  the same bytes. Runs on the maintenance cadence (optimize), NEVER
+   *  per publish: under continuous upserts nearly every file gains DVs
+   *  every batch, and an eager per-commit recompute would degenerate
+   *  into a full stat-column table scan per commit. Between refreshes
+   *  the pushdown declines (dvAccounted != deletes) and the scan
+   *  answers — stale accounting is never trusted.
+   *  Returns the number of files refreshed. */
+  def refreshDvStats(): Int = synchronized {
+    val statF = schemaVar.fields.filter(f => statsComparable(f.dataType)).toSeq
+    if (statF.isEmpty) return 0
+    val stale = fileEntries.toSeq.collect {
+      case (f, e) if e.deletes > 0 && !e.dvStatsCurrent && dvMap.contains(f) => f
+    }
+    if (stale.isEmpty) return 0
+    val bc = spark.sparkContext.broadcast(
+      stale.map(f => f -> DvCache.serialize(dvMap(f))).toMap)
+    val masked = udf((file: String, pos: Long) =>
+      DvCache.bitmaps(bc).get(file).exists(_.contains(pos)))
+    val aggs = count(lit(1)).as("_n") +: statF.flatMap { f =>
+      val p = col(SchemaDsl.physicalName(f))
+      Seq(count(p).as(s"_nn_${f.name}")) ++
+        // decimal accumulation: ANSI long SUM would throw on overflow
+        // (see the compaction read-back above); narrow to wrapped below
+        (if (GraftTable.integralLong(f.dataType).isDefined)
+           Seq(sum(p.cast("decimal(38,0)")).as(s"_sm_${f.name}"))
+         else Nil)
+    }
+    val rows = spark.read.schema(physicalSchema)
+      .parquet(stale.map(f => s"$root/data/$f"): _*)
+      .select(Seq(
+        substring_index(col("_metadata.file_path"), "/", -1).as("_f"),
+        col("_metadata.row_index").as("_p")) ++
+        statF.map(f => col(SchemaDsl.physicalName(f))): _*)
+      .where(masked(col("_f"), col("_p")))
+      .groupBy(col("_f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    rows.foreach { r =>
+      val f = r.getString(0)
+      val n = r.getLong(r.fieldIndex("_n"))
+      val nulls = statF.map { sf =>
+        sf.name ->
+          (n - r.getLong(r.fieldIndex(s"_nn_${sf.name}"))).toString }.toMap
+      val sums = statF.collect {
+        case sf if GraftTable.integralLong(sf.dataType).isDefined =>
+          val i = r.fieldIndex(s"_sm_${sf.name}")
+          sf.name -> (if (r.isNullAt(i)) 0L
+                      else BigDecimal(r.getDecimal(i)).toBigInt.longValue)
+            .toString
+      }.toMap
+      // dvAccounted = masked rows actually read; if that ever disagrees
+      // with `deletes` the entry stays non-current and keeps declining
+      fileEntries(f) = fileEntries(f).copy(dvAccounted = n,
+        dvNullStats = nulls, dvSumStats = sums)
+    }
+    rows.length
+  }
+
   def optimize(clusterBy: Seq[String] = Nil,
       zorder: Boolean = false,
       bucketBy: Option[Int] = scala.None): Unit = synchronized {
     flush(); compact(force = true, clusterBy = clusterBy, zorder = zorder,
       bucketBy = bucketBy)
+    // light-deleted files survive compaction with their DVs; fold those
+    // DVs into the masked accounting so aggregates keep pushing
+    refreshDvStats()
     mergeIndexes(); publish()
   }
 
@@ -2509,9 +2590,12 @@ final class GraftTable private (
     fileEntries.keys.toSeq.foreach { k =>
       val e = fileEntries(k)
       if (cols.exists(c => e.stats.contains(c) || e.nullStats.contains(c) ||
-          e.sumStats.contains(c)))
+          e.sumStats.contains(c) || e.dvNullStats.contains(c) ||
+          e.dvSumStats.contains(c)))
         fileEntries(k) = e.copy(stats = e.stats -- cols,
-          nullStats = e.nullStats -- cols, sumStats = e.sumStats -- cols)
+          nullStats = e.nullStats -- cols, sumStats = e.sumStats -- cols,
+          dvNullStats = e.dvNullStats -- cols,
+          dvSumStats = e.dvSumStats -- cols)
     }
 
   /** Re-key per-file stats on a rename: the data is the same physical
@@ -2519,15 +2603,17 @@ final class GraftTable private (
   private def rekeyColumnStats(from: String, to: String): Unit =
     fileEntries.keys.toSeq.foreach { k =>
       val e = fileEntries(k)
+      def rekey(m: Map[String, String]): Map[String, String] =
+        m.get(from).map(v => m - from + (to -> v)).getOrElse(m)
       if (e.stats.contains(from) || e.nullStats.contains(from) ||
-          e.sumStats.contains(from))
+          e.sumStats.contains(from) || e.dvNullStats.contains(from) ||
+          e.dvSumStats.contains(from))
         fileEntries(k) = e.copy(
           stats = e.stats.get(from)
             .map(v => e.stats - from + (to -> v)).getOrElse(e.stats),
-          nullStats = e.nullStats.get(from)
-            .map(v => e.nullStats - from + (to -> v)).getOrElse(e.nullStats),
-          sumStats = e.sumStats.get(from)
-            .map(v => e.sumStats - from + (to -> v)).getOrElse(e.sumStats))
+          nullStats = rekey(e.nullStats), sumStats = rekey(e.sumStats),
+          dvNullStats = rekey(e.dvNullStats),
+          dvSumStats = rekey(e.dvSumStats))
     }
 
   def alterDropColumns(cols: Seq[String]): Unit = synchronized {

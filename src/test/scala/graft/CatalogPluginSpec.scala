@@ -412,6 +412,30 @@ class CatalogPluginSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.format.Fio.delete(s"$wh/ck/data/$victim")
     val c2 = checks()
     assert(!c2("files-present"), s"tamper undetected: $c2")
+    // unbucketed tables have no bucket-layout row at all
+    assert(!c1.contains("bucket-layout"))
+    // bucket-layout DECAY is surfaced: sub-floor scattered micro-
+    // flushes legally write unbucketed files (losing zero-exchange SPJ
+    // until maintenance) and the check must make that drift visible
+    val t2 = cat.createTable("ck2", schema, Identity.Keys(Seq("id")))
+    t2.upsertAll((1L to 300L).map(i => Row(i, i)), startLsn = 1)
+    t2.flush(); t2.publish()
+    t2.optimize(bucketBy = Some(4))
+    def checks2() = spark.sql(s"CALL $cname.system.check('graft', 'ck2')")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
+    val b1 = checks2()
+    assert(b1("bucket-layout")._1, s"fresh layout must report clean: $b1")
+    t2.upsertAll((1001L to 1008L).map(i => Row(i, i)), startLsn = 400L)
+    t2.flush(); t2.publish()
+    val b2 = checks2()
+    assert(!b2("bucket-layout")._1 &&
+      b2("bucket-layout")._2.contains("unbucketed=1"),
+      s"layout decay must be visible: $b2")
+    // escalated compaction re-buckets the tail and the report heals
+    t2.compact(force = true); t2.publish()
+    val b3 = checks2()
+    assert(b3("bucket-layout")._1, s"compaction must restore the layout: $b3")
   }
 
   test("catalog functions expose the native kernels to SQL") {

