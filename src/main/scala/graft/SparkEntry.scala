@@ -1488,10 +1488,11 @@ object SparkEntry {
       //    would be unsound (a silently-wrong push fails it too).
       // Phase 1: a compacted delete-free table pushes count/min/max/
       // count(col)/sum/avg. Phase 2: a predicate delete masks rows via
-      // DVs — count(*) stays manifest-only (liveRows), min/max refuse
-      // forever (a DV could hide the extreme row), count(col)/sum/avg
-      // refuse UNTIL refreshDvStats folds the masked rows into the
-      // accounting, then push the live values. Phase 3 negatives:
+      // DVs — count(*) stays manifest-only (liveRows); min/max/
+      // count(col)/sum/avg refuse UNTIL refreshDvStats folds the
+      // masked rows into the accounting AND rewrites each file's
+      // bounds from the surviving rows, then all push the live values.
+      // Phase 3 negatives:
       // double columns never push sum/avg; an ANSI-unprovable SUM and
       // a beyond-2^53 AVG decline on an adversarial side table.
       val table = runCdc(s, d, deleteType = None, compactAfter = true)
@@ -1527,17 +1528,19 @@ object SparkEntry {
       // and the DV-aware scan answers them exactly
       mustScan(dfDel.agg(min(col("user_id")), max(col("event_id"))))
       val stale = mustScan(dfDel.agg(count(col("value")), sum(col("user_id"))))
-      // refresh folds the masked rows in; COUNT(col)/SUM/AVG push the
-      // LIVE values and must agree with what the scan just said
+      // refresh folds the masked rows in and rewrites each file's
+      // bounds from the SURVIVING rows; COUNT(col)/SUM/AVG push the
+      // LIVE values (and must agree with what the scan just said) and
+      // MIN/MAX re-arm over the live bounds
       require(table.refreshDvStats() >= 1, "no delete-carrying file refreshed")
       table.publish()
       val dfLive = s.read.format("graft").load(table.root)
       val live = aggScanOnly(dfLive.agg(count(col("value")),
-        sum(col("user_id")), round(avg(col("user_id")) * 100).cast("long")))
+        sum(col("user_id")), round(avg(col("user_id")) * 100).cast("long"),
+        min(col("user_id")), max(col("user_id"))))
       require(live.getLong(0) == stale.getLong(0) &&
         live.getLong(1) == stale.getLong(1),
         s"pushed live aggregates diverge from the scan: $live vs $stale")
-      mustScan(dfLive.agg(min(col("user_id")))) // min/max: gated forever
       // adversarial side table: {2^53, 1, 1, 1} — ANSI SUM is provable
       // and pushes; AVG is beyond the 2^53 exactness proof and declines
       // (including Spark's sum/count rewrite of it)
@@ -1568,17 +1571,19 @@ object SparkEntry {
       Seq((pre.getLong(0), pre.getLong(1), pre.getLong(2), pre.getLong(3),
         pre.getLong(4), pre.getDouble(5), pre.getDouble(6), pre.getLong(7),
         pre.getLong(8), post.getLong(0), live.getLong(0), live.getLong(1),
-        live.getLong(2)))
+        live.getLong(2), live.getLong(3), live.getLong(4)))
         .toDF("n_users", "mn_user", "mx_user", "mn_event", "mx_event",
           "mn_value", "mx_value", "n_values", "sum_users", "n_after_deletes",
-          "n_values_live", "sum_users_live", "avg_user_c_live")
+          "n_values_live", "sum_users_live", "avg_user_c_live",
+          "mn_user_live", "mx_user_live")
         .select(col("n_users"), col("mn_user"), col("mx_user"),
           col("mn_event"), col("mx_event"),
           cents(col("mn_value")).as("mn_value_cents"),
           cents(col("mx_value")).as("mx_value_cents"),
           col("n_values"), col("sum_users"), col("n_after_deletes"),
           col("n_values_live"), col("sum_users_live"),
-          col("avg_user_c_live"))
+          col("avg_user_c_live"), col("mn_user_live"),
+          col("mx_user_live"))
     }),
 
     "cdc_update_where" -> ((s, d) => {
@@ -5673,7 +5678,9 @@ object SparkEntry {
         |       (SELECT CAST(SUM(user_id) AS BIGINT) FROM live)
         |         AS sum_users_live,
         |       (SELECT CAST(ROUND(AVG(user_id)*100) AS BIGINT) FROM live)
-        |         AS avg_user_c_live
+        |         AS avg_user_c_live,
+        |       (SELECT min(user_id) FROM live) AS mn_user_live,
+        |       (SELECT max(user_id) FROM live) AS mx_user_live
         |FROM last""".stripMargin,
 
     // last state per user; matched rows (last event is a click) carry

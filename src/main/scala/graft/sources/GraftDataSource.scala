@@ -926,12 +926,15 @@ private[sources] object GraftAggScan {
   }
 
   /** Global (no GROUP BY) COUNT(*)/COUNT(col)/MIN/MAX/SUM/AVG only.
-   *  MIN/MAX need a delete-free snapshot plus stats on every file for
-   *  the column (a DV could mask exactly the extreme row; a stat-less
-   *  file hides its range). COUNT(col) needs a recorded null count on
-   *  every file, and — for files carrying DVs — CURRENT masked-row
-   *  accounting (live non-null = physical non-null minus masked
-   *  non-null; a pre-accounting file is unknown, never zero). */
+   *  MIN/MAX need per-file (min,max) bounds that describe the LIVE
+   *  rows: either the file is delete-free, or refreshDvStats rewrote
+   *  its bounds from the surviving rows in the same entry update that
+   *  made the masked accounting current (a DV could mask exactly the
+   *  extreme row, so physical bounds alone never push past a delete).
+   *  COUNT(col) needs a recorded null count on every file, and — for
+   *  files carrying DVs — CURRENT masked-row accounting (live non-null
+   *  = physical non-null minus masked non-null; a pre-accounting file
+   *  is unknown, never zero). */
   def supported(manifest: Manifest, agg: Aggregation): Boolean =
     agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
       avgRewriteSafe(manifest, agg.aggregateExpressions.toSeq) &&
@@ -944,10 +947,15 @@ private[sources] object GraftAggScan {
         case s: Sum => sumPushable(manifest, s)
         case a: Avg => avgPushable(manifest, a)
         case f @ (_: Min | _: Max) =>
-          manifest.dataFiles.forall(_.deletes == 0L) && colOf(f).exists { c =>
+          colOf(f).exists { c =>
             manifest.schema.fields.find(_.name == c)
               .exists(fd => GraftTable.statsComparable(fd.dataType)) &&
-              manifest.dataFiles.forall(e => e.stats.get(c).exists(_.length == 2))
+              manifest.dataFiles.forall(e =>
+                (e.deletes == 0L || e.dvStatsCurrent) &&
+                  // a file with zero LIVE rows contributes nothing and
+                  // legitimately has no live bounds; it must not block
+                  (e.rows == e.deletes ||
+                    e.stats.get(c).exists(_.length == 2)))
           }
         case _ => false
       }
@@ -973,7 +981,9 @@ private[sources] object GraftAggScan {
       val c = colOf(f).get
       val fd = manifest.schema.fields.find(_.name == c).get
       implicit val ord: Ordering[Any] = GraftTable.anyOrdering(fd.dataType)
+      // zero-live files carry no live bounds and contribute nothing
       val perFile = manifest.dataFiles
+        .filter(e => e.rows > e.deletes && e.stats.get(c).exists(_.length == 2))
         .map(e => GraftTable.parseStat(fd.dataType, e.stats(c)(if (isMin) 0 else 1)))
       if (perFile.isEmpty) null
       else CatalystTypeConverters.createToCatalystConverter(fd.dataType)(

@@ -2475,13 +2475,21 @@ final class GraftTable private (
       stale.map(f => f -> DvCache.serialize(dvMap(f))).toMap)
     val masked = udf((file: String, pos: Long) =>
       DvCache.bitmaps(bc).get(file).exists(_.contains(pos)))
-    val aggs = count(lit(1)).as("_n") +: statF.flatMap { f =>
+    val mk = masked(col("_f"), col("_p"))
+    // one pass computes the MASKED aggregates (null counts + wrapped
+    // sums, for COUNT/SUM/AVG) AND the LIVE min/max (the file's bounds
+    // tightened to its surviving rows — so MIN/MAX pushdown re-arms and
+    // filter pruning tightens; valid under the same currency condition,
+    // since both are written in the same entry update). Decimal sum
+    // accumulation: ANSI long SUM would throw on overflow (see the
+    // compaction read-back above); narrowed to wrapped below.
+    val aggs = count(when(mk, lit(1))).as("_n") +: statF.flatMap { f =>
       val p = col(SchemaDsl.physicalName(f))
-      Seq(count(p).as(s"_nn_${f.name}")) ++
-        // decimal accumulation: ANSI long SUM would throw on overflow
-        // (see the compaction read-back above); narrow to wrapped below
+      Seq(count(when(mk, p)).as(s"_nn_${f.name}"),
+        min(when(!mk, p)).as(s"_lmn_${f.name}"),
+        max(when(!mk, p)).as(s"_lmx_${f.name}")) ++
         (if (GraftTable.integralLong(f.dataType).isDefined)
-           Seq(sum(p.cast("decimal(38,0)")).as(s"_sm_${f.name}"))
+           Seq(sum(when(mk, p.cast("decimal(38,0)"))).as(s"_sm_${f.name}"))
          else Nil)
     }
     val rows = spark.read.schema(physicalSchema)
@@ -2490,7 +2498,6 @@ final class GraftTable private (
         substring_index(col("_metadata.file_path"), "/", -1).as("_f"),
         col("_metadata.row_index").as("_p")) ++
         statF.map(f => col(SchemaDsl.physicalName(f))): _*)
-      .where(masked(col("_f"), col("_p")))
       .groupBy(col("_f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
@@ -2507,10 +2514,16 @@ final class GraftTable private (
                       else BigDecimal(r.getDecimal(i)).toBigInt.longValue)
             .toString
       }.toMap
+      val liveBounds = statF.map { sf =>
+        val mn = r.get(r.fieldIndex(s"_lmn_${sf.name}"))
+        val mx = r.get(r.fieldIndex(s"_lmx_${sf.name}"))
+        sf.name -> (if (mn == null) Seq.empty[String]
+                    else statBounds(sf.dataType, mn, mx))
+      }.toMap
       // dvAccounted = masked rows actually read; if that ever disagrees
       // with `deletes` the entry stays non-current and keeps declining
       fileEntries(f) = fileEntries(f).copy(dvAccounted = n,
-        dvNullStats = nulls, dvSumStats = sums)
+        dvNullStats = nulls, dvSumStats = sums, stats = liveBounds)
     }
     rows.length
   }

@@ -754,6 +754,9 @@ class GraftDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       "un-refreshed masked accounting must never push")
     val r0 = q0.head()
     assert(r0.getLong(0) == 14L && r0.getLong(1) == 1570L)
+    assert(!df0.agg(min(col("v"))).queryExecution.executedPlan.toString
+      .contains("GraftAggScan"),
+      "MIN over stale physical bounds must decline (masked extreme)")
     // refresh folds the DVs into the accounting; COUNT/SUM/AVG push
     assert(t.refreshDvStats() == 1, "one delete-carrying file to refresh")
     t.publish()
@@ -773,13 +776,16 @@ class GraftDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r1.getLong(1) == 1570L, s"live sum ${r1.getLong(1)}")
     assert(r1.getDouble(2) == 1570.0 / 14.0)
     assert(r1.getLong(3) == 17L, "COUNT(*) = live rows")
-    // MIN/MAX stay gated: a DV could mask exactly the extreme row
-    val qm = df1.agg(min(col("v")))
-    assert(!qm.queryExecution.executedPlan.toString.contains("GraftAggScan"),
-      "MIN/MAX must keep declining under deletes")
-    assert(qm.head().getLong(0) == 30L) // rows 1,2 masked
+    // MIN/MAX re-arm too: the refresh rewrote the file's bounds from
+    // the SURVIVING rows in the same entry update (stale physical min
+    // would be 10 — exactly the masked extreme)
+    val qm = df1.agg(min(col("v")), max(col("v")))
+    assert(qm.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+      "live bounds must push MIN/MAX under refreshed deletes")
+    val rm = qm.head()
+    assert(rm.getLong(0) == 30L && rm.getLong(1) == 190L)
     // a NEW delete outdates the accounting — decline returns until the
-    // next refresh
+    // next refresh (for MIN/MAX too)
     t.apply(Seq(Delete(Seq(3L), 200L), Commit(201L)))
     t.publish()
     val df2 = spark.read.format("graft").load(t.root)
@@ -787,13 +793,17 @@ class GraftDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!q2.queryExecution.executedPlan.toString.contains("GraftAggScan"),
       "accounting must invalidate the moment deletes outgrow it")
     assert(q2.head().getLong(0) == 13L)
+    assert(!df2.agg(min(col("v"))).queryExecution.executedPlan.toString
+      .contains("GraftAggScan"),
+      "MIN must decline again once deletes outgrow the refreshed bounds")
     // optimize() both compacts-or-refreshes and re-arms the push
     t.optimize()
     val df3 = spark.read.format("graft").load(t.root)
-    val q3 = df3.agg(count(col("v")), sum(col("v")))
+    val q3 = df3.agg(count(col("v")), sum(col("v")), min(col("v")))
     assert(q3.queryExecution.executedPlan.toString.contains("GraftAggScan"))
     val r3 = q3.head()
-    assert(r3.getLong(0) == 13L && r3.getLong(1) == 1540L)
+    assert(r3.getLong(0) == 13L && r3.getLong(1) == 1540L &&
+      r3.getLong(2) == 40L)
     t.drop()
   }
 
