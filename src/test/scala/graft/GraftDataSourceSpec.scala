@@ -807,6 +807,56 @@ class GraftDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.drop()
   }
 
+  test("masked-accounting property: pushed aggregates equal the scan " +
+      "across random delete histories") {
+    // seeded random upsert/delete rounds; after every refresh the
+    // whole aggregate family must push AND agree bit-for-bit with the
+    // table's own scan (t.read applies DVs without DSv2 agg pushdown).
+    // Values stay within ±1000 so the 2^53/ANSI proofs always hold —
+    // what varies is the delete/null/file-boundary structure.
+    val sch = SchemaDsl.struct("id" -> "int64", "v" -> "int64")
+    val t = GraftTable.create(spark, tmpDir() + "/t", sch,
+      Identity.Keys(Seq("id")),
+      TableConfig(memSliceSize = 8, walEnabled = false))
+    val rnd = new scala.util.Random(20260815L)
+    var lsn = 1L
+    def nextLsn(): Long = { lsn += 1; lsn }
+    def aggsOf(df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)), count(col("v")), sum(col("v")),
+        avg(col("v")), min(col("v")), max(col("v")))
+    (1 to 6).foreach { round =>
+      val ups = (1 to 10 + rnd.nextInt(20)).map { _ =>
+        val k = 1L + rnd.nextInt(40)
+        val v: Any =
+          if (rnd.nextInt(5) == 0) null
+          else (rnd.nextInt(2001) - 1000).toLong
+        (k, v)
+      }
+      t.apply(ups.flatMap { case (k, v) =>
+        CdcEvent.upsert(Row(k, v), Seq(k), nextLsn()) } :+ Commit(nextLsn()))
+      t.flush()
+      val dels = (0 until rnd.nextInt(6))
+        .map(_ => 1L + rnd.nextInt(40)).distinct
+      if (dels.nonEmpty)
+        t.apply(dels.map(k =>
+          Delete(Seq(k), nextLsn(), ifExists = true): CdcEvent)
+          :+ Commit(nextLsn()))
+      t.publish()
+      val want = aggsOf(t.read(scala.None)).head()
+      // pre-refresh: whatever the plan shape, values must already match
+      // (the DV-aware scan is the fallback contract)
+      val pre = aggsOf(spark.read.format("graft").load(t.root)).head()
+      assert(pre == want, s"round $round pre-refresh: $pre != $want")
+      t.refreshDvStats(); t.publish()
+      val q = aggsOf(spark.read.format("graft").load(t.root))
+      assert(q.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+        s"round $round: refreshed aggregate family must push")
+      val got = q.head()
+      assert(got == want, s"round $round: pushed $got != scan $want")
+    }
+    t.drop()
+  }
+
   test("null accounting cannot go stale across column drop/re-add or rename") {
     // a re-added column maps to a FRESH physical name old files read as
     // all-NULL; stale per-file null counts (0 for the predecessor)
