@@ -269,8 +269,11 @@ object Bench {
                   System.err.println(s"[bench] sf10:$name failed: ${e.getMessage}")
                   -1L
                 }
+              // clear OUTSIDE the timed window, like the main suite and
+              // the sf1 rider, or the sf10/sf1 scaling ratio is skewed
+              val sec = (System.nanoTime() - t0) / 1e9
               spark.catalog.clearCache()
-              ((System.nanoTime() - t0) / 1e9, n)
+              (sec, n)
             }
             val a = one()
             val (sec, n) =
@@ -290,10 +293,14 @@ object Bench {
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$sf1Json$sf10Json,"sf":"$sfDir"}"""
     // the line is ~4 KB at 137 queries — a byte-bounded tail capture
-    // can cut into it, so it ALSO lands whole in its own file
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LAST.json"), line + "\n")
-    catch { case _: Throwable => () }
+    // can cut into it, so it ALSO lands whole in its own file. A
+    // GRAFT_BENCH_ONLY subset run must NOT overwrite it: a one-entry
+    // artifact would erase every other entry's prior and silently
+    // disarm the >1.5x outlier re-run guard on the next full run.
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_LAST.json"), line + "\n")
+      catch { case _: Throwable => () }
     println(line)
     spark.stop()
   }

@@ -832,11 +832,14 @@ private[sources] object GraftAggScan {
    *  same column) on the same 2^53 proof; see `avgRewriteSafe`. */
   private val avgExactCap = BigInt(1L) << 53
   private def exactInDoubles(manifest: Manifest, c: String): Boolean =
-    manifest.schema.fields.find(_.name == c)
-      .exists(fd => boundsWithin(manifest, c, fd, avgExactCap))
+    manifest.schema.fields.find(_.name == c).exists(fd =>
+      GraftTable.integralLong(fd.dataType).isDefined &&
+        boundsWithin(manifest, c, fd, avgExactCap))
   private def avgPushable(manifest: Manifest, a: Avg): Boolean =
-    !a.isDistinct && sumPushable(manifest, new Sum(a.column, false)) &&
-      colOf(a).exists(c => exactInDoubles(manifest, c))
+    // exactInDoubles (cap 2^53) subsumes the ANSI SUM proof
+    // (cap Long.MaxValue), so no second bounds pass is needed
+    !a.isDistinct && colOf(a).exists(c =>
+      sumStructural(manifest, c) && exactInDoubles(manifest, c))
 
   /** True when no average can be reconstructed from the pushed values
    *  with different numerics than the un-pushed plan. Spark rewrites a
@@ -888,39 +891,49 @@ private[sources] object GraftAggScan {
    *  wrapped total minus wrapped masked sum, and the all-rows bounds
    *  proof covers every SUBSET accumulation order too, so the ANSI
    *  argument carries over to the surviving rows unchanged. */
-  private def sumPushable(manifest: Manifest, s: Sum): Boolean = {
-    if (s.isDistinct) return false
-    val cOpt = colOf(s)
-    val fdOpt = cOpt.flatMap(c => manifest.schema.fields.find(_.name == c))
-    val ok = fdOpt.exists(fd =>
+  /** Structural half of the SUM gate: integral column with exact
+   *  per-file sums, null counts and current masked accounting on every
+   *  file. Shared by SUM (which adds the ANSI proof) and AVG (which
+   *  adds the stricter 2^53 exactness proof instead). */
+  private def sumStructural(manifest: Manifest, c: String): Boolean =
+    manifest.schema.fields.find(_.name == c).exists(fd =>
       GraftTable.integralLong(fd.dataType).isDefined) &&
-      cOpt.exists(c => manifest.dataFiles.forall(e =>
+      manifest.dataFiles.forall(e =>
         e.sumOf(c).isDefined && e.nullsOf(c).isDefined &&
-          dvAccounted(e, c)))
-    if (!ok) return false
-    // SQLConf carries the real default (ANSI is ON in Spark 4); a
-    // caller-supplied fallback on RuntimeConfig.get would mask it
-    val ansi = org.apache.spark.sql.internal.SQLConf.get.ansiEnabled
-    if (!ansi) return true
-    boundsWithin(manifest, cOpt.get, fdOpt.get, BigInt(Long.MaxValue))
-  }
+          dvAccounted(e, c))
+
+  private def sumPushable(manifest: Manifest, s: Sum): Boolean =
+    !s.isDistinct && colOf(s).exists { c =>
+      sumStructural(manifest, c) && {
+        // SQLConf carries the real default (ANSI is ON in Spark 4); a
+        // caller-supplied fallback on RuntimeConfig.get would mask it
+        !org.apache.spark.sql.internal.SQLConf.get.ansiEnabled ||
+          manifest.schema.fields.find(_.name == c).exists(fd =>
+            boundsWithin(manifest, c, fd, BigInt(Long.MaxValue)))
+      }
+    }
 
   /** Proves NO accumulation order over the snapshot's values can exceed
    *  `cap` in magnitude: Σ per-file (non-null rows × max(|min|,|max|))
    *  ≤ cap bounds every prefix sum of every permutation. A non-empty
-   *  file without recorded min/max bounds makes the claim unprovable. */
+   *  file without recorded min/max bounds — or without a recorded null
+   *  count (avgRewriteSafe can reach here before any per-function gate
+   *  has checked presence) — makes the claim unprovable, never an
+   *  exception: planning must decline, not throw. */
   private def boundsWithin(manifest: Manifest, c: String,
       fd: StructField, cap: BigInt): Boolean = {
     val caps = manifest.dataFiles.map { e =>
-      val nonNull = e.rows - e.nullsOf(c).get
-      if (nonNull == 0L) Some(BigInt(0))
-      else e.stats.get(c).filter(_.length == 2).map { b =>
-        val mn = BigInt(GraftTable.parseStat(fd.dataType, b.head)
-          .asInstanceOf[Number].longValue)
-        val mx = BigInt(GraftTable.parseStat(fd.dataType, b(1))
-          .asInstanceOf[Number].longValue)
-        BigInt(nonNull) * mn.abs.max(mx.abs)
-      } // a bound-less non-empty file makes overflow unprovable
+      e.nullsOf(c).flatMap { nulls =>
+        val nonNull = e.rows - nulls
+        if (nonNull == 0L) Some(BigInt(0))
+        else e.stats.get(c).filter(_.length == 2).map { b =>
+          val mn = BigInt(GraftTable.parseStat(fd.dataType, b.head)
+            .asInstanceOf[Number].longValue)
+          val mx = BigInt(GraftTable.parseStat(fd.dataType, b(1))
+            .asInstanceOf[Number].longValue)
+          BigInt(nonNull) * mn.abs.max(mx.abs)
+        } // a bound-less non-empty file makes overflow unprovable
+      }
     }
     caps.forall(_.isDefined) && caps.flatten.sum <= cap
   }
@@ -949,7 +962,16 @@ private[sources] object GraftAggScan {
         case f @ (_: Min | _: Max) =>
           colOf(f).exists { c =>
             manifest.schema.fields.find(_.name == c)
-              .exists(fd => GraftTable.statsComparable(fd.dataType)) &&
+              // statsComparable is the PRUNING gate; bounds used as the
+              // ANSWER must additionally be exact values from the data.
+              // String bounds are not: statBounds truncates a >32-cp
+              // min to a prefix (below the true min) and LIFTS a
+              // >32-cp max to a synthetic upper bound not present in
+              // the table — prune-safe, aggregate-wrong. A short stored
+              // bound cannot prove the original was short (a lifted max
+              // can land at any length), so strings never push MIN/MAX.
+              .exists(fd => GraftTable.statsComparable(fd.dataType) &&
+                !fd.dataType.isInstanceOf[StringType]) &&
               manifest.dataFiles.forall(e =>
                 (e.deletes == 0L || e.dvStatsCurrent) &&
                   // a file with zero LIVE rows contributes nothing and

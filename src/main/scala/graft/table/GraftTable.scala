@@ -2473,9 +2473,7 @@ final class GraftTable private (
     if (stale.isEmpty) return 0
     val bc = spark.sparkContext.broadcast(
       stale.map(f => f -> DvCache.serialize(dvMap(f))).toMap)
-    val masked = udf((file: String, pos: Long) =>
-      DvCache.bitmaps(bc).get(file).exists(_.contains(pos)))
-    val mk = masked(col("_f"), col("_p"))
+    val mk = DvCache.deletedUdf(bc)(col("_f"), col("_p"))
     // one pass computes the MASKED aggregates (null counts + wrapped
     // sums, for COUNT/SUM/AVG) AND the LIVE min/max (the file's bounds
     // tightened to its surviving rows — so MIN/MAX pushdown re-arms and
@@ -2978,6 +2976,12 @@ object DvCache {
   def notDeletedUdf(bc: Broadcast[Map[String, Array[Byte]]]): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((file: String, pos: Long) =>
       !bitmaps(bc).get(file).exists(_.contains(pos)))
+
+  /** (file, pos) => row IS deleted — refreshDvStats' twin of
+   *  notDeletedUdf; same capture rule (broadcast handle only). */
+  def deletedUdf(bc: Broadcast[Map[String, Array[Byte]]]): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((file: String, pos: Long) =>
+      bitmaps(bc).get(file).exists(_.contains(pos)))
 }
 
 /** Per-partition (rowCount, mins, maxs) side-channel for the fused

@@ -295,18 +295,24 @@ class GraftDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.apply(rows.zipWithIndex.flatMap { case (r, i) =>
       CdcEvent.upsert(r, Seq(r.getLong(0)), i + 1L) } :+ Commit(10L))
     val df = spark.read.format("graft").load(t.root)
+    // strings are EXCLUDED from pushed min/max (stat bounds may be
+    // truncated/lifted for long values — prune-safe, aggregate-wrong,
+    // and a 2-element bound cannot prove it was stored exactly), so a
+    // mixed aggregation scans; the timestamp-only one pushes below
     val q = df.agg(min("name"), max("name"), min("ts"), max("ts"))
-    assert(q.queryExecution.executedPlan.toString.contains("GraftAggScan"),
-      "delete-free snapshot must answer min/max from the manifest")
+    assert(!q.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+      "string min/max must fall back to the scan")
     val got = q.head()
-    // the ground truth: Spark computing the same aggregates with the
-    // pushdown disabled (plain parquet over the data files)
     val want = t.read(None).agg(min("name"), max("name"), min("ts"), max("ts")).head()
-    assert(got == want, s"pushed=$got spark=$want")
+    assert(got == want, s"scan=$got expected=$want")
     assert(got.getString(1) == "😀", "max string must be UTF-8 order")
-    assert(got.getTimestamp(2) ==
+    val qt = df.agg(min("ts"), max("ts"))
+    assert(qt.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+      "delete-free snapshot must answer timestamp min/max from the manifest")
+    val gt = qt.head()
+    assert(gt.getTimestamp(0) ==
       java.sql.Timestamp.valueOf("2025-01-01 00:00:00.000001"))
-    assert(got.getTimestamp(3) ==
+    assert(gt.getTimestamp(1) ==
       java.sql.Timestamp.valueOf("2025-01-01 00:00:00.000003"))
     t.drop()
   }
@@ -854,6 +860,68 @@ class GraftDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       val got = q.head()
       assert(got == want, s"round $round: pushed $got != scan $want")
     }
+    t.drop()
+  }
+
+  test("string MIN/MAX never push (stat bounds are prune-safe, not exact)") {
+    // statBounds truncates a >32-codepoint min to a prefix (below the
+    // true min) and LIFTS a >32-cp max to a synthetic upper bound not
+    // present in the table. Fine for pruning; WRONG as an aggregate
+    // answer — and a short stored bound cannot prove the original was
+    // short (a lifted max can land at any length), so strings are
+    // excluded from MIN/MAX pushdown wholesale.
+    val sch = SchemaDsl.struct("id" -> "int64", "name" -> "string",
+      "v" -> "int64")
+    val t = GraftTable.create(spark, tmpDir() + "/t", sch,
+      Identity.Keys(Seq("id")),
+      TableConfig(memSliceSize = 64, walEnabled = false))
+    val longA = "a" * 40 + "zz" // > 32 cp: stored min is a 32-cp prefix
+    val longZ = "z" * 40 + "aa" // > 32 cp: stored max is a lifted prefix
+    t.apply(Seq(
+      CdcEvent.upsert(Row(1L, longA, 10L), Seq(1L), 1L),
+      CdcEvent.upsert(Row(2L, longZ, 20L), Seq(2L), 2L)).flatten
+      :+ Commit(3L))
+    t.flush(); t.publish()
+    val df = spark.read.format("graft").load(t.root)
+    val q = df.agg(min(col("name")), max(col("name")))
+    assert(!q.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+      "string MIN/MAX must come from the scan, not truncated bounds")
+    val r = q.head()
+    assert(r.getString(0) == longA && r.getString(1) == longZ,
+      s"scan answers must be the true strings: $r")
+    // numeric min/max on the same table still push
+    val qn = df.agg(min(col("v")), max(col("v")))
+    assert(qn.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+    val rn = qn.head()
+    assert(rn.getLong(0) == 10L && rn.getLong(1) == 20L)
+    t.drop()
+  }
+
+  test("an accounting-less column declines aggregate pushdown at planning " +
+      "instead of throwing") {
+    // a column added after files were flushed has NO null counts or
+    // sums on those files; Spark still offers the rewritten
+    // Sum(c)+Count(c) pair for avg — the gate must treat the missing
+    // accounting as unprovable and fall back, never crash the planner
+    val sch = SchemaDsl.struct("id" -> "int64", "w" -> "int64")
+    val t = GraftTable.create(spark, tmpDir() + "/t", sch,
+      Identity.Keys(Seq("id")),
+      TableConfig(memSliceSize = 64, walEnabled = false))
+    t.apply((1L to 5L).flatMap(i =>
+      CdcEvent.upsert(Row(i, i * 2), Seq(i), i)) :+ Commit(6L))
+    t.flush(); t.publish()
+    t.alterAddColumn("v", "int64")
+    val df = spark.read.format("graft").load(t.root)
+    // the avg-rewrite pair shape over the accounting-less column: must
+    // plan (decline), not throw, and the scan answers
+    val q = df.agg(sum(col("v")), count(col("v")), avg(col("v")))
+    assert(!q.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+    val r = q.head()
+    assert(r.isNullAt(0) && r.getLong(1) == 0L && r.isNullAt(2))
+    // the fully-accounted column still pushes alongside
+    val q2 = df.agg(sum(col("w")), count(col("w")))
+    assert(q2.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+    assert(q2.head().getLong(0) == 30L)
     t.drop()
   }
 
