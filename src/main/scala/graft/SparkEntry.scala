@@ -1520,6 +1520,10 @@ object SparkEntry {
       // double column: SUM/AVG must never push (order-dependent FP)
       mustScan(s.read.format("graft").load(table.root)
         .agg(sum(col("value")), avg(col("value"))))
+      // string column: MIN/MAX must never push (stat bounds may be
+      // truncated/lifted for long values — prune-safe, aggregate-wrong)
+      mustScan(s.read.format("graft").load(table.root)
+        .agg(min(col("event_type")), max(col("event_type"))))
       table.deleteWhere(col("event_type") === "purchase")
       val dfDel = s.read.format("graft").load(table.root)
       // COUNT(*) stays manifest-only under DVs (liveRows accounting)…
