@@ -34,7 +34,8 @@ private[graft] object GraftProcedures {
 
   def list(): Array[Identifier] =
     Array("optimize", "vacuum", "expire_snapshots", "restore", "flush",
-        "check", "iceberg_sync", "delta_sync", "delta_checkpoint")
+        "check", "refresh_stats", "iceberg_sync", "delta_sync",
+        "delta_checkpoint")
       .map(n => Identifier.of(Array("system"), n))
 
   def load(store: MetadataStore, warehouse: String,
@@ -83,6 +84,17 @@ private[graft] object GraftProcedures {
         StructType(Seq(StructField("removed_files", LongType))),
         args => Seq(Row(
           open(args(0).toString, args(1).toString).vacuum().toLong)))
+      case "refresh_stats" => proc("refresh_stats", DbTbl,
+        // masked-row accounting refresh without a full optimize: after
+        // deletes, one columnar pass re-arms COUNT(col)/SUM/AVG/MIN/MAX
+        // aggregate pushdown (and tightens bounds to live rows)
+        StructType(Seq(StructField("files_refreshed", LongType))),
+        args => {
+          val t = open(args(0).toString, args(1).toString)
+          val n = t.refreshDvStats()
+          if (n > 0) t.publish()
+          Seq(Row(n.toLong))
+        })
       case "expire_snapshots" => proc("expire_snapshots",
         DbTbl :+ ProcedureParameter.in("keep_last", IntegerType).build(),
         StructType(Seq(StructField("expired_versions", LongType))),

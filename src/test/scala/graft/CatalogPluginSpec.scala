@@ -438,6 +438,33 @@ class CatalogPluginSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(b3("bucket-layout")._1, s"compaction must restore the layout: $b3")
   }
 
+  test("CALL system.refresh_stats re-arms aggregate pushdown after deletes") {
+    val (cname, wh) = freshCatalog()
+    val cat = GraftCatalog(spark, wh)
+    val t = cat.createTable("rs", schema, Identity.Keys(Seq("id")))
+    t.upsertAll((1L to 10L).map(i => Row(i, i * 10)), startLsn = 1)
+    t.flush(); t.publish()
+    t.apply(Seq(Delete(Seq(1L), 20L), Commit(21L)))
+    t.flush(); t.publish()
+    import org.apache.spark.sql.functions.{col, count, min, sum}
+    def planOf() = spark.read.format("graft").load(s"$wh/rs")
+      .agg(count(col("v")), sum(col("v")), min(col("v")))
+      .queryExecution.executedPlan.toString
+    assert(!planOf().contains("GraftAggScan"),
+      "stale accounting must decline before the refresh")
+    val n = spark.sql(s"CALL $cname.system.refresh_stats('graft', 'rs')")
+      .head().getLong(0)
+    assert(n == 1L, s"one delete-carrying file expected, got $n")
+    assert(planOf().contains("GraftAggScan"),
+      "the SQL refresh must re-arm the aggregate pushdown")
+    // idempotent: nothing stale on the second call
+    assert(spark.sql(s"CALL $cname.system.refresh_stats('graft', 'rs')")
+      .head().getLong(0) == 0L)
+    val r = spark.read.format("graft").load(s"$wh/rs")
+      .agg(count(col("v")), sum(col("v")), min(col("v"))).head()
+    assert(r.getLong(0) == 9L && r.getLong(1) == 540L && r.getLong(2) == 20L)
+  }
+
   test("catalog functions expose the native kernels to SQL") {
     val (cname, _) = freshCatalog()
     // jaccard over sorted distinct int arrays: |{2,3}| / |{1,2,3,4}|
