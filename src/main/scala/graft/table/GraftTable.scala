@@ -2471,8 +2471,31 @@ final class GraftTable private (
       case (f, e) if e.deletes > 0 && !e.dvStatsCurrent && dvMap.contains(f) => f
     }
     if (stale.isEmpty) return 0
-    val bc = spark.sparkContext.broadcast(
-      stale.map(f => f -> DvCache.serialize(dvMap(f))).toMap)
+    // batch stale files so the broadcast of serialized DVs stays
+    // bounded: a table-wide delete burst can leave EVERY file stale,
+    // and one broadcast carrying all their bitmaps would grow with
+    // table size instead of batch size
+    val batches = {
+      val out = mutable.ArrayBuffer[Seq[(String, Array[Byte])]]()
+      var cur = mutable.ArrayBuffer[(String, Array[Byte])]()
+      var bytes = 0L
+      stale.foreach { f =>
+        val b = DvCache.serialize(dvMap(f))
+        if (cur.nonEmpty && bytes + b.length > (64L << 20)) {
+          out += cur.toSeq; cur = mutable.ArrayBuffer(); bytes = 0L
+        }
+        cur += (f -> b); bytes += b.length
+      }
+      if (cur.nonEmpty) out += cur.toSeq
+      out.toSeq
+    }
+    batches.map(refreshDvStatsBatch).sum
+  }
+
+  private def refreshDvStatsBatch(batch: Seq[(String, Array[Byte])]): Int = {
+    val statF = schemaVar.fields.filter(f => statsComparable(f.dataType)).toSeq
+    val stale = batch.map(_._1)
+    val bc = spark.sparkContext.broadcast(batch.toMap)
     val mk = DvCache.deletedUdf(bc)(col("_f"), col("_p"))
     // one pass computes the MASKED aggregates (null counts + wrapped
     // sums, for COUNT/SUM/AVG) AND the LIVE min/max (the file's bounds
