@@ -923,7 +923,11 @@ private[sources] object GraftAggScan {
   private def boundsWithin(manifest: Manifest, c: String,
       fd: StructField, cap: BigInt): Boolean = {
     val caps = manifest.dataFiles.map { e =>
-      e.nullsOf(c).flatMap { nulls =>
+      // a fully-deleted file with CURRENT accounting contributes zero
+      // live rows — its (legitimately absent) refreshed bounds must not
+      // disarm the proof for the whole table
+      if (e.rows == e.deletes && e.dvStatsCurrent) Some(BigInt(0))
+      else e.nullsOf(c).flatMap { nulls =>
         val nonNull = e.rows - nulls
         if (nonNull == 0L) Some(BigInt(0))
         else e.stats.get(c).filter(_.length == 2).map { b =>

@@ -22,10 +22,16 @@ import graft.table.{GraftCatalog, GraftTable}
  *    the manifest (DSv2 / RPC scans see only published files). A table
  *    whose flush LSN already equals its commit LSN is skipped — ticks
  *    on an idle table publish nothing (no version spam).
- *  - **maintenance tick** (the force-snapshot cadence): full
- *    `optimize()` — flush + forced compaction + index merge + publish —
- *    then `vacuum()`, bounding small-file and DV/index debt on tables
- *    whose ingest batches are too small to trip the inline thresholds.
+ *  - **maintenance tick** (the force-snapshot cadence): THRESHOLD-GATED
+ *    maintenance ([[GraftTable.maintain]]) — flush a committed tail,
+ *    compact past the reference's compaction thresholds
+ *    (`compaction_config.rs:48-55`), fold stale DV accounting, merge
+ *    index debt, vacuum only when something ran. An idle,
+ *    already-compacted table is untouched: no file rewrites, no
+ *    manifest versions, no Iceberg-snapshot churn. (The reference's
+ *    periodic timer forces snapshots, never compaction — an
+ *    unconditional `optimize()` here would rewrite up to
+ *    compactMaxFilesPerOp × 128 MiB per table per tick forever.)
  *
  * Both ticks take each table's own monitor, so they serialize against
  * concurrent ingest exactly like any other control op (the reference's
@@ -60,12 +66,10 @@ final class MaintenanceDaemon(
       }
     }
 
-  /** One full-maintenance pass (optimize + vacuum every table). */
-  def maintenanceTick(): Unit =
-    catalog.list.foreach { name =>
-      val t = catalog.table(name)
-      t.optimize(); t.vacuum()
-    }
+  /** One threshold-gated maintenance pass; returns the tables that did
+   *  any work. Idle tables publish nothing and rewrite nothing. */
+  def maintenanceTick(): Seq[String] =
+    catalog.list.filter(name => catalog.table(name).maintain())
 
   /** One Iceberg-persistence pass: tables whose committed file set or
    *  delete count moved since the last sync publish a new spec

@@ -2471,31 +2471,38 @@ final class GraftTable private (
       case (f, e) if e.deletes > 0 && !e.dvStatsCurrent && dvMap.contains(f) => f
     }
     if (stale.isEmpty) return 0
-    // batch stale files so the broadcast of serialized DVs stays
-    // bounded: a table-wide delete burst can leave EVERY file stale,
-    // and one broadcast carrying all their bitmaps would grow with
-    // table size instead of batch size
-    val batches = {
-      val out = mutable.ArrayBuffer[Seq[(String, Array[Byte])]]()
-      var cur = mutable.ArrayBuffer[(String, Array[Byte])]()
-      var bytes = 0L
-      stale.foreach { f =>
-        val b = DvCache.serialize(dvMap(f))
-        if (cur.nonEmpty && bytes + b.length > (64L << 20)) {
-          out += cur.toSeq; cur = mutable.ArrayBuffer(); bytes = 0L
-        }
-        cur += (f -> b); bytes += b.length
-      }
-      if (cur.nonEmpty) out += cur.toSeq
-      out.toSeq
+    // batch stale files so the DRIVER never holds more than one batch
+    // of serialized DVs at a time (on top of dvMap itself): a
+    // table-wide delete burst can leave EVERY file stale, and an eager
+    // build would materialize a full second copy of every stale bitmap
+    // before the first batch runs. The iterator serializes each file's
+    // bitmap only when its batch is assembled, and the batch is
+    // released (broadcast destroyed, local refs dropped) before the
+    // next one is built — peak overhead is one ~64 MB batch at any
+    // table size, executor- AND driver-side.
+    val it = stale.iterator
+    var total = 0
+    var cur = mutable.ArrayBuffer[(String, Array[Byte])]()
+    var bytes = 0L
+    def flushBatch(): Unit = if (cur.nonEmpty) {
+      total += refreshDvStatsBatch(cur.toSeq)
+      cur = mutable.ArrayBuffer(); bytes = 0L
     }
-    batches.map(refreshDvStatsBatch).sum
+    while (it.hasNext) {
+      val f = it.next()
+      val b = DvCache.serialize(dvMap(f))
+      if (cur.nonEmpty && bytes + b.length > (64L << 20)) flushBatch()
+      cur += (f -> b); bytes += b.length
+    }
+    flushBatch()
+    total
   }
 
   private def refreshDvStatsBatch(batch: Seq[(String, Array[Byte])]): Int = {
     val statF = schemaVar.fields.filter(f => statsComparable(f.dataType)).toSeq
     val stale = batch.map(_._1)
     val bc = spark.sparkContext.broadcast(batch.toMap)
+    try {
     val mk = DvCache.deletedUdf(bc)(col("_f"), col("_p"))
     // one pass computes the MASKED aggregates (null counts + wrapped
     // sums, for COUNT/SUM/AVG) AND the LIVE min/max (the file's bounds
@@ -2547,6 +2554,9 @@ final class GraftTable private (
         dvNullStats = nulls, dvSumStats = sums, stats = liveBounds)
     }
     rows.length
+    // under a continuous maintenance cadence these batches recur; the
+    // up-to-64MB DV broadcast must not linger until ContextCleaner GC
+    } finally bc.destroy()
   }
 
   def optimize(clusterBy: Seq[String] = Nil,
@@ -2558,6 +2568,34 @@ final class GraftTable private (
     // DVs into the masked accounting so aggregates keep pushing
     refreshDvStats()
     mergeIndexes(); publish()
+  }
+
+  /** Threshold-gated periodic maintenance — the body of the daemon's
+   *  force-snapshot tick. Unlike [[optimize]] (the user-invoked
+   *  ForceFullMaintenance, reference `table_handler.rs:239-320`), every
+   *  sub-op here runs only past its own debt threshold, mirroring the
+   *  reference where the periodic timer forces SNAPSHOTS while
+   *  compaction stays threshold-driven (`compaction_config.rs:48-55`:
+   *  ≥N small files / ≥ratio deleted):
+   *   - flush+publish only when committed rows still live tail-only;
+   *   - `compact(force = false)` (the thresholds at `compact`);
+   *   - `refreshDvStats` only when stale delete accounting exists;
+   *   - index merge only past `indexMergeFileCountThreshold`;
+   *   - vacuum only when any of the above actually ran.
+   *  An idle, already-compacted table does NOTHING: zero files
+   *  rewritten, zero manifest versions published — a deployed daemon
+   *  (tools/Serve) costs an idle table nothing but the checks.
+   *  Returns true when any maintenance ran. */
+  def maintain(): Boolean = synchronized {
+    var changed = false
+    if (hasUnflushedCommitted) { flush(); publish(); changed = true }
+    changed |= compact(force = false) // publishes internally when it runs
+    if (refreshDvStats() > 0) { publish(); changed = true }
+    if (identity != Identity.None &&
+        indexFiles.size >= config.indexMergeFileCountThreshold)
+      changed |= mergeIndexes() // publishes internally
+    if (changed) vacuum()
+    changed
   }
 
   /** Drop columns (M14, `mooncake_table.rs:616` — the only schema

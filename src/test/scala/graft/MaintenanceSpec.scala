@@ -56,20 +56,84 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(re.read().collect().map(_.getLong(0)).toSet == Set(1L, 2L))
   }
 
-  test("maintenance tick compacts small-file debt") {
+  test("maintenance tick compacts small-file debt past the threshold") {
     val cat = mkCatalog()
     val t = cat.createTable("t", schema, Identity.Keys(Seq("id")),
       TableConfig(memSliceSize = 2, walEnabled = false,
-        compactSmallFileRows = 1000))
-    // many tiny commits -> many tiny files
-    (0 until 6).foreach { i =>
+        compactSmallFileRows = 1000, compactFileCountThreshold = 4))
+    // three tiny commits: small files exist but BELOW the count
+    // threshold — the gated tick must leave them alone (the reference
+    // compacts on thresholds, compaction_config.rs:48-55, never on the
+    // timer itself)
+    (0 until 3).foreach { i =>
+      t.insertAll(Seq(Row(i.toLong, i.toLong)), startLsn = i * 2L + 1)
+      t.flush(); t.publish()
+    }
+    val below = t.currentManifest
+    assert(new MaintenanceDaemon(cat).maintenanceTick().isEmpty)
+    assert(t.currentManifest.version == below.version)
+    assert(t.currentManifest.dataFiles.map(_.path).sorted ==
+      below.dataFiles.map(_.path).sorted)
+    // three more commits trip the threshold -> the tick compacts
+    (3 until 6).foreach { i =>
       t.insertAll(Seq(Row(i.toLong, i.toLong)), startLsn = i * 2L + 1)
       t.flush(); t.publish()
     }
     assert(t.currentManifest.dataFiles.size > 1)
-    new MaintenanceDaemon(cat).maintenanceTick()
+    assert(new MaintenanceDaemon(cat).maintenanceTick() == Seq("t"))
     assert(t.currentManifest.dataFiles.size == 1)
     assert(t.read().count() == 6)
+  }
+
+  test("idle maintenance ticks publish nothing and rewrite nothing") {
+    val cat = mkCatalog()
+    val t = cat.createTable("t", schema, Identity.Keys(Seq("id")),
+      TableConfig(memSliceSize = 2, walEnabled = false,
+        compactSmallFileRows = 1000, compactFileCountThreshold = 4))
+    (0 until 6).foreach { i =>
+      t.insertAll(Seq(Row(i.toLong, i.toLong)), startLsn = i * 2L + 1)
+      t.flush(); t.publish()
+    }
+    val daemon = new MaintenanceDaemon(cat)
+    assert(daemon.maintenanceTick() == Seq("t")) // pays the debt once
+    val steady = t.currentManifest
+    val dataOnDisk = graft.format.Fio.list(s"${t.root}/data").sorted
+    // N idle ticks: ZERO new manifest versions, ZERO files rewritten —
+    // the file NAMES are identical, not just the row counts (a rewrite
+    // always mints fresh names)
+    (1 to 5).foreach(_ => assert(daemon.maintenanceTick().isEmpty))
+    assert(t.currentManifest.version == steady.version,
+      "idle ticks must not publish manifest versions")
+    assert(t.currentManifest.dataFiles.map(_.path).sorted ==
+      steady.dataFiles.map(_.path).sorted)
+    assert(graft.format.Fio.list(s"${t.root}/data").sorted == dataOnDisk,
+      "idle ticks must not touch data files on disk")
+    // and the iceberg cadence sitting next to it stays quiet too
+    assert(daemon.icebergTick() == Seq("t"))
+    val m1 = graft.format.iceberg.IcebergSync.currentMetadataPath(t.root)
+    daemon.maintenanceTick()
+    assert(daemon.icebergTick().isEmpty)
+    assert(graft.format.iceberg.IcebergSync.currentMetadataPath(t.root) == m1)
+  }
+
+  test("a started daemon leaves an idle table's version untouched") {
+    val cat = mkCatalog()
+    val t = cat.createTable("t", schema, Identity.Keys(Seq("id")),
+      TableConfig(memSliceSize = 2, walEnabled = false))
+    t.insertAll((0L until 4L).map(i => Row(i, i)), startLsn = 1)
+    t.flush(); t.publish()
+    // fast cadences: both timers fire many times across the window
+    val daemon = new MaintenanceDaemon(cat, snapshotEveryMs = 20,
+      maintenanceEveryMs = 40).start()
+    try {
+      Thread.sleep(150) // let any startup debt settle
+      val v = t.currentManifest.version
+      val files = t.currentManifest.dataFiles.map(_.path).sorted
+      Thread.sleep(400) // >= 10 maintenance ticks
+      assert(t.currentManifest.version == v,
+        "an idle daemon interval must not grow the version log")
+      assert(t.currentManifest.dataFiles.map(_.path).sorted == files)
+    } finally daemon.stop()
   }
 
   test("expireVersions bounds the log; retention vacuum keeps the horizon") {
