@@ -1590,6 +1590,111 @@ object SparkEntry {
           col("mx_user_live"))
     }),
 
+    "cdc_agg_decimal" -> ((s, d) => {
+      // DECIMAL aggregate pushdown — the masked-accounting machinery
+      // over money columns (the most common real-world aggregate).
+      // Per-file sums are EXACT fixed-scale decimals (sites mirror the
+      // reference's stats collection, `iceberg/parquet_stats_utils.rs`),
+      // pushed only under the buffer-overflow bounds proof in BOTH ANSI
+      // modes; AVG(decimal) reconstructs scanlessly via Spark's
+      // Sum/Count rewrite in the same exact decimal arithmetic. Both
+      // directions gated in-entry like cdc_agg_pushdown: aggScanOnly
+      // throws on a missed push, mustScan on an unsound one (the wide
+      // decimal(32,2) twin records no sums — p+10 > 38 — and must keep
+      // scanning for SUM while COUNT/MIN/MAX still push from bounds).
+      val sch = SchemaDsl.struct("event_id" -> "int64",
+        "user_id" -> "int64", "amt" -> "decimal(12,2)",
+        "amt_wide" -> "decimal(32,2)")
+      val table = GraftTable.create(s, freshDir("aggdec"), sch,
+        Identity.Keys(Seq("event_id")),
+        TableConfig(rowsPerFile = 1024, compactSmallFileRows = 512,
+          walEnabled = false))
+      // exact decimal build: integer cents via pmod, then decimal
+      // multiply by 0.01 — every step exact in both engines
+      val src = events(s, d)
+        .where(pmod(col("event_id"), lit(4)) === 0)
+        .select(col("event_id"), col("user_id"),
+          when(pmod(col("event_id"), lit(40)) === 0, lit(null))
+            .otherwise(expr(
+              "CAST(CAST(user_id * 100 + pmod(event_id, 100) AS " +
+                "DECIMAL(14,2)) * CAST(0.01 AS DECIMAL(3,2)) AS " +
+                "DECIMAL(12,2))"))
+            .as("amt"))
+        .withColumn("amt_wide", col("amt").cast("decimal(32,2)"))
+      val maxLsn = src.agg(max("event_id")).head().getLong(0) + 2L
+      // hash-repartition first: the source parquet is one split at this
+      // SF, and applyBatchDF's size-tuning coalesce can only merge
+      table.applyBatchDF(src.select(lit("i").as("_op"),
+        (col("event_id") + 1L).as("_lsn"), col("event_id"),
+        col("user_id"), col("amt"), col("amt_wide"))
+        .repartition(8, col("event_id")), maxLsn,
+        hasDeletes = false)
+      require(table.currentManifest.dataFiles.size > 1,
+        "the proof must span multiple files' partial sums")
+      def planOf(df: DataFrame): String =
+        df.queryExecution.executedPlan.toString
+      def aggScanOnly(df: DataFrame): Row = {
+        val plan = planOf(df)
+        require(plan.contains("GraftAggScan") && !plan.contains("GraftScan("),
+          s"decimal aggregate not answered from the manifest:\n$plan")
+        df.head()
+      }
+      def mustScan(df: DataFrame): Row = {
+        val plan = planOf(df)
+        require(!plan.contains("GraftAggScan"),
+          s"decimal aggregate ILLEGALLY answered from the manifest:\n$plan")
+        df.head()
+      }
+      val df = s.read.format("graft").load(table.root)
+      val pre = aggScanOnly(df.agg(count(lit(1)), count(col("amt")),
+        sum(col("amt")), min(col("amt")), max(col("amt"))))
+      // AVG: no direct push, but the plan must still be scanless (the
+      // rewrite's pair pushes) and the value bit-identical to the
+      // library scan's exact decimal average
+      val preAvg = aggScanOnly(df.agg(avg(col("amt"))))
+      require(preAvg.getDecimal(0) ==
+        table.read(scala.None).agg(avg(col("amt"))).head().getDecimal(0),
+        "pushed-pair decimal AVG must equal the scan bit-for-bit")
+      // the un-summable wide twin: SUM scans, COUNT/MIN/MAX push
+      mustScan(df.agg(sum(col("amt_wide"))))
+      val wmm = aggScanOnly(df.agg(min(col("amt_wide")),
+        max(col("amt_wide")), count(col("amt_wide"))))
+      require(wmm.getDecimal(0).compareTo(pre.getDecimal(3)) == 0 &&
+        wmm.getDecimal(1).compareTo(pre.getDecimal(4)) == 0 &&
+        wmm.getLong(2) == pre.getLong(1),
+        s"wide-decimal bounds answers diverge: $wmm vs $pre")
+      // predicate delete masks rows; decimal aggregates refuse until
+      // refreshDvStats folds the masked decimal sums in, then push the
+      // live values — which must equal what the scan just said
+      table.deleteWhere(pmod(col("user_id"), lit(5)) === 0)
+      val dfDel = s.read.format("graft").load(table.root)
+      val stale = mustScan(dfDel.agg(count(col("amt")), sum(col("amt")),
+        min(col("amt"))))
+      require(table.refreshDvStats() >= 1, "no delete-carrying file refreshed")
+      table.publish()
+      val dfLive = s.read.format("graft").load(table.root)
+      val live = aggScanOnly(dfLive.agg(count(lit(1)), count(col("amt")),
+        sum(col("amt")), min(col("amt")), max(col("amt"))))
+      require(live.getLong(1) == stale.getLong(0) &&
+        live.getDecimal(2) == stale.getDecimal(1) &&
+        live.getDecimal(3) == stale.getDecimal(2),
+        s"pushed live decimal aggregates diverge from the scan: $live vs $stale")
+      val liveAvg = aggScanOnly(dfLive.agg(avg(col("amt"))))
+      require(liveAvg.getDecimal(0) ==
+        table.read(scala.None).agg(avg(col("amt"))).head().getDecimal(0),
+        "live pushed-pair decimal AVG must equal the scan bit-for-bit")
+      def bdCents(b: java.math.BigDecimal): Long =
+        b.movePointRight(2).longValueExact()
+      import s.implicits._
+      Seq((pre.getLong(0), pre.getLong(1), bdCents(pre.getDecimal(2)),
+        bdCents(pre.getDecimal(3)), bdCents(pre.getDecimal(4)),
+        live.getLong(0), live.getLong(1), bdCents(live.getDecimal(2)),
+        bdCents(live.getDecimal(3)), bdCents(live.getDecimal(4))))
+        .toDF("n_rows", "n_amt", "sum_cents", "mn_cents", "mx_cents",
+          "n_live", "n_amt_live", "sum_cents_live", "mn_cents_live",
+          "mx_cents_live")
+    }),
+
     "cdc_update_where" -> ((s, d) => {
       // UPDATE ... SET as a first-class verb: matched rows become
       // upsert events (delete-half DVs the old version, append-half
@@ -5686,6 +5791,34 @@ object SparkEntry {
         |       (SELECT min(user_id) FROM live) AS mn_user_live,
         |       (SELECT max(user_id) FROM live) AS mx_user_live
         |FROM last""".stripMargin,
+
+    // exact decimal build mirrored (integer cents -> ×0.01 -> cast, all
+    // exact in both engines); live = the deleteWhere complement. Cents
+    // are emitted as BIGINT so DuckDB/Spark decimal result-type widths
+    // never enter the comparison.
+    "cdc_agg_decimal" ->
+      """WITH src AS (
+        |  SELECT event_id, user_id,
+        |         CASE WHEN event_id % 40 = 0 THEN NULL
+        |              ELSE CAST(CAST(user_id * 100 + event_id % 100
+        |                     AS DECIMAL(14,2)) * CAST(0.01 AS DECIMAL(3,2))
+        |                   AS DECIMAL(12,2)) END AS amt
+        |  FROM events WHERE event_id % 4 = 0),
+        |live AS (SELECT * FROM src WHERE user_id % 5 <> 0)
+        |SELECT (SELECT count(*) FROM src) AS n_rows,
+        |       (SELECT count(amt) FROM src) AS n_amt,
+        |       (SELECT CAST(CAST(SUM(amt) AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |          FROM src) AS sum_cents,
+        |       (SELECT CAST(MIN(amt) * 100 AS BIGINT) FROM src) AS mn_cents,
+        |       (SELECT CAST(MAX(amt) * 100 AS BIGINT) FROM src) AS mx_cents,
+        |       (SELECT count(*) FROM live) AS n_live,
+        |       (SELECT count(amt) FROM live) AS n_amt_live,
+        |       (SELECT CAST(CAST(SUM(amt) AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |          FROM live) AS sum_cents_live,
+        |       (SELECT CAST(MIN(amt) * 100 AS BIGINT) FROM live)
+        |         AS mn_cents_live,
+        |       (SELECT CAST(MAX(amt) * 100 AS BIGINT) FROM live)
+        |         AS mx_cents_live""".stripMargin,
 
     // last state per user; matched rows (last event is a click) carry
     // the UPDATE's assignments (value doubled, type rebranded)

@@ -73,6 +73,11 @@ final case class DataFileEntry(
   def nullsOf(col: String): Option[Long] = nullStats.get(col).map(_.toLong)
   /** Exact integral sum for `col` if this file recorded one. */
   def sumOf(col: String): Option[Long] = sumStats.get(col).map(_.toLong)
+  /** Exact decimal sum for `col` if this file recorded one (decimal
+   *  columns share the sumStats map; the reader dispatches on the
+   *  schema's column type, so the encodings never collide). */
+  def decSumOf(col: String): Option[java.math.BigDecimal] =
+    sumStats.get(col).map(new java.math.BigDecimal(_))
   /** Masked-row accounting is current (covers every DV on the file). */
   def dvStatsCurrent: Boolean = dvAccounted == deletes
   /** Null count among MASKED rows for `col`, if current and recorded. */
@@ -81,6 +86,10 @@ final case class DataFileEntry(
   /** Wrapped sum of MASKED non-null values for `col`, if current. */
   def dvSumOf(col: String): Option[Long] =
     if (dvStatsCurrent) dvSumStats.get(col).map(_.toLong) else scala.None
+  /** Exact decimal sum of MASKED non-null values for `col`, if current. */
+  def dvDecSumOf(col: String): Option[java.math.BigDecimal] =
+    if (dvStatsCurrent) dvSumStats.get(col).map(new java.math.BigDecimal(_))
+    else scala.None
 }
 
 final case class IndexFileEntry(path: String, dataFiles: Seq[String],

@@ -378,6 +378,13 @@ private[sources] object GraftScan {
     case (BooleanType, b: java.lang.Boolean) => Some(b.booleanValue())
     case (DateType, d: java.sql.Date) => Some(d)
     case (TimestampType, t: java.sql.Timestamp) => Some(t)
+    // decimal literals arrive as java/scala BigDecimal (or a narrower
+    // numeric when Catalyst folded the cast); compare as BigDecimal —
+    // anyOrdering(DecimalType) is compareTo-based, scale-insensitive
+    case (_: DecimalType, b: java.math.BigDecimal) => Some(b)
+    case (_: DecimalType, b: scala.math.BigDecimal) => Some(b.bigDecimal)
+    case (_: DecimalType, n: Number) =>
+      Some(new java.math.BigDecimal(n.toString))
     case _ => None
   }
 
@@ -854,7 +861,15 @@ private[sources] object GraftAggScan {
       case s: Sum if !s.isDistinct => colOf(s) }.flatten.toSet
     val cntCols = funcs.collect {
       case c: Count if !c.isDistinct => colOf(c) }.flatten.toSet
-    (sumCols & cntCols).forall(c => exactInDoubles(manifest, c))
+    // DECIMAL columns are pair-safe unconditionally: both the un-pushed
+    // Average and the rewrite's Divide accumulate/divide in exact
+    // decimal arithmetic, so a pushed Sum that equals the scan's sum
+    // (the only kind sumPushable admits — and if it doesn't push, the
+    // whole aggregation declines there) reconstructs the identical
+    // average. Only the integral case needs the 2^53 double proof.
+    (sumCols & cntCols).forall(c => exactInDoubles(manifest, c) ||
+      manifest.schema.fields.find(_.name == c)
+        .exists(_.dataType.isInstanceOf[DecimalType]))
   }
 
   /** Per-file masked-row accounting is usable for `col`: either the
@@ -863,7 +878,8 @@ private[sources] object GraftAggScan {
    *  and records the column. Between a delete and the next refresh the
    *  entry is non-current and the aggregate declines to the scan. */
   private def dvAccounted(e: graft.format.DataFileEntry, col: String): Boolean =
-    e.deletes == 0L || (e.dvNullsOf(col).isDefined && e.dvSumOf(col).isDefined)
+    e.deletes == 0L || (e.dvStatsCurrent &&
+      e.dvNullStats.contains(col) && e.dvSumStats.contains(col))
   private def dvNullsCounted(e: graft.format.DataFileEntry, col: String): Boolean =
     e.deletes == 0L || e.dvNullsOf(col).isDefined
   /** Live non-null rows of `col` in the file: physical non-nulls minus
@@ -877,6 +893,14 @@ private[sources] object GraftAggScan {
   private def liveSum(e: graft.format.DataFileEntry, col: String): Long =
     e.sumOf(col).get -
       (if (e.deletes == 0L) 0L else e.dvSumOf(col).get)
+  /** Live exact decimal sum of `col` in the file: exact physical sum
+   *  minus the exact masked sum (fixed-scale decimal addition is a
+   *  group too, so the difference is exactly the survivors' sum). */
+  private def liveDecSum(e: graft.format.DataFileEntry,
+      col: String): java.math.BigDecimal =
+    e.decSumOf(col).get.subtract(
+      if (e.deletes == 0L) java.math.BigDecimal.ZERO
+      else e.dvDecSumOf(col).get)
 
   /** SUM pushes only for integral columns (exact wrapping partials).
    *  Under non-ANSI arithmetic the wrapped stats total IS Spark's
@@ -902,14 +926,69 @@ private[sources] object GraftAggScan {
         e.sumOf(c).isDefined && e.nullsOf(c).isDefined &&
           dvAccounted(e, c))
 
+  /** DECIMAL SUM gate. Fixed-scale decimal addition is exact and
+   *  order-independent, and Spark's Sum over decimals defers its
+   *  overflow check to evaluation (`DecimalAddNoOverflowCheck`) — BUT
+   *  each partial still round-trips through an UnsafeRow buffer of
+   *  DecimalType.bounded(p+10, s), so an INTERMEDIATE partial that
+   *  outgrows 38 digits nulls that partition's buffer: whether the
+   *  scan answers (or, ANSI, throws) can depend on accumulation order
+   *  exactly like the integral case. Push only when the per-file
+   *  bounds PROVE no ordering can leave the buffer type — then the
+   *  exact stats total IS the scan's answer in both ANSI modes.
+   *  Structurally every file needs an exact decimal sum, a null count
+   *  and current masked accounting (the per-file sums exist only for
+   *  p ≤ 28, `GraftTable.decimalSummable`). */
+  private def decSumPushable(manifest: Manifest, c: String,
+      d: DecimalType): Boolean =
+    GraftTable.decimalSummable(d).isDefined &&
+      manifest.dataFiles.forall(e =>
+        e.sumStats.contains(c) && e.nullsOf(c).isDefined &&
+          dvAccounted(e, c)) &&
+      decBoundsWithin(manifest, c, d)
+
+  /** Proves NO accumulation order over the live values can outgrow
+   *  Spark's decimal SUM buffer (DecimalType.bounded(p+10, s)): Σ
+   *  per-file (non-null rows × max(|min|, |max|)) ≤ the buffer type's
+   *  max value bounds every prefix sum of every permutation, masked
+   *  subsets included. */
+  private def decBoundsWithin(manifest: Manifest, c: String,
+      d: DecimalType): Boolean = {
+    val bufPrec = math.min(DecimalType.MAX_PRECISION, d.precision + 10)
+    val cap = new java.math.BigDecimal(
+      BigInt(10).pow(bufPrec).bigInteger
+        .subtract(java.math.BigInteger.ONE), d.scale)
+    val caps = manifest.dataFiles.map { e =>
+      if (e.rows == e.deletes && e.dvStatsCurrent)
+        Some(java.math.BigDecimal.ZERO) // zero live rows contribute zero
+      else e.nullsOf(c).flatMap { nulls =>
+        val nonNull = e.rows - nulls
+        if (nonNull == 0L) Some(java.math.BigDecimal.ZERO)
+        else e.stats.get(c).filter(_.length == 2).map { b =>
+          val mn = new java.math.BigDecimal(b.head).abs
+          val mx = new java.math.BigDecimal(b(1)).abs
+          mn.max(mx).multiply(java.math.BigDecimal.valueOf(nonNull))
+        }
+      }
+    }
+    caps.forall(_.isDefined) &&
+      caps.flatten.foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+        .compareTo(cap) <= 0
+  }
+
   private def sumPushable(manifest: Manifest, s: Sum): Boolean =
     !s.isDistinct && colOf(s).exists { c =>
-      sumStructural(manifest, c) && {
-        // SQLConf carries the real default (ANSI is ON in Spark 4); a
-        // caller-supplied fallback on RuntimeConfig.get would mask it
-        !org.apache.spark.sql.internal.SQLConf.get.ansiEnabled ||
-          manifest.schema.fields.find(_.name == c).exists(fd =>
-            boundsWithin(manifest, c, fd, BigInt(Long.MaxValue)))
+      manifest.schema.fields.find(_.name == c).map(_.dataType) match {
+        case Some(d: DecimalType) => decSumPushable(manifest, c, d)
+        case _ =>
+          sumStructural(manifest, c) && {
+            // SQLConf carries the real default (ANSI is ON in Spark 4);
+            // a caller-supplied fallback on RuntimeConfig.get would mask
+            // it
+            !org.apache.spark.sql.internal.SQLConf.get.ansiEnabled ||
+              manifest.schema.fields.find(_.name == c).exists(fd =>
+                boundsWithin(manifest, c, fd, BigInt(Long.MaxValue)))
+          }
       }
     }
 
@@ -986,12 +1065,23 @@ private[sources] object GraftAggScan {
         case _ => false
       }
 
+  /** Spark's SUM result type: LongType over integrals,
+   *  DecimalType.bounded(p+10, s) over decimal(p, s). */
+  private def sumResultType(schema: StructType, s: Sum): DataType =
+    colOf(s).flatMap(c => schema.fields.find(_.name == c))
+      .map(_.dataType) match {
+      case Some(d: DecimalType) =>
+        DecimalType(math.min(DecimalType.MAX_PRECISION, d.precision + 10),
+          d.scale)
+      case _ => LongType
+    }
+
   def schemaFor(schema: StructType, funcs: Seq[AggregateFunc]): StructType =
     StructType(funcs.zipWithIndex.map {
       case (_: CountStar | _: Count, i) =>
         StructField(s"agg_$i", LongType, nullable = false)
-      case (_: Sum, i) => // Spark's SUM over integral inputs is LongType
-        StructField(s"agg_$i", LongType, nullable = true)
+      case (s: Sum, i) =>
+        StructField(s"agg_$i", sumResultType(schema, s), nullable = true)
       case (_: Avg, i) => // Spark's AVG over integral inputs is DoubleType
         StructField(s"agg_$i", DoubleType, nullable = true)
       case (f, i) =>
@@ -1025,8 +1115,17 @@ private[sources] object GraftAggScan {
         val col = colOf(s).get
         val nonNull = manifest.dataFiles.map(e => liveNonNull(e, col)).sum
         if (nonNull == 0L) null // SUM over zero values is NULL
-        else java.lang.Long.valueOf(
-          manifest.dataFiles.foldLeft(0L)((a, e) => a + liveSum(e, col)))
+        else manifest.schema.fields.find(_.name == col).map(_.dataType) match {
+          case Some(_: DecimalType) =>
+            // exact total, proven in-bounds by decSumPushable; the
+            // converter rescales to the buffer type's (p+10, s)
+            CatalystTypeConverters.createToCatalystConverter(
+              sumResultType(manifest.schema, s))(
+              manifest.dataFiles.foldLeft(java.math.BigDecimal.ZERO)(
+                (a, e) => a.add(liveDecSum(e, col))))
+          case _ => java.lang.Long.valueOf(
+            manifest.dataFiles.foldLeft(0L)((a, e) => a + liveSum(e, col)))
+        }
       case a: Avg =>
         val col = colOf(a).get
         val nonNull = manifest.dataFiles.map(e => liveNonNull(e, col)).sum

@@ -756,8 +756,8 @@ final class GraftTable private (
         val fileOfPid = preNames // local: closure must not capture `this`
         val statIdxs = statFields.map(_._2).toArray
         val statOrds = statFields.map { case (f, _) => anyOrdering(f.dataType) }
-        val sumFns = statFields.map { case (f, _) =>
-          GraftTable.integralLong(f.dataType).orNull }.toArray
+        val sumMks = statFields.map { case (f, _) =>
+          GraftTable.statSummer(f.dataType).orNull }.toArray
         val accOpt = fusedAcc
         val idxRdd = survivors.rdd.mapPartitionsWithIndex { (pid, it) =>
           val fname = fileOfPid.getOrElse(pid, null)
@@ -765,7 +765,8 @@ final class GraftTable private (
           val mins = Array.fill[Any](statIdxs.length)(null)
           val maxs = Array.fill[Any](statIdxs.length)(null)
           val nulls = Array.fill[Long](statIdxs.length)(0L)
-          val sums = Array.fill[Long](statIdxs.length)(0L)
+          val sums: Array[GraftTable.StatSummer] =
+            sumMks.map(m => if (m == null) null else m())
           val rows = it.map { r =>
             pos += 1
             if (accOpt.isDefined) {
@@ -775,7 +776,7 @@ final class GraftTable private (
                 if (v != null) {
                   if (mins(j) == null || statOrds(j).lt(v, mins(j))) mins(j) = v
                   if (maxs(j) == null || statOrds(j).gt(v, maxs(j))) maxs(j) = v
-                  if (sumFns(j) != null) sums(j) += sumFns(j)(v)
+                  if (sums(j) != null) sums(j).add(v)
                 } else nulls(j) += 1
                 j += 1
               }
@@ -788,7 +789,8 @@ final class GraftTable private (
           // idempotent (identical deterministic content per pid)
           rows ++ {
             accOpt.foreach(_.add((pid, pos + 1, mins.toSeq, maxs.toSeq,
-              nulls.toSeq, sums.toSeq)))
+              nulls.toSeq,
+              sums.toSeq.map(s => if (s == null) null else s.render))))
             Iterator.empty
           }
         }
@@ -852,8 +854,7 @@ final class GraftTable private (
             f.name -> nulls(j).toString
           }.toMap
           val sm = statFields.zipWithIndex.collect {
-            case ((f, _), j) if GraftTable.integralLong(f.dataType).isDefined =>
-              f.name -> sums(j).toString
+            case ((f, _), j) if sums(j) != null => f.name -> sums(j)
           }.toMap
           pid -> PartFileStats(n, stats, ns, sm)
       }))
@@ -879,14 +880,15 @@ final class GraftTable private (
       : Map[Int, PartFileStats] = {
     val ords = statFields.map { case (f, _) => anyOrdering(f.dataType) }
     val idxs = statFields.map(_._2).toArray
-    val sumFns = statFields.map { case (f, _) =>
-      GraftTable.integralLong(f.dataType).orNull }.toArray
+    val sumMks = statFields.map { case (f, _) =>
+      GraftTable.statSummer(f.dataType).orNull }.toArray
     survivors.rdd.mapPartitionsWithIndex { (pid, it) =>
       var n = 0L
       val mins = Array.fill[Any](idxs.length)(null)
       val maxs = Array.fill[Any](idxs.length)(null)
       val nulls = Array.fill[Long](idxs.length)(0L)
-      val sums = Array.fill[Long](idxs.length)(0L)
+      val sums: Array[GraftTable.StatSummer] =
+        sumMks.map(m => if (m == null) null else m())
       it.foreach { r =>
         n += 1
         var j = 0
@@ -895,12 +897,13 @@ final class GraftTable private (
           if (v != null) {
             if (mins(j) == null || ords(j).lt(v, mins(j))) mins(j) = v
             if (maxs(j) == null || ords(j).gt(v, maxs(j))) maxs(j) = v
-            if (sumFns(j) != null) sums(j) += sumFns(j)(v)
+            if (sums(j) != null) sums(j).add(v)
           } else nulls(j) += 1
           j += 1
         }
       }
-      Iterator.single((pid, n, mins.toSeq, maxs.toSeq, nulls.toSeq, sums.toSeq))
+      Iterator.single((pid, n, mins.toSeq, maxs.toSeq, nulls.toSeq,
+        sums.toSeq.map(s => if (s == null) null else s.render)))
     }.collect().map { case (pid, n, mins, maxs, nulls, sums) =>
       val stats = statFields.zipWithIndex.map { case ((f, _), j) =>
         f.name -> (if (mins(j) == null) Seq.empty[String]
@@ -909,8 +912,7 @@ final class GraftTable private (
       val ns = statFields.zipWithIndex.map { case ((f, _), j) =>
         f.name -> nulls(j).toString }.toMap
       val sm = statFields.zipWithIndex.collect {
-        case ((f, _), j) if GraftTable.integralLong(f.dataType).isDefined =>
-          f.name -> sums(j).toString }.toMap
+        case ((f, _), j) if sums(j) != null => f.name -> sums(j) }.toMap
       pid -> PartFileStats(n, stats, ns, sm)
     }.toMap
   }
@@ -927,15 +929,16 @@ final class GraftTable private (
       : (Map[Int, PartFileStats], Seq[(Seq[Any], Long)]) = {
     val ords = statFields.map { case (f, _) => anyOrdering(f.dataType) }
     val idxs = statFields.map(_._2).toArray
-    val sumFns = statFields.map { case (f, _) =>
-      GraftTable.integralLong(f.dataType).orNull }.toArray
+    val sumMks = statFields.map { case (f, _) =>
+      GraftTable.statSummer(f.dataType).orNull }.toArray
     val ship = shipDeletes // primitive capture: closure must not hold `this`
     val raw = folded.rdd.mapPartitionsWithIndex { (pid, it) =>
       var n = 0L
       val mins = Array.fill[Any](idxs.length)(null)
       val maxs = Array.fill[Any](idxs.length)(null)
       val nulls = Array.fill[Long](idxs.length)(0L)
-      val sums = Array.fill[Long](idxs.length)(0L)
+      val sums: Array[GraftTable.StatSummer] =
+        sumMks.map(m => if (m == null) null else m())
       val dels = mutable.ArrayBuffer[(Seq[Any], Long)]()
       it.foreach { r =>
         if (r.getString(0) == "a") {
@@ -946,7 +949,7 @@ final class GraftTable private (
             if (v != null) {
               if (mins(j) == null || ords(j).lt(v, mins(j))) mins(j) = v
               if (maxs(j) == null || ords(j).gt(v, maxs(j))) maxs(j) = v
-              if (sumFns(j) != null) sums(j) += sumFns(j)(v)
+              if (sums(j) != null) sums(j).add(v)
             } else nulls(j) += 1
             j += 1
           }
@@ -955,7 +958,8 @@ final class GraftTable private (
         }
       }
       Iterator.single(
-        (pid, n, mins.toSeq, maxs.toSeq, nulls.toSeq, sums.toSeq, dels.toSeq))
+        (pid, n, mins.toSeq, maxs.toSeq, nulls.toSeq,
+          sums.toSeq.map(s => if (s == null) null else s.render), dels.toSeq))
     }.collect()
     val stats = raw.map { case (pid, n, mins, maxs, nulls, sums, _) =>
       val m = statFields.zipWithIndex.map { case ((f, _), j) =>
@@ -965,8 +969,7 @@ final class GraftTable private (
       val ns = statFields.zipWithIndex.map { case ((f, _), j) =>
         f.name -> nulls(j).toString }.toMap
       val sm = statFields.zipWithIndex.collect {
-        case ((f, _), j) if GraftTable.integralLong(f.dataType).isDefined =>
-          f.name -> sums(j).toString }.toMap
+        case ((f, _), j) if sums(j) != null => f.name -> sums(j) }.toMap
       pid -> PartFileStats(n, m, ns, sm)
     }.toMap
     (stats, raw.toSeq.flatMap(_._7))
@@ -1193,8 +1196,9 @@ final class GraftTable private (
             implicit val ord: Ordering[Any] = anyOrdering(f.dataType)
             f.name -> statBounds(f.dataType, vs.min, vs.max)
           }
-        val sum = GraftTable.integralLong(f.dataType).map(fn =>
-          f.name -> vs.foldLeft(0L)((a, v) => a + fn(v)).toString)
+        val sum = GraftTable.statSummer(f.dataType).map { mk =>
+          val s = mk(); vs.foreach(s.add); f.name -> s.render
+        }
         (bounds, f.name -> (rows.size - vs.size).toString, sum)
     }
     (pairs.map(_._1).toMap, pairs.map(_._2).toMap,
@@ -2170,10 +2174,15 @@ final class GraftTable private (
               // hard-fail on data that ingested fine via the write
               // path's wrapping adds; decimal can't overflow for any
               // real file (≤ ~1e19 per row × file rows ≪ 1e38) and the
-              // driver narrows to the same wrapped 64-bit total below
+              // driver narrows to the same wrapped 64-bit total below.
+              // Summable decimal columns (p ≤ 28) accumulate exactly in
+              // decimal(38, s): ≥10 integer digits of headroom over any
+              // single value, so a per-file total cannot overflow either
               (if (GraftTable.integralLong(f.dataType).isDefined)
                  Seq(sum(p.cast("decimal(38,0)")).as(s"_sm_${f.name}"))
-               else Nil)
+               else GraftTable.decimalSummable(f.dataType).toSeq.map(d =>
+                 sum(p.cast(s"decimal(38,${d.scale})"))
+                   .as(s"_sm_${f.name}")))
           })
         val rows = spark.read.schema(physicalSchema)
           .parquet(newNames.map(n => s"$root/data/$n"): _*)
@@ -2197,16 +2206,21 @@ final class GraftTable private (
             val nulls = statFields.map { f =>
               f.name -> (n - r.getLong(r.fieldIndex(s"_nn_${f.name}"))).toString
             }.toMap
-            val sums = statFields.collect {
-              case f if GraftTable.integralLong(f.dataType).isDefined =>
+            val sums = statFields.flatMap { f =>
+              if (GraftTable.integralLong(f.dataType).isDefined) {
                 val i = r.fieldIndex(s"_sm_${f.name}")
                 // SUM of zero values is NULL; the partial identity is 0.
                 // BigInt.longValue keeps the low-order 64 bits (two's
                 // complement) — exactly the wrapping total the write
                 // path accumulates
-                f.name -> (if (r.isNullAt(i)) 0L
+                Some(f.name -> (if (r.isNullAt(i)) 0L
                            else BigDecimal(r.getDecimal(i)).toBigInt.longValue)
-                  .toString
+                  .toString)
+              } else GraftTable.decimalSummable(f.dataType).map { _ =>
+                val i = r.fieldIndex(s"_sm_${f.name}")
+                f.name -> (if (r.isNullAt(i)) "0"
+                           else r.getDecimal(i).toPlainString)
+              }
             }.toMap
             r.getString(0) -> PartFileStats(n, stats, nulls, sums)
           }.toMap
@@ -2518,7 +2532,9 @@ final class GraftTable private (
         max(when(!mk, p)).as(s"_lmx_${f.name}")) ++
         (if (GraftTable.integralLong(f.dataType).isDefined)
            Seq(sum(when(mk, p.cast("decimal(38,0)"))).as(s"_sm_${f.name}"))
-         else Nil)
+         else GraftTable.decimalSummable(f.dataType).toSeq.map(d =>
+           sum(when(mk, p.cast(s"decimal(38,${d.scale})")))
+             .as(s"_sm_${f.name}")))
     }
     val rows = spark.read.schema(physicalSchema)
       .parquet(stale.map(f => s"$root/data/$f"): _*)
@@ -2535,12 +2551,17 @@ final class GraftTable private (
       val nulls = statF.map { sf =>
         sf.name ->
           (n - r.getLong(r.fieldIndex(s"_nn_${sf.name}"))).toString }.toMap
-      val sums = statF.collect {
-        case sf if GraftTable.integralLong(sf.dataType).isDefined =>
+      val sums = statF.flatMap { sf =>
+        if (GraftTable.integralLong(sf.dataType).isDefined) {
           val i = r.fieldIndex(s"_sm_${sf.name}")
-          sf.name -> (if (r.isNullAt(i)) 0L
+          Some(sf.name -> (if (r.isNullAt(i)) 0L
                       else BigDecimal(r.getDecimal(i)).toBigInt.longValue)
-            .toString
+            .toString)
+        } else GraftTable.decimalSummable(sf.dataType).map { _ =>
+          val i = r.fieldIndex(s"_sm_${sf.name}")
+          sf.name -> (if (r.isNullAt(i)) "0"
+                      else r.getDecimal(i).toPlainString)
+        }
       }.toMap
       val liveBounds = statF.map { sf =>
         val mn = r.get(r.fieldIndex(s"_lmn_${sf.name}"))
@@ -3052,24 +3073,24 @@ object DvCache {
  *  would double-count, this one cannot. */
 private[graft] final class PartStatsAcc
     extends org.apache.spark.util.AccumulatorV2[
-      (Int, Long, Seq[Any], Seq[Any], Seq[Long], Seq[Long]),
-      Map[Int, (Long, Seq[Any], Seq[Any], Seq[Long], Seq[Long])]] {
+      (Int, Long, Seq[Any], Seq[Any], Seq[Long], Seq[String]),
+      Map[Int, (Long, Seq[Any], Seq[Any], Seq[Long], Seq[String])]] {
   private val m = scala.collection.mutable
-    .Map[Int, (Long, Seq[Any], Seq[Any], Seq[Long], Seq[Long])]()
+    .Map[Int, (Long, Seq[Any], Seq[Any], Seq[Long], Seq[String])]()
   override def isZero: Boolean = m.isEmpty
   override def copy(): PartStatsAcc = {
     val a = new PartStatsAcc; a.m ++= m; a
   }
   override def reset(): Unit = m.clear()
   override def add(
-      v: (Int, Long, Seq[Any], Seq[Any], Seq[Long], Seq[Long])): Unit =
+      v: (Int, Long, Seq[Any], Seq[Any], Seq[Long], Seq[String])): Unit =
     m(v._1) = (v._2, v._3, v._4, v._5, v._6)
   override def merge(other: org.apache.spark.util.AccumulatorV2[
-      (Int, Long, Seq[Any], Seq[Any], Seq[Long], Seq[Long]),
-      Map[Int, (Long, Seq[Any], Seq[Any], Seq[Long], Seq[Long])]]): Unit =
+      (Int, Long, Seq[Any], Seq[Any], Seq[Long], Seq[String]),
+      Map[Int, (Long, Seq[Any], Seq[Any], Seq[Long], Seq[String])]]): Unit =
     other.value.foreach { case (k, v) => m(k) = v }
   override def value
-      : Map[Int, (Long, Seq[Any], Seq[Any], Seq[Long], Seq[Long])] = m.toMap
+      : Map[Int, (Long, Seq[Any], Seq[Any], Seq[Long], Seq[String])] = m.toMap
 }
 
 /** Per-partition file statistics carried from a fold/stats pass into
@@ -3103,6 +3124,53 @@ object GraftTable {
       case ShortType   => Some(v => v.asInstanceOf[Short].toLong)
       case ByteType    => Some(v => v.asInstanceOf[Byte].toLong)
       case _           => scala.None
+    }
+
+  /** Decimal columns whose per-file sums are recorded EXACTLY: fixed
+   *  scale makes BigDecimal addition exact in every order, and p+10 ≤
+   *  38 matches Spark's own SUM buffer headroom (DecimalType.bounded(p
+   *  + 10, s)) so a per-file total over ≤10^10 rows can never outgrow
+   *  the encoding the read-back jobs accumulate in (decimal(38, s)).
+   *  Wider decimals simply record no sum — aggregate pushdown declines
+   *  to the scan, never a wrong answer. */
+  private[graft] def decimalSummable(dt: DataType): Option[DecimalType] =
+    dt match {
+      case d: DecimalType if d.precision + 10 <= DecimalType.MAX_PRECISION =>
+        Some(d)
+      case _ => scala.None
+    }
+
+  private[graft] def toJavaBD(v: Any): java.math.BigDecimal = v match {
+    case b: java.math.BigDecimal => b
+    case b: scala.math.BigDecimal => b.bigDecimal
+    case n: java.lang.Number => new java.math.BigDecimal(n.toString)
+  }
+
+  /** Mutable per-partition exact-sum cell for the stats passes.
+   *  Integral columns accumulate in wrapping 64-bit arithmetic (the
+   *  associative group Spark's non-ANSI SUM partials live in); decimal
+   *  columns in exact fixed-scale BigDecimal. `render` is the
+   *  manifest's string encoding (`DataFileEntry.sumStats`). */
+  private[graft] abstract class StatSummer extends Serializable {
+    def add(v: Any): Unit
+    def render: String
+  }
+
+  /** Factory per stats column; None = the type records no sums. The
+   *  factory (not the cell) is what task closures capture, so each
+   *  partition gets fresh state. */
+  private[graft] def statSummer(dt: DataType): Option[() => StatSummer] =
+    integralLong(dt) match {
+      case Some(fn) => Some(() => new StatSummer {
+        private var s = 0L
+        def add(v: Any): Unit = s += fn(v)
+        def render: String = s.toString
+      })
+      case scala.None => decimalSummable(dt).map(_ => () => new StatSummer {
+        private var s = java.math.BigDecimal.ZERO
+        def add(v: Any): Unit = s = s.add(toJavaBD(v))
+        def render: String = s.toPlainString
+      })
     }
 
   /** Ordinals of every [mn, mx] range covering `kh`, over ranges sorted
@@ -3306,6 +3374,11 @@ object GraftTable {
         a.asInstanceOf[java.sql.Timestamp].compareTo(b.asInstanceOf[java.sql.Timestamp])
     }
     case _: BooleanType => Ordering.Boolean.on[Any](_.asInstanceOf[Boolean])
+    // compareTo, not equals: 1.0 and 1.00 must order as equal values
+    case _: DecimalType => new Ordering[Any] {
+      def compare(a: Any, b: Any): Int =
+        toJavaBD(a).compareTo(toJavaBD(b))
+    }
     case other => throw new IllegalArgumentException(s"no ordering for $other")
   }
 
@@ -3341,13 +3414,18 @@ object GraftTable {
           }
           if (lifted == null) Seq.empty else Seq(loT, lifted)
         }
+      // toPlainString: BigDecimal.toString turns small-magnitude values
+      // into scientific notation, which parseStat would still read but
+      // humans and the iceberg export wouldn't expect
+      case _: DecimalType => Seq(toJavaBD(mn).toPlainString,
+        toJavaBD(mx).toPlainString)
       case _ => Seq(mn.toString, mx.toString)
     }
 
   private[graft] def statsComparable(dt: DataType): Boolean = dt match {
     case _: IntegerType | _: LongType | _: ShortType | _: DoubleType |
          _: FloatType | _: StringType | _: DateType | _: TimestampType |
-         _: BooleanType => true
+         _: BooleanType | _: DecimalType => true
     case _ => false
   }
 
@@ -3361,6 +3439,7 @@ object GraftTable {
     case _: DateType => java.sql.Date.valueOf(s)
     case _: TimestampType => java.sql.Timestamp.valueOf(s)
     case _: BooleanType => s.toBoolean
+    case _: DecimalType => new java.math.BigDecimal(s)
     case other => throw new IllegalArgumentException(s"no parse for $other")
   }
 }

@@ -813,6 +813,86 @@ class GraftDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.drop()
   }
 
+  test("decimal SUM/MIN/MAX push exactly; AVG reconstructs via the rewrite") {
+    // money columns: per-file sums are EXACT fixed-scale decimals, so
+    // the pushed total is the scan's total in both ANSI modes (the
+    // bounds proof rules out the order-dependent buffer overflow).
+    // AVG(decimal) never pushes directly — Spark rewrites it into the
+    // pushed Sum/Count pair and divides in the same exact decimal
+    // arithmetic the un-pushed Average uses, so the answer is
+    // bit-identical with a still-scanless plan.
+    val sch = SchemaDsl.struct("id" -> "int64", "amt" -> "decimal(12,2)")
+    val t = GraftTable.create(spark, tmpDir() + "/tdec", sch,
+      Identity.Keys(Seq("id")),
+      TableConfig(memSliceSize = 8, walEnabled = false))
+    def bd(cents: Long) = new java.math.BigDecimal(
+      java.math.BigInteger.valueOf(cents), 2)
+    // nulls at multiples of 5; several files (memSliceSize = 8)
+    t.apply((1L to 20L).flatMap(i => CdcEvent.upsert(
+      Row(i, if (i % 5 == 0) null else bd(i * 125L)), Seq(i), i))
+      :+ Commit(21L))
+    t.flush(); t.publish()
+    val df = spark.read.format("graft").load(t.root)
+    val q = df.agg(sum(col("amt")), count(col("amt")),
+      min(col("amt")), max(col("amt")))
+    assert(q.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+      "decimal SUM/COUNT/MIN/MAX must answer from the manifest")
+    val want = t.read(scala.None).agg(sum(col("amt")), count(col("amt")),
+      min(col("amt")), max(col("amt"))).head()
+    val got = q.head()
+    assert(got.getDecimal(0) == want.getDecimal(0) &&
+      got.getLong(1) == want.getLong(1) &&
+      got.getDecimal(2) == want.getDecimal(2) &&
+      got.getDecimal(3) == want.getDecimal(3),
+      s"pushed $got != scan $want")
+    assert(got.getDecimal(0).toPlainString == "200.00") // Σ i*1.25 over the 16 non-null ids
+    // AVG: scanless plan via the Sum/Count rewrite, bit-identical value
+    val qa = df.agg(avg(col("amt")))
+    val planA = qa.queryExecution.executedPlan.toString
+    assert(planA.contains("GraftAggScan") && !planA.contains("GraftScan("),
+      s"decimal AVG must reconstruct from the pushed pair:\n$planA")
+    val wantAvg = t.read(scala.None).agg(avg(col("amt"))).head().getDecimal(0)
+    assert(qa.head().getDecimal(0) == wantAvg)
+    // deletes: decline until refreshDvStats folds the masked decimals in
+    t.apply(Seq(Delete(Seq(1L), 100L), Delete(Seq(5L), 101L),
+      Commit(102L)))
+    t.publish()
+    val df0 = spark.read.format("graft").load(t.root)
+    val q0 = df0.agg(sum(col("amt")), count(col("amt")))
+    assert(!q0.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+      "stale masked accounting must decline decimal SUM")
+    val r0 = q0.head()
+    assert(t.refreshDvStats() >= 1); t.publish()
+    val df1 = spark.read.format("graft").load(t.root)
+    val q1 = df1.agg(sum(col("amt")), count(col("amt")), min(col("amt")))
+    assert(q1.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+      "refreshed masked accounting must re-arm decimal SUM")
+    val r1 = q1.head()
+    assert(r1.getDecimal(0) == r0.getDecimal(0) &&
+      r1.getLong(1) == r0.getLong(1),
+      s"pushed live decimal aggregates diverge from the scan: $r1 vs $r0")
+    assert(r1.getDecimal(0).toPlainString == "198.75") // minus id 1 (1.25)
+    assert(r1.getDecimal(2).toPlainString == "2.50") // live min re-armed
+    // a too-wide decimal (p + 10 > 38) records no sums -> SUM declines
+    val t2 = GraftTable.create(spark, tmpDir() + "/tdecw",
+      SchemaDsl.struct("id" -> "int64", "amt" -> "decimal(32,2)"),
+      Identity.Keys(Seq("id")),
+      TableConfig(memSliceSize = 64, walEnabled = false))
+    t2.apply((1L to 4L).flatMap(i => CdcEvent.upsert(
+      Row(i, bd(i * 100L)), Seq(i), i)) :+ Commit(5L))
+    t2.flush(); t2.publish()
+    val qw = spark.read.format("graft").load(t2.root).agg(sum(col("amt")))
+    assert(!qw.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+      "un-summable wide decimal must decline to the scan")
+    qw.head() // the scan answers
+    // …while COUNT/MIN/MAX (bounds, not sums) still push for it
+    val qwm = spark.read.format("graft").load(t2.root)
+      .agg(count(col("amt")), min(col("amt")), max(col("amt")))
+    assert(qwm.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+    assert(qwm.head().getDecimal(1).toPlainString == "1.00")
+    t.drop(); t2.drop()
+  }
+
   test("masked-accounting property: pushed aggregates equal the scan " +
       "across random delete histories") {
     // seeded random upsert/delete rounds; after every refresh the

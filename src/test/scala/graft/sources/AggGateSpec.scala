@@ -1,0 +1,97 @@
+package graft.sources
+
+import graft.format.{DataFileEntry, Manifest}
+import graft.model.SchemaDsl
+import org.apache.spark.sql.connector.expressions.Expressions
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, Sum}
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Planner-gate unit tests over SYNTHETIC manifests: the interesting
+ * decline regions (10^10+ rows) are unreachable by writing real files
+ * in a test, but the gate is pure manifest arithmetic — so fabricate
+ * the accounting and probe `GraftAggScan.supported` directly. Mirrors
+ * the reference's Exact/Inexact statistics discipline
+ * (`table_provider.rs:174-179`).
+ */
+class AggGateSpec extends AnyFunSuite {
+
+  private val schema = SchemaDsl.struct("id" -> "int64", "amt" -> "decimal(12,2)")
+
+  private def file(rows: Long, mn: String, mx: String,
+      nulls: Long = 0L, sum: String = "0") = DataFileEntry(
+    path = s"data-$rows.parquet", rows = rows, bytes = 1L, maxLsn = 1L,
+    stats = Map("amt" -> Seq(mn, mx), "id" -> Seq("1", rows.toString)),
+    nullStats = Map("amt" -> nulls.toString, "id" -> "0"),
+    sumStats = Map("amt" -> sum, "id" -> "1"))
+
+  private def manifest(files: DataFileEntry*): Manifest =
+    Manifest(1L, 1L, 1L, schema.json, Seq("id"), files.toSeq,
+      Seq.empty, Seq.empty)
+
+  private def sumAgg = new Aggregation(
+    Array(new Sum(Expressions.column("amt"), false)), Array.empty)
+
+  test("decimal SUM pushes only under the buffer-overflow bounds proof") {
+    // decimal(12,2): |v| < 10^10; Spark's SUM buffer is decimal(22,2),
+    // max ~10^20. 10^9 rows × 10^10 = 10^19 -> provable, pushes.
+    val ok = manifest(file(1_000_000_000L, "-9999999999.99", "9999999999.99"))
+    assert(GraftAggScan.supported(ok, sumAgg),
+      "provable decimal SUM must push")
+    // 2×10^12 rows × 10^10 = 2×10^22 > 10^20: an intermediate partial
+    // can outgrow the buffer in SOME accumulation order -> decline.
+    val over = manifest(
+      file(2_000_000_000_000L, "-9999999999.99", "9999999999.99"))
+    assert(!GraftAggScan.supported(over, sumAgg),
+      "overflow-unprovable decimal SUM must decline")
+    // tiny per-row bounds rescue the same row count
+    val tiny = manifest(file(2_000_000_000_000L, "-1.00", "1.00"))
+    assert(GraftAggScan.supported(tiny, sumAgg))
+    // a bound-less file makes the claim unprovable, never an exception
+    val noBounds = manifest(file(10L, "-1.00", "1.00").copy(
+      stats = Map("id" -> Seq("1", "10"))))
+    assert(!GraftAggScan.supported(noBounds, sumAgg))
+    // a missing per-file sum (e.g. a pre-decimal-accounting writer)
+    // declines structurally
+    val noSum = manifest(file(10L, "-1.00", "1.00").copy(
+      sumStats = Map("id" -> "1")))
+    assert(!GraftAggScan.supported(noSum, sumAgg))
+  }
+
+  test("fully-deleted current files do not disarm the proofs") {
+    val dead = file(100L, "-9999999999.99", "9999999999.99").copy(
+      deletes = 100L, dvAccounted = 100L,
+      stats = Map("id" -> Seq("1", "100")), // live bounds legitimately gone
+      dvNullStats = Map("amt" -> "0", "id" -> "0"),
+      dvSumStats = Map("amt" -> "0", "id" -> "0"))
+    val live = file(1000L, "-1.00", "1.00")
+    assert(GraftAggScan.supported(manifest(live, dead), sumAgg),
+      "a zero-live file must contribute zero to the decimal proof")
+    // the long-integral proof has the same escape
+    val ischema = SchemaDsl.struct("id" -> "int64", "v" -> "int64")
+    def ifile(rows: Long, deletes: Long) = DataFileEntry(
+      path = s"i-$rows.parquet", rows = rows, bytes = 1L, maxLsn = 1L,
+      deletes = deletes, dvAccounted = deletes,
+      stats = if (rows == deletes) Map("id" -> Seq("1", "2"))
+              else Map("v" -> Seq("1", "5"), "id" -> Seq("1", "2")),
+      nullStats = Map("v" -> "0", "id" -> "0"),
+      sumStats = Map("v" -> "5", "id" -> "1"),
+      dvNullStats = if (deletes > 0) Map("v" -> "0", "id" -> "0") else Map.empty,
+      dvSumStats = if (deletes > 0) Map("v" -> "5", "id" -> "0") else Map.empty)
+    val im = Manifest(1L, 1L, 1L, ischema.json, Seq("id"),
+      Seq(ifile(10L, 0L), ifile(7L, 7L)), Seq.empty, Seq.empty)
+    val isum = new Aggregation(
+      Array(new Sum(Expressions.column("v"), false)), Array.empty)
+    assert(GraftAggScan.supported(im, isum),
+      "a zero-live file must not disarm the ANSI long-SUM proof")
+  }
+
+  test("the decimal Sum+Count pair is avg-rewrite-safe by construction") {
+    val m = manifest(file(1000L, "-1.00", "1.00"))
+    val pair = new Aggregation(Array(
+      new Sum(Expressions.column("amt"), false),
+      new Count(Expressions.column("amt"), false)), Array.empty)
+    assert(GraftAggScan.supported(m, pair),
+      "pushable decimal Sum+Count must pass the avg-rewrite gate")
+  }
+}
