@@ -1520,10 +1520,32 @@ object SparkEntry {
       // double column: SUM/AVG must never push (order-dependent FP)
       mustScan(s.read.format("graft").load(table.root)
         .agg(sum(col("value")), avg(col("value"))))
-      // string column: MIN/MAX must never push (stat bounds may be
-      // truncated/lifted for long values — prune-safe, aggregate-wrong)
-      mustScan(s.read.format("graft").load(table.root)
+      // string column, SHORT values: every file's bounds carry the
+      // exactness marker (≤32 cp, no truncation/lift), so MIN/MAX
+      // answer from the manifest — and must equal the scan's answer
+      val strPush = aggScanOnly(s.read.format("graft").load(table.root)
         .agg(min(col("event_type")), max(col("event_type"))))
+      val strScan = table.read(scala.None)
+        .agg(min(col("event_type")), max(col("event_type"))).head()
+      require(strPush == strScan,
+        s"pushed string MIN/MAX diverge from the scan: $strPush vs $strScan")
+      // string column, LONG values (>32 cp): bounds are truncated/
+      // lifted, the marker is withheld, and MIN/MAX must scan — the
+      // r13 wholesale exclusion survives as the unmarked case
+      val auxStr = GraftTable.create(s, freshDir("aggstr"),
+        SchemaDsl.struct("id" -> "int64", "doc" -> "string"),
+        Identity.Keys(Seq("id")),
+        TableConfig(memSliceSize = 64, walEnabled = false))
+      auxStr.apply(Seq(
+        CdcEvent.upsert(Row(1L, "a" * 40 + "zz"), Seq(1L), 1L),
+        CdcEvent.upsert(Row(2L, "z" * 40 + "aa"), Seq(2L), 2L)).flatten
+        :+ Commit(3L))
+      auxStr.flush(); auxStr.publish()
+      val strLong = mustScan(s.read.format("graft").load(auxStr.root)
+        .agg(min(col("doc")), max(col("doc"))))
+      require(strLong.getString(0) == "a" * 40 + "zz" &&
+        strLong.getString(1) == "z" * 40 + "aa",
+        s"scan must answer the true long strings: $strLong")
       table.deleteWhere(col("event_type") === "purchase")
       val dfDel = s.read.format("graft").load(table.root)
       // COUNT(*) stays manifest-only under DVs (liveRows accounting)…
@@ -2111,10 +2133,29 @@ object SparkEntry {
         "bucket-layout check row missing on a bucketed table")
       require(ck.forall(_.getBoolean(1)),
         s"system.check reported failures: ${ck.mkString("; ")}")
+      // dv-stats-currency lifecycle: a fresh SQL DELETE leaves the
+      // masked-row accounting stale (aggregate pushdown declines), the
+      // check row SURFACES the backlog, and CALL system.refresh_stats
+      // heals it — the bucket-layout row's sibling for M15 operators
+      s.sql(s"DELETE FROM $cname.graft.events_call WHERE user_id = 3")
+      def currency() =
+        s.sql(s"CALL $cname.system.check('graft', 'events_call')")
+          .collect().find(_.getString(0) == "dv-stats-currency").get
+      val stale = currency()
+      require(!stale.getBoolean(1) &&
+        stale.getString(2).startsWith("stale_files=") &&
+        !stale.getString(2).contains("stale_files=0"),
+        s"stale accounting must be surfaced: $stale")
+      require(s.sql(s"CALL $cname.system.refresh_stats(" +
+        "'graft', 'events_call')").head().getLong(0) >= 1L,
+        "refresh must fold at least one stale file")
+      require(currency().getBoolean(1),
+        s"refresh_stats must heal the currency row: ${currency()}")
       s.sql(s"""SELECT user_id, event_id AS last_event_id,
                |       event_type AS last_event_type,
                |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
                |FROM $cname.graft.events_call
+               |WHERE user_id <> 3
                |ORDER BY user_id""".stripMargin)
     }),
 
@@ -5923,7 +5964,16 @@ object SparkEntry {
     // streaming CDC sink folds to the same final state as batch upserts
     "cdc_stream_upsert_sink" -> cdcUpsertOracle,
     // CALL optimize/vacuum must preserve the exact fold
-    "cdc_sql_call" -> cdcUpsertOracle,
+    // upsert fold minus the in-entry currency-lifecycle DELETE of user 3
+    "cdc_sql_call" ->
+      """SELECT user_id,
+        |       event_id AS last_event_id,
+        |       event_type AS last_event_type,
+        |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+        |  AND user_id <> 3
+        |ORDER BY user_id""".stripMargin,
     "cdc_delete_state" -> cdcDeleteOracle,
     "cdc_compact_state" -> cdcDeleteOracle,
     "cdc_sql_view" ->

@@ -68,7 +68,15 @@ final case class DataFileEntry(
     // never boxes; missing column = unknown.
     dvAccounted: Long = 0L,
     dvNullStats: Map[String, String] = Map.empty,
-    dvSumStats: Map[String, String] = Map.empty) {
+    dvSumStats: Map[String, String] = Map.empty,
+    // STRING columns whose recorded (min, max) are EXACT data values —
+    // statBounds did not truncate the min or lift the max (≤32 code
+    // points both ends). Exact bounds may answer MIN/MAX aggregates,
+    // not just prune; non-string bounds are exact by construction and
+    // are never listed. A manifest written before the marker existed
+    // deserializes this empty, so old string bounds keep declining
+    // (they might be truncations of identical-looking short strings).
+    exactBounds: Seq[String] = Seq.empty) {
   /** Null count for `col` if this file recorded one. */
   def nullsOf(col: String): Option[Long] = nullStats.get(col).map(_.toLong)
   /** Exact integral sum for `col` if this file recorded one. */
@@ -178,12 +186,15 @@ object Manifest {
     // ("unknown"), which every reader treats as not-prunable/not-pushable
     val m3 =
       if (m2.dataFiles.exists(e => e.nullStats == null || e.sumStats == null ||
-          e.dvNullStats == null || e.dvSumStats == null))
+          e.dvNullStats == null || e.dvSumStats == null ||
+          e.exactBounds == null))
         m2.copy(dataFiles = m2.dataFiles.map(e => e.copy(
           nullStats = if (e.nullStats == null) Map.empty else e.nullStats,
           sumStats = if (e.sumStats == null) Map.empty else e.sumStats,
           dvNullStats = if (e.dvNullStats == null) Map.empty else e.dvNullStats,
-          dvSumStats = if (e.dvSumStats == null) Map.empty else e.dvSumStats)))
+          dvSumStats = if (e.dvSumStats == null) Map.empty else e.dvSumStats,
+          exactBounds = if (e.exactBounds == null) Seq.empty
+                        else e.exactBounds)))
       else m2
     // bucket ids are meaningful only under a bucket spec: a manifest
     // written before the field existed deserializes bucket as 0 (the

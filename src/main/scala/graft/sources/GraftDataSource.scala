@@ -1044,23 +1044,28 @@ private[sources] object GraftAggScan {
         case a: Avg => avgPushable(manifest, a)
         case f @ (_: Min | _: Max) =>
           colOf(f).exists { c =>
+            // statsComparable is the PRUNING gate; bounds used as the
+            // ANSWER must additionally be exact values from the data.
+            // String bounds may not be: statBounds truncates a >32-cp
+            // min to a prefix (below the true min) and LIFTS a >32-cp
+            // max to a synthetic upper bound not present in the table —
+            // prune-safe, aggregate-wrong. A short stored bound cannot
+            // prove the original was short (a lifted max can land at
+            // any length), so strings push ONLY when the writer marked
+            // the file's bounds exact (`exactBounds`, recorded when
+            // neither end was truncated/lifted); pre-marker manifests
+            // keep declining.
+            val isString = manifest.schema.fields.find(_.name == c)
+              .exists(_.dataType.isInstanceOf[StringType])
             manifest.schema.fields.find(_.name == c)
-              // statsComparable is the PRUNING gate; bounds used as the
-              // ANSWER must additionally be exact values from the data.
-              // String bounds are not: statBounds truncates a >32-cp
-              // min to a prefix (below the true min) and LIFTS a
-              // >32-cp max to a synthetic upper bound not present in
-              // the table — prune-safe, aggregate-wrong. A short stored
-              // bound cannot prove the original was short (a lifted max
-              // can land at any length), so strings never push MIN/MAX.
-              .exists(fd => GraftTable.statsComparable(fd.dataType) &&
-                !fd.dataType.isInstanceOf[StringType]) &&
+              .exists(fd => GraftTable.statsComparable(fd.dataType)) &&
               manifest.dataFiles.forall(e =>
                 (e.deletes == 0L || e.dvStatsCurrent) &&
                   // a file with zero LIVE rows contributes nothing and
                   // legitimately has no live bounds; it must not block
                   (e.rows == e.deletes ||
-                    e.stats.get(c).exists(_.length == 2)))
+                    (e.stats.get(c).exists(_.length == 2) &&
+                      (!isString || e.exactBounds.contains(c)))))
           }
         case _ => false
       }

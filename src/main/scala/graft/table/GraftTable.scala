@@ -846,17 +846,20 @@ final class GraftTable private (
     val partStats = precomputedStats
       .orElse(fusedAcc.map(acc => acc.value.map {
         case (pid, (n, mins, maxs, nulls, sums)) =>
-          val stats = statFields.zipWithIndex.map { case ((f, _), j) =>
-            f.name -> (if (mins(j) == null) Seq.empty[String]
-                       else statBounds(f.dataType, mins(j), maxs(j)))
-          }.toMap
+          val be = statFields.zipWithIndex.map { case ((f, _), j) =>
+            (f, if (mins(j) == null) (Seq.empty[String], false)
+                else statBoundsExact(f.dataType, mins(j), maxs(j)))
+          }
+          val stats = be.map { case (f, (b, _)) => f.name -> b }.toMap
+          val exact = be.collect { case (f, (b, true))
+            if f.dataType.isInstanceOf[StringType] && b.nonEmpty => f.name }
           val ns = statFields.zipWithIndex.map { case ((f, _), j) =>
             f.name -> nulls(j).toString
           }.toMap
           val sm = statFields.zipWithIndex.collect {
             case ((f, _), j) if sums(j) != null => f.name -> sums(j)
           }.toMap
-          pid -> PartFileStats(n, stats, ns, sm)
+          pid -> PartFileStats(n, stats, ns, sm, exact)
       }))
       .getOrElse(prof("  stats pass")(
         collectPartitionStats(survivors, statFields)))
@@ -866,7 +869,8 @@ final class GraftTable private (
           fileEntries(n) = DataFileEntry(n, ps.rows,
             Fio.sizeOf(s"$root/data/$n"), maxLsn, 0L, ps.stats,
             bucket = if (bucketSplit >= 1) (pid / bucketSplit).toLong else -1L,
-            nullStats = ps.nulls, sumStats = ps.sums)
+            nullStats = ps.nulls, sumStats = ps.sums,
+            exactBounds = ps.exact)
         case scala.None => Fio.delete(s"$root/data/$n")
       }
     }
@@ -905,15 +909,18 @@ final class GraftTable private (
       Iterator.single((pid, n, mins.toSeq, maxs.toSeq, nulls.toSeq,
         sums.toSeq.map(s => if (s == null) null else s.render)))
     }.collect().map { case (pid, n, mins, maxs, nulls, sums) =>
-      val stats = statFields.zipWithIndex.map { case ((f, _), j) =>
-        f.name -> (if (mins(j) == null) Seq.empty[String]
-                   else statBounds(f.dataType, mins(j), maxs(j)))
-      }.toMap
+      val be = statFields.zipWithIndex.map { case ((f, _), j) =>
+        (f, if (mins(j) == null) (Seq.empty[String], false)
+            else statBoundsExact(f.dataType, mins(j), maxs(j)))
+      }
+      val stats = be.map { case (f, (b, _)) => f.name -> b }.toMap
+      val exact = be.collect { case (f, (b, true))
+        if f.dataType.isInstanceOf[StringType] && b.nonEmpty => f.name }
       val ns = statFields.zipWithIndex.map { case ((f, _), j) =>
         f.name -> nulls(j).toString }.toMap
       val sm = statFields.zipWithIndex.collect {
         case ((f, _), j) if sums(j) != null => f.name -> sums(j) }.toMap
-      pid -> PartFileStats(n, stats, ns, sm)
+      pid -> PartFileStats(n, stats, ns, sm, exact)
     }.toMap
   }
 
@@ -962,15 +969,18 @@ final class GraftTable private (
           sums.toSeq.map(s => if (s == null) null else s.render), dels.toSeq))
     }.collect()
     val stats = raw.map { case (pid, n, mins, maxs, nulls, sums, _) =>
-      val m = statFields.zipWithIndex.map { case ((f, _), j) =>
-        f.name -> (if (mins(j) == null) Seq.empty[String]
-                   else statBounds(f.dataType, mins(j), maxs(j)))
-      }.toMap
+      val be = statFields.zipWithIndex.map { case ((f, _), j) =>
+        (f, if (mins(j) == null) (Seq.empty[String], false)
+            else statBoundsExact(f.dataType, mins(j), maxs(j)))
+      }
+      val m = be.map { case (f, (b, _)) => f.name -> b }.toMap
+      val exact = be.collect { case (f, (b, true))
+        if f.dataType.isInstanceOf[StringType] && b.nonEmpty => f.name }
       val ns = statFields.zipWithIndex.map { case ((f, _), j) =>
         f.name -> nulls(j).toString }.toMap
       val sm = statFields.zipWithIndex.collect {
         case ((f, _), j) if sums(j) != null => f.name -> sums(j) }.toMap
-      pid -> PartFileStats(n, m, ns, sm)
+      pid -> PartFileStats(n, m, ns, sm, exact)
     }.toMap
     (stats, raw.toSeq.flatMap(_._7))
   }
@@ -1167,10 +1177,10 @@ final class GraftTable private (
       spark.createDataFrame(chunkRows.asJava, physicalSchema)
         .coalesce(1).write.mode("overwrite").parquet(tmp)
       movePartFile(tmp, s"$destDir/$name")
-      val (bounds, nulls, sums) = columnStats(chunkRows)
+      val (bounds, nulls, sums, exact) = columnStats(chunkRows)
       DataFileEntry(name, chunk.size.toLong, Fio.sizeOf(s"$destDir/$name"),
         maxLsn, 0L, bounds, bucket = bkt, nullStats = nulls,
-        sumStats = sums)
+        sumStats = sums, exactBounds = exact)
     }
   }
 
@@ -1186,23 +1196,27 @@ final class GraftTable private (
    *  pruning and metadata-only aggregates (reference collects parquet
    *  stats into iceberg manifests, `parquet_stats_utils.rs`). */
   private def columnStats(rows: Seq[Row])
-      : (Map[String, Seq[String]], Map[String, String], Map[String, String]) = {
+      : (Map[String, Seq[String]], Map[String, String], Map[String, String],
+         Seq[String]) = {
     val pairs = schemaVar.fields.zipWithIndex.collect {
       case (f, i) if statsComparable(f.dataType) =>
         val vs = rows.iterator.map(_.get(i)).filter(_ != null).toSeq
-        val bounds =
-          if (vs.isEmpty) f.name -> Seq.empty[String]
+        val (bounds, exact) =
+          if (vs.isEmpty) (f.name -> Seq.empty[String], scala.None)
           else {
             implicit val ord: Ordering[Any] = anyOrdering(f.dataType)
-            f.name -> statBounds(f.dataType, vs.min, vs.max)
+            val (b, ex) = statBoundsExact(f.dataType, vs.min, vs.max)
+            (f.name -> b,
+              if (ex && b.nonEmpty && f.dataType.isInstanceOf[StringType])
+                Some(f.name) else scala.None)
           }
         val sum = GraftTable.statSummer(f.dataType).map { mk =>
           val s = mk(); vs.foreach(s.add); f.name -> s.render
         }
-        (bounds, f.name -> (rows.size - vs.size).toString, sum)
+        (bounds, f.name -> (rows.size - vs.size).toString, sum, exact)
     }
     (pairs.map(_._1).toMap, pairs.map(_._2).toMap,
-      pairs.flatMap(_._3).toMap)
+      pairs.flatMap(_._3).toMap, pairs.flatMap(_._4).toSeq)
   }
 
   /** Fast-path index writer for rows the driver already holds in write
@@ -1562,6 +1576,16 @@ final class GraftTable private (
         s"bucketN=${m.bucketN} bucketed=${m.dataFiles.size - unbucketed} " +
           s"unbucketed=$unbucketed"))
     }
+    // aggregate-pushdown currency (the bucket-layout row's sibling for
+    // the masked-row accounting): files whose deletes outgrew their
+    // dvAccounted fold make COUNT(col)/SUM/AVG/MIN/MAX decline to the
+    // scan until `CALL system.refresh_stats` (or the maintenance tick)
+    // re-folds them. Never a wrong answer — but operators need to SEE
+    // how much of the table is declining to schedule the refresh.
+    val staleAgg = m.dataFiles.filter(e => e.deletes > 0 && !e.dvStatsCurrent)
+    out += (("dv-stats-currency", staleAgg.isEmpty,
+      s"stale_files=${staleAgg.size} " +
+        s"masked_rows=${staleAgg.map(e => e.deletes - e.dvAccounted).sum}"))
     out.toSeq
   }
 
@@ -2197,12 +2221,15 @@ final class GraftTable private (
           }.toMap
         rows.map { r =>
             val n = r.getLong(r.fieldIndex("_n"))
-            val stats = statFields.map { f =>
+            val be = statFields.map { f =>
               val mn = r.get(r.fieldIndex(s"_mn_${f.name}"))
               val mx = r.get(r.fieldIndex(s"_mx_${f.name}"))
-              f.name -> (if (mn == null) Seq.empty[String]
-                         else statBounds(f.dataType, mn, mx))
-            }.toMap
+              (f, if (mn == null) (Seq.empty[String], false)
+                  else statBoundsExact(f.dataType, mn, mx))
+            }
+            val stats = be.map { case (f, (b, _)) => f.name -> b }.toMap
+            val exact = be.collect { case (f, (b, true))
+              if f.dataType.isInstanceOf[StringType] && b.nonEmpty => f.name }
             val nulls = statFields.map { f =>
               f.name -> (n - r.getLong(r.fieldIndex(s"_nn_${f.name}"))).toString
             }.toMap
@@ -2222,7 +2249,7 @@ final class GraftTable private (
                            else r.getDecimal(i).toPlainString)
               }
             }.toMap
-            r.getString(0) -> PartFileStats(n, stats, nulls, sums)
+            r.getString(0) -> PartFileStats(n, stats, nulls, sums, exact)
           }.toMap
       }
     val counts: Map[String, Long] = backStats.map { case (n, s) => n -> s.rows }
@@ -2231,7 +2258,8 @@ final class GraftTable private (
       backStats.get(n).map(_.stats).getOrElse(Map.empty),
       bucket = fileBucket.getOrElse(n, -1L),
       nullStats = backStats.get(n).map(_.nulls).getOrElse(Map.empty),
-      sumStats = backStats.get(n).map(_.sums).getOrElse(Map.empty)))
+      sumStats = backStats.get(n).map(_.sums).getOrElse(Map.empty),
+      exactBounds = backStats.get(n).map(_.exact).getOrElse(Seq.empty)))
     // the bucket spec is table-level: a FRESH bucketBy holds only when
     // this rewrite covered every live file (it did — victims = all) AND
     // every surviving file validated single-bucket; any miss degrades to
@@ -2563,16 +2591,20 @@ final class GraftTable private (
                       else r.getDecimal(i).toPlainString)
         }
       }.toMap
-      val liveBounds = statF.map { sf =>
+      val liveBE = statF.map { sf =>
         val mn = r.get(r.fieldIndex(s"_lmn_${sf.name}"))
         val mx = r.get(r.fieldIndex(s"_lmx_${sf.name}"))
-        sf.name -> (if (mn == null) Seq.empty[String]
-                    else statBounds(sf.dataType, mn, mx))
-      }.toMap
+        (sf, if (mn == null) (Seq.empty[String], false)
+             else statBoundsExact(sf.dataType, mn, mx))
+      }
+      val liveBounds = liveBE.map { case (sf, (b, _)) => sf.name -> b }.toMap
+      val liveExact = liveBE.collect { case (sf, (b, true))
+        if sf.dataType.isInstanceOf[StringType] && b.nonEmpty => sf.name }
       // dvAccounted = masked rows actually read; if that ever disagrees
       // with `deletes` the entry stays non-current and keeps declining
       fileEntries(f) = fileEntries(f).copy(dvAccounted = n,
-        dvNullStats = nulls, dvSumStats = sums, stats = liveBounds)
+        dvNullStats = nulls, dvSumStats = sums, stats = liveBounds,
+        exactBounds = liveExact)
     }
     rows.length
     // under a continuous maintenance cadence these batches recur; the
@@ -2684,11 +2716,12 @@ final class GraftTable private (
       val e = fileEntries(k)
       if (cols.exists(c => e.stats.contains(c) || e.nullStats.contains(c) ||
           e.sumStats.contains(c) || e.dvNullStats.contains(c) ||
-          e.dvSumStats.contains(c)))
+          e.dvSumStats.contains(c) || e.exactBounds.exists(cols)))
         fileEntries(k) = e.copy(stats = e.stats -- cols,
           nullStats = e.nullStats -- cols, sumStats = e.sumStats -- cols,
           dvNullStats = e.dvNullStats -- cols,
-          dvSumStats = e.dvSumStats -- cols)
+          dvSumStats = e.dvSumStats -- cols,
+          exactBounds = e.exactBounds.filterNot(cols))
     }
 
   /** Re-key per-file stats on a rename: the data is the same physical
@@ -2700,13 +2733,14 @@ final class GraftTable private (
         m.get(from).map(v => m - from + (to -> v)).getOrElse(m)
       if (e.stats.contains(from) || e.nullStats.contains(from) ||
           e.sumStats.contains(from) || e.dvNullStats.contains(from) ||
-          e.dvSumStats.contains(from))
+          e.dvSumStats.contains(from) || e.exactBounds.contains(from))
         fileEntries(k) = e.copy(
           stats = e.stats.get(from)
             .map(v => e.stats - from + (to -> v)).getOrElse(e.stats),
           nullStats = rekey(e.nullStats), sumStats = rekey(e.sumStats),
           dvNullStats = rekey(e.dvNullStats),
-          dvSumStats = rekey(e.dvSumStats))
+          dvSumStats = rekey(e.dvSumStats),
+          exactBounds = e.exactBounds.map(c => if (c == from) to else c))
     }
 
   def alterDropColumns(cols: Seq[String]): Unit = synchronized {
@@ -3101,7 +3135,10 @@ private[graft] final class PartStatsAcc
  *  exactly Spark's non-ANSI total). */
 private[graft] final case class PartFileStats(rows: Long,
     stats: Map[String, Seq[String]], nulls: Map[String, String],
-    sums: Map[String, String] = Map.empty)
+    sums: Map[String, String] = Map.empty,
+    // string columns whose bounds were NOT truncated/lifted (exact
+    // data values) — becomes DataFileEntry.exactBounds
+    exact: Seq[String] = Seq.empty)
 
 object GraftTable {
   /** Value-semantics wrapper for key column values — the mem-index key
@@ -3393,6 +3430,15 @@ object GraftTable {
    *  its full boundary documents in the manifest — megabytes per file
    *  at corpus scale. */
   private[graft] def statBounds(dt: DataType, mn: Any, mx: Any): Seq[String] =
+    statBoundsExact(dt, mn, mx)._1
+
+  /** statBounds plus an exactness verdict: TRUE when the stored pair
+   *  are actual data values — always for non-strings; for strings only
+   *  when neither end was truncated/lifted (≤32 code points). Exact
+   *  string bounds are recorded in `DataFileEntry.exactBounds` and may
+   *  answer MIN/MAX aggregates, not merely prune. */
+  private[graft] def statBoundsExact(dt: DataType, mn: Any, mx: Any)
+      : (Seq[String], Boolean) =
     dt match {
       case StringType =>
         val lo = mn.toString; val hi = mx.toString
@@ -3400,26 +3446,29 @@ object GraftTable {
         def cpLen(s: String) = s.codePointCount(0, s.length)
         def prefix(s: String) =
           s.substring(0, s.offsetByCodePoints(0, max))
-        val loT = if (cpLen(lo) <= max) lo else prefix(lo)
-        if (cpLen(hi) <= max) Seq(loT, hi)
+        if (cpLen(lo) <= max && cpLen(hi) <= max) (Seq(lo, hi), true)
         else {
-          val cps = prefix(hi).codePoints().toArray
-          var i = cps.length - 1
-          var lifted: String = null
-          while (i >= 0 && lifted == null) {
-            val c = cps(i) + 1
-            if (c <= 0x10FFFF && (c < 0xD800 || c > 0xDFFF))
-              lifted = new String(cps.take(i) :+ c, 0, i + 1)
-            else i -= 1
+          val loT = if (cpLen(lo) <= max) lo else prefix(lo)
+          if (cpLen(hi) <= max) (Seq(loT, hi), false)
+          else {
+            val cps = prefix(hi).codePoints().toArray
+            var i = cps.length - 1
+            var lifted: String = null
+            while (i >= 0 && lifted == null) {
+              val c = cps(i) + 1
+              if (c <= 0x10FFFF && (c < 0xD800 || c > 0xDFFF))
+                lifted = new String(cps.take(i) :+ c, 0, i + 1)
+              else i -= 1
+            }
+            (if (lifted == null) Seq.empty else Seq(loT, lifted), false)
           }
-          if (lifted == null) Seq.empty else Seq(loT, lifted)
         }
       // toPlainString: BigDecimal.toString turns small-magnitude values
       // into scientific notation, which parseStat would still read but
       // humans and the iceberg export wouldn't expect
-      case _: DecimalType => Seq(toJavaBD(mn).toPlainString,
-        toJavaBD(mx).toPlainString)
-      case _ => Seq(mn.toString, mx.toString)
+      case _: DecimalType => (Seq(toJavaBD(mn).toPlainString,
+        toJavaBD(mx).toPlainString), true)
+      case _ => (Seq(mn.toString, mx.toString), true)
     }
 
   private[graft] def statsComparable(dt: DataType): Boolean = dt match {

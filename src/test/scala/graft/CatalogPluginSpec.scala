@@ -404,8 +404,22 @@ class CatalogPluginSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.flush(); t.publish()
     def checks() = spark.sql(s"CALL $cname.system.check('graft', 'ck')")
       .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    def checkDetail(name: String) =
+      spark.sql(s"CALL $cname.system.check('graft', 'ck')")
+        .collect().find(_.getString(0) == name).get.getString(2)
+    // the un-refreshed delete leaves the masked-row accounting stale:
+    // the currency row must SURFACE the aggregate-pushdown backlog
+    // (count + unaccounted masked rows), the bucket-layout row's
+    // sibling for M15 operators
+    val c0 = checks()
+    assert(!c0("dv-stats-currency"), s"stale accounting must be visible: $c0")
+    assert(checkDetail("dv-stats-currency") ==
+      "stale_files=1 masked_rows=1", checkDetail("dv-stats-currency"))
+    // CALL system.refresh_stats heals it — and every other row is green
+    spark.sql(s"CALL $cname.system.refresh_stats('graft', 'ck')")
     val c1 = checks()
-    assert(c1.size >= 5 && c1.values.forall(identity), s"clean table: $c1")
+    assert(c1.size >= 6 && c1.values.forall(identity), s"clean table: $c1")
+    assert(checkDetail("dv-stats-currency") == "stale_files=0 masked_rows=0")
     // tamper: delete a data file behind the manifest's back
     val victim = graft.format.ManifestLog.loadLatest(s"$wh/ck")
       .get.dataFiles.head.path

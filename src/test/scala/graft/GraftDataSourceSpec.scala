@@ -295,16 +295,17 @@ class GraftDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.apply(rows.zipWithIndex.flatMap { case (r, i) =>
       CdcEvent.upsert(r, Seq(r.getLong(0)), i + 1L) } :+ Commit(10L))
     val df = spark.read.format("graft").load(t.root)
-    // strings are EXCLUDED from pushed min/max (stat bounds may be
-    // truncated/lifted for long values — prune-safe, aggregate-wrong,
-    // and a 2-element bound cannot prove it was stored exactly), so a
-    // mixed aggregation scans; the timestamp-only one pushes below
+    // these strings are SHORT (≤32 cp), so their bounds carry the
+    // exactness marker and the whole aggregation pushes — and the
+    // pushed answer must still use UTF-8 binary order, not UTF-16
+    // (anyOrdering(StringType) compares UTF8String bytes end to end:
+    // the write-side min/max fold AND the read-side per-file fold)
     val q = df.agg(min("name"), max("name"), min("ts"), max("ts"))
-    assert(!q.queryExecution.executedPlan.toString.contains("GraftAggScan"),
-      "string min/max must fall back to the scan")
+    assert(q.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+      "exact-marked short strings must push min/max")
     val got = q.head()
     val want = t.read(None).agg(min("name"), max("name"), min("ts"), max("ts")).head()
-    assert(got == want, s"scan=$got expected=$want")
+    assert(got == want, s"pushed=$got expected=$want")
     assert(got.getString(1) == "😀", "max string must be UTF-8 order")
     val qt = df.agg(min("ts"), max("ts"))
     assert(qt.queryExecution.executedPlan.toString.contains("GraftAggScan"),
@@ -943,13 +944,14 @@ class GraftDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.drop()
   }
 
-  test("string MIN/MAX never push (stat bounds are prune-safe, not exact)") {
+  test("string MIN/MAX push only under the exactness marker") {
     // statBounds truncates a >32-codepoint min to a prefix (below the
     // true min) and LIFTS a >32-cp max to a synthetic upper bound not
     // present in the table. Fine for pruning; WRONG as an aggregate
     // answer — and a short stored bound cannot prove the original was
-    // short (a lifted max can land at any length), so strings are
-    // excluded from MIN/MAX pushdown wholesale.
+    // short (a lifted max can land at any length). The writer therefore
+    // marks a file's string bounds `exactBounds` when NEITHER end was
+    // truncated/lifted; only then may they answer MIN/MAX.
     val sch = SchemaDsl.struct("id" -> "int64", "name" -> "string",
       "v" -> "int64")
     val t = GraftTable.create(spark, tmpDir() + "/t", sch,
@@ -962,10 +964,13 @@ class GraftDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       CdcEvent.upsert(Row(2L, longZ, 20L), Seq(2L), 2L)).flatten
       :+ Commit(3L))
     t.flush(); t.publish()
+    assert(t.currentManifest.dataFiles.forall(
+      !_.exactBounds.contains("name")),
+      "truncated/lifted string bounds must NOT carry the exact marker")
     val df = spark.read.format("graft").load(t.root)
     val q = df.agg(min(col("name")), max(col("name")))
     assert(!q.queryExecution.executedPlan.toString.contains("GraftAggScan"),
-      "string MIN/MAX must come from the scan, not truncated bounds")
+      "unmarked string MIN/MAX must come from the scan, not truncated bounds")
     val r = q.head()
     assert(r.getString(0) == longA && r.getString(1) == longZ,
       s"scan answers must be the true strings: $r")
@@ -974,7 +979,45 @@ class GraftDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(qn.queryExecution.executedPlan.toString.contains("GraftAggScan"))
     val rn = qn.head()
     assert(rn.getLong(0) == 10L && rn.getLong(1) == 20L)
-    t.drop()
+    // SHORT strings (≤32 cp both ends): the marker re-arms the push and
+    // the answer is the exact value — in every file
+    val t2 = GraftTable.create(spark, tmpDir() + "/t2", sch,
+      Identity.Keys(Seq("id")),
+      TableConfig(memSliceSize = 4, walEnabled = false))
+    t2.apply((1L to 8L).flatMap(i => CdcEvent.upsert(
+      Row(i, s"name$i", i * 10L), Seq(i), i)) :+ Commit(9L))
+    t2.flush(); t2.publish()
+    assert(t2.currentManifest.dataFiles.forall(_.exactBounds.contains("name")))
+    val df2 = spark.read.format("graft").load(t2.root)
+    val q2 = df2.agg(min(col("name")), max(col("name")))
+    assert(q2.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+      "exact-marked short string bounds must answer MIN/MAX")
+    val r2 = q2.head()
+    assert(r2.getString(0) == "name1" && r2.getString(1) == "name8")
+    // deletes: the marker survives refreshDvStats (live bounds are
+    // re-derived from surviving rows, still exact when short)
+    t2.apply(Seq(Delete(Seq(1L), 100L), Commit(101L)))
+    t2.publish()
+    assert(t2.refreshDvStats() >= 1)
+    t2.publish()
+    val df4 = spark.read.format("graft").load(t2.root)
+    val q4 = df4.agg(min(col("name")), max(col("name")))
+    assert(q4.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+      "refreshed live string bounds keep the exact marker")
+    assert(q4.head().getString(0) == "name2")
+    // ONE unmarked file poisons the table-wide answer: simulate a
+    // pre-marker manifest by stripping the marker from one entry (side
+    // commit LAST — the handle's own next publish would CAS-collide)
+    val m = t2.currentManifest
+    val stripped = m.copy(version = m.version + 1, dataFiles =
+      m.dataFiles.head.copy(exactBounds = Seq.empty) +: m.dataFiles.tail)
+    graft.format.ManifestLog.commit(t2.root, stripped)
+    val df3 = spark.read.format("graft").load(t2.root)
+    assert(!df3.agg(min(col("name"))).queryExecution.executedPlan.toString
+      .contains("GraftAggScan"),
+      "a single pre-marker file must decline the string push")
+    assert(df3.agg(min(col("name"))).head().getString(0) == "name2")
+    t.drop(); t2.drop()
   }
 
   test("an accounting-less column declines aggregate pushdown at planning " +
