@@ -34,8 +34,8 @@ private[graft] object GraftProcedures {
 
   def list(): Array[Identifier] =
     Array("optimize", "vacuum", "expire_snapshots", "restore", "flush",
-        "check", "refresh_stats", "iceberg_sync", "delta_sync",
-        "delta_checkpoint")
+        "check", "refresh_stats", "maintain", "iceberg_sync",
+        "delta_sync", "delta_checkpoint")
       .map(n => Identifier.of(Array("system"), n))
 
   def load(store: MetadataStore, warehouse: String,
@@ -95,6 +95,17 @@ private[graft] object GraftProcedures {
           if (n > 0) t.publish()
           Seq(Row(n.toLong))
         })
+      case "maintain" => proc("maintain", DbTbl,
+        // the maintenance daemon's THRESHOLD-GATED pass as a SQL verb
+        // (GraftTable.maintain): flush a committed tail, compact past
+        // the reference thresholds, refresh stale DV accounting, merge
+        // index debt, vacuum only if anything ran. Unlike optimize it
+        // NEVER rewrites an idle table — `ran = false` means zero new
+        // versions and zero touched files, so operators can schedule
+        // it blindly at any cadence
+        StructType(Seq(StructField("ran", BooleanType))),
+        args => Seq(Row(
+          open(args(0).toString, args(1).toString).maintain())))
       case "expire_snapshots" => proc("expire_snapshots",
         DbTbl :+ ProcedureParameter.in("keep_last", IntegerType).build(),
         StructType(Seq(StructField("expired_versions", LongType))),

@@ -479,6 +479,28 @@ class CatalogPluginSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getLong(0) == 9L && r.getLong(1) == 540L && r.getLong(2) == 20L)
   }
 
+  test("CALL system.maintain is threshold-gated: idle tables untouched") {
+    val (cname, wh) = freshCatalog()
+    val cat = GraftCatalog(spark, wh)
+    val t = cat.createTable("mt", schema, Identity.Keys(Seq("id")),
+      TableConfig(walEnabled = false, compactSmallFileRows = 1000,
+        compactFileCountThreshold = 4))
+    (0 until 6).foreach { i =>
+      t.upsertAll(Seq(Row(i.toLong, i.toLong)), startLsn = i * 2L + 1)
+      t.flush(); t.publish()
+    }
+    def call() = spark.sql(s"CALL $cname.system.maintain('graft', 'mt')")
+      .head().getBoolean(0)
+    assert(call(), "6 small files past threshold 4 must compact")
+    val m1 = graft.format.ManifestLog.loadLatest(s"$wh/mt").get
+    assert(m1.dataFiles.size == 1)
+    // idle: ran=false, no version growth, identical file names
+    assert(!call() && !call(), "idle maintain must be a no-op")
+    val m2 = graft.format.ManifestLog.loadLatest(s"$wh/mt").get
+    assert(m2.version == m1.version &&
+      m2.dataFiles.map(_.path) == m1.dataFiles.map(_.path))
+  }
+
   test("catalog functions expose the native kernels to SQL") {
     val (cname, _) = freshCatalog()
     // jaccard over sorted distinct int arrays: |{2,3}| / |{1,2,3,4}|

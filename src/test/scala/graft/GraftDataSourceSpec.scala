@@ -194,6 +194,43 @@ class GraftDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.drop()
   }
 
+  test("decimal filters prune files by manifest stats") {
+    // decimal joined the stats family in r14: bounds round-trip via
+    // toPlainString and the pushed literal coerces to BigDecimal
+    // (scale-insensitive compareTo), so money-range scans prune files
+    val sch = SchemaDsl.struct("id" -> "int64", "amt" -> "decimal(12,2)")
+    val t = GraftTable.create(spark, tmpDir() + "/tdp", sch,
+      Identity.Keys(Seq("id")),
+      TableConfig(memSliceSize = 64, walEnabled = false))
+    def bd(cents: Long) = new java.math.BigDecimal(
+      java.math.BigInteger.valueOf(cents), 2)
+    // two files with disjoint amt ranges: [1.00, 9.00] and [100.00, 900.00]
+    t.apply((1L to 9L).flatMap(i => CdcEvent.upsert(
+      Row(i, bd(i * 100L)), Seq(i), i)) :+ Commit(10L))
+    t.flush(); t.publish()
+    t.apply((101L to 109L).flatMap(i => CdcEvent.upsert(
+      Row(i, bd((i - 100L) * 10000L)), Seq(i), i)) :+ Commit(110L))
+    t.flush(); t.publish()
+    val m = t.currentManifest
+    assert(m.dataFiles.size == 2)
+    def partsFor(filters: Array[org.apache.spark.sql.sources.Filter]): Int = {
+      val sb = new GraftScanBuilder(t.root, m)
+      sb.pushFilters(filters)
+      sb.build().toBatch.planInputPartitions().length
+    }
+    assert(partsFor(Array(GreaterThan("amt", bd(5000L)))) == 1,
+      "amt > 50.00 must plan only the high-range file")
+    assert(partsFor(Array(LessThan("amt", bd(100L)))) == 0,
+      "amt < 1.00 matches nothing")
+    assert(partsFor(Array(EqualTo("amt", bd(500L)))) == 1)
+    // end-to-end with the SQL-shaped literal (Catalyst decimal literal)
+    val got = spark.read.format("graft").load(t.root)
+      .where(col("amt") > expr("CAST(50.00 AS DECIMAL(12,2))"))
+      .orderBy("id").collect()
+    assert(got.length == 9 && got.head.getLong(0) == 101L)
+    t.drop()
+  }
+
   test("DSv2 stat pruning composes with clustered compaction") {
     // ids interleave across the two ingest files, so BEFORE clustering
     // both span nearly the whole range and a range filter prunes
