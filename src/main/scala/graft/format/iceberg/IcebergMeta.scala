@@ -104,6 +104,22 @@ private[graft] object IcebergMeta {
       |   "type":{"type":"record","name":"r102","fields":[]}},
       |  {"name":"record_count","type":"long","field-id":103},
       |  {"name":"file_size_in_bytes","type":"long","field-id":104},
+      |  {"name":"value_counts","type":["null",{"type":"array","logicalType":"map",
+      |    "items":{"type":"record","name":"k119_v120","fields":[
+      |      {"name":"key","type":"int","field-id":119},
+      |      {"name":"value","type":"long","field-id":120}]}}],"field-id":109},
+      |  {"name":"null_value_counts","type":["null",{"type":"array","logicalType":"map",
+      |    "items":{"type":"record","name":"k121_v122","fields":[
+      |      {"name":"key","type":"int","field-id":121},
+      |      {"name":"value","type":"long","field-id":122}]}}],"field-id":110},
+      |  {"name":"lower_bounds","type":["null",{"type":"array","logicalType":"map",
+      |    "items":{"type":"record","name":"k126_v127","fields":[
+      |      {"name":"key","type":"int","field-id":126},
+      |      {"name":"value","type":"bytes","field-id":127}]}}],"field-id":125},
+      |  {"name":"upper_bounds","type":["null",{"type":"array","logicalType":"map",
+      |    "items":{"type":"record","name":"k129_v130","fields":[
+      |      {"name":"key","type":"int","field-id":129},
+      |      {"name":"value","type":"bytes","field-id":130}]}}],"field-id":128},
       |  {"name":"split_offsets","type":["null",{"type":"array",
       |    "items":"long","element-id":133}],"field-id":132},
       |  {"name":"sort_order_id","type":["null","int"],"field-id":140},
@@ -140,6 +156,89 @@ private[graft] object IcebergMeta {
 
   def schemaIdOf(schemaJson: String): Int =
     mapper.readTree(schemaJson).get("schema-id").asInt
+
+  // ---- per-file metrics: single-value serialization ---------------------
+  // The Iceberg spec's binary encoding for manifest bound values
+  // (Appendix D): little-endian numerics, UTF-8 strings, date = int
+  // days, timestamptz = long micros, decimal = minimal big-endian
+  // two's-complement unscaled value. The reference ships the same
+  // metrics through `iceberg/parquet_stats_utils.rs`.
+
+  /** Column-id map of a Spark schema — the SAME id seam
+   *  [[schemaJson]] writes, so manifest metric keys always match the
+   *  schema the snapshot pins. */
+  def fieldIdsOf(schema: StructType): Map[String, Int] =
+    schema.fields.zipWithIndex.map { case (f, i) =>
+      f.name -> (if (f.metadata.contains(SchemaDsl.FieldIdKey))
+        f.metadata.getLong(SchemaDsl.FieldIdKey).toInt else i + 1)
+    }.toMap
+
+  private def le(v: Long, n: Int): Array[Byte] =
+    Array.tabulate(n)(i => ((v >>> (8 * i)) & 0xff).toByte)
+  private def leRead(b: Array[Byte]): Long =
+    b.zipWithIndex.map { case (x, i) => (x.toLong & 0xff) << (8 * i) }.sum
+
+  /** Bound value -> spec bytes, from the graft stat-string encoding
+   *  (`GraftTable.statBounds`). None = no sound encoding (NaN
+   *  float/double bounds, or a type without a bound form) — the
+   *  column's bounds are simply omitted from the manifest. */
+  def boundBytes(dt: DataType, statStr: String): Option[Array[Byte]] = try {
+    import graft.table.GraftTable.parseStat
+    dt match {
+      case ShortType | IntegerType =>
+        Some(le(parseStat(dt, statStr).asInstanceOf[Number].longValue, 4))
+      case LongType => Some(le(statStr.toLong, 8))
+      case FloatType =>
+        val f = statStr.toFloat
+        if (f.isNaN) None
+        else Some(le(java.lang.Float.floatToIntBits(f).toLong, 4))
+      case DoubleType =>
+        val d = statStr.toDouble
+        if (d.isNaN) None
+        else Some(le(java.lang.Double.doubleToLongBits(d), 8))
+      case BooleanType =>
+        Some(Array[Byte](if (statStr.toBoolean) 1 else 0))
+      case StringType =>
+        Some(statStr.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      case DateType =>
+        Some(le(java.sql.Date.valueOf(statStr).toLocalDate.toEpochDay, 4))
+      case TimestampType =>
+        val ts = java.sql.Timestamp.valueOf(statStr)
+        Some(le(Math.floorDiv(ts.getTime, 1000L) * 1000000L +
+          ts.getNanos / 1000L, 8))
+      case d: DecimalType =>
+        Some(new java.math.BigDecimal(statStr).setScale(d.scale)
+          .unscaledValue.toByteArray)
+      case _ => scala.None
+    }
+  } catch { case _: Exception => scala.None }
+
+  /** Inverse: manifest bound bytes -> the graft stat-string encoding
+   *  (what `GraftTable.parseStat` reads back). */
+  def boundStat(dt: DataType, b: Array[Byte]): Option[String] = try {
+    dt match {
+      case ShortType | IntegerType => Some(leRead(b).toInt.toString)
+      case LongType => Some(leRead(b).toString)
+      case FloatType =>
+        Some(java.lang.Float.intBitsToFloat(leRead(b).toInt).toString)
+      case DoubleType =>
+        Some(java.lang.Double.longBitsToDouble(leRead(b)).toString)
+      case BooleanType => Some((b.nonEmpty && b(0) != 0).toString)
+      case StringType =>
+        Some(new String(b, java.nio.charset.StandardCharsets.UTF_8))
+      case DateType =>
+        Some(java.time.LocalDate.ofEpochDay(leRead(b).toInt.toLong).toString)
+      case TimestampType =>
+        val micros = leRead(b)
+        val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+        ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+        Some(ts.toString)
+      case d: DecimalType =>
+        Some(new java.math.BigDecimal(
+          new java.math.BigInteger(b), d.scale).toPlainString)
+      case _ => scala.None
+    }
+  } catch { case _: Exception => scala.None }
 
   def metadataJson(m: TableMetadata): String = {
     val root = mapper.createObjectNode()

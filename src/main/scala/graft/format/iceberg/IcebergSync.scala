@@ -108,9 +108,28 @@ private[graft] object IcebergSync {
       "data_file" -> dataFile)
 
     // ---- data manifest -------------------------------------------------
+    // per-file metrics (value/null counts + bounds in the spec's
+    // single-value binary, keyed by the schema's field ids) so EXTERNAL
+    // engines prune files from this export exactly like the graft scan
+    // prunes from its own manifest — the reference collects the same
+    // four maps in `iceberg/parquet_stats_utils.rs`
+    val fids = IcebergMeta.fieldIdsOf(m.schema)
+    def kvList(entries: Seq[(Int, Any)]): Any =
+      if (entries.isEmpty) null
+      else entries.sortBy(_._1)
+        .map { case (k, v) => Map[String, Any]("key" -> k, "value" -> v) }
     val dataEntries = m.dataFiles.map { f =>
       val abs = s"$root/data/${f.path}"
       val known = priorSeqOf.get(abs)
+      val counted = m.schema.fields.toSeq
+        .filter(fd => f.nullsOf(fd.name).isDefined)
+      val bounded = m.schema.fields.toSeq.flatMap { fd =>
+        f.stats.get(fd.name).filter(_.length == 2).flatMap { b =>
+          for (lo <- IcebergMeta.boundBytes(fd.dataType, b.head);
+               hi <- IcebergMeta.boundBytes(fd.dataType, b(1)))
+            yield (fids(fd.name), lo, hi)
+        }
+      }
       entry(
         if (known.isDefined) StatusExisting else StatusAdded,
         Some(known.getOrElse(seq)),
@@ -118,6 +137,12 @@ private[graft] object IcebergSync {
           "content" -> 0, "file_path" -> abs, "file_format" -> "PARQUET",
           "partition" -> Map.empty[String, Any],
           "record_count" -> f.rows, "file_size_in_bytes" -> f.bytes,
+          // value_counts = values incl. nulls = rows for flat columns
+          "value_counts" -> kvList(counted.map(fd => fids(fd.name) -> f.rows)),
+          "null_value_counts" -> kvList(counted.map(fd =>
+            fids(fd.name) -> f.nullsOf(fd.name).get)),
+          "lower_bounds" -> kvList(bounded.map(t => t._1 -> t._2)),
+          "upper_bounds" -> kvList(bounded.map(t => t._1 -> t._3)),
           "split_offsets" -> null, "sort_order_id" -> null,
           "referenced_data_file" -> null, "content_offset" -> null,
           "content_size_in_bytes" -> null))
@@ -340,9 +365,9 @@ private[graft] object IcebergSync {
    *  files from the data manifests, deletion vectors re-materialized
    *  from the puffin blobs into a GDV1 sidecar, key-index pointers from
    *  the engine-extension blobs, schema (with field ids) and LSN
-   *  watermarks from the snapshot metadata. Per-file min/max stats are
-   *  not persisted in the export and start empty (no pruning until the
-   *  next write re-collects them). Returns the committed manifest. */
+   *  watermarks from the snapshot metadata, and per-file stats (bounds
+   *  + null counts) from the manifest metrics — so pruning and
+   *  COUNT(col) survive recovery. Returns the committed manifest. */
   def importManifest(root: String): Manifest = {
     val metaPath = currentMetadataPath(root).getOrElse(
       throw new IllegalArgumentException(s"no iceberg metadata under $root"))
@@ -377,10 +402,29 @@ private[graft] object IcebergSync {
       .getOrElse(commitLsn)
     val keyCols = snap.summary.get("graft.key-cols").toSeq
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    // re-materialize per-file stats from the manifest metrics (written
+    // since r14): bounds prune and null counts power COUNT(col) /
+    // IS [NOT] NULL. exactBounds stays EMPTY on purpose — an Iceberg
+    // bound may be a truncation written by ANY engine, so it prunes
+    // but never answers MIN/MAX.
+    val importSchema = IcebergMeta.sparkSchemaOf(st.schemaJson)
+    val fieldOfId: Map[Int, org.apache.spark.sql.types.StructField] =
+      IcebergMeta.fieldIdsOf(importSchema).map { case (n, id) =>
+        id -> importSchema.fields(importSchema.fieldIndex(n)) }
     val dataEntries = st.dataFiles.map { case (path, rows) =>
       val name = rel("data", path)
+      val fm = st.fileMetrics.getOrElse(path,
+        FileMetrics(Map.empty, Map.empty, Map.empty, Map.empty))
+      val nulls = fm.nullCounts.flatMap { case (fid, n0) =>
+        fieldOfId.get(fid).map(_.name -> n0.toString) }
+      val stats = fieldOfId.flatMap { case (fid, fd) =>
+        for (lo <- fm.lower.get(fid); hi <- fm.upper.get(fid);
+             loS <- IcebergMeta.boundStat(fd.dataType, lo);
+             hiS <- IcebergMeta.boundStat(fd.dataType, hi))
+          yield fd.name -> Seq(loS, hiS)
+      }
       graft.format.DataFileEntry(name, rows, Fio.sizeOf(path), commitLsn,
-        deletesOf.getOrElse(name, 0L))
+        deletesOf.getOrElse(name, 0L), stats = stats, nullStats = nulls)
     }
     val indexEntries = st.indexFiles.map { case (idxPath, covered) =>
       graft.format.IndexFileEntry(rel("index", idxPath),
@@ -406,12 +450,20 @@ private[graft] object IcebergSync {
 
   // ---- independent read path (spec parser -> DataFrame) ----------------
 
+  /** Per-file metrics parsed from a data manifest entry (field-id
+   *  keyed, values in the spec's single-value binary). Empty maps for
+   *  manifests written before metrics existed. */
+  final case class FileMetrics(valueCounts: Map[Int, Long],
+      nullCounts: Map[Int, Long],
+      lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]])
+
   final case class IcebergState(schemaJson: String,
       dataFiles: Seq[(String, Long)],      // (path, record_count)
       dvs: Map[String, Roaring64NavigableMap], // data path -> deleted rows
       // engine extension: key-index pointers (path -> covered data
       // files) recovered from the snapshot's graft-file-index blobs
-      indexFiles: Seq[(String, Seq[String])] = Seq.empty)
+      indexFiles: Seq[(String, Seq[String])] = Seq.empty,
+      fileMetrics: Map[String, FileMetrics] = Map.empty)
 
   /** Walk metadata.json -> manifest list -> manifests -> puffin blobs,
    *  entirely through the spec parsers (no engine state). */
@@ -429,14 +481,28 @@ private[graft] object IcebergSync {
     val ml = AvroOcf.readFile(Fio.readBytes(snap.manifestList))
     val dataFiles = Seq.newBuilder[(String, Long)]
     val dvs = Map.newBuilder[String, Roaring64NavigableMap]
+    val metrics = Map.newBuilder[String, FileMetrics]
     ml.records.foreach { mf =>
       val man = AvroOcf.readFile(Fio.readBytes(mf("manifest_path").toString))
       man.records.foreach { e =>
         val df = e("data_file").asInstanceOf[Map[String, Any]]
+        // k/v-record map fields; absent (pre-metrics file) or null ->
+        // empty
+        def kvOf[T](key: String): Map[Int, T] = df.getOrElse(key, null) match {
+          case s: Seq[_] => s.map { m0 =>
+            val mm = m0.asInstanceOf[Map[String, Any]]
+            mm("key").asInstanceOf[Int] -> mm("value").asInstanceOf[T]
+          }.toMap
+          case _ => Map.empty
+        }
         df("content") match {
           case 0 =>
             dataFiles += (df("file_path").toString ->
               df("record_count").asInstanceOf[Long])
+            metrics += (df("file_path").toString -> FileMetrics(
+              kvOf[Long]("value_counts"), kvOf[Long]("null_value_counts"),
+              kvOf[Array[Byte]]("lower_bounds"),
+              kvOf[Array[Byte]]("upper_bounds")))
           case 1 =>
             require(df("file_format") == "PUFFIN",
               "v3 position deletes are puffin DVs here")
@@ -468,7 +534,8 @@ private[graft] object IcebergSync {
           node.get("path").asText -> files.result()
         }
       }
-    IcebergState(schemaJson, dataFiles.result(), dvs.result(), indexes)
+    IcebergState(schemaJson, dataFiles.result(), dvs.result(), indexes,
+      metrics.result())
   }
 
   /** Materialize the Iceberg table state as a DataFrame: scan the

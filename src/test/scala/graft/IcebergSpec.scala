@@ -280,6 +280,73 @@ class IcebergSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.format.ManifestLog.latestVersion(root).contains(m2.version))
   }
 
+  test("manifest metrics: spec-binary bounds + null counts, import re-materializes stats") {
+    // the reference ships value/null counts and lower/upper bounds into
+    // its iceberg manifests (`iceberg/parquet_stats_utils.rs`); this
+    // pins our export's single-value binary (spec Appendix D: LE
+    // numerics, UTF-8 strings, micros timestamps, minimal big-endian
+    // unscaled decimals) and that importManifest re-materializes
+    // pruning stats from them
+    val root = Files.createTempDirectory("graft-ice-metrics").toString + "/t"
+    val schema = SchemaDsl.struct("id" -> "int64", "name" -> "string",
+      "score" -> "float64", "amt" -> "decimal(12,2)", "ts" -> "timestamp")
+    val t = GraftTable.create(spark, root, schema, Identity.Keys(Seq("id")),
+      TableConfig(walEnabled = false))
+    def bd(c: Long) = new java.math.BigDecimal(
+      java.math.BigInteger.valueOf(c), 2)
+    t.apply((1L to 9L).flatMap(i => CdcEvent.upsert(Row(i,
+      if (i == 4) null else s"n$i", i * 1.5, bd(i * 125L),
+      java.sql.Timestamp.valueOf(f"2025-01-01 00:00:00.00000$i%d")),
+      Seq(i), i)) :+ Commit(10L))
+    t.flush(); t.publish()
+    val r = IcebergSync.sync(root, t.currentManifest, nowMs = 1700000000000L)
+    val st = IcebergSync.readState(r.metadataPath)
+    assert(st.dataFiles.size == 1)
+    val fm = st.fileMetrics(st.dataFiles.head._1)
+    val fids = IcebergMeta.fieldIdsOf(t.currentManifest.schema)
+    assert(fm.valueCounts(fids("id")) == 9L)
+    assert(fm.valueCounts(fids("name")) == 9L) // values INCLUDING nulls
+    assert(fm.nullCounts(fids("name")) == 1L &&
+      fm.nullCounts(fids("id")) == 0L)
+    // spec byte patterns: long 1/9 little-endian; decimal minimal
+    // big-endian unscaled (125 = 0x7d); strings raw UTF-8
+    assert(hex(fm.lower(fids("id"))) == "0100000000000000")
+    assert(hex(fm.upper(fids("id"))) == "0900000000000000")
+    assert(hex(fm.lower(fids("amt"))) == "7d")
+    assert(new String(fm.lower(fids("name")),
+      java.nio.charset.StandardCharsets.UTF_8) == "n1")
+    assert(new String(fm.upper(fids("name")),
+      java.nio.charset.StandardCharsets.UTF_8) == "n9")
+    // timestamp bound = micros LE: 2025-01-01T00:00:00.000001Z
+    val micros = java.sql.Timestamp.valueOf("2025-01-01 00:00:00.000001")
+    assert(IcebergMeta.boundStat(
+      org.apache.spark.sql.types.TimestampType, fm.lower(fids("ts")))
+      .contains(micros.toString))
+    // disaster import: pruning stats + null counts re-materialize
+    graft.format.Fio.delete(s"$root/manifest")
+    graft.format.Fio.delete(s"$root/dv")
+    val m = IcebergSync.importManifest(root)
+    val e = m.dataFiles.head
+    assert(e.nullsOf("name").contains(1L) && e.nullsOf("id").contains(0L))
+    assert(e.stats("id") == Seq("1", "9"))
+    assert(e.stats("amt") == Seq("1.25", "11.25"))
+    assert(e.stats("score") == Seq("1.5", "13.5"))
+    assert(e.stats("name") == Seq("n1", "n9"))
+    assert(e.stats("ts").head == "2025-01-01 00:00:00.000001")
+    // iceberg bounds may be truncations (any writer): they prune but
+    // must never ANSWER MIN/MAX — the exactness marker stays off
+    assert(e.exactBounds.isEmpty)
+    // and the recovered stats actually prune: a range outside the file
+    // plans zero partitions through the DSv2 scan
+    val t2 = GraftTable.open(spark, root, Identity.Keys(Seq("id")),
+      TableConfig(walEnabled = false))
+    assert(t2.prunedRead("id", Some(100L), scala.None).count() == 0L)
+    assert(t2.prunedRead("amt",
+      Some(new java.math.BigDecimal("50.00")), scala.None).count() == 0L)
+    // file-level pruning: a range overlapping the file keeps it whole
+    assert(t2.prunedRead("id", Some(5L), scala.None).count() == 9L)
+  }
+
   test("sync crash before the pointer swing: retry publishes the fresh state") {
     // a sync that wrote its whole artifact set but died before the
     // version-hint swing leaves a complete ORPHAN closure at the same
