@@ -19,7 +19,8 @@ import java.nio.charset.StandardCharsets
  *    version 0 carries `protocol` (minReader 1 / minWriter 2) and
  *    `metaData` (uuid, parquet format, Spark-JSON schemaString,
  *    unpartitioned); later versions carry `add`/`remove` diffs with
- *    `dataChange:true` and per-file `stats` (numRecords).
+ *    `dataChange:true` and per-file `stats` (numRecords + typed
+ *    minValues/maxValues/nullCount, so Delta readers file-skip).
  *  - state reconstruction: replay all commit JSONs in version order;
  *    live files = adds minus removes by path (checkpoints are an
  *    optional optimization the spec lets readers live without).
@@ -43,7 +44,10 @@ private[graft] object DeltaLog {
     Fio.list(logDir(root)).filter(_.endsWith(".json"))
       .flatMap(n => n.stripSuffix(".json").toLongOption).sorted
 
-  final case class DeltaFile(path: String, size: Long, numRecords: Long)
+  /** `stats` keeps the RAW per-file stats JSON so checkpoints carry
+   *  the full skipping metadata through, not just numRecords. */
+  final case class DeltaFile(path: String, size: Long, numRecords: Long,
+      stats: String = null)
   final case class DeltaState(version: Long, schemaString: String,
       files: Seq[DeltaFile])
 
@@ -61,13 +65,13 @@ private[graft] object DeltaLog {
           schema = n.get("metaData").get("schemaString").asText
         if (n.hasNonNull("add")) {
           val a = n.get("add")
-          val stats =
-            if (a.hasNonNull("stats")) mapper.readTree(a.get("stats").asText)
-            else null
+          val raw = if (a.hasNonNull("stats")) a.get("stats").asText else null
+          val stats = if (raw == null) null else mapper.readTree(raw)
           live(a.get("path").asText) = DeltaFile(a.get("path").asText,
             a.get("size").asLong,
             if (stats != null && stats.hasNonNull("numRecords"))
-              stats.get("numRecords").asLong else -1L)
+              stats.get("numRecords").asLong else -1L,
+            raw)
         }
         if (n.hasNonNull("remove"))
           live.remove(n.get("remove").get("path").asText)
@@ -75,6 +79,48 @@ private[graft] object DeltaLog {
     }
     require(schema != null, "delta log misses metaData")
     DeltaState(vs.last, schema, live.values.toSeq)
+  }
+
+  /** Full per-file `stats` JSON for an add action (the Delta
+   *  protocol's file-skipping metadata; the reference collects the
+   *  same through `deltalake/stats.rs`): numRecords + typed
+   *  minValues / maxValues / nullCount per top-level column, derived
+   *  from the manifest's stat strings. Bounds follow the same
+   *  conservative contract the manifest does (string min may be a
+   *  prefix ≤ the true min, string max a lifted bound ≥ the true max —
+   *  exactly what Delta skipping needs). NaN float/double bounds are
+   *  omitted. */
+  private def statsJson(schema: org.apache.spark.sql.types.StructType,
+      f: graft.format.DataFileEntry): String = {
+    import org.apache.spark.sql.types._
+    val o = mapper.createObjectNode()
+    o.put("numRecords", f.rows)
+    val mins = o.putObject("minValues")
+    val maxs = o.putObject("maxValues")
+    val nulls = o.putObject("nullCount")
+    def put(node: com.fasterxml.jackson.databind.node.ObjectNode,
+        fd: StructField, s: String): Unit = fd.dataType match {
+      case LongType => node.put(fd.name, s.toLong)
+      case IntegerType | ShortType => node.put(fd.name, s.toInt)
+      case DoubleType => val d = s.toDouble
+        if (!d.isNaN) node.put(fd.name, d)
+      case FloatType => val fl = s.toFloat
+        if (!fl.isNaN) node.put(fd.name, fl)
+      case BooleanType => node.put(fd.name, s.toBoolean)
+      case StringType | DateType => node.put(fd.name, s)
+      case TimestampType => // ISO-8601 UTC instant, micros preserved
+        node.put(fd.name,
+          java.sql.Timestamp.valueOf(s).toInstant.toString)
+      case _: DecimalType => node.put(fd.name, new java.math.BigDecimal(s))
+      case _ => ()
+    }
+    schema.fields.foreach { fd =>
+      f.nullsOf(fd.name).foreach(n => nulls.put(fd.name, n))
+      f.stats.get(fd.name).filter(_.length == 2).foreach { b =>
+        put(mins, fd, b.head); put(maxs, fd, b(1))
+      }
+    }
+    mapper.writeValueAsString(o)
   }
 
   /** True when any log state exists — JSON commits OR a checkpoint
@@ -161,7 +207,7 @@ private[graft] object DeltaLog {
       a.put("size", f.bytes)
       a.put("modificationTime", nowMs)
       a.put("dataChange", true)
-      a.put("stats", s"""{"numRecords":${f.rows}}""")
+      a.put("stats", statsJson(m.schema, f))
       line(aw)
     }
     removes.foreach { p =>
@@ -249,7 +295,10 @@ private[graft] object DeltaLog {
         0L), null) +:
       st.files.map(f => Row(null, null,
         Row(f.path, Map.empty[String, String], f.size, 0L, false,
-          s"""{"numRecords":${f.numRecords}}""")))
+          // the RAW stats carry through so checkpointing never degrades
+          // file skipping to numRecords-only
+          if (f.stats != null) f.stats
+          else s"""{"numRecords":${f.numRecords}}""")))
     val tmp = s"${logDir(root)}/.ckpt-${java.util.UUID.randomUUID()}"
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), rowT)
@@ -284,7 +333,8 @@ private[graft] object DeltaLog {
         val stats = a.getString(5)
         val n = if (stats == null) -1L
           else mapper.readTree(stats).get("numRecords").asLong
-        live(a.getString(0)) = DeltaFile(a.getString(0), a.getLong(2), n)
+        live(a.getString(0)) = DeltaFile(a.getString(0), a.getLong(2), n,
+          stats)
       }
     }
     // JSON tail after the checkpoint
@@ -298,12 +348,13 @@ private[graft] object DeltaLog {
           schema = n.get("metaData").get("schemaString").asText
         if (n.hasNonNull("add")) {
           val a = n.get("add")
-          val stats = if (a.hasNonNull("stats"))
-            mapper.readTree(a.get("stats").asText) else null
+          val raw = if (a.hasNonNull("stats")) a.get("stats").asText else null
+          val stats = if (raw == null) null else mapper.readTree(raw)
           live(a.get("path").asText) = DeltaFile(a.get("path").asText,
             a.get("size").asLong,
             if (stats != null && stats.hasNonNull("numRecords"))
-              stats.get("numRecords").asLong else -1L)
+              stats.get("numRecords").asLong else -1L,
+            raw)
         }
         if (n.hasNonNull("remove"))
           live.remove(n.get("remove").get("path").asText)

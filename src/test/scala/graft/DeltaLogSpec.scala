@@ -73,6 +73,50 @@ class DeltaLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(st.files.map(_.numRecords).sum == 49L)
   }
 
+  test("add actions carry typed file-skipping stats; checkpoints keep them") {
+    // the Delta protocol's per-file stats (numRecords + minValues /
+    // maxValues / nullCount — the reference's `deltalake/stats.rs`):
+    // typed JSON per column, derived from the manifest stat strings
+    val sch = SchemaDsl.struct("id" -> "int64", "name" -> "string",
+      "amt" -> "decimal(12,2)")
+    val root = Files.createTempDirectory("graft-delta-stats").toString + "/t"
+    val t = GraftTable.create(spark, root, sch, Identity.Keys(Seq("id")),
+      TableConfig(walEnabled = false))
+    def bd(c: Long) = new java.math.BigDecimal(
+      java.math.BigInteger.valueOf(c), 2)
+    t.apply((1L to 9L).flatMap(i => CdcEvent.upsert(
+      Row(i, if (i == 4) null else s"n$i", bd(i * 125L)), Seq(i), i))
+      :+ Commit(10L))
+    t.flush(); t.publish()
+    assert(DeltaLog.sync(root, t.currentManifest, nowMs = 1700000000000L) == 0L)
+    val body = graft.format.Fio.readString(
+      s"$root/_delta_log/00000000000000000000.json")
+    val addLine = body.split('\n').find(_.contains("\"add\"")).get
+    val stats = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(addLine).get("add").get("stats").asText)
+    assert(stats.get("numRecords").asLong == 9L)
+    assert(stats.get("minValues").get("id").asLong == 1L &&
+      stats.get("maxValues").get("id").asLong == 9L)
+    assert(stats.get("minValues").get("name").asText == "n1" &&
+      stats.get("maxValues").get("name").asText == "n9")
+    // decimals are JSON numbers with the column scale
+    assert(stats.get("minValues").get("amt").decimalValue()
+      .compareTo(new java.math.BigDecimal("1.25")) == 0)
+    assert(stats.get("nullCount").get("name").asLong == 1L &&
+      stats.get("nullCount").get("id").asLong == 0L)
+    // a checkpoint carries the RAW stats through (never degrades the
+    // skipping metadata to numRecords-only)
+    DeltaLog.checkpoint(spark, root)
+    DeltaLog.expireLog(root)
+    val st = DeltaLog.readStateFromCheckpoint(spark, root)
+    val fstats = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(st.files.head.stats)
+    assert(fstats.get("maxValues").get("name").asText == "n9",
+      "checkpointed add must keep full stats")
+    assert(DeltaLog.readDataFrame(spark, root).count() == 9L)
+  }
+
   test("version claiming is put-if-absent (optimistic concurrency)") {
     val root = Files.createTempDirectory("graft-delta2").toString + "/t"
     val t = GraftTable.create(spark, root, schema, Identity.Keys(Seq("id")),
