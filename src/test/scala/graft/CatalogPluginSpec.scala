@@ -206,6 +206,50 @@ class CatalogPluginSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(vs.count(_ > beforeLsn) == 1)
   }
 
+  test("SQL UPDATE/MERGE over decimal columns stage exactly; pushed SUM agrees") {
+    // decimals thread the whole row-level pipeline: the executor-side
+    // JSONL staging (WAL codec), the fold, the per-file exact decimal
+    // sums, and — after refresh_stats — the pushed SUM over the result
+    val (cname, wh) = freshCatalog()
+    val cat = GraftCatalog(spark, wh)
+    val t = cat.createTable("dec",
+      SchemaDsl.struct("id" -> "int64", "amt" -> "decimal(12,2)"),
+      Identity.Keys(Seq("id")))
+    def bd(c: Long) = new java.math.BigDecimal(
+      java.math.BigInteger.valueOf(c), 2)
+    t.upsertAll((1L to 6L).map(i => Row(i, bd(i * 150L))), startLsn = 1)
+    t.flush(); t.publish()
+    // UPDATE with decimal arithmetic: exact on both write and read
+    spark.sql(s"UPDATE $cname.graft.dec SET amt = amt * 2 WHERE id <= 2")
+    val got = spark.sql(
+      s"SELECT id, CAST(amt AS STRING) a FROM $cname.graft.dec ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq(1L -> "3.00", 2L -> "6.00", 3L -> "4.50",
+      4L -> "6.00", 5L -> "7.50", 6L -> "9.00"), got.toString)
+    // MERGE mixes update/delete/insert with decimal values in one commit
+    import spark.implicits._
+    Seq((5L, "100.25"), (6L, ""), (7L, "7.77")).toDF("id", "a")
+      .selectExpr("id", "CAST(nullif(a, '') AS DECIMAL(12,2)) AS amt")
+      .createOrReplaceTempView("dec_src")
+    spark.sql(
+      s"""MERGE INTO $cname.graft.dec t USING dec_src s ON t.id = s.id
+         |WHEN MATCHED AND s.amt IS NULL THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET t.amt = s.amt
+         |WHEN NOT MATCHED THEN INSERT (id, amt) VALUES (s.id, s.amt)
+         |""".stripMargin)
+    val want = Seq("3.00", "6.00", "4.50", "6.00", "100.25", "7.77")
+      .map(new java.math.BigDecimal(_))
+      .foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+    // refresh folds the update/merge DVs; SUM pushes and equals exactly
+    spark.sql(s"CALL $cname.system.refresh_stats('graft', 'dec')")
+    val q = spark.read.format("graft").load(s"$wh/dec")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("amt")))
+    assert(q.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+      "post-merge refreshed decimal SUM must push")
+    assert(q.head().getDecimal(0).compareTo(want) == 0)
+  }
+
   test("metadata tables resolve as t$history and t$files") {
     val (cname, wh) = freshCatalog()
     val cat = GraftCatalog(spark, wh)
