@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the sf10 bench section (32 local task threads over a
+  // 27M-pair LSH shuffle) sits right at the 8g margin — one late-suite
+  // run OOM'd the whole artifact at 8g while an identical earlier run
+  // passed. The host has 128 GiB; tests use a fraction of this.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
