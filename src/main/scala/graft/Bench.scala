@@ -154,6 +154,10 @@ object Bench {
       var (sec, n) =
         if (first._2 >= 0 && warmTwice(name)) { spark.catalog.clearCache(); once() }
         else first
+      // what the guard would have recorded had it not engaged — for
+      // warm-twice entries that is the WARM pass, not the cold first run
+      // (whose one-time setup cost would overstate the suppressed value)
+      val preRetry = sec
       // outlier re-run vs the prior recorded value (see priorTimes)
       val prior = priorTimes.get(name).filter(_ > 0)
       var retries = 0
@@ -163,7 +167,7 @@ object Bench {
         val again = once()
         if (again._2 >= 0 && again._1 < sec) sec = again._1
         retries += 1
-        firstRuns(name) = first._1
+        firstRuns(name) = preRetry
         System.err.println(
           f"[bench] $name%-22s retry $retries -> $sec%8.2fs (prior ${prior.get}%.2fs)")
         if (prior.exists(p => sec <= p * 1.5)) retries = 2

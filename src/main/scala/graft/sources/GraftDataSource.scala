@@ -958,17 +958,34 @@ private[sources] object GraftAggScan {
     val cap = new java.math.BigDecimal(
       BigInt(10).pow(bufPrec).bigInteger
         .subtract(java.math.BigInteger.ONE), d.scale)
+    boundsProof(manifest, c, cap) { b =>
+      new java.math.BigDecimal(b.head).abs
+        .max(new java.math.BigDecimal(b(1)).abs)
+    }
+  }
+
+  /** Shared per-file skeleton of both overflow proofs (integral and
+   *  decimal — they differ only in how a stored bound parses to its
+   *  absolute magnitude, and BigDecimal arithmetic is exact for both):
+   *  a fully-deleted file with current accounting — or one with zero
+   *  non-null rows — contributes zero; otherwise the contribution is
+   *  non-null rows × maxAbs(bounds), unprovable (None) when bounds or
+   *  null counts are missing, which declines without throwing. */
+  private def boundsProof(manifest: Manifest, c: String,
+      cap: java.math.BigDecimal)(
+      maxAbs: Seq[String] => java.math.BigDecimal): Boolean = {
     val caps = manifest.dataFiles.map { e =>
+      // a fully-deleted file with CURRENT accounting contributes zero
+      // live rows — its (legitimately absent) refreshed bounds must not
+      // disarm the proof for the whole table
       if (e.rows == e.deletes && e.dvStatsCurrent)
-        Some(java.math.BigDecimal.ZERO) // zero live rows contribute zero
+        Some(java.math.BigDecimal.ZERO)
       else e.nullsOf(c).flatMap { nulls =>
         val nonNull = e.rows - nulls
         if (nonNull == 0L) Some(java.math.BigDecimal.ZERO)
-        else e.stats.get(c).filter(_.length == 2).map { b =>
-          val mn = new java.math.BigDecimal(b.head).abs
-          val mx = new java.math.BigDecimal(b(1)).abs
-          mn.max(mx).multiply(java.math.BigDecimal.valueOf(nonNull))
-        }
+        else e.stats.get(c).filter(_.length == 2).map(b =>
+          maxAbs(b).multiply(java.math.BigDecimal.valueOf(nonNull)))
+        // a bound-less non-empty file makes overflow unprovable
       }
     }
     caps.forall(_.isDefined) &&
@@ -1000,26 +1017,15 @@ private[sources] object GraftAggScan {
    *  has checked presence) — makes the claim unprovable, never an
    *  exception: planning must decline, not throw. */
   private def boundsWithin(manifest: Manifest, c: String,
-      fd: StructField, cap: BigInt): Boolean = {
-    val caps = manifest.dataFiles.map { e =>
-      // a fully-deleted file with CURRENT accounting contributes zero
-      // live rows — its (legitimately absent) refreshed bounds must not
-      // disarm the proof for the whole table
-      if (e.rows == e.deletes && e.dvStatsCurrent) Some(BigInt(0))
-      else e.nullsOf(c).flatMap { nulls =>
-        val nonNull = e.rows - nulls
-        if (nonNull == 0L) Some(BigInt(0))
-        else e.stats.get(c).filter(_.length == 2).map { b =>
-          val mn = BigInt(GraftTable.parseStat(fd.dataType, b.head)
-            .asInstanceOf[Number].longValue)
-          val mx = BigInt(GraftTable.parseStat(fd.dataType, b(1))
-            .asInstanceOf[Number].longValue)
-          BigInt(nonNull) * mn.abs.max(mx.abs)
-        } // a bound-less non-empty file makes overflow unprovable
-      }
+      fd: StructField, cap: BigInt): Boolean =
+    boundsProof(manifest, c, new java.math.BigDecimal(cap.bigInteger)) { b =>
+      val mn = GraftTable.parseStat(fd.dataType, b.head)
+        .asInstanceOf[Number].longValue
+      val mx = GraftTable.parseStat(fd.dataType, b(1))
+        .asInstanceOf[Number].longValue
+      java.math.BigDecimal.valueOf(mn).abs
+        .max(java.math.BigDecimal.valueOf(mx).abs)
     }
-    caps.forall(_.isDefined) && caps.flatten.sum <= cap
-  }
 
   /** Global (no GROUP BY) COUNT(*)/COUNT(col)/MIN/MAX/SUM/AVG only.
    *  MIN/MAX need per-file (min,max) bounds that describe the LIVE

@@ -846,20 +846,7 @@ final class GraftTable private (
     val partStats = precomputedStats
       .orElse(fusedAcc.map(acc => acc.value.map {
         case (pid, (n, mins, maxs, nulls, sums)) =>
-          val be = statFields.zipWithIndex.map { case ((f, _), j) =>
-            (f, if (mins(j) == null) (Seq.empty[String], false)
-                else statBoundsExact(f.dataType, mins(j), maxs(j)))
-          }
-          val stats = be.map { case (f, (b, _)) => f.name -> b }.toMap
-          val exact = be.collect { case (f, (b, true))
-            if f.dataType.isInstanceOf[StringType] && b.nonEmpty => f.name }
-          val ns = statFields.zipWithIndex.map { case ((f, _), j) =>
-            f.name -> nulls(j).toString
-          }.toMap
-          val sm = statFields.zipWithIndex.collect {
-            case ((f, _), j) if sums(j) != null => f.name -> sums(j)
-          }.toMap
-          pid -> PartFileStats(n, stats, ns, sm, exact)
+          pid -> partFileStats(statFields, n, mins, maxs, nulls, sums)
       }))
       .getOrElse(prof("  stats pass")(
         collectPartitionStats(survivors, statFields)))
@@ -909,18 +896,7 @@ final class GraftTable private (
       Iterator.single((pid, n, mins.toSeq, maxs.toSeq, nulls.toSeq,
         sums.toSeq.map(s => if (s == null) null else s.render)))
     }.collect().map { case (pid, n, mins, maxs, nulls, sums) =>
-      val be = statFields.zipWithIndex.map { case ((f, _), j) =>
-        (f, if (mins(j) == null) (Seq.empty[String], false)
-            else statBoundsExact(f.dataType, mins(j), maxs(j)))
-      }
-      val stats = be.map { case (f, (b, _)) => f.name -> b }.toMap
-      val exact = be.collect { case (f, (b, true))
-        if f.dataType.isInstanceOf[StringType] && b.nonEmpty => f.name }
-      val ns = statFields.zipWithIndex.map { case ((f, _), j) =>
-        f.name -> nulls(j).toString }.toMap
-      val sm = statFields.zipWithIndex.collect {
-        case ((f, _), j) if sums(j) != null => f.name -> sums(j) }.toMap
-      pid -> PartFileStats(n, stats, ns, sm, exact)
+      pid -> partFileStats(statFields, n, mins, maxs, nulls, sums)
     }.toMap
   }
 
@@ -969,18 +945,7 @@ final class GraftTable private (
           sums.toSeq.map(s => if (s == null) null else s.render), dels.toSeq))
     }.collect()
     val stats = raw.map { case (pid, n, mins, maxs, nulls, sums, _) =>
-      val be = statFields.zipWithIndex.map { case ((f, _), j) =>
-        (f, if (mins(j) == null) (Seq.empty[String], false)
-            else statBoundsExact(f.dataType, mins(j), maxs(j)))
-      }
-      val m = be.map { case (f, (b, _)) => f.name -> b }.toMap
-      val exact = be.collect { case (f, (b, true))
-        if f.dataType.isInstanceOf[StringType] && b.nonEmpty => f.name }
-      val ns = statFields.zipWithIndex.map { case ((f, _), j) =>
-        f.name -> nulls(j).toString }.toMap
-      val sm = statFields.zipWithIndex.collect {
-        case ((f, _), j) if sums(j) != null => f.name -> sums(j) }.toMap
-      pid -> PartFileStats(n, m, ns, sm, exact)
+      pid -> partFileStats(statFields, n, mins, maxs, nulls, sums)
     }.toMap
     (stats, raw.toSeq.flatMap(_._7))
   }
@@ -2221,15 +2186,10 @@ final class GraftTable private (
           }.toMap
         rows.map { r =>
             val n = r.getLong(r.fieldIndex("_n"))
-            val be = statFields.map { f =>
-              val mn = r.get(r.fieldIndex(s"_mn_${f.name}"))
-              val mx = r.get(r.fieldIndex(s"_mx_${f.name}"))
-              (f, if (mn == null) (Seq.empty[String], false)
-                  else statBoundsExact(f.dataType, mn, mx))
-            }
-            val stats = be.map { case (f, (b, _)) => f.name -> b }.toMap
-            val exact = be.collect { case (f, (b, true))
-              if f.dataType.isInstanceOf[StringType] && b.nonEmpty => f.name }
+            val (stats, exact) = boundsAndExact(statFields.map { f =>
+              (f, r.get(r.fieldIndex(s"_mn_${f.name}")),
+                r.get(r.fieldIndex(s"_mx_${f.name}")))
+            })
             val nulls = statFields.map { f =>
               f.name -> (n - r.getLong(r.fieldIndex(s"_nn_${f.name}"))).toString
             }.toMap
@@ -2591,15 +2551,10 @@ final class GraftTable private (
                       else r.getDecimal(i).toPlainString)
         }
       }.toMap
-      val liveBE = statF.map { sf =>
-        val mn = r.get(r.fieldIndex(s"_lmn_${sf.name}"))
-        val mx = r.get(r.fieldIndex(s"_lmx_${sf.name}"))
-        (sf, if (mn == null) (Seq.empty[String], false)
-             else statBoundsExact(sf.dataType, mn, mx))
-      }
-      val liveBounds = liveBE.map { case (sf, (b, _)) => sf.name -> b }.toMap
-      val liveExact = liveBE.collect { case (sf, (b, true))
-        if sf.dataType.isInstanceOf[StringType] && b.nonEmpty => sf.name }
+      val (liveBounds, liveExact) = boundsAndExact(statF.map { sf =>
+        (sf, r.get(r.fieldIndex(s"_lmn_${sf.name}")),
+          r.get(r.fieldIndex(s"_lmx_${sf.name}")))
+      })
       // dvAccounted = masked rows actually read; if that ever disagrees
       // with `deletes` the entry stays non-current and keeps declining
       fileEntries(f) = fileEntries(f).copy(dvAccounted = n,
@@ -2716,7 +2671,7 @@ final class GraftTable private (
       val e = fileEntries(k)
       if (cols.exists(c => e.stats.contains(c) || e.nullStats.contains(c) ||
           e.sumStats.contains(c) || e.dvNullStats.contains(c) ||
-          e.dvSumStats.contains(c) || e.exactBounds.exists(cols)))
+          e.dvSumStats.contains(c)) || e.exactBounds.exists(cols))
         fileEntries(k) = e.copy(stats = e.stats -- cols,
           nullStats = e.nullStats -- cols, sumStats = e.sumStats -- cols,
           dvNullStats = e.dvNullStats -- cols,
@@ -3470,6 +3425,40 @@ object GraftTable {
         toJavaBD(mx).toPlainString), true)
       case _ => (Seq(mn.toString, mx.toString), true)
     }
+
+  /** Project (field, raw min, raw max) triples into the manifest
+   *  bounds map plus the string-exactness marker — the SINGLE place
+   *  the exactness criterion (string column, ≤32 code points both
+   *  ends, non-empty bounds) is applied, so every stat-writing path
+   *  marks identically. A null min (all-NULL or empty partition)
+   *  yields no bounds. */
+  private[graft] def boundsAndExact(
+      fieldBounds: Seq[(StructField, Any, Any)])
+      : (Map[String, Seq[String]], Seq[String]) = {
+    val be = fieldBounds.map { case (f, mn, mx) =>
+      (f, if (mn == null) (Seq.empty[String], false)
+          else statBoundsExact(f.dataType, mn, mx))
+    }
+    (be.map { case (f, (b, _)) => f.name -> b }.toMap,
+      be.collect { case (f, (b, true))
+        if f.dataType.isInstanceOf[StringType] && b.nonEmpty => f.name })
+  }
+
+  /** Fold one partition's raw stat arrays (indexed like `statFields`)
+   *  into [[PartFileStats]] — shared by the fused-accumulator
+   *  read-back, the standalone stats pass and the fold-output
+   *  collect. */
+  private[graft] def partFileStats(statFields: Seq[(StructField, Int)],
+      n: Long, mins: Seq[Any], maxs: Seq[Any], nulls: Seq[Long],
+      sums: Seq[String]): PartFileStats = {
+    val (stats, exact) = boundsAndExact(statFields.zipWithIndex.map {
+      case ((f, _), j) => (f, mins(j), maxs(j)) })
+    val ns = statFields.zipWithIndex.map { case ((f, _), j) =>
+      f.name -> nulls(j).toString }.toMap
+    val sm = statFields.zipWithIndex.collect {
+      case ((f, _), j) if sums(j) != null => f.name -> sums(j) }.toMap
+    PartFileStats(n, stats, ns, sm, exact)
+  }
 
   private[graft] def statsComparable(dt: DataType): Boolean = dt match {
     case _: IntegerType | _: LongType | _: ShortType | _: DoubleType |
