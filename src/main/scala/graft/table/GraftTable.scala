@@ -69,6 +69,19 @@ final case class TableConfig(
      *  bound the log itself with [[GraftTable.expireVersions]]
      *  (Iceberg expire-snapshots / retention semantics). */
     retainVersions: Int = 1,
+    /** maintenance: bound the manifest version log itself — the
+     *  periodic tick expires down to this many latest versions once
+     *  the log exceeds it. Every commit adds a vN.json and nothing
+     *  else retires them: at one commit per 1-second micro-batch a
+     *  deployed daemon accumulates ~86k manifest documents per day per
+     *  table, and versions beyond vacuum's `retainVersions` horizon
+     *  are generally not re-materializable anyway (their exclusive
+     *  files are reclaimed), so keeping their metadata forever is pure
+     *  directory growth. Expiry forgets ONLY metadata (never races a
+     *  pinned reader); the synced Iceberg export ages with the same
+     *  horizon. 0 disables auto-expiry (explicit [[expireVersions]] /
+     *  `CALL system.expire_snapshots` only). */
+    expireKeepVersions: Int = 1024,
     /** open()-time orphan sweep only reclaims debris OLDER than this
      *  (crash leftovers), so it can never race a LIVE concurrent
      *  writer — a streaming sink's tmp staging or another writer's
@@ -2602,6 +2615,12 @@ final class GraftTable private (
     if (identity != Identity.None &&
         indexFiles.size >= config.indexMergeFileCountThreshold)
       changed |= mergeIndexes() // publishes internally
+    // bound the manifest log itself (after the sub-ops above have
+    // published whatever versions they mint): metadata-only, so it
+    // neither rewrites files nor races pinned readers
+    if (config.expireKeepVersions > 0 &&
+        ManifestLog.versions(root).size > config.expireKeepVersions)
+      changed |= expireVersions(config.expireKeepVersions) > 0
     if (changed) vacuum()
     changed
   }

@@ -164,6 +164,44 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { t.expireVersions(0) }
   }
 
+  test("maintenance tick bounds the manifest version log") {
+    val cat = mkCatalog()
+    val t = cat.createTable("t", schema, Identity.Keys(Seq("id")),
+      TableConfig(memSliceSize = 2, walEnabled = false,
+        compactSmallFileRows = 1000, compactFileCountThreshold = 4,
+        expireKeepVersions = 5))
+    // 12 one-row commits: 12 small files, 12+ manifest versions — the
+    // continuous-ingest shape that grows the log one vN.json per commit
+    (0 until 12).foreach { i =>
+      t.insertAll(Seq(Row(i.toLong, i * 10L)), startLsn = i * 2L + 1)
+      t.flush(); t.publish()
+    }
+    assert(graft.format.ManifestLog.versions(t.root).size > 5)
+    assert(new MaintenanceDaemon(cat).maintenanceTick() == Seq("t"))
+    // the tick paid the compaction debt AND bounded the log
+    val kept = graft.format.ManifestLog.versions(t.root)
+    assert(kept.size <= 5,
+      s"expireKeepVersions=5 must bound the log, got ${kept.size}")
+    assert(kept.max == t.currentManifest.version)
+    assert(t.read().count() == 12)
+    // a table at steady state (compacted, log within bounds) is idle
+    assert(new MaintenanceDaemon(cat).maintenanceTick().isEmpty)
+    assert(graft.format.ManifestLog.versions(t.root) == kept)
+    // expiry is metadata-only: with expiry DISABLED (0) nothing retires
+    val u = cat.createTable("u", schema, Identity.Keys(Seq("id")),
+      TableConfig(memSliceSize = 2, walEnabled = false,
+        compactSmallFileRows = 1000, compactFileCountThreshold = 4,
+        expireKeepVersions = 0))
+    (0 until 8).foreach { i =>
+      u.insertAll(Seq(Row(i.toLong, i * 10L)), startLsn = i * 2L + 1)
+      u.flush(); u.publish()
+    }
+    val before = graft.format.ManifestLog.versions(u.root).size
+    new MaintenanceDaemon(cat).maintenanceTick()
+    // compaction may add a version, but none may be expired
+    assert(graft.format.ManifestLog.versions(u.root).size >= before)
+  }
+
   test("started daemon ticks on its own schedule until stopped") {
     val cat = mkCatalog()
     val t = cat.createTable("t", schema, Identity.Keys(Seq("id")), tailOnlyCfg)
