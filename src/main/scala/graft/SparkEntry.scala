@@ -2566,6 +2566,88 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "cdc_pg_mirror" -> ((s, d) => {
+      // S2 end to end over the wire, behind the reference's REST verb
+      // (`rest_api.rs:410-413` POST /tables/{t}/from_postgres,
+      // `clients/postgres.rs`): schema fetched via the catalog query,
+      // CREATE_REPLICATION_SLOT .. USE_SNAPSHOT pins the boundary,
+      // COPY streams the snapshot inside that slot's transaction, and
+      // CDC catch-up STARTS AT the consistent point — so the final
+      // state equals the plain last-event-per-user fold regardless of
+      // where the snapshot/stream split lands. A scripted primary
+      // serves the whole dialogue over one real TCP connection.
+      import graft.sources.{PgMockPrimary, PgOutput}
+      val all = events(s, d).where(col("user_id") % 20 === 11)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+        .orderBy("event_id").collect()
+      val (half, rest) = all.splitAt(all.length / 2)
+      // the source table's state at the boundary = fold of the first half
+      val snapshot = half.groupBy(_.getLong(0)).values
+        .map(_.maxBy(_.getLong(1))).toSeq.sortBy(_.getLong(0))
+      def vals(r: org.apache.spark.sql.Row): Seq[Option[String]] = Seq(
+        Some(r.getLong(0).toString), Some(r.getLong(1).toString),
+        Option(r.getString(2)), Option(r.get(3)).map(_.toString))
+      val columns = Seq(
+        graft.sources.PgColumn("user_id", 20, -1, notNull = true, primary = true),
+        graft.sources.PgColumn("event_id", 20, -1, notNull = false, primary = false),
+        graft.sources.PgColumn("event_type", 25, -1, notNull = false, primary = false),
+        graft.sources.PgColumn("value", 701, -1, notNull = false, primary = false))
+      var done = 0L
+      val frames =
+        Seq(PgOutput.encodeRelation(11, "public", "mirror_src",
+          Seq("user_id" -> 20, "event_id" -> 20,
+            "event_type" -> 25, "value" -> 701))) ++
+        rest.grouped(math.max(1, rest.length / 4 + 1)).zipWithIndex.flatMap {
+          case (chunk, i) =>
+            done += chunk.length
+            Seq(PgOutput.encodeBegin(1000L + done, 300L + i)) ++
+            chunk.map(r => PgOutput.encodeUpdate(11, vals(r))) ++
+            Seq(PgOutput.encodeCommit(1000L + done, 1001L + done))
+        }
+      val cat = graft.table.GraftCatalog(s, freshDir("pgmirror-wh"))
+      val srv = graft.sources.RestServer.start(cat)
+      try {
+        val primary = new PgMockPrimary(columns, snapshot.map(vals),
+          consistentPoint = 1000L, frames = frames.toSeq).start()
+        val conn = java.net.URI.create(
+          s"${srv.baseUrl}/tables/mirror/from_postgres").toURL
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setRequestProperty("Content-Type", "application/json")
+        conn.setDoOutput(true)
+        val body =
+          (s"""{"database":"graftdb","table":"mirror",""" +
+            s""""src_uri":"postgresql://postgres@127.0.0.1:${primary.port}/postgres",""" +
+            s""""src_table_name":"public.mirror_src"}""")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        conn.setFixedLengthStreamingMode(body.length)
+        val os = conn.getOutputStream
+        try os.write(body) finally os.close()
+        require(conn.getResponseCode == 200, s"from_postgres -> ${conn.getResponseCode}")
+        conn.getInputStream.close()
+        // the catch-up stream applies on its own thread: wait for the
+        // final txn's commit LSN, then gate the protocol discipline
+        val target = 1000L + rest.length
+        val deadline = System.currentTimeMillis() + 60000
+        while (cat.table("mirror").commitLsn < target &&
+            System.currentTimeMillis() < deadline) Thread.sleep(25)
+        require(cat.table("mirror").commitLsn >= target,
+          s"catch-up timed out at ${cat.table("mirror").commitLsn} < $target")
+        primary.join()
+        primary.error.foreach(e => throw new IllegalStateException(
+          s"mock primary failed: $e"))
+        require(primary.sawSnapshotSlot, "slot must be created USE_SNAPSHOT")
+        require(primary.copySentInsideTxn, "COPY must run inside the slot txn")
+        require(primary.startedAtLsn == 1000L,
+          s"catch-up must start AT the consistent point, got ${primary.startedAtLsn}")
+        cat.table("mirror").read(scala.None).select(col("user_id"),
+          col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"),
+          cents(col("value")).as("value_cents"))
+          .orderBy("user_id")
+      } finally srv.stop()
+    }),
+
     "cdc_rest_catalog" -> ((s, d) => {
       // S8's catalog half at the protocol level (reference
       // rest_catalog.rs:96-186 speaks the same Apache Iceberg REST
@@ -6067,6 +6149,17 @@ object SparkEntry {
         |       event_type AS last_event_type,
         |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
         |FROM events WHERE user_id % 20 = 9
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+
+    // snapshot ∪ catch-up at the USE_SNAPSHOT boundary = the plain
+    // last-event fold: the split point is invisible when the slot's
+    // consistent point is honored (the entry gates that it is)
+    "cdc_pg_mirror" ->
+      """SELECT user_id, event_id AS last_event_id,
+        |       event_type AS last_event_type,
+        |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
+        |FROM events WHERE user_id % 20 = 11
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
         |ORDER BY user_id""".stripMargin,
 

@@ -1,0 +1,563 @@
+package graft.sources
+
+import java.io.{DataInputStream, DataOutputStream, EOFException}
+import java.net.{InetAddress, ServerSocket, Socket}
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.model.{CdcEvent, Commit, Identity, SchemaDsl}
+import graft.table.{GraftCatalog, GraftTable, TableConfig}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.{MetadataBuilder, StructType}
+
+import scala.collection.mutable
+
+/**
+ * S2 over the wire: the reference's single-connection snapshot +
+ * catch-up protocol (`pg_replicate/clients/postgres.rs`), behind the
+ * REST verb `POST /tables/{t}/from_postgres` (`rest_api.rs:410-413`,
+ * `:593-660` CreateTableFromPostgresRequest):
+ *
+ *   1. connect with `replication=database` — SQL and replication verbs
+ *      are both legal on such a connection (the mode the reference
+ *      relies on, `clients/postgres.rs:806` note);
+ *   2. fetch column schemas + primary-key membership with the catalog
+ *      query over pg_attribute/pg_index (`:270-315`);
+ *   3. `begin read only isolation level repeatable read` (`:106-113`);
+ *   4. `CREATE_REPLICATION_SLOT <slot> LOGICAL pgoutput USE_SNAPSHOT`
+ *      → `consistent_point` (`:806-833`) — the boundary LSN: the
+ *      slot's snapshot sees exactly the WAL prefix at that point;
+ *   5. `COPY (SELECT cols FROM t WHERE pred) TO STDOUT WITH (FORMAT
+ *      text)` inside that snapshot (`:247-267`) — rows stream through
+ *      a bounded buffer to parquet staging, never all in memory;
+ *   6. commit, then `START_REPLICATION SLOT .. LOGICAL
+ *      <consistent_point> ..` (`:921`): CDC catch-up begins exactly
+ *      where the snapshot ended, so no event is ever dropped or
+ *      double-applied (the USE_SNAPSHOT contract replaces the
+ *      buffering InitialCopy needs when copy and stream overlap).
+ *
+ * No PG server exists in the build sandbox, so the dialogue is
+ * exercised against [[PgMockPrimary]] — a real TCP listener scripting
+ * every response — keeping the client honest about framing without
+ * fabricating a database. Only a live postgres endpoint remains
+ * environment-dependent.
+ */
+object PgCopyText {
+  /** One COPY text-format row: tab-separated, newline-terminated,
+   *  `\N` for NULL plus the backslash escapes the format emits. */
+  def encode(row: Seq[Option[String]]): Array[Byte] = {
+    val sb = new StringBuilder
+    row.zipWithIndex.foreach { case (v, i) =>
+      if (i > 0) sb += '\t'
+      v match {
+        case scala.None => sb ++= "\\N"
+        case Some(s) => s.foreach {
+          case '\\' => sb ++= "\\\\"
+          case '\t' => sb ++= "\\t"
+          case '\n' => sb ++= "\\n"
+          case '\r' => sb ++= "\\r"
+          case '\b' => sb ++= "\\b"
+          case '\f' => sb ++= "\\f"
+          case c if c == 11.toChar => sb ++= "\\v"
+          case c => sb += c
+        }
+      }
+    }
+    sb += '\n'
+    sb.toString.getBytes(UTF_8)
+  }
+
+  /** Decode one line (without its trailing newline). */
+  def decodeLine(line: String): Seq[Option[String]] = {
+    val fields = mutable.ArrayBuffer[Option[String]]()
+    val cur = new StringBuilder
+    var isNull = false
+    def endField(): Unit = {
+      fields += (if (isNull && cur.isEmpty) scala.None else Some(cur.toString))
+      cur.clear(); isNull = false
+    }
+    var i = 0
+    while (i < line.length) {
+      line.charAt(i) match {
+        case '\t' => endField()
+        case '\\' if i + 1 < line.length =>
+          i += 1
+          line.charAt(i) match {
+            case 'N' => isNull = true
+            case 't' => cur += '\t'
+            case 'n' => cur += '\n'
+            case 'r' => cur += '\r'
+            case 'b' => cur += '\b'
+            case 'f' => cur += '\f'
+            case 'v' => cur += 11.toChar
+            case c => cur += c // incl. '\\'
+          }
+        case c => cur += c
+      }
+      i += 1
+    }
+    endField()
+    fields.toSeq
+  }
+}
+
+/** One source column as the reference's schema query returns it
+ *  (`clients/postgres.rs:300-315`: attname, atttypid, atttypmod,
+ *  attnotnull, primary-key membership). */
+final case class PgColumn(name: String, typeOid: Int, typeMod: Int,
+    notNull: Boolean, primary: Boolean)
+
+/**
+ * v3 simple-query + replication client over ONE
+ * `replication=database` connection — the reference's
+ * `ReplicationClient` shape. Trust auth only (like [[PgReplicationClient]]).
+ */
+final class PgSyncClient(host: String, port: Int, user: String,
+    database: String) {
+  private var sock: Socket = null
+  private var in: DataInputStream = null
+  private var out: PgWire.MsgOut = null
+  @volatile var flushedLsn: Long = 0L
+
+  def connect(): Unit = {
+    sock = new Socket(host, port)
+    sock.setTcpNoDelay(true)
+    in = new DataInputStream(sock.getInputStream)
+    out = new PgWire.MsgOut(new DataOutputStream(sock.getOutputStream))
+    out.sendStartup(Seq(
+      "user" -> user, "database" -> database,
+      "replication" -> "database", "application_name" -> "graft"))
+    var ready = false
+    while (!ready) PgWire.readMessage(in) match {
+      case Some(('R', body)) =>
+        val code = ByteBuffer.wrap(body).getInt
+        require(code == 0, s"unsupported auth method $code (trust only)")
+      case Some(('S', _)) | Some(('K', _)) | Some(('N', _)) => ()
+      case Some(('Z', _)) => ready = true
+      case Some(('E', body)) => throw pgError(body)
+      case Some((t, _)) =>
+        throw new java.io.IOException(s"unexpected startup message '$t'")
+      case scala.None => throw new EOFException("server closed during startup")
+    }
+  }
+
+  def close(): Unit = if (sock != null) sock.close()
+
+  private def pgError(body: Array[Byte]) = new java.io.IOException(
+    "pg error: " +
+      new String(body, UTF_8).split(0.toChar).filter(_.nonEmpty).mkString("; "))
+
+  private def q(sql: String): Array[Byte] = sql.getBytes(UTF_8) :+ 0.toByte
+
+  /** Simple query: returns (RowDescription fields as (name, typOid,
+   *  typMod), DataRows as text values). Commands without a result set
+   *  return empty on both sides. */
+  def simpleQuery(sql: String)
+      : (Seq[(String, Int, Int)], Seq[Seq[Option[String]]]) = {
+    out.send('Q', q(sql))
+    var fields = Seq.empty[(String, Int, Int)]
+    val rows = mutable.ArrayBuffer[Seq[Option[String]]]()
+    var open = true
+    while (open) PgWire.readMessage(in) match {
+      case Some(('T', b)) => fields = parseRowDescription(b)
+      case Some(('D', b)) => rows += parseDataRow(b)
+      case Some(('C', _)) | Some(('S', _)) | Some(('N', _)) => ()
+      case Some(('E', b)) => throw pgError(b)
+      case Some(('Z', _)) => open = false
+      case Some((t, _)) =>
+        throw new java.io.IOException(s"unexpected message '$t' in query")
+      case scala.None => throw new EOFException("server closed mid-query")
+    }
+    (fields, rows.toSeq)
+  }
+
+  private def parseRowDescription(b: Array[Byte]): Seq[(String, Int, Int)] = {
+    val bb = ByteBuffer.wrap(b)
+    val n = bb.getShort.toInt
+    (0 until n).map { _ =>
+      val name = cstr(bb)
+      bb.getInt; bb.getShort // table oid, attnum
+      val typOid = bb.getInt
+      bb.getShort // typlen
+      val typMod = bb.getInt
+      bb.getShort // format
+      (name, typOid, typMod)
+    }
+  }
+
+  private def parseDataRow(b: Array[Byte]): Seq[Option[String]] = {
+    val bb = ByteBuffer.wrap(b)
+    val n = bb.getShort.toInt
+    (0 until n).map { _ =>
+      val len = bb.getInt
+      if (len < 0) scala.None
+      else {
+        val v = new Array[Byte](len); bb.get(v)
+        Some(new String(v, UTF_8))
+      }
+    }
+  }
+
+  private def cstr(bb: ByteBuffer): String = {
+    val o = new java.io.ByteArrayOutputStream()
+    var c = bb.get()
+    while (c != 0) { o.write(c); c = bb.get() }
+    new String(o.toByteArray, UTF_8)
+  }
+
+  /** The reference's column-schema catalog query
+   *  (`clients/postgres.rs:270-315`), shape-identical so a real
+   *  primary answers it: name, type oid, typmod, not-null, pk. */
+  def fetchColumns(namespace: String, table: String): Seq[PgColumn] = {
+    val (_, rows) = simpleQuery(
+      s"""select a.attname, a.atttypid, a.atttypmod, a.attnotnull,
+         |  coalesce(i.indisprimary, false) as primary
+         |from pg_attribute a
+         |left join pg_index i on a.attrelid = i.indrelid
+         |  and a.attnum = any(i.indkey) and i.indisprimary = true
+         |where a.attrelid = '$namespace.$table'::regclass
+         |  and a.attnum > 0::int2 and not a.attisdropped
+         |order by a.attnum;""".stripMargin)
+    rows.map { r =>
+      def bool(v: Option[String]) = v.exists(s => s == "t" || s == "true")
+      PgColumn(r(0).get, r(1).get.toInt, r(2).get.toInt, bool(r(3)), bool(r(4)))
+    }
+  }
+
+  /** `CREATE_REPLICATION_SLOT .. LOGICAL pgoutput USE_SNAPSHOT` inside
+   *  the open read-only txn; returns the consistent_point LSN
+   *  (`clients/postgres.rs:806-833`). */
+  def createSlotUseSnapshot(slot: String): Long = {
+    val (fields, rows) = simpleQuery(
+      s"CREATE_REPLICATION_SLOT $slot LOGICAL pgoutput USE_SNAPSHOT")
+    val i = fields.indexWhere(_._1 == "consistent_point")
+    require(i >= 0 && rows.nonEmpty,
+      "CREATE_REPLICATION_SLOT returned no consistent_point")
+    parseLsn(rows.head(i).get)
+  }
+
+  /** "X/Y" hex text LSN → 64-bit WAL position. */
+  def parseLsn(s: String): Long = s.split('/') match {
+    case Array(hi, lo) =>
+      (java.lang.Long.parseLong(hi, 16) << 32) | java.lang.Long.parseLong(lo, 16)
+    case _ => throw new IllegalArgumentException(s"bad LSN text: $s")
+  }
+
+  def lsnText(v: Long): String =
+    f"${(v >>> 32).toInt}%X/${v.toInt}%X"
+
+  /** COPY .. TO STDOUT (text format): stream rows to `onRow` one at a
+   *  time — driver memory stays one row + one CopyData frame no matter
+   *  the table size. Returns rows copied. */
+  def copyOut(sql: String)(onRow: Seq[Option[String]] => Unit): Long = {
+    out.send('Q', q(sql))
+    var n = 0L
+    // 0x0A never occurs inside a UTF-8 multi-byte sequence, so a
+    // byte-level newline scan is safe across CopyData chunk boundaries
+    var buf = Array.empty[Byte]
+    var open = true
+    while (open) PgWire.readMessage(in) match {
+      case Some(('H', _)) => () // CopyOutResponse
+      case Some(('d', b)) =>
+        buf = if (buf.isEmpty) b else buf ++ b
+        var nl = buf.indexOf('\n'.toByte)
+        while (nl >= 0) {
+          onRow(PgCopyText.decodeLine(new String(buf, 0, nl, UTF_8)))
+          n += 1
+          buf = buf.drop(nl + 1)
+          nl = buf.indexOf('\n'.toByte)
+        }
+      case Some(('c', _)) | Some(('C', _)) => ()
+      case Some(('E', b)) => throw pgError(b)
+      case Some(('Z', _)) => open = false
+      case Some((t, _)) =>
+        throw new java.io.IOException(s"unexpected message '$t' in COPY")
+      case scala.None => throw new EOFException("server closed mid-COPY")
+    }
+    require(buf.isEmpty, "truncated COPY row at stream end")
+    n
+  }
+
+  /** START_REPLICATION from `startLsn` on this connection
+   *  (`clients/postgres.rs:921`), then the copy-both loop: XLogData
+   *  payloads to `onFrame`, reply-requested keepalives acked at the
+   *  max WAL seen. Returns when the primary ends the stream. */
+  def startReplication(slot: String, publication: String, startLsn: Long)(
+      onFrame: Array[Byte] => Unit): Unit = {
+    out.send('Q', q(s"START_REPLICATION SLOT $slot LOGICAL " +
+      s"${lsnText(startLsn)} (proto_version '2', " +
+      s"publication_names '$publication')"))
+    flushedLsn =
+      PgWire.copyBothLoop(in, out, startLsn, onFrame, l => flushedLsn = l)
+  }
+}
+
+/**
+ * Orchestrates the snapshot+catch-up (the body of the REST verb).
+ * The copy stages to parquet in bounded chunks; the catch-up stream
+ * keeps applying on a daemon thread until the primary ends it (a real
+ * primary never does; the scripted one does, which is how tests join).
+ */
+object PgInitialSync {
+  final case class Result(boundaryLsn: Long, copiedRows: Long,
+      catchUp: Thread, error: () => Option[Throwable])
+
+  private val ChunkRows = 65536
+
+  def run(catalog: GraftCatalog, name: String, srcTableName: String,
+      host: String, port: Int, user: String, database: String,
+      srcUri: String,
+      config: TableConfig = TableConfig(walEnabled = false)): Result = {
+    val (ns, tbl) = srcTableName.split('.') match {
+      case Array(a, b) => (a, b)
+      case Array(b) => ("public", b)
+      case _ => throw new IllegalArgumentException(
+        s"src_table_name must be [schema.]table, got $srcTableName")
+    }
+    val slot = s"graft_$name"
+    val pub = s"graft_pub_$name"
+    val client = new PgSyncClient(host, port, user, database)
+    client.connect()
+    try {
+      val cols = client.fetchColumns(ns, tbl)
+      require(cols.nonEmpty, s"source table $srcTableName has no columns")
+      val keys = cols.filter(_.primary).map(_.name)
+      val schema = StructType(cols.zipWithIndex.map { case (c, i) =>
+        SchemaDsl.field(c.name, PgOutput.restType(c.typeOid, c.typeMod),
+          !c.notNull).copy(metadata = new MetadataBuilder()
+            .putLong(SchemaDsl.FieldIdKey, i + 1L).build())
+      })
+      val identity =
+        if (keys.nonEmpty) Identity.Keys(keys) else Identity.None
+      val table = catalog.createTable(name, schema, identity, config,
+        srcTableName = srcTableName, srcUri = srcUri)
+      // a failure in the synchronous snapshot phase must leave the
+      // create retryable: drop the half-created table before rethrowing
+      try {
+      client.simpleQuery("begin read only isolation level repeatable read;")
+      val boundary = client.createSlotUseSnapshot(slot)
+      val spark = table.spark
+      val staging = s"${table.root}/copy-staging"
+      val chunk = mutable.ArrayBuffer[Row]()
+      def flushChunk(): Unit = if (chunk.nonEmpty) {
+        import scala.jdk.CollectionConverters._
+        spark.createDataFrame(chunk.toSeq.asJava, schema)
+          .write.mode("append").parquet(staging)
+        chunk.clear()
+      }
+      val colList = cols.map(_.name).mkString(", ")
+      val copied = client.copyOut(
+        s"COPY (SELECT $colList FROM $ns.$tbl WHERE true) TO STDOUT " +
+          "WITH (FORMAT text);") { vals =>
+        chunk += Row.fromSeq(vals.zip(cols).map {
+          case (scala.None, _) => null
+          case (Some(s), c) => PgOutput.parseValue(c.typeOid, c.typeMod, s)
+        })
+        if (chunk.size >= ChunkRows) flushChunk()
+      }
+      flushChunk()
+      client.simpleQuery("commit;")
+      if (copied > 0) {
+        table.initialCopy(
+          spark.read.schema(table.schema).parquet(staging), boundary)
+        graft.format.Fio.delete(staging)
+      }
+      // catch-up: pgoutput event LSNs continue ABOVE the boundary (the
+      // snapshot already contains everything at-or-below it)
+      val sess = new PgOutput.Session(tbl, keys, firstLsn = boundary + 1)
+      @volatile var err: Option[Throwable] = scala.None
+      val thread = new Thread(() => {
+        try {
+          val buf = mutable.ArrayBuffer[CdcEvent]()
+          client.startReplication(slot, pub, boundary) { bytes =>
+            buf ++= sess.onMessage(bytes)
+            // apply at txn boundaries: state is one txn's events, the
+            // stream never accumulates unbounded
+            if (buf.lastOption.exists(_.isInstanceOf[Commit])) {
+              table.apply(buf.toSeq)
+              buf.clear()
+            }
+          }
+        } catch { case t: Throwable => err = Some(t) }
+        finally client.close()
+      }, s"graft-pg-cdc-$name")
+      thread.setDaemon(true)
+      thread.start()
+      Result(boundary, copied, thread, () => err)
+      } catch { case t: Throwable => catalog.dropTable(name); throw t }
+    } catch { case t: Throwable => client.close(); throw t }
+  }
+}
+
+/**
+ * Scripted primary for the WHOLE dialogue: startup, catalog query,
+ * read-only txn, slot creation with USE_SNAPSHOT, COPY-out of the
+ * scripted rows, then the replication stream replaying `frames` with
+ * keepalive acks — one real TCP connection end to end. Asserts the
+ * client's protocol discipline (snapshot slot before COPY, catch-up
+ * start AT the consistent point).
+ */
+final class PgMockPrimary(
+    columns: Seq[PgColumn],
+    copyRows: Seq[Seq[Option[String]]],
+    consistentPoint: Long,
+    frames: Seq[Array[Byte]],
+    keepaliveEvery: Int = 2048) {
+  private val server = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
+  @volatile var sawReplicationParam = false
+  @volatile var sawSchemaQuery = false
+  @volatile var sawSnapshotSlot = false
+  @volatile var copySentInsideTxn = false
+  @volatile var startedAtLsn: Long = -1L
+  @volatile var error: Option[Throwable] = scala.None
+  private val statusQueue =
+    new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+  def statusUpdates: Seq[Long] = {
+    import scala.jdk.CollectionConverters._
+    statusQueue.asScala.toSeq
+  }
+
+  def port: Int = server.getLocalPort
+
+  private val thread = new Thread(() => {
+    try serve() catch { case t: Throwable => error = Some(t) }
+    finally server.close()
+  }, "pg-mock-primary")
+
+  def start(): PgMockPrimary = { thread.setDaemon(true); thread.start(); this }
+  def join(): Unit = thread.join(30000)
+
+  private def lsnText(v: Long): String = f"${(v >>> 32).toInt}%X/${v.toInt}%X"
+
+  private def rowDescription(names: Seq[String]): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream()
+    val d = new DataOutputStream(o)
+    d.writeShort(names.size)
+    names.foreach { n =>
+      d.write(n.getBytes(UTF_8)); d.write(0)
+      d.writeInt(0); d.writeShort(0) // table oid, attnum
+      d.writeInt(25); d.writeShort(-1); d.writeInt(-1) // typoid/len/mod
+      d.writeShort(0) // text format
+    }
+    o.toByteArray
+  }
+
+  private def dataRow(vals: Seq[Option[String]]): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream()
+    val d = new DataOutputStream(o)
+    d.writeShort(vals.size)
+    vals.foreach {
+      case scala.None => d.writeInt(-1)
+      case Some(s) =>
+        val b = s.getBytes(UTF_8); d.writeInt(b.length); d.write(b)
+    }
+    o.toByteArray
+  }
+
+  private def serve(): Unit = {
+    val sock = server.accept()
+    sock.setTcpNoDelay(true)
+    var inTxn = false
+    try {
+      val in = new DataInputStream(sock.getInputStream)
+      val out = new PgWire.MsgOut(new DataOutputStream(sock.getOutputStream))
+      val len = in.readInt()
+      val body = new Array[Byte](len - 4)
+      in.readFully(body)
+      val params = new String(body.drop(4), UTF_8).split(0.toChar)
+      sawReplicationParam = params.sliding(2, 2).exists(p =>
+        p.length == 2 && p(0) == "replication" && p(1) == "database")
+      out.send('R', Array[Byte](0, 0, 0, 0))
+      out.send('S', "server_version".getBytes(UTF_8) ++ Array(0.toByte) ++
+        "16.0".getBytes(UTF_8) ++ Array(0.toByte))
+      out.send('Z', Array[Byte]('I'.toByte))
+      def ready(): Unit =
+        out.send('Z', Array[Byte](if (inTxn) 'T'.toByte else 'I'.toByte))
+      def complete(tag: String): Unit =
+        out.send('C', tag.getBytes(UTF_8) :+ 0.toByte)
+      var replicating = false
+      while (!replicating) PgWire.readMessage(in) match {
+        case Some(('Q', qb)) =>
+          val sql = new String(qb, UTF_8).stripSuffix(" ").trim
+          val low = sql.toLowerCase
+          if (low.startsWith("select a.attname")) {
+            sawSchemaQuery = true
+            out.send('T', rowDescription(Seq("attname", "atttypid",
+              "atttypmod", "attnotnull", "primary")))
+            columns.foreach { c =>
+              out.send('D', dataRow(Seq(Some(c.name),
+                Some(c.typeOid.toString), Some(c.typeMod.toString),
+                Some(if (c.notNull) "t" else "f"),
+                Some(if (c.primary) "t" else "f"))))
+            }
+            complete(s"SELECT ${columns.size}"); ready()
+          } else if (low.startsWith("begin")) {
+            inTxn = true; complete("BEGIN"); ready()
+          } else if (sql.startsWith("CREATE_REPLICATION_SLOT")) {
+            require(inTxn, "USE_SNAPSHOT outside a transaction")
+            sawSnapshotSlot = sql.contains("USE_SNAPSHOT")
+            out.send('T', rowDescription(Seq("slot_name",
+              "consistent_point", "snapshot_name", "output_plugin")))
+            out.send('D', dataRow(Seq(Some("slot"),
+              Some(lsnText(consistentPoint)), Some("snap-1"),
+              Some("pgoutput"))))
+            complete("CREATE_REPLICATION_SLOT"); ready()
+          } else if (low.startsWith("copy")) {
+            copySentInsideTxn = inTxn
+            out.send('H',
+              Array[Byte](0) ++ // text format
+                ByteBuffer.allocate(2)
+                  .putShort(columns.size.toShort).array() ++
+                Array.fill(columns.size * 2)(0.toByte))
+            copyRows.foreach(r => out.send('d', PgCopyText.encode(r)))
+            out.send('c', Array.emptyByteArray)
+            complete(s"COPY ${copyRows.size}"); ready()
+          } else if (low.startsWith("commit")) {
+            inTxn = false; complete("COMMIT"); ready()
+          } else if (sql.startsWith("START_REPLICATION")) {
+            val m = """LOGICAL ([0-9A-Fa-f]+)/([0-9A-Fa-f]+)""".r
+              .findFirstMatchIn(sql)
+            startedAtLsn = m.map(g =>
+              (java.lang.Long.parseLong(g.group(1), 16) << 32) |
+                java.lang.Long.parseLong(g.group(2), 16)).getOrElse(-1L)
+            streamFrames(in, out)
+            replicating = true
+          } else throw new IllegalStateException(s"unscripted query: $sql")
+        case other =>
+          throw new IllegalStateException(s"expected Q, got $other")
+      }
+    } finally sock.close()
+  }
+
+  private def streamFrames(in: DataInputStream, out: PgWire.MsgOut): Unit = {
+    out.send('W', Array[Byte](0, 0, 0))
+    var wal = consistentPoint
+    frames.zipWithIndex.foreach { case (f, i) =>
+      if (i > 0 && i % keepaliveEvery == 0) {
+        out.send('d', PgWire.keepalive(wal, replyRequested = true))
+        awaitStatus(in, wal)
+      }
+      out.send('d', PgWire.xlogData(wal, f))
+      wal += f.length
+    }
+    out.send('d', PgWire.keepalive(wal, replyRequested = true))
+    awaitStatus(in, wal)
+    out.send('c', Array.emptyByteArray)
+    PgWire.readMessage(in) match {
+      case Some(('c', _)) => ()
+      case other => throw new IllegalStateException(s"expected c, got $other")
+    }
+    out.send('C', "COPY 0".getBytes(UTF_8) :+ 0.toByte)
+    out.send('Z', Array[Byte]('I'.toByte))
+  }
+
+  private def awaitStatus(in: DataInputStream, wal: Long): Unit =
+    PgWire.readMessage(in) match {
+      case Some(('d', b)) if b(0) == 'r' =>
+        val flush = PgWire.i64(b, 9)
+        statusQueue.add(flush)
+        require(flush >= wal, s"standby ack $flush behind keepalive $wal")
+      case other =>
+        throw new IllegalStateException(s"expected standby status, got $other")
+    }
+}

@@ -267,12 +267,16 @@ object PgOutput {
    *    tables we ingest (the reference substitutes a type default;
    *    we reject loudly rather than fabricate a value).
    */
-  final class Session(tableName: String, keyCols: Seq[String]) {
+  final class Session(tableName: String, keyCols: Seq[String],
+      // first synthesized event LSN: a catch-up session that starts at
+      // a snapshot boundary numbers its events ABOVE the boundary (the
+      // snapshot already contains everything at-or-below it)
+      firstLsn: Long = 1L) {
     private var rel: Option[Relation] = scala.None
     private var xid: Option[Long] = scala.None
     /** xid of the streamed (in-progress, v2) txn segment we are inside */
     private var streamXid: Option[Long] = scala.None
-    private var nextLsn: Long = 1L // per-event LSNs within a txn
+    private var nextLsn: Long = firstLsn // per-event LSNs within a txn
 
     private def cols: Seq[RelCol] = rel.get.cols
     private def keyIdx: Seq[Int] = keyCols.map(k => cols.indexWhere(_.name == k))

@@ -107,6 +107,46 @@ object PgWire {
     o.write(0)
     o.toByteArray
   }
+
+  /** Copy-both loop shared by [[PgReplicationClient]] and the
+   *  snapshot+catch-up [[PgSyncClient]]: XLogData payloads to
+   *  `onFrame`, reply-requested keepalives acked at the max WAL seen
+   *  (received == flushed == applied: callers apply synchronously).
+   *  Returns the final flushed LSN when the server ends the stream
+   *  (CopyDone → ReadyForQuery) or closes. */
+  def copyBothLoop(in: DataInputStream, out: MsgOut, startFlushed: Long,
+      onFrame: Array[Byte] => Unit,
+      onFlushed: Long => Unit = _ => ()): Long = {
+    var flushed = startFlushed
+    var open = true
+    while (open) readMessage(in) match {
+      case Some(('W', _)) => () // CopyBothResponse — stream begins
+      case Some(('d', body)) => body(0).toChar match {
+        case 'w' =>
+          val walEnd = i64(body, 9)
+          onFrame(java.util.Arrays.copyOfRange(body, 25, body.length))
+          if (walEnd > flushed) { flushed = walEnd; onFlushed(flushed) }
+        case 'k' =>
+          val walEnd = i64(body, 1)
+          if (walEnd > flushed) { flushed = walEnd; onFlushed(flushed) }
+          if (body(17) != 0)
+            out.send('d', standbyStatus(flushed, flushed, flushed))
+        case other =>
+          throw new java.io.IOException(s"unknown copy payload '$other'")
+      }
+      case Some(('c', _)) => // CopyDone: ack and fall out at Z
+        out.send('c', Array.emptyByteArray)
+      case Some(('C', _)) => ()
+      case Some(('E', body)) =>
+        throw new java.io.IOException("pg error: " +
+          new String(body, UTF_8).split(0.toChar)
+            .filter(_.nonEmpty).mkString("; "))
+      case Some(('Z', _)) | None => open = false
+      case Some((t, _)) =>
+        throw new java.io.IOException(s"unexpected message '$t' in copy")
+    }
+    flushed
+  }
 }
 
 /**
@@ -154,33 +194,8 @@ final class PgReplicationClient(host: String, port: Int, user: String,
         (s"START_REPLICATION SLOT $slot LOGICAL 0/0 " +
           s"(proto_version '2', publication_names '$publication')")
           .getBytes(UTF_8) :+ 0.toByte)
-      // copy-both loop
-      var open = true
-      while (open) PgWire.readMessage(in) match {
-        case Some(('W', _)) => () // CopyBothResponse — stream begins
-        case Some(('d', body)) => body(0).toChar match {
-          case 'w' =>
-            val walEnd = PgWire.i64(body, 9)
-            onFrame(java.util.Arrays.copyOfRange(body, 25, body.length))
-            flushedLsn = math.max(flushedLsn, walEnd)
-          case 'k' =>
-            val walEnd = PgWire.i64(body, 1)
-            flushedLsn = math.max(flushedLsn, walEnd)
-            if (body(17) != 0)
-              out.send('d',
-                PgWire.standbyStatus(flushedLsn, flushedLsn, flushedLsn))
-          case other =>
-            throw new java.io.IOException(s"unknown copy payload '$other'")
-        }
-        case Some(('c', _)) => // CopyDone: ack and fall out at Z
-          out.send('c', Array.emptyByteArray)
-        case Some(('C', _)) => ()
-        case Some(('E', body)) =>
-          throw new java.io.IOException(s"pg error: ${errText(body)}")
-        case Some(('Z', _)) | None => open = false
-        case Some((t, _)) =>
-          throw new java.io.IOException(s"unexpected message '$t' in copy")
-      }
+      flushedLsn =
+        PgWire.copyBothLoop(in, out, 0L, onFrame, l => flushedLsn = l)
     } finally sock.close()
   }
 

@@ -142,6 +142,8 @@ final class RestServer(catalog: GraftCatalog, port: Int = 0,
           "schema_id" -> Option(r.get("schema_id")).map(_.asLong(0L)).getOrElse(0L))
       case ("POST", "kafka" :: t :: "ingest" :: Nil) =>
         ingestRow(t, parse(body), Payload.Avro)
+      case ("POST", "tables" :: t :: "from_postgres" :: Nil) =>
+        createFromPostgres(t, parse(body))
       case ("POST", "tables" :: t :: "optimize" :: Nil) =>
         catalog.table(t).optimize(); 200 -> obj()
       case ("POST", "tables" :: t :: "snapshot" :: Nil) =>
@@ -206,6 +208,31 @@ final class RestServer(catalog: GraftCatalog, port: Int = 0,
       cfg = cfg.copy(walEnabled = b.asBoolean(false)))
     catalog.createTable(name, schema, identity, cfg)
     200 -> obj("table" -> name, "lsn" -> 0L)
+  }
+
+  /** POST /tables/{t}/from_postgres (reference `rest_api.rs:410-413`,
+   *  `:593-660` CreateTableFromPostgresRequest {database, table,
+   *  src_uri, src_table_name, table_config}): mirror an existing
+   *  postgres table — schema fetch, USE_SNAPSHOT slot, COPY snapshot,
+   *  CDC catch-up from the consistent point, all on one replication
+   *  connection ([[PgInitialSync]]). The catch-up stream keeps
+   *  applying on a daemon thread after this returns. */
+  private def createFromPostgres(name: String, r: JsonNode): (Int, ObjectNode) = {
+    val srcUri = req(r, "src_uri").asText()
+    val srcTable = req(r, "src_table_name").asText()
+    val u = java.net.URI.create(srcUri)
+    require(u.getScheme == "postgresql" || u.getScheme == "postgres",
+      s"unsupported src_uri scheme: $srcUri")
+    require(u.getPort > 0, s"src_uri must carry an explicit port: $srcUri")
+    val user = Option(u.getUserInfo).map(_.takeWhile(_ != ':'))
+      .getOrElse("postgres")
+    val db = Option(u.getPath).map(_.stripPrefix("/")).filter(_.nonEmpty)
+      .getOrElse("postgres")
+    val res = PgInitialSync.run(catalog, name, srcTable,
+      host = u.getHost, port = u.getPort, user = user, database = db,
+      srcUri = srcUri)
+    200 -> obj("table" -> name, "lsn" -> res.boundaryLsn,
+      "copied_rows" -> res.copiedRows)
   }
 
   /** GET /schema/{t}: the table's current schema as the same
