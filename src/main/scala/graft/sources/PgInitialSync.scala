@@ -236,6 +236,36 @@ final class PgSyncClient(host: String, port: Int, user: String,
     parseLsn(rows.head(i).get)
   }
 
+  /** `SELECT pg_export_snapshot()` inside the open txn — the snapshot
+   *  id worker connections import so every copy shard reads the SAME
+   *  consistent cut (`clients/postgres.rs:212-228`
+   *  export_snapshot_and_lsn). */
+  def exportSnapshot(): String = {
+    val (_, rows) = simpleQuery("SELECT pg_export_snapshot();")
+    require(rows.nonEmpty && rows.head.head.isDefined,
+      "pg_export_snapshot returned nothing")
+    rows.head.head.get
+  }
+
+  /** Relation block-count estimate for ctid shard planning
+   *  (`clients/postgres.rs:166-176`), inlined for the simple-query
+   *  protocol. */
+  def blockCount(namespace: String, table: String): Long = {
+    val (_, rows) = simpleQuery(
+      s"SELECT ((pg_relation_size(to_regclass('$namespace.$table')) + " +
+        "current_setting('block_size')::int - 1) / " +
+        "current_setting('block_size')::int) AS blocks;")
+    rows.headOption.flatMap(_.head).map(_.toLong).getOrElse(0L)
+  }
+
+  /** Worker side: begin a repeatable-read txn and import the
+   *  coordinator's exported snapshot (`clients/postgres.rs:231-245`
+   *  begin_with_snapshot). */
+  def beginWithSnapshot(snapshotId: String): Unit = {
+    simpleQuery("begin read only isolation level repeatable read;")
+    simpleQuery(s"SET TRANSACTION SNAPSHOT '$snapshotId';")
+  }
+
   /** "X/Y" hex text LSN → 64-bit WAL position. */
   def parseLsn(s: String): Long = s.split('/') match {
     case Array(hi, lo) =>
@@ -283,7 +313,7 @@ final class PgSyncClient(host: String, port: Int, user: String,
    *  payloads to `onFrame`, reply-requested keepalives acked at the
    *  max WAL seen. Returns when the primary ends the stream. */
   def startReplication(slot: String, publication: String, startLsn: Long)(
-      onFrame: Array[Byte] => Unit): Unit = {
+      onFrame: (Array[Byte], Long) => Unit): Unit = {
     out.send('Q', q(s"START_REPLICATION SLOT $slot LOGICAL " +
       s"${lsnText(startLsn)} (proto_version '2', " +
       s"publication_names '$publication')"))
@@ -304,10 +334,32 @@ object PgInitialSync {
 
   private val ChunkRows = 65536
 
+  /** CTID-range shard predicates (`postgres_source.rs:339-368`
+   *  plan_ctid_shards, ceil-divided block space); one shard or an
+   *  unknown relation size degrades to the full range. */
+  def planCtidShards(blocks: Long, shardCount: Int): Seq[String] = {
+    if (shardCount <= 1 || blocks <= 0) return Seq("ctid >= '(0,1)'::tid")
+    val step = (blocks + shardCount - 1) / shardCount
+    var cur = 0L
+    (0 until shardCount).flatMap { i =>
+      val next = math.min(cur + step, blocks)
+      val pred =
+        if (i == shardCount - 1) s"ctid >= '($cur,1)'::tid"
+        else s"ctid >= '($cur,1)'::tid AND ctid < '($next,1)'::tid"
+      val keep = next > cur || i == shardCount - 1
+      cur = next
+      if (keep) Some(pred) else scala.None
+    }
+  }
+
   def run(catalog: GraftCatalog, name: String, srcTableName: String,
       host: String, port: Int, user: String, database: String,
       srcUri: String,
-      config: TableConfig = TableConfig(walEnabled = false)): Result = {
+      config: TableConfig = TableConfig(walEnabled = false),
+      // parallel snapshot width (reference default 4,
+      // `postgres_source.rs:339` plan_ctid_shards) — the 100-TB
+      // initial-copy lever: a single-connection COPY is the bottleneck
+      copyShards: Int = 4): Result = {
     val (ns, tbl) = srcTableName.split('.') match {
       case Array(a, b) => (a, b)
       case Array(b) => ("public", b)
@@ -338,28 +390,69 @@ object PgInitialSync {
       val boundary = client.createSlotUseSnapshot(slot)
       val spark = table.spark
       val staging = s"${table.root}/copy-staging"
-      val chunk = mutable.ArrayBuffer[Row]()
-      def flushChunk(): Unit = if (chunk.nonEmpty) {
-        import scala.jdk.CollectionConverters._
-        spark.createDataFrame(chunk.toSeq.asJava, schema)
-          .write.mode("append").parquet(staging)
-        chunk.clear()
-      }
       val colList = cols.map(_.name).mkString(", ")
-      val copied = client.copyOut(
-        s"COPY (SELECT $colList FROM $ns.$tbl WHERE true) TO STDOUT " +
-          "WITH (FORMAT text);") { vals =>
-        chunk += Row.fromSeq(vals.zip(cols).map {
-          case (scala.None, _) => null
-          case (Some(s), c) => PgOutput.parseValue(c.typeOid, c.typeMod, s)
-        })
-        if (chunk.size >= ChunkRows) flushChunk()
+      def copyShard(c: PgSyncClient, pred: String, dir: String): Long = {
+        val chunk = mutable.ArrayBuffer[Row]()
+        def flushChunk(): Unit = if (chunk.nonEmpty) {
+          import scala.jdk.CollectionConverters._
+          spark.createDataFrame(chunk.toSeq.asJava, schema)
+            .write.mode("append").parquet(dir)
+          chunk.clear()
+        }
+        val n = c.copyOut(
+          s"COPY (SELECT $colList FROM $ns.$tbl WHERE $pred) TO STDOUT " +
+            "WITH (FORMAT text);") { vals =>
+          chunk += Row.fromSeq(vals.zip(cols).map {
+            case (scala.None, _) => null
+            case (Some(s), cc) => PgOutput.parseValue(cc.typeOid, cc.typeMod, s)
+          })
+          if (chunk.size >= ChunkRows) flushChunk()
+        }
+        flushChunk()
+        n
       }
-      flushChunk()
+      // sharded parallel snapshot (reference `initial_copy.rs:57`
+      // copy_table_stream + `postgres_source.rs:370`
+      // spawn_sharded_copy_reader): the coordinator's slot snapshot is
+      // EXPORTED and each worker connection imports it, so every ctid
+      // shard reads the same consistent cut in parallel
+      val preds =
+        if (copyShards <= 1) Seq("ctid >= '(0,1)'::tid")
+        else planCtidShards(client.blockCount(ns, tbl), copyShards)
+      val copied =
+        if (preds.length <= 1)
+          copyShard(client, preds.head, s"$staging/shard-0")
+        else {
+          val snapId = client.exportSnapshot()
+          val counts = new Array[Long](preds.length)
+          val errs =
+            new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+          val workers = preds.zipWithIndex.map { case (pred, i) =>
+            val th = new Thread(() => {
+              try {
+                val w = new PgSyncClient(host, port, user, database)
+                w.connect()
+                try {
+                  w.beginWithSnapshot(snapId)
+                  counts(i) = copyShard(w, pred, s"$staging/shard-$i")
+                  w.simpleQuery("commit;")
+                } finally w.close()
+              } catch { case t: Throwable => errs.add(t) }
+            }, s"graft-pg-copy-$name-$i")
+            th.setDaemon(true); th.start(); th
+          }
+          workers.foreach(_.join(600000))
+          if (!errs.isEmpty)
+            throw new java.io.IOException(
+              s"sharded copy failed: ${errs.peek()}", errs.peek())
+          counts.sum
+        }
       client.simpleQuery("commit;")
       if (copied > 0) {
+        val shardDirs = preds.indices.map(i => s"$staging/shard-$i")
+          .filter(graft.format.Fio.exists) // empty shards wrote nothing
         table.initialCopy(
-          spark.read.schema(table.schema).parquet(staging), boundary)
+          spark.read.schema(table.schema).parquet(shardDirs: _*), boundary)
         graft.format.Fio.delete(staging)
       }
       // catch-up: pgoutput event LSNs continue ABOVE the boundary (the
@@ -367,19 +460,49 @@ object PgInitialSync {
       val sess = new PgOutput.Session(tbl, keys, firstLsn = boundary + 1)
       @volatile var err: Option[Throwable] = scala.None
       val thread = new Thread(() => {
-        try {
-          val buf = mutable.ArrayBuffer[CdcEvent]()
-          client.startReplication(slot, pub, boundary) { bytes =>
-            buf ++= sess.onMessage(bytes)
-            // apply at txn boundaries: state is one txn's events, the
-            // stream never accumulates unbounded
-            if (buf.lastOption.exists(_.isInstanceOf[Commit])) {
-              table.apply(buf.toSeq)
-              buf.clear()
+        // the reference's replication event loop RECONNECTS on
+        // transport errors with linear backoff and resumes from the
+        // persisted confirmed LSN, never the in-memory watermark
+        // (`pg_replicate.rs:677-760` run_event_loop) — here the resume
+        // point is the WAL position covering the last APPLIED commit:
+        // a transaction is resent whole or not at all, never half
+        var cur = client
+        var resumeWal = boundary
+        var attempts = 0
+        var done = false
+        val buf = mutable.ArrayBuffer[CdcEvent]()
+        val MaxAttempts = 5
+        while (!done) {
+          try {
+            cur.startReplication(slot, pub, resumeWal) { (bytes, walEnd) =>
+              buf ++= sess.onMessage(bytes)
+              // apply at txn boundaries: state is one txn's events,
+              // the stream never accumulates unbounded
+              if (buf.lastOption.exists(_.isInstanceOf[Commit])) {
+                table.apply(buf.toSeq)
+                buf.clear()
+                resumeWal = walEnd
+                attempts = 0 // progress resets the backoff (reference)
+              }
             }
+            done = true // clean server-ended stream
+          } catch {
+            case t: Throwable if attempts < MaxAttempts =>
+              attempts += 1
+              // partial txn: the primary resends it whole from the
+              // resume point; discard the half and re-issue its LSNs
+              buf.clear()
+              sess.rollbackUncommitted()
+              try cur.close() catch { case _: Throwable => () }
+              Thread.sleep(math.min(60000L, 1000L * attempts))
+              try {
+                cur = new PgSyncClient(host, port, user, database)
+                cur.connect()
+              } catch { case _: Throwable => () /* next loop retries */ }
+            case t: Throwable => err = Some(t); done = true
           }
-        } catch { case t: Throwable => err = Some(t) }
-        finally client.close()
+        }
+        try cur.close() catch { case _: Throwable => () }
       }, s"graft-pg-cdc-$name")
       thread.setDaemon(true)
       thread.start()
@@ -402,13 +525,19 @@ final class PgMockPrimary(
     copyRows: Seq[Seq[Option[String]]],
     consistentPoint: Long,
     frames: Seq[Array[Byte]],
-    keepaliveEvery: Int = 2048) {
+    keepaliveEvery: Int = 2048,
+    // failure injection: answer the COPY with an ErrorResponse and end
+    // the session — the client must surface it and roll back cleanly
+    failCopy: Boolean = false,
+    // failure injection: abruptly close the replication connection
+    // after this many total frames (once) — the client must reconnect
+    // and resume from its last applied commit; -1 = never
+    dropAfterFrames: Int = -1) {
   private val server = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
   @volatile var sawReplicationParam = false
   @volatile var sawSchemaQuery = false
   @volatile var sawSnapshotSlot = false
   @volatile var copySentInsideTxn = false
-  @volatile var startedAtLsn: Long = -1L
   @volatile var error: Option[Throwable] = scala.None
   private val statusQueue =
     new java.util.concurrent.ConcurrentLinkedQueue[Long]()
@@ -416,6 +545,42 @@ final class PgMockPrimary(
     import scala.jdk.CollectionConverters._
     statusQueue.asScala.toSeq
   }
+  /** every START_REPLICATION request's start LSN, in arrival order
+   *  (a reconnecting client appends its resume points) */
+  private val startedAtQueue =
+    new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+  def startedAtLsns: Seq[Long] = {
+    import scala.jdk.CollectionConverters._
+    startedAtQueue.asScala.toSeq
+  }
+  def startedAtLsn: Long = startedAtLsns.headOption.getOrElse(-1L)
+  /** walStarts(i) = WAL position of frames(i); last entry = stream end */
+  private val walStarts: Seq[Long] =
+    frames.scanLeft(consistentPoint)((w, f) => w + f.length)
+  @volatile private var framesSentTotal = 0
+  @volatile private var droppedOnce = false
+  @volatile private var finished = false
+  /** deliberate mid-stream connection drop (the injected blip) */
+  private object DropConn extends RuntimeException
+  /** the snapshot id handed to pg_export_snapshot callers */
+  val exportedSnapshot = "00000003-0000001A-1"
+  private val importedQueue =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  /** snapshot ids imported by worker connections, in arrival order */
+  def importedSnapshots: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    importedQueue.asScala.toSeq
+  }
+  private val copyPredQueue =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  /** the WHERE predicate of every COPY served */
+  def copyPredicates: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    copyPredQueue.asScala.toSeq
+  }
+  /** one scripted "block" per copy row, so ctid-range predicates slice
+   *  rows directly (pg_relation_size → blocks = row count) */
+  private def blocks: Long = math.max(1L, copyRows.size.toLong)
 
   def port: Int = server.getLocalPort
 
@@ -454,8 +619,27 @@ final class PgMockPrimary(
     o.toByteArray
   }
 
-  private def serve(): Unit = {
-    val sock = server.accept()
+  /** Accept connections until the stream has been served to a clean
+   *  end: the coordinator plus N concurrent copy workers, plus
+   *  reconnects when a drop is injected — each on its own thread (a
+   *  worker dialogue runs WHILE the coordinator connection idles in
+   *  its transaction, exactly like a real primary). */
+  private def serve(): Unit =
+    try {
+      while (!finished) {
+        val sock = server.accept()
+        val th = new Thread(() =>
+          try handleConnection(sock)
+          catch { case t: Throwable => if (error.isEmpty) error = Some(t) })
+        th.setDaemon(true)
+        th.start()
+      }
+    } catch {
+      // streamFrames closes the listener to end the accept loop
+      case _: java.net.SocketException if finished => ()
+    }
+
+  private def handleConnection(sock: Socket): Unit = {
     sock.setTcpNoDelay(true)
     var inTxn = false
     try {
@@ -493,6 +677,19 @@ final class PgMockPrimary(
             complete(s"SELECT ${columns.size}"); ready()
           } else if (low.startsWith("begin")) {
             inTxn = true; complete("BEGIN"); ready()
+          } else if (low.startsWith("set transaction snapshot")) {
+            require(inTxn, "SET TRANSACTION SNAPSHOT outside a transaction")
+            importedQueue.add(sql.split('\'')(1))
+            complete("SET"); ready()
+          } else if (low.startsWith("select pg_export_snapshot")) {
+            require(inTxn, "pg_export_snapshot outside a transaction")
+            out.send('T', rowDescription(Seq("pg_export_snapshot")))
+            out.send('D', dataRow(Seq(Some(exportedSnapshot))))
+            complete("SELECT 1"); ready()
+          } else if (low.startsWith("select ((pg_relation_size")) {
+            out.send('T', rowDescription(Seq("blocks")))
+            out.send('D', dataRow(Seq(Some(blocks.toString))))
+            complete("SELECT 1"); ready()
           } else if (sql.startsWith("CREATE_REPLICATION_SLOT")) {
             require(inTxn, "USE_SNAPSHOT outside a transaction")
             sawSnapshotSlot = sql.contains("USE_SNAPSHOT")
@@ -502,46 +699,89 @@ final class PgMockPrimary(
               Some(lsnText(consistentPoint)), Some("snap-1"),
               Some("pgoutput"))))
             complete("CREATE_REPLICATION_SLOT"); ready()
+          } else if (low.startsWith("copy") && failCopy) {
+            val eb = new java.io.ByteArrayOutputStream()
+            def fld(code: Char, v: String): Unit = {
+              eb.write(code); eb.write(v.getBytes(UTF_8)); eb.write(0)
+            }
+            fld('S', "ERROR"); fld('C', "57014"); fld('M', "injected COPY failure")
+            eb.write(0)
+            out.send('E', eb.toByteArray)
+            ready()
+            replicating = true; finished = true // end the session
+            server.close()
           } else if (low.startsWith("copy")) {
             copySentInsideTxn = inTxn
+            // slice the scripted rows by the ctid-range predicate (one
+            // block per row): the shard-union check lives client-side
+            val pm = ("""ctid >= '\((\d+),1\)'::tid""" +
+              """( AND ctid < '\((\d+),1\)'::tid)?""").r
+            val (lo, hi) = pm.findFirstMatchIn(sql) match {
+              case Some(m) => (m.group(1).toInt,
+                Option(m.group(3)).map(_.toInt).getOrElse(copyRows.size))
+              case scala.None => (0, copyRows.size)
+            }
+            copyPredQueue.add(sql.substring(sql.indexOf("WHERE")))
+            val slice = copyRows.slice(lo, hi)
             out.send('H',
               Array[Byte](0) ++ // text format
                 ByteBuffer.allocate(2)
                   .putShort(columns.size.toShort).array() ++
                 Array.fill(columns.size * 2)(0.toByte))
-            copyRows.foreach(r => out.send('d', PgCopyText.encode(r)))
+            slice.foreach(r => out.send('d', PgCopyText.encode(r)))
             out.send('c', Array.emptyByteArray)
-            complete(s"COPY ${copyRows.size}"); ready()
+            complete(s"COPY ${slice.size}"); ready()
           } else if (low.startsWith("commit")) {
             inTxn = false; complete("COMMIT"); ready()
           } else if (sql.startsWith("START_REPLICATION")) {
             val m = """LOGICAL ([0-9A-Fa-f]+)/([0-9A-Fa-f]+)""".r
               .findFirstMatchIn(sql)
-            startedAtLsn = m.map(g =>
+            val from = m.map(g =>
               (java.lang.Long.parseLong(g.group(1), 16) << 32) |
                 java.lang.Long.parseLong(g.group(2), 16)).getOrElse(-1L)
-            streamFrames(in, out)
+            startedAtQueue.add(from)
+            streamFrames(in, out, from)
             replicating = true
           } else throw new IllegalStateException(s"unscripted query: $sql")
+        case scala.None =>
+          replicating = true // client closed (a finished copy worker)
         case other =>
           throw new IllegalStateException(s"expected Q, got $other")
       }
+    } catch {
+      // the injected blip: close this connection abruptly and accept
+      // the client's reconnect
+      case DropConn => ()
     } finally sock.close()
   }
 
-  private def streamFrames(in: DataInputStream, out: PgWire.MsgOut): Unit = {
+  /** Stream the frames whose WAL position is at-or-above `fromLsn` —
+   *  the slot-resume contract: a reconnecting standby receives exactly
+   *  the suffix it has not confirmed. */
+  private def streamFrames(in: DataInputStream, out: PgWire.MsgOut,
+      fromLsn: Long): Unit = {
     out.send('W', Array[Byte](0, 0, 0))
-    var wal = consistentPoint
-    frames.zipWithIndex.foreach { case (f, i) =>
-      if (i > 0 && i % keepaliveEvery == 0) {
-        out.send('d', PgWire.keepalive(wal, replyRequested = true))
-        awaitStatus(in, wal)
+    var lastEnd = math.max(fromLsn, consistentPoint)
+    var sent = 0
+    frames.indices.foreach { i =>
+      if (walStarts(i) >= fromLsn) {
+        if (!droppedOnce && dropAfterFrames >= 0 &&
+            framesSentTotal == dropAfterFrames) {
+          droppedOnce = true
+          throw DropConn
+        }
+        if (sent > 0 && sent % keepaliveEvery == 0) {
+          out.send('d', PgWire.keepalive(lastEnd, replyRequested = true))
+          awaitStatus(in, lastEnd)
+        }
+        out.send('d', PgWire.xlogData(walStarts(i), frames(i)))
+        lastEnd = walStarts(i + 1)
+        framesSentTotal += 1
+        sent += 1
       }
-      out.send('d', PgWire.xlogData(wal, f))
-      wal += f.length
     }
-    out.send('d', PgWire.keepalive(wal, replyRequested = true))
-    awaitStatus(in, wal)
+    out.send('d', PgWire.keepalive(lastEnd, replyRequested = true))
+    awaitStatus(in, lastEnd)
     out.send('c', Array.emptyByteArray)
     PgWire.readMessage(in) match {
       case Some(('c', _)) => ()
@@ -549,6 +789,8 @@ final class PgMockPrimary(
     }
     out.send('C', "COPY 0".getBytes(UTF_8) :+ 0.toByte)
     out.send('Z', Array[Byte]('I'.toByte))
+    finished = true
+    server.close() // unblock the accept loop
   }
 
   private def awaitStatus(in: DataInputStream, wal: Long): Unit =

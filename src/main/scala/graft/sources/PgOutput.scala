@@ -277,6 +277,8 @@ object PgOutput {
     /** xid of the streamed (in-progress, v2) txn segment we are inside */
     private var streamXid: Option[Long] = scala.None
     private var nextLsn: Long = firstLsn // per-event LSNs within a txn
+    /** nextLsn value right after the last Commit — the rollback point */
+    private var committedNextLsn: Long = firstLsn
 
     private def cols: Seq[RelCol] = rel.get.cols
     private def keyIdx: Seq[Int] = keyCols.map(k => cols.indexWhere(_.name == k))
@@ -313,6 +315,7 @@ object PgOutput {
         require(commitLsn >= nextLsn - 1,
           s"stream-commit LSN $commitLsn below last event LSN ${nextLsn - 1}")
         nextLsn = math.max(nextLsn, commitLsn + 1)
+        committedNextLsn = nextLsn
         Seq(Commit(commitLsn, Some(x)))
       case StreamAbortMsg(x, _) =>
         Seq(StreamAbort(x))
@@ -326,6 +329,7 @@ object PgOutput {
           s"commit LSN $commitLsn below the txn's last event LSN ${nextLsn - 1}")
         val x = xid; xid = scala.None
         nextLsn = math.max(nextLsn, commitLsn + 1)
+        committedNextLsn = nextLsn
         Seq(Commit(commitLsn, x))
       case r @ Relation(_, _, name, _, newCols) =>
         if (name != tableName) Nil // not our table's relation
@@ -364,6 +368,20 @@ object PgOutput {
         // tables; surface loudly rather than silently dropping data
         throw new UnsupportedOperationException(
           "TRUNCATE is not supported on graft tables")
+    }
+
+    /** Discard in-flight (uncommitted) txn state after a transport
+     *  reconnect: the primary resends an interrupted transaction WHOLE
+     *  from the slot's confirmed position, so the partial events were
+     *  dropped by the caller and their synthesized LSNs must be
+     *  re-issued — otherwise the resent txn's fixed commit LSN could
+     *  fall below the inflated event numbering. The Relation
+     *  registration survives (a real primary re-sends Relation per
+     *  connection; a repeat is a harmless no-op diff). */
+    def rollbackUncommitted(): Unit = {
+      nextLsn = committedNextLsn
+      xid = scala.None
+      streamXid = scala.None
     }
 
     /** current registered schema as (name, REST type) pairs */

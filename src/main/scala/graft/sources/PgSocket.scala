@@ -109,13 +109,17 @@ object PgWire {
   }
 
   /** Copy-both loop shared by [[PgReplicationClient]] and the
-   *  snapshot+catch-up [[PgSyncClient]]: XLogData payloads to
-   *  `onFrame`, reply-requested keepalives acked at the max WAL seen
-   *  (received == flushed == applied: callers apply synchronously).
-   *  Returns the final flushed LSN when the server ends the stream
-   *  (CopyDone → ReadyForQuery) or closes. */
+   *  snapshot+catch-up [[PgSyncClient]]: each XLogData payload goes to
+   *  `onFrame` with its WAL end position (the resume point covering
+   *  that frame); reply-requested keepalives are acked at the max WAL
+   *  seen (received == flushed == applied: callers apply
+   *  synchronously). Returns the final flushed LSN when the server
+   *  ends the stream CLEANLY (CopyDone → ReadyForQuery); an abrupt
+   *  close mid-stream raises EOFException so a reconnecting caller
+   *  (the reference's run_event_loop shape) can tell a blip from a
+   *  shutdown. */
   def copyBothLoop(in: DataInputStream, out: MsgOut, startFlushed: Long,
-      onFrame: Array[Byte] => Unit,
+      onFrame: (Array[Byte], Long) => Unit,
       onFlushed: Long => Unit = _ => ()): Long = {
     var flushed = startFlushed
     var open = true
@@ -124,7 +128,7 @@ object PgWire {
       case Some(('d', body)) => body(0).toChar match {
         case 'w' =>
           val walEnd = i64(body, 9)
-          onFrame(java.util.Arrays.copyOfRange(body, 25, body.length))
+          onFrame(java.util.Arrays.copyOfRange(body, 25, body.length), walEnd)
           if (walEnd > flushed) { flushed = walEnd; onFlushed(flushed) }
         case 'k' =>
           val walEnd = i64(body, 1)
@@ -141,7 +145,9 @@ object PgWire {
         throw new java.io.IOException("pg error: " +
           new String(body, UTF_8).split(0.toChar)
             .filter(_.nonEmpty).mkString("; "))
-      case Some(('Z', _)) | None => open = false
+      case Some(('Z', _)) => open = false
+      case None =>
+        throw new EOFException("server closed the replication stream mid-copy")
       case Some((t, _)) =>
         throw new java.io.IOException(s"unexpected message '$t' in copy")
     }
@@ -194,8 +200,8 @@ final class PgReplicationClient(host: String, port: Int, user: String,
         (s"START_REPLICATION SLOT $slot LOGICAL 0/0 " +
           s"(proto_version '2', publication_names '$publication')")
           .getBytes(UTF_8) :+ 0.toByte)
-      flushedLsn =
-        PgWire.copyBothLoop(in, out, 0L, onFrame, l => flushedLsn = l)
+      flushedLsn = PgWire.copyBothLoop(in, out, 0L,
+        (b, _) => onFrame(b), l => flushedLsn = l)
     } finally sock.close()
   }
 

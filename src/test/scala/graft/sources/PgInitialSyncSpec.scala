@@ -101,6 +101,110 @@ class PgInitialSyncSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(entry.srcTableName == "public.users")
   }
 
+  test("sharded copy: every worker imports the one exported snapshot") {
+    // 3 shards over 4 scripted blocks (one per row): the coordinator
+    // exports its slot snapshot (pg_export_snapshot), each worker
+    // connection imports it (SET TRANSACTION SNAPSHOT) and copies one
+    // ctid range — the reference's parallel initial copy
+    // (initial_copy.rs:57, postgres_source.rs:339,370)
+    val cat = GraftCatalog(spark,
+      java.nio.file.Files.createTempDirectory("pgsync-shard-wh").toString)
+    val primary = new PgMockPrimary(columns, copyRows,
+      consistentPoint = 1000L, frames = cdcFrames("users")).start()
+    val res = PgInitialSync.run(cat, "users", "public.users",
+      host = "127.0.0.1", port = primary.port, user = "postgres",
+      database = "postgres",
+      srcUri = s"postgresql://127.0.0.1:${primary.port}/postgres",
+      copyShards = 3)
+    res.catchUp.join(30000)
+    primary.join()
+    assert(primary.error.isEmpty, primary.error)
+    assert(res.error().isEmpty, res.error())
+    assert(res.copiedRows == 4L)
+    // every worker ran inside a txn on the SAME exported snapshot
+    assert(primary.importedSnapshots.nonEmpty)
+    assert(primary.importedSnapshots.toSet == Set(primary.exportedSnapshot))
+    // the ctid ranges partition the table: 3 shards, no overlap, and
+    // the union reproduced every row exactly once (4 copied)
+    assert(primary.copyPredicates.size == 3, primary.copyPredicates)
+    assert(primary.copyPredicates.distinct.size == 3)
+    val t = cat.table("users")
+    val got = t.read().collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(1L -> Some("tab\there\nand newline"),
+      2L -> Some("bob2"), 4L -> scala.None, 9L -> Some("nina")))
+  }
+
+  test("catch-up survives a transport blip and resumes at the last applied commit") {
+    // two txns; the blip lands mid-txn-2 (after its Begin), so txn-1
+    // must NOT be re-applied and txn-2 must arrive whole on reconnect —
+    // the reference's run_event_loop contract (pg_replicate.rs:677-760:
+    // reconnect with backoff, resume from the persisted confirmed LSN)
+    val frames = Seq(
+      PgOutput.encodeRelation(7, "public", "users",
+        Seq("id" -> 20, "name" -> 25, "score" -> 701)),
+      PgOutput.encodeBegin(1005L, 60L),
+      PgOutput.encodeUpdate(7, Seq(Some("2"), Some("bob2"), Some("2.5"))),
+      PgOutput.encodeCommit(1005L, 1006L),
+      PgOutput.encodeBegin(1010L, 61L),
+      PgOutput.encodeInsert(7, Seq(Some("9"), Some("nina"), scala.None)),
+      PgOutput.encodeDelete(7, Seq(Some("3"), scala.None, scala.None)),
+      PgOutput.encodeCommit(1010L, 1011L))
+    val cat = GraftCatalog(spark,
+      java.nio.file.Files.createTempDirectory("pgsync-blip-wh").toString)
+    val primary = new PgMockPrimary(columns, copyRows,
+      consistentPoint = 1000L, frames = frames,
+      dropAfterFrames = 5).start() // drops right after Begin(61)
+    val res = PgInitialSync.run(cat, "users", "public.users",
+      host = "127.0.0.1", port = primary.port, user = "postgres",
+      database = "postgres",
+      srcUri = s"postgresql://127.0.0.1:${primary.port}/postgres")
+    res.catchUp.join(30000)
+    primary.join()
+    assert(primary.error.isEmpty, primary.error)
+    assert(res.error().isEmpty, res.error())
+    // exactly one reconnect, resuming PAST txn-1's frames
+    assert(primary.startedAtLsns.length == 2, primary.startedAtLsns)
+    assert(primary.startedAtLsns.head == 1000L)
+    assert(primary.startedAtLsns(1) > 1000L,
+      "resume point must cover the applied commit")
+    val t = cat.table("users")
+    assert(t.commitLsn == 1010L)
+    val got = t.read().collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(1L -> Some("tab\there\nand newline"),
+      2L -> Some("bob2"), 4L -> scala.None, 9L -> Some("nina")))
+  }
+
+  test("a failed snapshot phase leaves the create retryable") {
+    val cat = GraftCatalog(spark,
+      java.nio.file.Files.createTempDirectory("pgsync-retry-wh").toString)
+    val bad = new PgMockPrimary(columns, copyRows, consistentPoint = 1000L,
+      frames = Nil, failCopy = true).start()
+    val e = intercept[Exception] {
+      PgInitialSync.run(cat, "users", "public.users",
+        host = "127.0.0.1", port = bad.port, user = "postgres",
+        database = "postgres",
+        srcUri = s"postgresql://127.0.0.1:${bad.port}/postgres")
+    }
+    assert(e.getMessage.contains("injected COPY failure"), e.getMessage)
+    // the half-created table was rolled back: registry AND catalog clean
+    assert(!cat.list.contains("users"))
+    assert(!cat.metadataStore.allEntries().exists(_.table == "users"))
+    // the retried create against a healthy primary completes
+    val good = new PgMockPrimary(columns, copyRows, consistentPoint = 1000L,
+      frames = cdcFrames("users")).start()
+    val res = PgInitialSync.run(cat, "users", "public.users",
+      host = "127.0.0.1", port = good.port, user = "postgres",
+      database = "postgres",
+      srcUri = s"postgresql://127.0.0.1:${good.port}/postgres")
+    res.catchUp.join(30000)
+    good.join()
+    assert(good.error.isEmpty, good.error)
+    assert(res.error().isEmpty, res.error())
+    assert(cat.table("users").read().count() == 4)
+  }
+
   test("REST POST /tables/{t}/from_postgres drives the whole flow") {
     val cat = GraftCatalog(spark,
       java.nio.file.Files.createTempDirectory("pgsync-rest-wh").toString)
