@@ -312,13 +312,22 @@ final class PgSyncClient(host: String, port: Int, user: String,
    *  (`clients/postgres.rs:921`), then the copy-both loop: XLogData
    *  payloads to `onFrame`, reply-requested keepalives acked at the
    *  max WAL seen. Returns when the primary ends the stream. */
-  def startReplication(slot: String, publication: String, startLsn: Long)(
+  /** START_REPLICATION from `startLsn` (0 = let the slot's
+   *  confirmed_flush_lsn decide — the restart-recovery path), then the
+   *  shared copy-both loop. `ackLsn` supplies the DURABLE position for
+   *  standby-status replies: the mirror acks only applied transaction
+   *  boundaries, never the in-memory receive watermark, so a crash
+   *  between receive and apply can never trim the slot past
+   *  unapplied WAL. */
+  def startReplication(slot: String, publication: String, startLsn: Long,
+      ackLsn: () => Long = null)(
       onFrame: (Array[Byte], Long) => Unit): Unit = {
     out.send('Q', q(s"START_REPLICATION SLOT $slot LOGICAL " +
       s"${lsnText(startLsn)} (proto_version '2', " +
       s"publication_names '$publication')"))
     flushedLsn =
-      PgWire.copyBothLoop(in, out, startLsn, onFrame, l => flushedLsn = l)
+      PgWire.copyBothLoop(in, out, startLsn, onFrame, l => flushedLsn = l,
+        ackLsn)
   }
 }
 
@@ -355,11 +364,17 @@ object PgInitialSync {
   def run(catalog: GraftCatalog, name: String, srcTableName: String,
       host: String, port: Int, user: String, database: String,
       srcUri: String,
-      config: TableConfig = TableConfig(walEnabled = false),
+      // WAL stays ON for a mirror: the catch-up loop acks a txn to the
+      // primary as soon as it is APPLIED, and apply-with-WAL is what
+      // makes applied mean durable — ack-without-WAL would let a crash
+      // lose transactions the slot has already trimmed (the reference
+      // WALs every ingest event for exactly this reason, wal.rs:423)
+      config: TableConfig = TableConfig(),
       // parallel snapshot width (reference default 4,
       // `postgres_source.rs:339` plan_ctid_shards) — the 100-TB
       // initial-copy lever: a single-connection COPY is the bottleneck
-      copyShards: Int = 4): Result = {
+      copyShards: Int = 4,
+      maxReconnects: Int = 5): Result = {
     val (ns, tbl) = srcTableName.split('.') match {
       case Array(a, b) => (a, b)
       case Array(b) => ("public", b)
@@ -458,57 +473,112 @@ object PgInitialSync {
       // catch-up: pgoutput event LSNs continue ABOVE the boundary (the
       // snapshot already contains everything at-or-below it)
       val sess = new PgOutput.Session(tbl, keys, firstLsn = boundary + 1)
-      @volatile var err: Option[Throwable] = scala.None
-      val thread = new Thread(() => {
-        // the reference's replication event loop RECONNECTS on
-        // transport errors with linear backoff and resumes from the
-        // persisted confirmed LSN, never the in-memory watermark
-        // (`pg_replicate.rs:677-760` run_event_loop) — here the resume
-        // point is the WAL position covering the last APPLIED commit:
-        // a transaction is resent whole or not at all, never half
-        var cur = client
-        var resumeWal = boundary
-        var attempts = 0
-        var done = false
-        val buf = mutable.ArrayBuffer[CdcEvent]()
-        val MaxAttempts = 5
-        while (!done) {
-          try {
-            cur.startReplication(slot, pub, resumeWal) { (bytes, walEnd) =>
-              buf ++= sess.onMessage(bytes)
-              // apply at txn boundaries: state is one txn's events,
-              // the stream never accumulates unbounded
-              if (buf.lastOption.exists(_.isInstanceOf[Commit])) {
-                table.apply(buf.toSeq)
-                buf.clear()
-                resumeWal = walEnd
-                attempts = 0 // progress resets the backoff (reference)
-              }
-            }
-            done = true // clean server-ended stream
-          } catch {
-            case t: Throwable if attempts < MaxAttempts =>
-              attempts += 1
-              // partial txn: the primary resends it whole from the
-              // resume point; discard the half and re-issue its LSNs
-              buf.clear()
-              sess.rollbackUncommitted()
-              try cur.close() catch { case _: Throwable => () }
-              Thread.sleep(math.min(60000L, 1000L * attempts))
-              try {
-                cur = new PgSyncClient(host, port, user, database)
-                cur.connect()
-              } catch { case _: Throwable => () /* next loop retries */ }
-            case t: Throwable => err = Some(t); done = true
-          }
-        }
-        try cur.close() catch { case _: Throwable => () }
-      }, s"graft-pg-cdc-$name")
-      thread.setDaemon(true)
-      thread.start()
-      Result(boundary, copied, thread, () => err)
+      val (thread, errFn) = catchUp(table, sess, client, slot, pub,
+        boundary, host, port, user, database, name, maxReconnects)
+      Result(boundary, copied, thread, errFn)
       } catch { case t: Throwable => catalog.dropTable(name); throw t }
     } catch { case t: Throwable => client.close(); throw t }
+  }
+
+  /** Restart-recovery for a mirrored table (the reference's
+   *  `recovery_utils.rs:120-170`: recovered tables restart replication
+   *  from stored metadata). The resume position comes from the SLOT:
+   *  START_REPLICATION at 0/0 lets its confirmed_flush_lsn decide —
+   *  which the conservative ack discipline kept at the last APPLIED
+   *  commit, so a process crash between receive and apply replays the
+   *  missing transactions and nothing else. The initial copy never
+   *  re-runs. */
+  def resume(catalog: GraftCatalog, name: String,
+      maxReconnects: Int = 5): Result = {
+    val entry = catalog.metadataStore.allEntries().find(_.table == name)
+      .getOrElse(throw new NoSuchElementException(
+        s"table $name is not registered"))
+    val u = java.net.URI.create(entry.srcUri)
+    require(u.getScheme == "postgresql" || u.getScheme == "postgres",
+      s"table $name has no postgres source: ${entry.srcUri}")
+    val (_, tbl) = entry.srcTableName.split('.') match {
+      case Array(a, b) => (a, b)
+      case Array(b) => ("public", b)
+      case _ => throw new IllegalArgumentException(
+        s"bad src_table_name: ${entry.srcTableName}")
+    }
+    val keys = entry.identity match {
+      case Identity.Keys(k) => k
+      case _ => Nil
+    }
+    val table = catalog.table(name)
+    val user = Option(u.getUserInfo).map(_.takeWhile(_ != ':'))
+      .getOrElse("postgres")
+    val database = Option(u.getPath).map(_.stripPrefix("/"))
+      .filter(_.nonEmpty).getOrElse("postgres")
+    val client = new PgSyncClient(u.getHost, u.getPort, user, database)
+    client.connect()
+    try {
+      // event LSNs continue above everything the table already holds
+      val sess = new PgOutput.Session(tbl, keys,
+        firstLsn = table.commitLsn + 1)
+      val (thread, errFn) = catchUp(table, sess, client,
+        s"graft_$name", s"graft_pub_$name", 0L, u.getHost, u.getPort,
+        user, database, name, maxReconnects)
+      Result(table.commitLsn, 0L, thread, errFn)
+    } catch { case t: Throwable => client.close(); throw t }
+  }
+
+  /** The catch-up loop shared by [[run]] and [[resume]]: apply events
+   *  at transaction boundaries, ack only APPLIED commit positions
+   *  (never the receive watermark), and reconnect on transport errors
+   *  with linear backoff, resuming from the WAL position covering the
+   *  last applied commit — a transaction is resent whole or not at
+   *  all, never half (the reference's replication event loop,
+   *  `pg_replicate.rs:677-760` run_event_loop). */
+  private def catchUp(table: GraftTable, sess: PgOutput.Session,
+      first: PgSyncClient, slot: String, pub: String, startWal: Long,
+      host: String, port: Int, user: String, database: String,
+      name: String, maxReconnects: Int): (Thread, () => Option[Throwable]) = {
+    @volatile var err: Option[Throwable] = scala.None
+    val thread = new Thread(() => {
+      var cur = first
+      var resumeWal = startWal
+      var attempts = 0
+      var done = false
+      val buf = mutable.ArrayBuffer[CdcEvent]()
+      while (!done) {
+        try {
+          cur.startReplication(slot, pub, resumeWal,
+            // the slot may trim only to APPLIED txn boundaries
+            ackLsn = () => resumeWal) { (bytes, walEnd) =>
+            buf ++= sess.onMessage(bytes)
+            // apply at txn boundaries: state is one txn's events, the
+            // stream never accumulates unbounded
+            if (buf.lastOption.exists(_.isInstanceOf[Commit])) {
+              table.apply(buf.toSeq)
+              buf.clear()
+              resumeWal = walEnd
+              attempts = 0 // progress resets the backoff (reference)
+            }
+          }
+          done = true // clean server-ended stream
+        } catch {
+          case t: Throwable if attempts < maxReconnects =>
+            attempts += 1
+            // partial txn: the primary resends it whole from the
+            // resume point; discard the half and re-issue its LSNs
+            buf.clear()
+            sess.rollbackUncommitted()
+            try cur.close() catch { case _: Throwable => () }
+            Thread.sleep(math.min(60000L, 1000L * attempts))
+            try {
+              cur = new PgSyncClient(host, port, user, database)
+              cur.connect()
+            } catch { case _: Throwable => () /* next loop retries */ }
+          case t: Throwable => err = Some(t); done = true
+        }
+      }
+      try cur.close() catch { case _: Throwable => () }
+    }, s"graft-pg-cdc-$name")
+    thread.setDaemon(true)
+    thread.start()
+    (thread, () => err)
   }
 }
 
@@ -581,6 +651,10 @@ final class PgMockPrimary(
   /** one scripted "block" per copy row, so ctid-range predicates slice
    *  rows directly (pg_relation_size → blocks = row count) */
   private def blocks: Long = math.max(1L, copyRows.size.toLong)
+  /** the slot's confirmed position: the max conservative ack seen —
+   *  what a START_REPLICATION at 0/0 resumes from */
+  @volatile private var confirmedFlushVar: Long = consistentPoint
+  def confirmedFlush: Long = confirmedFlushVar
 
   def port: Int = server.getLocalPort
 
@@ -755,16 +829,25 @@ final class PgMockPrimary(
     } finally sock.close()
   }
 
-  /** Stream the frames whose WAL position is at-or-above `fromLsn` —
-   *  the slot-resume contract: a reconnecting standby receives exactly
-   *  the suffix it has not confirmed. */
+  /** Stream the frames whose WAL position is at-or-above `fromLsnReq`
+   *  — the slot-resume contract: a reconnecting standby receives
+   *  exactly the suffix it has not confirmed. A request at 0/0 defers
+   *  to the slot's confirmed position (restart recovery). */
   private def streamFrames(in: DataInputStream, out: PgWire.MsgOut,
-      fromLsn: Long): Unit = {
+      fromLsnReq: Long): Unit = {
+    val fromLsn =
+      if (fromLsnReq <= 0L) math.max(confirmedFlushVar, consistentPoint)
+      else fromLsnReq
     out.send('W', Array[Byte](0, 0, 0))
     var lastEnd = math.max(fromLsn, consistentPoint)
     var sent = 0
     frames.indices.foreach { i =>
-      if (walStarts(i) >= fromLsn) {
+      // pgoutput re-sends Relation messages lazily PER CONNECTION (a
+      // new stream always describes a table before its first DML), so
+      // a resumed stream still opens with the Relation even though its
+      // WAL position precedes the resume point
+      val isRelation = frames(i).nonEmpty && frames(i)(0) == 'R'.toByte
+      if (walStarts(i) >= fromLsn || isRelation) {
         if (!droppedOnce && dropAfterFrames >= 0 &&
             framesSentTotal == dropAfterFrames) {
           droppedOnce = true
@@ -775,7 +858,9 @@ final class PgMockPrimary(
           awaitStatus(in, lastEnd)
         }
         out.send('d', PgWire.xlogData(walStarts(i), frames(i)))
-        lastEnd = walStarts(i + 1)
+        // a re-sent Relation's position precedes the resume point;
+        // the stream's end watermark never regresses
+        lastEnd = math.max(lastEnd, walStarts(i + 1))
         framesSentTotal += 1
         sent += 1
       }
@@ -798,7 +883,11 @@ final class PgMockPrimary(
       case Some(('d', b)) if b(0) == 'r' =>
         val flush = PgWire.i64(b, 9)
         statusQueue.add(flush)
-        require(flush >= wal, s"standby ack $flush behind keepalive $wal")
+        // a standby may ack BELOW the last-sent WAL (conservative,
+        // applied-commits-only acks) but never beyond it; the slot's
+        // confirmed position only moves forward
+        require(flush <= wal, s"standby ack $flush beyond sent WAL $wal")
+        confirmedFlushVar = math.max(confirmedFlushVar, flush)
       case other =>
         throw new IllegalStateException(s"expected standby status, got $other")
     }

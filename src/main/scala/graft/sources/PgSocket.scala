@@ -111,17 +111,22 @@ object PgWire {
   /** Copy-both loop shared by [[PgReplicationClient]] and the
    *  snapshot+catch-up [[PgSyncClient]]: each XLogData payload goes to
    *  `onFrame` with its WAL end position (the resume point covering
-   *  that frame); reply-requested keepalives are acked at the max WAL
-   *  seen (received == flushed == applied: callers apply
-   *  synchronously). Returns the final flushed LSN when the server
-   *  ends the stream CLEANLY (CopyDone → ReadyForQuery); an abrupt
-   *  close mid-stream raises EOFException so a reconnecting caller
-   *  (the reference's run_event_loop shape) can tell a blip from a
-   *  shutdown. */
+   *  that frame); reply-requested keepalives are answered with
+   *  `ackLsn()` when provided — the DURABLE position the slot may trim
+   *  to (the reference never advertises its in-memory watermark,
+   *  `pg_replicate.rs:704` "never advertise in-memory watermark as
+   *  this will drop unpersisted records on PG") — else with the max
+   *  WAL received (callers that apply synchronously). Returns the
+   *  final flushed LSN when the server ends the stream CLEANLY
+   *  (CopyDone → ReadyForQuery); an abrupt close mid-stream raises
+   *  EOFException so a reconnecting caller (the reference's
+   *  run_event_loop shape) can tell a blip from a shutdown. */
   def copyBothLoop(in: DataInputStream, out: MsgOut, startFlushed: Long,
       onFrame: (Array[Byte], Long) => Unit,
-      onFlushed: Long => Unit = _ => ()): Long = {
+      onFlushed: Long => Unit = _ => (),
+      ackLsn: () => Long = null): Long = {
     var flushed = startFlushed
+    def ack(): Long = if (ackLsn == null) flushed else ackLsn()
     var open = true
     while (open) readMessage(in) match {
       case Some(('W', _)) => () // CopyBothResponse — stream begins
@@ -133,8 +138,10 @@ object PgWire {
         case 'k' =>
           val walEnd = i64(body, 1)
           if (walEnd > flushed) { flushed = walEnd; onFlushed(flushed) }
-          if (body(17) != 0)
-            out.send('d', standbyStatus(flushed, flushed, flushed))
+          if (body(17) != 0) {
+            val a = ack()
+            out.send('d', standbyStatus(a, a, a))
+          }
         case other =>
           throw new java.io.IOException(s"unknown copy payload '$other'")
       }

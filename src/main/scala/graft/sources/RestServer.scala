@@ -144,6 +144,13 @@ final class RestServer(catalog: GraftCatalog, port: Int = 0,
         ingestRow(t, parse(body), Payload.Avro)
       case ("POST", "tables" :: t :: "from_postgres" :: Nil) =>
         createFromPostgres(t, parse(body))
+      case ("POST", "tables" :: t :: "resume_postgres" :: Nil) =>
+        // restart recovery for a mirrored table (the reference restarts
+        // replication for every recovered table, recovery_utils.rs:120):
+        // src_uri comes from the registry; the SLOT's confirmed position
+        // decides where the stream resumes
+        val res = PgInitialSync.resume(catalog, t)
+        200 -> obj("table" -> t, "lsn" -> res.boundaryLsn)
       case ("POST", "tables" :: t :: "optimize" :: Nil) =>
         catalog.table(t).optimize(); 200 -> obj()
       case ("POST", "tables" :: t :: "snapshot" :: Nil) =>

@@ -176,6 +176,60 @@ class PgInitialSyncSpec extends AnyFunSuite with BeforeAndAfterAll {
       2L -> Some("bob2"), 4L -> scala.None, 9L -> Some("nina")))
   }
 
+  test("crash recovery: a restarted process resumes from the slot's confirmed position") {
+    // process 1 mirrors, applies txn-1 (WAL-durable), then "crashes"
+    // (maxReconnects = 0 turns the injected drop into a process
+    // death). The conservative ack discipline means the slot's
+    // confirmed position covers exactly the APPLIED txn — so process 2
+    // (warehouse recover + resume with START_REPLICATION at 0/0, the
+    // reference's recovery_utils restart) replays txn-2 whole and
+    // nothing else: no lost txn, no double apply.
+    val wh = java.nio.file.Files
+      .createTempDirectory("pgsync-crash-wh").toString
+    val cat1 = GraftCatalog(spark, wh)
+    val frames = Seq(
+      PgOutput.encodeRelation(7, "public", "users",
+        Seq("id" -> 20, "name" -> 25, "score" -> 701)),
+      PgOutput.encodeBegin(1005L, 60L),
+      PgOutput.encodeUpdate(7, Seq(Some("2"), Some("bob2"), Some("2.5"))),
+      PgOutput.encodeCommit(1005L, 1006L),
+      PgOutput.encodeBegin(1010L, 61L),
+      PgOutput.encodeInsert(7, Seq(Some("9"), Some("nina"), scala.None)),
+      PgOutput.encodeDelete(7, Seq(Some("3"), scala.None, scala.None)),
+      PgOutput.encodeCommit(1010L, 1011L))
+    val primary = new PgMockPrimary(columns, copyRows,
+      consistentPoint = 1000L, frames = frames,
+      keepaliveEvery = 2, dropAfterFrames = 5).start()
+    val res = PgInitialSync.run(cat1, "users", "public.users",
+      host = "127.0.0.1", port = primary.port, user = "postgres",
+      database = "postgres",
+      srcUri = s"postgresql://127.0.0.1:${primary.port}/postgres",
+      maxReconnects = 0)
+    res.catchUp.join(30000)
+    assert(res.error().isDefined, "a zero-retry process must die on the blip")
+    assert(cat1.table("users").commitLsn == 1005L, "txn-1 applied pre-crash")
+    assert(primary.confirmedFlush > 1000L,
+      "the applied txn's ack must have reached the slot")
+    // process 2: recover the warehouse, resume from the registry
+    val (cat2, missing) = GraftCatalog.recover(spark, wh)
+    assert(missing.isEmpty)
+    assert(cat2.table("users").commitLsn == 1005L,
+      "WAL replay must restore the applied txn before resuming")
+    val res2 = PgInitialSync.resume(cat2, "users")
+    res2.catchUp.join(30000)
+    primary.join()
+    assert(primary.error.isEmpty, primary.error)
+    assert(res2.error().isEmpty, res2.error())
+    assert(primary.startedAtLsns.last == 0L,
+      "resume must defer to the slot (START_REPLICATION at 0/0)")
+    val t = cat2.table("users")
+    assert(t.commitLsn == 1010L)
+    val got = t.read().collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(1L -> Some("tab\there\nand newline"),
+      2L -> Some("bob2"), 4L -> scala.None, 9L -> Some("nina")))
+  }
+
   test("a failed snapshot phase leaves the create retryable") {
     val cat = GraftCatalog(spark,
       java.nio.file.Files.createTempDirectory("pgsync-retry-wh").toString)
