@@ -144,8 +144,7 @@ final class PgSyncClient(host: String, port: Int, user: String,
   def close(): Unit = if (sock != null) sock.close()
 
   private def pgError(body: Array[Byte]) = new java.io.IOException(
-    "pg error: " +
-      new String(body, UTF_8).split(0.toChar).filter(_.nonEmpty).mkString("; "))
+    s"pg error: ${PgWire.errText(body)}")
 
   private def q(sql: String): Array[Byte] = sql.getBytes(UTF_8) :+ 0.toByte
 
@@ -273,8 +272,7 @@ final class PgSyncClient(host: String, port: Int, user: String,
     case _ => throw new IllegalArgumentException(s"bad LSN text: $s")
   }
 
-  def lsnText(v: Long): String =
-    f"${(v >>> 32).toInt}%X/${v.toInt}%X"
+  def lsnText(v: Long): String = PgWire.lsnText(v)
 
   /** COPY .. TO STDOUT (text format): stream rows to `onRow` one at a
    *  time — driver memory stays one row + one CopyData frame no matter
@@ -283,20 +281,27 @@ final class PgSyncClient(host: String, port: Int, user: String,
     out.send('Q', q(sql))
     var n = 0L
     // 0x0A never occurs inside a UTF-8 multi-byte sequence, so a
-    // byte-level newline scan is safe across CopyData chunk boundaries
+    // byte-level newline scan is safe across CopyData chunk boundaries.
+    // Scan by OFFSET and compact once per frame — per-row array drops
+    // would make a many-row frame quadratic in its byte size.
     var buf = Array.empty[Byte]
     var open = true
     while (open) PgWire.readMessage(in) match {
       case Some(('H', _)) => () // CopyOutResponse
       case Some(('d', b)) =>
         buf = if (buf.isEmpty) b else buf ++ b
-        var nl = buf.indexOf('\n'.toByte)
+        var start = 0
+        var nl = buf.indexOf('\n'.toByte, start)
         while (nl >= 0) {
-          onRow(PgCopyText.decodeLine(new String(buf, 0, nl, UTF_8)))
+          onRow(PgCopyText.decodeLine(
+            new String(buf, start, nl - start, UTF_8)))
           n += 1
-          buf = buf.drop(nl + 1)
-          nl = buf.indexOf('\n'.toByte)
+          start = nl + 1
+          nl = buf.indexOf('\n'.toByte, start)
         }
+        buf = if (start == 0) buf
+              else if (start >= buf.length) Array.empty[Byte]
+              else buf.drop(start)
       case Some(('c', _)) | Some(('C', _)) => ()
       case Some(('E', b)) => throw pgError(b)
       case Some(('Z', _)) => open = false
@@ -361,6 +366,18 @@ object PgInitialSync {
     }
   }
 
+  /** Validate a REST-supplied relation identifier part before it is
+   *  interpolated into SQL run ON THE SOURCE PRIMARY (the reference
+   *  quote-identifies everything, `clients/postgres.rs`
+   *  quote_identifier): the simple-query protocol executes
+   *  multi-statement strings, so an unvalidated name is SQL injection
+   *  as the replication-privileged mirror user. */
+  private def identPart(s: String, what: String): String = {
+    require(s.matches("[A-Za-z_][A-Za-z0-9_$]*"),
+      s"$what must be a plain SQL identifier, got '$s'")
+    s
+  }
+
   def run(catalog: GraftCatalog, name: String, srcTableName: String,
       host: String, port: Int, user: String, database: String,
       srcUri: String,
@@ -376,11 +393,13 @@ object PgInitialSync {
       copyShards: Int = 4,
       maxReconnects: Int = 5): Result = {
     val (ns, tbl) = srcTableName.split('.') match {
-      case Array(a, b) => (a, b)
-      case Array(b) => ("public", b)
+      case Array(a, b) =>
+        (identPart(a, "src schema"), identPart(b, "src table"))
+      case Array(b) => ("public", identPart(b, "src table"))
       case _ => throw new IllegalArgumentException(
         s"src_table_name must be [schema.]table, got $srcTableName")
     }
+    identPart(name, "table name") // becomes the slot/publication name
     val slot = s"graft_$name"
     val pub = s"graft_pub_$name"
     val client = new PgSyncClient(host, port, user, database)
@@ -405,7 +424,11 @@ object PgInitialSync {
       val boundary = client.createSlotUseSnapshot(slot)
       val spark = table.spark
       val staging = s"${table.root}/copy-staging"
-      val colList = cols.map(_.name).mkString(", ")
+      // column names come from the primary's own catalog and may be
+      // arbitrary: quote-identify them (reference quote_identifier)
+      val colList = cols
+        .map(c => "\"" + c.name.replace("\"", "\"\"") + "\"")
+        .mkString(", ")
       def copyShard(c: PgSyncClient, pred: String, dir: String): Long = {
         val chunk = mutable.ArrayBuffer[Row]()
         def flushChunk(): Unit = if (chunk.nonEmpty) {
@@ -457,6 +480,10 @@ object PgInitialSync {
             th.setDaemon(true); th.start(); th
           }
           workers.foreach(_.join(600000))
+          // a worker still alive after the join window means a partial
+          // shard: committing would silently lose its missing rows
+          workers.find(_.isAlive).foreach(w => errs.add(
+            new java.io.IOException(s"copy shard ${w.getName} timed out")))
           if (!errs.isEmpty)
             throw new java.io.IOException(
               s"sharded copy failed: ${errs.peek()}", errs.peek())
@@ -471,8 +498,10 @@ object PgInitialSync {
         graft.format.Fio.delete(staging)
       }
       // catch-up: pgoutput event LSNs continue ABOVE the boundary (the
-      // snapshot already contains everything at-or-below it)
-      val sess = new PgOutput.Session(tbl, keys, firstLsn = boundary + 1)
+      // snapshot already contains everything at-or-below it, so a txn
+      // redelivered at-or-below it must be skipped, not re-applied)
+      val sess = new PgOutput.Session(tbl, keys, firstLsn = boundary + 1,
+        skipCommitsAtOrBelow = boundary)
       val (thread, errFn) = catchUp(table, sess, client, slot, pub,
         boundary, host, port, user, database, name, maxReconnects)
       Result(boundary, copied, thread, errFn)
@@ -514,9 +543,13 @@ object PgInitialSync {
     val client = new PgSyncClient(u.getHost, u.getPort, user, database)
     client.connect()
     try {
-      // event LSNs continue above everything the table already holds
+      // event LSNs continue above everything the table already holds;
+      // acks ride keepalives, so the slot's confirmed position may
+      // trail the applied position — redelivered txns at-or-below the
+      // table's commit LSN are skipped whole, never double-applied
       val sess = new PgOutput.Session(tbl, keys,
-        firstLsn = table.commitLsn + 1)
+        firstLsn = table.commitLsn + 1,
+        skipCommitsAtOrBelow = table.commitLsn)
       val (thread, errFn) = catchUp(table, sess, client,
         s"graft_$name", s"graft_pub_$name", 0L, u.getHost, u.getPort,
         user, database, name, maxReconnects)
@@ -536,6 +569,12 @@ object PgInitialSync {
       host: String, port: Int, user: String, database: String,
       name: String, maxReconnects: Int): (Thread, () => Option[Throwable]) = {
     @volatile var err: Option[Throwable] = scala.None
+    // a bulk source txn (the case proto_version '2' streaming exists
+    // for) must not accumulate in driver memory: past this many
+    // buffered events the half-txn is applied EARLY — its events carry
+    // the txn's xid, so the table STAGES them (M6 machinery) until the
+    // Commit event lands, and driver memory stays bounded
+    val FlushEvents = 50000
     val thread = new Thread(() => {
       var cur = first
       var resumeWal = startWal
@@ -548,22 +587,30 @@ object PgInitialSync {
             // the slot may trim only to APPLIED txn boundaries
             ackLsn = () => resumeWal) { (bytes, walEnd) =>
             buf ++= sess.onMessage(bytes)
-            // apply at txn boundaries: state is one txn's events, the
-            // stream never accumulates unbounded
-            if (buf.lastOption.exists(_.isInstanceOf[Commit])) {
+            val committed = buf.lastOption.exists(_.isInstanceOf[Commit])
+            if (committed || buf.size >= FlushEvents) {
               table.apply(buf.toSeq)
               buf.clear()
-              resumeWal = walEnd
-              attempts = 0 // progress resets the backoff (reference)
+              if (committed) {
+                resumeWal = walEnd
+                attempts = 0 // progress resets the backoff (reference)
+              }
             }
           }
           done = true // clean server-ended stream
         } catch {
-          case t: Throwable if attempts < maxReconnects =>
+          // ONLY transport errors are blips worth a reconnect;
+          // deterministic apply/protocol failures would fail
+          // identically on every retry and must surface immediately
+          case t: java.io.IOException if attempts < maxReconnects =>
             attempts += 1
             // partial txn: the primary resends it whole from the
-            // resume point; discard the half and re-issue its LSNs
+            // resume point — discard the buffered half, ABORT any
+            // early-applied staged half in the table (abortXact is a
+            // no-op for unknown xids), and re-issue the LSNs
             buf.clear()
+            sess.inFlightXid.foreach(x =>
+              table.apply(Seq(graft.model.StreamAbort(x))))
             sess.rollbackUncommitted()
             try cur.close() catch { case _: Throwable => () }
             Thread.sleep(math.min(60000L, 1000L * attempts))
@@ -665,8 +712,6 @@ final class PgMockPrimary(
 
   def start(): PgMockPrimary = { thread.setDaemon(true); thread.start(); this }
   def join(): Unit = thread.join(30000)
-
-  private def lsnText(v: Long): String = f"${(v >>> 32).toInt}%X/${v.toInt}%X"
 
   private def rowDescription(names: Seq[String]): Array[Byte] = {
     val o = new java.io.ByteArrayOutputStream()
@@ -770,7 +815,7 @@ final class PgMockPrimary(
             out.send('T', rowDescription(Seq("slot_name",
               "consistent_point", "snapshot_name", "output_plugin")))
             out.send('D', dataRow(Seq(Some("slot"),
-              Some(lsnText(consistentPoint)), Some("snap-1"),
+              Some(PgWire.lsnText(consistentPoint)), Some("snap-1"),
               Some("pgoutput"))))
             complete("CREATE_REPLICATION_SLOT"); ready()
           } else if (low.startsWith("copy") && failCopy) {

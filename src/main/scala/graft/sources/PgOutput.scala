@@ -271,7 +271,15 @@ object PgOutput {
       // first synthesized event LSN: a catch-up session that starts at
       // a snapshot boundary numbers its events ABOVE the boundary (the
       // snapshot already contains everything at-or-below it)
-      firstLsn: Long = 1L) {
+      firstLsn: Long = 1L,
+      // slot-redelivery floor: a resumed stream may RESEND transactions
+      // the table already applied (acks ride keepalives, so the slot's
+      // confirmed position can trail the applied position at a crash).
+      // A Begin whose final_lsn is at-or-below this floor skips the
+      // whole txn — events, commit, and alter diffs alike — instead of
+      // double-applying it or tripping the LSN-monotonicity require
+      // (the reference's skip_before_end_lsn, `pg_replicate.rs:727`).
+      skipCommitsAtOrBelow: Long = 0L) {
     private var rel: Option[Relation] = scala.None
     private var xid: Option[Long] = scala.None
     /** xid of the streamed (in-progress, v2) txn segment we are inside */
@@ -279,6 +287,12 @@ object PgOutput {
     private var nextLsn: Long = firstLsn // per-event LSNs within a txn
     /** nextLsn value right after the last Commit — the rollback point */
     private var committedNextLsn: Long = firstLsn
+    /** rel as of the last Commit — the rollback point for schema state
+     *  (an alter observed mid-txn must be re-emitted if the txn is
+     *  dropped and resent after a transport blip) */
+    private var committedRel: Option[Relation] = scala.None
+    /** inside a redelivered (already-applied) txn being skipped */
+    private var skipTxn = false
 
     private def cols: Seq[RelCol] = rel.get.cols
     private def keyIdx: Seq[Int] = keyCols.map(k => cols.indexWhere(_.name == k))
@@ -303,10 +317,26 @@ object PgOutput {
     /** streamed segments take priority over a Begin..Commit context */
     private def dmlXid: Option[Long] = streamXid.orElse(xid)
 
-    def onMessage(bytes: Array[Byte]): Seq[CdcEvent] =
-        decode(bytes, streamed = streamXid.isDefined) match {
-      case Begin(_, _, x) =>
-        xid = Some(x); Nil
+    def onMessage(bytes: Array[Byte]): Seq[CdcEvent] = {
+      val msg = decode(bytes, streamed = streamXid.isDefined)
+      if (skipTxn) msg match {
+        case _: CommitMsg =>
+          skipTxn = false
+          // the skipped txn's schema effects are committed state
+          committedRel = rel
+          Nil
+        case r @ Relation(_, _, name, _, _) if name == tableName =>
+          // keep the decoder's column registration current; the alter
+          // EVENTS were applied before the crash, so no diff is emitted
+          rel = Some(r); Nil
+        case _ => Nil // already-applied events of the redelivered txn
+      } else msg match {
+      case Begin(finalLsn, _, x) =>
+        // a redelivered, already-applied txn announces itself by its
+        // final LSN — skip it whole (see skipCommitsAtOrBelow)
+        if (finalLsn <= skipCommitsAtOrBelow) skipTxn = true
+        else xid = Some(x)
+        Nil
       case StreamStart(x, _) =>
         streamXid = Some(x); Nil
       case StreamStop =>
@@ -316,6 +346,7 @@ object PgOutput {
           s"stream-commit LSN $commitLsn below last event LSN ${nextLsn - 1}")
         nextLsn = math.max(nextLsn, commitLsn + 1)
         committedNextLsn = nextLsn
+        committedRel = rel
         Seq(Commit(commitLsn, Some(x)))
       case StreamAbortMsg(x, _) =>
         Seq(StreamAbort(x))
@@ -330,6 +361,7 @@ object PgOutput {
         val x = xid; xid = scala.None
         nextLsn = math.max(nextLsn, commitLsn + 1)
         committedNextLsn = nextLsn
+        committedRel = rel
         Seq(Commit(commitLsn, x))
       case r @ Relation(_, _, name, _, newCols) =>
         if (name != tableName) Nil // not our table's relation
@@ -368,20 +400,31 @@ object PgOutput {
         // tables; surface loudly rather than silently dropping data
         throw new UnsupportedOperationException(
           "TRUNCATE is not supported on graft tables")
+      }
     }
+
+    /** xid of the txn currently in flight, if any — the caller aborts
+     *  its staged half on a transport reconnect (the resent txn
+     *  re-stages from scratch). */
+    def inFlightXid: Option[Long] = streamXid.orElse(xid)
 
     /** Discard in-flight (uncommitted) txn state after a transport
      *  reconnect: the primary resends an interrupted transaction WHOLE
      *  from the slot's confirmed position, so the partial events were
      *  dropped by the caller and their synthesized LSNs must be
      *  re-issued — otherwise the resent txn's fixed commit LSN could
-     *  fall below the inflated event numbering. The Relation
-     *  registration survives (a real primary re-sends Relation per
-     *  connection; a repeat is a harmless no-op diff). */
+     *  fall below the inflated event numbering. The RELATION
+     *  registration rolls back to its last-committed state too: an
+     *  alter observed mid-txn emitted its AlterAdd/AlterDrop into the
+     *  dropped buffer, and only restoring the pre-txn schema makes the
+     *  resent Relation re-emit that diff (rel left at the new schema
+     *  would diff as a no-op and lose the schema change). */
     def rollbackUncommitted(): Unit = {
       nextLsn = committedNextLsn
+      rel = committedRel
       xid = scala.None
       streamXid = scala.None
+      skipTxn = false
     }
 
     /** current registered schema as (name, REST type) pairs */

@@ -67,6 +67,14 @@ object PgWire {
       Some((tag, body))
     } catch { case _: EOFException => None }
 
+  /** 64-bit WAL position as PG's "X/Y" hex text form. */
+  def lsnText(v: Long): String = f"${(v >>> 32).toInt}%X/${v.toInt}%X"
+
+  /** Human-readable text of an ErrorResponse body (NUL-separated
+   *  severity/code/message fields). */
+  def errText(body: Array[Byte]): String =
+    new String(body, UTF_8).split(0.toChar).filter(_.nonEmpty).mkString("; ")
+
   def i64(b: Array[Byte], off: Int): Long = {
     var v = 0L
     var i = 0
@@ -149,9 +157,7 @@ object PgWire {
         out.send('c', Array.emptyByteArray)
       case Some(('C', _)) => ()
       case Some(('E', body)) =>
-        throw new java.io.IOException("pg error: " +
-          new String(body, UTF_8).split(0.toChar)
-            .filter(_.nonEmpty).mkString("; "))
+        throw new java.io.IOException(s"pg error: ${errText(body)}")
       case Some(('Z', _)) => open = false
       case None =>
         throw new EOFException("server closed the replication stream mid-copy")
@@ -212,8 +218,7 @@ final class PgReplicationClient(host: String, port: Int, user: String,
     } finally sock.close()
   }
 
-  private def errText(body: Array[Byte]): String =
-    new String(body, UTF_8).split('\u0000').filter(_.nonEmpty).mkString("; ")
+  private def errText(body: Array[Byte]): String = PgWire.errText(body)
 }
 
 /**

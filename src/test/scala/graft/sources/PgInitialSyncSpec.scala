@@ -230,6 +230,56 @@ class PgInitialSyncSpec extends AnyFunSuite with BeforeAndAfterAll {
       2L -> Some("bob2"), 4L -> scala.None, 9L -> Some("nina")))
   }
 
+  test("resume skips a redelivered already-applied transaction whole") {
+    // crash AFTER applying txn-1 but BEFORE any ack reached the slot
+    // (acks ride keepalives; keepaliveEvery is huge here, so none
+    // fire): the slot's confirmed position stays at the consistent
+    // point and the resumed stream REDELIVERS txn-1. The session's
+    // skip floor (= the table's commit LSN) must drop it whole —
+    // without the skip, the redelivered 2-event txn renumbers past its
+    // fixed commit LSN and the monotonicity require bricks the mirror.
+    val wh = java.nio.file.Files
+      .createTempDirectory("pgsync-redeliver-wh").toString
+    val cat1 = GraftCatalog(spark, wh)
+    val frames = Seq(
+      PgOutput.encodeRelation(7, "public", "users",
+        Seq("id" -> 20, "name" -> 25, "score" -> 701)),
+      PgOutput.encodeBegin(1005L, 60L),
+      PgOutput.encodeUpdate(7, Seq(Some("2"), Some("bob2"), Some("2.5"))),
+      PgOutput.encodeInsert(7, Seq(Some("8"), Some("omar"), Some("8.0"))),
+      PgOutput.encodeCommit(1005L, 1006L),
+      PgOutput.encodeBegin(1010L, 61L),
+      PgOutput.encodeInsert(7, Seq(Some("9"), Some("nina"), scala.None)),
+      PgOutput.encodeDelete(7, Seq(Some("3"), scala.None, scala.None)),
+      PgOutput.encodeCommit(1010L, 1011L))
+    val primary = new PgMockPrimary(columns, copyRows,
+      consistentPoint = 1000L, frames = frames,
+      dropAfterFrames = 5).start() // after txn-1's commit, no acks yet
+    val res = PgInitialSync.run(cat1, "users", "public.users",
+      host = "127.0.0.1", port = primary.port, user = "postgres",
+      database = "postgres",
+      srcUri = s"postgresql://127.0.0.1:${primary.port}/postgres",
+      maxReconnects = 0)
+    res.catchUp.join(30000)
+    assert(res.error().isDefined, "zero-retry process must die on the blip")
+    assert(cat1.table("users").commitLsn == 1005L)
+    assert(primary.confirmedFlush == 1000L,
+      "no ack may have reached the slot before the crash")
+    val (cat2, _) = GraftCatalog.recover(spark, wh)
+    val res2 = PgInitialSync.resume(cat2, "users")
+    res2.catchUp.join(30000)
+    primary.join()
+    assert(primary.error.isEmpty, primary.error)
+    assert(res2.error().isEmpty, res2.error())
+    val t = cat2.table("users")
+    assert(t.commitLsn == 1010L)
+    val got = t.read().collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(1L -> Some("tab\there\nand newline"),
+      2L -> Some("bob2"), 4L -> scala.None, 8L -> Some("omar"),
+      9L -> Some("nina")))
+  }
+
   test("a failed snapshot phase leaves the create retryable") {
     val cat = GraftCatalog(spark,
       java.nio.file.Files.createTempDirectory("pgsync-retry-wh").toString)
