@@ -58,6 +58,27 @@ object Serve {
     val (catalog, missing) = GraftCatalog.recover(spark, cfg.basePath)
     missing.foreach(e => System.err.println(
       s"[graft-serve] WARN registered table ${e.table} has no manifest; skipped"))
+    // recovery also RESTARTS replication for postgres mirrors (the
+    // reference restarts each recovered table's connector,
+    // `recovery_utils.rs:120-170`): the slot's confirmed position — kept
+    // at the last applied commit by the conservative ack discipline —
+    // decides where each stream resumes. An unreachable source must not
+    // fail the whole boot; `POST /tables/{t}/resume_postgres` retries it
+    // explicitly later.
+    catalog.metadataStore.allEntries()
+      .filter(e => e.database == catalog.database &&
+        (e.srcUri.startsWith("postgresql://") ||
+          e.srcUri.startsWith("postgres://")) &&
+        catalog.list.contains(e.table))
+      .foreach { e =>
+        try {
+          graft.sources.PgInitialSync.resume(catalog, e.table)
+          System.err.println(s"[graft-serve] resumed postgres mirror ${e.table}")
+        } catch {
+          case t: Throwable => System.err.println(
+            s"[graft-serve] WARN cannot resume mirror ${e.table}: ${t.getMessage}")
+        }
+      }
     val rest = cfg.restPort.map(p => new RestServer(catalog, p).start())
     // the OTEL port serves ONLY /v1/metrics + /health (reference model:
     // the otel ingestion port has no admin surface)

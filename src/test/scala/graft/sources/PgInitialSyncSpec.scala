@@ -230,6 +230,39 @@ class PgInitialSyncSpec extends AnyFunSuite with BeforeAndAfterAll {
       2L -> Some("bob2"), 4L -> scala.None, 9L -> Some("nina")))
   }
 
+  test("Serve boot auto-resumes a recovered postgres mirror") {
+    // the deployment surface: a service restart recovers the warehouse
+    // AND restarts replication for every postgres mirror (the
+    // reference's recovery_utils), without any explicit verb
+    val wh = java.nio.file.Files
+      .createTempDirectory("pgsync-serve-wh").toString
+    val cat1 = GraftCatalog(spark, wh)
+    val primary = new PgMockPrimary(columns, copyRows,
+      consistentPoint = 1000L, frames = cdcFrames("users"),
+      keepaliveEvery = 2, dropAfterFrames = 5).start()
+    val res = PgInitialSync.run(cat1, "users", "public.users",
+      host = "127.0.0.1", port = primary.port, user = "postgres",
+      database = "postgres",
+      srcUri = s"postgresql://127.0.0.1:${primary.port}/postgres",
+      maxReconnects = 0)
+    res.catchUp.join(30000)
+    assert(res.error().isDefined, "zero-retry process must die on the blip")
+    // "restart the service": every transport off, just recovery + daemon
+    val h = graft.tools.Serve.start(spark, graft.tools.Serve.Config(
+      wh, restPort = scala.None, tcpPort = scala.None,
+      otelPort = scala.None))
+    try {
+      val deadline = System.currentTimeMillis() + 20000
+      while (h.catalog.table("users").commitLsn < 1010L &&
+          System.currentTimeMillis() < deadline) Thread.sleep(20)
+      primary.join()
+      assert(primary.error.isEmpty, primary.error)
+      val t = h.catalog.table("users")
+      assert(t.commitLsn == 1010L, "boot must have resumed the mirror")
+      assert(t.read().where("id = 9").count() == 1)
+    } finally h.stop()
+  }
+
   test("resume skips a redelivered already-applied transaction whole") {
     // crash AFTER applying txn-1 but BEFORE any ack reached the slot
     // (acks ride keepalives; keepaliveEvery is huge here, so none
