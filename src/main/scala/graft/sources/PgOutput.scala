@@ -342,12 +342,20 @@ object PgOutput {
       case StreamStop =>
         streamXid = scala.None; Nil
       case StreamCommit(x, commitLsn, _) =>
-        require(commitLsn >= nextLsn - 1,
-          s"stream-commit LSN $commitLsn below last event LSN ${nextLsn - 1}")
-        nextLsn = math.max(nextLsn, commitLsn + 1)
-        committedNextLsn = nextLsn
-        committedRel = rel
-        Seq(Commit(commitLsn, Some(x)))
+        if (commitLsn <= skipCommitsAtOrBelow) {
+          // redelivered already-applied STREAMED txn (its segments
+          // carry no Begin, so the plain-txn skip could not catch it):
+          // abort the re-staged duplicate instead of committing it
+          // twice — the segments' re-issued LSNs become a harmless gap
+          Seq(StreamAbort(x))
+        } else {
+          require(commitLsn >= nextLsn - 1,
+            s"stream-commit LSN $commitLsn below last event LSN ${nextLsn - 1}")
+          nextLsn = math.max(nextLsn, commitLsn + 1)
+          committedNextLsn = nextLsn
+          committedRel = rel
+          Seq(Commit(commitLsn, Some(x)))
+        }
       case StreamAbortMsg(x, _) =>
         Seq(StreamAbort(x))
       case _: TypeMsg | _: Origin => Nil // metadata-only messages

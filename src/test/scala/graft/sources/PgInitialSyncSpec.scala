@@ -313,6 +313,38 @@ class PgInitialSyncSpec extends AnyFunSuite with BeforeAndAfterAll {
       9L -> Some("nina")))
   }
 
+  test("session skips redelivered txns at the decode level, streamed included") {
+    import graft.model.{Append, Commit, StreamAbort}
+    // plain txn at-or-below the floor: skipped whole, even its alters
+    val s1 = new PgOutput.Session("t", Seq("id"), firstLsn = 101L,
+      skipCommitsAtOrBelow = 100L)
+    val rel = PgOutput.encodeRelation(5, "public", "t", Seq("id" -> 20))
+    assert(s1.onMessage(rel).isEmpty)
+    assert(s1.onMessage(PgOutput.encodeBegin(90L, 7L)).isEmpty)
+    assert(s1.onMessage(PgOutput.encodeInsert(5, Seq(Some("1")))).isEmpty,
+      "DML of a redelivered txn must be dropped")
+    assert(s1.onMessage(PgOutput.encodeCommit(90L, 91L)).isEmpty)
+    // the next (new) txn flows normally with clean LSNs
+    assert(s1.onMessage(PgOutput.encodeBegin(110L, 8L)).isEmpty)
+    val ev = s1.onMessage(PgOutput.encodeInsert(5, Seq(Some("2"))))
+    assert(ev.exists { case Append(_, lsn, _) => lsn == 101L; case _ => false },
+      s"fresh txn must number from firstLsn, got $ev")
+    assert(s1.onMessage(PgOutput.encodeCommit(110L, 111L))
+      .exists { case Commit(110L, _) => true; case _ => false })
+    // STREAMED redelivery: segments carry no Begin, so the skip fires
+    // at StreamCommit — as an abort of the re-staged duplicate
+    val s2 = new PgOutput.Session("t", Seq("id"), firstLsn = 101L,
+      skipCommitsAtOrBelow = 100L)
+    assert(s2.onMessage(rel).isEmpty)
+    assert(s2.onMessage(PgOutput.encodeStreamStart(9L, first = true)).isEmpty)
+    assert(s2.onMessage(
+      PgOutput.encodeStreamedInsert(9L, 5, Seq(Some("3")))).nonEmpty)
+    assert(s2.onMessage(PgOutput.encodeStreamStop()).isEmpty)
+    assert(s2.onMessage(PgOutput.encodeStreamCommit(9L, 95L)) ==
+      Seq(StreamAbort(9L)),
+      "a redelivered streamed txn must abort its re-staged half")
+  }
+
   test("a failed snapshot phase leaves the create retryable") {
     val cat = GraftCatalog(spark,
       java.nio.file.Files.createTempDirectory("pgsync-retry-wh").toString)
