@@ -143,31 +143,42 @@ final class PgSyncClient(host: String, port: Int, user: String,
 
   def close(): Unit = if (sock != null) sock.close()
 
-  private def pgError(body: Array[Byte]) = new java.io.IOException(
-    s"pg error: ${PgWire.errText(body)}")
+  private def pgError(body: Array[Byte]) = PgWire.serverError(body)
 
   private def q(sql: String): Array[Byte] = sql.getBytes(UTF_8) :+ 0.toByte
 
   /** Simple query: returns (RowDescription fields as (name, typOid,
    *  typMod), DataRows as text values). Commands without a result set
-   *  return empty on both sides. */
+   *  return empty on both sides. A backend error surfaces as
+   *  [[PgWire.ServerError]] (SQLSTATE-aware). */
   def simpleQuery(sql: String)
       : (Seq[(String, Int, Int)], Seq[Seq[Option[String]]]) = {
+    val (f, r, _) = simpleQueryT(sql)
+    (f, r)
+  }
+
+  /** [[simpleQuery]] plus the CommandComplete tags ("INSERT 0 1",
+   *  "DELETE 1", ...) — the affected-row accounting SQL callers need. */
+  def simpleQueryT(sql: String): (Seq[(String, Int, Int)],
+      Seq[Seq[Option[String]]], Seq[String]) = {
     out.send('Q', q(sql))
     var fields = Seq.empty[(String, Int, Int)]
     val rows = mutable.ArrayBuffer[Seq[Option[String]]]()
+    val tags = mutable.ArrayBuffer[String]()
     var open = true
     while (open) PgWire.readMessage(in) match {
       case Some(('T', b)) => fields = parseRowDescription(b)
       case Some(('D', b)) => rows += parseDataRow(b)
-      case Some(('C', _)) | Some(('S', _)) | Some(('N', _)) => ()
+      case Some(('C', b)) =>
+        tags += new String(b, UTF_8).takeWhile(_ != 0.toChar)
+      case Some(('S', _)) | Some(('N', _)) => ()
       case Some(('E', b)) => throw pgError(b)
       case Some(('Z', _)) => open = false
       case Some((t, _)) =>
         throw new java.io.IOException(s"unexpected message '$t' in query")
       case scala.None => throw new EOFException("server closed mid-query")
     }
-    (fields, rows.toSeq)
+    (fields, rows.toSeq, tags.toSeq)
   }
 
   private def parseRowDescription(b: Array[Byte]): Seq[(String, Int, Int)] = {

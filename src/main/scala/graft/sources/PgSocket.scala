@@ -75,6 +75,36 @@ object PgWire {
   def errText(body: Array[Byte]): String =
     new String(body, UTF_8).split(0.toChar).filter(_.nonEmpty).mkString("; ")
 
+  /** Parsed ErrorResponse fields: each is a code byte + cstr value,
+   *  the list NUL-terminated ('S' severity, 'C' SQLSTATE, 'M'
+   *  message). */
+  def errFields(body: Array[Byte]): Map[Char, String] = {
+    val out = Map.newBuilder[Char, String]
+    var i = 0
+    while (i < body.length && body(i) != 0) {
+      val code = body(i).toChar
+      var end = i + 1
+      while (end < body.length && body(end) != 0) end += 1
+      out += code -> new String(body, i + 1, end - i - 1, UTF_8)
+      i = end + 1
+    }
+    out.result()
+  }
+
+  /** A backend ErrorResponse with its structured fields — still an
+   *  IOException so transport-level retry loops treat it uniformly,
+   *  but SQL-aware callers can branch on the SQLSTATE (e.g. class 23
+   *  integrity violations). */
+  final class ServerError(val fields: Map[Char, String])
+      extends java.io.IOException(
+        "pg error: " + fields.toSeq.sortBy(_._1)
+          .map { case (c, v) => s"$c=$v" }.mkString("; ")) {
+    def sqlState: String = fields.getOrElse('C', "")
+  }
+
+  def serverError(body: Array[Byte]): ServerError =
+    new ServerError(errFields(body))
+
   def i64(b: Array[Byte], off: Int): Long = {
     var v = 0L
     var i = 0

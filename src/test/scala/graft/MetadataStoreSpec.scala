@@ -79,6 +79,21 @@ class MetadataStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     contractSuite(() => new InMemoryMetadataBackend, identity)
   }
 
+  test("contract: postgres WIRE backend over a scripted registry primary") {
+    // the reference's postgres registry (postgres_metadata_store.rs)
+    // spoken over the engine's own v3 simple-query client — no driver
+    // jar; the scripted primary holds the registry across connections
+    // and answers duplicate inserts with a real SQLSTATE-23505
+    // ErrorResponse. "reopen" = a fresh backend handle, new sockets.
+    val srv = new PgMockMetaServer().start()
+    try {
+      contractSuite(
+        () => new PgWireMetadataBackend("127.0.0.1", srv.port),
+        _ => new PgWireMetadataBackend("127.0.0.1", srv.port))
+      assert(srv.error.isEmpty, srv.error)
+    } finally srv.stop()
+  }
+
   test("JDBC backend speaks the reference registry schema") {
     // no driver jars ship in this environment, so the backend is pinned
     // two ways: (a) its SQL is the reference's `tables` schema verbatim
