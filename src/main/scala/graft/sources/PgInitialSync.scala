@@ -113,20 +113,29 @@ final case class PgColumn(name: String, typeOid: Int, typeMod: Int,
  * `ReplicationClient` shape. Trust auth only (like [[PgReplicationClient]]).
  */
 final class PgSyncClient(host: String, port: Int, user: String,
-    database: String) {
+    database: String,
+    // replication=database makes START_REPLICATION legal but requires
+    // the REPLICATION role attribute; plain-SQL users (the metadata
+    // registry) connect without it
+    replication: Boolean = true,
+    connectTimeoutMs: Int = 15000) {
   private var sock: Socket = null
   private var in: DataInputStream = null
   private var out: PgWire.MsgOut = null
   @volatile var flushedLsn: Long = 0L
 
   def connect(): Unit = {
-    sock = new Socket(host, port)
+    sock = new Socket()
+    // a blackholed host must fail fast, not hang a boot for the OS
+    // connect timeout
+    sock.connect(new java.net.InetSocketAddress(host, port), connectTimeoutMs)
     sock.setTcpNoDelay(true)
     in = new DataInputStream(sock.getInputStream)
     out = new PgWire.MsgOut(new DataOutputStream(sock.getOutputStream))
-    out.sendStartup(Seq(
-      "user" -> user, "database" -> database,
-      "replication" -> "database", "application_name" -> "graft"))
+    out.sendStartup(
+      Seq("user" -> user, "database" -> database) ++
+        (if (replication) Seq("replication" -> "database") else Nil) ++
+        Seq("application_name" -> "graft"))
     var ready = false
     while (!ready) PgWire.readMessage(in) match {
       case Some(('R', body)) =>
@@ -355,7 +364,10 @@ final class PgSyncClient(host: String, port: Int, user: String,
  */
 object PgInitialSync {
   final case class Result(boundaryLsn: Long, copiedRows: Long,
-      catchUp: Thread, error: () => Option[Throwable])
+      catchUp: Thread, error: () => Option[Throwable],
+      /** stop replication: close the stream and let the thread exit
+       *  without logging an error (service shutdown path) */
+      stop: () => Unit)
 
   private val ChunkRows = 65536
 
@@ -513,9 +525,9 @@ object PgInitialSync {
       // redelivered at-or-below it must be skipped, not re-applied)
       val sess = new PgOutput.Session(tbl, keys, firstLsn = boundary + 1,
         skipCommitsAtOrBelow = boundary)
-      val (thread, errFn) = catchUp(table, sess, client, slot, pub,
+      val (thread, errFn, stopFn) = catchUp(table, sess, client, slot, pub,
         boundary, host, port, user, database, name, maxReconnects)
-      Result(boundary, copied, thread, errFn)
+      Result(boundary, copied, thread, errFn, stopFn)
       } catch { case t: Throwable => catalog.dropTable(name); throw t }
     } catch { case t: Throwable => client.close(); throw t }
   }
@@ -530,12 +542,16 @@ object PgInitialSync {
    *  re-runs. */
   def resume(catalog: GraftCatalog, name: String,
       maxReconnects: Int = 5): Result = {
-    val entry = catalog.metadataStore.allEntries().find(_.table == name)
+    // the registry id is (database, table) — a same-named table in
+    // another database must never supply the source
+    val entry = catalog.metadataStore.allEntries()
+      .find(e => e.database == catalog.database && e.table == name)
       .getOrElse(throw new NoSuchElementException(
-        s"table $name is not registered"))
+        s"table ${catalog.database}.$name is not registered"))
     val u = java.net.URI.create(entry.srcUri)
     require(u.getScheme == "postgresql" || u.getScheme == "postgres",
       s"table $name has no postgres source: ${entry.srcUri}")
+    val port = if (u.getPort > 0) u.getPort else 5432
     val (_, tbl) = entry.srcTableName.split('.') match {
       case Array(a, b) => (a, b)
       case Array(b) => ("public", b)
@@ -551,7 +567,7 @@ object PgInitialSync {
       .getOrElse("postgres")
     val database = Option(u.getPath).map(_.stripPrefix("/"))
       .filter(_.nonEmpty).getOrElse("postgres")
-    val client = new PgSyncClient(u.getHost, u.getPort, user, database)
+    val client = new PgSyncClient(u.getHost, port, user, database)
     client.connect()
     try {
       // event LSNs continue above everything the table already holds;
@@ -561,10 +577,10 @@ object PgInitialSync {
       val sess = new PgOutput.Session(tbl, keys,
         firstLsn = table.commitLsn + 1,
         skipCommitsAtOrBelow = table.commitLsn)
-      val (thread, errFn) = catchUp(table, sess, client,
-        s"graft_$name", s"graft_pub_$name", 0L, u.getHost, u.getPort,
+      val (thread, errFn, stopFn) = catchUp(table, sess, client,
+        s"graft_$name", s"graft_pub_$name", 0L, u.getHost, port,
         user, database, name, maxReconnects)
-      Result(table.commitLsn, 0L, thread, errFn)
+      Result(table.commitLsn, 0L, thread, errFn, stopFn)
     } catch { case t: Throwable => client.close(); throw t }
   }
 
@@ -578,8 +594,11 @@ object PgInitialSync {
   private def catchUp(table: GraftTable, sess: PgOutput.Session,
       first: PgSyncClient, slot: String, pub: String, startWal: Long,
       host: String, port: Int, user: String, database: String,
-      name: String, maxReconnects: Int): (Thread, () => Option[Throwable]) = {
+      name: String, maxReconnects: Int)
+      : (Thread, () => Option[Throwable], () => Unit) = {
     @volatile var err: Option[Throwable] = scala.None
+    @volatile var stopRequested = false
+    @volatile var curRef: PgSyncClient = first
     // a bulk source txn (the case proto_version '2' streaming exists
     // for) must not accumulate in driver memory: past this many
     // buffered events the half-txn is applied EARLY — its events carry
@@ -613,30 +632,44 @@ object PgInitialSync {
           // ONLY transport errors are blips worth a reconnect;
           // deterministic apply/protocol failures would fail
           // identically on every retry and must surface immediately
-          case t: java.io.IOException if attempts < maxReconnects =>
+          case t: java.io.IOException
+              if !stopRequested && attempts < maxReconnects =>
             attempts += 1
-            // partial txn: the primary resends it whole from the
-            // resume point — discard the buffered half, ABORT any
+            // partial txns: the primary resends them whole from the
+            // resume point — discard the buffered half, ABORT every
             // early-applied staged half in the table (abortXact is a
             // no-op for unknown xids), and re-issue the LSNs
             buf.clear()
-            sess.inFlightXid.foreach(x =>
+            sess.inFlightXids.foreach(x =>
               table.apply(Seq(graft.model.StreamAbort(x))))
             sess.rollbackUncommitted()
             try cur.close() catch { case _: Throwable => () }
             Thread.sleep(math.min(60000L, 1000L * attempts))
             try {
               cur = new PgSyncClient(host, port, user, database)
+              curRef = cur
               cur.connect()
             } catch { case _: Throwable => () /* next loop retries */ }
-          case t: Throwable => err = Some(t); done = true
+          case t: Throwable =>
+            done = true
+            if (!stopRequested) {
+              err = Some(t)
+              // a mirror that stops replicating must be VISIBLE, not a
+              // silently-dead daemon thread
+              System.err.println(
+                s"[graft-pg-cdc] $name replication stopped: $t")
+            }
         }
       }
       try cur.close() catch { case _: Throwable => () }
     }, s"graft-pg-cdc-$name")
     thread.setDaemon(true)
     thread.start()
-    (thread, () => err)
+    val stopFn = () => {
+      stopRequested = true
+      try curRef.close() catch { case _: Throwable => () }
+    }
+    (thread, () => err, stopFn)
   }
 }
 

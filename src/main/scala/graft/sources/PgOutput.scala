@@ -293,6 +293,8 @@ object PgOutput {
     private var committedRel: Option[Relation] = scala.None
     /** inside a redelivered (already-applied) txn being skipped */
     private var skipTxn = false
+    /** streamed txns with segments in flight (v2 interleaving) */
+    private val liveStreamXids = mutable.Set[Long]()
 
     private def cols: Seq[RelCol] = rel.get.cols
     private def keyIdx: Seq[Int] = keyCols.map(k => cols.indexWhere(_.name == k))
@@ -338,15 +340,22 @@ object PgOutput {
         else xid = Some(x)
         Nil
       case StreamStart(x, _) =>
-        streamXid = Some(x); Nil
+        streamXid = Some(x); liveStreamXids += x; Nil
       case StreamStop =>
         streamXid = scala.None; Nil
       case StreamCommit(x, commitLsn, _) =>
+        liveStreamXids -= x
         if (commitLsn <= skipCommitsAtOrBelow) {
           // redelivered already-applied STREAMED txn (its segments
           // carry no Begin, so the plain-txn skip could not catch it):
           // abort the re-staged duplicate instead of committing it
-          // twice — the segments' re-issued LSNs become a harmless gap
+          // twice. The duplicate's segments consumed synthesized LSNs;
+          // re-issue them so the counter cannot inflate past the next
+          // genuine commit's LSN — but only when no OTHER txn is in
+          // flight (rolling back under interleave would renumber a
+          // live txn's later segments below its earlier ones)
+          if (liveStreamXids.isEmpty && xid.isEmpty)
+            nextLsn = committedNextLsn
           Seq(StreamAbort(x))
         } else {
           require(commitLsn >= nextLsn - 1,
@@ -357,6 +366,7 @@ object PgOutput {
           Seq(Commit(commitLsn, Some(x)))
         }
       case StreamAbortMsg(x, _) =>
+        liveStreamXids -= x
         Seq(StreamAbort(x))
       case _: TypeMsg | _: Origin => Nil // metadata-only messages
       case CommitMsg(_, commitLsn, _, _) =>
@@ -416,6 +426,11 @@ object PgOutput {
      *  re-stages from scratch). */
     def inFlightXid: Option[Long] = streamXid.orElse(xid)
 
+    /** ALL txns with uncommitted state (the plain in-flight txn plus
+     *  every interleaved streamed txn with open segments) — what a
+     *  reconnecting caller must abort before the resend re-stages. */
+    def inFlightXids: Seq[Long] = (liveStreamXids ++ xid).toSeq
+
     /** Discard in-flight (uncommitted) txn state after a transport
      *  reconnect: the primary resends an interrupted transaction WHOLE
      *  from the slot's confirmed position, so the partial events were
@@ -432,6 +447,7 @@ object PgOutput {
       rel = committedRel
       xid = scala.None
       streamXid = scala.None
+      liveStreamXids.clear()
       skipTxn = false
     }
 

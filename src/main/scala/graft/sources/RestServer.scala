@@ -230,14 +230,14 @@ final class RestServer(catalog: GraftCatalog, port: Int = 0,
     val u = java.net.URI.create(srcUri)
     require(u.getScheme == "postgresql" || u.getScheme == "postgres",
       s"unsupported src_uri scheme: $srcUri")
-    require(u.getPort > 0, s"src_uri must carry an explicit port: $srcUri")
     val user = Option(u.getUserInfo).map(_.takeWhile(_ != ':'))
       .getOrElse("postgres")
     val db = Option(u.getPath).map(_.stripPrefix("/")).filter(_.nonEmpty)
       .getOrElse("postgres")
     val res = PgInitialSync.run(catalog, name, srcTable,
-      host = u.getHost, port = u.getPort, user = user, database = db,
-      srcUri = srcUri)
+      host = u.getHost,
+      port = if (u.getPort > 0) u.getPort else 5432,
+      user = user, database = db, srcUri = srcUri)
     200 -> obj("table" -> name, "lsn" -> res.boundaryLsn,
       "copied_rows" -> res.copiedRows)
   }

@@ -23,14 +23,16 @@ final class PgWireMetadataBackend(host: String, port: Int,
     if (s == null) "NULL" else "'" + s.replace("'", "''") + "'"
 
   private def withClient[T](f: PgSyncClient => T): T = {
-    val c = new PgSyncClient(host, port, user, database)
+    // plain SQL connection: the registry user needs no REPLICATION role
+    val c = new PgSyncClient(host, port, user, database,
+      replication = false)
     c.connect()
     try f(c) finally c.close()
   }
 
   private def exists(c: PgSyncClient): Boolean =
-    c.simpleQuery(
-      "select 1 from pg_tables where tablename = 'tables';")._2.nonEmpty
+    c.simpleQuery("select 1 from pg_tables where schemaname = 'public'" +
+      " and tablename = 'tables';")._2.nonEmpty
 
   override def metadataTableExists: Boolean = withClient(exists)
 

@@ -42,7 +42,15 @@ object Serve {
       val otel: Option[RestServer],
       val tcp: Option[RpcTcpServer],
       val daemon: MaintenanceDaemon) {
+    /** replication streams resumed at boot, as they come up */
+    private[Serve] val mirrorQueue = new java.util.concurrent
+      .ConcurrentLinkedQueue[(String, graft.sources.PgInitialSync.Result)]()
+    def mirrors: Seq[(String, graft.sources.PgInitialSync.Result)] = {
+      import scala.jdk.CollectionConverters._
+      mirrorQueue.asScala.toSeq
+    }
     def stop(): Unit = {
+      mirrors.foreach(_._2.stop()) // close replication streams first
       daemon.stop()
       tcp.foreach(_.stop())
       otel.foreach(_.stop())
@@ -58,27 +66,6 @@ object Serve {
     val (catalog, missing) = GraftCatalog.recover(spark, cfg.basePath)
     missing.foreach(e => System.err.println(
       s"[graft-serve] WARN registered table ${e.table} has no manifest; skipped"))
-    // recovery also RESTARTS replication for postgres mirrors (the
-    // reference restarts each recovered table's connector,
-    // `recovery_utils.rs:120-170`): the slot's confirmed position — kept
-    // at the last applied commit by the conservative ack discipline —
-    // decides where each stream resumes. An unreachable source must not
-    // fail the whole boot; `POST /tables/{t}/resume_postgres` retries it
-    // explicitly later.
-    catalog.metadataStore.allEntries()
-      .filter(e => e.database == catalog.database &&
-        (e.srcUri.startsWith("postgresql://") ||
-          e.srcUri.startsWith("postgres://")) &&
-        catalog.list.contains(e.table))
-      .foreach { e =>
-        try {
-          graft.sources.PgInitialSync.resume(catalog, e.table)
-          System.err.println(s"[graft-serve] resumed postgres mirror ${e.table}")
-        } catch {
-          case t: Throwable => System.err.println(
-            s"[graft-serve] WARN cannot resume mirror ${e.table}: ${t.getMessage}")
-        }
-      }
     val rest = cfg.restPort.map(p => new RestServer(catalog, p).start())
     // the OTEL port serves ONLY /v1/metrics + /health (reference model:
     // the otel ingestion port has no admin surface)
@@ -89,7 +76,36 @@ object Serve {
       new RpcTcpServer(() => new RpcServer(catalog), p).start())
     val daemon = new MaintenanceDaemon(catalog,
       maintenanceEveryMs = cfg.maintenanceMs).start()
-    new Handle(catalog, rest, otel, tcp, daemon)
+    val handle = new Handle(catalog, rest, otel, tcp, daemon)
+    // recovery also RESTARTS replication for postgres mirrors (the
+    // reference restarts each recovered table's connector,
+    // `recovery_utils.rs:120-170`): the slot's confirmed position — kept
+    // at the last applied commit by the conservative ack discipline —
+    // decides where each stream resumes. Runs on its OWN thread so an
+    // unreachable source (connect timeout) delays nothing: the
+    // transports above are already serving, and
+    // `POST /tables/{t}/resume_postgres` retries any mirror that failed.
+    val resumeThread = new Thread(() => {
+      catalog.metadataStore.allEntries()
+        .filter(e => e.database == catalog.database &&
+          (e.srcUri.startsWith("postgresql://") ||
+            e.srcUri.startsWith("postgres://")) &&
+          catalog.list.contains(e.table))
+        .foreach { e =>
+          try {
+            handle.mirrorQueue.add(
+              (e.table, graft.sources.PgInitialSync.resume(catalog, e.table)))
+            System.err.println(
+              s"[graft-serve] resumed postgres mirror ${e.table}")
+          } catch {
+            case t: Throwable => System.err.println(
+              s"[graft-serve] WARN cannot resume mirror ${e.table}: ${t.getMessage}")
+          }
+        }
+    }, "graft-serve-resume")
+    resumeThread.setDaemon(true)
+    resumeThread.start()
+    handle
   }
 
   def parseArgs(args: Array[String]): Config = {
