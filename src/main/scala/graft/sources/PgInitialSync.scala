@@ -154,6 +154,14 @@ final class PgSyncClient(host: String, port: Int, user: String,
 
   private def pgError(body: Array[Byte]) = PgWire.serverError(body)
 
+  /** Every verb below must fail as a TRANSPORT error on an unconnected
+   *  client (a reconnect attempt that never completed), not NPE — the
+   *  retry loops treat IOException as a blip and anything else as
+   *  fatal, so an NPE would kill a mirror that still has retry
+   *  budget. */
+  private def ensureConnected(): Unit =
+    if (out == null) throw new java.io.IOException("client is not connected")
+
   private def q(sql: String): Array[Byte] = sql.getBytes(UTF_8) :+ 0.toByte
 
   /** Simple query: returns (RowDescription fields as (name, typOid,
@@ -170,6 +178,7 @@ final class PgSyncClient(host: String, port: Int, user: String,
    *  "DELETE 1", ...) — the affected-row accounting SQL callers need. */
   def simpleQueryT(sql: String): (Seq[(String, Int, Int)],
       Seq[Seq[Option[String]]], Seq[String]) = {
+    ensureConnected()
     out.send('Q', q(sql))
     var fields = Seq.empty[(String, Int, Int)]
     val rows = mutable.ArrayBuffer[Seq[Option[String]]]()
@@ -298,6 +307,7 @@ final class PgSyncClient(host: String, port: Int, user: String,
    *  time — driver memory stays one row + one CopyData frame no matter
    *  the table size. Returns rows copied. */
   def copyOut(sql: String)(onRow: Seq[Option[String]] => Unit): Long = {
+    ensureConnected()
     out.send('Q', q(sql))
     var n = 0L
     // 0x0A never occurs inside a UTF-8 multi-byte sequence, so a
@@ -333,6 +343,60 @@ final class PgSyncClient(host: String, port: Int, user: String,
     n
   }
 
+  /** COPY .. TO STDOUT as a PULL iterator — the executor-task shape:
+   *  a Spark task drains this lazily, so rows flow socket → decode →
+   *  parquet writer inside the task with one row + one CopyData frame
+   *  in memory, never through the driver. Leaves the connection at
+   *  ReadyForQuery when the stream ends cleanly. */
+  def copyOutIterator(sql: String): Iterator[Seq[Option[String]]] = {
+    ensureConnected()
+    out.send('Q', q(sql))
+    new Iterator[Seq[Option[String]]] {
+      private var buf = Array.empty[Byte]
+      private var pos = 0
+      private var streamOpen = true
+
+      private def nextNl(): Int = buf.indexOf('\n'.toByte, pos)
+
+      /** pull frames until a full line is buffered or the stream ends;
+       *  true iff a line is available (buffered tail lines drain after
+       *  the server's ReadyForQuery too) */
+      private def fill(): Boolean = {
+        var nl = nextNl()
+        while (nl < 0 && streamOpen) {
+          PgWire.readMessage(in) match {
+            case Some(('H', _)) => () // CopyOutResponse
+            case Some(('d', b)) =>
+              // compact the consumed prefix once per frame, then append
+              buf = (if (pos == 0) buf
+                     else if (pos >= buf.length) Array.empty[Byte]
+                     else buf.drop(pos)) ++ b
+              pos = 0
+            case Some(('c', _)) | Some(('C', _)) => ()
+            case Some(('E', b)) => throw pgError(b)
+            case Some(('Z', _)) => streamOpen = false
+            case Some((t, _)) =>
+              throw new java.io.IOException(s"unexpected message '$t' in COPY")
+            case scala.None => throw new EOFException("server closed mid-COPY")
+          }
+          nl = nextNl()
+        }
+        if (nl < 0 && !streamOpen)
+          require(pos >= buf.length, "truncated COPY row at stream end")
+        nl >= 0
+      }
+
+      override def hasNext: Boolean = fill()
+      override def next(): Seq[Option[String]] = {
+        if (!hasNext) throw new NoSuchElementException("COPY exhausted")
+        val nl = nextNl()
+        val line = new String(buf, pos, nl - pos, UTF_8)
+        pos = nl + 1
+        PgCopyText.decodeLine(line)
+      }
+    }
+  }
+
   /** START_REPLICATION from `startLsn` on this connection
    *  (`clients/postgres.rs:921`), then the copy-both loop: XLogData
    *  payloads to `onFrame`, reply-requested keepalives acked at the
@@ -347,6 +411,7 @@ final class PgSyncClient(host: String, port: Int, user: String,
   def startReplication(slot: String, publication: String, startLsn: Long,
       ackLsn: () => Long = null)(
       onFrame: (Array[Byte], Long) => Unit): Unit = {
+    ensureConnected()
     out.send('Q', q(s"START_REPLICATION SLOT $slot LOGICAL " +
       s"${lsnText(startLsn)} (proto_version '2', " +
       s"publication_names '$publication')"))
@@ -367,9 +432,15 @@ object PgInitialSync {
       catchUp: Thread, error: () => Option[Throwable],
       /** stop replication: close the stream and let the thread exit
        *  without logging an error (service shutdown path) */
-      stop: () => Unit)
-
-  private val ChunkRows = 65536
+      stopImpl: () => Unit,
+      /** rows that were decoded OUTSIDE a Spark task (always 0 when
+       *  the snapshot job ran distributed — the spec-visible proof
+       *  that the initial copy never stages through the driver) */
+      driverCopiedRows: Long = 0L) extends graft.table.ReplicationStream {
+    override def alive: Boolean = catchUp.isAlive
+    override def lastError: Option[Throwable] = error()
+    override def stop(): Unit = stopImpl()
+  }
 
   /** CTID-range shard predicates (`postgres_source.rs:339-368`
    *  plan_ctid_shards, ceil-divided block space); one shard or an
@@ -401,6 +472,110 @@ object PgInitialSync {
     s
   }
 
+  /** One COPY shard, run INSIDE a Spark task (the snapshot job): the
+   *  task opens its own connection, imports the coordinator's exported
+   *  snapshot, and streams its ctid range as a pull iterator the
+   *  parquet writer drains — per-task memory is one row + one CopyData
+   *  frame, and no row ever crosses the driver (the accumulator pair
+   *  lets specs PROVE that). A task completion listener closes the
+   *  connection even when the task is killed mid-stream; a retried
+   *  task re-runs its COPY against the same immutable snapshot, so
+   *  retries are deterministic and the parquet commit protocol keeps
+   *  partial attempts invisible. */
+  private[sources] def copyShardRows(host: String, port: Int,
+      user: String, database: String, snapId: String, sql: String,
+      cols: Seq[PgColumn],
+      execRows: org.apache.spark.util.LongAccumulator,
+      driverRows: org.apache.spark.util.LongAccumulator): Iterator[Row] = {
+    val w = new PgSyncClient(host, port, user, database,
+      replication = false)
+    w.connect()
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null) tc.addTaskCompletionListener[Unit](_ =>
+      try w.close() catch { case _: Throwable => () })
+    val it =
+      try {
+        w.beginWithSnapshot(snapId)
+        w.copyOutIterator(sql)
+      } catch { case t: Throwable => w.close(); throw t }
+    new Iterator[Row] {
+      private var finished = false
+      override def hasNext: Boolean = {
+        val h = it.hasNext
+        if (!h && !finished) {
+          finished = true
+          // clean end: release the snapshot txn (and, outside a task,
+          // the connection) before the writer commits
+          try {
+            w.simpleQuery("commit;")
+            if (tc == null) w.close()
+          } catch { case _: Throwable => () }
+        }
+        h
+      }
+      override def next(): Row = {
+        val vals = it.next()
+        (if (tc != null) execRows else driverRows).add(1L)
+        Row.fromSeq(vals.zip(cols).map {
+          case (scala.None, _) => null
+          case (Some(s), cc) =>
+            PgOutput.parseValue(cc.typeOid, cc.typeMod, s)
+        })
+      }
+    }
+  }
+
+  /** Best-effort removal of the slot + publication a mirror holds on
+   *  the primary, on a NEW plain connection (the caller's may be
+   *  poisoned or mid-stream): terminate any backend still holding the
+   *  slot, drop the slot, drop the publication — the reference's
+   *  drop_replication_slot / remove_table_from_publication
+   *  (`pg_replicate.rs:357-385`). Never throws: cleanup must not mask
+   *  the failure that triggered it, and an unreachable primary keeps
+   *  its orphans only until the next create retries. */
+  private[sources] def cleanupReplication(host: String, port: Int,
+      user: String, database: String, slot: String, pub: String): Unit =
+    try {
+      val c = new PgSyncClient(host, port, user, database,
+        replication = false, connectTimeoutMs = 5000)
+      c.connect()
+      try {
+        def best(sql: String): Unit =
+          try { c.simpleQuery(sql); () }
+          catch { case _: PgWire.ServerError => () } // absent = done
+        best("SELECT pg_terminate_backend(active_pid) " +
+          s"FROM pg_replication_slots WHERE slot_name = '$slot' " +
+          "AND active_pid IS NOT NULL;")
+        best(s"SELECT pg_drop_replication_slot('$slot');")
+        best(s"DROP PUBLICATION IF EXISTS $pub;")
+      } finally c.close()
+    } catch { case _: Throwable => () }
+
+  /** Drop a mirrored table AND its primary-side replication artifacts
+   *  (the reference drops slot and publication when a mirrored table
+   *  is dropped, `pg_replicate.rs:357-385,475`): stop the live stream,
+   *  best-effort slot+publication removal, then the catalog drop.
+   *  Safe on non-mirrors — no postgres srcUri means no wire cleanup,
+   *  just the plain drop. */
+  def dropMirror(catalog: GraftCatalog, name: String): Unit = {
+    val entry = catalog.metadataStore.allEntries()
+      .find(e => e.database == catalog.database && e.table == name)
+    catalog.streams.remove(name).foreach(s =>
+      try s.stop() catch { case _: Throwable => () })
+    entry.filter(e => e.srcUri.startsWith("postgresql://") ||
+        e.srcUri.startsWith("postgres://")).foreach { e =>
+      val u = java.net.URI.create(e.srcUri)
+      cleanupReplication(u.getHost,
+        if (u.getPort > 0) u.getPort else 5432,
+        Option(u.getUserInfo).map(_.takeWhile(_ != ':'))
+          .getOrElse("postgres"),
+        Option(u.getPath).map(_.stripPrefix("/")).filter(_.nonEmpty)
+          .getOrElse("postgres"),
+        s"graft_$name", s"graft_pub_$name")
+    }
+    catalog.dropTable(name)
+  }
+
   def run(catalog: GraftCatalog, name: String, srcTableName: String,
       host: String, port: Int, user: String, database: String,
       srcUri: String,
@@ -422,9 +597,18 @@ object PgInitialSync {
       case _ => throw new IllegalArgumentException(
         s"src_table_name must be [schema.]table, got $srcTableName")
     }
-    identPart(name, "table name") // becomes the slot/publication name
+    // the derived slot/publication names are REPLICATION identifiers,
+    // which postgres never case-folds: only [a-z0-9_] round-trips
+    // (CREATE_REPLICATION_SLOT graft_Users fails on a real primary
+    // even though "Users" is a fine table name) — reject rather than
+    // silently lower-case, which could collide two distinct names
+    require(name.matches("[a-z_][a-z0-9_]*"),
+      s"mirror table name must be slot-name material ([a-z0-9_], " +
+        s"starting with a letter or _), got '$name'")
     val slot = s"graft_$name"
     val pub = s"graft_pub_$name"
+    require(!catalog.streams.get(name).exists(_.alive),
+      s"table $name already has a live replication stream")
     val client = new PgSyncClient(host, port, user, database)
     client.connect()
     try {
@@ -441,8 +625,22 @@ object PgInitialSync {
       val table = catalog.createTable(name, schema, identity, config,
         srcTableName = srcTableName, srcUri = srcUri)
       // a failure in the synchronous snapshot phase must leave the
-      // create retryable: drop the half-created table before rethrowing
+      // create retryable AGAINST THE SAME PRIMARY: drop the
+      // half-created table AND the slot/publication this attempt left
+      // behind (an orphaned slot retains WAL forever and makes the
+      // retry's CREATE_REPLICATION_SLOT fail with 'already exists')
       try {
+      // the publication must exist BEFORE the slot streams with it —
+      // pgoutput fails START_REPLICATION with 'publication does not
+      // exist' otherwise. Per-table publication via the reference's
+      // drop-then-create idiom (`pg_replicate.rs:114` creates its
+      // publication at boot; `clients/postgres.rs:140-150`
+      // add_table_to_publication adds each table): a leftover from an
+      // earlier failed create is replaced, never appended to. Runs
+      // OUTSIDE the snapshot txn — CREATE PUBLICATION is a write and
+      // the txn below is read-only.
+      client.simpleQuery(s"DROP PUBLICATION IF EXISTS $pub;")
+      client.simpleQuery(s"CREATE PUBLICATION $pub FOR TABLE $ns.$tbl;")
       client.simpleQuery("begin read only isolation level repeatable read;")
       val boundary = client.createSlotUseSnapshot(slot)
       val spark = table.spark
@@ -452,74 +650,40 @@ object PgInitialSync {
       val colList = cols
         .map(c => "\"" + c.name.replace("\"", "\"\"") + "\"")
         .mkString(", ")
-      def copyShard(c: PgSyncClient, pred: String, dir: String): Long = {
-        val chunk = mutable.ArrayBuffer[Row]()
-        def flushChunk(): Unit = if (chunk.nonEmpty) {
-          import scala.jdk.CollectionConverters._
-          spark.createDataFrame(chunk.toSeq.asJava, schema)
-            .write.mode("append").parquet(dir)
-          chunk.clear()
-        }
-        val n = c.copyOut(
-          s"COPY (SELECT $colList FROM $ns.$tbl WHERE $pred) TO STDOUT " +
-            "WITH (FORMAT text);") { vals =>
-          chunk += Row.fromSeq(vals.zip(cols).map {
-            case (scala.None, _) => null
-            case (Some(s), cc) => PgOutput.parseValue(cc.typeOid, cc.typeMod, s)
-          })
-          if (chunk.size >= ChunkRows) flushChunk()
-        }
-        flushChunk()
-        n
-      }
-      // sharded parallel snapshot (reference `initial_copy.rs:57`
-      // copy_table_stream + `postgres_source.rs:370`
+      // sharded parallel snapshot AS A SPARK JOB (reference
+      // `initial_copy.rs:57` copy_table_stream +
+      // `postgres_source.rs:339,370` plan_ctid_shards /
       // spawn_sharded_copy_reader): the coordinator's slot snapshot is
-      // EXPORTED and each worker connection imports it, so every ctid
-      // shard reads the same consistent cut in parallel
-      val preds =
-        if (copyShards <= 1) Seq("ctid >= '(0,1)'::tid")
-        else planCtidShards(client.blockCount(ns, tbl), copyShards)
-      val copied =
-        if (preds.length <= 1)
-          copyShard(client, preds.head, s"$staging/shard-0")
-        else {
-          val snapId = client.exportSnapshot()
-          val counts = new Array[Long](preds.length)
-          val errs =
-            new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
-          val workers = preds.zipWithIndex.map { case (pred, i) =>
-            val th = new Thread(() => {
-              try {
-                val w = new PgSyncClient(host, port, user, database)
-                w.connect()
-                try {
-                  w.beginWithSnapshot(snapId)
-                  counts(i) = copyShard(w, pred, s"$staging/shard-$i")
-                  w.simpleQuery("commit;")
-                } finally w.close()
-              } catch { case t: Throwable => errs.add(t) }
-            }, s"graft-pg-copy-$name-$i")
-            th.setDaemon(true); th.start(); th
-          }
-          workers.foreach(_.join(600000))
-          // a worker still alive after the join window means a partial
-          // shard: committing would silently lose its missing rows
-          workers.find(_.isAlive).foreach(w => errs.add(
-            new java.io.IOException(s"copy shard ${w.getName} timed out")))
-          if (!errs.isEmpty)
-            throw new java.io.IOException(
-              s"sharded copy failed: ${errs.peek()}", errs.peek())
-          counts.sum
-        }
+      // EXPORTED and every COPY shard runs as an EXECUTOR TASK that
+      // imports it, so each ctid range reads the same consistent cut
+      // in parallel and rows flow source → task → parquet staging
+      // without ever crossing the driver — the driver keeps only the
+      // slot, the snapshot id and the boundary LSN. At 100 TB the
+      // initial-copy ceiling is the primary's aggregate COPY
+      // throughput across shards, not one driver NIC.
+      val preds = planCtidShards(client.blockCount(ns, tbl),
+        math.max(1, copyShards))
+      val snapId = client.exportSnapshot()
+      val execRows =
+        spark.sparkContext.longAccumulator("graft-pg-copy-exec-rows")
+      val driverRows =
+        spark.sparkContext.longAccumulator("graft-pg-copy-driver-rows")
+      val copySqls = preds.map(pred =>
+        s"COPY (SELECT $colList FROM $ns.$tbl WHERE $pred) TO STDOUT " +
+          "WITH (FORMAT text);")
+      val (srcHost, srcPort, srcUser, srcDb) = (host, port, user, database)
+      val taskCols = cols
+      val rdd = spark.sparkContext
+        .parallelize(copySqls, copySqls.length)
+        .flatMap(sql => copyShardRows(srcHost, srcPort, srcUser, srcDb,
+          snapId, sql, taskCols, execRows, driverRows))
+      spark.createDataFrame(rdd, schema).write.parquet(staging)
       client.simpleQuery("commit;")
-      if (copied > 0) {
-        val shardDirs = preds.indices.map(i => s"$staging/shard-$i")
-          .filter(graft.format.Fio.exists) // empty shards wrote nothing
+      val copied = execRows.value + driverRows.value
+      if (copied > 0)
         table.initialCopy(
-          spark.read.schema(table.schema).parquet(shardDirs: _*), boundary)
-        graft.format.Fio.delete(staging)
-      }
+          spark.read.schema(table.schema).parquet(staging), boundary)
+      graft.format.Fio.delete(staging)
       // catch-up: pgoutput event LSNs continue ABOVE the boundary (the
       // snapshot already contains everything at-or-below it, so a txn
       // redelivered at-or-below it must be skipped, not re-applied)
@@ -527,8 +691,16 @@ object PgInitialSync {
         skipCommitsAtOrBelow = boundary)
       val (thread, errFn, stopFn) = catchUp(table, sess, client, slot, pub,
         boundary, host, port, user, database, name, maxReconnects)
-      Result(boundary, copied, thread, errFn, stopFn)
-      } catch { case t: Throwable => catalog.dropTable(name); throw t }
+      val res = Result(boundary, copied, thread, errFn, stopFn,
+        driverCopiedRows = driverRows.value)
+      catalog.streams.put(name, res)
+      res
+      } catch { case t: Throwable =>
+        try client.close() catch { case _: Throwable => () }
+        cleanupReplication(host, port, user, database, slot, pub)
+        catalog.dropTable(name)
+        throw t
+      }
     } catch { case t: Throwable => client.close(); throw t }
   }
 
@@ -542,6 +714,10 @@ object PgInitialSync {
    *  re-runs. */
   def resume(catalog: GraftCatalog, name: String,
       maxReconnects: Int = 5): Result = {
+    // a second stream on the same slot would fight the first for the
+    // slot and double-apply — resume only a DEAD mirror
+    require(!catalog.streams.get(name).exists(_.alive),
+      s"table $name already has a live replication stream")
     // the registry id is (database, table) — a same-named table in
     // another database must never supply the source
     val entry = catalog.metadataStore.allEntries()
@@ -580,7 +756,9 @@ object PgInitialSync {
       val (thread, errFn, stopFn) = catchUp(table, sess, client,
         s"graft_$name", s"graft_pub_$name", 0L, u.getHost, port,
         user, database, name, maxReconnects)
-      Result(table.commitLsn, 0L, thread, errFn, stopFn)
+      val res = Result(table.commitLsn, 0L, thread, errFn, stopFn)
+      catalog.streams.put(name, res)
+      res
     } catch { case t: Throwable => client.close(); throw t }
   }
 
@@ -607,12 +785,23 @@ object PgInitialSync {
     val FlushEvents = 50000
     val thread = new Thread(() => {
       var cur = first
+      var connected = true // `first` arrives connected
       var resumeWal = startWal
       var attempts = 0
       var done = false
       val buf = mutable.ArrayBuffer[CdcEvent]()
       while (!done) {
         try {
+          if (!connected) {
+            // reconnect INSIDE the try: a failed connect (primary
+            // still down — the very case being retried) lands in the
+            // retry branch below and consumes an attempt, instead of
+            // falling through to startReplication on a dead client
+            cur = new PgSyncClient(host, port, user, database)
+            curRef = cur
+            cur.connect()
+            connected = true
+          }
           cur.startReplication(slot, pub, resumeWal,
             // the slot may trim only to APPLIED txn boundaries
             ackLsn = () => resumeWal) { (bytes, walEnd) =>
@@ -629,11 +818,18 @@ object PgInitialSync {
           }
           done = true // clean server-ended stream
         } catch {
-          // ONLY transport errors are blips worth a reconnect;
-          // deterministic apply/protocol failures would fail
-          // identically on every retry and must surface immediately
+          // ONLY transport blips are worth a reconnect. Deterministic
+          // failures — apply errors, protocol violations, and backend
+          // ErrorResponses whose SQLSTATE is class 42 (undefined or
+          // duplicate object: a dropped publication/slot will fail
+          // identically on every retry) — surface immediately.
           case t: java.io.IOException
-              if !stopRequested && attempts < maxReconnects =>
+              if !stopRequested && attempts < maxReconnects &&
+                (t match {
+                  case se: PgWire.ServerError =>
+                    !se.sqlState.startsWith("42")
+                  case _ => true
+                }) =>
             attempts += 1
             // partial txns: the primary resends them whole from the
             // resume point — discard the buffered half, ABORT every
@@ -644,12 +840,8 @@ object PgInitialSync {
               table.apply(Seq(graft.model.StreamAbort(x))))
             sess.rollbackUncommitted()
             try cur.close() catch { case _: Throwable => () }
+            connected = false
             Thread.sleep(math.min(60000L, 1000L * attempts))
-            try {
-              cur = new PgSyncClient(host, port, user, database)
-              curRef = cur
-              cur.connect()
-            } catch { case _: Throwable => () /* next loop retries */ }
           case t: Throwable =>
             done = true
             if (!stopRequested) {
@@ -687,19 +879,50 @@ final class PgMockPrimary(
     consistentPoint: Long,
     frames: Seq[Array[Byte]],
     keepaliveEvery: Int = 2048,
-    // failure injection: answer the COPY with an ErrorResponse and end
-    // the session — the client must surface it and roll back cleanly
+    // failure injection: answer the FIRST COPY with an ErrorResponse —
+    // the client must surface it, roll back cleanly (table + slot +
+    // publication), and a retried create against this SAME primary
+    // must succeed
     failCopy: Boolean = false,
     // failure injection: abruptly close the replication connection
     // after this many total frames (once) — the client must reconnect
     // and resume from its last applied commit; -1 = never
-    dropAfterFrames: Int = -1) {
-  private val server = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
+    dropAfterFrames: Int = -1,
+    // failure injection: after the injected drop fires, abort this many
+    // reconnect attempts right after accept — each failed reconnect
+    // must consume one retry-budget attempt
+    refuseReconnects: Int = 0,
+    // keep accepting connections after the replication stream ends
+    // cleanly (drop/cleanup dialogues arrive AFTER streaming); end the
+    // accept loop with shutdown()
+    keepServing: Boolean = false) {
+  private val server = new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
   @volatile var sawReplicationParam = false
   @volatile var sawSchemaQuery = false
   @volatile var sawSnapshotSlot = false
   @volatile var copySentInsideTxn = false
   @volatile var error: Option[Throwable] = scala.None
+  /** failure injection: abort this many future connections right
+   *  after accept — a reconnect whose connect() itself fails must
+   *  consume retry budget and keep retrying, never NPE */
+  @volatile var refuseNextConnections = 0
+  // replication-object state: a real primary rejects START_REPLICATION
+  // for a publication that was never created and a duplicate
+  // CREATE_REPLICATION_SLOT — the mock enforcing both is what keeps
+  // the client honest about the create/cleanup lifecycle
+  private val slotSet =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val pubSet =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  def slots: Set[String] = {
+    import scala.jdk.CollectionConverters._
+    slotSet.asScala.toSet
+  }
+  def publications: Set[String] = {
+    import scala.jdk.CollectionConverters._
+    pubSet.asScala.toSet
+  }
+  @volatile private var copyFailedOnce = false
   private val statusQueue =
     new java.util.concurrent.ConcurrentLinkedQueue[Long]()
   def statusUpdates: Seq[Long] = {
@@ -791,11 +1014,21 @@ final class PgMockPrimary(
     try {
       while (!finished) {
         val sock = server.accept()
-        val th = new Thread(() =>
-          try handleConnection(sock)
-          catch { case t: Throwable => if (error.isEmpty) error = Some(t) })
-        th.setDaemon(true)
-        th.start()
+        if (refuseNextConnections > 0) {
+          refuseNextConnections -= 1
+          sock.close() // injected connect-level failure
+        } else {
+          val th = new Thread(() =>
+            try handleConnection(sock)
+            catch {
+              // a vanished client (job abort, injected failure legs)
+              // is normal; only PROTOCOL violations are mock errors
+              case _: java.io.IOException => ()
+              case t: Throwable => if (error.isEmpty) error = Some(t)
+            })
+          th.setDaemon(true)
+          th.start()
+        }
       }
     } catch {
       // streamFrames closes the listener to end the accept loop
@@ -812,8 +1045,11 @@ final class PgMockPrimary(
       val body = new Array[Byte](len - 4)
       in.readFully(body)
       val params = new String(body.drop(4), UTF_8).split(0.toChar)
-      sawReplicationParam = params.sliding(2, 2).exists(p =>
-        p.length == 2 && p(0) == "replication" && p(1) == "database")
+      // sticky: the COORDINATOR opens in replication mode; plain-SQL
+      // worker/cleanup connections arriving later must not clear it
+      if (params.sliding(2, 2).exists(p =>
+          p.length == 2 && p(0) == "replication" && p(1) == "database"))
+        sawReplicationParam = true
       out.send('R', Array[Byte](0, 0, 0, 0))
       out.send('S', "server_version".getBytes(UTF_8) ++ Array(0.toByte) ++
         "16.0".getBytes(UTF_8) ++ Array(0.toByte))
@@ -822,6 +1058,18 @@ final class PgMockPrimary(
         out.send('Z', Array[Byte](if (inTxn) 'T'.toByte else 'I'.toByte))
       def complete(tag: String): Unit =
         out.send('C', tag.getBytes(UTF_8) :+ 0.toByte)
+      /** ErrorResponse with a real SQLSTATE, then ReadyForQuery — the
+       *  backend's errored-simple-query shape */
+      def sendErr(sqlState: String, msg: String): Unit = {
+        val eb = new java.io.ByteArrayOutputStream()
+        def fld(code: Char, v: String): Unit = {
+          eb.write(code); eb.write(v.getBytes(UTF_8)); eb.write(0)
+        }
+        fld('S', "ERROR"); fld('C', sqlState); fld('M', msg)
+        eb.write(0)
+        out.send('E', eb.toByteArray)
+        ready()
+      }
       var replicating = false
       while (!replicating) PgWire.readMessage(in) match {
         case Some(('Q', qb)) =>
@@ -855,24 +1103,45 @@ final class PgMockPrimary(
             complete("SELECT 1"); ready()
           } else if (sql.startsWith("CREATE_REPLICATION_SLOT")) {
             require(inTxn, "USE_SNAPSHOT outside a transaction")
-            sawSnapshotSlot = sql.contains("USE_SNAPSHOT")
-            out.send('T', rowDescription(Seq("slot_name",
-              "consistent_point", "snapshot_name", "output_plugin")))
-            out.send('D', dataRow(Seq(Some("slot"),
-              Some(PgWire.lsnText(consistentPoint)), Some("snap-1"),
-              Some("pgoutput"))))
-            complete("CREATE_REPLICATION_SLOT"); ready()
-          } else if (low.startsWith("copy") && failCopy) {
-            val eb = new java.io.ByteArrayOutputStream()
-            def fld(code: Char, v: String): Unit = {
-              eb.write(code); eb.write(v.getBytes(UTF_8)); eb.write(0)
+            val slotName = sql.split("\\s+")(1)
+            if (!slotSet.add(slotName))
+              // a leaked slot from an uncleaned failed create — the
+              // exact error a real primary gives the retry
+              sendErr("42710",
+                s"""replication slot "$slotName" already exists""")
+            else {
+              sawSnapshotSlot = sql.contains("USE_SNAPSHOT")
+              out.send('T', rowDescription(Seq("slot_name",
+                "consistent_point", "snapshot_name", "output_plugin")))
+              out.send('D', dataRow(Seq(Some(slotName),
+                Some(PgWire.lsnText(consistentPoint)), Some("snap-1"),
+                Some("pgoutput"))))
+              complete("CREATE_REPLICATION_SLOT"); ready()
             }
-            fld('S', "ERROR"); fld('C', "57014"); fld('M', "injected COPY failure")
-            eb.write(0)
-            out.send('E', eb.toByteArray)
-            ready()
-            replicating = true; finished = true // end the session
-            server.close()
+          } else if (low.startsWith("drop publication if exists")) {
+            pubSet.remove(sql.split("\\s+").last.stripSuffix(";"))
+            complete("DROP PUBLICATION"); ready()
+          } else if (low.startsWith("create publication")) {
+            val pubName = sql.split("\\s+")(2)
+            if (!pubSet.add(pubName))
+              sendErr("42710", s"""publication "$pubName" already exists""")
+            else { complete("CREATE PUBLICATION"); ready() }
+          } else if (low.startsWith("select pg_terminate_backend")) {
+            out.send('T', rowDescription(Seq("pg_terminate_backend")))
+            complete("SELECT 0"); ready()
+          } else if (low.startsWith("select pg_drop_replication_slot")) {
+            val slotName = sql.split('\'')(1)
+            if (!slotSet.remove(slotName))
+              sendErr("42704",
+                s"""replication slot "$slotName" does not exist""")
+            else {
+              out.send('T', rowDescription(Seq("pg_drop_replication_slot")))
+              out.send('D', dataRow(Seq(scala.None)))
+              complete("SELECT 1"); ready()
+            }
+          } else if (low.startsWith("copy") && failCopy && !copyFailedOnce) {
+            copyFailedOnce = true
+            sendErr("57014", "injected COPY failure")
           } else if (low.startsWith("copy")) {
             copySentInsideTxn = inTxn
             // slice the scripted rows by the ctid-range predicate (one
@@ -897,14 +1166,24 @@ final class PgMockPrimary(
           } else if (low.startsWith("commit")) {
             inTxn = false; complete("COMMIT"); ready()
           } else if (sql.startsWith("START_REPLICATION")) {
-            val m = """LOGICAL ([0-9A-Fa-f]+)/([0-9A-Fa-f]+)""".r
-              .findFirstMatchIn(sql)
-            val from = m.map(g =>
-              (java.lang.Long.parseLong(g.group(1), 16) << 32) |
-                java.lang.Long.parseLong(g.group(2), 16)).getOrElse(-1L)
-            startedAtQueue.add(from)
-            streamFrames(in, out, from)
-            replicating = true
+            // pgoutput resolves publication_names at stream start: an
+            // uncreated publication is the reference-documented failure
+            // mode (ADVICE r14) — reject it exactly like a real primary
+            val pubName = """publication_names '([^']+)'""".r
+              .findFirstMatchIn(sql).map(_.group(1)).getOrElse("")
+            if (!pubSet.contains(pubName))
+              sendErr("42704",
+                s"""publication "$pubName" does not exist""")
+            else {
+              val m = """LOGICAL ([0-9A-Fa-f]+)/([0-9A-Fa-f]+)""".r
+                .findFirstMatchIn(sql)
+              val from = m.map(g =>
+                (java.lang.Long.parseLong(g.group(1), 16) << 32) |
+                  java.lang.Long.parseLong(g.group(2), 16)).getOrElse(-1L)
+              startedAtQueue.add(from)
+              streamFrames(in, out, from)
+              replicating = true
+            }
           } else throw new IllegalStateException(s"unscripted query: $sql")
         case scala.None =>
           replicating = true // client closed (a finished copy worker)
@@ -913,10 +1192,14 @@ final class PgMockPrimary(
       }
     } catch {
       // the injected blip: close this connection abruptly and accept
-      // the client's reconnect
-      case DropConn => ()
+      // the client's reconnect (optionally refusing the next few, so
+      // failed reconnects are part of the scripted chaos)
+      case DropConn => refuseNextConnections = refuseReconnects
     } finally sock.close()
   }
+
+  /** End the accept loop of a `keepServing` primary. */
+  def shutdown(): Unit = { finished = true; server.close() }
 
   /** Stream the frames whose WAL position is at-or-above `fromLsnReq`
    *  — the slot-resume contract: a reconnecting standby receives
@@ -963,8 +1246,10 @@ final class PgMockPrimary(
     }
     out.send('C', "COPY 0".getBytes(UTF_8) :+ 0.toByte)
     out.send('Z', Array[Byte]('I'.toByte))
-    finished = true
-    server.close() // unblock the accept loop
+    if (!keepServing) {
+      finished = true
+      server.close() // unblock the accept loop
+    }
   }
 
   private def awaitStatus(in: DataInputStream, wal: Long): Unit =

@@ -187,7 +187,10 @@ object PgWire {
         out.send('c', Array.emptyByteArray)
       case Some(('C', _)) => ()
       case Some(('E', body)) =>
-        throw new java.io.IOException(s"pg error: ${errText(body)}")
+        // structured (SQLSTATE-aware): reconnect loops must be able to
+        // tell a transient backend error from a deterministic one
+        // (e.g. 42704 'publication does not exist' fails every retry)
+        throw serverError(body)
       case Some(('Z', _)) => open = false
       case None =>
         throw new EOFException("server closed the replication stream mid-copy")

@@ -129,7 +129,12 @@ final class RestServer(catalog: GraftCatalog, port: Int = 0,
       case ("POST", "tables" :: t :: Nil) => createTable(t, parse(body))
       case ("POST", "upload" :: t :: Nil) => uploadFiles(t, parse(body))
       case ("DELETE", "tables" :: t :: Nil) =>
-        catalog.dropTable(t); lsns.remove(t); avroSchemas.remove(t)
+        // dropMirror also stops a live replication stream and removes
+        // the slot + publication from the primary (the reference drops
+        // both on table drop, pg_replicate.rs:357-385,475); a plain
+        // non-mirror drop degrades to the catalog drop
+        PgInitialSync.dropMirror(catalog, t)
+        lsns.remove(t); avroSchemas.remove(t)
         200 -> obj()
       case ("POST", "ingest" :: t :: Nil) =>
         ingestRow(t, parse(body), Payload.Json)
@@ -175,8 +180,16 @@ final class RestServer(catalog: GraftCatalog, port: Int = 0,
     val arr = mapper.createArrayNode()
     catalog.list.foreach { name =>
       val t = catalog.table(name)
-      arr.add(obj("table" -> name, "commit_lsn" -> t.commitLsn,
-        "flush_lsn" -> t.flushLsn))
+      val row = obj("table" -> name, "commit_lsn" -> t.commitLsn,
+        "flush_lsn" -> t.flushLsn)
+      // mirror health (reference table_status ingestion state): a
+      // mirror whose catch-up thread died must be VISIBLE here, not a
+      // silently stale table whose only trace is a stderr line
+      catalog.streams.get(name).foreach { s =>
+        row.put("replicating", s.alive)
+        s.lastError.foreach(e => row.put("repl_error", e.toString))
+      }
+      arr.add(row)
     }
     val o = mapper.createObjectNode(); o.set[ObjectNode]("tables", arr)
     200 -> o

@@ -3,7 +3,7 @@ package graft.table
 import graft.format.Fio
 import graft.model.Identity
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructField, StructType}
 
 import scala.collection.mutable
 import scala.jdk.CollectionConverters._
@@ -26,9 +26,22 @@ import scala.jdk.CollectionConverters._
  * entries, recover each table from its latest persisted snapshot).
  */
 final class GraftCatalog private (val spark: SparkSession,
-    val warehouse: String, val database: String) {
+    val warehouse: String, val database: String,
+    /** registry backend — the reference's service wires its metadata
+     *  store at boot (`moonlink_service/src/main.rs` →
+     *  `base_metadata_store.rs:14-68`); the versioned-JSON filesystem
+     *  store is the default, a Postgres registry
+     *  ([[PgWireMetadataBackend]]) is a `--metadata-uri` flag away. */
+    val metadataStore: MetadataBackend) {
   private val tables = mutable.LinkedHashMap[String, GraftTable]()
-  val metadataStore = new MetadataStore(warehouse)
+
+  /** Live replication streams feeding mirrored tables, keyed by table
+   *  name (the reference tracks one connector per mirrored table,
+   *  `moonlink_backend/src/lib.rs`). [[graft.sources.PgInitialSync]]
+   *  registers on create/resume; the service drains on shutdown and
+   *  the status surfaces report (replicating, last error). */
+  val streams =
+    new scala.collection.concurrent.TrieMap[String, ReplicationStream]()
 
   def createTable(name: String, schema: StructType, identity: Identity,
       config: TableConfig = TableConfig(),
@@ -69,6 +82,9 @@ final class GraftCatalog private (val spark: SparkSession,
     }
 
   def dropTable(name: String): Unit = synchronized {
+    // a live replication stream must not keep feeding a dropped table
+    streams.remove(name).foreach(s =>
+      try s.stop() catch { case _: Throwable => () })
     tables.remove(name).foreach(_.drop())
     // openTable can attach a table that predates the registry; only a
     // registered entry is deleted (the store requires existence)
@@ -84,8 +100,10 @@ final class GraftCatalog private (val spark: SparkSession,
    *  row count from manifest stats — O(manifest), no scan. */
   def tableStatus(name: String): TableStatus = synchronized {
     val t = tables(name)
+    val s = streams.get(name)
     TableStatus(database, name, t.commitLsn, t.flushLsn, t.liveRowCount,
-      warehouse)
+      warehouse, replicating = s.map(_.alive),
+      replicationError = s.flatMap(_.lastError).map(_.toString))
   }
 
   /** All open tables' status as a queryable DataFrame (the backend's
@@ -94,10 +112,26 @@ final class GraftCatalog private (val spark: SparkSession,
     val rows = tables.keys.toSeq.map { n =>
       val st = tableStatus(n)
       Row(st.database, st.table, st.commitLsn, st.flushLsn,
-        st.cardinality, st.warehouseLocation)
+        st.cardinality, st.warehouseLocation,
+        st.replicating.map(java.lang.Boolean.valueOf).orNull,
+        st.replicationError.orNull)
     }
     spark.createDataFrame(rows.asJava, GraftCatalog.statusSchema)
   }
+}
+
+/** A live source-replication stream feeding one mirrored table — the
+ *  handle the catalog tracks so drop/shutdown can close it and the
+ *  status surfaces can report a dead mirror instead of a silently
+ *  stale table (the reference's per-table ingestion state,
+ *  `table_status.rs`). */
+trait ReplicationStream {
+  /** the catch-up thread is still running */
+  def alive: Boolean
+  /** why it stopped, when it stopped on an error */
+  def lastError: Option[Throwable]
+  /** close the stream and let the thread exit cleanly */
+  def stop(): Unit
 }
 
 object GraftCatalog {
@@ -105,12 +139,19 @@ object GraftCatalog {
     StructField("database", StringType), StructField("table", StringType),
     StructField("commit_lsn", LongType), StructField("flush_lsn", LongType),
     StructField("cardinality", LongType),
-    StructField("warehouse_location", StringType)))
+    StructField("warehouse_location", StringType),
+    // mirror health (null for tables with no replication stream): a
+    // dead mirror must be VISIBLE on the status surface, not a
+    // silently stale table
+    StructField("replicating", BooleanType),
+    StructField("repl_error", StringType)))
 
   def apply(spark: SparkSession, warehouse: String,
-      database: String = "graft"): GraftCatalog = {
+      database: String = "graft",
+      backend: MetadataBackend = null): GraftCatalog = {
     Fio.mkdirs(warehouse)
-    new GraftCatalog(spark, warehouse, database)
+    new GraftCatalog(spark, warehouse, database,
+      if (backend != null) backend else new MetadataStore(warehouse))
   }
 
   /** Physical table root: the default database keeps the historical
@@ -128,8 +169,9 @@ object GraftCatalog {
    *  commit and create) is surfaced via `missing` rather than failing
    *  the whole recovery. */
   def recover(spark: SparkSession, warehouse: String,
-      database: String = "graft"): (GraftCatalog, Seq[TableMetadataEntry]) = {
-    val cat = apply(spark, warehouse, database)
+      database: String = "graft", backend: MetadataBackend = null)
+      : (GraftCatalog, Seq[TableMetadataEntry]) = {
+    val cat = apply(spark, warehouse, database, backend)
     val missing = mutable.ArrayBuffer[TableMetadataEntry]()
     cat.metadataStore.allEntries().filter(_.database == database).foreach { e =>
       if (Fio.exists(

@@ -322,4 +322,10 @@ final case class TableStatus(
     commitLsn: Long,
     flushLsn: Long,
     cardinality: Long,
-    warehouseLocation: String)
+    warehouseLocation: String,
+    /** mirror health (None for tables with no replication stream):
+     *  whether the catch-up stream is still running, and why it
+     *  stopped when it died — the per-table ingestion state the
+     *  reference exposes alongside the LSNs. */
+    replicating: Option[Boolean] = None,
+    replicationError: Option[String] = None)

@@ -34,7 +34,13 @@ object Serve {
       restPort: Option[Int] = Some(3030),
       tcpPort: Option[Int] = Some(3031),
       otelPort: Option[Int] = Some(3435),
-      maintenanceMs: Long = 300000L)
+      maintenanceMs: Long = 300000L,
+      /** registry location (reference moonlink_service/src/main.rs
+       *  wires its metadata store from the CLI at boot): None = the
+       *  versioned-JSON store under the warehouse;
+       *  postgresql://user@host:port/db = the wire backend speaking
+       *  the reference `tables` schema over the engine's own client */
+      metadataUri: Option[String] = None)
 
   final class Handle(
       val catalog: GraftCatalog,
@@ -42,15 +48,15 @@ object Serve {
       val otel: Option[RestServer],
       val tcp: Option[RpcTcpServer],
       val daemon: MaintenanceDaemon) {
-    /** replication streams resumed at boot, as they come up */
-    private[Serve] val mirrorQueue = new java.util.concurrent
-      .ConcurrentLinkedQueue[(String, graft.sources.PgInitialSync.Result)]()
-    def mirrors: Seq[(String, graft.sources.PgInitialSync.Result)] = {
-      import scala.jdk.CollectionConverters._
-      mirrorQueue.asScala.toSeq
-    }
+    /** every live replication stream the catalog tracks — boot-resumed
+     *  mirrors AND those created/resumed over REST while serving (the
+     *  r14 gap: REST-created mirrors outlived stop()) */
+    def mirrors: Seq[(String, graft.table.ReplicationStream)] =
+      catalog.streams.toSeq
     def stop(): Unit = {
-      mirrors.foreach(_._2.stop()) // close replication streams first
+      // close replication streams first so no apply races the shutdown
+      mirrors.foreach(m =>
+        try m._2.stop() catch { case _: Throwable => () })
       daemon.stop()
       tcp.foreach(_.stop())
       otel.foreach(_.stop())
@@ -63,7 +69,8 @@ object Serve {
     // in the warehouse (the reference's `recover_all_tables` on boot,
     // `recovery_utils.rs:120-170`); registry entries whose directory
     // never materialized are warned about, not fatal
-    val (catalog, missing) = GraftCatalog.recover(spark, cfg.basePath)
+    val (catalog, missing) = GraftCatalog.recover(spark, cfg.basePath,
+      backend = cfg.metadataUri.map(backendFor).orNull)
     missing.foreach(e => System.err.println(
       s"[graft-serve] WARN registered table ${e.table} has no manifest; skipped"))
     val rest = cfg.restPort.map(p => new RestServer(catalog, p).start())
@@ -93,8 +100,9 @@ object Serve {
           catalog.list.contains(e.table))
         .foreach { e =>
           try {
-            handle.mirrorQueue.add(
-              (e.table, graft.sources.PgInitialSync.resume(catalog, e.table)))
+            // resume registers itself in catalog.streams (the handle's
+            // mirrors view and the shutdown drain both read from there)
+            graft.sources.PgInitialSync.resume(catalog, e.table)
             System.err.println(
               s"[graft-serve] resumed postgres mirror ${e.table}")
           } catch {
@@ -106,6 +114,26 @@ object Serve {
     resumeThread.setDaemon(true)
     resumeThread.start()
     handle
+  }
+
+  /** Instantiate the registry backend a `--metadata-uri` names — the
+   *  deployment seam the reference's CLI has at boot
+   *  (`moonlink_service/src/main.rs` → `base_metadata_store.rs:14-68`):
+   *  the catalog's registry can live in Postgres while table data stays
+   *  under the warehouse path. */
+  def backendFor(uri: String): graft.table.MetadataBackend = {
+    val u = java.net.URI.create(uri)
+    u.getScheme match {
+      case "postgresql" | "postgres" =>
+        new graft.table.PgWireMetadataBackend(u.getHost,
+          if (u.getPort > 0) u.getPort else 5432,
+          Option(u.getUserInfo).map(_.takeWhile(_ != ':'))
+            .getOrElse("postgres"),
+          Option(u.getPath).map(_.stripPrefix("/")).filter(_.nonEmpty)
+            .getOrElse("postgres"))
+      case other => throw new IllegalArgumentException(
+        s"unsupported --metadata-uri scheme: $other (postgresql:// only)")
+    }
   }
 
   def parseArgs(args: Array[String]): Config = {
@@ -126,6 +154,8 @@ object Serve {
           cfg = cfg.copy(otelPort = Some(value("--otel-port").toInt)); i += 2
         case "--maintenance-ms" =>
           cfg = cfg.copy(maintenanceMs = value("--maintenance-ms").toLong); i += 2
+        case "--metadata-uri" =>
+          cfg = cfg.copy(metadataUri = Some(value("--metadata-uri"))); i += 2
         case "--no-rest" => cfg = cfg.copy(restPort = None); i += 1
         case "--no-tcp" => cfg = cfg.copy(tcpPort = None); i += 1
         case "--no-otel" => cfg = cfg.copy(otelPort = None); i += 1

@@ -184,12 +184,15 @@ class MetadataStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.insertAll(Seq(Row(1L, 1L), Row(2L, 2L), Row(3L, 3L)), startLsn = 1)
     t.flush(); t.publish()
     val st = cat.tableStatus("kv")
-    // commit at LSN 4; flush LSN = highest flushed ROW lsn (3)
+    // commit at LSN 4; flush LSN = highest flushed ROW lsn (3); no
+    // replication stream → both mirror-health fields are None
     assert(st == TableStatus("proddb", "kv", 4L, 3L, 3L, wh))
     val df = cat.statusAll
     assert(df.columns.toSeq == Seq("database", "table", "commit_lsn",
-      "flush_lsn", "cardinality", "warehouse_location"))
+      "flush_lsn", "cardinality", "warehouse_location",
+      "replicating", "repl_error"))
     assert(df.head().getLong(4) == 3L)
+    assert(df.head().isNullAt(6) && df.head().isNullAt(7))
   }
 
   test("recovery surfaces a registered-but-never-created table") {
