@@ -1593,7 +1593,55 @@ object SparkEntry {
       aux2.flush(); aux2.publish()
       mustScan(s.read.format("graft").load(aux2.root).agg(sum(col("v"))),
         exec = false)
+      // Phase 4 (r15): FILE-EXACT filtered aggregates — the canonical
+      // telemetry probe `count(*) WHERE k >= boundary` answers from the
+      // manifest when every live file's bounds DECIDE the predicate
+      // (all-match or none-match → pruning IS the filter); a mid-file
+      // predicate must scan. Two ingest batches give files with id
+      // ranges split exactly at 100/101; v is NULL on id % 10 == 0.
+      val flt = GraftTable.create(s, freshDir("aggflt"),
+        SchemaDsl.struct("id" -> "int64", "v" -> "int64"),
+        Identity.Keys(Seq("id")),
+        TableConfig(rowsPerFile = 64, walEnabled = false))
+      def fltBatch(lo: Long, hi: Long): Unit =
+        flt.applyBatchDF(s.range(lo, hi + 1).toDF("id")
+          .select(lit("i").as("_op"), col("id").as("_lsn"), col("id"),
+            when(col("id") % 10 === 0, lit(null)).otherwise(col("id"))
+              .cast("long").as("v")), hi + 1, hasDeletes = false)
+      fltBatch(1L, 100L); fltBatch(101L, 200L)
+      require(flt.currentManifest.dataFiles.size > 1,
+        "the filtered-agg proof needs multiple files")
+      val dfF = s.read.format("graft").load(flt.root)
+      // boundary-aligned: every file decides → manifest-only, behind
+      // the predicate — count(*), count(col), SUM (ANSI proof over the
+      // MATCHING subset) and MIN/MAX all push
+      val fAll = aggScanOnly(dfF.where(col("id") >= 1L).agg(count(lit(1))))
+      val fUp = aggScanOnly(dfF.where(col("id") >= 101L).agg(count(lit(1)),
+        count(col("v")), sum(col("v")), min(col("id")), max(col("id"))))
+      // mid-file: some file is indeterminate → the scan answers
+      val fMid = mustScan(dfF.where(col("id") >= 150L).agg(count(lit(1))))
+      // a delete re-checks the masked accounting PER FILE: count(*)
+      // needs only live-row counts (still pushes: id has zero physical
+      // nulls, so the filter stays decidable); count(v) needs masked
+      // NULL accounting and scans until refreshed, then pushes the live
+      // value — which must equal what the scan just said
+      flt.deleteWhere(col("id") === 161L)
+      val dfF2 = s.read.format("graft").load(flt.root)
+      val fUpDel = aggScanOnly(dfF2.where(col("id") >= 101L).agg(count(lit(1))))
+      val fNvScan = mustScan(dfF2.where(col("id") >= 101L).agg(count(col("v"))))
+      require(flt.refreshDvStats() >= 1, "no delete-carrying file refreshed")
+      flt.publish()
+      val dfF3 = s.read.format("graft").load(flt.root)
+      val fNvLive = aggScanOnly(dfF3.where(col("id") >= 101L).agg(count(col("v"))))
+      require(fNvLive.getLong(0) == fNvScan.getLong(0),
+        s"pushed filtered count(v) diverges from the scan: $fNvLive vs $fNvScan")
       import s.implicits._
+      val fltOut = Seq((fAll.getLong(0), fUp.getLong(0), fUp.getLong(1),
+        fUp.getLong(2), fUp.getLong(3), fUp.getLong(4), fMid.getLong(0),
+        fUpDel.getLong(0), fNvLive.getLong(0)))
+        .toDF("flt_n_all", "flt_n_upper", "flt_nv_upper", "flt_sumv_upper",
+          "flt_mn_upper", "flt_mx_upper", "flt_n_mid", "flt_n_upper_del",
+          "flt_nv_upper_live")
       Seq((pre.getLong(0), pre.getLong(1), pre.getLong(2), pre.getLong(3),
         pre.getLong(4), pre.getDouble(5), pre.getDouble(6), pre.getLong(7),
         pre.getLong(8), post.getLong(0), live.getLong(0), live.getLong(1),
@@ -1610,6 +1658,7 @@ object SparkEntry {
           col("n_values_live"), col("sum_users_live"),
           col("avg_user_c_live"), col("mn_user_live"),
           col("mx_user_live"))
+        .crossJoin(fltOut)
     }),
 
     "cdc_agg_decimal" -> ((s, d) => {
@@ -5912,7 +5961,23 @@ object SparkEntry {
         |       (SELECT CAST(ROUND(AVG(user_id)*100) AS BIGINT) FROM live)
         |         AS avg_user_c_live,
         |       (SELECT min(user_id) FROM live) AS mn_user_live,
-        |       (SELECT max(user_id) FROM live) AS mx_user_live
+        |       (SELECT max(user_id) FROM live) AS mx_user_live,
+        |       -- phase 4: the synthetic boundary-split table (ids
+        |       -- 1..200 across batches split at 100/101, v NULL on
+        |       -- id%10=0, id=161 deleted) — same arithmetic in SQL
+        |       (SELECT count(*) FROM range(1, 201)) AS flt_n_all,
+        |       (SELECT count(*) FROM range(101, 201)) AS flt_n_upper,
+        |       (SELECT count(*) FROM range(101, 201) WHERE range % 10 <> 0)
+        |         AS flt_nv_upper,
+        |       (SELECT CAST(SUM(range) AS BIGINT) FROM range(101, 201)
+        |        WHERE range % 10 <> 0) AS flt_sumv_upper,
+        |       CAST(101 AS BIGINT) AS flt_mn_upper,
+        |       CAST(200 AS BIGINT) AS flt_mx_upper,
+        |       (SELECT count(*) FROM range(150, 201)) AS flt_n_mid,
+        |       (SELECT count(*) FROM range(101, 201) WHERE range <> 161)
+        |         AS flt_n_upper_del,
+        |       (SELECT count(*) FROM range(101, 201)
+        |        WHERE range % 10 <> 0 AND range <> 161) AS flt_nv_upper_live
         |FROM last""".stripMargin,
 
     // exact decimal build mirrored (integer cents -> ×0.01 -> cast, all

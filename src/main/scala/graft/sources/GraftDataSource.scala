@@ -303,43 +303,77 @@ private[graft] class GraftScanBuilder(root: String, manifest: Manifest)
   private val tableSchema = manifest.schema
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
+  private var exactFilters = false
   private var aggPushed: Option[Aggregation] = scala.None
   private var limit: Long = -1L
 
-  /** Accept the filters usable for min/max file pruning; ALL filters
-   *  are returned as residual — pruning is inexact by design (the
-   *  reference reports Inexact the same way, `table_provider.rs:82-88`)
-   *  and Spark re-evaluates on the surviving rows. */
+  /** Accept the filters usable for min/max file pruning. Pruning is
+   *  inexact by design (the reference reports Inexact the same way,
+   *  `table_provider.rs:82-88`), so ALL filters normally come back as
+   *  residual for Spark to re-evaluate — EXCEPT the FILE-EXACT case:
+   *  when every filter is provably all-match-or-none-match on every
+   *  live file ([[GraftScan.decide]]), pruning IS the exact filter
+   *  (none-match files are dropped, all-match files pass whole), so no
+   *  residual remains. That unlocks aggregate pushdown BEHIND the
+   *  predicate — `SELECT count(*) FROM t WHERE ts >= X` on a
+   *  boundary-aligned X answers from the manifest, the canonical
+   *  100-TB telemetry probe. A file where any one filter proves
+   *  none-match is pruned regardless of the other filters'
+   *  indeterminacy on it; any other indeterminacy falls back to the
+   *  inexact contract. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(GraftScan.prunable(tableSchema, _))
-    filters
+    exactFilters = filters.nonEmpty && pushed.length == filters.length &&
+      manifest.dataFiles.forall { e =>
+        e.rows == e.deletes || // zero live rows: never planned
+          pushed.exists(f =>
+            GraftScan.decide(tableSchema, e, f).contains(false)) ||
+          pushed.forall(f =>
+            GraftScan.decide(tableSchema, e, f).contains(true))
+      }
+    if (exactFilters) Array.empty else filters
   }
   override def pushedFilters(): Array[Filter] = pushed
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** Unfiltered global COUNT(*)/MIN/MAX answered from the manifest.
-   *  Filters make stat-pruning inexact, so any pushed filter disables
-   *  this (Spark also never offers aggregates past a residual Filter);
-   *  MIN/MAX additionally require a delete-free snapshot — a DV could
-   *  mask exactly the extreme row. The one emitted row is the FINAL
-   *  answer (complete pushdown), and is equally valid as a partial
-   *  buffer if Spark keeps its own agg. */
+  /** The snapshot an aggregation may be answered over: every file when
+   *  no filter is pushed; under FILE-EXACT filters exactly the
+   *  all-match files (by exactness no third kind survives pruning);
+   *  None = a filter the manifest cannot decide, aggregates decline. */
+  private def aggSnapshot: Option[Manifest] =
+    if (pushed.isEmpty) Some(manifest)
+    else if (!exactFilters) scala.None
+    else Some(manifest.copy(dataFiles = manifest.dataFiles.filter(e =>
+      e.rows > e.deletes && pushed.forall(f =>
+        GraftScan.decide(tableSchema, e, f).contains(true)))))
+
+  /** Global COUNT(*)/COUNT(col)/MIN/MAX/SUM/AVG answered from the
+   *  manifest — unfiltered, or behind FILE-EXACT pushed filters (the
+   *  matching files' accounting is the answer; a mid-file predicate
+   *  keeps scanning). MIN/MAX additionally require live bounds — a DV
+   *  could mask exactly the extreme row. The one emitted row is the
+   *  FINAL answer (complete pushdown), and is equally valid as a
+   *  partial buffer if Spark keeps its own agg. */
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    pushed.isEmpty && GraftAggScan.supported(manifest, agg)
+    aggSnapshot.exists(m => GraftAggScan.supported(m, agg))
   override def pushAggregation(agg: Aggregation): Boolean = {
-    val ok = pushed.isEmpty && GraftAggScan.supported(manifest, agg)
+    val ok = aggSnapshot.exists(m => GraftAggScan.supported(m, agg))
     if (ok) aggPushed = Some(agg)
     ok
   }
 
   /** Partial limit push (default isPartiallyPushed): plan only enough
-   *  files to cover `l` live rows; Spark applies the exact global cut. */
+   *  files to cover `l` live rows; Spark applies the exact global cut.
+   *  (Sound with FILE-EXACT filters too: every planned file is
+   *  all-match, so its live rows all count toward the limit.) */
   override def pushLimit(l: Int): Boolean = { limit = l.toLong; true }
 
   override def build(): Scan = aggPushed match {
-    case Some(a) => new GraftAggScan(manifest, a)
+    case Some(a) => new GraftAggScan(aggSnapshot.getOrElse(
+      throw new IllegalStateException(
+        "aggregation pushed without a decidable snapshot")), a)
     case scala.None => new GraftScan(root, manifest, required, pushed, limit)
   }
 }
@@ -361,6 +395,11 @@ private[sources] object GraftScan {
       // missing count — pre-null-accounting writer — never prunes)
       case IsNull(c) => schema.fieldNames.contains(c)
       case IsNotNull(c) => schema.fieldNames.contains(c)
+      // composites: Spark splits top-level conjuncts itself, so And
+      // arrives mostly inside Or — but a disjunctive range predicate
+      // (`ts < a OR ts > b`) prunes per arm, a real win at 100 TB
+      case And(l, r) => prunable(schema, l) && prunable(schema, r)
+      case Or(l, r) => prunable(schema, l) && prunable(schema, r)
       case _ => false
     }
   }
@@ -433,7 +472,113 @@ private[sources] object GraftScan {
       // under masking; an unrecorded count keeps the file.
       case IsNull(c) => e.nullsOf(c).forall(_ > 0L)
       case IsNotNull(c) => e.nullsOf(c).forall(_ < e.rows)
+      // a conjunction needs every arm possible; a disjunction any arm
+      case And(l, r) => mayMatch(schema, e, l) && mayMatch(schema, e, r)
+      case Or(l, r) => mayMatch(schema, e, l) || mayMatch(schema, e, r)
       case _ => true
+    }
+  }
+
+  /** Three-valued per-file evaluation of a pushed filter against the
+   *  manifest stats: Some(false) = provably NO live row matches (the
+   *  pruning decision — [[mayMatch]]'s negation), Some(true) =
+   *  provably EVERY live row matches, None = must scan. All-match
+   *  proofs are restricted to types whose stored bounds are exact
+   *  values under the stat ordering — integrals, decimal, date,
+   *  timestamp, boolean. Strings decline (statBounds may truncate the
+   *  min and LIFT the max, and JVM vs UTF8String ordering differ
+   *  around surrogates); floats decline (NaN ordering). SQL
+   *  comparisons are never true on NULL, so every comparison all-match
+   *  additionally needs zero LIVE nulls — physical count when the file
+   *  is delete-free, masked accounting when it is current, otherwise
+   *  indeterminate. Bounds are physical (they cover every live row, so
+   *  all-match over physical rows implies all-match over survivors);
+   *  only the NULL accounting needs DV awareness. */
+  def decide(schema: StructType, e: DataFileEntry, f: Filter): Option[Boolean] = {
+    if (!mayMatch(schema, e, f)) return Some(false)
+    def fld(c: String) = schema.fields.find(_.name == c)
+    def exactType(c: String): Boolean = fld(c).exists(_.dataType match {
+      case LongType | IntegerType | ShortType | BooleanType | DateType |
+           TimestampType | _: DecimalType => true
+      case _ => false
+    })
+    // live null count of `c`: zero physical nulls means zero live
+    // nulls no matter the masking (live ⊆ physical) — the common case
+    // that keeps count(*)-behind-filter exact right after a delete;
+    // otherwise physical when delete-free, physical minus masked when
+    // the masked accounting is CURRENT, else unknown
+    def liveNulls(c: String): Option[Long] = e.nullsOf(c).flatMap { n =>
+      if (n == 0L) Some(0L)
+      else if (e.deletes == 0L) Some(n)
+      else if (e.dvStatsCurrent) e.dvNullsOf(c).map(n - _)
+      else scala.None
+    }
+    def noNulls(c: String): Boolean = liveNulls(c).contains(0L)
+    def liveNonNulls(c: String): Option[Long] = e.nullsOf(c).flatMap { n =>
+      val phys = e.rows - n
+      if (phys == 0L) Some(0L) // no non-null exists, masked or not
+      else if (e.deletes == 0L) Some(phys)
+      else if (e.dvStatsCurrent)
+        e.dvNullsOf(c).map(dn => phys - (e.deletes - dn))
+      else scala.None
+    }
+    def bounds(c: String): Option[(Any, Any, Ordering[Any])] = for {
+      fd <- fld(c)
+      s <- e.stats.get(c)
+      if s.length == 2
+    } yield (GraftTable.parseStat(fd.dataType, s.head),
+      GraftTable.parseStat(fd.dataType, s(1)),
+      GraftTable.anyOrdering(fd.dataType))
+    def cv(c: String, v: Any): Option[Any] =
+      fld(c).flatMap(fd => coerce(fd.dataType, v))
+    /** Some(true) when the bounds prove every non-null value passes
+     *  and the file holds no live nulls; None otherwise. */
+    def cmp(c: String, v: Any)(
+        p: (Any, Any, Any, Ordering[Any]) => Boolean): Option[Boolean] =
+      if (!exactType(c) || !noNulls(c)) scala.None
+      else (bounds(c), cv(c, v)) match {
+        case (Some((mn, mx, ord)), Some(x)) if p(mn, mx, x, ord) =>
+          Some(true)
+        case _ => scala.None
+      }
+    f match {
+      case EqualTo(c, v) => cmp(c, v)((mn, mx, x, ord) =>
+        ord.equiv(mn, x) && ord.equiv(mx, x))
+      case GreaterThan(c, v) => cmp(c, v)((mn, _, x, ord) => ord.gt(mn, x))
+      case GreaterThanOrEqual(c, v) =>
+        cmp(c, v)((mn, _, x, ord) => ord.gteq(mn, x))
+      case LessThan(c, v) => cmp(c, v)((_, mx, x, ord) => ord.lt(mx, x))
+      case LessThanOrEqual(c, v) =>
+        cmp(c, v)((_, mx, x, ord) => ord.lteq(mx, x))
+      case In(c, vs) =>
+        // all-match only in the single-valued file (min == max ∈ vs)
+        if (!exactType(c) || !noNulls(c)) scala.None
+        else bounds(c) match {
+          case Some((mn, mx, ord)) if ord.equiv(mn, mx) &&
+              vs.exists(v => cv(c, v).exists(x => ord.equiv(x, mn))) =>
+            Some(true)
+          case _ => scala.None
+        }
+      case IsNull(c) =>
+        if (liveNonNulls(c).contains(0L)) Some(true) else scala.None
+      case IsNotNull(c) =>
+        if (noNulls(c)) Some(true) else scala.None
+      // three-valued composites (NULL-safe: an arm's Some(true) already
+      // embeds its zero-live-nulls proof, and a ∨ b is true wherever a
+      // is true regardless of b's NULLness)
+      case And(l, r) =>
+        (decide(schema, e, l), decide(schema, e, r)) match {
+          case (Some(true), Some(true)) => Some(true)
+          case (Some(false), _) | (_, Some(false)) => Some(false)
+          case _ => scala.None
+        }
+      case Or(l, r) =>
+        (decide(schema, e, l), decide(schema, e, r)) match {
+          case (Some(true), _) | (_, Some(true)) => Some(true)
+          case (Some(false), Some(false)) => Some(false)
+          case _ => scala.None
+        }
+      case _ => scala.None
     }
   }
 }

@@ -13,7 +13,8 @@ import org.apache.spark.sql.SparkSession
  *
  *   sbt "runMain graft.tools.Serve /data/warehouse \
  *        [--rest-port 3030] [--tcp-port 3031] [--otel-port 3435] \
- *        [--no-rest] [--no-tcp] [--no-otel] [--maintenance-ms 300000]"
+ *        [--no-rest] [--no-tcp] [--no-otel] [--maintenance-ms 300000] \
+ *        [--metadata-uri postgresql://user@host:5432/db]"
  *
  * One process = one SparkSession + one [[GraftCatalog]] over the base
  * path, shared by every transport:

@@ -282,10 +282,18 @@ class GraftDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q.queryExecution.executedPlan.toString.contains("GraftAggScan"),
       "unfiltered count(*) must hit the metadata-only scan")
     assert(q.head().getLong(0) == 39L, "count must respect DV deletes")
-    // a filter makes stat pruning inexact — must fall back to real scan
+    // FILE-DECIDABLE filter (id > 100 splits exactly between the two
+    // ingest batches): every file is all-match or none-match, so the
+    // count still answers from the manifest, BEHIND the predicate
     val filtered = df.where(col("id") > 100L).agg(count(lit(1)))
-    assert(!filtered.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+    assert(filtered.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+      "boundary-aligned filtered count(*) must stay metadata-only")
     assert(filtered.head().getLong(0) == 20L)
+    // a MID-FILE predicate is indeterminate on some file — must fall
+    // back to the real scan (and still answer exactly)
+    val midFile = df.where(col("id") > 102L).agg(count(lit(1)))
+    assert(!midFile.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+    assert(midFile.head().getLong(0) == 18L)
     t.drop()
   }
 

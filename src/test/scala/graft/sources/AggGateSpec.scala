@@ -94,4 +94,68 @@ class AggGateSpec extends AnyFunSuite {
     assert(GraftAggScan.supported(m, pair),
       "pushable decimal Sum+Count must pass the avg-rewrite gate")
   }
+
+  test("decide: three-valued per-file filter evaluation") {
+    import org.apache.spark.sql.sources._
+    val e = file(100L, "-5.00", "5.00") // id ∈ [1,100], 0 nulls
+    def d(f: Filter, entry: DataFileEntry = e) =
+      GraftScan.decide(schema, entry, f)
+    // boundary-aligned comparisons decide; mid-file ones don't
+    assert(d(GreaterThanOrEqual("id", 1L)) == Some(true))
+    assert(d(GreaterThan("id", 0L)) == Some(true))
+    assert(d(GreaterThan("id", 100L)) == Some(false))
+    assert(d(GreaterThan("id", 50L)).isEmpty)
+    assert(d(LessThanOrEqual("id", 100L)) == Some(true))
+    assert(d(LessThan("id", 1L)) == Some(false))
+    assert(d(EqualTo("id", 200L)) == Some(false))
+    assert(d(EqualTo("id", 50L)).isEmpty)
+    assert(d(IsNotNull("id")) == Some(true))
+    assert(d(IsNull("id")) == Some(false))
+    // decimal bounds decide too (exact stat values)
+    assert(d(GreaterThanOrEqual("amt",
+      new java.math.BigDecimal("-5.00"))) == Some(true))
+    assert(d(GreaterThan("amt", new java.math.BigDecimal("0"))).isEmpty)
+    // nulls break comparison all-match (SQL: NULL never matches) but
+    // not none-match
+    val nully = file(100L, "-5.00", "5.00", nulls = 5L)
+    assert(d(GreaterThanOrEqual("amt",
+      new java.math.BigDecimal("-5.00")), nully).isEmpty)
+    assert(d(LessThan("amt", new java.math.BigDecimal("-6")), nully)
+      == Some(false))
+    assert(d(IsNotNull("amt"), nully).isEmpty)
+    assert(d(IsNull("amt"), nully).isEmpty)
+    val allNull = file(100L, "0", "0", nulls = 100L)
+    assert(d(IsNull("amt"), allNull) == Some(true))
+    // a single-valued file decides EqualTo and In
+    val point = e.copy(stats = e.stats + ("id" -> Seq("7", "7")))
+    assert(d(EqualTo("id", 7L), point) == Some(true))
+    assert(d(In("id", Array[Any](3L, 7L)), point) == Some(true))
+    assert(d(In("id", Array[Any](3L, 8L)), point) == Some(false))
+    // deletes with STALE masked accounting: zero physical nulls still
+    // prove zero live nulls (live ⊆ physical)...
+    val staleDel = e.copy(deletes = 3L)
+    assert(d(GreaterThanOrEqual("id", 1L), staleDel) == Some(true))
+    // ...but a physically-nulled column can no longer prove anything
+    val staleNully = nully.copy(deletes = 3L)
+    assert(d(IsNotNull("amt"), staleNully).isEmpty)
+    // bounds-less column: indeterminate unless none-match is provable
+    val noBounds = e.copy(stats = Map("id" -> Seq("1", "100")))
+    assert(d(GreaterThanOrEqual("amt",
+      new java.math.BigDecimal("0")), noBounds).isEmpty)
+    // three-valued composites: disjunctive ranges prune per arm
+    assert(d(Or(GreaterThan("id", 100L), LessThan("id", 1L))) == Some(false))
+    assert(d(Or(GreaterThanOrEqual("id", 1L), GreaterThan("id", 300L)))
+      == Some(true))
+    assert(d(Or(GreaterThan("id", 50L), LessThan("id", 0L))).isEmpty)
+    assert(d(And(GreaterThanOrEqual("id", 1L), LessThanOrEqual("id", 100L)))
+      == Some(true))
+    assert(d(And(GreaterThan("id", 200L), GreaterThan("id", 50L)))
+      == Some(false))
+    assert(d(And(GreaterThan("id", 50L), LessThanOrEqual("id", 100L))).isEmpty)
+    // prunability of composites (both arms must be stat-comparable)
+    assert(GraftScan.prunable(schema,
+      Or(EqualTo("id", 1L), EqualTo("id", 99L))))
+    assert(!GraftScan.prunable(schema,
+      Or(EqualTo("id", 1L), StringContains("id", "x"))))
+  }
 }
