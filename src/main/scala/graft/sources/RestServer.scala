@@ -250,7 +250,11 @@ final class RestServer(catalog: GraftCatalog, port: Int = 0,
     val res = PgInitialSync.run(catalog, name, srcTable,
       host = u.getHost,
       port = if (u.getPort > 0) u.getPort else 5432,
-      user = user, database = db, srcUri = srcUri)
+      user = user, database = db, srcUri = srcUri,
+      // snapshot width (reference default 4, postgres_source.rs:339):
+      // at large scale callers raise it toward the cluster's task
+      // parallelism — each shard is one executor-task COPY connection
+      copyShards = Option(r.get("copy_shards")).map(_.asInt(4)).getOrElse(4))
     200 -> obj("table" -> name, "lsn" -> res.boundaryLsn,
       "copied_rows" -> res.copiedRows)
   }
