@@ -110,7 +110,8 @@ final case class PgColumn(name: String, typeOid: Int, typeMod: Int,
 /**
  * v3 simple-query + replication client over ONE
  * `replication=database` connection — the reference's
- * `ReplicationClient` shape. Trust auth only (like [[PgReplicationClient]]).
+ * `ReplicationClient` shape. Authenticates via trust, cleartext, md5
+ * or SCRAM-SHA-256 ([[PgAuth]] — the modern primary default).
  */
 final class PgSyncClient(host: String, port: Int, user: String,
     database: String,
@@ -118,7 +119,10 @@ final class PgSyncClient(host: String, port: Int, user: String,
     // the REPLICATION role attribute; plain-SQL users (the metadata
     // registry) connect without it
     replication: Boolean = true,
-    connectTimeoutMs: Int = 15000) {
+    connectTimeoutMs: Int = 15000,
+    // password for cleartext/md5/SCRAM-SHA-256 auth ([[PgAuth]]);
+    // None = trust-only (the server asking anyway fails loudly)
+    password: Option[String] = scala.None) {
   private var sock: Socket = null
   private var in: DataInputStream = null
   private var out: PgWire.MsgOut = null
@@ -140,7 +144,9 @@ final class PgSyncClient(host: String, port: Int, user: String,
     while (!ready) PgWire.readMessage(in) match {
       case Some(('R', body)) =>
         val code = ByteBuffer.wrap(body).getInt
-        require(code == 0, s"unsupported auth method $code (trust only)")
+        if (code != 0) PgAuth.authenticate(code,
+          java.util.Arrays.copyOfRange(body, 4, body.length), in, out,
+          user, password)
       case Some(('S', _)) | Some(('K', _)) | Some(('N', _)) => ()
       case Some(('Z', _)) => ready = true
       case Some(('E', body)) => throw pgError(body)
@@ -482,13 +488,22 @@ object PgInitialSync {
    *  task re-runs its COPY against the same immutable snapshot, so
    *  retries are deterministic and the parquet commit protocol keeps
    *  partial attempts invisible. */
+  /** (user, password) from a postgresql:// URI's userinfo. */
+  private[graft] def credsOf(u: java.net.URI): (String, Option[String]) = {
+    val ui = Option(u.getUserInfo)
+    (ui.map(_.takeWhile(_ != ':')).filter(_.nonEmpty).getOrElse("postgres"),
+      ui.filter(_.contains(':')).map(_.dropWhile(_ != ':').drop(1))
+        .filter(_.nonEmpty))
+  }
+
   private[sources] def copyShardRows(host: String, port: Int,
       user: String, database: String, snapId: String, sql: String,
       cols: Seq[PgColumn],
       execRows: org.apache.spark.util.LongAccumulator,
-      driverRows: org.apache.spark.util.LongAccumulator): Iterator[Row] = {
+      driverRows: org.apache.spark.util.LongAccumulator,
+      password: Option[String]): Iterator[Row] = {
     val w = new PgSyncClient(host, port, user, database,
-      replication = false)
+      replication = false, password = password)
     w.connect()
     val tc = org.apache.spark.TaskContext.get()
     if (tc != null) tc.addTaskCompletionListener[Unit](_ =>
@@ -534,10 +549,11 @@ object PgInitialSync {
    *  the failure that triggered it, and an unreachable primary keeps
    *  its orphans only until the next create retries. */
   private[sources] def cleanupReplication(host: String, port: Int,
-      user: String, database: String, slot: String, pub: String): Unit =
+      user: String, database: String, slot: String, pub: String,
+      password: Option[String] = scala.None): Unit =
     try {
       val c = new PgSyncClient(host, port, user, database,
-        replication = false, connectTimeoutMs = 5000)
+        replication = false, connectTimeoutMs = 5000, password = password)
       c.connect()
       try {
         def best(sql: String): Unit =
@@ -565,13 +581,13 @@ object PgInitialSync {
     entry.filter(e => e.srcUri.startsWith("postgresql://") ||
         e.srcUri.startsWith("postgres://")).foreach { e =>
       val u = java.net.URI.create(e.srcUri)
+      val (user, pw) = credsOf(u)
       cleanupReplication(u.getHost,
         if (u.getPort > 0) u.getPort else 5432,
-        Option(u.getUserInfo).map(_.takeWhile(_ != ':'))
-          .getOrElse("postgres"),
+        user,
         Option(u.getPath).map(_.stripPrefix("/")).filter(_.nonEmpty)
           .getOrElse("postgres"),
-        s"graft_$name", s"graft_pub_$name")
+        s"graft_$name", s"graft_pub_$name", pw)
     }
     catalog.dropTable(name)
   }
@@ -589,7 +605,8 @@ object PgInitialSync {
       // `postgres_source.rs:339` plan_ctid_shards) — the 100-TB
       // initial-copy lever: a single-connection COPY is the bottleneck
       copyShards: Int = 4,
-      maxReconnects: Int = 5): Result = {
+      maxReconnects: Int = 5,
+      password: Option[String] = scala.None): Result = {
     val (ns, tbl) = srcTableName.split('.') match {
       case Array(a, b) =>
         (identPart(a, "src schema"), identPart(b, "src table"))
@@ -609,7 +626,8 @@ object PgInitialSync {
     val pub = s"graft_pub_$name"
     require(!catalog.streams.get(name).exists(_.alive),
       s"table $name already has a live replication stream")
-    val client = new PgSyncClient(host, port, user, database)
+    val client = new PgSyncClient(host, port, user, database,
+      password = password)
     client.connect()
     try {
       val cols = client.fetchColumns(ns, tbl)
@@ -673,10 +691,11 @@ object PgInitialSync {
           "WITH (FORMAT text);")
       val (srcHost, srcPort, srcUser, srcDb) = (host, port, user, database)
       val taskCols = cols
+      val taskPw = password
       val rdd = spark.sparkContext
         .parallelize(copySqls, copySqls.length)
         .flatMap(sql => copyShardRows(srcHost, srcPort, srcUser, srcDb,
-          snapId, sql, taskCols, execRows, driverRows))
+          snapId, sql, taskCols, execRows, driverRows, taskPw))
       spark.createDataFrame(rdd, schema).write.parquet(staging)
       client.simpleQuery("commit;")
       val copied = execRows.value + driverRows.value
@@ -690,14 +709,14 @@ object PgInitialSync {
       val sess = new PgOutput.Session(tbl, keys, firstLsn = boundary + 1,
         skipCommitsAtOrBelow = boundary)
       val (thread, errFn, stopFn) = catchUp(table, sess, client, slot, pub,
-        boundary, host, port, user, database, name, maxReconnects)
+        boundary, host, port, user, database, name, maxReconnects, password)
       val res = Result(boundary, copied, thread, errFn, stopFn,
         driverCopiedRows = driverRows.value)
       catalog.streams.put(name, res)
       res
       } catch { case t: Throwable =>
         try client.close() catch { case _: Throwable => () }
-        cleanupReplication(host, port, user, database, slot, pub)
+        cleanupReplication(host, port, user, database, slot, pub, password)
         catalog.dropTable(name)
         throw t
       }
@@ -739,11 +758,11 @@ object PgInitialSync {
       case _ => Nil
     }
     val table = catalog.table(name)
-    val user = Option(u.getUserInfo).map(_.takeWhile(_ != ':'))
-      .getOrElse("postgres")
+    val (user, password) = credsOf(u)
     val database = Option(u.getPath).map(_.stripPrefix("/"))
       .filter(_.nonEmpty).getOrElse("postgres")
-    val client = new PgSyncClient(u.getHost, port, user, database)
+    val client = new PgSyncClient(u.getHost, port, user, database,
+      password = password)
     client.connect()
     try {
       // event LSNs continue above everything the table already holds;
@@ -755,7 +774,7 @@ object PgInitialSync {
         skipCommitsAtOrBelow = table.commitLsn)
       val (thread, errFn, stopFn) = catchUp(table, sess, client,
         s"graft_$name", s"graft_pub_$name", 0L, u.getHost, port,
-        user, database, name, maxReconnects)
+        user, database, name, maxReconnects, password)
       val res = Result(table.commitLsn, 0L, thread, errFn, stopFn)
       catalog.streams.put(name, res)
       res
@@ -772,7 +791,8 @@ object PgInitialSync {
   private def catchUp(table: GraftTable, sess: PgOutput.Session,
       first: PgSyncClient, slot: String, pub: String, startWal: Long,
       host: String, port: Int, user: String, database: String,
-      name: String, maxReconnects: Int)
+      name: String, maxReconnects: Int,
+      password: Option[String] = scala.None)
       : (Thread, () => Option[Throwable], () => Unit) = {
     @volatile var err: Option[Throwable] = scala.None
     @volatile var stopRequested = false
@@ -797,7 +817,8 @@ object PgInitialSync {
             // still down — the very case being retried) lands in the
             // retry branch below and consumes an attempt, instead of
             // falling through to startReplication on a dead client
-            cur = new PgSyncClient(host, port, user, database)
+            cur = new PgSyncClient(host, port, user, database,
+              password = password)
             curRef = cur
             cur.connect()
             connected = true
@@ -895,7 +916,11 @@ final class PgMockPrimary(
     // keep accepting connections after the replication stream ends
     // cleanly (drop/cleanup dialogues arrive AFTER streaming); end the
     // accept loop with shutdown()
-    keepServing: Boolean = false) {
+    keepServing: Boolean = false,
+    // when set, EVERY connection must pass a full SCRAM-SHA-256
+    // exchange (the modern primary default) before any query is
+    // served; the mock independently verifies the client's proof
+    scramPassword: Option[String] = scala.None) {
   private val server = new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
   @volatile var sawReplicationParam = false
   @volatile var sawSchemaQuery = false
@@ -946,6 +971,9 @@ final class PgMockPrimary(
   @volatile private var finished = false
   /** deliberate mid-stream connection drop (the injected blip) */
   private object DropConn extends RuntimeException
+  /** scripted auth rejection — an IOException so the per-connection
+   *  handler treats it like any other ended client, not a mock error */
+  private object AuthRejected extends java.io.IOException
   /** the snapshot id handed to pg_export_snapshot callers */
   val exportedSnapshot = "00000003-0000001A-1"
   private val importedQueue =
@@ -1050,6 +1078,7 @@ final class PgMockPrimary(
       if (params.sliding(2, 2).exists(p =>
           p.length == 2 && p(0) == "replication" && p(1) == "database"))
         sawReplicationParam = true
+      scramPassword.foreach(pw => serverScram(in, out, pw))
       out.send('R', Array[Byte](0, 0, 0, 0))
       out.send('S', "server_version".getBytes(UTF_8) ++ Array(0.toByte) ++
         "16.0".getBytes(UTF_8) ++ Array(0.toByte))
@@ -1200,6 +1229,79 @@ final class PgMockPrimary(
 
   /** End the accept loop of a `keepServing` primary. */
   def shutdown(): Unit = { finished = true; server.close() }
+
+  /** connections that passed the full SCRAM exchange with a VERIFIED
+   *  client proof */
+  @volatile var scramVerified = 0
+
+  /** Server half of SCRAM-SHA-256 (RFC 5802/7677 over the PG SASL
+   *  framing): sends the mechanism offer, drives the two-round
+   *  exchange, and INDEPENDENTLY verifies the client's proof from the
+   *  password and the exchanged messages — a client with the wrong
+   *  password, wrong AuthMessage assembly, or wrong framing cannot
+   *  pass. */
+  private def serverScram(in: DataInputStream, out: PgWire.MsgOut,
+      password: String): Unit = {
+    def authMsg(code: Int, payload: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      PgWire.putI32(o, code); o.write(payload, 0, payload.length)
+      o.toByteArray
+    }
+    out.send('R', authMsg(10,
+      "SCRAM-SHA-256".getBytes(UTF_8) ++ Array[Byte](0, 0)))
+    val (t1, p1) = PgWire.readMessage(in).getOrElse(
+      throw new IllegalStateException("client closed before SASL init"))
+    require(t1 == 'p', s"expected SASLInitialResponse, got $t1")
+    val bb = ByteBuffer.wrap(p1)
+    val mech = {
+      val o = new StringBuilder
+      var c = bb.get()
+      while (c != 0) { o += c.toChar; c = bb.get() }
+      o.toString
+    }
+    require(mech == "SCRAM-SHA-256", s"unexpected mechanism $mech")
+    val payload = new Array[Byte](bb.getInt); bb.get(payload)
+    val clientFirst = new String(payload, UTF_8)
+    require(clientFirst.startsWith("n,,"),
+      s"expected no-channel-binding gs2 header: $clientFirst")
+    val clientFirstBare = clientFirst.stripPrefix("n,,")
+    val clientNonce = PgAuth.scramFields(clientFirstBare)('r')
+    val salt = "mock-salt-0123456789".getBytes(UTF_8)
+    val iters = 4096
+    val fullNonce = clientNonce + "srvNONCE"
+    val serverFirst = s"r=$fullNonce," +
+      s"s=${java.util.Base64.getEncoder.encodeToString(salt)},i=$iters"
+    out.send('R', authMsg(11, serverFirst.getBytes(UTF_8)))
+    val (t2, p2) = PgWire.readMessage(in).getOrElse(
+      throw new IllegalStateException("client closed before SASL final"))
+    require(t2 == 'p', s"expected SASLResponse, got $t2")
+    val clientFinal = new String(p2, UTF_8)
+    val f = PgAuth.scramFields(clientFinal)
+    require(f('r') == fullNonce, "client must echo the full nonce")
+    val withoutProof = clientFinal.substring(0, clientFinal.lastIndexOf(",p="))
+    val am = s"$clientFirstBare,$serverFirst,$withoutProof"
+    val salted = PgAuth.saltedPassword(password, salt, iters)
+    val stored = PgAuth.storedKey(salted)
+    val proof = java.util.Base64.getDecoder.decode(f('p'))
+    val clientKey = PgAuth.xor(proof, PgAuth.clientSignature(stored, am))
+    if (!java.util.Arrays.equals(
+        java.security.MessageDigest.getInstance("SHA-256").digest(clientKey),
+        stored)) {
+      // a real primary answers a bad proof with 28P01, not a hangup
+      val eb = new java.io.ByteArrayOutputStream()
+      def fld(code: Char, v: String): Unit = {
+        eb.write(code); eb.write(v.getBytes(UTF_8)); eb.write(0)
+      }
+      fld('S', "FATAL"); fld('C', "28P01")
+      fld('M', "password authentication failed")
+      eb.write(0)
+      out.send('E', eb.toByteArray)
+      throw AuthRejected
+    }
+    scramVerified += 1
+    out.send('R', authMsg(12, ("v=" + java.util.Base64.getEncoder
+      .encodeToString(PgAuth.serverSignature(salted, am))).getBytes(UTF_8)))
+  }
 
   /** Stream the frames whose WAL position is at-or-above `fromLsnReq`
    *  — the slot-resume contract: a reconnecting standby receives

@@ -243,14 +243,14 @@ final class RestServer(catalog: GraftCatalog, port: Int = 0,
     val u = java.net.URI.create(srcUri)
     require(u.getScheme == "postgresql" || u.getScheme == "postgres",
       s"unsupported src_uri scheme: $srcUri")
-    val user = Option(u.getUserInfo).map(_.takeWhile(_ != ':'))
-      .getOrElse("postgres")
+    val (user, password) = PgInitialSync.credsOf(u)
     val db = Option(u.getPath).map(_.stripPrefix("/")).filter(_.nonEmpty)
       .getOrElse("postgres")
     val res = PgInitialSync.run(catalog, name, srcTable,
       host = u.getHost,
       port = if (u.getPort > 0) u.getPort else 5432,
       user = user, database = db, srcUri = srcUri,
+      password = password,
       // snapshot width (reference default 4, postgres_source.rs:339):
       // at large scale callers raise it toward the cluster's task
       // parallelism — each shard is one executor-task COPY connection

@@ -16,7 +16,8 @@ import graft.sources.{PgSyncClient, PgWire}
  * registry is a boot/DDL-cadence surface, never a hot path.
  */
 final class PgWireMetadataBackend(host: String, port: Int,
-    user: String = "postgres", database: String = "postgres")
+    user: String = "postgres", database: String = "postgres",
+    password: Option[String] = None)
     extends MetadataBackend {
 
   private def lit(s: String): String =
@@ -25,7 +26,7 @@ final class PgWireMetadataBackend(host: String, port: Int,
   private def withClient[T](f: PgSyncClient => T): T = {
     // plain SQL connection: the registry user needs no REPLICATION role
     val c = new PgSyncClient(host, port, user, database,
-      replication = false)
+      replication = false, password = password)
     c.connect()
     try f(c) finally c.close()
   }

@@ -126,12 +126,13 @@ object Serve {
     val u = java.net.URI.create(uri)
     u.getScheme match {
       case "postgresql" | "postgres" =>
+        val (user, password) = graft.sources.PgInitialSync.credsOf(u)
         new graft.table.PgWireMetadataBackend(u.getHost,
           if (u.getPort > 0) u.getPort else 5432,
-          Option(u.getUserInfo).map(_.takeWhile(_ != ':'))
-            .getOrElse("postgres"),
+          user,
           Option(u.getPath).map(_.stripPrefix("/")).filter(_.nonEmpty)
-            .getOrElse("postgres"))
+            .getOrElse("postgres"),
+          password)
       case other => throw new IllegalArgumentException(
         s"unsupported --metadata-uri scheme: $other (postgresql:// only)")
     }
