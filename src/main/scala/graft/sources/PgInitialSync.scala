@@ -442,7 +442,7 @@ object PgInitialSync {
       /** rows that were decoded OUTSIDE a Spark task (always 0 when
        *  the snapshot job ran distributed — the spec-visible proof
        *  that the initial copy never stages through the driver) */
-      driverCopiedRows: Long = 0L) extends graft.table.ReplicationStream {
+      driverCopiedRows: Long = 0L) extends graft.table.ReplicationHandle {
     override def alive: Boolean = catchUp.isAlive
     override def lastError: Option[Throwable] = error()
     override def stop(): Unit = stopImpl()

@@ -214,6 +214,10 @@ object PgOutput {
     case 701 => "float64"
     case 25 | 1043 | 1042 => "string"
     case 17 => "string" // bytea surfaces as hex string at this layer
+    // uuid / json / jsonb / time / "char" / name: text passthrough —
+    // the ingest rules keep them queryable (JSON via Spark's json
+    // functions), matching the reference's string-typed handling
+    case 2950 | 114 | 3802 | 1083 | 18 | 19 => "string"
     case 1082 => "date32"
     case 1114 | 1184 => "timestamp"
     case 1700 =>
@@ -235,12 +239,26 @@ object PgOutput {
     case 20 => text.toLong
     case 700 => text.toFloat
     case 701 => text.toDouble
-    case 25 | 1043 | 1042 | 17 => text
+    case 25 | 1043 | 1042 | 17 | 2950 | 114 | 3802 | 1083 | 18 | 19 => text
     case 1082 => java.sql.Date.valueOf(text)
-    case 1114 | 1184 =>
-      // "2025-01-02 03:04:05[.ffffff][+00]" — normalize the tz suffix off
-      val t = text.stripSuffix("+00").stripSuffix(" UTC").trim
-      java.sql.Timestamp.valueOf(t)
+    case 1114 =>
+      // timestamp WITHOUT time zone: wall-clock text, no offset
+      java.sql.Timestamp.valueOf(text.trim)
+    case 1184 =>
+      // timestamptz: the primary renders in ITS TimeZone with an
+      // explicit offset ([+-]HH[:MM[:SS]]) — honor it, don't assume
+      // UTC (a "+05:30" primary would otherwise shift every instant)
+      val t = text.trim
+      "([+-]\\d{2}(?::\\d{2}){0,2})$".r.findFirstIn(t) match {
+        case Some(off) =>
+          val base = t.dropRight(off.length).trim
+          val norm = if (off.length == 3) off + ":00" else off
+          java.sql.Timestamp.from(java.time.OffsetDateTime.of(
+            java.time.LocalDateTime.parse(base.replace(' ', 'T')),
+            java.time.ZoneOffset.of(norm)).toInstant)
+        case scala.None =>
+          java.sql.Timestamp.valueOf(t.stripSuffix(" UTC").trim)
+      }
     case 1700 => new java.math.BigDecimal(text)
     case other =>
       throw new IllegalArgumentException(s"unmapped pg type oid $other")

@@ -246,10 +246,20 @@ final class RestServer(catalog: GraftCatalog, port: Int = 0,
     val (user, password) = PgInitialSync.credsOf(u)
     val db = Option(u.getPath).map(_.stripPrefix("/")).filter(_.nonEmpty)
       .getOrElse("postgres")
+    // table_config rides the create payload like the plain create verb
+    // (reference CreateTableFromPostgresRequest.table_config) — but WAL
+    // stays ON regardless: the catch-up acks applied txns to the
+    // primary, and apply-with-WAL is what makes applied mean durable
+    var cfg = TableConfig()
+    Option(r.get("table_config")).foreach { tc =>
+      Option(tc.get("mem_slice_size")).foreach(n =>
+        cfg = cfg.copy(memSliceSize = n.asInt(cfg.memSliceSize)))
+    }
     val res = PgInitialSync.run(catalog, name, srcTable,
       host = u.getHost,
       port = if (u.getPort > 0) u.getPort else 5432,
       user = user, database = db, srcUri = srcUri,
+      config = cfg,
       password = password,
       // snapshot width (reference default 4, postgres_source.rs:339):
       // at large scale callers raise it toward the cluster's task

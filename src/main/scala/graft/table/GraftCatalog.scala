@@ -41,7 +41,7 @@ final class GraftCatalog private (val spark: SparkSession,
    *  registers on create/resume; the service drains on shutdown and
    *  the status surfaces report (replicating, last error). */
   val streams =
-    new scala.collection.concurrent.TrieMap[String, ReplicationStream]()
+    new scala.collection.concurrent.TrieMap[String, ReplicationHandle]()
 
   def createTable(name: String, schema: StructType, identity: Identity,
       config: TableConfig = TableConfig(),
@@ -125,7 +125,7 @@ final class GraftCatalog private (val spark: SparkSession,
  *  status surfaces can report a dead mirror instead of a silently
  *  stale table (the reference's per-table ingestion state,
  *  `table_status.rs`). */
-trait ReplicationStream {
+trait ReplicationHandle {
   /** the catch-up thread is still running */
   def alive: Boolean
   /** why it stopped, when it stopped on an error */

@@ -52,7 +52,7 @@ object Serve {
     /** every live replication stream the catalog tracks — boot-resumed
      *  mirrors AND those created/resumed over REST while serving (the
      *  r14 gap: REST-created mirrors outlived stop()) */
-    def mirrors: Seq[(String, graft.table.ReplicationStream)] =
+    def mirrors: Seq[(String, graft.table.ReplicationHandle)] =
       catalog.streams.toSeq
     def stop(): Unit = {
       // close replication streams first so no apply races the shutdown

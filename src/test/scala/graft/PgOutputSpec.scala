@@ -68,6 +68,17 @@ class PgOutputSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(parseValue(1114, -1, "2025-01-02 03:04:05.000001") ==
       java.sql.Timestamp.valueOf("2025-01-02 03:04:05.000001"))
     assert(parseValue(1700, -1, "1.25") == new java.math.BigDecimal("1.25"))
+    // uuid / jsonb pass through as text
+    assert(restType(2950, -1) == "string" && restType(3802, -1) == "string")
+    assert(parseValue(2950, -1, "c0fee000-0000-4000-8000-000000000001")
+      == "c0fee000-0000-4000-8000-000000000001")
+    // timestamptz honors the PRIMARY's rendered offset — all three
+    // spellings of the same instant parse equal
+    val instant = java.sql.Timestamp.from(
+      java.time.Instant.parse("2025-01-02T03:04:05.500Z"))
+    assert(parseValue(1184, -1, "2025-01-02 03:04:05.5+00") == instant)
+    assert(parseValue(1184, -1, "2025-01-02 08:34:05.5+05:30") == instant)
+    assert(parseValue(1184, -1, "2025-01-01 19:04:05.5-08") == instant)
   }
 
   test("session translates a txn into xid-tagged events + commit") {
