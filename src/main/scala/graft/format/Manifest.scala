@@ -222,6 +222,50 @@ trait FioFaults {
   def beforeOp(op: String, path: String): Unit
 }
 
+/**
+ * Token-bucket WRITE throttle over the accessor seam — the reference's
+ * opendal ThrottleLayer (`filesystem/accessor/operator_utils.rs:99-118`,
+ * `ThrottleConfig{bandwidth, burst}`): caps the engine-side
+ * manifest/WAL/DV/export write rate so a maintenance or snapshot burst
+ * cannot saturate an object store's per-prefix egress. Data-file
+ * parquet rides Spark's own committers and is already paced by the
+ * executor count; this layer bounds the ENGINE's metadata writes. A
+ * single write larger than `burst` can never acquire and fails loudly
+ * (the reference's insufficient-capacity contract,
+ * `throttle_test.rs:148`).
+ */
+final class FioThrottle(bandwidthBytesPerSec: Long, burstBytes: Long) {
+  require(bandwidthBytesPerSec > 0 && burstBytes > 0,
+    "throttle bandwidth and burst must be positive")
+  private var tokens: Double = burstBytes.toDouble
+  private var lastNs: Long = System.nanoTime()
+  /** total nanoseconds writers spent blocked (observability) */
+  @volatile var blockedNanos: Long = 0L
+
+  def acquire(bytes: Long): Unit = {
+    if (bytes > burstBytes)
+      throw new java.io.IOException(
+        s"write of $bytes bytes exceeds throttle burst capacity $burstBytes")
+    val t0 = System.nanoTime()
+    synchronized {
+      var need = true
+      while (need) {
+        val now = System.nanoTime()
+        tokens = math.min(burstBytes.toDouble,
+          tokens + (now - lastNs) / 1e9 * bandwidthBytesPerSec)
+        lastNs = now
+        if (tokens >= bytes) need = false
+        else {
+          val needNs = (bytes - tokens) / bandwidthBytesPerSec * 1e9
+          wait(math.max(1L, (needNs / 1e6).toLong))
+        }
+      }
+      tokens -= bytes
+    }
+    blockedNanos += System.nanoTime() - t0
+  }
+}
+
 object Fio {
   /** When non-null, mutating ops call `beforeOp` first (tests only;
    *  production never sets it). Volatile: installed/cleared across
@@ -230,6 +274,20 @@ object Fio {
   @inline private def check(op: String, path: String): Unit = {
     val f = faults
     if (f != null) f.beforeOp(op, path)
+  }
+
+  /** Optional global write throttle (None in tests and by default) —
+   *  one bucket per process, like the reference's per-accessor layer. */
+  @volatile private var throttleLayer: FioThrottle = null
+  def setThrottle(bandwidthBytesPerSec: Long, burstBytes: Long): FioThrottle = {
+    val t = new FioThrottle(bandwidthBytesPerSec, burstBytes)
+    throttleLayer = t
+    t
+  }
+  def clearThrottle(): Unit = throttleLayer = null
+  @inline private def pay(bytes: Long): Unit = {
+    val t = throttleLayer
+    if (t != null) t.acquire(bytes)
   }
 
   def fs(path: String, conf: Configuration = new Configuration()): FileSystem =
@@ -251,6 +309,7 @@ object Fio {
    *  lost the race. */
   def writeAtomicCas(path: String, content: String): Boolean = {
     check("write", path)
+    pay(content.length.toLong)
     val f = fs(path)
     val tmp = new Path(path + ".tmp")
     val out = f.create(tmp, true)
@@ -277,6 +336,7 @@ object Fio {
    *  pointer there). */
   def replaceAtomic(path: String, content: String): Unit = {
     check("write", path)
+    pay(content.length.toLong)
     val uri = java.net.URI.create(path.replace(" ", "%20"))
     if (uri.getScheme == null || uri.getScheme == "file") {
       val p = java.nio.file.Paths.get(
@@ -314,6 +374,7 @@ object Fio {
 
   def writeBytesAtomic(path: String, bytes: Array[Byte]): Unit = {
     check("write", path)
+    pay(bytes.length.toLong)
     val f = fs(path)
     val tmp = new Path(path + ".tmp")
     val out = f.create(tmp, true)

@@ -41,7 +41,11 @@ object Serve {
        *  versioned-JSON store under the warehouse;
        *  postgresql://user@host:port/db = the wire backend speaking
        *  the reference `tables` schema over the engine's own client */
-      metadataUri: Option[String] = None)
+      metadataUri: Option[String] = None,
+      /** engine-write throttle "(bandwidthBytes/s, burstBytes)" — the
+       *  reference's accessor ThrottleConfig: bounds manifest/WAL/DV/
+       *  export egress against an object store's prefix limits */
+      writeThrottle: Option[(Long, Long)] = None)
 
   final class Handle(
       val catalog: GraftCatalog,
@@ -66,6 +70,8 @@ object Serve {
   }
 
   def start(spark: SparkSession, cfg: Config): Handle = {
+    cfg.writeThrottle.foreach { case (bw, burst) =>
+      graft.format.Fio.setThrottle(bw, burst) }
     // service start = backend recovery: reopen every registered table
     // in the warehouse (the reference's `recover_all_tables` on boot,
     // `recovery_utils.rs:120-170`); registry entries whose directory
@@ -158,6 +164,13 @@ object Serve {
           cfg = cfg.copy(maintenanceMs = value("--maintenance-ms").toLong); i += 2
         case "--metadata-uri" =>
           cfg = cfg.copy(metadataUri = Some(value("--metadata-uri"))); i += 2
+        case "--write-throttle" =>
+          // "BYTES_PER_SEC[:BURST]"; burst defaults to one second's worth
+          val parts = value("--write-throttle").split(":")
+          val bw = parts(0).toLong
+          cfg = cfg.copy(writeThrottle = Some(
+            (bw, if (parts.length > 1) parts(1).toLong else bw)))
+          i += 2
         case "--no-rest" => cfg = cfg.copy(restPort = None); i += 1
         case "--no-tcp" => cfg = cfg.copy(tcpPort = None); i += 1
         case "--no-otel" => cfg = cfg.copy(otelPort = None); i += 1
