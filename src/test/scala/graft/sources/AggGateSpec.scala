@@ -158,4 +158,39 @@ class AggGateSpec extends AnyFunSuite {
     assert(!GraftScan.prunable(schema,
       Or(EqualTo("id", 1L), StringContains("id", "x"))))
   }
+
+  test("planning stays metadata-cheap at a 100k-file manifest") {
+    import org.apache.spark.sql.sources._
+    // 100k files ≈ a 12 TB table at 128 MiB targets; the exactness
+    // sweep runs decide() per (file × filter) AT PLAN TIME, so it must
+    // stay O(files) with a tiny constant — a quadratic or allocation-
+    // heavy implementation would make every query's planning pay
+    // seconds before a single task launches.
+    val files = (0 until 100000).map { i =>
+      val lo = i * 1000L
+      DataFileEntry(path = s"f$i.parquet", rows = 1000L, bytes = 1L,
+        maxLsn = 1L,
+        stats = Map("id" -> Seq(lo.toString, (lo + 999L).toString),
+          "amt" -> Seq("-9.99", "9.99")),
+        nullStats = Map("id" -> "0", "amt" -> "3"),
+        sumStats = Map("id" -> "1", "amt" -> "0.10"))
+    }
+    val m = Manifest(1L, 1L, 1L, schema.json, Seq("id"), files,
+      Seq.empty, Seq.empty)
+    val filters: Array[Filter] =
+      Array(GreaterThanOrEqual("id", 50000000L), IsNotNull("id"))
+    val t0 = System.nanoTime()
+    var decided = 0
+    files.foreach { e =>
+      if (filters.forall(f => GraftScan.decide(schema, e, f).isDefined))
+        decided += 1
+    }
+    val supported = GraftAggScan.supported(m, sumAgg)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(decided == 100000, s"every file must decide, got $decided")
+    assert(supported, "the 100k-file decimal SUM proof must hold")
+    // generous bound: observed ~0.2-0.5s; a regression to per-file
+    // parsing storms or quadratic behavior lands in tens of seconds
+    assert(sec < 5.0, f"planning sweep took $sec%.2fs over 100k files")
+  }
 }
