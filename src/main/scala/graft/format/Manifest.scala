@@ -241,6 +241,8 @@ final class FioThrottle(bandwidthBytesPerSec: Long, burstBytes: Long) {
   private var lastNs: Long = System.nanoTime()
   /** total nanoseconds writers spent blocked (observability) */
   @volatile var blockedNanos: Long = 0L
+  /** total bytes paid into the bucket (observability + wiring proof) */
+  @volatile var paidBytes: Long = 0L
 
   def acquire(bytes: Long): Unit = {
     if (bytes > burstBytes)
@@ -261,6 +263,7 @@ final class FioThrottle(bandwidthBytesPerSec: Long, burstBytes: Long) {
         }
       }
       tokens -= bytes
+      paidBytes += bytes
     }
     blockedNanos += System.nanoTime() - t0
   }
@@ -269,11 +272,22 @@ final class FioThrottle(bandwidthBytesPerSec: Long, burstBytes: Long) {
 object Fio {
   /** When non-null, mutating ops call `beforeOp` first (tests only;
    *  production never sets it). Volatile: installed/cleared across
-   *  test threads. */
+   *  test threads. SCOPED BY PATH PREFIX: ScalaTest suites share one
+   *  forked JVM and run in parallel, so an unscoped injector would
+   *  fire inside a NEIGHBOR suite's writes — a chaos test must only
+   *  chaos its own table. Install via [[installFaults]]. */
   @volatile private[graft] var faults: FioFaults = null
+  @volatile private[graft] var faultsScope: String = null
+  private[graft] def installFaults(scope: String, f: FioFaults): Unit = {
+    faultsScope = scope; faults = f
+  }
+  private[graft] def clearFaults(): Unit = { faults = null; faultsScope = null }
   @inline private def check(op: String, path: String): Unit = {
     val f = faults
-    if (f != null) f.beforeOp(op, path)
+    if (f != null) {
+      val s = faultsScope
+      if (s == null || path.startsWith(s)) f.beforeOp(op, path)
+    }
   }
 
   /** Optional global write throttle (None in tests and by default) —

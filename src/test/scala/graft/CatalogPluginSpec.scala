@@ -343,7 +343,7 @@ class CatalogPluginSpec extends AnyFunSuite with BeforeAndAfterAll {
         if (armed && rnd.nextDouble() < 0.15)
           throw new java.io.IOException(s"injected fault: $op $path")
     }
-    graft.format.Fio.faults = faults
+    graft.format.Fio.installFaults(wh, faults)
     def state(): Long = {
       val vs = spark.sql(s"SELECT v FROM $cname.graft.chx")
         .collect().map(_.getLong(0)).toSet
@@ -368,7 +368,7 @@ class CatalogPluginSpec extends AnyFunSuite with BeforeAndAfterAll {
         if (ok) assert(after == before + 1000L)
         else assert(after == before || after == before + 1000L)
       }
-    } finally graft.format.Fio.faults = null
+    } finally graft.format.Fio.clearFaults()
     // fault-free retry always succeeds and lands exactly once
     val before = state()
     spark.sql(s"UPDATE $cname.graft.chx SET v = v + 1000")

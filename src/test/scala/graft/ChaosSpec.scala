@@ -183,7 +183,7 @@ class ChaosSpec extends AnyFunSuite with BeforeAndAfterAll {
       var table = GraftTable.create(spark, s"$dir/t", schema,
         Identity.Keys(Seq("k")), cfg)
       val faults = new SeededFaults(seed * 31, 0.10)
-      graft.format.Fio.faults = faults
+      graft.format.Fio.installFaults(dir, faults)
       try {
         // full op log: committed state at commit LSN L == fold of all
         // ops with lsn <= L in lsn order (stream has no aborted xacts)
@@ -279,7 +279,7 @@ class ChaosSpec extends AnyFunSuite with BeforeAndAfterAll {
         verifyState()
         assert(crashes > 0, s"seed=$seed never hit an injected fault")
         table.drop()
-      } finally graft.format.Fio.faults = null
+      } finally graft.format.Fio.clearFaults()
     }
   }
 
@@ -349,7 +349,7 @@ class ChaosSpec extends AnyFunSuite with BeforeAndAfterAll {
     table.optimize(bucketBy = Some(4))
     verify()
     val faults = new SeededFaults(seed * 31, 0.10)
-    graft.format.Fio.faults = faults
+    graft.format.Fio.installFaults(dir, faults)
     try {
       val batch = mutable.ArrayBuffer[CdcEvent]()
       val pending = mutable.ArrayBuffer[(Long, String, Long, Long)]()
@@ -417,6 +417,6 @@ class ChaosSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"compaction left unbucketed files: ${m2.dataFiles.map(_.bucket)}")
       verify()
       table.drop()
-    } finally graft.format.Fio.faults = null
+    } finally graft.format.Fio.clearFaults()
   }
 }

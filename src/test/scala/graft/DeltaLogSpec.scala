@@ -137,17 +137,17 @@ class DeltaLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.upsertAll(Seq(Row(2L, 2L)), startLsn = 10); t.flush(); t.publish()
     val rivalPath = java.nio.file.Paths.get(
       s"$root/_delta_log/00000000000000000001.json")
-    graft.format.Fio.faults = new graft.format.FioFaults {
+    graft.format.Fio.installFaults(root, new graft.format.FioFaults {
       override def beforeOp(op: String, path: String): Unit =
         if (op == "write" && path.endsWith("00000000000000000001.json") &&
             !java.nio.file.Files.exists(rivalPath))
           java.nio.file.Files.write(rivalPath,
             """{"commitInfo":{"timestamp":1,"operation":"WRITE"}}
               |""".stripMargin.getBytes("UTF-8"))
-    }
+    })
     try intercept[java.util.ConcurrentModificationException] {
       DeltaLog.sync(root, t.currentManifest)
-    } finally graft.format.Fio.faults = null
+    } finally graft.format.Fio.clearFaults()
   }
 
   test("schema evolution re-emits metaData; replay resolves the new shape") {

@@ -362,14 +362,14 @@ class IcebergSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.flush(); t.publish()
     IcebergSync.sync(root, t.currentManifest, nowMs = 1700000000000L)
     t.upsertAll(Seq(Row(6L, 6L)), startLsn = 10L); t.flush(); t.publish()
-    graft.format.Fio.faults = new graft.format.FioFaults {
+    graft.format.Fio.installFaults(root, new graft.format.FioFaults {
       override def beforeOp(op: String, path: String): Unit =
         if (op == "write" && path.endsWith("version-hint.text"))
           throw new java.io.IOException("injected: crash before hint swing")
-    }
+    })
     try intercept[java.io.IOException] {
       IcebergSync.sync(root, t.currentManifest, nowMs = 1700000001000L)
-    } finally graft.format.Fio.faults = null
+    } finally graft.format.Fio.clearFaults()
     // the hint still selects the LAST GOOD snapshot (seq 1, 5 rows)
     assert(IcebergSync.readDataFrame(spark,
       IcebergSync.currentMetadataPath(root).get).count() == 5L)
@@ -419,14 +419,14 @@ class IcebergSpec extends AnyFunSuite with BeforeAndAfterAll {
     // orphan sweep: a crashed attempt's complete-but-never-pointed
     // closure (and superseded metadata documents) reclaim on the next
     // expiry once past the grace age; kept snapshots' files survive
-    graft.format.Fio.faults = new graft.format.FioFaults {
+    graft.format.Fio.installFaults(root, new graft.format.FioFaults {
       override def beforeOp(op: String, path: String): Unit =
         if (op == "write" && path.endsWith("version-hint.text"))
           throw new java.io.IOException("injected: crash before hint swing")
-    }
+    })
     try intercept[java.io.IOException] {
       IcebergSync.sync(root, t.currentManifest, nowMs = 1700000002000L)
-    } finally graft.format.Fio.faults = null
+    } finally graft.format.Fio.clearFaults()
     val dir = IcebergSync.metadataDir(root)
     val orphaned = graft.format.Fio.list(dir).filter(_.contains("-data-6"))
     assert(orphaned.nonEmpty, "the crashed attempt left artifacts")

@@ -112,7 +112,7 @@ class SqlWriteSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // observable at all — reopen recovers the full pre-truncate state
     // INCLUDING the WAL-only row
     val f1 = new OpFault("commit-rename", "manifest")
-    graft.format.Fio.faults = f1
+    graft.format.Fio.installFaults(wh, f1)
     try {
       f1.armed = true
       intercept[Exception] { t.truncate() }
@@ -123,14 +123,14 @@ class SqlWriteSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
       // crash AFTER the manifest commit, BEFORE the WAL delete: the
       // truncate is durable and the stale WAL must NOT resurrect rows
       val f2 = new OpFault("delete", "wal")
-      graft.format.Fio.faults = f2
+      graft.format.Fio.installFaults(wh, f2)
       f2.armed = true
       intercept[Exception] { t2.truncate() }
       f2.armed = false
       val t3 = GraftTable.open(spark, s"$wh/t", Identity.Keys(Seq("id")), cfg)
       assert(t3.read(scala.None).count() == 0,
         "stale WAL resurrected rows after a committed truncate")
-    } finally graft.format.Fio.faults = null
+    } finally graft.format.Fio.clearFaults()
   }
 
   test("TRUNCATE works on keyed tables and clears their index") {

@@ -151,7 +151,7 @@ class StreamSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
         if (armed && rnd.nextDouble() < 0.2)
           throw new java.io.IOException(s"injected fault: $op $path")
     }
-    graft.format.Fio.faults = faults
+    graft.format.Fio.installFaults(root, faults)
     try {
       // epoch 1 attempts under faults: each try is all-or-nothing; the
       // epoch watermark makes a retry after a POST-commit fault no-op
@@ -176,7 +176,7 @@ class StreamSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
         faults.armed = false
       }
       assert(done, s"epoch 1 never landed in $tries tries")
-    } finally graft.format.Fio.faults = null
+    } finally graft.format.Fio.clearFaults()
     // final state: epoch 1 applied EXACTLY once whatever the retries
     val h = GraftTable.open(spark, root, Identity.Keys(Seq("id")),
       TableConfig(walEnabled = false))
@@ -200,9 +200,9 @@ class StreamSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
       override def beforeOp(op: String, path: String): Unit =
         if (armed) throw new java.io.IOException(s"injected fault: $op")
     }
-    graft.format.Fio.faults = faults
+    graft.format.Fio.installFaults(root, faults)
     try intercept[Exception] { t.applyEpochDF(ev((2L, 20L)), 1) }
-    finally { faults.armed = false; graft.format.Fio.faults = null }
+    finally { faults.armed = false; graft.format.Fio.clearFaults() }
     // the in-memory watermark resynced from the durable manifest, so
     // the SAME handle's retry must apply (not silently skip) — and
     // exactly once
