@@ -2625,7 +2625,8 @@ object SparkEntry {
       // state equals the plain last-event-per-user fold regardless of
       // where the snapshot/stream split lands. A scripted primary
       // serves the whole dialogue over one real TCP connection.
-      import graft.sources.{PgMockPrimary, PgOutput}
+      import graft.sources.PgOutput
+      import graft.testkit.PgMockPrimary
       val all = events(s, d).where(col("user_id") % 20 === 11)
         .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
         .orderBy("event_id").collect()

@@ -299,6 +299,12 @@ object PgOutput {
       // (the reference's skip_before_end_lsn, `pg_replicate.rs:727`).
       skipCommitsAtOrBelow: Long = 0L) {
     private var rel: Option[Relation] = scala.None
+    /** relation OID of OUR table, learned from its Relation message —
+     *  DML for any other relid is another publication member's traffic
+     *  (the shared-stream multi-table case) and must route to Nil here,
+     *  exactly as the reference's sink routes events per src_table_id
+     *  (`moonlink_sink.rs:127-150`) */
+    private var myRelId: Option[Int] = scala.None
     private var xid: Option[Long] = scala.None
     /** xid of the streamed (in-progress, v2) txn segment we are inside */
     private var streamXid: Option[Long] = scala.None
@@ -348,7 +354,7 @@ object PgOutput {
         case r @ Relation(_, _, name, _, _) if name == tableName =>
           // keep the decoder's column registration current; the alter
           // EVENTS were applied before the crash, so no diff is emitted
-          rel = Some(r); Nil
+          rel = Some(r); myRelId = Some(r.relId); Nil
         case _ => Nil // already-applied events of the redelivered txn
       } else msg match {
       case Begin(finalLsn, _, x) =>
@@ -415,27 +421,34 @@ object PgOutput {
                   lsn())) else Nil)
           }
           rel = Some(r)
+          myRelId = Some(r.relId)
           out
         }
-      case Insert(_, row) =>
-        require(rel.isDefined, "Insert before Relation message")
-        Seq(Append(rowOf(row), lsn(), dmlXid))
-      case Update(_, oldKey, row) =>
-        require(rel.isDefined, "Update before Relation message")
-        val l = lsn()
-        val key = oldKey match {
-          case Some((_, t)) => keyOf(t)
-          case scala.None => keyOf(row) // identity unchanged
+      case Insert(rid, row) =>
+        if (!myRelId.contains(rid)) Nil // another table's traffic
+        else Seq(Append(rowOf(row), lsn(), dmlXid))
+      case Update(rid, oldKey, row) =>
+        if (!myRelId.contains(rid)) Nil
+        else {
+          val l = lsn()
+          val key = oldKey match {
+            case Some((_, t)) => keyOf(t)
+            case scala.None => keyOf(row) // identity unchanged
+          }
+          CdcEvent.upsert(rowOf(row), key, l, dmlXid)
         }
-        CdcEvent.upsert(rowOf(row), key, l, dmlXid)
-      case DeleteMsg(_, _, key) =>
-        require(rel.isDefined, "Delete before Relation message")
-        Seq(Delete(keyOf(key), lsn(), dmlXid))
-      case Truncate(_) =>
+      case DeleteMsg(rid, _, key) =>
+        if (!myRelId.contains(rid)) Nil
+        else Seq(Delete(keyOf(key), lsn(), dmlXid))
+      case Truncate(relIds) =>
         // the reference treats TRUNCATE as out-of-scope for moonlink
-        // tables; surface loudly rather than silently dropping data
-        throw new UnsupportedOperationException(
-          "TRUNCATE is not supported on graft tables")
+        // tables; surface loudly rather than silently dropping data —
+        // but only when it names OUR relation (another publication
+        // member's truncate is not this table's concern)
+        if (myRelId.exists(relIds.contains))
+          throw new UnsupportedOperationException(
+            "TRUNCATE is not supported on graft tables")
+        else Nil
       }
     }
 

@@ -153,9 +153,24 @@ final class RestServer(catalog: GraftCatalog, port: Int = 0,
         // restart recovery for a mirrored table (the reference restarts
         // replication for every recovered table, recovery_utils.rs:120):
         // src_uri comes from the registry; the SLOT's confirmed position
-        // decides where the stream resumes
-        val res = PgInitialSync.resume(catalog, t)
-        200 -> obj("table" -> t, "lsn" -> res.boundaryLsn)
+        // decides where the stream resumes. Shared-stream mirrors
+        // re-attach to their URI's ONE stream via the manager.
+        val shared = catalog.metadataStore.allEntries()
+          .find(e => e.database == catalog.database && e.table == t)
+          .exists(e => PgReplicationManager.isShared(e.srcUri))
+        val lsn =
+          if (shared) PgReplicationManager.resume(catalog, t).boundaryLsn
+          else PgInitialSync.resume(catalog, t).boundaryLsn
+        200 -> obj("table" -> t, "lsn" -> lsn)
+      case ("POST", "tables" :: t :: "stop_postgres" :: Nil) =>
+        // deliberate stop (the reference's shutdown(postgres_drop_all),
+        // replication_connection.rs:46-47,392): keep_slot=true (the
+        // default) leaves slot+publication so resume_postgres catches
+        // up from the slot's confirmed position with ZERO re-copy
+        val keep = Option(parse(if (body.isEmpty) "{}" else body)
+          .get("keep_slot")).forall(_.asBoolean(true))
+        PgInitialSync.stopMirror(catalog, t, keepSlot = keep)
+        200 -> obj("table" -> t, "keep_slot" -> keep)
       case ("POST", "tables" :: t :: "optimize" :: Nil) =>
         catalog.table(t).optimize(); 200 -> obj()
       case ("POST", "tables" :: t :: "snapshot" :: Nil) =>
@@ -255,18 +270,32 @@ final class RestServer(catalog: GraftCatalog, port: Int = 0,
       Option(tc.get("mem_slice_size")).foreach(n =>
         cfg = cfg.copy(memSliceSize = n.asInt(cfg.memSliceSize)))
     }
-    val res = PgInitialSync.run(catalog, name, srcTable,
-      host = u.getHost,
-      port = if (u.getPort > 0) u.getPort else 5432,
-      user = user, database = db, srcUri = srcUri,
-      config = cfg,
-      password = password,
-      // snapshot width (reference default 4, postgres_source.rs:339):
-      // at large scale callers raise it toward the cluster's task
-      // parallelism — each shard is one executor-task COPY connection
-      copyShards = Option(r.get("copy_shards")).map(_.asInt(4)).getOrElse(4))
-    200 -> obj("table" -> name, "lsn" -> res.boundaryLsn,
-      "copied_rows" -> res.copiedRows)
+    // snapshot width (reference default 4, postgres_source.rs:339):
+    // at large scale callers raise it toward the cluster's task
+    // parallelism — each shard is one executor-task COPY connection
+    val shards = Option(r.get("copy_shards")).map(_.asInt(4)).getOrElse(4)
+    // shared_slot = the reference's ReplicationManager deployment
+    // shape (replication_manager.rs:22-101): every table of one
+    // src_uri multiplexes over ONE connection + slot + publication —
+    // mirroring a whole database costs one walsender, not N
+    if (Option(r.get("shared_slot")).exists(_.asBoolean(false))) {
+      val h = PgReplicationManager.addTable(catalog, name, srcTable,
+        host = u.getHost, port = if (u.getPort > 0) u.getPort else 5432,
+        user = user, database = db, srcUri = srcUri, config = cfg,
+        copyShards = shards, password = password)
+      200 -> obj("table" -> name, "lsn" -> h.boundaryLsn,
+        "copied_rows" -> h.copiedRows, "shared_slot" -> true)
+    } else {
+      val res = PgInitialSync.run(catalog, name, srcTable,
+        host = u.getHost,
+        port = if (u.getPort > 0) u.getPort else 5432,
+        user = user, database = db, srcUri = srcUri,
+        config = cfg,
+        password = password,
+        copyShards = shards)
+      200 -> obj("table" -> name, "lsn" -> res.boundaryLsn,
+        "copied_rows" -> res.copiedRows)
+    }
   }
 
   /** GET /schema/{t}: the table's current schema as the same

@@ -108,8 +108,12 @@ object Serve {
         .foreach { e =>
           try {
             // resume registers itself in catalog.streams (the handle's
-            // mirrors view and the shutdown drain both read from there)
-            graft.sources.PgInitialSync.resume(catalog, e.table)
+            // mirrors view and the shutdown drain both read from there);
+            // shared-stream mirrors re-attach to their URI's ONE stream
+            if (graft.sources.PgReplicationManager.isShared(e.srcUri))
+              graft.sources.PgReplicationManager.resume(catalog, e.table)
+            else
+              graft.sources.PgInitialSync.resume(catalog, e.table)
             System.err.println(
               s"[graft-serve] resumed postgres mirror ${e.table}")
           } catch {

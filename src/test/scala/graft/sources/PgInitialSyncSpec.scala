@@ -1,6 +1,7 @@
 package graft.sources
 
 import graft.table.GraftCatalog
+import graft.testkit.PgMockPrimary
 import org.apache.spark.sql.SparkSession
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
@@ -770,5 +771,259 @@ class PgInitialSyncSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(t.read().count() == 4)
       assert(t.read().where("id = 9").count() == 1)
     } finally srv.stop()
+  }
+
+  // ==========================================================================
+  // Shared-stream multi-table replication (reference ReplicationManager,
+  // replication_manager.rs:22-101): one connection + one slot + one
+  // publication per source URI, tables joining via ALTER PUBLICATION.
+  // ==========================================================================
+
+  private val orderColumns = Seq(
+    PgColumn("oid", 20, -1, notNull = true, primary = true),
+    PgColumn("item", 25, -1, notNull = false, primary = false))
+
+  private val orderRows = Seq(
+    Seq(Some("100"), Some("anvil")),
+    Seq(Some("101"), Some("rope")),
+    Seq(Some("102"), scala.None))
+
+  test("two tables multiplex over ONE shared connection, slot and publication") {
+    val wh = java.nio.file.Files
+      .createTempDirectory("pgshared-wh").toString
+    val cat = GraftCatalog(spark, wh)
+    // batch 1 (before the pause): a users-only txn. batch 2 (released
+    // while orders' snapshot COPY runs): one txn touching BOTH tables,
+    // then an orders-only txn — orders' traffic lands in the pending
+    // buffer (or routes live if its copy finishes first; both paths
+    // must converge to the same state) while users applies live.
+    val batch1 = cdcFrames("users") // 6 frames, commit at 1010
+    val batch2 = Seq(
+      PgOutput.encodeRelation(8, "public", "orders",
+        Seq("oid" -> 20, "item" -> 25)),
+      PgOutput.encodeBegin(2000L, 77L),
+      PgOutput.encodeInsert(8, Seq(Some("103"), Some("spring"))),
+      PgOutput.encodeUpdate(7, Seq(Some("4"), Some("dora"), Some("4.5"))),
+      PgOutput.encodeCommit(2000L, 2001L),
+      PgOutput.encodeBegin(2010L, 78L),
+      PgOutput.encodeDelete(8, Seq(Some("101"), scala.None)),
+      PgOutput.encodeCommit(2010L, 2011L))
+    val primary = new PgMockPrimary(columns, copyRows,
+      consistentPoint = 1000L, frames = batch1 ++ batch2,
+      tables = Map(
+        "public.users" -> (columns, copyRows),
+        "public.orders" -> (orderColumns, orderRows)),
+      pauseAfterFrames = batch1.length,
+      releaseOnCopyOf = Some("public.orders"),
+      // a real primary's stream never ends: hold it open so orders
+      // attaches to the LIVE stream (one START_REPLICATION, ever)
+      holdStreamOpen = true).start()
+    val uri = s"postgresql://127.0.0.1:${primary.port}/postgres"
+    val h1 = PgReplicationManager.addTable(cat, "users", "public.users",
+      host = "127.0.0.1", port = primary.port, user = "postgres",
+      database = "postgres", srcUri = uri)
+    assert(h1.copiedRows == 4L && h1.driverCopiedRows == 0L)
+    // users' live stream is already running when orders joins
+    val h2 = PgReplicationManager.addTable(cat, "orders", "public.orders",
+      host = "127.0.0.1", port = primary.port, user = "postgres",
+      database = "postgres", srcUri = uri)
+    assert(h2.copiedRows == 3L && h2.driverCopiedRows == 0L)
+    val deadline = System.currentTimeMillis() + 30000
+    while ((cat.table("orders").commitLsn < 2010L ||
+        cat.table("users").commitLsn < 2000L) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(20)
+    primary.endStream()
+    primary.join()
+    assert(primary.error.isEmpty, primary.error)
+    assert(h1.lastError.isEmpty, h1.lastError)
+    // THE architecture gates: one slot, one replication stream, one
+    // publication carrying both tables
+    assert(primary.createSlotCount == 1,
+      s"expected ONE CREATE_REPLICATION_SLOT, got ${primary.createSlotCount}")
+    assert(primary.slots == Set("graft_slot_postgres"), primary.slots)
+    assert(primary.startedAtLsns == Seq(0L),
+      s"expected ONE START_REPLICATION (slot decides), got ${primary.startedAtLsns}")
+    assert(primary.publications == Set("graft_pub_postgres"))
+    assert(primary.publicationTables("graft_pub_postgres") ==
+      Set("public.users", "public.orders"))
+    // every copy worker imported the one exported snapshot
+    assert(primary.importedSnapshots.toSet == Set(primary.exportedSnapshot))
+    // users: copy fold + batch-1 txn + the batch-2 cross-table txn
+    val users = cat.table("users").read().collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(users == Map(1L -> Some("tab\there\nand newline"),
+      2L -> Some("bob2"), 4L -> Some("dora"), 9L -> Some("nina")), users)
+    // orders: snapshot + the two post-boundary txns (insert 103,
+    // delete 101) — regardless of whether they were buffered mid-copy
+    // or routed live
+    val orders = cat.table("orders").read().collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(orders == Map(100L -> Some("anvil"), 102L -> scala.None,
+      103L -> Some("spring")), orders)
+    assert(cat.table("orders").commitLsn == 2010L)
+    // both handles are registered mirrors of the ONE stream
+    assert(cat.streams.contains("users") && cat.streams.contains("orders"))
+  }
+
+  test("dropping one shared table leaves the other streaming; slot survives") {
+    val wh = java.nio.file.Files
+      .createTempDirectory("pgshared-drop-wh").toString
+    val cat = GraftCatalog(spark, wh)
+    val primary = new PgMockPrimary(columns, copyRows,
+      consistentPoint = 1000L, frames = cdcFrames("users"),
+      tables = Map(
+        "public.users" -> (columns, copyRows),
+        "public.orders" -> (orderColumns, orderRows)),
+      keepServing = true, holdStreamOpen = true).start()
+    val uri = s"postgresql://127.0.0.1:${primary.port}/postgres"
+    PgReplicationManager.addTable(cat, "users", "public.users",
+      host = "127.0.0.1", port = primary.port, user = "postgres",
+      database = "postgres", srcUri = uri)
+    val h2 = PgReplicationManager.addTable(cat, "orders", "public.orders",
+      host = "127.0.0.1", port = primary.port, user = "postgres",
+      database = "postgres", srcUri = uri)
+    val deadline = System.currentTimeMillis() + 30000
+    while (cat.table("users").commitLsn < 1010L &&
+        System.currentTimeMillis() < deadline) Thread.sleep(20)
+    assert(cat.table("users").commitLsn == 1010L)
+    // drop ORDERS while the stream is live: users must keep streaming
+    PgInitialSync.dropMirror(cat, "orders")
+    assert(!cat.list.contains("orders"))
+    assert(primary.publicationTables("graft_pub_postgres") ==
+      Set("public.users"),
+      "drop must ALTER PUBLICATION DROP TABLE, nothing else")
+    assert(primary.slots == Set("graft_slot_postgres"),
+      "the shared slot must survive a single table's drop")
+    assert(cat.streams.get("users").exists(_.alive),
+      "users must still be streaming after orders' drop")
+    assert(!h2.alive)
+    // end the stream; the LAST table's detach keeps the slot too
+    primary.endStream()
+    val d2 = System.currentTimeMillis() + 30000
+    while (cat.streams.get("users").exists(_.alive) &&
+        System.currentTimeMillis() < d2) Thread.sleep(20)
+    PgInitialSync.dropMirror(cat, "users")
+    assert(primary.slots == Set("graft_slot_postgres"),
+      "keep-slot is the default shutdown (postgres_drop_all = false)")
+    primary.shutdown()
+    primary.join()
+    assert(primary.error.isEmpty, primary.error)
+  }
+
+  test("shared stream: stopAll(keepSlot) then a new process resumes with ZERO re-copy") {
+    val wh = java.nio.file.Files
+      .createTempDirectory("pgshared-resume-wh").toString
+    val cat1 = GraftCatalog(spark, wh)
+    val primary = new PgMockPrimary(columns, copyRows,
+      consistentPoint = 1000L, frames = cdcFrames("users"),
+      tables = Map(
+        "public.users" -> (columns, copyRows),
+        "public.orders" -> (orderColumns, orderRows)),
+      keepServing = true).start()
+    val uri = s"postgresql://127.0.0.1:${primary.port}/postgres"
+    PgReplicationManager.addTable(cat1, "users", "public.users",
+      host = "127.0.0.1", port = primary.port, user = "postgres",
+      database = "postgres", srcUri = uri)
+    PgReplicationManager.addTable(cat1, "orders", "public.orders",
+      host = "127.0.0.1", port = primary.port, user = "postgres",
+      database = "postgres", srcUri = uri)
+    val deadline = System.currentTimeMillis() + 30000
+    while (cat1.table("users").commitLsn < 1010L &&
+        System.currentTimeMillis() < deadline) Thread.sleep(20)
+    val copiesBefore = primary.copyPredicates.size
+    // deliberate stop, slot kept (the reference's postgres_drop_all=false)
+    PgReplicationManager.stopAll(cat1, keepSlot = true)
+    assert(primary.slots == Set("graft_slot_postgres"),
+      "keep-slot stop must leave the slot on the primary")
+    // "new process": recover the warehouse, re-attach over the manager
+    val (cat2, missing) = GraftCatalog.recover(spark, wh)
+    assert(missing.isEmpty)
+    val r1 = PgReplicationManager.resume(cat2, "users")
+    val r2 = PgReplicationManager.resume(cat2, "orders")
+    assert(r1.copiedRows == 0L && r2.copiedRows == 0L)
+    val d2 = System.currentTimeMillis() + 30000
+    while (cat2.streams.get("users").exists(_.alive) &&
+        System.currentTimeMillis() < d2) Thread.sleep(20)
+    assert(r1.lastError.isEmpty, r1.lastError)
+    // ZERO re-copy: not one COPY statement reached the primary after
+    // the stop, and no staging directory was recreated
+    assert(primary.copyPredicates.size == copiesBefore,
+      s"resume must not re-copy (saw ${primary.copyPredicates.size - copiesBefore} COPYs)")
+    assert(!graft.format.Fio.exists(s"$wh/users/copy-staging"))
+    // the resumed stream replays from the slot's confirmed position;
+    // redelivered txns skip whole — state identical, never doubled
+    val users = cat2.table("users").read().collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(users == Map(1L -> Some("tab\there\nand newline"),
+      2L -> Some("bob2"), 4L -> scala.None, 9L -> Some("nina")), users)
+    assert(cat2.table("orders").read().count() == 3)
+    // slot created exactly once; the resume's attempt was rejected
+    // with 42710 and ADOPTED (the keep-slot recovery contract)
+    assert(primary.slots == Set("graft_slot_postgres"))
+    assert(primary.startedAtLsns.forall(_ == 0L))
+    primary.shutdown()
+    primary.join()
+    assert(primary.error.isEmpty, primary.error)
+  }
+
+  test("deliberate per-table stop keeps the slot; resume catches up with zero re-copy") {
+    val wh = java.nio.file.Files
+      .createTempDirectory("pgstop-wh").toString
+    val cat1 = GraftCatalog(spark, wh)
+    // txn-1 before the pause; txn-2 held back until the resume
+    val frames = Seq(
+      PgOutput.encodeRelation(7, "public", "users",
+        Seq("id" -> 20, "name" -> 25, "score" -> 701)),
+      PgOutput.encodeBegin(1005L, 60L),
+      PgOutput.encodeUpdate(7, Seq(Some("2"), Some("bob2"), Some("2.5"))),
+      PgOutput.encodeCommit(1005L, 1006L),
+      PgOutput.encodeBegin(1010L, 61L),
+      PgOutput.encodeInsert(7, Seq(Some("9"), Some("nina"), scala.None)),
+      PgOutput.encodeCommit(1010L, 1011L))
+    val primary = new PgMockPrimary(columns, copyRows,
+      consistentPoint = 1000L, frames = frames,
+      keepaliveEvery = 2, pauseAfterFrames = 4, keepServing = true).start()
+    val res = PgInitialSync.run(cat1, "users", "public.users",
+      host = "127.0.0.1", port = primary.port, user = "postgres",
+      database = "postgres",
+      srcUri = s"postgresql://127.0.0.1:${primary.port}/postgres")
+    val deadline = System.currentTimeMillis() + 30000
+    while (cat1.table("users").commitLsn < 1005L &&
+        System.currentTimeMillis() < deadline) Thread.sleep(20)
+    val copiesBefore = primary.copyPredicates.size
+    // deliberate stop (the REST verb's body): slot + publication stay
+    PgInitialSync.stopMirror(cat1, "users", keepSlot = true)
+    res.catchUp.join(15000)
+    assert(!res.alive, "stop must end the stream")
+    assert(primary.slots == Set("graft_users"),
+      "keep-slot stop must leave the slot")
+    assert(primary.publications == Set("graft_pub_users"))
+    // "new process" resumes; the held-back txn-2 flows after release
+    primary.releaseFrames()
+    val (cat2, _) = GraftCatalog.recover(spark, wh)
+    val res2 = PgInitialSync.resume(cat2, "users")
+    res2.catchUp.join(30000)
+    assert(res2.error().isEmpty, res2.error())
+    assert(primary.copyPredicates.size == copiesBefore,
+      "resume must not re-copy")
+    assert(res2.copiedRows == 0L && res2.driverCopiedRows == 0L)
+    assert(!graft.format.Fio.exists(s"$wh/users/copy-staging"))
+    assert(primary.startedAtLsns.last == 0L,
+      "resume must defer to the slot (START_REPLICATION at 0/0)")
+    assert(cat2.table("users").commitLsn == 1010L)
+    val got = cat2.table("users").read().collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(1L -> Some("tab\there\nand newline"),
+      2L -> Some("bob2"), 3L -> Some("carol"), 4L -> scala.None,
+      9L -> Some("nina")), got)
+    // keepSlot = false (the reference's postgres_drop_all): slot and
+    // publication leave the primary; the table stays
+    PgInitialSync.stopMirror(cat2, "users", keepSlot = false)
+    assert(primary.slots.isEmpty, "drop-all stop must drop the slot")
+    assert(primary.publications.isEmpty)
+    assert(cat2.list.contains("users"), "the table itself stays")
+    primary.shutdown()
+    primary.join()
+    assert(primary.error.isEmpty, primary.error)
   }
 }
