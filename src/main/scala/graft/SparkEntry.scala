@@ -1635,7 +1635,84 @@ object SparkEntry {
       val fNvLive = aggScanOnly(dfF3.where(col("id") >= 101L).agg(count(col("v"))))
       require(fNvLive.getLong(0) == fNvScan.getLong(0),
         s"pushed filtered count(v) diverges from the scan: $fNvLive vs $fNvScan")
+      // Phase 5 (r16): STRING predicates in the file-exact decide —
+      // exactBounds-marked files answer equality and ranges on string
+      // columns under UTF-8 binary order (`tenant = 'x'`, the second
+      // most common telemetry filter after timestamps), so aggregates
+      // push BEHIND them; a file with truncated/lifted bounds (>32 cp,
+      // no marker) keeps the scan. Phase 6 (r16): GROUP BY pushdown
+      // over single-valued files — the clustered layout groups by the
+      // file's own key value from per-file accounting (reference
+      // `snapshot_read.rs:52-61`); an unclustered twin must scan.
+      val str = GraftTable.create(s, freshDir("aggstr2"),
+        SchemaDsl.struct("id" -> "int64", "tenant" -> "string",
+          "k" -> "int64", "v" -> "int64"),
+        Identity.Keys(Seq("id")),
+        TableConfig(rowsPerFile = 64, walEnabled = false))
+      def strBatch(lo: Long, hi: Long, tenant: String, k: Long): Unit =
+        str.applyBatchDF(s.range(lo, hi + 1).toDF("id")
+          .select(lit("i").as("_op"), col("id").as("_lsn"), col("id"),
+            lit(tenant).as("tenant"), lit(k).as("k"), col("id").as("v")),
+          hi + 1, hasDeletes = false)
+      strBatch(1L, 100L, "alpha", 1L); strBatch(101L, 200L, "beta", 2L)
+      require(str.currentManifest.dataFiles.size > 1,
+        "the string-decide proof needs multiple files")
+      val dfS = s.read.format("graft").load(str.root)
+      // string equality: alpha files all-match, beta files none-match
+      val sEq = aggScanOnly(dfS.where(col("tenant") === "alpha")
+        .agg(count(lit(1))))
+      // string range under UTF-8 order, aggregates BEHIND it
+      val sGe = aggScanOnly(dfS.where(col("tenant") >= "beta")
+        .agg(count(lit(1)), sum(col("v"))))
+      // unmarked (long, truncated/lifted) bounds must keep the scan
+      val sLong = mustScan(s.read.format("graft").load(auxStr.root)
+        .where(col("doc") >= "a").agg(count(lit(1))))
+      // GROUP BY a numeric single-valued key: answered per-file-group
+      def aggScanRows(df: DataFrame): Seq[Row] = {
+        val plan = planOf(df)
+        require(plan.contains("GraftAggScan") && !plan.contains("GraftScan("),
+          s"grouped aggregate not answered from the manifest:\n$plan")
+        df.collect().toSeq
+      }
+      val gRows = aggScanRows(dfS.groupBy(col("k")).agg(
+        count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        min(col("id")).as("mn"), max(col("id")).as("mx")))
+      val gScan = str.read(scala.None).groupBy(col("k")).agg(
+        count(lit(1)), sum(col("v")), min(col("id")), max(col("id")))
+        .collect().toSeq
+      require(gRows.map(_.toSeq).toSet == gScan.map(_.toSeq).toSet,
+        s"pushed GROUP BY diverges from the scan: $gRows vs $gScan")
+      // GROUP BY a STRING key (exact-marked single-valued files)
+      val gStr = aggScanRows(dfS.groupBy(col("tenant"))
+        .agg(count(lit(1)).as("n")))
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      require(gStr == Map("alpha" -> 100L, "beta" -> 100L),
+        s"string GROUP BY wrong: $gStr")
+      // the unclustered twin (k interleaved in every file): must scan
+      val grpMix = GraftTable.create(s, freshDir("agggrpmix"),
+        SchemaDsl.struct("id" -> "int64", "k" -> "int64"),
+        Identity.Keys(Seq("id")),
+        TableConfig(rowsPerFile = 64, walEnabled = false))
+      grpMix.applyBatchDF(s.range(1L, 201L).toDF("id")
+        .select(lit("i").as("_op"), col("id").as("_lsn"), col("id"),
+          (col("id") % 3).as("k")), 201L, hasDeletes = false)
+      val mixRows = {
+        val df = s.read.format("graft").load(grpMix.root)
+          .groupBy(col("k")).agg(count(lit(1)).as("n"))
+        val plan = planOf(df)
+        require(!plan.contains("GraftAggScan"),
+          s"unclustered GROUP BY ILLEGALLY answered from the manifest:\n$plan")
+        df.collect().toSeq
+      }
+      val mixK1 = mixRows.find(_.getLong(0) == 1L).map(_.getLong(1)).getOrElse(-1L)
+      val g2 = gRows.find(_.getLong(0) == 2L).get
       import s.implicits._
+      val strGrpOut = Seq((sEq.getLong(0), sGe.getLong(0), sGe.getLong(1),
+        sLong.getLong(0), gRows.size.toLong, g2.getLong(1), g2.getLong(2),
+        g2.getLong(4), gStr("alpha"), mixK1))
+        .toDF("str_n_alpha", "str_n_beta", "str_sum_beta", "str_n_long",
+          "grp_groups", "grp_k2_n", "grp_k2_sum", "grp_k2_mx",
+          "grp_t_alpha_n", "grp_mix_k1_n")
       val fltOut = Seq((fAll.getLong(0), fUp.getLong(0), fUp.getLong(1),
         fUp.getLong(2), fUp.getLong(3), fUp.getLong(4), fMid.getLong(0),
         fUpDel.getLong(0), fNvLive.getLong(0)))
@@ -1659,6 +1736,7 @@ object SparkEntry {
           col("avg_user_c_live"), col("mn_user_live"),
           col("mx_user_live"))
         .crossJoin(fltOut)
+        .crossJoin(strGrpOut)
     }),
 
     "cdc_agg_decimal" -> ((s, d) => {
@@ -5978,7 +6056,23 @@ object SparkEntry {
         |       (SELECT count(*) FROM range(101, 201) WHERE range <> 161)
         |         AS flt_n_upper_del,
         |       (SELECT count(*) FROM range(101, 201)
-        |        WHERE range % 10 <> 0 AND range <> 161) AS flt_nv_upper_live
+        |        WHERE range % 10 <> 0 AND range <> 161) AS flt_nv_upper_live,
+        |       -- phase 5/6: the tenant-split table (ids 1..100 =
+        |       -- 'alpha' k=1, 101..200 = 'beta' k=2, v = id) plus the
+        |       -- 2-row long-string table and the k = id%3 mixed table
+        |       (SELECT count(*) FROM range(1, 101)) AS str_n_alpha,
+        |       (SELECT count(*) FROM range(101, 201)) AS str_n_beta,
+        |       (SELECT CAST(SUM(range) AS BIGINT) FROM range(101, 201))
+        |         AS str_sum_beta,
+        |       CAST(2 AS BIGINT) AS str_n_long,
+        |       CAST(2 AS BIGINT) AS grp_groups,
+        |       (SELECT count(*) FROM range(101, 201)) AS grp_k2_n,
+        |       (SELECT CAST(SUM(range) AS BIGINT) FROM range(101, 201))
+        |         AS grp_k2_sum,
+        |       CAST(200 AS BIGINT) AS grp_k2_mx,
+        |       (SELECT count(*) FROM range(1, 101)) AS grp_t_alpha_n,
+        |       (SELECT count(*) FROM range(1, 201) WHERE range % 3 = 1)
+        |         AS grp_mix_k1_n
         |FROM last""".stripMargin,
 
     // exact decimal build mirrored (integer cents -> ×0.01 -> cast, all

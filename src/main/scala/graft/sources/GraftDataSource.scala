@@ -500,6 +500,16 @@ private[sources] object GraftScan {
     def exactType(c: String): Boolean = fld(c).exists(_.dataType match {
       case LongType | IntegerType | ShortType | BooleanType | DateType |
            TimestampType | _: DecimalType => true
+      // strings: decidable ONLY on a file whose writer marked BOTH
+      // bounds as exact data values (`exactBounds` — neither end
+      // truncated/lifted by statBounds). anyOrdering(StringType)
+      // compares as UTF-8 bytes, matching what Spark's min/max over
+      // UTF8String computed when the bounds were written, so the
+      // all-match proof holds under the same order the scan would use.
+      // Unmarked files (pre-marker manifests, long-text columns) keep
+      // declining — their stored min may sit below the true min and
+      // their max may be a synthetic lift.
+      case StringType => e.exactBounds.contains(c)
       case _ => false
     })
     // live null count of `c`: zero physical nulls means zero live
@@ -931,14 +941,21 @@ private[graft] class GraftMicroBatchStream(root: String,
 private[sources] class GraftAggScan(manifest: Manifest, agg: Aggregation)
     extends Scan with Batch {
   private val funcs: Seq[AggregateFunc] = agg.aggregateExpressions.toSeq
+  private val groupBy: Seq[String] =
+    GraftAggScan.groupColsOf(agg).getOrElse(Nil)
 
-  override def readSchema(): StructType = GraftAggScan.schemaFor(manifest.schema, funcs)
+  override def readSchema(): StructType =
+    GraftAggScan.schemaFor(manifest.schema, groupBy, funcs)
   override def toBatch: Batch = this
   override def description(): String =
-    s"GraftAggScan(${funcs.mkString(", ")}) [manifest-only, 0 files read]"
+    s"GraftAggScan(${funcs.mkString(", ")}" +
+      (if (groupBy.isEmpty) "" else groupBy.mkString(" GROUP BY ", ",", "")) +
+      ") [manifest-only, 0 files read]"
 
   override def planInputPartitions(): Array[InputPartition] =
-    Array(GraftAggPartition(GraftAggScan.values(manifest, funcs)))
+    Array(GraftAggPartition(
+      if (groupBy.isEmpty) Seq(GraftAggScan.values(manifest, funcs))
+      else GraftAggScan.groupedValues(manifest, groupBy, funcs)))
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftAggReaderFactory
 }
@@ -1182,8 +1199,52 @@ private[sources] object GraftAggScan {
    *  files carrying DVs — CURRENT masked-row accounting (live non-null
    *  = physical non-null minus masked non-null; a pre-accounting file
    *  is unknown, never zero). */
+  /** GROUP BY columns when every grouping expression is a plain
+   *  column; None otherwise (computed groupings never push). */
+  def groupColsOf(agg: Aggregation): Option[Seq[String]] = {
+    val gs = agg.groupByExpressions.toSeq.map(named)
+    if (gs.forall(_.isDefined)) Some(gs.flatten) else scala.None
+  }
+
+  /** GROUP BY `c` is answerable from per-file accounting iff every
+   *  file with live rows is SINGLE-VALUED on `c` — the clustered /
+   *  bucketed layouts compaction produces (M10): min == max under the
+   *  stat ordering, exact-valued type (strings only behind the
+   *  file's `exactBounds` marker), zero live nulls — or is entirely
+   *  NULL on `c` (its own SQL group). Then each file belongs to
+   *  exactly one group and the group's aggregates are the same
+   *  per-file accounting folds, restricted to its files (reference
+   *  per-file accounting, `snapshot_read.rs:52-61`). */
+  private def groupable(manifest: Manifest, c: String): Boolean =
+    manifest.schema.fields.find(_.name == c).exists { fd =>
+      val exact = fd.dataType match {
+        case LongType | IntegerType | ShortType | BooleanType | DateType |
+             TimestampType | _: DecimalType => (_: graft.format.DataFileEntry) => true
+        case StringType =>
+          (e: graft.format.DataFileEntry) => e.exactBounds.contains(c)
+        case _ => (_: graft.format.DataFileEntry) => false
+      }
+      val ord = GraftTable.anyOrdering(fd.dataType)
+      manifest.dataFiles.forall { e =>
+        e.rows == e.deletes || { // zero live rows: contributes nothing
+          val nulls = e.nullsOf(c)
+          val allNull = nulls.contains(e.rows) // NULL group, bounds-free
+          val noLiveNulls = nulls.exists(n => n == 0L ||
+            (e.deletes > 0L && e.dvStatsCurrent &&
+              e.dvNullsOf(c).contains(n)))
+          allNull || (noLiveNulls && exact(e) &&
+            e.stats.get(c).exists(s => s.length == 2 &&
+              ord.equiv(GraftTable.parseStat(fd.dataType, s.head),
+                GraftTable.parseStat(fd.dataType, s(1)))))
+        }
+      }
+    }
+
   def supported(manifest: Manifest, agg: Aggregation): Boolean =
-    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+    (agg.groupByExpressions.isEmpty ||
+      groupColsOf(agg).exists(gs =>
+        gs.nonEmpty && gs.forall(groupable(manifest, _)))) &&
+      agg.aggregateExpressions.nonEmpty &&
       avgRewriteSafe(manifest, agg.aggregateExpressions.toSeq) &&
       agg.aggregateExpressions.forall {
         case _: CountStar => true
@@ -1231,6 +1292,17 @@ private[sources] object GraftAggScan {
           d.scale)
       case _ => LongType
     }
+
+  /** Pushed-scan output schema: GROUP BY columns first (Spark's
+   *  V2ScanRelationPushDown matches them positionally), then one field
+   *  per aggregate. */
+  def schemaFor(schema: StructType, groupBy: Seq[String],
+      funcs: Seq[AggregateFunc]): StructType =
+    StructType(groupBy.map { g =>
+      val fd = schema.fields.find(_.name == g).getOrElse(
+        throw new IllegalStateException(s"unknown group column $g"))
+      StructField(g, fd.dataType, nullable = true)
+    } ++ schemaFor(schema, funcs).fields)
 
   def schemaFor(schema: StructType, funcs: Seq[AggregateFunc]): StructType =
     StructType(funcs.zipWithIndex.map {
@@ -1294,18 +1366,46 @@ private[sources] object GraftAggScan {
       case other => throw new IllegalStateException(s"unsupported pushed agg $other")
     }.toArray
   }
+
+  /** One output row per GROUP: partition the live files by their
+   *  (single) group-key tuple — `groupable` proved each file belongs
+   *  to exactly one — and fold each group's aggregates over ITS files
+   *  with the same per-file accounting as the global path. Group-key
+   *  cells are emitted in Spark internal representation. */
+  def groupedValues(manifest: Manifest, groupBy: Seq[String],
+      funcs: Seq[AggregateFunc]): Seq[Array[Any]] = {
+    val fds = groupBy.map(g => manifest.schema.fields.find(_.name == g).get)
+    def keyOf(e: graft.format.DataFileEntry): Seq[Option[Any]] =
+      fds.map { fd =>
+        if (e.nullsOf(fd.name).contains(e.rows)) scala.None // NULL group
+        else Some(GraftTable.parseStat(fd.dataType, e.stats(fd.name).head))
+      }
+    val live = manifest.dataFiles.filter(e => e.rows > e.deletes)
+    live.groupBy(keyOf).toSeq
+      // deterministic plan output (Spark re-sorts as needed)
+      .sortBy(_._1.map(_.map(_.toString).getOrElse("")).mkString(" "))
+      .map { case (key, files) =>
+        val cells = key.zip(fds).map {
+          case (scala.None, _) => null
+          case (Some(v), fd) =>
+            CatalystTypeConverters.createToCatalystConverter(fd.dataType)(v)
+        }
+        (cells ++ values(manifest.copy(dataFiles = files), funcs)).toArray
+      }
+  }
 }
 
-private[sources] final case class GraftAggPartition(values: Array[Any])
+private[sources] final case class GraftAggPartition(rows: Seq[Array[Any]])
     extends InputPartition
 
 private[sources] class GraftAggReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private val vals = partition.asInstanceOf[GraftAggPartition].values
-      private var done = false
-      override def next(): Boolean = if (done) false else { done = true; true }
-      override def get(): InternalRow = new GenericInternalRow(vals)
+      private val it = partition.asInstanceOf[GraftAggPartition].rows.iterator
+      private var cur: Array[Any] = null
+      override def next(): Boolean =
+        if (it.hasNext) { cur = it.next(); true } else false
+      override def get(): InternalRow = new GenericInternalRow(cur)
       override def close(): Unit = ()
     }
 }

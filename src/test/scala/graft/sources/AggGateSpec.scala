@@ -193,4 +193,82 @@ class AggGateSpec extends AnyFunSuite {
     // parsing storms or quadratic behavior lands in tens of seconds
     assert(sec < 5.0, f"planning sweep took $sec%.2fs over 100k files")
   }
+
+  test("decide on strings: exact-marked bounds decide, unmarked decline") {
+    import org.apache.spark.sql.sources._
+    val sSchema = SchemaDsl.struct("id" -> "int64", "tenant" -> "string")
+    def sf(mn: String, mx: String, exact: Boolean) = DataFileEntry(
+      path = "s.parquet", rows = 10L, bytes = 1L, maxLsn = 1L,
+      stats = Map("tenant" -> Seq(mn, mx), "id" -> Seq("1", "10")),
+      nullStats = Map("tenant" -> "0", "id" -> "0"),
+      exactBounds = if (exact) Seq("tenant") else Seq.empty)
+    def d(f: Filter, e: DataFileEntry) = GraftScan.decide(sSchema, e, f)
+    // exact-marked single-valued file: equality decides both ways
+    val alpha = sf("alpha", "alpha", exact = true)
+    assert(d(EqualTo("tenant", "alpha"), alpha) == Some(true))
+    assert(d(EqualTo("tenant", "beta"), alpha) == Some(false))
+    // exact-marked range under UTF-8 binary order
+    assert(d(GreaterThanOrEqual("tenant", "alpha"), alpha) == Some(true))
+    assert(d(LessThan("tenant", "alpha"), alpha) == Some(false))
+    assert(d(In("tenant", Array[Any]("alpha", "x")), alpha) == Some(true))
+    // the UNMARKED twin: a truncated min / lifted max cannot prove
+    // all-match — only none-match (plain pruning) survives
+    val unmarked = sf("alpha", "alpha", exact = false)
+    assert(d(EqualTo("tenant", "alpha"), unmarked).isEmpty,
+      "unmarked string bounds must never prove all-match")
+    assert(d(EqualTo("tenant", "zeta"), unmarked) == Some(false),
+      "none-match pruning still works unmarked")
+    // exact-marked but multi-valued: ranges decide, equality does not
+    val range = sf("alpha", "beta", exact = true)
+    assert(d(GreaterThanOrEqual("tenant", "alpha"), range) == Some(true))
+    assert(d(EqualTo("tenant", "alpha"), range).isEmpty)
+    // live nulls break all-match on strings too
+    val nully = sf("alpha", "alpha", exact = true)
+      .copy(nullStats = Map("tenant" -> "2", "id" -> "0"))
+    assert(d(EqualTo("tenant", "alpha"), nully).isEmpty)
+  }
+
+  test("GROUP BY pushes only over single-valued (or all-null) files") {
+    import org.apache.spark.sql.connector.expressions.aggregate.CountStar
+    val gSchema = SchemaDsl.struct("id" -> "int64", "k" -> "int64",
+      "tenant" -> "string")
+    def gf(path: String, kMn: String, kMx: String, t: String,
+        exact: Boolean = true, kNulls: Long = 0L, rows: Long = 10L) =
+      DataFileEntry(path = path, rows = rows, bytes = 1L, maxLsn = 1L,
+        stats = Map("k" -> Seq(kMn, kMx), "tenant" -> Seq(t, t),
+          "id" -> Seq("1", rows.toString)),
+        nullStats = Map("k" -> kNulls.toString, "tenant" -> "0",
+          "id" -> "0"),
+        exactBounds = if (exact) Seq("tenant") else Seq.empty)
+    def m(files: DataFileEntry*) = Manifest(1L, 1L, 1L, gSchema.json,
+      Seq("id"), files.toSeq, Seq.empty, Seq.empty)
+    def agg(col: String) = new Aggregation(Array(new CountStar()),
+      Array(Expressions.column(col)))
+    val clustered = m(gf("a", "1", "1", "x"), gf("b", "2", "2", "y"))
+    assert(GraftAggScan.supported(clustered, agg("k")),
+      "single-valued files must push GROUP BY k")
+    assert(GraftAggScan.supported(clustered, agg("tenant")),
+      "exact-marked single-valued string key must push")
+    // a multi-valued file (k spans 1..2) declines
+    val mixed = m(gf("a", "1", "2", "x"), gf("b", "2", "2", "y"))
+    assert(!GraftAggScan.supported(mixed, agg("k")),
+      "a multi-valued file must decline GROUP BY")
+    // unmarked string bounds decline the string key (a truncated
+    // bound is not the group value) but leave the numeric key alone
+    val unmarked = m(gf("a", "1", "1", "x", exact = false))
+    assert(!GraftAggScan.supported(unmarked, agg("tenant")))
+    assert(GraftAggScan.supported(unmarked, agg("k")))
+    // a file with SOME nulls on the key holds two groups: decline;
+    // an ALL-null file is exactly the SQL NULL group: push
+    val someNull = m(gf("a", "1", "1", "x", kNulls = 3L))
+    assert(!GraftAggScan.supported(someNull, agg("k")))
+    val allNull = m(gf("a", "1", "1", "x", kNulls = 10L),
+      gf("b", "2", "2", "y"))
+    assert(GraftAggScan.supported(allNull, agg("k")))
+    // grouped VALUES: per-group accounting, NULL group included
+    val rows = GraftAggScan.groupedValues(allNull, Seq("k"),
+      Seq(new CountStar()))
+    val byKey = rows.map(r => Option(r(0)) -> r(1)).toMap
+    assert(byKey == Map(scala.None -> 10L, Some(2L) -> 10L), byKey)
+  }
 }
