@@ -5020,6 +5020,67 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "ann_ivf_deleted" -> ((s, d) => {
+      // Index correctness under DELETES (r15 ask #5): vectors
+      // DV-deleted from the corpus table must never surface from the
+      // PERSISTED IVF index probe. The index is deliberately STALE
+      // (never rebuilt — gated below); soundness comes from the
+      // probe's re-rank joining candidates against the LIVE corpus
+      // read (DSv2, DV-masked), so a stale index entry is harmless:
+      // its id no longer exists in the corpus scan and the
+      // next-nearest fills the rank. Deletion targets = each query's
+      // top-1 non-query candidate; the oracle recomputes the same
+      // targets from the staged candidate set and re-ranks without
+      // them (two-stage oracle — the stale index reproduces the same
+      // candidate set pre/post delete by construction).
+      val e = t(s, d, "embeddings")
+      val q = e.where(col("vec_id") < 8)
+      val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
+      val corpus = GraftTable.create(s, freshDir("ann-del-corpus"),
+        SchemaDsl.struct("id" -> "int64", "embedding" -> "array<float32>"),
+        Identity.Keys(Seq("id")), ingestCfg)
+      corpus.applyBatchDF(e.select(lit("i").as("_op"),
+        (col("vec_id") + 1L).as("_lsn"), col("vec_id").as("id"),
+        col("embedding")), maxId + 2L, hasDeletes = false)
+      val cents = Similarity.ivfTrain(e, "vec_id", "embedding", nCells = 32)
+      val idxTable = GraftTable.create(s, freshDir("ann-del-idx"),
+        SchemaDsl.struct("id" -> "int64", "cell" -> "int32"),
+        Identity.None, ingestCfg)
+      CdcPipeline.applyBatch(idxTable,
+        Similarity.ivfAssign(e, "vec_id", "embedding", cents)
+          .select(lit("i").as("_op"),
+            (monotonically_increasing_id() + 1L).as("_lsn"),
+            col("vec_id").as("id"), col("cell")))
+      idxTable.optimize(clusterBy = Seq("cell"))
+      val assigned = s.read.format("graft").load(idxTable.root)
+        .select(col("id"), col("cell"))
+      val cand = stage(Similarity.ivfCandidatesFromIndex(assigned, "id",
+          cents, q, "vec_id", "embedding", nProbe = 6), d, "ann_del_cand")
+      val liveBefore = s.read.format("graft").load(corpus.root)
+        .select(col("id"), col("embedding"))
+      val del = Similarity.topKFromCandidates(
+          cand.where(col("neighbor_id") >= 8), liveBefore, "id",
+          "embedding", q, "vec_id", "embedding", k = 1)
+        .select(col("neighbor_id")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      require(del.nonEmpty, "no deletion targets resolved")
+      corpus.deleteWhere(col("id").isin(del: _*))
+      // the index still lists every deleted id — the proof is about
+      // probe-time filtering, not index maintenance
+      require(s.read.format("graft").load(idxTable.root)
+        .where(col("id").isin(del: _*)).count() == del.size.toLong,
+        "index must be STALE (not rebuilt) for this proof")
+      val live = s.read.format("graft").load(corpus.root)
+        .select(col("id"), col("embedding"))
+      require(live.where(col("id").isin(del: _*)).count() == 0L,
+        "DV delete did not mask the corpus rows")
+      val out = Similarity.topKFromCandidates(cand, live, "id",
+        "embedding", q, "vec_id", "embedding", k = 5)
+      require(out.where(col("neighbor_id").isin(del: _*)).count() == 0L,
+        "a deleted vector surfaced from the stale index probe")
+      out.orderBy("query_id", "rank")
+    }),
+
     "stream_ivf_assign" -> ((s, d) => {
       // Streaming ANN index maintenance: embeddings arrive as
       // file-source micro-batches and are assigned to the PERSISTED
@@ -7329,6 +7390,29 @@ object SparkEntry {
         |            ORDER BY cosine_micro DESC, neighbor_id ASC) AS BIGINT) AS rank,
         |       cosine_micro
         |FROM scored
+        |QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "ann_ivf_deleted" ->
+      """WITH cand AS (SELECT * FROM read_parquet('/root/repo/target/oracle-stage/sf0.01/ann_del_cand/*.parquet')),
+        |scored AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |         CAST(ROUND(list_cosine_similarity(ce.embedding::DOUBLE[], qe.embedding::DOUBLE[]) * 1000000) AS BIGINT) AS cosine_micro
+        |  FROM cand c
+        |  JOIN embeddings ce ON ce.vec_id = c.neighbor_id
+        |  JOIN embeddings qe ON qe.vec_id = c.query_id),
+        |del AS (
+        |  SELECT DISTINCT neighbor_id FROM (
+        |    SELECT neighbor_id,
+        |           row_number() OVER (PARTITION BY query_id
+        |                ORDER BY cosine_micro DESC, neighbor_id ASC) AS rn
+        |    FROM scored WHERE neighbor_id >= 8) WHERE rn = 1)
+        |SELECT query_id, neighbor_id,
+        |       CAST(row_number() OVER (PARTITION BY query_id
+        |            ORDER BY cosine_micro DESC, neighbor_id ASC) AS BIGINT) AS rank,
+        |       cosine_micro
+        |FROM scored
+        |WHERE neighbor_id NOT IN (SELECT neighbor_id FROM del)
         |QUALIFY rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
 
