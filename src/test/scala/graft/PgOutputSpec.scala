@@ -229,9 +229,12 @@ class PgOutputSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("session rejects TOAST placeholders and early DML loudly") {
     val s = new Session("users", Seq("id"))
-    intercept[IllegalArgumentException] {
-      s.onMessage(encodeInsert(RelId, Seq(Some("1"), Some("a"), Some("1.5"))))
-    }
+    // DML before OUR Relation is another publication member's traffic
+    // on a shared stream (the r16 multiplex contract, reference
+    // moonlink_sink.rs:127-150 per-relation routing): routed to Nil,
+    // never misparsed against a wrong schema
+    assert(s.onMessage(
+      encodeInsert(RelId, Seq(Some("1"), Some("a"), Some("1.5")))).isEmpty)
     s.onMessage(encodeRelation(RelId, "public", "users", userCols))
     // hand-craft an unchanged-TOAST tuple ('u' kind)
     val raw = {
