@@ -1706,13 +1706,21 @@ object SparkEntry {
       }
       val mixK1 = mixRows.find(_.getLong(0) == 1L).map(_.getLong(1)).getOrElse(-1L)
       val g2 = gRows.find(_.getLong(0) == 2L).get
+      // composition: GROUP BY BEHIND a file-exact filter — the filter
+      // prunes the snapshot to its all-match files, the grouping folds
+      // what remains (one GraftAggScan, zero files read)
+      val gFlt = aggScanRows(dfS.where(col("id") >= 101L)
+        .groupBy(col("tenant")).agg(count(lit(1)).as("n")))
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      require(gFlt == Map("beta" -> 100L),
+        s"filtered GROUP BY wrong: $gFlt")
       import s.implicits._
       val strGrpOut = Seq((sEq.getLong(0), sGe.getLong(0), sGe.getLong(1),
         sLong.getLong(0), gRows.size.toLong, g2.getLong(1), g2.getLong(2),
-        g2.getLong(4), gStr("alpha"), mixK1))
+        g2.getLong(4), gStr("alpha"), mixK1, gFlt("beta")))
         .toDF("str_n_alpha", "str_n_beta", "str_sum_beta", "str_n_long",
           "grp_groups", "grp_k2_n", "grp_k2_sum", "grp_k2_mx",
-          "grp_t_alpha_n", "grp_mix_k1_n")
+          "grp_t_alpha_n", "grp_mix_k1_n", "grp_flt_beta_n")
       val fltOut = Seq((fAll.getLong(0), fUp.getLong(0), fUp.getLong(1),
         fUp.getLong(2), fUp.getLong(3), fUp.getLong(4), fMid.getLong(0),
         fUpDel.getLong(0), fNvLive.getLong(0)))
@@ -6133,7 +6141,8 @@ object SparkEntry {
         |       CAST(200 AS BIGINT) AS grp_k2_mx,
         |       (SELECT count(*) FROM range(1, 101)) AS grp_t_alpha_n,
         |       (SELECT count(*) FROM range(1, 201) WHERE range % 3 = 1)
-        |         AS grp_mix_k1_n
+        |         AS grp_mix_k1_n,
+        |       (SELECT count(*) FROM range(101, 201)) AS grp_flt_beta_n
         |FROM last""".stripMargin,
 
     // exact decimal build mirrored (integer cents -> ×0.01 -> cast, all

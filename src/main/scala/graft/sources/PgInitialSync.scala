@@ -694,6 +694,13 @@ object PgInitialSync {
       // behind (an orphaned slot retains WAL forever and makes the
       // retry's CREATE_REPLICATION_SLOT fail with 'already exists')
       try {
+      // REPLICA IDENTITY FULL before replication (the reference's
+      // alter_table_replica_identity, pg_replicate.rs:229-236,493):
+      // update/delete old-tuples then carry ALL columns, so key
+      // resolution works even when the source table's identity is not
+      // its primary key (and the Session's TOAST rejection never
+      // fires — FULL tuples carry no unchanged-TOAST placeholders)
+      client.simpleQuery(s"ALTER TABLE $ns.$tbl REPLICA IDENTITY FULL;")
       // the publication must exist BEFORE the slot streams with it —
       // pgoutput fails START_REPLICATION with 'publication does not
       // exist' otherwise. Per-table publication via the reference's

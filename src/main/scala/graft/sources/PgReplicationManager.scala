@@ -278,6 +278,9 @@ final class SharedStream(catalog: GraftCatalog, host: String, port: Int,
       val table = catalog.createTable(name, schemaOf(cols), identity,
         config, srcTableName = srcTableName, srcUri = srcUri)
       created = true
+      // REPLICA IDENTITY FULL before membership (reference
+      // alter_table_replica_identity, pg_replicate.rs:229-236,493)
+      sqlc.simpleQuery(s"ALTER TABLE $ns.$tbl REPLICA IDENTITY FULL;")
       // buffering starts BEFORE the table joins the publication: no
       // event can slip between membership and the buffer's birth
       lock.synchronized { pendings(name) = new Pending(tbl) }

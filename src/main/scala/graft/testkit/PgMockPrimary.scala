@@ -100,6 +100,14 @@ final class PgMockPrimary(
   /** CREATE_REPLICATION_SLOT statements served (dup-rejected ones
    *  included) — the shared-slot architecture pins this at 1 */
   @volatile var createSlotCount = 0
+  /** tables whose REPLICA IDENTITY was set FULL (reference
+   *  alter_table_replica_identity, pg_replicate.rs:229-236) */
+  private val replicaFullSet =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  def replicaIdentityFull: Set[String] = {
+    import scala.jdk.CollectionConverters._
+    replicaFullSet.asScala.toSet
+  }
   /** the paused frame tail's gate (see pauseAfterFrames) */
   private val frameLatch = new java.util.concurrent.CountDownLatch(1)
   def releaseFrames(): Unit = frameLatch.countDown()
@@ -345,6 +353,14 @@ final class PgMockPrimary(
               pubTablesMap.put(pubName, members)
               complete("CREATE PUBLICATION"); ready()
             }
+          } else if (low.startsWith("alter table") &&
+              low.contains("replica identity full")) {
+            // the reference sets REPLICA IDENTITY FULL on every table
+            // it adds to replication (pg_replicate.rs:229-236,493) so
+            // update/delete old-tuples carry all columns
+            "(?i)alter table (\\S+) replica".r.findFirstMatchIn(sql)
+              .foreach(m => replicaFullSet.add(m.group(1)))
+            complete("ALTER TABLE"); ready()
           } else if (low.startsWith("alter publication")) {
             // ALTER PUBLICATION p ADD|DROP TABLE ns.t;
             val m = "(?i)alter publication (\\S+) (add|drop) table (\\S+)".r

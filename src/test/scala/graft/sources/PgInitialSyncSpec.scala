@@ -92,6 +92,9 @@ class PgInitialSyncSpec extends AnyFunSuite with BeforeAndAfterAll {
     // clean stream end above is itself the proof) and the slot exists
     assert(primary.publications == Set("graft_pub_users"), primary.publications)
     assert(primary.slots == Set("graft_users"), primary.slots)
+    // the reference sets REPLICA IDENTITY FULL before replication
+    // (alter_table_replica_identity, pg_replicate.rs:229-236,493)
+    assert(primary.replicaIdentityFull == Set("public.users"))
     // the snapshot COPY ran as Spark tasks: zero rows through the driver
     assert(res.driverCopiedRows == 0L,
       s"${res.driverCopiedRows} copy rows materialized on the driver")
@@ -845,6 +848,8 @@ class PgInitialSyncSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected ONE START_REPLICATION (slot decides), got ${primary.startedAtLsns}")
     assert(primary.publications == Set("graft_pub_postgres"))
     assert(primary.publicationTables("graft_pub_postgres") ==
+      Set("public.users", "public.orders"))
+    assert(primary.replicaIdentityFull ==
       Set("public.users", "public.orders"))
     // every copy worker imported the one exported snapshot
     assert(primary.importedSnapshots.toSet == Set(primary.exportedSnapshot))
