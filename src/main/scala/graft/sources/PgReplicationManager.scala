@@ -209,7 +209,13 @@ final class SharedStream(catalog: GraftCatalog, host: String, port: Int,
    *  known (the reference's initial_copy_buffered_events) — bounded by
    *  the copy window's WAL volume, and only txn-boundary + this
    *  table's own messages are kept */
-  private final class Pending(val srcRelName: String) {
+  private final class Pending(val srcRelName: String,
+      /** ack-floor pin: the slot may not trim past the position this
+       *  buffer started at — its contents are MEMORY, not durable, so
+       *  a reconnect must be able to re-deliver them (the reference
+       *  pins the same way: a mid-copy table's wal_flush watermark is
+       *  0 in compute_confirmed_wal_flush_lsn, pg_replicate.rs:651) */
+      val floorWal: Long) {
     val bytes = mutable.ArrayBuffer[Array[Byte]]()
     /** relation OID once its Relation message names it */
     var relId: Int = -1
@@ -282,8 +288,10 @@ final class SharedStream(catalog: GraftCatalog, host: String, port: Int,
       // alter_table_replica_identity, pg_replicate.rs:229-236,493)
       sqlc.simpleQuery(s"ALTER TABLE $ns.$tbl REPLICA IDENTITY FULL;")
       // buffering starts BEFORE the table joins the publication: no
-      // event can slip between membership and the buffer's birth
-      lock.synchronized { pendings(name) = new Pending(tbl) }
+      // event can slip between membership and the buffer's birth; the
+      // buffer pins the ack floor at the CURRENT confirmed position so
+      // a blip can re-deliver everything it will ever hold
+      lock.synchronized { pendings(name) = new Pending(tbl, ackFloor()) }
       sqlc.simpleQuery(s"ALTER PUBLICATION $pub ADD TABLE $ns.$tbl;")
       inPub = true
       // snapshot: boundary + snapshot id from ONE txn (the reference's
@@ -502,14 +510,19 @@ final class SharedStream(catalog: GraftCatalog, host: String, port: Int,
   }
 
   /** the primary may trim WAL only to the minimum applied position
-   *  across tables (reference compute_confirmed_wal_flush_lsn) */
+   *  across tables (reference compute_confirmed_wal_flush_lsn) — and
+   *  never past a PENDING buffer's start: its contents are in-memory
+   *  only, so the slot must be able to re-deliver them after a blip
+   *  (the reconnect path clears the buffer and relies on exactly
+   *  that). An ack lower than an earlier one is fine — the slot keeps
+   *  its max. */
   private def ackFloor(): Long = lock.synchronized {
-    if (routes.isEmpty) lastAck
-    else {
-      val m = routes.values.map(_.appliedWal).min
-      lastAck = math.max(lastAck, m)
-      lastAck
-    }
+    val base =
+      if (routes.isEmpty) lastAck
+      else routes.values.map(_.appliedWal).min
+    val floor = (Seq(base) ++ pendings.values.map(_.floorWal)).min
+    if (pendings.isEmpty) lastAck = math.max(lastAck, floor)
+    floor
   }
 
   /** Start the shared stream if it is not running (first table, or
@@ -542,12 +555,20 @@ final class SharedStream(catalog: GraftCatalog, host: String, port: Int,
             cur.connect()
             connected = true
             // every route resumes at ITS applied floor: sessions are
-            // rebuilt so redelivered txns skip per-table
+            // rebuilt so redelivered txns skip per-table. PENDING
+            // buffers drop their contents — the ack floor never moved
+            // past their start (see Pending.floorWal), so the resumed
+            // stream re-delivers every buffered frame; keeping them
+            // would feed the replay session the same txn twice
             lock.synchronized {
               routes.values.foreach { r =>
                 r.buf.clear()
                 val floor = math.max(r.table.commitLsn, 0L)
                 r.sess = freshSession(r.srcRelName, r.table, floor)
+              }
+              pendings.values.foreach { p =>
+                p.bytes.clear()
+                p.inStreamSeg = false
               }
             }
           }

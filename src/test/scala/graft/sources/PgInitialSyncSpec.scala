@@ -1031,4 +1031,62 @@ class PgInitialSyncSpec extends AnyFunSuite with BeforeAndAfterAll {
     primary.join()
     assert(primary.error.isEmpty, primary.error)
   }
+
+  test("shared stream survives a transport blip while a table's copy is in flight") {
+    // the blip lands MID users-txn-1, almost surely while orders'
+    // snapshot COPY is still streaming (the drop fires 3 frames after
+    // the copy-released latch; the copy is a multi-second Spark job).
+    // Contract: the pending buffer pinned the ack floor at its start,
+    // so the reconnect clears it and the resumed stream re-delivers
+    // everything it held — no txn lost, none double-applied, for the
+    // routed table AND the mid-copy one, whichever interleaving wins.
+    val wh = java.nio.file.Files
+      .createTempDirectory("pgshared-blip-wh").toString
+    val cat = GraftCatalog(spark, wh)
+    val frames = cdcFrames("users") ++ Seq(
+      PgOutput.encodeRelation(8, "public", "orders",
+        Seq("oid" -> 20, "item" -> 25)),
+      PgOutput.encodeBegin(2010L, 77L),
+      PgOutput.encodeInsert(8, Seq(Some("103"), Some("spring"))),
+      PgOutput.encodeDelete(8, Seq(Some("101"), scala.None)),
+      PgOutput.encodeCommit(2010L, 2011L),
+      PgOutput.encodeBegin(2020L, 78L),
+      PgOutput.encodeUpdate(7, Seq(Some("9"), Some("nina2"), scala.None)),
+      PgOutput.encodeCommit(2020L, 2021L))
+    val primary = new PgMockPrimary(columns, copyRows,
+      consistentPoint = 1000L, frames = frames,
+      tables = Map(
+        "public.users" -> (columns, copyRows),
+        "public.orders" -> (orderColumns, orderRows)),
+      pauseAfterFrames = 0,
+      releaseOnCopyOf = Some("public.orders"),
+      dropAfterFrames = 3).start()
+    val uri = s"postgresql://127.0.0.1:${primary.port}/postgres"
+    PgReplicationManager.addTable(cat, "users", "public.users",
+      host = "127.0.0.1", port = primary.port, user = "postgres",
+      database = "postgres", srcUri = uri)
+    PgReplicationManager.addTable(cat, "orders", "public.orders",
+      host = "127.0.0.1", port = primary.port, user = "postgres",
+      database = "postgres", srcUri = uri)
+    val deadline = System.currentTimeMillis() + 45000
+    while ((cat.table("users").commitLsn < 2020L ||
+        cat.table("orders").commitLsn < 2010L) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(20)
+    primary.join()
+    assert(primary.error.isEmpty, primary.error)
+    assert(cat.streams.get("users").forall(_.lastError.isEmpty))
+    // exactly one reconnect, both starts deferring to the slot
+    assert(primary.startedAtLsns == Seq(0L, 0L), primary.startedAtLsns)
+    assert(primary.createSlotCount == 1)
+    val users = cat.table("users").read().collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(users == Map(1L -> Some("tab\there\nand newline"),
+      2L -> Some("bob2"), 4L -> scala.None, 9L -> Some("nina2")), users)
+    val orders = cat.table("orders").read().collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(orders == Map(100L -> Some("anvil"), 102L -> scala.None,
+      103L -> Some("spring")), orders)
+    assert(cat.table("users").commitLsn == 2020L)
+    assert(cat.table("orders").commitLsn == 2010L)
+  }
 }
