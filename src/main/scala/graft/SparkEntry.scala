@@ -2784,6 +2784,125 @@ object SparkEntry {
       } finally srv.stop()
     }),
 
+    "cdc_pg_shared" -> ((s, d) => {
+      // The r16 SHARED-STREAM architecture end-to-end behind the REST
+      // verb (`shared_slot`, the reference's ReplicationManager
+      // deployment shape, replication_manager.rs:22-101): TWO source
+      // tables mirror over ONE replication connection + ONE slot + ONE
+      // publication, the second joining while the first's stream is
+      // LIVE — its traffic buffered during its snapshot copy and
+      // replayed above the boundary, cross-table transactions
+      // interleaved on the wire. Gated in-entry: exactly one
+      // CREATE_REPLICATION_SLOT and one START_REPLICATION ever reach
+      // the primary, and the one publication carries both tables. The
+      // oracle is the plain last-event-per-user fold of BOTH slices.
+      import graft.sources.PgOutput
+      import graft.testkit.PgMockPrimary
+      def slice(rem: Int) = events(s, d).where(col("user_id") % 20 === rem)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"))
+        .orderBy("event_id").collect()
+      def vals(r: org.apache.spark.sql.Row): Seq[Option[String]] = Seq(
+        Some(r.getLong(0).toString), Some(r.getLong(1).toString),
+        Option(r.getString(2)), Option(r.get(3)).map(_.toString))
+      def fold(rows: Array[org.apache.spark.sql.Row]) =
+        rows.groupBy(_.getLong(0)).values
+          .map(_.maxBy(_.getLong(1))).toSeq.sortBy(_.getLong(0))
+      val columns = Seq(
+        graft.sources.PgColumn("user_id", 20, -1, notNull = true, primary = true),
+        graft.sources.PgColumn("event_id", 20, -1, notNull = false, primary = false),
+        graft.sources.PgColumn("event_type", 25, -1, notNull = false, primary = false),
+        graft.sources.PgColumn("value", 701, -1, notNull = false, primary = false))
+      val relCols = Seq("user_id" -> 20, "event_id" -> 20,
+        "event_type" -> 25, "value" -> 701)
+      val (allA, allB) = (slice(11), slice(13))
+      val (halfA, restA) = allA.splitAt(allA.length / 2)
+      val (halfB, restB) = allB.splitAt(allB.length / 2)
+      // interleave each slice's post-boundary updates as alternating
+      // transactions — the wire shape a multi-table publication emits
+      val chA = restA.grouped(math.max(1, restA.length / 2 + 1)).toSeq
+      val chB = restB.grouped(math.max(1, restB.length / 2 + 1)).toSeq
+      val ordered = chA.map(c => (11, c)).zipAll(chB.map(c => (12, c)),
+          null, null)
+        .flatMap { case (x, y) => Seq(Option(x), Option(y)).flatten }
+      var done = 0L; var lastA = 1000L; var lastB = 1000L; var xid = 300L
+      val dml = ordered.flatMap { case (rel, chunk) =>
+        done += chunk.length; xid += 1
+        val c = 1000L + done
+        if (rel == 11) lastA = c else lastB = c
+        Seq(PgOutput.encodeBegin(c, xid)) ++
+          chunk.map(r => PgOutput.encodeUpdate(rel, vals(r))) ++
+          Seq(PgOutput.encodeCommit(c, c + 1))
+      }
+      val frames =
+        Seq(PgOutput.encodeRelation(11, "public", "src_a", relCols),
+          PgOutput.encodeRelation(12, "public", "src_b", relCols)) ++ dml
+      val cat = graft.table.GraftCatalog(s, freshDir("pgshared-wh"))
+      val srv = graft.sources.RestServer.start(cat)
+      try {
+        val primary = new PgMockPrimary(columns, fold(halfA).map(vals),
+          consistentPoint = 1000L, frames = frames,
+          tables = Map(
+            "public.src_a" -> (columns, fold(halfA).map(vals)),
+            "public.src_b" -> (columns, fold(halfB).map(vals))),
+          // hold the whole stream until the SECOND table's snapshot
+          // copy runs — its traffic then flows mid-copy (the buffering
+          // window), and table A attaches to a genuinely LIVE stream
+          // (held open past the last frame like a real primary's)
+          pauseAfterFrames = 0,
+          releaseOnCopyOf = Some("public.src_b"),
+          holdStreamOpen = true).start()
+        def create(name: String, srcTable: String): Unit = {
+          val conn = java.net.URI.create(
+            s"${srv.baseUrl}/tables/$name/from_postgres").toURL
+            .openConnection().asInstanceOf[java.net.HttpURLConnection]
+          conn.setRequestMethod("POST")
+          conn.setRequestProperty("Content-Type", "application/json")
+          conn.setDoOutput(true)
+          val body =
+            (s"""{"database":"graftdb","table":"$name",""" +
+              s""""src_uri":"postgresql://postgres@127.0.0.1:${primary.port}/postgres",""" +
+              s""""src_table_name":"$srcTable","shared_slot":true}""")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          conn.setFixedLengthStreamingMode(body.length)
+          val os = conn.getOutputStream
+          try os.write(body) finally os.close()
+          require(conn.getResponseCode == 200,
+            s"from_postgres($name) -> ${conn.getResponseCode}")
+          conn.getInputStream.close()
+        }
+        create("mirror_a", "public.src_a")
+        create("mirror_b", "public.src_b")
+        val deadline = System.currentTimeMillis() + 90000
+        while ((cat.table("mirror_a").commitLsn < lastA ||
+            cat.table("mirror_b").commitLsn < lastB) &&
+            System.currentTimeMillis() < deadline) Thread.sleep(25)
+        require(cat.table("mirror_a").commitLsn >= lastA &&
+          cat.table("mirror_b").commitLsn >= lastB,
+          s"catch-up timed out at ${cat.table("mirror_a").commitLsn}/" +
+            s"${cat.table("mirror_b").commitLsn} < $lastA/$lastB")
+        primary.endStream()
+        primary.join()
+        primary.error.foreach(e => throw new IllegalStateException(
+          s"mock primary failed: $e"))
+        // THE architecture gates: one slot, one stream, one publication
+        require(primary.createSlotCount == 1,
+          s"expected ONE slot create, got ${primary.createSlotCount}")
+        require(primary.startedAtLsns == Seq(0L),
+          s"expected ONE START_REPLICATION, got ${primary.startedAtLsns}")
+        require(primary.publicationTables("graft_pub_postgres") ==
+          Set("public.src_a", "public.src_b"),
+          s"publication members: ${primary.publicationTables("graft_pub_postgres")}")
+        def out(name: String, tag: String) =
+          cat.table(name).read(scala.None).select(lit(tag).as("src"),
+            col("user_id"), col("event_id").as("last_event_id"),
+            col("event_type").as("last_event_type"),
+            cents(col("value")).as("value_cents"))
+        out("mirror_a", "a").unionByName(out("mirror_b", "b"))
+          .orderBy("src", "user_id")
+      } finally srv.stop()
+    }),
+
     "cdc_rest_catalog" -> ((s, d) => {
       // S8's catalog half at the protocol level (reference
       // rest_catalog.rs:96-186 speaks the same Apache Iceberg REST
@@ -6392,6 +6511,22 @@ object SparkEntry {
         |FROM events WHERE user_id % 20 = 11
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
         |ORDER BY user_id""".stripMargin,
+
+    "cdc_pg_shared" ->
+      """WITH last AS (
+        |  SELECT user_id, event_id, event_type, value
+        |  FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)
+        |SELECT 'a' AS src, user_id, event_id AS last_event_id,
+        |       event_type AS last_event_type,
+        |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
+        |FROM last WHERE user_id % 20 = 11
+        |UNION ALL
+        |SELECT 'b' AS src, user_id, event_id AS last_event_id,
+        |       event_type AS last_event_type,
+        |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
+        |FROM last WHERE user_id % 20 = 13
+        |ORDER BY src, user_id""".stripMargin,
 
     "cdc_rest_catalog" ->
       """WITH last AS (

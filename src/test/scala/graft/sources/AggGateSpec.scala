@@ -192,6 +192,26 @@ class AggGateSpec extends AnyFunSuite {
     // generous bound: observed ~0.2-0.5s; a regression to per-file
     // parsing storms or quadratic behavior lands in tens of seconds
     assert(sec < 5.0, f"planning sweep took $sec%.2fs over 100k files")
+    // the r16 GROUP BY gate + grouped fold must stay O(files) too: a
+    // 100k-file bucketed layout (32 single-valued groups) plans and
+    // folds in well under a second per call
+    import org.apache.spark.sql.connector.expressions.aggregate.CountStar
+    val bucketed = m.copy(dataFiles = files.zipWithIndex.map {
+      case (e, i) =>
+        val k = (i % 32).toString
+        e.copy(stats = e.stats + ("id" -> Seq(k, k)))
+    })
+    val gAgg = new Aggregation(Array(new CountStar()),
+      Array(Expressions.column("id")))
+    val t1 = System.nanoTime()
+    assert(GraftAggScan.supported(bucketed, gAgg),
+      "the bucketed 100k-file layout must push GROUP BY")
+    val groups = GraftAggScan.groupedValues(bucketed, Seq("id"),
+      Seq(new CountStar()))
+    val gSec = (System.nanoTime() - t1) / 1e9
+    assert(groups.size == 32 &&
+      groups.forall(_(1) == 100000L / 32 * 1000L), s"${groups.size} groups")
+    assert(gSec < 5.0, f"group planning+fold took $gSec%.2fs over 100k files")
   }
 
   test("decide on strings: exact-marked bounds decide, unmarked decline") {
