@@ -297,7 +297,13 @@ object PgOutput {
       // whole txn — events, commit, and alter diffs alike — instead of
       // double-applying it or tripping the LSN-monotonicity require
       // (the reference's skip_before_end_lsn, `pg_replicate.rs:727`).
-      skipCommitsAtOrBelow: Long = 0L) {
+      skipCommitsAtOrBelow: Long = 0L,
+      // schema qualifier: on a shared stream two publication members
+      // may share a relname across schemas (a.users vs b.users) — the
+      // Relation match must then compare the namespace too, or both
+      // sessions would claim whichever relation OID registered last
+      // (the reference routes by src_table_id, which is schema-unique)
+      srcNamespace: Option[String] = scala.None) {
     private var rel: Option[Relation] = scala.None
     /** relation OID of OUR table, learned from its Relation message —
      *  DML for any other relid is another publication member's traffic
@@ -351,7 +357,8 @@ object PgOutput {
           // the skipped txn's schema effects are committed state
           committedRel = rel
           Nil
-        case r @ Relation(_, _, name, _, _) if name == tableName =>
+        case r @ Relation(_, rns, name, _, _)
+            if name == tableName && srcNamespace.forall(_ == rns) =>
           // keep the decoder's column registration current; the alter
           // EVENTS were applied before the crash, so no diff is emitted
           rel = Some(r); myRelId = Some(r.relId); Nil
@@ -405,8 +412,9 @@ object PgOutput {
         committedNextLsn = nextLsn
         committedRel = rel
         Seq(Commit(commitLsn, x))
-      case r @ Relation(_, _, name, _, newCols) =>
-        if (name != tableName) Nil // not our table's relation
+      case r @ Relation(_, rns, name, _, newCols) =>
+        if (name != tableName || srcNamespace.exists(_ != rns))
+          Nil // not our table's relation
         else {
           val out = rel match {
             case scala.None => Nil

@@ -201,7 +201,8 @@ final class SharedStream(catalog: GraftCatalog, host: String, port: Int,
 
   private val lock = new Object
   /** live routes keyed by graft table name */
-  private final class Route(val name: String, val srcRelName: String,
+  private final class Route(val name: String, val srcNs: String,
+      val srcRelName: String,
       val table: GraftTable, var sess: PgOutput.Session,
       val buf: mutable.ArrayBuffer[CdcEvent], var appliedWal: Long)
   private val routes = mutable.LinkedHashMap[String, Route]()
@@ -209,7 +210,7 @@ final class SharedStream(catalog: GraftCatalog, host: String, port: Int,
    *  known (the reference's initial_copy_buffered_events) — bounded by
    *  the copy window's WAL volume, and only txn-boundary + this
    *  table's own messages are kept */
-  private final class Pending(val srcRelName: String,
+  private final class Pending(val srcNs: String, val srcRelName: String,
       /** ack-floor pin: the slot may not trim past the position this
        *  buffer started at — its contents are MEMORY, not durable, so
        *  a reconnect must be able to re-deliver them (the reference
@@ -291,7 +292,7 @@ final class SharedStream(catalog: GraftCatalog, host: String, port: Int,
       // event can slip between membership and the buffer's birth; the
       // buffer pins the ack floor at the CURRENT confirmed position so
       // a blip can re-deliver everything it will ever hold
-      lock.synchronized { pendings(name) = new Pending(tbl, ackFloor()) }
+      lock.synchronized { pendings(name) = new Pending(ns, tbl, ackFloor()) }
       sqlc.simpleQuery(s"ALTER PUBLICATION $pub ADD TABLE $ns.$tbl;")
       inPub = true
       // snapshot: boundary + snapshot id from ONE txn (the reference's
@@ -326,7 +327,7 @@ final class SharedStream(catalog: GraftCatalog, host: String, port: Int,
         table.initialCopy(
           spark.read.schema(table.schema).parquet(staging), boundary)
       graft.format.Fio.delete(staging)
-      attachRoute(name, tbl, table, boundary)
+      attachRoute(name, ns, tbl, table, boundary)
       ensureStreaming()
       val handle = new SharedStream.TableHandle(this, name, copied,
         boundary, driverRows.value)
@@ -360,7 +361,7 @@ final class SharedStream(catalog: GraftCatalog, host: String, port: Int,
     try {
       try sqlc.simpleQuery(s"ALTER PUBLICATION $pub ADD TABLE $ns.$tbl;")
       catch { case e: PgWire.ServerError if e.sqlState == "42710" => () }
-      attachRoute(name, tbl, table, table.commitLsn)
+      attachRoute(name, ns, tbl, table, table.commitLsn)
       ensureStreaming()
       val handle = new SharedStream.TableHandle(this, name, 0L,
         table.commitLsn, 0L)
@@ -377,7 +378,7 @@ final class SharedStream(catalog: GraftCatalog, host: String, port: Int,
       .find(e => e.database == catalog.database && e.table == name)
       .map(_.srcTableName)
       .orElse(lock.synchronized(
-        routes.get(name).map(r => s"public.${r.srcRelName}")))
+        routes.get(name).map(r => s"${r.srcNs}.${r.srcRelName}")))
     srcFull.foreach { full =>
       val (ns, tbl) = splitSrc(full)
       try {
@@ -435,24 +436,27 @@ final class SharedStream(catalog: GraftCatalog, host: String, port: Int,
         s"src_table_name must be [schema.]table, got $srcTableName")
     }
 
-  private def freshSession(srcRelName: String, table: GraftTable,
-      floor: Long): PgOutput.Session = {
+  private def freshSession(srcNs: String, srcRelName: String,
+      table: GraftTable, floor: Long): PgOutput.Session = {
     val keys = table.identity match {
       case Identity.Keys(k) => k
       case _ => Nil
     }
     new PgOutput.Session(srcRelName, keys, firstLsn = floor + 1,
-      skipCommitsAtOrBelow = floor)
+      skipCommitsAtOrBelow = floor,
+      // schema-qualified Relation match: two members may share a
+      // relname across schemas on one shared stream
+      srcNamespace = Some(srcNs))
   }
 
   /** Promote a copied/recovered table to a live route, replaying its
    *  buffered stream bytes above the boundary. Runs under the frame
    *  lock: the stream is between frames while a table joins. */
-  private def attachRoute(name: String, srcRelName: String,
+  private def attachRoute(name: String, srcNs: String, srcRelName: String,
       table: GraftTable, boundary: Long): Unit = lock.synchronized {
     val floor = math.max(boundary, table.commitLsn)
-    val sess = freshSession(srcRelName, table, floor)
-    val route = new Route(name, srcRelName, table, sess,
+    val sess = freshSession(srcNs, srcRelName, table, floor)
+    val route = new Route(name, srcNs, srcRelName, table, sess,
       mutable.ArrayBuffer[CdcEvent](), appliedWal = floor)
     pendings.remove(name).foreach { p =>
       // replay from the first txn boundary: a partial leading txn
@@ -491,13 +495,18 @@ final class SharedStream(catalog: GraftCatalog, host: String, port: Int,
         // relid lives after the optional stream xid
         val off = if (p.inStreamSeg) 5 else 1
         val relId = java.nio.ByteBuffer.wrap(bytes, off, 4).getInt
-        // Relation carries namespace+name as cstrings right after relid
+        // Relation carries namespace+name as cstrings right after
+        // relid — BOTH must match (a.users vs b.users are different
+        // publication members)
         val nameMatches = {
           val rest = bytes.drop(off + 4)
           val z1 = rest.indexOf(0.toByte)
           val z2 = rest.indexOf(0.toByte, z1 + 1)
-          z1 >= 0 && z2 > z1 && new String(rest, z1 + 1, z2 - z1 - 1,
-            java.nio.charset.StandardCharsets.UTF_8) == p.srcRelName
+          z1 >= 0 && z2 > z1 &&
+            new String(rest, 0, z1,
+              java.nio.charset.StandardCharsets.UTF_8) == p.srcNs &&
+            new String(rest, z1 + 1, z2 - z1 - 1,
+              java.nio.charset.StandardCharsets.UTF_8) == p.srcRelName
         }
         if (nameMatches) { p.relId = relId; p.bytes += bytes }
       case 'I' | 'U' | 'D' =>
@@ -564,7 +573,7 @@ final class SharedStream(catalog: GraftCatalog, host: String, port: Int,
               routes.values.foreach { r =>
                 r.buf.clear()
                 val floor = math.max(r.table.commitLsn, 0L)
-                r.sess = freshSession(r.srcRelName, r.table, floor)
+                r.sess = freshSession(r.srcNs, r.srcRelName, r.table, floor)
               }
               pendings.values.foreach { p =>
                 p.bytes.clear()

@@ -250,4 +250,22 @@ class PgOutputSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     intercept[IllegalArgumentException] { s.onMessage(raw) }
   }
+
+  test("schema-qualified sessions disambiguate same-named relations") {
+    // a shared stream may carry a.users AND b.users (distinct relation
+    // OIDs); a session pinned to its namespace must only ever claim
+    // its own — the reference routes by src_table_id for this reason
+    val sa = new Session("users", Seq("id"), srcNamespace = Some("a"))
+    val sb = new Session("users", Seq("id"), srcNamespace = Some("b"))
+    val relA = encodeRelation(41, "a", "users", userCols)
+    val relB = encodeRelation(42, "b", "users", userCols)
+    assert(sa.onMessage(relA).isEmpty && sa.onMessage(relB).isEmpty)
+    assert(sb.onMessage(relA).isEmpty && sb.onMessage(relB).isEmpty)
+    sa.onMessage(encodeBegin(60L, 9L)); sb.onMessage(encodeBegin(60L, 9L))
+    val insA = encodeInsert(41, Seq(Some("1"), Some("in-a"), scala.None))
+    val insB = encodeInsert(42, Seq(Some("2"), Some("in-b"), scala.None))
+    // each session claims exactly its own namespace's relation OID
+    assert(sa.onMessage(insA).nonEmpty && sa.onMessage(insB).isEmpty)
+    assert(sb.onMessage(insA).isEmpty && sb.onMessage(insB).nonEmpty)
+  }
 }

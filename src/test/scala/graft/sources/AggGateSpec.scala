@@ -290,5 +290,20 @@ class AggGateSpec extends AnyFunSuite {
       Seq(new CountStar()))
     val byKey = rows.map(r => Option(r(0)) -> r(1)).toMap
     assert(byKey == Map(scala.None -> 10L, Some(2L) -> 10L), byKey)
+    // MULTI-column groupings: every group column must be single-valued
+    // per file; one mixed column declines the whole grouping
+    def agg2(c1: String, c2: String) = new Aggregation(
+      Array(new CountStar()),
+      Array(Expressions.column(c1), Expressions.column(c2)))
+    assert(GraftAggScan.supported(clustered, agg2("k", "tenant")),
+      "both-single-valued files must push a two-column GROUP BY")
+    assert(!GraftAggScan.supported(mixed, agg2("k", "tenant")),
+      "one multi-valued column declines the two-column grouping")
+    // two-column grouped values: the key tuple is (k, tenant), counts
+    // fold per distinct pair; the string cell arrives as UTF8String
+    val rows2 = GraftAggScan.groupedValues(clustered, Seq("k", "tenant"),
+      Seq(new CountStar()))
+    val byPair = rows2.map(r => (r(0), String.valueOf(r(1))) -> r(2)).toMap
+    assert(byPair == Map((1L, "x") -> 10L, (2L, "y") -> 10L), byPair)
   }
 }
