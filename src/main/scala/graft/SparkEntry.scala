@@ -1510,6 +1510,14 @@ object SparkEntry {
           s"aggregate ILLEGALLY answered from the manifest:\n$plan")
         if (exec) df.head() else null
       }
+      // per-phase wall clock, one log line each, so a regression in
+      // this seven-phase entry localizes without bisecting a monolith
+      var tPhase = System.nanoTime()
+      def phaseDone(name: String): Unit = {
+        val now = System.nanoTime()
+        println(f"[cdc_agg_pushdown] phase $name: ${(now - tPhase) / 1e9}%.2f s")
+        tPhase = now
+      }
       val pre = aggScanOnly(s.read.format("graft").load(table.root).agg(
         count(lit(1)), min(col("user_id")), max(col("user_id")),
         min(col("event_id")), max(col("event_id")),
@@ -1546,6 +1554,7 @@ object SparkEntry {
       require(strLong.getString(0) == "a" * 40 + "zz" &&
         strLong.getString(1) == "z" * 40 + "aa",
         s"scan must answer the true long strings: $strLong")
+      phaseDone("1 global pushes + string bounds")
       table.deleteWhere(col("event_type") === "purchase")
       val dfDel = s.read.format("graft").load(table.root)
       // COUNT(*) stays manifest-only under DVs (liveRows accounting)…
@@ -1567,6 +1576,7 @@ object SparkEntry {
       require(live.getLong(0) == stale.getLong(0) &&
         live.getLong(1) == stale.getLong(1),
         s"pushed live aggregates diverge from the scan: $live vs $stale")
+      phaseDone("2 DV refresh re-arm")
       // adversarial side table: {2^53, 1, 1, 1} — ANSI SUM is provable
       // and pushes; AVG is beyond the 2^53 exactness proof and declines
       // (including Spark's sum/count rewrite of it)
@@ -1593,6 +1603,7 @@ object SparkEntry {
       aux2.flush(); aux2.publish()
       mustScan(s.read.format("graft").load(aux2.root).agg(sum(col("v"))),
         exec = false)
+      phaseDone("3 ANSI/2^53 negatives")
       // Phase 4 (r15): FILE-EXACT filtered aggregates — the canonical
       // telemetry probe `count(*) WHERE k >= boundary` answers from the
       // manifest when every live file's bounds DECIDE the predicate
@@ -1635,6 +1646,7 @@ object SparkEntry {
       val fNvLive = aggScanOnly(dfF3.where(col("id") >= 101L).agg(count(col("v"))))
       require(fNvLive.getLong(0) == fNvScan.getLong(0),
         s"pushed filtered count(v) diverges from the scan: $fNvLive vs $fNvScan")
+      phaseDone("4 file-exact filtered")
       // Phase 5 (r16): STRING predicates in the file-exact decide —
       // exactBounds-marked files answer equality and ranges on string
       // columns under UTF-8 binary order (`tenant = 'x'`, the second
@@ -1667,6 +1679,7 @@ object SparkEntry {
       // unmarked (long, truncated/lifted) bounds must keep the scan
       val sLong = mustScan(s.read.format("graft").load(auxStr.root)
         .where(col("doc") >= "a").agg(count(lit(1))))
+      phaseDone("5 string decide")
       // GROUP BY a numeric single-valued key: answered per-file-group
       def aggScanRows(df: DataFrame): Seq[Row] = {
         val plan = planOf(df)
@@ -1688,7 +1701,19 @@ object SparkEntry {
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       require(gStr == Map("alpha" -> 100L, "beta" -> 100L),
         s"string GROUP BY wrong: $gStr")
-      // the unclustered twin (k interleaved in every file): must scan
+      val g2 = gRows.find(_.getLong(0) == 2L).get
+      phaseDone("6 grouped complete")
+      // Phase 7 (r17): PARTIAL pushdown over the unclustered twin
+      // (k = id % 3 interleaved in EVERY file). The complete gate's
+      // single-valued precondition fails, but every file carries
+      // per-value accounting (DataFileEntry.valueStats), so the scan
+      // emits per-file-cell PARTIAL count rows — supportCompletePushDown
+      // stays false and Spark's own final aggregate folds them. The
+      // plan must be a partial GraftAggScan with NO parquet read, and
+      // the folded result must match the full scan row-for-row. A
+      // measure aggregate (per-cell sums are not accounted) and a
+      // group column that overflowed the value-counter cap must both
+      // STILL scan.
       val grpMix = GraftTable.create(s, freshDir("agggrpmix"),
         SchemaDsl.struct("id" -> "int64", "k" -> "int64"),
         Identity.Keys(Seq("id")),
@@ -1696,16 +1721,27 @@ object SparkEntry {
       grpMix.applyBatchDF(s.range(1L, 201L).toDF("id")
         .select(lit("i").as("_op"), col("id").as("_lsn"), col("id"),
           (col("id") % 3).as("k")), 201L, hasDeletes = false)
+      require(grpMix.currentManifest.dataFiles.size > 1 &&
+        grpMix.currentManifest.dataFiles.forall(
+          _.valueStats.get("k").exists(_.size == 3)),
+        "every interleaved file must record per-value accounting for k")
       val mixRows = {
         val df = s.read.format("graft").load(grpMix.root)
           .groupBy(col("k")).agg(count(lit(1)).as("n"))
         val plan = planOf(df)
-        require(!plan.contains("GraftAggScan"),
-          s"unclustered GROUP BY ILLEGALLY answered from the manifest:\n$plan")
+        require(plan.contains("GraftAggScan(partial") &&
+          !plan.contains("GraftScan("),
+          s"interleaved GROUP BY not answered as manifest partials:\n$plan")
         df.collect().toSeq
       }
+      val mixScan = grpMix.read(scala.None).groupBy(col("k"))
+        .agg(count(lit(1))).collect().toSeq
+      require(mixRows.map(_.toSeq).toSet == mixScan.map(_.toSeq).toSet,
+        s"partial GROUP BY diverges from the scan: $mixRows vs $mixScan")
+      val dfMix = s.read.format("graft").load(grpMix.root)
+      mustScan(dfMix.groupBy(col("k")).agg(sum(col("id"))), exec = false)
+      mustScan(dfMix.groupBy(col("id")).agg(count(lit(1))), exec = false)
       val mixK1 = mixRows.find(_.getLong(0) == 1L).map(_.getLong(1)).getOrElse(-1L)
-      val g2 = gRows.find(_.getLong(0) == 2L).get
       // composition: GROUP BY BEHIND a file-exact filter — the filter
       // prunes the snapshot to its all-match files, the grouping folds
       // what remains (one GraftAggScan, zero files read)
@@ -1714,6 +1750,7 @@ object SparkEntry {
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       require(gFlt == Map("beta" -> 100L),
         s"filtered GROUP BY wrong: $gFlt")
+      phaseDone("7 grouped partial + filtered composition")
       import s.implicits._
       val strGrpOut = Seq((sEq.getLong(0), sGe.getLong(0), sGe.getLong(1),
         sLong.getLong(0), gRows.size.toLong, g2.getLong(1), g2.getLong(2),

@@ -76,7 +76,24 @@ final case class DataFileEntry(
     // are never listed. A manifest written before the marker existed
     // deserializes this empty, so old string bounds keep declining
     // (they might be truncations of identical-looking short strings).
-    exactBounds: Seq[String] = Seq.empty) {
+    exactBounds: Seq[String] = Seq.empty,
+    // column name -> (exact value string -> LIVE row count) for columns
+    // whose file-local distinct count stayed within a small cap
+    // (GraftTable.ValueStatsCap) — the per-file group accounting that
+    // lets GROUP BY answer from the manifest over files that are NOT
+    // single-valued on the group column (the common state of a table
+    // under continuous CDC between maintenance ticks; reference
+    // per-file accounting anchor `snapshot_read.rs:52-61`). Values are
+    // rendered exactly (same encodings as `stats`; strings only ≤32
+    // code points) or the column is dropped. Counts are LIVE at the
+    // last accounting point: a fresh write records all rows
+    // (deletes == 0); refreshDvStats rewrites the map from the
+    // surviving rows in the same entry update that makes the masked
+    // accounting current — so the map is trusted ONLY while
+    // deletes == 0 or dvStatsCurrent (see valuesOf). A MISSING column
+    // means unknown (high cardinality, inexact rendering, or a
+    // pre-accounting writer) and never pushes.
+    valueStats: Map[String, Map[String, String]] = Map.empty) {
   /** Null count for `col` if this file recorded one. */
   def nullsOf(col: String): Option[Long] = nullStats.get(col).map(_.toLong)
   /** Exact integral sum for `col` if this file recorded one. */
@@ -88,6 +105,16 @@ final case class DataFileEntry(
     sumStats.get(col).map(new java.math.BigDecimal(_))
   /** Masked-row accounting is current (covers every DV on the file). */
   def dvStatsCurrent: Boolean = dvAccounted == deletes
+  /** LIVE rows per distinct non-null value of `col`, if recorded and
+   *  trusted: counts are live-as-written for a delete-free file, and
+   *  live-as-refreshed while the masked accounting is current; a
+   *  delete that arrived after the last accounting point makes the
+   *  split unknown (the masked rows' values were never read back), so
+   *  the map declines until the next refreshDvStats. */
+  def valuesOf(col: String): Option[Map[String, Long]] =
+    if (deletes == 0L || dvStatsCurrent)
+      valueStats.get(col).map(_.map { case (v, n) => v -> n.toLong })
+    else scala.None
   /** Null count among MASKED rows for `col`, if current and recorded. */
   def dvNullsOf(col: String): Option[Long] =
     if (dvStatsCurrent) dvNullStats.get(col).map(_.toLong) else scala.None
@@ -187,14 +214,16 @@ object Manifest {
     val m3 =
       if (m2.dataFiles.exists(e => e.nullStats == null || e.sumStats == null ||
           e.dvNullStats == null || e.dvSumStats == null ||
-          e.exactBounds == null))
+          e.exactBounds == null || e.valueStats == null))
         m2.copy(dataFiles = m2.dataFiles.map(e => e.copy(
           nullStats = if (e.nullStats == null) Map.empty else e.nullStats,
           sumStats = if (e.sumStats == null) Map.empty else e.sumStats,
           dvNullStats = if (e.dvNullStats == null) Map.empty else e.dvNullStats,
           dvSumStats = if (e.dvSumStats == null) Map.empty else e.dvSumStats,
           exactBounds = if (e.exactBounds == null) Seq.empty
-                        else e.exactBounds)))
+                        else e.exactBounds,
+          valueStats = if (e.valueStats == null) Map.empty
+                       else e.valueStats)))
       else m2
     // bucket ids are meaningful only under a bucket spec: a manifest
     // written before the field existed deserializes bucket as 0 (the

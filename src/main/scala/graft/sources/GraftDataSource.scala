@@ -358,8 +358,17 @@ private[graft] class GraftScanBuilder(root: String, manifest: Manifest)
    *  partial buffer if Spark keeps its own agg. */
   override def supportCompletePushDown(agg: Aggregation): Boolean =
     aggSnapshot.exists(m => GraftAggScan.supported(m, agg))
+  /** Complete OR partial: when the complete gate declines (e.g. GROUP
+   *  BY over files that are not single-valued on the group column),
+   *  count-only groupings can still answer from the per-file per-value
+   *  accounting as PARTIAL rows — `supportCompletePushDown` stays
+   *  false, so Spark plans its own final aggregate over the scan
+   *  output (one row per file-cell, folded distributed). Manifest-only
+   *  I/O on ANY layout — the layout-independence the single-valued
+   *  complete path lacks. */
   override def pushAggregation(agg: Aggregation): Boolean = {
-    val ok = aggSnapshot.exists(m => GraftAggScan.supported(m, agg))
+    val ok = aggSnapshot.exists(m => GraftAggScan.supported(m, agg) ||
+      GraftAggScan.supportedPartial(m, agg))
     if (ok) aggPushed = Some(agg)
     ok
   }
@@ -371,9 +380,10 @@ private[graft] class GraftScanBuilder(root: String, manifest: Manifest)
   override def pushLimit(l: Int): Boolean = { limit = l.toLong; true }
 
   override def build(): Scan = aggPushed match {
-    case Some(a) => new GraftAggScan(aggSnapshot.getOrElse(
-      throw new IllegalStateException(
-        "aggregation pushed without a decidable snapshot")), a)
+    case Some(a) =>
+      val m = aggSnapshot.getOrElse(throw new IllegalStateException(
+        "aggregation pushed without a decidable snapshot"))
+      new GraftAggScan(m, a, partial = !GraftAggScan.supported(m, a))
     case scala.None => new GraftScan(root, manifest, required, pushed, limit)
   }
 }
@@ -938,7 +948,8 @@ private[graft] class GraftMicroBatchStream(root: String,
  * canonical freshness probe, reference `table_provider.rs`'s
  * statistics path) without touching a single parquet byte.
  */
-private[sources] class GraftAggScan(manifest: Manifest, agg: Aggregation)
+private[sources] class GraftAggScan(manifest: Manifest, agg: Aggregation,
+    partial: Boolean = false)
     extends Scan with Batch {
   private val funcs: Seq[AggregateFunc] = agg.aggregateExpressions.toSeq
   private val groupBy: Seq[String] =
@@ -948,12 +959,20 @@ private[sources] class GraftAggScan(manifest: Manifest, agg: Aggregation)
     GraftAggScan.schemaFor(manifest.schema, groupBy, funcs)
   override def toBatch: Batch = this
   override def description(): String =
-    s"GraftAggScan(${funcs.mkString(", ")}" +
+    s"GraftAggScan(${if (partial) "partial, " else ""}" +
+      s"${funcs.mkString(", ")}" +
       (if (groupBy.isEmpty) "" else groupBy.mkString(" GROUP BY ", ",", "")) +
       ") [manifest-only, 0 files read]"
 
   override def planInputPartitions(): Array[InputPartition] =
-    Array(GraftAggPartition(
+    if (partial) {
+      // one row per file-cell; Spark's final aggregate does the merge.
+      // Sharded so a wide manifest's merge runs DISTRIBUTED instead of
+      // funneling every per-file row through one task.
+      val rows = GraftAggScan.partialRows(manifest, groupBy, funcs)
+      if (rows.isEmpty) Array(GraftAggPartition(Nil))
+      else rows.grouped(4096).map(GraftAggPartition(_)).toArray
+    } else Array(GraftAggPartition(
       if (groupBy.isEmpty) Seq(GraftAggScan.values(manifest, funcs))
       else GraftAggScan.groupedValues(manifest, groupBy, funcs)))
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1239,6 +1258,159 @@ private[sources] object GraftAggScan {
         }
       }
     }
+
+  /** Live NULL count of `col` in file `e`, when knowable: physical
+   *  nulls for a delete-free file; physical minus masked nulls while
+   *  the masked accounting is current; unknown otherwise. */
+  private def liveNullsOf(e: graft.format.DataFileEntry,
+      c: String): Option[Long] =
+    e.nullsOf(c).flatMap { n =>
+      if (e.deletes == 0L) Some(n) else e.dvNullsOf(c).map(n - _)
+    }
+
+  /** The EXACT live group split of file `e` on column `c` — one
+   *  (value, live rows) cell per distinct live value, plus a (null,
+   *  live nulls) cell when live nulls exist — or None when the split
+   *  is not knowable from the accounting. Values are external
+   *  (parseStat) representation. Three derivations, in order:
+   *  all-NULL (one null cell, bounds-free), recorded per-value
+   *  accounting (`valuesOf`, trusted only while live — plus the null
+   *  cell from the null accounting), single-valued bounds (the
+   *  complete path's rule, relaxed to allow a null cell beside the
+   *  lone value — per-file knowledge the single-valued COMPLETE gate
+   *  cannot use because its one-row-per-group contract has no way to
+   *  express a two-group file). */
+  private def cellsOf(manifest: Manifest, e: graft.format.DataFileEntry,
+      c: String): Option[Seq[(Any, Long)]] = {
+    val fd = manifest.schema.fields.find(_.name == c).getOrElse(return scala.None)
+    val liveRows = e.rows - e.deletes
+    if (e.nullsOf(c).contains(e.rows)) // physically all-NULL ⊇ live
+      return Some(Seq((null, liveRows)))
+    liveNullsOf(e, c).flatMap { nulls =>
+      val nullCell = if (nulls > 0L) Seq((null: Any, nulls)) else Nil
+      e.valuesOf(c) match {
+        case Some(vm) =>
+          val cells = vm.toSeq.map { case (v, n) =>
+            (GraftTable.parseStat(fd.dataType, v), n) } ++ nullCell
+          // the accounting must tile the file exactly; a mismatch means
+          // torn metadata — decline rather than answer wrong
+          if (cells.map(_._2).sum == liveRows) Some(cells) else scala.None
+        case scala.None =>
+          val exact = fd.dataType match {
+            case LongType | IntegerType | ShortType | BooleanType |
+                 DateType | TimestampType | _: DecimalType => true
+            case StringType => e.exactBounds.contains(c)
+            case _ => false
+          }
+          val ord = GraftTable.anyOrdering(fd.dataType)
+          // bounds describe LIVE rows only when delete-free or refreshed
+          val liveBounds = e.deletes == 0L || e.dvStatsCurrent
+          e.stats.get(c) match {
+            case Some(s) if s.length == 2 && exact && liveBounds &&
+                ord.equiv(GraftTable.parseStat(fd.dataType, s.head),
+                  GraftTable.parseStat(fd.dataType, s(1))) &&
+                liveRows - nulls > 0L =>
+              Some(Seq((GraftTable.parseStat(fd.dataType, s.head),
+                liveRows - nulls)) ++ nullCell)
+            case _ => scala.None
+          }
+      }
+    }
+  }
+
+  /** COUNT(cc) is derivable for every cell file `e` contributes:
+   *  cc is a group column (a value cell's rows are all non-null on it,
+   *  a null cell counts zero), or cc has zero live nulls in the file
+   *  (count = cell rows), or is live-all-NULL (count = 0), or the file
+   *  is a single joint cell (count = live non-nulls, the complete
+   *  path's rule). `split` = the file spans more than one joint cell. */
+  private def countDerivable(e: graft.format.DataFileEntry, cc: String,
+      gs: Seq[String], split: Boolean): Boolean =
+    gs.contains(cc) || liveNullsOf(e, cc).contains(0L) ||
+      e.nullsOf(cc).contains(e.rows) ||
+      (!split && liveNullsOf(e, cc).isDefined)
+
+  /** PARTIAL pushdown gate: COUNT-only GROUP BY answerable per
+   *  file-cell from the manifest on ANY layout — each live file must
+   *  have a knowable group split (`cellsOf`) on every group column,
+   *  with AT MOST ONE group column split beyond a single cell (the
+   *  joint distribution across two independently-split columns is not
+   *  in the accounting), and every COUNT derivable per cell. SUM/MIN/
+   *  MAX/AVG never push partially: per-(cell, measure) accounting
+   *  does not exist for a multi-valued file — they keep the complete
+   *  path (single-valued layouts) or the scan. */
+  def supportedPartial(manifest: Manifest, agg: Aggregation): Boolean = {
+    val funcs = agg.aggregateExpressions.toSeq
+    funcs.nonEmpty && funcs.forall {
+      case _: CountStar => true
+      case c: Count => !c.isDistinct && colOf(c).isDefined
+      case _ => false
+    } && groupColsOf(agg).exists { gs =>
+      gs.nonEmpty &&
+        gs.forall(g => manifest.schema.fieldNames.contains(g)) &&
+        manifest.dataFiles.forall { e =>
+          e.rows == e.deletes || {
+            val cells = gs.map(g => cellsOf(manifest, e, g))
+            cells.forall(_.isDefined) &&
+              cells.count(_.exists(_.size > 1)) <= 1 && {
+                val split = cells.exists(_.exists(_.size > 1))
+                funcs.forall {
+                  case _: CountStar => true
+                  case c: Count =>
+                    countDerivable(e, colOf(c).get, gs, split)
+                  case _ => false
+                }
+              }
+          }
+        }
+    }
+  }
+
+  /** One partial row per (file, joint group cell): group-key cells in
+   *  Spark internal representation, then one LongType partial count
+   *  per aggregate — Spark's final aggregate SUMs them per group.
+   *  Duplicate keys across rows are the point (that is what makes the
+   *  emission valid for any layout); `supportedPartial` proved every
+   *  derivation below exists. */
+  def partialRows(manifest: Manifest, groupBy: Seq[String],
+      funcs: Seq[AggregateFunc]): Seq[Array[Any]] = {
+    val fds = groupBy.map(g => manifest.schema.fields.find(_.name == g).get)
+    val convs = fds.map(fd =>
+      CatalystTypeConverters.createToCatalystConverter(fd.dataType))
+    manifest.dataFiles.filter(e => e.rows > e.deletes).flatMap { e =>
+      val liveRows = e.rows - e.deletes
+      val perCol: Seq[Seq[(Any, Long)]] =
+        groupBy.map(g => cellsOf(manifest, e, g).get)
+      val splitIdx = perCol.indexWhere(_.size > 1)
+      // joint cells: every column but (at most) one is a lone cell, so
+      // the joint key varies only along the split column and each
+      // joint cell's row count is the split cell's count
+      val joint: Seq[(Seq[Any], Long)] =
+        if (splitIdx < 0) Seq((perCol.map(_.head._1), liveRows))
+        else perCol(splitIdx).map { case (v, n) =>
+          (perCol.zipWithIndex.map { case (cells, i) =>
+            if (i == splitIdx) v else cells.head._1 }, n)
+        }
+      joint.map { case (key, n) =>
+        val cells = key.zipWithIndex.map { case (v, i) =>
+          if (v == null) null else convs(i)(v) }
+        val aggCells = funcs.map {
+          case _: CountStar => java.lang.Long.valueOf(n)
+          case c: Count =>
+            val cc = colOf(c).get
+            val gi = groupBy.indexOf(cc)
+            java.lang.Long.valueOf(
+              if (gi >= 0) { if (key(gi) == null) 0L else n }
+              else if (liveNullsOf(e, cc).contains(0L)) n
+              else if (e.nullsOf(cc).contains(e.rows)) 0L
+              else n - liveNullsOf(e, cc).get) // single joint cell
+          case other => throw new IllegalStateException(
+            s"unsupported partial agg $other")
+        }
+        (cells ++ aggCells).toArray
+      }
+    }
+  }
 
   def supported(manifest: Manifest, agg: Aggregation): Boolean =
     (agg.groupByExpressions.isEmpty ||

@@ -629,11 +629,19 @@ object PgInitialSync {
           .filter(_.nonEmpty).getOrElse("postgres")
         val port = if (u.getPort > 0) u.getPort else 5432
         if (PgReplicationManager.isShared(e.srcUri)) {
-          // shared-stream mirrors share their slot: dropping it is a
-          // whole-URI decision (drop-all shutdown), done via stopAll
+          // shared-stream mirrors share their slot + publication with
+          // every other mirror of this URI: dropping them is a
+          // whole-URI decision (the reference's postgres_drop_all).
+          // Only drop once NO other route is attached — otherwise the
+          // surviving mirrors' walsender is pg_terminate_backend'ed
+          // and their reconnect dies on the missing slot (class-42,
+          // not retried): silent replication stop. A whole-URI drop
+          // goes through PgReplicationManager.stopAll(keepSlot=false),
+          // which detaches every route BEFORE the slot falls.
           val dbKey = db.toLowerCase.replaceAll("[^a-z0-9_]", "_")
-          cleanupReplication(u.getHost, port, user, db,
-            s"graft_slot_$dbKey", s"graft_pub_$dbKey", pw)
+          if (!PgReplicationManager.sharedInUse(catalog, u.getHost, port, db))
+            cleanupReplication(u.getHost, port, user, db,
+              s"graft_slot_$dbKey", s"graft_pub_$dbKey", pw)
         } else {
           cleanupReplication(u.getHost, port, user, db,
             s"graft_$name", s"graft_pub_$name", pw)

@@ -345,6 +345,20 @@ object PgOutput {
       }
     }
 
+    /** DML whose relid we don't own. On a SHARED stream (srcNamespace
+     *  set) or once our Relation is known, it is another publication
+     *  member's traffic — route to Nil. On a single-table session with
+     *  NO Relation seen yet, the publication has exactly one member,
+     *  so early DML can only mean a protocol violation (the server
+     *  always sends Relation before a relation's first DML per
+     *  connection): fail loudly rather than silently drop data. */
+    private def foreignDml(rid: Int): Seq[CdcEvent] = {
+      require(srcNamespace.isDefined || myRelId.isDefined,
+        s"DML for relation $rid before any Relation message on a " +
+          "single-table session — protocol violation, refusing to drop")
+      Nil
+    }
+
     private def lsn(): Long = { val l = nextLsn; nextLsn += 1; l }
     /** streamed segments take priority over a Begin..Commit context */
     private def dmlXid: Option[Long] = streamXid.orElse(xid)
@@ -433,10 +447,10 @@ object PgOutput {
           out
         }
       case Insert(rid, row) =>
-        if (!myRelId.contains(rid)) Nil // another table's traffic
+        if (!myRelId.contains(rid)) foreignDml(rid)
         else Seq(Append(rowOf(row), lsn(), dmlXid))
       case Update(rid, oldKey, row) =>
-        if (!myRelId.contains(rid)) Nil
+        if (!myRelId.contains(rid)) foreignDml(rid)
         else {
           val l = lsn()
           val key = oldKey match {
@@ -446,7 +460,7 @@ object PgOutput {
           CdcEvent.upsert(rowOf(row), key, l, dmlXid)
         }
       case DeleteMsg(rid, _, key) =>
-        if (!myRelId.contains(rid)) Nil
+        if (!myRelId.contains(rid)) foreignDml(rid)
         else Seq(Delete(keyOf(key), lsn(), dmlXid))
       case Truncate(relIds) =>
         // the reference treats TRUNCATE as out-of-scope for moonlink

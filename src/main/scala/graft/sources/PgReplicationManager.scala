@@ -80,6 +80,19 @@ object PgReplicationManager {
   private def uriKey(host: String, port: Int, database: String): String =
     s"$host:$port/$database"
 
+  /** true while a live shared stream still serves this URI with
+   *  attached routes — its slot + publication are then load-bearing
+   *  for OTHER mirrors, and dropping them on the primary would
+   *  terminate their walsender and strand every reconnect on class-42
+   *  errors. Probes routes OUTSIDE the registry monitor (lock order:
+   *  never registry→stream while holding the monitor). */
+  private[sources] def sharedInUse(catalog: GraftCatalog, host: String,
+      port: Int, database: String): Boolean = {
+    val reg = registry(catalog)
+    val s = reg.synchronized(reg.get(uriKey(host, port, database)))
+    s.exists(st => st.usable && st.routeNames.nonEmpty)
+  }
+
   /** Get-or-create the shared stream for a source URI (the manager's
    *  `get_or_create_connection`). First call for a URI connects and
    *  sets up the shared publication + slot. */
@@ -150,8 +163,12 @@ object PgReplicationManager {
    *  reference only removes those on drop-all shutdown. */
   def dropMirror(catalog: GraftCatalog, name: String): Unit = {
     val reg = registry(catalog)
-    val shared = reg.synchronized(reg.values.find(_.hasRoute(name)))
-    shared.foreach(_.dropTable(name))
+    // snapshot under the registry monitor, probe routes OUTSIDE it:
+    // hasRoute takes the stream's own lock, and a stream's close path
+    // (held under that lock on addTable failure) re-enters the
+    // registry monitor via onClosed — probing under both orders ABBA
+    val all = reg.synchronized(reg.values.toList)
+    all.find(_.hasRoute(name)).foreach(_.dropTable(name))
     catalog.dropTable(name)
   }
 
@@ -340,10 +357,14 @@ final class SharedStream(catalog: GraftCatalog, host: String, port: Int,
         catch { case _: Throwable => () }
       if (created) try catalog.dropTable(name) catch { case _: Throwable => () }
       // first-table failure with nothing streaming: tear the shared
-      // setup down so a retry starts clean
-      lock.synchronized {
-        if (routes.isEmpty && pendings.isEmpty && !streaming) close(keepSlot = false)
+      // setup down so a retry starts clean. Decide under `lock`, close
+      // OUTSIDE it — close() fires onClosed which takes the registry
+      // monitor, and holding `lock` across that inverts dropMirror's
+      // registry→stream order (ABBA)
+      val tearDown = lock.synchronized {
+        routes.isEmpty && pendings.isEmpty && !streaming
       }
+      if (tearDown) close(keepSlot = false)
       throw t
     } finally sqlc.close()
   }
@@ -542,6 +563,28 @@ final class SharedStream(catalog: GraftCatalog, host: String, port: Int,
     if (streaming) return
     if (stopRequested || closed) throw new IllegalStateException(
       "shared stream is stopped")
+    if (thread != null) {
+      // RESTART after a previous stream thread ended (clean server end
+      // or terminal error): the surviving routes' sessions carry
+      // skip floors from the OLD stream's start, which predate their
+      // applied positions — START_REPLICATION resumes from the slot's
+      // confirmed position and would redeliver already-applied txns
+      // past those stale floors (double-apply / monotonicity trip).
+      // Rebuild every session at its table's APPLIED floor and drop
+      // pending buffer contents (the ack floor never moved past a
+      // pending's start, so the resumed stream re-delivers every
+      // buffered frame), exactly as the in-thread reconnect path does.
+      routes.values.foreach { r =>
+        r.buf.clear()
+        val floor = math.max(r.table.commitLsn, 0L)
+        r.sess = freshSession(r.srcNs, r.srcRelName, r.table, floor)
+      }
+      pendings.values.foreach { p =>
+        p.bytes.clear()
+        p.inStreamSeg = false
+      }
+    }
+    err = scala.None // the revived stream starts with a clean slate
     val first = if (boot != null) { val b = boot; boot = null; b } else {
       val c = new PgSyncClient(host, port, user, database,
         password = password)

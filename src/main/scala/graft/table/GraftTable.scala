@@ -771,6 +771,8 @@ final class GraftTable private (
         val statOrds = statFields.map { case (f, _) => anyOrdering(f.dataType) }
         val sumMks = statFields.map { case (f, _) =>
           GraftTable.statSummer(f.dataType).orNull }.toArray
+        val vcMks = statFields.map { case (f, _) =>
+          GraftTable.valueCounterMk(f.dataType).orNull }.toArray
         val accOpt = fusedAcc
         val idxRdd = survivors.rdd.mapPartitionsWithIndex { (pid, it) =>
           val fname = fileOfPid.getOrElse(pid, null)
@@ -780,6 +782,8 @@ final class GraftTable private (
           val nulls = Array.fill[Long](statIdxs.length)(0L)
           val sums: Array[GraftTable.StatSummer] =
             sumMks.map(m => if (m == null) null else m())
+          val vcs: Array[GraftTable.ValueCounter] =
+            vcMks.map(m => if (m == null) null else m())
           val rows = it.map { r =>
             pos += 1
             if (accOpt.isDefined) {
@@ -790,6 +794,7 @@ final class GraftTable private (
                   if (mins(j) == null || statOrds(j).lt(v, mins(j))) mins(j) = v
                   if (maxs(j) == null || statOrds(j).gt(v, maxs(j))) maxs(j) = v
                   if (sums(j) != null) sums(j).add(v)
+                  if (vcs(j) != null) vcs(j).add(v)
                 } else nulls(j) += 1
                 j += 1
               }
@@ -803,7 +808,8 @@ final class GraftTable private (
           rows ++ {
             accOpt.foreach(_.add((pid, pos + 1, mins.toSeq, maxs.toSeq,
               nulls.toSeq,
-              sums.toSeq.map(s => if (s == null) null else s.render))))
+              sums.toSeq.map(s => if (s == null) null else s.render),
+              vcs.toSeq.map(c => if (c == null) null else c.render))))
             Iterator.empty
           }
         }
@@ -858,8 +864,8 @@ final class GraftTable private (
     }
     val partStats = precomputedStats
       .orElse(fusedAcc.map(acc => acc.value.map {
-        case (pid, (n, mins, maxs, nulls, sums)) =>
-          pid -> partFileStats(statFields, n, mins, maxs, nulls, sums)
+        case (pid, (n, mins, maxs, nulls, sums, vcs)) =>
+          pid -> partFileStats(statFields, n, mins, maxs, nulls, sums, vcs)
       }))
       .getOrElse(prof("  stats pass")(
         collectPartitionStats(survivors, statFields)))
@@ -870,7 +876,7 @@ final class GraftTable private (
             Fio.sizeOf(s"$root/data/$n"), maxLsn, 0L, ps.stats,
             bucket = if (bucketSplit >= 1) (pid / bucketSplit).toLong else -1L,
             nullStats = ps.nulls, sumStats = ps.sums,
-            exactBounds = ps.exact)
+            exactBounds = ps.exact, valueStats = ps.values)
         case scala.None => Fio.delete(s"$root/data/$n")
       }
     }
@@ -886,6 +892,8 @@ final class GraftTable private (
     val idxs = statFields.map(_._2).toArray
     val sumMks = statFields.map { case (f, _) =>
       GraftTable.statSummer(f.dataType).orNull }.toArray
+    val vcMks = statFields.map { case (f, _) =>
+      GraftTable.valueCounterMk(f.dataType).orNull }.toArray
     survivors.rdd.mapPartitionsWithIndex { (pid, it) =>
       var n = 0L
       val mins = Array.fill[Any](idxs.length)(null)
@@ -893,6 +901,8 @@ final class GraftTable private (
       val nulls = Array.fill[Long](idxs.length)(0L)
       val sums: Array[GraftTable.StatSummer] =
         sumMks.map(m => if (m == null) null else m())
+      val vcs: Array[GraftTable.ValueCounter] =
+        vcMks.map(m => if (m == null) null else m())
       it.foreach { r =>
         n += 1
         var j = 0
@@ -902,14 +912,16 @@ final class GraftTable private (
             if (mins(j) == null || ords(j).lt(v, mins(j))) mins(j) = v
             if (maxs(j) == null || ords(j).gt(v, maxs(j))) maxs(j) = v
             if (sums(j) != null) sums(j).add(v)
+            if (vcs(j) != null) vcs(j).add(v)
           } else nulls(j) += 1
           j += 1
         }
       }
       Iterator.single((pid, n, mins.toSeq, maxs.toSeq, nulls.toSeq,
-        sums.toSeq.map(s => if (s == null) null else s.render)))
-    }.collect().map { case (pid, n, mins, maxs, nulls, sums) =>
-      pid -> partFileStats(statFields, n, mins, maxs, nulls, sums)
+        sums.toSeq.map(s => if (s == null) null else s.render),
+        vcs.toSeq.map(c => if (c == null) null else c.render)))
+    }.collect().map { case (pid, n, mins, maxs, nulls, sums, vcs) =>
+      pid -> partFileStats(statFields, n, mins, maxs, nulls, sums, vcs)
     }.toMap
   }
 
@@ -927,6 +939,8 @@ final class GraftTable private (
     val idxs = statFields.map(_._2).toArray
     val sumMks = statFields.map { case (f, _) =>
       GraftTable.statSummer(f.dataType).orNull }.toArray
+    val vcMks = statFields.map { case (f, _) =>
+      GraftTable.valueCounterMk(f.dataType).orNull }.toArray
     val ship = shipDeletes // primitive capture: closure must not hold `this`
     val raw = folded.rdd.mapPartitionsWithIndex { (pid, it) =>
       var n = 0L
@@ -935,6 +949,8 @@ final class GraftTable private (
       val nulls = Array.fill[Long](idxs.length)(0L)
       val sums: Array[GraftTable.StatSummer] =
         sumMks.map(m => if (m == null) null else m())
+      val vcs: Array[GraftTable.ValueCounter] =
+        vcMks.map(m => if (m == null) null else m())
       val dels = mutable.ArrayBuffer[(Seq[Any], Long)]()
       it.foreach { r =>
         if (r.getString(0) == "a") {
@@ -946,6 +962,7 @@ final class GraftTable private (
               if (mins(j) == null || ords(j).lt(v, mins(j))) mins(j) = v
               if (maxs(j) == null || ords(j).gt(v, maxs(j))) maxs(j) = v
               if (sums(j) != null) sums(j).add(v)
+              if (vcs(j) != null) vcs(j).add(v)
             } else nulls(j) += 1
             j += 1
           }
@@ -955,12 +972,13 @@ final class GraftTable private (
       }
       Iterator.single(
         (pid, n, mins.toSeq, maxs.toSeq, nulls.toSeq,
-          sums.toSeq.map(s => if (s == null) null else s.render), dels.toSeq))
+          sums.toSeq.map(s => if (s == null) null else s.render),
+          vcs.toSeq.map(c => if (c == null) null else c.render), dels.toSeq))
     }.collect()
-    val stats = raw.map { case (pid, n, mins, maxs, nulls, sums, _) =>
-      pid -> partFileStats(statFields, n, mins, maxs, nulls, sums)
+    val stats = raw.map { case (pid, n, mins, maxs, nulls, sums, vcs, _) =>
+      pid -> partFileStats(statFields, n, mins, maxs, nulls, sums, vcs)
     }.toMap
-    (stats, raw.toSeq.flatMap(_._7))
+    (stats, raw.toSeq.flatMap(_._8))
   }
 
   /** Block until all mutations at-or-below `lsn` are durably flushed to
@@ -1155,10 +1173,10 @@ final class GraftTable private (
       spark.createDataFrame(chunkRows.asJava, physicalSchema)
         .coalesce(1).write.mode("overwrite").parquet(tmp)
       movePartFile(tmp, s"$destDir/$name")
-      val (bounds, nulls, sums, exact) = columnStats(chunkRows)
+      val (bounds, nulls, sums, exact, vals) = columnStats(chunkRows)
       DataFileEntry(name, chunk.size.toLong, Fio.sizeOf(s"$destDir/$name"),
         maxLsn, 0L, bounds, bucket = bkt, nullStats = nulls,
-        sumStats = sums, exactBounds = exact)
+        sumStats = sums, exactBounds = exact, valueStats = vals)
     }
   }
 
@@ -1175,7 +1193,7 @@ final class GraftTable private (
    *  stats into iceberg manifests, `parquet_stats_utils.rs`). */
   private def columnStats(rows: Seq[Row])
       : (Map[String, Seq[String]], Map[String, String], Map[String, String],
-         Seq[String]) = {
+         Seq[String], Map[String, Map[String, String]]) = {
     val pairs = schemaVar.fields.zipWithIndex.collect {
       case (f, i) if statsComparable(f.dataType) =>
         val vs = rows.iterator.map(_.get(i)).filter(_ != null).toSeq
@@ -1191,10 +1209,15 @@ final class GraftTable private (
         val sum = GraftTable.statSummer(f.dataType).map { mk =>
           val s = mk(); vs.foreach(s.add); f.name -> s.render
         }
-        (bounds, f.name -> (rows.size - vs.size).toString, sum, exact)
+        val vals = GraftTable.valueCounterMk(f.dataType).flatMap { mk =>
+          val c = mk(); vs.foreach(c.add)
+          Option(c.render).map(f.name -> _)
+        }
+        (bounds, f.name -> (rows.size - vs.size).toString, sum, exact, vals)
     }
     (pairs.map(_._1).toMap, pairs.map(_._2).toMap,
-      pairs.flatMap(_._3).toMap, pairs.flatMap(_._4).toSeq)
+      pairs.flatMap(_._3).toMap, pairs.flatMap(_._4).toSeq,
+      pairs.flatMap(_._5).toMap)
   }
 
   /** Fast-path index writer for rows the driver already holds in write
@@ -2170,6 +2193,13 @@ final class GraftTable private (
             val p = col(SchemaDsl.physicalName(f))
             Seq(min(p).as(s"_mn_${f.name}"), max(p).as(s"_mx_${f.name}"),
               count(p).as(s"_nn_${f.name}")) ++ // non-null count -> nullStats
+              // cheap per-file distinct estimate: pre-filters which
+              // (file, column) pairs can carry per-value accounting, so
+              // the exact follow-up job below never groups a
+              // high-cardinality column
+              (if (GraftTable.valueCountable(f.dataType))
+                 Seq(approx_count_distinct(p).as(s"_ad_${f.name}"))
+               else Nil) ++
               // integral sums recombine exactly (wrapping 64-bit adds).
               // Accumulate in decimal(38,0): an ANSI (Spark 4 default)
               // long SUM would throw on overflow, making compaction
@@ -2197,6 +2227,40 @@ final class GraftTable private (
               r.getLong(r.fieldIndex("_bmx")))
             if (mn == mx) Some(r.getString(0) -> mn) else scala.None
           }.toMap
+        // exact per-value accounting for the (file, column) pairs the
+        // HLL estimate says can fit the cap (≤2× headroom over its
+        // ~2-5% error): one narrow grouped job per surviving column,
+        // result bounded by files × cap; files whose EXACT distinct
+        // count then exceeds the cap simply record nothing
+        val backVals: Map[String, Map[String, Map[String, String]]] =
+          statFields.filter(f => GraftTable.valueCountable(f.dataType))
+            .flatMap { f =>
+              val cand = rows.filter(r =>
+                r.getLong(r.fieldIndex(s"_ad_${f.name}")) <=
+                  2L * GraftTable.ValueStatsCap).map(_.getString(0))
+              if (cand.isEmpty) Nil
+              else {
+                val lv = spark.read.schema(physicalSchema)
+                  .parquet(cand.map(n => s"$root/data/$n"): _*)
+                  .select(substring_index(col("_metadata.file_path"), "/", -1)
+                    .as("_f"), col(SchemaDsl.physicalName(f)).as("_v"))
+                  .where(col("_v").isNotNull)
+                  .groupBy(col("_f"), col("_v")).agg(count(lit(1)).as("_c"))
+                  .collect()
+                lv.groupBy(_.getString(0)).toSeq.collect {
+                  case (file, vs)
+                      if vs.length <= GraftTable.ValueStatsCap &&
+                        vs.forall(r => GraftTable.renderGroupValue(
+                          f.dataType, r.get(1)) != null) =>
+                    (file, f.name, vs.map(r =>
+                      GraftTable.renderGroupValue(f.dataType, r.get(1)) ->
+                        r.getLong(2).toString).toMap)
+                }
+              }
+            }
+            .groupBy(_._1)
+            .map { case (file, ts) =>
+              file -> ts.map(t => t._2 -> t._3).toMap }
         rows.map { r =>
             val n = r.getLong(r.fieldIndex("_n"))
             val (stats, exact) = boundsAndExact(statFields.map { f =>
@@ -2222,7 +2286,8 @@ final class GraftTable private (
                            else r.getDecimal(i).toPlainString)
               }
             }.toMap
-            r.getString(0) -> PartFileStats(n, stats, nulls, sums, exact)
+            r.getString(0) -> PartFileStats(n, stats, nulls, sums, exact,
+              backVals.getOrElse(r.getString(0), Map.empty))
           }.toMap
       }
     val counts: Map[String, Long] = backStats.map { case (n, s) => n -> s.rows }
@@ -2232,7 +2297,8 @@ final class GraftTable private (
       bucket = fileBucket.getOrElse(n, -1L),
       nullStats = backStats.get(n).map(_.nulls).getOrElse(Map.empty),
       sumStats = backStats.get(n).map(_.sums).getOrElse(Map.empty),
-      exactBounds = backStats.get(n).map(_.exact).getOrElse(Seq.empty)))
+      exactBounds = backStats.get(n).map(_.exact).getOrElse(Seq.empty),
+      valueStats = backStats.get(n).map(_.values).getOrElse(Map.empty)))
     // the bucket spec is table-level: a FRESH bucketBy holds only when
     // this rewrite covered every live file (it did — victims = all) AND
     // every surviving file validated single-bucket; any miss degrades to
@@ -2574,6 +2640,41 @@ final class GraftTable private (
         dvNullStats = nulls, dvSumStats = sums, stats = liveBounds,
         exactBounds = liveExact)
     }
+    // per-value accounting is rewritten LIVE (like the bounds above,
+    // not delta'd like nulls/sums — per-value masked deltas would need
+    // a per-value map of their own): one narrow job per column that
+    // any stale file recorded, grouping the SURVIVING rows by value.
+    // Result size is bounded by files × ValueStatsCap (the live
+    // distinct set is a subset of the physical one that fit the cap).
+    statF.foreach { sf =>
+      val fs = stale.filter(f =>
+        fileEntries.get(f).exists(_.valueStats.contains(sf.name)))
+      if (fs.nonEmpty) {
+        val lv = spark.read.schema(physicalSchema)
+          .parquet(fs.map(f => s"$root/data/$f"): _*)
+          .select(
+            substring_index(col("_metadata.file_path"), "/", -1).as("_f"),
+            col("_metadata.row_index").as("_p"),
+            col(SchemaDsl.physicalName(sf)).as("_v"))
+          .where(!mk && col("_v").isNotNull)
+          .groupBy(col("_f"), col("_v")).agg(count(lit(1)).as("_n"))
+          .collect()
+        val byFile = lv.groupBy(_.getString(0))
+        fs.foreach { f =>
+          val vs = byFile.getOrElse(f, Array.empty)
+          val rendered = vs.map(r =>
+            GraftTable.renderGroupValue(sf.dataType, r.get(1)) ->
+              r.getLong(2).toString)
+          // a value fully deleted simply disappears; zero live non-null
+          // rows leave a trusted EMPTY map (the file contributes only
+          // its null group, if any)
+          fileEntries(f) = fileEntries(f).copy(valueStats =
+            if (rendered.forall(_._1 != null))
+              fileEntries(f).valueStats + (sf.name -> rendered.toMap)
+            else fileEntries(f).valueStats - sf.name)
+        }
+      }
+    }
     rows.length
     // under a continuous maintenance cadence these batches recur; the
     // up-to-64MB DV broadcast must not linger until ContextCleaner GC
@@ -2690,12 +2791,14 @@ final class GraftTable private (
       val e = fileEntries(k)
       if (cols.exists(c => e.stats.contains(c) || e.nullStats.contains(c) ||
           e.sumStats.contains(c) || e.dvNullStats.contains(c) ||
-          e.dvSumStats.contains(c)) || e.exactBounds.exists(cols))
+          e.dvSumStats.contains(c) || e.valueStats.contains(c)) ||
+          e.exactBounds.exists(cols))
         fileEntries(k) = e.copy(stats = e.stats -- cols,
           nullStats = e.nullStats -- cols, sumStats = e.sumStats -- cols,
           dvNullStats = e.dvNullStats -- cols,
           dvSumStats = e.dvSumStats -- cols,
-          exactBounds = e.exactBounds.filterNot(cols))
+          exactBounds = e.exactBounds.filterNot(cols),
+          valueStats = e.valueStats -- cols)
     }
 
   /** Re-key per-file stats on a rename: the data is the same physical
@@ -2707,14 +2810,18 @@ final class GraftTable private (
         m.get(from).map(v => m - from + (to -> v)).getOrElse(m)
       if (e.stats.contains(from) || e.nullStats.contains(from) ||
           e.sumStats.contains(from) || e.dvNullStats.contains(from) ||
-          e.dvSumStats.contains(from) || e.exactBounds.contains(from))
+          e.dvSumStats.contains(from) || e.exactBounds.contains(from) ||
+          e.valueStats.contains(from))
         fileEntries(k) = e.copy(
           stats = e.stats.get(from)
             .map(v => e.stats - from + (to -> v)).getOrElse(e.stats),
           nullStats = rekey(e.nullStats), sumStats = rekey(e.sumStats),
           dvNullStats = rekey(e.dvNullStats),
           dvSumStats = rekey(e.dvSumStats),
-          exactBounds = e.exactBounds.map(c => if (c == from) to else c))
+          exactBounds = e.exactBounds.map(c => if (c == from) to else c),
+          valueStats = e.valueStats.get(from)
+            .map(v => e.valueStats - from + (to -> v))
+            .getOrElse(e.valueStats))
     }
 
   def alterDropColumns(cols: Seq[String]): Unit = synchronized {
@@ -3081,24 +3188,31 @@ object DvCache {
  *  would double-count, this one cannot. */
 private[graft] final class PartStatsAcc
     extends org.apache.spark.util.AccumulatorV2[
-      (Int, Long, Seq[Any], Seq[Any], Seq[Long], Seq[String]),
-      Map[Int, (Long, Seq[Any], Seq[Any], Seq[Long], Seq[String])]] {
+      (Int, Long, Seq[Any], Seq[Any], Seq[Long], Seq[String],
+        Seq[Map[String, String]]),
+      Map[Int, (Long, Seq[Any], Seq[Any], Seq[Long], Seq[String],
+        Seq[Map[String, String]])]] {
   private val m = scala.collection.mutable
-    .Map[Int, (Long, Seq[Any], Seq[Any], Seq[Long], Seq[String])]()
+    .Map[Int, (Long, Seq[Any], Seq[Any], Seq[Long], Seq[String],
+      Seq[Map[String, String]])]()
   override def isZero: Boolean = m.isEmpty
   override def copy(): PartStatsAcc = {
     val a = new PartStatsAcc; a.m ++= m; a
   }
   override def reset(): Unit = m.clear()
   override def add(
-      v: (Int, Long, Seq[Any], Seq[Any], Seq[Long], Seq[String])): Unit =
-    m(v._1) = (v._2, v._3, v._4, v._5, v._6)
+      v: (Int, Long, Seq[Any], Seq[Any], Seq[Long], Seq[String],
+        Seq[Map[String, String]])): Unit =
+    m(v._1) = (v._2, v._3, v._4, v._5, v._6, v._7)
   override def merge(other: org.apache.spark.util.AccumulatorV2[
-      (Int, Long, Seq[Any], Seq[Any], Seq[Long], Seq[String]),
-      Map[Int, (Long, Seq[Any], Seq[Any], Seq[Long], Seq[String])]]): Unit =
+      (Int, Long, Seq[Any], Seq[Any], Seq[Long], Seq[String],
+        Seq[Map[String, String]]),
+      Map[Int, (Long, Seq[Any], Seq[Any], Seq[Long], Seq[String],
+        Seq[Map[String, String]])]]): Unit =
     other.value.foreach { case (k, v) => m(k) = v }
   override def value
-      : Map[Int, (Long, Seq[Any], Seq[Any], Seq[Long], Seq[String])] = m.toMap
+      : Map[Int, (Long, Seq[Any], Seq[Any], Seq[Long], Seq[String],
+        Seq[Map[String, String]])] = m.toMap
 }
 
 /** Per-partition file statistics carried from a fold/stats pass into
@@ -3112,7 +3226,9 @@ private[graft] final case class PartFileStats(rows: Long,
     sums: Map[String, String] = Map.empty,
     // string columns whose bounds were NOT truncated/lifted (exact
     // data values) — becomes DataFileEntry.exactBounds
-    exact: Seq[String] = Seq.empty)
+    exact: Seq[String] = Seq.empty,
+    // bounded per-value row counts — becomes DataFileEntry.valueStats
+    values: Map[String, Map[String, String]] = Map.empty)
 
 object GraftTable {
   /** Value-semantics wrapper for key column values — the mem-index key
@@ -3183,6 +3299,64 @@ object GraftTable {
         def render: String = s.toPlainString
       })
     }
+
+  /** Per-file distinct-value cap for `DataFileEntry.valueStats`: a
+   *  column with more file-local distinct values than this records no
+   *  per-value accounting (GROUP BY on it keeps the scan). Small on
+   *  purpose — the accounting targets low-cardinality dimension
+   *  columns (status, tenant, shard, category), and a bounded map
+   *  keeps both the write-path counter and the manifest O(1) per
+   *  column per file at any table size. */
+  private[graft] val ValueStatsCap = 8
+
+  /** Exact manifest encoding of a single value for per-value
+   *  accounting, or None when the rendering could be ambiguous:
+   *  strings above the same 32-code-point bound as exact stats
+   *  (arbitrarily long values would embed whole documents in the
+   *  manifest), and float/double entirely (NaN/-0.0 group-equality
+   *  differs from rendered-string equality). Everything recorded
+   *  round-trips through `parseStat` to a value Spark's GROUP BY
+   *  treats as equal to the original. */
+  private[graft] def renderGroupValue(dt: DataType, v: Any): String =
+    dt match {
+      case _: StringType =>
+        val s = v.toString
+        if (s.codePointCount(0, s.length) <= 32) s else null
+      case _: IntegerType | _: LongType | _: ShortType | _: BooleanType |
+           _: DateType | _: TimestampType => v.toString
+      case _: DecimalType => toJavaBD(v).toPlainString
+      case _ => null
+    }
+
+  private[graft] def valueCountable(dt: DataType): Boolean = dt match {
+    case _: IntegerType | _: LongType | _: ShortType | _: BooleanType |
+         _: DateType | _: TimestampType | _: DecimalType |
+         _: StringType => true
+    case _ => false
+  }
+
+  /** Mutable per-partition bounded distinct-value row counter for the
+   *  stats passes — dead (None result) once the cap is exceeded or a
+   *  value renders inexactly. Like [[StatSummer]], the FACTORY is what
+   *  task closures capture, so each partition gets fresh state. */
+  private[graft] final class ValueCounter(dt: DataType) {
+    private var m = mutable.HashMap[String, Long]()
+    def add(v: Any): Unit = if (m != null) {
+      val s = renderGroupValue(dt, v)
+      if (s == null) m = null
+      else {
+        val c = m.getOrElse(s, 0L)
+        if (c == 0L && m.size >= ValueStatsCap) m = null
+        else m.update(s, c + 1L)
+      }
+    }
+    /** col's rendered map, or null when the column overflowed the cap */
+    def render: Map[String, String] =
+      if (m == null) null else m.map { case (k, n) => k -> n.toString }.toMap
+  }
+
+  private[graft] def valueCounterMk(dt: DataType): Option[() => ValueCounter] =
+    if (valueCountable(dt)) Some(() => new ValueCounter(dt)) else scala.None
 
   /** Ordinals of every [mn, mx] range covering `kh`, over ranges sorted
    *  by `mn` with `pm` the running prefix max of `mx`: one binary search
@@ -3469,14 +3643,19 @@ object GraftTable {
    *  collect. */
   private[graft] def partFileStats(statFields: Seq[(StructField, Int)],
       n: Long, mins: Seq[Any], maxs: Seq[Any], nulls: Seq[Long],
-      sums: Seq[String]): PartFileStats = {
+      sums: Seq[String], vcs: Seq[Map[String, String]] = null)
+      : PartFileStats = {
     val (stats, exact) = boundsAndExact(statFields.zipWithIndex.map {
       case ((f, _), j) => (f, mins(j), maxs(j)) })
     val ns = statFields.zipWithIndex.map { case ((f, _), j) =>
       f.name -> nulls(j).toString }.toMap
     val sm = statFields.zipWithIndex.collect {
       case ((f, _), j) if sums(j) != null => f.name -> sums(j) }.toMap
-    PartFileStats(n, stats, ns, sm, exact)
+    val vs =
+      if (vcs == null) Map.empty[String, Map[String, String]]
+      else statFields.zipWithIndex.collect {
+        case ((f, _), j) if vcs(j) != null => f.name -> vcs(j) }.toMap
+    PartFileStats(n, stats, ns, sm, exact, vs)
   }
 
   private[graft] def statsComparable(dt: DataType): Boolean = dt match {

@@ -711,6 +711,119 @@ class GraftDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.drop(); t2.drop()
   }
 
+  test("partial GROUP BY pushdown answers count-only groupings over " +
+      "interleaved files from per-value accounting") {
+    val sch = SchemaDsl.struct("id" -> "int64", "k" -> "int64",
+      "v" -> "int64", "w" -> "int64")
+    val t = GraftTable.create(spark, tmpDir() + "/t", sch,
+      Identity.Keys(Seq("id")),
+      TableConfig(rowsPerFile = 16, walEnabled = false))
+    // k = id % 3 interleaved in EVERY file; v nullable; w null-free
+    def row(i: Long) = Row(i, i % 3,
+      if (i % 5 == 0) null else i, i * 2)
+    t.apply((1L to 60L).flatMap(i =>
+      CdcEvent.upsert(row(i), Seq(i), i)) :+ Commit(61L))
+    t.flush(); t.publish()
+    assert(t.currentManifest.dataFiles.size > 1)
+    assert(t.currentManifest.dataFiles.forall(
+      _.valueStats.get("k").exists(_.size == 3)),
+      "every file must record per-value accounting for k")
+    val df = spark.read.format("graft").load(t.root)
+    def planOf(q: org.apache.spark.sql.DataFrame): String =
+      q.queryExecution.executedPlan.toString
+    def partialOnly(q: org.apache.spark.sql.DataFrame): Seq[Row] = {
+      val p = planOf(q)
+      assert(p.contains("GraftAggScan(partial") && !p.contains("GraftScan("),
+        s"grouped count not answered as manifest partials:\n$p")
+      q.collect().toSeq
+    }
+    // count(*), count(group col), count(null-free col): all per-cell
+    val got = partialOnly(df.groupBy(col("k")).agg(count(lit(1)).as("n"),
+      count(col("k")).as("nk"), count(col("w")).as("nw")))
+    val want = t.read(scala.None).groupBy(col("k")).agg(
+      count(lit(1)), count(col("k")), count(col("w"))).collect().toSeq
+    assert(got.map(_.toSeq).toSet == want.map(_.toSeq).toSet,
+      s"partial GROUP BY diverges from the scan: $got vs $want")
+    // a nullable NON-group count over a multi-cell file is unknowable
+    val pv = planOf(df.groupBy(col("k")).agg(count(col("v"))))
+    assert(!pv.contains("GraftAggScan"),
+      "count(nullable non-group col) must keep the scan")
+    // so is any measure aggregate (per-cell sums are not accounted)
+    assert(!planOf(df.groupBy(col("k")).agg(sum(col("v"))))
+      .contains("GraftAggScan"), "grouped SUM must keep the scan")
+    // a high-cardinality group column overflowed the counter cap
+    assert(!planOf(df.groupBy(col("id")).agg(count(lit(1))))
+      .contains("GraftAggScan"), "GROUP BY id must keep the scan")
+    // two interleaved group columns: the joint split is not accounted
+    val t2 = GraftTable.create(spark, tmpDir() + "/t2", sch,
+      Identity.Keys(Seq("id")),
+      TableConfig(rowsPerFile = 16, walEnabled = false))
+    t2.apply((1L to 60L).flatMap(i => CdcEvent.upsert(
+      Row(i, i % 3, i % 2, i), Seq(i), i)) :+ Commit(61L))
+    t2.flush(); t2.publish()
+    val df2 = spark.read.format("graft").load(t2.root)
+    assert(!planOf(df2.groupBy(col("k"), col("v")).agg(count(lit(1))))
+      .contains("GraftAggScan"),
+      "two independently-split group columns must keep the scan")
+    // …but interleaved k × single-valued constant col pushes
+    val t3 = GraftTable.create(spark, tmpDir() + "/t3", sch,
+      Identity.Keys(Seq("id")),
+      TableConfig(rowsPerFile = 16, walEnabled = false))
+    t3.apply((1L to 60L).flatMap(i => CdcEvent.upsert(
+      Row(i, i % 3, 7L, i), Seq(i), i)) :+ Commit(61L))
+    t3.flush(); t3.publish()
+    val df3 = spark.read.format("graft").load(t3.root)
+    val got3 = partialOnly(df3.groupBy(col("k"), col("v"))
+      .agg(count(lit(1)).as("n")))
+    assert(got3.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap == Map((0L, 7L) -> 20L, (1L, 7L) -> 20L, (2L, 7L) -> 20L))
+    // a delete makes the split stale (masked values unread): scan —
+    // then refreshDvStats rewrites the LIVE per-value accounting and
+    // the push re-arms with the delete folded in
+    t.deleteWhere(col("id") === 9L) // k = 0 loses one row
+    val dfDel = spark.read.format("graft").load(t.root)
+    val pDel = planOf(dfDel.groupBy(col("k")).agg(count(lit(1))))
+    assert(!pDel.contains("GraftAggScan"),
+      "stale masked accounting must keep the scan")
+    assert(t.refreshDvStats() >= 1)
+    t.publish()
+    val dfLive = spark.read.format("graft").load(t.root)
+    val gotLive = partialOnly(dfLive.groupBy(col("k"))
+      .agg(count(lit(1)).as("n")))
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotLive == Map(0L -> 19L, 1L -> 20L, 2L -> 20L), gotLive)
+    // NULL group: nulls on the group column land in their own cell
+    val t4 = GraftTable.create(spark, tmpDir() + "/t4", sch,
+      Identity.Keys(Seq("id")),
+      TableConfig(rowsPerFile = 16, walEnabled = false))
+    t4.apply((1L to 60L).flatMap(i => CdcEvent.upsert(
+      Row(i, if (i % 4 == 0) null else i % 3, i, i), Seq(i), i))
+      :+ Commit(61L))
+    t4.flush(); t4.publish()
+    val df4 = spark.read.format("graft").load(t4.root)
+    val got4 = partialOnly(df4.groupBy(col("k")).agg(count(lit(1)).as("n"),
+      count(col("k")).as("nk")))
+    val want4 = t4.read(scala.None).groupBy(col("k")).agg(
+      count(lit(1)), count(col("k"))).collect().toSeq
+    assert(got4.map(_.toSeq).toSet == want4.map(_.toSeq).toSet,
+      s"NULL-group partial diverges: $got4 vs $want4")
+    // the clustered layout keeps the COMPLETE path (no 'partial' tag,
+    // no final-merge rows): one row per group straight from the scan
+    t2.optimize(clusterBy = Seq("k"))
+    val dfC = spark.read.format("graft").load(t2.root)
+    val pC = planOf(dfC.groupBy(col("k")).agg(count(lit(1))))
+    assert(pC.contains("GraftAggScan(") && !pC.contains("GraftAggScan(partial"),
+      s"single-valued layout must stay complete:\n$pC")
+    // file-exact filter composes: partial GROUP BY BEHIND the predicate
+    val fLo = t.currentManifest.dataFiles.map(e =>
+      e.stats("id").head.toLong).min
+    val gotF = partialOnly(dfLive.where(col("id") >= fLo)
+      .groupBy(col("k")).agg(count(lit(1)).as("n")))
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotF == Map(0L -> 19L, 1L -> 20L, 2L -> 20L), gotF)
+    t.drop(); t2.drop(); t3.drop(); t4.drop()
+  }
+
   test("AVG pushes only under a 2^53 bounds proof, in both ANSI modes") {
     // Spark's Average accumulates integral sums in DoubleType (order-
     // dependent rounding, never throws); the pushed exact-long-sum /

@@ -212,6 +212,21 @@ class AggGateSpec extends AnyFunSuite {
     assert(groups.size == 32 &&
       groups.forall(_(1) == 100000L / 32 * 1000L), s"${groups.size} groups")
     assert(gSec < 5.0, f"group planning+fold took $gSec%.2fs over 100k files")
+    // the r17 PARTIAL path must stay O(files) too: 100k interleaved
+    // files (8-value accounting each) gate + emit 800k partial rows
+    val interleaved = m.copy(dataFiles = files.map(e => e.copy(
+      stats = e.stats + ("id" -> Seq("0", "7")),
+      valueStats = Map("id" ->
+        (0 until 8).map(v => v.toString -> "125").toMap))))
+    val t2p = System.nanoTime()
+    assert(!GraftAggScan.supported(interleaved, gAgg) &&
+      GraftAggScan.supportedPartial(interleaved, gAgg),
+      "the interleaved 100k-file layout must push GROUP BY partially")
+    val prows = GraftAggScan.partialRows(interleaved, Seq("id"),
+      Seq(new CountStar()))
+    val pSec = (System.nanoTime() - t2p) / 1e9
+    assert(prows.size == 800000 && prows.forall(_(1) == 125L))
+    assert(pSec < 5.0, f"partial planning took $pSec%.2fs over 100k files")
   }
 
   test("decide on strings: exact-marked bounds decide, unmarked decline") {
@@ -246,6 +261,127 @@ class AggGateSpec extends AnyFunSuite {
     val nully = sf("alpha", "alpha", exact = true)
       .copy(nullStats = Map("tenant" -> "2", "id" -> "0"))
     assert(d(EqualTo("tenant", "alpha"), nully).isEmpty)
+  }
+
+  test("partial/complete decision matrix: COUNT-only groupings push " +
+      "partially over split files, measures and joint splits decline") {
+    import org.apache.spark.sql.connector.expressions.aggregate.CountStar
+    val gSchema = SchemaDsl.struct("id" -> "int64", "k" -> "int64",
+      "t" -> "string", "v" -> "int64")
+    // an interleaved file: k ∈ {0,1,2} with per-value accounting,
+    // t single-valued exact, v nullable (3 nulls), id high-cardinality
+    def split(path: String, rows: Long = 30L,
+        vals: Map[String, String] = Map("0" -> "10", "1" -> "10", "2" -> "10"),
+        kNulls: Long = 0L, vNulls: Long = 3L) = DataFileEntry(
+      path = path, rows = rows, bytes = 1L, maxLsn = 1L,
+      stats = Map("k" -> Seq("0", "2"), "t" -> Seq("x", "x"),
+        "id" -> Seq("1", rows.toString), "v" -> Seq("1", "9")),
+      nullStats = Map("k" -> kNulls.toString, "t" -> "0", "id" -> "0",
+        "v" -> vNulls.toString),
+      exactBounds = Seq("t"),
+      valueStats = Map("k" -> vals, "t" -> Map("x" -> rows.toString)))
+    def m(files: DataFileEntry*) = Manifest(1L, 1L, 1L, gSchema.json,
+      Seq("id"), files.toSeq, Seq.empty, Seq.empty)
+    import org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc
+    def agg(fs: Array[AggregateFunc], cols: String*) =
+      new Aggregation(fs, cols.toArray.map(Expressions.column))
+    val star: Array[AggregateFunc] = Array(new CountStar())
+    val mix = m(split("a"), split("b"))
+    // interleaved + count(*): complete declines, partial pushes
+    assert(!GraftAggScan.supported(mix, agg(star, "k")))
+    assert(GraftAggScan.supportedPartial(mix, agg(star, "k")))
+    // partial rows: one per (file, value) cell, counts tile the files
+    val rows = GraftAggScan.partialRows(mix, Seq("k"), star.toSeq)
+    assert(rows.size == 6 && rows.forall(_(1) == 10L),
+      rows.map(_.toSeq).toString)
+    // count(k) and count(null-free id) derive per cell; count(v)
+    // (nullable, non-group, multi-cell file) cannot
+    def cnt(c: String): Array[AggregateFunc] =
+      Array(new Count(Expressions.column(c), false))
+    assert(GraftAggScan.supportedPartial(mix, agg(cnt("k"), "k")))
+    assert(GraftAggScan.supportedPartial(mix, agg(cnt("id"), "k")))
+    assert(!GraftAggScan.supportedPartial(mix, agg(cnt("v"), "k")))
+    // …but over a SINGLE-cell file (group col single-valued) count(v)
+    // derives from plain live non-null accounting
+    val single = split("c", vals = null).copy(
+      stats = Map("k" -> Seq("1", "1"), "t" -> Seq("x", "x"),
+        "id" -> Seq("1", "30"), "v" -> Seq("1", "9")),
+      valueStats = Map.empty)
+    assert(GraftAggScan.supportedPartial(m(single), agg(cnt("v"), "k")))
+    // measures never push partially
+    val sumV: Array[AggregateFunc] =
+      Array(new Sum(Expressions.column("v"), false))
+    assert(!GraftAggScan.supportedPartial(mix, agg(sumV, "k")))
+    // distinct never pushes partially
+    assert(!GraftAggScan.supportedPartial(mix,
+      agg(Array(new Count(Expressions.column("k"), true)), "k")))
+    // one split column + one single-valued column: pushes (the joint
+    // varies only along the split); TWO split columns decline
+    assert(GraftAggScan.supportedPartial(mix, agg(star, "k", "t")))
+    val rows2 = GraftAggScan.partialRows(mix, Seq("k", "t"), star.toSeq)
+    assert(rows2.size == 6 && rows2.forall(r =>
+      String.valueOf(r(1)) == "x" && r(2) == 10L))
+    val twoSplit = m(split("a").copy(valueStats =
+      Map("k" -> Map("0" -> "15", "1" -> "15"),
+        "v" -> Map("1" -> "15", "2" -> "15"))))
+    assert(!GraftAggScan.supportedPartial(twoSplit, agg(star, "k", "v")))
+    // no per-value accounting (counter overflowed / pre-accounting
+    // writer) and not single-valued: decline
+    assert(!GraftAggScan.supportedPartial(mix, agg(star, "id")))
+    // nulls on the split column: the null cell joins the emission
+    val nully = m(split("a", rows = 33L, kNulls = 3L))
+    assert(GraftAggScan.supportedPartial(nully, agg(star, "k")))
+    val rows3 = GraftAggScan.partialRows(nully, Seq("k"), star.toSeq)
+    assert(rows3.size == 4 &&
+      rows3.count(_(0) == null) == 1 &&
+      rows3.find(_(0) == null).get(1) == 3L, rows3.map(_.toSeq).toString)
+    // count(k) over the null cell is zero
+    val rows3k = GraftAggScan.partialRows(nully, Seq("k"), cnt("k").toSeq)
+    assert(rows3k.find(_(0) == null).get(1) == 0L)
+    // single-valued file WITH some nulls: two cells (the complete gate
+    // declines this file, the partial one keeps it)
+    val svNull = m(split("a", kNulls = 5L, vals = null).copy(
+      stats = Map("k" -> Seq("1", "1"), "t" -> Seq("x", "x"),
+        "id" -> Seq("1", "30"), "v" -> Seq("1", "9")),
+      valueStats = Map.empty))
+    assert(!GraftAggScan.supported(svNull, agg(star, "k")))
+    assert(GraftAggScan.supportedPartial(svNull, agg(star, "k")))
+    val rows4 = GraftAggScan.partialRows(svNull, Seq("k"), star.toSeq)
+    assert(rows4.map(r => Option(r(0)) -> r(1)).toMap ==
+      Map(Some(1L) -> 25L, scala.None -> 5L))
+    // STALE deletes (masked values unread) decline; a refreshed entry
+    // (accounting current, live per-value counts rewritten) pushes
+    val stale = m(split("a").copy(deletes = 2L))
+    assert(!GraftAggScan.supportedPartial(stale, agg(star, "k")))
+    val refreshed = m(split("a").copy(deletes = 2L, dvAccounted = 2L,
+      dvNullStats = Map("k" -> "0", "t" -> "0", "id" -> "0", "v" -> "0"),
+      dvSumStats = Map("k" -> "0", "id" -> "0", "v" -> "0"),
+      valueStats = Map("k" ->
+        Map("0" -> "8", "1" -> "10", "2" -> "10"),
+        "t" -> Map("x" -> "28"))))
+    assert(GraftAggScan.supportedPartial(refreshed, agg(star, "k")))
+    val rows5 = GraftAggScan.partialRows(refreshed, Seq("k"), star.toSeq)
+    assert(rows5.map(r => r(0) -> r(1)).toMap ==
+      Map(0L -> 8L, 1L -> 10L, 2L -> 10L))
+    // torn accounting (cells do not tile the live rows) must decline
+    // rather than answer wrong
+    val torn = m(split("a").copy(valueStats =
+      Map("k" -> Map("0" -> "10", "1" -> "10", "2" -> "5"))))
+    assert(!GraftAggScan.supportedPartial(torn, agg(star, "k")))
+    // a fully-deleted file contributes nothing and never blocks
+    val dead = split("d").copy(deletes = 30L, dvAccounted = 30L)
+    assert(GraftAggScan.supportedPartial(m(split("a"), dead),
+      agg(star, "k")))
+    assert(GraftAggScan.partialRows(m(split("a"), dead), Seq("k"),
+      star.toSeq).size == 3)
+    // the complete path keeps precedence where both hold: every file
+    // single-valued → supported() true (the builder then plans the
+    // one-row-per-group scan, not the partial merge)
+    val clustered = m(split("a", vals = null).copy(
+      stats = Map("k" -> Seq("1", "1"), "t" -> Seq("x", "x"),
+        "id" -> Seq("1", "30"), "v" -> Seq("1", "9")),
+      valueStats = Map.empty))
+    assert(GraftAggScan.supported(clustered, agg(star, "k")))
   }
 
   test("GROUP BY pushes only over single-valued (or all-null) files") {
