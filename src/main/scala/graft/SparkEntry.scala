@@ -5245,6 +5245,64 @@ object SparkEntry {
       out.orderBy("query_id", "rank")
     }),
 
+    "ann_ivf_maintained" -> ((s, d) => {
+      // Index MAINTENANCE under delete churn (VERDICT r16 #4): where
+      // ann_ivf_deleted proves a STALE index is probe-SAFE (re-ranking
+      // filters dead candidates), this proves the engine REPAYS the
+      // probe-IO debt: >50% of the corpus dies (every file crosses the
+      // reference's compaction delete-ratio, compaction_config.rs:
+      // 48-55), one maintenance tick CDC-deletes the dead assignment
+      // entries (IvfIndex.refresh — masked ids read from the crossed
+      // files' DVs, O(deleted), BEFORE corpus compaction retires
+      // them), and the refreshed index serves candidates that are
+      // live-only BY THE INDEX, not merely by re-rank.
+      val e = t(s, d, "embeddings")
+      val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
+      val cat = GraftCatalog(s, freshDir("ann-maint-cat"))
+      val corpus = cat.createTable("corpus",
+        SchemaDsl.struct("id" -> "int64", "embedding" -> "array<float32>"),
+        Identity.Keys(Seq("id")), ingestCfg)
+      corpus.applyBatchDF(e.select(lit("i").as("_op"),
+        (col("vec_id") + 1L).as("_lsn"), col("vec_id").as("id"),
+        col("embedding")), maxId + 2L, hasDeletes = false)
+      val cents = Similarity.ivfTrain(e, "vec_id", "embedding", nCells = 32)
+      val idxTable = cat.createTable("ivf_idx",
+        SchemaDsl.struct("id" -> "int64", "cell" -> "int32"),
+        Identity.Keys(Seq("id")), ingestCfg)
+      CdcPipeline.applyBatch(idxTable,
+        Similarity.ivfAssign(e, "vec_id", "embedding", cents)
+          .select(lit("i").as("_op"),
+            (monotonically_increasing_id() + 1L).as("_lsn"),
+            col("vec_id").as("id"), col("cell")))
+      idxTable.optimize(clusterBy = Seq("cell"))
+      corpus.deleteWhere(col("id") % 2 === 0)
+      require(graft.operators.IvfIndex.refreshDue(corpus),
+        "the 50% churn must cross the compaction delete-ratio")
+      val idxBefore = idxTable.currentManifest.liveRows
+      val daemon = new MaintenanceDaemon(cat)
+      daemon.registerAnnIndex("ivf_idx", "corpus")
+      val touched = daemon.maintenanceTick()
+      require(touched.contains("ivf_idx"),
+        s"the tick must refresh the registered index, touched $touched")
+      val liveCorpus = s.read.format("graft").load(corpus.root)
+        .select(col("id"), col("embedding"))
+      val liveN = liveCorpus.count()
+      require(idxTable.currentManifest.liveRows == liveN &&
+        liveN < idxBefore,
+        s"index live count must shrink to the surviving corpus: " +
+          s"${idxTable.currentManifest.liveRows} vs $liveN (was $idxBefore)")
+      val q = e.where(col("vec_id") % 2 === 1 && col("vec_id") < 16)
+      val assigned = s.read.format("graft").load(idxTable.root)
+        .select(col("id"), col("cell"))
+      val cand = stage(Similarity.ivfCandidatesFromIndex(assigned, "id",
+          cents, q, "vec_id", "embedding", nProbe = 6), d, "ann_maint_cand")
+      require(cand.where(col("neighbor_id") % 2 === 0).count() == 0L,
+        "a dead id surfaced from the REFRESHED index")
+      Similarity.topKFromCandidates(cand, liveCorpus, "id", "embedding",
+          q, "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     "stream_ivf_assign" -> ((s, d) => {
       // Streaming ANN index maintenance: embeddings arrive as
       // file-source micro-batches and are assigned to the PERSISTED
@@ -7594,6 +7652,22 @@ object SparkEntry {
         |       cosine_micro
         |FROM scored
         |WHERE neighbor_id NOT IN (SELECT neighbor_id FROM del)
+        |QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "ann_ivf_maintained" ->
+      """WITH cand AS (SELECT * FROM read_parquet('/root/repo/target/oracle-stage/sf0.01/ann_maint_cand/*.parquet')),
+        |scored AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |         CAST(ROUND(list_cosine_similarity(ce.embedding::DOUBLE[], qe.embedding::DOUBLE[]) * 1000000) AS BIGINT) AS cosine_micro
+        |  FROM cand c
+        |  JOIN embeddings ce ON ce.vec_id = c.neighbor_id
+        |  JOIN embeddings qe ON qe.vec_id = c.query_id)
+        |SELECT query_id, neighbor_id,
+        |       CAST(row_number() OVER (PARTITION BY query_id
+        |            ORDER BY cosine_micro DESC, neighbor_id ASC) AS BIGINT) AS rank,
+        |       cosine_micro
+        |FROM scored
         |QUALIFY rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
 

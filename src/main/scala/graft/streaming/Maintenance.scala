@@ -66,10 +66,41 @@ final class MaintenanceDaemon(
       }
     }
 
+  // registered external ANN indexes: index table -> (corpus table,
+  // index id col, corpus id col). Opt-in by design: an UN-registered
+  // index is deliberately stale (probe-time re-ranking keeps it safe —
+  // the ann_ivf_deleted contract) and is never touched.
+  private val annLinks =
+    scala.collection.mutable.LinkedHashMap[String, (String, String, String)]()
+
+  /** Register a persisted IVF assignment table for threshold-gated
+   *  refresh against its corpus on the maintenance tick
+   *  ([[graft.operators.IvfIndex.refresh]]). */
+  def registerAnnIndex(indexName: String, corpusName: String,
+      indexIdCol: String = "id", corpusIdCol: String = "id"): this.type = {
+    annLinks.synchronized {
+      annLinks(indexName) = (corpusName, indexIdCol, corpusIdCol) }
+    this
+  }
+
   /** One threshold-gated maintenance pass; returns the tables that did
    *  any work. Idle tables publish nothing and rewrite nothing. */
-  def maintenanceTick(): Seq[String] =
-    catalog.list.filter(name => catalog.table(name).maintain())
+  def maintenanceTick(): Seq[String] = {
+    // external-index refreshes run FIRST: the per-table maintain below
+    // may compact exactly the crossed corpus files, and the rewrite
+    // retires the DVs whose masked ids the refresh needs
+    val refreshed = annLinks.synchronized(annLinks.toSeq).filter {
+      case (idx, (corp, iid, cid)) =>
+        try graft.operators.IvfIndex.refresh(
+          catalog.table(idx), catalog.table(corp), iid, cid) > 0L
+        catch { case e: Throwable =>
+          System.err.println(s"[graft-maintenance] ann refresh $idx: $e")
+          false
+        }
+    }.map(_._1)
+    val maintained = catalog.list.filter(name => catalog.table(name).maintain())
+    (refreshed ++ maintained).distinct
+  }
 
   /** One Iceberg-persistence pass: tables whose committed file set or
    *  delete count moved since the last sync publish a new spec

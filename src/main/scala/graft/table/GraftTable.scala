@@ -2681,6 +2681,41 @@ final class GraftTable private (
     } finally bc.destroy()
   }
 
+  /** The DELETED rows' `cols` from files whose masked-row debt crossed
+   *  `ratio` (the reference's compaction delete-ratio threshold,
+   *  `compaction_config.rs:48-55`) — the targeted input of an
+   *  EXTERNAL-index refresh (e.g. a persisted IVF assignment table,
+   *  [[graft.operators.IvfIndex]]): O(deleted rows of the crossed
+   *  files), never a full corpus scan, and fully distributed (the DV
+   *  bitmaps broadcast; the rows never visit the driver). Must run
+   *  BEFORE compaction repays the same files' debt — the rewrite
+   *  retires their DVs and the masked values are gone. */
+  def maskedRows(cols: Seq[String], ratio: Double): DataFrame = synchronized {
+    val fields = cols.map(c => schemaVar.fields.find(_.name == c)
+      .getOrElse(throw new IllegalArgumentException(s"no such column: $c")))
+    val crossed = fileEntries.toSeq.collect {
+      case (f, e) if e.deletes > 0 &&
+          e.deletes.toDouble >= e.rows * ratio && dvMap.contains(f) => f
+    }
+    if (crossed.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(fields.map(f =>
+          StructField(f.name, f.dataType, nullable = true))))
+    else {
+      val bc = spark.sparkContext.broadcast(
+        crossed.map(f => f -> DvCache.serialize(dvMap(f))).toMap)
+      val mk = DvCache.deletedUdf(bc)(col("_f"), col("_p"))
+      spark.read.schema(physicalSchema)
+        .parquet(crossed.map(f => s"$root/data/$f"): _*)
+        .select(Seq(
+          substring_index(col("_metadata.file_path"), "/", -1).as("_f"),
+          col("_metadata.row_index").as("_p")) ++
+          fields.map(f => col(SchemaDsl.physicalName(f)).as(f.name)): _*)
+        .where(mk)
+        .select(cols.map(col): _*)
+    }
+  }
+
   def optimize(clusterBy: Seq[String] = Nil,
       zorder: Boolean = false,
       bucketBy: Option[Int] = scala.None): Unit = synchronized {

@@ -1,0 +1,108 @@
+package graft
+
+import graft.model._
+import graft.operators.{IvfIndex, Similarity}
+import graft.streaming.MaintenanceDaemon
+import graft.table._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/**
+ * Persisted-IVF-index maintenance under corpus delete churn (VERDICT
+ * r16 #4). Probe-time safety never depends on this (the probe re-ranks
+ * against the live corpus — the `ann_ivf_deleted` contract); what the
+ * refresh repays is probe IO: index entries whose corpus ids died in
+ * files past the compaction delete-ratio (`compaction_config.rs:48-55`)
+ * are CDC-deleted from the assignment table on the maintenance tick.
+ */
+class IvfIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-ivfidx-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("maintenance tick repays index delete debt past the ratio; " +
+      "unregistered indexes stay deliberately stale") {
+    val s = spark
+    import s.implicits._
+    val cat = GraftCatalog(spark,
+      Files.createTempDirectory("graft-ivfidx").toString)
+    val vecs = (1L to 40L).map(i => (i,
+      Seq((i % 4).toFloat, (i % 7).toFloat, (i % 11).toFloat, i.toFloat)))
+      .toDF("id", "embedding")
+    val corpus = cat.createTable("corpus",
+      SchemaDsl.struct("id" -> "int64", "embedding" -> "array<float32>"),
+      Identity.Keys(Seq("id")), TableConfig(walEnabled = false))
+    corpus.applyBatchDF(vecs.select(lit("i").as("_op"),
+      (col("id") + 1L).as("_lsn"), col("id"), col("embedding")),
+      42L, hasDeletes = false)
+    val cents = Similarity.ivfTrain(vecs, "id", "embedding", nCells = 4)
+    def mkIndex(name: String): GraftTable = {
+      val t = cat.createTable(name,
+        SchemaDsl.struct("id" -> "int64", "cell" -> "int32"),
+        Identity.Keys(Seq("id")), TableConfig(walEnabled = false))
+      t.applyBatchDF(Similarity.ivfAssign(vecs, "id", "embedding", cents)
+        .select(lit("i").as("_op"), (col("id") + 1L).as("_lsn"),
+          col("id"), col("cell").cast("int")), 42L, hasDeletes = false)
+      t
+    }
+    val idx = mkIndex("idx")
+    val idx2 = mkIndex("idx_unregistered")
+    val daemon = new MaintenanceDaemon(cat)
+    daemon.registerAnnIndex("idx", "corpus")
+    // BELOW the ratio (2/40 = 5%): the tick must not touch the index —
+    // light delete debt waits for its threshold like any file debt
+    corpus.deleteWhere(col("id") <= 2L)
+    assert(!IvfIndex.refreshDue(corpus))
+    daemon.maintenanceTick()
+    assert(idx.currentManifest.liveRows == 40L,
+      "a below-ratio corpus delete must not trigger an index refresh")
+    // PAST the ratio (25/40 = 62.5% >= 0.5): the tick CDC-deletes the
+    // dead assignment entries — and must do so BEFORE the corpus's own
+    // compaction retires the DVs the refresh reads the dead ids from
+    corpus.deleteWhere(col("id") <= 25L)
+    assert(IvfIndex.refreshDue(corpus))
+    val touched = daemon.maintenanceTick()
+    assert(touched.contains("idx"), touched)
+    assert(idx.currentManifest.liveRows == 15L,
+      s"index live count must shrink to the surviving corpus ids, " +
+        s"got ${idx.currentManifest.liveRows}")
+    val liveIdxIds = idx.read().select("id").collect()
+      .map(_.getLong(0)).toSet
+    val liveCorpusIds = corpus.read().select("id").collect()
+      .map(_.getLong(0)).toSet
+    assert(liveIdxIds == liveCorpusIds,
+      s"refreshed index ids must equal the live corpus ids")
+    // the corpus's compaction ran in the SAME tick (62.5% >= ratio) and
+    // repaid the file debt — proof the refresh read the masked ids
+    // before the rewrite retired them
+    assert(corpus.currentManifest.dataFiles.forall(_.deletes == 0L),
+      "corpus compaction should have repaid the crossed file in-tick")
+    // the probe over the refreshed index serves only live candidates
+    val q = vecs.where(col("id") > 38L)
+    val cand = Similarity.ivfCandidatesFromIndex(
+      idx.read().select(col("id"), col("cell")), "id", cents,
+      q, "id", "embedding", nProbe = 2)
+    val candIds = cand.select("neighbor_id").distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert(candIds.subsetOf(liveCorpusIds),
+      s"dead candidates from a refreshed index: ${candIds -- liveCorpusIds}")
+    // idempotence: nothing left to repay, nothing moves
+    assert(IvfIndex.refresh(idx, corpus) == 0L)
+    assert(idx.currentManifest.liveRows == 15L)
+    // the UN-registered twin is untouched across every tick — stale by
+    // design, probe-safe by re-ranking (the ann_ivf_deleted contract)
+    assert(idx2.currentManifest.liveRows == 40L,
+      "an unregistered index must stay stale")
+  }
+}
