@@ -229,13 +229,26 @@ class PgOutputSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("session rejects TOAST placeholders and early DML loudly") {
     val s = new Session("users", Seq("id"))
-    // DML before OUR Relation is another publication member's traffic
-    // on a shared stream (the r16 multiplex contract, reference
-    // moonlink_sink.rs:127-150 per-relation routing): routed to Nil,
-    // never misparsed against a wrong schema
-    assert(s.onMessage(
+    // DML before ANY Relation on a SINGLE-TABLE session can only be a
+    // protocol violation — the server always sends Relation before a
+    // relation's first DML per connection, and the publication has
+    // exactly one member: fail loudly, never silently drop data
+    // (ADVICE r17 restored the r15 contract the r16 multiplex work
+    // had relaxed)
+    intercept[IllegalArgumentException] { s.onMessage(
+      encodeInsert(RelId, Seq(Some("1"), Some("a"), Some("1.5")))) }
+    // on a SHARED stream (srcNamespace set) the same bytes are another
+    // publication member's traffic (the r16 multiplex contract,
+    // reference moonlink_sink.rs:127-150 per-relation routing): routed
+    // to Nil, never misparsed against a wrong schema
+    val sh = new Session("users", Seq("id"), srcNamespace = Some("public"))
+    assert(sh.onMessage(
       encodeInsert(RelId, Seq(Some("1"), Some("a"), Some("1.5")))).isEmpty)
+    // and once OUR Relation is known, a DIFFERENT relid is foreign
+    // traffic even on a single-table session (FOR ALL TABLES pubs)
     s.onMessage(encodeRelation(RelId, "public", "users", userCols))
+    assert(s.onMessage(
+      encodeInsert(RelId + 7, Seq(Some("9"), Some("x"), scala.None))).isEmpty)
     // hand-craft an unchanged-TOAST tuple ('u' kind)
     val raw = {
       val o = new java.io.ByteArrayOutputStream()

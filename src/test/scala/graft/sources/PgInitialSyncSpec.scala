@@ -1102,6 +1102,102 @@ class PgInitialSyncSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(primary.error.isEmpty, primary.error)
   }
 
+  test("keepSlot=false on ONE shared mirror never drops the slot its " +
+      "siblings still stream on") {
+    // ADVICE r16 (medium): stopMirror(keepSlot=false) used to run the
+    // shared-slot cleanup unconditionally — terminating the OTHER
+    // mirrors' walsender and stranding their reconnects on class-42
+    // errors. The drop is whole-URI: it may only happen once NO other
+    // route is attached.
+    val wh = java.nio.file.Files
+      .createTempDirectory("pgshared-stopone-wh").toString
+    val cat = GraftCatalog(spark, wh)
+    val primary = new PgMockPrimary(columns, copyRows,
+      consistentPoint = 1000L, frames = cdcFrames("users"),
+      tables = Map(
+        "public.users" -> (columns, copyRows),
+        "public.orders" -> (orderColumns, orderRows)),
+      keepServing = true, holdStreamOpen = true).start()
+    val uri = s"postgresql://127.0.0.1:${primary.port}/postgres"
+    PgReplicationManager.addTable(cat, "users", "public.users",
+      host = "127.0.0.1", port = primary.port, user = "postgres",
+      database = "postgres", srcUri = uri)
+    PgReplicationManager.addTable(cat, "orders", "public.orders",
+      host = "127.0.0.1", port = primary.port, user = "postgres",
+      database = "postgres", srcUri = uri)
+    val deadline = System.currentTimeMillis() + 30000
+    while (cat.table("users").commitLsn < 1010L &&
+        System.currentTimeMillis() < deadline) Thread.sleep(20)
+    PgInitialSync.stopMirror(cat, "orders", keepSlot = false)
+    assert(primary.slots == Set("graft_slot_postgres"),
+      "a non-last mirror's keepSlot=false must NOT drop the shared slot")
+    assert(primary.publications == Set("graft_pub_postgres"),
+      "…nor the shared publication")
+    assert(cat.streams.get("users").exists(_.alive),
+      "the sibling must keep streaming")
+    // the LAST mirror's keepSlot=false stop IS the whole-URI drop
+    PgInitialSync.stopMirror(cat, "users", keepSlot = false)
+    val d2 = System.currentTimeMillis() + 30000
+    while (primary.slots.nonEmpty && System.currentTimeMillis() < d2)
+      Thread.sleep(20)
+    assert(primary.slots.isEmpty && primary.publications.isEmpty,
+      s"last keepSlot=false stop must drop slot+publication: " +
+        s"${primary.slots} ${primary.publications}")
+    primary.shutdown(); primary.join()
+    assert(primary.error.isEmpty, primary.error)
+  }
+
+  test("a RESTARTED shared stream rebuilds route sessions at their " +
+      "applied floors (no double-apply of slot redelivery)") {
+    // ADVICE r16: after a clean server-ended stream, a later addTable
+    // restarted streaming with the surviving routes' OLD sessions —
+    // skip floors from the previous stream's start, below the applied
+    // position, so the slot's redelivery could double-apply. The
+    // restart must rebuild every session at table.commitLsn, exactly
+    // like the in-thread reconnect path, and clear lastError.
+    val wh = java.nio.file.Files
+      .createTempDirectory("pgshared-restart-wh").toString
+    val cat = GraftCatalog(spark, wh)
+    val primary = new PgMockPrimary(columns, copyRows,
+      consistentPoint = 1000L, frames = cdcFrames("users"),
+      tables = Map(
+        "public.users" -> (columns, copyRows),
+        "public.orders" -> (orderColumns, orderRows)),
+      keepServing = true).start() // stream ENDS after the frames
+    val uri = s"postgresql://127.0.0.1:${primary.port}/postgres"
+    val h1 = PgReplicationManager.addTable(cat, "users", "public.users",
+      host = "127.0.0.1", port = primary.port, user = "postgres",
+      database = "postgres", srcUri = uri)
+    val deadline = System.currentTimeMillis() + 30000
+    while ((cat.table("users").commitLsn < 1010L || h1.alive) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(20)
+    assert(cat.table("users").commitLsn == 1010L && !h1.alive,
+      "the first stream must apply txn@1010 and end cleanly")
+    val usersBefore = cat.table("users").read().collect()
+      .map(_.toSeq.map(Option(_)).map(_.orNull)).toSet
+    // a later addTable restarts the SAME SharedStream; the server
+    // re-delivers every frame from the slot (START_REPLICATION at 0/0)
+    PgReplicationManager.addTable(cat, "orders", "public.orders",
+      host = "127.0.0.1", port = primary.port, user = "postgres",
+      database = "postgres", srcUri = uri)
+    val d2 = System.currentTimeMillis() + 30000
+    while (cat.streams.get("orders").exists(_.alive) &&
+        System.currentTimeMillis() < d2) Thread.sleep(20)
+    assert(primary.startedAtLsns == Seq(0L, 0L),
+      s"expected a second START_REPLICATION, got ${primary.startedAtLsns}")
+    assert(h1.lastError.isEmpty,
+      s"redelivered txn double-applied on the restarted stream: " +
+        s"${h1.lastError}")
+    val usersAfter = cat.table("users").read().collect()
+      .map(_.toSeq.map(Option(_)).map(_.orNull)).toSet
+    assert(usersAfter == usersBefore &&
+      cat.table("users").commitLsn == 1010L,
+      "the redelivered txn must skip whole on the rebuilt session")
+    assert(cat.table("orders").read().count() == 3L)
+    primary.shutdown(); primary.join()
+    assert(primary.error.isEmpty, primary.error)
+  }
+
   test("shared stream: stopAll(keepSlot) then a new process resumes with ZERO re-copy") {
     val wh = java.nio.file.Files
       .createTempDirectory("pgshared-resume-wh").toString
