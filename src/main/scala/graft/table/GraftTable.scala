@@ -2227,40 +2227,72 @@ final class GraftTable private (
               r.getLong(r.fieldIndex("_bmx")))
             if (mn == mx) Some(r.getString(0) -> mn) else scala.None
           }.toMap
-        // exact per-value accounting for the (file, column) pairs the
-        // HLL estimate says can fit the cap (≤2× headroom over its
-        // ~2-5% error): one narrow grouped job per surviving column,
-        // result bounded by files × cap; files whose EXACT distinct
-        // count then exceeds the cap simply record nothing
-        val backVals: Map[String, Map[String, Map[String, String]]] =
-          statFields.filter(f => GraftTable.valueCountable(f.dataType))
-            .flatMap { f =>
-              val cand = rows.filter(r =>
-                r.getLong(r.fieldIndex(s"_ad_${f.name}")) <=
-                  2L * GraftTable.ValueStatsCap).map(_.getString(0))
-              if (cand.isEmpty) Nil
-              else {
-                val lv = spark.read.schema(physicalSchema)
-                  .parquet(cand.map(n => s"$root/data/$n"): _*)
-                  .select(substring_index(col("_metadata.file_path"), "/", -1)
-                    .as("_f"), col(SchemaDsl.physicalName(f)).as("_v"))
-                  .where(col("_v").isNotNull)
-                  .groupBy(col("_f"), col("_v")).agg(count(lit(1)).as("_c"))
-                  .collect()
-                lv.groupBy(_.getString(0)).toSeq.collect {
-                  case (file, vs)
-                      if vs.length <= GraftTable.ValueStatsCap &&
-                        vs.forall(r => GraftTable.renderGroupValue(
-                          f.dataType, r.get(1)) != null) =>
-                    (file, f.name, vs.map(r =>
-                      GraftTable.renderGroupValue(f.dataType, r.get(1)) ->
-                        r.getLong(2).toString).toMap)
+        // exact per-value accounting for the columns the HLL estimate
+        // says can fit the cap SOMEWHERE (≤2× headroom over its ~2-5%
+        // error): ONE unshuffled mapPartitions pass projecting only the
+        // candidate columns, per-file ValueCounters merged on the
+        // driver (rendered counts add across partitions; exceeding the
+        // cap — or any dead partition-local counter — kills the
+        // column for that file). One narrow extra read instead of one
+        // shuffled job per column.
+        val backVals: Map[String, Map[String, Map[String, String]]] = {
+          val cand = statFields.filter(f =>
+            GraftTable.valueCountable(f.dataType) && rows.exists(r =>
+              r.getLong(r.fieldIndex(s"_ad_${f.name}")) <=
+                2L * GraftTable.ValueStatsCap))
+          if (cand.isEmpty) Map.empty
+          else {
+            val mks = cand.map(f =>
+              GraftTable.valueCounterMk(f.dataType).get).toArray
+            val names = cand.map(_.name)
+            val raw = spark.read.schema(physicalSchema)
+              .parquet(newNames.map(n => s"$root/data/$n"): _*)
+              .select(substring_index(col("_metadata.file_path"), "/", -1)
+                .as("_f") +:
+                cand.map(f => col(SchemaDsl.physicalName(f))): _*)
+              .rdd.mapPartitions { it =>
+                val perFile = mutable.HashMap[String,
+                  Array[GraftTable.ValueCounter]]()
+                it.foreach { r =>
+                  val cs = perFile.getOrElseUpdate(r.getString(0),
+                    mks.map(_()))
+                  var j = 0
+                  while (j < cs.length) {
+                    val v = r.get(j + 1)
+                    if (v != null) cs(j).add(v)
+                    j += 1
+                  }
                 }
+                perFile.iterator.map { case (f, cs) =>
+                  (f, cs.map(_.render)) } // null element = dead column
+              }.collect()
+            val acc = mutable.HashMap[String,
+              Array[mutable.Map[String, Long]]]()
+            raw.foreach { case (f, cols) =>
+              val a = acc.getOrElseUpdate(f, Array.fill(names.size)(
+                mutable.Map[String, Long]()))
+              var j = 0
+              while (j < cols.length) {
+                if (a(j) != null) {
+                  if (cols(j) == null) a(j) = null
+                  else {
+                    cols(j).foreach { case (k, c) =>
+                      a(j)(k) = a(j).getOrElse(k, 0L) + c.toLong }
+                    if (a(j).size > GraftTable.ValueStatsCap) a(j) = null
+                  }
+                }
+                j += 1
               }
             }
-            .groupBy(_._1)
-            .map { case (file, ts) =>
-              file -> ts.map(t => t._2 -> t._3).toMap }
+            acc.map { case (f, arr) =>
+              f -> names.zipWithIndex.collect {
+                case (nm, j) if arr(j) != null =>
+                  nm -> arr(j).map { case (k, c) =>
+                    k -> c.toString }.toMap
+              }.toMap
+            }.toMap
+          }
+        }
         rows.map { r =>
             val n = r.getLong(r.fieldIndex("_n"))
             val (stats, exact) = boundsAndExact(statFields.map { f =>
@@ -2612,40 +2644,16 @@ final class GraftTable private (
       .groupBy(col("_f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
-    rows.foreach { r =>
-      val f = r.getString(0)
-      val n = r.getLong(r.fieldIndex("_n"))
-      val nulls = statF.map { sf =>
-        sf.name ->
-          (n - r.getLong(r.fieldIndex(s"_nn_${sf.name}"))).toString }.toMap
-      val sums = statF.flatMap { sf =>
-        if (GraftTable.integralLong(sf.dataType).isDefined) {
-          val i = r.fieldIndex(s"_sm_${sf.name}")
-          Some(sf.name -> (if (r.isNullAt(i)) 0L
-                      else BigDecimal(r.getDecimal(i)).toBigInt.longValue)
-            .toString)
-        } else GraftTable.decimalSummable(sf.dataType).map { _ =>
-          val i = r.fieldIndex(s"_sm_${sf.name}")
-          sf.name -> (if (r.isNullAt(i)) "0"
-                      else r.getDecimal(i).toPlainString)
-        }
-      }.toMap
-      val (liveBounds, liveExact) = boundsAndExact(statF.map { sf =>
-        (sf, r.get(r.fieldIndex(s"_lmn_${sf.name}")),
-          r.get(r.fieldIndex(s"_lmx_${sf.name}")))
-      })
-      // dvAccounted = masked rows actually read; if that ever disagrees
-      // with `deletes` the entry stays non-current and keeps declining
-      fileEntries(f) = fileEntries(f).copy(dvAccounted = n,
-        dvNullStats = nulls, dvSumStats = sums, stats = liveBounds,
-        exactBounds = liveExact)
-    }
-    // per-value accounting is rewritten LIVE (like the bounds above,
+    // per-value accounting is rewritten LIVE (like the bounds below,
     // not delta'd like nulls/sums — per-value masked deltas would need
     // a per-value map of their own): one narrow job per column that
     // any stale file recorded, grouping the SURVIVING rows by value.
     // Result size is bounded by files × ValueStatsCap (the live
     // distinct set is a subset of the physical one that fit the cap).
+    // Runs BEFORE the entries are marked current: live values under a
+    // stale dvAccounted stay gated off (valuesOf declines), while a
+    // failure here leaves nothing marked current — the reverse order
+    // could trust PHYSICAL counts as live after a partial failure.
     statF.foreach { sf =>
       val fs = stale.filter(f =>
         fileEntries.get(f).exists(_.valueStats.contains(sf.name)))
@@ -2674,6 +2682,34 @@ final class GraftTable private (
             else fileEntries(f).valueStats - sf.name)
         }
       }
+    }
+    rows.foreach { r =>
+      val f = r.getString(0)
+      val n = r.getLong(r.fieldIndex("_n"))
+      val nulls = statF.map { sf =>
+        sf.name ->
+          (n - r.getLong(r.fieldIndex(s"_nn_${sf.name}"))).toString }.toMap
+      val sums = statF.flatMap { sf =>
+        if (GraftTable.integralLong(sf.dataType).isDefined) {
+          val i = r.fieldIndex(s"_sm_${sf.name}")
+          Some(sf.name -> (if (r.isNullAt(i)) 0L
+                      else BigDecimal(r.getDecimal(i)).toBigInt.longValue)
+            .toString)
+        } else GraftTable.decimalSummable(sf.dataType).map { _ =>
+          val i = r.fieldIndex(s"_sm_${sf.name}")
+          sf.name -> (if (r.isNullAt(i)) "0"
+                      else r.getDecimal(i).toPlainString)
+        }
+      }.toMap
+      val (liveBounds, liveExact) = boundsAndExact(statF.map { sf =>
+        (sf, r.get(r.fieldIndex(s"_lmn_${sf.name}")),
+          r.get(r.fieldIndex(s"_lmx_${sf.name}")))
+      })
+      // dvAccounted = masked rows actually read; if that ever disagrees
+      // with `deletes` the entry stays non-current and keeps declining
+      fileEntries(f) = fileEntries(f).copy(dvAccounted = n,
+        dvNullStats = nulls, dvSumStats = sums, stats = liveBounds,
+        exactBounds = liveExact)
     }
     rows.length
     // under a continuous maintenance cadence these batches recur; the
@@ -3371,23 +3407,37 @@ object GraftTable {
   }
 
   /** Mutable per-partition bounded distinct-value row counter for the
-   *  stats passes — dead (None result) once the cap is exceeded or a
+   *  stats passes — dead (null result) once the cap is exceeded or a
    *  value renders inexactly. Like [[StatSummer]], the FACTORY is what
-   *  task closures capture, so each partition gets fresh state. */
+   *  task closures capture, so each partition gets fresh state.
+   *
+   *  Hot-path discipline: this runs once per row per stats column in
+   *  every ingest loop, so the per-row cost is a linear equals-scan
+   *  over ≤cap live keys on the RAW value — zero allocation, zero
+   *  rendering. Rendering (and the string ≤32-cp eligibility check)
+   *  happens only on INSERT of a new key (≤cap+1 times per file) and
+   *  at the final `render`. A high-cardinality column dies on its
+   *  (cap+1)-th distinct value, degrading to one dead-check per row. */
   private[graft] final class ValueCounter(dt: DataType) {
-    private var m = mutable.HashMap[String, Long]()
-    def add(v: Any): Unit = if (m != null) {
-      val s = renderGroupValue(dt, v)
-      if (s == null) m = null
-      else {
-        val c = m.getOrElse(s, 0L)
-        if (c == 0L && m.size >= ValueStatsCap) m = null
-        else m.update(s, c + 1L)
+    private val keys = new Array[Any](ValueStatsCap)
+    private val counts = new Array[Long](ValueStatsCap)
+    private var n = 0
+    private var dead = false
+    def add(v: Any): Unit = {
+      if (dead) return
+      var i = 0
+      while (i < n) {
+        if (keys(i) == v) { counts(i) += 1L; return }
+        i += 1
       }
+      if (n >= ValueStatsCap || renderGroupValue(dt, v) == null) dead = true
+      else { keys(n) = v; counts(n) = 1L; n += 1 }
     }
     /** col's rendered map, or null when the column overflowed the cap */
     def render: Map[String, String] =
-      if (m == null) null else m.map { case (k, n) => k -> n.toString }.toMap
+      if (dead) null
+      else (0 until n).map(i =>
+        renderGroupValue(dt, keys(i)) -> counts(i).toString).toMap
   }
 
   private[graft] def valueCounterMk(dt: DataType): Option[() => ValueCounter] =

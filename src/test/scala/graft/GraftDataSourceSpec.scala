@@ -814,6 +814,15 @@ class GraftDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val pC = planOf(dfC.groupBy(col("k")).agg(count(lit(1))))
     assert(pC.contains("GraftAggScan(") && !pC.contains("GraftAggScan(partial"),
       s"single-valued layout must stay complete:\n$pC")
+    // …while the COMPACTION read-back recorded per-value accounting for
+    // the NON-cluster low-cardinality column (the fused follow-up
+    // pass), so GROUP BY v pushes partially on the compacted layout
+    assert(t2.currentManifest.dataFiles.forall(e =>
+      e.rows == e.deletes || e.valueStats.get("v").exists(_.nonEmpty)),
+      "compaction must record valueStats for the non-cluster column")
+    val gotV = partialOnly(dfC.groupBy(col("v")).agg(count(lit(1)).as("n")))
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotV == Map(0L -> 30L, 1L -> 30L), gotV)
     // file-exact filter composes: partial GROUP BY BEHIND the predicate
     val fLo = t.currentManifest.dataFiles.map(e =>
       e.stats("id").head.toLong).min
