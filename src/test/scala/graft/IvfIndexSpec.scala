@@ -43,17 +43,25 @@ class IvfIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     val corpus = cat.createTable("corpus",
       SchemaDsl.struct("id" -> "int64", "embedding" -> "array<float32>"),
       Identity.Keys(Seq("id")), TableConfig(walEnabled = false))
-    corpus.applyBatchDF(vecs.select(lit("i").as("_op"),
-      (col("id") + 1L).as("_lsn"), col("id"), col("embedding")),
-      42L, hasDeletes = false)
+    // driver-path apply: ONE deterministic corpus file, so the per-file
+    // delete ratios below are exact (the distributed path's size-tuned
+    // coalesce may split small frames differently run to run)
+    corpus.apply((1L to 40L).flatMap(i => CdcEvent.upsert(
+      org.apache.spark.sql.Row(i,
+        Seq((i % 4).toFloat, (i % 7).toFloat, (i % 11).toFloat,
+          i.toFloat)), Seq(i), i)) :+ Commit(41L))
+    corpus.flush(); corpus.publish()
+    assert(corpus.currentManifest.dataFiles.size == 1)
     val cents = Similarity.ivfTrain(vecs, "id", "embedding", nCells = 4)
+    val assigns = Similarity.ivfAssign(vecs, "id", "embedding", cents)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toSeq.sortBy(_._1)
     def mkIndex(name: String): GraftTable = {
       val t = cat.createTable(name,
         SchemaDsl.struct("id" -> "int64", "cell" -> "int32"),
         Identity.Keys(Seq("id")), TableConfig(walEnabled = false))
-      t.applyBatchDF(Similarity.ivfAssign(vecs, "id", "embedding", cents)
-        .select(lit("i").as("_op"), (col("id") + 1L).as("_lsn"),
-          col("id"), col("cell").cast("int")), 42L, hasDeletes = false)
+      t.apply(assigns.flatMap { case (id, cell) => CdcEvent.upsert(
+        org.apache.spark.sql.Row(id, cell), Seq(id), id) } :+ Commit(41L))
+      t.flush(); t.publish()
       t
     }
     val idx = mkIndex("idx")
