@@ -438,6 +438,18 @@ private[sources] object GraftScan {
   }
 
   /** Can `e` possibly contain rows passing `f`? Missing stats => yes. */
+  /** The literal's canonical rendering in per-value accounting space
+   *  (`DataFileEntry.valueStats` keys), or null when the literal lies
+   *  OUTSIDE the column's recordable domain — a >32-code-point string,
+   *  or a decimal finer than the column's scale — and therefore cannot
+   *  equal ANY value the accounting could have enumerated. */
+  private def literalKey(dt: DataType, x: Any): String = dt match {
+    case d: DecimalType =>
+      try GraftTable.toJavaBD(x).setScale(d.scale).toPlainString
+      catch { case _: ArithmeticException => null }
+    case _ => GraftTable.renderGroupValue(dt, x)
+  }
+
   def mayMatch(schema: StructType, e: DataFileEntry, f: Filter): Boolean = {
     def bounds(col: String): Option[(Any, Any, Ordering[Any])] = for {
       fd <- schema.fields.find(_.name == col)
@@ -448,11 +460,25 @@ private[sources] object GraftScan {
       GraftTable.anyOrdering(fd.dataType))
     def cv(col: String, v: Any): Option[Any] =
       schema.fields.find(_.name == col).flatMap(fd => coerce(fd.dataType, v))
+    // dictionary-style pruning from the per-value accounting: a file
+    // whose TRUSTED value set does not contain the literal holds no
+    // live non-null match, and SQL equality never matches NULL — so
+    // the file cannot match at all. Sharper than min/max for sparse
+    // sets (`k = 5` prunes a file holding {0, 10}, which the [0,10]
+    // bounds keep). Unknown/untrusted accounting keeps the file.
+    def valueSetMayContain(c: String, v: Any): Boolean = (for {
+      fd <- schema.fields.find(_.name == c)
+      vm <- e.valuesOf(c)
+      x <- cv(c, v)
+    } yield {
+      val k = literalKey(fd.dataType, x)
+      k != null && vm.contains(k)
+    }).getOrElse(true)
     f match {
-      case EqualTo(c, v) => (bounds(c), cv(c, v)) match {
+      case EqualTo(c, v) => ((bounds(c), cv(c, v)) match {
         case (Some((mn, mx, ord)), Some(x)) => ord.lteq(mn, x) && ord.gteq(mx, x)
         case _ => true
-      }
+      }) && valueSetMayContain(c, v)
       case GreaterThan(c, v) => (bounds(c), cv(c, v)) match {
         case (Some((_, mx, ord)), Some(x)) => ord.gt(mx, x)
         case _ => true
@@ -469,12 +495,14 @@ private[sources] object GraftScan {
         case (Some((mn, _, ord)), Some(x)) => ord.lteq(mn, x)
         case _ => true
       }
-      case In(c, vs) => bounds(c) match {
-        case Some((mn, mx, ord)) => vs.exists(v => cv(c, v) match {
-          case Some(x) => ord.lteq(mn, x) && ord.gteq(mx, x)
-          case scala.None => true
-        })
-        case _ => true
+      case In(c, vs) => vs.exists { v =>
+        (bounds(c) match {
+          case Some((mn, mx, ord)) => cv(c, v) match {
+            case Some(x) => ord.lteq(mn, x) && ord.gteq(mx, x)
+            case scala.None => true
+          }
+          case _ => true
+        }) && valueSetMayContain(c, v)
       }
       // a file with zero recorded nulls cannot satisfy IS NULL; an
       // all-null file cannot satisfy IS NOT NULL. DVs only shrink a
@@ -571,8 +599,17 @@ private[sources] object GraftScan {
       case LessThanOrEqual(c, v) =>
         cmp(c, v)((_, mx, x, ord) => ord.lteq(mx, x))
       case In(c, vs) =>
-        // all-match only in the single-valued file (min == max ∈ vs)
-        if (!exactType(c) || !noNulls(c)) scala.None
+        // all-match in the single-valued file (min == max ∈ vs), or —
+        // from the per-value accounting — in ANY file whose trusted
+        // live value set is a SUBSET of the list (`k IN (1,2,3)` is
+        // file-exact on a file holding {1,2}; bounds alone can never
+        // prove that for a multi-valued file)
+        if (noNulls(c) && fld(c).exists(fd => e.valuesOf(c).exists { vm =>
+            val lits = vs.flatMap(v => cv(c, v))
+              .map(x => literalKey(fd.dataType, x)).filter(_ != null).toSet
+            vm.keySet.subsetOf(lits)
+          })) Some(true)
+        else if (!exactType(c) || !noNulls(c)) scala.None
         else bounds(c) match {
           case Some((mn, mx, ord)) if ord.equiv(mn, mx) &&
               vs.exists(v => cv(c, v).exists(x => ord.equiv(x, mn))) =>

@@ -833,6 +833,57 @@ class GraftDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.drop(); t2.drop(); t3.drop(); t4.drop()
   }
 
+  test("per-value accounting prunes equality/IN beyond min/max bounds") {
+    // every file holds k ∈ {2, 20} (bounds [2,20]): `k = 10` sits
+    // inside the bounds of EVERY file yet matches nothing — the
+    // dictionary decision prunes all files and the query is manifest-
+    // exact; `k IN (2,20,99)` covers every file's value set, so the
+    // aggregate behind it is file-exact too, on a MULTI-valued layout
+    val sch = SchemaDsl.struct("id" -> "int64", "k" -> "int64")
+    val t = GraftTable.create(spark, tmpDir() + "/t", sch,
+      Identity.Keys(Seq("id")),
+      TableConfig(rowsPerFile = 16, walEnabled = false))
+    t.apply((1L to 60L).flatMap(i => CdcEvent.upsert(
+      Row(i, if (i % 2 == 0) 2L else 20L), Seq(i), i)) :+ Commit(61L))
+    t.flush(); t.publish()
+    val m = t.currentManifest
+    assert(m.dataFiles.size > 1 &&
+      m.dataFiles.forall(_.valueStats.get("k").exists(_.size == 2)))
+    def partsFor(fs: Array[org.apache.spark.sql.sources.Filter]): Int = {
+      val sb = new graft.sources.GraftScanBuilder(t.root, m)
+      sb.pushFilters(fs)
+      sb.build().toBatch.planInputPartitions().length
+    }
+    assert(partsFor(Array(EqualTo("k", 10L))) == 0,
+      "an in-bounds literal absent from every value set must plan 0 files")
+    assert(partsFor(Array(org.apache.spark.sql.sources.In(
+      "k", Array[Any](7L, 9L)))) == 0)
+    assert(partsFor(Array(EqualTo("k", 2L))) == m.dataFiles.size)
+    val df = spark.read.format("graft").load(t.root)
+    def planOf(q: org.apache.spark.sql.DataFrame): String =
+      q.queryExecution.executedPlan.toString
+    // file-exact aggregates BEHIND the dictionary decisions
+    val qNone = df.where(col("k") === 10L).agg(count(lit(1)))
+    assert(planOf(qNone).contains("GraftAggScan"), planOf(qNone))
+    assert(qNone.head().getLong(0) == 0L)
+    val qIn = df.where(col("k").isin(2L, 20L, 99L)).agg(count(lit(1)))
+    assert(planOf(qIn).contains("GraftAggScan"),
+      "a value-set-covered IN must be file-exact:\n" + planOf(qIn))
+    assert(qIn.head().getLong(0) == 60L)
+    // present + multi-valued: indeterminate, the scan answers
+    val qEq = df.where(col("k") === 2L).agg(count(lit(1)))
+    assert(!planOf(qEq).contains("GraftAggScan"))
+    assert(qEq.head().getLong(0) == 30L)
+    // a stale delete distrusts the set: the absent literal keeps files
+    t.deleteWhere(col("id") === 4L)
+    val m2 = t.currentManifest
+    val sb2 = new graft.sources.GraftScanBuilder(t.root, m2)
+    sb2.pushFilters(Array(EqualTo("k", 10L)))
+    assert(sb2.build().toBatch.planInputPartitions().length >= 1,
+      "stale per-value accounting must keep the delete-carrying file")
+    t.drop()
+  }
+
   test("AVG pushes only under a 2^53 bounds proof, in both ANSI modes") {
     // Spark's Average accumulates integral sums in DoubleType (order-
     // dependent rounding, never throws); the pushed exact-long-sum /

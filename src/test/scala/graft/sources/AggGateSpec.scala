@@ -157,6 +157,42 @@ class AggGateSpec extends AnyFunSuite {
       Or(EqualTo("id", 1L), EqualTo("id", 99L))))
     assert(!GraftScan.prunable(schema,
       Or(EqualTo("id", 1L), StringContains("id", "x"))))
+    // r17 dictionary decisions from per-value accounting: a trusted
+    // value set decides equality/IN where bounds cannot
+    val dict = e.copy(stats = e.stats + ("id" -> Seq("0", "10")),
+      valueStats = Map("id" -> Map("0" -> "50", "10" -> "50")))
+    assert(d(EqualTo("id", 5L), dict) == Some(false),
+      "a literal absent from the value set must prune inside the bounds")
+    assert(d(EqualTo("id", 10L), dict).isEmpty,
+      "present + multi-valued stays indeterminate")
+    assert(d(In("id", Array[Any](0L, 10L, 99L)), dict) == Some(true),
+      "a value set covered by the IN list is file-exact all-match")
+    assert(d(In("id", Array[Any](0L, 99L)), dict).isEmpty)
+    assert(d(In("id", Array[Any](5L, 99L)), dict) == Some(false))
+    // nulls never match equality, so the none-match stands with nulls
+    val dictNull = dict.copy(nullStats = dict.nullStats + ("id" -> "5"))
+    assert(d(EqualTo("id", 5L), dictNull) == Some(false))
+    // …but the all-match needs zero live nulls
+    assert(d(In("id", Array[Any](0L, 10L)), dictNull).isEmpty)
+    // stale deletes distrust the set both ways
+    val dictStale = dict.copy(deletes = 3L)
+    assert(d(EqualTo("id", 5L), dictStale).isEmpty)
+    assert(d(In("id", Array[Any](0L, 10L)), dictStale).isEmpty)
+    // decimal literals canonicalize to the column scale before lookup:
+    // scale-0 "5" matches a stored "5.00"; a finer-than-scale literal
+    // can equal nothing the accounting could enumerate
+    val dAmt = e.copy(valueStats = Map("amt" ->
+      Map("5.00" -> "90", "-1.00" -> "10")))
+    assert(GraftScan.mayMatch(schema, dAmt,
+      EqualTo("amt", new java.math.BigDecimal("5"))),
+      "a scale-0 literal must canonicalize and be FOUND, never pruned")
+    assert(d(EqualTo("amt", new java.math.BigDecimal("5")), dAmt).isEmpty,
+      "present + multi-valued stays indeterminate")
+    assert(d(EqualTo("amt", new java.math.BigDecimal("7.00")), dAmt)
+      == Some(false))
+    assert(d(EqualTo("amt", new java.math.BigDecimal("5.005")), dAmt)
+      == Some(false),
+      "a finer-than-scale literal can never equal a stored value")
   }
 
   test("planning stays metadata-cheap at a 100k-file manifest") {
@@ -261,6 +297,18 @@ class AggGateSpec extends AnyFunSuite {
     val nully = sf("alpha", "alpha", exact = true)
       .copy(nullStats = Map("tenant" -> "2", "id" -> "0"))
     assert(d(EqualTo("tenant", "alpha"), nully).isEmpty)
+    // r17 per-value accounting on strings: the value set is exact by
+    // construction (full ≤32-cp values), so it decides where even
+    // exact-marked bounds cannot — and independent of the marker
+    val dictS = sf("alpha", "zzz", exact = false).copy(
+      valueStats = Map("tenant" -> Map("alpha" -> "5", "zzz" -> "5")))
+    assert(d(EqualTo("tenant", "beta"), dictS) == Some(false),
+      "an absent short literal prunes via the value set, unmarked bounds")
+    assert(d(EqualTo("tenant", "zz" + "a" * 38), dictS) == Some(false),
+      "a >32-cp literal inside the bounds can equal no enumerated value")
+    assert(d(In("tenant", Array[Any]("alpha", "zzz", "x")), dictS)
+      == Some(true),
+      "a covered string value set is IN-all-match even unmarked")
   }
 
   test("partial/complete decision matrix: COUNT-only groupings push " +
