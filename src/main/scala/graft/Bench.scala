@@ -111,13 +111,28 @@ object Bench {
     }
   }
 
+  /** Cumulative JVM GC milliseconds (all collectors) — the third
+   *  adjudication axis (VERDICT r17 #3): a memory-contended window
+   *  inflates executor CPU via GC, which the wall/cpu heuristic alone
+   *  reads as a real regression; recording per-leg GC time lets such a
+   *  window self-attribute from the artifact (wall up, gc_s up, the
+   *  non-GC cpu share flat ⇒ machine, not code). */
+  private def gcMillis(): Long = {
+    var t = 0L
+    val it = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.iterator()
+    while (it.hasNext) { val v = it.next().getCollectionTime; if (v > 0) t += v }
+    t
+  }
+
   /** One self-adjudicating scale-section leg. */
   private final case class Leg(name: String, sec: Double, rows: Long,
-      loadPre: Double, loadPost: Double, cpuS: Double)
+      loadPre: Double, loadPost: Double, cpuS: Double, gcS: Double)
 
   private def legsJson(key: String, legs: Seq[Leg]): String =
     legs.map(l => "\"" + l.name + "\":" +
         f"""{"wall":${l.sec}%.3f,"cpu_s":${l.cpuS}%.3f,""" +
+        f""""gc_s":${l.gcS}%.3f,""" +
         f""""load_pre":${l.loadPre}%.2f,"load_post":${l.loadPost}%.2f}""")
       .mkString(s""","$key":{""", ",", "}")
 
@@ -278,8 +293,9 @@ object Bench {
         val r1 = sensitive.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
           .map { case (name, fn) =>
             val legLoad = loadAvg()
-            def one(): (Double, Long, Double) = {
+            def one(): (Double, Long, Double, Double) = {
               val c0 = cpuClock.snapshot(spark.sparkContext)
+              val g0 = gcMillis()
               val t0 = System.nanoTime()
               val n =
                 try fn(spark, sf1Dir).count()
@@ -289,18 +305,19 @@ object Bench {
                 }
               val sec = (System.nanoTime() - t0) / 1e9
               val cpuS = (cpuClock.snapshot(spark.sparkContext) - c0) / 1e9
+              val gcS = (gcMillis() - g0) / 1e3
               spark.catalog.clearCache()
-              (sec, n, cpuS)
+              (sec, n, cpuS, gcS)
             }
             val a = one()
-            val (sec, n, cpuS) =
+            val (sec, n, cpuS, gcS) =
               if (a._2 < 0) a
               else { val b = one(); if (b._2 >= 0 && b._1 < a._1) b else a }
             val legLoadPost = loadAvg()
             System.err.println(
-              f"[bench] sf1:$name%-18s $sec%8.2fs  (cpu $cpuS%.1fs; $n rows; " +
-                f"first ${a._1}%.2fs, load $legLoad%.2f->$legLoadPost%.2f)")
-            Leg(name, sec, n, legLoad, legLoadPost, cpuS)
+              f"[bench] sf1:$name%-18s $sec%8.2fs  (cpu $cpuS%.1fs; gc $gcS%.1fs; " +
+                f"$n rows; first ${a._1}%.2fs, load $legLoad%.2f->$legLoadPost%.2f)")
+            Leg(name, sec, n, legLoad, legLoadPost, cpuS, gcS)
           }
         val (_, ing1, ing1w) =
           try ingest1m(spark, sf1Dir)
@@ -396,8 +413,9 @@ object Bench {
             // and the chosen run's executor CPU seconds distinguish
             // machine starvation (wall up, cpu flat) from real work.
             val legLoad = loadAvg()
-            def one(): (Double, Long, Double) = {
+            def one(): (Double, Long, Double, Double) = {
               val c0 = cpuClock.snapshot(spark.sparkContext)
+              val g0 = gcMillis()
               val t0 = System.nanoTime()
               val n =
                 try fn(spark, sf10Dir).count()
@@ -409,18 +427,19 @@ object Bench {
               // the sf1 rider, or the sf10/sf1 scaling ratio is skewed
               val sec = (System.nanoTime() - t0) / 1e9
               val cpuS = (cpuClock.snapshot(spark.sparkContext) - c0) / 1e9
+              val gcS = (gcMillis() - g0) / 1e3
               spark.catalog.clearCache()
-              (sec, n, cpuS)
+              (sec, n, cpuS, gcS)
             }
             val a = one()
-            val (sec, n, cpuS) =
+            val (sec, n, cpuS, gcS) =
               if (a._2 < 0) a
               else { val b = one(); if (b._2 >= 0 && b._1 < a._1) b else a }
             val legLoadPost = loadAvg()
             System.err.println(
-              f"[bench] sf10:$name%-18s $sec%8.2fs  (cpu $cpuS%.1fs; $n rows; " +
-                f"first ${a._1}%.2fs, load $legLoad%.2f->$legLoadPost%.2f)")
-            Leg(name, sec, n, legLoad, legLoadPost, cpuS)
+              f"[bench] sf10:$name%-18s $sec%8.2fs  (cpu $cpuS%.1fs; gc $gcS%.1fs; " +
+                f"$n rows; first ${a._1}%.2fs, load $legLoad%.2f->$legLoadPost%.2f)")
+            Leg(name, sec, n, legLoad, legLoadPost, cpuS, gcS)
           }
         val secs = r.map(l => "\"" + l.name + "\":" + f"${l.sec}%.3f")
           .mkString(""","sf10":{""", ",", "}")

@@ -184,6 +184,43 @@ final case class Manifest(
   def liveRows: Long = dataFiles.map(e => e.rows - e.deletes).sum
 }
 
+/**
+ * One INCREMENTAL manifest version: the O(changed-files) document a
+ * commit writes instead of re-serializing every live file (VERDICT r17
+ * #1 — at the 100-TB/800k-file endpoint a full rewrite is ~hundreds of
+ * MB per commit, per micro-batch, on the driver). Same shape both
+ * export formats already use: Delta appends O(delta) actions per
+ * commit (`format/delta/DeltaLog.scala`), Iceberg appends only new
+ * manifests per snapshot (reference `iceberg_table_syncer.rs:230`).
+ * Scalar fields are carried whole (tiny); dvFiles/indexFiles are
+ * carried whole (both consolidate at indexMergeFileCountThreshold, so
+ * they are bounded small); only `dataFiles` — the O(table-size) axis —
+ * is expressed as a diff against `baseVersion`:
+ * `removed` paths are dropped (order-preserving), `updated` entries
+ * replace their path's entry in place, `added` entries append. The
+ * diff is only emitted when replay provably reproduces the exact
+ * sequence (see [[Manifest.diffFiles]]); any other shape — reorder,
+ * path re-add, duplicate paths — falls back to a full document.
+ */
+final case class ManifestDelta(
+    graftDelta: Int,           // format marker + version tag, always 1
+    version: Long,
+    baseVersion: Long,         // always version - 1
+    commitLsn: Long,
+    flushLsn: Long,
+    schemaJson: String,
+    keyCols: Seq[String],
+    removed: Seq[String],
+    updated: Seq[DataFileEntry],
+    added: Seq[DataFileEntry],
+    dvFiles: Seq[String],
+    indexFiles: Seq[IndexFileEntry],
+    lastFieldId: Long,
+    droppedCols: Seq[String],
+    streamEpochs: Long,
+    queryEpochs: Map[String, Long],
+    bucketN: Long)
+
 object Manifest {
   private val mapper = {
     val m = new ObjectMapper() with ClassTagExtensions
@@ -197,8 +234,26 @@ object Manifest {
 
   def toJson(m: Manifest): String =
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(m)
-  def fromJson(s: String): Manifest = {
-    val m = mapper.readValue(s, classOf[Manifest])
+
+  private def normEntry(e: DataFileEntry): DataFileEntry =
+    if (e.nullStats == null || e.sumStats == null ||
+        e.dvNullStats == null || e.dvSumStats == null ||
+        e.exactBounds == null || e.valueStats == null || e.stats == null)
+      e.copy(
+        stats = if (e.stats == null) Map.empty else e.stats,
+        nullStats = if (e.nullStats == null) Map.empty else e.nullStats,
+        sumStats = if (e.sumStats == null) Map.empty else e.sumStats,
+        dvNullStats = if (e.dvNullStats == null) Map.empty else e.dvNullStats,
+        dvSumStats = if (e.dvSumStats == null) Map.empty else e.dvSumStats,
+        exactBounds = if (e.exactBounds == null) Seq.empty else e.exactBounds,
+        valueStats = if (e.valueStats == null) Map.empty else e.valueStats)
+    else e
+
+  /** Shared post-parse normalization (also applied to delta REPLAY
+   *  output, whose added/updated entries came through the same Jackson
+   *  path): absent-field nulls → empty ("unknown"), boxed epoch counts
+   *  → Long, bucket ids gated by bucketN. */
+  private[format] def normalize(m: Manifest): Manifest = {
     // older manifests lack the newer properties
     val m1 = if (m.droppedCols == null) m.copy(droppedCols = Seq.empty) else m
     // erasure leaves Jackson free to box small epoch counts as Integer
@@ -215,15 +270,7 @@ object Manifest {
       if (m2.dataFiles.exists(e => e.nullStats == null || e.sumStats == null ||
           e.dvNullStats == null || e.dvSumStats == null ||
           e.exactBounds == null || e.valueStats == null))
-        m2.copy(dataFiles = m2.dataFiles.map(e => e.copy(
-          nullStats = if (e.nullStats == null) Map.empty else e.nullStats,
-          sumStats = if (e.sumStats == null) Map.empty else e.sumStats,
-          dvNullStats = if (e.dvNullStats == null) Map.empty else e.dvNullStats,
-          dvSumStats = if (e.dvSumStats == null) Map.empty else e.dvSumStats,
-          exactBounds = if (e.exactBounds == null) Seq.empty
-                        else e.exactBounds,
-          valueStats = if (e.valueStats == null) Map.empty
-                       else e.valueStats)))
+        m2.copy(dataFiles = m2.dataFiles.map(normEntry))
       else m2
     // bucket ids are meaningful only under a bucket spec: a manifest
     // written before the field existed deserializes bucket as 0 (the
@@ -231,6 +278,93 @@ object Manifest {
     if (m3.bucketN <= 0L && m3.dataFiles.exists(_.bucket != -1L))
       m3.copy(dataFiles = m3.dataFiles.map(_.copy(bucket = -1L)))
     else m3
+  }
+
+  def fromJson(s: String): Manifest =
+    normalize(mapper.readValue(s, classOf[Manifest]))
+
+  private[format] def deltaToJson(d: ManifestDelta): String =
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(d)
+
+  /** Parse one committed version document: Left = full manifest,
+   *  Right = incremental delta (marked by the top-level `graftDelta`
+   *  field, which a full manifest can never carry). */
+  private[format] def docFromJson(s: String): Either[Manifest, ManifestDelta] = {
+    val tree = mapper.readTree(s)
+    if (tree.has("graftDelta")) {
+      val d = mapper.treeToValue(tree, classOf[ManifestDelta])
+      Right(d.copy(
+        keyCols = if (d.keyCols == null) Seq.empty else d.keyCols,
+        removed = if (d.removed == null) Seq.empty else d.removed,
+        updated = if (d.updated == null) Seq.empty
+                  else d.updated.map(normEntry),
+        added = if (d.added == null) Seq.empty else d.added.map(normEntry),
+        dvFiles = if (d.dvFiles == null) Seq.empty else d.dvFiles,
+        indexFiles = if (d.indexFiles == null) Seq.empty else d.indexFiles,
+        droppedCols = if (d.droppedCols == null) Seq.empty else d.droppedCols,
+        queryEpochs =
+          if (d.queryEpochs == null) Map.empty
+          else d.queryEpochs.asInstanceOf[Map[String, Any]].map(kv =>
+            kv._1 -> kv._2.asInstanceOf[Number].longValue)))
+    } else Left(fromJson(s))
+  }
+
+  /** Order-aware dataFiles diff: Some((removed, updated, added)) when
+   *  `next` is exactly `base` with some entries deleted (order kept),
+   *  some replaced IN PLACE (same path, same position among survivors)
+   *  and new entries APPENDED — the shape every engine mutation
+   *  produces — so that [[applyDelta]] reproduces the sequence
+   *  element-for-element. None (→ full document) on reorders, path
+   *  re-adds or duplicate paths. O(n) with a reference-equality fast
+   *  path per surviving entry (unchanged entries are the same object). */
+  private[format] def diffFiles(base: Seq[DataFileEntry],
+      next: Seq[DataFileEntry])
+      : Option[(Seq[String], Seq[DataFileEntry], Seq[DataFileEntry])] = {
+    val nextArr = next.toArray
+    val baseArr = base.toArray
+    val nextSet = new java.util.HashSet[String](nextArr.length * 2)
+    nextArr.foreach(e => if (!nextSet.add(e.path)) return scala.None)
+    val baseSet = new java.util.HashSet[String](baseArr.length * 2)
+    baseArr.foreach(e => if (!baseSet.add(e.path)) return scala.None)
+    val removed = Seq.newBuilder[String]
+    val updated = Seq.newBuilder[DataFileEntry]
+    var bi = 0
+    var ni = 0
+    while (bi < baseArr.length) {
+      val b = baseArr(bi)
+      if (!nextSet.contains(b.path)) removed += b.path
+      else {
+        // the survivor must appear at the next surviving position
+        if (ni >= nextArr.length || nextArr(ni).path != b.path)
+          return scala.None // reorder — fall back to full
+        val n = nextArr(ni)
+        if (!(n eq b) && n != b) updated += n
+        ni += 1
+      }
+      bi += 1
+    }
+    val added = nextArr.drop(ni)
+    if (added.exists(e => baseSet.contains(e.path))) scala.None // re-add
+    else Some((removed.result(), updated.result(), added.toSeq))
+  }
+
+  /** Replay one delta over its base (see [[ManifestDelta]]). */
+  private[format] def applyDelta(base: Manifest, d: ManifestDelta): Manifest = {
+    require(base.version == d.baseVersion,
+      s"delta v${d.version} expects base v${d.baseVersion}, got v${base.version}")
+    val removed =
+      if (d.removed.isEmpty) java.util.Collections.emptySet[String]()
+      else { val s = new java.util.HashSet[String](); d.removed.foreach(s.add); s }
+    val upd =
+      if (d.updated.isEmpty) Map.empty[String, DataFileEntry]
+      else d.updated.iterator.map(e => e.path -> e).toMap
+    val files = base.dataFiles.iterator
+      .filterNot(e => removed.contains(e.path))
+      .map(e => upd.getOrElse(e.path, e))
+      .toVector ++ d.added
+    normalize(Manifest(d.version, d.commitLsn, d.flushLsn, d.schemaJson,
+      d.keyCols, files, d.dvFiles, d.indexFiles, d.lastFieldId,
+      d.droppedCols, d.streamEpochs, d.queryEpochs, d.bucketN))
   }
 }
 
@@ -484,6 +618,22 @@ object Fio {
 object ManifestLog {
   private def dir(root: String) = s"$root/manifest"
   private def file(root: String, v: Long) = f"${dir(root)}/v$v%09d.json"
+  // materialized-checkpoint sidecar: the full manifest of a version
+  // whose own document is a delta — written by [[checkpoint]] (expiry
+  // floor) so the chain below it can be forgotten. Deterministic
+  // content (replay is deterministic), so concurrent writers are
+  // idempotent under writeAtomicCas.
+  private def cfile(root: String, v: Long) = f"${dir(root)}/c$v%09d.json"
+
+  /** Every Nth version commits a FULL document even when a delta is
+   *  eligible, bounding every load's replay chain to < N documents.
+   *  Scale-adaptive deployments tune it via system property; the
+   *  default keeps reopen/time-travel cheap while a 100k-file table's
+   *  commit writes O(changed files) bytes 15 times out of 16. */
+  private[format] val checkpointInterval: Long =
+    sys.props.get("graft.manifest.checkpoint.interval")
+      .flatMap(s => scala.util.Try(s.toLong).toOption).filter(_ > 1L)
+      .getOrElse(16L)
 
   /** Commit version `m.version` with put-if-absent semantics: the
    *  version file is claimed by atomic rename, and a rival writer that
@@ -492,12 +642,47 @@ object ManifestLog {
    *  having its manifest silently dropped — the caller's statement
    *  retries from the new latest version, exactly the optimistic-
    *  concurrency rule the Delta/Iceberg commit protocols use. */
-  def commit(root: String, m: Manifest): Unit = {
+  def commit(root: String, m: Manifest): Unit =
+    commitDoc(root, m, Manifest.toJson(m))
+
+  /** Incremental commit (VERDICT r17 #1): given the previously
+   *  published manifest, write an O(changed-files) DELTA document
+   *  instead of re-serializing every live entry — the write
+   *  amplification fix for the streaming micro-batch cadence at the
+   *  100-TB/800k-file endpoint. Falls back to a full document when the
+   *  base is not the immediate predecessor, every Nth version
+   *  (replay-chain bound), when the diff shape is not replay-exact, or
+   *  when the delta would not actually be smaller. CAS semantics are
+   *  identical — one document per version, claimed by atomic rename. */
+  def commit(root: String, m: Manifest, base: Manifest): Unit = {
+    val doc =
+      if (base.version != m.version - 1 ||
+          m.version % checkpointInterval == 0L) Manifest.toJson(m)
+      else Manifest.diffFiles(base.dataFiles, m.dataFiles) match {
+        case Some((rm, up, ad))
+            if rm.size + up.size + ad.size < m.dataFiles.size =>
+          Manifest.deltaToJson(ManifestDelta(1, m.version, base.version,
+            m.commitLsn, m.flushLsn, m.schemaJson, m.keyCols,
+            rm, up, ad, m.dvFiles, m.indexFiles, m.lastFieldId,
+            m.droppedCols, m.streamEpochs, m.queryEpochs, m.bucketN))
+        case _ => Manifest.toJson(m)
+      }
+    commitDoc(root, m, doc)
+  }
+
+  private def commitDoc(root: String, m: Manifest, doc: String): Unit = {
     Fio.mkdirs(dir(root))
-    if (!Fio.writeAtomicCas(file(root, m.version), Manifest.toJson(m)))
-      throw new java.util.ConcurrentModificationException(
-        s"manifest version ${m.version} of $root was claimed by another " +
-          "writer; reload the table and retry the statement")
+    if (!Fio.writeAtomicCas(file(root, m.version), doc)) {
+      // the bytes differ, but a full vs delta ENCODING of the same
+      // manifest (crash-recovery re-commit through a different code
+      // path) is still idempotent — only a genuinely different rival
+      // manifest is a conflict
+      val survivor = scala.util.Try(load(root, m.version)).toOption
+      if (!survivor.contains(m))
+        throw new java.util.ConcurrentModificationException(
+          s"manifest version ${m.version} of $root was claimed by another " +
+            "writer; reload the table and retry the statement")
+    }
   }
 
   /** All committed versions, ascending. The log keeps every version
@@ -512,11 +697,56 @@ object ManifestLog {
 
   def latestVersion(root: String): Option[Long] = versions(root).maxOption
 
+  /** Materialize `version`: full documents load directly; a delta
+   *  document replays over its base chain (bounded by
+   *  [[checkpointInterval]]), short-circuited by a checkpoint sidecar
+   *  when one exists (the expiry floor). A version whose own document
+   *  was deleted fails loudly — expiry forgets versions for real. */
   def load(root: String, version: Long): Manifest =
-    Manifest.fromJson(Fio.readString(file(root, version)))
+    Manifest.docFromJson(Fio.readString(file(root, version))) match {
+      case Left(full) => full
+      case Right(d) =>
+        val cp = cfile(root, version)
+        if (Fio.exists(cp)) Manifest.fromJson(Fio.readString(cp))
+        else Manifest.applyDelta(load(root, d.baseVersion), d)
+    }
 
   def loadLatest(root: String): Option[Manifest] =
     latestVersion(root).map(load(root, _))
+
+  /** Every committed version materialized in ONE ascending pass —
+   *  deltas fold over the previous version in O(1) document reads each
+   *  instead of re-walking their chain, so full-history consumers
+   *  (CDF, meta history) stay O(versions) total. */
+  def loadAll(root: String): Seq[(Long, Manifest)] = {
+    val vs = versions(root)
+    val out = Seq.newBuilder[(Long, Manifest)]
+    var prev: Option[Manifest] = scala.None
+    vs.foreach { v =>
+      val m = Manifest.docFromJson(Fio.readString(file(root, v))) match {
+        case Left(full) => full
+        case Right(d) if prev.exists(_.version == d.baseVersion) =>
+          Manifest.applyDelta(prev.get, d)
+        case Right(_) => load(root, v) // gap (expired chain): chain walk
+      }
+      out += (v -> m)
+      prev = Some(m)
+    }
+    out.result()
+  }
+
+  /** Write the checkpoint sidecar for `version` when its own document
+   *  is a delta — called by expiry on the retention floor BEFORE the
+   *  chain below it is deleted, so every retained version stays
+   *  materializable. Idempotent; no-op under a full document. */
+  def checkpoint(root: String, version: Long): Unit =
+    Manifest.docFromJson(Fio.readString(file(root, version))) match {
+      case Right(_) =>
+        val cp = cfile(root, version)
+        if (!Fio.exists(cp))
+          Fio.writeAtomic(cp, Manifest.toJson(load(root, version)))
+      case Left(_) => ()
+    }
 
   /** Commit wall-clock of a version: the manifest file's modification
    *  time (epoch millis) — the atomic rename that commits a version is
@@ -534,7 +764,11 @@ object ManifestLog {
     versions(root).filter(v => commitTimeMs(root, v) <= tsMs).maxOption
 
   /** Remove one version's manifest document (expire-snapshots path —
-   *  never called on the latest version). */
-  def delete(root: String, version: Long): Unit =
+   *  never called on the latest version), plus its checkpoint sidecar
+   *  when one was materialized. */
+  def delete(root: String, version: Long): Unit = {
     Fio.delete(file(root, version))
+    val cp = cfile(root, version)
+    if (Fio.exists(cp)) Fio.delete(cp)
+  }
 }

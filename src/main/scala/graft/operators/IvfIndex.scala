@@ -28,11 +28,19 @@ import org.apache.spark.sql.functions._
 object IvfIndex {
 
   /** True when any corpus file's masked-row debt crossed the
-   *  compaction delete-ratio — the refresh trigger. */
+   *  compaction delete-ratio — the refresh trigger. Pure manifest
+   *  arithmetic: O(files) longs on the driver, no Spark job, no IO —
+   *  the per-(index, corpus) gate a catalog-scale maintenance tick
+   *  pays when nothing is due (cost pinned at 100k files in
+   *  IvfIndexSpec; a tick over thousands of registered pairs is
+   *  milliseconds of driver arithmetic unless a refresh actually
+   *  fires). */
   def refreshDue(corpus: GraftTable): Boolean =
-    corpus.currentManifest.dataFiles.exists(e =>
-      e.deletes > 0 &&
-        e.deletes.toDouble >= e.rows * corpus.config.compactDeleteRatio)
+    refreshDue(corpus.currentManifest, corpus.config.compactDeleteRatio)
+
+  def refreshDue(m: graft.format.Manifest, deleteRatio: Double): Boolean =
+    m.dataFiles.exists(e =>
+      e.deletes > 0 && e.deletes.toDouble >= e.rows * deleteRatio)
 
   /**
    * Threshold-gated refresh: CDC-delete assignment entries whose

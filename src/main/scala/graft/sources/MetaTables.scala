@@ -32,8 +32,7 @@ private[graft] object MetaTables {
     StructField("deletes", LongType), StructField("live_rows", LongType)))
 
   def history(root: String): Seq[Row] =
-    ManifestLog.versions(root).map { v =>
-      val m = ManifestLog.load(root, v)
+    ManifestLog.loadAll(root).map { case (v, m) =>
       Row(v, m.commitLsn, m.flushLsn, m.dataFiles.size.toLong,
         m.totalRows, m.liveRows, m.dvFiles.size.toLong,
         m.indexFiles.size.toLong)

@@ -638,8 +638,28 @@ object PgInitialSync {
           // not retried): silent replication stop. A whole-URI drop
           // goes through PgReplicationManager.stopAll(keepSlot=false),
           // which detaches every route BEFORE the slot falls.
+          // DORMANT mirrors count too (ADVICE r17): a sibling stopped
+          // earlier with keepSlot=true holds no live route but still
+          // owns the slot's confirmed position as its zero-re-copy
+          // resume point — probe the catalog's registered mirrors of
+          // this URI, not just the attached routes.
           val dbKey = db.toLowerCase.replaceAll("[^a-z0-9_]", "_")
-          if (!PgReplicationManager.sharedInUse(catalog, u.getHost, port, db))
+          PgReplicationManager.recordDropIntent(catalog, name)
+          val dormantSibling = catalog.metadataStore.allEntries().exists { o =>
+            o.database == catalog.database && o.table != name &&
+              !PgReplicationManager.hasDropIntent(catalog, o.table) &&
+              (o.srcUri.startsWith("postgresql://") ||
+                o.srcUri.startsWith("postgres://")) &&
+              PgReplicationManager.isShared(o.srcUri) && {
+                val ou = java.net.URI.create(o.srcUri)
+                val oPort = if (ou.getPort > 0) ou.getPort else 5432
+                val oDb = Option(ou.getPath).map(_.stripPrefix("/"))
+                  .filter(_.nonEmpty).getOrElse("postgres")
+                ou.getHost == u.getHost && oPort == port && oDb == db
+              }
+          }
+          if (!PgReplicationManager.sharedInUse(catalog, u.getHost, port, db)
+              && !dormantSibling)
             cleanupReplication(u.getHost, port, user, db,
               s"graft_slot_$dbKey", s"graft_pub_$dbKey", pw)
         } else {

@@ -345,15 +345,23 @@ object PgOutput {
       }
     }
 
+    /** Relation OIDs announced for tables we do NOT own — an externally
+     *  ALTERed publication (extra member added to graft_pub_<name>)
+     *  makes the server announce+send foreign traffic even on a
+     *  nominally single-table session; such announced DML degrades to
+     *  ignored instead of killing the stream (ADVICE r17). */
+    private val foreignRelIds = mutable.Set[Int]()
+
     /** DML whose relid we don't own. On a SHARED stream (srcNamespace
-     *  set) or once our Relation is known, it is another publication
-     *  member's traffic — route to Nil. On a single-table session with
-     *  NO Relation seen yet, the publication has exactly one member,
-     *  so early DML can only mean a protocol violation (the server
+     *  set), once our Relation is known, or when the relid itself was
+     *  ANNOUNCED by a Relation message, it is another publication
+     *  member's traffic — route to Nil. DML for a relid the server
+     *  NEVER announced can only mean a protocol violation (the server
      *  always sends Relation before a relation's first DML per
      *  connection): fail loudly rather than silently drop data. */
     private def foreignDml(rid: Int): Seq[CdcEvent] = {
-      require(srcNamespace.isDefined || myRelId.isDefined,
+      require(srcNamespace.isDefined || myRelId.isDefined ||
+        foreignRelIds.contains(rid),
         s"DML for relation $rid before any Relation message on a " +
           "single-table session — protocol violation, refusing to drop")
       Nil
@@ -376,6 +384,8 @@ object PgOutput {
           // keep the decoder's column registration current; the alter
           // EVENTS were applied before the crash, so no diff is emitted
           rel = Some(r); myRelId = Some(r.relId); Nil
+        case r: Relation =>
+          foreignRelIds += r.relId; Nil // announced member we don't own
         case _ => Nil // already-applied events of the redelivered txn
       } else msg match {
       case Begin(finalLsn, _, x) =>
@@ -427,9 +437,10 @@ object PgOutput {
         committedRel = rel
         Seq(Commit(commitLsn, x))
       case r @ Relation(_, rns, name, _, newCols) =>
-        if (name != tableName || srcNamespace.exists(_ != rns))
+        if (name != tableName || srcNamespace.exists(_ != rns)) {
+          foreignRelIds += r.relId // announced member we don't own
           Nil // not our table's relation
-        else {
+        } else {
           val out = rel match {
             case scala.None => Nil
             case Some(old) =>

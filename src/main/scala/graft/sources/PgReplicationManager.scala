@@ -80,6 +80,32 @@ object PgReplicationManager {
   private def uriKey(host: String, port: Int, database: String): String =
     s"$host:$port/$database"
 
+  /** Mirrors whose stopMirror(keepSlot=false) already ran — their
+   *  deferred whole-URI drop intent. A catalog-registered shared
+   *  mirror NOT in this set and not currently streaming is DORMANT
+   *  (stopped keepSlot=true, or simply not resumed yet): it still owns
+   *  the shared slot's confirmed position as its zero-re-copy resume
+   *  point, so a sibling's keepSlot=false stop must not drop the slot
+   *  (ADVICE r17). In-memory only, weak-keyed like the stream
+   *  registry: after a process restart every registered mirror reads
+   *  as dormant again, which fails SAFE — the slot is retained, never
+   *  dropped out from under a mirror that wanted to resume. */
+  private val dropIntents =
+    new java.util.WeakHashMap[GraftCatalog, mutable.Set[String]]()
+  private[sources] def recordDropIntent(catalog: GraftCatalog,
+      table: String): Unit =
+    dropIntents.synchronized {
+      var s = dropIntents.get(catalog)
+      if (s == null) { s = mutable.Set[String](); dropIntents.put(catalog, s) }
+      s += table; ()
+    }
+  private[sources] def hasDropIntent(catalog: GraftCatalog,
+      table: String): Boolean =
+    dropIntents.synchronized {
+      val s = dropIntents.get(catalog)
+      s != null && s.contains(table)
+    }
+
   /** true while a live shared stream still serves this URI with
    *  attached routes — its slot + publication are then load-bearing
    *  for OTHER mirrors, and dropping them on the primary would
@@ -128,6 +154,11 @@ object PgReplicationManager {
       s"table $name already has a live replication stream")
     val shared = getOrCreate(catalog, host, port, user, database, password,
       maxReconnects)
+    // a (re-)attached mirror is live again: any deferred drop intent
+    // from an earlier stopMirror(keepSlot=false) no longer stands
+    dropIntents.synchronized {
+      val s = dropIntents.get(catalog); if (s != null) { s -= name; () }
+    }
     shared.addTable(name, srcTableName, markShared(srcUri), config,
       copyShards)
   }
@@ -154,6 +185,10 @@ object PgReplicationManager {
     val port = if (u.getPort > 0) u.getPort else 5432
     val shared = getOrCreate(catalog, u.getHost, port, user, db, password,
       maxReconnects)
+    // resuming clears any deferred drop intent (see recordDropIntent)
+    dropIntents.synchronized {
+      val s = dropIntents.get(catalog); if (s != null) { s -= name; () }
+    }
     shared.resumeTable(name, entry.srcTableName)
   }
 

@@ -93,9 +93,12 @@ final class MaintenanceDaemon(
       case (idx, (corp, iid, cid)) =>
         try graft.operators.IvfIndex.refresh(
           catalog.table(idx), catalog.table(corp), iid, cid) > 0L
-        catch { case e: Throwable =>
-          System.err.println(s"[graft-maintenance] ann refresh $idx: $e")
-          false
+        catch {
+          // NonFatal only (ADVICE r17): an OOM/Interrupted must
+          // propagate, not be swallowed into "refresh skipped"
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[graft-maintenance] ann refresh $idx: $e")
+            false
         }
     }.map(_._1)
     val maintained = catalog.list.filter(name => catalog.table(name).maintain())

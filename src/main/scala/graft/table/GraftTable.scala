@@ -1498,7 +1498,10 @@ final class GraftTable private (
     else {
       versionVar += 1
       val m = currentManifest
-      ManifestLog.commit(root, m)
+      // incremental commit: the previously published manifest is the
+      // delta base, so a streaming-cadence publish writes O(changed
+      // files) bytes instead of re-serializing every live entry
+      ManifestLog.commit(root, m, lastPublishedVar)
       lastPublishedVar = m
       // truncate at the *flush* LSN: committed-but-unflushed tail rows
       // are durable only in the WAL (reference truncates at the
@@ -1629,8 +1632,7 @@ final class GraftTable private (
    *  an incremental consumer reads to pick time-travel cuts. O(versions)
    *  tiny JSON loads on the driver, no scan. */
   def metaHistory: DataFrame = synchronized {
-    val rows = ManifestLog.versions(root).map { v =>
-      val m = ManifestLog.load(root, v)
+    val rows = ManifestLog.loadAll(root).map { case (v, m) =>
       Row(v, m.commitLsn, m.flushLsn, m.dataFiles.size.toLong,
         m.totalRows, m.liveRows, m.dvFiles.size.toLong,
         m.indexFiles.size.toLong)
@@ -2404,7 +2406,15 @@ final class GraftTable private (
    *  Returns the number of versions expired. */
   def expireVersions(keepLast: Int): Int = synchronized {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
-    val expired = ManifestLog.versions(root).dropRight(keepLast)
+    val all = ManifestLog.versions(root)
+    val expired = all.dropRight(keepLast)
+    // the retention FLOOR may be a delta document whose replay chain is
+    // about to be deleted — materialize its checkpoint sidecar first so
+    // every retained version stays loadable (crash-safe: an extra
+    // sidecar is idempotent, deletion happens after)
+    if (expired.nonEmpty)
+      all.drop(expired.size).headOption
+        .foreach(f => ManifestLog.checkpoint(root, f))
     expired.foreach(v => ManifestLog.delete(root, v))
     // retention parity for a synced Iceberg export (reference syncs
     // retention through its catalog): the export's snapshot history is
@@ -3387,7 +3397,20 @@ object GraftTable {
    *  manifest), and float/double entirely (NaN/-0.0 group-equality
    *  differs from rendered-string equality). Everything recorded
    *  round-trips through `parseStat` to a value Spark's GROUP BY
-   *  treats as equal to the original. */
+   *  treats as equal to the original.
+   *
+   *  Timezone contract (ADVICE r17): timestamp keys render via
+   *  `java.sql.Timestamp.toString`, which depends on the JVM default
+   *  timezone — the SAME convention the range stats (`statBounds` /
+   *  `parseStat`) have always used, so one fixed deployment timezone
+   *  across writer and reader processes is assumed for ALL stat
+   *  strings, not just these keys (this repo pins UTC:
+   *  `-Dspark.sql.session.timeZone=UTC` + the bench/test launchers).
+   *  Equality-based decisions (valueSetMayContain, partial group
+   *  cells) would misread keys written under a different JVM TZ, so a
+   *  TZ migration requires refreshDvStats to rewrite recorded maps —
+   *  or switching this rendering to epoch micros, which would orphan
+   *  every already-written map the same way. */
   private[graft] def renderGroupValue(dt: DataType, v: Any): String =
     dt match {
       case _: StringType =>

@@ -244,6 +244,18 @@ class PgOutputSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sh = new Session("users", Seq("id"), srcNamespace = Some("public"))
     assert(sh.onMessage(
       encodeInsert(RelId, Seq(Some("1"), Some("a"), Some("1.5")))).isEmpty)
+    // an ANNOUNCED foreign relation's DML degrades to ignored even
+    // BEFORE our Relation arrives (ADVICE r17: an externally ALTERed
+    // publication — extra member added to graft_pub_<name> — makes the
+    // server announce+send foreign traffic first; the server DID
+    // follow protocol, so this must not kill the stream)
+    val sx = new Session("users", Seq("id"))
+    sx.onMessage(encodeRelation(RelId + 3, "public", "audit_log", userCols))
+    assert(sx.onMessage(
+      encodeInsert(RelId + 3, Seq(Some("7"), Some("z"), scala.None))).isEmpty)
+    // …while DML for a relid the server NEVER announced still throws
+    intercept[IllegalArgumentException] { sx.onMessage(
+      encodeInsert(RelId + 8, Seq(Some("7"), Some("z"), scala.None))) }
     // and once OUR Relation is known, a DIFFERENT relid is foreign
     // traffic even on a single-table session (FOR ALL TABLES pubs)
     s.onMessage(encodeRelation(RelId, "public", "users", userCols))

@@ -1147,6 +1147,54 @@ class PgInitialSyncSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(primary.error.isEmpty, primary.error)
   }
 
+  test("a DORMANT sibling (stopped keepSlot=true) blocks another " +
+      "mirror's keepSlot=false shared-slot drop") {
+    // ADVICE r17 (low): the drop guard probed only LIVE routes, so a
+    // sibling stopped earlier with keepSlot=true — dormant, holding the
+    // slot's confirmed position as its zero-re-copy resume point — lost
+    // it when another mirror stopped with keepSlot=false. The guard now
+    // also probes the catalog's registered mirrors of the URI minus
+    // those with a recorded drop intent.
+    val wh = java.nio.file.Files
+      .createTempDirectory("pgshared-dormant-wh").toString
+    val cat = GraftCatalog(spark, wh)
+    val primary = new PgMockPrimary(columns, copyRows,
+      consistentPoint = 1000L, frames = cdcFrames("users"),
+      tables = Map(
+        "public.users" -> (columns, copyRows),
+        "public.orders" -> (orderColumns, orderRows)),
+      keepServing = true, holdStreamOpen = true).start()
+    val uri = s"postgresql://127.0.0.1:${primary.port}/postgres"
+    PgReplicationManager.addTable(cat, "users", "public.users",
+      host = "127.0.0.1", port = primary.port, user = "postgres",
+      database = "postgres", srcUri = uri)
+    PgReplicationManager.addTable(cat, "orders", "public.orders",
+      host = "127.0.0.1", port = primary.port, user = "postgres",
+      database = "postgres", srcUri = uri)
+    val deadline = System.currentTimeMillis() + 30000
+    while (cat.table("users").commitLsn < 1010L &&
+        System.currentTimeMillis() < deadline) Thread.sleep(20)
+    // users goes DORMANT: stopped with keepSlot=true (wants to resume)
+    PgInitialSync.stopMirror(cat, "users", keepSlot = true)
+    // orders' keepSlot=false must NOT drop the shared slot — no live
+    // route holds it, but the dormant users still owns its resume point
+    PgInitialSync.stopMirror(cat, "orders", keepSlot = false)
+    Thread.sleep(200)
+    assert(primary.slots == Set("graft_slot_postgres"),
+      "a dormant sibling's resume point must survive: " + primary.slots)
+    assert(primary.publications == Set("graft_pub_postgres"))
+    // once the dormant mirror ITSELF stops with keepSlot=false, no
+    // sibling remains without a drop intent — the whole-URI drop runs
+    PgInitialSync.stopMirror(cat, "users", keepSlot = false)
+    val d2 = System.currentTimeMillis() + 30000
+    while (primary.slots.nonEmpty && System.currentTimeMillis() < d2)
+      Thread.sleep(20)
+    assert(primary.slots.isEmpty && primary.publications.isEmpty,
+      s"the last intent completes the drop: ${primary.slots}")
+    primary.shutdown(); primary.join()
+    assert(primary.error.isEmpty, primary.error)
+  }
+
   test("a RESTARTED shared stream rebuilds route sessions at their " +
       "applied floors (no double-apply of slot redelivery)") {
     // ADVICE r16: after a clean server-ended stream, a later addTable
