@@ -288,7 +288,10 @@ object Manifest {
 
   /** Parse one committed version document: Left = full manifest,
    *  Right = incremental delta (marked by the top-level `graftDelta`
-   *  field, which a full manifest can never carry). */
+   *  field, which a full manifest can never carry). One parse total:
+   *  the tree is materialized once and bound to whichever shape it is
+   *  (a full manifest at 100k files is tens of MB — re-parsing the
+   *  string after the sniff would double the load cost). */
   private[format] def docFromJson(s: String): Either[Manifest, ManifestDelta] = {
     val tree = mapper.readTree(s)
     if (tree.has("graftDelta")) {
@@ -306,7 +309,7 @@ object Manifest {
           if (d.queryEpochs == null) Map.empty
           else d.queryEpochs.asInstanceOf[Map[String, Any]].map(kv =>
             kv._1 -> kv._2.asInstanceOf[Number].longValue)))
-    } else Left(fromJson(s))
+    } else Left(normalize(mapper.treeToValue(tree, classOf[Manifest])))
   }
 
   /** Order-aware dataFiles diff: Some((removed, updated, added)) when
@@ -734,6 +737,16 @@ object ManifestLog {
     }
     out.result()
   }
+
+  /** commitLsn of one version read from its OWN document — both shapes
+   *  carry the scalars whole, so an LSN cut search (time travel's
+   *  reverse scan) never replays a delta chain for versions it only
+   *  inspects. */
+  def commitLsnOf(root: String, version: Long): Long =
+    Manifest.docFromJson(Fio.readString(file(root, version))) match {
+      case Left(m) => m.commitLsn
+      case Right(d) => d.commitLsn
+    }
 
   /** Write the checkpoint sidecar for `version` when its own document
    *  is a delta — called by expiry on the retention floor BEFORE the

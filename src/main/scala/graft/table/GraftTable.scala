@@ -1693,8 +1693,13 @@ final class GraftTable private (
    */
   def readAsOf(lsn: Long): DataFrame = synchronized {
     val vs = ManifestLog.versions(root)
-    val m = vs.reverseIterator.map(v => ManifestLog.load(root, v))
-      .find(m => m.commitLsn >= 0 && m.commitLsn <= lsn)
+    // scan on the per-document commitLsn (no delta-chain replay for
+    // versions that are only inspected), materialize ONLY the cut
+    val m = vs.reverseIterator
+      .find { v =>
+        val l = ManifestLog.commitLsnOf(root, v); l >= 0 && l <= lsn
+      }
+      .map(v => ManifestLog.load(root, v))
       .getOrElse(throw new IllegalArgumentException(
         s"no committed version at or below LSN $lsn"))
     snapshotDF(m)
