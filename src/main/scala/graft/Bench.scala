@@ -100,14 +100,36 @@ object Bench {
   private final class CpuClock
       extends org.apache.spark.scheduler.SparkListener {
     private val ns = new java.util.concurrent.atomic.AtomicLong(0L)
+    // spill / fetch-wait / retry counters (VERDICT r18 #5): a leg whose
+    // wall blows out under a hot window self-attributes from the
+    // artifact — spill churn (execution-memory pressure), fetch wait
+    // (shuffle service contention) and task retries are the three
+    // contended-host signatures the wall/cpu/gc trio cannot separate
+    private val spillMem = new java.util.concurrent.atomic.AtomicLong(0L)
+    private val spillDisk = new java.util.concurrent.atomic.AtomicLong(0L)
+    private val fetchWaitMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    private val retries = new java.util.concurrent.atomic.AtomicLong(0L)
     override def onTaskEnd(
         e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val m = e.taskMetrics
-      if (m != null) ns.addAndGet(m.executorCpuTime)
+      if (m != null) {
+        ns.addAndGet(m.executorCpuTime)
+        spillMem.addAndGet(m.memoryBytesSpilled)
+        spillDisk.addAndGet(m.diskBytesSpilled)
+        fetchWaitMs.addAndGet(m.shuffleReadMetrics.fetchWaitTime)
+      }
+      if (e.reason != org.apache.spark.Success) retries.incrementAndGet()
     }
     def snapshot(sc: org.apache.spark.SparkContext): Long = {
       org.apache.spark.GraftSparkInternals.drainListenerBus(sc)
       ns.get()
+    }
+    /** (spillMemBytes, spillDiskBytes, fetchWaitMs, taskRetries) after a
+     *  listener-bus drain — same drain discipline as [[snapshot]]. */
+    def spillSnapshot(sc: org.apache.spark.SparkContext)
+        : (Long, Long, Long, Long) = {
+      org.apache.spark.GraftSparkInternals.drainListenerBus(sc)
+      (spillMem.get(), spillDisk.get(), fetchWaitMs.get(), retries.get())
     }
   }
 
@@ -127,12 +149,18 @@ object Bench {
 
   /** One self-adjudicating scale-section leg. */
   private final case class Leg(name: String, sec: Double, rows: Long,
-      loadPre: Double, loadPost: Double, cpuS: Double, gcS: Double)
+      loadPre: Double, loadPost: Double, cpuS: Double, gcS: Double,
+      spillMemMb: Double = 0.0, spillDiskMb: Double = 0.0,
+      fetchWaitS: Double = 0.0, taskRetries: Long = 0L)
 
   private def legsJson(key: String, legs: Seq[Leg]): String =
     legs.map(l => "\"" + l.name + "\":" +
         f"""{"wall":${l.sec}%.3f,"cpu_s":${l.cpuS}%.3f,""" +
         f""""gc_s":${l.gcS}%.3f,""" +
+        f""""spill_mem_mb":${l.spillMemMb}%.1f,""" +
+        f""""spill_disk_mb":${l.spillDiskMb}%.1f,""" +
+        f""""fetch_wait_s":${l.fetchWaitS}%.3f,""" +
+        f""""task_retries":${l.taskRetries},""" +
         f""""load_pre":${l.loadPre}%.2f,"load_post":${l.loadPost}%.2f}""")
       .mkString(s""","$key":{""", ",", "}")
 
@@ -293,8 +321,9 @@ object Bench {
         val r1 = sensitive.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
           .map { case (name, fn) =>
             val legLoad = loadAvg()
-            def one(): (Double, Long, Double, Double) = {
+            def one(): Leg = {
               val c0 = cpuClock.snapshot(spark.sparkContext)
+              val (sm0, sd0, fw0, rt0) = cpuClock.spillSnapshot(spark.sparkContext)
               val g0 = gcMillis()
               val t0 = System.nanoTime()
               val n =
@@ -305,19 +334,24 @@ object Bench {
                 }
               val sec = (System.nanoTime() - t0) / 1e9
               val cpuS = (cpuClock.snapshot(spark.sparkContext) - c0) / 1e9
+              val (sm1, sd1, fw1, rt1) = cpuClock.spillSnapshot(spark.sparkContext)
               val gcS = (gcMillis() - g0) / 1e3
               spark.catalog.clearCache()
-              (sec, n, cpuS, gcS)
+              Leg(name, sec, n, legLoad, -1.0, cpuS, gcS,
+                (sm1 - sm0) / 1048576.0, (sd1 - sd0) / 1048576.0,
+                (fw1 - fw0) / 1e3, rt1 - rt0)
             }
             val a = one()
-            val (sec, n, cpuS, gcS) =
-              if (a._2 < 0) a
-              else { val b = one(); if (b._2 >= 0 && b._1 < a._1) b else a }
+            val best =
+              if (a.rows < 0) a
+              else { val b = one(); if (b.rows >= 0 && b.sec < a.sec) b else a }
             val legLoadPost = loadAvg()
             System.err.println(
-              f"[bench] sf1:$name%-18s $sec%8.2fs  (cpu $cpuS%.1fs; gc $gcS%.1fs; " +
-                f"$n rows; first ${a._1}%.2fs, load $legLoad%.2f->$legLoadPost%.2f)")
-            Leg(name, sec, n, legLoad, legLoadPost, cpuS, gcS)
+              f"[bench] sf1:$name%-18s ${best.sec}%8.2fs  (cpu ${best.cpuS}%.1fs; " +
+                f"gc ${best.gcS}%.1fs; spill ${best.spillDiskMb}%.0fMB; " +
+                f"${best.rows} rows; first ${a.sec}%.2fs, " +
+                f"load $legLoad%.2f->$legLoadPost%.2f)")
+            best.copy(loadPost = legLoadPost)
           }
         val (_, ing1, ing1w) =
           try ingest1m(spark, sf1Dir)
@@ -413,8 +447,9 @@ object Bench {
             // and the chosen run's executor CPU seconds distinguish
             // machine starvation (wall up, cpu flat) from real work.
             val legLoad = loadAvg()
-            def one(): (Double, Long, Double, Double) = {
+            def one(): Leg = {
               val c0 = cpuClock.snapshot(spark.sparkContext)
+              val (sm0, sd0, fw0, rt0) = cpuClock.spillSnapshot(spark.sparkContext)
               val g0 = gcMillis()
               val t0 = System.nanoTime()
               val n =
@@ -427,19 +462,25 @@ object Bench {
               // the sf1 rider, or the sf10/sf1 scaling ratio is skewed
               val sec = (System.nanoTime() - t0) / 1e9
               val cpuS = (cpuClock.snapshot(spark.sparkContext) - c0) / 1e9
+              val (sm1, sd1, fw1, rt1) = cpuClock.spillSnapshot(spark.sparkContext)
               val gcS = (gcMillis() - g0) / 1e3
               spark.catalog.clearCache()
-              (sec, n, cpuS, gcS)
+              Leg(name, sec, n, legLoad, -1.0, cpuS, gcS,
+                (sm1 - sm0) / 1048576.0, (sd1 - sd0) / 1048576.0,
+                (fw1 - fw0) / 1e3, rt1 - rt0)
             }
             val a = one()
-            val (sec, n, cpuS, gcS) =
-              if (a._2 < 0) a
-              else { val b = one(); if (b._2 >= 0 && b._1 < a._1) b else a }
+            val best =
+              if (a.rows < 0) a
+              else { val b = one(); if (b.rows >= 0 && b.sec < a.sec) b else a }
             val legLoadPost = loadAvg()
             System.err.println(
-              f"[bench] sf10:$name%-18s $sec%8.2fs  (cpu $cpuS%.1fs; gc $gcS%.1fs; " +
-                f"$n rows; first ${a._1}%.2fs, load $legLoad%.2f->$legLoadPost%.2f)")
-            Leg(name, sec, n, legLoad, legLoadPost, cpuS, gcS)
+              f"[bench] sf10:$name%-18s ${best.sec}%8.2fs  (cpu ${best.cpuS}%.1fs; " +
+                f"gc ${best.gcS}%.1fs; spill ${best.spillDiskMb}%.0fMB; " +
+                f"fetch ${best.fetchWaitS}%.1fs; retries ${best.taskRetries}; " +
+                f"${best.rows} rows; first ${a.sec}%.2fs, " +
+                f"load $legLoad%.2f->$legLoadPost%.2f)")
+            best.copy(loadPost = legLoadPost)
           }
         val secs = r.map(l => "\"" + l.name + "\":" + f"${l.sec}%.3f")
           .mkString(""","sf10":{""", ",", "}")
@@ -468,6 +509,21 @@ object Bench {
         java.nio.file.Paths.get("BENCH_LAST.json"), line + "\n")
       catch { case _: Throwable => () }
     println(line)
+    // compact trailer (VERDICT r18 #4/#2): the full contract line above
+    // has outgrown a byte-bounded tail capture (~7.4 KB vs a ~2 KB
+    // tail), so ALSO print one final ≤1 KB summary that lands whole in
+    // any tail — additions-only; the full line, its BENCH_LAST.json
+    // copy and every `queries` entry are unchanged
+    val failed = (results.map(_._2) :+ ingestSec).count(_ < 0)
+    val sf10Compact =
+      if (sf10Json.isEmpty) ""
+      else {
+        val i = sf10Json.indexOf(""""sf10":{""")
+        val j = sf10Json.indexOf("}", i)
+        "," + sf10Json.substring(i, j + 1)
+      }
+    println(
+      f"""BENCH_SUMMARY {"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size + 3},"failed":$failed,"ingest_1m_events_sec":$ingestSec%.3f$sf10Compact$loadJson,"ok":${failed == 0},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

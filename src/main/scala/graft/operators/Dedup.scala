@@ -224,10 +224,45 @@ object Dedup {
    * `explode` + shuffle on (band, bucketHash), the standard
    * sub-quadratic LSH plan.
    */
+  /** Shuffle-partition floor for the LSH block, as a multiple of the
+   *  cluster's default parallelism (sysprop
+   *  `graft.lsh.partitionsFactor`, default 4 — parameterized, never a
+   *  local-mode constant). The exact-dup collapse and the verification
+   *  joins shuffle the corpus's shingle ARRAYS; at a session default of
+   *  one partition per core their per-task sort/join state overflows
+   *  execution memory at decade scale — the sf10 leg measured 3.8 GB
+   *  of task spill in a CLEAN window (VERDICT r18 #5), the churn that
+   *  multiplies under a memory-contended host. More, smaller partitions
+   *  bound per-task state (guide §2.2/§2.5: spill remedies — more
+   *  partitions); AQE's coalescing folds the small tail back together,
+   *  so light corpora see no extra task overhead. */
+  private def lshPartitionsFactor: Int =
+    sys.props.get("graft.lsh.partitionsFactor")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ > 0)
+      .getOrElse(4)
+
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
       minMilli: Int = 500, maxBucket: Int = 0,
       saltResplit: Boolean = false): DataFrame = {
+    // every heavy exchange of the pipeline materializes INSIDE this
+    // method (the eager localCheckpoint below), so the spill-bounding
+    // partition floor wraps it here and restores the session value
+    val spark = df.sparkSession
+    val partKey = "spark.sql.shuffle.partitions"
+    val oldParts = spark.conf.get(partKey)
+    val floor = spark.sparkContext.defaultParallelism * lshPartitionsFactor
+    if (scala.util.Try(oldParts.toInt).toOption.exists(_ < floor))
+      spark.conf.set(partKey, floor.toString)
+    try minhashPairsInner(df, idCol, textCol, shingleN, numHashes, bands,
+      minMilli, maxBucket, saltResplit)
+    finally spark.conf.set(partKey, oldParts)
+  }
+
+  private def minhashPairsInner(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, bands: Int,
+      minMilli: Int, maxBucket: Int,
+      saltResplit: Boolean): DataFrame = {
     // hashed shingle sets, persisted once: the collapse, the band
     // self-join sides and BOTH verification joins re-read this frame —
     // uncached, the corpus would re-tokenize ~4x. One spill-safe copy
