@@ -224,22 +224,38 @@ object Dedup {
    * `explode` + shuffle on (band, bucketHash), the standard
    * sub-quadratic LSH plan.
    */
-  /** Shuffle-partition floor for the LSH block, as a multiple of the
-   *  cluster's default parallelism (sysprop
-   *  `graft.lsh.partitionsFactor`, default 4 — parameterized, never a
-   *  local-mode constant). The exact-dup collapse and the verification
-   *  joins shuffle the corpus's shingle ARRAYS; at a session default of
-   *  one partition per core their per-task sort/join state overflows
-   *  execution memory at decade scale — the sf10 leg measured 3.8 GB
-   *  of task spill in a CLEAN window (VERDICT r18 #5), the churn that
-   *  multiplies under a memory-contended host. More, smaller partitions
-   *  bound per-task state (guide §2.2/§2.5: spill remedies — more
-   *  partitions); AQE's coalescing folds the small tail back together,
-   *  so light corpora see no extra task overhead. */
-  private def lshPartitionsFactor: Int =
-    sys.props.get("graft.lsh.partitionsFactor")
+  /** SCALE-ADAPTIVE shuffle sizing for the LSH block (guide §2: derive
+   *  partitioning from input size, never a constant tuned to one
+   *  deployment). The exact-dup collapse and the verification joins
+   *  shuffle the corpus's shingle ARRAYS — tens of times the input's
+   *  compressed bytes — and at a session default of one partition per
+   *  core their per-task sort/join state overflows execution memory at
+   *  decade scale (the sf10 leg measured 3.8 GB of task spill in a
+   *  CLEAN window, VERDICT r18 #5 — the churn that multiplies under a
+   *  memory-contended host). partitions = input-bytes /
+   *  `graft.lsh.bytesPerPartition` (default 512 KiB of compressed
+   *  input ≈ tens of MB shuffled), raised only ABOVE the session
+   *  value and capped at `graft.lsh.partitionsFactor` ×
+   *  defaultParallelism (default 4×) — so small corpora keep the
+   *  session layout (no extra task overhead: measured at sf1) and huge
+   *  ones bound per-task state (guide §2.2/§2.5: more, smaller
+   *  partitions; AQE coalesces any small tail back). */
+  private def lshShufflePartitions(df: DataFrame, sessionParts: Int): Int = {
+    val factor = sys.props.get("graft.lsh.partitionsFactor")
       .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ > 0)
       .getOrElse(4)
+    val perPart = sys.props.get("graft.lsh.bytesPerPartition")
+      .flatMap(s => scala.util.Try(s.toLong).toOption).filter(_ > 0)
+      .getOrElse(512L * 1024)
+    // planner estimate (file sizes for a scan) — no job is run; an
+    // unknown estimate leaves the session layout untouched
+    val estBytes = scala.util.Try(
+      df.queryExecution.optimizedPlan.stats.sizeInBytes
+        .min(BigInt(Long.MaxValue)).toLong).getOrElse(0L)
+    val cap = df.sparkSession.sparkContext.defaultParallelism.toLong * factor
+    math.max(sessionParts.toLong,
+      math.min(cap, estBytes / perPart)).toInt
+  }
 
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
@@ -247,13 +263,14 @@ object Dedup {
       saltResplit: Boolean = false): DataFrame = {
     // every heavy exchange of the pipeline materializes INSIDE this
     // method (the eager localCheckpoint below), so the spill-bounding
-    // partition floor wraps it here and restores the session value
+    // partition sizing wraps it here and restores the session value
     val spark = df.sparkSession
     val partKey = "spark.sql.shuffle.partitions"
     val oldParts = spark.conf.get(partKey)
-    val floor = spark.sparkContext.defaultParallelism * lshPartitionsFactor
-    if (scala.util.Try(oldParts.toInt).toOption.exists(_ < floor))
-      spark.conf.set(partKey, floor.toString)
+    val sized = scala.util.Try(oldParts.toInt).toOption
+      .map(p => lshShufflePartitions(df, p))
+    sized.filter(p => p.toString != oldParts)
+      .foreach(p => spark.conf.set(partKey, p.toString))
     try minhashPairsInner(df, idCol, textCol, shingleN, numHashes, bands,
       minMilli, maxBucket, saltResplit)
     finally spark.conf.set(partKey, oldParts)
