@@ -75,7 +75,14 @@ class PgInitialSyncSpec extends AnyFunSuite with BeforeAndAfterAll {
       host = "127.0.0.1", port = primary.port, user = "postgres",
       database = "postgres", srcUri = s"postgresql://127.0.0.1:${primary.port}/postgres")
     assert(res.boundaryLsn == 1000L && res.copiedRows == 4L)
-    res.catchUp.join(30000)
+    // the catch-up thread's apply runs Spark jobs (delete resolution)
+    // on the suite's shared session: under 32-way suite contention the
+    // old 30 s join could EXPIRE and the asserts below then raced the
+    // still-running apply (commitLsn already set, the delete's DV not
+    // yet resolved — the observed "carol survived" flake). Join long
+    // and PROVE the thread finished before reading any state.
+    res.catchUp.join(180000)
+    assert(!res.catchUp.isAlive, "catch-up did not finish within 180 s")
     primary.join()
     assert(primary.error.isEmpty, primary.error)
     assert(res.error().isEmpty, res.error())
